@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session-scoped configuration, all under `spark.graft.*`.
+  *
+  * Mirrors the reference's config surface (reference:
+  * src/main/scala/dev/cjfravel/ariadne/AriadneContext.scala:17-411) with the
+  * same defaults where the concept carries over. Every getter tolerates
+  * invalid values by falling back to the default — a misconfigured session
+  * must degrade, not throw, because these are read on hot query paths.
+  */
+object GraftConf {
+  val Prefix = "spark.graft."
+
+  private def get(spark: SparkSession, key: String): Option[String] =
+    try spark.conf.getOption(Prefix + key)
+    catch { case _: Exception => None }
+
+  private def getLong(spark: SparkSession, key: String, default: Long): Long =
+    get(spark, key).flatMap(v => scala.util.Try(v.trim.toLong).toOption).getOrElse(default)
+
+  private def getInt(spark: SparkSession, key: String, default: Int): Int =
+    get(spark, key).flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(default)
+
+  private def getDouble(spark: SparkSession, key: String, default: Double): Double =
+    get(spark, key).flatMap(v => scala.util.Try(v.trim.toDouble).toOption).getOrElse(default)
+
+  /** Root directory for all index state (metadata, index tables, filelists). */
+  def storagePath(spark: SparkSession): String =
+    get(spark, "storagePath").getOrElse(
+      sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_store")
+
+  /** Distinct-values-per-file-per-column threshold above which the value
+    * array is evicted from the main index row into the per-column large
+    * index table (reference default 500000, AriadneContext.scala:73-91). */
+  def largeIndexLimit(spark: SparkSession): Long =
+    getLong(spark, "largeIndexLimit", 500000L)
+
+  /** False-positive rate for auto-bloom filters built over large-index
+    * columns (reference default 0.01). */
+  def autoBloomFpr(spark: SparkSession): Double =
+    getDouble(spark, "autoBloomFpr", 0.01)
+
+  /** Max probe values collected to the driver for bloom / range probing.
+    * Above this, that column's pruning degrades gracefully to "all files"
+    * (correct, just unpruned) instead of risking driver OOM — the 100 TB
+    * posture the reference explicitly warns about
+    * (BloomFilterOperations.scala:240-243). */
+  def probeValueLimit(spark: SparkSession): Int =
+    getInt(spark, "probeValueLimit", 10000)
+
+  /** Range probes with more distinct values than this use a min/max
+    * bounding-box overlap test instead of per-value containment
+    * (reference: IndexQueryOperations.scala:845-868). */
+  def rangeProbeExactLimit(spark: SparkSession): Int =
+    getInt(spark, "rangeProbeExactLimit", 1000)
+
+  /** Optional repartition applied to pruned data reads before the final
+    * join (reference: spark.ariadne.repartitionDataFiles). 0 = off. */
+  def repartitionDataFiles(spark: SparkSession): Int =
+    getInt(spark, "repartitionDataFiles", 0)
+
+  /** Snapshot versions retained per table for readers in flight. */
+  def retainedSnapshots(spark: SparkSession): Int =
+    getInt(spark, "retainedSnapshots", 2)
+
+  /** Lock acquisition timeout (seconds). */
+  def lockTimeoutSec(spark: SparkSession): Long =
+    getLong(spark, "lockTimeoutSec", 1800L)
+}

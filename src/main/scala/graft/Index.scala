@@ -1,0 +1,306 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.model.{IndexDef, IndexMetadata}
+import graft.operators.{IndexBuild, IndexJoin, IndexProbe}
+import graft.sources.FileReader
+import graft.store.{Fs, IndexStore, SnapshotTable}
+
+/** A named file-level secondary index over a set of raw data files — the
+  * user-facing API, mirroring the reference's capability surface
+  * (reference: src/main/scala/dev/cjfravel/ariadne/Index.scala:34-1323)
+  * re-expressed Spark-first: DataFrame plans end-to-end, executor-side
+  * probes, `_metadata` file attribution, parquet+manifest persistence.
+  *
+  * {{{
+  * val idx = Index(spark, "orders", ordersSchema, "parquet")
+  * idx.addIndex("o_custkey")
+  * idx.addRangeIndex("o_orderkey")
+  * idx.addFile(files: _*)
+  * idx.update()
+  * idx.join(customersDf, Seq("o_custkey"))   // reads only matching files
+  * }}}
+  */
+final class Index private (
+    val spark: SparkSession,
+    val name: String,
+    private var meta: IndexMetadata,
+    private val selection: Option[Seq[String]]) {
+
+  private val store = new IndexStore(spark, name)
+
+  def metadata: IndexMetadata = meta
+
+  // ---- index configuration -------------------------------------------------
+
+  private def addDef(d: IndexDef): Index = synchronized {
+    meta = meta.withIndex(d)
+    store.writeMetadata(meta)
+    this
+  }
+
+  /** Distinct-value (regular) index. */
+  def addIndex(column: String): Index = {
+    requireTopLevel(column)
+    addDef(IndexDef(column, "regular"))
+  }
+
+  /** Bloom-filter index (equality probes only, string-hash semantics). */
+  def addBloomIndex(column: String, fpr: Double = 0.01): Index = {
+    requireTopLevel(column)
+    addDef(IndexDef(column, "bloom", fpr = Some(fpr)))
+  }
+
+  /** Min/max range index. */
+  def addRangeIndex(column: String): Index = {
+    requireTopLevel(column)
+    addDef(IndexDef(column, "range"))
+  }
+
+  /** Latest-version (SCD-style) index: joins through this column return only
+    * the latest row per value by `tsColumn` (which may be a nested path). */
+  def addTemporalIndex(column: String, tsColumn: String): Index = {
+    requireTopLevel(column)
+    addDef(IndexDef(column, "temporal", tsColumn = Some(tsColumn)))
+  }
+
+  /** Index over an arbitrary Spark SQL scalar expression, materialized as
+    * `alias` at read time (e.g. `substring(Id, 1, 4)`, `year(ts)`). */
+  def addComputedIndex(alias: String, sqlExpr: String): Index =
+    addDef(IndexDef(alias, "computed", expr = Some(sqlExpr)))
+
+  /** Index over the ELEMENTS of an array-typed SQL expression (e.g.
+    * `items.sku` or `split(text, ' ')`), joinable via `alias`. */
+  def addExplodedIndex(alias: String, arraySqlExpr: String): Index =
+    addDef(IndexDef(alias, "exploded", expr = Some(arraySqlExpr)))
+
+  private def requireTopLevel(column: String): Unit = {
+    require(meta.schema.fieldNames.contains(column),
+      s"Column '$column' is not a top-level column of index '$name' schema " +
+        "(indexed value columns must be top-level; computed/exploded indexes " +
+        "cover expressions — reference rule IndexBuildOperations.scala:92-97)")
+  }
+
+  // ---- file ledger ---------------------------------------------------------
+
+  def addFile(paths: String*): Index = synchronized {
+    val normalized = paths.map(p => FileReader.qualify(spark, p))
+    import spark.implicits._
+    val df = normalized.toDF("filename")
+      .withColumn("added_at", current_timestamp())
+    store.fileList.upsert(df, "filename")
+    this
+  }
+
+  def hasFile(path: String): Boolean = {
+    val p = FileReader.qualify(spark, path)
+    store.fileList.read().exists(df =>
+      !df.where(col("filename") === p).isEmpty)
+  }
+
+  def files: Seq[String] =
+    store.fileList.read()
+      .map(_.select("filename").collect().map(_.getString(0)).toSeq)
+      .getOrElse(Seq.empty)
+
+  /** Files registered but not yet indexed (left-anti on filename —
+    * reference: Index.scala:166-183). */
+  def unindexedFiles: Seq[String] = {
+    store.fileList.read() match {
+      case None => Seq.empty
+      case Some(fl) =>
+        val pending = store.indexTable.read() match {
+          case Some(idx) => fl.join(idx.select("filename"), Seq("filename"), "left_anti")
+          case None      => fl
+        }
+        pending.select("filename").collect().map(_.getString(0)).toSeq
+    }
+  }
+
+  /** De-register files and purge their index rows everywhere (main + every
+    * large table) — reference: Index.scala:532-616. */
+  def deleteFiles(paths: String*): Index = synchronized {
+    import spark.implicits._
+    val keys = paths.map(p => FileReader.qualify(spark, p)).toDF("filename")
+    store.fileList.deleteKeys(keys, "filename")
+    store.indexTable.deleteKeys(keys, "filename")
+    store.largeColumns.foreach(c => store.largeTable(c).deleteKeys(keys, "filename"))
+    this
+  }
+
+  // ---- build ---------------------------------------------------------------
+
+  /** Incremental build: index every registered-but-unindexed file
+    * (reference: Index.scala:635-693). Also backfills when new index
+    * columns were added after files were indexed. */
+  def update(): Index = synchronized {
+    val pending = unindexedFiles
+    IndexBuild.update(store, meta, pending)
+    backfillNewColumns()
+    this
+  }
+
+  /** If an index column was added after some files were already indexed,
+    * re-process ALL files for completeness (column-level backfill,
+    * reference: Index.scala:194-212,648-652 — simplified to a full rebuild
+    * of affected rows; the per-file row count keeps this cheap). */
+  private def backfillNewColumns(): Unit = {
+    store.indexTable.read().foreach { idx =>
+      val have = idx.columns.toSet
+      val missing = meta.indexes.map(_.storageColumn).filterNot(have.contains)
+      if (missing.nonEmpty) {
+        IndexBuild.update(store, meta, files)
+      }
+    }
+  }
+
+  // ---- query ---------------------------------------------------------------
+
+  /** Restrict the columns read from data files (projection pushdown,
+    * user-driven — reference: Index.scala:74-94). Join columns are always
+    * force-included. */
+  def select(cols: String*): Index = {
+    val readable = IndexJoin.readableColumns(meta)
+    cols.foreach(c => require(readable.contains(c), s"Unknown column '$c'"))
+    new Index(spark, name, meta, Some(cols))
+  }
+
+  /** Which files can possibly contain any of these values per column?
+    * AND semantics across columns. */
+  def locateFiles(values: Map[String, Seq[Any]]): Seq[String] =
+    IndexProbe.collectFiles(IndexProbe.candidateFiles(store, meta,
+      values.map { case (c, vs) => c -> IndexProbe.Values(vs) }))
+
+  /** Same, driven by the distinct values of a probe DataFrame's columns. */
+  def locateFilesFromDataFrame(df: DataFrame, columns: Seq[String]): Seq[String] =
+    IndexProbe.collectFiles(IndexProbe.candidateFiles(store, meta,
+      columns.map(c => c -> IndexProbe.Frame(df.select(col(c)))).toMap))
+
+  /** Read specific files through the full read path (computed cols applied,
+    * selection honored). */
+  def readFiles(paths: Seq[String], explodedAliases: Set[String] = Set.empty): DataFrame =
+    FileReader.readFiles(spark, meta, paths, explodedAliases, selection)
+
+  /** Read ALL registered files; `latestOnly` applies every temporal index's
+    * latest-version semantics (the SQL-catalog read semantic, reference:
+    * catalog/AriadneScan.scala:279-283). */
+  def read(latestOnly: Boolean = false): DataFrame = {
+    val df = readFiles(files)
+    if (latestOnly)
+      IndexJoin.applyTemporalDedup(df, meta,
+        meta.indexes.filter(_.indexType == "temporal").map(_.column).toSet)
+    else df
+  }
+
+  /** Pruned read for literal predicates: locate files for `values`, read
+    * them, and apply the residual row-level filter so pruning is invisible
+    * (what the SQL scan path does — reference: catalog/AriadneScan.scala:157-197). */
+  def query(values: Map[String, Seq[Any]]): DataFrame = {
+    val located = locateFiles(values)
+    val aliases = meta.indexes
+      .filter(ix => ix.indexType == "exploded" && values.contains(ix.column))
+      .map(_.column).toSet
+    var df = readFiles(located, aliases)
+    IndexJoin.applyTemporalDedup(
+      values.foldLeft(df) { case (d, (c, vs)) => d.where(col(c).isin(vs: _*)) },
+      meta, values.keySet)
+  }
+
+  /** Index-accelerated join, index side left (reference: Index.scala:960). */
+  def join(df: DataFrame, usingColumns: Seq[String], joinType: String = "inner"): DataFrame =
+    IndexJoin.join(store, meta, df, usingColumns, joinType, selection)
+
+  /** Per-column index statistics (reference: IndexQueryOperations.scala:911-972). */
+  def stats(): DataFrame = {
+    val idx = store.indexTable.read().getOrElse(
+      return spark.emptyDataFrame)
+    val arrayCols = meta.indexes.filter(_.isArrayShaped).map(_.column)
+      .filter(idx.columns.contains)
+    val frames = arrayCols.map { c =>
+      idx.agg(
+        lit(c).as("column"),
+        count(when(col(c).isNotNull, 1)).as("files_with_values"),
+        min(size(col(c))).as("min_values"),
+        max(size(col(c))).as("max_values"),
+        avg(size(col(c))).as("avg_values"),
+        expr(s"percentile_approx(size($c), 0.5)").as("median_values"),
+        stddev(size(col(c))).as("stddev_values"))
+    }
+    if (frames.isEmpty) spark.emptyDataFrame
+    else frames.reduce(_.unionByName(_))
+  }
+
+  def pruningMetrics: Option[IndexJoin.PruningMetrics] = IndexJoin.lastMetrics
+}
+
+object Index {
+
+  /** Create or reconnect. On reconnect, schema + format must match exactly
+    * unless `allowSchemaMismatch` (reference: Index.scala:1229-1253). */
+  def apply(
+      spark: SparkSession,
+      name: String,
+      schema: StructType,
+      format: String = "parquet",
+      readOptions: Map[String, String] = Map.empty,
+      allowSchemaMismatch: Boolean = false): Index = {
+    FileReader.requireSupported(format)
+    val store = new IndexStore(spark, name)
+    store.readMetadata() match {
+      case Some(existing) =>
+        require(existing.format == format,
+          s"Format mismatch for index '$name': stored ${existing.format}, got $format")
+        if (!allowSchemaMismatch && existing.schema != schema)
+          throw new IllegalArgumentException(
+            s"Schema mismatch for index '$name' (pass allowSchemaMismatch=true to evolve)")
+        val updated =
+          if (existing.schema != schema) {
+            // evolution: every indexed column must survive in the new schema
+            val newCols = schema.fieldNames.toSet
+            existing.indexes.filter(ix => ix.indexType == "regular" ||
+              ix.indexType == "bloom" || ix.indexType == "range" ||
+              ix.indexType == "temporal").foreach { ix =>
+              require(newCols.contains(ix.column),
+                s"Indexed column '${ix.column}' missing from new schema")
+            }
+            existing.copy(schemaJson = schema.json)
+          } else existing
+        if (updated != existing) store.writeMetadata(updated)
+        new Index(spark, name, updated, None)
+      case None =>
+        val m = IndexMetadata(name, format, schema.json, readOptions)
+        store.writeMetadata(m)
+        new Index(spark, name, m, None)
+    }
+  }
+
+  /** Reconnect to an existing index without re-stating the schema. */
+  def connect(spark: SparkSession, name: String): Index = {
+    val store = new IndexStore(spark, name)
+    val m = store.readMetadata().getOrElse(
+      throw new IllegalArgumentException(s"Index '$name' does not exist"))
+    new Index(spark, name, m, None)
+  }
+
+  def exists(spark: SparkSession, name: String): Boolean =
+    new IndexStore(spark, name).readMetadata().isDefined
+
+  def remove(spark: SparkSession, name: String): Unit =
+    new IndexStore(spark, name).remove()
+
+  def list(spark: SparkSession): Seq[String] = IndexStore.list(spark)
+
+  /** Enrichment-direction joins: `df.join(index, cols, joinType)`
+    * (reference implicit: Index.scala:1296-1323). */
+  implicit class DataFrameOps(private val df: DataFrame) extends AnyVal {
+    def join(index: Index, usingColumns: Seq[String], joinType: String): DataFrame =
+      IndexJoin.joinReversed(
+        new IndexStore(index.spark, index.name), index.metadata,
+        df, usingColumns, joinType, None)
+    def join(index: Index, usingColumns: Seq[String]): DataFrame =
+      join(index, usingColumns, "inner")
+  }
+}

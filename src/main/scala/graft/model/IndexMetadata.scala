@@ -1,0 +1,91 @@
+package graft.model
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s.{DefaultFormats, Formats}
+import org.json4s.jackson.Serialization
+
+import graft.store.Fs
+
+/** One index definition over a single (storage) column.
+  *
+  * `indexType` ∈ regular | computed | exploded | bloom | range | temporal.
+  * Exactly one index type per column is allowed (reference exclusivity rule:
+  * IndexBuildOperations.scala:124-159).
+  *
+  *  - regular:  distinct-value array per file over a physical column
+  *  - computed: like regular, but over an arbitrary Spark SQL scalar
+  *              expression `expr` materialized as `column` at read time
+  *              (reference: IndexFileOperations.scala:207-212)
+  *  - exploded: like regular, but over elements of an array-typed Spark SQL
+  *              expression `expr` (generalizes the reference's
+  *              array.field exploded indexes, IndexBuildOperations.scala:852-867)
+  *  - bloom:    per-file bloom filter of `toString` values (stored as
+  *              `bloom_{column}`, BinaryType)
+  *  - range:    per-file `struct(min, max)` (stored as `range_{column}`)
+  *  - temporal: per-file `array<struct<value, max_ts>>` giving
+  *              latest-version semantics; `tsColumn` may be a nested path
+  */
+case class IndexDef(
+    column: String,
+    indexType: String,
+    expr: Option[String] = None,
+    tsColumn: Option[String] = None,
+    fpr: Option[Double] = None) {
+
+  /** Column name under which this index is persisted in the index table. */
+  def storageColumn: String = indexType match {
+    case "bloom" => s"bloom_$column"
+    case "range" => s"range_$column"
+    case _       => column
+  }
+
+  /** Column holding the probe-able VALUE at data-read time. */
+  def valueColumn: String = column
+
+  def isArrayShaped: Boolean =
+    indexType == "regular" || indexType == "computed" || indexType == "exploded"
+}
+
+/** Persisted per-index configuration, JSON at
+  * `{store}/indexes/{name}/metadata.json` (reference: IndexMetadata.scala:109-123).
+  * Additive versioning: absent fields default on read. */
+case class IndexMetadata(
+    name: String,
+    format: String,
+    schemaJson: String,
+    readOptions: Map[String, String] = Map.empty,
+    indexes: List[IndexDef] = Nil,
+    metadataVersion: Int = 1,
+    storageVersion: Int = 1) {
+
+  def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+
+  def indexFor(column: String): Option[IndexDef] = indexes.find(_.column == column)
+
+  def withIndex(d: IndexDef): IndexMetadata = {
+    indexFor(d.column) match {
+      case Some(existing) if existing == d => this
+      case Some(existing) =>
+        throw new IllegalArgumentException(
+          s"Column '${d.column}' already has a ${existing.indexType} index; " +
+            "one index type per column (graft exclusivity rule)")
+      case None => copy(indexes = indexes :+ d)
+    }
+  }
+}
+
+object IndexMetadata {
+  implicit val formats: Formats = DefaultFormats
+
+  def toJson(m: IndexMetadata): String = Serialization.writePretty(m)
+
+  def fromJson(s: String): IndexMetadata = Serialization.read[IndexMetadata](s)
+
+  def write(spark: SparkSession, path: String, m: IndexMetadata): Unit =
+    Fs.writeStringAtomic(spark, path, toJson(m))
+
+  def read(spark: SparkSession, path: String): Option[IndexMetadata] =
+    if (!Fs.exists(spark, path)) None
+    else Some(fromJson(Fs.readString(spark, path)))
+}

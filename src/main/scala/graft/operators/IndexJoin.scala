@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftConf
+import graft.model.IndexMetadata
+import graft.sources.FileReader
+import graft.store.IndexStore
+
+/** Index-accelerated equi-joins: locate candidate files from the probe
+  * side's values, read ONLY those files, then hand a normal DataFrame join
+  * to Catalyst (which picks broadcast / SMJ / shuffled-hash and benefits
+  * from AQE) — the pruning is invisible to join planning
+  * (reference: IndexJoinOperations.scala:79-286,373-401).
+  */
+object IndexJoin extends Logging {
+
+  case class PruningMetrics(
+      locatedFiles: Long, totalFiles: Long, locatedBytes: Long, totalBytes: Long) {
+    def pct: Double =
+      if (totalBytes <= 0) 0.0 else 100.0 * (1.0 - locatedBytes.toDouble / totalBytes)
+    override def toString: String =
+      f"Index pruning: loading $locatedFiles of $totalFiles files " +
+        f"($locatedBytes%d of $totalBytes%d bytes, $pct%.1f%% pruned)"
+  }
+
+  @volatile var lastMetrics: Option[PruningMetrics] = None
+
+  /** Validate join columns, locate files from the probe frame, return the
+    * pruned + temporally-deduplicated index-side data. */
+  def prunedData(
+      store: IndexStore,
+      meta: IndexMetadata,
+      probeDf: DataFrame,
+      usingColumns: Seq[String],
+      selection: Option[Seq[String]]): DataFrame = {
+    val spark = store.spark
+    val readable = readableColumns(meta)
+    usingColumns.foreach { c =>
+      require(readable.contains(c),
+        s"Join column '$c' is not a column of index '${meta.name}' " +
+          s"(available: ${readable.mkString(", ")})")
+    }
+    val indexedCols = usingColumns.filter(c => meta.indexFor(c).isDefined)
+    require(indexedCols.nonEmpty,
+      s"At least one join column must be indexed; none of " +
+        s"${usingColumns.mkString(", ")} is (reference rule, " +
+        "IndexJoinOperations.scala:131-137)")
+
+    val probes: Map[String, IndexProbe.Probe] =
+      indexedCols.map(c => c -> IndexProbe.Frame(probeDf.select(col(c)))).toMap
+    val files = IndexProbe.collectFiles(IndexProbe.candidateFiles(store, meta, probes))
+    recordMetrics(store, files)
+
+    val aliases = meta.indexes
+      .filter(ix => ix.indexType == "exploded" && usingColumns.contains(ix.column))
+      .map(_.column).toSet
+    val sel = selection.map(s => (s ++ usingColumns).distinct)
+    var data = FileReader.readFiles(spark, meta, files, aliases, sel)
+    data = applyTemporalDedup(data, meta, usingColumns.toSet)
+    val rep = GraftConf.repartitionDataFiles(spark)
+    if (rep > 0) data = data.repartition(rep)
+    data
+  }
+
+  /** `index.join(df, cols, joinType)` — index side left (reference:
+    * Index.scala:960-964). Any Spark join type passes through. */
+  def join(
+      store: IndexStore,
+      meta: IndexMetadata,
+      df: DataFrame,
+      usingColumns: Seq[String],
+      joinType: String,
+      selection: Option[Seq[String]]): DataFrame =
+    prunedData(store, meta, df, usingColumns, selection)
+      .join(df, usingColumns, joinType)
+
+  /** `df.join(index, cols, joinType)` — enrichment direction (reference:
+    * Index.scala:1296-1323). */
+  def joinReversed(
+      store: IndexStore,
+      meta: IndexMetadata,
+      df: DataFrame,
+      usingColumns: Seq[String],
+      joinType: String,
+      selection: Option[Seq[String]]): DataFrame =
+    df.join(prunedData(store, meta, df, usingColumns, selection), usingColumns, joinType)
+
+  /** Latest-version row filter: for every applicable temporal index, rank
+    * rows per value by timestamp desc and keep rows ranked 1 by EVERY
+    * config — ranks computed against the original rows before any filtering
+    * (reference: IndexJoinOperations.scala:303-337). */
+  def applyTemporalDedup(
+      df: DataFrame, meta: IndexMetadata, joinColumns: Set[String]): DataFrame = {
+    val defs = meta.indexes.filter(ix =>
+      ix.indexType == "temporal" && joinColumns.contains(ix.column))
+    if (defs.isEmpty) df
+    else {
+      val rankCols = defs.indices.map(i => s"__graft_rank_$i")
+      val ranked = defs.zipWithIndex.foldLeft(df) { case (d, (ix, i)) =>
+        val w = Window.partitionBy(col(ix.column))
+          .orderBy(col(ix.tsColumn.get).desc_nulls_last)
+        d.withColumn(rankCols(i), row_number().over(w))
+      }
+      ranked
+        .where(rankCols.map(c => col(c) === 1).reduce(_ && _))
+        .drop(rankCols: _*)
+    }
+  }
+
+  /** Columns a join may reference: top-level schema fields, computed
+    * aliases, exploded aliases, temporal value columns. */
+  def readableColumns(meta: IndexMetadata): Set[String] =
+    meta.schema.fieldNames.toSet ++ meta.indexes.map(_.column)
+
+  private def recordMetrics(store: IndexStore, files: Seq[String]): Unit = {
+    try {
+      store.indexTable.read().foreach { idx =>
+        val total = idx.agg(count("*"), sum("file_size")).first()
+        val located = idx.where(col("filename").isin(files: _*))
+          .agg(sum("file_size")).first()
+        val m = PruningMetrics(
+          files.size.toLong,
+          total.getLong(0),
+          Option(located.get(0)).map(_.toString.toLong).getOrElse(0L),
+          Option(total.get(1)).map(_.toString.toLong).getOrElse(0L))
+        lastMetrics = Some(m)
+        logInfo(m.toString)
+      }
+    } catch { case e: Exception => logWarning(s"pruning metrics failed: $e") }
+  }
+}

@@ -1,0 +1,200 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftConf
+import graft.functions.Blooms
+import graft.model.{IndexDef, IndexMetadata}
+import graft.store.IndexStore
+
+/** File-location probes: given queried values (literal list or a distributed
+  * probe DataFrame) per indexed column, return the set of files that can
+  * possibly contain matching rows.
+  *
+  * Design deltas vs the reference (SURVEY §7.1 — 100 TB posture):
+  *  - candidate sets stay DataFrames of filenames end-to-end; AND-semantics
+  *    across queried columns is an inner join on filename, collected ONCE at
+  *    the very end (vs per-probe CSV-staging round trips,
+  *    reference: IndexQueryOperations.scala:305-365)
+  *  - bloom probes run as executor-side UDF filters over the index table
+  *    (vs collecting every file's filter bytes to the driver,
+  *    reference: BloomFilterOperations.scala:255-287)
+  *  - DataFrame probes only collect bounded value lists (capped by
+  *    `spark.graft.probeValueLimit`); past the cap, that column degrades to
+  *    no pruning — correct, just less selective, and never driver-OOM.
+  */
+object IndexProbe {
+
+  /** A probe for one column: either literal values or a 1-column DataFrame
+    * of probe values (column name irrelevant; first column is used). */
+  sealed trait Probe
+  final case class Values(values: Seq[Any]) extends Probe
+  final case class Frame(df: DataFrame) extends Probe
+
+  /** DataFrame of distinct candidate `filename`s for the probes, honoring
+    * AND semantics across columns (reference: IndexQueryOperations.scala:188-287). */
+  def candidateFiles(
+      store: IndexStore,
+      meta: IndexMetadata,
+      probes: Map[String, Probe]): DataFrame = {
+    val spark = store.spark
+    val indexDfOpt = store.indexTable.read()
+    val indexed = probes.flatMap { case (c, p) => meta.indexFor(c).map(_ -> p) }.toSeq
+    require(indexed.nonEmpty, "at least one probed column must be indexed")
+    indexDfOpt match {
+      case None => emptyFilenames(spark)
+      case Some(indexDf) =>
+        indexed
+          .map { case (ix, probe) => candidatesForColumn(store, indexDf, ix, probe) }
+          .map(_.select("filename").distinct())
+          .reduce((a, b) => a.join(b, Seq("filename"), "inner"))
+    }
+  }
+
+  /** Collect the final (bounded: one row per candidate file) path list. */
+  def collectFiles(df: DataFrame): Seq[String] =
+    df.select("filename").distinct().collect().map(_.getString(0)).toSeq
+
+  private def emptyFilenames(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("filename", StringType))))
+  }
+
+  private def candidatesForColumn(
+      store: IndexStore,
+      indexDf: DataFrame,
+      ix: IndexDef,
+      probe: Probe): DataFrame = ix.indexType match {
+    case "regular" | "computed" | "exploded" => arrayCandidates(store, indexDf, ix, probe)
+    case "bloom"    => bloomCandidates(store.spark, indexDf, ix, probe)
+    case "range"    => rangeCandidates(store.spark, indexDf, ix, probe)
+    case "temporal" => temporalCandidates(indexDf, ix, probe)
+    case t => throw new IllegalStateException(s"unknown index type $t")
+  }
+
+  /** Distinct-array columns: explode the per-file array (∪ the large-index
+    * overflow rows, pre-filtered by auto-bloom when present) and keep files
+    * whose values intersect the probe (reference:
+    * IndexQueryOperations.scala:115-135,484-521,687-723). */
+  private def arrayCandidates(
+      store: IndexStore,
+      indexDf: DataFrame,
+      ix: IndexDef,
+      probe: Probe): DataFrame = {
+    val spark = store.spark
+    val main = indexDf.where(col(ix.column).isNotNull)
+      .select(col("filename"), explode(col(ix.column)).as("__v"))
+
+    val all = store.largeTable(ix.column).read() match {
+      case Some(large) =>
+        val largeRows = large.select(col("filename"), col("value").as("__v"))
+        // Auto-bloom pre-filter: restrict the (potentially huge) overflow
+        // scan to files whose bloom might contain a probe value
+        // (reference: IndexQueryOperations.scala:124-131,387-468).
+        val ab = s"auto_bloom_${ix.column}"
+        val preFiltered = probe match {
+          case Values(vs) if indexDf.columns.contains(ab) =>
+            val candidates = indexDf
+              .where(Blooms.mightContainAny(vs.map(v => if (v == null) null else v.toString))(col(ab))
+                || col(ab).isNull)
+              .select("filename")
+            largeRows.join(candidates, Seq("filename"), "left_semi")
+          case _ => largeRows
+        }
+        main.unionByName(preFiltered)
+      case None => main
+    }
+
+    probe match {
+      case Values(vs) => all.where(col("__v").isin(vs: _*))
+      case Frame(df)  =>
+        val vals = df.toDF("__v").distinct()
+        all.join(vals, Seq("__v"), "left_semi")
+    }
+  }
+
+  private def bloomCandidates(
+      spark: SparkSession, indexDf: DataFrame, ix: IndexDef, probe: Probe): DataFrame = {
+    val sc = col(ix.storageColumn)
+    probe match {
+      case Values(vs) =>
+        val strings = vs.filter(_ != null).map(_.toString)
+        indexDf.where(Blooms.mightContainAny(strings)(sc) || sc.isNull)
+      case Frame(df) =>
+        boundedValues(spark, df) match {
+          case Some(vs) => bloomCandidates(spark, indexDf, ix, Values(vs))
+          case None     => indexDf // too many probe values → no pruning
+        }
+    }
+  }
+
+  /** Range columns: per-value containment for small probes, min/max
+    * bounding-box overlap for big ones (reference:
+    * IndexQueryOperations.scala:572-599,818-885 — but collect-free for the
+    * big-probe path). */
+  private def rangeCandidates(
+      spark: SparkSession, indexDf: DataFrame, ix: IndexDef, probe: Probe): DataFrame = {
+    val lo = col(s"${ix.storageColumn}.min")
+    val hi = col(s"${ix.storageColumn}.max")
+    probe match {
+      case Values(vs) =>
+        val nonNull = vs.filter(_ != null)
+        if (nonNull.isEmpty) indexDf.where(lit(false))
+        else if (nonNull.size <= GraftConf.rangeProbeExactLimit(spark)) {
+          indexDf.where(nonNull.map(v => lo <= lit(v) && hi >= lit(v)).reduce(_ || _))
+        } else {
+          // Bounding box may admit false-positive files — acceptable: pruning
+          // must only ever over-approximate.
+          val qmin = nonNull.map(lit).reduce((a, x) => least(a, x))
+          val qmax = nonNull.map(lit).reduce((a, x) => greatest(a, x))
+          indexDf.where(hi >= qmin && lo <= qmax)
+        }
+      case Frame(df) =>
+        // Collect-free: aggregate the probe frame's bounds, cross-join the
+        // single bounds row against the (small) index table.
+        val v = col(df.columns.head)
+        val bounds = df.agg(min(v).as("__qmin"), max(v).as("__qmax"),
+          approx_count_distinct(v).as("__qn"))
+        val exact = boundedValues(spark, df,
+          cap = GraftConf.rangeProbeExactLimit(spark))
+        exact match {
+          case Some(vs) => rangeCandidates(spark, indexDf, ix, Values(vs))
+          case None =>
+            indexDf.crossJoin(broadcast(bounds))
+              .where(hi >= col("__qmin") && lo <= col("__qmax"))
+              .drop("__qmin", "__qmax", "__qn")
+        }
+    }
+  }
+
+  /** Temporal columns: for each probed value, only the file holding the
+    * LATEST timestamp for that value can contribute the latest row
+    * (reference: IndexQueryOperations.scala:539-555,769-796). Filename is a
+    * determinism tiebreak on equal timestamps. */
+  private def temporalCandidates(
+      indexDf: DataFrame, ix: IndexDef, probe: Probe): DataFrame = {
+    val exploded = indexDf.where(col(ix.column).isNotNull)
+      .select(col("filename"), explode(col(ix.column)).as("__s"))
+      .select(col("filename"), col("__s.value").as("__v"), col("__s.max_ts").as("__ts"))
+    val matched = probe match {
+      case Values(vs) => exploded.where(col("__v").isin(vs: _*))
+      case Frame(df)  =>
+        exploded.join(df.toDF("__v").distinct(), Seq("__v"), "left_semi")
+    }
+    val w = Window.partitionBy(col("__v"))
+      .orderBy(col("__ts").desc_nulls_last, col("filename"))
+    matched.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+  }
+
+  /** Distinct probe values collected to the driver iff bounded by the cap;
+    * None ⇒ caller must degrade gracefully (no pruning for that column). */
+  private def boundedValues(
+      spark: SparkSession, df: DataFrame, cap: Int = -1): Option[Seq[Any]] = {
+    val limit = if (cap > 0) cap else GraftConf.probeValueLimit(spark)
+    val rows = df.select(col(df.columns.head)).distinct().limit(limit + 1).collect()
+    if (rows.length > limit) None else Some(rows.toSeq.map(_.get(0)))
+  }
+}
