@@ -65,7 +65,34 @@ object GraftConf {
   def retainedSnapshots(spark: SparkSession): Int =
     getInt(spark, "retainedSnapshots", 2)
 
-  /** Lock acquisition timeout (seconds). */
+  /** Pruning-metrics telemetry (two extra tiny aggregates per join over the
+    * one-row-per-file index table). Off by default: never on the hot path
+    * unless asked for (r1 verdict bug #3). */
+  def metricsEnabled(spark: SparkSession): Boolean =
+    get(spark, "metricsEnabled").exists(_.trim.equalsIgnoreCase("true"))
+
+  /** A lock is considered stale (crashed holder) after this many seconds
+    * and may be healed by a waiter (reference default 1800,
+    * AriadneContext.scala:272-348). */
   def lockTimeoutSec(spark: SparkSession): Long =
     getLong(spark, "lockTimeoutSec", 1800L)
+
+  /** Max seconds a writer waits to acquire a lock before giving up. */
+  def lockMaxWaitSec(spark: SparkSession): Long =
+    getLong(spark, "lockMaxWaitSec", 3600L)
+
+  /** Base retry sleep (ms) for lock acquisition, exponential backoff
+    * capped at 60 s (reference: IndexLock.scala:200-203). */
+  def lockRetryBaseMs(spark: SparkSession): Long =
+    getLong(spark, "lockRetryBaseMs", 100L)
+
+  /** Files per build batch are packed until the sum of their estimated
+    * distinct counts reaches this budget (reference bin-packing batcher,
+    * IndexBuildOperations.scala:747-808). */
+  def buildBatchDistinctBudget(spark: SparkSession): Long =
+    getLong(spark, "buildBatchDistinctBudget", 2000000L)
+
+  /** Max files per build batch regardless of distinct-count estimates. */
+  def buildBatchMaxFiles(spark: SparkSession): Int =
+    getInt(spark, "buildBatchMaxFiles", 256)
 }

@@ -53,14 +53,26 @@ object IndexJoin extends Logging {
     val probes: Map[String, IndexProbe.Probe] =
       indexedCols.map(c => c -> IndexProbe.Frame(probeDf.select(col(c)))).toMap
     val files = IndexProbe.collectFiles(IndexProbe.candidateFiles(store, meta, probes))
-    recordMetrics(store, files)
+    if (GraftConf.metricsEnabled(spark)) recordMetrics(store, files)
 
     val aliases = meta.indexes
       .filter(ix => ix.indexType == "exploded" && usingColumns.contains(ix.column))
       .map(_.column).toSet
-    val sel = selection.map(s => (s ++ usingColumns).distinct)
+    // Temporal dedup needs each config's timestamp column — force-read the
+    // ROOT column of (possibly nested) ts paths even under select(), then
+    // drop anything the user didn't ask for after dedup (reference:
+    // IndexJoinOperations.scala:96-115,247-271).
+    val temporalDefs = meta.indexes.filter(ix =>
+      ix.indexType == "temporal" && usingColumns.contains(ix.column))
+    val tsRoots = temporalDefs.flatMap(_.tsColumn).map(_.split('.').head)
+    val sel = selection.map(s => (s ++ usingColumns ++ tsRoots).distinct)
     var data = FileReader.readFiles(spark, meta, files, aliases, sel)
     data = applyTemporalDedup(data, meta, usingColumns.toSet)
+    selection.foreach { s =>
+      val wanted = (s ++ usingColumns).distinct
+      val extra = tsRoots.filterNot(wanted.contains)
+      if (extra.nonEmpty) data = data.drop(extra: _*)
+    }
     val rep = GraftConf.repartitionDataFiles(spark)
     if (rep > 0) data = data.repartition(rep)
     data
@@ -116,11 +128,17 @@ object IndexJoin extends Logging {
   def readableColumns(meta: IndexMetadata): Set[String] =
     meta.schema.fieldNames.toSet ++ meta.indexes.map(_.column)
 
+  /** Opt-in (spark.graft.metricsEnabled): one small aggregate over the
+    * one-row-per-file index table, with located files joined as a DataFrame
+    * rather than an `isin` literal list that could hold 10^6 entries. */
   private def recordMetrics(store: IndexStore, files: Seq[String]): Unit = {
     try {
       store.indexTable.read().foreach { idx =>
+        val spark = store.spark
+        import spark.implicits._
+        val fdf = files.toDF("filename")
         val total = idx.agg(count("*"), sum("file_size")).first()
-        val located = idx.where(col("filename").isin(files: _*))
+        val located = idx.join(broadcast(fdf), Seq("filename"), "left_semi")
           .agg(sum("file_size")).first()
         val m = PruningMetrics(
           files.size.toLong,

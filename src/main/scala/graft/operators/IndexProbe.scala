@@ -95,11 +95,21 @@ object IndexProbe {
         // scan to files whose bloom might contain a probe value
         // (reference: IndexQueryOperations.scala:124-131,387-468).
         val ab = s"auto_bloom_${ix.column}"
-        val preFiltered = probe match {
-          case Values(vs) if indexDf.columns.contains(ab) =>
+        // Frame probes (the index.join path) collect a BOUNDED value list
+        // just for this pre-filter; past the cap we skip it — correct,
+        // merely less pruned (r1 verdict bug #1: the join path used to skip
+        // the pre-filter entirely and scan the whole overflow table).
+        val probeStrings: Option[Seq[String]] = probe match {
+          case Values(vs) => Some(vs.map(v => if (v == null) null else v.toString))
+          case Frame(df) if indexDf.columns.contains(ab) =>
+            boundedValues(spark, df)
+              .map(_.map(v => if (v == null) null else v.toString))
+          case _ => None
+        }
+        val preFiltered = probeStrings match {
+          case Some(vs) if indexDf.columns.contains(ab) =>
             val candidates = indexDf
-              .where(Blooms.mightContainAny(vs.map(v => if (v == null) null else v.toString))(col(ab))
-                || col(ab).isNull)
+              .where(Blooms.mightContainAny(vs)(col(ab)) || col(ab).isNull)
               .select("filename")
             largeRows.join(candidates, Seq("filename"), "left_semi")
           case _ => largeRows

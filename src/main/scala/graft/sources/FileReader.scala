@@ -63,13 +63,17 @@ object FileReader {
         .withColumn(FilenameCol, lit(null).cast("string"))
         .withColumn(FileSizeCol, lit(null).cast("long"))
     } else {
-      val normalizeUdf = udf((p: String) => normalizePath(p))
+      // `_metadata.file_path` already emits the canonical `scheme:/path`
+      // form `canonical()` produces (verified empirically: local files come
+      // back as `file:/x`), so registered paths and per-row attribution
+      // agree with NO per-row UDF — the column stays codegen-friendly and
+      // never blocks pushdown around the scan.
       spark.read
         .format(meta.format)
         .schema(meta.schema)
         .options(meta.readOptions)
         .load(files: _*)
-        .withColumn(FilenameCol, normalizeUdf(col("_metadata.file_path")))
+        .withColumn(FilenameCol, col("_metadata.file_path"))
         .withColumn(FileSizeCol, col("_metadata.file_size"))
     }
   }

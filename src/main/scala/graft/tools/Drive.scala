@@ -1,0 +1,113 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Index
+import graft.operators.IndexJoin
+
+/** Manual end-to-end drive of the library through its public API — a
+  * scratchpad main used by the project verify flow (not part of the API). */
+object Drive {
+  def main(args: Array[String]): Unit = {
+    val work = java.nio.file.Files.createTempDirectory("graft_drive_").toString
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // events.parquet carries TIMESTAMP(NANOS) which Spark 4 rejects;
+      // read as epoch-ns long (matches DuckDB's epoch_ns(ts) for oracles)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.graft.storagePath", s"$work/store")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val sf = "/root/testdata/sf0.001"
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val events = spark.read.parquet(s"$sf/events.parquet")
+
+    // split orders into 8 files by orderkey band
+    val lakeDir = s"$work/lake/orders"
+    orders.withColumn("band", pmod(col("o_orderkey"), lit(8)))
+      .write.partitionBy("band").mode("overwrite").parquet(lakeDir)
+    val orderFiles = new java.io.File(lakeDir).listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    println(s"[drive] orders split into ${orderFiles.size} files")
+
+    // NOTE partitionBy drops the band col from the files; schema = orders minus nothing
+    val schema = orders.schema
+
+    // 1) regular index + join: exercises _metadata attribution with no UDF
+    val idx = Index(spark, "orders_drive", schema, "parquet")
+    idx.addIndex("o_custkey")
+    idx.addFile(orderFiles: _*)
+    idx.update()
+    val probe = spark.read.parquet(s"$sf/customer.parquet")
+      .where(col("c_acctbal") > 9000)
+      .select(col("c_custkey").as("o_custkey"))
+    val joined = idx.join(probe, Seq("o_custkey"))
+    val got = joined.count()
+    val expect = orders.join(probe, Seq("o_custkey")).count()
+    println(s"[drive] 1-regular-join rows got=$got expect=$expect " +
+      (if (got == expect) "OK" else "MISMATCH"))
+    val plan = joined.queryExecution.executedPlan.toString
+    val udfInScan = plan.linesIterator.exists(l =>
+      l.contains("Scan parquet") && l.toLowerCase.contains("udf"))
+    println(s"[drive] 1-plan-scan-has-udf=$udfInScan (want false); " +
+      s"plan mentions UDF anywhere=${plan.toLowerCase.contains("udf")}")
+
+    // 2) metrics off by default
+    IndexJoin.lastMetrics = None
+    idx.join(probe, Seq("o_custkey")).count()
+    println(s"[drive] 2-metrics-default=${IndexJoin.lastMetrics} (want None)")
+    spark.conf.set("spark.graft.metricsEnabled", "true")
+    idx.join(probe, Seq("o_custkey")).count()
+    println(s"[drive] 2-metrics-enabled=${IndexJoin.lastMetrics} (want Some)")
+    spark.conf.set("spark.graft.metricsEnabled", "false")
+
+    // 3) temporal + select(): ts column force-read then dropped
+    val evDir = s"$work/lake/events"
+    events.withColumn("band", pmod(col("event_id"), lit(4)))
+      .write.partitionBy("band").mode("overwrite").parquet(evDir)
+    val evFiles = new java.io.File(evDir).listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    val eidx = Index(spark, "events_drive", events.schema, "parquet")
+    eidx.addTemporalIndex("user_id", "ts")
+    eidx.addFile(evFiles: _*)
+    eidx.update()
+    val users = Seq(1L, 2L, 3L).toDF("user_id")
+    val sel = eidx.select("event_id", "user_id", "event_type")
+    val latest = sel.join(users, Seq("user_id"))
+    val latestRows = latest.collect()
+    println(s"[drive] 3-temporal-select cols=${latest.columns.mkString(",")} " +
+      s"rows=${latestRows.length} (want 3 users, no ts col)")
+    // oracle: latest event per user over full scan
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc)
+    val oracle = events.join(users, Seq("user_id"))
+      .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select("event_id").as[Long].collect().toSet
+    val gotIds = latestRows.map(_.getAs[Long]("event_id")).toSet
+    println(s"[drive] 3-temporal-latest ids match oracle=${gotIds == oracle}")
+
+    // 4) auto-bloom pre-filter on DataFrame probes with large-index eviction
+    spark.conf.set("spark.graft.largeIndexLimit", "50")
+    val lidx = Index(spark, "orders_large_drive", schema, "parquet")
+    lidx.addIndex("o_orderkey")
+    lidx.addFile(orderFiles: _*)
+    lidx.update()
+    val keyProbe = orders.select("o_orderkey").limit(5)
+    val lg = lidx.join(keyProbe.distinct(), Seq("o_orderkey")).count()
+    val le = orders.join(keyProbe.distinct(), Seq("o_orderkey")).count()
+    println(s"[drive] 4-large-index-frame-probe got=$lg expect=$le " +
+      (if (lg == le) "OK" else "MISMATCH"))
+    spark.conf.unset("spark.graft.largeIndexLimit")
+
+    spark.stop()
+    println("[drive] done")
+  }
+}
