@@ -1,0 +1,168 @@
+package graft.harness
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Index
+import graft.store.Fs
+
+/** Deterministic multi-file "lake" derived from one driver testdata dir
+  * (`/root/testdata/sf*`): each table is split into key-banded files so that
+  * file pruning is actually observable, then graft indexes are built over the
+  * split files. Built once per (JVM, sfDir); all SparkEntry queries share it.
+  *
+  * The split is value-banded on the PROBED key (band = key * N / (max+1)),
+  * mirroring how a real lake clusters files by ingest key or time — this is
+  * what makes a selective probe touch 1-2 of N files instead of all of them.
+  */
+final class Lake private (val spark: SparkSession, val sfDir: String, val work: String) {
+  import Lake.splitByBand
+
+  private def table(name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    // The band split shuffles rows; anything downstream must not depend on
+    // row order, only content.
+    df
+  }
+
+  // ---- split files ---------------------------------------------------------
+
+  lazy val ordersFiles: Seq[String] =
+    splitByBand(table("orders"), s"$work/orders", "o_custkey", 8)
+
+  lazy val lineitemFiles: Seq[String] =
+    splitByBand(table("lineitem"), s"$work/lineitem", "l_partkey", 8)
+
+  lazy val eventsFiles: Seq[String] =
+    splitByBand(table("events"), s"$work/events", "event_id", 6)
+
+  lazy val documentsFiles: Seq[String] =
+    splitByBand(table("documents"), s"$work/documents", "doc_id", 4)
+
+  /** CSV/JSON copies carry a timestamp-free column subset so the round trip
+    * is value-exact for the oracle compare. */
+  val OrdersTextCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+  lazy val ordersCsvFiles: Seq[String] = {
+    val dir = s"$work/orders_csv"
+    val src = table("orders").select(OrdersTextCols.map(col): _*)
+    Lake.splitWrite(src, dir, "o_custkey", 4, (d, p) =>
+      d.write.mode("overwrite").option("header", "true").csv(p), ".csv")
+  }
+
+  lazy val ordersJsonFiles: Seq[String] = {
+    val dir = s"$work/orders_json"
+    val src = table("orders").select(OrdersTextCols.map(col): _*)
+    Lake.splitWrite(src, dir, "o_custkey", 4, (d, p) =>
+      d.write.mode("overwrite").json(p), ".json")
+  }
+
+  // ---- indexes -------------------------------------------------------------
+
+  /** orders: regular(o_custkey) + range(o_orderkey) + computed month. */
+  lazy val ordersIdx: Index = {
+    val idx = Index(spark, "orders_idx", table("orders").schema, "parquet")
+    idx.addIndex("o_custkey")
+    idx.addRangeIndex("o_orderkey")
+    idx.addComputedIndex("o_month", "cast(month(o_orderdate) as bigint)")
+    idx.addFile(ordersFiles: _*)
+    idx.update()
+    idx
+  }
+
+  /** lineitem: bloom(l_partkey) + regular(l_suppkey). */
+  lazy val lineitemIdx: Index = {
+    val idx = Index(spark, "lineitem_idx", table("lineitem").schema, "parquet")
+    idx.addBloomIndex("l_partkey")
+    idx.addIndex("l_suppkey")
+    idx.addFile(lineitemFiles: _*)
+    idx.update()
+    idx
+  }
+
+  /** events: temporal(user_id by ts) — ts read as epoch-ns long. */
+  lazy val eventsIdx: Index = {
+    val idx = Index(spark, "events_idx", table("events").schema, "parquet")
+    idx.addTemporalIndex("user_id", "ts")
+    idx.addFile(eventsFiles: _*)
+    idx.update()
+    idx
+  }
+
+  /** documents: exploded token index + regular(lang). */
+  lazy val docsIdx: Index = {
+    val idx = Index(spark, "docs_idx", table("documents").schema, "parquet")
+    idx.addExplodedIndex("tok", "split(text, ' ')")
+    idx.addIndex("lang")
+    idx.addFile(documentsFiles: _*)
+    idx.update()
+    idx
+  }
+
+  lazy val ordersCsvIdx: Index = {
+    val schema = table("orders").select(OrdersTextCols.map(col): _*).schema
+    val idx = Index(spark, "orders_csv_idx", schema, "csv",
+      readOptions = Map("header" -> "true"))
+    idx.addIndex("o_custkey")
+    idx.addFile(ordersCsvFiles: _*)
+    idx.update()
+    idx
+  }
+
+  lazy val ordersJsonIdx: Index = {
+    val schema = table("orders").select(OrdersTextCols.map(col): _*).schema
+    val idx = Index(spark, "orders_json_idx", schema, "json")
+    idx.addIndex("o_custkey")
+    idx.addFile(ordersJsonFiles: _*)
+    idx.update()
+    idx
+  }
+
+  def customers: DataFrame = table("customer")
+  def orders: DataFrame = table("orders")
+  def lineitem: DataFrame = table("lineitem")
+  def events: DataFrame = table("events")
+  def documents: DataFrame = table("documents")
+  def embeddings: DataFrame = spark.read.parquet(s"$sfDir/embeddings.parquet")
+}
+
+object Lake {
+  private val built = TrieMap.empty[String, Lake]
+
+  /** Memoized per (JVM, sfDir). Sets `spark.graft.storagePath` to a
+    * lake-local store so repeated runs start clean. */
+  def get(spark: SparkSession, sfDir: String): Lake =
+    built.getOrElseUpdate(sfDir, {
+      val work = "/tmp/graft_lake_" + sfDir.replaceAll("[^a-zA-Z0-9]", "_")
+      Fs.delete(spark, work)
+      spark.conf.set("spark.graft.storagePath", s"$work/store")
+      new Lake(spark, sfDir, work)
+    })
+
+  /** Split `df` into `n` single-file parquet bands on `key` value ranges.
+    * Returns the file paths in band order. */
+  def splitByBand(df: DataFrame, dir: String, key: String, n: Int): Seq[String] =
+    splitWrite(df, dir, key, n, (d, p) => d.write.mode("overwrite").parquet(p), ".parquet")
+
+  def splitWrite(
+      df: DataFrame,
+      dir: String,
+      key: String,
+      n: Int,
+      write: (DataFrame, String) => Unit,
+      ext: String): Seq[String] = {
+    val maxKey = df.agg(max(col(key))).first().get(0).toString.toLong
+    val width = maxKey / n + 1
+    (0 until n).map { b =>
+      val part = df.where(col(key).cast("long").divide(width).cast("long") === b)
+        .coalesce(1)
+      val path = s"$dir/band=$b"
+      write(part, path)
+      val f = new java.io.File(path.stripPrefix("file:"))
+      f.listFiles().filter(x => x.getName.startsWith("part-") && x.getName.endsWith(ext))
+        .map(_.getAbsolutePath).head
+    }
+  }
+}

@@ -16,6 +16,7 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.graft.storagePath", tmp)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
