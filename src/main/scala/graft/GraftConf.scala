@@ -95,4 +95,15 @@ object GraftConf {
   /** Max files per build batch regardless of distinct-count estimates. */
   def buildBatchMaxFiles(spark: SparkSession): Int =
     getInt(spark, "buildBatchMaxFiles", 256)
+
+  /** Staging segments are consolidated into the main table every N batches
+    * (reference default 50, AriadneContext.scala:98-116). */
+  def stagingConsolidationThreshold(spark: SparkSession): Int =
+    getInt(spark, "stagingConsolidationThreshold", 50)
+
+  /** Auto-compact the index tables after this many consolidations
+    * (reference: batches_since_compact counter,
+    * IndexBuildOperations.scala:1197-1294). 0 disables. */
+  def autoCompactThreshold(spark: SparkSession): Int =
+    getInt(spark, "autoCompactThreshold", 50)
 }

@@ -91,7 +91,9 @@ final class Index private (
     import spark.implicits._
     val df = normalized.toDF("filename")
       .withColumn("added_at", current_timestamp())
-    store.fileList.upsert(df, "filename")
+    store.fileListLock.withLock {
+      store.fileList.upsert(df, "filename")
+    }
     this
   }
 
@@ -106,14 +108,17 @@ final class Index private (
       .map(_.select("filename").collect().map(_.getString(0)).toSeq)
       .getOrElse(Seq.empty)
 
-  /** Files registered but not yet indexed (left-anti on filename —
-    * reference: Index.scala:166-183). */
+  /** Files registered but not yet indexed (left-anti on filename against
+    * main table ∪ committed staging — a crash-recovered build must not
+    * re-process files whose batches committed; reference: Index.scala:166-183). */
   def unindexedFiles: Seq[String] = {
     store.fileList.read() match {
       case None => Seq.empty
       case Some(fl) =>
-        val pending = store.indexTable.read() match {
-          case Some(idx) => fl.join(idx.select("filename"), Seq("filename"), "left_anti")
+        val indexed = (store.indexTable.read().map(_.select("filename")) ++
+          store.staging.read().map(_.select("filename"))).reduceOption(_.unionByName(_))
+        val pending = indexed match {
+          case Some(idx) => fl.join(idx, Seq("filename"), "left_anti")
           case None      => fl
         }
         pending.select("filename").collect().map(_.getString(0)).toSeq
@@ -125,36 +130,74 @@ final class Index private (
   def deleteFiles(paths: String*): Index = synchronized {
     import spark.implicits._
     val keys = paths.map(p => FileReader.qualify(spark, p)).toDF("filename")
-    store.fileList.deleteKeys(keys, "filename")
-    store.indexTable.deleteKeys(keys, "filename")
-    store.largeColumns.foreach(c => store.largeTable(c).deleteKeys(keys, "filename"))
+    store.updateLock.withLock {
+      store.fileListLock.withLock(store.fileList.deleteKeys(keys, "filename"))
+      store.indexTable.deleteKeys(keys, "filename")
+      store.largeColumns.foreach(c => store.largeTable(c).deleteKeys(keys, "filename"))
+    }
     this
   }
 
   // ---- build ---------------------------------------------------------------
 
-  /** Incremental build: index every registered-but-unindexed file
-    * (reference: Index.scala:635-693). Also backfills when new index
-    * columns were added after files were indexed. */
+  /** Incremental build under the distributed update lock: staging recovery →
+    * column backfill → batched build of unindexed files → consolidation →
+    * auto-compaction (reference: Index.scala:635-693). */
   def update(): Index = synchronized {
-    val pending = unindexedFiles
-    IndexBuild.update(store, meta, pending)
-    backfillNewColumns()
+    store.updateLock.withLock {
+      backfillNewColumns()
+      val pending = unindexedFiles
+      IndexBuild.update(store, meta, pending)
+      maybeAutoCompact()
+    }
     this
   }
 
   /** If an index column was added after some files were already indexed,
-    * re-process ALL files for completeness (column-level backfill,
-    * reference: Index.scala:194-212,648-652 — simplified to a full rebuild
-    * of affected rows; the per-file row count keeps this cheap). */
+    * recompute ONLY the new columns for those files and merge them into the
+    * existing rows (reference: Index.scala:194-212,648-652). */
   private def backfillNewColumns(): Unit = {
     store.indexTable.read().foreach { idx =>
       val have = idx.columns.toSet
-      val missing = meta.indexes.map(_.storageColumn).filterNot(have.contains)
+      val missing = meta.indexes.filterNot(d => have.contains(d.storageColumn))
       if (missing.nonEmpty) {
-        IndexBuild.update(store, meta, files)
+        val indexedFiles = idx.select("filename").collect().map(_.getString(0)).toSeq
+        IndexBuild.backfillColumns(store, meta, missing, indexedFiles)
       }
     }
+  }
+
+  /** Compact the main + large + filelist tables into few files (the
+    * OPTIMIZE analogue; reference: IndexBuildOperations.scala:1197-1294). */
+  def compact(): Index = synchronized {
+    store.updateLock.withLock {
+      store.indexTable.compact()
+      store.largeColumns.foreach(c => store.largeTable(c).compact())
+      store.fileList.compact()
+      meta = meta.copy(consolidationsSinceCompact = 0)
+      store.writeMetadata(meta)
+    }
+    this
+  }
+
+  /** Drop snapshot versions beyond the retention window now. */
+  def vacuum(keep: Int = 1): Index = {
+    store.indexTable.vacuum(keep)
+    store.largeColumns.foreach(c => store.largeTable(c).vacuum(keep))
+    store.fileList.vacuum(keep)
+    this
+  }
+
+  private def maybeAutoCompact(): Unit = {
+    val threshold = GraftConf.autoCompactThreshold(spark)
+    if (threshold <= 0) return
+    meta = meta.copy(consolidationsSinceCompact = meta.consolidationsSinceCompact + 1)
+    if (meta.consolidationsSinceCompact >= threshold) {
+      store.indexTable.compact()
+      store.largeColumns.foreach(c => store.largeTable(c).compact())
+      meta = meta.copy(consolidationsSinceCompact = 0)
+    }
+    store.writeMetadata(meta)
   }
 
   // ---- query ---------------------------------------------------------------

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.harness.Lake
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry (+ DuckDB oracle SQL) per operator.
   *
@@ -121,6 +122,107 @@ object SparkEntry {
         .groupBy("l_returnflag", "l_linestatus")
         .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
         .orderBy("l_returnflag", "l_linestatus")
+    }),
+    // ---- LLM-data-pipeline operators --------------------------------------
+    "q_dedup_exact" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Dedup.exact(lk.documents, Seq("lang", "n_chars"), "doc_id")
+        .orderBy("lang", "n_chars")
+    }),
+    "q_dedup_hash" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Dedup.exactByHash(lk.documents, "text", "doc_id")
+        .orderBy("content_hash")
+    }),
+    "q_dedup_minhash" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Dedup.minhashPairs(lk.documents, "doc_id", "text", threshold = 0.95)
+        .orderBy("a_id", "b_id")
+    }),
+    "q_dedup_simhash" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Dedup.simhashPairs(lk.documents, "doc_id", "text")
+        .orderBy("a_id", "b_id")
+    }),
+    "q_dedup_ngram" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Dedup.ngramJaccardPairs(lk.documents, "doc_id", "text", threshold = 0.9)
+        .orderBy("a_id", "b_id")
+    }),
+    "q_ann_pairs" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Similarity.cosinePairs(lk.embeddings, "vec_id", "embedding", threshold = 0.45)
+        .orderBy("a_id", "b_id")
+    }),
+    "q_ann_topk" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val emb = lk.embeddings
+      Similarity.topK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    "q_lang_id" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      lk.documents.select(col("doc_id"),
+        TextAnalysis.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")
+    }),
+    "q_token_count" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      lk.documents.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        TextAnalysis.uniqueTokenCount(col("text")).as("n_unique_tokens"),
+        TextAnalysis.tokenEstimate(col("text")).as("est_tokens"))
+        .orderBy("doc_id")
+    }),
+    "q_quality" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      TextAnalysis.quality(lk.documents, "doc_id", "text").orderBy("doc_id")
+    }),
+    "q_fingerprint" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      TextAnalysis.fingerprint(lk.documents, "doc_id", "text").orderBy("doc_id")
+    }),
+    "q_multimodal_meta" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      lk.documents
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .select(col("doc_id"), Multimodal.imageMeta(col("payload")).as("m"))
+        .select(col("doc_id"), col("m.byte_len").as("byte_len"),
+          col("m.width").as("width"), col("m.height").as("height"),
+          col("m.channels").as("channels"), col("m.content_hash").as("content_hash"))
+        .orderBy("doc_id")
+    }),
+    // LSH-bucketed ANN (scale path): no SQL oracle — rows-only check; its
+    // exactness oracle is q_ann_pairs' brute force in the ScalaTest suite.
+    "q_ann_lsh" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Similarity.lshCosinePairs(lk.embeddings, "vec_id", "embedding",
+        dim = 64, threshold = 0.4, nPlanes = 16, bandBits = 4)
+        .orderBy("a_id", "b_id")
+    }),
+    // ---- SQL surface (DSv2 catalog + Catalyst join rewrite) ---------------
+    "q_sql_where" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      lk.ordersIdx // ensure built
+      s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      s.sql(
+        s"""SELECT o_orderkey, o_custkey, o_orderstatus FROM graft.orders_idx
+            WHERE o_custkey IN ${inList(CustKeys)} ORDER BY o_orderkey""")
+    }),
+    "q_sql_join" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      lk.ordersIdx
+      s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      if (!s.experimental.extraOptimizations.contains(graft.catalog.GraftJoinRule))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ graft.catalog.GraftJoinRule
+      lk.customers.where(col("c_acctbal") > 9000)
+        .createOrReplaceTempView("graft_probe_cust")
+      s.sql(
+        """SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus
+           FROM graft.orders_idx o JOIN graft_probe_cust c
+             ON o.o_custkey = c.c_custkey
+           ORDER BY o.o_orderkey""")
     })
   )
 
@@ -173,6 +275,117 @@ object SparkEntry {
       s"""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
                  count(*) AS cnt
           FROM lineitem WHERE l_suppkey IN ${inList(SuppKeys)}
-          GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""
+          GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q_dedup_exact" ->
+      """SELECT lang, n_chars, min(doc_id) AS keep_id, count(*) AS dup_count
+         FROM documents GROUP BY lang, n_chars ORDER BY lang, n_chars""",
+    "q_dedup_hash" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+                count(*) AS dup_count
+         FROM documents GROUP BY md5(text) ORDER BY content_hash""",
+    "q_dedup_minhash" ->
+      """WITH t AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) ts
+                    FROM documents)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM t a JOIN t b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.ts, b.ts))::DOUBLE /
+               len(list_distinct(list_concat(a.ts, b.ts)))::DOUBLE >= 0.95
+         ORDER BY a_id, b_id""",
+    "q_dedup_simhash" ->
+      """WITH t AS (SELECT doc_id,
+                    list_sort(list_distinct(string_split(lower(text), ' '))) k
+                    FROM documents)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM t a JOIN t b ON a.doc_id < b.doc_id AND a.k = b.k
+         ORDER BY a_id, b_id""",
+    "q_dedup_ngram" ->
+      """WITH g AS (SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(text) - 2, 1)),
+               i -> substr(text, i, 3))) gs
+           FROM documents)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id
+         FROM g a JOIN g b ON a.doc_id < b.doc_id
+         WHERE len(list_intersect(a.gs, b.gs))::DOUBLE /
+               len(list_distinct(list_concat(a.gs, b.gs)))::DOUBLE >= 0.9
+         ORDER BY a_id, b_id""",
+    "q_ann_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
+         SELECT a.vec_id AS a_id, b.vec_id AS b_id
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE list_dot_product(a.v, b.v) /
+               (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+               >= 0.45
+         ORDER BY a_id, b_id""",
+    "q_ann_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         s AS (SELECT q.vec_id query_id, c.vec_id neighbor_id,
+                 list_dot_product(q.v, c.v) /
+                 (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) cs
+               FROM e q JOIN e c ON q.vec_id < 10 AND c.vec_id != q.vec_id)
+         SELECT query_id, neighbor_id, rank FROM (
+           SELECT query_id, neighbor_id,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cs DESC, neighbor_id) AS INT) AS rank
+           FROM s)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q_lang_id" ->
+      """WITH c AS (SELECT doc_id,
+             len(list_filter(string_split(lower(text), ' '),
+                 t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and' OR t = 'is')) ce,
+             len(list_filter(string_split(lower(text), ' '),
+                 t -> t = 'el' OR t = 'la' OR t = 'de' OR t = 'y' OR t = 'es')) cs,
+             len(list_filter(string_split(lower(text), ' '),
+                 t -> t = 'der' OR t = 'die' OR t = 'und' OR t = 'ist' OR t = 'das')) cd,
+             len(list_filter(string_split(lower(text), ' '),
+                 t -> t = 'le' OR t = 'la' OR t = 'et' OR t = 'est' OR t = 'les')) cf
+           FROM documents)
+         SELECT doc_id, CASE
+           WHEN ce > 0 AND ce >= cs AND ce >= cd AND ce >= cf THEN 'en'
+           WHEN cs > 0 AND cs > ce AND cs >= cd AND cs >= cf THEN 'es'
+           WHEN cd > 0 AND cd > ce AND cd > cs AND cd >= cf THEN 'de'
+           WHEN cf > 0 AND cf > ce AND cf > cs AND cf > cd THEN 'fr'
+           ELSE 'und' END AS pred_lang
+         FROM c ORDER BY doc_id""",
+    "q_token_count" ->
+      """SELECT doc_id,
+                len(string_split(lower(text), ' ')) AS n_tokens,
+                len(list_distinct(string_split(lower(text), ' '))) AS n_unique_tokens,
+                CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
+         FROM documents ORDER BY doc_id""",
+    "q_quality" ->
+      """SELECT doc_id,
+                length(text)::BIGINT AS n_chars_m,
+                len(string_split(lower(text), ' ')) AS n_tokens,
+                len(list_distinct(string_split(lower(text), ' '))) AS n_unique_tokens,
+                length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::BIGINT AS n_alpha,
+                length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE /
+                  length(text)::DOUBLE AS alpha_ratio,
+                len(list_filter(string_split(lower(text), ' '),
+                    t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and' OR t = 'is'
+                      OR t = 'el' OR t = 'la' OR t = 'de' OR t = 'y' OR t = 'es'
+                      OR t = 'der' OR t = 'die' OR t = 'und' OR t = 'ist' OR t = 'das'
+                      OR t = 'le' OR t = 'et' OR t = 'est' OR t = 'les'))::DOUBLE /
+                  len(string_split(lower(text), ' '))::DOUBLE AS stopword_ratio
+         FROM documents ORDER BY doc_id""",
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_raw,
+                md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_norm
+         FROM documents ORDER BY doc_id""",
+    "q_sql_where" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+          WHERE o_custkey IN ${inList(CustKeys)} ORDER BY o_orderkey""",
+    "q_sql_join" ->
+      """SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         WHERE c.c_acctbal > 9000 ORDER BY o_orderkey""",
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+                octet_length(encode(text)) AS byte_len,
+                CAST((octet_length(encode(text)) * 2654435761) % 512 AS INT) + 128 AS width,
+                CAST((octet_length(encode(text)) * 40503) % 512 AS INT) + 128 AS height,
+                3 AS channels,
+                md5(text) AS content_hash
+         FROM documents ORDER BY doc_id"""
   )
 }

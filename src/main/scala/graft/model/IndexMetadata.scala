@@ -57,7 +57,8 @@ case class IndexMetadata(
     readOptions: Map[String, String] = Map.empty,
     indexes: List[IndexDef] = Nil,
     metadataVersion: Int = 1,
-    storageVersion: Int = 1) {
+    storageVersion: Int = 1,
+    consolidationsSinceCompact: Int = 0) {
 
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
 

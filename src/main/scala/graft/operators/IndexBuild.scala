@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.internal.Logging
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.GraftConf
@@ -9,31 +11,129 @@ import graft.model.{IndexDef, IndexMetadata}
 import graft.sources.FileReader
 import graft.store.IndexStore
 
-/** Index-build aggregations: one pass over the new files producing one index
-  * row per file, then large-value eviction + auto-bloom.
+/** Incremental index build: analyze → bin-pack into batches → per-batch
+  * aggregation appended to a crash-safe staging area → periodic
+  * consolidation into the main snapshot table.
   *
-  * Shapes (reference parity, SURVEY §1.3):
-  *  - regular/computed/exploded → `array<valueType>` via `collect_set` per file
-  *    (reference: IndexBuildOperations.scala:829-866)
-  *  - bloom → `bloom_{c}: binary` via streaming Aggregator (no set
-  *    materialization — 100 TB posture)
-  *  - range → `range_{c}: struct<min,max>` (reference: :937-944)
-  *  - temporal → `array<struct<value,max_ts>>` via two-level agg
-  *    (reference: :891-913)
-  *  - file_size → native `_metadata.file_size` (replaces reference's driver
-  *    UDF, Index.scala:861-908)
+  * Mirrors the reference's scale machinery (analyze:
+  * IndexBuildOperations.scala:686-733, batcher: :747-808, staged append +
+  * consolidation: :973-1003,1319-1373, staging recovery ranking:
+  * :1375-1412) with Spark-first changes:
+  *  - distinct counts estimated with `approx_count_distinct` (HLL) instead
+  *    of exact `countDistinct` — one cheap pass, no extra shuffle precision
+  *  - staging is an append-only parquet segment area with commit markers;
+  *    consolidation dedups by (filename, staged_at desc) — last build wins
+  *  - bloom aggregation buffers sized from the analysis estimate rather
+  *    than a fixed worst-case (the r1 memory-blowup finding)
   *
-  * All aggregation is `groupBy(filename)` — Spark plans partial (map-side)
-  * + final hash aggregation, so the build scales out with executor count;
-  * no driver-side work besides the final tiny upsert bookkeeping.
+  * Index-row shapes are unchanged (SURVEY §1.3): regular/computed/exploded
+  * → `collect_set` array; bloom → binary; range → struct(min,max); temporal
+  * → array<struct(value,max_ts)>; `file_size` from native `_metadata`.
   */
-object IndexBuild {
+object IndexBuild extends Logging {
   private val F = FileReader.FilenameCol
 
+  final case class FileAnalysis(filename: String, maxDistinct: Long)
+
+  /** Entry point: consolidate any stale staging (crash recovery), then
+    * build all `files` in bin-packed batches. */
   def update(store: IndexStore, meta: IndexMetadata, files: Seq[String]): Unit = {
+    consolidate(store) // recover staging left by a crashed/killed writer
     if (files.isEmpty) return
     val spark = store.spark
+    val threshold = GraftConf.stagingConsolidationThreshold(spark)
+    val batches = planBatches(store, meta, files)
+    logInfo(s"index ${meta.name}: building ${files.size} files in ${batches.size} batches")
+    var n = 0
+    batches.foreach { case (batch, estDistinct) =>
+      val rows = buildBatch(store, meta, batch, estDistinct)
+        .withColumn("__staged_at", lit(System.currentTimeMillis()))
+      store.staging.append(rows)
+      n += 1
+      if (n % threshold == 0) consolidate(store)
+    }
+    consolidate(store)
+  }
+
+  /** Merge committed staging segments into the main index table: rank rows
+    * per filename by staged_at desc (latest build wins — the reference's
+    * staging dedup, IndexBuildOperations.scala:1375-1412), upsert, clear. */
+  def consolidate(store: IndexStore): Unit = {
+    store.staging.read().foreach { df =>
+      val w = Window.partitionBy("filename").orderBy(col("__staged_at").desc)
+      val deduped = df.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn", "__staged_at")
+      store.indexTable.upsert(deduped, "filename")
+      store.staging.clear()
+    }
+  }
+
+  /** Analyze pending files (one pass, HLL estimates) and greedily bin-pack:
+    * files sorted by estimate desc, packed until the batch's summed
+    * estimate exceeds the budget or the file cap; oversized files get their
+    * own batch (reference: IndexBuildOperations.scala:747-808). Returns
+    * (batch files, max single-file estimate in batch). */
+  def planBatches(
+      store: IndexStore,
+      meta: IndexMetadata,
+      files: Seq[String]): Seq[(Seq[String], Long)] = {
+    val spark = store.spark
+    val budget = GraftConf.buildBatchDistinctBudget(spark)
+    val maxFiles = GraftConf.buildBatchMaxFiles(spark)
+    val arrayDefs = meta.indexes.filter(d => d.isArrayShaped || d.indexType == "bloom")
+
+    val analyses: Seq[FileAnalysis] =
+      if (arrayDefs.isEmpty || files.size == 1) files.map(FileAnalysis(_, 1L))
+      else {
+        val tagged = FileReader.readTagged(spark, meta, files)
+        val base = FileReader.applyComputed(tagged, meta)
+        val aggs = arrayDefs.map {
+          case d if d.indexType == "exploded" =>
+            approx_count_distinct(col(d.column)).as(d.column)
+          case d => approx_count_distinct(col(d.column)).as(d.column)
+        }
+        val withExploded = meta.indexes.filter(_.indexType == "exploded")
+          .foldLeft(base)((df, d) => df.withColumn(d.column, expr(d.expr.get)))
+        // exploded estimates use array cardinality sum as a cheap upper bound
+        val est = withExploded.groupBy(col(F).as("filename"))
+          .agg(aggs.head, aggs.tail: _*)
+        est.collect().map { r =>
+          val m = arrayDefs.map(d =>
+            Option(r.getAs[Any](d.column)).map(_.toString.toLong).getOrElse(0L))
+          FileAnalysis(r.getAs[String]("filename"), if (m.isEmpty) 1L else m.max)
+        }.toSeq
+      }
+
+    val sorted = analyses.sortBy(-_.maxDistinct)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Seq[String], Long)]
+    var cur = scala.collection.mutable.ArrayBuffer.empty[FileAnalysis]
+    var curSum = 0L
+    def flush(): Unit = if (cur.nonEmpty) {
+      batches += ((cur.map(_.filename).toSeq, cur.map(_.maxDistinct).max))
+      cur = scala.collection.mutable.ArrayBuffer.empty[FileAnalysis]
+      curSum = 0L
+    }
+    sorted.foreach { fa =>
+      if (cur.nonEmpty && (curSum + fa.maxDistinct > budget || cur.size >= maxFiles))
+        flush()
+      cur += fa
+      curSum += fa.maxDistinct
+    }
+    flush()
+    batches.toSeq
+  }
+
+  /** Build index rows for one batch of files (one row per file). */
+  def buildBatch(
+      store: IndexStore,
+      meta: IndexMetadata,
+      files: Seq[String],
+      estDistinct: Long = 0L): DataFrame = {
+    val spark = store.spark
     val limit = GraftConf.largeIndexLimit(spark)
+    // bloom buffers sized from the analysis estimate (x2 slack), not the
+    // global worst case — keeps partial-agg buffers proportional to data
+    val bloomItems = math.min(math.max(2 * estDistinct, 1024L), math.max(limit, 1024L))
 
     val tagged = FileReader.readTagged(spark, meta, files)
     val base = FileReader.applyComputed(tagged, meta)
@@ -46,8 +146,8 @@ object IndexBuild {
       first(col(FileReader.FileSizeCol)).as("file_size") +:
         scalarDefs.map {
           case ix if ix.indexType == "bloom" =>
-            Blooms.bloomAgg(col(ix.column).cast("string"), limit.min(1000000L), ix.fpr.getOrElse(0.01))
-              .as(ix.storageColumn)
+            Blooms.bloomAgg(col(ix.column).cast("string"), bloomItems,
+              ix.fpr.getOrElse(0.01)).as(ix.storageColumn)
           case ix if ix.indexType == "range" =>
             struct(min(col(ix.column)).as("min"), max(col(ix.column)).as("max"))
               .as(ix.storageColumn)
@@ -81,41 +181,60 @@ object IndexBuild {
 
     // A registered file with zero rows must still get an index row, or it
     // would be re-processed as "unindexed" on every update.
-    val filesDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(files.map(p =>
-        org.apache.spark.sql.Row(FileReader.qualify(spark, p))), 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("filename",
-          org.apache.spark.sql.types.StringType, nullable = false))))
+    import spark.implicits._
+    val filesDf = files.map(p => FileReader.qualify(spark, p)).toDF("filename")
     rows = filesDf.join(rows, Seq("filename"), "left_outer")
 
-    // Large-index eviction: arrays with >= limit distinct values move to the
-    // per-column overflow table; the main row keeps an auto-bloom instead
-    // (reference: IndexBuildOperations.scala:977-988,1022-1074,1131-1189).
+    applyLargeEviction(store, meta, rows)
+  }
+
+  /** Large-index eviction: arrays with >= limit distinct values move to the
+    * per-column overflow table; the main row keeps an auto-bloom instead
+    * (reference: IndexBuildOperations.scala:977-988,1022-1074,1131-1189). */
+  private def applyLargeEviction(
+      store: IndexStore, meta: IndexMetadata, rowsIn: DataFrame): DataFrame = {
+    val spark = store.spark
+    val limit = GraftConf.largeIndexLimit(spark)
     val arrayDefs = meta.indexes.filter(_.isArrayShaped)
-    var cached: Option[DataFrame] = None
-    if (arrayDefs.nonEmpty) {
-      rows = rows.cache()
-      cached = Some(rows)
-      val sizeAggs = arrayDefs.map(ix => max(size(col(ix.column))).as(ix.column))
-      val maxSizes = rows.agg(sizeAggs.head, sizeAggs.tail: _*).first()
-      arrayDefs.foreach { ix =>
-        val maxSize = Option(maxSizes.getAs[Any](ix.column)).map(_.toString.toLong).getOrElse(-1L)
-        if (maxSize >= limit) {
-          val isLarge = size(col(ix.column)) >= limit
-          val largeRows = rows.where(isLarge)
-            .select(col("filename"), explode(col(ix.column)).as("value"))
-          store.largeTable(ix.column).upsert(largeRows, "filename")
-          rows = rows
-            .withColumn(s"auto_bloom_${ix.column}",
-              when(isLarge, Blooms.bloomFromArray(GraftConf.autoBloomFpr(spark))(col(ix.column)))
-                .otherwise(lit(null).cast("binary")))
-            .withColumn(ix.column, when(isLarge, lit(null)).otherwise(col(ix.column)))
-        }
+    if (arrayDefs.isEmpty) return rowsIn
+
+    var rows = rowsIn.cache()
+    val sizeAggs = arrayDefs.map(ix => max(size(col(ix.column))).as(ix.column))
+    val maxSizes = rows.agg(sizeAggs.head, sizeAggs.tail: _*).first()
+    arrayDefs.foreach { ix =>
+      val maxSize = Option(maxSizes.getAs[Any](ix.column))
+        .map(_.toString.toLong).getOrElse(-1L)
+      if (maxSize >= limit) {
+        val isLarge = size(col(ix.column)) >= limit
+        val largeRows = rows.where(isLarge)
+          .select(col("filename"), explode(col(ix.column)).as("value"))
+        store.largeTable(ix.column).upsert(largeRows, "filename")
+        rows = rows
+          .withColumn(s"auto_bloom_${ix.column}",
+            when(isLarge, Blooms.bloomFromArray(GraftConf.autoBloomFpr(spark))(col(ix.column)))
+              .otherwise(lit(null).cast("binary")))
+          .withColumn(ix.column, when(isLarge, lit(null)).otherwise(col(ix.column)))
       }
     }
+    rows
+  }
 
-    store.indexTable.upsert(rows, "filename")
-    cached.foreach(_.unpersist())
+  /** Column-level backfill: compute ONLY `newDefs` for every file already in
+    * the index, and merge the new columns into existing rows (reference:
+    * Index.scala:194-212 — avoids re-reading for columns already built). */
+  def backfillColumns(
+      store: IndexStore,
+      meta: IndexMetadata,
+      newDefs: Seq[IndexDef],
+      files: Seq[String]): Unit = {
+    if (newDefs.isEmpty || files.isEmpty) return
+    val partial = meta.copy(indexes = newDefs.toList)
+    val batches = planBatches(store, partial, files)
+    val newCols = newDefs.map(_.storageColumn)
+    batches.foreach { case (batch, est) =>
+      val rows = buildBatch(store, partial, batch, est)
+        .select("filename", newCols: _*)
+      store.indexTable.mergeColumns(rows, "filename")
+    }
   }
 }

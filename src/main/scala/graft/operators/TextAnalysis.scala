@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID,
+  * quality scoring, token counting, fingerprinting. All pure codegen'd
+  * column expressions — replicable 1:1 in ANSI SQL, which is exactly how
+  * the oracle checks them. Ratios are single int/int divisions in double
+  * (bit-identical across engines); no accumulation of floats.
+  */
+object TextAnalysis {
+
+  def tokens(textCol: Column): Column = split(lower(textCol), " ")
+
+  /** Counts surface as long — matches what ANSI engines return for len(). */
+  def tokenCount(textCol: Column): Column = size(tokens(textCol)).cast("long")
+
+  def uniqueTokenCount(textCol: Column): Column =
+    size(array_distinct(tokens(textCol))).cast("long")
+
+  /** BPE-ish token estimate: every run of <= 4 word chars is ~1 token
+    * (the usual chars-per-token heuristic), computed as ceil(len/4). */
+  def tokenEstimate(textCol: Column): Column =
+    ceil(length(textCol).cast("double") / 4.0).cast("long")
+
+  /** Stopword markers per language — tiny, deterministic marker lists.
+    * Counting matches over the token array. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "y", "es"),
+    "de" -> Seq("der", "die", "und", "ist", "das"),
+    "fr" -> Seq("le", "la", "et", "est", "les"))
+
+  def markerCount(textCol: Column, markers: Seq[String]): Column =
+    size(filter(tokens(textCol), t =>
+      markers.map(m => t === lit(m)).reduce(_ || _)))
+
+  /** N-gram-heuristic language ID: argmax of marker-word counts with a
+    * deterministic priority order (en > es > de > fr) on ties; no marker
+    * hits at all -> 'und'. */
+  def langId(textCol: Column): Column = {
+    val counts = LangMarkers.map { case (lang, ms) => lang -> markerCount(textCol, ms) }
+    // strict argmax in declaration order: lang wins if its count is > all
+    // earlier langs' counts and >= all later langs' counts
+    val best = counts.zipWithIndex.foldLeft(lit("und")) { case (acc, ((lang, c), i)) =>
+      val beatsEarlier = counts.take(i).map { case (_, c2) => c > c2 }
+      val tiesLater = counts.drop(i + 1).map { case (_, c2) => c >= c2 }
+      val isBest = (beatsEarlier ++ tiesLater :+ (c > 0)).reduce(_ && _)
+      when(isBest && acc === "und", lit(lang)).otherwise(acc)
+    }
+    best
+  }
+
+  /** Quality features: exact counts + single-division ratios. */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      length(t).cast("long").as("n_chars_m"),
+      tokenCount(t).as("n_tokens"),
+      uniqueTokenCount(t).as("n_unique_tokens"),
+      length(regexp_replace(t, "[^a-zA-Z]", "")).cast("long").as("n_alpha"),
+      (length(regexp_replace(t, "[^a-zA-Z]", "")).cast("double") /
+        length(t).cast("double")).as("alpha_ratio"),
+      (markerCount(t, LangMarkers.flatMap(_._2).distinct).cast("double") /
+        tokenCount(t).cast("double")).as("stopword_ratio"))
+  }
+
+  /** Content fingerprints: md5 of raw text and of whitespace-normalized,
+    * lowercased text (near-dup-robust form). */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val normalized = trim(regexp_replace(lower(t), "\\s+", " "))
+    df.select(
+      col(idCol),
+      md5(t.cast("binary")).as("fp_raw"),
+      md5(normalized.cast("binary")).as("fp_norm"))
+  }
+}

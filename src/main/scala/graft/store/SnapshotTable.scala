@@ -64,6 +64,37 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       overwrite(old.join(keys.select(key).distinct(), Seq(key), "left_anti"))
     }
 
+  /** Column-level merge: attach/overwrite the non-key columns of `df` on
+    * matching keys, keeping all other columns — the backfill write shape
+    * (reference: Delta merge withSchemaEvolution,
+    * IndexBuildOperations.scala:1339-1347). */
+  def mergeColumns(df: DataFrame, key: String): Long = {
+    val newCols = df.columns.filterNot(_ == key)
+    val merged = read() match {
+      case Some(old) =>
+        old.drop(newCols.filter(old.columns.contains): _*)
+          .join(df, Seq(key), "left_outer")
+      case None => df
+    }
+    overwrite(merged)
+  }
+
+  /** Rewrite the current snapshot into `numFiles` files (small-file
+    * compaction — the OPTIMIZE analogue). */
+  def compact(numFiles: Int = 1): Unit =
+    read().foreach(df => overwrite(df.coalesce(math.max(numFiles, 1))))
+
+  /** Drop snapshot versions older than the retention window NOW (the
+    * VACUUM analogue; normal writes already trim lazily). */
+  def vacuum(keep: Int = 1): Unit =
+    currentVersion.foreach { cur =>
+      Fs.listDirs(spark, root)
+        .filter(_.startsWith("v"))
+        .flatMap(d => scala.util.Try(d.drop(1).toLong).toOption)
+        .filter(v => v <= cur - math.max(keep, 1))
+        .foreach(v => Fs.delete(spark, versionDir(v)))
+    }
+
   private def cleanup(current: Long): Unit = {
     val keep = GraftConf.retainedSnapshots(spark).max(1)
     Fs.listDirs(spark, root)

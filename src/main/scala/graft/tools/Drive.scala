@@ -107,6 +107,40 @@ object Drive {
       (if (lg == le) "OK" else "MISMATCH"))
     spark.conf.unset("spark.graft.largeIndexLimit")
 
+    // 5) SQL catalog: WHERE IN pushdown + join rewrite rule
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    val sqlWhere = spark.sql(
+      "SELECT o_orderkey, o_custkey FROM graft.orders_drive WHERE o_custkey IN (1, 7, 42)")
+    val sqlWhereN = sqlWhere.count()
+    val oracleWhereN = orders.where(col("o_custkey").isin(1, 7, 42)).count()
+    println(s"[drive] 5-sql-where got=$sqlWhereN expect=$oracleWhereN " +
+      (if (sqlWhereN == oracleWhereN) "OK" else "MISMATCH"))
+
+    spark.experimental.extraOptimizations =
+      spark.experimental.extraOptimizations :+ graft.catalog.GraftJoinRule
+    probe.createOrReplaceTempView("drive_probe")
+    val sqlJoin = spark.sql(
+      """SELECT o.o_orderkey, o.o_custkey FROM graft.orders_drive o
+         JOIN drive_probe p ON o.o_custkey = p.o_custkey""")
+    val sqlJoinN = sqlJoin.count()
+    println(s"[drive] 5-sql-join got=$sqlJoinN expect=$expect " +
+      (if (sqlJoinN == expect) "OK" else "MISMATCH"))
+    val rewritten = sqlJoin.queryExecution.optimizedPlan.toString
+    // if the rule fired, the graft side is a parquet read, not the catalog table
+    println(s"[drive] 5-join-rewrite-applied=${!rewritten.contains("graft.orders_drive")}")
+
+    // user filter above the relation must survive the rewrite
+    val sqlJoinF = spark.sql(
+      """SELECT o.o_orderkey FROM graft.orders_drive o
+         JOIN drive_probe p ON o.o_custkey = p.o_custkey
+         WHERE o.o_orderstatus = 'F'""")
+    val fGot = sqlJoinF.count()
+    val fExpect = orders.join(probe, Seq("o_custkey"))
+      .where(col("o_orderstatus") === "F").count()
+    val fRewrote = !sqlJoinF.queryExecution.optimizedPlan.toString.contains("graft.orders_drive")
+    println(s"[drive] 5-sql-join-filter got=$fGot expect=$fExpect rewrote=$fRewrote " +
+      (if (fGot == fExpect) "OK" else "MISMATCH"))
+
     spark.stop()
     println("[drive] done")
   }

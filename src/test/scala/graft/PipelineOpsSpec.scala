@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.harness.Lake
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-data-pipeline operators: dedup families, similarity search, text
+  * analysis, multimodal plumbing — each against an exact Spark oracle. */
+class PipelineOpsSpec extends GraftSuite {
+  lazy val lake: Lake = Lake.get(spark, sf)
+  lazy val docs = lake.documents.cache()
+  lazy val emb = lake.embeddings.cache()
+
+  test("exact dedup keeps min id per key group") {
+    val got = Dedup.exact(docs, Seq("lang"), "doc_id")
+    val want = docs.groupBy("lang")
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_count"))
+    assertSameRows(got, want)
+  }
+
+  test("minhash LSH finds every identical-token-set pair (jaccard 1.0)") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 1.0)
+    val t = docs.select(col("doc_id"),
+      array_sort(Dedup.tokenSet(col("text"))).as("k"))
+    val want = t.as("a").join(t.as("b"),
+        col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    assertSameRows(pairs, want)
+  }
+
+  test("minhash candidates never miss pairs above threshold 0.95") {
+    val got = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.95)
+    val t = docs.select(col("doc_id"), Dedup.tokenSet(col("text")).as("ts"))
+    val want = t.as("a").join(t.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .where(Dedup.jaccard(col("a.ts"), col("b.ts")) >= 0.95)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    assertSameRows(got, want)
+  }
+
+  test("simhash pairs == exact token-set duplicates") {
+    val got = Dedup.simhashPairs(docs, "doc_id", "text")
+    val t = docs.select(col("doc_id"),
+      array_sort(Dedup.tokenSet(col("text"))).as("k"))
+    val want = t.as("a").join(t.as("b"),
+        col("a.k") === col("b.k") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    assertSameRows(got, want)
+  }
+
+  test("ngram prefix filter has recall 1 at threshold 0.9") {
+    val got = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.9)
+    val g = docs.select(col("doc_id"), Dedup.ngramSet(col("text"), 3).as("gs"))
+    val want = g.as("a").join(g.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .where(Dedup.jaccard(col("a.gs"), col("b.gs")) >= 0.9)
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+    assertSameRows(got, want)
+  }
+
+  test("no dedup path contains a cartesian product") {
+    val plans = Seq(
+      Dedup.minhashPairs(docs, "doc_id", "text", 0.95),
+      Dedup.simhashPairs(docs, "doc_id", "text"),
+      Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.9))
+      .map(_.queryExecution.executedPlan.toString)
+    plans.foreach { p =>
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"dedup plan must bucket-join, not cross-join:\n${p.take(800)}")
+    }
+  }
+
+  test("LSH ANN returns a subset of brute-force pairs, nonempty at 0.4") {
+    val brute = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshCosinePairs(emb, "vec_id", "embedding", 64, 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.nonEmpty, "LSH found nothing")
+    assert(lsh.subsetOf(brute), s"LSH produced non-pairs: ${lsh -- brute}")
+  }
+
+  test("topK is ordered, bounded and excludes self") {
+    val topk = Similarity.topK(emb, emb.where(col("vec_id") < 5),
+      "vec_id", "embedding", k = 3).collect()
+    assert(topk.length == 15)
+    assert(topk.forall(r => r.getLong(0) != r.getLong(1)))
+    assert(topk.groupBy(_.getLong(0)).values.forall(_.map(_.getInt(2)).sorted.toSeq == Seq(1, 2, 3)))
+  }
+
+  test("language id is deterministic and covers the marker langs") {
+    val langs = docs.select(TextAnalysis.langId(col("text")).as("l"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "es", "de", "fr", "und")))
+  }
+
+  test("quality ratios are single divisions of exact counts") {
+    val q = TextAnalysis.quality(docs, "doc_id", "text")
+    val row = q.where(col("n_tokens") > 0).first()
+    val alpha = row.getAs[Long]("n_alpha").toDouble / row.getAs[Long]("n_chars_m").toDouble
+    assert(row.getAs[Double]("alpha_ratio") == alpha)
+  }
+
+  test("multimodal decodeBatch emits metadata struct per row") {
+    val bin = docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val dec = Multimodal.decodeBatch(bin, "payload")
+    val r = dec.select("decoded.byte_len", "decoded.width", "decoded.channels").first()
+    assert(r.getLong(0) > 0 && r.getInt(1) >= 128 && r.getInt(2) == 3)
+    assert(dec.count() == docs.count())
+  }
+
+  test("multimodal frame sampling yields n frames per payload") {
+    val bin = docs.limit(10).select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+    val frames = Multimodal.sampleFrames(bin, "doc_id", "payload", n = 4)
+    assert(frames.count() == 40)
+    assert(frames.groupBy("doc_id").count().select(max("count")).first().getLong(0) == 4)
+  }
+}

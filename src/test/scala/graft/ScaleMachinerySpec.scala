@@ -1,0 +1,151 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.harness.Lake
+import graft.operators.IndexBuild
+import graft.store.{Fs, GraftLock, IndexStore, StagingArea}
+
+/** Locks, staged batched builds, crash recovery, backfill, compaction,
+  * catalog — the reference's scale machinery re-tested (ref suites:
+  * IndexLockTests, BatchedIndexUpdateTests, StagingRecoveryTests,
+  * ColumnBackfillTests, CompactionTests, IndexCatalogTests). */
+class ScaleMachinerySpec extends GraftSuite {
+  lazy val lake: Lake = Lake.get(spark, sf)
+
+  private def freshIndex(name: String, nFiles: Int = 4): (Index, Seq[String]) = {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val dir = Files.createTempDirectory(s"graft_${name}_").toString
+    val files = Lake.splitByBand(orders, dir, "o_custkey", nFiles)
+    val idx = Index(spark, name, orders.schema, "parquet")
+    idx.addIndex("o_custkey")
+    idx.addFile(files: _*)
+    (idx, files)
+  }
+
+  test("lock: second acquirer blocks until release; stale lock heals") {
+    val path = tmpDir("graft_lock_") + "/.test.lock"
+    val l1 = new GraftLock(spark, path)
+    val l2 = new GraftLock(spark, path)
+    assert(l1.tryAcquire())
+    assert(!l2.tryAcquire())
+    l1.release()
+    assert(l2.tryAcquire())
+    l2.release()
+    // stale: write an old lock file, acquire() must heal it
+    Fs.writeStringAtomic(spark, path,
+      s"""{"holder":"dead","acquiredAtMs":${System.currentTimeMillis() - 10000000L}}""")
+    spark.conf.set("spark.graft.lockTimeoutSec", "1")
+    try {
+      val l3 = new GraftLock(spark, path)
+      l3.acquire() // heals + acquires, no timeout
+      l3.release()
+    } finally spark.conf.unset("spark.graft.lockTimeoutSec")
+  }
+
+  test("two concurrent updates do not lose index rows") {
+    val (idx, files) = freshIndex("conc_orders", 6)
+    val t1 = new Thread(() => idx.update())
+    val idx2 = Index.connect(spark, "conc_orders")
+    val t2 = new Thread(() => idx2.update())
+    t1.start(); t2.start(); t1.join(); t2.join()
+    val store = new IndexStore(spark, "conc_orders")
+    val indexed = store.indexTable.read().get.select("filename").distinct().count()
+    assert(indexed == files.size, s"expected ${files.size} indexed files, got $indexed")
+  }
+
+  test("batched build: small budget forces multiple batches, result identical") {
+    spark.conf.set("spark.graft.buildBatchMaxFiles", "2")
+    try {
+      val (idx, files) = freshIndex("batched_orders", 6)
+      idx.update()
+      val store = new IndexStore(spark, "batched_orders")
+      assert(store.indexTable.read().get.count() == files.size)
+      assert(idx.unindexedFiles.isEmpty)
+      // probe still correct
+      val got = idx.query(Map("o_custkey" -> Seq(1L, 7L)))
+      val want = spark.read.parquet(s"$sf/orders.parquet")
+        .where(col("o_custkey").isin(1L, 7L))
+      assert(got.count() == want.count())
+    } finally spark.conf.unset("spark.graft.buildBatchMaxFiles")
+  }
+
+  test("staging recovery: committed segments survive a 'crash' and are not re-built") {
+    val (idx, files) = freshIndex("crash_orders", 4)
+    val store = new IndexStore(spark, "crash_orders")
+    // simulate a crashed writer: one batch staged + committed, never consolidated
+    val batch = files.take(2)
+    val rows = IndexBuild.buildBatch(store, idx.metadata, batch)
+      .withColumn("__staged_at", lit(System.currentTimeMillis()))
+    store.staging.append(rows)
+    assert(store.staging.committedSegments.nonEmpty)
+    // staged files are NOT pending
+    val pending = idx.unindexedFiles
+    assert(pending.toSet == files.drop(2).map(f =>
+      graft.sources.FileReader.qualify(spark, f)).toSet)
+    // update() consolidates + finishes the rest
+    idx.update()
+    assert(store.staging.isEmpty)
+    assert(store.indexTable.read().get.count() == files.size)
+  }
+
+  test("uncommitted staging segment is invisible") {
+    val dir = tmpDir("graft_staging_")
+    val staging = new StagingArea(spark, dir)
+    import spark.implicits._
+    Seq(("f1", 1L)).toDF("filename", "x").write.mode("overwrite")
+      .parquet(s"$dir/seg-incomplete/data")
+    assert(staging.isEmpty, "segment without _COMMIT must be invisible")
+    staging.append(Seq(("f2", 2L)).toDF("filename", "x"))
+    assert(staging.read().get.count() == 1)
+  }
+
+  test("column backfill recomputes only the new column") {
+    val (idx, files) = freshIndex("backfill_orders", 3)
+    idx.update()
+    val store = new IndexStore(spark, "backfill_orders")
+    val before = store.indexTable.read().get
+    assert(!before.columns.contains("range_o_orderkey"))
+    idx.addRangeIndex("o_orderkey")
+    idx.update()
+    val after = store.indexTable.read().get
+    assert(after.columns.contains("range_o_orderkey"))
+    assert(after.count() == files.size)
+    // old column content preserved
+    assert(after.where(col("o_custkey").isNull).count() == 0)
+    // new index answers queries
+    val got = idx.query(Map("o_orderkey" -> Seq(3L)))
+    val want = spark.read.parquet(s"$sf/orders.parquet")
+      .where(col("o_orderkey") === 3L)
+    assert(got.count() == want.count())
+  }
+
+  test("compact rewrites snapshots and vacuum trims old versions") {
+    val (idx, _) = freshIndex("compact_orders", 3)
+    idx.update()
+    val store = new IndexStore(spark, "compact_orders")
+    val vBefore = store.indexTable.currentVersion.get
+    idx.compact()
+    assert(store.indexTable.currentVersion.get == vBefore + 1)
+    idx.vacuum(keep = 1)
+    val table = store.indexTable.read().get
+    assert(table.count() == 3)
+  }
+
+  test("IndexCatalog lists, describes and summarizes") {
+    val (idx, files) = freshIndex("catalog_orders", 2)
+    idx.update()
+    assert(IndexCatalog.list(spark).contains("catalog_orders"))
+    assert(IndexCatalog.exists(spark, "catalog_orders"))
+    val desc = IndexCatalog.describe(spark, "catalog_orders").collect()
+    assert(desc.exists(r => r.getString(1) == "o_custkey" && r.getString(2) == "regular"))
+    assert(IndexCatalog.findIndexes(spark, "o_custkey").contains("catalog_orders"))
+    val summary = IndexCatalog.toDF(spark)
+      .where(col("index") === "catalog_orders").first()
+    assert(summary.getAs[Long]("registered_files") == files.size.toLong)
+    assert(summary.getAs[Long]("indexed_files") == files.size.toLong)
+  }
+}

@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.harness.Lake
+
+/** SQL surface: catalog table reads, WHERE pushdown pruning, join rewrite —
+  * including the reference's strongest test idea: SQL results must equal the
+  * programmatic index.join results (ref: AriadneCatalogTests "SQL JOIN
+  * matches programmatic index.join results"), plus fallback cases. */
+class SqlCatalogSpec extends GraftSuite {
+  lazy val lake: Lake = Lake.get(spark, sf)
+
+  private def init(): Unit = {
+    lake.ordersIdx
+    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+    if (!spark.experimental.extraOptimizations.contains(graft.catalog.GraftJoinRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.catalog.GraftJoinRule
+  }
+
+  test("SELECT * FROM catalog table equals full scan") {
+    init()
+    val got = spark.sql("SELECT o_orderkey, o_custkey FROM graft.orders_idx")
+    assertSameRows(got, lake.orders.select("o_orderkey", "o_custkey"))
+  }
+
+  test("WHERE IN over indexed column matches plain filter") {
+    init()
+    val got = spark.sql(
+      "SELECT o_orderkey, o_custkey FROM graft.orders_idx WHERE o_custkey IN (1, 7, 42)")
+    val want = lake.orders.where(col("o_custkey").isin(1L, 7L, 42L))
+      .select("o_orderkey", "o_custkey")
+    assertSameRows(got, want)
+  }
+
+  test("WHERE on unindexed column still answers correctly (no pruning)") {
+    init()
+    val got = spark.sql(
+      "SELECT o_orderkey FROM graft.orders_idx WHERE o_orderstatus = 'F'")
+    val want = lake.orders.where(col("o_orderstatus") === "F").select("o_orderkey")
+    assertSameRows(got, want)
+  }
+
+  test("SQL JOIN matches programmatic index.join and gets rewritten") {
+    init()
+    lake.customers.where(col("c_acctbal") > 9000)
+      .select(col("c_custkey").as("o_custkey"))
+      .createOrReplaceTempView("sql_probe")
+    val sqlDf = spark.sql(
+      """SELECT o.o_orderkey, o.o_custkey FROM graft.orders_idx o
+         JOIN sql_probe p ON o.o_custkey = p.o_custkey""")
+    assert(!sqlDf.queryExecution.optimizedPlan.toString.contains("graft.orders_idx"),
+      "join rewrite did not fire")
+    val prog = lake.ordersIdx.join(
+      lake.customers.where(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("o_custkey")), Seq("o_custkey"))
+      .select("o_orderkey", "o_custkey")
+    assertSameRows(sqlDf, prog)
+  }
+
+  test("non-equi join falls back unrewritten but correct") {
+    init()
+    lake.customers.limit(3).select(col("c_custkey")).createOrReplaceTempView("ne_probe")
+    val sqlDf = spark.sql(
+      """SELECT o.o_orderkey FROM graft.orders_idx o
+         JOIN ne_probe p ON o.o_custkey < p.c_custkey""")
+    assert(sqlDf.queryExecution.optimizedPlan.toString.contains("orders_idx"),
+      "non-equi join must not be rewritten")
+    val probe = lake.customers.limit(3).select("c_custkey")
+    val want = lake.orders.join(probe, col("o_custkey") < col("c_custkey"))
+      .select("o_orderkey")
+    assert(sqlDf.count() == want.count())
+  }
+
+  test("LEFT OUTER join is not rewritten (INNER only)") {
+    init()
+    lake.customers.where(col("c_acctbal") > 9000)
+      .select(col("c_custkey")).createOrReplaceTempView("lo_probe")
+    val sqlDf = spark.sql(
+      """SELECT o.o_orderkey, p.c_custkey FROM graft.orders_idx o
+         LEFT OUTER JOIN lo_probe p ON o.o_custkey = p.c_custkey""")
+    assert(sqlDf.queryExecution.optimizedPlan.toString.contains("orders_idx"))
+    assert(sqlDf.count() == lake.orders.count())
+  }
+
+  test("user filter above the relation survives the rewrite") {
+    init()
+    lake.customers.where(col("c_acctbal") > 9000)
+      .select(col("c_custkey").as("o_custkey")).createOrReplaceTempView("uf_probe")
+    val sqlDf = spark.sql(
+      """SELECT o.o_orderkey FROM graft.orders_idx o
+         JOIN uf_probe p ON o.o_custkey = p.o_custkey
+         WHERE o.o_orderstatus = 'F'""")
+    val want = lake.orders
+      .join(lake.customers.where(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("o_custkey")), Seq("o_custkey"))
+      .where(col("o_orderstatus") === "F").select("o_orderkey")
+    assertSameRows(sqlDf.select("o_orderkey"), want)
+  }
+
+  test("SHOW TABLES lists indexes; DDL is rejected") {
+    init()
+    val tables = spark.sql("SHOW TABLES IN graft").collect().map(_.getString(1)).toSet
+    assert(tables.contains("orders_idx"))
+    intercept[Exception] {
+      spark.sql("DROP TABLE graft.orders_idx")
+    }
+  }
+}
