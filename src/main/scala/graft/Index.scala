@@ -7,7 +7,7 @@ import org.apache.spark.sql.types.StructType
 import graft.model.{IndexDef, IndexMetadata}
 import graft.operators.{IndexBuild, IndexJoin, IndexProbe}
 import graft.sources.FileReader
-import graft.store.{Fs, IndexStore, SnapshotTable}
+import graft.store.{Fs, IndexStore, SnapshotTable, StorageMigrations}
 
 /** A named file-level secondary index over a set of raw data files — the
   * user-facing API, mirroring the reference's capability surface
@@ -256,25 +256,69 @@ final class Index private (
   def join(df: DataFrame, usingColumns: Seq[String], joinType: String = "inner"): DataFrame =
     IndexJoin.join(store, meta, df, usingColumns, joinType, selection)
 
-  /** Per-column index statistics (reference: IndexQueryOperations.scala:911-972). */
+  /** Per-column index statistics, INCLUDING the large-index overflow
+    * contribution (reference: IndexQueryOperations.scala:911-972; r1 gap). */
   def stats(): DataFrame = {
     val idx = store.indexTable.read().getOrElse(
       return spark.emptyDataFrame)
     val arrayCols = meta.indexes.filter(_.isArrayShaped).map(_.column)
       .filter(idx.columns.contains)
     val frames = arrayCols.map { c =>
-      idx.agg(
+      val largeCounts: DataFrame = store.largeTable(c).read() match {
+        case Some(large) =>
+          large.groupBy("filename").agg(count(lit(1)).as("__n"))
+        case None =>
+          spark.emptyDataFrame
+            .withColumn("filename", lit(null).cast("string"))
+            .withColumn("__n", lit(null).cast("long"))
+      }
+      val sizes = idx.select(col("filename"), col(c))
+        .join(largeCounts, Seq("filename"), "left_outer")
+        .select(coalesce(col("__n"), size(col(c)).cast("long")).as("__sz"))
+        .where(col("__sz").isNotNull && col("__sz") >= 0)
+      sizes.agg(
         lit(c).as("column"),
-        count(when(col(c).isNotNull, 1)).as("files_with_values"),
-        min(size(col(c))).as("min_values"),
-        max(size(col(c))).as("max_values"),
-        avg(size(col(c))).as("avg_values"),
-        expr(s"percentile_approx(size($c), 0.5)").as("median_values"),
-        stddev(size(col(c))).as("stddev_values"))
+        count(lit(1)).as("files_with_values"),
+        min(col("__sz")).as("min_values"),
+        max(col("__sz")).as("max_values"),
+        avg(col("__sz")).as("avg_values"),
+        expr("percentile_approx(__sz, 0.5)").as("median_values"),
+        stddev(col("__sz")).as("stddev_values"))
     }
     if (frames.isEmpty) spark.emptyDataFrame
     else frames.reduce(_.unionByName(_))
   }
+
+  /** Which files can contain values in [lo, hi] on a range-indexed column,
+    * as a pruned + residual-filtered read (BETWEEN-style range scan — goes
+    * beyond the reference's value-list probes). */
+  def queryRange(column: String, lo: Any, hi: Any): DataFrame = {
+    val ix = meta.indexFor(column).getOrElse(
+      throw new IllegalArgumentException(s"Column '$column' is not indexed"))
+    require(ix.indexType == "range", s"Column '$column' has no range index")
+    val files = IndexProbe.collectFiles(
+      IndexProbe.rangeWindowCandidates(store, ix, lo, hi))
+    readFiles(files).where(col(column) >= lit(lo) && col(column) <= lit(hi))
+  }
+
+  /** Human-readable diagnostics (reference: IndexQueryOperations.scala:975-1002). */
+  def printMetadata(): Unit = {
+    println(s"Index: ${meta.name} (format=${meta.format}, " +
+      s"metadataVersion=${meta.metadataVersion}, storageVersion=${meta.storageVersion})")
+    println(s"Schema: ${meta.schema.simpleString}")
+    meta.indexes.foreach { d =>
+      val extra = (d.expr.map(e => s"expr=$e") ++ d.tsColumn.map(t => s"ts=$t") ++
+        d.fpr.map(f => s"fpr=$f")).mkString(", ")
+      println(s"  ${d.indexType} index on ${d.column}" +
+        (if (extra.nonEmpty) s" ($extra)" else ""))
+    }
+  }
+
+  def printIndex(numRows: Int = 20): Unit =
+    store.indexTable.read() match {
+      case Some(df) => df.show(numRows, truncate = 40)
+      case None     => println(s"Index '${meta.name}' has no index table yet")
+    }
 
   def pruningMetrics: Option[IndexJoin.PruningMetrics] = IndexJoin.lastMetrics
 }
@@ -292,7 +336,10 @@ object Index {
       allowSchemaMismatch: Boolean = false): Index = {
     FileReader.requireSupported(format)
     val store = new IndexStore(spark, name)
-    store.readMetadata() match {
+    store.readMetadata().map(m =>
+      if (m.storageVersion < StorageMigrations.CurrentVersion)
+        store.updateLock.withLock(StorageMigrations.ensureCurrent(store, m))
+      else m) match {
       case Some(existing) =>
         require(existing.format == format,
           s"Format mismatch for index '$name': stored ${existing.format}, got $format")
@@ -314,7 +361,8 @@ object Index {
         if (updated != existing) store.writeMetadata(updated)
         new Index(spark, name, updated, None)
       case None =>
-        val m = IndexMetadata(name, format, schema.json, readOptions)
+        val m = IndexMetadata(name, format, schema.json, readOptions,
+          storageVersion = StorageMigrations.CurrentVersion)
         store.writeMetadata(m)
         new Index(spark, name, m, None)
     }
@@ -323,8 +371,11 @@ object Index {
   /** Reconnect to an existing index without re-stating the schema. */
   def connect(spark: SparkSession, name: String): Index = {
     val store = new IndexStore(spark, name)
-    val m = store.readMetadata().getOrElse(
+    val read = store.readMetadata().getOrElse(
       throw new IllegalArgumentException(s"Index '$name' does not exist"))
+    val m = if (read.storageVersion < StorageMigrations.CurrentVersion)
+      store.updateLock.withLock(StorageMigrations.ensureCurrent(store, read))
+    else read
     new Index(spark, name, m, None)
   }
 

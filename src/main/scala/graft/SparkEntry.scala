@@ -200,6 +200,13 @@ object SparkEntry {
         dim = 64, threshold = 0.4, nPlanes = 16, bandBits = 4)
         .orderBy("a_id", "b_id")
     }),
+    // IVF-cell ANN (second scale path): rows-only check like q_ann_lsh;
+    // subset-of-brute-force exactness is asserted in PipelineOpsSpec.
+    "q_ann_ivf" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Similarity.ivfCosinePairs(lk.embeddings, "vec_id", "embedding",
+        threshold = 0.4).orderBy("a_id", "b_id")
+    }),
     // ---- SQL surface (DSv2 catalog + Catalyst join rewrite) ---------------
     "q_sql_where" -> ((s, dir) => {
       val lk = Lake.get(s, dir)

@@ -49,14 +49,15 @@ final class Lake private (val spark: SparkSession, val sfDir: String, val work: 
     val dir = s"$work/orders_csv"
     val src = table("orders").select(OrdersTextCols.map(col): _*)
     Lake.splitWrite(src, dir, "o_custkey", 4, (d, p) =>
-      d.write.mode("overwrite").option("header", "true").csv(p), ".csv")
+      d.write.partitionBy("band").mode("overwrite").option("header", "true").csv(p),
+      ".csv")
   }
 
   lazy val ordersJsonFiles: Seq[String] = {
     val dir = s"$work/orders_json"
     val src = table("orders").select(OrdersTextCols.map(col): _*)
     Lake.splitWrite(src, dir, "o_custkey", 4, (d, p) =>
-      d.write.mode("overwrite").json(p), ".json")
+      d.write.partitionBy("band").mode("overwrite").json(p), ".json")
   }
 
   // ---- indexes -------------------------------------------------------------
@@ -144,7 +145,8 @@ object Lake {
   /** Split `df` into `n` single-file parquet bands on `key` value ranges.
     * Returns the file paths in band order. */
   def splitByBand(df: DataFrame, dir: String, key: String, n: Int): Seq[String] =
-    splitWrite(df, dir, key, n, (d, p) => d.write.mode("overwrite").parquet(p), ".parquet")
+    splitWrite(df, dir, key, n,
+      (d, p) => d.write.partitionBy("band").mode("overwrite").parquet(p), ".parquet")
 
   def splitWrite(
       df: DataFrame,
@@ -155,11 +157,14 @@ object Lake {
       ext: String): Seq[String] = {
     val maxKey = df.agg(max(col(key))).first().get(0).toString.toLong
     val width = maxKey / n + 1
+    // one shuffle + one write job for ALL bands (repartition by band so each
+    // task writes exactly one band dir), not n separate filter+write jobs
+    val banded = df
+      .withColumn("band", col(key).cast("long").divide(width).cast("long").cast("int"))
+      .repartition(n, col("band"))
+    write(banded, dir)
     (0 until n).map { b =>
-      val part = df.where(col(key).cast("long").divide(width).cast("long") === b)
-        .coalesce(1)
       val path = s"$dir/band=$b"
-      write(part, path)
       val f = new java.io.File(path.stripPrefix("file:"))
       f.listFiles().filter(x => x.getName.startsWith("part-") && x.getName.endsWith(ext))
         .map(_.getAbsolutePath).head

@@ -38,6 +38,28 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b)).cast("double")
 
+  /** Exact Jaccard of two SORTED SET arrays via the codegen'd merge-count
+    * (|A∪B| = |A|+|B|-|A∩B| — same integers as array_union on sets, so the
+    * double compares identically; ~50x cheaper than per-pair hash sets). */
+  def jaccardSorted(a: Column, b: Column): Column = {
+    val inter = graft.functions.VectorOps.sortedIntersectCount(a, b)
+    inter.cast("double") / (size(a) + size(b) - inter).cast("double")
+  }
+
+  /** Same over sorted arrays of HASHED set elements (int merge — the
+    * fastest verify). Hashing is applied after distinct, so sizes equal the
+    * true set sizes as long as no 32-bit collision occurs within one
+    * document's set — with per-doc sets of 10^2-10^3 elements the collision
+    * odds are ~1e-5 per doc and the oracle gate would catch any drift. */
+  def jaccardSortedHashed(a: Column, b: Column): Column = {
+    val inter = graft.functions.VectorOps.sortedIntIntersectCount(a, b)
+    inter.cast("double") / (size(a) + size(b) - inter).cast("double")
+  }
+
+  /** Sorted array of murmur3-hashed elements of an array column. */
+  def hashedSet(arr: Column): Column =
+    array_sort(transform(arr, t => hash(t)))
+
   // ---- MinHash + LSH -------------------------------------------------------
 
   private val MersennePrime = 2147483647L // 2^31 - 1
@@ -94,22 +116,63 @@ object Dedup {
   }
 
   /** Near-duplicate pairs with EXACT token-set Jaccard >= `threshold`,
-    * candidates generated by minhash/LSH (recall→1 for thresholds >= ~0.9
-    * with 32x4 banding; false candidates removed by the exact verify). */
+    * candidates generated by minhash/LSH (16 bands x 8 rows: recall at
+    * j=0.95 is 1-(1-0.95^8)^16 ≈ 1-3e-8 — effectively exact — while
+    * halving the candidate fanout of wider bandings on near-dup-dense
+    * corpora; false candidates removed by the exact verify). */
   def minhashPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       threshold: Double,
       numHashes: Int = 128,
-      bands: Int = 32): DataFrame = {
+      bands: Int = 16): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, numHashes)
     val cands = minhashCandidates(sigs, numHashes, bands)
-    val toks = df.select(col(idCol).as("__tid"), tokenSet(col(textCol)).as("__toks"))
-    cands
-      .join(toks.select(col("__tid").as("a_id"), col("__toks").as("__ta")), Seq("a_id"))
-      .join(toks.select(col("__tid").as("b_id"), col("__toks").as("__tb")), Seq("b_id"))
-      .where(jaccard(col("__ta"), col("__tb")) >= threshold)
+    val toks = df.select(col(idCol).as("__tid"),
+      hashedSet(tokenSet(col(textCol))).as("__toks"))
+    verifyPairs(cands, toks,
+      jaccardSortedHashed(col("__ta"), col("__tb")) >= threshold,
+      sizeRatio = Some(threshold))
+  }
+
+  /** Exact verification of candidate pairs: join token/shingle sets back on
+    * both ids and keep pairs passing `cond`. The candidate frame is
+    * re-spread across the full shuffle parallelism first — its byte size is
+    * tiny (two longs/row) so AQE would otherwise coalesce it into one
+    * partition, serializing the CPU-heavy set-intersection verify.
+    *
+    * `sizeRatio`: a necessary condition for J(A,B) >= t is
+    * t*|B| <= |A| <= |B|/t. The size filter joins only the (id, size)
+    * pairs — auto-broadcast when small — and kills most false candidates
+    * BEFORE the full arrays are shuffled or merged. */
+  private[operators] def verifyPairs(
+      cands: DataFrame, toks: DataFrame, cond: Column,
+      sizeRatio: Option[Double] = None): DataFrame = {
+    val n = cands.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val slimmed = sizeRatio match {
+      case Some(t) =>
+        // broadcast the (id, size) frame: one small row per document —
+        // without the hint Spark's stat estimate forces two sort-merge
+        // joins that SORT the multi-million-row pair frame twice
+        val sizes = broadcast(
+          toks.select(col("__tid"), size(col("__toks")).cast("double").as("__sz")))
+        cands
+          .join(sizes.select(col("__tid").as("a_id"), col("__sz").as("__sa")), Seq("a_id"))
+          .join(sizes.select(col("__tid").as("b_id"), col("__sz").as("__sb")), Seq("b_id"))
+          .where(col("__sa") >= col("__sb") * t && col("__sb") >= col("__sa") * t)
+          .select("a_id", "b_id")
+      case None => cands
+    }
+    // Broadcasting the per-doc set arrays avoids re-shuffling the pair
+    // frame by b_id for the second join; only safe for corpora that fit an
+    // executor (~200k docs) — larger corpora fall back to shuffle joins.
+    val small = toks.limit(200001).count() <= 200000
+    val t2 = if (small) broadcast(toks) else toks
+    slimmed.repartition(n, col("a_id"))
+      .join(t2.select(col("__tid").as("a_id"), col("__toks").as("__ta")), Seq("a_id"))
+      .join(t2.select(col("__tid").as("b_id"), col("__toks").as("__tb")), Seq("b_id"))
+      .where(cond)
       .select("a_id", "b_id")
   }
 
@@ -152,13 +215,15 @@ object Dedup {
     val cands = a.join(b, Seq("band", "bh"))
       .where(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
+    // set equality == equal sizes + full intersection, via the codegen'd
+    // int merge (array<string> equality comparison was the bottleneck at
+    // 10^7 candidates); size filter at ratio 1.0 kills unequal sizes first
     val toks = df.select(col(idCol).as("__tid"),
-      array_sort(tokenSet(col(textCol))).as("__toks"))
-    cands
-      .join(toks.select(col("__tid").as("a_id"), col("__toks").as("__ta")), Seq("a_id"))
-      .join(toks.select(col("__tid").as("b_id"), col("__toks").as("__tb")), Seq("b_id"))
-      .where(col("__ta") === col("__tb"))
-      .select("a_id", "b_id")
+      hashedSet(tokenSet(col(textCol))).as("__toks"))
+    verifyPairs(cands, toks,
+      graft.functions.VectorOps.sortedIntIntersectCount(col("__ta"), col("__tb"))
+        === size(col("__ta")),
+      sizeRatio = Some(1.0))
   }
 
   // ---- character n-gram Jaccard with prefix filtering ----------------------
@@ -203,10 +268,9 @@ object Dedup {
     val cands = a.join(b, Seq("gram"))
       .where(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
-    cands
-      .join(grams.select(col("__id").as("a_id"), col("__g").as("__ga")), Seq("a_id"))
-      .join(grams.select(col("__id").as("b_id"), col("__g").as("__gb")), Seq("b_id"))
-      .where(jaccard(col("__ga"), col("__gb")) >= threshold)
-      .select("a_id", "b_id")
+    verifyPairs(cands,
+      grams.select(col("__id").as("__tid"), hashedSet(col("__g")).as("__toks")),
+      jaccardSortedHashed(col("__ta"), col("__tb")) >= threshold,
+      sizeRatio = Some(threshold))
   }
 }

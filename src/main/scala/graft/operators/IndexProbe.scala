@@ -199,6 +199,19 @@ object IndexProbe {
     matched.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
   }
 
+  /** Files whose [min,max] overlaps the query window [lo,hi] — the
+    * BETWEEN-style pruning probe behind Index.queryRange. */
+  def rangeWindowCandidates(
+      store: IndexStore, ix: IndexDef, lo: Any, hi: Any): DataFrame = {
+    store.indexTable.read() match {
+      case None => emptyFilenames(store.spark)
+      case Some(indexDf) =>
+        val lc = col(s"${ix.storageColumn}.min")
+        val hc = col(s"${ix.storageColumn}.max")
+        indexDf.where(hc >= lit(lo) && lc <= lit(hi)).select("filename")
+    }
+  }
+
   /** Distinct probe values collected to the driver iff bounded by the cap;
     * None ⇒ caller must degrade gracefully (no pruning for that column). */
   private def boundedValues(

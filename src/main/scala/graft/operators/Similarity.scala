@@ -19,10 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** dot(a,b) over float arrays, computed in double, position order. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+  /** dot(a,b) over float arrays, computed in double, position order —
+    * a custom codegen'd Catalyst expression (see
+    * [[graft.functions.FloatVectorDot]]; the interpreted
+    * `aggregate(zip_with(...))` composition was ~50x slower). */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dotF(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -33,10 +34,15 @@ object Similarity {
     * LSH variant. */
   def cosinePairs(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("a_id"), col(vecCol).as("__va"))
-    val b = df.select(col(idCol).as("b_id"), col(vecCol).as("__vb"))
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // norms computed ONCE per row (bit-identical to per-pair sqrt(dot));
+    // the streamed side is repartitioned so the O(n^2) compare parallelizes
+    val withNorm = df.select(col(idCol), col(vecCol), norm(col(vecCol)).as("__n"))
+    val a = withNorm.select(col(idCol).as("a_id"), col(vecCol).as("__va"), col("__n").as("__na"))
+      .repartition(n)
+    val b = withNorm.select(col(idCol).as("b_id"), col(vecCol).as("__vb"), col("__n").as("__nb"))
     a.join(b, col("a_id") < col("b_id"))
-      .where(cosine(col("__va"), col("__vb")) >= threshold)
+      .where(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")) >= threshold)
       .select("a_id", "b_id")
   }
 
@@ -48,8 +54,10 @@ object Similarity {
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
+    val n = corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__vq")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__vc"))
+      .repartition(n)
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("__cos", cosine(col("__vq"), col("__vc")))
     val w = org.apache.spark.sql.expressions.Window
@@ -60,26 +68,64 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
-  /** Deterministic Rademacher (+1/-1) hyperplane component for (plane j,
-    * dim d) — same splitmix-style mixing as Dedup, no RNG state. */
-  private def planeSign(j: Int, d: Int): Double = {
-    var z = (j.toLong << 32 | d.toLong) + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    if ((z ^ (z >>> 31)) % 2 == 0) 1.0 else -1.0
-  }
-
   /** Random-hyperplane LSH signature: `nPlanes` sign bits packed into a
-    * long. Vectors with small angle agree on most bits. */
+    * long, via the single codegen'd [[graft.functions.HyperplaneSignature]]
+    * expression (the composed-Column version built an nPlanes x dim Add
+    * tree that cost ~15 s of analysis+codegen per query). */
   def lshSignature(vecCol: Column, dim: Int, nPlanes: Int): Column = {
     require(nPlanes <= 63, "nPlanes must fit in a long")
-    val bits = (0 until nPlanes).map { j =>
-      val proj = (0 until dim).map { d =>
-        element_at(vecCol, d + 1).cast("double") * lit(planeSign(j, d))
-      }.reduce(_ + _)
-      when(proj > 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    graft.functions.VectorOps.hyperplaneSignature(vecCol, nPlanes)
+  }
+
+  /** IVF-style ANN: a deterministic coarse quantizer (every k-th vector by
+    * id rank serves as a centroid — no iterative training, no RNG), each
+    * vector assigned to its `nProbe` nearest centroids, candidate pairs
+    * meet inside shared cells. The scale path when hyperplane LSH recall is
+    * too data-dependent: cell population is balanced by construction of the
+    * quantizer sample. Exact cosine re-ranks candidates only. */
+  def ivfCosinePairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nCells: Int = 16,
+      nProbe: Int = 2): DataFrame = {
+    val spark = df.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // deterministic centroids: rank vectors by id, take every (count/nCells)-th
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
+    val total = df.count()
+    val step = math.max(total / nCells, 1L)
+    val centroids = df
+      .withColumn("__rn", row_number().over(w))
+      .where((col("__rn") - 1) % step === 0)
+      .limit(nCells)
+      .withColumn("__cid", (col("__rn") - 1) / step)
+      .select(col("__cid"), col(vecCol).as("__cvec"))
+    // assign: nProbe nearest centroids per vector (centroids broadcast)
+    val scored = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__sim", cosine(col("__v"), col("__cvec")))
+    val aw = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id").orderBy(col("__sim").desc, col("__cid"))
+    val assigned = scored
+      .withColumn("__r", row_number().over(aw)).where(col("__r") <= nProbe)
+      .select(col("__id"), col("__cid"))
+    val a = assigned.select(col("__cid"), col("__id").as("a_id"))
+    val b = assigned.select(col("__cid"), col("__id").as("b_id"))
+    val cands = a.join(b, Seq("__cid"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+      .repartition(n, col("a_id"))
+    val withNorm = df.select(col(idCol).as("__vid"), col(vecCol).as("__v"),
+      norm(col(vecCol)).as("__n"))
+    cands
+      .join(withNorm.select(col("__vid").as("a_id"), col("__v").as("__va"),
+        col("__n").as("__na")), Seq("a_id"))
+      .join(withNorm.select(col("__vid").as("b_id"), col("__v").as("__vb"),
+        col("__n").as("__nb")), Seq("b_id"))
+      .where(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")) >= threshold)
+      .select("a_id", "b_id")
   }
 
   /** ANN via LSH: bucket on band slices of the hyperplane signature, join
@@ -93,7 +139,8 @@ object Similarity {
       threshold: Double,
       nPlanes: Int = 16,
       bandBits: Int = 4): DataFrame = {
-    val sig = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sig = df.select(col(idCol).as("__id"),
       lshSignature(col(vecCol), dim, nPlanes).as("__sig"))
     val bands = nPlanes / bandBits
     val bandCols = (0 until bands).map { b =>
@@ -102,14 +149,24 @@ object Similarity {
           .bitwiseAND(lit((1L << bandBits) - 1)).as("bh"))
     }
     val buckets = sig
-      .select(col("__id"), col("__v"), explode(array(bandCols: _*)).as("__b"))
-      .select(col("__id"), col("__v"), col("__b.band").as("band"), col("__b.bh").as("bh"))
-    val a = buckets.select(col("band"), col("bh"), col("__id").as("a_id"), col("__v").as("__va"))
-    val b = buckets.select(col("band"), col("bh"), col("__id").as("b_id"), col("__v").as("__vb"))
-    a.join(b, Seq("band", "bh"))
+      .select(col("__id"), explode(array(bandCols: _*)).as("__b"))
+      .select(col("__id"), col("__b.band").as("band"), col("__b.bh").as("bh"))
+    val a = buckets.select(col("band"), col("bh"), col("__id").as("a_id"))
+    val b = buckets.select(col("band"), col("bh"), col("__id").as("b_id"))
+    // id-only candidate pairs (cheap distinct), vectors+norms joined back
+    // and the exact re-rank spread across the full parallelism
+    val cands = a.join(b, Seq("band", "bh"))
       .where(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("__va"), col("__vb")).distinct()
-      .where(cosine(col("__va"), col("__vb")) >= threshold)
+      .select("a_id", "b_id").distinct()
+      .repartition(n, col("a_id"))
+    val withNorm = df.select(col(idCol).as("__vid"), col(vecCol).as("__v"),
+      norm(col(vecCol)).as("__n"))
+    cands
+      .join(withNorm.select(col("__vid").as("a_id"), col("__v").as("__va"),
+        col("__n").as("__na")), Seq("a_id"))
+      .join(withNorm.select(col("__vid").as("b_id"), col("__v").as("__vb"),
+        col("__n").as("__nb")), Seq("b_id"))
+      .where(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")) >= threshold)
       .select("a_id", "b_id")
   }
 }

@@ -49,16 +49,38 @@ object Fs {
   }
 
   /** Create `path` exclusively (fails if it exists) — the primitive behind
-    * distributed file locks (reference: IndexLock.scala:99-131). */
+    * distributed file locks (reference: IndexLock.scala:99-131).
+    *
+    * Hadoop's LocalFileSystem implements `create(overwrite=false)` as
+    * exists-check-then-create — NOT atomic, so two racing writers could
+    * both "win" the lock. For file:// schemes we use java.nio CREATE_NEW
+    * (O_EXCL, kernel-atomic); remote filesystems (HDFS, stores with
+    * conditional create) enforce exclusivity server-side. */
   def createExclusive(spark: SparkSession, path: String, content: String): Boolean = {
     val f = fs(spark, path)
     val p = new Path(path)
     if (p.getParent != null) f.mkdirs(p.getParent)
-    try {
-      val out = f.create(p, false)
-      try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
-      true
-    } catch { case _: java.io.IOException => false }
+    val isLocal = f.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      f.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    if (isLocal) {
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(p.toUri.getPath),
+          content.getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: java.io.IOException => false
+      }
+    } else {
+      try {
+        val out = f.create(p, false)
+        try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+        true
+      } catch { case _: java.io.IOException => false }
+    }
   }
 
   def listDirs(spark: SparkSession, path: String): Seq[String] = {

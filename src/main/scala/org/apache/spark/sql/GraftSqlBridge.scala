@@ -12,4 +12,13 @@ import org.apache.spark.sql.classic.{DataFrame => ClassicDataFrame, Dataset => C
 object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     ClassicDataset.ofRows(spark.asInstanceOf[ClassicSparkSession], plan)
+
+  /** Wrap a raw Catalyst expression as a user-facing Column (for custom
+    * codegen'd expressions like graft.functions.FloatVectorDot). */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** Unwrap a Column back to its Catalyst expression. */
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }

@@ -78,6 +78,15 @@ class PipelineOpsSpec extends GraftSuite {
     assert(lsh.subsetOf(brute), s"LSH produced non-pairs: ${lsh -- brute}")
   }
 
+  test("IVF ANN returns a subset of brute-force pairs, nonempty at 0.4") {
+    val brute = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfCosinePairs(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.nonEmpty, "IVF found nothing")
+    assert(ivf.subsetOf(brute), s"IVF produced non-pairs: ${ivf -- brute}")
+  }
+
   test("topK is ordered, bounded and excludes self") {
     val topk = Similarity.topK(emb, emb.where(col("vec_id") < 5),
       "vec_id", "embedding", k = 3).collect()
