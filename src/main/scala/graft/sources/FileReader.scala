@@ -94,9 +94,25 @@ object FileReader {
       .filter(ix => ix.indexType == "exploded" && aliases.contains(ix.column))
       .foldLeft(df) { (d, ix) => d.withColumn(ix.column, explode_outer(expr(ix.expr.get))) }
 
+  /** Plain data read — no `_metadata` attribution. Query paths use this:
+    * tagging pulls the whole `_metadata` struct (incl. per-row row-index
+    * generation) into every scan, and queries never need it (plan audit
+    * showed 7 extra scan columns on every probe before this split). */
+  def readPlain(spark: SparkSession, meta: IndexMetadata, files: Seq[String]): DataFrame = {
+    requireSupported(meta.format)
+    if (files.isEmpty) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], meta.schema)
+    } else {
+      spark.read
+        .format(meta.format)
+        .schema(meta.schema)
+        .options(meta.readOptions)
+        .load(files: _*)
+    }
+  }
+
   /** Full user-facing read path: base read → computed → exploded → column
-    * selection (reference: IndexFileOperations.scala:84-106). The returned
-    * frame no longer carries the internal metadata columns. */
+    * selection (reference: IndexFileOperations.scala:84-106). */
   def readFiles(
       spark: SparkSession,
       meta: IndexMetadata,
@@ -104,11 +120,10 @@ object FileReader {
       neededAliases: Set[String] = Set.empty,
       selection: Option[Seq[String]] = None): DataFrame = {
     val base = applyExploded(
-      applyComputed(readTagged(spark, meta, files), meta), meta, neededAliases)
-    val dropped = base.drop(FilenameCol, FileSizeCol)
+      applyComputed(readPlain(spark, meta, files), meta), meta, neededAliases)
     selection match {
-      case Some(cols) => dropped.select(cols.distinct.map(col): _*)
-      case None       => dropped
+      case Some(cols) => base.select(cols.distinct.map(col): _*)
+      case None       => base
     }
   }
 }

@@ -1,0 +1,35 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Prints the physical-plan scan lines for the core queries: PushedFilters
+  * must carry the residual predicates, ReadSchema must be pruned to the
+  * selected columns, and no UDF/BatchEval barrier may appear in a scan. */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[16]")
+      .config("spark.sql.shuffle.partitions", "16")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sfDir = "/root/testdata/sf0.01"
+    Seq("q_regular_probe", "q_select_join", "q_regular_join", "q_pruned_agg")
+      .foreach { name =>
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val plan = df.queryExecution.executedPlan.toString
+        println(s"=== $name ===")
+        plan.linesIterator
+          .filter(l => l.contains("PushedFilters") || l.contains("ReadSchema") ||
+            l.contains("Scan parquet") || l.toLowerCase.contains("udf"))
+          .take(8)
+          .foreach(l => println("  " + l.trim.take(240)))
+        println(s"  wholeStageCodegen-spans=${plan.split("WholeStageCodegen").length - 1}")
+      }
+    spark.stop()
+  }
+}
