@@ -107,4 +107,18 @@ class SqlCatalogSpec extends GraftSuite {
       spark.sql("DROP TABLE graft.orders_idx")
     }
   }
+
+  test("DESCRIBE TABLE exposes the stored schema") {
+    init()
+    val cols = spark.sql("DESCRIBE TABLE graft.orders_idx")
+      .collect().map(_.getString(0)).toSet
+    assert(Set("o_orderkey", "o_custkey", "o_orderdate").subsetOf(cols))
+  }
+
+  test("3-part name via default namespace resolves") {
+    init()
+    val n = spark.sql("SELECT count(*) AS c FROM graft.default.orders_idx")
+      .first().getLong(0)
+    assert(n == lake.orders.count())
+  }
 }
