@@ -101,6 +101,12 @@ object GraftConf {
   def stagingConsolidationThreshold(spark: SparkSession): Int =
     getInt(spark, "stagingConsolidationThreshold", 50)
 
+  /** Dedup verification broadcasts the per-doc token/shingle arrays only
+    * when their estimated serialized size fits this budget; larger corpora
+    * fall back to shuffle joins (never driver/executor OOM). */
+  def verifyBroadcastMaxBytes(spark: SparkSession): Long =
+    getLong(spark, "verifyBroadcastMaxBytes", 64L * 1024 * 1024)
+
   /** Auto-compact the index tables after this many consolidations
     * (reference: batches_since_compact counter,
     * IndexBuildOperations.scala:1197-1294). 0 disables. */

@@ -149,7 +149,16 @@ object Dedup {
   private[operators] def verifyPairs(
       cands: DataFrame, toks: DataFrame, cond: Column,
       sizeRatio: Option[Double] = None): DataFrame = {
-    val n = cands.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val spark = cands.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // One TINY stats job over the column-pruned (id, |set|) projection:
+    // drives both the broadcast decision below and nothing else. Estimated
+    // broadcast payload = 4 bytes/int element + per-row array overhead.
+    val stats = toks.agg(
+      count(lit(1)).as("__n"), sum(size(col("__toks"))).as("__elems")).first()
+    val nDocs = stats.getLong(0)
+    val estBytes = Option(stats.get(1)).map(_.toString.toLong).getOrElse(0L) * 4L +
+      nDocs * 48L
     val slimmed = sizeRatio match {
       case Some(t) =>
         // broadcast the (id, size) frame: one small row per document —
@@ -165,9 +174,10 @@ object Dedup {
       case None => cands
     }
     // Broadcasting the per-doc set arrays avoids re-shuffling the pair
-    // frame by b_id for the second join; only safe for corpora that fit an
-    // executor (~200k docs) — larger corpora fall back to shuffle joins.
-    val small = toks.limit(200001).count() <= 200000
+    // frame by b_id for the second join — but only below a byte budget
+    // (estimated, not guessed from row count: 200k docs x 1k tokens would
+    // be ~800 MB and OOM the driver). Past the budget: shuffle joins.
+    val small = estBytes <= graft.GraftConf.verifyBroadcastMaxBytes(spark)
     val t2 = if (small) broadcast(toks) else toks
     slimmed.repartition(n, col("a_id"))
       .join(t2.select(col("__tid").as("a_id"), col("__toks").as("__ta")), Seq("a_id"))

@@ -46,9 +46,13 @@ object IndexBuild extends Logging {
     logInfo(s"index ${meta.name}: building ${files.size} files in ${batches.size} batches")
     var n = 0
     batches.foreach { case (batch, estDistinct) =>
-      val rows = buildBatch(store, meta, batch, estDistinct)
-        .withColumn("__staged_at", lit(System.currentTimeMillis()))
+      val (built, cached) = buildBatchTracked(store, meta, batch, estDistinct)
+      val rows = built.withColumn("__staged_at", lit(System.currentTimeMillis()))
       store.staging.append(rows)
+      // Drop the build-scoped cache NOW: leaking it across builds both
+      // hoards executor memory and — worse — serves stale file content if
+      // the same path is ever legitimately re-indexed (streaming replay).
+      cached.foreach(_.unpersist(false))
       n += 1
       if (n % threshold == 0) consolidate(store)
     }
@@ -128,7 +132,16 @@ object IndexBuild extends Logging {
       store: IndexStore,
       meta: IndexMetadata,
       files: Seq[String],
-      estDistinct: Long = 0L): DataFrame = {
+      estDistinct: Long = 0L): DataFrame =
+    buildBatchTracked(store, meta, files, estDistinct)._1
+
+  /** buildBatch plus the frames it cached — the caller must unpersist them
+    * once the batch is written. */
+  private def buildBatchTracked(
+      store: IndexStore,
+      meta: IndexMetadata,
+      files: Seq[String],
+      estDistinct: Long = 0L): (DataFrame, Seq[DataFrame]) = {
     val spark = store.spark
     val limit = GraftConf.largeIndexLimit(spark)
     // bloom buffers sized from the analysis estimate (x2 slack), not the
@@ -190,13 +203,15 @@ object IndexBuild extends Logging {
 
   /** Large-index eviction: arrays with >= limit distinct values move to the
     * per-column overflow table; the main row keeps an auto-bloom instead
-    * (reference: IndexBuildOperations.scala:977-988,1022-1074,1131-1189). */
+    * (reference: IndexBuildOperations.scala:977-988,1022-1074,1131-1189).
+    * Returns the result plus any frame cached along the way (the caller
+    * unpersists once the batch is written). */
   private def applyLargeEviction(
-      store: IndexStore, meta: IndexMetadata, rowsIn: DataFrame): DataFrame = {
+      store: IndexStore, meta: IndexMetadata, rowsIn: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val spark = store.spark
     val limit = GraftConf.largeIndexLimit(spark)
     val arrayDefs = meta.indexes.filter(_.isArrayShaped)
-    if (arrayDefs.isEmpty) return rowsIn
+    if (arrayDefs.isEmpty) return (rowsIn, Seq.empty)
 
     var rows = rowsIn.cache()
     val sizeAggs = arrayDefs.map(ix => max(size(col(ix.column))).as(ix.column))
@@ -216,7 +231,7 @@ object IndexBuild extends Logging {
           .withColumn(ix.column, when(isLarge, lit(null)).otherwise(col(ix.column)))
       }
     }
-    rows
+    (rows, Seq(rowsIn))
   }
 
   /** Column-level backfill: compute ONLY `newDefs` for every file already in
@@ -232,9 +247,9 @@ object IndexBuild extends Logging {
     val batches = planBatches(store, partial, files)
     val newCols = newDefs.map(_.storageColumn)
     batches.foreach { case (batch, est) =>
-      val rows = buildBatch(store, partial, batch, est)
-        .select("filename", newCols: _*)
-      store.indexTable.mergeColumns(rows, "filename")
+      val (built, cached) = buildBatchTracked(store, partial, batch, est)
+      store.indexTable.mergeColumns(built.select("filename", newCols: _*), "filename")
+      cached.foreach(_.unpersist(false))
     }
   }
 }

@@ -35,17 +35,36 @@ object Fs {
 
   /** Atomically replace `path` with `content`: write to a sibling temp file
     * then rename over the target. Readers see either the old or the new
-    * content, never a partial write. */
+    * content, never a partial write.
+    *
+    * On file:// the Hadoop LocalFileSystem implements overwrite-rename as
+    * delete-target-then-rename, leaving a window where the target doesn't
+    * exist — fatal for lock heartbeats (a waiter reading during the window
+    * sees "no lock" and steals it). java.nio ATOMIC_MOVE has no such
+    * window; HDFS/object-store renames are atomic server-side. */
   def writeStringAtomic(spark: SparkSession, path: String, content: String): Unit = {
     val target = new Path(path)
     val tmp = new Path(path + ".tmp-" + java.util.UUID.randomUUID().toString.take(8))
     val f = fs(spark, path)
     if (target.getParent != null) f.mkdirs(target.getParent)
-    val out = f.create(tmp, true)
-    try out.write(content.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
-    val fc = FileContext.getFileContext(target.toUri, hadoopConf(spark))
-    fc.rename(tmp, target, Options.Rename.OVERWRITE)
+    val isLocal = f.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      f.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    if (isLocal) {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        content.getBytes(StandardCharsets.UTF_8))
+      java.nio.file.Files.move(
+        java.nio.file.Paths.get(tmp.toUri.getPath),
+        java.nio.file.Paths.get(target.toUri.getPath),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      val out = f.create(tmp, true)
+      try out.write(content.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      val fc = FileContext.getFileContext(target.toUri, hadoopConf(spark))
+      fc.rename(tmp, target, Options.Rename.OVERWRITE)
+    }
   }
 
   /** Create `path` exclusively (fails if it exists) — the primitive behind

@@ -25,21 +25,31 @@ final class SnapshotTable(spark: SparkSession, root: String) {
 
   def exists: Boolean = Fs.exists(spark, pointerPath)
 
-  def currentVersion: Option[Long] =
+  /** Pointer = `version` line + optional `nonce` line. The nonce is minted
+    * fresh per write, so a table dropped and RECREATED by another process
+    * (version numbering restarts) can never alias a previous incarnation's
+    * cache entries — (root, version, nonce) identifies one immutable write
+    * (single-line pointers from older layouts read as nonce ""). */
+  private def readPointer(): Option[(Long, String)] =
     if (!exists) None
-    else scala.util.Try(Fs.readString(spark, pointerPath).trim.toLong).toOption
+    else scala.util.Try {
+      val lines = Fs.readString(spark, pointerPath).split('\n')
+      (lines(0).trim.toLong, if (lines.length > 1) lines(1).trim else "")
+    }.toOption
+
+  def currentVersion: Option[Long] = readPointer().map(_._1)
 
   private def versionDir(v: Long): String = s"$root/v$v"
 
   /** Current snapshot as a DataFrame, if the table has ever been written.
-    * The snapshot schema is cached per (root, version): a version directory
-    * is immutable, so the first read's inferred schema is authoritative —
-    * without this, EVERY read ran a parquet footer-merge Spark job, and an
-    * index build issues dozens of reads (measured: ~60 jobs/build, most of
-    * them schema inference). */
+    * The snapshot schema is cached per (root, version, nonce): a version
+    * directory is immutable, so the first read's inferred schema is
+    * authoritative — without this, EVERY read ran a parquet footer-merge
+    * Spark job, and an index build issues dozens of reads (measured: ~60
+    * jobs/build, most of them schema inference). */
   def read(): Option[DataFrame] =
-    currentVersion.map { v =>
-      val key = (root, v)
+    readPointer().map { case (v, nonce) =>
+      val key = (root, v, nonce)
       SnapshotTable.schemaCache.get(key) match {
         case Some(schema) => spark.read.schema(schema).parquet(versionDir(v))
         case None =>
@@ -53,9 +63,10 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * the next read() never runs a schema-inference job. */
   def overwrite(df: DataFrame): Long = {
     val next = currentVersion.getOrElse(0L) + 1L
+    val nonce = java.util.UUID.randomUUID().toString.take(8)
     df.write.mode("overwrite").parquet(versionDir(next))
-    SnapshotTable.cachePut((root, next), df.schema)
-    Fs.writeStringAtomic(spark, pointerPath, next.toString)
+    SnapshotTable.cachePut((root, next, nonce), df.schema)
+    Fs.writeStringAtomic(spark, pointerPath, s"$next\n$nonce")
     cleanup(next)
     next
   }
@@ -120,15 +131,22 @@ final class SnapshotTable(spark: SparkSession, root: String) {
       .foreach(v => Fs.delete(spark, versionDir(v)))
   }
 
-  def drop(): Unit = Fs.delete(spark, root)
+  def drop(): Unit = {
+    SnapshotTable.invalidate(root)
+    Fs.delete(spark, root)
+  }
 }
 
 object SnapshotTable {
-  /** (root, version) -> schema; bounded by LRU-ish trim at 4096 entries. */
+  /** (root, version, nonce) -> schema; bounded by LRU-ish trim at 4096. */
   private val schemaCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Long), org.apache.spark.sql.types.StructType]
-  private[store] def cachePut(k: (String, Long), v: org.apache.spark.sql.types.StructType): Unit = {
+    scala.collection.concurrent.TrieMap.empty[(String, Long, String), org.apache.spark.sql.types.StructType]
+  private[store] def cachePut(
+      k: (String, Long, String), v: org.apache.spark.sql.types.StructType): Unit = {
     if (schemaCache.size > 4096) schemaCache.clear()
     schemaCache.put(k, v)
   }
+  /** Drop every cache entry for a table root (called on drop()). */
+  private[store] def invalidate(root: String): Unit =
+    schemaCache.keys.filter(_._1 == root).foreach(schemaCache.remove)
 }

@@ -141,6 +141,21 @@ object Drive {
     println(s"[drive] 5-sql-join-filter got=$fGot expect=$fExpect rewrote=$fRewrote " +
       (if (fGot == fExpect) "OK" else "MISMATCH"))
 
+    // 6) streaming replay hygiene: same batchId re-ingested with new content
+    val sidx = Index(spark, "stream_drive",
+      Seq((1L, "a")).toDF("id", "v").schema, "parquet")
+    sidx.addIndex("id")
+    val sDir = s"$work/streamdata"
+    graft.streaming.StreamIngest.ingestBatch(sidx, sDir)(
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+    graft.streaming.StreamIngest.ingestBatch(sidx, sDir)(
+      Seq((3L, "c"), (4L, "d")).toDF("id", "v"), 0L) // replay, new content
+    val sNew = sidx.query(Map("id" -> Seq(3L, 4L))).count()
+    val sOld = sidx.query(Map("id" -> Seq(1L, 2L))).count()
+    val sDangling = sidx.files.count(f => !graft.store.Fs.exists(spark, f))
+    println(s"[drive] 6-stream-replay new=$sNew (want 2) old=$sOld (want 0) " +
+      s"dangling=$sDangling (want 0) files=${sidx.files.size} (want 1)")
+
     spark.stop()
     println("[drive] done")
   }

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.store.{Fs, GraftLock, SnapshotTable}
+import graft.streaming.StreamIngest
+
+/** Regression tests for the round-2 advisor findings: lock heartbeat +
+  * ownership-checked release, snapshot schema-cache invalidation across
+  * drop/recreate, and streaming replay file hygiene. */
+class AdviceFixesSpec extends GraftSuite {
+
+  test("lock heartbeat keeps a long-running holder alive past lockTimeoutSec") {
+    val path = tmpDir("graft_hb_") + "/.hb.lock"
+    spark.conf.set("spark.graft.lockTimeoutSec", "1")
+    spark.conf.set("spark.graft.lockMaxWaitSec", "3")
+    spark.conf.set("spark.graft.lockRetryBaseMs", "100")
+    try {
+      val l1 = new GraftLock(spark, path)
+      val l2 = new GraftLock(spark, path)
+      @volatile var holderDone = false
+      val t = new Thread(() => l1.withLock {
+        Thread.sleep(4000) // 4x the stale timeout — heartbeat must cover it
+        holderDone = true
+      })
+      t.start()
+      Thread.sleep(500)
+      // the waiter must NOT heal the active (heartbeating) holder's lock
+      intercept[graft.store.LockTimeoutException](l2.acquire())
+      assert(!holderDone, "holder should still be running when waiter gave up")
+      t.join()
+      assert(!Fs.exists(spark, path), "lock must be released after withLock")
+      assert(l2.tryAcquire()); l2.release()
+    } finally {
+      spark.conf.unset("spark.graft.lockTimeoutSec")
+      spark.conf.unset("spark.graft.lockMaxWaitSec")
+      spark.conf.unset("spark.graft.lockRetryBaseMs")
+    }
+  }
+
+  test("release after a heal does not destroy the new holder's lock") {
+    val path = tmpDir("graft_own_") + "/.own.lock"
+    val l1 = new GraftLock(spark, path)
+    val l2 = new GraftLock(spark, path)
+    assert(l1.tryAcquire())
+    // simulate a waiter healing l1's (supposedly stale) lock and acquiring
+    Fs.delete(spark, path)
+    assert(l2.tryAcquire())
+    // l1's release must detect it no longer owns the lock and no-op
+    l1.release()
+    assert(Fs.exists(spark, path), "l2's lock must survive l1's release")
+    assert(!l1.refresh(), "refresh must report the lock as lost")
+    l2.release()
+    assert(!Fs.exists(spark, path))
+  }
+
+  test("snapshot schema cache does not leak across drop + recreate") {
+    import spark.implicits._
+    val root = tmpDir("graft_nonce_") + "/table"
+    val t1 = new SnapshotTable(spark, root)
+    t1.overwrite(Seq((1L, "a")).toDF("k", "v_old"))
+    assert(t1.read().get.columns.contains("v_old"))
+    // simulate ANOTHER process dropping + recreating: delete the directory
+    // without going through this JVM's drop() (no cache invalidation), then
+    // write a differently-shaped v1
+    Fs.delete(spark, root)
+    val t2 = new SnapshotTable(spark, root)
+    t2.overwrite(Seq((1L, 42L)).toDF("k", "v_new"))
+    assert(t2.currentVersion.contains(1L), "recreated table restarts at v1")
+    val cols = t1.read().get.columns.toSeq
+    assert(cols.contains("v_new") && !cols.contains("v_old"),
+      s"stale cached schema served after recreate: $cols")
+  }
+
+  test("replayed micro-batch fully replaces its registration (no dangling files)") {
+    import spark.implicits._
+    val dataDir = tmpDir("graft_replay_")
+    val schema = Seq((1L, "a")).toDF("id", "v").schema
+    val idx = Index(spark, "replay_idx", schema, "parquet")
+    idx.addIndex("id")
+    StreamIngest.ingestBatch(idx, dataDir)(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), 0L)
+    val filesFirst = idx.files
+    // replay batch 0 with different content (non-deterministic source)
+    StreamIngest.ingestBatch(idx, dataDir)(Seq((3L, "c"), (4L, "d")).toDF("id", "v"), 0L)
+    val filesSecond = idx.files
+    assert(filesSecond.size == filesFirst.size,
+      s"replay must not grow the ledger: $filesSecond")
+    // every registered file must exist on disk
+    filesSecond.foreach(f => assert(Fs.exists(spark, f), s"dangling registration $f"))
+    // index must answer from the REPLAYED content only
+    assert(idx.query(Map("id" -> Seq(3L, 4L))).count() == 2)
+    assert(idx.query(Map("id" -> Seq(1L, 2L))).count() == 0)
+    assert(idx.unindexedFiles.isEmpty)
+  }
+}
