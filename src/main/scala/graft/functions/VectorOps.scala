@@ -242,6 +242,354 @@ object HyperplaneSignature {
   }
 }
 
+/** Sorted distinct murmur3-hashed character n-grams of a string — the whole
+  * shingling pipeline (`array_sort(transform(array_distinct(transform(
+  * sequence(...), substr)), hash))`) as ONE codegen'd expression. The
+  * composed-Column version runs as interpreted higher-order functions and
+  * was recomputed for every self-join side / verify pass of the n-gram
+  * dedup — measured ~3 s per pass over 5k docs at sf0.1, ~10 passes.
+  * Gram boundaries are by code point (matches `substr` semantics); texts
+  * shorter than n yield one gram = the whole text. */
+case class HashedNgramSet(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(n >= 1, "n must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"HashedNgramSet expects string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HashedNgramSet.compute(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.HashedNgramSet.compute($a, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): HashedNgramSet =
+    copy(child = newChild)
+}
+
+object HashedNgramSet {
+  /** Called from both interpreted eval and generated code. */
+  def compute(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    val len = s.length
+    val count = math.max(len - n + 1, 1)
+    val hashes = new Array[Int](count)
+    var i = 0
+    while (i < count) {
+      val gram = s.substring(i, math.min(i + n, len))
+      val bytes = gram.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      hashes(i) = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+        bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42)
+      i += 1
+    }
+    java.util.Arrays.sort(hashes)
+    // dedupe in place (sorted)
+    var w = 0
+    var r = 0
+    while (r < count) {
+      if (w == 0 || hashes(r) != hashes(w - 1)) { hashes(w) = hashes(r); w += 1 }
+      r += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(java.util.Arrays.copyOf(hashes, w))
+  }
+}
+
+/** Full minhash signature of a token array in ONE pass: for each of
+  * `numHashes` affine permutations, the min of `pmod(a_i * murmur3(tok) +
+  * b_i, 2^31-1)` over the tokens. Replaces an explode + 128-column hash
+  * aggregate (shuffle + per-row expression eval x128) with a tight loop per
+  * document — the signature build went from the dominant minhash stage to
+  * noise. Coefficients match [[graft.operators.Dedup]]'s splitmix
+  * derivation; token hashing matches Spark's `hash()` (murmur3, seed 42),
+  * so signatures are bit-identical to the aggregate formulation. */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(numHashes >= 1, "numHashes must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"MinHashSignature expects array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSignature.compute(input.asInstanceOf[ArrayData], numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.MinHashSignature.compute($a, $numHashes)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  private val P = 2147483647L // 2^31 - 1
+
+  @inline private def mix(i: Long): Long = {
+    var z = i + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  @inline def coeffA(i: Int): Long = (mix(2L * i) & 0x7FFFFFFFL) | 1L
+  @inline def coeffB(i: Int): Long = mix(2L * i + 1) & 0x7FFFFFFFL
+
+  /** Called from both interpreted eval and generated code. */
+  def compute(toks: ArrayData, numHashes: Int): ArrayData = {
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    val n = toks.numElements()
+    var t = 0
+    while (t < n) {
+      if (!toks.isNullAt(t)) {
+        val s = toks.getUTF8String(t)
+        // Spark hash(string) = murmur3 over the UTF8 bytes, seed 42,
+        // signed int widened to long (matches hash(col).cast("long"))
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes, 42).toLong
+        var i = 0
+        while (i < numHashes) {
+          val v = java.lang.Math.floorMod(coeffA(i) * h + coeffB(i), P)
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+      }
+      t += 1
+    }
+    // empty/all-null token arrays: min over nothing — use 0 sentinel to
+    // match min() over an empty group degrading to null-free behavior
+    var i = 0
+    while (i < numHashes) {
+      if (sig(i) == Long.MaxValue) sig(i) = 0L
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+}
+
+/** Unweighted 64-bit SimHash over a (distinct) token array in ONE pass —
+  * replaces an explode + 64-column sum aggregate (shuffle) with a per-row
+  * loop. Token hashing matches Spark's `xxhash64()` (seed 42), bit rule
+  * matches the aggregate formulation: bit j set iff more tokens have bit j
+  * set than clear (pinned by a differential test). */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"SimHash64 expects array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.SimHash64.compute($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** Called from both interpreted eval and generated code. */
+  def compute(toks: ArrayData): Long = {
+    val sums = new Array[Int](64)
+    val n = toks.numElements()
+    var t = 0
+    while (t < n) {
+      if (!toks.isNullAt(t)) {
+        val s = toks.getUTF8String(t)
+        // Spark xxhash64(string) = XXH64 over the UTF8 bytes, seed 42
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
+        var j = 0
+        while (j < 64) {
+          if (((h >>> j) & 1L) == 1L) sums(j) += 1 else sums(j) -= 1
+          j += 1
+        }
+      }
+      t += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 64) {
+      if (sums(j) > 0) sig |= (1L << j)
+      j += 1
+    }
+    sig
+  }
+}
+
+/** Murmur3-hash every element of a string array and sort ascending — the
+  * codegen'd form of `array_sort(transform(arr, hash))`, whose lambda runs
+  * interpreted. Produces the per-doc hashed token set consumed by the
+  * sorted-merge intersection counters. */
+case class HashStringArraySorted(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"HashStringArraySorted expects array<string>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    HashStringArraySorted.compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.functions.HashStringArraySorted.compute($a)")
+
+  override protected def withNewChildInternal(newChild: Expression): HashStringArraySorted =
+    copy(child = newChild)
+}
+
+object HashStringArraySorted {
+  /** Called from both interpreted eval and generated code. Null elements
+    * hash like Spark's `hash()` does (seed passes through unchanged). */
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) =
+        if (arr.isNullAt(i)) 42
+        else {
+          val s = arr.getUTF8String(i)
+          org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+            s.getBaseObject, s.getBaseOffset, s.numBytes, 42)
+        }
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** Band hashes of a long-array signature: the array is split into `bands`
+  * equal slices and each slice is mixed into one long. Keeps the LSH
+  * banding pipeline on ONE array column end-to-end — projecting a
+  * 128-element signature into 128 scalar columns invites CollapseProject to
+  * inline the (expensive) signature expression once PER COLUMN, which
+  * turned the signature stage quadratic (measured 128x blowup). */
+case class LongArrayBandHashes(child: Expression, bands: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(bands >= 1, "bands must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"LongArrayBandHashes expects array<bigint>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    LongArrayBandHashes.compute(input.asInstanceOf[ArrayData], bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.LongArrayBandHashes.compute($a, $bands)")
+
+  override protected def withNewChildInternal(newChild: Expression): LongArrayBandHashes =
+    copy(child = newChild)
+}
+
+object LongArrayBandHashes {
+  @inline private def mix(i: Long): Long = {
+    var z = i + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Called from both interpreted eval and generated code. */
+  def compute(sig: ArrayData, bands: Int): ArrayData = {
+    val n = sig.numElements()
+    val per = math.max(n / bands, 1)
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0x9E3779B97F4A7C15L ^ b
+      var i = b * per
+      val end = if (b == bands - 1) n else math.min((b + 1) * per, n)
+      while (i < end) {
+        h = mix(h ^ (if (sig.isNullAt(i)) 0L else sig.getLong(i)))
+        i += 1
+      }
+      out(b) = h
+      b += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
+/** Index of the first position where two long arrays hold equal values, or
+  * -1 — the "emit each LSH candidate pair from its FIRST agreeing band only"
+  * filter. Replaces a 100M-row distinct() after the bucket self-join: a pair
+  * of near-identical docs agrees on up to all 16 bands and would otherwise
+  * be materialized once per band. */
+case class FirstEqualIndex(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"FirstEqualIndex expects two array<bigint> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) return i
+      i += 1
+    }
+    -1
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val res = ctx.freshName("res")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $res = -1;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) { $res = $i; break; }
+         |}
+         |${ev.value} = $res;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FirstEqualIndex =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorOps {
   /** Codegen'd dot(a, b) over float-array columns. */
   def dotF(a: Column, b: Column): Column =
@@ -264,4 +612,31 @@ object VectorOps {
   def sortedIntIntersectCount(a: Column, b: Column): Column =
     GraftSqlBridge.column(SortedIntArrayIntersectCount(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Codegen'd sorted distinct murmur3-hashed character n-gram set. */
+  def hashedNgramSet(text: Column, n: Int): Column =
+    GraftSqlBridge.column(HashedNgramSet(GraftSqlBridge.expression(text), n))
+
+  /** Codegen'd index of first equal position in two long arrays (-1 if none). */
+  def firstEqualIndex(a: Column, b: Column): Column =
+    GraftSqlBridge.column(FirstEqualIndex(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Codegen'd one-pass minhash signature (array<long> of numHashes mins). */
+  def minhashSignature(tokens: Column, numHashes: Int): Column =
+    GraftSqlBridge.column(MinHashSignature(
+      GraftSqlBridge.expression(tokens), numHashes))
+
+  /** Codegen'd band hashes of a long-array signature. */
+  def bandHashes(sig: Column, bands: Int): Column =
+    GraftSqlBridge.column(LongArrayBandHashes(
+      GraftSqlBridge.expression(sig), bands))
+
+  /** Codegen'd one-pass 64-bit simhash of a token array. */
+  def simhash64(tokens: Column): Column =
+    GraftSqlBridge.column(SimHash64(GraftSqlBridge.expression(tokens)))
+
+  /** Codegen'd `array_sort(transform(arr, hash))`. */
+  def hashSortedArray(arr: Column): Column =
+    GraftSqlBridge.column(HashStringArraySorted(GraftSqlBridge.expression(arr)))
 }

@@ -56,8 +56,15 @@ object Dedup {
     inter.cast("double") / (size(a) + size(b) - inter).cast("double")
   }
 
-  /** Sorted array of murmur3-hashed elements of an array column. */
+  /** Sorted array of murmur3-hashed elements of an array column — the
+    * codegen'd [[graft.functions.HashStringArraySorted]] (the
+    * `array_sort(transform(_, hash))` composition runs its lambda
+    * interpreted; pinned equal by a differential test). */
   def hashedSet(arr: Column): Column =
+    graft.functions.VectorOps.hashSortedArray(arr)
+
+  /** Interpreted HOF formulation of [[hashedSet]] — differential-test oracle. */
+  private[graft] def hashedSetHof(arr: Column): Column =
     array_sort(transform(arr, t => hash(t)))
 
   // ---- MinHash + LSH -------------------------------------------------------
@@ -84,35 +91,71 @@ object Dedup {
         lit(MersennePrime))).as(s"mh_$i")
     }
 
-  /** Per-doc minhash signature: one row per id, `mh_0..mh_{n-1}` columns. */
+  /** Per-doc minhash signature as ONE `array<long>` column `__sig` —
+    * computed by the one-pass codegen'd expression
+    * ([[graft.functions.MinHashSignature]]); the explode + 128-column hash
+    * aggregate it replaces shuffled tokens x docs rows and dominated the
+    * minhash stage. Signatures are bit-identical to the aggregate
+    * formulation (pinned by a test against [[minhashSignaturesAgg]]).
+    *
+    * The signature deliberately stays an ARRAY: projecting it into scalar
+    * `mh_i` columns invites CollapseProject to inline the signature
+    * expression once per column (a measured 128x blowup). Use
+    * [[minhashSignatures]] only for inspection/tests. */
+  def minhashSignatureArray(
+      df: DataFrame, idCol: String, textCol: String, numHashes: Int): DataFrame =
+    df.select(col(idCol).as("__id"),
+      graft.functions.VectorOps.minhashSignature(tokenSet(col(textCol)), numHashes)
+        .as("__sig"))
+
+  /** Inspection form of [[minhashSignatureArray]]: `mh_0..mh_{n-1}` scalar
+    * columns (not for hot paths — see the array-form scaladoc). */
   def minhashSignatures(
+      df: DataFrame, idCol: String, textCol: String, numHashes: Int): DataFrame = {
+    val mhCols = (0 until numHashes).map(i =>
+      element_at(col("__sig"), i + 1).as(s"mh_$i"))
+    minhashSignatureArray(df, idCol, textCol, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("__id") +: mhCols: _*)
+  }
+
+  /** The original aggregate formulation of [[minhashSignatures]] — kept as
+    * the differential-test oracle for the codegen'd expression. */
+  private[graft] def minhashSignaturesAgg(
       df: DataFrame, idCol: String, textCol: String, numHashes: Int): DataFrame = {
     val toks = df
       .select(col(idCol).as("__id"), explode(tokenSet(col(textCol))).as("__tok"))
       .withColumn("__h", hash(col("__tok"))) // murmur3-32, deterministic
-    toks.groupBy("__id").agg(minhashAggs(col("__h"), numHashes).head,
-      minhashAggs(col("__h"), numHashes).tail: _*)
+    val aggs = minhashAggs(col("__h"), numHashes)
+    toks.groupBy("__id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** Candidate near-dup pairs via LSH banding: docs agreeing on ALL rows of
     * at least one band meet in a bucket. Join is on (band, band_hash) —
-    * shuffle-partitioned by bucket, never all-pairs. */
+    * shuffle-partitioned by bucket, never all-pairs.
+    *
+    * Each pair is emitted from its FIRST agreeing band only (codegen'd
+    * [[graft.functions.FirstEqualIndex]] over the full band-hash arrays
+    * carried on both sides), so the output needs no distinct(): a
+    * near-identical pair agrees on up to ALL bands and a post-join distinct
+    * had to crunch bands x pairs rows (measured 100M rows at sf0.1 for 6.1M
+    * pairs). */
   def minhashCandidates(
       sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = numHashes / bands
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        hash((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*).as("bh"))
-    }
     val buckets = sigs
-      .select(col("__id"), explode(array(bandCols: _*)).as("__b"))
-      .select(col("__id"), col("__b.band").as("band"), col("__b.bh").as("bh"))
-    val a = buckets.select(col("band"), col("bh"), col("__id").as("a_id"))
-    val b = buckets.select(col("band"), col("bh"), col("__id").as("b_id"))
+      .select(col("__id"),
+        graft.functions.VectorOps.bandHashes(col("__sig"), bands).as("__bands"))
+      .select(col("__id"), col("__bands"),
+        posexplode(col("__bands")).as(Seq("band", "bh")))
+    val a = buckets.select(col("band"), col("bh"), col("__id").as("a_id"),
+      col("__bands").as("__ba"))
+    val b = buckets.select(col("band"), col("bh"), col("__id").as("b_id"),
+      col("__bands").as("__bb"))
     a.join(b, Seq("band", "bh"))
-      .where(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+      .where(col("a_id") < col("b_id") &&
+        graft.functions.VectorOps.firstEqualIndex(col("__ba"), col("__bb")) === col("band"))
+      .select("a_id", "b_id")
   }
 
   /** Near-duplicate pairs with EXACT token-set Jaccard >= `threshold`,
@@ -127,7 +170,12 @@ object Dedup {
       threshold: Double,
       numHashes: Int = 128,
       bands: Int = 16): DataFrame = {
-    val sigs = minhashSignatures(df, idCol, textCol, numHashes)
+    // persisted: the bucket self-join consumes the signature frame from two
+    // plan branches, which would otherwise recompute the signature pipeline
+    // once per side (storage memory is LRU-evictable, so the persist is a
+    // hint, not a leak at scale)
+    val sigs = minhashSignatureArray(df, idCol, textCol, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = minhashCandidates(sigs, numHashes, bands)
     val toks = df.select(col(idCol).as("__tid"),
       hashedSet(tokenSet(col(textCol))).as("__toks"))
@@ -147,10 +195,13 @@ object Dedup {
     * pairs — auto-broadcast when small — and kills most false candidates
     * BEFORE the full arrays are shuffled or merged. */
   private[operators] def verifyPairs(
-      cands: DataFrame, toks: DataFrame, cond: Column,
+      cands: DataFrame, toksIn: DataFrame, cond: Column,
       sizeRatio: Option[Double] = None): DataFrame = {
     val spark = cands.sparkSession
     val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // persisted: consumed by the stats job + size-filter + both verify-join
+    // sides — five plan branches that would each re-tokenize the corpus
+    val toks = toksIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // One TINY stats job over the column-pruned (id, |set|) projection:
     // drives both the broadcast decision below and nothing else. Estimated
     // broadcast payload = 4 bytes/int element + per-row array overhead.
@@ -189,9 +240,19 @@ object Dedup {
   // ---- SimHash -------------------------------------------------------------
 
   /** Unweighted 64-bit SimHash over the distinct token set. Identical token
-    * sets always produce identical simhashes, so band-bucketing has
-    * guaranteed recall for set-equality dedup. */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * sets always produce identical simhashes, so bucketing on the simhash
+    * has guaranteed recall for set-equality dedup. Computed per document in
+    * one codegen'd pass ([[graft.functions.SimHash64]]) — no explode, no
+    * 64-column aggregate, no shuffle (pinned bit-identical to the aggregate
+    * formulation by a differential test). */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("__id"),
+      graft.functions.VectorOps.simhash64(tokenSet(col(textCol))).as("simhash"))
+
+  /** The original explode + 64-sum aggregate formulation of [[simhash]] —
+    * kept as the differential-test oracle for the codegen'd expression. */
+  private[graft] def simhashAgg(
+      df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df
       .select(col(idCol).as("__id"), explode(tokenSet(col(textCol))).as("__tok"))
       .withColumn("__h", xxhash64(col("__tok")))
@@ -208,23 +269,19 @@ object Dedup {
     agg.select(col("__id"), bitVals.reduce(_ + _).as("simhash"))
   }
 
-  /** Exact-duplicate (identical token set) pairs found via simhash banding:
-    * 4 x 16-bit bands; hamming distance 0 implies all bands equal, so every
-    * true pair is found. Verification = exact sorted-token-set equality. */
+  /** Exact-duplicate (identical token set) pairs via simhash: identical
+    * sets produce IDENTICAL 64-bit simhashes, so candidates come from one
+    * equi-join on the full simhash — recall 1 by construction, one row per
+    * pair, no banding/distinct needed (banding exists for hamming > 0; see
+    * [[simhashNearPairs]]). Verification = exact sorted-token-set equality. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val sh = simhash(df, idCol, textCol)
-    val bandCols = (0 until 4).map { b =>
-      struct(lit(b).as("band"),
-        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bh"))
-    }
-    val buckets = sh
-      .select(col("__id"), explode(array(bandCols: _*)).as("__b"))
-      .select(col("__id"), col("__b.band").as("band"), col("__b.bh").as("bh"))
-    val a = buckets.select(col("band"), col("bh"), col("__id").as("a_id"))
-    val b = buckets.select(col("band"), col("bh"), col("__id").as("b_id"))
-    val cands = a.join(b, Seq("band", "bh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = sh.select(col("simhash"), col("__id").as("a_id"))
+    val b = sh.select(col("simhash"), col("__id").as("b_id"))
+    val cands = a.join(b, Seq("simhash"))
       .where(col("a_id") < col("b_id"))
-      .select("a_id", "b_id").distinct()
+      .select("a_id", "b_id")
     // set equality == equal sizes + full intersection, via the codegen'd
     // int merge (array<string> equality comparison was the bottleneck at
     // 10^7 candidates); size filter at ratio 1.0 kills unequal sizes first
@@ -234,6 +291,39 @@ object Dedup {
       graft.functions.VectorOps.sortedIntIntersectCount(col("__ta"), col("__tb"))
         === size(col("__ta")),
       sizeRatio = Some(1.0))
+  }
+
+  /** Near-duplicate pairs by simhash hamming distance <= `maxHamming`:
+    * (maxHamming+1) bands over the 64-bit simhash — by pigeonhole, any pair
+    * within the distance agrees exactly on at least one band, so recall is
+    * 1 for the hamming criterion. Verification = bit_count(xor) (exact,
+    * codegen'd built-ins). Each pair is emitted from its first agreeing
+    * band only — no distinct(). */
+  def simhashNearPairs(
+      df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 16, "maxHamming must be in [0, 16)")
+    val nBands = maxHamming + 1
+    val width = 64 / nBands
+    val sh = simhash(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandCols = (0 until nBands).map { b =>
+      val hi = if (b == nBands - 1) 64 else (b + 1) * width
+      val bits = hi - b * width
+      val mask = if (bits >= 64) -1L else (1L << bits) - 1
+      shiftrightunsigned(col("simhash"), b * width).bitwiseAND(lit(mask))
+    }
+    val withBands = sh.select(col("__id"), col("simhash"), array(bandCols: _*).as("__bands"))
+    val buckets = withBands.select(col("__id"), col("simhash"), col("__bands"),
+      posexplode(col("__bands")).as(Seq("band", "bh")))
+    val a = buckets.select(col("band"), col("bh"), col("__id").as("a_id"),
+      col("simhash").as("__sa"), col("__bands").as("__ba"))
+    val b = buckets.select(col("band"), col("bh"), col("__id").as("b_id"),
+      col("simhash").as("__sb"), col("__bands").as("__bb"))
+    a.join(b, Seq("band", "bh"))
+      .where(col("a_id") < col("b_id") &&
+        graft.functions.VectorOps.firstEqualIndex(col("__ba"), col("__bb")) === col("band") &&
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))) <= maxHamming)
+      .select("a_id", "b_id")
   }
 
   // ---- character n-gram Jaccard with prefix filtering ----------------------
@@ -250,37 +340,52 @@ object Dedup {
     * frequency (rarest first); only the first |G| - ceil(t*|G|) + 1 grams
     * are indexed. Any pair with J >= t is guaranteed to share an indexed
     * prefix gram, so recall is exactly 1 — at a fraction of the inverted-
-    * index fanout of indexing every gram. */
+    * index fanout of indexing every gram.
+    *
+    * Shingling runs as ONE codegen'd expression producing the sorted
+    * distinct hashed gram set ([[graft.functions.HashedNgramSet]]) — the
+    * set is persisted and reused by ranking, indexing, and verification
+    * (the composed higher-order-function version was interpreted and
+    * recomputed ~10x). All joins carry int grams, and the length filter
+    * (t*|B| <= |A| <= |B|/t) is applied INSIDE the candidate join, before
+    * the distinct and the verify shuffle. */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       threshold: Double,
       n: Int = 3): DataFrame = {
-    val grams = df.select(col(idCol).as("__id"), ngramSet(col(textCol), n).as("__g"))
-    val exploded = grams.select(col("__id"), explode(col("__g")).as("gram"))
+    val grams = df.select(col(idCol).as("__id"),
+      graft.functions.VectorOps.hashedNgramSet(col(textCol), n).as("__g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val exploded = grams.select(col("__id"), size(col("__g")).as("__sz"),
+      explode(col("__g")).as("gram"))
     // global rarity order: (doc_freq, gram) — deterministic total order
+    // (any agreed total order preserves the prefix-filter guarantee)
     val freq = exploded.groupBy("gram").agg(count(lit(1)).as("df_"))
     val ranked = exploded.join(freq, "gram")
     // per-doc prefix: sort grams by (df_, gram), keep first L
     val withArr = ranked
       .groupBy("__id")
       .agg(sort_array(collect_list(struct(col("df_"), col("gram")))).as("__sorted"),
-        count(lit(1)).as("__n"))
+        first(col("__sz")).as("__n"))
       .withColumn("__L",
         (col("__n") - ceil(lit(threshold) * col("__n")) + 1).cast("int"))
-      .select(col("__id"),
+      .select(col("__id"), col("__n"),
         slice(transform(col("__sorted"), s => s.getField("gram")), lit(1),
           greatest(col("__L"), lit(1))).as("__prefix"))
-    val inverted = withArr.select(col("__id"), explode(col("__prefix")).as("gram"))
-    val a = inverted.select(col("gram"), col("__id").as("a_id"))
-    val b = inverted.select(col("gram"), col("__id").as("b_id"))
+    val inverted = withArr.select(col("__id"), col("__n"),
+      explode(col("__prefix")).as("gram"))
+    val a = inverted.select(col("gram"), col("__id").as("a_id"), col("__n").as("__sa"))
+    val b = inverted.select(col("gram"), col("__id").as("b_id"), col("__n").as("__sb"))
     val cands = a.join(b, Seq("gram"))
-      .where(col("a_id") < col("b_id"))
+      .where(col("a_id") < col("b_id") &&
+        col("__sa") >= col("__sb") * threshold &&
+        col("__sb") >= col("__sa") * threshold)
       .select("a_id", "b_id").distinct()
     verifyPairs(cands,
-      grams.select(col("__id").as("__tid"), hashedSet(col("__g")).as("__toks")),
+      grams.select(col("__id").as("__tid"), col("__g").as("__toks")),
       jaccardSortedHashed(col("__ta"), col("__tb")) >= threshold,
-      sizeRatio = Some(threshold))
+      sizeRatio = None)
   }
 }

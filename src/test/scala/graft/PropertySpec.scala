@@ -48,6 +48,55 @@ class PropertySpec extends GraftSuite {
     values.foreach(x => assert(bf.mightContainString(x), s"false negative: $x"))
   }
 
+  private def randomText(): String =
+    Seq.fill(1 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+
+  test("MinHashSignature expression == explode+agg formulation (per component)") {
+    import spark.implicits._
+    val docs = (1L to 50L).map(i => (i, randomText())).toDF("id", "text")
+    val viaExpr = Dedup.minhashSignatures(docs, "id", "text", 32)
+    val viaAgg = Dedup.minhashSignaturesAgg(docs, "id", "text", 32)
+    assertSameRows(viaExpr, viaAgg)
+  }
+
+  test("SimHash64 expression == explode+64-sum aggregate formulation") {
+    import spark.implicits._
+    val docs = (1L to 100L).map(i => (i, randomText())).toDF("id", "text")
+    val viaExpr = Dedup.simhash(docs, "id", "text")
+    val viaAgg = Dedup.simhashAgg(docs, "id", "text")
+    assertSameRows(viaExpr, viaAgg)
+  }
+
+  test("HashStringArraySorted == array_sort(transform(_, hash))") {
+    import spark.implicits._
+    val cases = Seq.fill(200)(randomSet())
+    val df = cases.toDF("a").select(
+      Dedup.hashedSet(col("a")).as("expr"),
+      Dedup.hashedSetHof(col("a")).as("hof"))
+    assert(df.where(col("expr") =!= col("hof")).count() == 0)
+  }
+
+  test("HashedNgramSet == hashed distinct substr trigram set") {
+    import spark.implicits._
+    val texts = Seq.fill(200)(randomText()) :+ "ab" :+ "a" :+ "abc"
+    val df = texts.toDF("t").select(
+      VectorOps.hashedNgramSet(col("t"), 3).as("expr"),
+      array_sort(array_distinct(transform(
+        Dedup.ngramSet(col("t"), 3), g => hash(g)))).as("hof"))
+    assert(df.where(col("expr") =!= col("hof")).count() == 0)
+  }
+
+  test("FirstEqualIndex finds the first agreeing band") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(9L, 2L, 3L), 1),
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L), 0),
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L), -1)
+    ).toDF("a", "b", "want")
+    assert(df.where(
+      VectorOps.firstEqualIndex(col("a"), col("b")) =!= col("want")).count() == 0)
+  }
+
   test("FloatVectorDot == left-fold double dot over 200 random vectors") {
     import spark.implicits._
     val cases = Seq.fill(200)((
