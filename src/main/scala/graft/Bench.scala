@@ -63,15 +63,19 @@ object Bench {
     val probe = lake.customers
       .where(col("c_custkey") <= maxCust / 8 && col("c_acctbal") > 5000)
       .select(col("c_custkey").as("o_custkey"))
-    spark.conf.set("spark.graft.metricsEnabled", "true")
+    // timed runs measure the join alone; pruning telemetry is collected in a
+    // separate untimed run so the indexed side isn't billed for two extra
+    // metric aggregates the full scan doesn't pay
     val (_, idxJoinSec) = time {
       lake.ordersIdx.join(probe, Seq("o_custkey")).count()
     }
-    val pruning = IndexJoin.lastMetrics
-    spark.conf.set("spark.graft.metricsEnabled", "false")
     val (_, fullJoinSec) = time {
       spark.read.parquet(lake.ordersFiles: _*).join(probe, Seq("o_custkey")).count()
     }
+    spark.conf.set("spark.graft.metricsEnabled", "true")
+    lake.ordersIdx.join(probe, Seq("o_custkey")).count()
+    val pruning = IndexJoin.lastMetrics
+    spark.conf.set("spark.graft.metricsEnabled", "false")
     results("x_join_indexed") = idxJoinSec
     results("x_join_fullscan") = fullJoinSec
     pruning.foreach { m =>

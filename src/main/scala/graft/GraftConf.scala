@@ -65,6 +65,12 @@ object GraftConf {
   def retainedSnapshots(spark: SparkSession): Int =
     getInt(spark, "retainedSnapshots", 2)
 
+  /** Spark-cache index/filelist snapshot tables in memory (LRU-evictable).
+    * Probes scan the index table on every query; at one row per data file
+    * the table is small relative to the lake, so default on. */
+  def cacheIndexTables(spark: SparkSession): Boolean =
+    !get(spark, "cacheIndexTables").exists(_.trim.equalsIgnoreCase("false"))
+
   /** Pruning-metrics telemetry (two extra tiny aggregates per join over the
     * one-row-per-file index table). Off by default: never on the hot path
     * unless asked for (r1 verdict bug #3). */

@@ -116,6 +116,24 @@ object SparkEntry {
         .select("o_custkey", "c_name", "o_orderkey")
         .orderBy("o_custkey", "o_orderkey")
     }),
+    // Outer/anti joins must return unmatched index rows → the engine reads
+    // ALL files for these join types (pruning only for inner/semi/right).
+    "q_left_join" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val probe = lk.customers.where(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("o_custkey"), col("c_name"))
+      lk.ordersIdx.join(probe, Seq("o_custkey"), "left")
+        .select("o_orderkey", "o_custkey", "c_name")
+        .orderBy("o_orderkey")
+    }),
+    "q_anti_join" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val probe = lk.customers.where(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("o_custkey"))
+      lk.ordersIdx.join(probe, Seq("o_custkey"), "left_anti")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
     "q_pruned_agg" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
       lk.lineitemIdx.query(Map("l_suppkey" -> SuppKeys))
@@ -278,6 +296,17 @@ object SparkEntry {
       s"""SELECT o.o_custkey, c.c_name, o.o_orderkey
           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
           WHERE c.c_acctbal > 9500 ORDER BY o_custkey, o_orderkey""",
+    "q_left_join" ->
+      s"""SELECT o.o_orderkey, o.o_custkey, c.c_name
+          FROM orders o LEFT JOIN
+            (SELECT c_custkey, c_name FROM customer WHERE c_acctbal > 9000) c
+            ON o.o_custkey = c.c_custkey
+          ORDER BY o_orderkey""",
+    "q_anti_join" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders o
+          WHERE NOT EXISTS (SELECT 1 FROM customer c
+            WHERE c.c_acctbal > 9000 AND c.c_custkey = o.o_custkey)
+          ORDER BY o_orderkey""",
     "q_pruned_agg" ->
       s"""SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
                  count(*) AS cnt

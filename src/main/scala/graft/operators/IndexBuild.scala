@@ -72,11 +72,32 @@ object IndexBuild extends Logging {
     }
   }
 
-  /** Analyze pending files (one pass, HLL estimates) and greedily bin-pack:
-    * files sorted by estimate desc, packed until the batch's summed
-    * estimate exceeds the budget or the file cap; oversized files get their
-    * own batch (reference: IndexBuildOperations.scala:747-808). Returns
-    * (batch files, max single-file estimate in batch). */
+  /** Parquet footer record count — metadata only, no data scan, no Spark
+    * job. None for non-parquet or unreadable footers. */
+  private def parquetRowCount(
+      store: IndexStore, path: String): Option[Long] =
+    try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        p, graft.store.Fs.hadoopConf(store.spark))
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try Some(r.getRecordCount) finally r.close()
+    } catch { case _: Exception => None }
+
+  /** Analyze pending files and greedily bin-pack: files sorted by estimate
+    * desc, packed until the batch's summed estimate exceeds the budget or
+    * the file cap; oversized files get their own batch (reference's
+    * analyze+pack: IndexBuildOperations.scala:686-733,747-808). Returns
+    * (batch files, max single-file estimate in batch).
+    *
+    * Estimation is METADATA-ONLY — no data scan: per-file distinct counts
+    * are bounded above by row counts, which parquet footers give for free
+    * (CSV/JSON fall back to bytes/32). The reference runs an exact
+    * countDistinct pass over every pending file before building — a full
+    * extra read of the data per update; an upper bound merely packs
+    * conservatively (never too-large batches), and bloom sizing from it
+    * can only over-provision. Exploded indexes multiply the bound (array
+    * fan-out) by a fixed slack factor. */
   def planBatches(
       store: IndexStore,
       meta: IndexMetadata,
@@ -85,27 +106,14 @@ object IndexBuild extends Logging {
     val budget = GraftConf.buildBatchDistinctBudget(spark)
     val maxFiles = GraftConf.buildBatchMaxFiles(spark)
     val arrayDefs = meta.indexes.filter(d => d.isArrayShaped || d.indexType == "bloom")
+    val explodedSlack = if (meta.indexes.exists(_.indexType == "exploded")) 8L else 1L
 
     val analyses: Seq[FileAnalysis] =
       if (arrayDefs.isEmpty || files.size == 1) files.map(FileAnalysis(_, 1L))
-      else {
-        val tagged = FileReader.readTagged(spark, meta, files)
-        val base = FileReader.applyComputed(tagged, meta)
-        val aggs = arrayDefs.map {
-          case d if d.indexType == "exploded" =>
-            approx_count_distinct(col(d.column)).as(d.column)
-          case d => approx_count_distinct(col(d.column)).as(d.column)
-        }
-        val withExploded = meta.indexes.filter(_.indexType == "exploded")
-          .foldLeft(base)((df, d) => df.withColumn(d.column, expr(d.expr.get)))
-        // exploded estimates use array cardinality sum as a cheap upper bound
-        val est = withExploded.groupBy(col(F).as("filename"))
-          .agg(aggs.head, aggs.tail: _*)
-        est.collect().map { r =>
-          val m = arrayDefs.map(d =>
-            Option(r.getAs[Any](d.column)).map(_.toString.toLong).getOrElse(0L))
-          FileAnalysis(r.getAs[String]("filename"), if (m.isEmpty) 1L else m.max)
-        }.toSeq
+      else files.map { f =>
+        val rows = parquetRowCount(store, f).getOrElse(
+          math.max(graft.store.Fs.fileSize(spark, f) / 32L, 1L))
+        FileAnalysis(f, math.max(rows, 1L) * explodedSlack)
       }
 
     val sorted = analyses.sortBy(-_.maxDistinct)

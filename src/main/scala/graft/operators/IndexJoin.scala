@@ -29,14 +29,35 @@ object IndexJoin extends Logging {
 
   @volatile var lastMetrics: Option[PruningMetrics] = None
 
+  /** Does this join type need index rows that match NOTHING on the probe
+    * side? If so, file pruning by probe values would silently drop result
+    * rows and the whole index must be read (pruning is only ever allowed to
+    * over-approximate). With the index on the left: LEFT/FULL OUTER keep
+    * unmatched index rows, LEFT ANTI returns exactly the non-matching ones.
+    * Reversed (index on the right): RIGHT/FULL OUTER. Semi joins and INNER
+    * always prune; reversed LEFT ANTI prunes too — a probe row's matches
+    * can only live in files the probe located (candidate sets
+    * over-approximate). */
+  def needsAllIndexRows(joinType: String, indexIsLeft: Boolean): Boolean = {
+    val jt = joinType.toLowerCase.replace("_", "")
+    val full = Set("full", "fullouter", "outer")
+    if (indexIsLeft) full.contains(jt) || jt == "left" || jt == "leftouter" || jt == "leftanti"
+    else full.contains(jt) || jt == "right" || jt == "rightouter"
+  }
+
   /** Validate join columns, locate files from the probe frame, return the
-    * pruned + temporally-deduplicated index-side data. */
+    * pruned + temporally-deduplicated index-side data. `pruneIndexSide =
+    * false` reads every registered file (outer/anti join types — see
+    * [[needsAllIndexRows]]; the reference shares this sharp edge but never
+    * pins it: its LEFT OUTER tests run through the catalog's read-all
+    * path). */
   def prunedData(
       store: IndexStore,
       meta: IndexMetadata,
       probeDf: DataFrame,
       usingColumns: Seq[String],
-      selection: Option[Seq[String]]): DataFrame = {
+      selection: Option[Seq[String]],
+      pruneIndexSide: Boolean = true): DataFrame = {
     val spark = store.spark
     val readable = readableColumns(meta)
     usingColumns.foreach { c =>
@@ -50,9 +71,16 @@ object IndexJoin extends Logging {
         s"${usingColumns.mkString(", ")} is (reference rule, " +
         "IndexJoinOperations.scala:131-137)")
 
-    val probes: Map[String, IndexProbe.Probe] =
-      indexedCols.map(c => c -> IndexProbe.Frame(probeDf.select(col(c)))).toMap
-    val files = IndexProbe.collectFiles(IndexProbe.candidateFiles(store, meta, probes))
+    val files =
+      if (pruneIndexSide) {
+        val probes: Map[String, IndexProbe.Probe] =
+          indexedCols.map(c => c -> IndexProbe.Frame(probeDf.select(col(c)))).toMap
+        IndexProbe.collectFiles(IndexProbe.candidateFiles(store, meta, probes))
+      } else {
+        store.fileList.read()
+          .map(_.select("filename").collect().map(_.getString(0)).toSeq)
+          .getOrElse(Seq.empty)
+      }
     if (GraftConf.metricsEnabled(spark)) recordMetrics(store, files)
 
     val aliases = meta.indexes
@@ -87,7 +115,8 @@ object IndexJoin extends Logging {
       usingColumns: Seq[String],
       joinType: String,
       selection: Option[Seq[String]]): DataFrame =
-    prunedData(store, meta, df, usingColumns, selection)
+    prunedData(store, meta, df, usingColumns, selection,
+      pruneIndexSide = !needsAllIndexRows(joinType, indexIsLeft = true))
       .join(df, usingColumns, joinType)
 
   /** `df.join(index, cols, joinType)` — enrichment direction (reference:
@@ -99,7 +128,9 @@ object IndexJoin extends Logging {
       usingColumns: Seq[String],
       joinType: String,
       selection: Option[Seq[String]]): DataFrame =
-    df.join(prunedData(store, meta, df, usingColumns, selection), usingColumns, joinType)
+    df.join(prunedData(store, meta, df, usingColumns, selection,
+      pruneIndexSide = !needsAllIndexRows(joinType, indexIsLeft = false)),
+      usingColumns, joinType)
 
   /** Latest-version row filter: for every applicable temporal index, rank
     * rows per value by timestamp desc and keep rows ranked 1 by EVERY

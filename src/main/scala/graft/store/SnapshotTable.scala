@@ -42,21 +42,35 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   private def versionDir(v: Long): String = s"$root/v$v"
 
   /** Current snapshot as a DataFrame, if the table has ever been written.
-    * The snapshot schema is cached per (root, version, nonce): a version
-    * directory is immutable, so the first read's inferred schema is
-    * authoritative — without this, EVERY read ran a parquet footer-merge
-    * Spark job, and an index build issues dozens of reads (measured: ~60
-    * jobs/build, most of them schema inference). */
+    *
+    * Two caches, both keyed by (root, version, nonce) — a version directory
+    * is immutable, so the first read is authoritative:
+    *  - the SCHEMA is always cached (without it every read ran a parquet
+    *    footer-merge Spark job; an index build issues dozens of reads);
+    *  - the DATA is Spark-cached (MEMORY_AND_DISK, LRU-evictable) when
+    *    `spark.graft.cacheIndexTables` is on (default): every probe scans
+    *    the index table, and at one row per data file even a 100 TB lake's
+    *    index is a few GB — memory-resident probes cut the per-query
+    *    overhead that dominates small probes. A superseded version is
+    *    unpersisted on the next read. */
   def read(): Option[DataFrame] =
     readPointer().map { case (v, nonce) =>
       val key = (root, v, nonce)
-      SnapshotTable.schemaCache.get(key) match {
+      def plain: DataFrame = SnapshotTable.schemaCache.get(key) match {
         case Some(schema) => spark.read.schema(schema).parquet(versionDir(v))
         case None =>
           val df = spark.read.parquet(versionDir(v))
           SnapshotTable.cachePut(key, df.schema)
           df
       }
+      if (!GraftConf.cacheIndexTables(spark)) plain
+      else SnapshotTable.dfCache.getOrElseUpdate(key, {
+        SnapshotTable.dfCache.keys
+          .filter(k => k._1 == root && k != key)
+          .foreach(k => SnapshotTable.dfCache.remove(k)
+            .foreach(_.unpersist(false)))
+        plain.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      })
     }
 
   /** Replace the table content atomically. The written schema is cached so
@@ -141,12 +155,18 @@ object SnapshotTable {
   /** (root, version, nonce) -> schema; bounded by LRU-ish trim at 4096. */
   private val schemaCache =
     scala.collection.concurrent.TrieMap.empty[(String, Long, String), org.apache.spark.sql.types.StructType]
+  /** (root, version, nonce) -> Spark-cached snapshot DataFrame. */
+  private val dfCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Long, String), DataFrame]
   private[store] def cachePut(
       k: (String, Long, String), v: org.apache.spark.sql.types.StructType): Unit = {
     if (schemaCache.size > 4096) schemaCache.clear()
     schemaCache.put(k, v)
   }
   /** Drop every cache entry for a table root (called on drop()). */
-  private[store] def invalidate(root: String): Unit =
+  private[store] def invalidate(root: String): Unit = {
     schemaCache.keys.filter(_._1 == root).foreach(schemaCache.remove)
+    dfCache.keys.filter(_._1 == root)
+      .foreach(k => dfCache.remove(k).foreach(_.unpersist(false)))
+  }
 }
