@@ -141,6 +141,68 @@ object SparkEntry {
         .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
         .orderBy("l_returnflag", "l_linestatus")
     }),
+    "q_range_window" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      lk.ordersIdx.queryRange("o_orderkey", 100L, 400L)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+    "q_temporal_join" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      import s.implicits._
+      val users = UserIds.toDF("user_id")
+      lk.eventsIdx.join(users, Seq("user_id"))
+        .select("event_id", "user_id", "event_type")
+        .orderBy("user_id", "event_id")
+    }),
+    "q_bloom_join" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val probe = lk.part.where(col("p_size") > 45)
+        .select(col("p_partkey").as("l_partkey"))
+      lk.lineitemIdx.join(probe, Seq("l_partkey"))
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
+    "q_autobloom" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      lk.ordersLargeIdx.query(Map("o_orderkey" -> OrderKeys))
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
+    // Structured Streaming ingestion: two micro-batches land in the index
+    // via foreachBatch, then the index answers a pruned probe. Batch
+    // content is deterministic, so replays across calls are idempotent.
+    "q_stream_ingest" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val rows = lk.orders.where(col("o_orderkey") <= 5000)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .as[(Long, Long, String)].collect().sortBy(_._1)
+      val (even, odd) = rows.partition(_._1 % 2 == 0)
+      val mem = MemoryStream[(Long, Long, String)]
+      val stream = mem.toDF().toDF("o_orderkey", "o_custkey", "o_orderstatus")
+      val name = "stream_orders_idx"
+      val idx =
+        if (graft.Index.exists(s, name)) graft.Index.connect(s, name)
+        else {
+          val i = graft.Index(s, name, stream.schema, "parquet")
+          i.addIndex("o_custkey")
+          i
+        }
+      val q = graft.streaming.StreamIngest.writer(stream, idx, s"${lk.work}/stream_orders")
+        .option("checkpointLocation",
+          s"${lk.work}/stream_ckpt_" + java.util.UUID.randomUUID().toString.take(8))
+        .start()
+      try {
+        mem.addData(even.toIndexedSeq: _*); q.processAllAvailable()
+        mem.addData(odd.toIndexedSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      idx.query(Map("o_custkey" -> CustKeys))
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
     // ---- LLM-data-pipeline operators --------------------------------------
     "q_dedup_exact" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
@@ -312,6 +374,26 @@ object SparkEntry {
                  count(*) AS cnt
           FROM lineitem WHERE l_suppkey IN ${inList(SuppKeys)}
           GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q_range_window" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+         WHERE o_orderkey BETWEEN 100 AND 400 ORDER BY o_orderkey""",
+    "q_temporal_join" ->
+      s"""SELECT event_id, user_id, event_type FROM (
+            SELECT event_id, user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id ORDER BY ts DESC) rn
+            FROM events WHERE user_id IN ${inList(UserIds)})
+          WHERE rn = 1 ORDER BY user_id, event_id""",
+    "q_bloom_join" ->
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_partkey
+         FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         WHERE p.p_size > 45 ORDER BY l_orderkey, l_linenumber""",
+    "q_autobloom" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+          WHERE o_orderkey IN ${inList(OrderKeys)} ORDER BY o_orderkey""",
+    "q_stream_ingest" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+          WHERE o_orderkey <= 5000 AND o_custkey IN ${inList(CustKeys)}
+          ORDER BY o_orderkey""",
     "q_dedup_exact" ->
       """SELECT lang, n_chars, min(doc_id) AS keep_id, count(*) AS dup_count
          FROM documents GROUP BY lang, n_chars ORDER BY lang, n_chars""",

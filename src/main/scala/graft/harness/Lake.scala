@@ -112,6 +112,20 @@ final class Lake private (val spark: SparkSession, val sfDir: String, val work: 
     idx
   }
 
+  /** orders with a tiny largeIndexLimit: every per-file o_orderkey array is
+    * evicted to the large-index overflow table with an auto-bloom — the
+    * oracle gate for the large-index + auto-bloom probe path. */
+  lazy val ordersLargeIdx: Index = {
+    spark.conf.set("spark.graft.largeIndexLimit", "50")
+    try {
+      val idx = Index(spark, "orders_large_idx", table("orders").schema, "parquet")
+      idx.addIndex("o_orderkey")
+      idx.addFile(ordersFiles: _*)
+      idx.update()
+      idx
+    } finally spark.conf.unset("spark.graft.largeIndexLimit")
+  }
+
   lazy val ordersJsonIdx: Index = {
     val schema = table("orders").select(OrdersTextCols.map(col): _*).schema
     val idx = Index(spark, "orders_json_idx", schema, "json")
@@ -122,6 +136,7 @@ final class Lake private (val spark: SparkSession, val sfDir: String, val work: 
   }
 
   def customers: DataFrame = table("customer")
+  def part: DataFrame = table("part")
   def orders: DataFrame = table("orders")
   def lineitem: DataFrame = table("lineitem")
   def events: DataFrame = table("events")

@@ -57,6 +57,18 @@ class PipelineOpsSpec extends GraftSuite {
     assertSameRows(got, want)
   }
 
+  test("simhashNearPairs covers hamming <= k exactly (banding pigeonhole)") {
+    val got = Dedup.simhashNearPairs(docs, "doc_id", "text", maxHamming = 3)
+    val sh = Dedup.simhash(docs, "doc_id", "text")
+    val want = sh.as("a").join(sh.as("b"), col("a.__id") < col("b.__id"))
+      .where(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 3)
+      .select(col("a.__id").as("a_id"), col("b.__id").as("b_id"))
+    assertSameRows(got, want)
+    // superset of the exact-duplicate pairs (hamming 0)
+    val exact = Dedup.simhashPairs(docs, "doc_id", "text")
+    assert(exact.exceptAll(got).count() == 0)
+  }
+
   test("no dedup path contains a cartesian product") {
     val plans = Seq(
       Dedup.minhashPairs(docs, "doc_id", "text", 0.95),
