@@ -169,6 +169,49 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_orderstatus")
         .orderBy("o_orderkey")
     }),
+    // deleteFiles: register all 8 band files, delete the first band, then a
+    // full catalog scan must see exactly the remaining rows (band 0 holds
+    // custkeys < width = max/8+1 — the oracle recomputes the same width).
+    "q_delete_files" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val name = "orders_delete_idx"
+      val idx =
+        if (graft.Index.exists(s, name)) graft.Index.connect(s, name)
+        else {
+          val i = graft.Index(s, name, lk.orders.schema, "parquet")
+          i.addIndex("o_custkey")
+          i.addFile(lk.ordersFiles: _*)
+          i.update()
+          i
+        }
+      val band0 = lk.ordersFiles.head
+      if (idx.hasFile(band0)) idx.deleteFiles(band0)
+      s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      s.sql(
+        s"""SELECT o_orderstatus, count(*) AS cnt FROM graft.$name
+            GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    }),
+    // column backfill: an index built on o_custkey gains a range index on
+    // o_orderkey later; update() recomputes only the new column, and the
+    // new index must answer probes over ALL previously indexed files.
+    "q_backfill" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val name = "orders_backfill_idx"
+      val idx =
+        if (graft.Index.exists(s, name)) graft.Index.connect(s, name)
+        else {
+          val i = graft.Index(s, name, lk.orders.schema, "parquet")
+          i.addIndex("o_custkey")
+          i.addFile(lk.ordersFiles: _*)
+          i.update()
+          i
+        }
+      idx.addRangeIndex("o_orderkey")
+      idx.update() // backfills range_o_orderkey for the already-indexed files
+      idx.query(Map("o_orderkey" -> OrderKeys))
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
     // Structured Streaming ingestion: two micro-batches land in the index
     // via foreachBatch, then the index answers a pruned probe. Batch
     // content is deterministic, so replays across calls are idempotent.
@@ -394,6 +437,13 @@ object SparkEntry {
       s"""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
           WHERE o_orderkey <= 5000 AND o_custkey IN ${inList(CustKeys)}
           ORDER BY o_orderkey""",
+    "q_delete_files" ->
+      """SELECT o_orderstatus, count(*) AS cnt FROM orders
+         WHERE o_custkey >= (SELECT max(o_custkey) // 8 + 1 FROM orders)
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_backfill" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+          WHERE o_orderkey IN ${inList(OrderKeys)} ORDER BY o_orderkey""",
     "q_dedup_exact" ->
       """SELECT lang, n_chars, min(doc_id) AS keep_id, count(*) AS dup_count
          FROM documents GROUP BY lang, n_chars ORDER BY lang, n_chars""",

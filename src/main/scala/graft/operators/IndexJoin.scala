@@ -75,7 +75,15 @@ object IndexJoin extends Logging {
       if (pruneIndexSide) {
         val probes: Map[String, IndexProbe.Probe] =
           indexedCols.map(c => c -> IndexProbe.Frame(probeDf.select(col(c)))).toMap
-        IndexProbe.collectFiles(IndexProbe.candidateFiles(store, meta, probes))
+        val t0 = System.nanoTime()
+        val located = IndexProbe.collectFiles(IndexProbe.candidateFiles(store, meta, probes))
+        // probe-latency telemetry, mirroring the reference's per-locate log
+        // (IndexQueryOperations.scala:278-281) — ours is one fused job, so
+        // one wall time covers all probed columns
+        logInfo(f"index ${meta.name}: located ${located.size} files for " +
+          s"columns [${indexedCols.mkString(", ")}] in " +
+          f"${(System.nanoTime() - t0) / 1e6}%.0f ms")
+        located
       } else {
         store.fileList.read()
           .map(_.select("filename").collect().map(_.getString(0)).toSeq)
