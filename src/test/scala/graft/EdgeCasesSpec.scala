@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.harness.Lake
+
+/** Edge cases mirrored from the reference suites: index-type exclusivity,
+  * schema-mismatch reconnects, nested temporal timestamp paths, null keys,
+  * zero-row files, and physical-plan audits (projection pushdown, no UDF
+  * barriers in scans). */
+class EdgeCasesSpec extends GraftSuite {
+
+  private def ordersFixture(name: String, n: Int = 3): (Index, Seq[String]) = {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val dir = Files.createTempDirectory(s"graft_${name}_").toString
+    val files = Lake.splitByBand(orders, dir, "o_custkey", n)
+    val idx = Index(spark, name, orders.schema, "parquet")
+    idx.addIndex("o_custkey")
+    idx.addFile(files: _*)
+    (idx, files)
+  }
+
+  test("one index type per column (exclusivity)") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val idx = Index(spark, "excl_orders", orders.schema, "parquet")
+    idx.addIndex("o_custkey")
+    intercept[IllegalArgumentException](idx.addBloomIndex("o_custkey"))
+    intercept[IllegalArgumentException](idx.addRangeIndex("o_custkey"))
+    // same type again is idempotent, not an error
+    idx.addIndex("o_custkey")
+    assert(idx.metadata.indexes.count(_.column == "o_custkey") == 1)
+  }
+
+  test("reconnect with a different schema throws unless allowed; evolution keeps indexed cols") {
+    val (idx, _) = ordersFixture("schema_orders")
+    idx.update()
+    val schema = spark.read.parquet(s"$sf/orders.parquet").schema
+    val extended = StructType(schema.fields :+ StructField("extra", StringType))
+    intercept[IllegalArgumentException](
+      Index(spark, "schema_orders", extended, "parquet"))
+    // allowed evolution: superset schema keeps the indexed column
+    val evolved = Index(spark, "schema_orders", extended, "parquet",
+      allowSchemaMismatch = true)
+    assert(evolved.metadata.schema.fieldNames.contains("extra"))
+    // dropping an indexed column must be rejected even when allowed
+    val dropped = StructType(schema.fields.filterNot(_.name == "o_custkey"))
+    intercept[IllegalArgumentException](
+      Index(spark, "schema_orders", dropped, "parquet", allowSchemaMismatch = true))
+    // format mismatch always throws
+    intercept[IllegalArgumentException](
+      Index(spark, "schema_orders", extended, "csv", allowSchemaMismatch = true))
+  }
+
+  test("temporal index with NESTED ts path works under select()") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a", 10L), (1L, "b", 20L), // key 1: latest is "b"
+      (2L, "c", 5L), (2L, "d", 3L)    // key 2: latest is "c"
+    ).toDF("k", "payload", "ts")
+      .select(col("k"), col("payload"), struct(col("ts").as("updatedAt")).as("meta"))
+    val dir = tmpDir("graft_nested_")
+    rows.where(col("k") === 1).coalesce(1).write.parquet(s"$dir/f1")
+    rows.where(col("k") === 2).coalesce(1).write.parquet(s"$dir/f2")
+    def files(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    val idx = Index(spark, "nested_ts_idx", rows.schema, "parquet")
+    idx.addTemporalIndex("k", "meta.updatedAt")
+    idx.addFile(files(s"$dir/f1") ++ files(s"$dir/f2"): _*)
+    idx.update()
+    import spark.implicits._
+    val probe = Seq(1L, 2L).toDF("k")
+    // select() omits the ts root; it must be force-read for dedup then dropped
+    val got = idx.select("k", "payload").join(probe, Seq("k"))
+      .orderBy("k").collect()
+    assert(got.map(_.getString(1)).toSeq == Seq("b", "c"),
+      s"latest-per-key via nested ts failed: ${got.mkString(",")}")
+    assert(!got.head.schema.fieldNames.contains("meta"))
+  }
+
+  test("null values in an indexed column: rows survive reads, null never matches") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Long, String)]((1L, "x"), (null, "y"), (2L, "z"))
+      .toDF("k", "v")
+    val dir = s"${tmpDir("graft_nulls_")}/data"
+    df.coalesce(1).write.parquet(dir)
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    val idx = Index(spark, "nulls_idx", df.schema, "parquet")
+    idx.addIndex("k")
+    idx.addFile(f: _*)
+    idx.update()
+    assert(idx.query(Map("k" -> Seq(1L, 2L))).count() == 2)
+    assert(idx.query(Map("k" -> Seq(99L))).count() == 0)
+  }
+
+  test("zero-row file gets an index row and is never re-processed") {
+    import spark.implicits._
+    val df = Seq((1L, "x")).toDF("k", "v")
+    val dir = s"${tmpDir("graft_zero_")}/data"
+    df.where(lit(false)).coalesce(1).write.parquet(dir)
+    val f = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    val idx = Index(spark, "zero_idx", df.schema, "parquet")
+    idx.addIndex("k")
+    idx.addFile(f: _*)
+    idx.update()
+    assert(idx.unindexedFiles.isEmpty, "empty file must still be marked indexed")
+    assert(idx.query(Map("k" -> Seq(1L))).count() == 0)
+  }
+
+  test("plan audit: select() projection reaches the parquet scan, no UDFs") {
+    val (idx, _) = ordersFixture("planaudit_orders")
+    idx.update()
+    import spark.implicits._
+    val probe = Seq(1L, 7L).toDF("o_custkey")
+    val plan = idx.select("o_orderkey", "o_custkey")
+      .join(probe, Seq("o_custkey"))
+      .queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator.find(_.contains("Scan parquet")).getOrElse("")
+    assert(scanLine.contains("o_orderkey") && scanLine.contains("o_custkey"))
+    assert(!scanLine.contains("o_comment") && !scanLine.contains("o_totalprice"),
+      s"unselected columns must be pruned from the scan: $scanLine")
+    assert(!plan.toLowerCase.contains("udf"), "no UDF barriers on the read path")
+  }
+}
