@@ -315,16 +315,22 @@ object SparkEntry {
           col("m.channels").as("channels"), col("m.content_hash").as("content_hash"))
         .orderBy("doc_id")
     }),
-    // LSH-bucketed ANN (scale path): no SQL oracle — rows-only check; its
-    // exactness oracle is q_ann_pairs' brute force in the ScalaTest suite.
+    // LSH-bucketed ANN (scale path). The oracle replicates the WHOLE
+    // approximate algorithm — axis-sign signature, banding, bucket join,
+    // exact cosine re-rank — so the approximation itself is verified, not
+    // assumed to have 100% recall. (The hyperplane-signature variant stays
+    // the generic API; its splitmix plane derivation isn't expressible in
+    // SQL, so it is differentially tested in ScalaTest instead.)
     "q_ann_lsh" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
-      Similarity.lshCosinePairs(lk.embeddings, "vec_id", "embedding",
-        dim = 64, threshold = 0.4, nPlanes = 16, bandBits = 4)
+      Similarity.axisLshCosinePairs(lk.embeddings, "vec_id", "embedding",
+        threshold = 0.4, nBits = 16, bandBits = 4)
         .orderBy("a_id", "b_id")
     }),
-    // IVF-cell ANN (second scale path): rows-only check like q_ann_lsh;
-    // subset-of-brute-force exactness is asserted in PipelineOpsSpec.
+    // IVF-cell ANN (second scale path): the deterministic quantizer (every
+    // step-th vector by id rank) makes the full pipeline SQL-expressible —
+    // the oracle replicates centroid choice, nProbe assignment, cell-join
+    // candidates, and the exact re-rank.
     "q_ann_ivf" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
       Similarity.ivfCosinePairs(lk.embeddings, "vec_id", "embedding",
@@ -540,6 +546,57 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS fp_raw,
                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_norm
          FROM documents ORDER BY doc_id""",
+    // replicates axisLshCosinePairs exactly: 16 sign bits of the first 16
+    // coordinates, 4 bands of 4 bits, candidates meet in shared (band, hash)
+    // buckets, exact double cosine >= 0.4 re-rank
+    "q_ann_lsh" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         sig AS (SELECT vec_id,
+                   list_sum(list_transform(generate_series(1, 16),
+                     j -> CASE WHEN v[j] > 0 THEN (1::BIGINT << (j - 1))
+                          ELSE 0 END))::BIGINT s
+                 FROM e),
+         bk AS (SELECT vec_id, t.band, (s >> (t.band * 4)) & 15 AS bh
+                FROM sig, generate_series(0, 3) AS t(band)),
+         cand AS (SELECT DISTINCT x.vec_id a_id, y.vec_id b_id
+                  FROM bk x JOIN bk y
+                    ON x.band = y.band AND x.bh = y.bh AND x.vec_id < y.vec_id)
+         SELECT c.a_id, c.b_id
+         FROM cand c JOIN e ea ON ea.vec_id = c.a_id
+                     JOIN e eb ON eb.vec_id = c.b_id
+         WHERE list_dot_product(ea.v, eb.v) /
+               (sqrt(list_dot_product(ea.v, ea.v)) *
+                sqrt(list_dot_product(eb.v, eb.v))) >= 0.4
+         ORDER BY a_id, b_id""",
+    // replicates ivfCosinePairs exactly: centroids = every (count/16)-th
+    // vector by id rank, each vector assigned to its 2 nearest centroids
+    // (ties by cell id), candidates meet in shared cells, exact re-rank
+    "q_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         r AS (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) rn FROM e),
+         p AS (SELECT greatest(count(*) // 16, 1) step FROM e),
+         cent AS (SELECT (rn - 1) // step AS cid, v AS cv
+                  FROM r, p
+                  WHERE (rn - 1) % step = 0 AND (rn - 1) // step < 16),
+         sc AS (SELECT e.vec_id id, c.cid,
+                       list_dot_product(e.v, c.cv) /
+                       (sqrt(list_dot_product(e.v, e.v)) *
+                        sqrt(list_dot_product(c.cv, c.cv))) sim
+                FROM e CROSS JOIN cent c),
+         asg AS (SELECT id, cid FROM (
+                   SELECT id, cid,
+                          row_number() OVER (PARTITION BY id
+                            ORDER BY sim DESC, cid) rr
+                   FROM sc) WHERE rr <= 2),
+         cand AS (SELECT DISTINCT a.id a_id, b.id b_id
+                  FROM asg a JOIN asg b ON a.cid = b.cid AND a.id < b.id)
+         SELECT c.a_id, c.b_id
+         FROM cand c JOIN e ea ON ea.vec_id = c.a_id
+                     JOIN e eb ON eb.vec_id = c.b_id
+         WHERE list_dot_product(ea.v, eb.v) /
+               (sqrt(list_dot_product(ea.v, ea.v)) *
+                sqrt(list_dot_product(eb.v, eb.v))) >= 0.4
+         ORDER BY a_id, b_id""",
     "q_sql_where" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
           WHERE o_custkey IN ${inList(CustKeys)} ORDER BY o_orderkey""",

@@ -92,15 +92,19 @@ object Similarity {
       nProbe: Int = 2): DataFrame = {
     val spark = df.sparkSession
     val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    // deterministic centroids: rank vectors by id, take every (count/nCells)-th
+    // deterministic centroids: rank vectors by id, take every (count/nCells)-th.
+    // The cell id is derived by exact integer division (the modulo filter
+    // guarantees integrality) and capped by a FILTER, not a limit() — limit
+    // after a shuffle picks arbitrary rows, which would make the quantizer
+    // (and therefore the whole approximate result) nondeterministic.
     val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
     val total = df.count()
     val step = math.max(total / nCells, 1L)
     val centroids = df
       .withColumn("__rn", row_number().over(w))
       .where((col("__rn") - 1) % step === 0)
-      .limit(nCells)
-      .withColumn("__cid", (col("__rn") - 1) / step)
+      .withColumn("__cid", ((col("__rn") - 1) / step).cast("long"))
+      .where(col("__cid") < nCells)
       .select(col("__cid"), col(vecCol).as("__cvec"))
     // assign: nProbe nearest centroids per vector (centroids broadcast)
     val scored = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
@@ -117,6 +121,18 @@ object Similarity {
       .where(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
       .repartition(n, col("a_id"))
+    verifyCandidates(df, idCol, vecCol, cands, threshold)
+  }
+
+  /** Exact-cosine re-rank of an (a_id, b_id) candidate frame: join vectors +
+    * precomputed norms back and keep pairs at/above the threshold. Shared
+    * tail of every bucketed ANN variant. */
+  private def verifyCandidates(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      cands: DataFrame,
+      threshold: Double): DataFrame = {
     val withNorm = df.select(col(idCol).as("__vid"), col(vecCol).as("__v"),
       norm(col(vecCol)).as("__n"))
     cands
@@ -126,6 +142,43 @@ object Similarity {
         col("__n").as("__nb")), Seq("b_id"))
       .where(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")) >= threshold)
       .select("a_id", "b_id")
+  }
+
+  /** Axis-aligned sign-bit LSH: bit j of the signature is `vec[j] > 0`, so
+    * the signature (unlike the splitmix-derived hyperplanes of
+    * [[lshCosinePairs]]) is computable by ANY engine with array access —
+    * which makes the whole approximate pipeline (bucket candidates + exact
+    * re-rank) exactly reproducible in a SQL oracle. Same banding and verify
+    * as the hyperplane variant. */
+  def axisLshCosinePairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nBits: Int = 16,
+      bandBits: Int = 4): DataFrame = {
+    require(nBits <= 63, "nBits must fit in a long")
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val sigExpr = (0 until nBits)
+      .map(j => when(element_at(col(vecCol), j + 1) > 0f, 1L << j).otherwise(0L))
+      .reduce(_ + _)
+    val sig = df.select(col(idCol).as("__id"), sigExpr.as("__sig"))
+    val bands = nBits / bandBits
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("__sig"), b * bandBits)
+          .bitwiseAND(lit((1L << bandBits) - 1)).as("bh"))
+    }
+    val buckets = sig
+      .select(col("__id"), explode(array(bandCols: _*)).as("__b"))
+      .select(col("__id"), col("__b.band").as("band"), col("__b.bh").as("bh"))
+    val a = buckets.select(col("band"), col("bh"), col("__id").as("a_id"))
+    val b = buckets.select(col("band"), col("bh"), col("__id").as("b_id"))
+    val cands = a.join(b, Seq("band", "bh"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+      .repartition(n, col("a_id"))
+    verifyCandidates(df, idCol, vecCol, cands, threshold)
   }
 
   /** ANN via LSH: bucket on band slices of the hyperplane signature, join
@@ -159,14 +212,6 @@ object Similarity {
       .where(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
       .repartition(n, col("a_id"))
-    val withNorm = df.select(col(idCol).as("__vid"), col(vecCol).as("__v"),
-      norm(col(vecCol)).as("__n"))
-    cands
-      .join(withNorm.select(col("__vid").as("a_id"), col("__v").as("__va"),
-        col("__n").as("__na")), Seq("a_id"))
-      .join(withNorm.select(col("__vid").as("b_id"), col("__v").as("__vb"),
-        col("__n").as("__nb")), Seq("b_id"))
-      .where(dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")) >= threshold)
-      .select("a_id", "b_id")
+    verifyCandidates(df, idCol, vecCol, cands, threshold)
   }
 }
