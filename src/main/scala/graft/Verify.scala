@@ -18,6 +18,8 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // build the shared-lake indexes concurrently before the sequential dump
+    graft.harness.Lake.get(spark, sfDir).prebuild()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {

@@ -27,25 +27,42 @@ final class Lake private (val spark: SparkSession, val sfDir: String, val work: 
     df
   }
 
+  // Memoization note: these used to be `lazy val`s, but Scala lazy-val
+  // initializers run while holding the instance monitor — concurrent
+  // first-touch of DIFFERENT members would serialize, defeating prebuild()'s
+  // parallel index builds. Two separate maps (splits vs indexes) because an
+  // index initializer forces a split entry: ConcurrentHashMap forbids
+  // recursive computeIfAbsent on the SAME map, and cross-map nesting is fine.
+  private val splitMemo = new java.util.concurrent.ConcurrentHashMap[String, Seq[String]]()
+  private val idxMemo = new java.util.concurrent.ConcurrentHashMap[String, Index]()
+  private def memoSplit(key: String)(body: => Seq[String]): Seq[String] =
+    splitMemo.computeIfAbsent(key, _ => body)
+  private def memoIdx(key: String)(body: => Index): Index =
+    idxMemo.computeIfAbsent(key, _ => body)
+
   // ---- split files ---------------------------------------------------------
 
-  lazy val ordersFiles: Seq[String] =
+  def ordersFiles: Seq[String] = memoSplit("orders") {
     splitByBand(table("orders"), s"$work/orders", "o_custkey", 8)
+  }
 
-  lazy val lineitemFiles: Seq[String] =
+  def lineitemFiles: Seq[String] = memoSplit("lineitem") {
     splitByBand(table("lineitem"), s"$work/lineitem", "l_partkey", 8)
+  }
 
-  lazy val eventsFiles: Seq[String] =
+  def eventsFiles: Seq[String] = memoSplit("events") {
     splitByBand(table("events"), s"$work/events", "event_id", 6)
+  }
 
-  lazy val documentsFiles: Seq[String] =
+  def documentsFiles: Seq[String] = memoSplit("documents") {
     splitByBand(table("documents"), s"$work/documents", "doc_id", 4)
+  }
 
   /** CSV/JSON copies carry a timestamp-free column subset so the round trip
     * is value-exact for the oracle compare. */
   val OrdersTextCols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
 
-  lazy val ordersCsvFiles: Seq[String] = {
+  def ordersCsvFiles: Seq[String] = memoSplit("orders_csv") {
     val dir = s"$work/orders_csv"
     val src = table("orders").select(OrdersTextCols.map(col): _*)
     Lake.splitWrite(src, dir, "o_custkey", 4, (d, p) =>
@@ -53,7 +70,7 @@ final class Lake private (val spark: SparkSession, val sfDir: String, val work: 
       ".csv")
   }
 
-  lazy val ordersJsonFiles: Seq[String] = {
+  def ordersJsonFiles: Seq[String] = memoSplit("orders_json") {
     val dir = s"$work/orders_json"
     val src = table("orders").select(OrdersTextCols.map(col): _*)
     Lake.splitWrite(src, dir, "o_custkey", 4, (d, p) =>
@@ -63,7 +80,7 @@ final class Lake private (val spark: SparkSession, val sfDir: String, val work: 
   // ---- indexes -------------------------------------------------------------
 
   /** orders: regular(o_custkey) + range(o_orderkey) + computed month. */
-  lazy val ordersIdx: Index = {
+  def ordersIdx: Index = memoIdx("orders_idx") {
     val idx = Index(spark, "orders_idx", table("orders").schema, "parquet")
     idx.addIndex("o_custkey")
     idx.addRangeIndex("o_orderkey")
@@ -74,7 +91,7 @@ final class Lake private (val spark: SparkSession, val sfDir: String, val work: 
   }
 
   /** lineitem: bloom(l_partkey) + regular(l_suppkey). */
-  lazy val lineitemIdx: Index = {
+  def lineitemIdx: Index = memoIdx("lineitem_idx") {
     val idx = Index(spark, "lineitem_idx", table("lineitem").schema, "parquet")
     idx.addBloomIndex("l_partkey")
     idx.addIndex("l_suppkey")
@@ -84,7 +101,7 @@ final class Lake private (val spark: SparkSession, val sfDir: String, val work: 
   }
 
   /** events: temporal(user_id by ts) — ts read as epoch-ns long. */
-  lazy val eventsIdx: Index = {
+  def eventsIdx: Index = memoIdx("events_idx") {
     val idx = Index(spark, "events_idx", table("events").schema, "parquet")
     idx.addTemporalIndex("user_id", "ts")
     idx.addFile(eventsFiles: _*)
@@ -93,7 +110,7 @@ final class Lake private (val spark: SparkSession, val sfDir: String, val work: 
   }
 
   /** documents: exploded token index + regular(lang). */
-  lazy val docsIdx: Index = {
+  def docsIdx: Index = memoIdx("docs_idx") {
     val idx = Index(spark, "docs_idx", table("documents").schema, "parquet")
     idx.addExplodedIndex("tok", "split(text, ' ')")
     idx.addIndex("lang")
@@ -102,7 +119,7 @@ final class Lake private (val spark: SparkSession, val sfDir: String, val work: 
     idx
   }
 
-  lazy val ordersCsvIdx: Index = {
+  def ordersCsvIdx: Index = memoIdx("orders_csv_idx") {
     val schema = table("orders").select(OrdersTextCols.map(col): _*).schema
     val idx = Index(spark, "orders_csv_idx", schema, "csv",
       readOptions = Map("header" -> "true"))
@@ -114,8 +131,10 @@ final class Lake private (val spark: SparkSession, val sfDir: String, val work: 
 
   /** orders with a tiny largeIndexLimit: every per-file o_orderkey array is
     * evicted to the large-index overflow table with an auto-bloom — the
-    * oracle gate for the large-index + auto-bloom probe path. */
-  lazy val ordersLargeIdx: Index = {
+    * oracle gate for the large-index + auto-bloom probe path. NOT part of
+    * prebuild(): it mutates session conf, which must not race concurrent
+    * builds. */
+  def ordersLargeIdx: Index = memoIdx("orders_large_idx") {
     spark.conf.set("spark.graft.largeIndexLimit", "50")
     try {
       val idx = Index(spark, "orders_large_idx", table("orders").schema, "parquet")
@@ -126,13 +145,28 @@ final class Lake private (val spark: SparkSession, val sfDir: String, val work: 
     } finally spark.conf.unset("spark.graft.largeIndexLimit")
   }
 
-  lazy val ordersJsonIdx: Index = {
+  def ordersJsonIdx: Index = memoIdx("orders_json_idx") {
     val schema = table("orders").select(OrdersTextCols.map(col): _*).schema
     val idx = Index(spark, "orders_json_idx", schema, "json")
     idx.addIndex("o_custkey")
     idx.addFile(ordersJsonFiles: _*)
     idx.update()
     idx
+  }
+
+  /** Build every index the query set touches, CONCURRENTLY — the builds are
+    * independent (per-index store dirs + locks), and Spark schedules jobs
+    * from multiple threads fine. On a real cluster you'd parallelize
+    * per-table index builds exactly like this. */
+  def prebuild(): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext = Lake.buildEc
+    val tasks: Seq[() => Any] = Seq(
+      () => ordersIdx, () => lineitemIdx, () => eventsIdx,
+      () => docsIdx, () => ordersCsvIdx, () => ordersJsonIdx)
+    Await.result(Future.sequence(tasks.map(t => Future(t()))), 30.minutes)
+    ()
   }
 
   def customers: DataFrame = table("customer")
@@ -146,6 +180,15 @@ final class Lake private (val spark: SparkSession, val sfDir: String, val work: 
 
 object Lake {
   private val built = TrieMap.empty[String, Lake]
+
+  /** Fixed pool for prebuild(): one thread per independent index build. */
+  private lazy val buildEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newFixedThreadPool(6, r => {
+        val t = new Thread(r, "graft-lake-prebuild")
+        t.setDaemon(true)
+        t
+      }))
 
   /** Memoized per (JVM, sfDir). Sets `spark.graft.storagePath` to a
     * lake-local store so repeated runs start clean. */

@@ -44,19 +44,33 @@ object IndexBuild extends Logging {
     val threshold = GraftConf.stagingConsolidationThreshold(spark)
     val batches = planBatches(store, meta, files)
     logInfo(s"index ${meta.name}: building ${files.size} files in ${batches.size} batches")
-    var n = 0
-    batches.foreach { case (batch, estDistinct) =>
+    if (batches.size == 1) {
+      // Single-batch fast path (the streaming-micro-batch / small-update
+      // shape): the snapshot-swap upsert is itself atomic, so the staging
+      // round trip (segment write + read-back + window dedup) buys no crash
+      // safety here — upsert directly. The replaced keys are exactly the
+      // batch's files (one index row per file), so the merge needs no
+      // second evaluation of the build plan for its key set.
+      val (batch, estDistinct) = batches.head
       val (built, cached) = buildBatchTracked(store, meta, batch, estDistinct)
-      val rows = built.withColumn("__staged_at", lit(System.currentTimeMillis()))
-      store.staging.append(rows)
-      // Drop the build-scoped cache NOW: leaking it across builds both
-      // hoards executor memory and — worse — serves stale file content if
-      // the same path is ever legitimately re-indexed (streaming replay).
+      store.indexTable.upsertLiteralKeys(built, "filename",
+        batch.map(p => FileReader.qualify(spark, p)))
       cached.foreach(_.unpersist(false))
-      n += 1
-      if (n % threshold == 0) consolidate(store)
+    } else {
+      var n = 0
+      batches.foreach { case (batch, estDistinct) =>
+        val (built, cached) = buildBatchTracked(store, meta, batch, estDistinct)
+        val rows = built.withColumn("__staged_at", lit(System.currentTimeMillis()))
+        store.staging.append(rows)
+        // Drop the build-scoped cache NOW: leaking it across builds both
+        // hoards executor memory and — worse — serves stale file content if
+        // the same path is ever legitimately re-indexed (streaming replay).
+        cached.foreach(_.unpersist(false))
+        n += 1
+        if (n % threshold == 0) consolidate(store)
+      }
+      consolidate(store)
     }
-    consolidate(store)
   }
 
   /** Merge committed staging segments into the main index table: rank rows
@@ -108,8 +122,11 @@ object IndexBuild extends Logging {
     val arrayDefs = meta.indexes.filter(d => d.isArrayShaped || d.indexType == "bloom")
     val explodedSlack = if (meta.indexes.exists(_.indexType == "exploded")) 8L else 1L
 
+    // Analyzed even for a single file: the estimate also decides whether the
+    // large-eviction size check can be skipped (see buildBatchTracked), which
+    // must never be decided from a placeholder.
     val analyses: Seq[FileAnalysis] =
-      if (arrayDefs.isEmpty || files.size == 1) files.map(FileAnalysis(_, 1L))
+      if (arrayDefs.isEmpty) files.map(FileAnalysis(_, 1L))
       else files.map { f =>
         val rows = parquetRowCount(store, f).getOrElse(
           math.max(graft.store.Fs.fileSize(spark, f) / 32L, 1L))
@@ -135,12 +152,15 @@ object IndexBuild extends Logging {
     batches.toSeq
   }
 
-  /** Build index rows for one batch of files (one row per file). */
+  /** Build index rows for one batch of files (one row per file). The default
+    * estimate is conservative (worst case) so direct callers keep full
+    * large-eviction checking; planBatches-driven callers pass the real
+    * per-file bound. */
   def buildBatch(
       store: IndexStore,
       meta: IndexMetadata,
       files: Seq[String],
-      estDistinct: Long = 0L): DataFrame =
+      estDistinct: Long = Long.MaxValue): DataFrame =
     buildBatchTracked(store, meta, files, estDistinct)._1
 
   /** buildBatch plus the frames it cached — the caller must unpersist them
@@ -149,12 +169,13 @@ object IndexBuild extends Logging {
       store: IndexStore,
       meta: IndexMetadata,
       files: Seq[String],
-      estDistinct: Long = 0L): (DataFrame, Seq[DataFrame]) = {
+      estDistinct: Long = Long.MaxValue): (DataFrame, Seq[DataFrame]) = {
     val spark = store.spark
     val limit = GraftConf.largeIndexLimit(spark)
     // bloom buffers sized from the analysis estimate (x2 slack), not the
     // global worst case — keeps partial-agg buffers proportional to data
-    val bloomItems = math.min(math.max(2 * estDistinct, 1024L), math.max(limit, 1024L))
+    val estTwice = if (estDistinct > Long.MaxValue / 2) Long.MaxValue else 2 * estDistinct
+    val bloomItems = math.min(math.max(estTwice, 1024L), math.max(limit, 1024L))
 
     val tagged = FileReader.readTagged(spark, meta, files)
     val base = FileReader.applyComputed(tagged, meta)
@@ -206,7 +227,15 @@ object IndexBuild extends Logging {
     val filesDf = files.map(p => FileReader.qualify(spark, p)).toDF("filename")
     rows = filesDf.join(rows, Seq("filename"), "left_outer")
 
-    applyLargeEviction(store, meta, rows)
+    // The eviction size check costs a cache + an extra aggregation action per
+    // batch. For non-exploded shapes, per-file distinct count ≤ per-file row
+    // count, and estDistinct bounds the batch's max row count (parquet
+    // footers) — below the limit NO array can evict, so the check is skipped
+    // outright. Exploded indexes fan out past the row count and always check.
+    val evictionPossible =
+      meta.indexes.exists(_.indexType == "exploded") || estDistinct >= limit
+    if (!evictionPossible) (rows, Seq.empty)
+    else applyLargeEviction(store, meta, rows)
   }
 
   /** Large-index eviction: arrays with >= limit distinct values move to the

@@ -85,6 +85,16 @@ object IndexProbe {
       ix: IndexDef,
       probe: Probe): DataFrame = {
     val spark = store.spark
+    // A small Frame probe collapses to a literal value list ONCE per column,
+    // shared by the auto-bloom pre-filter and the value filter below: the
+    // literal path prunes the (memory-cached) index table with an `isin`
+    // predicate — no shuffle on either side, and the final collect never
+    // recomputes the probe frame. Past the cap the probe stays a distributed
+    // semi-join (never driver-OOM).
+    val frameVals: Option[Seq[Any]] = probe match {
+      case Frame(df) => boundedValues(spark, df)
+      case _         => None
+    }
     val main = indexDf.where(col(ix.column).isNotNull)
       .select(col("filename"), explode(col(ix.column)).as("__v"))
 
@@ -93,18 +103,13 @@ object IndexProbe {
         val largeRows = large.select(col("filename"), col("value").as("__v"))
         // Auto-bloom pre-filter: restrict the (potentially huge) overflow
         // scan to files whose bloom might contain a probe value
-        // (reference: IndexQueryOperations.scala:124-131,387-468).
+        // (reference: IndexQueryOperations.scala:124-131,387-468). Unbounded
+        // Frame probes skip it — correct, merely less pruned (r1 verdict
+        // bug #1: the join path used to skip the pre-filter entirely).
         val ab = s"auto_bloom_${ix.column}"
-        // Frame probes (the index.join path) collect a BOUNDED value list
-        // just for this pre-filter; past the cap we skip it — correct,
-        // merely less pruned (r1 verdict bug #1: the join path used to skip
-        // the pre-filter entirely and scan the whole overflow table).
         val probeStrings: Option[Seq[String]] = probe match {
           case Values(vs) => Some(vs.map(v => if (v == null) null else v.toString))
-          case Frame(df) if indexDf.columns.contains(ab) =>
-            boundedValues(spark, df)
-              .map(_.map(v => if (v == null) null else v.toString))
-          case _ => None
+          case Frame(_) => frameVals.map(_.map(v => if (v == null) null else v.toString))
         }
         val preFiltered = probeStrings match {
           case Some(vs) if indexDf.columns.contains(ab) =>
@@ -119,12 +124,17 @@ object IndexProbe {
     }
 
     probe match {
-      case Values(vs) => all.where(col("__v").isin(vs: _*))
-      case Frame(df)  =>
-        val vals = df.toDF("__v").distinct()
-        all.join(vals, Seq("__v"), "left_semi")
+      case Values(vs) => all.where(isinOrFalse(col("__v"), vs))
+      case Frame(df) => frameVals match {
+        case Some(vs) => all.where(isinOrFalse(col("__v"), vs))
+        case None     => all.join(df.toDF("__v").distinct(), Seq("__v"), "left_semi")
+      }
     }
   }
+
+  /** `isin` with Spark's empty-list edge pinned to constant false. */
+  private def isinOrFalse(c: Column, vs: Seq[Any]): Column =
+    if (vs.isEmpty) lit(false) else c.isin(vs: _*)
 
   private def bloomCandidates(
       spark: SparkSession, indexDf: DataFrame, ix: IndexDef, probe: Probe): DataFrame = {
@@ -190,9 +200,12 @@ object IndexProbe {
       .select(col("filename"), explode(col(ix.column)).as("__s"))
       .select(col("filename"), col("__s.value").as("__v"), col("__s.max_ts").as("__ts"))
     val matched = probe match {
-      case Values(vs) => exploded.where(col("__v").isin(vs: _*))
-      case Frame(df)  =>
-        exploded.join(df.toDF("__v").distinct(), Seq("__v"), "left_semi")
+      case Values(vs) => exploded.where(isinOrFalse(col("__v"), vs))
+      case Frame(df) => boundedValues(indexDf.sparkSession, df) match {
+        // same bounded literal fast path as arrayCandidates
+        case Some(vs) => exploded.where(isinOrFalse(col("__v"), vs))
+        case None => exploded.join(df.toDF("__v").distinct(), Seq("__v"), "left_semi")
+      }
     }
     val w = Window.partitionBy(col("__v"))
       .orderBy(col("__ts").desc_nulls_last, col("filename"))

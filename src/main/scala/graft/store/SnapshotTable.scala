@@ -99,6 +99,21 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     overwrite(merged)
   }
 
+  /** Upsert where the replaced key set is KNOWN to the caller (e.g. an index
+    * build's batch file list): avoids re-evaluating `df`'s plan a second time
+    * just to derive its keys — `df` may be an expensive unmaterialized
+    * aggregation. Key count is caller-bounded (≤ buildBatchMaxFiles). */
+  def upsertLiteralKeys(df: DataFrame, key: String, keys: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.{col, not}
+    val merged = read() match {
+      case Some(old) =>
+        old.where(not(col(key).isin(keys: _*)))
+          .unionByName(df, allowMissingColumns = true)
+      case None => df
+    }
+    overwrite(merged)
+  }
+
   /** Delete rows matching the key set; no-op if table absent. */
   def deleteKeys(keys: DataFrame, key: String): Unit =
     read().foreach { old =>
