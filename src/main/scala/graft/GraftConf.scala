@@ -113,6 +113,12 @@ object GraftConf {
   def verifyBroadcastMaxBytes(spark: SparkSession): Long =
     getLong(spark, "verifyBroadcastMaxBytes", 64L * 1024 * 1024)
 
+  /** Max live segments in an append-mode (overflow) snapshot table before a
+    * write folds it into one directory — bounds both read fan-in and the
+    * driver-side manifest map. */
+  def maxOverflowSegments(spark: SparkSession): Int =
+    getInt(spark, "maxOverflowSegments", 16)
+
   /** Auto-compact the index tables after this many consolidations
     * (reference: batches_since_compact counter,
     * IndexBuildOperations.scala:1197-1294). 0 disables. */

@@ -129,11 +129,14 @@ final class Index private (
     * large table) — reference: Index.scala:532-616. */
   def deleteFiles(paths: String*): Index = synchronized {
     import spark.implicits._
-    val keys = paths.map(p => FileReader.qualify(spark, p)).toDF("filename")
+    val qualified = paths.map(p => FileReader.qualify(spark, p))
+    val keys = qualified.toDF("filename")
     store.updateLock.withLock {
       store.fileListLock.withLock(store.fileList.deleteKeys(keys, "filename"))
       store.indexTable.deleteKeys(keys, "filename")
-      store.largeColumns.foreach(c => store.largeTable(c).deleteKeys(keys, "filename"))
+      // overflow tables: manifest-only tombstone segment — no data rewrite
+      store.largeColumns.foreach(c =>
+        store.largeTable(c).deleteLiteralKeys("filename", qualified))
     }
     this
   }

@@ -191,6 +191,35 @@ object SparkEntry {
         s"""SELECT o_orderstatus, count(*) AS cnt FROM graft.$name
             GROUP BY o_orderstatus ORDER BY o_orderstatus""")
     }),
+    // maintenance lifecycle: a multi-batch build appends segmented overflow
+    // (largeIndexLimit=50 evicts every per-file o_custkey array), compact()
+    // folds segments + main table, vacuum() trims dead versions — and the
+    // probe must still hash-match the plain oracle afterwards.
+    "q_compact_probe" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val name = "orders_compact_idx"
+      val idx =
+        if (graft.Index.exists(s, name)) graft.Index.connect(s, name)
+        else {
+          s.conf.set("spark.graft.largeIndexLimit", "50")
+          s.conf.set("spark.graft.buildBatchMaxFiles", "2")
+          try {
+            val i = graft.Index(s, name, lk.orders.schema, "parquet")
+            i.addIndex("o_custkey")
+            i.addFile(lk.ordersFiles: _*)
+            i.update()
+            i.compact()
+            i.vacuum()
+            i
+          } finally {
+            s.conf.unset("spark.graft.largeIndexLimit")
+            s.conf.unset("spark.graft.buildBatchMaxFiles")
+          }
+        }
+      idx.query(Map("o_custkey" -> CustKeys))
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
     // column backfill: an index built on o_custkey gains a range index on
     // o_orderkey later; update() recomputes only the new column, and the
     // new index must answer probes over ALL previously indexed files.
@@ -447,6 +476,9 @@ object SparkEntry {
       """SELECT o_orderstatus, count(*) AS cnt FROM orders
          WHERE o_custkey >= (SELECT max(o_custkey) // 8 + 1 FROM orders)
          GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "q_compact_probe" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+          WHERE o_custkey IN ${inList(CustKeys)} ORDER BY o_orderkey""",
     "q_backfill" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
           WHERE o_orderkey IN ${inList(OrderKeys)} ORDER BY o_orderkey""",

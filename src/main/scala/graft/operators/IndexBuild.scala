@@ -224,7 +224,8 @@ object IndexBuild extends Logging {
     // A registered file with zero rows must still get an index row, or it
     // would be re-processed as "unindexed" on every update.
     import spark.implicits._
-    val filesDf = files.map(p => FileReader.qualify(spark, p)).toDF("filename")
+    val qualified = files.map(p => FileReader.qualify(spark, p))
+    val filesDf = qualified.toDF("filename")
     rows = filesDf.join(rows, Seq("filename"), "left_outer")
 
     // The eviction size check costs a cache + an extra aggregation action per
@@ -235,7 +236,7 @@ object IndexBuild extends Logging {
     val evictionPossible =
       meta.indexes.exists(_.indexType == "exploded") || estDistinct >= limit
     if (!evictionPossible) (rows, Seq.empty)
-    else applyLargeEviction(store, meta, rows)
+    else applyLargeEviction(store, meta, rows, qualified)
   }
 
   /** Large-index eviction: arrays with >= limit distinct values move to the
@@ -244,7 +245,8 @@ object IndexBuild extends Logging {
     * Returns the result plus any frame cached along the way (the caller
     * unpersists once the batch is written). */
   private def applyLargeEviction(
-      store: IndexStore, meta: IndexMetadata, rowsIn: DataFrame): (DataFrame, Seq[DataFrame]) = {
+      store: IndexStore, meta: IndexMetadata, rowsIn: DataFrame,
+      batchFiles: Seq[String]): (DataFrame, Seq[DataFrame]) = {
     val spark = store.spark
     val limit = GraftConf.largeIndexLimit(spark)
     val arrayDefs = meta.indexes.filter(_.isArrayShaped)
@@ -260,7 +262,12 @@ object IndexBuild extends Logging {
         val isLarge = size(col(ix.column)) >= limit
         val largeRows = rows.where(isLarge)
           .select(col("filename"), explode(col(ix.column)).as("value"))
-        store.largeTable(ix.column).upsert(largeRows, "filename")
+        // Segmented append: write ONLY this batch's exploded values; the
+        // manifest claims every batch file, so a re-indexed file's stale
+        // overflow rows (even from builds where it no longer evicts) stop
+        // being visible — O(delta) I/O where the old upsert rewrote the
+        // whole multi-GB overflow table per batch (r1 scale finding).
+        store.largeTable(ix.column).appendReplacing(largeRows, "filename", batchFiles)
         rows = rows
           .withColumn(s"auto_bloom_${ix.column}",
             when(isLarge, Blooms.bloomFromArray(GraftConf.autoBloomFpr(spark))(col(ix.column)))

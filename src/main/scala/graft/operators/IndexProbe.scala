@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.GraftConf
@@ -207,9 +206,19 @@ object IndexProbe {
         case None => exploded.join(df.toDF("__v").distinct(), Seq("__v"), "left_semi")
       }
     }
-    val w = Window.partitionBy(col("__v"))
-      .orderBy(col("__ts").desc_nulls_last, col("filename"))
-    matched.withColumn("__rn", row_number().over(w)).where(col("__rn") === 1)
+    // One hash aggregation with partial (map-side) combine instead of a
+    // window over the value key: a window shuffles + sorts every matched
+    // index row and lands each hot value on ONE task — at 10^6 files a
+    // frequently-updated key is exactly such a hot value. max(struct) keeps
+    // whole-stage codegen and pre-aggregates per partition, so skewed keys
+    // cost O(partitions), not O(rows-for-key) on a single task. Struct
+    // comparison ranks null ts lowest (same preference as the old
+    // desc_nulls_last); on exact ts ties the greatest filename wins — any
+    // single deterministic winner is valid, the tie rows themselves are
+    // indistinguishable to the row-level dedup that follows.
+    matched.groupBy(col("__v"))
+      .agg(max(struct(col("__ts"), col("filename"))).as("__m"))
+      .select(col("__m.filename").as("filename"))
   }
 
   /** Files whose [min,max] overlaps the query window [lo,hi] — the

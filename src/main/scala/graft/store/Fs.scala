@@ -109,6 +109,15 @@ object Fs {
     else f.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
   }
 
+  /** Does the directory hold any data file (ignoring _SUCCESS/_keys/dot
+    * files)? Used to exclude manifest-only segments from schema inference. */
+  def hasDataFiles(spark: SparkSession, path: String): Boolean = {
+    val f = fs(spark, path)
+    val p = new Path(path)
+    f.exists(p) && f.listStatus(p).exists(s =>
+      s.isFile && !s.getPath.getName.startsWith("_") && !s.getPath.getName.startsWith("."))
+  }
+
   def fileSize(spark: SparkSession, path: String): Long =
     fs(spark, path).getFileStatus(new Path(path)).getLen
 }

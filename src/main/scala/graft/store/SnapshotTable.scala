@@ -1,6 +1,7 @@
 package graft.store
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col, lit, not}
 
 import graft.GraftConf
 
@@ -8,43 +9,76 @@ import graft.GraftConf
   * persistence layer for all index state.
   *
   * Layout: `{root}/v{N}/part-*.parquet` plus a `{root}/_current` pointer
-  * file holding `N`. A write materializes a brand-new snapshot directory and
-  * then atomically renames the pointer — readers resolve the pointer once
-  * and read an immutable directory, so concurrent reads never observe a
-  * partial write (the capability Delta provided in the reference; behavior
-  * parity per reference: IndexBuildOperations.scala:1334-1360, re-expressed
-  * without the Delta dependency because only plain Spark 4 jars ship here).
+  * file. A write materializes new data directories and then atomically
+  * renames the pointer — readers resolve the pointer once and read immutable
+  * directories, so concurrent reads never observe a partial write (the
+  * capability Delta provided in the reference; behavior parity per
+  * reference: IndexBuildOperations.scala:1334-1360, re-expressed without the
+  * Delta dependency because only plain Spark 4 jars ship here).
   *
-  * Scale note: index tables hold ONE ROW PER DATA FILE (plus per-column
-  * large-index overflow), so even a 100 TB lake with ~10^6 files stays a
-  * small table; full-snapshot rewrite on update is deliberately chosen over
-  * log-structured segments for its simplicity and atomicity.
+  * Two write shapes:
+  *  - FULL REWRITE (`overwrite`/`upsert`/`mergeColumns`): pointer names one
+  *    directory. Right for the main index table and filelist — one row per
+  *    data file, small even for a 100 TB lake.
+  *  - SEGMENTED APPEND (`appendReplacing`/`deleteLiteralKeys`): pointer
+  *    names an ordered directory list; each append writes ONLY its delta
+  *    rows plus a `_keys` manifest naming the keys it (re)wrote. A row is
+  *    live iff no LATER segment's manifest claims its key — LSM-style
+  *    last-writer-wins without rewriting earlier segments. This is the
+  *    write path for large-index OVERFLOW tables (exploded values, multi-GB
+  *    at scale): per-batch eviction costs O(delta) I/O instead of O(table)
+  *    (the r1 scale finding). Segment count is bounded: reaching
+  *    `spark.graft.maxOverflowSegments` folds the table into one directory.
   */
 final class SnapshotTable(spark: SparkSession, root: String) {
   private val pointerPath = s"$root/_current"
 
   def exists: Boolean = Fs.exists(spark, pointerPath)
 
-  /** Pointer = `version` line + optional `nonce` line. The nonce is minted
-    * fresh per write, so a table dropped and RECREATED by another process
-    * (version numbering restarts) can never alias a previous incarnation's
-    * cache entries — (root, version, nonce) identifies one immutable write
+  /** Pointer lines: `version`, `nonce`, optional `segs:v1,v4,...` (absent ⇒
+    * the single directory `v{version}`). The nonce is minted fresh per
+    * write, so a table dropped and RECREATED by another process (version
+    * numbering restarts) can never alias a previous incarnation's cache
+    * entries — (root, version, nonce) identifies one immutable pointer state
     * (single-line pointers from older layouts read as nonce ""). */
-  private def readPointer(): Option[(Long, String)] =
+  private def readPointer(): Option[(Long, String, Seq[String])] =
     if (!exists) None
     else scala.util.Try {
       val lines = Fs.readString(spark, pointerPath).split('\n')
-      (lines(0).trim.toLong, if (lines.length > 1) lines(1).trim else "")
+      val v = lines(0).trim.toLong
+      val nonce = if (lines.length > 1) lines(1).trim else ""
+      val segs = lines.find(_.startsWith("segs:")) match {
+        case Some(l) => l.drop(5).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        case None    => Seq(s"v$v")
+      }
+      (v, nonce, segs)
     }.toOption
 
   def currentVersion: Option[Long] = readPointer().map(_._1)
 
+  /** Live segment directory names (diagnostics / tests). */
+  def segments: Seq[String] = readPointer().map(_._3).getOrElse(Seq.empty)
+
   private def versionDir(v: Long): String = s"$root/v$v"
+  private def segDir(name: String): String = s"$root/$name"
+  private def manifestPath(dir: String): String = s"$dir/_keys"
+
+  /** Manifest: first line is the key column, then one replaced/deleted key
+    * per line. Small by construction (≤ buildBatchMaxFiles filenames). */
+  private def writeManifest(dir: String, key: String, keys: Seq[String]): Unit =
+    Fs.writeStringAtomic(spark, manifestPath(dir), (key +: keys).mkString("\n"))
+
+  private def readManifest(dir: String): Option[(String, Seq[String])] =
+    if (!Fs.exists(spark, manifestPath(dir))) None
+    else {
+      val lines = Fs.readString(spark, manifestPath(dir)).split('\n').toSeq
+      Some((lines.head, lines.tail.filter(_.nonEmpty)))
+    }
 
   /** Current snapshot as a DataFrame, if the table has ever been written.
     *
-    * Two caches, both keyed by (root, version, nonce) — a version directory
-    * is immutable, so the first read is authoritative:
+    * Two caches, both keyed by (root, version, nonce) — a pointer state is
+    * immutable, so the first read is authoritative:
     *  - the SCHEMA is always cached (without it every read ran a parquet
     *    footer-merge Spark job; an index build issues dozens of reads);
     *  - the DATA is Spark-cached (MEMORY_AND_DISK, LRU-evictable) when
@@ -54,41 +88,84 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     *    overhead that dominates small probes. A superseded version is
     *    unpersisted on the next read. */
   def read(): Option[DataFrame] =
-    readPointer().map { case (v, nonce) =>
+    readPointer().map { case (v, nonce, segs) =>
       val key = (root, v, nonce)
-      def plain: DataFrame = SnapshotTable.schemaCache.get(key) match {
-        case Some(schema) => spark.read.schema(schema).parquet(versionDir(v))
-        case None =>
-          val df = spark.read.parquet(versionDir(v))
-          SnapshotTable.cachePut(key, df.schema)
-          df
+      def assemble: DataFrame = {
+        val schema = SnapshotTable.schemaCache.get(key).getOrElse {
+          // manifest-only segments hold no parquet — exclude from inference
+          val dataDirs = segs.map(segDir).filter(Fs.hasDataFiles(spark, _))
+          val s =
+            if (dataDirs.isEmpty) new org.apache.spark.sql.types.StructType()
+            else spark.read.parquet(dataDirs: _*).schema
+          SnapshotTable.cachePut(key, s)
+          s
+        }
+        if (segs.size == 1) spark.read.schema(schema).parquet(segDir(segs.head))
+        else assembleSegments(segs, schema)
       }
-      if (!GraftConf.cacheIndexTables(spark)) plain
+      if (!GraftConf.cacheIndexTables(spark)) assemble
       else SnapshotTable.dfCache.getOrElseUpdate(key, {
         SnapshotTable.dfCache.keys
           .filter(k => k._1 == root && k != key)
           .foreach(k => SnapshotTable.dfCache.remove(k)
             .foreach(_.unpersist(false)))
-        plain.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        assemble.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       })
     }
 
-  /** Replace the table content atomically. The written schema is cached so
-    * the next read() never runs a schema-inference job. */
+  /** Union the segment scans (each with the assembled schema, so no per-dir
+    * inference) and apply last-writer-wins: a row survives iff no LATER
+    * segment's manifest claims its key. The key→latest-segment map is built
+    * driver-side from the manifests (bounded: filenames only, same order as
+    * the registered-file ledger) and broadcast — one hash join, no shuffle
+    * of the segment rows. */
+  private def assembleSegments(
+      segs: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val parts = segs.zipWithIndex.map { case (d, i) =>
+      spark.read.schema(schema).parquet(segDir(d)).withColumn("__seg", lit(i))
+    }
+    val all = parts.reduce(_.unionByName(_))
+    val manifests = segs.zipWithIndex.flatMap { case (d, i) =>
+      readManifest(segDir(d)).map { case (k, ks) => (i, k, ks) }
+    }
+    manifests.headOption match {
+      case None => all.drop("__seg")
+      case Some((_, keyCol, _)) =>
+        val latest: Seq[(String, Int)] = manifests
+          .flatMap { case (i, _, ks) => ks.map(_ -> i) }
+          .groupMapReduce(_._1)(_._2)(math.max)
+          .toSeq
+        import spark.implicits._
+        val ords = latest.toDF(keyCol, "__latest_seg")
+        all.join(broadcast(ords), Seq(keyCol), "left_outer")
+          .where(col("__latest_seg").isNull || col("__seg") >= col("__latest_seg"))
+          .drop("__seg", "__latest_seg")
+    }
+  }
+
+  /** Replace the table content atomically with a single directory (folds any
+    * segments). The written schema is cached so the next read() never runs a
+    * schema-inference job. */
   def overwrite(df: DataFrame): Long = {
-    val next = currentVersion.getOrElse(0L) + 1L
+    val prev = readPointer()
+    val next = prev.map(_._1).getOrElse(0L) + 1L
     val nonce = java.util.UUID.randomUUID().toString.take(8)
     df.write.mode("overwrite").parquet(versionDir(next))
     SnapshotTable.cachePut((root, next, nonce), df.schema)
     Fs.writeStringAtomic(spark, pointerPath, s"$next\n$nonce")
-    cleanup(next)
+    // The superseded pointer's segments stay readable for one more write
+    // (the retention guarantee readers in flight rely on); the write after
+    // this one reaps them.
+    cleanup(next, prev.map(_._3.toSet).getOrElse(Set.empty) + s"v$next")
     next
   }
 
   /** Upsert by key: rows in `df` replace existing rows with the same key;
     * schema evolution via unionByName(allowMissingColumns) so adding an
     * index column later backfills nulls (reference behavior:
-    * IndexBuildOperations.scala:1339-1347 withSchemaEvolution). */
+    * IndexBuildOperations.scala:1339-1347 withSchemaEvolution). Full
+    * rewrite — use [[appendReplacing]] for tables too big to rewrite. */
   def upsert(df: DataFrame, key: String): Long = {
     val merged = read() match {
       case Some(old) =>
@@ -104,7 +181,6 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * just to derive its keys — `df` may be an expensive unmaterialized
     * aggregation. Key count is caller-bounded (≤ buildBatchMaxFiles). */
   def upsertLiteralKeys(df: DataFrame, key: String, keys: Seq[String]): Long = {
-    import org.apache.spark.sql.functions.{col, not}
     val merged = read() match {
       case Some(old) =>
         old.where(not(col(key).isin(keys: _*)))
@@ -114,7 +190,50 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     overwrite(merged)
   }
 
-  /** Delete rows matching the key set; no-op if table absent. */
+  /** Segmented upsert: write ONLY `df` (the delta) as a new segment whose
+    * manifest claims `keys` — earlier segments' rows for those keys stop
+    * being visible, at O(delta) write cost. Atomic via the pointer swap.
+    * When the segment count reaches `spark.graft.maxOverflowSegments`, the
+    * table folds into one directory instead (amortized O(table /
+    * maxSegments) per append). */
+  def appendReplacing(df: DataFrame, key: String, keys: Seq[String]): Long =
+    readPointer() match {
+      case None => overwrite(df)
+      case Some((v, _, segs)) if segs.size >= GraftConf.maxOverflowSegments(spark) =>
+        val keep = read().get.where(
+          if (keys.isEmpty) lit(true) else not(col(key).isin(keys: _*)))
+        overwrite(keep.unionByName(df, allowMissingColumns = true))
+      case Some((v, _, segs)) =>
+        val next = v + 1
+        val dir = versionDir(next)
+        df.write.mode("overwrite").parquet(dir)
+        writeManifest(dir, key, keys)
+        val nonce = java.util.UUID.randomUUID().toString.take(8)
+        Fs.writeStringAtomic(spark, pointerPath,
+          s"$next\n$nonce\nsegs:${(segs :+ s"v$next").mkString(",")}")
+        next
+    }
+
+  /** Segmented delete: a manifest-only segment tombstones the keys — no data
+    * read or rewrite at all. */
+  def deleteLiteralKeys(key: String, keys: Seq[String]): Unit =
+    readPointer().foreach { case (v, _, segs) =>
+      if (keys.isEmpty) return
+      if (segs.size >= GraftConf.maxOverflowSegments(spark)) {
+        read().foreach(old => overwrite(old.where(not(col(key).isin(keys: _*)))))
+      } else {
+        val next = v + 1
+        val dir = versionDir(next)
+        Fs.mkdirs(spark, dir)
+        writeManifest(dir, key, keys)
+        val nonce = java.util.UUID.randomUUID().toString.take(8)
+        Fs.writeStringAtomic(spark, pointerPath,
+          s"$next\n$nonce\nsegs:${(segs :+ s"v$next").mkString(",")}")
+      }
+    }
+
+  /** Delete rows matching the key set; no-op if table absent. Full rewrite —
+    * use [[deleteLiteralKeys]] on segmented overflow tables. */
   def deleteKeys(keys: DataFrame, key: String): Unit =
     read().foreach { old =>
       overwrite(old.join(keys.select(key).distinct(), Seq(key), "left_anti"))
@@ -136,29 +255,29 @@ final class SnapshotTable(spark: SparkSession, root: String) {
   }
 
   /** Rewrite the current snapshot into `numFiles` files (small-file
-    * compaction — the OPTIMIZE analogue). */
+    * compaction — the OPTIMIZE analogue; also folds segments). */
   def compact(numFiles: Int = 1): Unit =
     read().foreach(df => overwrite(df.coalesce(math.max(numFiles, 1))))
 
   /** Drop snapshot versions older than the retention window NOW (the
-    * VACUUM analogue; normal writes already trim lazily). */
+    * VACUUM analogue; normal writes already trim lazily). Directories still
+    * referenced by the current pointer are never touched. */
   def vacuum(keep: Int = 1): Unit =
-    currentVersion.foreach { cur =>
-      Fs.listDirs(spark, root)
-        .filter(_.startsWith("v"))
-        .flatMap(d => scala.util.Try(d.drop(1).toLong).toOption)
-        .filter(v => v <= cur - math.max(keep, 1))
-        .foreach(v => Fs.delete(spark, versionDir(v)))
+    readPointer().foreach { case (cur, _, segs) =>
+      deadDirs(cur, math.max(keep, 1), segs.toSet)
+        .foreach(d => Fs.delete(spark, segDir(d)))
     }
 
-  private def cleanup(current: Long): Unit = {
-    val keep = GraftConf.retainedSnapshots(spark).max(1)
+  private def cleanup(current: Long, live: Set[String]): Unit =
+    deadDirs(current, GraftConf.retainedSnapshots(spark).max(1), live)
+      .foreach(d => Fs.delete(spark, segDir(d)))
+
+  /** Version dirs older than the retention window and not live segments. */
+  private def deadDirs(current: Long, keep: Int, live: Set[String]): Seq[String] =
     Fs.listDirs(spark, root)
-      .filter(_.startsWith("v"))
-      .flatMap(d => scala.util.Try(d.drop(1).toLong).toOption)
-      .filter(v => v <= current - keep)
-      .foreach(v => Fs.delete(spark, versionDir(v)))
-  }
+      .filter(d => d.startsWith("v") && !live.contains(d))
+      .filter(d => scala.util.Try(d.drop(1).toLong).toOption
+        .exists(v => v <= current - keep))
 
   def drop(): Unit = {
     SnapshotTable.invalidate(root)

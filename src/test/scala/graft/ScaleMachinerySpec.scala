@@ -135,6 +135,76 @@ class ScaleMachinerySpec extends GraftSuite {
     assert(table.count() == 3)
   }
 
+  test("segmented table: append replaces keys, delete tombstones, fold compacts") {
+    import spark.implicits._
+    import graft.store.SnapshotTable
+    val t = new SnapshotTable(spark, tmpDir("graft_seg_") + "/tbl")
+    def rows(of: (String, Long)*) = of.toSeq.toDF("filename", "value")
+    def readMap() = t.read().get.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+
+    t.overwrite(rows("f1" -> 1L, "f2" -> 2L))
+    // append replaces f2's rows without rewriting f1's segment
+    t.appendReplacing(rows("f2" -> 20L, "f3" -> 3L), "filename", Seq("f2", "f3"))
+    assert(t.segments.size == 2)
+    assert(readMap() == Set("f1" -> 1L, "f2" -> 20L, "f3" -> 3L))
+    // manifest wins even when the new segment has NO rows for a claimed key
+    t.appendReplacing(rows("f3" -> 30L), "filename", Seq("f2", "f3"))
+    assert(readMap() == Set("f1" -> 1L, "f3" -> 30L))
+    // tombstone-only delete segment
+    t.deleteLiteralKeys("filename", Seq("f1"))
+    assert(t.segments.size == 4)
+    assert(readMap() == Set("f3" -> 30L))
+    // compaction folds to a single directory with identical content
+    t.compact()
+    assert(t.segments.size == 1)
+    assert(readMap() == Set("f3" -> 30L))
+  }
+
+  test("segmented table folds when maxOverflowSegments is reached") {
+    import spark.implicits._
+    import graft.store.SnapshotTable
+    spark.conf.set("spark.graft.maxOverflowSegments", "3")
+    try {
+      val t = new SnapshotTable(spark, tmpDir("graft_segfold_") + "/tbl")
+      t.overwrite(Seq(("f0", 0L)).toDF("filename", "value"))
+      (1 to 5).foreach { i =>
+        t.appendReplacing(Seq((s"f$i", i.toLong)).toDF("filename", "value"),
+          "filename", Seq(s"f$i"))
+      }
+      assert(t.segments.size <= 3)
+      val got = t.read().get.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == (0 to 5).map(i => (s"f$i", i.toLong)).toSet)
+    } finally spark.conf.unset("spark.graft.maxOverflowSegments")
+  }
+
+  test("large-index overflow survives multi-batch builds and deleteFiles") {
+    spark.conf.set("spark.graft.largeIndexLimit", "10")
+    spark.conf.set("spark.graft.buildBatchMaxFiles", "1") // one batch per file
+    try {
+      val (idx, files) = freshIndex("seg_overflow", 3)
+      idx.update() // 3 batches → overflow table gets 3 appended segments
+      val store = new IndexStore(spark, "seg_overflow")
+      assert(store.largeTable("o_custkey").segments.size >= 2)
+      val all = spark.read.parquet(s"$sf/orders.parquet")
+      val key = all.select("o_custkey").first().getLong(0)
+      val got = idx.query(Map("o_custkey" -> Seq(key)))
+      assert(got.count() == all.where(col("o_custkey") === key).count())
+      // deleting one file purges its overflow rows via tombstone
+      // (compare qualified: stored filenames are FS-qualified; basenames are
+      // NOT unique — every band dir reuses the same part-file name)
+      val before = store.largeTable("o_custkey").read().get.count()
+      idx.deleteFiles(files.head)
+      val gone = graft.sources.FileReader.qualify(spark, files.head)
+      val overflow = store.largeTable("o_custkey").read().get
+      assert(overflow.where(col("filename") === gone).count() == 0)
+      assert(overflow.count() < before)
+    } finally {
+      spark.conf.unset("spark.graft.largeIndexLimit")
+      spark.conf.unset("spark.graft.buildBatchMaxFiles")
+    }
+  }
+
   test("IndexCatalog lists, describes and summarizes") {
     val (idx, files) = freshIndex("catalog_orders", 2)
     idx.update()
