@@ -220,6 +220,35 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_orderstatus")
         .orderBy("o_orderkey")
     }),
+    // stateful streaming dedup (flatMapGroupsWithState): documents streamed
+    // in doc_id order across two micro-batches; only the first row per
+    // content hash survives — both in-batch and cross-batch duplicates drop.
+    // First-seen == min doc_id because the feed is ordered, which makes the
+    // batch SQL oracle exact.
+    "q_stream_dedup" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = lk.documents.select("doc_id", "text")
+        .as[(Long, String)].collect().sortBy(_._1)
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      val mem = MemoryStream[(Long, String)]
+      val stream = mem.toDF().toDF("doc_id", "text")
+        .withColumn("content_key", md5(col("text")))
+      val sink = "q_stream_dedup_" + java.util.UUID.randomUUID().toString.take(8)
+      val q = graft.streaming.StreamOps.dedupFirstSeen(stream, "content_key", "doc_id")
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .option("checkpointLocation",
+          s"${lk.work}/sdedup_ckpt_" + java.util.UUID.randomUUID().toString.take(8))
+        .start()
+      try {
+        mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+        mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).select(col("content_key"), col("doc_id").as("keep_id"))
+        .orderBy("content_key")
+    }),
     // column backfill: an index built on o_custkey gains a range index on
     // o_orderkey later; update() recomputes only the new column, and the
     // new index must answer probes over ALL previously indexed files.
@@ -311,6 +340,15 @@ object SparkEntry {
       val emb = lk.embeddings
       Similarity.topK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", k = 5)
         .orderBy("query_id", "rank")
+    }),
+    // IVF top-k search — the ANN-search scale path: queries probe their 2
+    // nearest cells, only those cells' vectors are scored. Deterministic
+    // quantizer ⇒ the full approximation is replicated in the SQL oracle.
+    "q_ann_ivf_topk" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val emb = lk.embeddings
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5).orderBy("query_id", "rank")
     }),
     "q_lang_id" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
@@ -472,6 +510,9 @@ object SparkEntry {
       s"""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
           WHERE o_orderkey <= 5000 AND o_custkey IN ${inList(CustKeys)}
           ORDER BY o_orderkey""",
+    "q_stream_dedup" ->
+      """SELECT md5(text) AS content_key, min(doc_id) AS keep_id
+         FROM documents GROUP BY md5(text) ORDER BY content_key""",
     "q_delete_files" ->
       """SELECT o_orderstatus, count(*) AS cnt FROM orders
          WHERE o_custkey >= (SELECT max(o_custkey) // 8 + 1 FROM orders)
@@ -535,6 +576,41 @@ object SparkEntry {
                        ORDER BY cs DESC, neighbor_id) AS INT) AS rank
            FROM s)
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    // replicates the IVF approximation: 16 deterministic centroids by id
+    // rank, corpus assigned to its 1 nearest cell, queries to 2, candidates
+    // meet in shared cells, exact cosine top-5
+    "q_ann_ivf_topk" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         r AS (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) rn FROM e),
+         p AS (SELECT greatest(count(*) // 16, 1) step FROM e),
+         cent AS (SELECT (rn - 1) // step AS cid, v AS cv
+                  FROM r, p
+                  WHERE (rn - 1) % step = 0 AND (rn - 1) // step < 16),
+         csc AS (SELECT e.vec_id id, c.cid,
+                        list_dot_product(e.v, c.cv) /
+                        (sqrt(list_dot_product(e.v, e.v)) *
+                         sqrt(list_dot_product(c.cv, c.cv))) sim
+                 FROM e CROSS JOIN cent c),
+         corp AS (SELECT id, cid FROM (
+                    SELECT id, cid, row_number() OVER (PARTITION BY id
+                           ORDER BY sim DESC, cid) rr FROM csc) WHERE rr <= 1),
+         qry AS (SELECT id, cid FROM (
+                   SELECT id, cid, row_number() OVER (PARTITION BY id
+                          ORDER BY sim DESC, cid) rr
+                   FROM csc WHERE id < 10) WHERE rr <= 2),
+         cand AS (SELECT DISTINCT q.id query_id, c.id neighbor_id
+                  FROM qry q JOIN corp c ON q.cid = c.cid AND q.id != c.id),
+         sc AS (SELECT cand.query_id, cand.neighbor_id,
+                       list_dot_product(eq.v, ec.v) /
+                       (sqrt(list_dot_product(eq.v, eq.v)) *
+                        sqrt(list_dot_product(ec.v, ec.v))) cs
+                FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+                          JOIN e ec ON ec.vec_id = cand.neighbor_id)
+         SELECT query_id, neighbor_id, rank FROM (
+           SELECT query_id, neighbor_id,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cs DESC, neighbor_id) AS INT) AS rank
+           FROM sc) WHERE rank <= 5 ORDER BY query_id, rank""",
     "q_lang_id" ->
       """WITH c AS (SELECT doc_id,
              len(list_filter(string_split(lower(text), ' '),

@@ -77,12 +77,43 @@ object Similarity {
     graft.functions.VectorOps.hyperplaneSignature(vecCol, nPlanes)
   }
 
-  /** IVF-style ANN: a deterministic coarse quantizer (every k-th vector by
-    * id rank serves as a centroid — no iterative training, no RNG), each
-    * vector assigned to its `nProbe` nearest centroids, candidate pairs
-    * meet inside shared cells. The scale path when hyperplane LSH recall is
-    * too data-dependent: cell population is balanced by construction of the
-    * quantizer sample. Exact cosine re-ranks candidates only. */
+  /** Deterministic coarse quantizer: rank vectors by id, take every
+    * (count/nCells)-th as a centroid — no iterative training, no RNG. The
+    * cell id is derived by exact integer division (the modulo filter
+    * guarantees integrality) and capped by a FILTER, not a limit() — limit
+    * after a shuffle picks arbitrary rows, which would make the quantizer
+    * (and therefore the whole approximate result) nondeterministic. */
+  private def ivfCentroids(
+      df: DataFrame, idCol: String, vecCol: String, nCells: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
+    val total = df.count()
+    val step = math.max(total / nCells, 1L)
+    df.withColumn("__rn", row_number().over(w))
+      .where((col("__rn") - 1) % step === 0)
+      .withColumn("__cid", ((col("__rn") - 1) / step).cast("long"))
+      .where(col("__cid") < nCells)
+      .select(col("__cid"), col(vecCol).as("__cvec"))
+  }
+
+  /** Assign each row to its `nProbe` nearest centroids (ties by cell id);
+    * centroids broadcast, so assignment is one scan of `df`. */
+  private def ivfAssign(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, nProbe: Int): DataFrame = {
+    val scored = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__sim", cosine(col("__v"), col("__cvec")))
+    val aw = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id").orderBy(col("__sim").desc, col("__cid"))
+    scored.withColumn("__r", row_number().over(aw)).where(col("__r") <= nProbe)
+      .select(col("__id"), col("__cid"))
+  }
+
+  /** IVF-style ANN: each vector assigned to its `nProbe` nearest centroids,
+    * candidate pairs meet inside shared cells. The scale path when
+    * hyperplane LSH recall is too data-dependent: cell population is
+    * balanced by construction of the quantizer sample. Exact cosine
+    * re-ranks candidates only. */
   def ivfCosinePairs(
       df: DataFrame,
       idCol: String,
@@ -90,31 +121,9 @@ object Similarity {
       threshold: Double,
       nCells: Int = 16,
       nProbe: Int = 2): DataFrame = {
-    val spark = df.sparkSession
-    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    // deterministic centroids: rank vectors by id, take every (count/nCells)-th.
-    // The cell id is derived by exact integer division (the modulo filter
-    // guarantees integrality) and capped by a FILTER, not a limit() — limit
-    // after a shuffle picks arbitrary rows, which would make the quantizer
-    // (and therefore the whole approximate result) nondeterministic.
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
-    val total = df.count()
-    val step = math.max(total / nCells, 1L)
-    val centroids = df
-      .withColumn("__rn", row_number().over(w))
-      .where((col("__rn") - 1) % step === 0)
-      .withColumn("__cid", ((col("__rn") - 1) / step).cast("long"))
-      .where(col("__cid") < nCells)
-      .select(col("__cid"), col(vecCol).as("__cvec"))
-    // assign: nProbe nearest centroids per vector (centroids broadcast)
-    val scored = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("__sim", cosine(col("__v"), col("__cvec")))
-    val aw = org.apache.spark.sql.expressions.Window
-      .partitionBy("__id").orderBy(col("__sim").desc, col("__cid"))
-    val assigned = scored
-      .withColumn("__r", row_number().over(aw)).where(col("__r") <= nProbe)
-      .select(col("__id"), col("__cid"))
+    val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val assigned = ivfAssign(df, idCol, vecCol,
+      ivfCentroids(df, idCol, vecCol, nCells), nProbe)
     val a = assigned.select(col("__cid"), col("__id").as("a_id"))
     val b = assigned.select(col("__cid"), col("__id").as("b_id"))
     val cands = a.join(b, Seq("__cid"))
@@ -122,6 +131,46 @@ object Similarity {
       .select("a_id", "b_id").distinct()
       .repartition(n, col("a_id"))
     verifyCandidates(df, idCol, vecCol, cands, threshold)
+  }
+
+  /** IVF-style approximate top-k search: queries probe their `nProbe`
+    * nearest cells and rank ONLY the corpus vectors assigned there —
+    * brute-force [[topK]]'s O(|corpus| * |queries|) scoring drops to the
+    * probed cells' population. Recall is approximate (a true neighbor
+    * assigned elsewhere is missed — the standard IVF trade); results are
+    * deterministic (quantizer + cosine-desc/neighbor-id ranking), so the
+    * whole pipeline is replicable as a SQL oracle. */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 2): DataFrame = {
+    val centroids = ivfCentroids(corpus, idCol, vecCol, nCells)
+    val corpusCells = ivfAssign(corpus, idCol, vecCol, centroids, nProbe = 1)
+      .select(col("__cid"), col("__id").as("neighbor_id"))
+    val queryCells = ivfAssign(queries, idCol, vecCol, centroids, nProbe)
+      .select(col("__cid"), col("__id").as("query_id"))
+    val cands = queryCells.join(corpusCells, Seq("__cid"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__vq"),
+      norm(col(vecCol)).as("__nq"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__vc"),
+      norm(col(vecCol)).as("__nc"))
+    val scored = cands
+      .join(broadcast(qv), Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
+      .withColumn("__cos",
+        dot(col("__vq"), col("__vc")) / (col("__nq") * col("__nc")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("__cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
   /** Exact-cosine re-rank of an (a_id, b_id) candidate frame: join vectors +

@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming transforms for a training-data ingest pipeline, composing with
+  * [[StreamIngest]]: watermarked windowed aggregation (late-data tolerant)
+  * and stateful first-seen deduplication. The reference is batch-only
+  * (SURVEY §2.9); these are the Structured-Streaming-native operators its
+  * incremental `addFile`/`update` loop anticipates.
+  *
+  * Everything here is plan-level: `readStream → transform → writeStream`
+  * with Spark managing state stores, checkpoints and recovery — no custom
+  * state persistence to get wrong.
+  */
+object StreamOps {
+
+  /** Per-window document stats over a text stream: doc count + summed
+    * whitespace token count, grouped into sliding event-time windows.
+    * `watermark` bounds how late a row may arrive and still be counted —
+    * and therefore when a window's state can be dropped (without it,
+    * windowed state grows forever; the append-mode sink only emits a
+    * window once the watermark passes its end). */
+  def windowedDocStats(
+      stream: DataFrame,
+      tsCol: String,
+      textCol: String,
+      windowDuration: String,
+      slideDuration: String,
+      watermark: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDuration, slideDuration).as("w"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col(textCol), "\\s+"))).as("n_tokens"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("n_docs"), col("n_tokens"))
+
+  /** Stateful streaming exact-dedup: emit only the FIRST row seen per
+    * content key (e.g. `md5(text)`); duplicates in the same micro-batch are
+    * broken by the smallest `tiebreakCol` value, so output is deterministic
+    * given a deterministic batch sequence. State per key is one boolean
+    * (`flatMapGroupsWithState`), dropped after `stateTtl` of processing
+    * time if given — bounding state for unbounded streams at the cost of
+    * re-admitting a duplicate that arrives after the TTL (the standard
+    * trade; Spark's own `dropDuplicates` on a stream keeps state forever
+    * unless watermarked).
+    *
+    * Returns rows of `stream`'s schema. Append output mode. */
+  def dedupFirstSeen(
+      stream: DataFrame,
+      keyCol: String,
+      tiebreakCol: String,
+      stateTtl: Option[String] = None): DataFrame = {
+    val spark = stream.sparkSession
+    val schema = stream.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    val tieIdx = schema.fieldIndex(tiebreakCol)
+    val rowEnc = Encoders.row(schema)
+    // state = one boolean per key ("already emitted"); a primitive encoder
+    // keeps the state store row trivially small
+    val stateEnc = Encoders.scalaBoolean
+    val timeout = stateTtl match {
+      case Some(_) => GroupStateTimeout.ProcessingTimeTimeout
+      case None    => GroupStateTimeout.NoTimeout
+    }
+    val keyed = stream.groupByKey((r: Row) => String.valueOf(r.get(keyIdx)))(
+      Encoders.STRING)
+    val deduped = keyed.flatMapGroupsWithState(
+      OutputMode.Append, timeout)(
+      (key: String, rows: Iterator[Row], state: GroupState[Boolean]) => {
+        if (state.hasTimedOut) { state.remove(); Iterator.empty }
+        else {
+          val out =
+            if (state.exists && state.get) Iterator.empty
+            else {
+              // deterministic within-batch winner: min tiebreak value,
+              // compared in the column's own type (numeric ids must not be
+              // compared as strings)
+              val first = rows.reduceLeft { (a, b) =>
+                val av = a.get(tieIdx).asInstanceOf[Comparable[Any]]
+                if (av.compareTo(b.get(tieIdx)) <= 0) a else b
+              }
+              state.update(true)
+              Iterator.single(first)
+            }
+          stateTtl.foreach(state.setTimeoutDuration)
+          out
+        }
+      })(stateEnc, rowEnc)
+    deduped.toDF(schema.fieldNames: _*)
+  }
+
+  /** Batch-side reference semantics of [[dedupFirstSeen]] for differential
+    * testing: one row per key, smallest tiebreak wins. */
+  def dedupFirstSeenBatch(df: DataFrame, keyCol: String, tiebreakCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(tiebreakCol))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+}

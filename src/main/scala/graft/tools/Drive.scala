@@ -156,6 +156,30 @@ object Drive {
     println(s"[drive] 6-stream-replay new=$sNew (want 2) old=$sOld (want 0) " +
       s"dangling=$sDangling (want 0) files=${sidx.files.size} (want 1)")
 
+    // 7. streaming stateful dedup: two micro-batches with in-batch and
+    // cross-batch duplicates; only first-seen survives, min-id tiebreak
+    {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val mem = MemoryStream[(Long, String)]
+      val st = mem.toDF().toDF("doc_id", "text")
+        .withColumn("ck", org.apache.spark.sql.functions.md5(col("text")))
+      val q = graft.streaming.StreamOps.dedupFirstSeen(st, "ck", "doc_id")
+        .writeStream.format("memory").queryName("drive_sdedup")
+        .outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("drive_sd_").toString)
+        .start()
+      try {
+        mem.addData((2L, "aa"), (1L, "aa"), (3L, "bb")); q.processAllAvailable()
+        mem.addData((4L, "aa"), (5L, "cc")); q.processAllAvailable()
+      } finally q.stop()
+      val got = spark.table("drive_sdedup").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      println(s"[drive] 7-stream-dedup got=${got.toSeq.sorted.mkString(",")} " +
+        s"(want 1,3,5) OK=${got == Set(1L, 3L, 5L)}")
+    }
+
     spark.stop()
     println("[drive] done")
   }

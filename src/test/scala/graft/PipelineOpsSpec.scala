@@ -107,6 +107,30 @@ class PipelineOpsSpec extends GraftSuite {
     assert(topk.groupBy(_.getLong(0)).values.forall(_.map(_.getInt(2)).sorted.toSeq == Seq(1, 2, 3)))
   }
 
+  test("ivfTopK: bounded, self-free, deterministic, results score-ordered") {
+    val queries = emb.where(col("vec_id") < 8)
+    val got = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.nonEmpty)
+    assert(got.forall { case (q, n, r) => q != n && r >= 1 && r <= 4 })
+    // per query: ranks are 1..m with no gaps
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length))
+    }
+    // deterministic across invocations (fixed quantizer, fixed tiebreaks)
+    val again = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSet == again.toSet)
+    // every returned neighbor must also appear in the brute-force top-8
+    // ranking no earlier than its IVF rank says (IVF only DROPS candidates,
+    // so the exact ranks of survivors can only improve brute-force position)
+    val brute = Similarity.topK(emb, queries, "vec_id", "embedding", k = 8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    val hits = got.count { case (q, n, _) => brute.contains((q, n)) }
+    assert(hits.toDouble / got.length > 0.5,
+      s"IVF recall vs brute top-8 too low: $hits/${got.length}")
+  }
+
   test("language id is deterministic and covers the marker langs") {
     val langs = docs.select(TextAnalysis.langId(col("text")).as("l"))
       .distinct().collect().map(_.getString(0)).toSet

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamOps
+
+/** Watermarked windowed aggregation + stateful first-seen dedup
+  * (flatMapGroupsWithState) — the Structured-Streaming operators of
+  * SURVEY §2.9, tested through MemoryStream with forced batch boundaries. */
+class StreamOpsSpec extends GraftSuite {
+
+  test("windowed doc stats: watermark closes windows, late row within bound counts") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val stream = mem.toDF().toDF("ts", "text")
+    val out = StreamOps.windowedDocStats(
+      stream, "ts", "text", "10 minutes", "10 minutes", "5 minutes")
+    val q = out.writeStream.format("memory").queryName("win_stats")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("graft_win_ckpt_")).start()
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2026-01-01 10:$min%02d:00")
+    try {
+      mem.addData((t(1), "a b c"), (t(4), "d e"))
+      q.processAllAvailable()
+      // late-but-in-bound row for the 10:00 window, then advance the
+      // watermark past 10:10 + 5min so the window closes and emits
+      mem.addData((t(7), "f"), (t(21), "g h"))
+      q.processAllAvailable()
+      mem.addData((t(40), "z"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("win_stats")
+      .select("window_start", "n_docs", "n_tokens").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getLong(2))).toSet
+    // 10:00 window: 3 docs, 3+2+1 tokens — emitted ONCE, complete
+    assert(rows.contains((java.sql.Timestamp.valueOf("2026-01-01 10:00:00"), 3L, 6L)),
+      s"got $rows")
+  }
+
+  test("streaming first-seen dedup matches batch reference and drops cross-batch dups") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+      .withColumn("content_key", md5(col("text")))
+    val out = StreamOps.dedupFirstSeen(stream, "content_key", "doc_id")
+    val q = out.writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("graft_dedup_ckpt_")).start()
+    try {
+      mem.addData((2L, "aa"), (1L, "aa"), (3L, "bb")) // in-batch dup: min id wins
+      q.processAllAvailable()
+      mem.addData((4L, "aa"), (5L, "cc"))             // cross-batch dup dropped
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("dedup_out").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "aa"), (3L, "bb"), (5L, "cc")), s"got $got")
+  }
+
+  test("dedupFirstSeen on a batch frame equals the window reference") {
+    import spark.implicits._
+    val df = Seq((5L, "x"), (2L, "x"), (9L, "y"), (1L, "z"), (7L, "z"))
+      .toDF("doc_id", "text").withColumn("content_key", md5(col("text")))
+    val got = StreamOps.dedupFirstSeen(df, "content_key", "doc_id")
+    val want = StreamOps.dedupFirstSeenBatch(df, "content_key", "doc_id")
+    assertSameRows(got, want)
+  }
+}
