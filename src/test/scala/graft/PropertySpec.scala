@@ -86,6 +86,47 @@ class PropertySpec extends GraftSuite {
     assert(df.where(col("expr") =!= col("hof")).count() == 0)
   }
 
+  test("segmented table: 40 random write ops always equal the in-memory model") {
+    import spark.implicits._
+    import graft.store.SnapshotTable
+    val rnd = new Random(4242)
+    val t = new SnapshotTable(spark, tmpDir("graft_segprop_") + "/tbl")
+    // model: key -> live values (multi-row per key, like overflow tables)
+    val model = scala.collection.mutable.Map.empty[String, Seq[Long]]
+    val keys = (0 until 8).map(i => s"k$i")
+    def someRows(): Map[String, Seq[Long]] =
+      rnd.shuffle(keys).take(1 + rnd.nextInt(3))
+        .map(k => k -> Seq.fill(1 + rnd.nextInt(4))(rnd.nextLong() & 0xffffL))
+        .toMap
+    def toDf(m: Map[String, Seq[Long]]) =
+      m.toSeq.flatMap { case (k, vs) => vs.map(k -> _) }.toDF("filename", "value")
+    spark.conf.set("spark.graft.maxOverflowSegments", (2 + rnd.nextInt(5)).toString)
+    try {
+      (0 until 40).foreach { i =>
+        rnd.nextInt(10) match {
+          case 0 =>
+            val m = someRows()
+            t.overwrite(toDf(m)); model.clear(); model ++= m
+          case 1 | 2 =>
+            val del = rnd.shuffle(keys).take(1 + rnd.nextInt(2))
+            t.deleteLiteralKeys("filename", del); del.foreach(model.remove)
+          case 3 => t.compact()
+          case _ =>
+            val m = someRows()
+            // manifest may claim MORE keys than the delta has rows for
+            val claimed = (m.keys ++ rnd.shuffle(keys).take(rnd.nextInt(2))).toSeq.distinct
+            t.appendReplacing(toDf(m), "filename", claimed)
+            claimed.foreach(model.remove); model ++= m
+        }
+        val got = t.read().get.collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+          .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+        val want = model.toMap.view.mapValues(_.sorted).toMap
+        assert(got == want, s"divergence after op $i: got=$got want=$want")
+      }
+    } finally spark.conf.unset("spark.graft.maxOverflowSegments")
+  }
+
   test("FirstEqualIndex finds the first agreeing band") {
     import spark.implicits._
     val df = Seq(
