@@ -18,9 +18,11 @@ object PlanAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sfDir = "/root/testdata/sf0.01"
-    Seq("q_regular_probe", "q_select_join", "q_regular_join", "q_pruned_agg")
+    Seq("q_regular_probe", "q_select_join", "q_regular_join", "q_pruned_agg",
+      "q_autobloom", "q_compact_probe")
       .foreach { name =>
         val df = SparkEntry.queries(name)(spark, sfDir)
+        df.collect() // finalize AQE so the printed plan is the executed one
         val plan = df.queryExecution.executedPlan.toString
         println(s"=== $name ===")
         plan.linesIterator
@@ -28,7 +30,9 @@ object PlanAudit {
             l.contains("Scan parquet") || l.toLowerCase.contains("udf"))
           .take(8)
           .foreach(l => println("  " + l.trim.take(240)))
-        println(s"  wholeStageCodegen-spans=${plan.split("WholeStageCodegen").length - 1}")
+        // codegen stages appear as "*(n) Op" markers in the finalized plan
+        val spans = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1).toInt).toSet
+        println(s"  wholeStageCodegen-spans=${spans.size}")
       }
     spark.stop()
   }
