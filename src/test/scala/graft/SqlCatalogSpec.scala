@@ -121,4 +121,19 @@ class SqlCatalogSpec extends GraftSuite {
       .first().getLong(0)
     assert(n == lake.orders.count())
   }
+
+  test("join of TWO graft tables stays correct (one side rewritten, other scanned)") {
+    init()
+    lake.lineitemIdx // second catalog table (regular index on l_suppkey)
+    val got = spark.sql(
+      """SELECT o.o_orderkey, l.l_suppkey
+         FROM graft.orders_idx o JOIN graft.lineitem_idx l
+           ON o.o_orderkey = l.l_orderkey
+         WHERE l.l_suppkey IN (2, 5)""")
+    val want = lake.orders.join(
+        lake.lineitem.where(col("l_suppkey").isin(2L, 5L)),
+        col("o_orderkey") === col("l_orderkey"))
+      .select("o_orderkey", "l_suppkey")
+    assertSameRows(got, want)
+  }
 }
