@@ -77,6 +77,18 @@ final class Index private (
   def addExplodedIndex(alias: String, arraySqlExpr: String): Index =
     addDef(IndexDef(alias, "exploded", expr = Some(arraySqlExpr)))
 
+  /** Reference-shaped convenience: index one FIELD of an array-of-struct
+    * column, joinable via `asColumn` (reference: Index.scala:324-370
+    * addExplodedFieldIndex("items", "sku", "item_sku")). Delegates to the
+    * general expression form. */
+  def addExplodedFieldIndex(arrayColumn: String, fieldPath: String, asColumn: String): Index = {
+    requireTopLevel(arrayColumn)
+    addExplodedIndex(asColumn, s"transform($arrayColumn, x -> x.$fieldPath)")
+  }
+
+  /** Names of all indexed (joinable) columns (reference: Index.scala:372). */
+  def indexes: Set[String] = meta.indexes.map(_.column).toSet
+
   private def requireTopLevel(column: String): Unit = {
     require(meta.schema.fieldNames.contains(column),
       s"Column '$column' is not a top-level column of index '$name' schema " +

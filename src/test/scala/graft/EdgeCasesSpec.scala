@@ -80,6 +80,30 @@ class EdgeCasesSpec extends GraftSuite {
     assert(!got.head.schema.fieldNames.contains("meta"))
   }
 
+  test("exploded FIELD index over array-of-struct (reference addExplodedFieldIndex)") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Seq(("sku1", 2), ("sku2", 1))),
+      (2L, Seq(("sku2", 5))),
+      (3L, Seq(("sku3", 1))))
+      .toDF("order_id", "raw")
+      .select(col("order_id"),
+        expr("transform(raw, x -> struct(x._1 as sku, x._2 as qty))").as("items"))
+    val dir = tmpDir("graft_explfield_")
+    (1 to 3).foreach(i =>
+      rows.where(col("order_id") === i).coalesce(1).write.parquet(s"$dir/f$i"))
+    def files(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    val idx = Index(spark, "expl_field_idx", rows.schema, "parquet")
+    idx.addExplodedFieldIndex("items", "sku", "item_sku")
+    idx.addFile((1 to 3).flatMap(i => files(s"$dir/f$i")): _*)
+    idx.update()
+    assert(idx.indexes == Set("item_sku"))
+    val got = idx.query(Map("item_sku" -> Seq("sku2")))
+      .select("order_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L), s"got $got")
+  }
+
   test("null values in an indexed column: rows survive reads, null never matches") {
     import spark.implicits._
     val df = Seq[(java.lang.Long, String)]((1L, "x"), (null, "y"), (2L, "z"))
