@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.harness.Lake
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry (+ DuckDB oracle SQL) per operator.
   *
@@ -359,6 +359,29 @@ object SparkEntry {
         TextAnalysis.langId(col("text")).as("pred_lang"))
         .orderBy("doc_id")
     }),
+    // deterministic hash sampling: same rows selected on every run, any
+    // partitioning, any engine (md5-hex-prefix threshold compare)
+    "q_sample_hash" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Sampling.hashSample(lk.documents, "doc_id", 0.25)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+    "q_sample_stratified" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Sampling.stratifiedHashSample(lk.documents, "doc_id", "lang",
+        Map("en" -> 0.5, "de" -> 0.1), defaultFraction = 0.02)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+    // context-window packing: docs in id order greedily packed into ~5000-
+    // token chunks via a DISTRIBUTED exclusive prefix sum (range partitions
+    // + local window + broadcast offsets — no single-task global window)
+    "q_pack_chunks" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val toks = lk.documents.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      Sampling.packByTokenBudget(toks, "doc_id", "n_tok", budget = 5000)
+        .select("doc_id", "chunk_id").orderBy("doc_id")
+    }),
     "q_token_count" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
       lk.documents.select(col("doc_id"),
@@ -633,6 +656,25 @@ object SparkEntry {
            WHEN cf > 0 AND cf > ce AND cf > cs AND cf > cd THEN 'fr'
            ELSE 'und' END AS pred_lang
          FROM c ORDER BY doc_id""",
+    "q_sample_hash" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
+         ORDER BY doc_id""",
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+         WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) <
+           CASE WHEN lang = 'en' THEN '80000000'
+                WHEN lang = 'de' THEN '19999999'
+                ELSE '051eb851' END
+         ORDER BY doc_id""",
+    "q_pack_chunks" ->
+      """SELECT doc_id,
+                CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  // 5000 AS BIGINT) AS chunk_id
+         FROM (SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tok
+               FROM documents)
+         ORDER BY doc_id""",
     "q_token_count" ->
       """SELECT doc_id,
                 len(string_split(lower(text), ' ')) AS n_tokens,

@@ -75,6 +75,14 @@ object GraftJoinRule extends Rule[LogicalPlan] with Logging {
   private def tryRewrite(
       j: Join, left: LogicalPlan, right: LogicalPlan, cond: Expression): Option[Join] = {
     try {
+      // Joins where BOTH sides are graft tables fall back to plain catalog
+      // scans: rewriting one side makes the fixed-point optimizer probe the
+      // other side with the already-rewritten (alias-wrapped) plan on the
+      // next iteration — executing a query mid-optimization against a plan
+      // the same rule just synthesized. Correctness never depends on the
+      // rewrite; both scans keep their own pushdown.
+      if (findRelation(left).isDefined && findRelation(right).isDefined)
+        return None
       val (graftPlan, otherPlan, graftIsLeft, relationNode, meta) =
         findRelation(left) match {
           case Some((node, m)) => (left, right, true, node, m)

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling + context-window packing for training-data
+  * pipelines.
+  *
+  * Every operator here is HASH-deterministic (no RNG, no seed state): the
+  * same row always lands in the same sample/chunk, across runs, partitions
+  * and engines — which makes samples reproducible, incremental re-runs
+  * consistent, and every result exactly replicable in a SQL oracle. The
+  * sampling key is the leading 8 hex chars of md5(id) compared against a
+  * hex threshold — lexicographic compare on lowercase hex, identical in any
+  * engine with md5.
+  */
+object Sampling {
+
+  /** `floor(fraction * 16^8)` as an 8-hex-digit lower-case threshold. */
+  private def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, "fraction must be in [0,1]")
+    f"${math.min((fraction * 4294967296.0).toLong, 4294967295L)}%08x"
+  }
+
+  /** The per-row sampling key: first 8 hex chars of md5 of the id rendered
+    * as a string. */
+  def sampleKey(idCol: Column): Column =
+    substring(md5(idCol.cast("string")), 1, 8)
+
+  /** Deterministic ~`fraction` sample: a row is kept iff its hash key falls
+    * under the threshold. Pure filter — pushes into the scan, no shuffle,
+    * no driver state; rerunning (or running on a different partitioning)
+    * selects the SAME rows. */
+  def hashSample(df: DataFrame, idCol: String, fraction: Double): DataFrame =
+    df.where(sampleKey(col(idCol)) < lit(hexThreshold(fraction)))
+
+  /** Per-stratum deterministic rates (e.g. lang -> fraction): strata not in
+    * `rates` default to `defaultFraction`. Thresholds fold into one CASE
+    * expression — still a pure pushdown-friendly filter. */
+  def stratifiedHashSample(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      rates: Map[String, Double],
+      defaultFraction: Double = 0.0): DataFrame = {
+    val threshold = rates.foldLeft(lit(hexThreshold(defaultFraction))) {
+      case (acc, (stratum, frac)) =>
+        when(col(strataCol) === lit(stratum), lit(hexThreshold(frac))).otherwise(acc)
+    }
+    df.where(sampleKey(col(idCol)) < threshold)
+  }
+
+  /** Pack rows into chunks of at most ~`budget` tokens, walking rows in
+    * `idCol` order: `chunk_id = floor(exclusive_prefix_sum(tokens) /
+    * budget)` — a row straddling a boundary starts the next chunk's count
+    * but stays in the chunk its prefix put it in (fixed, engine-replicable
+    * semantics).
+    *
+    * Scale shape: a naive `Window.orderBy(id)` global cumsum runs on ONE
+    * task. This is the classic distributed prefix sum instead: range-
+    * repartition by id, per-partition local cumsum (window WITHIN each
+    * partition), tiny per-partition totals prefix-scanned on the driver and
+    * broadcast back as offsets. Every stage is parallel; the driver holds
+    * one number per partition. */
+  def packByTokenBudget(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      budget: Long,
+      numPartitions: Int = 0): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val spark = df.sparkSession
+    val n = if (numPartitions > 0) numPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val parted = df.repartitionByRange(n, col(idCol))
+      .withColumn("__pid", spark_partition_id())
+    // local EXCLUSIVE prefix sum within each range partition
+    val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = parted.withColumn("__local",
+      coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+    // per-partition totals -> driver prefix scan -> broadcast offsets.
+    // Range partitioning orders partitions by id, so offset(p) = sum of
+    // totals of partitions before p.
+    val totals = local.groupBy("__pid").agg(sum(col(tokenCol)).as("__total"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offsetByPid = {
+      var acc = 0L
+      totals.map { case (pid, tot) => val o = (pid, acc); acc += tot; o }.toMap
+    }
+    val offsetExpr = offsetByPid.foldLeft(lit(0L)) { case (e, (pid, off)) =>
+      when(col("__pid") === lit(pid), lit(off)).otherwise(e)
+    }
+    local
+      .withColumn("chunk_id",
+        floor((col("__local") + offsetExpr) / lit(budget)))
+      .drop("__pid", "__local")
+  }
+}

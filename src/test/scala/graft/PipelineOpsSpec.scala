@@ -131,6 +131,38 @@ class PipelineOpsSpec extends GraftSuite {
       s"IVF recall vs brute top-8 too low: $hits/${got.length}")
   }
 
+  test("hash sample is deterministic, partition-invariant and near the rate") {
+    import graft.operators.Sampling
+    val s1 = Sampling.hashSample(docs, "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.hashSample(docs.repartition(17), "doc_id", 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 == s2, "sample must not depend on partitioning")
+    val rate = s1.size.toDouble / docs.count()
+    assert(rate > 0.15 && rate < 0.45, s"rate $rate far from 0.3")
+    // monotone: a smaller fraction selects a subset
+    val s3 = Sampling.hashSample(docs, "doc_id", 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s3.subsetOf(s1))
+  }
+
+  test("packByTokenBudget: chunks respect the budget and equal the single-window reference") {
+    import graft.operators.Sampling
+    val toks = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tok"))
+    val got = Sampling.packByTokenBudget(toks, "doc_id", "n_tok", budget = 3000,
+      numPartitions = 7)
+    // reference: naive global window cumsum (fine at test scale)
+    val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val want = toks.withColumn("chunk_id",
+      floor(coalesce(sum(col("n_tok")).over(w), lit(0L)) / lit(3000L)))
+    assertSameRows(got.select("doc_id", "chunk_id"), want.select("doc_id", "chunk_id"))
+    // chunk ids are contiguous from 0
+    val ids = got.select("chunk_id").distinct().collect().map(_.getLong(0)).sorted
+    assert(ids.head == 0L && ids.sameElements(ids.head to ids.last))
+  }
+
   test("language id is deterministic and covers the marker langs") {
     val langs = docs.select(TextAnalysis.langId(col("text")).as("l"))
       .distinct().collect().map(_.getString(0)).toSet
