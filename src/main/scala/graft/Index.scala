@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 import graft.model.{IndexDef, IndexMetadata}
-import graft.operators.{IndexBuild, IndexJoin, IndexProbe}
+import graft.operators.{AsOfJoin, IndexBuild, IndexJoin, IndexProbe}
 import graft.sources.FileReader
 import graft.store.{Fs, IndexStore, SnapshotTable, StorageMigrations}
 
@@ -270,6 +270,32 @@ final class Index private (
   /** Index-accelerated join, index side left (reference: Index.scala:960). */
   def join(df: DataFrame, usingColumns: Seq[String], joinType: String = "inner"): DataFrame =
     IndexJoin.join(store, meta, df, usingColumns, joinType, selection)
+
+  /** Point-in-time join against a temporal index: for each probe row,
+    * attach the indexed table's row with the latest `tsColumn` at or before
+    * the probe row's `probeTsCol` (per key). Files are pruned by KEY
+    * containment only — never by the index's max-timestamps, because the
+    * as-of winner at an old probe time can live in any file holding the key
+    * (the latest-file-only restriction of normal temporal probes would be
+    * wrong here). Left-outer semantics: every probe row survives. */
+  def asOfJoin(
+      df: DataFrame,
+      keyColumn: String,
+      probeTsCol: String,
+      valueCols: Seq[String],
+      rightTsAlias: String = "",
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
+    val ix = meta.indexFor(keyColumn).getOrElse(
+      throw new IllegalArgumentException(s"Column '$keyColumn' is not indexed"))
+    require(ix.indexType == "temporal",
+      s"asOfJoin needs a temporal index on '$keyColumn' (found ${ix.indexType})")
+    val files = IndexProbe.collectFiles(
+      IndexProbe.temporalKeyCandidates(store, ix, df.select(col(keyColumn))))
+    val data = FileReader.readFiles(spark, meta, files, Set.empty, selection)
+    AsOfJoin.asOf(df, data, Seq(keyColumn), probeTsCol, ix.tsColumn.get,
+      valueCols, rightTsAlias, direction, tolerance)
+  }
 
   /** Per-column index statistics, INCLUDING the large-index overflow
     * contribution (reference: IndexQueryOperations.scala:911-972; r1 gap). */

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.harness.Lake
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, IntervalJoin, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry (+ DuckDB oracle SQL) per operator.
   *
@@ -162,6 +162,54 @@ object SparkEntry {
       lk.lineitemIdx.join(probe, Seq("l_partkey"))
         .select("l_orderkey", "l_linenumber", "l_partkey")
         .orderBy("l_orderkey", "l_linenumber")
+    }),
+    // as-of (point-in-time) join: clicks pick up the latest prior view-state
+    // per user — union+running-window shape, no range-join blowup.
+    // Timestamps are truncated to MICROSECONDS on both engines: DuckDB reads
+    // TIMESTAMP(NANOS) parquet at µs precision, so matching at ns here would
+    // diverge on pairs that tie at µs resolution.
+    "q_asof_join" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val clicks = lk.events.where(col("event_type") === "click")
+        .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_id"))
+      val views = lk.events.where(col("event_type") === "view")
+        .select(col("user_id"), expr("ts div 1000").as("ts"), col("value"))
+        .groupBy("user_id", "ts").agg(max("value").as("state_val"))
+      AsOfJoin.asOf(clicks, views, Seq("user_id"), "ts", "ts",
+        valueCols = Seq("state_val"), rightTsAlias = "state_ts")
+        .orderBy("user_id", "ts")
+    }),
+    // index-accelerated as-of: temporal index prunes files by KEY, the pruned
+    // rows are the right side. Probe ts = last ns of the click's PREVIOUS
+    // second — second-aligned bounds mean DuckDB's µs-truncated view of the
+    // same rows selects the same winner (truncation never crosses a second),
+    // and "strictly before the click's second" dodges self-matching.
+    "q_asof_index" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val probe = lk.events
+        .where(col("event_type") === "click" && col("user_id") < 30)
+        .select(col("user_id"),
+          (expr("ts div 1000000000") * lit(1000000000L) - 1).as("q_ts"),
+          col("event_id").as("click_id"))
+      lk.eventsIdx.asOfJoin(probe, "user_id", "q_ts",
+        valueCols = Seq("event_id", "event_type", "value"),
+        rightTsAlias = "src_ts")
+        .withColumn("src_ts", expr("src_ts div 1000"))
+        .orderBy("user_id", "q_ts")
+    }),
+    // interval-containment join: clicks inside a 10-minute window after any
+    // error, binned equi-join (never a BroadcastNestedLoopJoin); µs units
+    "q_interval_join" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val winUs = 600L * 1000 * 1000
+      val clicks = lk.events.where(col("event_type") === "click")
+        .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_id"))
+      val errors = lk.events.where(col("event_type") === "error")
+        .select(col("user_id"), expr("ts div 1000").as("lo"),
+          (expr("ts div 1000") + winUs).as("hi"), col("event_id").as("err_id"))
+      IntervalJoin.joinPointsToIntervals(clicks, errors, Seq("user_id"),
+        "ts", "lo", "hi", binWidth = winUs, valueCols = Seq("err_id"))
+        .orderBy("user_id", "ts", "err_id")
     }),
     "q_autobloom" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
@@ -529,6 +577,38 @@ object SparkEntry {
       """SELECT l.l_orderkey, l.l_linenumber, l.l_partkey
          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
          WHERE p.p_size > 45 ORDER BY l_orderkey, l_linenumber""",
+    "q_asof_join" ->
+      """WITH clicks AS (SELECT user_id, epoch_us(ts) AS ts, event_id
+                         FROM events WHERE event_type = 'click'),
+              views AS (SELECT user_id, epoch_us(ts) AS vts,
+                               max(value) AS state_val
+                        FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+         SELECT c.user_id, c.ts, c.event_id, v.state_val, v.vts AS state_ts
+         FROM clicks c ASOF LEFT JOIN views v
+           ON c.user_id = v.user_id AND c.ts >= v.vts
+         ORDER BY c.user_id, c.ts""",
+    "q_asof_index" ->
+      """WITH probe AS (SELECT user_id,
+                               (epoch_us(ts) // 1000000) * 1000000000 - 1 AS q_ts,
+                               event_id AS click_id
+                        FROM events WHERE event_type = 'click' AND user_id < 30),
+              ev AS (SELECT user_id, epoch_us(ts) AS ets,
+                            epoch_us(ts) * 1000 AS ets_ns, event_id,
+                            event_type, value FROM events)
+         SELECT p.user_id, p.q_ts, p.click_id, e.event_id, e.event_type,
+                e.value, e.ets AS src_ts
+         FROM probe p ASOF LEFT JOIN ev e
+           ON p.user_id = e.user_id AND p.q_ts >= e.ets_ns
+         ORDER BY p.user_id, p.q_ts""",
+    "q_interval_join" ->
+      """SELECT c.user_id, epoch_us(c.ts) AS ts, c.event_id,
+                e.event_id AS err_id
+         FROM events c JOIN events e
+           ON c.user_id = e.user_id
+          AND c.event_type = 'click' AND e.event_type = 'error'
+          AND epoch_us(c.ts) BETWEEN epoch_us(e.ts)
+                                 AND epoch_us(e.ts) + 600000000
+         ORDER BY c.user_id, ts, err_id""",
     "q_autobloom" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
           WHERE o_orderkey IN ${inList(OrderKeys)} ORDER BY o_orderkey""",

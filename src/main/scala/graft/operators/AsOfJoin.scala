@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time (as-of) join: attach to each left row the single right row
+  * with equal keys and the LATEST right timestamp <= the left timestamp
+  * (`backward`; `forward` = earliest right ts >= left ts). Left-outer
+  * semantics — unmatched left rows keep null right columns — matching
+  * DuckDB/pandas `ASOF LEFT JOIN`.
+  *
+  * Neither the reference nor stock Spark has this operator (SURVEY §2.3
+  * "not implemented"); training-data pipelines need it constantly
+  * (feature-state at example time, point-in-time-correct labels).
+  *
+  * Spark-first shape: NO join at all — union both sides tagged by origin,
+  * one window per key ordered by (ts, side), and a running
+  * `last(right_payload, ignoreNulls)` carries the most recent right row
+  * forward into each left row. One shuffle on the key, no range-condition
+  * BroadcastNestedLoop blowup, no per-key explode. Skewed keys cost one
+  * task's sort of that key's rows (same bound as any windowed op); at
+  * 100 TB, pre-bucketing both sides by key makes the shuffle a local sort.
+  */
+object AsOfJoin {
+
+  /** @param valueCols    right-side columns to attach (must not collide with
+    *                     left column names)
+    * @param rightTsAlias if non-empty, also attach the matched right row's
+    *                     timestamp under this name
+    * @param direction    "backward" (right.ts <= left.ts, latest wins) or
+    *                     "forward" (right.ts >= left.ts, earliest wins)
+    * @param tolerance    max |left.ts - right.ts| for a match, in the ts
+    *                     column's own units (numeric ts columns only)
+    *
+    * Right rows with a null timestamp never match; left rows with a null
+    * timestamp come out unmatched (SQL comparison-with-null semantics,
+    * same as DuckDB ASOF). Ties on (key, ts) inside the right side are
+    * broken by the greatest payload struct — deterministic on any
+    * partitioning.
+    */
+  def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTsCol: String,
+      rightTsCol: String,
+      valueCols: Seq[String],
+      rightTsAlias: String = "",
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val collisions = valueCols.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"right value columns collide with left columns: ${collisions.mkString(", ")}")
+
+    // payload struct the window carries: matched right ts first (tolerance +
+    // alias need it), then the requested value columns
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val rPayload = struct(
+      (col(rightTsCol).as("__rts") +: valueCols.map(col)): _*)
+    val rPayloadType = StructType(
+      StructField("__rts", right.schema(rightTsCol).dataType) +:
+        valueCols.map(c => right.schema(c)))
+    val lPayloadType = StructType(left.schema.fields)
+    val rTagged = right
+      .where(col(rightTsCol).isNotNull)
+      .select(
+        keyCols.map(col) ++ Seq(
+          col(rightTsCol).as("__ts"),
+          lit(if (direction == "backward") 0 else 1).as("__side"),
+          rPayload.as("__r"),
+          lit(null).cast(lPayloadType).as("__l")): _*)
+    val lTagged = left.select(
+      keyCols.map(col) ++ Seq(
+        col(leftTsCol).as("__ts"),
+        lit(if (direction == "backward") 1 else 0).as("__side"),
+        lit(null).cast(rPayloadType).as("__r"),
+        struct(left.columns.map(col): _*).as("__l")): _*)
+
+    // Ordering invariants: at equal ts the right row must fall on the
+    // matching side of the frame (<= and >= are inclusive), hence __side
+    // 0/1 flips with direction. Null left ts sorts first under ascending
+    // nulls-first — before every right row — so `last` over the preceding
+    // frame is null there (backward); forward guards explicitly.
+    val order = Seq(col("__ts"), col("__side"), col("__r"))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    val matched = direction match {
+      case "backward" =>
+        last(col("__r"), ignoreNulls = true)
+          .over(w.orderBy(order: _*)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      case "forward" =>
+        when(col("__ts").isNotNull,
+          first(col("__r"), ignoreNulls = true)
+            .over(w.orderBy(order: _*)
+              .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    }
+
+    val isLeft = col("__side") === lit(if (direction == "backward") 1 else 0)
+    val withMatch = lTagged.unionByName(rTagged)
+      .withColumn("__m", matched)
+      .where(isLeft)
+    val bounded = tolerance match {
+      case Some(tol) =>
+        val gap =
+          if (direction == "backward") col("__ts") - col("__m.__rts")
+          else col("__m.__rts") - col("__ts")
+        withMatch.withColumn("__m", when(gap <= lit(tol), col("__m")))
+      case None => withMatch
+    }
+    val outCols =
+      left.columns.toSeq.map(c => col(s"__l.$c").as(c)) ++
+        valueCols.map(c => col(s"__m.$c").as(c)) ++
+        (if (rightTsAlias.nonEmpty) Seq(col("__m.__rts").as(rightTsAlias)) else Nil)
+    bounded.select(outCols: _*)
+  }
+}

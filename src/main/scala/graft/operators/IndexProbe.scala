@@ -221,6 +221,29 @@ object IndexProbe {
       .select(col("__m.filename").as("filename"))
   }
 
+  /** Files CONTAINING a probed key in a temporal index, with no
+    * latest-timestamp restriction — as-of joins need every historical row
+    * for a key (the winner at a probe time may live in any file), so only
+    * key-containment pruning is safe. */
+  def temporalKeyCandidates(
+      store: IndexStore,
+      ix: IndexDef,
+      probeDf: DataFrame): DataFrame = {
+    store.indexTable.read() match {
+      case None => emptyFilenames(store.spark)
+      case Some(indexDf) =>
+        val exploded = indexDf.where(col(ix.column).isNotNull)
+          .select(col("filename"), col(ix.column).getField("value").as("__vs"))
+          .select(col("filename"), explode(col("__vs")).as("__v"))
+        val matched = boundedValues(store.spark, probeDf) match {
+          case Some(vs) => exploded.where(isinOrFalse(col("__v"), vs))
+          case None =>
+            exploded.join(probeDf.toDF("__v").distinct(), Seq("__v"), "left_semi")
+        }
+        matched.select("filename").distinct()
+    }
+  }
+
   /** Files whose [min,max] overlaps the query window [lo,hi] — the
     * BETWEEN-style pruning probe behind Index.queryRange. */
   def rangeWindowCandidates(

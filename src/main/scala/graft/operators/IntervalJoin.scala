@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval (range-containment) join: point rows × interval rows with equal
+  * keys and `lo <= pt <= hi` — sessionization, event-in-window labeling,
+  * time-range feature attachment. Stock Spark plans a range condition as
+  * BroadcastNestedLoopJoin (or a per-key explode if rewritten by hand);
+  * both collapse at scale.
+  *
+  * Spark-first shape: quantize the timeline into fixed-width bins. Each
+  * interval is exploded to the bins it covers; each point computes its ONE
+  * bin; an ordinary equi-join on (keys, bin) + the exact residual predicate
+  * does the rest — hash join, AQE, skew handling all apply. A (point,
+  * interval) match is found exactly once (in the point's bin), so no
+  * dedup pass is needed. Explode fan-out is `interval_len / binWidth + 1`
+  * rows per interval: pick binWidth near the typical interval length.
+  */
+object IntervalJoin {
+
+  /** Attach interval payload columns to every contained point (inner join;
+    * points in no interval drop, points in k intervals appear k times).
+    *
+    * `ptCol`/`loCol`/`hiCol` must be integral (bin arithmetic uses exact
+    * integer division — doubles lose exactness past 2^53, which epoch-nanos
+    * already exceed). Keys equal across both sides; `valueCols` are
+    * interval-side columns to attach and must not collide with point
+    * columns. Null timestamps/bounds never match (SQL comparison rules).
+    */
+  def joinPointsToIntervals(
+      points: DataFrame,
+      intervals: DataFrame,
+      keyCols: Seq[String],
+      ptCol: String,
+      loCol: String,
+      hiCol: String,
+      binWidth: Long,
+      valueCols: Seq[String]): DataFrame = {
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    val collisions =
+      (valueCols.toSet ++ Set(loCol, hiCol)).intersect(points.columns.toSet)
+    require(collisions.isEmpty,
+      s"interval-side columns collide with point columns: ${collisions.mkString(", ")}")
+
+    // integral `div` keeps bin ids exact where floor(double) would not;
+    // assumes non-negative timestamps (epoch-style), where div == floor-div
+    val p = points.withColumn("__bin", expr(s"`$ptCol` div ${binWidth}L"))
+    val iv = intervals
+      .where(col(loCol).isNotNull && col(hiCol).isNotNull && col(loCol) <= col(hiCol))
+      .select((keyCols ++ Seq(loCol, hiCol) ++ valueCols).distinct.map(col): _*)
+      .withColumn("__bin",
+        explode(expr(s"sequence(`$loCol` div ${binWidth}L, `$hiCol` div ${binWidth}L)")))
+
+    p.join(iv, keyCols :+ "__bin")
+      .where(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
+      .drop("__bin")
+      .drop(Seq(loCol, hiCol).filterNot(valueCols.contains)
+        .filterNot(points.columns.contains): _*)
+  }
+}

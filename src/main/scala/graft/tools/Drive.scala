@@ -180,6 +180,28 @@ object Drive {
         s"(want 1,3,5) OK=${got == Set(1L, 3L, 5L)}")
     }
 
+    // 8) index-accelerated as-of join vs brute-force inequality oracle
+    {
+      val probe = events.where(col("event_type") === "click" && col("user_id") < 5)
+        .select(col("user_id"), (col("ts") - 1).as("q_ts"),
+          col("event_id").as("click_id"))
+      val got = eidx.asOfJoin(probe, "user_id", "q_ts",
+        valueCols = Seq("event_id"), rightTsAlias = "src_ts")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("click_id").orderBy(col("r_ts").desc)
+      val brute = probe.join(
+          events.select(col("user_id").as("r_uid"), col("ts").as("r_ts"),
+            col("event_id").as("r_eid")),
+          probe("user_id") === col("r_uid") && col("r_ts") <= probe("q_ts"), "left")
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("click_id"), col("r_eid"))
+      val mism = got.select(col("click_id"), col("event_id"))
+        .join(brute, Seq("click_id"))
+        .where(!(col("event_id") <=> col("r_eid"))).count()
+      println(s"[drive] 8-asof-index rows=${got.count()} mismatches=$mism (want 0) " +
+        (if (mism == 0) "OK" else "MISMATCH"))
+    }
+
     spark.stop()
     println("[drive] done")
   }

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AsOfJoin, IntervalJoin}
+
+/** As-of and interval joins: checked against brute-force window/inequality
+  * formulations (the semantics DuckDB's ASOF JOIN / BETWEEN join computes),
+  * plus plan-shape guards — the binned interval join must never plan a
+  * BroadcastNestedLoopJoin. */
+class TimeJoinsSpec extends GraftSuite {
+  import spark.implicits._
+
+  // hand-built micro case: every boundary condition visible by eye
+  private lazy val quotes = Seq(
+    // key, ts, px
+    ("a", 10L, 1.0), ("a", 20L, 2.0), ("a", 20L, 2.5), ("a", 30L, 3.0),
+    ("b", 15L, 9.0)
+  ).toDF("k", "ts", "px")
+  private lazy val trades = Seq(
+    ("a", 5L, 100L),  // before any quote -> null
+    ("a", 20L, 101L), // equal ts -> inclusive match (latest payload on tie)
+    ("a", 25L, 102L), // between -> ts=20
+    ("b", 50L, 103L), // -> 15
+    ("c", 10L, 104L)  // key never quoted -> null
+  ).toDF("k", "t_ts", "trade_id")
+
+  test("asOf backward: boundary, tie, missing-key, tolerance") {
+    val got = AsOfJoin.asOf(trades, quotes, Seq("k"), "t_ts", "ts",
+      valueCols = Seq("px"), rightTsAlias = "q_ts")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(3)).map(_.toString.toDouble), Option(r.get(4)))).toSet
+    assert(got == Set(
+      ("a", 5L, None, None),
+      ("a", 20L, Some(2.5), Some(20L)), // tie: greatest payload wins, deterministically
+      ("a", 25L, Some(2.5), Some(20L)),
+      ("b", 50L, Some(9.0), Some(15L)),
+      ("c", 10L, None, None)))
+
+    val tol = AsOfJoin.asOf(trades, quotes, Seq("k"), "t_ts", "ts",
+      valueCols = Seq("px"), tolerance = Some(10L))
+      .where($"trade_id" === 103L).select("px").collect()
+    assert(tol.head.isNullAt(0), "b@50 matched 15 only because no tolerance bound")
+  }
+
+  test("asOf forward: earliest at-or-after, null guard") {
+    val got = AsOfJoin.asOf(trades, quotes, Seq("k"), "t_ts", "ts",
+      valueCols = Seq("px"), direction = "forward")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(3)).map(_.toString.toDouble))).toSet
+    assert(got == Set(
+      ("a", 5L, Some(1.0)),
+      ("a", 20L, Some(2.0)), // inclusive; earliest payload among ts>=20 is (20, 2.0)
+      ("a", 25L, Some(3.0)),
+      ("b", 50L, None), // nothing at or after 50
+      ("c", 10L, None)))
+  }
+
+  /** Brute-force as-of on real data: per left row, max right ts <= left ts
+    * via inequality join + window — O(n·m) per key but exact. */
+  private def bruteAsOf(left: DataFrame, right: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id", "ts", "event_id")
+      .orderBy($"r_ts".desc, $"state_val".desc)
+    left.join(right, left("user_id") === right("r_uid") && $"r_ts" <= left("ts"), "left")
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" === 1)
+      .select(left("user_id"), $"ts", $"event_id",
+        $"state_val", $"r_ts".as("state_ts"))
+  }
+
+  test("asOf on events matches brute-force inequality join") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val clicks = events.where($"event_type" === "click")
+      .select("user_id", "ts", "event_id")
+    val views = events.where($"event_type" === "view")
+      .groupBy($"user_id".as("r_uid"), $"ts".as("r_ts"))
+      .agg(max($"value").as("state_val"))
+    val got = AsOfJoin.asOf(clicks,
+      views.select($"r_uid".as("user_id"), $"r_ts", $"state_val"),
+      Seq("user_id"), "ts", "r_ts",
+      valueCols = Seq("state_val"), rightTsAlias = "state_ts")
+    assertSameRows(got, bruteAsOf(clicks, views))
+  }
+
+  test("interval join matches inequality join and plans no nested loop") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val clicks = events.where($"event_type" === "click")
+      .select("user_id", "ts", "event_id")
+    val win = 600L * 1000 * 1000 * 1000 // 10 min in ns
+    val errors = events.where($"event_type" === "error")
+      .select($"user_id", $"ts".as("lo"), ($"ts" + win).as("hi"),
+        $"event_id".as("err_id"))
+
+    val got = IntervalJoin.joinPointsToIntervals(
+      clicks, errors, Seq("user_id"), "ts", "lo", "hi",
+      binWidth = win, valueCols = Seq("err_id"))
+    val expected = clicks.join(errors,
+        clicks("user_id") === errors("user_id") &&
+          $"ts" >= $"lo" && $"ts" <= $"hi")
+      .select(clicks("user_id"), $"ts", $"event_id", $"err_id")
+    assert(expected.count() > 0, "fixture must produce matches")
+    assertSameRows(got, expected)
+
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop"),
+      s"binned interval join must be an equi-join, got:\n$plan")
+  }
+
+  test("index asOfJoin prunes by key and matches the operator on a full read") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val dir = tmpDir("events_asof_")
+    events.repartitionByRange(4, $"user_id").write.mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    val idx = Index(spark, "t_events_asof", events.schema, "parquet")
+    idx.addTemporalIndex("user_id", "ts")
+    idx.addFile(files: _*)
+    idx.update()
+
+    val probe = events.where($"event_type" === "click" && $"user_id" < 8)
+      .select("user_id", "ts", "event_id")
+    val got = idx.asOfJoin(probe, "user_id", "ts",
+      valueCols = Seq("event_type", "value"), rightTsAlias = "src_ts")
+    val expected = AsOfJoin.asOf(probe, spark.read.parquet(dir),
+      Seq("user_id"), "ts", "ts",
+      valueCols = Seq("event_type", "value"), rightTsAlias = "src_ts")
+    assertSameRows(got, expected)
+
+    // key pruning: user_id < 8 clusters in the first range file(s)
+    val located = graft.operators.IndexProbe.collectFiles(
+      graft.operators.IndexProbe.temporalKeyCandidates(
+        new graft.store.IndexStore(spark, "t_events_asof"),
+        idx.metadata.indexFor("user_id").get,
+        probe.select($"user_id")))
+    assert(located.size < files.size,
+      s"expected key pruning, located ${located.size} of ${files.size}")
+  }
+}
