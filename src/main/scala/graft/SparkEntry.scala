@@ -477,6 +477,16 @@ object SparkEntry {
       Similarity.ivfCosinePairs(lk.embeddings, "vec_id", "embedding",
         threshold = 0.4).orderBy("a_id", "b_id")
     }),
+    // embedding near-dup DEDUP: IVF-bucketed cosine pairs + greedy keep-first
+    // survivor selection (drop any vector with a more-similar-than-0.4
+    // partner of smaller id)
+    "q_dedup_embed" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val pairs = Dedup.embeddingPairs(lk.embeddings, "vec_id", "embedding",
+        threshold = 0.4)
+      Dedup.keepFirst(lk.embeddings.select("vec_id", "label"), "vec_id", pairs)
+        .orderBy("vec_id")
+    }),
     // ---- SQL surface (DSv2 catalog + Catalyst join rewrite) ---------------
     "q_sql_where" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
@@ -831,6 +841,34 @@ object SparkEntry {
                (sqrt(list_dot_product(ea.v, ea.v)) *
                 sqrt(list_dot_product(eb.v, eb.v))) >= 0.4
          ORDER BY a_id, b_id""",
+    "q_dedup_embed" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         r AS (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) rn FROM e),
+         p AS (SELECT greatest(count(*) // 16, 1) step FROM e),
+         cent AS (SELECT (rn - 1) // step AS cid, v AS cv
+                  FROM r, p
+                  WHERE (rn - 1) % step = 0 AND (rn - 1) // step < 16),
+         sc AS (SELECT e.vec_id id, c.cid,
+                       list_dot_product(e.v, c.cv) /
+                       (sqrt(list_dot_product(e.v, e.v)) *
+                        sqrt(list_dot_product(c.cv, c.cv))) sim
+                FROM e CROSS JOIN cent c),
+         asg AS (SELECT id, cid FROM (
+                   SELECT id, cid,
+                          row_number() OVER (PARTITION BY id
+                            ORDER BY sim DESC, cid) rr
+                   FROM sc) WHERE rr <= 2),
+         cand AS (SELECT DISTINCT a.id a_id, b.id b_id
+                  FROM asg a JOIN asg b ON a.cid = b.cid AND a.id < b.id),
+         pairs AS (SELECT c.a_id, c.b_id
+                   FROM cand c JOIN e ea ON ea.vec_id = c.a_id
+                               JOIN e eb ON eb.vec_id = c.b_id
+                   WHERE list_dot_product(ea.v, eb.v) /
+                         (sqrt(list_dot_product(ea.v, ea.v)) *
+                          sqrt(list_dot_product(eb.v, eb.v))) >= 0.4)
+         SELECT em.vec_id, em.label FROM embeddings em
+         WHERE em.vec_id NOT IN (SELECT b_id FROM pairs)
+         ORDER BY em.vec_id""",
     "q_sql_where" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
           WHERE o_custkey IN ${inList(CustKeys)} ORDER BY o_orderkey""",

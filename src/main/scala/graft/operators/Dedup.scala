@@ -388,4 +388,34 @@ object Dedup {
       jaccardSortedHashed(col("__ta"), col("__tb")) >= threshold,
       sizeRatio = None)
   }
+
+  // ---- Embedding near-dup ----------------------------------------------------
+
+  /** Embedding-cosine near-duplicate pairs — the embedding member of the
+    * dedup family. Delegates to the bucketed [[Similarity]] pipelines:
+    * `"ivf"` (default) meets candidates inside shared quantizer cells and
+    * exact-reranks only those — the 100 TB path; `"brute"` is the exact
+    * all-pairs baseline for small corpora and oracle checks. */
+  def embeddingPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      method: String = "ivf"): DataFrame = method match {
+    case "ivf"   => Similarity.ivfCosinePairs(df, idCol, vecCol, threshold)
+    case "brute" => Similarity.cosinePairs(df, idCol, vecCol, threshold)
+    case m => throw new IllegalArgumentException(
+      s"unknown embedding dedup method '$m' (ivf|brute)")
+  }
+
+  /** Greedy survivor selection over a near-dup pair frame: keep a row iff
+    * it has no near-duplicate with a smaller id. Pairs carry `a_id < b_id`
+    * (every pair generator in this file does), so survivors are exactly the
+    * rows never appearing as `b_id` — one left-anti join, deterministic on
+    * any partitioning. Greedy-by-id, not connected components: for a chain
+    * a~b, b~c (a<b<c) both b and c drop even if a!~c — the standard
+    * fuzzy-dedup keep rule, cheap at any scale. */
+  def keepFirst(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("b_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
 }

@@ -99,6 +99,24 @@ class PipelineOpsSpec extends GraftSuite {
     assert(ivf.subsetOf(brute), s"IVF produced non-pairs: ${ivf -- brute}")
   }
 
+  test("embeddingPairs(ivf) ⊆ brute pairs; keepFirst drops exactly the b_ids") {
+    import spark.implicits._
+    val ivf = Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.4)
+    val brute = Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.4, "brute")
+    assert(ivf.count() > 0)
+    assert(ivf.exceptAll(brute).count() == 0, "ivf pairs must be a subset of brute")
+
+    val survivors = Dedup.keepFirst(emb.select("vec_id", "label"), "vec_id", ivf)
+    val dropped = ivf.select($"b_id".as("vec_id")).distinct()
+    assert(survivors.count() + dropped.count() == emb.count())
+    assert(survivors.join(dropped, Seq("vec_id")).count() == 0)
+    // chain semantics: a~b, b~c (a<b<c) drops BOTH b and c
+    val chain = Seq((1L, 2L), (2L, 3L)).toDF("a_id", "b_id")
+    val rows = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("vec_id", "v")
+    assert(Dedup.keepFirst(rows, "vec_id", chain)
+      .select("vec_id").as[Long].collect().toSet == Set(1L))
+  }
+
   test("topK is ordered, bounded and excludes self") {
     val topk = Similarity.topK(emb, emb.where(col("vec_id") < 5),
       "vec_id", "embedding", k = 3).collect()
