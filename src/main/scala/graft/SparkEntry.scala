@@ -698,11 +698,10 @@ object SparkEntry {
     // meet in shared cells, exact cosine top-5
     "q_ann_ivf_topk" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-         r AS (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) rn FROM e),
-         p AS (SELECT greatest(count(*) // 16, 1) step FROM e),
-         cent AS (SELECT (rn - 1) // step AS cid, v AS cv
-                  FROM r, p
-                  WHERE (rn - 1) % step = 0 AND (rn - 1) // step < 16),
+         cent AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid,
+                         v AS cv
+                  FROM (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) h
+                        FROM e ORDER BY h, vec_id LIMIT 16)),
          csc AS (SELECT e.vec_id id, c.cid,
                         list_dot_product(e.v, c.cv) /
                         (sqrt(list_dot_product(e.v, e.v)) *
@@ -817,11 +816,10 @@ object SparkEntry {
     // (ties by cell id), candidates meet in shared cells, exact re-rank
     "q_ann_ivf" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-         r AS (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) rn FROM e),
-         p AS (SELECT greatest(count(*) // 16, 1) step FROM e),
-         cent AS (SELECT (rn - 1) // step AS cid, v AS cv
-                  FROM r, p
-                  WHERE (rn - 1) % step = 0 AND (rn - 1) // step < 16),
+         cent AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid,
+                         v AS cv
+                  FROM (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) h
+                        FROM e ORDER BY h, vec_id LIMIT 16)),
          sc AS (SELECT e.vec_id id, c.cid,
                        list_dot_product(e.v, c.cv) /
                        (sqrt(list_dot_product(e.v, e.v)) *
@@ -843,11 +841,10 @@ object SparkEntry {
          ORDER BY a_id, b_id""",
     "q_dedup_embed" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
-         r AS (SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) rn FROM e),
-         p AS (SELECT greatest(count(*) // 16, 1) step FROM e),
-         cent AS (SELECT (rn - 1) // step AS cid, v AS cv
-                  FROM r, p
-                  WHERE (rn - 1) % step = 0 AND (rn - 1) // step < 16),
+         cent AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid,
+                         v AS cv
+                  FROM (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) h
+                        FROM e ORDER BY h, vec_id LIMIT 16)),
          sc AS (SELECT e.vec_id id, c.cid,
                        list_dot_product(e.v, c.cv) /
                        (sqrt(list_dot_product(e.v, e.v)) *

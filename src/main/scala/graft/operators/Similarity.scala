@@ -83,16 +83,26 @@ object Similarity {
     * guarantees integrality) and capped by a FILTER, not a limit() — limit
     * after a shuffle picks arbitrary rows, which would make the quantizer
     * (and therefore the whole approximate result) nondeterministic. */
+  /** Deterministic quantizer: the `nCells` vectors with the smallest
+    * md5(id). Distributed top-K (TakeOrderedAndProject keeps an nCells-row
+    * heap per partition — the previous global row_number funneled the
+    * ENTIRE corpus through one window task) and hash-ordering makes the
+    * pick a uniform pseudo-random sample independent of id distribution.
+    * Exactly replicable by any engine:
+    * `ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT nCells`. */
   private def ivfCentroids(
       df: DataFrame, idCol: String, vecCol: String, nCells: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
-    val total = df.count()
-    val step = math.max(total / nCells, 1L)
-    df.withColumn("__rn", row_number().over(w))
-      .where((col("__rn") - 1) % step === 0)
-      .withColumn("__cid", ((col("__rn") - 1) / step).cast("long"))
-      .where(col("__cid") < nCells)
-      .select(col("__cid"), col(vecCol).as("__cvec"))
+    val picked = df
+      .select(col(idCol).as("__pid"), col(vecCol).as("__cvec"),
+        md5(col(idCol).cast("string").cast("binary")).as("__h"))
+      .orderBy(col("__h"), col("__pid"))
+      .limit(nCells)
+    // rank assignment runs over ≤ nCells rows — the single-partition window
+    // is bounded by the constant, not the corpus
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__h"), col("__pid"))
+    picked.withColumn("__cid", (row_number().over(w) - 1).cast("long"))
+      .select(col("__cid"), col("__cvec"))
   }
 
   /** Assign each row to its `nProbe` nearest centroids (ties by cell id);
