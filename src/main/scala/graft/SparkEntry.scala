@@ -430,6 +430,25 @@ object SparkEntry {
       Sampling.packByTokenBudget(toks, "doc_id", "n_tok", budget = 5000)
         .select("doc_id", "chunk_id").orderBy("doc_id")
     }),
+    // capstone: end-to-end corpus curation — language gate -> min-length
+    // gate -> exact dedup (min id per content hash) -> deterministic 50%
+    // sample -> 4096-token context packing. Every stage is one of this
+    // library's operators; the full pipeline is replicated in the oracle.
+    "q_pipeline_curate" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val gated = lk.documents
+        .where(TextAnalysis.langId(col("text")) === "en" &&
+          TextAnalysis.tokenCount(col("text")) >= 5)
+        .select(col("doc_id"), md5(col("text")).as("__k"),
+          TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      val survivors = gated.groupBy("__k")
+        .agg(min("doc_id").as("doc_id"), max("n_tok").as("n_tok"))
+        .drop("__k")
+      val sampled = Sampling.hashSample(survivors, "doc_id", 0.5)
+      Sampling.packByTokenBudget(sampled, "doc_id", "n_tok", budget = 4096)
+        .select("doc_id", "n_tok", "chunk_id")
+        .orderBy("doc_id")
+    }),
     "q_token_count" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
       lk.documents.select(col("doc_id"),
@@ -745,6 +764,31 @@ object SparkEntry {
            WHEN cf > 0 AND cf > ce AND cf > cs AND cf > cd THEN 'fr'
            ELSE 'und' END AS pred_lang
          FROM c ORDER BY doc_id""",
+    "q_pipeline_curate" ->
+      """WITH lang AS (SELECT doc_id, text,
+             len(list_filter(string_split(lower(text), ' '),
+                 t -> t = 'the' OR t = 'a' OR t = 'of' OR t = 'and' OR t = 'is')) ce,
+             len(list_filter(string_split(lower(text), ' '),
+                 t -> t = 'el' OR t = 'la' OR t = 'de' OR t = 'y' OR t = 'es')) cs,
+             len(list_filter(string_split(lower(text), ' '),
+                 t -> t = 'der' OR t = 'die' OR t = 'und' OR t = 'ist' OR t = 'das')) cd,
+             len(list_filter(string_split(lower(text), ' '),
+                 t -> t = 'le' OR t = 'la' OR t = 'et' OR t = 'est' OR t = 'les')) cf,
+             len(string_split(lower(text), ' ')) n_tok
+           FROM documents),
+         gated AS (SELECT doc_id, md5(text) k, n_tok FROM lang
+                   WHERE ce > 0 AND ce >= cs AND ce >= cd AND ce >= cf
+                     AND n_tok >= 5),
+         ded AS (SELECT min(doc_id) AS doc_id, max(n_tok) AS n_tok
+                 FROM gated GROUP BY k),
+         samp AS (SELECT doc_id, n_tok FROM ded
+                  WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'),
+         cum AS (SELECT doc_id, n_tok,
+                   coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) c
+                 FROM samp)
+         SELECT doc_id, n_tok, CAST(c // 4096 AS BIGINT) AS chunk_id
+         FROM cum ORDER BY doc_id""",
     "q_sample_hash" ->
       """SELECT doc_id, lang FROM documents
          WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
