@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
 import graft.model.{IndexDef, IndexMetadata}
-import graft.operators.{AsOfJoin, IndexBuild, IndexJoin, IndexProbe}
+import graft.operators.{AsOfJoin, IndexBuild, IndexJoin, IndexProbe, IntervalJoin}
 import graft.sources.FileReader
 import graft.store.{Fs, IndexStore, SnapshotTable, StorageMigrations}
 
@@ -295,6 +295,31 @@ final class Index private (
     val data = FileReader.readFiles(spark, meta, files, Set.empty, selection)
     AsOfJoin.asOf(df, data, Seq(keyColumn), probeTsCol, ix.tsColumn.get,
       valueCols, rightTsAlias, direction, tolerance)
+  }
+
+  /** Interval-containment join against a range index: read only files whose
+    * [min,max] on `ptColumn` overlaps at least one probed span, then run the
+    * binned equi-join ([[graft.operators.IntervalJoin]]). Inner-join
+    * semantics, so range pruning (an over-approximation) is always safe.
+    * `spans` must carry `loCol`/`hiCol` plus `keyCols`/`valueCols`. */
+  def intervalJoin(
+      spans: DataFrame,
+      ptColumn: String,
+      keyCols: Seq[String],
+      loCol: String,
+      hiCol: String,
+      binWidth: Long,
+      valueCols: Seq[String]): DataFrame = {
+    val ix = meta.indexFor(ptColumn).getOrElse(
+      throw new IllegalArgumentException(s"Column '$ptColumn' is not indexed"))
+    require(ix.indexType == "range",
+      s"intervalJoin needs a range index on '$ptColumn' (found ${ix.indexType})")
+    val files = IndexProbe.collectFiles(
+      IndexProbe.rangeSpanCandidates(store, ix,
+        spans.select(col(loCol), col(hiCol))))
+    val data = FileReader.readFiles(spark, meta, files, Set.empty, selection)
+    IntervalJoin.joinPointsToIntervals(data, spans, keyCols,
+      ptColumn, loCol, hiCol, binWidth, valueCols)
   }
 
   /** Per-column index statistics, INCLUDING the large-index overflow

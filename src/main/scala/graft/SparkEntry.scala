@@ -197,6 +197,25 @@ object SparkEntry {
         .withColumn("src_ts", expr("src_ts div 1000"))
         .orderBy("user_id", "q_ts")
     }),
+    // index-accelerated interval join: the range index on ts prunes files
+    // whose [min,max] misses every span; spans are second-aligned closed
+    // windows [sec, sec+600s-1ns] so the µs-truncated oracle selects the
+    // same rows (truncation never crosses a second boundary)
+    "q_interval_index" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val winNs = 3600L * 1000 * 1000 * 1000
+      val sec = expr("ts div 1000000000") * lit(1000000000L)
+      val spans = lk.events
+        .where(col("event_type") === "error")
+        .select(col("user_id"), sec.as("lo"), (sec + winNs - 1).as("hi"),
+          col("event_id").as("err_id"))
+      lk.eventsIdx.intervalJoin(spans, "ts", Seq("user_id"), "lo", "hi",
+        binWidth = winNs, valueCols = Seq("err_id"))
+        .where(col("event_type") === "click")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+          col("event_id"), col("err_id"))
+        .orderBy("user_id", "ts_us", "err_id")
+    }),
     // interval-containment join: clicks inside a 10-minute window after any
     // error, binned equi-join (never a BroadcastNestedLoopJoin); µs units
     "q_interval_join" -> ((s, dir) => {
@@ -629,6 +648,19 @@ object SparkEntry {
          FROM probe p ASOF LEFT JOIN ev e
            ON p.user_id = e.user_id AND p.q_ts >= e.ets_ns
          ORDER BY p.user_id, p.q_ts""",
+    "q_interval_index" ->
+      """WITH err AS (SELECT user_id,
+             (epoch_us(ts) // 1000000) * 1000000000 AS lo,
+             (epoch_us(ts) // 1000000) * 1000000000 + 3600000000000 - 1 AS hi,
+             event_id AS err_id
+           FROM events WHERE event_type = 'error'),
+         clk AS (SELECT user_id, epoch_us(ts) AS ts_us,
+                        epoch_us(ts) * 1000 AS ts_ns, event_id
+                 FROM events WHERE event_type = 'click')
+         SELECT c.user_id, c.ts_us, c.event_id, e.err_id
+         FROM clk c JOIN err e
+           ON c.user_id = e.user_id AND c.ts_ns BETWEEN e.lo AND e.hi
+         ORDER BY c.user_id, c.ts_us, e.err_id""",
     "q_interval_join" ->
       """SELECT c.user_id, epoch_us(c.ts) AS ts, c.event_id,
                 e.event_id AS err_id

@@ -100,10 +100,12 @@ final class Lake private (val spark: SparkSession, val sfDir: String, val work: 
     idx
   }
 
-  /** events: temporal(user_id by ts) — ts read as epoch-ns long. */
+  /** events: temporal(user_id by ts) + range(ts) — ts read as epoch-ns
+    * long; the range index drives interval-join file pruning. */
   def eventsIdx: Index = memoIdx("events_idx") {
     val idx = Index(spark, "events_idx", table("events").schema, "parquet")
     idx.addTemporalIndex("user_id", "ts")
+    idx.addRangeIndex("ts")
     idx.addFile(eventsFiles: _*)
     idx.update()
     idx

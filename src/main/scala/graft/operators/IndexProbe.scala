@@ -244,6 +244,36 @@ object IndexProbe {
     }
   }
 
+  /** Files whose [min,max] range overlaps ANY of the probed spans — the
+    * interval-join pruning probe. A bounded span list collapses to an OR of
+    * per-span overlap predicates over the (memory-cached) index table; past
+    * the cap it degrades to the spans' bounding box (over-approximates,
+    * never misses). `spans` must have (lo, hi) as its first two columns. */
+  def rangeSpanCandidates(
+      store: IndexStore, ix: IndexDef, spans: DataFrame): DataFrame = {
+    store.indexTable.read() match {
+      case None => emptyFilenames(store.spark)
+      case Some(indexDf) =>
+        val fLo = col(s"${ix.storageColumn}.min")
+        val fHi = col(s"${ix.storageColumn}.max")
+        val loC = col(spans.columns(0))
+        val hiC = col(spans.columns(1))
+        val cap = GraftConf.rangeProbeExactLimit(store.spark)
+        val rows = spans.select(loC, hiC).distinct().limit(cap + 1).collect()
+        val pruned =
+          if (rows.length <= cap && rows.nonEmpty) {
+            indexDf.where(rows.toSeq
+              .map(r => fHi >= lit(r.get(0)) && fLo <= lit(r.get(1)))
+              .reduce(_ || _))
+          } else {
+            val bounds = spans.agg(min(loC).as("__qlo"), max(hiC).as("__qhi"))
+            indexDf.crossJoin(broadcast(bounds))
+              .where(fHi >= col("__qlo") && fLo <= col("__qhi"))
+          }
+        pruned.select("filename").distinct()
+    }
+  }
+
   /** Files whose [min,max] overlaps the query window [lo,hi] — the
     * BETWEEN-style pruning probe behind Index.queryRange. */
   def rangeWindowCandidates(

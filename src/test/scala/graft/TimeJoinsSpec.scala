@@ -108,6 +108,39 @@ class TimeJoinsSpec extends GraftSuite {
       s"binned interval join must be an equi-join, got:\n$plan")
   }
 
+  test("index intervalJoin prunes by ts-range and matches a full-scan filter") {
+    import spark.implicits._
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val dir = tmpDir("events_ivj_")
+    // event_id is assigned in ts order, so id-range bands have narrow,
+    // nearly disjoint ts ranges — the layout range pruning exists for
+    events.repartitionByRange(4, $"event_id").write.mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    val idx = Index(spark, "t_events_ivj", events.schema, "parquet")
+    idx.addRangeIndex("ts")
+    idx.addFile(files: _*)
+    idx.update()
+
+    val day = 86400L * 1000 * 1000 * 1000
+    val t0 = events.agg(min($"ts")).first().getLong(0)
+    val spans = Seq((t0, t0 + 2 * day, 7L)).toDF("lo", "hi", "span_id")
+    val got = idx.intervalJoin(spans, "ts", Seq.empty, "lo", "hi",
+      binWidth = day, valueCols = Seq("span_id"))
+    val expected = events.where($"ts" >= t0 && $"ts" <= t0 + 2 * day)
+      .withColumn("span_id", lit(7L))
+    assert(expected.count() > 0)
+    assertSameRows(got, expected)
+
+    val located = graft.operators.IndexProbe.collectFiles(
+      graft.operators.IndexProbe.rangeSpanCandidates(
+        new graft.store.IndexStore(spark, "t_events_ivj"),
+        idx.metadata.indexFor("ts").get,
+        spans.select($"lo", $"hi")))
+    assert(located.size < files.size,
+      s"expected range pruning, located ${located.size} of ${files.size}")
+  }
+
   test("index asOfJoin prunes by key and matches the operator on a full read") {
     val events = spark.read.parquet(s"$sf/events.parquet")
     val dir = tmpDir("events_asof_")
