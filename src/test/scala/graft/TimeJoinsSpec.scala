@@ -70,7 +70,7 @@ class TimeJoinsSpec extends GraftSuite {
         $"state_val", $"r_ts".as("state_ts"))
   }
 
-  test("asOf on events matches brute-force inequality join") {
+  test("asOf on events matches brute-force inequality join, one shuffle") {
     val events = spark.read.parquet(s"$sf/events.parquet")
     val clicks = events.where($"event_type" === "click")
       .select("user_id", "ts", "event_id")
@@ -82,6 +82,20 @@ class TimeJoinsSpec extends GraftSuite {
       Seq("user_id"), "ts", "r_ts",
       valueCols = Seq("state_val"), rightTsAlias = "state_ts")
     assertSameRows(got, bruteAsOf(clicks, views))
+
+    // plan shape: the as-of itself costs ONE key shuffle (the window's);
+    // the right side's groupBy adds its own — nothing else may shuffle,
+    // and no join operator of any kind should appear
+    got.collect()
+    // the finalized AQE string repeats the tree under "== Initial Plan ==" —
+    // audit only the final section
+    val plan = got.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // tree-art prefixes are non-letters, so this misses Reused/Broadcast
+    // variants by construction (none should exist here anyway)
+    val exchanges = "(?m)^[^A-Za-z]*Exchange ".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"expected <=2 exchanges (window + agg), got $exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"asOf must be join-free:\n$plan")
   }
 
   test("interval join matches inequality join and plans no nested loop") {
