@@ -473,7 +473,8 @@ object SparkEntry {
       lk.documents.select(col("doc_id"),
         TextAnalysis.tokenCount(col("text")).as("n_tokens"),
         TextAnalysis.uniqueTokenCount(col("text")).as("n_unique_tokens"),
-        TextAnalysis.tokenEstimate(col("text")).as("est_tokens"))
+        TextAnalysis.tokenEstimate(col("text")).as("est_tokens"),
+        TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"))
         .orderBy("doc_id")
     }),
     "q_quality" -> ((s, dir) => {
@@ -844,7 +845,8 @@ object SparkEntry {
       """SELECT doc_id,
                 len(string_split(lower(text), ' ')) AS n_tokens,
                 len(list_distinct(string_split(lower(text), ' '))) AS n_unique_tokens,
-                CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens
+                CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens,
+                len(regexp_extract_all(text,'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))::BIGINT AS bpe_tokens
          FROM documents ORDER BY doc_id""",
     "q_quality" ->
       """SELECT doc_id,

@@ -64,8 +64,13 @@ object AsOfJoin {
       StructField("__rts", right.schema(rightTsCol).dataType) +:
         valueCols.map(c => right.schema(c)))
     val lPayloadType = StructType(left.schema.fields)
+    // SQL join semantics: a NULL key matches nothing. The window would
+    // happily group null keys into a partition and match them to each
+    // other — drop null-key right rows instead (left null-key rows then
+    // land in a partition with no right rows and come out unmatched).
     val rTagged = right
-      .where(col(rightTsCol).isNotNull)
+      .where(col(rightTsCol).isNotNull &&
+        keyCols.map(col(_).isNotNull).reduce(_ && _))
       .select(
         keyCols.map(col) ++ Seq(
           col(rightTsCol).as("__ts"),

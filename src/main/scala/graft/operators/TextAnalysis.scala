@@ -24,6 +24,20 @@ object TextAnalysis {
   def tokenEstimate(textCol: Column): Column =
     ceil(length(textCol).cast("double") / 4.0).cast("long")
 
+  /** GPT-2-style pre-tokenizer pattern (ASCII simplification): contraction
+    * suffixes, space-prefixed letter runs, digit runs, punctuation runs,
+    * whitespace runs. No lookarounds — valid in both java.util.regex and
+    * RE2, so any engine counts identically. */
+  val BpePattern: String =
+    "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  /** BPE-ish pre-tokenization count: one count per [[BpePattern]] match.
+    * Real BPE merges only ever split these pieces further, so this lower-
+    * bounds the true BPE token count while tracking it far better than the
+    * chars/4 heuristic of [[tokenEstimate]]. */
+  def bpeTokenCount(textCol: Column): Column =
+    size(regexp_extract_all(textCol, lit(BpePattern), lit(0))).cast("long")
+
   /** Stopword markers per language — tiny, deterministic marker lists.
     * Counting matches over the token array. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(

@@ -45,6 +45,18 @@ class TimeJoinsSpec extends GraftSuite {
     assert(tol.head.isNullAt(0), "b@50 matched 15 only because no tolerance bound")
   }
 
+  test("asOf null keys never match (SQL join semantics)") {
+    import spark.implicits._
+    val l = Seq((Option.empty[String], 10L, 1L), (Some("a"), 10L, 2L))
+      .toDF("k", "t_ts", "lid")
+    val r = Seq((Option.empty[String], 5L, 9.0), (Some("a"), 5L, 1.5))
+      .toDF("k", "ts", "px")
+    val got = AsOfJoin.asOf(l, r, Seq("k"), "t_ts", "ts", valueCols = Seq("px"))
+      .collect().map(re => (re.getLong(2), Option(re.get(3)))).toSet
+    assert(got == Set((1L, None), (2L, Some(1.5))),
+      "null-key left row must come out unmatched, never matched to a null-key right row")
+  }
+
   test("asOf forward: earliest at-or-after, null guard") {
     val got = AsOfJoin.asOf(trades, quotes, Seq("k"), "t_ts", "ts",
       valueCols = Seq("px"), direction = "forward")
