@@ -468,6 +468,13 @@ object SparkEntry {
         .select("doc_id", "n_tok", "chunk_id")
         .orderBy("doc_id")
     }),
+    // sliding-window chunking: 200-char windows every 150 chars (50 overlap)
+    "q_chunk_text" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      TextAnalysis.chunkFixed(lk.documents, "doc_id", "text",
+        size = 200, stride = 150)
+        .orderBy("doc_id", "chunk_ix")
+    }),
     "q_token_count" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
       lk.documents.select(col("doc_id"),
@@ -841,6 +848,14 @@ object SparkEntry {
          FROM (SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tok
                FROM documents)
          ORDER BY doc_id""",
+    "q_chunk_text" ->
+      """SELECT doc_id, CAST(ix AS INTEGER) AS chunk_ix,
+                substring(text, ix * 150 + 1, 200) AS chunk_text
+         FROM (SELECT doc_id, text,
+                 unnest(generate_series(0,
+                   greatest((length(text) - 1) // 150, 0))) AS ix
+               FROM documents)
+         ORDER BY doc_id, chunk_ix""",
     "q_token_count" ->
       """SELECT doc_id,
                 len(string_split(lower(text), ' ')) AS n_tokens,

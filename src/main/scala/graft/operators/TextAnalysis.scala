@@ -81,6 +81,27 @@ object TextAnalysis {
         tokenCount(t).cast("double")).as("stopword_ratio"))
   }
 
+  /** Sliding-window document chunking: fixed `size`-char windows every
+    * `stride` chars (overlap = size - stride), the standard long-document
+    * preparation for a bounded context window. One generator expression per
+    * row (posexplode over the stride grid) — distributes with the rows, no
+    * shuffle, no UDF; chunk indexes are 0-based and deterministic. */
+  def chunkFixed(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      size: Int,
+      stride: Int): DataFrame = {
+    require(size > 0 && stride > 0, "size and stride must be positive")
+    val t = col(textCol)
+    df.select(col(idCol), posexplode(
+        transform(
+          sequence(lit(0),
+            greatest(floor((length(t) - 1) / stride).cast("int"), lit(0))),
+          i => t.substr(i * stride + 1, lit(size)))
+      ).as(Seq("chunk_ix", "chunk_text")))
+  }
+
   /** Content fingerprints: md5 of raw text and of whitespace-normalized,
     * lowercased text (near-dup-robust form). */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {
