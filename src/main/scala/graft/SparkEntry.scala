@@ -179,6 +179,19 @@ object SparkEntry {
         valueCols = Seq("state_val"), rightTsAlias = "state_ts")
         .orderBy("user_id", "ts")
     }),
+    // forward as-of: earliest view-state at-or-after each click
+    "q_asof_forward" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val clicks = lk.events.where(col("event_type") === "click")
+        .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_id"))
+      val views = lk.events.where(col("event_type") === "view")
+        .select(col("user_id"), expr("ts div 1000").as("ts"), col("value"))
+        .groupBy("user_id", "ts").agg(max("value").as("next_val"))
+      AsOfJoin.asOf(clicks, views, Seq("user_id"), "ts", "ts",
+        valueCols = Seq("next_val"), rightTsAlias = "next_ts",
+        direction = "forward")
+        .orderBy("user_id", "ts")
+    }),
     // index-accelerated as-of: temporal index prunes files by KEY, the pruned
     // rows are the right side. Probe ts = last ns of the click's PREVIOUS
     // second — second-aligned bounds mean DuckDB's µs-truncated view of the
@@ -642,6 +655,17 @@ object SparkEntry {
          SELECT c.user_id, c.ts, c.event_id, v.state_val, v.vts AS state_ts
          FROM clicks c ASOF LEFT JOIN views v
            ON c.user_id = v.user_id AND c.ts >= v.vts
+         ORDER BY c.user_id, c.ts""",
+    "q_asof_forward" ->
+      """WITH clicks AS (SELECT user_id, epoch_us(ts) AS ts,
+                                -epoch_us(ts) AS nts, event_id
+                         FROM events WHERE event_type = 'click'),
+              views AS (SELECT user_id, epoch_us(ts) AS vts,
+                               -epoch_us(ts) AS nvts, max(value) AS next_val
+                        FROM events WHERE event_type = 'view' GROUP BY 1, 2, 3)
+         SELECT c.user_id, c.ts, c.event_id, v.next_val, v.vts AS next_ts
+         FROM clicks c ASOF LEFT JOIN views v
+           ON c.user_id = v.user_id AND c.nts >= v.nvts
          ORDER BY c.user_id, c.ts""",
     "q_asof_index" ->
       """WITH probe AS (SELECT user_id,
