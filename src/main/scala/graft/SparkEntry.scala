@@ -481,6 +481,15 @@ object SparkEntry {
         .select("doc_id", "n_tok", "chunk_id")
         .orderBy("doc_id")
     }),
+    // group-wise curation: the 20 longest docs per language, alpha-ratio
+    // scored by exact integer counts (no float accumulation)
+    "q_topk_group" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val scored = lk.documents.select(col("doc_id"), col("lang"),
+        length(col("text")).cast("long").as("score"))
+      Sampling.topKPerGroup(scored, Seq("lang"), "score", 20, "doc_id")
+        .orderBy("lang", "doc_id")
+    }),
     // sliding-window chunking: 200-char windows every 150 chars (50 overlap)
     "q_chunk_text" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
@@ -872,6 +881,13 @@ object SparkEntry {
          FROM (SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tok
                FROM documents)
          ORDER BY doc_id""",
+    "q_topk_group" ->
+      """SELECT doc_id, lang, score FROM (
+           SELECT doc_id, lang, length(text)::BIGINT AS score,
+                  row_number() OVER (PARTITION BY lang
+                    ORDER BY length(text) DESC, doc_id) AS rk
+           FROM documents)
+         WHERE rk <= 20 ORDER BY lang, doc_id""",
     "q_chunk_text" ->
       """SELECT doc_id, CAST(ix AS INTEGER) AS chunk_ix,
                 substring(text, ix * 150 + 1, 200) AS chunk_text

@@ -51,6 +51,25 @@ object Sampling {
     df.where(sampleKey(col(idCol)) < threshold)
   }
 
+  /** Keep the `k` best rows per group by `scoreCol` (descending), ties
+    * broken by `tiebreakCol` ascending — "best 100 docs per language"
+    * style curation. One shuffle on the group key; each group sorts on one
+    * task (the standard window bound — for a pathologically hot group,
+    * pre-filter with an approximate per-group score threshold first). */
+  def topKPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      scoreCol: String,
+      k: Int,
+      tiebreakCol: String): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(scoreCol).desc, col(tiebreakCol))
+    df.withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k)
+      .drop("__rk")
+  }
+
   /** Pack rows into chunks of at most ~`budget` tokens, walking rows in
     * `idCol` order: `chunk_id = floor(exclusive_prefix_sum(tokens) /
     * budget)` — a row straddling a boundary starts the next chunk's count
