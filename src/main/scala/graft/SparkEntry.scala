@@ -99,6 +99,12 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_orderstatus")
         .orderBy("o_orderkey")
     }),
+    "q_orc_read" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      lk.ordersOrcIdx.query(Map("o_custkey" -> CustKeys))
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
     "q_select_join" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
       val probe = lk.customers.where(col("c_acctbal") > 9500)
@@ -616,6 +622,9 @@ object SparkEntry {
       s"""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
           WHERE o_custkey IN ${inList(CustKeys)} ORDER BY o_orderkey""",
     "q_json_read" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+          WHERE o_custkey IN ${inList(CustKeys)} ORDER BY o_orderkey""",
+    "q_orc_read" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
           WHERE o_custkey IN ${inList(CustKeys)} ORDER BY o_orderkey""",
     "q_select_join" ->

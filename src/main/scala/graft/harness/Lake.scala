@@ -77,6 +77,13 @@ final class Lake private (val spark: SparkSession, val sfDir: String, val work: 
       d.write.partitionBy("band").mode("overwrite").json(p), ".json")
   }
 
+  def ordersOrcFiles: Seq[String] = memoSplit("orders_orc") {
+    val dir = s"$work/orders_orc"
+    val src = table("orders").select(OrdersTextCols.map(col): _*)
+    Lake.splitWrite(src, dir, "o_custkey", 4, (d, p) =>
+      d.write.partitionBy("band").mode("overwrite").orc(p), ".orc")
+  }
+
   // ---- indexes -------------------------------------------------------------
 
   /** orders: regular(o_custkey) + range(o_orderkey) + computed month. */
@@ -156,6 +163,15 @@ final class Lake private (val spark: SparkSession, val sfDir: String, val work: 
     idx
   }
 
+  def ordersOrcIdx: Index = memoIdx("orders_orc_idx") {
+    val schema = table("orders").select(OrdersTextCols.map(col): _*).schema
+    val idx = Index(spark, "orders_orc_idx", schema, "orc")
+    idx.addIndex("o_custkey")
+    idx.addFile(ordersOrcFiles: _*)
+    idx.update()
+    idx
+  }
+
   /** Build every index the query set touches, CONCURRENTLY — the builds are
     * independent (per-index store dirs + locks), and Spark schedules jobs
     * from multiple threads fine. On a real cluster you'd parallelize
@@ -166,7 +182,8 @@ final class Lake private (val spark: SparkSession, val sfDir: String, val work: 
     implicit val ec: scala.concurrent.ExecutionContext = Lake.buildEc
     val tasks: Seq[() => Any] = Seq(
       () => ordersIdx, () => lineitemIdx, () => eventsIdx,
-      () => docsIdx, () => ordersCsvIdx, () => ordersJsonIdx)
+      () => docsIdx, () => ordersCsvIdx, () => ordersJsonIdx,
+      () => ordersOrcIdx)
     Await.result(Future.sequence(tasks.map(t => Future(t()))), 30.minutes)
     ()
   }

@@ -7,7 +7,9 @@ import graft.model.IndexMetadata
 
 /** Multi-format file reading with the stored schema — never inference
   * (reference: IndexFileOperations.scala:146-167). Supported formats:
-  * parquet, csv, json; anything else throws.
+  * parquet, csv, json (reference parity) + orc (ours — built into
+  * spark-sql, same columnar scan machinery as parquet); anything else
+  * throws.
   *
   * Every read is tagged with the source file via Spark's native
   * `_metadata.file_path` / `_metadata.file_size` hidden columns (Spark
@@ -19,7 +21,7 @@ object FileReader {
   val FilenameCol = "__graft_filename"
   val FileSizeCol = "__graft_file_size"
 
-  val SupportedFormats: Set[String] = Set("parquet", "csv", "json")
+  val SupportedFormats: Set[String] = Set("parquet", "csv", "json", "orc")
 
   def requireSupported(format: String): Unit =
     if (!SupportedFormats.contains(format))
