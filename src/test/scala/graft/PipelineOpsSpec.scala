@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.harness.Lake
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline operators: dedup families, similarity search, text
   * analysis, multimodal plumbing — each against an exact Spark oracle. */
@@ -147,6 +147,41 @@ class PipelineOpsSpec extends GraftSuite {
     val hits = got.count { case (q, n, _) => brute.contains((q, n)) }
     assert(hits.toDouble / got.length > 0.5,
       s"IVF recall vs brute top-8 too low: $hits/${got.length}")
+  }
+
+  test("chunkFixed: windows reconstruct the document, count is ceil-exact") {
+    import spark.implicits._
+    val size = 120; val stride = 90
+    val chunks = TextAnalysis.chunkFixed(docs, "doc_id", "text", size, stride)
+      .as[(Long, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(chunks.keySet == texts.keySet)
+    texts.foreach { case (id, t) =>
+      val cs = chunks(id)
+      val expectN = math.max((t.length - 1) / stride, 0) + 1
+      assert(cs.length == expectN, s"doc $id: ${cs.length} chunks, want $expectN")
+      cs.zipWithIndex.foreach { case (c, i) =>
+        assert(c == t.slice(i * stride, i * stride + size), s"doc $id chunk $i")
+      }
+      // stride-prefixes + final chunk reconstruct the document
+      val rebuilt = cs.dropRight(1).map(_.take(stride)).mkString + cs.last
+      assert(rebuilt == t, s"doc $id does not reconstruct")
+    }
+  }
+
+  test("topKPerGroup: k best per group, deterministic on ties") {
+    import spark.implicits._
+    val scored = docs.select(col("doc_id"), col("lang"),
+      length(col("text")).cast("long").as("score"))
+    val got = Sampling.topKPerGroup(scored, Seq("lang"), "score", 7, "doc_id")
+      .as[(Long, String, Long)].collect()
+    val all = scored.as[(Long, String, Long)].collect()
+    val want = all.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r._3, r._1)).take(7).toSeq
+    }.toSet
+    assert(got.toSet == want)
+    assert(got.groupBy(_._2).forall(_._2.length <= 7))
   }
 
   test("hash sample is deterministic, partition-invariant and near the rate") {
