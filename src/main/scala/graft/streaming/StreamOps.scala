@@ -93,6 +93,29 @@ object StreamOps {
     deduped.toDF(schema.fieldNames: _*)
   }
 
+  /** Per-micro-batch point-in-time enrichment: each batch of probe rows is
+    * as-of joined against a temporal [[graft.Index]] (files pruned by the
+    * batch's keys) and handed to `sink`. Stream-static as-of is not
+    * natively plannable (the as-of window over a stream∪static union is
+    * unsupported), so foreachBatch + the batch operator is the right
+    * composition — each micro-batch gets point-in-time-correct state,
+    * exactly-once via the caller's checkpointed sink.
+    *
+    * Returns the configured writer; caller sets checkpoint/options and
+    * calls `.start()`. */
+  def asOfEnrich(
+      stream: DataFrame,
+      idx: graft.Index,
+      keyCol: String,
+      probeTsCol: String,
+      valueCols: Seq[String],
+      rightTsAlias: String = "")(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      sink(idx.asOfJoin(batch.toDF(), keyCol, probeTsCol, valueCols, rightTsAlias),
+        batchId)
+    }
+
   /** Batch-side reference semantics of [[dedupFirstSeen]] for differential
     * testing: one row per key, smallest tiebreak wins. */
   def dedupFirstSeenBatch(df: DataFrame, keyCol: String, tiebreakCol: String): DataFrame = {

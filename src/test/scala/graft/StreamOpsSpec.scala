@@ -10,6 +10,47 @@ import graft.streaming.StreamOps
   * SURVEY §2.9, tested through MemoryStream with forced batch boundaries. */
 class StreamOpsSpec extends GraftSuite {
 
+  test("asOfEnrich: per-micro-batch enrichment equals the batch as-of join") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val dir = tmpDir("events_stream_asof_")
+    events.repartitionByRange(3, $"user_id").write.mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    val idx = Index(spark, "t_events_stream_asof", events.schema, "parquet")
+    idx.addTemporalIndex("user_id", "ts")
+    idx.addFile(files: _*)
+    idx.update()
+
+    val probes = events.where($"event_type" === "click" && $"user_id" < 6)
+      .select($"user_id", ($"ts" - 1).as("q_ts"), $"event_id".as("click_id"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val mem = MemoryStream[(Long, Long, Long)]
+    val stream = mem.toDF().toDF("user_id", "q_ts", "click_id")
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long])]
+    val q = StreamOps.asOfEnrich(stream, idx, "user_id", "q_ts",
+        valueCols = Seq("event_id")) { (df, _) =>
+        collected.synchronized {
+          collected ++= df.select("click_id", "event_id").collect()
+            .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        }
+      }
+      .option("checkpointLocation", tmpDir("graft_asof_ckpt_")).start()
+    try {
+      val (b1, b2) = probes.splitAt(probes.size / 2)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val batchRef = idx.asOfJoin(
+        probes.toDF("user_id", "q_ts", "click_id"), "user_id", "q_ts",
+        valueCols = Seq("event_id"))
+      .select("click_id", "event_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+    assert(probes.nonEmpty && collected.toSet == batchRef)
+  }
+
   test("windowed doc stats: watermark closes windows, late row within bound counts") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
