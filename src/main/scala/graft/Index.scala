@@ -297,6 +297,27 @@ final class Index private (
       valueCols, rightTsAlias, direction, tolerance)
   }
 
+  /** Multi-window pruned read: rows of `column` falling in ANY of the
+    * closed `[lo, hi]` spans, reading only files whose range index
+    * overlaps some span — the backfill access pattern ("these three days,
+    * those two key bands") the single-window [[queryRange]] can't prune
+    * precisely. Residual OR-of-BETWEEN filter keeps pruning invisible. */
+  def querySpans(column: String, spans: Seq[(Any, Any)]): DataFrame = {
+    require(spans.nonEmpty, "at least one span required")
+    val ix = meta.indexFor(column).getOrElse(
+      throw new IllegalArgumentException(s"Column '$column' is not indexed"))
+    require(ix.indexType == "range",
+      s"querySpans needs a range index on '$column' (found ${ix.indexType})")
+    val spansDf = spans.map { case (l, h) =>
+      spark.range(1).select(lit(l).as("lo"), lit(h).as("hi"))
+    }.reduce(_.unionByName(_))
+    val files = IndexProbe.collectFiles(
+      IndexProbe.rangeSpanCandidates(store, ix, spansDf))
+    val df = FileReader.readFiles(spark, meta, files, Set.empty, selection)
+    df.where(spans.map { case (l, h) => col(column) >= lit(l) && col(column) <= lit(h) }
+      .reduce(_ || _))
+  }
+
   /** Interval-containment join against a range index: read only files whose
     * [min,max] on `ptColumn` overlaps at least one probed span, then run the
     * binned equi-join ([[graft.operators.IntervalJoin]]). Inner-join

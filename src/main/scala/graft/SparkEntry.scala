@@ -153,6 +153,14 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_orderstatus")
         .orderBy("o_orderkey")
     }),
+    // multi-window pruned read (backfill pattern): two disjoint key windows
+    "q_range_spans" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      lk.ordersIdx.querySpans("o_orderkey",
+          Seq((100L, 300L), (5000L, 5200L)))
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+        .orderBy("o_orderkey")
+    }),
     "q_temporal_join" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
       import s.implicits._
@@ -654,6 +662,11 @@ object SparkEntry {
     "q_range_window" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
          WHERE o_orderkey BETWEEN 100 AND 400 ORDER BY o_orderkey""",
+    "q_range_spans" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+         WHERE o_orderkey BETWEEN 100 AND 300
+            OR o_orderkey BETWEEN 5000 AND 5200
+         ORDER BY o_orderkey""",
     "q_temporal_join" ->
       s"""SELECT event_id, user_id, event_type FROM (
             SELECT event_id, user_id, event_type,
