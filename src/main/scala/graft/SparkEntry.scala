@@ -193,6 +193,21 @@ object SparkEntry {
         valueCols = Seq("state_val"), rightTsAlias = "state_ts")
         .orderBy("user_id", "ts")
     }),
+    // skew-resistant bucketed as-of: identical results to q_asof_join via
+    // the two-level (per-bucket window + carry-in) plan; day-wide buckets
+    "q_asof_bucketed" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val dayUs = 86400L * 1000 * 1000
+      val clicks = lk.events.where(col("event_type") === "click")
+        .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_id"))
+      val views = lk.events.where(col("event_type") === "view")
+        .select(col("user_id"), expr("ts div 1000").as("ts"), col("value"))
+        .groupBy("user_id", "ts").agg(max("value").as("state_val"))
+      AsOfJoin.asOfBucketed(clicks, views, Seq("user_id"), "ts", "ts",
+        valueCols = Seq("state_val"), bucketWidth = dayUs,
+        rightTsAlias = "state_ts")
+        .orderBy("user_id", "ts")
+    }),
     // forward as-of: earliest view-state at-or-after each click
     "q_asof_forward" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
@@ -678,6 +693,16 @@ object SparkEntry {
          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
          WHERE p.p_size > 45 ORDER BY l_orderkey, l_linenumber""",
     "q_asof_join" ->
+      """WITH clicks AS (SELECT user_id, epoch_us(ts) AS ts, event_id
+                         FROM events WHERE event_type = 'click'),
+              views AS (SELECT user_id, epoch_us(ts) AS vts,
+                               max(value) AS state_val
+                        FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+         SELECT c.user_id, c.ts, c.event_id, v.state_val, v.vts AS state_ts
+         FROM clicks c ASOF LEFT JOIN views v
+           ON c.user_id = v.user_id AND c.ts >= v.vts
+         ORDER BY c.user_id, c.ts""",
+    "q_asof_bucketed" ->
       """WITH clicks AS (SELECT user_id, epoch_us(ts) AS ts, event_id
                          FROM events WHERE event_type = 'click'),
               views AS (SELECT user_id, epoch_us(ts) AS vts,

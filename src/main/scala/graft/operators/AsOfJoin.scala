@@ -121,4 +121,100 @@ object AsOfJoin {
         (if (rightTsAlias.nonEmpty) Seq(col("__m.__rts").as(rightTsAlias)) else Nil)
     bounded.select(outCols: _*)
   }
+
+  /** Skew-resistant backward as-of for NUMERIC timestamps: same results as
+    * [[asOf]](direction="backward"), different parallelism bound. [[asOf]]
+    * sorts each key's entire history on one window task — fine for normal
+    * keys, a serial bottleneck for a pathological hot key at 100 TB. Here
+    * the heavy window partitions by (key, ts div bucketWidth), so a hot key
+    * costs O(rows per bucket) per task; cross-bucket state is ONE carry-in
+    * row per (key, bucket) — the same two-level scan as the distributed
+    * prefix sum in `Sampling.packByTokenBudget`.
+    *
+    * Pick bucketWidth so one bucket holds a bounded slice of the hottest
+    * key's traffic (a day of events, say). Extra cost vs [[asOf]]: a tiny
+    * per-bucket aggregate + a join back. */
+  def asOfBucketed(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTsCol: String,
+      rightTsCol: String,
+      valueCols: Seq[String],
+      bucketWidth: Long,
+      rightTsAlias: String = "",
+      tolerance: Option[Long] = None): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val collisions = valueCols.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"right value columns collide with left columns: ${collisions.mkString(", ")}")
+
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val rPayload = struct(
+      (col(rightTsCol).as("__rts") +: valueCols.map(col)): _*)
+    val rPayloadType = StructType(
+      StructField("__rts", right.schema(rightTsCol).dataType) +:
+        valueCols.map(c => right.schema(c)))
+    val lPayloadType = StructType(left.schema.fields)
+    val rTagged = right
+      .where(col(rightTsCol).isNotNull &&
+        keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        keyCols.map(col) ++ Seq(
+          col(rightTsCol).as("__ts"),
+          lit(0).as("__side"),
+          rPayload.as("__r"),
+          lit(null).cast(lPayloadType).as("__l")): _*)
+    val lTagged = left.select(
+      keyCols.map(col) ++ Seq(
+        col(leftTsCol).as("__ts"),
+        lit(1).as("__side"),
+        lit(null).cast(rPayloadType).as("__r"),
+        struct(left.columns.map(col): _*).as("__l")): _*)
+
+    val unioned = lTagged.unionByName(rTagged)
+      .withColumn("__b", expr(s"__ts div ${bucketWidth}L"))
+    val order = Seq(col("__ts"), col("__side"), col("__r"))
+    val gridCols = keyCols :+ "__b"
+
+    // level 1: running last-right WITHIN each (key, bucket) — the per-task
+    // sort is bounded by the bucket, not the key's full history
+    val wLocal = Window.partitionBy(gridCols.map(col): _*)
+      .orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = unioned.withColumn("__mloc",
+      last(col("__r"), ignoreNulls = true).over(wLocal))
+
+    // level 2: latest right payload per OCCUPIED (key, bucket) — (ts,
+    // payload) struct max reproduces asOf's greatest-payload tie-break —
+    // spread onto the full (key, bucket) grid so buckets holding only left
+    // rows still receive a carry-in from earlier occupied buckets
+    val bucketLast = unioned
+      .where(col("__r").isNotNull)
+      .groupBy(gridCols.map(col): _*)
+      .agg(max(struct(col("__ts"), col("__r"))).as("__blast"))
+    val grid = unioned.select(gridCols.map(col): _*).distinct()
+    val wCarry = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = grid.join(bucketLast, gridCols, "left")
+      .withColumn("__carry", last(col("__blast"), ignoreNulls = true).over(wCarry))
+      .select(gridCols.map(col) :+ col("__carry.__r").as("__cr"): _*)
+
+    val matched = local
+      .join(carry, gridCols, "left")
+      .withColumn("__m", coalesce(col("__mloc"), col("__cr")))
+      .where(col("__side") === 1)
+    val bounded = tolerance match {
+      case Some(tol) =>
+        matched.withColumn("__m",
+          when(col("__ts") - col("__m.__rts") <= lit(tol), col("__m")))
+      case None => matched
+    }
+    val outCols =
+      left.columns.toSeq.map(c => col(s"__l.$c").as(c)) ++
+        valueCols.map(c => col(s"__m.$c").as(c)) ++
+        (if (rightTsAlias.nonEmpty) Seq(col("__m.__rts").as(rightTsAlias)) else Nil)
+    bounded.select(outCols: _*)
+  }
 }

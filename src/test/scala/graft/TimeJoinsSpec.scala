@@ -70,6 +70,34 @@ class TimeJoinsSpec extends GraftSuite {
       ("c", 10L, None)))
   }
 
+  test("asOfBucketed equals asOf across bucket widths (incl. empty buckets)") {
+    // micro case: bucketWidth 7 puts the b@50 trade in a bucket with no
+    // quotes — its match must arrive via the cross-bucket carry-in
+    for (width <- Seq(1L, 7L, 1000L)) {
+      val got = AsOfJoin.asOfBucketed(trades, quotes, Seq("k"), "t_ts", "ts",
+        valueCols = Seq("px"), bucketWidth = width, rightTsAlias = "q_ts")
+      val want = AsOfJoin.asOf(trades, quotes, Seq("k"), "t_ts", "ts",
+        valueCols = Seq("px"), rightTsAlias = "q_ts")
+      assertSameRows(got, want)
+    }
+    // real data: day buckets and week buckets over ns timestamps
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val clicks = events.where($"event_type" === "click")
+      .select("user_id", "ts", "event_id")
+    val views = events.where($"event_type" === "view")
+      .groupBy($"user_id", $"ts").agg(max($"value").as("state_val"))
+    val day = 86400L * 1000 * 1000 * 1000
+    for (width <- Seq(day, 7 * day)) {
+      val got = AsOfJoin.asOfBucketed(clicks, views, Seq("user_id"), "ts", "ts",
+        valueCols = Seq("state_val"), bucketWidth = width,
+        rightTsAlias = "state_ts", tolerance = Some(3 * day))
+      val want = AsOfJoin.asOf(clicks, views, Seq("user_id"), "ts", "ts",
+        valueCols = Seq("state_val"), rightTsAlias = "state_ts",
+        tolerance = Some(3 * day))
+      assertSameRows(got, want)
+    }
+  }
+
   /** Brute-force as-of on real data: per left row, max right ts <= left ts
     * via inequality join + window — O(n·m) per key but exact. */
   private def bruteAsOf(left: DataFrame, right: DataFrame): DataFrame = {
