@@ -432,6 +432,17 @@ object SparkEntry {
       Dedup.minhashPairs(lk.documents, "doc_id", "text", threshold = 0.95)
         .orderBy("a_id", "b_id")
     }),
+    // decontamination: eval docs (doc_id % 5 == 0) leaked into the train
+    // split, via the cross-corpus LSH pipeline (train x eval buckets only)
+    "q_decontaminate" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val train = lk.documents.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      val heldout = lk.documents.where(pmod(col("doc_id"), lit(5)) === 0)
+      Dedup.minhashCrossPairs(train, heldout, "doc_id", "text",
+        threshold = 0.95)
+        .select(col("a_id").as("train_id"), col("b_id").as("eval_id"))
+        .orderBy("train_id", "eval_id")
+    }),
     "q_dedup_simhash" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
       Dedup.simhashPairs(lk.documents, "doc_id", "text")
@@ -794,6 +805,16 @@ object SparkEntry {
          WHERE len(list_intersect(a.ts, b.ts))::DOUBLE /
                len(list_distinct(list_concat(a.ts, b.ts)))::DOUBLE >= 0.95
          ORDER BY a_id, b_id""",
+    "q_decontaminate" ->
+      """WITH t AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) ts
+                    FROM documents),
+              tr AS (SELECT * FROM t WHERE doc_id % 5 != 0),
+              ev AS (SELECT * FROM t WHERE doc_id % 5 = 0)
+         SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id
+         FROM tr JOIN ev
+           ON len(list_intersect(tr.ts, ev.ts))::DOUBLE /
+              len(list_distinct(list_concat(tr.ts, ev.ts)))::DOUBLE >= 0.95
+         ORDER BY train_id, eval_id""",
     "q_dedup_simhash" ->
       """WITH t AS (SELECT doc_id,
                     list_sort(list_distinct(string_split(lower(text), ' '))) k

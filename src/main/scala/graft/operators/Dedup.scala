@@ -184,6 +184,55 @@ object Dedup {
       sizeRatio = Some(threshold))
   }
 
+  /** Cross-corpus near-duplicate pairs — DECONTAMINATION: find `probe`
+    * rows (an eval/benchmark set) whose token-set Jaccard with some
+    * `corpus` row (the training set) reaches `threshold`. Same LSH banding
+    * as [[minhashPairs]], but the bucket join is corpus × probe — work
+    * scales with the shared buckets, never corpus × corpus. Output columns
+    * `a_id` (corpus side) and `b_id` (probe side); ids may collide across
+    * sides — they are different id spaces. */
+  def minhashCrossPairs(
+      corpus: DataFrame,
+      probe: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int = 128,
+      bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = corpus.sparkSession
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    def buckets(df: DataFrame) =
+      minhashSignatureArray(df, idCol, textCol, numHashes)
+        .select(col("__id"),
+          graft.functions.VectorOps.bandHashes(col("__sig"), bands).as("__bands"))
+        .select(col("__id"), col("__bands"),
+          posexplode(col("__bands")).as(Seq("band", "bh")))
+    val a = buckets(corpus).select(col("band"), col("bh"),
+      col("__id").as("a_id"), col("__bands").as("__ba"))
+    val b = buckets(probe).select(col("band"), col("bh"),
+      col("__id").as("b_id"), col("__bands").as("__bb"))
+    // first-agreeing-band emission: no distinct over bands × pairs
+    val cands = a.join(b, Seq("band", "bh"))
+      .where(graft.functions.VectorOps
+        .firstEqualIndex(col("__ba"), col("__bb")) === col("band"))
+      .select("a_id", "b_id")
+    val toksC = corpus.select(col(idCol).as("a_id"),
+      hashedSet(tokenSet(col(textCol))).as("__ta"))
+    val toksP = probe.select(col(idCol).as("b_id"),
+      hashedSet(tokenSet(col(textCol))).as("__tb"))
+    // exact verify with per-side token sets; the size necessary-condition
+    // (t*|B| <= |A| <= |B|/t) folds into the same filter — arrays are
+    // already present, size() on them is free
+    cands.repartition(n, col("a_id"))
+      .join(toksC, Seq("a_id"))
+      .join(toksP, Seq("b_id"))
+      .where(size(col("__ta")) >= size(col("__tb")) * threshold &&
+        size(col("__tb")) >= size(col("__ta")) * threshold &&
+        jaccardSortedHashed(col("__ta"), col("__tb")) >= threshold)
+      .select("a_id", "b_id")
+  }
+
   /** Exact verification of candidate pairs: join token/shingle sets back on
     * both ids and keep pairs passing `cond`. The candidate frame is
     * re-spread across the full shuffle parallelism first — its byte size is

@@ -38,6 +38,25 @@ class PipelineOpsSpec extends GraftSuite {
     assertSameRows(got, want)
   }
 
+  test("cross-corpus decontamination: full recall vs brute cross jaccard, no cartesian") {
+    import spark.implicits._
+    val train = docs.where(pmod($"doc_id", lit(5)) =!= 0)
+    val heldout = docs.where(pmod($"doc_id", lit(5)) === 0)
+    val got = Dedup.minhashCrossPairs(train, heldout, "doc_id", "text", 0.95)
+    val toks = (d: org.apache.spark.sql.DataFrame, side: String) =>
+      d.select($"doc_id".as(s"${side}_id"),
+        array_distinct(split(lower($"text"), " ")).as(s"ts_$side"))
+    val brute = toks(train, "a").crossJoin(toks(heldout, "b"))
+      .where(size(array_intersect($"ts_a", $"ts_b")).cast("double") /
+        size(array_union($"ts_a", $"ts_b")).cast("double") >= 0.95)
+      .select("a_id", "b_id")
+    assert(brute.count() > 0, "fixture must contain cross-split near-dups")
+    assertSameRows(got, brute)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
+      "cross-dedup must bucket-join, never all-pairs")
+  }
+
   test("simhash pairs == exact token-set duplicates") {
     val got = Dedup.simhashPairs(docs, "doc_id", "text")
     val t = docs.select(col("doc_id"),
