@@ -57,6 +57,42 @@ class ScaleMachinerySpec extends GraftSuite {
     assert(indexed == files.size, s"expected ${files.size} indexed files, got $indexed")
   }
 
+  test("readers racing a concurrent update see a full snapshot, old or new") {
+    val (idx, files) = freshIndex("t_snap_iso", nFiles = 8)
+    // index the first half now; the racing update() indexes the rest
+    val (first, rest) = files.splitAt(4)
+    idx.deleteFiles(files: _*)
+    idx.addFile(first: _*)
+    idx.update()
+    // keys spread across every band so the race actually changes the count
+    val maxKey = spark.read.parquet(files: _*)
+      .agg(max(col("o_custkey"))).first().getLong(0)
+    val keys = (0 until 8).map(i => math.max(1L, i * maxKey / 8 + maxKey / 16))
+    val oldCount = idx.query(Map("o_custkey" -> keys)).count()
+    idx.addFile(rest: _*)
+    // expected post-update count, computed independently of the race
+    val newCount = spark.read.parquet(files: _*)
+      .where(col("o_custkey").isin(keys: _*)).count()
+    assert(oldCount != newCount, "fixture must change the visible count")
+
+    @volatile var failure: Option[String] = None
+    val updater = new Thread(() => idx.update())
+    updater.start()
+    try {
+      while (updater.isAlive && failure.isEmpty) {
+        // a fresh connect per probe mirrors an independent reader process
+        val n = Index.connect(spark, "t_snap_iso")
+          .query(Map("o_custkey" -> keys)).count()
+        if (n != oldCount && n != newCount)
+          failure = Some(s"reader saw partial snapshot: $n (old=$oldCount new=$newCount)")
+      }
+    } finally updater.join()
+    failure.foreach(fail(_))
+    val finalCount = Index.connect(spark, "t_snap_iso")
+      .query(Map("o_custkey" -> keys)).count()
+    assert(finalCount == newCount)
+  }
+
   test("batched build: small budget forces multiple batches, result identical") {
     spark.conf.set("spark.graft.buildBatchMaxFiles", "2")
     try {
