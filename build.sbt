@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// pass the forked JVM's stdout through RAW: the driver json-parses the
+// one metric line Bench prints, and sbt's default LoggedOutput prefixes
+// every line with "[info] " (BENCH_r02 recorded "parsed": null because
+// of exactly that)
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
