@@ -290,8 +290,31 @@ final class Index private (
       throw new IllegalArgumentException(s"Column '$keyColumn' is not indexed"))
     require(ix.indexType == "temporal",
       s"asOfJoin needs a temporal index on '$keyColumn' (found ${ix.indexType})")
-    val files = IndexProbe.collectFiles(
-      IndexProbe.temporalKeyCandidates(store, ix, df.select(col(keyColumn))))
+    var candidates =
+      IndexProbe.temporalKeyCandidates(store, ix, df.select(col(keyColumn)))
+    // Extra time pruning when the ts column also carries a range index:
+    // backward as-of only ever matches rows AT OR BEFORE a probe time, so
+    // a file whose min ts exceeds EVERY probe ts contributes nothing
+    // (symmetrically max-vs-min for forward). One tiny aggregate over the
+    // probe frame; the bound over-approximates per row, which is the only
+    // thing pruning is allowed to do.
+    meta.indexFor(ix.tsColumn.get).filter(_.indexType == "range").foreach { rix =>
+      val bound = df.agg(
+        if (direction == "backward") max(col(probeTsCol)) else min(col(probeTsCol)))
+        .first().get(0)
+      if (bound != null) {
+        val timeOk = store.indexTable.read().map { indexDf =>
+          val keep =
+            if (direction == "backward")
+              col(s"${rix.storageColumn}.min") <= lit(bound)
+            else col(s"${rix.storageColumn}.max") >= lit(bound)
+          // a null range entry (not yet backfilled) must stay a candidate
+          indexDf.where(keep || col(rix.storageColumn).isNull).select("filename")
+        }
+        timeOk.foreach(t => candidates = candidates.join(t, Seq("filename"), "left_semi"))
+      }
+    }
+    val files = IndexProbe.collectFiles(candidates)
     val data = FileReader.readFiles(spark, meta, files, Set.empty, selection)
     AsOfJoin.asOf(df, data, Seq(keyColumn), probeTsCol, ix.tsColumn.get,
       valueCols, rightTsAlias, direction, tolerance)

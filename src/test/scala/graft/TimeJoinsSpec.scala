@@ -195,6 +195,33 @@ class TimeJoinsSpec extends GraftSuite {
       s"expected range pruning, located ${located.size} of ${files.size}")
   }
 
+  test("index asOfJoin with a ts range index also prunes by probe time") {
+    import spark.implicits._
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val dir = tmpDir("events_asof_t_")
+    // event_id order == ts order, so id-range bands have disjoint ts spans
+    events.repartitionByRange(4, $"event_id").write.mode("overwrite").parquet(dir)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    val idx = Index(spark, "t_events_asof_t", events.schema, "parquet")
+    idx.addTemporalIndex("user_id", "ts")
+    idx.addRangeIndex("ts")
+    idx.addFile(files: _*)
+    idx.update()
+
+    // probes early in the timeline: later band files can't hold a backward
+    // match and must not be read
+    val cut = events.selectExpr("percentile_approx(ts, 0.2)").first().getLong(0)
+    val probe = events.where($"event_type" === "click" && $"ts" < cut)
+      .select($"user_id", ($"ts" - 1).as("q_ts"), $"event_id".as("click_id"))
+    val got = idx.asOfJoin(probe, "user_id", "q_ts",
+      valueCols = Seq("event_id"), rightTsAlias = "src_ts")
+    val expected = AsOfJoin.asOf(probe, spark.read.parquet(dir),
+      Seq("user_id"), "q_ts", "ts",
+      valueCols = Seq("event_id"), rightTsAlias = "src_ts")
+    assertSameRows(got, expected)
+  }
+
   test("index asOfJoin prunes by key and matches the operator on a full read") {
     val events = spark.read.parquet(s"$sf/events.parquet")
     val dir = tmpDir("events_asof_")
