@@ -103,13 +103,21 @@ final class SnapshotTable(spark: SparkSession, root: String) {
         if (segs.size == 1) spark.read.schema(schema).parquet(segDir(segs.head))
         else assembleSegments(segs, schema)
       }
-      if (!GraftConf.cacheIndexTables(spark)) assemble
+      // optional repartition of the assembled index table (reference:
+      // spark.ariadne.indexRepartitionCount, AriadneContext.scala:121-141 —
+      // dodges FetchFailed on very large index tables). Applied BEFORE the
+      // cache so the cost is paid once per version, not per probe.
+      def shaped: DataFrame = {
+        val n = GraftConf.indexRepartitionCount(spark)
+        if (n > 0) assemble.repartition(n) else assemble
+      }
+      if (!GraftConf.cacheIndexTables(spark)) shaped
       else SnapshotTable.dfCache.getOrElseUpdate(key, {
         SnapshotTable.dfCache.keys
           .filter(k => k._1 == root && k != key)
           .foreach(k => SnapshotTable.dfCache.remove(k)
             .foreach(_.unpersist(false)))
-        assemble.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        shaped.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       })
     }
 

@@ -135,6 +135,27 @@ class EdgeCasesSpec extends GraftSuite {
     assert(idx.query(Map("k" -> Seq(1L))).count() == 0)
   }
 
+  test("indexRepartitionCount shapes the index table; debug implies metrics") {
+    spark.conf.set("spark.graft.indexRepartitionCount", "3")
+    try {
+      val (idx, dir) = ordersFixture("t_repart")
+      idx.update()
+      val table = new graft.store.IndexStore(spark, "t_repart")
+        .indexTable.read().get
+      assert(table.rdd.getNumPartitions == 3)
+      // probes through the reshaped table stay correct
+      val got = idx.query(Map("o_custkey" -> Seq(1L, 2L, 3L))).count()
+      val want = spark.read.parquet(dir: _*)
+        .where(col("o_custkey").isin(1L, 2L, 3L)).count()
+      assert(got == want)
+    } finally spark.conf.unset("spark.graft.indexRepartitionCount")
+
+    assert(!GraftConf.metricsEnabled(spark))
+    spark.conf.set("spark.graft.debug", "true")
+    try assert(GraftConf.metricsEnabled(spark))
+    finally spark.conf.unset("spark.graft.debug")
+  }
+
   test("plan audit: select() projection reaches the parquet scan, no UDFs") {
     val (idx, _) = ordersFixture("planaudit_orders")
     idx.update()
