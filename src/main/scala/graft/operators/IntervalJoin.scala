@@ -43,8 +43,11 @@ object IntervalJoin {
     require(collisions.isEmpty,
       s"interval-side columns collide with point columns: ${collisions.mkString(", ")}")
 
-    // integral `div` keeps bin ids exact where floor(double) would not;
-    // assumes non-negative timestamps (epoch-style), where div == floor-div
+    // integral `div` keeps bin ids exact where floor(double) would not.
+    // div truncates toward zero (≠ floor for negatives), but correctness
+    // only needs MONOTONICITY: lo <= pt <= hi ⇒ their bin ids are ordered,
+    // so the point's bin is always inside the interval's exploded bin range
+    // — negative timestamps work, bin 0 is merely twice as wide
     val p = points.withColumn("__bin", expr(s"`$ptCol` div ${binWidth}L"))
     val iv = intervals
       .where(col(loCol).isNotNull && col(hiCol).isNotNull && col(loCol) <= col(hiCol))

@@ -39,6 +39,56 @@ class PropertySpec extends GraftSuite {
     assert(df.where(col("merge") =!= col("builtin")).count() == 0)
   }
 
+  test("asOf + asOfBucketed match brute force on random data (dup/negative ts)") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    // keys from a tiny space force heavy collisions; ts from a small range
+    // forces duplicate and NEGATIVE timestamps (bucket ids from `div`
+    // truncate toward zero — monotone, which is all the bucketing needs)
+    def side(n: Int) = Seq.fill(n)(
+      (rnd.nextInt(4).toLong, (rnd.nextInt(41) - 20).toLong, rnd.nextInt(1000).toLong))
+    for (trial <- 1 to 3) {
+      val lrows = side(60)
+      val rrows0 = side(40)
+      // unique (key, ts) on the right pins a single deterministic winner
+      val rrows = rrows0.groupBy(r => (r._1, r._2)).values.map(_.maxBy(_._3)).toSeq
+      val l = lrows.toDF("k", "lts", "lid")
+      val r = rrows.toDF("k", "rts", "rv")
+      val got = AsOfJoin.asOf(l, r, Seq("k"), "lts", "rts", valueCols = Seq("rv"))
+        .select("k", "lts", "lid", "rv")
+      val gotBucketed = AsOfJoin.asOfBucketed(l, r, Seq("k"), "lts", "rts",
+        valueCols = Seq("rv"), bucketWidth = 7L)
+        .select("k", "lts", "lid", "rv")
+      val brute = lrows.map { case (k, lts, lid) =>
+        val best = rrows.filter(rr => rr._1 == k && rr._2 <= lts)
+          .sortBy(rr => (rr._2, rr._3)).lastOption
+        (k, lts, lid, best.map(_._3))
+      }.toDF("k", "lts", "lid", "rv")
+      assertSameRows(got, brute)
+      assertSameRows(gotBucketed, brute)
+    }
+  }
+
+  test("intervalJoin matches brute containment on random data (negative ts)") {
+    import spark.implicits._
+    import graft.operators.IntervalJoin
+    val pts = Seq.fill(50)(
+      (rnd.nextInt(3).toLong, (rnd.nextInt(61) - 30).toLong, rnd.nextInt(1000).toLong))
+    val ivs = Seq.fill(20) {
+      val lo = (rnd.nextInt(61) - 30).toLong
+      (rnd.nextInt(3).toLong, lo, lo + rnd.nextInt(15).toLong, rnd.nextInt(1000).toLong)
+    }
+    val got = IntervalJoin.joinPointsToIntervals(
+      pts.toDF("k", "ts", "pid"), ivs.toDF("k", "lo", "hi", "vid"),
+      Seq("k"), "ts", "lo", "hi", binWidth = 9L, valueCols = Seq("vid"))
+    val brute = (for {
+      (pk, pts_, pid) <- pts
+      (ik, lo, hi, vid) <- ivs
+      if pk == ik && pts_ >= lo && pts_ <= hi
+    } yield (pk, pts_, pid, vid)).toDF("k", "ts", "pid", "vid")
+    assertSameRows(got, brute)
+  }
+
   test("bloom filter has no false negatives over 500 random values") {
     import spark.implicits._
     val values = Seq.fill(500)(rnd.alphanumeric.take(1 + rnd.nextInt(20)).mkString)
