@@ -492,6 +492,15 @@ object SparkEntry {
         Map("en" -> 0.5, "de" -> 0.1), defaultFraction = 0.02)
         .select("doc_id", "lang").orderBy("doc_id")
     }),
+    // deterministic 80/10/10 split: hash-position assignment, stable under
+    // corpus growth; null split_id would mark held-out mass (none here)
+    "q_hash_split" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Sampling.hashSplit(lk.documents, "doc_id", Seq(0.8, 0.1, 0.1))
+        .groupBy("lang", "split_id")
+        .agg(count(lit(1)).as("n"), min("doc_id").as("first_id"))
+        .orderBy("lang", "split_id")
+    }),
     // context-window packing: docs in id order greedily packed into ~5000-
     // token chunks via a DISTRIBUTED exclusive prefix sum (range partitions
     // + local window + broadcast offsets — no single-task global window)
@@ -941,6 +950,15 @@ object SparkEntry {
                 WHEN lang = 'de' THEN '19999999'
                 ELSE '051eb851' END
          ORDER BY doc_id""",
+    "q_hash_split" ->
+      """WITH s AS (SELECT doc_id, lang,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 0
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 1
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'ffffffff' THEN 2
+                  ELSE NULL END AS split_id
+           FROM documents)
+         SELECT lang, split_id, count(*) AS n, min(doc_id) AS first_id
+         FROM s GROUP BY lang, split_id ORDER BY lang, split_id""",
     "q_pack_chunks" ->
       """SELECT doc_id,
                 CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id

@@ -51,6 +51,22 @@ object Sampling {
     df.where(sampleKey(col(idCol)) < threshold)
   }
 
+  /** Deterministic multi-way split (train/val/test): `fractions(i)` of rows
+    * get `split_id = i`, assigned by the row's hash position — the same row
+    * lands in the same split on every run, partitioning, and engine, and
+    * growing the corpus never moves an existing row between splits. Rows
+    * past `sum(fractions)` get a null split_id (held out). */
+  def hashSplit(df: DataFrame, idCol: String, fractions: Seq[Double]): DataFrame = {
+    require(fractions.nonEmpty && fractions.forall(_ >= 0) && fractions.sum <= 1.0 + 1e-9,
+      "fractions must be non-negative and sum to at most 1")
+    val cuts = fractions.scanLeft(0.0)(_ + _).tail.map(hexThreshold)
+    val key = sampleKey(col(idCol))
+    val assign = cuts.zipWithIndex.reverse.foldLeft(lit(null).cast("int")) {
+      case (acc, (cut, i)) => when(key < lit(cut), lit(i)).otherwise(acc)
+    }
+    df.withColumn("split_id", assign)
+  }
+
   /** Keep the `k` best rows per group by `scoreCol` (descending), ties
     * broken by `tiebreakCol` ascending — "best 100 docs per language"
     * style curation. One shuffle on the group key; each group sorts on one

@@ -203,6 +203,24 @@ class PipelineOpsSpec extends GraftSuite {
     assert(got.groupBy(_._2).forall(_._2.length <= 7))
   }
 
+  test("hashSplit partitions the corpus and is stable under growth") {
+    import spark.implicits._
+    val split = Sampling.hashSplit(docs, "doc_id", Seq(0.8, 0.1, 0.1))
+    assert(split.where($"split_id".isNull).count() == 0)
+    val byId = split.select("doc_id", "split_id")
+      .as[(Long, Int)].collect().toMap
+    assert(byId.size == docs.count())
+    // growth stability: splitting only half the corpus assigns each row
+    // the SAME split as the full corpus did
+    val half = Sampling.hashSplit(docs.where($"doc_id" % 2 === 0), "doc_id",
+        Seq(0.8, 0.1, 0.1))
+      .select("doc_id", "split_id").as[(Long, Int)].collect()
+    half.foreach { case (id, sp) => assert(byId(id) == sp, s"doc $id moved splits") }
+    // held-out mass: fractions below 1 leave null split ids
+    val held = Sampling.hashSplit(docs, "doc_id", Seq(0.5))
+    assert(held.where($"split_id".isNull).count() > 0)
+  }
+
   test("hash sample is deterministic, partition-invariant and near the rate") {
     import graft.operators.Sampling
     val s1 = Sampling.hashSample(docs, "doc_id", 0.3)
