@@ -202,10 +202,14 @@ object Dedup {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = corpus.sparkSession
     val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // persisted per side: posexplode adds a `size(bands) > 0` filter that
+    // would otherwise inline (and re-evaluate) the whole signature pipeline
+    // into the scan — the CollapseProject trap noted on minhashPairs
     def buckets(df: DataFrame) =
       minhashSignatureArray(df, idCol, textCol, numHashes)
         .select(col("__id"),
           graft.functions.VectorOps.bandHashes(col("__sig"), bands).as("__bands"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         .select(col("__id"), col("__bands"),
           posexplode(col("__bands")).as(Seq("band", "bh")))
     val a = buckets(corpus).select(col("band"), col("bh"),

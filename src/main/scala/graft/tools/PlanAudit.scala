@@ -19,7 +19,9 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     val sfDir = "/root/testdata/sf0.01"
     Seq("q_regular_probe", "q_select_join", "q_regular_join", "q_pruned_agg",
-      "q_autobloom", "q_compact_probe")
+      "q_autobloom", "q_compact_probe",
+      "q_asof_join", "q_asof_index", "q_interval_index", "q_decontaminate",
+      "q_pipeline_curate")
       .foreach { name =>
         val df = SparkEntry.queries(name)(spark, sfDir)
         df.collect() // finalize AQE so the printed plan is the executed one
