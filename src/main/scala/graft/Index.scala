@@ -285,7 +285,8 @@ final class Index private (
       valueCols: Seq[String],
       rightTsAlias: String = "",
       direction: String = "backward",
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      bucketWidth: Option[Long] = None): DataFrame = {
     val ix = meta.indexFor(keyColumn).getOrElse(
       throw new IllegalArgumentException(s"Column '$keyColumn' is not indexed"))
     require(ix.indexType == "temporal",
@@ -316,8 +317,14 @@ final class Index private (
     }
     val files = IndexProbe.collectFiles(candidates)
     val data = FileReader.readFiles(spark, meta, files, Set.empty, selection)
-    AsOfJoin.asOf(df, data, Seq(keyColumn), probeTsCol, ix.tsColumn.get,
-      valueCols, rightTsAlias, direction, tolerance)
+    bucketWidth match {
+      // skew-safe two-level plan for hot keys (numeric ts only)
+      case Some(w) => AsOfJoin.asOfBucketed(df, data, Seq(keyColumn),
+        probeTsCol, ix.tsColumn.get, valueCols, w, rightTsAlias, tolerance,
+        direction)
+      case None => AsOfJoin.asOf(df, data, Seq(keyColumn), probeTsCol,
+        ix.tsColumn.get, valueCols, rightTsAlias, direction, tolerance)
+    }
   }
 
   /** Multi-window pruned read: rows of `column` falling in ANY of the

@@ -89,17 +89,20 @@ object AsOfJoin {
     // 0/1 flips with direction. Null left ts sorts first under ascending
     // nulls-first — before every right row — so `last` over the preceding
     // frame is null there (backward); forward guards explicitly.
-    val order = Seq(col("__ts"), col("__side"), col("__r"))
+    // Tie-break on equal (key, ts): the GREATEST payload struct wins in
+    // BOTH directions (forward orders __r descending so `first` lands on
+    // it) — one rule, and it matches what negation-based reductions and
+    // the bucketed variant's struct-max produce.
     val w = Window.partitionBy(keyCols.map(col): _*)
     val matched = direction match {
       case "backward" =>
         last(col("__r"), ignoreNulls = true)
-          .over(w.orderBy(order: _*)
+          .over(w.orderBy(col("__ts"), col("__side"), col("__r"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
       case "forward" =>
         when(col("__ts").isNotNull,
           first(col("__r"), ignoreNulls = true)
-            .over(w.orderBy(order: _*)
+            .over(w.orderBy(col("__ts"), col("__side"), col("__r").desc)
               .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
     }
 
@@ -143,8 +146,23 @@ object AsOfJoin {
       valueCols: Seq[String],
       bucketWidth: Long,
       rightTsAlias: String = "",
-      tolerance: Option[Long] = None): DataFrame = {
+      tolerance: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
     require(bucketWidth > 0, "bucketWidth must be positive")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    if (direction == "forward") {
+      // forward == backward on the negated timeline; temp columns keep the
+      // user's ts columns (carried in the output payload) untouched
+      val l2 = left.withColumn("__graft_nts", -col(leftTsCol))
+      val r2 = right.withColumn("__graft_nts", -col(rightTsCol))
+      val res = asOfBucketed(l2, r2, keyCols, "__graft_nts", "__graft_nts",
+        valueCols, bucketWidth, rightTsAlias, tolerance, "backward")
+        .drop("__graft_nts")
+      return if (rightTsAlias.nonEmpty)
+        res.withColumn(rightTsAlias, -col(rightTsAlias))
+      else res
+    }
     val collisions = valueCols.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty,
       s"right value columns collide with left columns: ${collisions.mkString(", ")}")

@@ -64,7 +64,7 @@ class TimeJoinsSpec extends GraftSuite {
         Option(r.get(3)).map(_.toString.toDouble))).toSet
     assert(got == Set(
       ("a", 5L, Some(1.0)),
-      ("a", 20L, Some(2.0)), // inclusive; earliest payload among ts>=20 is (20, 2.0)
+      ("a", 20L, Some(2.5)), // inclusive; greatest payload wins the ts tie
       ("a", 25L, Some(3.0)),
       ("b", 50L, None), // nothing at or after 50
       ("c", 10L, None)))
@@ -73,11 +73,12 @@ class TimeJoinsSpec extends GraftSuite {
   test("asOfBucketed equals asOf across bucket widths (incl. empty buckets)") {
     // micro case: bucketWidth 7 puts the b@50 trade in a bucket with no
     // quotes — its match must arrive via the cross-bucket carry-in
-    for (width <- Seq(1L, 7L, 1000L)) {
+    for (width <- Seq(1L, 7L, 1000L); dir <- Seq("backward", "forward")) {
       val got = AsOfJoin.asOfBucketed(trades, quotes, Seq("k"), "t_ts", "ts",
-        valueCols = Seq("px"), bucketWidth = width, rightTsAlias = "q_ts")
+        valueCols = Seq("px"), bucketWidth = width, rightTsAlias = "q_ts",
+        direction = dir)
       val want = AsOfJoin.asOf(trades, quotes, Seq("k"), "t_ts", "ts",
-        valueCols = Seq("px"), rightTsAlias = "q_ts")
+        valueCols = Seq("px"), rightTsAlias = "q_ts", direction = dir)
       assertSameRows(got, want)
     }
     // real data: day buckets and week buckets over ns timestamps
