@@ -288,7 +288,7 @@ final class Index private (
       tolerance: Option[Long] = None,
       bucketWidth: Option[Long] = None): DataFrame = {
     val ix = meta.indexFor(keyColumn).getOrElse(
-      throw new IllegalArgumentException(s"Column '$keyColumn' is not indexed"))
+      throw new ColumnNotFoundException(s"Column '$keyColumn' is not indexed"))
     require(ix.indexType == "temporal",
       s"asOfJoin needs a temporal index on '$keyColumn' (found ${ix.indexType})")
     var candidates =
@@ -335,7 +335,7 @@ final class Index private (
   def querySpans(column: String, spans: Seq[(Any, Any)]): DataFrame = {
     require(spans.nonEmpty, "at least one span required")
     val ix = meta.indexFor(column).getOrElse(
-      throw new IllegalArgumentException(s"Column '$column' is not indexed"))
+      throw new ColumnNotFoundException(s"Column '$column' is not indexed"))
     require(ix.indexType == "range",
       s"querySpans needs a range index on '$column' (found ${ix.indexType})")
     val spansDf = spans.map { case (l, h) =>
@@ -362,7 +362,7 @@ final class Index private (
       binWidth: Long,
       valueCols: Seq[String]): DataFrame = {
     val ix = meta.indexFor(ptColumn).getOrElse(
-      throw new IllegalArgumentException(s"Column '$ptColumn' is not indexed"))
+      throw new ColumnNotFoundException(s"Column '$ptColumn' is not indexed"))
     require(ix.indexType == "range",
       s"intervalJoin needs a range index on '$ptColumn' (found ${ix.indexType})")
     val files = IndexProbe.collectFiles(
@@ -411,7 +411,7 @@ final class Index private (
     * beyond the reference's value-list probes). */
   def queryRange(column: String, lo: Any, hi: Any): DataFrame = {
     val ix = meta.indexFor(column).getOrElse(
-      throw new IllegalArgumentException(s"Column '$column' is not indexed"))
+      throw new ColumnNotFoundException(s"Column '$column' is not indexed"))
     require(ix.indexType == "range", s"Column '$column' has no range index")
     val files = IndexProbe.collectFiles(
       IndexProbe.rangeWindowCandidates(store, ix, lo, hi))
@@ -458,10 +458,11 @@ object Index {
         store.updateLock.withLock(StorageMigrations.ensureCurrent(store, m))
       else m) match {
       case Some(existing) =>
-        require(existing.format == format,
-          s"Format mismatch for index '$name': stored ${existing.format}, got $format")
+        if (existing.format != format)
+          throw new FormatMismatchException(
+            s"Format mismatch for index '$name': stored ${existing.format}, got $format")
         if (!allowSchemaMismatch && existing.schema != schema)
-          throw new IllegalArgumentException(
+          throw new SchemaMismatchException(
             s"Schema mismatch for index '$name' (pass allowSchemaMismatch=true to evolve)")
         val updated =
           if (existing.schema != schema) {
@@ -489,7 +490,7 @@ object Index {
   def connect(spark: SparkSession, name: String): Index = {
     val store = new IndexStore(spark, name)
     val read = store.readMetadata().getOrElse(
-      throw new IllegalArgumentException(s"Index '$name' does not exist"))
+      throw new IndexNotFoundException(s"Index '$name' does not exist"))
     val m = if (read.storageVersion < StorageMigrations.CurrentVersion)
       store.updateLock.withLock(StorageMigrations.ensureCurrent(store, read))
     else read

@@ -25,7 +25,7 @@ object FileReader {
 
   def requireSupported(format: String): Unit =
     if (!SupportedFormats.contains(format))
-      throw new IllegalArgumentException(
+      throw new graft.UnsupportedFormatException(
         s"Unsupported format '$format' (supported: ${SupportedFormats.mkString(", ")})")
 
   /** Canonical filename form used in the index, filelist, and probes:

@@ -142,7 +142,9 @@ final class GraftLock(spark: SparkSession, path: String) extends Logging {
 
 class LockTimeoutException(path: String, waitedMs: Long)
   extends RuntimeException(s"could not acquire lock $path within ${waitedMs}ms")
+  with graft.GraftException
 
 class LockLostException(path: String)
   extends RuntimeException(
     s"lock $path was healed by another writer while this holder was active")
+  with graft.GraftException

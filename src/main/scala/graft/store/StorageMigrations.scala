@@ -63,7 +63,7 @@ object StorageMigrations extends Logging {
     var m = meta
     while (m.storageVersion < CurrentVersion) {
       val mig = migrations.find(_.from == m.storageVersion).getOrElse(
-        throw new IllegalStateException(
+        throw new graft.StorageMigrationException(
           s"no migration from storage version ${m.storageVersion}"))
       logInfo(s"index ${m.name}: storage migration v${mig.from} -> " +
         s"v${mig.from + 1} (${mig.description})")

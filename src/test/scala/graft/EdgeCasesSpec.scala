@@ -135,6 +135,22 @@ class EdgeCasesSpec extends GraftSuite {
     assert(idx.query(Map("k" -> Seq(1L))).count() == 0)
   }
 
+  test("typed exceptions: one GraftException marker covers every failure") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val (idx, _) = ordersFixture("t_exc")
+    intercept[ColumnNotFoundException](idx.queryRange("nope", 1L, 2L))
+    intercept[IndexNotFoundException](Index.connect(spark, "t_never_created"))
+    intercept[UnsupportedFormatException](
+      Index(spark, "t_exc_fmt", orders.schema, "avro"))
+    intercept[FormatMismatchException](
+      Index(spark, "t_exc", orders.schema, "csv"))
+    intercept[SchemaMismatchException](
+      Index(spark, "t_exc", StructType(Seq(StructField("x", LongType))), "parquet"))
+    // every one of them is catchable via the marker AND the legacy JDK type
+    val e = intercept[GraftException](idx.queryRange("nope", 1L, 2L))
+    assert(e.isInstanceOf[IllegalArgumentException])
+  }
+
   test("indexRepartitionCount shapes the index table; debug implies metrics") {
     spark.conf.set("spark.graft.indexRepartitionCount", "3")
     try {
