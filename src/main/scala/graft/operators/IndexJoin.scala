@@ -140,26 +140,62 @@ object IndexJoin extends Logging {
       pruneIndexSide = !needsAllIndexRows(joinType, indexIsLeft = false)),
       usingColumns, joinType)
 
-  /** Latest-version row filter: for every applicable temporal index, rank
-    * rows per value by timestamp desc and keep rows ranked 1 by EVERY
-    * config — ranks computed against the original rows before any filtering
-    * (reference: IndexJoinOperations.scala:303-337). */
+  /** Latest-version row filter: for every applicable temporal index, keep
+    * the single latest row per value — and with several temporal configs,
+    * only rows that are the latest under EVERY config, each winner computed
+    * against the original rows before any filtering (reference:
+    * IndexJoinOperations.scala:303-337).
+    *
+    * This sits on every temporal read — programmatic join, `query()` and
+    * the SQL catalog scan — so it must not be a window: `row_number() OVER
+    * (PARTITION BY value)` shuffles + sorts all data rows and lands each
+    * hot value on ONE task, serializing a frequently-updated key (millions
+    * of versions of one entity) at scale. Instead, one hash aggregate with
+    * map-side partial combine: `max(struct(ts, whole-row))` per value —
+    * skewed keys cost O(partitions), not O(rows-for-key) on a single task
+    * (the same de-windowing already applied to the probe side in
+    * [[IndexProbe.temporalCandidates]]). Struct comparison ranks null ts
+    * lowest (same preference as the old `desc_nulls_last`); on exact ts
+    * ties the greatest payload wins — deterministic, where the window's
+    * tie-break was arbitrary. Rows with non-orderable column types (maps)
+    * can't ride a max(struct); they fall back to the window formulation. */
   def applyTemporalDedup(
       df: DataFrame, meta: IndexMetadata, joinColumns: Set[String]): DataFrame = {
     val defs = meta.indexes.filter(ix =>
       ix.indexType == "temporal" && joinColumns.contains(ix.column))
     if (defs.isEmpty) df
-    else {
-      val rankCols = defs.indices.map(i => s"__graft_rank_$i")
-      val ranked = defs.zipWithIndex.foldLeft(df) { case (d, (ix, i)) =>
-        val w = Window.partitionBy(col(ix.column))
-          .orderBy(col(ix.tsColumn.get).desc_nulls_last)
-        d.withColumn(rankCols(i), row_number().over(w))
-      }
-      ranked
-        .where(rankCols.map(c => col(c) === 1).reduce(_ && _))
-        .drop(rankCols: _*)
+    else if (!df.schema.fields.forall(f => orderableType(f.dataType)))
+      windowedTemporalDedup(df, defs)
+    else defs.map(ix => latestRowPerValue(df, ix)).reduce(_.intersect(_))
+  }
+
+  /** One aggregate replacing the per-value row_number window; output schema
+    * is exactly `df`'s (the value column rides inside the payload struct). */
+  private def latestRowPerValue(df: DataFrame, ix: graft.model.IndexDef): DataFrame = {
+    val payload = struct(df.columns.toIndexedSeq.map(df(_)): _*)
+    df.groupBy(df(ix.column))
+      .agg(max(struct(col(ix.tsColumn.get).as("__graft_ts"),
+        payload.as("__graft_row"))).as("__graft_m"))
+      .select(col("__graft_m.__graft_row.*"))
+  }
+
+  /** Can values of this type be compared inside a max(struct) aggregate? */
+  private def orderableType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(dt)
+
+  /** Fallback for non-orderable payloads only (a map column can't be struct-
+    * compared): the original window formulation, with its hot-key caveat. */
+  private def windowedTemporalDedup(
+      df: DataFrame, defs: Seq[graft.model.IndexDef]): DataFrame = {
+    val rankCols = defs.indices.map(i => s"__graft_rank_$i")
+    val ranked = defs.zipWithIndex.foldLeft(df) { case (d, (ix, i)) =>
+      val w = Window.partitionBy(col(ix.column))
+        .orderBy(col(ix.tsColumn.get).desc_nulls_last)
+      d.withColumn(rankCols(i), row_number().over(w))
     }
+    ranked
+      .where(rankCols.map(c => col(c) === 1).reduce(_ && _))
+      .drop(rankCols: _*)
   }
 
   /** Columns a join may reference: top-level schema fields, computed

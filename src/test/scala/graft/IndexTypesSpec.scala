@@ -69,6 +69,48 @@ class IndexTypesSpec extends GraftSuite {
     assertSameRows(got, want)
   }
 
+  test("temporal read plan contains no Window (de-windowed row dedup)") {
+    val got = lake.eventsIdx.query(Map("user_id" -> Seq(1L, 3L, 7L)))
+      .select("event_id", "user_id")
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"temporal serving path must aggregate, not window:\n$plan")
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"),
+      s"expected an aggregate-based latest-row dedup:\n$plan")
+  }
+
+  test("temporal dedup: skewed key (1e5 versions) equals window formulation") {
+    import graft.model.{IndexDef, IndexMetadata}
+    import org.apache.spark.sql.expressions.Window
+    val s = spark
+    import s.implicits._
+    // one pathological key with 100k versions + a spread of normal keys
+    val hot = (1 to 100000).map(i => (7L, i.toLong, s"p$i"))
+    val cold = (1 to 500).map(i => (100L + i % 50, i.toLong * 3 + 1, s"c$i"))
+    val df = (hot ++ cold).toDF("k", "ts", "payload")
+    val meta = IndexMetadata("t", "parquet", df.schema.json,
+      indexes = List(IndexDef("k", "temporal", tsColumn = Some("ts"))))
+    val got = graft.operators.IndexJoin.applyTemporalDedup(df, meta, Set("k"))
+    assert(!got.queryExecution.executedPlan.toString.contains("Window"))
+    val w = Window.partitionBy("k").orderBy(col("ts").desc_nulls_last)
+    val want = df.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).drop("rn")
+    assertSameRows(got, want) // ts values unique per key → tie-break moot
+  }
+
+  test("temporal dedup falls back to window for non-orderable (map) payloads") {
+    import graft.model.{IndexDef, IndexMetadata}
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 10L, Map("a" -> 1)), (1L, 20L, Map("b" -> 2)),
+      (2L, 5L, Map("c" -> 3))).toDF("k", "ts", "m")
+    val meta = IndexMetadata("t", "parquet", df.schema.json,
+      indexes = List(IndexDef("k", "temporal", tsColumn = Some("ts"))))
+    val got = graft.operators.IndexJoin.applyTemporalDedup(df, meta, Set("k"))
+    val rows = got.select("k", "ts").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows == Set((1L, 20L), (2L, 5L)))
+  }
+
   test("cross-type AND intersection (regular + computed)") {
     val got = lake.ordersIdx.query(
       Map("o_custkey" -> Seq(1L, 7L, 42L), "o_month" -> Seq(3L, 7L)))
