@@ -563,14 +563,38 @@ object SparkEntry {
       val lk = Lake.get(s, dir)
       TextAnalysis.fingerprint(lk.documents, "doc_id", "text").orderBy("doc_id")
     }),
+    // Synthesizes REAL container bytes per doc (PNG / JPEG / raw-text by
+    // doc_id mod 3; dimensions derived from doc_id), then parses them back
+    // through the codegen'd header scan — the oracle computes the expected
+    // fields arithmetically, so a parse bug can't hash-match. content_hash
+    // is md5(text) on both engines (DuckDB's md5 is VARCHAR-only, so the
+    // blob payload itself can't be hashed oracle-side).
     "q_multimodal_meta" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
+      val sel = pmod(col("doc_id"), lit(3L))
+      val w = (pmod(col("doc_id"), lit(1000L)) + 16).cast("int")
+      val h = (pmod(col("doc_id") * 7, lit(1000L)) + 16).cast("int")
+      val textHex = hex(encode(col("text"), "UTF-8"))
+      val colorType = // truecolor (3ch) vs truecolor+alpha (4ch)
+        when(pmod(col("doc_id"), lit(2L)) === 0, lit("02")).otherwise(lit("06"))
+      val pngHex = concat(lit("89504E470D0A1A0A0000000D49484452"),
+        lpad(hex(w), 8, "0"), lpad(hex(h), 8, "0"), lit("08"), colorType,
+        lit("000000DEADBEEF"), textHex)
+      val jpegHex = concat(
+        lit("FFD8FFE000104A46494600010100000100010000FFC0001108"),
+        lpad(hex(h), 4, "0"), lpad(hex(w), 4, "0"),
+        lit("03011100021101031101FFD9"), textHex)
+      val payload = when(sel === 0, unhex(pngHex))
+        .when(sel === 1, unhex(jpegHex))
+        .otherwise(encode(col("text"), "UTF-8"))
       lk.documents
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-        .select(col("doc_id"), Multimodal.imageMeta(col("payload")).as("m"))
-        .select(col("doc_id"), col("m.byte_len").as("byte_len"),
+        .select(col("doc_id"), col("text"), payload.as("payload"))
+        .select(col("doc_id"), col("text"), Multimodal.imageMeta(col("payload")).as("m"))
+        .select(col("doc_id"), col("m.fmt").as("fmt"),
+          col("m.byte_len").as("byte_len"),
           col("m.width").as("width"), col("m.height").as("height"),
-          col("m.channels").as("channels"), col("m.content_hash").as("content_hash"))
+          col("m.channels").as("channels"),
+          md5(encode(col("text"), "UTF-8")).as("content_hash"))
         .orderBy("doc_id")
     }),
     // LSH-bucketed ANN (scale path). The oracle replicates the WHOLE
@@ -1093,12 +1117,26 @@ object SparkEntry {
          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
          WHERE c.c_acctbal > 9000 ORDER BY o_orderkey""",
     "q_multimodal_meta" ->
-      """SELECT doc_id,
-                octet_length(encode(text)) AS byte_len,
-                CAST((octet_length(encode(text)) * 2654435761) % 512 AS INT) + 128 AS width,
-                CAST((octet_length(encode(text)) * 40503) % 512 AS INT) + 128 AS height,
-                3 AS channels,
+      """WITH p AS (
+           SELECT doc_id, text,
+                  doc_id % 3 AS sel,
+                  doc_id % 1000 + 16 AS w,
+                  (doc_id * 7) % 1000 + 16 AS h,
+                  octet_length(encode(text)) AS tlen
+           FROM documents)
+         SELECT doc_id,
+                CASE sel WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                         ELSE 'unknown' END AS fmt,
+                CAST(CASE sel WHEN 0 THEN 33 + tlen WHEN 1 THEN 41 + tlen
+                              ELSE tlen END AS BIGINT) AS byte_len,
+                CAST(CASE WHEN sel <= 1 THEN w
+                          ELSE (tlen * 2654435761) % 512 + 128 END AS INT) AS width,
+                CAST(CASE WHEN sel <= 1 THEN h
+                          ELSE (tlen * 40503) % 512 + 128 END AS INT) AS height,
+                CAST(CASE WHEN sel = 0 THEN
+                            (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END)
+                          ELSE 3 END AS INT) AS channels,
                 md5(text) AS content_hash
-         FROM documents ORDER BY doc_id"""
+         FROM p ORDER BY doc_id"""
   )
 }

@@ -1,8 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlBridge, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+
+import graft.functions.{ImageHeaderPacked, ImageHeaders}
 
 /** Multimodal-column plumbing: opaque `binary` payloads + typed metadata.
   *
@@ -10,38 +12,78 @@ import org.apache.spark.sql.types._
   * ordinary Spark columns — partitioning, pruning and shuffles all work on
   * the metadata while the bytes ride along untouched until a decode stage.
   *
-  * The DECODE itself is stubbed (no image/audio codecs ship in this
-  * environment): [[decodeImageStub]] derives deterministic fake dimensions
-  * from the payload hash. Everything around it — schema, batch iteration via
-  * `mapPartitions`, column plumbing — is real and tested, so swapping a real
-  * codec in changes one function.
+  * Dimensions/channels/format are parsed from REAL container headers (PNG
+  * IHDR, JPEG SOFn marker walk, GIF logical screen descriptor) by the
+  * codegen'd [[graft.functions.ImageHeaderPacked]] expression — pure byte
+  * logic, no codec library. Only payloads in an unrecognized container fall
+  * back to the deterministic length-derived stub (format `unknown`), which
+  * marks where a full pixel codec would plug in; the codec itself doesn't
+  * ship in this environment.
   */
 object Multimodal {
 
   /** Metadata schema attached to every decoded media column. */
   val ImageMetaType: StructType = StructType(Seq(
     StructField("byte_len", LongType, nullable = false),
+    StructField("fmt", StringType, nullable = false),
     StructField("width", IntegerType, nullable = false),
     StructField("height", IntegerType, nullable = false),
     StructField("channels", IntegerType, nullable = false),
     StructField("content_hash", StringType, nullable = false)))
 
-  /** Column-expression metadata extraction (no UDF): byte length + hash are
-    * real; width/height are the deterministic stub decode (length-derived
-    * mixing, ANSI-safe and replicable in any SQL engine), marking where a
-    * codec plugs in. */
+  /** Column-expression metadata extraction (no UDF): one codegen'd header
+    * scan per row packs (format, channels, width, height) into a long;
+    * bitwise column arithmetic unpacks it. Unknown containers keep the
+    * stub's length-derived dimensions (ANSI-safe, replicable in any SQL
+    * engine) so the struct stays non-null for arbitrary payloads. */
   def imageMeta(binCol: Column): Column = {
     val len = octet_length(binCol).cast("long")
+    val packed = GraftSqlBridge.column(
+      ImageHeaderPacked(GraftSqlBridge.expression(binCol)))
+    val fmtCode = shiftright(packed, 56).bitwiseAND(lit(0x3FL))
+    val known = fmtCode > 0
+    val width = when(known, shiftright(packed, 24).bitwiseAND(lit(0xFFFFFFL)))
+      .otherwise(pmod(len * lit(2654435761L), lit(512L)) + 128)
+    val height = when(known, packed.bitwiseAND(lit(0xFFFFFFL)))
+      .otherwise(pmod(len * lit(40503L), lit(512L)) + 128)
+    val channels = when(known, shiftright(packed, 48).bitwiseAND(lit(0xFFL)))
+      .otherwise(lit(3L))
+    val fmt = when(fmtCode === ImageHeaders.FmtPng, "png")
+      .when(fmtCode === ImageHeaders.FmtJpeg, "jpeg")
+      .when(fmtCode === ImageHeaders.FmtGif, "gif")
+      .otherwise("unknown")
     struct(
       len.as("byte_len"),
-      (pmod(len * lit(2654435761L), lit(512L)).cast("int") + 128).as("width"),
-      (pmod(len * lit(40503L), lit(512L)).cast("int") + 128).as("height"),
-      lit(3).as("channels"),
+      fmt.as("fmt"),
+      width.cast("int").as("width"),
+      height.cast("int").as("height"),
+      channels.cast("int").as("channels"),
       md5(binCol).as("content_hash"))
   }
 
-  /** Deterministic stub decode for the `mapPartitions` path: a real
-    * implementation would parse the container header / invoke a codec. */
+  /** Header decode for the `mapPartitions` path: real container parse via
+    * [[ImageHeaders.packedMeta]], stub fallback for unknown containers. */
+  def decodeImage(bytes: Array[Byte]): (Long, String, Int, Int, Int) = {
+    val packed = ImageHeaders.packedMeta(bytes)
+    val fmtCode = ((packed >> 56) & 0x3F).toInt
+    if (fmtCode != ImageHeaders.FmtUnknown) {
+      val fmt = fmtCode match {
+        case ImageHeaders.FmtPng  => "png"
+        case ImageHeaders.FmtJpeg => "jpeg"
+        case _                    => "gif"
+      }
+      (bytes.length.toLong, fmt,
+        ((packed >> 24) & 0xFFFFFF).toInt, (packed & 0xFFFFFF).toInt,
+        ((packed >> 48) & 0xFF).toInt)
+    } else {
+      val (len, w, h, c) = decodeImageStub(bytes)
+      (len, "unknown", w, h, c)
+    }
+  }
+
+  /** Deterministic stub for unrecognized containers only: a full pixel
+    * decode would need a codec library; dimensions derive from the payload
+    * hash so downstream plumbing still sees plausible, stable values. */
   def decodeImageStub(bytes: Array[Byte]): (Long, Int, Int, Int) = {
     val h = bytes.foldLeft(1125899906842597L)((acc, b) => acc * 31 + b)
     (bytes.length.toLong,
@@ -51,12 +93,13 @@ object Multimodal {
   }
 
   /** Batch decode via `mapPartitions`: the executor-side iteration shape a
-    * real codec needs (per-partition batching, no per-row driver calls).
+    * full codec needs (per-partition batching, no per-row driver calls).
     * Appends a metadata struct column derived from `binCol`. */
   def decodeBatch(df: DataFrame, binCol: String): DataFrame = {
     val schema = StructType(df.schema.fields :+
       StructField("decoded", StructType(Seq(
         StructField("byte_len", LongType),
+        StructField("fmt", StringType),
         StructField("width", IntegerType),
         StructField("height", IntegerType),
         StructField("channels", IntegerType)))))
@@ -64,9 +107,9 @@ object Multimodal {
     val rdd = df.rdd.mapPartitions { rows =>
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](binIdx)
-        val (len, w, h, c) =
-          if (bytes == null) (0L, 0, 0, 0) else decodeImageStub(bytes)
-        Row.fromSeq(r.toSeq :+ Row(len, w, h, c))
+        val (len, fmt, w, h, c) =
+          if (bytes == null) (0L, "unknown", 0, 0, 0) else decodeImage(bytes)
+        Row.fromSeq(r.toSeq :+ Row(len, fmt, w, h, c))
       }
     }
     df.sparkSession.createDataFrame(rdd, schema)

@@ -269,9 +269,45 @@ class PipelineOpsSpec extends GraftSuite {
   test("multimodal decodeBatch emits metadata struct per row") {
     val bin = docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
     val dec = Multimodal.decodeBatch(bin, "payload")
-    val r = dec.select("decoded.byte_len", "decoded.width", "decoded.channels").first()
+    val r = dec.select("decoded.byte_len", "decoded.width", "decoded.channels",
+      "decoded.fmt").first()
     assert(r.getLong(0) > 0 && r.getInt(1) >= 128 && r.getInt(2) == 3)
+    assert(r.getString(3) == "unknown") // raw text is no known container
     assert(dec.count() == docs.count())
+  }
+
+  test("image header parse: PNG, JPEG, GIF, and corrupt payloads") {
+    import graft.functions.ImageHeaders
+    def hexBytes(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // 640x480 RGBA PNG header (colortype 6 → 4 channels)
+    val png = hexBytes("89504E470D0A1A0A0000000D49484452" +
+      "00000280" + "000001E0" + "0806000000DEADBEEF" + "00")
+    assert(Multimodal.decodeImage(png) == (34L, "png", 640, 480, 4))
+    // JPEG with APP0 + COM segment before SOF0: 31x77, 3 components
+    val jpg = hexBytes("FFD8" + "FFE000104A46494600010100000100010000" +
+      "FFFE0004ABCD" + // COM segment (marker walk must skip it)
+      "FFC0001108" + "004D" + "001F" + "03011100021101031101" + "FFD9")
+    assert(Multimodal.decodeImage(jpg) == (jpg.length.toLong, "jpeg", 31, 77, 3))
+    // GIF89a 320x200 (dimensions little-endian)
+    val gif = hexBytes("474946383961" + "4001" + "C800" + "F70000")
+    assert(Multimodal.decodeImage(gif) == (13L, "gif", 320, 200, 3))
+    // corrupt: PNG signature but truncated before IHDR → stub fallback
+    val bad = hexBytes("89504E470D0A1A0A00000002")
+    assert(Multimodal.decodeImage(bad)._2 == "unknown")
+    // the codegen'd column expression agrees with the JVM-side parse
+    val s = spark
+    import s.implicits._
+    val df = Seq(("png", png), ("jpg", jpg), ("gif", gif), ("bad", bad))
+      .toDF("tag", "payload")
+      .select(col("tag"), Multimodal.imageMeta(col("payload")).as("m"))
+      .select(col("tag"), col("m.fmt"), col("m.width"), col("m.height"), col("m.channels"))
+    val got = df.collect().map(r =>
+      r.getString(0) -> ((r.getString(1), r.getInt(2), r.getInt(3), r.getInt(4)))).toMap
+    assert(got("png") == (("png", 640, 480, 4)))
+    assert(got("jpg") == (("jpeg", 31, 77, 3)))
+    assert(got("gif") == (("gif", 320, 200, 3)))
+    assert(got("bad")._1 == "unknown")
   }
 
   test("multimodal frame sampling yields n frames per payload") {
