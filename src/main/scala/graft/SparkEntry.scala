@@ -637,6 +637,17 @@ object SparkEntry {
         s"""SELECT o_orderkey, o_custkey, o_orderstatus FROM graft.orders_idx
             WHERE o_custkey IN ${inList(CustKeys)} ORDER BY o_orderkey""")
     }),
+    // SQL BETWEEN on a range-indexed column drives file pruning through the
+    // pushed one-sided bounds (the reference's catalog only pushes
+    // EqualTo/In — AriadneScan.scala:50-60 — so this exceeds it).
+    "q_sql_range" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      lk.ordersIdx
+      s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      s.sql(
+        """SELECT o_orderkey, o_custkey, o_orderstatus FROM graft.orders_idx
+           WHERE o_orderkey BETWEEN 100 AND 400 ORDER BY o_orderkey""")
+    }),
     "q_sql_join" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
       lk.ordersIdx
@@ -1116,6 +1127,9 @@ object SparkEntry {
       """SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus
          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
          WHERE c.c_acctbal > 9000 ORDER BY o_orderkey""",
+    "q_sql_range" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+         WHERE o_orderkey BETWEEN 100 AND 400 ORDER BY o_orderkey""",
     "q_multimodal_meta" ->
       """WITH p AS (
            SELECT doc_id, text,

@@ -9,7 +9,7 @@ import org.apache.spark.sql.{Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.sources.{BaseRelation, EqualTo, Filter, In, TableScan}
+import org.apache.spark.sql.sources.{BaseRelation, EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -41,21 +41,31 @@ class GraftTable(val meta: IndexMetadata) extends Table with SupportsRead {
     new GraftScanBuilder(meta)
 }
 
-/** Pushdown contract: EqualTo/In on indexed columns are used for file
-  * pruning; ALL filters are returned as residuals so Spark re-applies them
-  * row-level after the scan (pruning must stay invisible —
-  * reference: catalog/AriadneScan.scala:50-60,90-95). */
+/** Pushdown contract: EqualTo/In on indexed columns, plus one-sided range
+  * comparisons (`>`, `>=`, `<`, `<=` — BETWEEN arrives as a > AND a < pair)
+  * on RANGE-indexed columns, are used for file pruning; ALL filters are
+  * returned as residuals so Spark re-applies them row-level after the scan
+  * (pruning must stay invisible — reference: catalog/AriadneScan.scala:
+  * 50-60,90-95; the reference pushes only EqualTo/In, so a SQL
+  * `WHERE ts BETWEEN …` scans every file there). */
 class GraftScanBuilder(meta: IndexMetadata)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pruningFilters: Array[Filter] = Array.empty
   private var requiredSchema: StructType = meta.schema
 
+  private def rangeIndexed(attr: String): Boolean =
+    meta.indexFor(attr).exists(_.indexType == "range")
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pruningFilters = filters.filter {
-      case EqualTo(attr, _) => meta.indexFor(attr).isDefined
-      case In(attr, _)      => meta.indexFor(attr).isDefined
-      case _                => false
+      case EqualTo(attr, _)            => meta.indexFor(attr).isDefined
+      case In(attr, _)                 => meta.indexFor(attr).isDefined
+      case GreaterThan(attr, _)        => rangeIndexed(attr)
+      case GreaterThanOrEqual(attr, _) => rangeIndexed(attr)
+      case LessThan(attr, _)           => rangeIndexed(attr)
+      case LessThanOrEqual(attr, _)    => rangeIndexed(attr)
+      case _                           => false
     }
     filters // all residual: Spark applies every filter after the scan
   }
@@ -98,22 +108,68 @@ class GraftBaseRelation(
 
   override def schema: StructType = requiredSchema
 
+  /** Which pushed filters may prune FILES without breaking the catalog's
+    * latest-version semantic? Temporal dedup computes per-key winners over
+    * the rows actually read, so pruning must never remove the file holding
+    * a surviving key's globally-latest row:
+    *  - no temporal config → any pushed filter prunes (dedup is a no-op);
+    *  - one temporal config → only probes on ITS key column prune (the
+    *    temporal probe locates each probed key's latest-ts file, so the
+    *    global winner is always read); filters on other columns — including
+    *    range bounds on the ts column itself — could locate files holding
+    *    only STALE versions of a key and resurrect them, so they read-all;
+    *  - several temporal configs → no pruning (a second config's winner
+    *    context can't be guaranteed by the first's probe).
+    * The reference's catalog scan prunes on any indexed EqualTo/In and so
+    * can resurrect stale versions on temporal tables
+    * (AriadneScan.scala:50-60 + 279-283); this rule pins the safe subset. */
+  private def pruneSafe(f: Filter): Boolean = {
+    val temporal = meta.indexes.filter(_.indexType == "temporal")
+    if (temporal.isEmpty) true
+    else if (temporal.size == 1) f match {
+      case EqualTo(attr, _) => attr == temporal.head.column
+      case In(attr, _)      => attr == temporal.head.column
+      case _                => false
+    } else false
+  }
+
   override def buildScan(): RDD[Row] = {
     val store = new IndexStore(spark, meta.name)
-    val values: Map[String, Seq[Any]] = pruningFilters.collect {
+    val safeFilters = pruningFilters.filter(pruneSafe)
+    val values: Map[String, Seq[Any]] = safeFilters.collect {
       case EqualTo(attr, v) => attr -> Seq(v)
       case In(attr, vs)     => attr -> vs.toSeq
     }.groupBy(_._1).map { case (k, kvs) => k -> kvs.flatMap(_._2).toSeq }
+    // One-sided bounds per range-indexed column; AND-ed per column, then
+    // AND-ed (filename ∩) against the value probes. Each bound is an
+    // over-approximation (files whose [min,max] could hold a passing row).
+    val bounds: Map[String, Seq[(String, Any)]] = safeFilters.collect {
+      case GreaterThan(attr, v)        => attr -> (">" -> v)
+      case GreaterThanOrEqual(attr, v) => attr -> (">=" -> v)
+      case LessThan(attr, v)           => attr -> ("<" -> v)
+      case LessThanOrEqual(attr, v)    => attr -> ("<=" -> v)
+    }.groupBy(_._1).map { case (k, kvs) => k -> kvs.map(_._2).toSeq }
 
     val files: Seq[String] =
-      if (values.isEmpty) {
+      if (values.isEmpty && bounds.isEmpty) {
         store.fileList.read()
           .map(_.select("filename").collect().map(_.getString(0)).toSeq)
           .getOrElse(Seq.empty)
       } else {
-        IndexProbe.collectFiles(IndexProbe.candidateFiles(store, meta,
-          values.map { case (c, vs) => c -> IndexProbe.Values(vs) }))
+        val valueFrame =
+          if (values.isEmpty) None
+          else Some(IndexProbe.candidateFiles(store, meta,
+            values.map { case (c, vs) => c -> IndexProbe.Values(vs) }))
+        val boundFrames = bounds.flatMap { case (c, ops) =>
+          meta.indexFor(c).map(ix =>
+            IndexProbe.rangeFilterCandidates(store, ix, ops))
+        }
+        val all = (valueFrame.toSeq ++ boundFrames)
+          .map(_.select("filename").distinct())
+          .reduce((a, b) => a.join(b, Seq("filename"), "inner"))
+        IndexProbe.collectFiles(all)
       }
+    if (graft.GraftConf.metricsEnabled(spark)) IndexJoin.recordMetrics(store, files)
 
     var df = FileReader.readFiles(spark, meta, files)
     df = IndexJoin.applyTemporalDedup(df, meta,

@@ -206,7 +206,7 @@ object IndexJoin extends Logging {
   /** Opt-in (spark.graft.metricsEnabled): one small aggregate over the
     * one-row-per-file index table, with located files joined as a DataFrame
     * rather than an `isin` literal list that could hold 10^6 entries. */
-  private def recordMetrics(store: IndexStore, files: Seq[String]): Unit = {
+  private[graft] def recordMetrics(store: IndexStore, files: Seq[String]): Unit = {
     try {
       store.indexTable.read().foreach { idx =>
         val spark = store.spark

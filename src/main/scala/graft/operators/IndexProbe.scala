@@ -274,6 +274,29 @@ object IndexProbe {
     }
   }
 
+  /** Files possibly holding rows passing one-sided comparison filters on a
+    * range-indexed column (the SQL-pushdown probe): `> v`/`>= v` keep files
+    * whose max ≥ v, `< v`/`<= v` files whose min ≤ v; several bounds on the
+    * same column AND together (a BETWEEN arrives as one of each). Strict
+    * bounds use ≥/≤ — an over-approximation, which pruning requires. */
+  def rangeFilterCandidates(
+      store: IndexStore, ix: IndexDef, ops: Seq[(String, Any)]): DataFrame = {
+    store.indexTable.read() match {
+      case None => emptyFilenames(store.spark)
+      case Some(indexDf) =>
+        val lo = col(s"${ix.storageColumn}.min")
+        val hi = col(s"${ix.storageColumn}.max")
+        val preds = ops.map {
+          case (">", v)  => hi >= lit(v)
+          case (">=", v) => hi >= lit(v)
+          case ("<", v)  => lo <= lit(v)
+          case ("<=", v) => lo <= lit(v)
+          case (op, _) => throw new IllegalArgumentException(s"unknown bound op $op")
+        }
+        indexDf.where(preds.reduce(_ && _)).select("filename")
+    }
+  }
+
   /** Files whose [min,max] overlaps the query window [lo,hi] — the
     * BETWEEN-style pruning probe behind Index.queryRange. */
   def rangeWindowCandidates(

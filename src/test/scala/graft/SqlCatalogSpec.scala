@@ -42,6 +42,91 @@ class SqlCatalogSpec extends GraftSuite {
     assertSameRows(got, want)
   }
 
+  test("WHERE BETWEEN on range-indexed column prunes files and stays exact") {
+    init()
+    spark.conf.set("spark.graft.metricsEnabled", "true")
+    try {
+      graft.operators.IndexJoin.lastMetrics = None
+      // the split is banded on o_custkey, so mid-range o_orderkey windows
+      // overlap every file; a window at the very top of the key range is
+      // only reachable by the few files whose max lands there
+      val top = lake.orders.agg(max("o_orderkey")).first().getLong(0)
+      val got = spark.sql(
+        s"""SELECT o_orderkey, o_custkey FROM graft.orders_idx
+            WHERE o_orderkey BETWEEN ${top - 5} AND $top""")
+      val want = lake.orders
+        .where(col("o_orderkey").between(top - 5, top))
+        .select("o_orderkey", "o_custkey")
+      assertSameRows(got, want)
+      val m = graft.operators.IndexJoin.lastMetrics
+      assert(m.nonEmpty, "scan did not record pruning metrics")
+      assert(m.get.locatedFiles < m.get.totalFiles,
+        s"range pushdown should read a strict subset of files: $m")
+    } finally spark.conf.set("spark.graft.metricsEnabled", "false")
+  }
+
+  test("one-sided range filter (>=) prunes; unindexed comparison does not push") {
+    init()
+    spark.conf.set("spark.graft.metricsEnabled", "true")
+    try {
+      graft.operators.IndexJoin.lastMetrics = None
+      val got = spark.sql(
+        "SELECT o_orderkey FROM graft.orders_idx WHERE o_orderkey >= 7200")
+      val want = lake.orders.where(col("o_orderkey") >= 7200L).select("o_orderkey")
+      assertSameRows(got, want)
+      val m = graft.operators.IndexJoin.lastMetrics
+      assert(m.nonEmpty && m.get.locatedFiles < m.get.totalFiles,
+        s"expected >= pushdown pruning: $m")
+      // comparison on a column with only a REGULAR index must not prune
+      graft.operators.IndexJoin.lastMetrics = None
+      val noPrune = spark.sql(
+        "SELECT o_orderkey FROM graft.orders_idx WHERE o_custkey > 100")
+      val wantAll = lake.orders.where(col("o_custkey") > 100L).select("o_orderkey")
+      assertSameRows(noPrune, wantAll)
+    } finally spark.conf.set("spark.graft.metricsEnabled", "false")
+  }
+
+  test("temporal catalog table: ts-range filter must not resurrect stale versions") {
+    init()
+    lake.eventsIdx
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc)
+    val latest = lake.events.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).drop("rn")
+    val b = lake.events.agg(min("ts"), max("ts")).first()
+    val lo = b.getLong(0)
+    val hi = (b.getLong(0) + b.getLong(1)) / 2
+    // non-vacuous: users whose LATEST event is after the window exist, and
+    // they have older events inside it — pruning by ts bounds would read
+    // only in-window files and resurrect those stale rows
+    assert(latest.where(col("ts") > hi).count() > 0)
+    val got = spark.sql(
+      s"""SELECT event_id, user_id FROM graft.events_idx
+          WHERE ts BETWEEN $lo AND $hi""")
+    val want = latest.where(col("ts").between(lo, hi)).select("event_id", "user_id")
+    assertSameRows(got, want)
+  }
+
+  test("temporal catalog table: key equality still prunes files safely") {
+    init()
+    lake.eventsIdx
+    spark.conf.set("spark.graft.metricsEnabled", "true")
+    try {
+      graft.operators.IndexJoin.lastMetrics = None
+      val got = spark.sql(
+        "SELECT event_id, user_id FROM graft.events_idx WHERE user_id IN (1, 3, 7)")
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc)
+      val want = lake.events.where(col("user_id").isin(1L, 3L, 7L))
+        .withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select("event_id", "user_id")
+      assertSameRows(got, want)
+      val m = graft.operators.IndexJoin.lastMetrics
+      assert(m.nonEmpty && m.get.locatedFiles < m.get.totalFiles,
+        s"temporal key probe should prune: $m")
+    } finally spark.conf.set("spark.graft.metricsEnabled", "false")
+  }
+
   test("SQL JOIN matches programmatic index.join and gets rewritten") {
     init()
     lake.customers.where(col("c_acctbal") > 9000)
