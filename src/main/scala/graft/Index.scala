@@ -286,20 +286,25 @@ final class Index private (
       rightTsAlias: String = "",
       direction: String = "backward",
       tolerance: Option[Long] = None,
-      bucketWidth: Option[Long] = None): DataFrame = {
+      bucketWidth: Option[Long] = None,
+      timePrune: Boolean = false): DataFrame = {
     val ix = meta.indexFor(keyColumn).getOrElse(
       throw new ColumnNotFoundException(s"Column '$keyColumn' is not indexed"))
     require(ix.indexType == "temporal",
       s"asOfJoin needs a temporal index on '$keyColumn' (found ${ix.indexType})")
     var candidates =
       IndexProbe.temporalKeyCandidates(store, ix, df.select(col(keyColumn)))
-    // Extra time pruning when the ts column also carries a range index:
-    // backward as-of only ever matches rows AT OR BEFORE a probe time, so
-    // a file whose min ts exceeds EVERY probe ts contributes nothing
-    // (symmetrically max-vs-min for forward). One tiny aggregate over the
-    // probe frame; the bound over-approximates per row, which is the only
-    // thing pruning is allowed to do.
-    meta.indexFor(ix.tsColumn.get).filter(_.indexType == "range").foreach { rix =>
+    // OPT-IN extra time pruning when the ts column also carries a range
+    // index: backward as-of only ever matches rows AT OR BEFORE a probe
+    // time, so a file whose min ts exceeds EVERY probe ts contributes
+    // nothing (symmetrically max-vs-min for forward). The bound costs one
+    // EXTRA evaluation of the probe plan (`agg().first()` below, on top of
+    // the key probe and the join itself) — worth it when probes cluster in
+    // a narrow time window, pure overhead for an expensive probe plan with
+    // near-full time coverage, hence the flag (r3 advice). The bound
+    // over-approximates per row, which is the only thing pruning may do.
+    if (timePrune)
+      meta.indexFor(ix.tsColumn.get).filter(_.indexType == "range").foreach { rix =>
       val bound = df.agg(
         if (direction == "backward") max(col(probeTsCol)) else min(col(probeTsCol)))
         .first().get(0)

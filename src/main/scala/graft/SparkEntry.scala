@@ -235,7 +235,7 @@ object SparkEntry {
           col("event_id").as("click_id"))
       lk.eventsIdx.asOfJoin(probe, "user_id", "q_ts",
         valueCols = Seq("event_id", "event_type", "value"),
-        rightTsAlias = "src_ts")
+        rightTsAlias = "src_ts", timePrune = true)
         .withColumn("src_ts", expr("src_ts div 1000"))
         .orderBy("user_id", "q_ts")
     }),
@@ -989,8 +989,7 @@ object SparkEntry {
       """WITH s AS (SELECT doc_id, lang,
              CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 0
                   WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 1
-                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'ffffffff' THEN 2
-                  ELSE NULL END AS split_id
+                  ELSE 2 END AS split_id
            FROM documents)
          SELECT lang, split_id, count(*) AS n, min(doc_id) AS first_id
          FROM s GROUP BY lang, split_id ORDER BY lang, split_id""",

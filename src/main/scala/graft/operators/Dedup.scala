@@ -205,22 +205,31 @@ object Dedup {
     // persisted per side: posexplode adds a `size(bands) > 0` filter that
     // would otherwise inline (and re-evaluate) the whole signature pipeline
     // into the scan — the CollapseProject trap noted on minhashPairs
-    def buckets(df: DataFrame) =
-      minhashSignatureArray(df, idCol, textCol, numHashes)
+    def buckets(df: DataFrame) = {
+      val sigs = minhashSignatureArray(df, idCol, textCol, numHashes)
         .select(col("__id"),
           graft.functions.VectorOps.bandHashes(col("__sig"), bands).as("__bands"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        .select(col("__id"), col("__bands"),
-          posexplode(col("__bands")).as(Seq("band", "bh")))
-    val a = buckets(corpus).select(col("band"), col("bh"),
+      (sigs, sigs.select(col("__id"), col("__bands"),
+        posexplode(col("__bands")).as(Seq("band", "bh"))))
+    }
+    val (sigsA, bucketsA) = buckets(corpus)
+    val (sigsB, bucketsB) = buckets(probe)
+    val a = bucketsA.select(col("band"), col("bh"),
       col("__id").as("a_id"), col("__bands").as("__ba"))
-    val b = buckets(probe).select(col("band"), col("bh"),
+    val b = bucketsB.select(col("band"), col("bh"),
       col("__id").as("b_id"), col("__bands").as("__bb"))
-    // first-agreeing-band emission: no distinct over bands × pairs
+    // first-agreeing-band emission: no distinct over bands × pairs.
+    // localCheckpoint materializes the (tiny: two ids/row) candidate set
+    // eagerly and CUTS its lineage, so both per-side signature caches can be
+    // released here instead of leaking until LRU eviction (r3 advice).
     val cands = a.join(b, Seq("band", "bh"))
       .where(graft.functions.VectorOps
         .firstEqualIndex(col("__ba"), col("__bb")) === col("band"))
       .select("a_id", "b_id")
+      .localCheckpoint()
+    sigsA.unpersist(blocking = false)
+    sigsB.unpersist(blocking = false)
     val toksC = corpus.select(col(idCol).as("a_id"),
       hashedSet(tokenSet(col(textCol))).as("__ta"))
     val toksP = probe.select(col(idCol).as("b_id"),
@@ -462,12 +471,18 @@ object Dedup {
   }
 
   /** Greedy survivor selection over a near-dup pair frame: keep a row iff
-    * it has no near-duplicate with a smaller id. Pairs carry `a_id < b_id`
-    * (every pair generator in this file does), so survivors are exactly the
-    * rows never appearing as `b_id` — one left-anti join, deterministic on
-    * any partitioning. Greedy-by-id, not connected components: for a chain
-    * a~b, b~c (a<b<c) both b and c drop even if a!~c — the standard
-    * fuzzy-dedup keep rule, cheap at any scale. */
+    * it has no near-duplicate with a smaller id. Pairs must carry
+    * `a_id < b_id` — true of every SAME-CORPUS pair generator in this file
+    * (minhashPairs, simhash, ngramJaccardPairs, embeddingPairs). It is NOT
+    * true of [[minhashCrossPairs]], whose a_id/b_id come from two different
+    * id spaces with no ordering invariant — feeding its output here would
+    * silently drop the wrong rows (decontamination wants a plain
+    * `left_anti` on the probe side instead, as q_decontaminate does).
+    * Survivors are exactly the rows never appearing as `b_id` — one
+    * left-anti join, deterministic on any partitioning. Greedy-by-id, not
+    * connected components: for a chain a~b, b~c (a<b<c) both b and c drop
+    * even if a!~c — the standard fuzzy-dedup keep rule, cheap at any
+    * scale. */
   def keepFirst(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("b_id").as(idCol)).distinct(),
       Seq(idCol), "left_anti")

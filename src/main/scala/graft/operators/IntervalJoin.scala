@@ -36,8 +36,10 @@ object IntervalJoin {
       loCol: String,
       hiCol: String,
       binWidth: Long,
-      valueCols: Seq[String]): DataFrame = {
+      valueCols: Seq[String],
+      maxBinsPerInterval: Long = 1L << 20): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
     val collisions =
       (valueCols.toSet ++ Set(loCol, hiCol)).intersect(points.columns.toSet)
     require(collisions.isEmpty,
@@ -49,11 +51,24 @@ object IntervalJoin {
     // so the point's bin is always inside the interval's exploded bin range
     // — negative timestamps work, bin 0 is merely twice as wide
     val p = points.withColumn("__bin", expr(s"`$ptCol` div ${binWidth}L"))
+    // fan-out guard INSIDE the plan (no extra pre-validation job): a single
+    // outlier interval spanning more than maxBinsPerInterval bins would
+    // otherwise either blow up Spark's max array length with an opaque
+    // "too long sequence" error or silently explode the join input;
+    // raise_error names the knob to turn instead (r3 advice)
+    val spanBins =
+      expr(s"(`$hiCol` div ${binWidth}L) - (`$loCol` div ${binWidth}L) + 1")
+    val binsOrError = when(spanBins <= lit(maxBinsPerInterval),
+        expr(s"sequence(`$loCol` div ${binWidth}L, `$hiCol` div ${binWidth}L)"))
+      .otherwise(raise_error(concat(
+        lit(s"interval spans more than $maxBinsPerInterval bins at " +
+          s"binWidth=$binWidth: ["), col(loCol).cast("string"), lit(", "),
+        col(hiCol).cast("string"),
+        lit("] — raise binWidth (or maxBinsPerInterval)"))))
     val iv = intervals
       .where(col(loCol).isNotNull && col(hiCol).isNotNull && col(loCol) <= col(hiCol))
       .select((keyCols ++ Seq(loCol, hiCol) ++ valueCols).distinct.map(col): _*)
-      .withColumn("__bin",
-        explode(expr(s"sequence(`$loCol` div ${binWidth}L, `$hiCol` div ${binWidth}L)")))
+      .withColumn("__bin", explode(binsOrError))
 
     p.join(iv, keyCols :+ "__bin")
       .where(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))

@@ -59,29 +59,52 @@ object Sampling {
   def hashSplit(df: DataFrame, idCol: String, fractions: Seq[Double]): DataFrame = {
     require(fractions.nonEmpty && fractions.forall(_ >= 0) && fractions.sum <= 1.0 + 1e-9,
       "fractions must be non-negative and sum to at most 1")
-    val cuts = fractions.scanLeft(0.0)(_ + _).tail.map(hexThreshold)
+    val cum = fractions.scanLeft(0.0)(_ + _).tail
     val key = sampleKey(col(idCol))
-    val assign = cuts.zipWithIndex.reverse.foldLeft(lit(null).cast("int")) {
-      case (acc, (cut, i)) => when(key < lit(cut), lit(i)).otherwise(acc)
+    val assign = cum.zipWithIndex.reverse.foldLeft(lit(null).cast("int")) {
+      case (acc, (c, i)) =>
+        // when the cumulative fraction reaches 1.0 the split must be TOTAL:
+        // a strict `< 'ffffffff'` would silently hold out the ~1-in-2^32
+        // rows whose hash prefix is exactly the max (r3 advice)
+        val pred = if (c >= 1.0 - 1e-12) lit(true)
+          else key < lit(hexThreshold(c))
+        when(pred, lit(i)).otherwise(acc)
     }
     df.withColumn("split_id", assign)
   }
 
   /** Keep the `k` best rows per group by `scoreCol` (descending), ties
     * broken by `tiebreakCol` ascending — "best 100 docs per language"
-    * style curation. One shuffle on the group key; each group sorts on one
-    * task (the standard window bound — for a pathologically hot group,
-    * pre-filter with an approximate per-group score threshold first). */
+    * style curation.
+    *
+    * Two-level top-k so a hot group never serializes one task: rows are
+    * salted into `saltBuckets` subgroups by the tiebreak hash, each
+    * (group, salt) cell keeps its local top k (a group with N rows sorts
+    * as `saltBuckets` parallel cells of N/B), and the final ranking runs
+    * over at most `saltBuckets * k` survivors per group. Any global top-k
+    * row is necessarily in its cell's top k, so the result is EXACTLY the
+    * single-window formulation — only the execution shape changes. */
   def topKPerGroup(
       df: DataFrame,
       groupCols: Seq[String],
       scoreCol: String,
       k: Int,
-      tiebreakCol: String): DataFrame = {
+      tiebreakCol: String,
+      saltBuckets: Int = 32): DataFrame = {
     require(k > 0, "k must be positive")
-    val w = Window.partitionBy(groupCols.map(col): _*)
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(col(tiebreakCol)), lit(saltBuckets.toLong)))
+    val w1 = Window
+      .partitionBy((groupCols.map(col) :+ col("__salt")): _*)
       .orderBy(col(scoreCol).desc, col(tiebreakCol))
-    df.withColumn("__rk", row_number().over(w))
+    val pruned = salted
+      .withColumn("__rk1", row_number().over(w1))
+      .where(col("__rk1") <= k)
+      .drop("__rk1", "__salt")
+    val w2 = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(scoreCol).desc, col(tiebreakCol))
+    pruned.withColumn("__rk", row_number().over(w2))
       .where(col("__rk") <= k)
       .drop("__rk")
   }

@@ -203,6 +203,23 @@ class PipelineOpsSpec extends GraftSuite {
     assert(got.groupBy(_._2).forall(_._2.length <= 7))
   }
 
+  test("topKPerGroup: skewed hot group equals single-window formulation") {
+    import spark.implicits._
+    // one group with 50k rows + many small groups; exercised across salt
+    // bucket counts including 1 (degenerates to the plain window)
+    val hot = (1 to 50000).map(i => ("hot", i.toLong, (i % 997).toLong))
+    val cold = (1 to 900).map(i => (s"g${i % 30}", 100000L + i, i.toLong))
+    val df = (hot ++ cold).toDF("g", "id", "score")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("score").desc, col("id"))
+    val want = df.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 5).drop("rk")
+    for (b <- Seq(1, 8, 64)) {
+      val got = Sampling.topKPerGroup(df, Seq("g"), "score", 5, "id", saltBuckets = b)
+      assertSameRows(got, want)
+    }
+  }
+
   test("hashSplit partitions the corpus and is stable under growth") {
     import spark.implicits._
     val split = Sampling.hashSplit(docs, "doc_id", Seq(0.8, 0.1, 0.1))

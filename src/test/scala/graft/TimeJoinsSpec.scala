@@ -196,6 +196,25 @@ class TimeJoinsSpec extends GraftSuite {
       s"expected range pruning, located ${located.size} of ${files.size}")
   }
 
+  test("interval join rejects a pathological fan-out with a named error") {
+    import spark.implicits._
+    val points = Seq((1L, 500L)).toDF("k", "pt")
+    val intervals = Seq((1L, 0L, 10_000_000L, "x")).toDF("k", "lo", "hi", "v")
+    val joined = IntervalJoin.joinPointsToIntervals(points, intervals,
+      Seq("k"), "pt", "lo", "hi", binWidth = 10L, valueCols = Seq("v"),
+      maxBinsPerInterval = 1000L)
+    val e = intercept[Exception] { joined.collect() }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    val all = messages(e).mkString("\n")
+    assert(all.contains("binWidth=10"), s"error must name binWidth, got: $all")
+    // the same interval passes with a budget that covers it
+    val ok = IntervalJoin.joinPointsToIntervals(points, intervals,
+      Seq("k"), "pt", "lo", "hi", binWidth = 10L, valueCols = Seq("v"),
+      maxBinsPerInterval = 2_000_000L)
+    assert(ok.count() == 1)
+  }
+
   test("index asOfJoin with a ts range index also prunes by probe time") {
     import spark.implicits._
     val events = spark.read.parquet(s"$sf/events.parquet")
@@ -216,7 +235,7 @@ class TimeJoinsSpec extends GraftSuite {
     val probe = events.where($"event_type" === "click" && $"ts" < cut)
       .select($"user_id", ($"ts" - 1).as("q_ts"), $"event_id".as("click_id"))
     val got = idx.asOfJoin(probe, "user_id", "q_ts",
-      valueCols = Seq("event_id"), rightTsAlias = "src_ts")
+      valueCols = Seq("event_id"), rightTsAlias = "src_ts", timePrune = true)
     val expected = AsOfJoin.asOf(probe, spark.read.parquet(dir),
       Seq("user_id"), "q_ts", "ts",
       valueCols = Seq("event_id"), rightTsAlias = "src_ts")
