@@ -50,6 +50,16 @@ object GraftConf {
   def probeValueLimit(spark: SparkSession): Int =
     getInt(spark, "probeValueLimit", 10000)
 
+  /** Bloom Frame probes whose distinct-value count exceeds
+    * `probeValueLimit` fall back to BROADCASTING the stringified values to
+    * executors (an any-match loop against each file's filter) up to this
+    * count — pruning keeps working for 10^4–10^6 probe values instead of
+    * degrading straight to a full read. Per-file cost is
+    * O(values × bloom hashes) on executors; past this cap the probe reads
+    * everything (correct, just unpruned). */
+  def bloomProbeBroadcastLimit(spark: SparkSession): Int =
+    getInt(spark, "bloomProbeBroadcastLimit", 1000000)
+
   /** Range probes with more distinct values than this use a min/max
     * bounding-box overlap test instead of per-value containment
     * (reference: IndexQueryOperations.scala:845-868). */

@@ -83,4 +83,28 @@ object Blooms {
     }
     c => f(c)
   }
+
+  /** Same any-match probe, but over a BROADCAST value array: for probe sets
+    * past the literal-`isin` comfort zone (10^4–10^6 values) the values ship
+    * to executors once instead of being inlined into the plan, and each
+    * file row pays one O(values × k-hashes) in-memory loop. Deserialization
+    * happens once per file row either way. */
+  def mightContainAnyBroadcast(
+      values: org.apache.spark.broadcast.Broadcast[Array[String]]): Column => Column = {
+    val f = udf { (bytes: Array[Byte]) =>
+      if (bytes == null) true
+      else {
+        val bf = deserialize(bytes)
+        val vs = values.value
+        var i = 0
+        var hit = false
+        while (!hit && i < vs.length) {
+          hit = bf.mightContainString(vs(i))
+          i += 1
+        }
+        hit
+      }
+    }
+    c => f(c)
+  }
 }

@@ -145,7 +145,23 @@ object IndexProbe {
       case Frame(df) =>
         boundedValues(spark, df) match {
           case Some(vs) => bloomCandidates(spark, indexDf, ix, Values(vs))
-          case None     => indexDf // too many probe values → no pruning
+          case None =>
+            // Past the literal cap: broadcast the stringified probe values
+            // and run the any-match loop executor-side — pruning keeps
+            // working for 10^4–10^6 values where it previously degraded
+            // straight to a full read (r3 verdict item 8). Only past the
+            // broadcast cap too does the probe stop pruning.
+            boundedValues(spark, df, GraftConf.bloomProbeBroadcastLimit(spark)) match {
+              case Some(vs) =>
+                val strings = vs.filter(_ != null).map(_.toString).toArray
+                if (strings.isEmpty) indexDf.where(sc.isNull)
+                else {
+                  val bc = spark.sparkContext.broadcast(strings)
+                  indexDf.where(
+                    Blooms.mightContainAnyBroadcast(bc)(sc) || sc.isNull)
+                }
+              case None => indexDf // beyond even the broadcast cap
+            }
         }
     }
   }

@@ -69,6 +69,32 @@ class IndexTypesSpec extends GraftSuite {
     assertSameRows(got, want)
   }
 
+  test("bloom Frame probe past the literal cap still prunes via broadcast") {
+    // key-local probe: partkeys from the first band only, but MORE distinct
+    // values than the forced-low literal cap — pre-r4 this degraded to a
+    // full read; now the values broadcast into an executor-side any-match
+    val maxPart = lake.part.agg(max("p_partkey")).first().getLong(0)
+    val probe = lake.part.where(col("p_partkey") < maxPart / 8)
+      .select(col("p_partkey").as("l_partkey"))
+    assert(probe.distinct().count() > 2, "fixture must exceed the lowered cap")
+    spark.conf.set("spark.graft.probeValueLimit", "2")
+    spark.conf.set("spark.graft.metricsEnabled", "true")
+    try {
+      graft.operators.IndexJoin.lastMetrics = None
+      val got = lake.lineitemIdx.join(probe, Seq("l_partkey"))
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+      val want = lake.lineitem.join(probe, Seq("l_partkey"))
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+      assertSameRows(got, want)
+      val m = graft.operators.IndexJoin.lastMetrics
+      assert(m.nonEmpty && m.get.locatedFiles < m.get.totalFiles,
+        s"broadcast bloom probe should still prune: $m")
+    } finally {
+      spark.conf.unset("spark.graft.probeValueLimit")
+      spark.conf.set("spark.graft.metricsEnabled", "false")
+    }
+  }
+
   test("temporal read plan contains no Window (de-windowed row dedup)") {
     val got = lake.eventsIdx.query(Map("user_id" -> Seq(1L, 3L, 7L)))
       .select("event_id", "user_id")
