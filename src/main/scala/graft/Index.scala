@@ -203,6 +203,20 @@ final class Index private (
     this
   }
 
+  /** Time-based vacuum (reference: Index.scala:761
+    * `vacuum(retentionHours: Int = 168)`): drop superseded snapshots older
+    * than the horizon, keeping EVERY snapshot a reader could have resolved
+    * within the last `retentionHours` — wall-clock retention for long
+    * concurrent readers, vs the snapshot-count retention of [[vacuum]]
+    * (distinct name only because the two Int overloads would erase to the
+    * same signature). */
+  def vacuumRetention(retentionHours: Int = 168): Index = {
+    store.indexTable.vacuumOlderThan(retentionHours)
+    store.largeColumns.foreach(c => store.largeTable(c).vacuumOlderThan(retentionHours))
+    store.fileList.vacuumOlderThan(retentionHours)
+    this
+  }
+
   private def maybeAutoCompact(): Unit = {
     val threshold = GraftConf.autoCompactThreshold(spark)
     if (threshold <= 0) return

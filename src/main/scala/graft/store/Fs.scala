@@ -120,4 +120,7 @@ object Fs {
 
   def fileSize(spark: SparkSession, path: String): Long =
     fs(spark, path).getFileStatus(new Path(path)).getLen
+
+  def modificationTime(spark: SparkSession, path: String): Long =
+    fs(spark, path).getFileStatus(new Path(path)).getModificationTime
 }

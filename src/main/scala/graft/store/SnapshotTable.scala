@@ -276,6 +276,26 @@ final class SnapshotTable(spark: SparkSession, root: String) {
         .foreach(d => Fs.delete(spark, segDir(d)))
     }
 
+  /** TIME-based retention: drop non-live version dirs last modified before
+    * the wall-clock horizon. A long-running reader that resolved the
+    * pointer up to `retentionHours` ago can still finish — the guarantee
+    * concurrent readers actually reason in (hours of query runtime), where
+    * the count-based [[vacuum]] depends on how often writers commit.
+    * Directories named by the current pointer are never touched regardless
+    * of age. */
+  def vacuumOlderThan(retentionHours: Int): Unit =
+    readPointer().foreach { case (cur, _, segs) =>
+      val horizon =
+        System.currentTimeMillis() - retentionHours.toLong * 3600L * 1000L
+      val live = segs.toSet
+      Fs.listDirs(spark, root)
+        .filter(d => d.startsWith("v") && !live.contains(d))
+        .filter(d => scala.util.Try(d.drop(1).toLong).toOption.exists(_ < cur))
+        .filter(d => scala.util.Try(Fs.modificationTime(spark, segDir(d)))
+          .toOption.exists(_ < horizon))
+        .foreach(d => Fs.delete(spark, segDir(d)))
+    }
+
   private def cleanup(current: Long, live: Set[String]): Unit =
     deadDirs(current, GraftConf.retainedSnapshots(spark).max(1), live)
       .foreach(d => Fs.delete(spark, segDir(d)))

@@ -171,6 +171,50 @@ class ScaleMachinerySpec extends GraftSuite {
     assert(table.count() == 3)
   }
 
+  test("time-based vacuum: in-flight reader inside the horizon survives") {
+    import spark.implicits._
+    import graft.store.{Fs, SnapshotTable}
+    val root = tmpDir("graft_tvac_") + "/tbl"
+    val t = new SnapshotTable(spark, root)
+    spark.conf.set("spark.graft.cacheIndexTables", "false")
+    // keep writes' lazy count-based cleanup out of the picture: this test
+    // pins the TIME-based reaper only
+    spark.conf.set("spark.graft.retainedSnapshots", "10")
+    try {
+      t.overwrite(Seq(("a", 1L)).toDF("k", "v"))
+      // a reader resolves the pointer NOW (v1) and stays in flight
+      val reader = t.read().get
+      t.overwrite(Seq(("a", 2L)).toDF("k", "v")) // v2
+      t.overwrite(Seq(("a", 3L)).toDF("k", "v")) // v3 (v1 now beyond count retention)
+      // vacuum inside the horizon: v1 is seconds old, far newer than 1h —
+      // it must survive even though count-based vacuum(keep=1) would reap it
+      t.vacuumOlderThan(retentionHours = 1)
+      assert(Fs.exists(spark, s"$root/v1"), "v1 reaped inside the horizon")
+      assert(reader.collect().map(_.getLong(1)).toSeq == Seq(1L),
+        "in-flight reader must still see its resolved snapshot")
+      // horizon 0: everything superseded is older than 'now' and goes away;
+      // the current version is untouchable regardless of age
+      t.vacuumOlderThan(retentionHours = 0)
+      assert(!Fs.exists(spark, s"$root/v1") && !Fs.exists(spark, s"$root/v2"))
+      assert(Fs.exists(spark, s"$root/v3"))
+      assert(t.read().get.collect().map(_.getLong(1)).toSeq == Seq(3L))
+    } finally {
+      spark.conf.unset("spark.graft.cacheIndexTables")
+      spark.conf.unset("spark.graft.retainedSnapshots")
+    }
+  }
+
+  test("index-level vacuumRetention applies across all state tables") {
+    val (idx, _) = freshIndex("tvac_orders", 3)
+    idx.update()
+    val store = new IndexStore(spark, "tvac_orders")
+    idx.compact() // makes a superseded version
+    idx.vacuumRetention(retentionHours = 168)
+    assert(store.indexTable.read().get.count() == 3) // nothing inside horizon reaped
+    idx.vacuumRetention(retentionHours = 0)
+    assert(store.indexTable.read().get.count() == 3) // current snapshot intact
+  }
+
   test("segmented table: append replaces keys, delete tombstones, fold compacts") {
     import spark.implicits._
     import graft.store.SnapshotTable
