@@ -27,6 +27,13 @@ import graft.store.IndexStore
   * Spark's own parquet reader, codegen and AQE all apply — we only decide
   * WHICH files to read (same delegation the reference documents at
   * AriadneScan.scala:99-104).
+  *
+  * Deliberately NOT `SupportsRuntimeV2Filtering`: that hook only fires on a
+  * true V2 `BatchScanExec` (which would mean a from-scratch multi-format
+  * `PartitionReaderFactory` instead of this delegation), and the temporal
+  * latest-version dedup is a cross-file aggregate no per-partition Scan
+  * contract can express — see SURVEY.md §7.1 for the full r4 evaluation.
+  * SQL join pruning rides [[GraftJoinRule]] instead.
   */
 class GraftTable(val meta: IndexMetadata) extends Table with SupportsRead {
 
