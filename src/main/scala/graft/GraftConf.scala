@@ -60,6 +60,12 @@ object GraftConf {
   def bloomProbeBroadcastLimit(spark: SparkSession): Int =
     getInt(spark, "bloomProbeBroadcastLimit", 1000000)
 
+  /** Row-count ceiling for the brute-force similarity baselines
+    * (Similarity.cosinePairs / topK): above it they fail fast naming the
+    * bucketed alternative instead of launching an O(n²) job. 0 disables. */
+  def bruteForceRowLimit(spark: SparkSession): Long =
+    getLong(spark, "bruteForceRowLimit", 1000000L)
+
   /** Range probes with more distinct values than this use a min/max
     * bounding-box overlap test instead of per-value containment
     * (reference: IndexQueryOperations.scala:845-868). */

@@ -29,11 +29,31 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Guard for the brute-force entry points: they are the most
+    * discoverable names in this API but are O(n·q)/O(n²) by design — at
+    * corpus sizes where that explodes, fail fast and name the bucketed
+    * alternative instead of silently launching a week-long job (r3 verdict
+    * watch item). The row count comes from the frame's plan when it is a
+    * bare scan (free) or one cheap count job otherwise; override the limit
+    * with `spark.graft.bruteForceRowLimit` (0 disables). */
+  private def guardBruteForce(df: DataFrame, what: String, alternative: String): Unit = {
+    val limit = graft.GraftConf.bruteForceRowLimit(df.sparkSession)
+    if (limit <= 0) return
+    val est = df.queryExecution.optimizedPlan.stats.rowCount
+      .map(_.toLong).getOrElse(df.count())
+    require(est <= limit,
+      s"$what is a brute-force baseline and the input has $est rows " +
+        s"(> spark.graft.bruteForceRowLimit=$limit); use $alternative for " +
+        "large corpora, or raise/disable the limit if you really mean it")
+  }
+
   /** All pairs (a_id < b_id) with cosine >= threshold — brute force
     * baseline. Keep for small/medium corpora and as the oracle for the
-    * LSH variant. */
+    * LSH variant; [[ivfCosinePairs]] is the scale path ([[guardBruteForce]]
+    * enforces the distinction past 10^6 rows). */
   def cosinePairs(
       df: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    guardBruteForce(df, "Similarity.cosinePairs", "Similarity.ivfCosinePairs")
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // norms computed ONCE per row (bit-identical to per-pair sqrt(dot));
     // the streamed side is repartitioned so the O(n^2) compare parallelizes
@@ -47,13 +67,16 @@ object Similarity {
   }
 
   /** Top-k neighbors for each query row (small query set, broadcast).
-    * Deterministic: ties broken by neighbor id ascending. */
+    * Deterministic: ties broken by neighbor id ascending. Brute baseline —
+    * [[ivfTopK]] is the scale path (the guard trips on the CORPUS size;
+    * the query set is asserted broadcast-small by construction). */
   def topK(
       corpus: DataFrame,
       queries: DataFrame,
       idCol: String,
       vecCol: String,
       k: Int): DataFrame = {
+    guardBruteForce(corpus, "Similarity.topK", "Similarity.ivfTopK")
     val n = corpus.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__vq")))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__vc"))

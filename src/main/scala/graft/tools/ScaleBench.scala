@@ -1,0 +1,126 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.harness.Lake
+import graft.operators.{AsOfJoin, Dedup, IndexJoin, Similarity}
+
+/** Scale-validation bench (VERDICT r3 item 5): the same headline shapes as
+  * [[graft.Bench]], run against the GenScale ×30 dataset (~sf3: 4.5M
+  * orders, 18M lineitem, 3M events, 150k synthesized NON-self-similar
+  * docs, 60k perturbed embeddings). Purpose:
+  *  (a) show the indexed-join/fullscan crossover flipping once files are
+  *      production-sized (at sf0.1 the full scan of 19 MB wins by
+  *      construction — BASELINE.md documents this honestly);
+  *  (b) show near-dup staying subquadratic on a corpus that is NOT
+  *      all-pairs-similar (the driver corpus is, making every dedup bench
+  *      candidate-bound rather than bucketing-bound).
+  * Prints ONE JSON line, same shape as Bench.
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/repo/bench_sf/sf3")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val counts = scala.collection.mutable.LinkedHashMap[String, Long]()
+
+    val (lake, setupSec) = time { val lk = Lake.get(spark, sfDir); lk.prebuild(); lk }
+    results("x_lake_setup") = setupSec
+    System.err.println(f"[scalebench] lake setup $setupSec%.1fs")
+
+    def bench(name: String)(body: => Long): Unit = {
+      val (n, sec) = time {
+        try body
+        catch { case e: Throwable =>
+          System.err.println(s"[scalebench] $name failed: ${e.getMessage}"); -1L }
+      }
+      results(name) = sec
+      counts(name) = n
+      System.err.println(f"[scalebench] $name $sec%.1fs ($n rows)")
+      System.gc()
+    }
+
+    // ---- (a) indexed vs fullscan crossover: key-local probe --------------
+    val maxCust = lake.customers.agg(max("c_custkey")).first().getLong(0)
+    val probe = lake.customers
+      .where(col("c_custkey") <= maxCust / 8 && col("c_acctbal") > 5000)
+      .select(col("c_custkey").as("o_custkey"))
+    bench("x_join_indexed") {
+      lake.ordersIdx.join(probe, Seq("o_custkey")).count()
+    }
+    bench("x_join_fullscan") {
+      spark.read.parquet(lake.ordersFiles: _*).join(probe, Seq("o_custkey")).count()
+    }
+    spark.conf.set("spark.graft.metricsEnabled", "true")
+    lake.ordersIdx.join(probe, Seq("o_custkey")).count()
+    IndexJoin.lastMetrics.foreach { m =>
+      results("x_files_read_frac") =
+        if (m.totalFiles == 0) 1.0 else m.locatedFiles.toDouble / m.totalFiles
+      results("x_bytes_pruned_pct") = m.pct
+    }
+    spark.conf.set("spark.graft.metricsEnabled", "false")
+
+    // ---- (b) near-dup on a non-self-similar corpus -----------------------
+    val nDocs = lake.documents.count()
+    counts("x_docs") = nDocs
+    bench("q_dedup_minhash") {
+      Dedup.minhashPairs(lake.documents, "doc_id", "text", threshold = 0.95).count()
+    }
+    bench("q_dedup_ngram") {
+      Dedup.ngramJaccardPairs(lake.documents, "doc_id", "text", threshold = 0.9).count()
+    }
+    bench("q_dedup_simhash") {
+      Dedup.simhashPairs(lake.documents, "doc_id", "text").count()
+    }
+    bench("q_ann_ivf_topk") {
+      val emb = lake.embeddings
+      Similarity.ivfTopK(emb, emb.where(col("vec_id") < 100), "vec_id",
+        "embedding", k = 5).count()
+    }
+
+    // ---- time-series shapes at 3M events ---------------------------------
+    bench("q_asof_join") {
+      val clicks = lake.events.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = lake.events.where(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("value").as("state_val"))
+      AsOfJoin.asOf(clicks, views, Seq("user_id"), "ts", "ts",
+        valueCols = Seq("state_val"), rightTsAlias = "state_ts").count()
+    }
+    bench("q_temporal_latest") {
+      lake.eventsIdx.query(Map("user_id" -> (1L to 50L))).count()
+    }
+    bench("q_sql_range") {
+      spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      lake.ordersIdx
+      val top = lake.orders.agg(max("o_orderkey")).first().getLong(0)
+      spark.sql(
+        s"""SELECT o_orderkey, o_custkey FROM graft.orders_idx
+            WHERE o_orderkey BETWEEN ${top - 2000} AND $top""").count()
+    }
+
+    val total = results.values.sum
+    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val cs = counts.map { case (k, v) => "\"" + k + s"""":$v""" }
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"scale_total","value":$total%.3f,"unit":"sec","queries":$qs%s,"rows":$cs%s,"sf":"$sfDir%s"}""")
+    spark.stop()
+  }
+}

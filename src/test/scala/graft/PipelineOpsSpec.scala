@@ -136,6 +136,24 @@ class PipelineOpsSpec extends GraftSuite {
       .select("vec_id").as[Long].collect().toSet == Set(1L))
   }
 
+  test("brute-force similarity guard trips past the row limit, names the scale path") {
+    spark.conf.set("spark.graft.bruteForceRowLimit", "3")
+    try {
+      val e1 = intercept[IllegalArgumentException] {
+        Similarity.cosinePairs(emb, "vec_id", "embedding", threshold = 0.9)
+      }
+      assert(e1.getMessage.contains("ivfCosinePairs"))
+      val e2 = intercept[IllegalArgumentException] {
+        Similarity.topK(emb, emb.limit(1), "vec_id", "embedding", k = 3)
+      }
+      assert(e2.getMessage.contains("ivfTopK"))
+      // 0 disables the guard entirely
+      spark.conf.set("spark.graft.bruteForceRowLimit", "0")
+      assert(Similarity.topK(emb, emb.where(col("vec_id") < 2),
+        "vec_id", "embedding", k = 3).count() > 0)
+    } finally spark.conf.unset("spark.graft.bruteForceRowLimit")
+  }
+
   test("topK is ordered, bounded and excludes self") {
     val topk = Similarity.topK(emb, emb.where(col("vec_id") < 5),
       "vec_id", "embedding", k = 3).collect()
