@@ -42,20 +42,28 @@ final class Lake private (val spark: SparkSession, val sfDir: String, val work: 
 
   // ---- split files ---------------------------------------------------------
 
+  // `spark.graft.lakeBandScale` multiplies every table's band count (default
+  // 1): the correctness suites keep the small deterministic splits, while
+  // the scale bench can model a production lake where a table is thousands
+  // of files and a full scan pays for every one of them.
+  private def bandScale: Int =
+    scala.util.Try(spark.conf.get("spark.graft.lakeBandScale", "1").toInt)
+      .toOption.filter(_ > 0).getOrElse(1)
+
   def ordersFiles: Seq[String] = memoSplit("orders") {
-    splitByBand(table("orders"), s"$work/orders", "o_custkey", 8)
+    splitByBand(table("orders"), s"$work/orders", "o_custkey", 8 * bandScale)
   }
 
   def lineitemFiles: Seq[String] = memoSplit("lineitem") {
-    splitByBand(table("lineitem"), s"$work/lineitem", "l_partkey", 8)
+    splitByBand(table("lineitem"), s"$work/lineitem", "l_partkey", 8 * bandScale)
   }
 
   def eventsFiles: Seq[String] = memoSplit("events") {
-    splitByBand(table("events"), s"$work/events", "event_id", 6)
+    splitByBand(table("events"), s"$work/events", "event_id", 6 * bandScale)
   }
 
   def documentsFiles: Seq[String] = memoSplit("documents") {
-    splitByBand(table("documents"), s"$work/documents", "doc_id", 4)
+    splitByBand(table("documents"), s"$work/documents", "doc_id", 4 * bandScale)
   }
 
   /** CSV/JSON copies carry a timestamp-free column subset so the round trip

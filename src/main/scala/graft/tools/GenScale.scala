@@ -10,15 +10,19 @@ import org.apache.spark.sql.functions._
   * makes every near-dup bench candidate-bound by construction), and
   * perturbs replicated embeddings so they aren't exact duplicates.
   *
-  * Usage: runMain graft.tools.GenScale [srcDir] [outDir] [copies]
+  * Usage: runMain graft.tools.GenScale [srcDir] [outDir] [copies] [tables]
   * Writes `{table}.parquet` per table under outDir — the same layout the
-  * driver uses, so `Lake.get(spark, outDir)` works unchanged.
+  * driver uses, so `Lake.get(spark, outDir)` works unchanged. `tables` is
+  * an optional comma list to (re)generate a subset.
   */
 object GenScale {
   def main(args: Array[String]): Unit = {
     val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/root/repo/bench_sf/sf3")
     val copies = args.lift(2).map(_.toInt).getOrElse(30)
+    val only: Option[Set[String]] =
+      args.lift(3).map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(t: String): Boolean = only.forall(_.contains(t))
     val spark = SparkSession.builder()
       .master("local[32]")
       .appName("graft-genscale")
@@ -30,7 +34,7 @@ object GenScale {
     spark.sparkContext.setLogLevel("WARN")
 
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
-    def write(df: DataFrame, t: String, parts: Int): Unit = {
+    def write(df: DataFrame, t: String, parts: Int): Unit = if (wanted(t)) {
       df.repartition(parts).write.mode("overwrite").parquet(s"$out/$t.parquet")
       System.err.println(s"[genscale] wrote $t x$copies")
     }
@@ -76,7 +80,12 @@ object GenScale {
     // documents: synthesized token text. ~1/37 of docs are near-duplicates
     // of their predecessor (same seed, one extra token); everything else is
     // hash-unique, so candidate pairs ≪ n² and a near-dup bench measures
-    // the bucketing, not an all-pairs verify.
+    // the bucketing, not an all-pairs verify. Words are base-36 renderings
+    // of a 20k vocab (3-4 chars over a 36-letter alphabet): random docs
+    // share ~0.5 of 100 TOKENS and only a handful of CHARACTER 3-grams, so
+    // both word-level (minhash) and char-level (ngram) dedup see a truly
+    // non-self-similar corpus ("w"+small-int words made every doc >90%
+    // 3-gram-similar to every other — the 12-char alphabet was the bug).
     val docs = rep(read("documents").select("doc_id", "source"))
       .withColumn("doc_id", shift("doc_id", dk)).drop("cp")
       .withColumn("__dup", pmod(col("doc_id"), lit(37L)) === 0 && pmod(col("doc_id"), lit(dk)) =!= 0)
@@ -84,8 +93,9 @@ object GenScale {
       .withColumn("__ntok", (pmod(xxhash64(col("__seed")), lit(150L)) + 30).cast("int"))
       .withColumn("text", concat_ws(" ",
         concat(transform(sequence(lit(1), col("__ntok")),
-          i => concat(lit("w"), pmod(xxhash64(col("__seed"), i), lit(800L)))),
-          when(col("__dup"), array(lit("wdupmark"))).otherwise(array()))))
+          i => conv((pmod(xxhash64(col("__seed"), i), lit(20000L)) + 10000)
+            .cast("string"), 10, 36)),
+          when(col("__dup"), array(lit("ZDUPMARKZ"))).otherwise(array()))))
       .withColumn("lang", element_at(
         array(lit("en"), lit("de"), lit("fr"), lit("es")),
         (pmod(xxhash64(col("doc_id")), lit(4L)) + 1).cast("int")))

@@ -40,6 +40,10 @@ object ScaleBench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val counts = scala.collection.mutable.LinkedHashMap[String, Long]()
 
+    // model a production lake: 8x the band count → orders is 64 files, so a
+    // full scan pays 64 file opens while a key-local probe still reads ~8
+    spark.conf.set("spark.graft.lakeBandScale",
+      sys.env.getOrElse("SPARK_GRAFT_BAND_SCALE", "8"))
     val (lake, setupSec) = time { val lk = Lake.get(spark, sfDir); lk.prebuild(); lk }
     results("x_lake_setup") = setupSec
     System.err.println(f"[scalebench] lake setup $setupSec%.1fs")
@@ -61,10 +65,18 @@ object ScaleBench {
     val probe = lake.customers
       .where(col("c_custkey") <= maxCust / 8 && col("c_acctbal") > 5000)
       .select(col("c_custkey").as("o_custkey"))
+    // each join measured cold then warm: the cold indexed run pays the
+    // one-time index-table cache load that every later query shares
     bench("x_join_indexed") {
       lake.ordersIdx.join(probe, Seq("o_custkey")).count()
     }
+    bench("x_join_indexed_warm") {
+      lake.ordersIdx.join(probe, Seq("o_custkey")).count()
+    }
     bench("x_join_fullscan") {
+      spark.read.parquet(lake.ordersFiles: _*).join(probe, Seq("o_custkey")).count()
+    }
+    bench("x_join_fullscan_warm") {
       spark.read.parquet(lake.ordersFiles: _*).join(probe, Seq("o_custkey")).count()
     }
     spark.conf.set("spark.graft.metricsEnabled", "true")
