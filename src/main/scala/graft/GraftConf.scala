@@ -50,15 +50,16 @@ object GraftConf {
   def probeValueLimit(spark: SparkSession): Int =
     getInt(spark, "probeValueLimit", 10000)
 
-  /** Bloom Frame probes whose distinct-value count exceeds
-    * `probeValueLimit` fall back to BROADCASTING the stringified values to
-    * executors (an any-match loop against each file's filter) up to this
-    * count — pruning keeps working for 10^4–10^6 probe values instead of
-    * degrading straight to a full read. Per-file cost is
-    * O(values × bloom hashes) on executors; past this cap the probe reads
-    * everything (correct, just unpruned). */
-  def bloomProbeBroadcastLimit(spark: SparkSession): Int =
-    getInt(spark, "bloomProbeBroadcastLimit", 1000000)
+  /** Frame probes whose distinct-value count exceeds `probeValueLimit`
+    * fall back to BROADCASTING the values to executors up to this count —
+    * array-index probes become a single shuffle-free pass testing each
+    * file's value array against the broadcast set, bloom probes an
+    * any-match loop against each file's filter. Pruning keeps working for
+    * 10^4–10^6 probe values instead of degrading to a shuffle semi-join
+    * (arrays) or a full read (blooms); past this cap those fallbacks
+    * apply. */
+  def probeBroadcastLimit(spark: SparkSession): Int =
+    getInt(spark, "probeBroadcastLimit", 1000000)
 
   /** Row-count ceiling for the brute-force similarity baselines
     * (Similarity.cosinePairs / topK): above it they fail fast naming the

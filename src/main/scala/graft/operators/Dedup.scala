@@ -411,6 +411,13 @@ object Dedup {
     * recomputed ~10x). All joins carry int grams, and the length filter
     * (t*|B| <= |A| <= |B|/t) is applied INSIDE the candidate join, before
     * the distinct and the verify shuffle. */
+  /** SCALE NOTE on `n`: prefix filtering is only subquadratic while the
+    * n-gram universe outgrows the corpus. Char 3-grams over a ~40-char
+    * alphabet give ~6·10^4 distinct grams — past ~10^4 docs even a doc's
+    * RAREST grams hit hundreds of other docs and the candidate join goes
+    * quadratic (measured: 150k docs at n=3 explodes, n=5 — a ~7·10^7 gram
+    * universe — stays candidate-bound). Grow `n` with the corpus, or
+    * switch to [[minhashPairs]] whose banding cost is corpus-independent. */
   def ngramJaccardPairs(
       df: DataFrame,
       idCol: String,

@@ -84,16 +84,21 @@ object IndexProbe {
       ix: IndexDef,
       probe: Probe): DataFrame = {
     val spark = store.spark
-    // A small Frame probe collapses to a literal value list ONCE per column,
-    // shared by the auto-bloom pre-filter and the value filter below: the
-    // literal path prunes the (memory-cached) index table with an `isin`
-    // predicate — no shuffle on either side, and the final collect never
-    // recomputes the probe frame. Past the cap the probe stays a distributed
-    // semi-join (never driver-OOM).
+    // A Frame probe's distinct values are collected ONCE per column (one
+    // job, bounded by the LARGER broadcast cap), then shared by the
+    // auto-bloom pre-filter and the value filter below. Value count picks
+    // the filter shape: ≤ probeValueLimit inlines an `isin` literal list;
+    // ≤ probeBroadcastLimit ships a broadcast hash set into an executor-
+    // side membership test (still shuffle-free — measured dominant cost of
+    // a 10^5-value indexed join was the old semi-join's explode shuffle);
+    // beyond that, a distributed semi-join (never driver-OOM).
+    val literalCap = GraftConf.probeValueLimit(spark)
     val frameVals: Option[Seq[Any]] = probe match {
-      case Frame(df) => boundedValues(spark, df)
+      case Frame(df) => boundedValues(spark, df,
+        math.max(literalCap, GraftConf.probeBroadcastLimit(spark)))
       case _         => None
     }
+    val frameLiteralVals: Option[Seq[Any]] = frameVals.filter(_.size <= literalCap)
     val main = indexDf.where(col(ix.column).isNotNull)
       .select(col("filename"), explode(col(ix.column)).as("__v"))
 
@@ -124,9 +129,18 @@ object IndexProbe {
 
     probe match {
       case Values(vs) => all.where(isinOrFalse(col("__v"), vs))
-      case Frame(df) => frameVals match {
+      case Frame(df) => frameLiteralVals match {
         case Some(vs) => all.where(isinOrFalse(col("__v"), vs))
-        case None     => all.join(df.toDF("__v").distinct(), Seq("__v"), "left_semi")
+        case None =>
+          // typed broadcast membership test (long / int / string cover real
+          // join keys); other element types — and value counts past the
+          // broadcast cap — keep the distributed semi-join
+          val elemType = all.schema("__v").dataType
+          frameVals.flatMap(vs => broadcastContains(spark, vs, elemType)) match {
+            case Some(pred) => all.where(pred(col("__v")))
+            case None =>
+              all.join(df.toDF("__v").distinct(), Seq("__v"), "left_semi")
+          }
       }
     }
   }
@@ -134,6 +148,34 @@ object IndexProbe {
   /** `isin` with Spark's empty-list edge pinned to constant false. */
   private def isinOrFalse(c: Column, vs: Seq[Any]): Column =
     if (vs.isEmpty) lit(false) else c.isin(vs: _*)
+
+  /** Executor-side membership test against a broadcast hash set of probe
+    * values, for the key types real joins use. None ⇒ caller falls back to
+    * a semi-join (exotic element type). Null values never match. */
+  private def broadcastContains(
+      spark: SparkSession,
+      vs: Seq[Any],
+      dt: org.apache.spark.sql.types.DataType): Option[Column => Column] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    dt match {
+      case LongType =>
+        val bc = spark.sparkContext.broadcast(
+          vs.collect { case x: java.lang.Long => x.longValue }.toSet)
+        val f = udf((v: java.lang.Long) => v != null && bc.value.contains(v.longValue))
+        Some(c => f(c))
+      case IntegerType =>
+        val bc = spark.sparkContext.broadcast(
+          vs.collect { case x: java.lang.Integer => x.intValue }.toSet)
+        val f = udf((v: java.lang.Integer) => v != null && bc.value.contains(v.intValue))
+        Some(c => f(c))
+      case StringType =>
+        val bc = spark.sparkContext.broadcast(
+          vs.collect { case x: String => x }.toSet)
+        val f = udf((v: String) => v != null && bc.value.contains(v))
+        Some(c => f(c))
+      case _ => None
+    }
+  }
 
   private def bloomCandidates(
       spark: SparkSession, indexDf: DataFrame, ix: IndexDef, probe: Probe): DataFrame = {
@@ -151,7 +193,7 @@ object IndexProbe {
             // working for 10^4–10^6 values where it previously degraded
             // straight to a full read (r3 verdict item 8). Only past the
             // broadcast cap too does the probe stop pruning.
-            boundedValues(spark, df, GraftConf.bloomProbeBroadcastLimit(spark)) match {
+            boundedValues(spark, df, GraftConf.probeBroadcastLimit(spark)) match {
               case Some(vs) =>
                 val strings = vs.filter(_ != null).map(_.toString).toArray
                 if (strings.isEmpty) indexDf.where(sc.isNull)

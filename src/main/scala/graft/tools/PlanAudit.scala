@@ -21,7 +21,10 @@ object PlanAudit {
     Seq("q_regular_probe", "q_select_join", "q_regular_join", "q_pruned_agg",
       "q_autobloom", "q_compact_probe",
       "q_asof_join", "q_asof_index", "q_interval_index", "q_decontaminate",
-      "q_pipeline_curate")
+      "q_pipeline_curate",
+      // r4 additions: de-windowed temporal serving path, SQL range pruning,
+      // two-level group top-k, header-parsed multimodal metadata
+      "q_temporal_latest", "q_sql_range", "q_topk_group", "q_multimodal_meta")
       .foreach { name =>
         val df = SparkEntry.queries(name)(spark, sfDir)
         df.collect() // finalize AQE so the printed plan is the executed one

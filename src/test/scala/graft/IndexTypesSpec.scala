@@ -95,6 +95,29 @@ class IndexTypesSpec extends GraftSuite {
     }
   }
 
+  test("regular Frame probe past the literal cap prunes via broadcast set") {
+    val maxCust = lake.customers.agg(max("c_custkey")).first().getLong(0)
+    val probe = lake.customers.where(col("c_custkey") <= maxCust / 8)
+      .select(col("c_custkey").as("o_custkey"))
+    assert(probe.distinct().count() > 2)
+    spark.conf.set("spark.graft.probeValueLimit", "2")
+    spark.conf.set("spark.graft.metricsEnabled", "true")
+    try {
+      graft.operators.IndexJoin.lastMetrics = None
+      val got = lake.ordersIdx.join(probe, Seq("o_custkey"))
+        .select("o_orderkey", "o_custkey")
+      val want = lake.orders.join(probe, Seq("o_custkey"))
+        .select("o_orderkey", "o_custkey")
+      assertSameRows(got, want)
+      val m = graft.operators.IndexJoin.lastMetrics
+      assert(m.nonEmpty && m.get.locatedFiles < m.get.totalFiles,
+        s"broadcast array probe should prune: $m")
+    } finally {
+      spark.conf.unset("spark.graft.probeValueLimit")
+      spark.conf.set("spark.graft.metricsEnabled", "false")
+    }
+  }
+
   test("temporal read plan contains no Window (de-windowed row dedup)") {
     val got = lake.eventsIdx.query(Map("user_id" -> Seq(1L, 3L, 7L)))
       .select("event_id", "user_id")
