@@ -55,11 +55,13 @@ object GraftConf {
     * array-index probes become a single shuffle-free pass testing each
     * file's value array against the broadcast set, bloom probes an
     * any-match loop against each file's filter. Pruning keeps working for
-    * 10^4–10^6 probe values instead of degrading to a shuffle semi-join
-    * (arrays) or a full read (blooms); past this cap those fallbacks
-    * apply. */
+    * 10^4–10^5 probe values instead of degrading to a shuffle semi-join
+    * (arrays) or a full read (blooms). The default is measured, not
+    * guessed: past ~10^5 values the driver-side distinct+collect plus the
+    * boxed-set broadcast costs more than the arrays' semi-join shuffle
+    * (×1000 bench, 850k-key probe), so bigger probes keep the semi-join. */
   def probeBroadcastLimit(spark: SparkSession): Int =
-    getInt(spark, "probeBroadcastLimit", 1000000)
+    getInt(spark, "probeBroadcastLimit", 100000)
 
   /** Row-count ceiling for the brute-force similarity baselines
     * (Similarity.cosinePairs / topK): above it they fail fast naming the

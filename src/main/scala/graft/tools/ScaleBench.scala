@@ -70,14 +70,16 @@ object ScaleBench {
 
     // ---- (a) indexed vs fullscan crossover: key-local probe --------------
     val maxCust = lake.customers.agg(max("c_custkey")).first().getLong(0)
-    // persisted: the probe feeds the probe-value collection AND the join on
-    // both the indexed and fullscan sides — caching it once is what a real
-    // pipeline does and keeps the comparison about the ORDERS bytes
+    // a SELECTIVE key-local probe (one customer band of 64, high-balance) —
+    // the access pattern file pruning exists for. Persisted: the probe
+    // feeds the probe-value collection AND the join on both the indexed and
+    // fullscan sides — caching it once is what a real pipeline does and
+    // keeps the comparison about the ORDERS bytes.
     val probe = lake.customers
-      .where(col("c_custkey") <= maxCust / 8 && col("c_acctbal") > 5000)
+      .where(col("c_custkey") <= maxCust / 64 && col("c_acctbal") > 7500)
       .select(col("c_custkey").as("o_custkey"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    probe.count()
+    counts("x_probe_keys") = probe.count()
     // The joined result aggregates PAYLOAD columns — a bare count() would
     // let the parquet scan read only the join key and hide exactly the
     // bytes pruning exists to save. Each join is measured cold then warm:
