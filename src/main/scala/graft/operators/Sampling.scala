@@ -131,8 +131,19 @@ object Sampling {
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // localCheckpoint PINS the range-partition assignment. Without it the
+    // two consumers below (the per-partition totals job and the final plan)
+    // each re-execute the range exchange, and RangePartitioner re-SAMPLES
+    // its boundaries per execution (per-RDD seeds) — a boundary that lands
+    // a few rows differently between the passes mis-applies the offsets
+    // and silently corrupts chunk ids near partition edges (caught by the
+    // sf0.1 oracle: one boundary doc under-counted a whole chunk). The
+    // cost is one materialization of the rows being packed (blocks spill
+    // to disk); on a cluster a lost executor fails the job loudly instead
+    // of recomputing inconsistently.
     val parted = df.repartitionByRange(n, col(idCol))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
     // local EXCLUSIVE prefix sum within each range partition
     val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, -1)
