@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * (hash/xxhash64, higher-order array functions) — no UDFs, no driver-side
   * loops; arithmetic stays within Long range so ANSI mode never overflows.
   */
-object Dedup {
+object Dedup extends org.apache.spark.internal.Logging {
 
   /** Exact dedup: one surviving row id per distinct key combination.
     * 100 TB shape: a single hash-aggregate on the key columns. */
@@ -424,6 +424,16 @@ object Dedup {
       textCol: String,
       threshold: Double,
       n: Int = 3): DataFrame = {
+    // cheap plan-statistics check only (no count job): warn when the gram
+    // universe is about to saturate — see the scale note above
+    if (n <= 3)
+      df.queryExecution.optimizedPlan.stats.rowCount.foreach { rows =>
+        if (rows > 20000L)
+          logWarning(s"ngramJaccardPairs over ~$rows docs with n=$n: the " +
+            s"char $n-gram universe saturates at this corpus size and the " +
+            "candidate join can go quadratic — raise n to 5+, or use " +
+            "minhashPairs (corpus-independent banding cost)")
+      }
     val grams = df.select(col(idCol).as("__id"),
       graft.functions.VectorOps.hashedNgramSet(col(textCol), n).as("__g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -130,6 +130,9 @@ object ScaleBench {
     bench("q_dedup_simhash") {
       Dedup.simhashPairs(lake.documents, "doc_id", "text").count()
     }
+    bench("q_dedup_simhash_near") {
+      Dedup.simhashNearPairs(lake.documents, "doc_id", "text", maxHamming = 3).count()
+    }
     bench("q_ann_ivf_topk") {
       val emb = lake.embeddings
       Similarity.ivfTopK(emb, emb.where(col("vec_id") < 100), "vec_id",
