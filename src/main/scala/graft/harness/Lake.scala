@@ -50,19 +50,21 @@ final class Lake private (val spark: SparkSession, val sfDir: String, val work: 
     scala.util.Try(spark.conf.get("spark.graft.lakeBandScale", "1").toInt)
       .toOption.filter(_ > 0).getOrElse(1)
 
-  def ordersFiles: Seq[String] = memoSplit("orders") {
+  // band scale is part of the memo key: a conf change after first touch
+  // must re-split, not silently return the old layout
+  def ordersFiles: Seq[String] = memoSplit(s"orders@x$bandScale") {
     splitByBand(table("orders"), s"$work/orders", "o_custkey", 8 * bandScale)
   }
 
-  def lineitemFiles: Seq[String] = memoSplit("lineitem") {
+  def lineitemFiles: Seq[String] = memoSplit(s"lineitem@x$bandScale") {
     splitByBand(table("lineitem"), s"$work/lineitem", "l_partkey", 8 * bandScale)
   }
 
-  def eventsFiles: Seq[String] = memoSplit("events") {
+  def eventsFiles: Seq[String] = memoSplit(s"events@x$bandScale") {
     splitByBand(table("events"), s"$work/events", "event_id", 6 * bandScale)
   }
 
-  def documentsFiles: Seq[String] = memoSplit("documents") {
+  def documentsFiles: Seq[String] = memoSplit(s"documents@x$bandScale") {
     splitByBand(table("documents"), s"$work/documents", "doc_id", 4 * bandScale)
   }
 

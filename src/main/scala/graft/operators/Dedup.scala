@@ -424,16 +424,19 @@ object Dedup extends org.apache.spark.internal.Logging {
       textCol: String,
       threshold: Double,
       n: Int = 3): DataFrame = {
-    // cheap plan-statistics check only (no count job): warn when the gram
-    // universe is about to saturate — see the scale note above
-    if (n <= 3)
-      df.queryExecution.optimizedPlan.stats.rowCount.foreach { rows =>
-        if (rows > 20000L)
-          logWarning(s"ngramJaccardPairs over ~$rows docs with n=$n: the " +
-            s"char $n-gram universe saturates at this corpus size and the " +
-            "candidate join can go quadratic — raise n to 5+, or use " +
-            "minhashPairs (corpus-independent banding cost)")
-      }
+    // saturation check: plan statistics when present, else one BOUNDED
+    // limit+1 count (20k rows max — parquet frames rarely carry rowCount,
+    // and the warning must actually fire in the regime that measured
+    // quadratic, not only on ANALYZE'd tables)
+    if (n <= 3) {
+      val rows = df.queryExecution.optimizedPlan.stats.rowCount
+        .map(_.toLong).getOrElse(df.limit(20001).count())
+      if (rows > 20000L)
+        logWarning(s"ngramJaccardPairs over >=$rows docs with n=$n: the " +
+          s"char $n-gram universe saturates at this corpus size and the " +
+          "candidate join can go quadratic — raise n to 5+, or use " +
+          "minhashPairs (corpus-independent banding cost)")
+    }
     val grams = df.select(col(idCol).as("__id"),
       graft.functions.VectorOps.hashedNgramSet(col(textCol), n).as("__g"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

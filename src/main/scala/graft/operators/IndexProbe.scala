@@ -66,12 +66,25 @@ object IndexProbe {
       store: IndexStore,
       indexDf: DataFrame,
       ix: IndexDef,
-      probe: Probe): DataFrame = ix.indexType match {
-    case "regular" | "computed" | "exploded" => arrayCandidates(store, indexDf, ix, probe)
-    case "bloom"    => bloomCandidates(store.spark, indexDf, ix, probe)
-    case "range"    => rangeCandidates(store.spark, indexDf, ix, probe)
-    case "temporal" => temporalCandidates(indexDf, ix, probe)
-    case t => throw new IllegalStateException(s"unknown index type $t")
+      probe: Probe): DataFrame = {
+    // storage column entirely absent = registered but never built (backfill
+    // pending): no pruning possible, every file is a candidate
+    if (!indexDf.columns.contains(ix.storageColumn))
+      return indexDf.select("filename")
+    val matched = ix.indexType match {
+      case "regular" | "computed" | "exploded" => arrayCandidates(store, indexDf, ix, probe)
+      case "bloom"    => bloomCandidates(store.spark, indexDf, ix, probe)
+      case "range"    => rangeCandidates(store.spark, indexDf, ix, probe)
+      case "temporal" => temporalCandidates(indexDf, ix, probe)
+      case t => throw new IllegalStateException(s"unknown index type $t")
+    }
+    // Files whose index entry for this column is NULL (registered but not
+    // yet backfilled after a later addIndex) may contain ANYTHING and must
+    // stay candidates for every probe type — pruning may only ever
+    // over-approximate, and residual filters/joins keep results exact.
+    // The bloom path already carried this invariant; it holds uniformly now.
+    matched.select("filename")
+      .unionByName(indexDf.where(col(ix.storageColumn).isNull).select("filename"))
   }
 
   /** Distinct-array columns: explode the per-file array (∪ the large-index
@@ -150,27 +163,39 @@ object IndexProbe {
     if (vs.isEmpty) lit(false) else c.isin(vs: _*)
 
   /** Executor-side membership test against a broadcast hash set of probe
-    * values, for the key types real joins use. None ⇒ caller falls back to
-    * a semi-join (exotic element type). Null values never match. */
+    * values, for the key types real joins use. Returns None — caller falls
+    * back to a semi-join — for exotic element types AND whenever any
+    * non-null probe value fails to convert losslessly to the index element
+    * type (a probe of strings against a long-indexed column must NOT
+    * become an empty set: an empty candidate filter UNDER-approximates,
+    * which pruning may never do). Integral widths cross-match by widening
+    * both sides to long. Null probe values never match (isin parity). */
   private def broadcastContains(
       spark: SparkSession,
       vs: Seq[Any],
       dt: org.apache.spark.sql.types.DataType): Option[Column => Column] = {
-    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
+    val nonNull = vs.filter(_ != null)
+    def asLongs: Option[Set[Long]] = {
+      val conv = nonNull.flatMap {
+        case x: java.lang.Long    => Some(x.longValue)
+        case x: java.lang.Integer => Some(x.longValue)
+        case x: java.lang.Short   => Some(x.longValue)
+        case x: java.lang.Byte    => Some(x.longValue)
+        case _                    => None
+      }
+      if (conv.size == nonNull.size) Some(conv.toSet) else None
+    }
     dt match {
-      case LongType =>
+      case LongType | IntegerType | ShortType | ByteType =>
+        asLongs.map { s =>
+          val bc = spark.sparkContext.broadcast(s)
+          val f = udf((v: java.lang.Long) => v != null && bc.value.contains(v.longValue))
+          (c: Column) => f(c.cast("long"))
+        }
+      case StringType if nonNull.forall(_.isInstanceOf[String]) =>
         val bc = spark.sparkContext.broadcast(
-          vs.collect { case x: java.lang.Long => x.longValue }.toSet)
-        val f = udf((v: java.lang.Long) => v != null && bc.value.contains(v.longValue))
-        Some(c => f(c))
-      case IntegerType =>
-        val bc = spark.sparkContext.broadcast(
-          vs.collect { case x: java.lang.Integer => x.intValue }.toSet)
-        val f = udf((v: java.lang.Integer) => v != null && bc.value.contains(v.intValue))
-        Some(c => f(c))
-      case StringType =>
-        val bc = spark.sparkContext.broadcast(
-          vs.collect { case x: String => x }.toSet)
+          nonNull.map(_.asInstanceOf[String]).toSet)
         val f = udf((v: String) => v != null && bc.value.contains(v))
         Some(c => f(c))
       case _ => None
@@ -185,25 +210,26 @@ object IndexProbe {
         val strings = vs.filter(_ != null).map(_.toString)
         indexDf.where(Blooms.mightContainAny(strings)(sc) || sc.isNull)
       case Frame(df) =>
-        boundedValues(spark, df) match {
-          case Some(vs) => bloomCandidates(spark, indexDf, ix, Values(vs))
-          case None =>
-            // Past the literal cap: broadcast the stringified probe values
-            // and run the any-match loop executor-side — pruning keeps
-            // working for 10^4–10^6 values where it previously degraded
-            // straight to a full read (r3 verdict item 8). Only past the
-            // broadcast cap too does the probe stop pruning.
-            boundedValues(spark, df, GraftConf.probeBroadcastLimit(spark)) match {
-              case Some(vs) =>
-                val strings = vs.filter(_ != null).map(_.toString).toArray
-                if (strings.isEmpty) indexDf.where(sc.isNull)
-                else {
-                  val bc = spark.sparkContext.broadcast(strings)
-                  indexDf.where(
-                    Blooms.mightContainAnyBroadcast(bc)(sc) || sc.isNull)
-                }
-              case None => indexDf // beyond even the broadcast cap
+        // ONE bounded collect under the larger broadcast cap (same shape as
+        // arrayCandidates — a second collect would re-execute the whole
+        // probe plan). Within the literal cap the values inline as a
+        // closure list; within the broadcast cap they ship broadcast into
+        // the executor any-match (r3 verdict item 8 — pruning keeps
+        // working for 10^4–10^5 values); beyond it, no pruning.
+        val litCap = GraftConf.probeValueLimit(spark)
+        boundedValues(spark, df,
+          math.max(litCap, GraftConf.probeBroadcastLimit(spark))) match {
+          case Some(vs) if vs.size <= litCap =>
+            bloomCandidates(spark, indexDf, ix, Values(vs))
+          case Some(vs) =>
+            val strings = vs.filter(_ != null).map(_.toString).toArray
+            if (strings.isEmpty) indexDf.where(sc.isNull)
+            else {
+              val bc = spark.sparkContext.broadcast(strings)
+              indexDf.where(
+                Blooms.mightContainAnyBroadcast(bc)(sc) || sc.isNull)
             }
+          case None => indexDf // beyond even the broadcast cap
         }
     }
   }
@@ -269,14 +295,20 @@ object IndexProbe {
     // index row and lands each hot value on ONE task — at 10^6 files a
     // frequently-updated key is exactly such a hot value. max(struct) keeps
     // whole-stage codegen and pre-aggregates per partition, so skewed keys
-    // cost O(partitions), not O(rows-for-key) on a single task. Struct
-    // comparison ranks null ts lowest (same preference as the old
-    // desc_nulls_last); on exact ts ties the greatest filename wins — any
-    // single deterministic winner is valid, the tie rows themselves are
-    // indistinguishable to the row-level dedup that follows.
-    matched.groupBy(col("__v"))
-      .agg(max(struct(col("__ts"), col("filename"))).as("__m"))
-      .select(col("__m.filename").as("filename"))
+    // cost O(partitions), not O(rows-for-key) on a single task.
+    //
+    // EVERY file tying at a key's max ts is kept (null-safe equality
+    // against the per-value max): the row-level dedup breaks ts ties by
+    // greatest payload, and the winning payload of a tie may live in any
+    // tying file — keeping only one (the old greatest-filename pick) could
+    // return a different winner than an unpruned read, making pruning
+    // observable. The extra join runs on the small per-file index frame,
+    // never on data rows; an all-null-ts key keeps all its files (the
+    // over-approximation pruning is allowed).
+    val winners = matched.groupBy(col("__v")).agg(max(col("__ts")).as("__mx"))
+    matched.join(winners, Seq("__v"))
+      .where(col("__ts") <=> col("__mx"))
+      .select("filename")
   }
 
   /** Files CONTAINING a probed key in a temporal index, with no
@@ -289,6 +321,8 @@ object IndexProbe {
       probeDf: DataFrame): DataFrame = {
     store.indexTable.read() match {
       case None => emptyFilenames(store.spark)
+      case Some(indexDf) if !indexDf.columns.contains(ix.storageColumn) =>
+        indexDf.select("filename") // not built yet → no pruning
       case Some(indexDf) =>
         val exploded = indexDf.where(col(ix.column).isNotNull)
           .select(col("filename"), col(ix.column).getField("value").as("__vs"))
@@ -298,7 +332,11 @@ object IndexProbe {
           case None =>
             exploded.join(probeDf.toDF("__v").distinct(), Seq("__v"), "left_semi")
         }
-        matched.select("filename").distinct()
+        // null entry (not yet backfilled) stays a candidate
+        matched.select("filename")
+          .unionByName(
+            indexDf.where(col(ix.storageColumn).isNull).select("filename"))
+          .distinct()
     }
   }
 
@@ -311,6 +349,8 @@ object IndexProbe {
       store: IndexStore, ix: IndexDef, spans: DataFrame): DataFrame = {
     store.indexTable.read() match {
       case None => emptyFilenames(store.spark)
+      case Some(indexDf) if !indexDf.columns.contains(ix.storageColumn) =>
+        indexDf.select("filename") // not built yet → no pruning
       case Some(indexDf) =>
         val fLo = col(s"${ix.storageColumn}.min")
         val fHi = col(s"${ix.storageColumn}.max")
@@ -318,15 +358,17 @@ object IndexProbe {
         val hiC = col(spans.columns(1))
         val cap = GraftConf.rangeProbeExactLimit(store.spark)
         val rows = spans.select(loC, hiC).distinct().limit(cap + 1).collect()
+        // null entry (not yet backfilled) stays a candidate in both branches
+        val nullEntry = col(ix.storageColumn).isNull
         val pruned =
           if (rows.length <= cap && rows.nonEmpty) {
             indexDf.where(rows.toSeq
               .map(r => fHi >= lit(r.get(0)) && fLo <= lit(r.get(1)))
-              .reduce(_ || _))
+              .reduce(_ || _) || nullEntry)
           } else {
             val bounds = spans.agg(min(loC).as("__qlo"), max(hiC).as("__qhi"))
             indexDf.crossJoin(broadcast(bounds))
-              .where(fHi >= col("__qlo") && fLo <= col("__qhi"))
+              .where((fHi >= col("__qlo") && fLo <= col("__qhi")) || nullEntry)
           }
         pruned.select("filename").distinct()
     }
@@ -341,6 +383,8 @@ object IndexProbe {
       store: IndexStore, ix: IndexDef, ops: Seq[(String, Any)]): DataFrame = {
     store.indexTable.read() match {
       case None => emptyFilenames(store.spark)
+      case Some(indexDf) if !indexDf.columns.contains(ix.storageColumn) =>
+        indexDf.select("filename") // not built yet → no pruning
       case Some(indexDf) =>
         val lo = col(s"${ix.storageColumn}.min")
         val hi = col(s"${ix.storageColumn}.max")
@@ -351,7 +395,9 @@ object IndexProbe {
           case ("<=", v) => lo <= lit(v)
           case (op, _) => throw new IllegalArgumentException(s"unknown bound op $op")
         }
-        indexDf.where(preds.reduce(_ && _)).select("filename")
+        // null entry (not yet backfilled) stays a candidate
+        indexDf.where(preds.reduce(_ && _) || col(ix.storageColumn).isNull)
+          .select("filename")
     }
   }
 
@@ -361,10 +407,15 @@ object IndexProbe {
       store: IndexStore, ix: IndexDef, lo: Any, hi: Any): DataFrame = {
     store.indexTable.read() match {
       case None => emptyFilenames(store.spark)
+      case Some(indexDf) if !indexDf.columns.contains(ix.storageColumn) =>
+        indexDf.select("filename") // not built yet → no pruning
       case Some(indexDf) =>
         val lc = col(s"${ix.storageColumn}.min")
         val hc = col(s"${ix.storageColumn}.max")
-        indexDf.where(hc >= lit(lo) && lc <= lit(hi)).select("filename")
+        // null entry (not yet backfilled) stays a candidate
+        indexDf.where((hc >= lit(lo) && lc <= lit(hi)) ||
+            col(ix.storageColumn).isNull)
+          .select("filename")
     }
   }
 

@@ -38,13 +38,17 @@ object Similarity {
     * with `spark.graft.bruteForceRowLimit` (0 disables). */
   private def guardBruteForce(df: DataFrame, what: String, alternative: String): Unit = {
     val limit = graft.GraftConf.bruteForceRowLimit(df.sparkSession)
-    if (limit <= 0) return
+    if (limit <= 0 || limit >= Int.MaxValue - 1) return
+    // plan statistics when present; otherwise a BOUNDED limit+1 count —
+    // never a full pass (parquet frames rarely carry rowCount without
+    // ANALYZE-collected stats, so the fallback is the common path and must
+    // not re-execute the whole upstream pipeline to count it)
     val est = df.queryExecution.optimizedPlan.stats.rowCount
-      .map(_.toLong).getOrElse(df.count())
+      .map(_.toLong).getOrElse(df.limit(limit.toInt + 1).count())
     require(est <= limit,
-      s"$what is a brute-force baseline and the input has $est rows " +
-        s"(> spark.graft.bruteForceRowLimit=$limit); use $alternative for " +
-        "large corpora, or raise/disable the limit if you really mean it")
+      s"$what is a brute-force baseline and the input has at least $est " +
+        s"rows (> spark.graft.bruteForceRowLimit=$limit); use $alternative " +
+        "for large corpora, or raise/disable the limit if you really mean it")
   }
 
   /** All pairs (a_id < b_id) with cosine >= threshold — brute force

@@ -276,24 +276,34 @@ final class SnapshotTable(spark: SparkSession, root: String) {
         .foreach(d => Fs.delete(spark, segDir(d)))
     }
 
-  /** TIME-based retention: drop non-live version dirs last modified before
-    * the wall-clock horizon. A long-running reader that resolved the
-    * pointer up to `retentionHours` ago can still finish — the guarantee
-    * concurrent readers actually reason in (hours of query runtime), where
-    * the count-based [[vacuum]] depends on how often writers commit.
-    * Directories named by the current pointer are never touched regardless
-    * of age. */
+  /** TIME-based retention: drop non-live version dirs SUPERSEDED before
+    * the wall-clock horizon. A reader that resolved the pointer up to
+    * `retentionHours` ago can still finish — the guarantee concurrent
+    * readers actually reason in (hours of query runtime), where the
+    * count-based [[vacuum]] depends on how often writers commit.
+    *
+    * Supersession is dated by the SUCCESSOR version's directory time, not
+    * the dir's own: a snapshot that stayed current for months and was
+    * replaced a minute ago was resolvable a minute ago, and must survive a
+    * further `retentionHours` (dating by its own creation would reap it
+    * immediately). A vacuumed-away in-between version only pushes the
+    * successor estimate later — the safe direction. Directories named by
+    * the current pointer are never touched regardless of age. */
   def vacuumOlderThan(retentionHours: Int): Unit =
     readPointer().foreach { case (cur, _, segs) =>
       val horizon =
         System.currentTimeMillis() - retentionHours.toLong * 3600L * 1000L
       val live = segs.toSet
-      Fs.listDirs(spark, root)
-        .filter(d => d.startsWith("v") && !live.contains(d))
-        .filter(d => scala.util.Try(d.drop(1).toLong).toOption.exists(_ < cur))
-        .filter(d => scala.util.Try(Fs.modificationTime(spark, segDir(d)))
-          .toOption.exists(_ < horizon))
-        .foreach(d => Fs.delete(spark, segDir(d)))
+      val versioned = Fs.listDirs(spark, root)
+        .filter(_.startsWith("v"))
+        .flatMap(d => scala.util.Try(d.drop(1).toLong).toOption.map(_ -> d))
+        .sortBy(_._1)
+      versioned.zip(versioned.drop(1)).foreach { case ((v, d), (_, succ)) =>
+        val deletable = v < cur && !live.contains(d) &&
+          scala.util.Try(Fs.modificationTime(spark, segDir(succ)))
+            .toOption.exists(_ < horizon)
+        if (deletable) Fs.delete(spark, segDir(d))
+      }
     }
 
   private def cleanup(current: Long, live: Set[String]): Unit =

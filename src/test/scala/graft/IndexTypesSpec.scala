@@ -118,6 +118,57 @@ class IndexTypesSpec extends GraftSuite {
     }
   }
 
+  test("broadcast Frame probe with narrower probe type still matches (int vs long)") {
+    // probe column is IntegerType, index column BIGINT; forcing the literal
+    // cap below the value count routes through the broadcast set, which
+    // must widen the ints — a type-strict set would silently prune to zero
+    val s = spark
+    import s.implicits._
+    val probe = Seq(1, 7, 42).toDF("o_custkey") // IntegerType
+    spark.conf.set("spark.graft.probeValueLimit", "2")
+    try {
+      val got = lake.ordersIdx.join(probe.select(col("o_custkey").cast("long")
+        .as("o_custkey_l")).withColumnRenamed("o_custkey_l", "o_custkey"),
+        Seq("o_custkey")).select("o_orderkey", "o_custkey")
+      // also drive the raw probe frame (int-typed) through candidateFiles
+      val store = new graft.store.IndexStore(spark, "orders_idx")
+      val meta = store.readMetadata().get
+      val files = graft.operators.IndexProbe.collectFiles(
+        graft.operators.IndexProbe.candidateFiles(store, meta,
+          Map("o_custkey" -> graft.operators.IndexProbe.Frame(probe))))
+      assert(files.nonEmpty, "int probe against long index must not prune to zero")
+      val want = lake.orders.where(col("o_custkey").isin(1L, 7L, 42L))
+        .select("o_orderkey", "o_custkey")
+      assertSameRows(got, want)
+    } finally spark.conf.unset("spark.graft.probeValueLimit")
+  }
+
+  test("null and missing index entries stay candidates (backfill pending)") {
+    val s = spark
+    import s.implicits._
+    import graft.model.IndexDef
+    val store = new graft.store.IndexStore(spark, "t_nullentry_probe")
+    try {
+      val withCol = Seq(("f1", 10L, 20L, true), ("f2", 0L, 0L, false))
+        .toDF("filename", "mn", "mx", "has")
+        .select(col("filename"), when(col("has"),
+          struct(col("mn").as("min"), col("mx").as("max"))).as("range_c"))
+      store.indexTable.overwrite(withCol)
+      val ix = IndexDef("c", "range")
+      def files(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.getString(0)).toSet
+      // window [100,200] misses f1's [10,20]; f2's NULL entry must survive
+      assert(files(graft.operators.IndexProbe.rangeWindowCandidates(
+        store, ix, 100L, 200L)) == Set("f2"))
+      assert(files(graft.operators.IndexProbe.rangeFilterCandidates(
+        store, ix, Seq(">=" -> 100L))) == Set("f2"))
+      // storage column entirely absent → no pruning, both files candidates
+      store.indexTable.overwrite(Seq("f1", "f2").toDF("filename"))
+      assert(files(graft.operators.IndexProbe.rangeWindowCandidates(
+        store, ix, 100L, 200L)) == Set("f1", "f2"))
+    } finally store.indexTable.drop()
+  }
+
   test("temporal read plan contains no Window (de-windowed row dedup)") {
     val got = lake.eventsIdx.query(Map("user_id" -> Seq(1L, 3L, 7L)))
       .select("event_id", "user_id")
