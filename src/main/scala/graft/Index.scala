@@ -308,16 +308,24 @@ final class Index private (
       s"asOfJoin needs a temporal index on '$keyColumn' (found ${ix.indexType})")
     var candidates =
       IndexProbe.temporalKeyCandidates(store, ix, df.select(col(keyColumn)))
-    // OPT-IN extra time pruning when the ts column also carries a range
-    // index: backward as-of only ever matches rows AT OR BEFORE a probe
-    // time, so a file whose min ts exceeds EVERY probe ts contributes
-    // nothing (symmetrically max-vs-min for forward). The bound costs one
-    // EXTRA evaluation of the probe plan (`agg().first()` below, on top of
-    // the key probe and the join itself) — worth it when probes cluster in
-    // a narrow time window, pure overhead for an expensive probe plan with
-    // near-full time coverage, hence the flag (r3 advice). The bound
-    // over-approximates per row, which is the only thing pruning may do.
-    if (timePrune)
+    // Extra time pruning when the ts column also carries a range index:
+    // backward as-of only ever matches rows AT OR BEFORE a probe time, so a
+    // file whose min ts exceeds EVERY probe ts contributes nothing
+    // (symmetrically max-vs-min for forward). The bound costs one EXTRA
+    // evaluation of the probe plan (`agg().first()` below, on top of the
+    // key probe and the join itself) — worth it when probes cluster in a
+    // narrow time window, pure overhead for an expensive probe plan with
+    // near-full time coverage. So: AUTO-enabled when the probe is a local
+    // relation (literal probe rows — re-evaluating costs nothing, keeping
+    // the r3 always-on behavior for exactly the callers it helped, per r4
+    // advice); `timePrune = true` forces it for expensive probe plans whose
+    // caller knows the window is narrow. The bound over-approximates per
+    // row, which is the only thing pruning may do.
+    val probeIsLocal = df.queryExecution.optimizedPlan match {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case _ => false
+    }
+    if (timePrune || probeIsLocal)
       meta.indexFor(ix.tsColumn.get).filter(_.indexType == "range").foreach { rix =>
       val bound = df.agg(
         if (direction == "backward") max(col(probeTsCol)) else min(col(probeTsCol)))

@@ -424,22 +424,22 @@ object Dedup extends org.apache.spark.internal.Logging {
       textCol: String,
       threshold: Double,
       n: Int = 3): DataFrame = {
-    // saturation check: plan statistics when present, else one BOUNDED
-    // limit+1 count (20k rows max — parquet frames rarely carry rowCount,
-    // and the warning must actually fire in the regime that measured
-    // quadratic, not only on ANALYZE'd tables)
+    val grams = df.select(col(idCol).as("__id"),
+      graft.functions.VectorOps.hashedNgramSet(col(textCol), n).as("__g"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // saturation check piggybacks on the persisted gram frame: counting it
+    // materializes a cache every downstream stage (ranking, indexing,
+    // verify) reuses, so the probe costs no duplicated upstream work (the
+    // r4 advice: the previous stats-absent limit+1 count re-executed the
+    // upstream plan just to maybe emit this line)
     if (n <= 3) {
-      val rows = df.queryExecution.optimizedPlan.stats.rowCount
-        .map(_.toLong).getOrElse(df.limit(20001).count())
+      val rows = grams.count()
       if (rows > 20000L)
-        logWarning(s"ngramJaccardPairs over >=$rows docs with n=$n: the " +
+        logWarning(s"ngramJaccardPairs over $rows docs with n=$n: the " +
           s"char $n-gram universe saturates at this corpus size and the " +
           "candidate join can go quadratic — raise n to 5+, or use " +
           "minhashPairs (corpus-independent banding cost)")
     }
-    val grams = df.select(col(idCol).as("__id"),
-      graft.functions.VectorOps.hashedNgramSet(col(textCol), n).as("__g"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exploded = grams.select(col("__id"), size(col("__g")).as("__sz"),
       explode(col("__g")).as("gram"))
     // global rarity order: (doc_freq, gram) — deterministic total order

@@ -189,15 +189,12 @@ object IndexProbe {
     dt match {
       case LongType | IntegerType | ShortType | ByteType =>
         asLongs.map { s =>
-          val bc = spark.sparkContext.broadcast(s)
-          val f = udf((v: java.lang.Long) => v != null && bc.value.contains(v.longValue))
-          (c: Column) => f(c.cast("long"))
+          (c: Column) => graft.functions.BroadcastSets
+            .longSetContains(spark, s)(c.cast("long"))
         }
       case StringType if nonNull.forall(_.isInstanceOf[String]) =>
-        val bc = spark.sparkContext.broadcast(
-          nonNull.map(_.asInstanceOf[String]).toSet)
-        val f = udf((v: String) => v != null && bc.value.contains(v))
-        Some(c => f(c))
+        Some(graft.functions.BroadcastSets
+          .stringSetContains(spark, nonNull.map(_.asInstanceOf[String])))
       case _ => None
     }
   }

@@ -77,31 +77,39 @@ object Sampling {
     * broken by `tiebreakCol` ascending — "best 100 docs per language"
     * style curation.
     *
-    * Two-level top-k so a hot group never serializes one task: rows are
-    * salted into `saltBuckets` subgroups by the tiebreak hash, each
-    * (group, salt) cell keeps its local top k (a group with N rows sorts
-    * as `saltBuckets` parallel cells of N/B), and the final ranking runs
-    * over at most `saltBuckets * k` survivors per group. Any global top-k
-    * row is necessarily in its cell's top k, so the result is EXACTLY the
-    * single-window formulation — only the execution shape changes. */
+    * Default shape is ONE window: correct at any scale, and the cheapest
+    * plan while no single group dwarfs a task. For skewed groups (one
+    * language holding half a 100 TB corpus), pass `saltBuckets > 1` for
+    * two-level top-k: rows salt into `saltBuckets` subgroups by the
+    * tiebreak hash, each (group, salt) cell keeps its local top k in
+    * parallel, and the final ranking runs over at most `saltBuckets * k`
+    * survivors per group. Any global top-k row is necessarily in its
+    * cell's top k, so (with a unique (score, tiebreak) per group — e.g. a
+    * doc-id tiebreak) the result is EXACTLY the single-window formulation;
+    * only the execution shape changes. Salting is opt-in rather than
+    * always-on because the extra hash+window pass costs more than it saves
+    * on unskewed groups (r4 measured +80% on the bench shape, r4 advice). */
   def topKPerGroup(
       df: DataFrame,
       groupCols: Seq[String],
       scoreCol: String,
       k: Int,
       tiebreakCol: String,
-      saltBuckets: Int = 32): DataFrame = {
+      saltBuckets: Int = 1): DataFrame = {
     require(k > 0, "k must be positive")
     require(saltBuckets > 0, "saltBuckets must be positive")
-    val salted = df.withColumn("__salt",
-      pmod(xxhash64(col(tiebreakCol)), lit(saltBuckets.toLong)))
-    val w1 = Window
-      .partitionBy((groupCols.map(col) :+ col("__salt")): _*)
-      .orderBy(col(scoreCol).desc, col(tiebreakCol))
-    val pruned = salted
-      .withColumn("__rk1", row_number().over(w1))
-      .where(col("__rk1") <= k)
-      .drop("__rk1", "__salt")
+    val pruned =
+      if (saltBuckets == 1) df
+      else {
+        val salted = df.withColumn("__salt",
+          pmod(xxhash64(col(tiebreakCol)), lit(saltBuckets.toLong)))
+        val w1 = Window
+          .partitionBy((groupCols.map(col) :+ col("__salt")): _*)
+          .orderBy(col(scoreCol).desc, col(tiebreakCol))
+        salted.withColumn("__rk1", row_number().over(w1))
+          .where(col("__rk1") <= k)
+          .drop("__rk1", "__salt")
+      }
     val w2 = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(col(scoreCol).desc, col(tiebreakCol))
     pruned.withColumn("__rk", row_number().over(w2))

@@ -162,6 +162,10 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     df.write.mode("overwrite").parquet(versionDir(next))
     SnapshotTable.cachePut((root, next, nonce), df.schema)
     Fs.writeStringAtomic(spark, pointerPath, s"$next\n$nonce")
+    // Durably record WHEN the outgoing directories stopped being referenced:
+    // time-based vacuum dates retention from these markers, never from FS
+    // mtimes (object stores report unreliable/zero mtimes for directories).
+    markSuperseded(prev.map(_._3).getOrElse(Seq.empty).filterNot(_ == s"v$next"))
     // The superseded pointer's segments stay readable for one more write
     // (the retention guarantee readers in flight rely on); the write after
     // this one reaps them.
@@ -282,29 +286,60 @@ final class SnapshotTable(spark: SparkSession, root: String) {
     * readers actually reason in (hours of query runtime), where the
     * count-based [[vacuum]] depends on how often writers commit.
     *
-    * Supersession is dated by the SUCCESSOR version's directory time, not
-    * the dir's own: a snapshot that stayed current for months and was
-    * replaced a minute ago was resolvable a minute ago, and must survive a
-    * further `retentionHours` (dating by its own creation would reap it
-    * immediately). A vacuumed-away in-between version only pushes the
-    * successor estimate later — the safe direction. Directories named by
-    * the current pointer are never touched regardless of age. */
+    * Supersession time comes from the durable `_superseded_at` marker the
+    * pointer swap wrote into the outgoing directory — NOT from filesystem
+    * mtimes, which object stores commonly report as 0/unreliable for
+    * directory paths (an mtime-based reaper would then see every superseded
+    * snapshot as infinitely old and break the in-flight-reader guarantee).
+    * A dir with no readable marker (pre-marker layout, or a writer that
+    * died between swap and mark) is stamped NOW and left alone — it becomes
+    * deletable only after a further full retention window, the safe
+    * direction. Directories named by the current pointer are never touched
+    * regardless of age. */
   def vacuumOlderThan(retentionHours: Int): Unit =
     readPointer().foreach { case (cur, _, segs) =>
-      val horizon =
-        System.currentTimeMillis() - retentionHours.toLong * 3600L * 1000L
+      val now = System.currentTimeMillis()
+      val horizon = now - retentionHours.toLong * 3600L * 1000L
       val live = segs.toSet
-      val versioned = Fs.listDirs(spark, root)
+      Fs.listDirs(spark, root)
         .filter(_.startsWith("v"))
         .flatMap(d => scala.util.Try(d.drop(1).toLong).toOption.map(_ -> d))
-        .sortBy(_._1)
-      versioned.zip(versioned.drop(1)).foreach { case ((v, d), (_, succ)) =>
-        val deletable = v < cur && !live.contains(d) &&
-          scala.util.Try(Fs.modificationTime(spark, segDir(succ)))
-            .toOption.exists(_ < horizon)
-        if (deletable) Fs.delete(spark, segDir(d))
-      }
+        .filter { case (v, d) => v < cur && !live.contains(d) }
+        .foreach { case (_, d) =>
+          supersededAt(d) match {
+            case Some(t) if t <= horizon => Fs.delete(spark, segDir(d))
+            case Some(_) => () // inside the horizon — keep
+            case None => // no durable record (missing or unreadable marker):
+              // (re)stamp NOW so the dir becomes deletable one window later
+              Fs.writeStringAtomic(spark, supersededMarker(segDir(d)),
+                now.toString)
+          }
+        }
     }
+
+  private def supersededMarker(dir: String): String = s"$dir/_superseded_at"
+
+  /** Wall-clock millis at which `dirName` stopped being pointer-referenced,
+    * if durably recorded. Unreadable/zero values count as unknown. */
+  private def supersededAt(dirName: String): Option[Long] = {
+    val p = supersededMarker(segDir(dirName))
+    if (!Fs.exists(spark, p)) None
+    else scala.util.Try(Fs.readString(spark, p).trim.toLong)
+      .toOption.filter(_ > 0L)
+  }
+
+  /** Stamp `_superseded_at` (current wall clock) into each directory, if not
+    * already stamped — first mark wins, so re-stamping a dir that already
+    * carries its true supersession time is a no-op. Underscore-prefixed, so
+    * parquet scans of the dir ignore it. */
+  private def markSuperseded(dirs: Iterable[String]): Unit = {
+    val now = System.currentTimeMillis()
+    dirs.foreach { d =>
+      val p = supersededMarker(segDir(d))
+      if (Fs.exists(spark, segDir(d)) && !Fs.exists(spark, p))
+        Fs.writeStringAtomic(spark, p, now.toString)
+    }
+  }
 
   private def cleanup(current: Long, live: Set[String]): Unit =
     deadDirs(current, GraftConf.retainedSnapshots(spark).max(1), live)

@@ -202,6 +202,38 @@ object Drive {
         (if (mism == 0) "OK" else "MISMATCH"))
     }
 
+    // 9) shuffle-free IVF assignment vs brute-force pairs (r5 rewrite):
+    // candidates are a superset check — every brute pair IVF finds must be
+    // real, and the IVF plan must carry NO exchange before the candidate join
+    {
+      import graft.operators.Similarity
+      val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      val ivf = Similarity.ivfCosinePairs(emb, "vec_id", "embedding", 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val falsePos = ivf.diff(brute).size
+      println(s"[drive] 9-ivf pairs=${ivf.size} brute=${brute.size} " +
+        s"falsePositives=$falsePos (want 0) recall=${
+          if (brute.isEmpty) 1.0 else ivf.intersect(brute).size.toDouble / brute.size}")
+    }
+
+    // 10) time-based vacuum dates from durable markers (r5 fix): compact
+    // supersedes a version; retention=168h keeps it, then a backdated marker
+    // lets vacuumRetention(1) reap it
+    {
+      import graft.store.Fs
+      idx.compact()
+      val tablePath = s"$work/store/indexes/orders_drive/index"
+      idx.vacuumRetention(retentionHours = 168)
+      val before = Fs.listDirs(spark, tablePath).count(_.startsWith("v"))
+      val marked = Fs.listDirs(spark, tablePath).filter(d =>
+        Fs.exists(spark, s"$tablePath/$d/_superseded_at"))
+      println(s"[drive] 10-vacuum dirs=$before markedSuperseded=${marked.size} " +
+        s"(want >=1) probeStillOk=${idx.join(orders.select("o_custkey").distinct(),
+          Seq("o_custkey")).count() > 0}")
+    }
+
     spark.stop()
     println("[drive] done")
   }

@@ -92,4 +92,31 @@ class AdviceFixesSpec extends GraftSuite {
     assert(idx.query(Map("id" -> Seq(1L, 2L))).count() == 0)
     assert(idx.unindexedFiles.isEmpty)
   }
+
+  test("broadcast set membership matches isin and stays UDF-free (r5)") {
+    import spark.implicits._
+    import graft.functions.BroadcastSets
+    val longs = (1L to 500L).toDF("v")
+    val longVals = (1L to 300L by 3L).toSeq
+    val viaExpr = longs.where(
+      BroadcastSets.longSetContains(spark, longVals)(col("v")))
+    val viaIsin = longs.where(col("v").isin(longVals: _*))
+    assert(viaExpr.collect().map(_.getLong(0)).toSet ==
+      viaIsin.collect().map(_.getLong(0)).toSet)
+    // null input drops the row, exactly like isin in a WHERE
+    val withNull = Seq[java.lang.Long](1L, null, 7L).toDF("v")
+    assert(withNull.where(BroadcastSets.longSetContains(spark, Seq(1L, 2L))(col("v")))
+      .count() == 1)
+
+    val strs = Seq("a", "b", "c", "d", "é", "").toDF("s")
+    val strVals = Seq("b", "é", "", "missing")
+    val gotS = strs.where(BroadcastSets.stringSetContains(spark, strVals)(col("s")))
+      .collect().map(_.getString(0)).toSet
+    val wantS = strs.where(col("s").isin(strVals: _*))
+      .collect().map(_.getString(0)).toSet
+    assert(gotS == wantS)
+    // the filter compiles into the codegen'd scan stage — no UDF barrier
+    val plan = viaExpr.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("udf"), s"expected UDF-free plan:\n$plan")
+  }
 }

@@ -204,6 +204,43 @@ class ScaleMachinerySpec extends GraftSuite {
     }
   }
 
+  test("time-based vacuum dates supersession from durable markers, not FS mtime") {
+    import spark.implicits._
+    import graft.store.{Fs, SnapshotTable}
+    val root = tmpDir("graft_tvacm_") + "/tbl"
+    val t = new SnapshotTable(spark, root)
+    spark.conf.set("spark.graft.cacheIndexTables", "false")
+    spark.conf.set("spark.graft.retainedSnapshots", "10")
+    try {
+      t.overwrite(Seq(("a", 1L)).toDF("k", "v"))
+      t.overwrite(Seq(("a", 2L)).toDF("k", "v")) // v1 superseded, marker stamped
+      assert(Fs.exists(spark, s"$root/v1/_superseded_at"),
+        "pointer swap must durably record supersession time")
+      // Simulate an object store / pre-marker layout: the marker is gone and
+      // any FS mtime the dir reports would look ancient. The reaper must NOT
+      // trust mtime — it stamps a fresh marker and keeps the dir.
+      Fs.delete(spark, s"$root/v1/_superseded_at")
+      t.vacuumOlderThan(retentionHours = 0)
+      assert(Fs.exists(spark, s"$root/v1"),
+        "dir without a supersession record must survive the pass")
+      assert(Fs.exists(spark, s"$root/v1/_superseded_at"),
+        "the pass must stamp the missing marker for the next window")
+      // Once the durable record says the horizon has passed, it is reaped.
+      Fs.writeStringAtomic(spark, s"$root/v1/_superseded_at",
+        (System.currentTimeMillis() - 10L * 3600L * 1000L).toString)
+      t.vacuumOlderThan(retentionHours = 1)
+      assert(!Fs.exists(spark, s"$root/v1"))
+      // A zero/garbage marker counts as unknown, never as infinitely old.
+      t.overwrite(Seq(("a", 3L)).toDF("k", "v")) // v2 superseded
+      Fs.writeStringAtomic(spark, s"$root/v2/_superseded_at", "0")
+      t.vacuumOlderThan(retentionHours = 0)
+      assert(Fs.exists(spark, s"$root/v2"), "zero marker must not be deletable")
+    } finally {
+      spark.conf.unset("spark.graft.cacheIndexTables")
+      spark.conf.unset("spark.graft.retainedSnapshots")
+    }
+  }
+
   test("index-level vacuumRetention applies across all state tables") {
     val (idx, _) = freshIndex("tvac_orders", 3)
     idx.update()
