@@ -87,6 +87,18 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_month")
         .orderBy("o_orderkey")
     }),
+    // two temporal configs on one index: a row survives only if it is the
+    // latest for its user AND the latest for its event type, each winner
+    // computed against the full filtered row set (multi-config dedup is one
+    // aggregate-union pass; file pruning falls back to key containment,
+    // where latest-file-only winnowing would be unsound)
+    "q_temporal_multi" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      lk.eventsMultiIdx.query(Map(
+          "user_id" -> UserIds, "event_type" -> Seq("click", "view")))
+        .select("event_id", "user_id", "event_type")
+        .orderBy("user_id", "event_id")
+    }),
     "q_csv_read" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
       lk.ordersCsvIdx.query(Map("o_custkey" -> CustKeys))
@@ -696,6 +708,19 @@ object SparkEntry {
       s"""SELECT o_orderkey, o_custkey, month(o_orderdate) AS o_month FROM orders
           WHERE o_custkey IN ${inList(CustKeys)}
             AND month(o_orderdate) IN ${inList(Months)} ORDER BY o_orderkey""",
+    // event_id DESC mirrors the engine's ts-tie break (payload struct leads
+    // with event_id); verified tie-free at both SFs regardless
+    "q_temporal_multi" ->
+      s"""WITH f AS (SELECT event_id, user_id, event_type, ts FROM events
+                     WHERE user_id IN ${inList(UserIds)}
+                       AND event_type IN ('click', 'view')),
+              w1 AS (SELECT * FROM f QUALIFY row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1),
+              w2 AS (SELECT * FROM f QUALIFY row_number() OVER (
+                       PARTITION BY event_type ORDER BY ts DESC, event_id DESC) = 1)
+          SELECT event_id, user_id, event_type FROM w1
+          INTERSECT SELECT event_id, user_id, event_type FROM w2
+          ORDER BY user_id, event_id""",
     "q_csv_read" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
           WHERE o_custkey IN ${inList(CustKeys)} ORDER BY o_orderkey""",

@@ -128,6 +128,19 @@ final class Lake private (val spark: SparkSession, val sfDir: String, val work: 
     idx
   }
 
+  /** events with TWO temporal configs (user_id and event_type, both by ts):
+    * the gate for multi-config latest-row dedup (a row must win under EVERY
+    * config) and for the containment fallback that multi-column probes use
+    * instead of latest-file pruning. */
+  def eventsMultiIdx: Index = memoIdx("events_multi_idx") {
+    val idx = Index(spark, "events_multi_idx", table("events").schema, "parquet")
+    idx.addTemporalIndex("user_id", "ts")
+    idx.addTemporalIndex("event_type", "ts")
+    idx.addFile(eventsFiles: _*)
+    idx.update()
+    idx
+  }
+
   /** documents: exploded token index + regular(lang). */
   def docsIdx: Index = memoIdx("docs_idx") {
     val idx = Index(spark, "docs_idx", table("documents").schema, "parquet")
@@ -193,7 +206,7 @@ final class Lake private (val spark: SparkSession, val sfDir: String, val work: 
     val tasks: Seq[() => Any] = Seq(
       () => ordersIdx, () => lineitemIdx, () => eventsIdx,
       () => docsIdx, () => ordersCsvIdx, () => ordersJsonIdx,
-      () => ordersOrcIdx)
+      () => ordersOrcIdx, () => eventsMultiIdx)
     Await.result(Future.sequence(tasks.map(t => Future(t()))), 30.minutes)
     ()
   }

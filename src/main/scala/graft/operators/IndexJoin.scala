@@ -166,7 +166,27 @@ object IndexJoin extends Logging {
     if (defs.isEmpty) df
     else if (!df.schema.fields.forall(f => orderableType(f.dataType)))
       windowedTemporalDedup(df, defs)
-    else defs.map(ix => latestRowPerValue(df, ix)).reduce(_.intersect(_))
+    else if (defs.size == 1) latestRowPerValue(df, defs.head)
+    else {
+      // Multi-config: a row survives iff it is the winner under EVERY
+      // config, each winner computed against the ORIGINAL rows (reference
+      // semantics — sequential filtering would compute config 2's winners
+      // among config 1's survivors, a different set). Each config's winner
+      // set is duplicate-free by construction (one row per group, and the
+      // group key rides in the payload), so "in all N winner sets" reduces
+      // to: union the winner sets and keep payloads appearing N times —
+      // ONE aggregate over the winner union instead of the previous N-1
+      // full-row distinct-shuffle intersects (r4 verdict finding #2: each
+      // intersect shuffled data-sized frames when values are near-unique).
+      val n = defs.size
+      val cols = df.columns.toIndexedSeq
+      defs.map(ix => latestRowPerValue(df, ix))
+        .reduce(_.unionByName(_))
+        .groupBy(cols.map(col): _*)
+        .agg(count(lit(1)).as("__graft_n"))
+        .where(col("__graft_n") === n)
+        .drop("__graft_n")
+    }
   }
 
   /** One aggregate replacing the per-value row_number window; output schema

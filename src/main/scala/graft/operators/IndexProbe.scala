@@ -45,8 +45,21 @@ object IndexProbe {
     indexDfOpt match {
       case None => emptyFilenames(spark)
       case Some(indexDf) =>
+        // Latest-file winnowing for a temporal column is sound ONLY when it
+        // is the sole probed column: the row-level dedup then computes each
+        // value's winner over rows filtered by nothing else, and that winner
+        // provably lives in the value's latest file. With ANY second probed
+        // column (another filter, or a second temporal config), the
+        // filtered winner for a value can live in an OLDER file — its
+        // globally-latest row may fail the other filter — so temporal
+        // columns fall back to key-CONTAINMENT pruning (every file holding
+        // the value), which keeps the complete filtered row set readable.
+        // Mirrors the SQL catalog's r4 temporal-safety guard on the
+        // programmatic path.
+        val latestFileOk = indexed.size == 1
         indexed
-          .map { case (ix, probe) => candidatesForColumn(store, indexDf, ix, probe) }
+          .map { case (ix, probe) =>
+            candidatesForColumn(store, indexDf, ix, probe, latestFileOk) }
           .map(_.select("filename").distinct())
           .reduce((a, b) => a.join(b, Seq("filename"), "inner"))
     }
@@ -66,7 +79,8 @@ object IndexProbe {
       store: IndexStore,
       indexDf: DataFrame,
       ix: IndexDef,
-      probe: Probe): DataFrame = {
+      probe: Probe,
+      latestFileOk: Boolean = true): DataFrame = {
     // storage column entirely absent = registered but never built (backfill
     // pending): no pruning possible, every file is a candidate
     if (!indexDf.columns.contains(ix.storageColumn))
@@ -75,7 +89,7 @@ object IndexProbe {
       case "regular" | "computed" | "exploded" => arrayCandidates(store, indexDf, ix, probe)
       case "bloom"    => bloomCandidates(store.spark, indexDf, ix, probe)
       case "range"    => rangeCandidates(store.spark, indexDf, ix, probe)
-      case "temporal" => temporalCandidates(indexDf, ix, probe)
+      case "temporal" => temporalCandidates(indexDf, ix, probe, latestFileOk)
       case t => throw new IllegalStateException(s"unknown index type $t")
     }
     // Files whose index entry for this column is NULL (registered but not
@@ -273,9 +287,15 @@ object IndexProbe {
   /** Temporal columns: for each probed value, only the file holding the
     * LATEST timestamp for that value can contribute the latest row
     * (reference: IndexQueryOperations.scala:539-555,769-796). Filename is a
-    * determinism tiebreak on equal timestamps. */
+    * determinism tiebreak on equal timestamps.
+    *
+    * `latestFileOk = false` (multi-column probes — see [[candidateFiles]])
+    * skips the latest-file winnowing and returns every file CONTAINING a
+    * probed value: with other filters in play the per-value winner can live
+    * in a non-latest file, and pruning may only ever over-approximate. */
   private def temporalCandidates(
-      indexDf: DataFrame, ix: IndexDef, probe: Probe): DataFrame = {
+      indexDf: DataFrame, ix: IndexDef, probe: Probe,
+      latestFileOk: Boolean = true): DataFrame = {
     val exploded = indexDf.where(col(ix.column).isNotNull)
       .select(col("filename"), explode(col(ix.column)).as("__s"))
       .select(col("filename"), col("__s.value").as("__v"), col("__s.max_ts").as("__ts"))
@@ -302,6 +322,7 @@ object IndexProbe {
     // observable. The extra join runs on the small per-file index frame,
     // never on data rows; an all-null-ts key keeps all its files (the
     // over-approximation pruning is allowed).
+    if (!latestFileOk) return matched.select("filename")
     val winners = matched.groupBy(col("__v")).agg(max(col("__ts")).as("__mx"))
     matched.join(winners, Seq("__v"))
       .where(col("__ts") <=> col("__mx"))

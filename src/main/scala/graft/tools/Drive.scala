@@ -234,6 +234,50 @@ object Drive {
           Seq("o_custkey")).count() > 0}")
     }
 
+    // 11) multi-temporal-config dedup (r5): two temporal indexes on events;
+    // a probed row survives iff latest under EVERY config, winners computed
+    // on the full filtered set. Oracle = window intersection over full scan.
+    // Also: temporal column + second filter must read non-latest files.
+    {
+      val midx = Index(spark, "events_multi_drive", events.schema, "parquet")
+      midx.addTemporalIndex("user_id", "ts")
+      midx.addTemporalIndex("event_type", "ts")
+      midx.addFile(evFiles: _*)
+      midx.update()
+      val users = (1L to 20L).toSeq
+      val types = Seq("click", "view")
+      val got = midx.query(Map("user_id" -> users, "event_type" -> types))
+        .select("event_id").as[Long].collect().toSet
+      val f = events.where(col("user_id").isin(users: _*) &&
+        col("event_type").isin(types: _*))
+      def winners(part: String) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(part).orderBy(col("ts").desc, col("event_id").desc)
+        f.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+          .select("event_id").as[Long].collect().toSet
+      }
+      val oracle = winners("user_id").intersect(winners("event_type"))
+      println(s"[drive] 11-multi-temporal got=${got.size} oracle=${oracle.size} " +
+        (if (got == oracle) "OK" else s"MISMATCH diff=${got.diff(oracle)}|${oracle.diff(got)}"))
+      // containment fallback: temporal + regular filter; latest click per
+      // user must surface even when the user's globally-latest row is a view
+      val cidx = Index(spark, "events_mixed_drive", events.schema, "parquet")
+      cidx.addTemporalIndex("user_id", "ts")
+      cidx.addIndex("event_type")
+      cidx.addFile(evFiles: _*)
+      cidx.update()
+      val got2 = cidx.query(Map("user_id" -> users, "event_type" -> Seq("click")))
+        .select("event_id").as[Long].collect().toSet
+      val f2 = events.where(col("user_id").isin(users: _*) &&
+        col("event_type") === "click")
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      val oracle2 = f2.withColumn("rn", row_number().over(w2)).where(col("rn") === 1)
+        .select("event_id").as[Long].collect().toSet
+      println(s"[drive] 11-temporal-plus-filter got=${got2.size} oracle=${oracle2.size} " +
+        (if (got2 == oracle2) "OK" else s"MISMATCH diff=${got2.diff(oracle2)}|${oracle2.diff(got2)}"))
+    }
+
     spark.stop()
     println("[drive] done")
   }

@@ -80,6 +80,63 @@ class EdgeCasesSpec extends GraftSuite {
     assert(!got.head.schema.fieldNames.contains("meta"))
   }
 
+  test("temporal probe with a second filter column must read non-latest files") {
+    import spark.implicits._
+    // user 1's LATEST row is type B in f2; the latest TYPE-A row is older,
+    // in f1. A query filtered to type A must return it — latest-file-only
+    // pruning for the temporal column would drop f1 and return nothing.
+    val rows = Seq(
+      (1L, "A", "e1", 10L),
+      (1L, "B", "e2", 20L)
+    ).toDF("u", "typ", "e", "ts")
+    val dir = tmpDir("graft_tmix_")
+    rows.where(col("e") === "e1").coalesce(1).write.parquet(s"$dir/f1")
+    rows.where(col("e") === "e2").coalesce(1).write.parquet(s"$dir/f2")
+    def files(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    val idx = Index(spark, "tmix_idx", rows.schema, "parquet")
+    idx.addTemporalIndex("u", "ts")
+    idx.addIndex("typ")
+    idx.addFile(files(s"$dir/f1") ++ files(s"$dir/f2"): _*)
+    idx.update()
+    val got = idx.query(Map("u" -> Seq(1L), "typ" -> Seq("A")))
+      .select("e").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("e1"),
+      s"filtered latest row lives in a non-latest file and must survive: $got")
+    // the single-column probe still serves pure latest-row semantics
+    assert(idx.query(Map("u" -> Seq(1L))).select("e")
+      .collect().map(_.getString(0)).toSeq == Seq("e2"))
+  }
+
+  test("two temporal configs keep only rows that are latest under EVERY config") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "A", "a", 10L),
+      (1L, "B", "b", 20L), // u1 winner AND type-B winner
+      (2L, "A", "c", 30L), // u2 winner AND type-A winner
+      (2L, "B", "d", 5L),
+      (3L, "A", "x", 25L)  // u3 winner but NOT type-A winner -> dropped
+    ).toDF("u", "typ", "e", "ts")
+    val dir = tmpDir("graft_tmulti_")
+    Seq(1L, 2L, 3L).foreach(u =>
+      rows.where(col("u") === u).coalesce(1).write.parquet(s"$dir/f$u"))
+    def files(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    val idx = Index(spark, "tmulti_idx", rows.schema, "parquet")
+    idx.addTemporalIndex("u", "ts")
+    idx.addTemporalIndex("typ", "ts")
+    idx.addFile(Seq(1L, 2L, 3L).flatMap(u => files(s"$dir/f$u")): _*)
+    idx.update()
+    val got = idx.query(Map("u" -> Seq(1L, 2L, 3L), "typ" -> Seq("A", "B")))
+      .select("e").collect().map(_.getString(0)).toSet
+    assert(got == Set("b", "c"),
+      s"multi-config winners must be the per-config intersection: $got")
+    // read(latestOnly) applies every config over the unpruned read — same set
+    val full = idx.read(latestOnly = true)
+      .select("e").collect().map(_.getString(0)).toSet
+    assert(full == Set("b", "c"))
+  }
+
   test("exploded FIELD index over array-of-struct (reference addExplodedFieldIndex)") {
     import spark.implicits._
     val rows = Seq(
