@@ -1,0 +1,46 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+import graft.harness.Lake
+
+/** One-off triage for the r4 temporal bench deltas (verdict item #3):
+  * repeated timed runs of the three queries whose plans r4 rewrote for
+  * skew-safety, isolating plan cost from per-run container noise. */
+object TriageBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val reps = args.headOption.map(_.toInt).getOrElse(5)
+    val names = Seq("q_temporal_latest", "q_temporal_join", "q_topk_group")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    Lake.get(spark, sfDir).prebuild()
+    def timeOne(name: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warmup pass (JIT + index-table cache), then interleaved reps
+    names.foreach(timeOne)
+    val samples = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    (1 to reps).foreach { _ =>
+      names.foreach { n => samples(n) = samples(n) :+ timeOne(n); System.gc() }
+    }
+    names.foreach { n =>
+      val s = samples(n).sorted
+      val med = s(s.size / 2)
+      println(f"[triage] $n median=$med%.3f min=${s.head}%.3f max=${s.last}%.3f " +
+        s"all=${s.map(x => f"$x%.2f").mkString(",")}")
+    }
+    spark.stop()
+  }
+}
