@@ -50,7 +50,9 @@ object ScaleBench {
       sys.env.getOrElse("SPARK_GRAFT_BAND_SCALE", "8"))
     val (lake, setupSec) = time {
       val lk = Lake.get(spark, sfDir)
-      if (mode == "joins") lk.ordersIdx else lk.prebuild()
+      if (mode == "joins") lk.ordersIdx
+      else if (mode == "build") lk.ordersFiles // split only; build IS the bench
+      else lk.prebuild()
       lk
     }
     results("x_lake_setup") = setupSec
@@ -66,6 +68,57 @@ object ScaleBench {
       counts(name) = n
       System.err.println(f"[scalebench] $name $sec%.1fs ($n rows)")
       System.gc()
+    }
+
+    // ---- build-side: index construction cost over the ×30 lake -----------
+    // (VERDICT r4 item 6: query-side crossover is measured; pin the
+    // consolidation/segmentation claims the same way.) Wall time + total
+    // shuffle-write bytes for (1) a cold full build over all orders files,
+    // (2) an incremental update registering ONE new file — the O(batch)
+    // claim: staging appends never rewrite earlier segments, so the
+    // incremental cost must not scale with the already-indexed lake.
+    if (mode == "build") {
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      def shuffleDelta[T](key: String)(body: => T): T = {
+        Thread.sleep(1500) // listener bus is async; settle before snapshot
+        val before = shuffleBytes.get()
+        val r = body
+        Thread.sleep(1500)
+        results(key) = (shuffleBytes.get() - before) / 1e6 // MB
+        r
+      }
+      val allFiles = lake.ordersFiles
+      val (head, tail) = (allFiles.dropRight(1), allFiles.last)
+      graft.Index.remove(spark, "orders_build_bench")
+      val bidx = graft.Index(spark, "orders_build_bench",
+        lake.orders.schema, "parquet")
+      bidx.addIndex("o_custkey")
+      bidx.addRangeIndex("o_orderkey")
+      bidx.addComputedIndex("o_month", "cast(month(o_orderdate) as bigint)")
+      bidx.addFile(head: _*)
+      counts("b_files_full") = head.size.toLong
+      shuffleDelta("b_build_full_shuffle_mb") {
+        bench("b_build_full") { bidx.update(); bidx.files.size.toLong }
+      }
+      bidx.addFile(tail)
+      shuffleDelta("b_build_incr_shuffle_mb") {
+        bench("b_build_incr") { bidx.update(); bidx.files.size.toLong }
+      }
+      // a probe through the just-built index proves the build is usable
+      bench("b_probe_after_build") {
+        bidx.query(Map("o_custkey" -> (1L to 20L))).count()
+      }
+      graft.Index.remove(spark, "orders_build_bench")
+      spark.sparkContext.removeSparkListener(listener)
+      emit(results, counts, sfDir); spark.stop(); return
     }
 
     // ---- (a) indexed vs fullscan crossover: key-local probe --------------
