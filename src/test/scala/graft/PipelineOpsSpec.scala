@@ -118,6 +118,42 @@ class PipelineOpsSpec extends GraftSuite {
     assert(ivf.subsetOf(brute), s"IVF produced non-pairs: ${ivf -- brute}")
   }
 
+  test("IVF assignment: codegen'd nearest-cells == crossJoin+window oracle, shuffle-free") {
+    import graft.functions.{CentroidSet, VectorOps}
+    // any deterministic centroid pick works for the differential — the test
+    // pins the ASSIGNMENT math, not the quantizer
+    val centroidRows = emb.where(col("vec_id") < 4)
+      .orderBy("vec_id").select("vec_id", "embedding").collect()
+    val cs = new CentroidSet(centroidRows.map(
+      _.getAs[scala.collection.Seq[Float]]("embedding").toArray))
+    val got = emb.select(col("vec_id"),
+      explode(VectorOps.nearestCells(col("embedding"), cs, 2)).as("__cid"))
+    // the r4 formulation, rebuilt as the oracle: nCells× crossJoin then a
+    // row_number window keeping the nProbe best (cosine desc, cid asc)
+    import spark.implicits._
+    val cents = centroidRows.zipWithIndex.map { case (r, i) =>
+      (i.toLong, r.getAs[scala.collection.Seq[Float]]("embedding").toArray)
+    }.toSeq.toDF("__cid", "__cvec")
+    val scored = emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cents))
+      .withColumn("__sim", VectorOps.dotF(col("embedding"), col("__cvec")) /
+        (VectorOps.normF(col("embedding")) * VectorOps.normF(col("__cvec"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("__sim").desc, col("__cid"))
+    val want = scored.withColumn("__r", row_number().over(w))
+      .where(col("__r") <= 2).select("vec_id", "__cid")
+    assertSameRows(got, want)
+    // the scale property the rewrite exists for: assignment is ONE codegen'd
+    // scan — no exchange, no window (r4 verdict finding #1)
+    val assignPlan = got.queryExecution.executedPlan.toString
+    assert(!assignPlan.contains("Exchange") && !assignPlan.contains("Window"),
+      s"IVF assignment must be a shuffle-free scan:\n${assignPlan.take(800)}")
+    val pairsPlan = Similarity.ivfCosinePairs(emb, "vec_id", "embedding", 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!pairsPlan.contains("Window"),
+      "ivfCosinePairs must not reintroduce the window formulation")
+  }
+
   test("embeddingPairs(ivf) ⊆ brute pairs; keepFirst drops exactly the b_ids") {
     import spark.implicits._
     val ivf = Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.4)
