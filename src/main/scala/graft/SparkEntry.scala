@@ -491,6 +491,22 @@ object SparkEntry {
         TextAnalysis.langId(col("text")).as("pred_lang"))
         .orderBy("doc_id")
     }),
+    // transitive duplicate clusters: minhash near-dup pairs closed under
+    // connectivity (a~b, b~c => one cluster) via distributed min-label
+    // propagation + path-halving; oracle = recursive CTE min-reachable
+    "q_dedup_clusters" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val pairs = Dedup.minhashPairs(lk.documents, "doc_id", "text",
+        threshold = 0.95)
+      Dedup.duplicateClusters(pairs).orderBy("id")
+    }),
+    // Gopher-style within-document repetition features (dup-line /
+    // dup-char / top-token fractions) — one shuffle-free scan
+    "q_repetition" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      TextAnalysis.repetition(lk.documents, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // deterministic hash sampling: same rows selected on every run, any
     // partitioning, any engine (md5-hex-prefix threshold compare)
     "q_sample_hash" -> ((s, dir) => {
@@ -902,6 +918,41 @@ object SparkEntry {
          WHERE len(list_intersect(a.gs, b.gs))::DOUBLE /
                len(list_distinct(list_concat(a.gs, b.gs)))::DOUBLE >= 0.9
          ORDER BY a_id, b_id""",
+    "q_dedup_clusters" ->
+      """WITH RECURSIVE
+           t AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) ts
+                 FROM documents),
+           p AS (SELECT a.doc_id a_id, b.doc_id b_id
+                 FROM t a JOIN t b ON a.doc_id < b.doc_id
+                 WHERE len(list_intersect(a.ts, b.ts))::DOUBLE /
+                       len(list_distinct(list_concat(a.ts, b.ts)))::DOUBLE >= 0.95),
+           e AS (SELECT a_id s, b_id d FROM p UNION SELECT b_id, a_id FROM p),
+           reach(id, r) AS (
+             SELECT s, s FROM e
+             UNION
+             SELECT e.d, reach.r FROM reach JOIN e ON e.s = reach.id)
+         SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""",
+    "q_repetition" ->
+      """WITH r AS (SELECT doc_id,
+                      string_split(text, chr(10)) ls,
+                      string_split(lower(text), ' ') ts
+                    FROM documents)
+         SELECT doc_id,
+           len(ls)::BIGINT AS n_lines,
+           (len(ls) - len(list_distinct(ls)))::BIGINT AS n_dup_lines,
+           (len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls)::DOUBLE
+             AS dup_line_ratio,
+           list_sum(list_transform(list_distinct(ls),
+               l -> (len(list_filter(ls, x -> x = l)) - 1) * length(l)))::DOUBLE /
+             greatest(list_sum(list_transform(ls, l -> length(l))), 1)::DOUBLE
+             AS dup_line_char_ratio,
+           list_max(list_transform(list_distinct(ts),
+               t2 -> len(list_filter(ts, x -> x = t2))))::BIGINT
+             AS top_token_count,
+           list_max(list_transform(list_distinct(ts),
+               t2 -> len(list_filter(ts, x -> x = t2))))::DOUBLE /
+             len(ts)::DOUBLE AS top_token_ratio
+         FROM r ORDER BY doc_id""",
     "q_ann_pairs" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
          SELECT a.vec_id AS a_id, b.vec_id AS b_id

@@ -506,4 +506,75 @@ object Dedup extends org.apache.spark.internal.Logging {
   def keepFirst(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("b_id").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
+
+  /** Connected components over a near-dup pair frame: `(id, cluster_id)`
+    * for every id appearing in `pairs`, where `cluster_id` is the minimum
+    * id transitively reachable — the canonical duplicate-cluster label a
+    * curation pipeline groups on (pairs alone under-merge: a~b, b~c is ONE
+    * cluster even when a!~c directly).
+    *
+    * Algorithm: iterative min-label propagation with path-halving
+    * (label := label(label) each sweep), the standard MapReduce-CC family
+    * (cf. Kiveris et al., "Connected Components in MapReduce and Beyond").
+    * Each sweep is two shuffles over the EDGE frame (≪ corpus for dedup
+    * graphs) plus one over the label frame; halving makes convergence
+    * O(log diameter) sweeps, so a 100 TB corpus with million-node chains
+    * still converges in ~20 rounds. Lineage is truncated per sweep with
+    * `localCheckpoint` (iterative-plan hygiene — without it the plan tree
+    * doubles every sweep); the driver holds only a one-row convergence
+    * count. Deterministic on any partitioning: min is order-insensitive.
+    *
+    * Ref parity note: the reference has no graph operator; this extends the
+    * dedup family the same way `minhashPairs` does (training-data ops
+    * mandate, SURVEY §2 addendum). */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    // init: every node labels itself min(self, min neighbor) — one sweep
+    // of propagation folded into initialization
+    var lab = edges.groupBy("src").agg(min("dst").as("mn"))
+      .select(col("src").as("id"), least(col("src"), col("mn")).as("lab"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // propagate: each node adopts the min label among its neighbors
+      val prop = edges.join(lab.withColumnRenamed("id", "src"), Seq("src"))
+        .groupBy(col("dst").as("id")).agg(min("lab").as("nlab"))
+      val merged = lab.join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+      // path-halving: follow the label one hop (label's own label)
+      val parent = merged.select(col("id").as("p_id"), col("lab").as("p_lab"))
+      val next = merged.join(parent, merged("lab") === parent("p_id"), "left")
+        .select(merged("id"),
+          coalesce(col("p_lab"), merged("lab")).as("lab"))
+        .localCheckpoint()
+      converged = next.join(lab.withColumnRenamed("lab", "old"), Seq("id"))
+        .where(col("lab") =!= col("old")).isEmpty
+      lab = next
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"duplicateClusters did not converge in $maxIter sweeps — " +
+        "pathological graph; raise maxIter")
+    lab.select(col("id"), col("lab").as("cluster_id"))
+  }
+
+  /** Transitive survivor selection: keep exactly one row (the minimum id)
+    * per duplicate CLUSTER, plus every row in no pair at all. The
+    * closure-correct counterpart of greedy [[keepFirst]]: for a chain
+    * a~b, b~c it keeps a only (same result here), but it never drops two
+    * representatives of what is actually one transitive group, and unlike
+    * keepFirst its survivor set is stable under pair-order/direction
+    * noise. One CC pass + one left-anti join. */
+  def keepCanonical(df: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val drop = duplicateClusters(pairs)
+      .where(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(drop, Seq(idCol), "left_anti")
+  }
 }

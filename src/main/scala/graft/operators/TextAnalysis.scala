@@ -102,6 +102,46 @@ object TextAnalysis {
       ).as(Seq("chunk_ix", "chunk_text")))
   }
 
+  /** Gopher-style repetition features: the within-document duplication
+    * signals the published quality filters threshold on (Rae et al. 2021
+    * §A1.1 — duplicate line fraction, duplicate line character fraction,
+    * most-common-token fraction). All per-row higher-order-function
+    * arithmetic over the line/token arrays — codegen'd, shuffle-free, no
+    * explode: a 100 TB corpus pays exactly one scan. The per-row cost is
+    * O(distinct × occurrences), bounded by document length, not corpus
+    * size. Ratios are single int/int divisions in double (bit-identical
+    * across engines, same discipline as [[quality]]). */
+  def repetition(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val toks = tokens(col(textCol))
+    val nLines = size(lines).cast("long")
+    val nDistinctLines = size(array_distinct(lines)).cast("long")
+    // chars inside repeated line occurrences (all occurrences beyond the
+    // first of each distinct line), over total line chars
+    val dupLineChars = aggregate(
+      transform(array_distinct(lines), l =>
+        (size(filter(lines, x => x === l)) - 1) * length(l)),
+      lit(0L), (acc, x) => acc + x.cast("long"))
+    val totalLineChars = aggregate(
+      transform(lines, l => length(l)),
+      lit(0L), (acc, x) => acc + x.cast("long"))
+    val topTokenCount = array_max(
+      transform(array_distinct(toks), t =>
+        size(filter(toks, x => x === t)))).cast("long")
+    df.select(
+      col(idCol),
+      nLines.as("n_lines"),
+      (nLines - nDistinctLines).as("n_dup_lines"),
+      ((nLines - nDistinctLines).cast("double") / nLines.cast("double"))
+        .as("dup_line_ratio"),
+      (dupLineChars.cast("double") /
+        greatest(totalLineChars, lit(1L)).cast("double"))
+        .as("dup_line_char_ratio"),
+      topTokenCount.as("top_token_count"),
+      (topTokenCount.cast("double") / size(toks).cast("double"))
+        .as("top_token_ratio"))
+  }
+
   /** Content fingerprints: md5 of raw text and of whitespace-normalized,
     * lowercased text (near-dup-robust form). */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -154,6 +154,96 @@ class PipelineOpsSpec extends GraftSuite {
       "ivfCosinePairs must not reintroduce the window formulation")
   }
 
+  test("duplicateClusters: min-reachable label on chains, cliques, bridges") {
+    import spark.implicits._
+    // chain 1-2-3-4; clique {10,11,12}; star 20-{21,22}; bridge 30-31-32
+    // given with mixed edge direction (the op symmetrizes)
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (10L, 12L), (11L, 12L),
+      (20L, 21L), (20L, 22L),
+      (30L, 31L), (32L, 31L)).toDF("a_id", "b_id")
+    val got = Dedup.duplicateClusters(pairs)
+    val want = Seq(
+      (1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L),
+      (20L, 20L), (21L, 20L), (22L, 20L),
+      (30L, 30L), (31L, 30L), (32L, 30L)).toDF("id", "cluster_id")
+    assertSameRows(got, want)
+  }
+
+  test("duplicateClusters == driver union-find on real minhash pairs") {
+    import spark.implicits._
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.9)
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty, "fixture must contain near-dup pairs")
+    // driver-side union-find oracle
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.toSeq.map(k => (k, find(k))).toDF("id", "cluster_id")
+    assertSameRows(Dedup.duplicateClusters(pairs), want)
+  }
+
+  test("keepCanonical keeps one representative per cluster + all unpaired rows") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a_id", "b_id")
+    val df = (1L to 12L).toDF("doc_id")
+    val got = Dedup.keepCanonical(df, "doc_id", pairs)
+    // survivors: cluster minima {1, 10} + untouched {4..9, 12}
+    val want = (Seq(1L, 10L) ++ (4L to 9L) :+ 12L).toDF("doc_id")
+    assertSameRows(got, want)
+  }
+
+  test("repetition HOF metrics equal an explode-based reference") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "a b a\na b a\nc d"),          // duplicate line + repeated token
+      (2L, "x y z"),                       // single line, no repeats
+      (3L, "p\np\np\nq q q q")             // heavy line + token repetition
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(fixture, "doc_id", "text")
+    // explode-based reference: group lines / tokens per doc
+    val lines = fixture.select($"doc_id", explode(split($"text", "\n")).as("l"))
+    val lineStats = lines.groupBy("doc_id", "l")
+      .agg(count(lit(1)).as("c"), length(first($"l")).as("len"))
+      .groupBy("doc_id").agg(
+        sum($"c").cast("long").as("n_lines"),
+        count(lit(1)).cast("long").as("n_distinct"),
+        sum(($"c" - 1) * $"len").cast("long").as("dup_chars"),
+        sum($"c" * $"len").cast("long").as("total_chars"))
+    val toks = fixture.select($"doc_id",
+      explode(split(lower($"text"), " ")).as("t"))
+    val tokStats = toks.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        max($"c").cast("long").as("top_token_count"),
+        sum($"c").cast("long").as("n_tokens"))
+    val want = lineStats.join(tokStats, "doc_id").select(
+      $"doc_id",
+      $"n_lines",
+      ($"n_lines" - $"n_distinct").as("n_dup_lines"),
+      (($"n_lines" - $"n_distinct").cast("double") / $"n_lines".cast("double"))
+        .as("dup_line_ratio"),
+      ($"dup_chars".cast("double") /
+        greatest($"total_chars", lit(1L)).cast("double"))
+        .as("dup_line_char_ratio"),
+      $"top_token_count",
+      ($"top_token_count".cast("double") / $"n_tokens".cast("double"))
+        .as("top_token_ratio"))
+    assertSameRows(got, want)
+    // shuffle-free claim: one scan, no exchange in the plan
+    val plan = TextAnalysis.repetition(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"repetition must be a per-row scan:\n${plan.take(600)}")
+  }
+
   test("embeddingPairs(ivf) ⊆ brute pairs; keepFirst drops exactly the b_ids") {
     import spark.implicits._
     val ivf = Dedup.embeddingPairs(emb, "vec_id", "embedding", 0.4)
