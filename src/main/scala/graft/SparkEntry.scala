@@ -920,13 +920,16 @@ object SparkEntry {
          ORDER BY a_id, b_id""",
     "q_dedup_clusters" ->
       """WITH RECURSIVE
-           t AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) ts
+           t AS MATERIALIZED (
+                 SELECT doc_id, list_distinct(string_split(lower(text), ' ')) ts
                  FROM documents),
-           p AS (SELECT a.doc_id a_id, b.doc_id b_id
+           p AS MATERIALIZED (
+                 SELECT a.doc_id a_id, b.doc_id b_id
                  FROM t a JOIN t b ON a.doc_id < b.doc_id
                  WHERE len(list_intersect(a.ts, b.ts))::DOUBLE /
                        len(list_distinct(list_concat(a.ts, b.ts)))::DOUBLE >= 0.95),
-           e AS (SELECT a_id s, b_id d FROM p UNION SELECT b_id, a_id FROM p),
+           e AS MATERIALIZED (
+                 SELECT a_id s, b_id d FROM p UNION SELECT b_id, a_id FROM p),
            reach(id, r) AS (
              SELECT s, s FROM e
              UNION

@@ -541,21 +541,22 @@ object Dedup extends org.apache.spark.internal.Logging {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
-      // propagate: each node adopts the min label among its neighbors
+      // propagate: each node adopts the min label among its neighbors; the
+      // pre-sweep label rides along as `old` so convergence is a scan of
+      // this sweep's output, not an extra join against the previous one
       val prop = edges.join(lab.withColumnRenamed("id", "src"), Seq("src"))
         .groupBy(col("dst").as("id")).agg(min("lab").as("nlab"))
       val merged = lab.join(prop, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("lab").as("old"),
           least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
       // path-halving: follow the label one hop (label's own label)
       val parent = merged.select(col("id").as("p_id"), col("lab").as("p_lab"))
       val next = merged.join(parent, merged("lab") === parent("p_id"), "left")
-        .select(merged("id"),
+        .select(merged("id"), merged("old"),
           coalesce(col("p_lab"), merged("lab")).as("lab"))
         .localCheckpoint()
-      converged = next.join(lab.withColumnRenamed("lab", "old"), Seq("id"))
-        .where(col("lab") =!= col("old")).isEmpty
-      lab = next
+      converged = next.where(col("lab") =!= col("old")).isEmpty
+      lab = next.select("id", "lab")
       iter += 1
     }
     if (!converged) throw new IllegalStateException(
