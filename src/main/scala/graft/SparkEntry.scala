@@ -500,6 +500,14 @@ object SparkEntry {
         threshold = 0.95)
       Dedup.duplicateClusters(pairs).orderBy("id")
     }),
+    // exact-substring duplication: docs sharing verbatim 10-token runs
+    // (sliding-window shingle hash meeting in ONE shuffle — the Spark-first
+    // form of suffix-array substring dedup)
+    "q_dedup_substring" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Dedup.sharedWindowPairs(lk.documents, "doc_id", "text",
+        windowTokens = 10).orderBy("a_id", "b_id")
+    }),
     // Gopher-style within-document repetition features (dup-line /
     // dup-char / top-token fractions) — one shuffle-free scan
     "q_repetition" -> ((s, dir) => {
@@ -935,6 +943,17 @@ object SparkEntry {
              UNION
              SELECT e.d, reach.r FROM reach JOIN e ON e.s = reach.id)
          SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""",
+    "q_dedup_substring" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') ts
+                    FROM documents),
+              w AS (SELECT doc_id, list_distinct(list_transform(
+                      generate_series(1, len(ts) - 9),
+                      i -> array_to_string(list_slice(ts, i, i + 9), chr(1)))) ws
+                    FROM t WHERE len(ts) >= 10),
+              u AS (SELECT doc_id, unnest(ws) w FROM w)
+         SELECT a.doc_id a_id, b.doc_id b_id, count(*) AS shared_windows
+         FROM u a JOIN u b ON a.w = b.w AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_repetition" ->
       """WITH r AS (SELECT doc_id,
                       string_split(text, chr(10)) ls,

@@ -507,6 +507,47 @@ object Dedup extends org.apache.spark.internal.Logging {
     df.join(pairs.select(col("b_id").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** Exact-substring duplication: pairs of documents sharing at least
+    * `minShared` verbatim runs of `windowTokens` consecutive tokens — the
+    * signal behind suffix-array substring dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"),
+    * re-expressed Spark-first as sliding-window shingle hashing: token
+    * windows are 64-bit-hashed PER ROW (one codegen'd HOF pass, distinct
+    * within doc), then duplicated windows meet in one hash shuffle —
+    * never an all-pairs comparison, and unlike Jaccard near-dup it
+    * catches a long quote embedded in otherwise-unrelated documents.
+    *
+    * 100 TB shape: the exploded frame is one row per token position
+    * (corpus token count, same order as tokenization itself), shuffled
+    * once on the window hash; output is only colliding pairs. 64-bit
+    * hashing admits ~2^-65·n² false-collision probability — negligible
+    * below ~10^9 windows; the oracle compares raw window strings and
+    * agrees exactly at any tested scale. Docs shorter than
+    * `windowTokens` contribute no windows. */
+  def sharedWindowPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 20,
+      minShared: Long = 1L): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    val toks = split(lower(col(textCol)), " ")
+    // guard: sequence(0, n) DESCENDS when n < 0 — short docs must map to
+    // an empty window array, not a phantom window
+    val windows = when(size(toks) >= windowTokens,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - windowTokens),
+        i => xxhash64(concat_ws("\u0001",
+          slice(toks, i + 1, lit(windowTokens)))))))
+      .otherwise(array().cast("array<long>"))
+    val w = df.select(col(idCol).as("__id"), explode(windows).as("__w"))
+    w.as("a").join(w.as("b"),
+        col("a.__w") === col("b.__w") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("a_id"), col("b.__id").as("b_id"))
+      .agg(count(lit(1)).as("shared_windows"))
+      .where(col("shared_windows") >= minShared)
+  }
+
   /** Connected components over a near-dup pair frame: `(id, cluster_id)`
     * for every id appearing in `pairs`, where `cluster_id` is the minimum
     * id transitively reachable — the canonical duplicate-cluster label a

@@ -171,6 +171,14 @@ object ScaleBench {
     bench("q_dedup_minhash") {
       Dedup.minhashPairs(lake.documents, "doc_id", "text", threshold = 0.95).count()
     }
+    // transitive closure over the near-dup pair graph: sweeps shuffle the
+    // PAIR frame (~injected-pair count), never the corpus — wall time here
+    // is pair generation + O(log diameter) label sweeps
+    bench("q_dedup_clusters") {
+      Dedup.duplicateClusters(
+        Dedup.minhashPairs(lake.documents, "doc_id", "text", threshold = 0.95)
+      ).count()
+    }
     // n=5 at 150k docs: the char n-gram UNIVERSE must outgrow the corpus
     // for prefix filtering to stay selective (37^3 ≈ 50k grams saturates —
     // every "rare" gram still hits ~120 docs and candidates go quadratic;

@@ -154,6 +154,43 @@ class PipelineOpsSpec extends GraftSuite {
       "ivfCosinePairs must not reintroduce the window formulation")
   }
 
+  test("sharedWindowPairs == raw-string window reference; short docs excluded") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "a b c d e f"),        // shares window [b c d e] with 2
+      (2L, "x b c d e y"),
+      (3L, "a b c d e f"),        // exact dup of 1: 3 shared windows
+      (4L, "q r s"),              // shorter than window: no windows
+      (5L, "unrelated text entirely here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.sharedWindowPairs(fixture, "doc_id", "text",
+      windowTokens = 4)
+    // reference over raw window STRINGS (no hashing)
+    val toks = split(lower($"text"), " ")
+    val w = fixture.where(size(toks) >= 4).select($"doc_id", explode(
+      array_distinct(transform(sequence(lit(0), size(toks) - 4),
+        i => concat_ws("\u0001", slice(toks, i + 1, lit(4)))))).as("w"))
+    val want = w.as("a").join(w.as("b"),
+        $"a.w" === $"b.w" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
+      .agg(count(lit(1)).as("shared_windows"))
+    assertSameRows(got, want)
+    // sanity on the fixture: (1,3) share 3 windows, (1,2) and (2,3) share 1
+    val m = got.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(m((1L, 3L)) == 3 && m((1L, 2L)) == 1 && m((2L, 3L)) == 1 && m.size == 3)
+    // and on the real corpus: hashed pairs == raw-string pairs
+    val gotDocs = Dedup.sharedWindowPairs(docs, "doc_id", "text", windowTokens = 10)
+    val td = split(lower($"text"), " ")
+    val wd = docs.where(size(td) >= 10).select($"doc_id", explode(
+      array_distinct(transform(sequence(lit(0), size(td) - 10),
+        i => concat_ws("\u0001", slice(td, i + 1, lit(10)))))).as("w"))
+    val wantDocs = wd.as("a").join(wd.as("b"),
+        $"a.w" === $"b.w" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
+      .agg(count(lit(1)).as("shared_windows"))
+    assertSameRows(gotDocs, wantDocs)
+  }
+
   test("duplicateClusters: min-reachable label on chains, cliques, bridges") {
     import spark.implicits._
     // chain 1-2-3-4; clique {10,11,12}; star 20-{21,22}; bridge 30-31-32
