@@ -519,7 +519,18 @@ object Dedup extends org.apache.spark.internal.Logging {
     *
     * 100 TB shape: the exploded frame is one row per token position
     * (corpus token count, same order as tokenization itself), shuffled
-    * once on the window hash; output is only colliding pairs. 64-bit
+    * ONCE on the window hash; the self-join's both sides read that one
+    * exchange (ReusedExchange — plan-asserted), so duplicated windows
+    * meet in codegen'd sort-merge land with UnsafeRow spilling. (A
+    * bucket-aggregate formulation — collect_list of doc ids per window,
+    * pairs from a generator — was measured 8–20 % SLOWER in a same-JVM
+    * A/B at 8M windows: collecting mostly-singleton buckets forces a
+    * non-codegen ObjectHashAggregate whose per-window buffers are the
+    * wrong trade against two codegen'd sorts; kept as a written finding,
+    * not code.) A boilerplate window shared by k docs inherently means
+    * k·(k-1)/2 output pairs — `maxDocsPerWindow` (0 = unlimited) drops
+    * such pathological windows first via one extra count pass, for
+    * corpora whose boilerplate runs exceed `windowTokens`. 64-bit
     * hashing admits ~2^-65·n² false-collision probability — negligible
     * below ~10^9 windows; the oracle compares raw window strings and
     * agrees exactly at any tested scale. Docs shorter than
@@ -529,7 +540,8 @@ object Dedup extends org.apache.spark.internal.Logging {
       idCol: String,
       textCol: String,
       windowTokens: Int = 20,
-      minShared: Long = 1L): DataFrame = {
+      minShared: Long = 1L,
+      maxDocsPerWindow: Int = 0): DataFrame = {
     require(windowTokens > 0, "windowTokens must be positive")
     val toks = split(lower(col(textCol)), " ")
     // guard: sequence(0, n) DESCENDS when n < 0 — short docs must map to
@@ -540,7 +552,12 @@ object Dedup extends org.apache.spark.internal.Logging {
         i => xxhash64(concat_ws("\u0001",
           slice(toks, i + 1, lit(windowTokens)))))))
       .otherwise(array().cast("array<long>"))
-    val w = df.select(col(idCol).as("__id"), explode(windows).as("__w"))
+    val all = df.select(col(idCol).as("__id"), explode(windows).as("__w"))
+    val w = if (maxDocsPerWindow > 0) {
+      val hot = all.groupBy("__w").agg(count(lit(1)).as("__k"))
+        .where(col("__k") > maxDocsPerWindow).select("__w")
+      all.join(hot, Seq("__w"), "left_anti")
+    } else all
     w.as("a").join(w.as("b"),
         col("a.__w") === col("b.__w") && col("a.__id") < col("b.__id"))
       .groupBy(col("a.__id").as("a_id"), col("b.__id").as("b_id"))
@@ -564,6 +581,10 @@ object Dedup extends org.apache.spark.internal.Logging {
     * `localCheckpoint` (iterative-plan hygiene — without it the plan tree
     * doubles every sweep); the driver holds only a one-row convergence
     * count. Deterministic on any partitioning: min is order-insensitive.
+    * Superseded sweeps' checkpoint blocks (label-frame-sized: two longs
+    * per clustered node) become unreachable as the loop advances and are
+    * reclaimed asynchronously by Spark's ContextCleaner after GC — only
+    * the final sweep's blocks stay live while the result is consumed.
     *
     * Ref parity note: the reference has no graph operator; this extends the
     * dedup family the same way `minhashPairs` does (training-data ops

@@ -1,13 +1,16 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.operators.Dedup
 
-/** Times just the two heavy dedup queries at a given SF (scratch tool). */
+/** Scratch A/B: the two sharedWindowPairs formulations (bucket-aggregate
+  * vs exchange-reusing self-join), alternated in one JVM to cancel host
+  * drift. */
 object ProfileDedup {
   def main(args: Array[String]): Unit = {
-    val sf = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val sf = args.headOption.getOrElse("/root/repo/bench_sf/sf3")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -16,23 +19,32 @@ object ProfileDedup {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+    def joinForm(df: DataFrame, windowTokens: Int): DataFrame = {
+      val toks = split(lower(col("text")), " ")
+      val windows = when(size(toks) >= windowTokens,
+        array_distinct(transform(
+          sequence(lit(0), size(toks) - windowTokens),
+          i => xxhash64(concat_ws("",
+            slice(toks, i + 1, lit(windowTokens)))))))
+        .otherwise(array().cast("array<long>"))
+      val w = df.select(col("doc_id").as("__id"), explode(windows).as("__w"))
+      w.as("a").join(w.as("b"),
+          col("a.__w") === col("b.__w") && col("a.__id") < col("b.__id"))
+        .groupBy(col("a.__id").as("a_id"), col("b.__id").as("b_id"))
+        .agg(count(lit(1)).as("shared_windows"))
+    }
+
     def t(name: String)(body: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = body
       println(f"[pd] $name rows=$n ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      System.gc()
     }
-    t("minhash") { Dedup.minhashPairs(docs, "doc_id", "text", 0.95).count() }
-    t("ngram") { Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.9).count() }
-    t("simhash") { Dedup.simhashPairs(docs, "doc_id", "text").count() }
-    // IVF ANN: must return a nonempty SUBSET of brute-force pairs
-    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
-    val brute = graft.operators.Similarity
-      .cosinePairs(emb, "vec_id", "embedding", 0.4)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = graft.operators.Similarity
-      .ivfCosinePairs(emb, "vec_id", "embedding", 0.4)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    println(s"[pd] ivf pairs=${ivf.size} brute=${brute.size} subset=${ivf.subsetOf(brute)} nonempty=${ivf.nonEmpty}")
+    (1 to 3).foreach { r =>
+      t(s"agg_$r") { Dedup.sharedWindowPairs(docs, "doc_id", "text", 10).count() }
+      t(s"join_$r") { joinForm(docs, 10).count() }
+    }
     spark.stop()
   }
 }

@@ -171,14 +171,6 @@ object ScaleBench {
     bench("q_dedup_minhash") {
       Dedup.minhashPairs(lake.documents, "doc_id", "text", threshold = 0.95).count()
     }
-    // transitive closure over the near-dup pair graph: sweeps shuffle the
-    // PAIR frame (~injected-pair count), never the corpus — wall time here
-    // is pair generation + O(log diameter) label sweeps
-    bench("q_dedup_clusters") {
-      Dedup.duplicateClusters(
-        Dedup.minhashPairs(lake.documents, "doc_id", "text", threshold = 0.95)
-      ).count()
-    }
     // n=5 at 150k docs: the char n-gram UNIVERSE must outgrow the corpus
     // for prefix filtering to stay selective (37^3 ≈ 50k grams saturates —
     // every "rare" gram still hits ~120 docs and candidates go quadratic;
@@ -190,6 +182,21 @@ object ScaleBench {
     }
     bench("q_dedup_simhash") {
       Dedup.simhashPairs(lake.documents, "doc_id", "text").count()
+    }
+    // transitive closure over the near-dup pair graph: sweeps shuffle the
+    // PAIR frame (~injected-pair count), never the corpus — wall time here
+    // is pair generation + O(log diameter) label sweeps
+    bench("q_dedup_clusters") {
+      Dedup.duplicateClusters(
+        Dedup.minhashPairs(lake.documents, "doc_id", "text", threshold = 0.95)
+      ).count()
+    }
+    // exact-substring windows: one row per token position (corpus token
+    // count), one hash shuffle; the non-self-similar corpus keeps output
+    // to genuinely duplicated runs
+    bench("q_dedup_substring") {
+      Dedup.sharedWindowPairs(lake.documents, "doc_id", "text",
+        windowTokens = 10).count()
     }
     bench("q_dedup_simhash_near") {
       Dedup.simhashNearPairs(lake.documents, "doc_id", "text", maxHamming = 3).count()

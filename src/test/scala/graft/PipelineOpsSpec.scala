@@ -178,6 +178,12 @@ class PipelineOpsSpec extends GraftSuite {
     // sanity on the fixture: (1,3) share 3 windows, (1,2) and (2,3) share 1
     val m = got.collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
     assert(m((1L, 3L)) == 3 && m((1L, 2L)) == 1 && m((2L, 3L)) == 1 && m.size == 3)
+    // maxDocsPerWindow drops the 3-doc "b c d e" window first: only the
+    // doc-1/doc-3 exact-dup windows survive
+    val capped = Dedup.sharedWindowPairs(fixture, "doc_id", "text",
+        windowTokens = 4, maxDocsPerWindow = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(capped == Map((1L, 3L) -> 2L), s"got $capped")
     // and on the real corpus: hashed pairs == raw-string pairs
     val gotDocs = Dedup.sharedWindowPairs(docs, "doc_id", "text", windowTokens = 10)
     val td = split(lower($"text"), " ")
@@ -189,6 +195,18 @@ class PipelineOpsSpec extends GraftSuite {
       .groupBy($"a.doc_id".as("a_id"), $"b.doc_id".as("b_id"))
       .agg(count(lit(1)).as("shared_windows"))
     assertSameRows(gotDocs, wantDocs)
+    // scale shape: the self-join's second side must REUSE the first
+    // side's window-hash exchange (one scan, one shuffle materialization),
+    // and nothing may cross-join. AQE's toString prints Final AND Initial
+    // plan sections — inspect the final section only.
+    gotDocs.collect()
+    val plan = gotDocs.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(plan.contains("ReusedExchange") ||
+      "Exchange hashpartitioning".r.findAllIn(plan).size <= 2,
+      s"window self-join should share one shuffle:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
   }
 
   test("duplicateClusters: min-reachable label on chains, cliques, bridges") {
