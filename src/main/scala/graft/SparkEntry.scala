@@ -508,6 +508,22 @@ object SparkEntry {
       Dedup.sharedWindowPairs(lk.documents, "doc_id", "text",
         windowTokens = 10).orderBy("a_id", "b_id")
     }),
+    // per-doc duplicated-window profile (the Lee et al. doc-level removal
+    // metric): n_windows / n_dup_windows / fraction, one shuffle
+    "q_window_stats" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Dedup.duplicatedWindowStats(lk.documents, "doc_id", "text",
+        windowTokens = 10).orderBy("doc_id")
+    }),
+    // transitive survivor selection: one doc per duplicate CLUSTER (the
+    // closure-correct keep over the minhash pair graph)
+    "q_dedup_canonical" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val pairs = Dedup.minhashPairs(lk.documents, "doc_id", "text",
+        threshold = 0.95)
+      Dedup.keepCanonical(lk.documents.select(col("doc_id"), col("lang")),
+        "doc_id", pairs).orderBy("doc_id")
+    }),
     // Gopher-style within-document repetition features (dup-line /
     // dup-char / top-token fractions) — one shuffle-free scan
     "q_repetition" -> ((s, dir) => {
@@ -954,6 +970,45 @@ object SparkEntry {
          SELECT a.doc_id a_id, b.doc_id b_id, count(*) AS shared_windows
          FROM u a JOIN u b ON a.w = b.w AND a.doc_id < b.doc_id
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_window_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') ts
+                    FROM documents),
+              w AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                      generate_series(1, len(ts) - 9),
+                      i -> array_to_string(list_slice(ts, i, i + 9), chr(1))))) wk
+                    FROM t WHERE len(ts) >= 10),
+              f AS (SELECT wk, count(*) docs FROM w GROUP BY wk),
+              d AS (SELECT w.doc_id, count(*) nw,
+                           sum(CASE WHEN f.docs >= 2 THEN 1 ELSE 0 END) nd
+                    FROM w JOIN f USING (wk) GROUP BY w.doc_id)
+         SELECT documents.doc_id,
+           coalesce(nw, 0)::BIGINT AS n_windows,
+           coalesce(nd, 0)::BIGINT AS n_dup_windows,
+           coalesce(nd, 0)::DOUBLE / greatest(coalesce(nw, 0), 1)::DOUBLE
+             AS dup_window_frac
+         FROM documents LEFT JOIN d ON documents.doc_id = d.doc_id
+         ORDER BY documents.doc_id""",
+    "q_dedup_canonical" ->
+      """WITH RECURSIVE
+           t AS MATERIALIZED (
+                 SELECT doc_id, list_distinct(string_split(lower(text), ' ')) ts
+                 FROM documents),
+           p AS MATERIALIZED (
+                 SELECT a.doc_id a_id, b.doc_id b_id
+                 FROM t a JOIN t b ON a.doc_id < b.doc_id
+                 WHERE len(list_intersect(a.ts, b.ts))::DOUBLE /
+                       len(list_distinct(list_concat(a.ts, b.ts)))::DOUBLE >= 0.95),
+           e AS MATERIALIZED (
+                 SELECT a_id s, b_id d FROM p UNION SELECT b_id, a_id FROM p),
+           reach(id, r) AS (
+             SELECT s, s FROM e
+             UNION
+             SELECT e.d, reach.r FROM reach JOIN e ON e.s = reach.id),
+           drop_ids AS (SELECT id FROM reach GROUP BY id
+                        HAVING id != min(r))
+         SELECT doc_id, lang FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM drop_ids)
+         ORDER BY doc_id""",
     "q_repetition" ->
       """WITH r AS (SELECT doc_id,
                       string_split(text, chr(10)) ls,

@@ -565,6 +565,46 @@ object Dedup extends org.apache.spark.internal.Logging {
       .where(col("shared_windows") >= minShared)
   }
 
+  /** Per-document duplicated-window profile: for each doc, how much of it
+    * is verbatim-duplicated elsewhere in the corpus — `n_windows`,
+    * `n_dup_windows` (windows found in ≥1 OTHER doc), and
+    * `dup_window_frac`, the fraction the Lee et al. substring-dedup
+    * recipe thresholds on to REMOVE duplicated spans (a doc-level
+    * summary; the pair view is [[sharedWindowPairs]]). Same one-shuffle
+    * shape: windows hash-grouped to per-window doc counts, joined back,
+    * one per-doc aggregate. Docs shorter than `windowTokens` report zero
+    * windows and a 0.0 fraction. */
+  def duplicatedWindowStats(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 20): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    val toks = split(lower(col(textCol)), " ")
+    val windows = when(size(toks) >= windowTokens,
+      array_distinct(transform(
+        sequence(lit(0), size(toks) - windowTokens),
+        i => xxhash64(concat_ws("\u0001",
+          slice(toks, i + 1, lit(windowTokens)))))))
+      .otherwise(array().cast("array<long>"))
+    val w = df.select(col(idCol).as("__id"), explode(windows).as("__w"))
+    // docs-per-window; a window is duplicated iff ≥2 docs carry it
+    // (windows are distinct within doc, so count == distinct docs)
+    val freq = w.groupBy("__w").agg(count(lit(1)).as("__docs"))
+    val perDoc = w.join(freq, Seq("__w"))
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("__docs") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+    // left join back so window-less (short) docs appear with zeros
+    df.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        (coalesce(col("n_dup_windows"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_windows"), lit(0L)), lit(1L)).cast("double"))
+          .as("dup_window_frac"))
+  }
+
   /** Connected components over a near-dup pair frame: `(id, cluster_id)`
     * for every id appearing in `pairs`, where `cluster_id` is the minimum
     * id transitively reachable — the canonical duplicate-cluster label a

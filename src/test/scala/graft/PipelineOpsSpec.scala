@@ -209,6 +209,44 @@ class PipelineOpsSpec extends GraftSuite {
       !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("duplicatedWindowStats == explode reference; short docs report zeros") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "a b c d e f"),
+      (2L, "x b c d e y"),
+      (3L, "a b c d e f"),
+      (4L, "q r")                            // shorter than window
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicatedWindowStats(fixture, "doc_id", "text",
+      windowTokens = 4)
+    // doc1/doc3: 3 windows each, all duplicated (exact dups + bcde in 2);
+    // doc2: 3 windows, only bcde duplicated; doc4: none
+    val m = got.collect().map(r =>
+      (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(m(1L) == ((3L, 3L, 1.0)) && m(3L) == ((3L, 3L, 1.0)))
+    assert(m(2L) == ((3L, 1L, 1.0 / 3.0)))
+    assert(m(4L) == ((0L, 0L, 0.0)))
+    // corpus differential vs an explode-based reference
+    val td = split(lower($"text"), " ")
+    val wd = docs.where(size(td) >= 10).select($"doc_id", explode(
+      array_distinct(transform(sequence(lit(0), size(td) - 10),
+        i => concat_ws("\u0001", slice(td, i + 1, lit(10)))))).as("w"))
+    val f = wd.groupBy("w").agg(count(lit(1)).as("d"))
+    val perDoc = wd.join(f, "w").groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when($"d" >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+    val want = docs.select($"doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_windows", lit(0L)).as("n_windows"),
+        coalesce($"n_dup_windows", lit(0L)).as("n_dup_windows"),
+        (coalesce($"n_dup_windows", lit(0L)).cast("double") /
+          greatest(coalesce($"n_windows", lit(0L)), lit(1L)).cast("double"))
+          .as("dup_window_frac"))
+    assertSameRows(
+      Dedup.duplicatedWindowStats(docs, "doc_id", "text", windowTokens = 10),
+      want)
+  }
+
   test("duplicateClusters: min-reachable label on chains, cliques, bridges") {
     import spark.implicits._
     // chain 1-2-3-4; clique {10,11,12}; star 20-{21,22}; bridge 30-31-32
