@@ -524,6 +524,35 @@ object SparkEntry {
       Dedup.keepCanonical(lk.documents.select(col("doc_id"), col("lang")),
         "doc_id", pairs).orderBy("doc_id")
     }),
+    // URL extraction + domain parse over deterministic synthesized link
+    // text (the corpus has no URLs; both engines build the same strings,
+    // so the regex machinery — not the fixture — is what's checked)
+    "q_url_domains" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val synth = lk.documents.select(col("doc_id"),
+        concat(lit("see https://"), col("source"), lit(".example.com/p/"),
+          col("doc_id").cast("string"),
+          lit(" and http://cdn."), col("lang"), lit(".example.org/a?x="),
+          col("doc_id").cast("string"), lit(" done")).as("text"))
+      TextAnalysis.extractUrls(synth, "doc_id", "text")
+        .select(col("doc_id"), col("url"),
+          TextAnalysis.urlDomain(col("url")).as("domain"))
+        .orderBy("doc_id", "url")
+    }),
+    // PII redaction (emails / IPv4 / long digit runs) over synthesized
+    // PII-bearing text — same fixture discipline as q_url_domains
+    "q_pii_redact" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val synth = lk.documents.select(col("doc_id"),
+        concat(lit("contact "), col("lang"), col("doc_id").cast("string"),
+          lit("@mail.example.com or 10.0."),
+          pmod(col("doc_id"), lit(200)).cast("string"),
+          lit(".7 ref 900"), (col("doc_id") * 37 + 1000000).cast("string"),
+          lit(" end")).as("raw"))
+      synth.select(col("doc_id"),
+        TextAnalysis.redactPii(col("raw")).as("redacted"))
+        .orderBy("doc_id")
+    }),
     // Gopher-style within-document repetition features (dup-line /
     // dup-char / top-token fractions) — one shuffle-free scan
     "q_repetition" -> ((s, dir) => {
@@ -1009,6 +1038,34 @@ object SparkEntry {
          SELECT doc_id, lang FROM documents
          WHERE doc_id NOT IN (SELECT id FROM drop_ids)
          ORDER BY doc_id""",
+    "q_url_domains" ->
+      """WITH s AS (SELECT doc_id,
+               'see https://' || source || '.example.com/p/' || doc_id ||
+               ' and http://cdn.' || lang || '.example.org/a?x=' || doc_id ||
+               ' done' AS text
+             FROM documents),
+           u AS (SELECT doc_id,
+               unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url
+             FROM s)
+         SELECT doc_id, url,
+           lower(regexp_extract(url, 'https?://([^/\s?#]+)', 1)) AS domain
+         FROM u ORDER BY doc_id, url""",
+    "q_pii_redact" ->
+      """WITH s AS (SELECT doc_id,
+               'contact ' || lang || doc_id || '@mail.example.com or 10.0.' ||
+               (doc_id % 200) || '.7 ref 900' || (doc_id * 37 + 1000000) ||
+               ' end' AS raw
+             FROM documents)
+         SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(raw,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g'),
+               '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+               '<IP>', 'g'),
+             '[0-9]{7,}', '<NUM>', 'g') AS redacted
+         FROM s ORDER BY doc_id""",
     "q_repetition" ->
       """WITH r AS (SELECT doc_id,
                       string_split(text, chr(10)) ls,

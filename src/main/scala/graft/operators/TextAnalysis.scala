@@ -142,6 +142,36 @@ object TextAnalysis {
         .as("top_token_ratio"))
   }
 
+  /** URL occurrences in free text, one row per (id, url). The pattern is
+    * deliberately lookaround-free and backreference-free so java.util.regex
+    * and RE2-family engines (DuckDB, Go, Trino) match identically — the
+    * oracle requirement for every regex in this file. */
+  val UrlPattern: String = "https?://[^\\s]+"
+
+  def extractUrls(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      explode(regexp_extract_all(col(textCol), lit(UrlPattern), lit(0)))
+        .as("url"))
+
+  /** Registrable host of a URL, lowercased (port kept — it distinguishes
+    * origins; strip it upstream if undesired). */
+  def urlDomain(url: Column): Column =
+    lower(regexp_extract(url, "https?://([^/\\s?#]+)", 1))
+
+  /** PII redaction for training text: emails, IPv4 literals, and ≥7-digit
+    * runs (phone-class) replaced by stable tokens, in that order (emails
+    * first — they contain digit runs; the NUM pass never sees an email's
+    * local part). Pure `regexp_replace` chain: codegen'd, one scan,
+    * replicable verbatim in the oracle (ANSI engines replace-all with the
+    * 'g' flag; Spark replaces all by default). */
+  def redactPii(textCol: Column): Column = {
+    val email = regexp_replace(textCol,
+      "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>")
+    val ip = regexp_replace(email,
+      "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>")
+    regexp_replace(ip, "[0-9]{7,}", "<NUM>")
+  }
+
   /** Content fingerprints: md5 of raw text and of whitespace-normalized,
     * lowercased text (near-dup-robust form). */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {

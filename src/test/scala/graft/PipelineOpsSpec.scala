@@ -209,6 +209,29 @@ class PipelineOpsSpec extends GraftSuite {
       !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("extractUrls/urlDomain/redactPii on handwritten edge cases") {
+    import spark.implicits._
+    val fixture = Seq(
+      (1L, "go to https://A.Example.com:8443/x?q=1#f now", ""),
+      (2L, "plain http://cdn.example.org/end", ""),
+      (3L, "no links here", ""),
+      (4L, "", "a@b.io b2@sub.domain.co.uk 10.0.0.1 12345678 1.2.3 x"),
+      (5L, "", "ends with mail person@host.org")
+    ).toDF("id", "urltext", "piitext")
+    val urls = TextAnalysis.extractUrls(
+        fixture.select($"id", $"urltext".as("text")), "id", "text")
+      .select($"id", $"url", TextAnalysis.urlDomain($"url").as("domain"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(urls == Set(
+      (1L, "https://A.Example.com:8443/x?q=1#f", "a.example.com:8443"),
+      (2L, "http://cdn.example.org/end", "cdn.example.org")))
+    val red = fixture.select($"id",
+        TextAnalysis.redactPii($"piitext").as("r"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(red(4L) == "<EMAIL> <EMAIL> <IP> <NUM> 1.2.3 x", red(4L))
+    assert(red(5L) == "ends with mail <EMAIL>")
+  }
+
   test("duplicatedWindowStats == explode reference; short docs report zeros") {
     import spark.implicits._
     val fixture = Seq(

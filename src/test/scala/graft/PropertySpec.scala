@@ -39,6 +39,35 @@ class PropertySpec extends GraftSuite {
     assert(df.where(col("merge") =!= col("builtin")).count() == 0)
   }
 
+  test("duplicateClusters == union-find on random graphs (incl. long chains)") {
+    import spark.implicits._
+    for (trial <- 1 to 3) {
+      // random sparse graph over a small id space (forces merges), plus one
+      // deliberate 40-node chain — the worst case for plain propagation and
+      // exactly what path-halving exists for
+      val randomEdges = Seq.fill(60)(
+        (rnd.nextInt(50).toLong + 100L, rnd.nextInt(50).toLong + 100L))
+        .filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      val chain = (0 until 40).map(i => (i.toLong, i.toLong + 1))
+      val edges = (randomEdges ++ chain).distinct
+      val got = Dedup.duplicateClusters(edges.toDF("a_id", "b_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      // driver union-find oracle
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(k => (k, find(k))).toMap
+      assert(got == want, s"trial $trial: CC disagrees with union-find")
+    }
+  }
+
   test("asOf + asOfBucketed match brute force on random data (dup/negative ts)") {
     import spark.implicits._
     import graft.operators.AsOfJoin
