@@ -560,6 +560,32 @@ object SparkEntry {
       TextAnalysis.repetition(lk.documents, "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // cross-document boilerplate strip over synthesized multi-line pages
+    // (corpus text is single-line; both engines build identical pages, so
+    // the line-frequency machinery — not the fixture — is what's checked):
+    // the shared header, per-lang footers, and duplicated doc bodies all
+    // strip; unique bodies survive
+    "q_strip_lines" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val synth = lk.documents.select(col("doc_id"),
+        concat(lit("shared corpus header\n"), col("text"),
+          lit("\nfooter for "), col("lang")).as("page"))
+      Dedup.stripBoilerplate(synth, "doc_id", "page")
+        .select(col("doc_id"), col("text_clean")).orderBy("doc_id")
+    }),
+    // corpus vocabulary: unigram top-300 by (count desc, gram) — the
+    // deterministic tokenizer-vocab frequency cut
+    "q_vocab" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      TextAnalysis.vocabulary(lk.documents, "text", n = 1, top = 300)
+        .orderBy(col("n").desc, col("gram"))
+    }),
+    // bigram vocabulary with a singleton-tail cut (minCount) and no top-k
+    "q_vocab_bigram" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      TextAnalysis.vocabulary(lk.documents, "text", n = 2, minCount = 2)
+        .orderBy("gram")
+    }),
     // deterministic hash sampling: same rows selected on every run, any
     // partitioning, any engine (md5-hex-prefix threshold compare)
     "q_sample_hash" -> ((s, dir) => {
@@ -1087,6 +1113,43 @@ object SparkEntry {
                t2 -> len(list_filter(ts, x -> x = t2))))::DOUBLE /
              len(ts)::DOUBLE AS top_token_ratio
          FROM r ORDER BY doc_id""",
+    "q_strip_lines" ->
+      """WITH s AS (SELECT doc_id,
+               'shared corpus header' || chr(10) || text || chr(10) ||
+               'footer for ' || lang AS page
+             FROM documents),
+           ls AS (SELECT doc_id,
+               unnest(string_split(page, chr(10))) AS line,
+               unnest(generate_series(1, len(string_split(page, chr(10)))))
+                 AS pos
+             FROM s),
+           boiler AS (SELECT line FROM (
+               SELECT line, count(DISTINCT doc_id) AS docs
+               FROM ls WHERE length(line) >= 1 GROUP BY line)
+             WHERE docs >= 2),
+           keep AS (SELECT doc_id,
+               string_agg(line, chr(10) ORDER BY pos) AS text_clean
+             FROM ls WHERE line NOT IN (SELECT line FROM boiler)
+             GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(k.text_clean, '') AS text_clean
+         FROM documents d LEFT JOIN keep k ON d.doc_id = k.doc_id
+         ORDER BY d.doc_id""",
+    "q_vocab" ->
+      """SELECT gram, count(*)::BIGINT AS n
+         FROM (SELECT unnest(string_split(lower(text), ' ')) AS gram
+               FROM documents)
+         GROUP BY gram
+         ORDER BY n DESC, gram LIMIT 300""",
+    "q_vocab_bigram" ->
+      """WITH t AS (SELECT string_split(lower(text), ' ') AS ts
+                    FROM documents),
+           g AS (SELECT unnest(list_transform(
+                   generate_series(1, len(ts) - 1),
+                   i -> ts[i] || ' ' || ts[i + 1])) AS gram
+                 FROM t WHERE len(ts) >= 2)
+         SELECT gram, count(*)::BIGINT AS n
+         FROM g GROUP BY gram HAVING count(*) >= 2
+         ORDER BY gram""",
     "q_ann_pairs" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings)
          SELECT a.vec_id AS a_id, b.vec_id AS b_id

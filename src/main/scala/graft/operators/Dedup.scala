@@ -680,4 +680,59 @@ object Dedup extends org.apache.spark.internal.Logging {
       .select(col("id").as(idCol))
     df.join(drop, Seq(idCol), "left_anti")
   }
+
+  /** Cross-document boilerplate removal (the CCNet/RefinedWeb line-dedup
+    * step): a LINE occurring in at least `minDocs` distinct documents is
+    * boilerplate (nav bars, cookie banners, license footers) and is
+    * stripped from every document; all other lines survive in their
+    * original order. Lines shorter than `minLineChars` are always kept —
+    * blank lines and one-character separators duplicate across any corpus
+    * without being boilerplate, and stripping them would mangle paragraph
+    * structure.
+    *
+    * Scale shape — the full corpus is never re-assembled from exploded
+    * rows. (1) line→distinct-doc counts: one shuffle over per-doc-distinct
+    * lines (`array_distinct` before the explode makes plain `count` a
+    * distinct-doc count with map-side partial aggregation). (2) The
+    * boilerplate line set (typically ≪ corpus) inner-joins the exploded
+    * positions, so only boilerplate OCCURRENCES — (doc, position) pairs —
+    * flow into the per-doc strip list; a line shared by millions of docs
+    * skews this join's key, which AQE's skew split handles since the
+    * boilerplate side is one row per line. (3) The strip lists (small)
+    * join back to the ORIGINAL frame doc-grain, and each row filters its
+    * own line array positionally — codegen'd, no corpus-sized groupBy.
+    * A document whose every line is boilerplate yields an empty string.
+    *
+    * Ref parity note: the reference has no corpus-frequency text operator;
+    * this extends the dedup family per the training-data-ops mandate
+    * (SURVEY §2 addendum). */
+  def stripBoilerplate(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      minDocs: Long = 2L,
+      minLineChars: Int = 1,
+      outCol: String = "text_clean"): DataFrame = {
+    require(minDocs >= 2, "minDocs must be >= 2 — a line is boilerplate " +
+      "only when it repeats across documents")
+    val lines = split(col(textCol), "\n")
+    val eligible = df.select(col(idCol).as("__id"),
+      explode(array_distinct(lines)).as("__line"))
+      .where(length(col("__line")) >= minLineChars)
+    val boiler = eligible.groupBy("__line")
+      .agg(count(lit(1)).as("__docs"))
+      .where(col("__docs") >= minDocs)
+      .select("__line")
+    // boilerplate occurrences only: (doc, 0-based position) per hit
+    val strips = df.select(col(idCol).as("__id"),
+        posexplode(lines).as(Seq("__pos", "__line")))
+      .join(boiler, Seq("__line"))
+      .groupBy("__id").agg(collect_set(col("__pos")).as("__strip"))
+    df.join(strips, col(idCol) === strips("__id"), "left")
+      .withColumn(outCol,
+        when(col("__strip").isNull, col(textCol)).otherwise(array_join(
+          filter(lines, (_, i) => !array_contains(col("__strip"), i)),
+          "\n")))
+      .drop("__id", "__strip")
+  }
 }

@@ -172,6 +172,42 @@ object TextAnalysis {
     regexp_replace(ip, "[0-9]{7,}", "<NUM>")
   }
 
+  /** Corpus vocabulary: n-gram occurrence counts over the whole corpus —
+    * the frequency table tokenizer/vocab construction starts from (and the
+    * corpus-statistics view quality analyses read). Tokens are
+    * [[tokens]]' lowercased space-split words; for `n > 1` each document
+    * contributes its run of n-token grams (documents shorter than `n`
+    * contribute nothing). `minCount` drops the long singleton tail BEFORE
+    * any ordering; `top > 0` keeps the `top` most frequent under the total
+    * order (count desc, gram asc) so the cut is deterministic.
+    *
+    * Scale shape: gram arrays are built per-row (codegen'd `transform`
+    * over `sequence` — no self-join), exploded, and counted in ONE
+    * hash-aggregate shuffle with map-side partial aggregation; the top-k
+    * cut is Spark's TakeOrdered (per-partition heaps, no global sort
+    * materialization). A 100 TB corpus pays one scan + one shuffle of
+    * (gram, partial-count) pairs. */
+  def vocabulary(
+      df: DataFrame,
+      textCol: String,
+      n: Int = 1,
+      top: Int = 0,
+      minCount: Long = 1L): DataFrame = {
+    require(n > 0, "n must be positive")
+    val toks = tokens(col(textCol))
+    val grams =
+      if (n == 1) toks
+      else when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+    val counts = df.select(explode(grams).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .where(col("n") >= minCount)
+    if (top > 0) counts.orderBy(col("n").desc, col("gram")).limit(top)
+    else counts
+  }
+
   /** Content fingerprints: md5 of raw text and of whitespace-normalized,
     * lowercased text (near-dup-robust form). */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -593,4 +593,91 @@ class PipelineOpsSpec extends GraftSuite {
     assert(frames.count() == 40)
     assert(frames.groupBy("doc_id").count().select(max("count")).first().getLong(0) == 4)
   }
+
+  test("stripBoilerplate: cross-doc lines strip, order/short/within-doc kept") {
+    val s = spark
+    import s.implicits._
+    val fixture = Seq(
+      (1L, "HEADER\nunique one\nx\nFOOTER"),
+      (2L, "HEADER\nunique two\nrepeat\nrepeat\nFOOTER"),
+      (3L, "HEADER\nFOOTER"), // fully boilerplate → empty
+      (4L, "all alone here")  // no boilerplate at all → untouched
+    ).toDF("doc_id", "page")
+    val got = Dedup.stripBoilerplate(fixture, "doc_id", "page",
+        minDocs = 2, minLineChars = 2)
+      .select("doc_id", "text_clean").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // HEADER/FOOTER in 3 docs → stripped; "x" is short → always kept;
+    // "repeat" duplicates only WITHIN doc 2 (distinct-doc count 1) → kept,
+    // twice, in order; doc 3 loses every line → empty string
+    assert(got(1L) == "unique one\nx")
+    assert(got(2L) == "unique two\nrepeat\nrepeat")
+    assert(got(3L) == "")
+    assert(got(4L) == "all alone here")
+  }
+
+  test("stripBoilerplate == explode/reassemble reference on synthesized corpus") {
+    val s = spark
+    import s.implicits._
+    // multi-line pages over the real corpus: shared header, per-lang
+    // footer, raw body (duplicated bodies become boilerplate too)
+    val pages = docs.select($"doc_id",
+      concat(lit("shared header\n"), $"text", lit("\nfooter "), $"lang")
+        .as("page"))
+    val minDocs = 2L
+    val lines = split($"page", "\n")
+    val ex = pages.select($"doc_id", posexplode(lines).as(Seq("pos", "line")))
+    val boiler = ex.where(length($"line") >= 1)
+      .groupBy("line").agg(countDistinct($"doc_id").as("d"))
+      .where($"d" >= minDocs).select("line")
+    val want = pages.select($"doc_id").join(
+      ex.join(boiler, Seq("line"), "left_anti")
+        .groupBy("doc_id")
+        .agg(array_join(transform(array_sort(collect_list(
+          struct($"pos", $"line"))), x => x("line")), "\n").as("clean")),
+      Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"clean", lit("")).as("text_clean"))
+    val got = Dedup.stripBoilerplate(pages, "doc_id", "page")
+      .select("doc_id", "text_clean")
+    assertSameRows(got, want)
+  }
+
+  test("vocabulary: unigram/bigram counts, minCount and deterministic top cut") {
+    val s = spark
+    import s.implicits._
+    val fixture = Seq(
+      (1L, "a b a"),
+      (2L, "b c"),
+      (3L, "A b")   // lowercased → a b
+    ).toDF("doc_id", "text")
+    val uni = TextAnalysis.vocabulary(fixture, "text").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uni == Map("a" -> 3L, "b" -> 3L, "c" -> 1L))
+    // top cut: ties on count break by gram asc → ["a","b"], never ["b","a"]
+    val top2 = TextAnalysis.vocabulary(fixture, "text", top = 2)
+      .orderBy($"n".desc, $"gram").collect().map(_.getString(0)).toSeq
+    assert(top2 == Seq("a", "b"))
+    val bi = TextAnalysis.vocabulary(fixture, "text", n = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bi == Map("a b" -> 2L, "b a" -> 1L, "b c" -> 1L))
+    // minCount drops the singleton tail
+    assert(TextAnalysis.vocabulary(fixture, "text", n = 2, minCount = 2)
+      .collect().map(r => r.getString(0)).toSeq == Seq("a b"))
+    // docs shorter than n contribute nothing (and no phantom grams)
+    val short = Seq((1L, "solo")).toDF("doc_id", "text")
+    assert(TextAnalysis.vocabulary(short, "text", n = 2).count() == 0)
+  }
+
+  test("vocabulary == explode reference over the corpus") {
+    val s = spark
+    import s.implicits._
+    val got = TextAnalysis.vocabulary(docs, "text", n = 3, minCount = 2)
+    val toks = split(lower($"text"), " ")
+    val want = docs.where(size(toks) >= 3)
+      .select(explode(transform(sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", slice(toks, i + 1, lit(3))))).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .where($"n" >= 2)
+    assertSameRows(got, want)
+  }
 }
