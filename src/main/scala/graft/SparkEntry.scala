@@ -608,6 +608,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), min("doc_id").as("first_id"))
         .orderBy("lang", "split_id")
     }),
+    // mixture re-weighting: per-lang fractional epochs (2.3 epochs of en,
+    // 1.5 of de, 0.4 of the rest) — hash-deterministic replication, the
+    // same 30%/50%/40% of rows drawing the extra/only copy on every run
+    "q_mix_weights" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val wt = when(col("lang") === "en", 2.3)
+        .when(col("lang") === "de", 1.5).otherwise(0.4)
+      Sampling.repeatByWeight(lk.documents.select("doc_id", "lang"),
+        "doc_id", wt).orderBy("doc_id", "copy_ix")
+    }),
+    // deterministic shard + dense position assignment (the global-shuffle-
+    // then-split-into-files step) — hash shard, per-shard hash-ordered
+    // row_number; no global sort
+    "q_shard_assign" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Sampling.shardAssign(lk.documents.select("doc_id"), "doc_id", 8)
+        .orderBy("shard_ix", "shard_pos")
+    }),
     // context-window packing: docs in id order greedily packed into ~5000-
     // token chunks via a DISTRIBUTED exclusive prefix sum (range partitions
     // + local window + broadcast offsets — no single-task global window)
@@ -1266,6 +1284,31 @@ object SparkEntry {
            FROM documents)
          SELECT lang, split_id, count(*) AS n, min(doc_id) AS first_id
          FROM s GROUP BY lang, split_id ORDER BY lang, split_id""",
+    "q_mix_weights" ->
+      """WITH w AS (SELECT doc_id, lang,
+             CAST(CASE lang WHEN 'en' THEN 2.3 WHEN 'de' THEN 1.5
+                       ELSE 0.4 END AS DOUBLE) AS wt
+           FROM documents),
+         r AS (SELECT doc_id, lang,
+             CAST(floor(wt) AS BIGINT) +
+             CASE WHEN substring(md5(doc_id || '#rep'), 1, 8) <
+                 lower(lpad(hex(CAST(floor((wt - floor(wt)) * 4294967296)
+                   AS BIGINT)), 8, '0'))
+               THEN 1 ELSE 0 END AS n
+           FROM w)
+         SELECT doc_id, lang,
+                unnest(generate_series(1, n)) AS copy_ix
+         FROM r WHERE n >= 1 ORDER BY doc_id, copy_ix""",
+    "q_shard_assign" ->
+      """WITH k AS (SELECT doc_id,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS key
+           FROM documents)
+         SELECT doc_id,
+           CAST(('0x' || key)::UBIGINT % 8 AS BIGINT) AS shard_ix,
+           CAST(row_number() OVER (
+               PARTITION BY ('0x' || key)::UBIGINT % 8
+               ORDER BY key, doc_id) AS BIGINT) AS shard_pos
+         FROM k ORDER BY shard_ix, shard_pos""",
     "q_pack_chunks" ->
       """SELECT doc_id,
                 CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id

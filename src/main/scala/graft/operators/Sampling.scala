@@ -174,4 +174,66 @@ object Sampling {
         floor((col("__local") + offsetExpr) / lit(budget)))
       .drop("__pid", "__local")
   }
+
+  /** Mixture re-weighting by fractional epoch count: each row is emitted
+    * `floor(weight)` times, plus one more with probability `frac(weight)`
+    * — decided by the row's hash, not an RNG, so `weight = 2.3` means every
+    * run (and every engine) replicates the SAME deterministic 30% of rows
+    * a third time. Weights below 1 downsample (`0.3` keeps the same fixed
+    * 30%); rows that draw zero copies disappear. This is the standard
+    * domain-mixture knob (e.g. upsample a high-quality source to 2 epochs,
+    * downsample a crawl to 0.5) applied in one pass. Output carries
+    * `copyCol` (1-based copy index) so downstream shuffles can spread
+    * copies apart.
+    *
+    * Scale shape: pure per-row `explode(sequence)` — no shuffle, no
+    * driver state; output size is `sum(weights)` by construction. The
+    * hash draw uses a salted key (`id + "#rep"`) so it is independent of
+    * [[hashSample]]'s draw on the same ids. */
+  def repeatByWeight(
+      df: DataFrame,
+      idCol: String,
+      weight: Column,
+      copyCol: String = "copy_ix"): DataFrame = {
+    val base = floor(weight).cast("long")
+    val fracThreshold = lower(lpad(
+      hex(floor((weight - floor(weight)) * 4294967296.0).cast("long")),
+      8, "0"))
+    val drawKey = substring(
+      md5(concat(col(idCol).cast("string"), lit("#rep"))), 1, 8)
+    val n = base + when(drawKey < fracThreshold, 1L).otherwise(0L)
+    // sequence(1, 0) DESCENDS — zero-copy rows need an explicit empty array
+    df.withColumn(copyCol,
+      explode(when(n >= 1, sequence(lit(1L), n))
+        .otherwise(array().cast("array<long>"))))
+  }
+
+  /** Deterministic shard + position assignment — the "global shuffle then
+    * split into N files" step that precedes training-data serialization,
+    * without a global sort. Rows land in `pmod(shard key, nShards)` and
+    * receive a dense 1-based `shard_pos` ordered by the row's hash key
+    * (pseudo-random but reproducible order — the shuffle), ties broken by
+    * id. Default shard key is the row's md5-derived [[sampleKey]] prefix
+    * rendered through `conv`; pass `shardBy` to shard on something else
+    * (e.g. `pmod(col("id"), n)` for engine-portable assignment).
+    *
+    * Scale shape: one shuffle on the shard key + one per-shard sort (the
+    * window) — each shard is a single sort task, so pick `nShards` at
+    * least the cluster's parallelism (for training output files that is
+    * the natural choice anyway). No global single-task sort ever runs. */
+  def shardAssign(
+      df: DataFrame,
+      idCol: String,
+      nShards: Int,
+      shardBy: Option[Column] = None,
+      shardCol: String = "shard_ix",
+      posCol: String = "shard_pos"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val key = sampleKey(col(idCol))
+    val shard = shardBy.getOrElse(
+      pmod(conv(key, 16, 10).cast("long"), lit(nShards.toLong)))
+    val w = Window.partitionBy(col(shardCol)).orderBy(key, col(idCol))
+    df.withColumn(shardCol, shard)
+      .withColumn(posCol, row_number().over(w).cast("long"))
+  }
 }

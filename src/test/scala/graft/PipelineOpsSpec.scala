@@ -513,6 +513,59 @@ class PipelineOpsSpec extends GraftSuite {
     assert(s3.subsetOf(s1))
   }
 
+  test("repeatByWeight: copy counts match floor/frac semantics, deterministic") {
+    val s = spark
+    import s.implicits._
+    val wt = when($"lang" === "en", 2.5).when($"lang" === "de", 1.0).otherwise(0.5)
+    val rep = Sampling.repeatByWeight(docs.select("doc_id", "lang"), "doc_id", wt)
+    val counts = rep.groupBy("doc_id", "lang").agg(count(lit(1)).as("n"))
+    // integral weight: exactly 1 copy each, copy_ix = 1
+    assert(counts.where($"lang" === "de" && $"n" =!= 1).count() == 0)
+    // en: 2 or 3 copies; ~half draw the third
+    assert(counts.where($"lang" === "en" && ($"n" < 2 || $"n" > 3)).count() == 0)
+    val en = counts.where($"lang" === "en")
+    val enFrac = en.where($"n" === 3).count().toDouble /
+      math.max(en.count(), 1L)
+    assert(enFrac > 0.25 && enFrac < 0.75, s"extra-copy rate $enFrac far from 0.5")
+    // sub-1 weight: 0 or 1 copy — deterministic downsample
+    val rest = docs.where($"lang" =!= "en" && $"lang" =!= "de").count()
+    val restKept = counts.where($"lang" =!= "en" && $"lang" =!= "de").count()
+    assert(restKept < rest && restKept > 0)
+    // copy indexes are dense 1..n
+    assert(rep.groupBy("doc_id").agg(max("copy_ix").as("mx"), count(lit(1)).as("n"))
+      .where($"mx" =!= $"n").count() == 0)
+    // partition-invariant
+    val a = rep.select("doc_id", "copy_ix").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Sampling.repeatByWeight(docs.repartition(17).select("doc_id", "lang"),
+      "doc_id", wt).select("doc_id", "copy_ix")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
+  test("shardAssign: dense 1-based positions per shard, hash-ordered, stable") {
+    val s = spark
+    import s.implicits._
+    val got = Sampling.shardAssign(docs.select("doc_id"), "doc_id", 8)
+    // every row present once; shards within range
+    assert(got.count() == docs.count())
+    assert(got.where($"shard_ix" < 0 || $"shard_ix" >= 8).count() == 0)
+    // positions are dense 1..size(shard)
+    val dense = got.groupBy("shard_ix")
+      .agg(count(lit(1)).as("n"), min("shard_pos").as("mn"), max("shard_pos").as("mx"))
+    assert(dense.where($"mn" =!= 1L || $"mx" =!= $"n").count() == 0)
+    // order within shard follows the hash key then id
+    val k = Sampling.sampleKey($"doc_id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"shard_ix").orderBy(k, $"doc_id")
+    val want = got.select("doc_id", "shard_ix")
+      .withColumn("shard_pos", row_number().over(w).cast("long"))
+    assertSameRows(got.select("doc_id", "shard_ix", "shard_pos"), want)
+    // custom shard expression is honored
+    val custom = Sampling.shardAssign(docs.select("doc_id"), "doc_id", 4,
+      shardBy = Some(pmod($"doc_id", lit(4L))))
+    assert(custom.where($"shard_ix" =!= pmod($"doc_id", lit(4L))).count() == 0)
+  }
+
   test("packByTokenBudget: chunks respect the budget and equal the single-window reference") {
     import graft.operators.Sampling
     val toks = docs.select(col("doc_id"),
