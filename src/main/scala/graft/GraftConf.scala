@@ -69,6 +69,15 @@ object GraftConf {
   def bruteForceRowLimit(spark: SparkSession): Long =
     getLong(spark, "bruteForceRowLimit", 1000000L)
 
+  /** Contracted-graph edge count at or below which duplicateClusters
+    * finishes with driver-side union-find instead of further distributed
+    * sweeps. The contracted label graph is counted (not guessed) before
+    * the collect, so the driver never holds more than this many 2-value
+    * rows — the same bounded-collect posture as `probeValueLimit`. 0
+    * forces the distributed loop. */
+  def ccDriverFinishLimit(spark: SparkSession): Long =
+    getLong(spark, "ccDriverFinishLimit", 1000000L)
+
   /** Range probes with more distinct values than this use a min/max
     * bounding-box overlap test instead of per-value containment
     * (reference: IndexQueryOperations.scala:845-868). */

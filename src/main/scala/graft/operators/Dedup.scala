@@ -611,25 +611,34 @@ object Dedup extends org.apache.spark.internal.Logging {
     * curation pipeline groups on (pairs alone under-merge: a~b, b~c is ONE
     * cluster even when a!~c directly).
     *
-    * Algorithm: iterative min-label propagation with path-halving
-    * (label := label(label) each sweep), the standard MapReduce-CC family
-    * (cf. Kiveris et al., "Connected Components in MapReduce and Beyond").
-    * Each sweep is two shuffles over the EDGE frame (≪ corpus for dedup
-    * graphs) plus one over the label frame; halving makes convergence
-    * O(log diameter) sweeps, so a 100 TB corpus with million-node chains
-    * still converges in ~20 rounds. Lineage is truncated per sweep with
-    * `localCheckpoint` (iterative-plan hygiene — without it the plan tree
-    * doubles every sweep); the driver holds only a one-row convergence
-    * count. Deterministic on any partitioning: min is order-insensitive.
-    * Superseded sweeps' checkpoint blocks (label-frame-sized: two longs
-    * per clustered node) become unreachable as the loop advances and are
-    * reclaimed asynchronously by Spark's ContextCleaner after GC — only
-    * the final sweep's blocks stay live while the result is consumed.
+    * Algorithm: min-label propagation with GRAPH CONTRACTION (the
+    * MapReduce-CC family — cf. Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"). Initialization labels every node
+    * min(self, neighbors) — one folded propagation sweep — then the edge
+    * frame is CONTRACTED to the label graph (edges between distinct
+    * labels, deduped). Dedup graphs are dominated by cliques and short
+    * chains, so contraction collapses almost everything immediately: the
+    * full edge frame is traversed exactly twice (init + first
+    * contraction), and every later sweep runs on the label graph, which
+    * shrinks geometrically toward empty. Convergence = the live graph is
+    * EMPTY (no cross-cluster edge remains) — no label-diff scan needed.
+    *
+    * Per sweep: one aggregate over the live graph (min neighbor label per
+    * label-node), one label-frame compose, one live-graph rewrite —
+    * label-frame-sized frames broadcast below a byte budget (decided once
+    * from the node count; a checkpointed frame has no stats, so without
+    * the hint every sweep would sort-merge-shuffle). Lineage is truncated
+    * per sweep with `localCheckpoint` (iterative-plan hygiene); the driver
+    * holds only a one-row emptiness probe. Deterministic on any
+    * partitioning: min is order-insensitive. Superseded sweeps'
+    * checkpoint blocks become unreachable as the loop advances and are
+    * reclaimed asynchronously by Spark's ContextCleaner after GC.
     *
     * Ref parity note: the reference has no graph operator; this extends the
     * dedup family the same way `minhashPairs` does (training-data ops
     * mandate, SURVEY §2 addendum). */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
     val edges = pairs
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
@@ -640,28 +649,95 @@ object Dedup extends org.apache.spark.internal.Logging {
     var lab = edges.groupBy("src").agg(min("dst").as("mn"))
       .select(col("src").as("id"), least(col("src"), col("mn")).as("lab"))
       .localCheckpoint()
-    var converged = false
+    // one count on the already-materialized checkpoint decides broadcast
+    // ONCE (labels only merge; the frame never grows). Past the budget (a
+    // billion-node dup graph) the shuffle joins below are right anyway.
+    val nNodes = lab.count()
+    val useBroadcast =
+      nNodes * 48L <= graft.GraftConf.verifyBroadcastMaxBytes(spark)
+    def hinted(df: DataFrame): DataFrame =
+      if (useBroadcast) broadcast(df) else df
+    // contract to the label graph: only edges BETWEEN clusters can still
+    // change a label. Symmetry is preserved (edges is symmetric and the
+    // map applies to both endpoints); the second full-edge pass.
+    var live = edges
+      .join(hinted(lab.select(col("id").as("src"), col("lab").as("sl"))), Seq("src"))
+      .join(hinted(lab.select(col("id").as("dst"), col("lab").as("dl"))), Seq("dst"))
+      .where(col("sl") =!= col("dl"))
+      .select(col("sl").as("src"), col("dl").as("dst"))
+      .distinct()
+      .localCheckpoint()
     var iter = 0
-    while (!converged && iter < maxIter) {
-      // propagate: each node adopts the min label among its neighbors; the
-      // pre-sweep label rides along as `old` so convergence is a scan of
-      // this sweep's output, not an extra join against the previous one
-      val prop = edges.join(lab.withColumnRenamed("id", "src"), Seq("src"))
-        .groupBy(col("dst").as("id")).agg(min("lab").as("nlab"))
-      val merged = lab.join(prop, Seq("id"), "left")
-        .select(col("id"), col("lab").as("old"),
-          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
-      // path-halving: follow the label one hop (label's own label)
-      val parent = merged.select(col("id").as("p_id"), col("lab").as("p_lab"))
-      val next = merged.join(parent, merged("lab") === parent("p_id"), "left")
-        .select(merged("id"), merged("old"),
-          coalesce(col("p_lab"), merged("lab")).as("lab"))
+    var done = live.isEmpty
+    val finishLimit = graft.GraftConf.ccDriverFinishLimit(spark)
+    while (!done && iter < maxIter) {
+      // the contracted graph shrinks geometrically; once it is COUNTED
+      // (cheap — checkpointed) under the bounded-collect budget, finish
+      // with driver union-find: one collect of <= finishLimit 2-value
+      // rows + one broadcast compose replaces every remaining sweep.
+      // Giant graphs (count above budget) keep taking distributed sweeps.
+      if (finishLimit > 0 && live.count() <= finishLimit) {
+        def lt(a: Any, b: Any): Boolean =
+          a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+        val parent = scala.collection.mutable.HashMap.empty[Any, Any]
+        def find(x: Any): Any = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        live.collect().foreach { row =>
+          val (ra, rb) = (find(row.get(0)), find(row.get(1)))
+          if (ra != rb) { // min value becomes the root
+            if (lt(ra, rb)) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        val idType = live.schema("src").dataType
+        val remap = parent.keys.map(k => (k, find(k)))
+          .collect { case (k, r) if k != r => org.apache.spark.sql.Row(k, r) }
+          .toSeq
+        val mapDf = spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](
+            scala.jdk.CollectionConverters.SeqHasAsJava(remap).asJava),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("l", idType),
+            org.apache.spark.sql.types.StructField("nl", idType))))
+        lab = lab.join(broadcast(mapDf), lab("lab") === col("l"), "left")
+          .select(lab("id"), coalesce(col("nl"), lab("lab")).as("lab"))
+        done = true
+        iter += 1
+        if (sys.env.contains("GRAFT_CC_DEBUG"))
+          System.err.println(s"[ccdbg] sweep $iter driver-finish")
+      } else {
+      // propagate on the LIVE label graph: each label-node adopts the min
+      // label among itself and its neighbors
+      val prop = live.groupBy("src").agg(min("dst").as("mn"))
+        .select(col("src").as("l"), least(col("src"), col("mn")).as("nl"))
+      // compose into the full node->label map (labels not in prop are
+      // already cluster-final)
+      lab = lab.join(hinted(prop), lab("lab") === col("l"), "left")
+        .select(lab("id"), coalesce(col("nl"), lab("lab")).as("lab"))
         .localCheckpoint()
-      converged = next.where(col("lab") =!= col("old")).isEmpty
-      lab = next.select("id", "lab")
+      // rewrite the live graph through the same mapping and drop resolved
+      // (now intra-cluster) edges
+      val m1 = prop.select(col("l").as("src"), col("nl").as("s2"))
+      val m2 = prop.select(col("l").as("dst"), col("nl").as("d2"))
+      live = live
+        .join(hinted(m1), Seq("src"), "left")
+        .join(hinted(m2), Seq("dst"), "left")
+        .select(coalesce(col("s2"), col("src")).as("src"),
+          coalesce(col("d2"), col("dst")).as("dst"))
+        .where(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint()
+      done = live.isEmpty
       iter += 1
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(s"[ccdbg] sweep $iter done=$done")
+      }
     }
-    if (!converged) throw new IllegalStateException(
+    if (!done) throw new IllegalStateException(
       s"duplicateClusters did not converge in $maxIter sweeps — " +
         "pathological graph; raise maxIter")
     lab.select(col("id"), col("lab").as("cluster_id"))

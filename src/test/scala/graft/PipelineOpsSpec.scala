@@ -288,6 +288,22 @@ class PipelineOpsSpec extends GraftSuite {
     assertSameRows(got, want)
   }
 
+  test("duplicateClusters: distributed sweeps == driver-finish path") {
+    import spark.implicits._
+    // a 24-node chain with mixed directions plus cliques — deep enough to
+    // need several contraction sweeps when driver-finish is disabled
+    val chain = (1L until 24L).map(i => if (i % 2 == 0) (i, i + 1) else (i + 1, i))
+    val pairs = (chain ++ Seq((100L, 101L), (101L, 102L), (100L, 102L)))
+      .toDF("a_id", "b_id")
+    val viaDriver = Dedup.duplicateClusters(pairs)
+    spark.conf.set("spark.graft.ccDriverFinishLimit", "0")
+    try {
+      val viaSweeps = Dedup.duplicateClusters(pairs)
+      assertSameRows(viaSweeps, viaDriver)
+      assert(viaSweeps.where($"cluster_id" =!= 1L && $"id" < 100L).count() == 0)
+    } finally spark.conf.unset("spark.graft.ccDriverFinishLimit")
+  }
+
   test("duplicateClusters == driver union-find on real minhash pairs") {
     import spark.implicits._
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.9)
