@@ -515,6 +515,15 @@ object SparkEntry {
       Dedup.duplicatedWindowStats(lk.documents, "doc_id", "text",
         windowTokens = 10).orderBy("doc_id")
     }),
+    // Lee et al. span removal: tokens covered by a 10-token window
+    // duplicated across >= 2 docs are cut from the TEXT (all occurrences);
+    // only affected docs pay token-grain reassembly
+    "q_span_removal" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Dedup.removeDuplicateSpans(lk.documents.select("doc_id", "text"),
+        "doc_id", "text", windowTokens = 10)
+        .select("doc_id", "text_clean", "n_removed").orderBy("doc_id")
+    }),
     // transitive survivor selection: one doc per duplicate CLUSTER (the
     // closure-correct keep over the minhash pair graph)
     "q_dedup_canonical" -> ((s, dir) => {
@@ -1131,6 +1140,36 @@ object SparkEntry {
                t2 -> len(list_filter(ts, x -> x = t2))))::DOUBLE /
              len(ts)::DOUBLE AS top_token_ratio
          FROM r ORDER BY doc_id""",
+    "q_span_removal" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS lt,
+                 string_split(text, ' ') AS ot, text FROM documents),
+         w AS (SELECT doc_id,
+               unnest(generate_series(0, len(lt) - 10)) AS pos,
+               unnest(list_transform(generate_series(1, len(lt) - 9),
+                 i -> array_to_string(lt[i:i+9], chr(1)))) AS win
+             FROM t WHERE len(lt) >= 10),
+         dup AS (SELECT win FROM (SELECT win, count(DISTINCT doc_id) AS d
+                                  FROM w GROUP BY win) WHERE d >= 2),
+         cov AS (SELECT DISTINCT doc_id, p FROM (
+                 SELECT doc_id, unnest(generate_series(pos, pos + 9)) AS p
+                 FROM w WHERE win IN (SELECT win FROM dup))),
+         rem AS (SELECT doc_id, count(*) AS n_removed FROM cov
+                 GROUP BY doc_id),
+         tok AS (SELECT t.doc_id, unnest(ot) AS tk,
+                     unnest(generate_series(0, len(ot) - 1)) AS p
+                 FROM t JOIN rem USING (doc_id)),
+         kept AS (SELECT tok.doc_id, string_agg(tk, ' ' ORDER BY tok.p)
+                   AS clean
+                 FROM tok LEFT JOIN cov
+                   ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+                 WHERE cov.doc_id IS NULL GROUP BY tok.doc_id)
+         SELECT d.doc_id,
+           CASE WHEN r.n_removed IS NULL THEN d.text
+                ELSE coalesce(k.clean, '') END AS text_clean,
+           CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed
+         FROM documents d
+         LEFT JOIN rem r USING (doc_id) LEFT JOIN kept k USING (doc_id)
+         ORDER BY d.doc_id""",
     "q_strip_lines" ->
       """WITH s AS (SELECT doc_id,
                'shared corpus header' || chr(10) || text || chr(10) ||

@@ -605,6 +605,76 @@ object Dedup extends org.apache.spark.internal.Logging {
           .as("dup_window_frac"))
   }
 
+  /** Exact-substring SPAN REMOVAL (the Lee et al. "Deduplicating Training
+    * Data Makes Language Models Better" recipe, Spark-first): every token
+    * covered by a `windowTokens`-token window that appears verbatim in at
+    * least `minDocs` distinct documents is removed from the TEXT — all
+    * occurrences, in every document — and the surviving tokens rejoin in
+    * order. The doc-level views are [[duplicatedWindowStats]] (how much
+    * would go) and [[sharedWindowPairs]] (who shares with whom); this one
+    * actually edits the corpus. Output: input columns + `outCol` (the
+    * cleaned text; empty string when everything was duplicated) +
+    * `n_removed` (tokens dropped).
+    *
+    * Scale shape: window hashes are built per-row (codegen'd, the
+    * suffix-array substitute), duplicated windows found with one
+    * hash-aggregate; covered positions explode only for DUPLICATED window
+    * occurrences (overlapping windows re-emit positions; map-side partial
+    * distinct collapses them before the shuffle), and only AFFECTED
+    * documents pay the token-grain reassembly — untouched docs pass
+    * through verbatim with no explode. Matching is on lowercased tokens
+    * (consistent with the rest of the window family); removal positions
+    * apply to the original-case tokens. */
+  def removeDuplicateSpans(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 50,
+      minDocs: Long = 2L,
+      outCol: String = "text_clean"): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    require(minDocs >= 2, "minDocs must be >= 2 — a span is duplicated " +
+      "only when it repeats across documents")
+    val lt = split(lower(col(textCol)), " ")
+    val winExpr = transform(sequence(lit(0), size(lt) - windowTokens),
+      i => xxhash64(concat_ws("\u0001", slice(lt, i + 1, lit(windowTokens)))))
+    val guarded = when(size(lt) >= windowTokens, winExpr)
+      .otherwise(array().cast("array<long>"))
+    // duplicated windows: distinct-within-doc explode makes plain count a
+    // distinct-doc count (same trick as duplicatedWindowStats)
+    val dupWins = df.select(explode(
+        when(size(lt) >= windowTokens, array_distinct(winExpr))
+          .otherwise(array().cast("array<long>"))).as("__w"))
+      .groupBy("__w").agg(count(lit(1)).as("__d"))
+      .where(col("__d") >= minDocs).select("__w")
+    // covered token positions of duplicated-window OCCURRENCES only
+    val occ = df.select(col(idCol).as("__id"),
+      posexplode(guarded).as(Seq("__pos", "__w")))
+    val cov = occ.join(dupWins, Seq("__w"))
+      .select(col("__id"),
+        explode(sequence(col("__pos"), col("__pos") + lit(windowTokens - 1)))
+          .as("__p"))
+      .distinct()
+    val removed = cov.groupBy("__id").agg(count(lit(1)).as("__nrm"))
+    // ONLY affected docs explode to token grain and reassemble
+    val affected = df.join(removed.withColumnRenamed("__id", idCol),
+      Seq(idCol), "left_semi")
+    val kept = affected
+      .select(col(idCol).as("__id"),
+        posexplode(split(col(textCol), " ")).as(Seq("__p", "__tk")))
+      .join(cov, Seq("__id", "__p"), "left_anti")
+      .groupBy("__id")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__p"), col("__tk")))),
+        x => x("__tk")), " ").as("__clean"))
+    df.join(kept.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .join(removed.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .withColumn(outCol, when(col("__nrm").isNull, col(textCol))
+        .otherwise(coalesce(col("__clean"), lit(""))))
+      .withColumn("n_removed", coalesce(col("__nrm"), lit(0L)))
+      .drop("__clean", "__nrm")
+  }
+
   /** Connected components over a near-dup pair frame: `(id, cluster_id)`
     * for every id appearing in `pairs`, where `cluster_id` is the minimum
     * id transitively reachable — the canonical duplicate-cluster label a

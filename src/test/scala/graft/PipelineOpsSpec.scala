@@ -288,6 +288,58 @@ class PipelineOpsSpec extends GraftSuite {
     assertSameRows(got, want)
   }
 
+  test("removeDuplicateSpans: covered tokens cut, case preserved, counts exact") {
+    val s = spark
+    import s.implicits._
+    val fixture = Seq(
+      (1L, "a b c d e f"), // "a b c" duplicated -> keep "d e f"
+      (2L, "z a b c y"),   // interior occurrence -> keep "z y"
+      (3L, "q r s"),       // untouched, passes through verbatim
+      (4L, "a b c"),       // fully duplicated -> empty
+      (5L, "A b c x")      // matching is lowercased; original case removed
+    ).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(fixture, "doc_id", "text",
+        windowTokens = 3).select("doc_id", "text_clean", "n_removed")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("d e f", 3L)))
+    assert(got(2L) == (("z y", 3L)))
+    assert(got(3L) == (("q r s", 0L)))
+    assert(got(4L) == (("", 3L)))
+    assert(got(5L) == (("x", 3L)))
+  }
+
+  test("removeDuplicateSpans == all-docs reassembly reference on the corpus") {
+    val s = spark
+    import s.implicits._
+    val w = 10
+    val lt = split(lower($"text"), " ")
+    val wins = when(size(lt) >= w, transform(sequence(lit(0), size(lt) - w),
+      i => xxhash64(concat_ws("\u0001", slice(lt, i + 1, lit(w))))))
+      .otherwise(array().cast("array<long>"))
+    val occ = docs.select($"doc_id", posexplode(wins).as(Seq("pos", "win")))
+    val dup = occ.groupBy("win").agg(countDistinct($"doc_id").as("d"))
+      .where($"d" >= 2).select("win")
+    val cov = occ.join(dup, Seq("win"))
+      .select($"doc_id", explode(sequence($"pos", $"pos" + lit(w - 1))).as("p"))
+      .distinct()
+    // reference reassembles EVERY doc from tokens (no affected-only path)
+    val toks = docs.select($"doc_id", posexplode(split($"text", " ")).as(Seq("p", "tk")))
+    val want = docs.select($"doc_id").join(
+        toks.join(cov, Seq("doc_id", "p"), "left_anti")
+          .groupBy("doc_id")
+          .agg(array_join(transform(array_sort(collect_list(struct($"p", $"tk"))),
+            x => x("tk")), " ").as("text_clean")),
+        Seq("doc_id"), "left")
+      .join(cov.groupBy("doc_id").agg(count(lit(1)).as("n_removed")),
+        Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"text_clean", lit("")).as("text_clean"),
+        coalesce($"n_removed", lit(0L)).as("n_removed"))
+    val got = Dedup.removeDuplicateSpans(docs.select("doc_id", "text"),
+      "doc_id", "text", windowTokens = w)
+      .select("doc_id", "text_clean", "n_removed")
+    assertSameRows(got, want)
+  }
+
   test("duplicateClusters: distributed sweeps == driver-finish path") {
     import spark.implicits._
     // a 24-node chain with mixed directions plus cliques — deep enough to
