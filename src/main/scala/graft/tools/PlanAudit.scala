@@ -24,7 +24,11 @@ object PlanAudit {
       "q_pipeline_curate",
       // r4 additions: de-windowed temporal serving path, SQL range pruning,
       // two-level group top-k, header-parsed multimodal metadata
-      "q_temporal_latest", "q_sql_range", "q_topk_group", "q_multimodal_meta")
+      "q_temporal_latest", "q_sql_range", "q_topk_group", "q_multimodal_meta",
+      // r5 additions: corpus-frequency text ops (no UDFs, broadcast strip
+      // lists), mixture/shard sampling (explode / one-shuffle window)
+      "q_strip_lines", "q_span_removal", "q_vocab", "q_mix_weights",
+      "q_shard_assign")
       .foreach { name =>
         val df = SparkEntry.queries(name)(spark, sfDir)
         df.collect() // finalize AQE so the printed plan is the executed one

@@ -201,6 +201,35 @@ object ScaleBench {
     bench("q_dedup_simhash_near") {
       Dedup.simhashNearPairs(lake.documents, "doc_id", "text", maxHamming = 3).count()
     }
+    // span removal at 150k docs: dup-window occurrences explode positions,
+    // but ONLY affected docs reach token-grain reassembly — wall time must
+    // track duplicated volume (the injected pairs), not corpus size
+    bench("q_span_removal") {
+      Dedup.removeDuplicateSpans(lake.documents.select("doc_id", "text"),
+        "doc_id", "text", windowTokens = 10)
+        .agg(sum(when(col("n_removed") > 0, 1L).otherwise(0L))).first().getLong(0)
+    }
+    // boilerplate strip over synthesized multi-line pages (header/footer
+    // shared corpus-wide — maximal line-join skew): corpus is never
+    // re-assembled; strip lists ride a doc-grain broadcast join
+    bench("q_strip_lines") {
+      val pages = lake.documents.select(col("doc_id"),
+        concat(lit("shared corpus header\n"), col("text"),
+          lit("\nfooter for "), pmod(col("doc_id"), lit(7))).as("page"))
+      Dedup.stripBoilerplate(pages, "doc_id", "page")
+        .agg(count(lit(1))).first().getLong(0)
+    }
+    // corpus vocabulary: one hash-agg shuffle of (gram, partial count)
+    bench("q_vocab_bigram") {
+      graft.operators.TextAnalysis.vocabulary(
+        lake.documents, "text", n = 2, minCount = 2).count()
+    }
+    // shard assignment: one shuffle + per-shard sorts (64 shards)
+    bench("q_shard_assign") {
+      graft.operators.Sampling.shardAssign(
+        lake.documents.select("doc_id"), "doc_id", 64)
+        .agg(max("shard_pos")).first().getLong(0)
+    }
     bench("q_ann_ivf_topk") {
       val emb = lake.embeddings
       Similarity.ivfTopK(emb, emb.where(col("vec_id") < 100), "vec_id",
