@@ -191,15 +191,14 @@ object SparkEntry {
     }),
     // as-of (point-in-time) join: clicks pick up the latest prior view-state
     // per user — union+running-window shape, no range-join blowup.
-    // Timestamps are truncated to MICROSECONDS on both engines: DuckDB reads
-    // TIMESTAMP(NANOS) parquet at µs precision, so matching at ns here would
-    // diverge on pairs that tie at µs resolution.
+    // Both engines work in epoch-MICROSECONDS (unix_micros under the UTC
+    // session zone ≡ DuckDB epoch_us), so the integer outputs hash equal.
     "q_asof_join" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
       val clicks = lk.events.where(col("event_type") === "click")
-        .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_id"))
+        .select(col("user_id"), expr("unix_micros(cast(ts as timestamp))").as("ts"), col("event_id"))
       val views = lk.events.where(col("event_type") === "view")
-        .select(col("user_id"), expr("ts div 1000").as("ts"), col("value"))
+        .select(col("user_id"), expr("unix_micros(cast(ts as timestamp))").as("ts"), col("value"))
         .groupBy("user_id", "ts").agg(max("value").as("state_val"))
       AsOfJoin.asOf(clicks, views, Seq("user_id"), "ts", "ts",
         valueCols = Seq("state_val"), rightTsAlias = "state_ts")
@@ -211,9 +210,9 @@ object SparkEntry {
       val lk = Lake.get(s, dir)
       val dayUs = 86400L * 1000 * 1000
       val clicks = lk.events.where(col("event_type") === "click")
-        .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_id"))
+        .select(col("user_id"), expr("unix_micros(cast(ts as timestamp))").as("ts"), col("event_id"))
       val views = lk.events.where(col("event_type") === "view")
-        .select(col("user_id"), expr("ts div 1000").as("ts"), col("value"))
+        .select(col("user_id"), expr("unix_micros(cast(ts as timestamp))").as("ts"), col("value"))
         .groupBy("user_id", "ts").agg(max("value").as("state_val"))
       AsOfJoin.asOfBucketed(clicks, views, Seq("user_id"), "ts", "ts",
         valueCols = Seq("state_val"), bucketWidth = dayUs,
@@ -224,9 +223,9 @@ object SparkEntry {
     "q_asof_forward" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
       val clicks = lk.events.where(col("event_type") === "click")
-        .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_id"))
+        .select(col("user_id"), expr("unix_micros(cast(ts as timestamp))").as("ts"), col("event_id"))
       val views = lk.events.where(col("event_type") === "view")
-        .select(col("user_id"), expr("ts div 1000").as("ts"), col("value"))
+        .select(col("user_id"), expr("unix_micros(cast(ts as timestamp))").as("ts"), col("value"))
         .groupBy("user_id", "ts").agg(max("value").as("next_val"))
       AsOfJoin.asOf(clicks, views, Seq("user_id"), "ts", "ts",
         valueCols = Seq("next_val"), rightTsAlias = "next_ts",
@@ -234,39 +233,44 @@ object SparkEntry {
         .orderBy("user_id", "ts")
     }),
     // index-accelerated as-of: temporal index prunes files by KEY, the pruned
-    // rows are the right side. Probe ts = last ns of the click's PREVIOUS
-    // second — second-aligned bounds mean DuckDB's µs-truncated view of the
-    // same rows selects the same winner (truncation never crosses a second),
-    // and "strictly before the click's second" dodges self-matching.
+    // rows are the right side. Probe ts = last µs of the click's PREVIOUS
+    // second — "strictly before the click's second" dodges self-matching.
+    // The probe column stays a native TIMESTAMP_NTZ (the indexed table's ts
+    // type): the operator compares timestamps directly; outputs convert to
+    // epoch-µs longs so both engines hash identical integers.
     "q_asof_index" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
       val probe = lk.events
         .where(col("event_type") === "click" && col("user_id") < 30)
         .select(col("user_id"),
-          (expr("ts div 1000000000") * lit(1000000000L) - 1).as("q_ts"),
+          expr("cast(date_trunc('second', ts) as timestamp_ntz)" +
+            " - interval 1 microsecond").as("q_ts"),
           col("event_id").as("click_id"))
       lk.eventsIdx.asOfJoin(probe, "user_id", "q_ts",
         valueCols = Seq("event_id", "event_type", "value"),
         rightTsAlias = "src_ts", timePrune = true)
-        .withColumn("src_ts", expr("src_ts div 1000"))
+        .withColumn("q_ts", expr("unix_micros(cast(q_ts as timestamp))"))
+        .withColumn("src_ts", expr("unix_micros(cast(src_ts as timestamp))"))
         .orderBy("user_id", "q_ts")
     }),
     // index-accelerated interval join: the range index on ts prunes files
     // whose [min,max] misses every span; spans are second-aligned closed
-    // windows [sec, sec+600s-1ns] so the µs-truncated oracle selects the
-    // same rows (truncation never crosses a second boundary)
+    // windows [sec, sec+3600s-1µs] built as native TIMESTAMP_NTZ bounds —
+    // the operator bins their epoch-µs view internally (binWidth in µs)
     "q_interval_index" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
-      val winNs = 3600L * 1000 * 1000 * 1000
-      val sec = expr("ts div 1000000000") * lit(1000000000L)
+      val winUs = 3600L * 1000 * 1000
+      val sec = expr("cast(date_trunc('second', ts) as timestamp_ntz)")
       val spans = lk.events
         .where(col("event_type") === "error")
-        .select(col("user_id"), sec.as("lo"), (sec + winNs - 1).as("hi"),
+        .select(col("user_id"), sec.as("lo"),
+          (sec + expr("interval 3600 seconds") -
+            expr("interval 1 microsecond")).as("hi"),
           col("event_id").as("err_id"))
       lk.eventsIdx.intervalJoin(spans, "ts", Seq("user_id"), "lo", "hi",
-        binWidth = winNs, valueCols = Seq("err_id"))
+        binWidth = winUs, valueCols = Seq("err_id"))
         .where(col("event_type") === "click")
-        .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        .select(col("user_id"), expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
           col("event_id"), col("err_id"))
         .orderBy("user_id", "ts_us", "err_id")
     }),
@@ -276,10 +280,10 @@ object SparkEntry {
       val lk = Lake.get(s, dir)
       val winUs = 600L * 1000 * 1000
       val clicks = lk.events.where(col("event_type") === "click")
-        .select(col("user_id"), expr("ts div 1000").as("ts"), col("event_id"))
+        .select(col("user_id"), expr("unix_micros(cast(ts as timestamp))").as("ts"), col("event_id"))
       val errors = lk.events.where(col("event_type") === "error")
-        .select(col("user_id"), expr("ts div 1000").as("lo"),
-          (expr("ts div 1000") + winUs).as("hi"), col("event_id").as("err_id"))
+        .select(col("user_id"), expr("unix_micros(cast(ts as timestamp))").as("lo"),
+          (expr("unix_micros(cast(ts as timestamp))") + winUs).as("hi"), col("event_id").as("err_id"))
       IntervalJoin.joinPointsToIntervals(clicks, errors, Seq("user_id"),
         "ts", "lo", "hi", binWidth = winUs, valueCols = Seq("err_id"))
         .orderBy("user_id", "ts", "err_id")
@@ -927,29 +931,27 @@ object SparkEntry {
          ORDER BY c.user_id, c.ts""",
     "q_asof_index" ->
       """WITH probe AS (SELECT user_id,
-                               (epoch_us(ts) // 1000000) * 1000000000 - 1 AS q_ts,
+                               (epoch_us(ts) // 1000000) * 1000000 - 1 AS q_ts,
                                event_id AS click_id
                         FROM events WHERE event_type = 'click' AND user_id < 30),
-              ev AS (SELECT user_id, epoch_us(ts) AS ets,
-                            epoch_us(ts) * 1000 AS ets_ns, event_id,
+              ev AS (SELECT user_id, epoch_us(ts) AS ets, event_id,
                             event_type, value FROM events)
          SELECT p.user_id, p.q_ts, p.click_id, e.event_id, e.event_type,
                 e.value, e.ets AS src_ts
          FROM probe p ASOF LEFT JOIN ev e
-           ON p.user_id = e.user_id AND p.q_ts >= e.ets_ns
+           ON p.user_id = e.user_id AND p.q_ts >= e.ets
          ORDER BY p.user_id, p.q_ts""",
     "q_interval_index" ->
       """WITH err AS (SELECT user_id,
-             (epoch_us(ts) // 1000000) * 1000000000 AS lo,
-             (epoch_us(ts) // 1000000) * 1000000000 + 3600000000000 - 1 AS hi,
+             (epoch_us(ts) // 1000000) * 1000000 AS lo,
+             (epoch_us(ts) // 1000000) * 1000000 + 3600000000 - 1 AS hi,
              event_id AS err_id
            FROM events WHERE event_type = 'error'),
-         clk AS (SELECT user_id, epoch_us(ts) AS ts_us,
-                        epoch_us(ts) * 1000 AS ts_ns, event_id
+         clk AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id
                  FROM events WHERE event_type = 'click')
          SELECT c.user_id, c.ts_us, c.event_id, e.err_id
          FROM clk c JOIN err e
-           ON c.user_id = e.user_id AND c.ts_ns BETWEEN e.lo AND e.hi
+           ON c.user_id = e.user_id AND c.ts_us BETWEEN e.lo AND e.hi
          ORDER BY c.user_id, c.ts_us, e.err_id""",
     "q_interval_join" ->
       """SELECT c.user_id, epoch_us(c.ts) AS ts, c.event_id,

@@ -30,8 +30,9 @@ object AsOfJoin {
     *                     timestamp under this name
     * @param direction    "backward" (right.ts <= left.ts, latest wins) or
     *                     "forward" (right.ts >= left.ts, earliest wins)
-    * @param tolerance    max |left.ts - right.ts| for a match, in the ts
-    *                     column's own units (numeric ts columns only)
+    * @param tolerance    max |left.ts - right.ts| for a match — in the ts
+    *                     column's own units for numeric columns, in
+    *                     MICROSECONDS for timestamp columns
     *
     * Right rows with a null timestamp never match; left rows with a null
     * timestamp come out unmatched (SQL comparison-with-null semantics,
@@ -112,9 +113,11 @@ object AsOfJoin {
       .where(isLeft)
     val bounded = tolerance match {
       case Some(tol) =>
-        val gap =
-          if (direction == "backward") col("__ts") - col("__m.__rts")
-          else col("__m.__rts") - col("__ts")
+        // timestamps subtract to an interval, not a number — compare on the
+        // epoch-micros view instead (tolerance is in µs for time columns)
+        val lN = TimeCols.numeric(col("__ts"), left.schema(leftTsCol).dataType)
+        val rN = TimeCols.numeric(col("__m.__rts"), right.schema(rightTsCol).dataType)
+        val gap = if (direction == "backward") lN - rN else rN - lN
         withMatch.withColumn("__m", when(gap <= lit(tol), col("__m")))
       case None => withMatch
     }
@@ -125,8 +128,10 @@ object AsOfJoin {
     bounded.select(outCols: _*)
   }
 
-  /** Skew-resistant backward as-of for NUMERIC timestamps: same results as
-    * [[asOf]](direction="backward"), different parallelism bound. [[asOf]]
+  /** Skew-resistant bucketed as-of: same results as [[asOf]], different
+    * parallelism bound. Timestamp ts columns are normalized to epoch-micros
+    * internally ([[TimeCols]]) — `bucketWidth` (and `tolerance`) are in
+    * MICROSECONDS for them, in the column's own units for numerics. [[asOf]]
     * sorts each key's entire history on one window task — fine for normal
     * keys, a serial bottleneck for a pathological hot key at 100 TB. Here
     * the heavy window partitions by (key, ts div bucketWidth), so a hot key
@@ -152,15 +157,19 @@ object AsOfJoin {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
     if (direction == "forward") {
-      // forward == backward on the negated timeline; temp columns keep the
-      // user's ts columns (carried in the output payload) untouched
-      val l2 = left.withColumn("__graft_nts", -col(leftTsCol))
-      val r2 = right.withColumn("__graft_nts", -col(rightTsCol))
+      // forward == backward on the negated NUMERIC timeline (timestamps go
+      // through their epoch-micros view); temp columns keep the user's ts
+      // columns (carried in the output payload) untouched
+      val rTsDt = right.schema(rightTsCol).dataType
+      val l2 = left.withColumn("__graft_nts", -TimeCols.numericFor(left, leftTsCol))
+      val r2 = right.withColumn("__graft_nts", -TimeCols.numericFor(right, rightTsCol))
       val res = asOfBucketed(l2, r2, keyCols, "__graft_nts", "__graft_nts",
         valueCols, bucketWidth, rightTsAlias, tolerance, "backward")
         .drop("__graft_nts")
       return if (rightTsAlias.nonEmpty)
-        res.withColumn(rightTsAlias, -col(rightTsAlias))
+        // un-negate, and restore the original timestamp type if there was one
+        res.withColumn(rightTsAlias,
+          TimeCols.fromMicros(-col(rightTsAlias), rTsDt))
       else res
     }
     val collisions = valueCols.toSet.intersect(left.columns.toSet)
@@ -174,18 +183,21 @@ object AsOfJoin {
       StructField("__rts", right.schema(rightTsCol).dataType) +:
         valueCols.map(c => right.schema(c)))
     val lPayloadType = StructType(left.schema.fields)
+    // bucketing/ordering run on the numeric (epoch-micros for timestamps)
+    // view of ts; the payload __rts keeps the ORIGINAL right ts value, so
+    // rightTsAlias comes out in the caller's own type
     val rTagged = right
       .where(col(rightTsCol).isNotNull &&
         keyCols.map(col(_).isNotNull).reduce(_ && _))
       .select(
         keyCols.map(col) ++ Seq(
-          col(rightTsCol).as("__ts"),
+          TimeCols.numericFor(right, rightTsCol).as("__ts"),
           lit(0).as("__side"),
           rPayload.as("__r"),
           lit(null).cast(lPayloadType).as("__l")): _*)
     val lTagged = left.select(
       keyCols.map(col) ++ Seq(
-        col(leftTsCol).as("__ts"),
+        TimeCols.numericFor(left, leftTsCol).as("__ts"),
         lit(1).as("__side"),
         lit(null).cast(rPayloadType).as("__r"),
         struct(left.columns.map(col): _*).as("__l")): _*)
@@ -225,8 +237,9 @@ object AsOfJoin {
       .where(col("__side") === 1)
     val bounded = tolerance match {
       case Some(tol) =>
+        val rN = TimeCols.numeric(col("__m.__rts"), right.schema(rightTsCol).dataType)
         matched.withColumn("__m",
-          when(col("__ts") - col("__m.__rts") <= lit(tol), col("__m")))
+          when(col("__ts") - rN <= lit(tol), col("__m")))
       case None => matched
     }
     val outCols =

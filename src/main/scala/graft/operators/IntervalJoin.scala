@@ -22,11 +22,13 @@ object IntervalJoin {
   /** Attach interval payload columns to every contained point (inner join;
     * points in no interval drop, points in k intervals appear k times).
     *
-    * `ptCol`/`loCol`/`hiCol` must be integral (bin arithmetic uses exact
-    * integer division — doubles lose exactness past 2^53, which epoch-nanos
-    * already exceed). Keys equal across both sides; `valueCols` are
-    * interval-side columns to attach and must not collide with point
-    * columns. Null timestamps/bounds never match (SQL comparison rules).
+    * `ptCol`/`loCol`/`hiCol` may be integral OR timestamp columns —
+    * timestamps are normalized to epoch-micros internally ([[TimeCols]]),
+    * so `binWidth` is in MICROSECONDS for them. Doubles are rejected (bin
+    * arithmetic needs exact integer division; doubles lose exactness past
+    * 2^53). Keys equal across both sides; `valueCols` are interval-side
+    * columns to attach and must not collide with point columns. Null
+    * timestamps/bounds never match (SQL comparison rules).
     */
   def joinPointsToIntervals(
       points: DataFrame,
@@ -49,17 +51,22 @@ object IntervalJoin {
     // div truncates toward zero (≠ floor for negatives), but correctness
     // only needs MONOTONICITY: lo <= pt <= hi ⇒ their bin ids are ordered,
     // so the point's bin is always inside the interval's exploded bin range
-    // — negative timestamps work, bin 0 is merely twice as wide
-    val p = points.withColumn("__bin", expr(s"`$ptCol` div ${binWidth}L"))
+    // — negative timestamps work, bin 0 is merely twice as wide.
+    // All arithmetic AND the residual predicate run on the numeric
+    // (epoch-micros for timestamps) view — one shared monotonic timeline
+    // even when the two sides carry different timestamp flavors.
+    val p = points
+      .withColumn("__ptn", TimeCols.numericFor(points, ptCol))
+      .withColumn("__bin", expr(s"__ptn div ${binWidth}L"))
     // fan-out guard INSIDE the plan (no extra pre-validation job): a single
     // outlier interval spanning more than maxBinsPerInterval bins would
     // otherwise either blow up Spark's max array length with an opaque
     // "too long sequence" error or silently explode the join input;
     // raise_error names the knob to turn instead (r3 advice)
     val spanBins =
-      expr(s"(`$hiCol` div ${binWidth}L) - (`$loCol` div ${binWidth}L) + 1")
+      expr(s"(__hin div ${binWidth}L) - (__lon div ${binWidth}L) + 1")
     val binsOrError = when(spanBins <= lit(maxBinsPerInterval),
-        expr(s"sequence(`$loCol` div ${binWidth}L, `$hiCol` div ${binWidth}L)"))
+        expr(s"sequence(__lon div ${binWidth}L, __hin div ${binWidth}L)"))
       .otherwise(raise_error(concat(
         lit(s"interval spans more than $maxBinsPerInterval bins at " +
           s"binWidth=$binWidth: ["), col(loCol).cast("string"), lit(", "),
@@ -68,11 +75,13 @@ object IntervalJoin {
     val iv = intervals
       .where(col(loCol).isNotNull && col(hiCol).isNotNull && col(loCol) <= col(hiCol))
       .select((keyCols ++ Seq(loCol, hiCol) ++ valueCols).distinct.map(col): _*)
+      .withColumn("__lon", TimeCols.numericFor(intervals, loCol))
+      .withColumn("__hin", TimeCols.numericFor(intervals, hiCol))
       .withColumn("__bin", explode(binsOrError))
 
     p.join(iv, keyCols :+ "__bin")
-      .where(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
-      .drop("__bin")
+      .where(col("__ptn") >= col("__lon") && col("__ptn") <= col("__hin"))
+      .drop("__bin", "__ptn", "__lon", "__hin")
       .drop(Seq(loCol, hiCol).filterNot(valueCols.contains)
         .filterNot(points.columns.contains): _*)
   }

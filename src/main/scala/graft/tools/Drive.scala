@@ -183,7 +183,8 @@ object Drive {
     // 8) index-accelerated as-of join vs brute-force inequality oracle
     {
       val probe = events.where(col("event_type") === "click" && col("user_id") < 5)
-        .select(col("user_id"), (col("ts") - 1).as("q_ts"),
+        .select(col("user_id"),
+          (col("ts") - expr("interval 1 microsecond")).as("q_ts"),
           col("event_id").as("click_id"))
       val got = eidx.asOfJoin(probe, "user_id", "q_ts",
         valueCols = Seq("event_id"), rightTsAlias = "src_ts")

@@ -70,12 +70,14 @@ object GenScale {
       .withColumn("l_orderkey", shift("l_orderkey", ok))
       .withColumn("l_partkey", shift("l_partkey", pk))
       .withColumn("l_suppkey", shift("l_suppkey", sk)).drop("cp"), "lineitem", 32)
-    // ts arrives as epoch-ns BIGINT (nanosAsLong); +cp breaks exact ts ties
+    // ts is TIMESTAMP_NTZ (µs); +cp MICROSECONDS breaks exact ts ties
     // between replicas without moving any row across a time bucket
     write(rep(read("events"))
       .withColumn("event_id", shift("event_id", ek))
       .withColumn("user_id", shift("user_id", uk))
-      .withColumn("ts", col("ts") + col("cp")).drop("cp"), "events", 16)
+      .withColumn("ts", expr(
+        "cast(timestamp_micros(unix_micros(cast(ts as timestamp)) + cp)" +
+          " as timestamp_ntz)")).drop("cp"), "events", 16)
 
     // documents: synthesized token text. ~1/37 of docs are near-duplicates
     // of their predecessor (same seed, one extra token); everything else is

@@ -93,17 +93,22 @@ class SqlCatalogSpec extends GraftSuite {
     val w = Window.partitionBy("user_id").orderBy(col("ts").desc)
     val latest = lake.events.withColumn("rn", row_number().over(w))
       .where(col("rn") === 1).drop("rn")
-    val b = lake.events.agg(min("ts"), max("ts")).first()
-    val lo = b.getLong(0)
-    val hi = (b.getLong(0) + b.getLong(1)) / 2
+    val b = lake.events.selectExpr(
+      "min(unix_micros(cast(ts as timestamp)))",
+      "max(unix_micros(cast(ts as timestamp)))").first()
+    val loUs = b.getLong(0)
+    val hiUs = (b.getLong(0) + b.getLong(1)) / 2
+    def ntz(us: Long) = s"cast(timestamp_micros(${us}L) as timestamp_ntz)"
+    val (lo, hi) = (expr(ntz(loUs)), expr(ntz(hiUs)))
     // non-vacuous: users whose LATEST event is after the window exist, and
     // they have older events inside it — pruning by ts bounds would read
     // only in-window files and resurrect those stale rows
     assert(latest.where(col("ts") > hi).count() > 0)
     val got = spark.sql(
       s"""SELECT event_id, user_id FROM graft.events_idx
-          WHERE ts BETWEEN $lo AND $hi""")
-    val want = latest.where(col("ts").between(lo, hi)).select("event_id", "user_id")
+          WHERE ts BETWEEN ${ntz(loUs)} AND ${ntz(hiUs)}""")
+    val want = latest.where(col("ts") >= lo && col("ts") <= hi)
+      .select("event_id", "user_id")
     assertSameRows(got, want)
   }
 

@@ -24,9 +24,11 @@ class StreamOpsSpec extends GraftSuite {
     idx.update()
 
     val probes = events.where($"event_type" === "click" && $"user_id" < 6)
-      .select($"user_id", ($"ts" - 1).as("q_ts"), $"event_id".as("click_id"))
-      .as[(Long, Long, Long)].collect().toSeq
-    val mem = MemoryStream[(Long, Long, Long)]
+      .select($"user_id",
+        ($"ts" - expr("interval 1 microsecond")).as("q_ts"),
+        $"event_id".as("click_id"))
+      .as[(Long, java.time.LocalDateTime, Long)].collect().toSeq
+    val mem = MemoryStream[(Long, java.time.LocalDateTime, Long)]
     val stream = mem.toDF().toDF("user_id", "q_ts", "click_id")
     val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long])]
     val q = StreamOps.asOfEnrich(stream, idx, "user_id", "q_ts",

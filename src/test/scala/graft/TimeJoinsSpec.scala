@@ -81,13 +81,14 @@ class TimeJoinsSpec extends GraftSuite {
         valueCols = Seq("px"), rightTsAlias = "q_ts", direction = dir)
       assertSameRows(got, want)
     }
-    // real data: day buckets and week buckets over ns timestamps
+    // real data: day buckets and week buckets over native TIMESTAMP_NTZ ts
+    // (the operator normalizes to epoch-µs internally — widths/tolerance µs)
     val events = spark.read.parquet(s"$sf/events.parquet")
     val clicks = events.where($"event_type" === "click")
       .select("user_id", "ts", "event_id")
     val views = events.where($"event_type" === "view")
       .groupBy($"user_id", $"ts").agg(max($"value").as("state_val"))
-    val day = 86400L * 1000 * 1000 * 1000
+    val day = 86400L * 1000 * 1000
     for (width <- Seq(day, 7 * day)) {
       val got = AsOfJoin.asOfBucketed(clicks, views, Seq("user_id"), "ts", "ts",
         valueCols = Seq("state_val"), bucketWidth = width,
@@ -143,9 +144,10 @@ class TimeJoinsSpec extends GraftSuite {
     val events = spark.read.parquet(s"$sf/events.parquet")
     val clicks = events.where($"event_type" === "click")
       .select("user_id", "ts", "event_id")
-    val win = 600L * 1000 * 1000 * 1000 // 10 min in ns
+    val win = 600L * 1000 * 1000 // 10 min in µs (timestamp binning unit)
     val errors = events.where($"event_type" === "error")
-      .select($"user_id", $"ts".as("lo"), ($"ts" + win).as("hi"),
+      .select($"user_id", $"ts".as("lo"),
+        ($"ts" + expr("interval 600 seconds")).as("hi"),
         $"event_id".as("err_id"))
 
     val got = IntervalJoin.joinPointsToIntervals(
@@ -177,12 +179,14 @@ class TimeJoinsSpec extends GraftSuite {
     idx.addFile(files: _*)
     idx.update()
 
-    val day = 86400L * 1000 * 1000 * 1000
-    val t0 = events.agg(min($"ts")).first().getLong(0)
-    val spans = Seq((t0, t0 + 2 * day, 7L)).toDF("lo", "hi", "span_id")
+    val day = 86400L * 1000 * 1000 // µs
+    val t0 = events.agg(min($"ts")).first()
+      .getAs[java.time.LocalDateTime](0)
+    val t2 = t0.plusDays(2)
+    val spans = Seq((t0, t2, 7L)).toDF("lo", "hi", "span_id")
     val got = idx.intervalJoin(spans, "ts", Seq.empty, "lo", "hi",
       binWidth = day, valueCols = Seq("span_id"))
-    val expected = events.where($"ts" >= t0 && $"ts" <= t0 + 2 * day)
+    val expected = events.where($"ts" >= lit(t0) && $"ts" <= lit(t2))
       .withColumn("span_id", lit(7L))
     assert(expected.count() > 0)
     assertSameRows(got, expected)
@@ -231,9 +235,14 @@ class TimeJoinsSpec extends GraftSuite {
 
     // probes early in the timeline: later band files can't hold a backward
     // match and must not be read
-    val cut = events.selectExpr("percentile_approx(ts, 0.2)").first().getLong(0)
+    val cutUs = events
+      .selectExpr("percentile_approx(unix_micros(cast(ts as timestamp)), 0.2)")
+      .first().getLong(0)
+    val cut = expr(s"cast(timestamp_micros(${cutUs}L) as timestamp_ntz)")
     val probe = events.where($"event_type" === "click" && $"ts" < cut)
-      .select($"user_id", ($"ts" - 1).as("q_ts"), $"event_id".as("click_id"))
+      .select($"user_id",
+        ($"ts" - expr("interval 1 microsecond")).as("q_ts"),
+        $"event_id".as("click_id"))
     val got = idx.asOfJoin(probe, "user_id", "q_ts",
       valueCols = Seq("event_id"), rightTsAlias = "src_ts", timePrune = true)
     val expected = AsOfJoin.asOf(probe, spark.read.parquet(dir),
