@@ -345,7 +345,8 @@ final class Index private (
     val files = IndexProbe.collectFiles(candidates)
     val data = FileReader.readFiles(spark, meta, files, Set.empty, selection)
     bucketWidth match {
-      // skew-safe two-level plan for hot keys (numeric ts only)
+      // skew-safe two-level plan for hot keys (bucketWidth in µs for
+      // timestamp ts columns, own units for numeric)
       case Some(w) => AsOfJoin.asOfBucketed(df, data, Seq(keyColumn),
         probeTsCol, ix.tsColumn.get, valueCols, w, rightTsAlias, tolerance,
         direction)

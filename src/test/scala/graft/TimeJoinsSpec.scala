@@ -100,6 +100,30 @@ class TimeJoinsSpec extends GraftSuite {
     }
   }
 
+  test("asOf/asOfBucketed on timestamps equals the same join on epoch-micros longs") {
+    // the timestamp-native path must be a pure re-typing of the numeric
+    // path: run the identical join both ways and compare matches
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    def micros(df: DataFrame) =
+      df.withColumn("ts", expr("unix_micros(cast(ts as timestamp))"))
+    val clicksT = events.where($"event_type" === "click")
+      .select("user_id", "ts", "event_id")
+    val viewsT = events.where($"event_type" === "view")
+      .groupBy($"user_id", $"ts").agg(max($"value").as("state_val"))
+    for (dir <- Seq("backward", "forward")) {
+      val gotT = AsOfJoin.asOfBucketed(clicksT, viewsT, Seq("user_id"), "ts", "ts",
+        valueCols = Seq("state_val"), bucketWidth = 86400L * 1000 * 1000,
+        rightTsAlias = "state_ts", direction = dir)
+        .withColumn("ts", expr("unix_micros(cast(ts as timestamp))"))
+        .withColumn("state_ts", expr("unix_micros(cast(state_ts as timestamp))"))
+      val gotN = AsOfJoin.asOfBucketed(micros(clicksT), micros(viewsT),
+        Seq("user_id"), "ts", "ts",
+        valueCols = Seq("state_val"), bucketWidth = 86400L * 1000 * 1000,
+        rightTsAlias = "state_ts", direction = dir)
+      assertSameRows(gotT, gotN)
+    }
+  }
+
   /** Brute-force as-of on real data: per left row, max right ts <= left ts
     * via inequality join + window — O(n·m) per key but exact. */
   private def bruteAsOf(left: DataFrame, right: DataFrame): DataFrame = {
