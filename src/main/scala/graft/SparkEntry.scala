@@ -756,6 +756,17 @@ object SparkEntry {
       Similarity.ivfCosinePairs(lk.embeddings, "vec_id", "embedding",
         threshold = 0.4).orderBy("a_id", "b_id")
     }),
+    // Lloyd-trained IVF quantizer (2 iterations over the deterministic
+    // seed): the oracle recomputes seed -> assign -> rounded/float-cast
+    // means -> re-assign in SQL; matching per-cell counts pin the whole
+    // training loop, including the codegen'd nearest-cell scan
+    "q_kmeans_assign" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Similarity.trainCentroids(lk.embeddings, "vec_id", "embedding",
+        nCells = 16, iters = 2)
+        .select("cell_id", "n_assigned")
+        .orderBy("cell_id")
+    }),
     // embedding near-dup DEDUP: IVF-bucketed cosine pairs + greedy keep-first
     // survivor selection (drop any vector with a more-similar-than-0.4
     // partner of smaller id)
@@ -1449,6 +1460,44 @@ object SparkEntry {
                (sqrt(list_dot_product(ea.v, ea.v)) *
                 sqrt(list_dot_product(eb.v, eb.v))) >= 0.4
          ORDER BY a_id, b_id""",
+    // two Lloyd iterations: assign to seed, recompute means (rounded to
+    // 1e-6 and cast through FLOAT, exactly like the operator), re-assign,
+    // count. Empty cells keep their previous centroid and report 0.
+    "q_kmeans_assign" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         cent AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid,
+                         v AS cv
+                  FROM (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) h
+                        FROM e ORDER BY h, vec_id LIMIT 16)),
+         sc0 AS (SELECT e.vec_id id, c.cid,
+                        list_dot_product(e.v, c.cv) /
+                        (sqrt(list_dot_product(e.v, e.v)) *
+                         sqrt(list_dot_product(c.cv, c.cv))) sim
+                 FROM e CROSS JOIN cent c),
+         asg0 AS (SELECT id, cid FROM (
+                    SELECT id, cid, row_number() OVER (PARTITION BY id
+                      ORDER BY sim DESC, cid) rr FROM sc0) WHERE rr = 1),
+         dims AS (SELECT unnest(range(1, len(cv) + 1)) i
+                  FROM (SELECT cv FROM cent LIMIT 1)),
+         m0 AS (SELECT a.cid, d.i,
+                       CAST(CAST(round(avg(e.v[d.i]), 6) AS FLOAT) AS DOUBLE) m
+                FROM asg0 a JOIN e ON e.vec_id = a.id CROSS JOIN dims d
+                GROUP BY a.cid, d.i),
+         newc AS (SELECT cid, list(m ORDER BY i) cv FROM m0 GROUP BY cid),
+         cent1 AS (SELECT c.cid, coalesce(n.cv, c.cv) cv
+                   FROM cent c LEFT JOIN newc n ON n.cid = c.cid),
+         sc1 AS (SELECT e.vec_id id, c.cid,
+                        list_dot_product(e.v, c.cv) /
+                        (sqrt(list_dot_product(e.v, e.v)) *
+                         sqrt(list_dot_product(c.cv, c.cv))) sim
+                 FROM e CROSS JOIN cent1 c),
+         asg1 AS (SELECT id, cid FROM (
+                    SELECT id, cid, row_number() OVER (PARTITION BY id
+                      ORDER BY sim DESC, cid) rr FROM sc1) WHERE rr = 1),
+         n1 AS (SELECT cid, count(*) n FROM asg1 GROUP BY cid)
+         SELECT c.cid AS cell_id, coalesce(n1.n, CAST(0 AS BIGINT)) AS n_assigned
+         FROM cent c LEFT JOIN n1 ON n1.cid = c.cid
+         ORDER BY cell_id""",
     "q_dedup_embed" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
          cent AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid,

@@ -185,10 +185,11 @@ object Similarity {
       vecCol: String,
       threshold: Double,
       nCells: Int = 16,
-      nProbe: Int = 2): DataFrame = {
+      nProbe: Int = 2,
+      trainIters: Int = 0): DataFrame = {
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val assigned = ivfAssign(df, idCol, vecCol,
-      collectCentroids(ivfCentroids(df, idCol, vecCol, nCells)), nProbe)
+      centroidSetFor(df, idCol, vecCol, nCells, trainIters), nProbe)
     val a = assigned.select(col("__cid"), col("__id").as("a_id"))
     val b = assigned.select(col("__cid"), col("__id").as("b_id"))
     val cands = a.join(b, Seq("__cid"))
@@ -212,8 +213,9 @@ object Similarity {
       vecCol: String,
       k: Int,
       nCells: Int = 16,
-      nProbe: Int = 2): DataFrame = {
-    val cs = collectCentroids(ivfCentroids(corpus, idCol, vecCol, nCells))
+      nProbe: Int = 2,
+      trainIters: Int = 0): DataFrame = {
+    val cs = centroidSetFor(corpus, idCol, vecCol, nCells, trainIters)
     val corpusCells = ivfAssign(corpus, idCol, vecCol, cs, nProbe = 1)
       .select(col("__cid"), col("__id").as("neighbor_id"))
     val queryCells = ivfAssign(queries, idCol, vecCol, cs, nProbe)
@@ -236,6 +238,92 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** Lloyd (k-means) refinement loop shared by [[trainCentroids]] and the
+    * `trainIters` option of the IVF pipelines. Each iteration is ONE
+    * codegen'd corpus scan (nearest-cell assignment, the same shuffle-free
+    * [[graft.functions.NProbeNearestCells]] expression as [[ivfAssign]])
+    * plus ONE ≤nCells-row aggregate of per-dimension means — at 100 TB,
+    * k iterations cost k scans, nothing quadratic, and the only driver
+    * state is nCells × dim floats (the same bound as [[collectCentroids]]).
+    *
+    * Determinism: the seed is the smallest-md5 sample ([[ivfCentroids]]);
+    * cell means are rounded to 1e-6 and cast to float before re-assignment,
+    * so the refined quantizer is bit-identical across partitionings and
+    * reruns (unrounded distributed float sums differ in the last ulp with
+    * partition order, which could flip knife-edge assignments). Empty cells
+    * keep their previous centroid. Returns the refined set plus the
+    * assignment counts of the final iteration. */
+  /** Quantizer for the IVF pipelines: the deterministic seed as-is
+    * (`trainIters = 0`, the default — zero extra jobs) or Lloyd-refined. */
+  private def centroidSetFor(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      trainIters: Int): graft.functions.CentroidSet =
+    if (trainIters <= 0) collectCentroids(ivfCentroids(df, idCol, vecCol, nCells))
+    else lloydRefine(df, idCol, vecCol, nCells, trainIters)._1
+
+  private def lloydRefine(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int,
+      iters: Int): (graft.functions.CentroidSet, Array[Long]) = {
+    var cs = collectCentroids(ivfCentroids(df, idCol, vecCol, nCells))
+    var counts = Array.fill(cs.size)(0L)
+    if (cs.size == 0) return (cs, counts)
+    val dim = cs.vecs(0).length
+    for (_ <- 1 to iters) {
+      val assigned = df
+        .where(col(vecCol).isNotNull)
+        .select(
+          element_at(
+            graft.functions.VectorOps.nearestCells(col(vecCol), cs, 1), 1)
+            .as("__cid"),
+          col(vecCol).as("__v"))
+      val aggCols = count(lit(1)).as("__n") +:
+        (0 until dim).map(i =>
+          round(avg(element_at(col("__v"), i + 1)), 6).as(s"__m$i"))
+      val rows = assigned.groupBy("__cid") // bounded: ≤ nCells result rows
+        .agg(aggCols.head, aggCols.tail: _*)
+        .collect()
+      val byCell = rows.map(r => r.getLong(0) -> r).toMap
+      counts = Array.tabulate(cs.size)(c =>
+        byCell.get(c.toLong).map(_.getLong(1)).getOrElse(0L))
+      val newVecs = Array.tabulate(cs.size) { c =>
+        byCell.get(c.toLong) match {
+          case Some(r) => Array.tabulate(dim)(i => r.getDouble(2 + i).toFloat)
+          case None => cs.vecs(c)
+        }
+      }
+      cs = new graft.functions.CentroidSet(newVecs)
+    }
+    (cs, counts)
+  }
+
+  /** Train an IVF quantizer with `iters` Lloyd iterations over the
+    * deterministic seed and return it as a frame of
+    * `(cell_id, centroid, n_assigned)` — `n_assigned` counts the final
+    * iteration's nearest-cell assignment (the population each returned
+    * mean was computed from). Feed the same `nCells`/`iters` to
+    * [[ivfCosinePairs]]/[[ivfTopK]] via `trainIters` to query with the
+    * refined cells; training costs `iters` corpus scans and nothing else. */
+  def trainCentroids(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int = 16,
+      iters: Int = 2): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    val (cs, counts) = lloydRefine(df, idCol, vecCol, nCells, iters)
+    val s = df.sparkSession
+    import s.implicits._
+    cs.vecs.indices
+      .map(c => (c.toLong, cs.vecs(c).toSeq, counts(c)))
+      .toDF("cell_id", "centroid", "n_assigned")
   }
 
   /** Exact-cosine re-rank of an (a_id, b_id) candidate frame: join vectors +

@@ -118,6 +118,43 @@ class PipelineOpsSpec extends GraftSuite {
     assert(ivf.subsetOf(brute), s"IVF produced non-pairs: ${ivf -- brute}")
   }
 
+  test("trainCentroids: counts partition the corpus, deterministic, recall-safe") {
+    val trained = Similarity.trainCentroids(emb, "vec_id", "embedding",
+      nCells = 16, iters = 2).collect()
+    assert(trained.length == 16)
+    assert(trained.map(_.getLong(2)).sum == emb.count(),
+      "final-iteration assignment counts must partition the corpus")
+    // bit-deterministic across reruns (rounded/float-cast means)
+    val again = Similarity.trainCentroids(emb, "vec_id", "embedding",
+      nCells = 16, iters = 2).collect()
+    assert(trained.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // trained quantizer keeps the IVF precision guarantee (verify step):
+    // pairs are still a subset of brute-force pairs
+    val brute = Similarity.cosinePairs(emb, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfCosinePairs(emb, "vec_id", "embedding", 0.4,
+      trainIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf.subsetOf(brute), s"trained IVF produced non-pairs: ${ivf -- brute}")
+  }
+
+  test("trainCentroids: Lloyd iterations move centroids to cluster means") {
+    import spark.implicits._
+    // two tight, well-separated clusters; wherever the md5 seed lands,
+    // two refinement passes must produce one centroid per cluster
+    val pts = ((0 until 10).map(i => (i.toLong, Seq(1f, 0.001f * i))) ++
+      (10 until 20).map(i => (i.toLong, Seq(0.001f * (i - 10), 1f))))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.trainCentroids(pts, "vec_id", "embedding",
+      nCells = 2, iters = 3).collect()
+      .map(r => (r.getAs[scala.collection.Seq[Float]]("centroid"),
+        r.getLong(2))).sortBy(-_._2)
+    assert(got.map(_._2).sum == 20)
+    val axes = got.map { case (c, _) => if (c(0) > c(1)) 0 else 1 }.toSet
+    assert(axes == Set(0, 1),
+      s"expected one centroid per cluster, got ${got.mkString(", ")}")
+  }
+
   test("IVF assignment: codegen'd nearest-cells == crossJoin+window oracle, shuffle-free") {
     import graft.functions.{CentroidSet, VectorOps}
     // any deterministic centroid pick works for the differential — the test
