@@ -756,6 +756,19 @@ object SparkEntry {
       Similarity.ivfCosinePairs(lk.embeddings, "vec_id", "embedding",
         threshold = 0.4).orderBy("a_id", "b_id")
     }),
+    // symmetric int8 quantization (the 4x memory cut for embedding
+    // shuffles at 100 TB): integer sum + sum-of-squares per quantized
+    // vector pin every rounded element exactly, no float compares
+    "q_quantize_int8" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Similarity.quantizeInt8(lk.embeddings, "embedding")
+        .select(col("vec_id"), size(col("qvec")).cast("long").as("n_dims"),
+          aggregate(col("qvec"), lit(0L),
+            (a, x) => a + x.cast("long")).as("sum_q"),
+          aggregate(col("qvec"), lit(0L),
+            (a, x) => a + x.cast("long") * x.cast("long")).as("l2_q"))
+        .orderBy("vec_id")
+    }),
     // Lloyd-trained IVF quantizer (2 iterations over the deterministic
     // seed): the oracle recomputes seed -> assign -> rounded/float-cast
     // means -> re-assign in SQL; matching per-cell counts pin the whole
@@ -1460,6 +1473,22 @@ object SparkEntry {
                (sqrt(list_dot_product(ea.v, ea.v)) *
                 sqrt(list_dot_product(eb.v, eb.v))) >= 0.4
          ORDER BY a_id, b_id""",
+    "q_quantize_int8" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         q AS (SELECT vec_id, v,
+                      list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+               FROM e),
+         qq AS (SELECT vec_id,
+                       CASE WHEN s = 0 THEN list_transform(v, x -> 0)
+                            ELSE list_transform(v,
+                                   x -> CAST(round(x / s) AS INTEGER)) END qv
+                FROM q)
+         SELECT vec_id, CAST(len(qv) AS BIGINT) AS n_dims,
+                CAST(list_sum(list_transform(qv,
+                  x -> CAST(x AS BIGINT))) AS BIGINT) AS sum_q,
+                CAST(list_sum(list_transform(qv,
+                  x -> CAST(x AS BIGINT) * CAST(x AS BIGINT))) AS BIGINT) AS l2_q
+         FROM qq ORDER BY vec_id""",
     // two Lloyd iterations: assign to seed, recompute means (rounded to
     // 1e-6 and cast through FLOAT, exactly like the operator), re-assign,
     // count. Empty cells keep their previous centroid and report 0.

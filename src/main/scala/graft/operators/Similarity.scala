@@ -255,6 +255,41 @@ object Similarity {
     * partition order, which could flip knife-edge assignments). Empty cells
     * keep their previous centroid. Returns the refined set plus the
     * assignment counts of the final iteration. */
+  /** Per-vector symmetric int8 quantization: `scale = max|x| / 127`,
+    * `q[i] = round(x[i] / scale)` — the 4× memory cut that makes a 100 TB
+    * embedding corpus hold 4× more vectors per executor (and per shuffle
+    * byte) during candidate generation; exact fp32 re-ranking still runs
+    * on the survivors only. Adds `scale` (double) and `qvec`
+    * (array<int> in [-127, 127]) to the frame. All arithmetic is per-row
+    * double math inside whole-stage codegen — deterministic on any
+    * partitioning, and exactly reproducible by any engine with list ops
+    * (round is half-away-from-zero in both Spark and DuckDB). Zero
+    * vectors quantize to all-zero with scale 0. */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    val scale = array_max(transform(v, x => abs(x.cast("double")))) / 127.0
+    df.withColumn("scale", scale)
+      .withColumn("qvec",
+        when(col("scale") === 0.0 || col("scale").isNull,
+          transform(v, _ => lit(0)))
+        .otherwise(transform(v, x =>
+          round(x.cast("double") / col("scale"), 0).cast("int"))))
+  }
+
+  /** Approximate cosine from two int8-quantized vectors: the integer dot
+    * product rescales to `sa*sb*dot(qa,qb)` and normalizes by the
+    * quantized norms. Error is bounded by the per-element rounding
+    * (≤ 0.5/127 per axis); re-rank survivors with exact fp32 cosine. */
+  def int8Cosine(qa: Column, sa: Column, qb: Column, sb: Column): Column = {
+    def idot(a: Column, b: Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+        lit(0L), (acc, x) => acc + x)
+    val num = sa * sb * idot(qa, qb).cast("double")
+    val den = (sa * sqrt(idot(qa, qa).cast("double"))) *
+      (sb * sqrt(idot(qb, qb).cast("double")))
+    when(den === 0.0, 0.0).otherwise(num / den)
+  }
+
   /** Quantizer for the IVF pipelines: the deterministic seed as-is
     * (`trainIters = 0`, the default — zero extra jobs) or Lloyd-refined. */
   private def centroidSetFor(

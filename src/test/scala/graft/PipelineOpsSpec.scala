@@ -138,6 +138,37 @@ class PipelineOpsSpec extends GraftSuite {
     assert(ivf.subsetOf(brute), s"trained IVF produced non-pairs: ${ivf -- brute}")
   }
 
+  test("int8 quantization: values bounded, zero vector safe, cosine error small") {
+    import spark.implicits._
+    val q = Similarity.quantizeInt8(emb, "embedding")
+    // every quantized element in [-127, 127]; max |element| == 127 exactly
+    // for non-zero vectors (the max-|x| element maps to the full range)
+    val bad = q.where(exists(col("qvec"), x => abs(x) > 127)).count()
+    assert(bad == 0, s"$bad vectors quantized outside [-127,127]")
+    val notFull = q.where(size(col("qvec")) > 0 && col("scale") > 0 &&
+      array_max(transform(col("qvec"), x => abs(x))) =!= 127).count()
+    assert(notFull == 0, "non-zero vectors must use the full int8 range")
+    val zv = Similarity.quantizeInt8(
+      Seq((1L, Seq(0f, 0f, 0f))).toDF("vec_id", "embedding"), "embedding")
+      .select("scale", "qvec").first()
+    assert(zv.getDouble(0) == 0.0 &&
+      zv.getAs[scala.collection.Seq[Int]](1).forall(_ == 0))
+    // approx cosine within the rounding bound on real pairs
+    val a = q.where($"vec_id" < 50).select($"vec_id".as("a_id"),
+      $"embedding".as("va"), $"scale".as("sa"), $"qvec".as("qa"))
+    val b = q.where($"vec_id" >= 50 && $"vec_id" < 100).select(
+      $"vec_id".as("b_id"), $"embedding".as("vb"), $"scale".as("sb"),
+      $"qvec".as("qb"))
+    val err = a.crossJoin(b)
+      .select(abs(
+        Similarity.int8Cosine($"qa", $"sa", $"qb", $"sb") -
+          graft.functions.VectorOps.dotF($"va", $"vb") /
+          (graft.functions.VectorOps.normF($"va") *
+            graft.functions.VectorOps.normF($"vb"))).as("e"))
+      .agg(max($"e")).first().getDouble(0)
+    assert(err < 0.02, s"int8 cosine error $err exceeds bound")
+  }
+
   test("trainCentroids: Lloyd iterations move centroids to cluster means") {
     import spark.implicits._
     // two tight, well-separated clusters; wherever the md5 seed lands,
