@@ -288,6 +288,30 @@ object SparkEntry {
         "ts", "lo", "hi", binWidth = winUs, valueCols = Seq("err_id"))
         .orderBy("user_id", "ts", "err_id")
     }),
+    // gap-based sessionization: one per-key window, lag marks session
+    // starts, running sum makes the dense index — 30-minute gap over
+    // clicks; both engines run the identical lag+sum formulation in µs
+    "q_sessionize" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val clicks = lk.events.where(col("event_type") === "click")
+        .select("user_id", "ts", "event_id")
+      operators.Sessions.assign(clicks, Seq("user_id"), "ts",
+        gap = 1800L * 1000 * 1000)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+          col("event_id"), col("session_idx"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
+    // per-session rollup (bounds, count, duration) — the frame
+    // session-level quality filters run on
+    "q_session_stats" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val clicks = lk.events.where(col("event_type") === "click")
+        .select("user_id", "ts", "event_id")
+      operators.Sessions.stats(clicks, Seq("user_id"), "ts",
+        gap = 1800L * 1000 * 1000)
+        .orderBy("user_id", "session_idx")
+    }),
     "q_autobloom" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
       lk.ordersLargeIdx.query(Map("o_orderkey" -> OrderKeys))
@@ -986,6 +1010,40 @@ object SparkEntry {
           AND epoch_us(c.ts) BETWEEN epoch_us(e.ts)
                                  AND epoch_us(e.ts) + 600000000
          ORDER BY c.user_id, ts, err_id""",
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) tsu, event_id
+                    FROM events WHERE event_type = 'click'),
+         m AS (SELECT user_id, tsu, event_id,
+                      CASE WHEN lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu)
+                             IS NULL
+                         OR tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu)
+                             > 1800000000
+                           THEN 1 ELSE 0 END n
+               FROM e)
+         SELECT user_id, tsu AS ts_us, event_id,
+                CAST(SUM(n) OVER (PARTITION BY user_id ORDER BY tsu
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                  AS BIGINT) AS session_idx
+         FROM m ORDER BY user_id, ts_us, event_id""",
+    "q_session_stats" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) tsu, event_id
+                    FROM events WHERE event_type = 'click'),
+         m AS (SELECT user_id, tsu,
+                      CASE WHEN lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu)
+                             IS NULL
+                         OR tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu)
+                             > 1800000000
+                           THEN 1 ELSE 0 END n
+               FROM e),
+         s AS (SELECT user_id, tsu,
+                      CAST(SUM(n) OVER (PARTITION BY user_id ORDER BY tsu
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                        AS BIGINT) sid
+               FROM m)
+         SELECT user_id, sid AS session_idx, min(tsu) AS session_start,
+                max(tsu) AS session_end, count(*) AS n_events,
+                max(tsu) - min(tsu) AS duration
+         FROM s GROUP BY 1, 2 ORDER BY user_id, session_idx""",
     "q_autobloom" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
           WHERE o_orderkey IN ${inList(OrderKeys)} ORDER BY o_orderkey""",

@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AsOfJoin, IntervalJoin}
+import graft.operators.{AsOfJoin, IntervalJoin, Sessions}
 
 /** As-of and interval joins: checked against brute-force window/inequality
   * formulations (the semantics DuckDB's ASOF JOIN / BETWEEN join computes),
@@ -98,6 +98,31 @@ class TimeJoinsSpec extends GraftSuite {
         tolerance = Some(3 * day))
       assertSameRows(got, want)
     }
+  }
+
+  test("sessionize: boundaries exactly at gap, dense indexes, ts == micros") {
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val clicks = events.where($"event_type" === "click")
+      .select("user_id", "ts", "event_id")
+    val gap = 1800L * 1000 * 1000
+    val got = Sessions.assign(clicks, Seq("user_id"), "ts", gap)
+    val tsu = expr("unix_micros(cast(ts as timestamp))")
+    val w = Window.partitionBy("user_id").orderBy(tsu)
+    val check = got.withColumn("prev_ts", lag(tsu, 1).over(w))
+      .withColumn("prev_sid", lag($"session_idx", 1).over(w))
+      .where($"prev_ts".isNotNull).cache()
+    assert(check.where($"session_idx" === $"prev_sid" &&
+      tsu - $"prev_ts" > gap).count() == 0, "gap exceeded inside a session")
+    assert(check.where($"session_idx" =!= $"prev_sid" &&
+      tsu - $"prev_ts" <= gap).count() == 0, "split despite gap respected")
+    assert(check.where($"session_idx" - $"prev_sid" > 1).count() == 0,
+      "session indexes must be dense")
+    assert(got.where($"session_idx" > 0).count() > 0,
+      "fixture must produce multi-session users")
+    // identical result from the numeric (epoch-micros) formulation
+    val want = Sessions.assign(clicks.withColumn("ts", tsu),
+      Seq("user_id"), "ts", gap)
+    assertSameRows(got.withColumn("ts", tsu), want)
   }
 
   test("asOf/asOfBucketed on timestamps equals the same join on epoch-micros longs") {
