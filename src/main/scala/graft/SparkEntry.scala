@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.harness.Lake
@@ -731,6 +731,46 @@ object SparkEntry {
     // fields arithmetically, so a parse bug can't hash-match. content_hash
     // is md5(text) on both engines (DuckDB's md5 is VARCHAR-only, so the
     // blob payload itself can't be hashed oracle-side).
+    // REAL RIFF/WAVE header parsing over synthesized-in-plan containers:
+    // every field of the wav header is built arithmetically from doc_id
+    // (little-endian hex), parsed back by the codegen'd chunk walk, and the
+    // oracle recomputes the expected fields from the same arithmetic.
+    // ~1/7 of payloads are raw text (not RIFF) and must report 'unknown'.
+    "q_audio_meta" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      def le16(c: Column) = {
+        val h = lpad(hex(c), 4, "0")
+        concat(substring(h, 3, 2), substring(h, 1, 2))
+      }
+      def le32(c: Column) = {
+        val h = lpad(hex(c), 8, "0")
+        concat(substring(h, 7, 2), substring(h, 5, 2),
+          substring(h, 3, 2), substring(h, 1, 2))
+      }
+      val channels = pmod(col("doc_id"), lit(2L)) + 1
+      val bits = when(pmod(col("doc_id"), lit(3L)) === 0, 8L).otherwise(16L)
+      val rate = element_at(
+        array(lit(16000L), lit(22050L), lit(44100L), lit(48000L)),
+        (pmod(col("doc_id"), lit(4L)) + 1).cast("int"))
+      val nSamples = pmod(col("doc_id") * 31, lit(5000L)) + 100
+      val blockAlign = channels * bits / lit(8L)
+      val dataSize = nSamples * blockAlign
+      val wavHex = concat(lit("52494646"), le32(dataSize + 36), lit("57415645"),
+        lit("666D7420"), le32(lit(16L)), le16(lit(1L)), le16(channels),
+        le32(rate), le32(rate * blockAlign), le16(blockAlign), le16(bits),
+        lit("64617461"), le32(dataSize))
+      val corrupt = pmod(col("doc_id"), lit(7L)) === 0
+      val payload = when(corrupt, encode(col("text"), "UTF-8"))
+        .otherwise(unhex(wavHex))
+      lk.documents
+        .select(col("doc_id"), Multimodal.audioMeta(payload).as("m"))
+        .select(col("doc_id"), col("m.fmt").as("fmt"),
+          col("m.channels").as("channels"), col("m.bits").as("bits"),
+          col("m.sample_rate").as("sample_rate"),
+          col("m.n_samples").as("n_samples"),
+          col("m.duration_ms").as("duration_ms"))
+        .orderBy("doc_id")
+    }),
     "q_multimodal_meta" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
       val sel = pmod(col("doc_id"), lit(3L))
@@ -1622,6 +1662,24 @@ object SparkEntry {
     "q_sql_range" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
          WHERE o_orderkey BETWEEN 100 AND 400 ORDER BY o_orderkey""",
+    "q_audio_meta" ->
+      """WITH p AS (SELECT doc_id,
+               doc_id % 2 + 1 AS channels,
+               CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
+               CASE doc_id % 4 WHEN 0 THEN 16000 WHEN 1 THEN 22050
+                               WHEN 2 THEN 44100 ELSE 48000 END AS rate,
+               (doc_id * 31) % 5000 + 100 AS n_samples,
+               doc_id % 7 = 0 AS corrupt
+             FROM documents)
+         SELECT doc_id,
+                CASE WHEN corrupt THEN 'unknown' ELSE 'wav' END AS fmt,
+                CAST(CASE WHEN corrupt THEN 0 ELSE channels END AS INT) AS channels,
+                CAST(CASE WHEN corrupt THEN 0 ELSE bits END AS INT) AS bits,
+                CAST(CASE WHEN corrupt THEN 0 ELSE rate END AS INT) AS sample_rate,
+                CAST(CASE WHEN corrupt THEN 0 ELSE n_samples END AS BIGINT) AS n_samples,
+                CAST(CASE WHEN corrupt THEN 0
+                          ELSE n_samples * 1000 // rate END AS BIGINT) AS duration_ms
+         FROM p ORDER BY doc_id""",
     "q_multimodal_meta" ->
       """WITH p AS (
            SELECT doc_id, text,

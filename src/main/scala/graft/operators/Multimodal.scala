@@ -61,6 +61,32 @@ object Multimodal {
       md5(binCol).as("content_hash"))
   }
 
+  /** WAV (RIFF/PCM) metadata over an opaque audio `binary` column — same
+    * codegen'd packed-long shape as [[imageMeta]], via
+    * [[graft.functions.AudioHeaders.packedWavMeta]]. Non-WAV payloads
+    * yield fmt "unknown" with zeroed audio fields (the struct stays
+    * non-null for arbitrary blobs). `duration_ms` is integer floor of
+    * n_samples / sample_rate. */
+  def audioMeta(binCol: Column): Column = {
+    val packed = GraftSqlBridge.column(
+      graft.functions.WavHeaderPacked(GraftSqlBridge.expression(binCol)))
+    val known = shiftright(packed, 60).bitwiseAND(lit(0xFL)) > 0
+    val channels = shiftright(packed, 56).bitwiseAND(lit(0xFL))
+    val bits = shiftright(packed, 48).bitwiseAND(lit(0xFFL))
+    val rate = shiftright(packed, 28).bitwiseAND(lit(0xFFFFFL))
+    val nSamples = packed.bitwiseAND(lit(0xFFFFFFFL))
+    struct(
+      octet_length(binCol).cast("long").as("byte_len"),
+      when(known, "wav").otherwise("unknown").as("fmt"),
+      channels.cast("int").as("channels"),
+      bits.cast("int").as("bits"),
+      rate.cast("int").as("sample_rate"),
+      nSamples.as("n_samples"),
+      when(known && rate > 0, floor(nSamples * lit(1000L) / rate).cast("long"))
+        .otherwise(lit(0L)).as("duration_ms"),
+      md5(binCol).as("content_hash"))
+  }
+
   /** Header decode for the `mapPartitions` path: real container parse via
     * [[ImageHeaders.packedMeta]], stub fallback for unknown containers. */
   def decodeImage(bytes: Array[Byte]): (Long, String, Int, Int, Int) = {

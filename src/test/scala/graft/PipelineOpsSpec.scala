@@ -776,6 +776,42 @@ class PipelineOpsSpec extends GraftSuite {
     assert(got("bad")._1 == "unknown")
   }
 
+  test("wav header parse: chunk walk, odd padding, truncation, non-PCM reject") {
+    import graft.functions.AudioHeaders
+    def hexBytes(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def unpack(p: Long) = (((p >> 60) & 0xF).toInt, ((p >> 56) & 0xF).toInt,
+      ((p >> 48) & 0xFF).toInt, ((p >> 28) & 0xFFFFF).toInt, p & 0xFFFFFFF)
+    // canonical 16-bit stereo 44100 Hz, 1000 samples (dataSize = 4000),
+    // with a LIST chunk of ODD size 3 (padded to 4) between fmt and data —
+    // the walk must honor RIFF's odd-size padding to stay aligned
+    val wav = hexBytes("52494646" + "24100000" + "57415645" +
+      "666D7420" + "10000000" + "0100" + "0200" + "44AC0000" + "10B10200" +
+      "0400" + "1000" +
+      "4C495354" + "03000000" + "414243" + "00" + // LIST, 3 bytes + pad
+      "64617461" + "A00F0000")                     // data, 4000 bytes declared
+    assert(unpack(AudioHeaders.packedWavMeta(wav)) == ((1, 2, 16, 44100, 1000L)),
+      s"got ${unpack(AudioHeaders.packedWavMeta(wav))}")
+    // truncated after the data chunk HEADER (no sample bytes): still parses
+    assert(unpack(AudioHeaders.packedWavMeta(wav.take(wav.length)))._5 == 1000L)
+    // non-PCM (audioFormat 3 = IEEE float) rejected
+    val f32 = wav.clone(); f32(20) = 3
+    assert(AudioHeaders.packedWavMeta(f32) == 0L)
+    // truncated INSIDE the fmt chunk → reject, no partial garbage
+    assert(AudioHeaders.packedWavMeta(wav.take(30)) == 0L)
+    // not RIFF at all
+    assert(AudioHeaders.packedWavMeta("hello world".getBytes) == 0L)
+    // the codegen'd column expression agrees with the JVM-side parse
+    val s = spark
+    import s.implicits._
+    val row = Seq(("a", wav)).toDF("tag", "payload")
+      .select(Multimodal.audioMeta(col("payload")).as("m"))
+      .select("m.fmt", "m.channels", "m.bits", "m.sample_rate",
+        "m.n_samples", "m.duration_ms").first()
+    assert((row.getString(0), row.getInt(1), row.getInt(2), row.getInt(3),
+      row.getLong(4), row.getLong(5)) == (("wav", 2, 16, 44100, 1000L, 22L)))
+  }
+
   test("multimodal frame sampling yields n frames per payload") {
     val bin = docs.limit(10).select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
     val frames = Multimodal.sampleFrames(bin, "doc_id", "payload", n = 4)
