@@ -28,7 +28,12 @@ object PlanAudit {
       // r5 additions: corpus-frequency text ops (no UDFs, broadcast strip
       // lists), mixture/shard sampling (explode / one-shuffle window)
       "q_strip_lines", "q_span_removal", "q_vocab", "q_mix_weights",
-      "q_shard_assign")
+      "q_shard_assign",
+      // r5 late additions: sessionization (one window), trained IVF
+      // (k scans + nCells-row aggs), int8 quantization and wav header
+      // parsing (pure per-row codegen)
+      "q_sessionize", "q_session_stats", "q_kmeans_assign",
+      "q_quantize_int8", "q_audio_meta")
       .foreach { name =>
         val df = SparkEntry.queries(name)(spark, sfDir)
         df.collect() // finalize AQE so the printed plan is the executed one
