@@ -38,6 +38,31 @@ object StreamOps {
       .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
         col("n_docs"), col("n_tokens"))
 
+  /** Event-time session stats over a stream: Spark's native
+    * `session_window` merges a key's events into sessions that close after
+    * `gap` of event-time silence; the watermark both admits bounded
+    * lateness and lets closed sessions leave the state store (append mode
+    * emits a session only once the watermark passes its end — without the
+    * watermark, session state would grow forever). The streaming
+    * counterpart of batch [[graft.operators.Sessions]]: same gap
+    * semantics, incremental state instead of a corpus-wide window. */
+  def sessionStats(
+      stream: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      gap: String,
+      watermark: String): DataFrame =
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy((session_window(col(tsCol), gap).as("w") +:
+        keyCols.map(col)): _*)
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("first_ts"),
+        max(col(tsCol)).as("last_ts"))
+      .select(keyCols.map(col) ++ Seq(
+        col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("n_events"), col("first_ts"), col("last_ts")): _*)
+
   /** Stateful streaming exact-dedup: emit only the FIRST row seen per
     * content key (e.g. `md5(text)`); duplicates in the same micro-batch are
     * broken by the smallest `tiebreakCol` value, so output is deterministic

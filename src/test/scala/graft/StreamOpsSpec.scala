@@ -82,6 +82,45 @@ class StreamOpsSpec extends GraftSuite {
       s"got $rows")
   }
 
+  test("streaming session stats equals batch sessionization on replayed clicks") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val clicksDf = events.where($"event_type" === "click" && $"user_id" < 10)
+      .select($"user_id", $"ts".cast("timestamp").as("ts"), $"event_id")
+    val clicks = clicksDf.as[(Long, java.sql.Timestamp, Long)].collect().toSeq
+    val lastTs = clicks.map(_._2).max(Ordering.by((t: java.sql.Timestamp) => t.getTime))
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val stream = mem.toDF().toDF("user_id", "ts", "event_id")
+    val out = StreamOps.sessionStats(stream, Seq("user_id"), "ts",
+      gap = "30 minutes", watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sess_stats")
+      .outputMode("append")
+      .option("checkpointLocation", tmpDir("graft_sess_ckpt_")).start()
+    try {
+      val (b1, b2) = clicks.splitAt(clicks.size / 2)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      // sentinel far past everything: watermark passes every session end
+      mem.addData((9999L,
+        new java.sql.Timestamp(lastTs.getTime + 365L * 86400 * 1000), 0L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("sess_stats").where($"user_id" < 10)
+      .select($"user_id", expr("unix_micros(first_ts)").as("session_start"),
+        expr("unix_micros(last_ts)").as("session_end"),
+        $"n_events")
+    // batch reference over the same rows (gap in µs); session bounds and
+    // populations must agree exactly — streaming state merges incrementally,
+    // the batch window sees the whole history at once
+    val want = graft.operators.Sessions.stats(clicksDf,
+        Seq("user_id"), "ts", gap = 1800L * 1000 * 1000)
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+    assert(got.count() > clicksDf.select("user_id").distinct().count(),
+      "fixture must produce multiple sessions per user")
+    assertSameRows(got, want)
+  }
+
   test("streaming first-seen dedup matches batch reference and drops cross-batch dups") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
