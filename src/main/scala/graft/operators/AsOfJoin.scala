@@ -156,6 +156,7 @@ object AsOfJoin {
     require(bucketWidth > 0, "bucketWidth must be positive")
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
+    TimeCols.requireSameTimeline((left, leftTsCol), (right, rightTsCol))
     if (direction == "forward") {
       // forward == backward on the negated NUMERIC timeline (timestamps go
       // through their epoch-micros view); temp columns keep the user's ts

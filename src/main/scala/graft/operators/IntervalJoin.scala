@@ -42,6 +42,8 @@ object IntervalJoin {
       maxBinsPerInterval: Long = 1L << 20): DataFrame = {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
+    TimeCols.requireSameTimeline(
+      (points, ptCol), (intervals, loCol), (intervals, hiCol))
     val collisions =
       (valueCols.toSet ++ Set(loCol, hiCol)).intersect(points.columns.toSet)
     require(collisions.isEmpty,

@@ -46,4 +46,19 @@ private[graft] object TimeCols {
 
   def numericFor(df: DataFrame, colName: String): Column =
     numeric(col(colName), df.schema(colName).dataType)
+
+  /** Every listed (frame, column) must sit on ONE timeline: all timestamps
+    * or all numerics. Mixing would silently compare epoch-micros against
+    * raw numbers — fail loudly instead (the union-based [[AsOfJoin.asOf]]
+    * gets this check for free from Spark's type resolution; the
+    * normalize-each-side operators need it explicit). */
+  def requireSameTimeline(cols: (DataFrame, String)*): Unit = {
+    val kinds = cols.map { case (df, c) =>
+      (c, isTimeType(df.schema(c).dataType)) }
+    if (kinds.map(_._2).distinct.size > 1)
+      throw new IllegalArgumentException(
+        "time columns must be all timestamps or all numerics, got: " +
+          kinds.map { case (c, t) =>
+            s"$c=${if (t) "timestamp" else "numeric"}" }.mkString(", "))
+  }
 }

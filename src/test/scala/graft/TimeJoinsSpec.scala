@@ -249,6 +249,26 @@ class TimeJoinsSpec extends GraftSuite {
       s"expected range pruning, located ${located.size} of ${files.size}")
   }
 
+  test("mixed timestamp/numeric timelines are rejected loudly") {
+    import spark.implicits._
+    val tsSide = Seq((1L, java.time.LocalDateTime.of(2026, 1, 1, 0, 0), 1.0))
+      .toDF("k", "ts", "px")
+    val numSide = Seq((1L, 100L, 10L)).toDF("k", "t_ts", "tid")
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoin.asOfBucketed(numSide, tsSide, Seq("k"), "t_ts", "ts",
+        valueCols = Seq("px"), bucketWidth = 10L)
+    }
+    assert(e1.getMessage.contains("timestamp"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      IntervalJoin.joinPointsToIntervals(
+        numSide.select($"k", $"t_ts".as("pt")),
+        tsSide.select($"k", $"ts".as("lo"),
+          ($"ts" + expr("interval 1 hour")).as("hi"), $"px"),
+        Seq("k"), "pt", "lo", "hi", binWidth = 10L, valueCols = Seq("px"))
+    }
+    assert(e2.getMessage.contains("timestamp"), e2.getMessage)
+  }
+
   test("interval join rejects a pathological fan-out with a named error") {
     import spark.implicits._
     val points = Seq((1L, 500L)).toDF("k", "pt")
