@@ -35,6 +35,13 @@ object SparkEntry {
     case v => v.toString
   }.mkString("(", ", ", ")")
 
+  /** q_normalize_text fixture suffix: a DECOMPOSED accent (E + U+0301) NFC
+    * must recompose, plus whitespace runs (real tab) the squeeze must
+    * collapse. One shared value, spliced verbatim into both engines'
+    * plans — escape-processing differences between quoting styles can't
+    * desynchronize them. */
+  private val NormSuffix = " CAFÉ  \tx"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- core index operators ---------------------------------------------
     "q_regular_join" -> ((s, dir) => {
@@ -731,6 +738,21 @@ object SparkEntry {
     // fields arithmetically, so a parse bug can't hash-match. content_hash
     // is md5(text) on both engines (DuckDB's md5 is VARCHAR-only, so the
     // blob payload itself can't be hashed oracle-side).
+    // Unicode canonicalization (the step before every content hash): a
+    // decomposed accent + stray whitespace are appended in-plan, so NFC
+    // must actually recompose bytes and the squeeze must actually edit —
+    // both engines hash the identical canonical form
+    "q_normalize_text" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val suffix = lit(NormSuffix)
+      lk.documents
+        .select(col("doc_id"),
+          TextAnalysis.normalizeText(concat(col("text"), suffix)).as("t"))
+        .select(col("doc_id"),
+          md5(encode(col("t"), "UTF-8")).as("norm_hash"),
+          length(col("t")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
     // REAL RIFF/WAVE header parsing over synthesized-in-plan containers:
     // every field of the wav header is built arithmetically from doc_id
     // (little-endian hex), parsed back by the codegen'd chunk walk, and the
@@ -1662,6 +1684,14 @@ object SparkEntry {
     "q_sql_range" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
          WHERE o_orderkey BETWEEN 100 AND 400 ORDER BY o_orderkey""",
+    "q_normalize_text" ->
+      s"""WITH n AS (SELECT doc_id,
+               trim(regexp_replace(lower(nfc_normalize(
+                 text || '$NormSuffix')), '[ \t\n\r\f]+', ' ', 'g')) t
+             FROM documents)
+         SELECT doc_id, md5(t) AS norm_hash,
+                CAST(length(t) AS BIGINT) AS n_chars
+         FROM n ORDER BY doc_id""",
     "q_audio_meta" ->
       """WITH p AS (SELECT doc_id,
                doc_id % 2 + 1 AS channels,

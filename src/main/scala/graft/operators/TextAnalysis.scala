@@ -187,6 +187,27 @@ object TextAnalysis {
     * cut is Spark's TakeOrdered (per-partition heaps, no global sort
     * materialization). A 100 TB corpus pays one scan + one shuffle of
     * (gram, partial-count) pairs. */
+  /** Canonicalize text for hashing/dedup: Unicode-normalize (codegen'd
+    * [[graft.functions.UnicodeNormalize]]), optionally lowercase, squeeze
+    * runs of ASCII whitespace to single spaces and trim. The whitespace
+    * class is the explicit `[ \t\n\r\f]` (java and RE2 engines disagree on
+    * `\s`'s vertical-tab membership — an explicit class keeps the result
+    * oracle-checkable byte-for-byte). */
+  def normalizeText(
+      textCol: Column,
+      form: String = "NFC",
+      lowercase: Boolean = true,
+      squeezeWhitespace: Boolean = true): Column = {
+    import org.apache.spark.sql.GraftSqlBridge
+    val normed = GraftSqlBridge.column(
+      graft.functions.UnicodeNormalize(
+        GraftSqlBridge.expression(textCol), form))
+    val cased = if (lowercase) lower(normed) else normed
+    if (squeezeWhitespace)
+      trim(regexp_replace(cased, "[ \t\n\r\f]+", " "))
+    else cased
+  }
+
   def vocabulary(
       df: DataFrame,
       textCol: String,

@@ -776,6 +776,28 @@ class PipelineOpsSpec extends GraftSuite {
     assert(got("bad")._1 == "unknown")
   }
 
+  test("normalizeText: NFC recomposition, case fold, whitespace squeeze") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq(
+      ("decomposed", "Cafe\u0301"),  // e + combining acute, explicit escape
+      ("precomposed", "Caf\u00E9"),  // precomposed, explicit escape
+      ("messy", "  A \t\n B  "),
+      ("plain", "already clean"))
+      .toDF("tag", "t")
+      .select($"tag", TextAnalysis.normalizeText($"t").as("n"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // canonically-equal inputs converge to identical bytes
+    assert(rows("decomposed") == rows("precomposed"))
+    assert(rows("decomposed") == "caf\u00E9") // NFC output is precomposed
+    assert(rows("messy") == "a b")
+    assert(rows("plain") == "already clean")
+    // form is validated at construction, not per row
+    intercept[IllegalArgumentException] {
+      TextAnalysis.normalizeText(lit("x"), form = "NOPE")
+    }
+  }
+
   test("wav header parse: chunk walk, odd padding, truncation, non-PCM reject") {
     import graft.functions.AudioHeaders
     def hexBytes(s: String): Array[Byte] =
