@@ -217,6 +217,51 @@ class PropertySpec extends GraftSuite {
       VectorOps.firstEqualIndex(col("a"), col("b")) =!= col("want")).count() == 0)
   }
 
+  test("asOf on timestamps == asOf on micros over random data (prop)") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    def ts(us: Long) = java.time.LocalDateTime
+      .ofEpochSecond(us / 1000000, (us % 1000000).toInt * 1000,
+        java.time.ZoneOffset.UTC)
+    for (_ <- 1 to 3) {
+      val lrows = Seq.fill(50)(
+        (rnd.nextInt(4).toLong, rnd.nextInt(1000).toLong * 250000L,
+          rnd.nextInt(1000).toLong))
+      val rrows = Seq.fill(30)(
+        (rnd.nextInt(4).toLong, rnd.nextInt(1000).toLong * 250000L,
+          rnd.nextInt(1000).toLong))
+        .groupBy(r => (r._1, r._2)).values.map(_.maxBy(_._3)).toSeq
+      val lT = lrows.map { case (k, u, id) => (k, ts(u), id) }.toDF("k", "lts", "lid")
+      val rT = rrows.map { case (k, u, v) => (k, ts(u), v) }.toDF("k", "rts", "rv")
+      val lN = lrows.toDF("k", "lts", "lid")
+      val rN = rrows.toDF("k", "rts", "rv")
+      for (dir <- Seq("backward", "forward")) {
+        val gotT = AsOfJoin.asOfBucketed(lT, rT, Seq("k"), "lts", "rts",
+          valueCols = Seq("rv"), bucketWidth = 1000000L, direction = dir)
+          .select($"k", expr("unix_micros(cast(lts as timestamp))").as("lts"),
+            $"lid", $"rv")
+        val gotN = AsOfJoin.asOfBucketed(lN, rN, Seq("k"), "lts", "rts",
+          valueCols = Seq("rv"), bucketWidth = 1000000L, direction = dir)
+          .select("k", "lts", "lid", "rv")
+        assertSameRows(gotT, gotN)
+      }
+    }
+  }
+
+  test("int8 quantization roundtrip error <= scale/2 per element (prop)") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val cases = Seq.fill(200)(
+      (rnd.nextLong(), Seq.fill(8)(rnd.nextFloat() * 20 - 10)))
+    val bad = Similarity.quantizeInt8(cases.toDF("id", "embedding"), "embedding")
+      .select(size(filter(
+        zip_with(col("embedding"), col("qvec"),
+          (x, q) => abs(x.cast("double") - q.cast("double") * col("scale"))),
+        e => e > col("scale") * 0.5 + 1e-12)).as("n_bad"))
+      .agg(sum("n_bad")).first().getLong(0)
+    assert(bad == 0, s"$bad elements exceeded the rounding bound")
+  }
+
   test("FloatVectorDot == left-fold double dot over 200 random vectors") {
     import spark.implicits._
     val cases = Seq.fill(200)((
