@@ -243,4 +243,41 @@ class EdgeCasesSpec extends GraftSuite {
       s"unselected columns must be pruned from the scan: $scanLine")
     assert(!plan.toLowerCase.contains("udf"), "no UDF barriers on the read path")
   }
+
+  test("r5 operators: degenerate inputs never crash") {
+    import spark.implicits._
+    import graft.operators.{Sessions, Similarity, Multimodal}
+    // sessionize: empty frame and single row
+    val empty = Seq.empty[(Long, Long, Long)].toDF("k", "ts", "id")
+    assert(Sessions.assign(empty, Seq("k"), "ts", 10L).count() == 0)
+    val one = Seq((1L, 5L, 1L)).toDF("k", "ts", "id")
+    assert(Sessions.assign(one, Seq("k"), "ts", 10L)
+      .select("session_idx").first().getLong(0) == 0L)
+    // trainCentroids: corpus smaller than nCells; iters on 3 vectors
+    val tiny = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)), (3L, Seq(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val tc = Similarity.trainCentroids(tiny, "vec_id", "embedding",
+      nCells = 16, iters = 2).collect()
+    assert(tc.length == 3 && tc.map(_.getLong(2)).sum == 3)
+    // quantizeInt8: null vector row passes through with null qvec
+    val withNull = Seq((1L, Some(Seq(1f, 2f))), (2L, None))
+      .toDF("vec_id", "embedding")
+    val qn = Similarity.quantizeInt8(withNull, "embedding")
+    assert(qn.where($"vec_id" === 2 && $"qvec".isNull).count() == 1)
+    assert(qn.where($"vec_id" === 1 && $"qvec".isNotNull).count() == 1)
+    // audioMeta: null payload and empty payload report unknown, no crash
+    val binRows = Seq((1L, Option.empty[Array[Byte]]),
+      (2L, Some(Array.empty[Byte])), (3L, Some("RIFFxxxx".getBytes)))
+      .toDF("id", "payload")
+    val am = binRows.select($"id", Multimodal.audioMeta($"payload").as("m"))
+      .select($"id", $"m.fmt").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(am(2) == "unknown" && am(3) == "unknown")
+    // normalizeText: null text stays null
+    val nt = Seq((1L, Option.empty[String]), (2L, Some("A  B")))
+      .toDF("id", "t")
+      .select($"id", graft.operators.TextAnalysis.normalizeText($"t").as("n"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(nt(1).isEmpty && nt(2).contains("a b"))
+  }
 }
