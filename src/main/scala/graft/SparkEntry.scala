@@ -490,6 +490,29 @@ object SparkEntry {
         .select(col("a_id").as("train_id"), col("b_id").as("eval_id"))
         .orderBy("train_id", "eval_id")
     }),
+    // GPT-3-style VERBATIM eval-contamination: train×eval pairs sharing
+    // >= 1 exact 10-token window (the Jaccard view above dilutes a short
+    // leaked answer inside a long train doc; this one cannot miss it)
+    "q_decontaminate_exact" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val train = lk.documents.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      val heldout = lk.documents.where(pmod(col("doc_id"), lit(5)) === 0)
+      Dedup.sharedWindowCrossPairs(train, heldout, "doc_id", "text",
+        windowTokens = 10)
+        .select(col("a_id").as("train_id"), col("b_id").as("eval_id"),
+          col("shared_windows"))
+        .orderBy("train_id", "eval_id")
+    }),
+    // the probe-side remover: train docs surviving exact decontamination
+    // (one semi-join on window hashes — no pair aggregate)
+    "q_decontaminate_clean" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val train = lk.documents.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      val heldout = lk.documents.where(pmod(col("doc_id"), lit(5)) === 0)
+      Dedup.removeExactContaminated(train, heldout, "doc_id", "text",
+        windowTokens = 10)
+        .select("doc_id").orderBy("doc_id")
+    }),
     "q_dedup_simhash" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
       Dedup.simhashPairs(lk.documents, "doc_id", "text")
@@ -1152,6 +1175,32 @@ object SparkEntry {
            ON len(list_intersect(tr.ts, ev.ts))::DOUBLE /
               len(list_distinct(list_concat(tr.ts, ev.ts)))::DOUBLE >= 0.95
          ORDER BY train_id, eval_id""",
+    "q_decontaminate_exact" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') ts
+                    FROM documents),
+              w AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                      generate_series(1, len(ts) - 9),
+                      i -> array_to_string(list_slice(ts, i, i + 9), chr(1))))) wk
+                    FROM t WHERE len(ts) >= 10),
+              tr AS (SELECT * FROM w WHERE doc_id % 5 != 0),
+              ev AS (SELECT * FROM w WHERE doc_id % 5 = 0)
+         SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
+                count(*) AS shared_windows
+         FROM tr JOIN ev ON tr.wk = ev.wk
+         GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_decontaminate_clean" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') ts
+                    FROM documents),
+              w AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                      generate_series(1, len(ts) - 9),
+                      i -> array_to_string(list_slice(ts, i, i + 9), chr(1))))) wk
+                    FROM t WHERE len(ts) >= 10),
+              ev AS (SELECT DISTINCT wk FROM w WHERE doc_id % 5 = 0),
+              bad AS (SELECT DISTINCT doc_id FROM w
+                      WHERE doc_id % 5 != 0 AND wk IN (SELECT wk FROM ev))
+         SELECT doc_id FROM documents
+         WHERE doc_id % 5 != 0 AND doc_id NOT IN (SELECT doc_id FROM bad)
+         ORDER BY doc_id""",
     "q_dedup_simhash" ->
       """WITH t AS (SELECT doc_id,
                     list_sort(list_distinct(string_split(lower(text), ' '))) k

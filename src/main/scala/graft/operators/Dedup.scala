@@ -535,6 +535,23 @@ object Dedup extends org.apache.spark.internal.Logging {
     * below ~10^9 windows; the oracle compares raw window strings and
     * agrees exactly at any tested scale. Docs shorter than
     * `windowTokens` contribute no windows. */
+  /** Sliding-window xxhash64 array over the lowercased space-split tokens
+    * of `textCol`: one 64-bit hash per `windowTokens`-token run, built
+    * per-row inside codegen (the whole window family's shared primitive).
+    * Guard: `sequence(0, n)` DESCENDS when n < 0 — short docs must map to
+    * an EMPTY window array, not a phantom window. `distinctWithinDoc`
+    * dedups hashes within the document, making a plain count over the
+    * exploded frame a distinct-document count. */
+  private def windowHashes(
+      textCol: Column, windowTokens: Int, distinctWithinDoc: Boolean): Column = {
+    val toks = split(lower(textCol), " ")
+    val raw = transform(sequence(lit(0), size(toks) - windowTokens),
+      i => xxhash64(concat_ws("\u0001", slice(toks, i + 1, lit(windowTokens)))))
+    when(size(toks) >= windowTokens,
+      if (distinctWithinDoc) array_distinct(raw) else raw)
+      .otherwise(array().cast("array<long>"))
+  }
+
   def sharedWindowPairs(
       df: DataFrame,
       idCol: String,
@@ -543,16 +560,9 @@ object Dedup extends org.apache.spark.internal.Logging {
       minShared: Long = 1L,
       maxDocsPerWindow: Int = 0): DataFrame = {
     require(windowTokens > 0, "windowTokens must be positive")
-    val toks = split(lower(col(textCol)), " ")
-    // guard: sequence(0, n) DESCENDS when n < 0 — short docs must map to
-    // an empty window array, not a phantom window
-    val windows = when(size(toks) >= windowTokens,
-      array_distinct(transform(
-        sequence(lit(0), size(toks) - windowTokens),
-        i => xxhash64(concat_ws("\u0001",
-          slice(toks, i + 1, lit(windowTokens)))))))
-      .otherwise(array().cast("array<long>"))
-    val all = df.select(col(idCol).as("__id"), explode(windows).as("__w"))
+    val all = df.select(col(idCol).as("__id"),
+      explode(windowHashes(col(textCol), windowTokens,
+        distinctWithinDoc = true)).as("__w"))
     val w = if (maxDocsPerWindow > 0) {
       val hot = all.groupBy("__w").agg(count(lit(1)).as("__k"))
         .where(col("__k") > maxDocsPerWindow).select("__w")
@@ -563,6 +573,66 @@ object Dedup extends org.apache.spark.internal.Logging {
       .groupBy(col("a.__id").as("a_id"), col("b.__id").as("b_id"))
       .agg(count(lit(1)).as("shared_windows"))
       .where(col("shared_windows") >= minShared)
+  }
+
+  /** Cross-corpus EXACT-substring decontamination pairs: `(a_id, b_id,
+    * shared_windows)` for every train×eval document pair sharing at least
+    * `minShared` verbatim `windowTokens`-token runs — the GPT-3-style
+    * 13-gram eval-contamination check (Brown et al. 2020 use 13; the
+    * default follows). The Jaccard sibling is [[minhashCrossPairs]]; this
+    * one catches VERBATIM overlap that token-set similarity dilutes away
+    * (a single leaked eval answer inside a long train doc).
+    *
+    * Same machinery as [[sharedWindowPairs]] run across two frames: no
+    * `a < b` invariant (sides are distinct corpora), the join meets only
+    * on window-hash buckets — corpus×probe pairs that share nothing never
+    * materialize. 100 TB shape: train-side windows shuffle once on the
+    * hash; the eval side is orders of magnitude smaller and AQE
+    * broadcast-joins its exploded window frame when it fits. */
+  def sharedWindowCrossPairs(
+      corpus: DataFrame,
+      probe: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 13,
+      minShared: Long = 1L): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    def winFrame(df: DataFrame, out: String) =
+      df.select(col(idCol).as(out),
+        explode(windowHashes(col(textCol), windowTokens,
+          distinctWithinDoc = true)).as("__w"))
+    winFrame(corpus, "a_id").join(winFrame(probe, "b_id"), Seq("__w"))
+      .groupBy("a_id", "b_id")
+      .agg(count(lit(1)).as("shared_windows"))
+      .where(col("shared_windows") >= minShared)
+  }
+
+  /** The probe-side LEFT-ANTI remover over [[sharedWindowCrossPairs]]'
+    * collision set: corpus rows sharing NO verbatim `windowTokens`-token
+    * run with any probe document (the clean training set after
+    * eval-decontamination). Cheaper than the pair view when only the
+    * survivor set is needed: contaminated ids come from ONE semi-join of
+    * the corpus window frame against the probe's distinct windows — no
+    * pair-grain aggregate ever forms. */
+  def removeExactContaminated(
+      corpus: DataFrame,
+      probe: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 13): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    val probeWins = probe
+      .select(explode(windowHashes(col(textCol), windowTokens,
+        distinctWithinDoc = true)).as("__w"))
+      .distinct()
+    val contaminated = corpus
+      .select(col(idCol).as("__cid"),
+        explode(windowHashes(col(textCol), windowTokens,
+          distinctWithinDoc = true)).as("__w"))
+      .join(probeWins, Seq("__w"), "left_semi")
+      .select(col("__cid").as(idCol))
+      .distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
   }
 
   /** Per-document duplicated-window profile: for each doc, how much of it
@@ -580,14 +650,9 @@ object Dedup extends org.apache.spark.internal.Logging {
       textCol: String,
       windowTokens: Int = 20): DataFrame = {
     require(windowTokens > 0, "windowTokens must be positive")
-    val toks = split(lower(col(textCol)), " ")
-    val windows = when(size(toks) >= windowTokens,
-      array_distinct(transform(
-        sequence(lit(0), size(toks) - windowTokens),
-        i => xxhash64(concat_ws("\u0001",
-          slice(toks, i + 1, lit(windowTokens)))))))
-      .otherwise(array().cast("array<long>"))
-    val w = df.select(col(idCol).as("__id"), explode(windows).as("__w"))
+    val w = df.select(col(idCol).as("__id"),
+      explode(windowHashes(col(textCol), windowTokens,
+        distinctWithinDoc = true)).as("__w"))
     // docs-per-window; a window is duplicated iff ≥2 docs carry it
     // (windows are distinct within doc, so count == distinct docs)
     val freq = w.groupBy("__w").agg(count(lit(1)).as("__docs"))
@@ -618,13 +683,17 @@ object Dedup extends org.apache.spark.internal.Logging {
     *
     * Scale shape: window hashes are built per-row (codegen'd, the
     * suffix-array substitute), duplicated windows found with one
-    * hash-aggregate; covered positions explode only for DUPLICATED window
-    * occurrences (overlapping windows re-emit positions; map-side partial
-    * distinct collapses them before the shuffle), and only AFFECTED
-    * documents pay the token-grain reassembly — untouched docs pass
-    * through verbatim with no explode. Matching is on lowercased tokens
-    * (consistent with the rest of the window family); removal positions
-    * apply to the original-case tokens. */
+    * hash-aggregate; each duplicated-window OCCURRENCE then flows as an
+    * INTERVAL `[pos, pos+windowTokens)` — two numbers, never one row per
+    * covered position — so the shuffle stays at occurrence grain with no
+    * ×windowTokens amplification on heavily-duplicated corpora.
+    * Overlapping intervals merge per doc in one codegen'd linear fold over
+    * the sorted occurrence starts (bounded by doc length), and the cleaned
+    * text is reassembled per-row from the GAP slices between merged
+    * intervals — no token-grain explode and no reassembly shuffle at all;
+    * untouched docs pass through verbatim. Matching is on lowercased
+    * tokens (consistent with the rest of the window family); removal
+    * positions apply to the original-case tokens. */
   def removeDuplicateSpans(
       df: DataFrame,
       idCol: String,
@@ -635,44 +704,56 @@ object Dedup extends org.apache.spark.internal.Logging {
     require(windowTokens > 0, "windowTokens must be positive")
     require(minDocs >= 2, "minDocs must be >= 2 — a span is duplicated " +
       "only when it repeats across documents")
-    val lt = split(lower(col(textCol)), " ")
-    val winExpr = transform(sequence(lit(0), size(lt) - windowTokens),
-      i => xxhash64(concat_ws("\u0001", slice(lt, i + 1, lit(windowTokens)))))
-    val guarded = when(size(lt) >= windowTokens, winExpr)
-      .otherwise(array().cast("array<long>"))
+    val guarded = windowHashes(col(textCol), windowTokens,
+      distinctWithinDoc = false)
     // duplicated windows: distinct-within-doc explode makes plain count a
     // distinct-doc count (same trick as duplicatedWindowStats)
     val dupWins = df.select(explode(
-        when(size(lt) >= windowTokens, array_distinct(winExpr))
-          .otherwise(array().cast("array<long>"))).as("__w"))
+        windowHashes(col(textCol), windowTokens,
+          distinctWithinDoc = true)).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__d"))
       .where(col("__d") >= minDocs).select("__w")
-    // covered token positions of duplicated-window OCCURRENCES only
+    // duplicated-window OCCURRENCES as interval starts — one row per
+    // occurrence, never one row per covered position
     val occ = df.select(col(idCol).as("__id"),
       posexplode(guarded).as(Seq("__pos", "__w")))
-    val cov = occ.join(dupWins, Seq("__w"))
-      .select(col("__id"),
-        explode(sequence(col("__pos"), col("__pos") + lit(windowTokens - 1)))
-          .as("__p"))
-      .distinct()
-    val removed = cov.groupBy("__id").agg(count(lit(1)).as("__nrm"))
-    // ONLY affected docs explode to token grain and reassemble
-    val affected = df.join(removed.withColumnRenamed("__id", idCol),
-      Seq(idCol), "left_semi")
-    val kept = affected
-      .select(col(idCol).as("__id"),
-        posexplode(split(col(textCol), " ")).as(Seq("__p", "__tk")))
-      .join(cov, Seq("__id", "__p"), "left_anti")
-      .groupBy("__id")
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("__p"), col("__tk")))),
-        x => x("__tk")), " ").as("__clean"))
-    df.join(kept.withColumnRenamed("__id", idCol), Seq(idCol), "left")
-      .join(removed.withColumnRenamed("__id", idCol), Seq(idCol), "left")
-      .withColumn(outCol, when(col("__nrm").isNull, col(textCol))
-        .otherwise(coalesce(col("__clean"), lit(""))))
-      .withColumn("n_removed", coalesce(col("__nrm"), lit(0L)))
-      .drop("__clean", "__nrm")
+    val wl = lit(windowTokens)
+    // per-doc linear fold of the sorted starts into disjoint merged
+    // intervals [s, e): equal-width windows mean sorted starts merge in a
+    // single pass (extend the last interval iff the next start falls
+    // inside it). A leading sentinel (e = -1 < any start) keeps
+    // element_at(acc, -1) total under ANSI mode; the finisher strips it.
+    val sentinel = array(struct(lit(-1).as("s"), lit(-1).as("e")))
+    val ivCol = aggregate(
+      sort_array(col("__starts")),
+      sentinel,
+      (acc, p) => {
+        val last = element_at(acc, -1)
+        when(p <= last("e"),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(last("s").as("s"), (p + wl).as("e")))))
+          .otherwise(concat(acc, array(struct(p.as("s"), (p + wl).as("e")))))
+      },
+      acc => slice(acc, lit(2), size(acc) - 1))
+    val merged = occ.join(dupWins, Seq("__w"))
+      .groupBy(col("__id"))
+      .agg(collect_list(col("__pos")).as("__starts"))
+      .select(col("__id").as(idCol), ivCol.as("__ivs"))
+    // cleaned text = the GAP slices between merged intervals, rebuilt
+    // per-row with codegen'd array functions — O(doc length), no shuffle
+    val toks = split(col(textCol), " ")
+    val gapS = concat(array(lit(0)), transform(col("__ivs"), iv => iv("e")))
+    val gapE = concat(transform(col("__ivs"), iv => iv("s")), array(size(toks)))
+    val cleaned = array_join(flatten(zip_with(gapS, gapE,
+      (s, e) => slice(toks, s + lit(1), greatest(e - s, lit(0))))), " ")
+    val nRemoved = aggregate(col("__ivs"), lit(0L),
+      (a, iv) => a + (iv("e") - iv("s")))
+    df.join(merged, Seq(idCol), "left")
+      .withColumn(outCol,
+        when(col("__ivs").isNull, col(textCol)).otherwise(cleaned))
+      .withColumn("n_removed",
+        when(col("__ivs").isNull, lit(0L)).otherwise(nRemoved))
+      .drop("__ivs")
   }
 
   /** Connected components over a near-dup pair frame: `(id, cluster_id)`

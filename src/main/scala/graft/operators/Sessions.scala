@@ -28,7 +28,10 @@ object Sessions {
 
   /** Append a dense 0-based `outCol` session index per key. Rows with a
     * null timestamp sort first (nulls-first) and join the first session of
-    * their key — filter them beforehand if that is not the intent. */
+    * their key — filter them beforehand if that is not the intent. (A new
+    * session opens only when the PREVIOUS row has a real timestamp and the
+    * gap is exceeded, so a run of null-ts rows never fragments into
+    * singleton sessions and the first real-ts row continues session 0.) */
   def assign(
       df: DataFrame,
       keyCols: Seq[String],
@@ -40,8 +43,9 @@ object Sessions {
     require(!df.columns.contains(outCol), s"output column '$outCol' exists")
     val tsN: Column = TimeCols.numericFor(df, tsCol)
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(tsN)
-    val isNew = when(lag(tsN, 1).over(w).isNull ||
-      tsN - lag(tsN, 1).over(w) > gap, 1L).otherwise(0L)
+    val prev = lag(tsN, 1).over(w)
+    val isNew = when(row_number().over(w) === 1, 1L)
+      .otherwise(when(prev.isNotNull && tsN - prev > gap, 1L).otherwise(0L))
     df.withColumn(outCol,
       sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
   }

@@ -240,21 +240,6 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
-  /** Lloyd (k-means) refinement loop shared by [[trainCentroids]] and the
-    * `trainIters` option of the IVF pipelines. Each iteration is ONE
-    * codegen'd corpus scan (nearest-cell assignment, the same shuffle-free
-    * [[graft.functions.NProbeNearestCells]] expression as [[ivfAssign]])
-    * plus ONE ≤nCells-row aggregate of per-dimension means — at 100 TB,
-    * k iterations cost k scans, nothing quadratic, and the only driver
-    * state is nCells × dim floats (the same bound as [[collectCentroids]]).
-    *
-    * Determinism: the seed is the smallest-md5 sample ([[ivfCentroids]]);
-    * cell means are rounded to 1e-6 and cast to float before re-assignment,
-    * so the refined quantizer is bit-identical across partitionings and
-    * reruns (unrounded distributed float sums differ in the last ulp with
-    * partition order, which could flip knife-edge assignments). Empty cells
-    * keep their previous centroid. Returns the refined set plus the
-    * assignment counts of the final iteration. */
   /** Per-vector symmetric int8 quantization: `scale = max|x| / 127`,
     * `q[i] = round(x[i] / scale)` — the 4× memory cut that makes a 100 TB
     * embedding corpus hold 4× more vectors per executor (and per shuffle
@@ -301,6 +286,26 @@ object Similarity {
     if (trainIters <= 0) collectCentroids(ivfCentroids(df, idCol, vecCol, nCells))
     else lloydRefine(df, idCol, vecCol, nCells, trainIters)._1
 
+  /** Lloyd (k-means) refinement loop shared by [[trainCentroids]] and the
+    * `trainIters` option of the IVF pipelines. Each iteration is ONE
+    * codegen'd corpus scan (nearest-cell assignment, the same shuffle-free
+    * [[graft.functions.NProbeNearestCells]] expression as [[ivfAssign]])
+    * plus ONE ≤nCells-row aggregate of per-cell element-wise vector sums
+    * ([[graft.functions.VectorSumAggregator]] — a single agg column at ANY
+    * embedding dimension; the per-dimension `avg(element_at)` alternative
+    * builds dim-many aggregate expressions and risks analysis/codegen
+    * blowup at 768–4096 dims). At 100 TB, k iterations cost k scans,
+    * nothing quadratic, and the only driver state is nCells × dim floats
+    * (the same bound as [[collectCentroids]]).
+    *
+    * Determinism: the seed is the smallest-md5 sample ([[ivfCentroids]]);
+    * cell means are rounded to 1e-6 (HALF_UP, matching Spark's `round`)
+    * and cast to float before re-assignment, so the refined quantizer is
+    * bit-identical across partitionings and reruns (unrounded distributed
+    * float sums differ in the last ulp with partition order, which could
+    * flip knife-edge assignments). Empty cells keep their previous
+    * centroid. Returns the refined set plus the assignment counts of the
+    * final iteration. */
   private def lloydRefine(
       df: DataFrame,
       idCol: String,
@@ -310,7 +315,9 @@ object Similarity {
     var cs = collectCentroids(ivfCentroids(df, idCol, vecCol, nCells))
     var counts = Array.fill(cs.size)(0L)
     if (cs.size == 0) return (cs, counts)
-    val dim = cs.vecs(0).length
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
     for (_ <- 1 to iters) {
       val assigned = df
         .where(col(vecCol).isNotNull)
@@ -318,19 +325,20 @@ object Similarity {
           element_at(
             graft.functions.VectorOps.nearestCells(col(vecCol), cs, 1), 1)
             .as("__cid"),
-          col(vecCol).as("__v"))
-      val aggCols = count(lit(1)).as("__n") +:
-        (0 until dim).map(i =>
-          round(avg(element_at(col("__v"), i + 1)), 6).as(s"__m$i"))
+          col(vecCol).cast("array<double>").as("__v"))
       val rows = assigned.groupBy("__cid") // bounded: ≤ nCells result rows
-        .agg(aggCols.head, aggCols.tail: _*)
+        .agg(count(lit(1)).as("__n"),
+          graft.functions.VectorSum.vectorSum(col("__v")).as("__s"))
         .collect()
       val byCell = rows.map(r => r.getLong(0) -> r).toMap
       counts = Array.tabulate(cs.size)(c =>
         byCell.get(c.toLong).map(_.getLong(1)).getOrElse(0L))
       val newVecs = Array.tabulate(cs.size) { c =>
         byCell.get(c.toLong) match {
-          case Some(r) => Array.tabulate(dim)(i => r.getDouble(2 + i).toFloat)
+          case Some(r) =>
+            val n = r.getLong(1).toDouble
+            r.getSeq[Double](2).iterator
+              .map(s => round6(s / n).toFloat).toArray
           case None => cs.vecs(c)
         }
       }

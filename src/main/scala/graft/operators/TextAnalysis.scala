@@ -172,21 +172,6 @@ object TextAnalysis {
     regexp_replace(ip, "[0-9]{7,}", "<NUM>")
   }
 
-  /** Corpus vocabulary: n-gram occurrence counts over the whole corpus —
-    * the frequency table tokenizer/vocab construction starts from (and the
-    * corpus-statistics view quality analyses read). Tokens are
-    * [[tokens]]' lowercased space-split words; for `n > 1` each document
-    * contributes its run of n-token grams (documents shorter than `n`
-    * contribute nothing). `minCount` drops the long singleton tail BEFORE
-    * any ordering; `top > 0` keeps the `top` most frequent under the total
-    * order (count desc, gram asc) so the cut is deterministic.
-    *
-    * Scale shape: gram arrays are built per-row (codegen'd `transform`
-    * over `sequence` — no self-join), exploded, and counted in ONE
-    * hash-aggregate shuffle with map-side partial aggregation; the top-k
-    * cut is Spark's TakeOrdered (per-partition heaps, no global sort
-    * materialization). A 100 TB corpus pays one scan + one shuffle of
-    * (gram, partial-count) pairs. */
   /** Canonicalize text for hashing/dedup: Unicode-normalize (codegen'd
     * [[graft.functions.UnicodeNormalize]]), optionally lowercase, squeeze
     * runs of ASCII whitespace to single spaces and trim. The whitespace
@@ -208,6 +193,21 @@ object TextAnalysis {
     else cased
   }
 
+  /** Corpus vocabulary: n-gram occurrence counts over the whole corpus —
+    * the frequency table tokenizer/vocab construction starts from (and the
+    * corpus-statistics view quality analyses read). Tokens are
+    * [[tokens]]' lowercased space-split words; for `n > 1` each document
+    * contributes its run of n-token grams (documents shorter than `n`
+    * contribute nothing). `minCount` drops the long singleton tail BEFORE
+    * any ordering; `top > 0` keeps the `top` most frequent under the total
+    * order (count desc, gram asc) so the cut is deterministic.
+    *
+    * Scale shape: gram arrays are built per-row (codegen'd `transform`
+    * over `sequence` — no self-join), exploded, and counted in ONE
+    * hash-aggregate shuffle with map-side partial aggregation; the top-k
+    * cut is Spark's TakeOrdered (per-partition heaps, no global sort
+    * materialization). A 100 TB corpus pays one scan + one shuffle of
+    * (gram, partial-count) pairs. */
   def vocabulary(
       df: DataFrame,
       textCol: String,

@@ -201,9 +201,9 @@ object ScaleBench {
     bench("q_dedup_simhash_near") {
       Dedup.simhashNearPairs(lake.documents, "doc_id", "text", maxHamming = 3).count()
     }
-    // span removal at 150k docs: dup-window occurrences explode positions,
-    // but ONLY affected docs reach token-grain reassembly — wall time must
-    // track duplicated volume (the injected pairs), not corpus size
+    // span removal at 150k docs: dup-window occurrences flow as INTERVALS
+    // (r6 rewrite — no per-position explode, no token-grain reassembly
+    // shuffle); wall time must track duplicated volume, not corpus size
     bench("q_span_removal") {
       Dedup.removeDuplicateSpans(lake.documents.select("doc_id", "text"),
         "doc_id", "text", windowTokens = 10)

@@ -138,6 +138,25 @@ class PipelineOpsSpec extends GraftSuite {
     assert(ivf.subsetOf(brute), s"trained IVF produced non-pairs: ${ivf -- brute}")
   }
 
+  test("trainCentroids: dim=1024 trains in bounded time with one agg column") {
+    import spark.implicits._
+    // production-dim embeddings: the per-dimension avg(element_at) Lloyd
+    // formulation would put 1024 aggregate expressions in one plan; the
+    // VectorSumAggregator keeps it at two agg columns at any dim — this
+    // test is the analysis/codegen-blowup regression guard
+    val dim = 1024
+    val pts = (0 until 200).map { i =>
+      val base = if (i % 2 == 0) 1f else -1f
+      (i.toLong, Seq.tabulate(dim)(j => base * (1f + 0.001f * ((i + j) % 7))))
+    }.toDF("vec_id", "embedding")
+    val trained = Similarity.trainCentroids(pts, "vec_id", "embedding",
+      nCells = 4, iters = 2).collect()
+    assert(trained.length == 4)
+    assert(trained.map(_.getLong(2)).sum == 200L)
+    assert(trained.forall(
+      _.getAs[scala.collection.Seq[Float]]("centroid").length == dim))
+  }
+
   test("int8 quantization: values bounded, zero vector safe, cosine error small") {
     import spark.implicits._
     val q = Similarity.quantizeInt8(emb, "embedding")
@@ -376,6 +395,30 @@ class PipelineOpsSpec extends GraftSuite {
     assert(got(5L) == (("x", 3L)))
   }
 
+  test("removeDuplicateSpans: no position-grain explode in the plan") {
+    val s = spark
+    import s.implicits._
+    val fixture = Seq((1L, "a b c d e f"), (2L, "z a b c y")).toDF("doc_id", "text")
+    val got = Dedup.removeDuplicateSpans(fixture, "doc_id", "text", windowTokens = 3)
+    got.collect()
+    // AQE's toString appends the pre-adaptive plan after "== Initial Plan
+    // ==" — count generators in the FINAL (executed) section only
+    val plan = got.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // exactly two generators survive: the window-occurrence posexplode and
+    // the distinct-window explode feeding the duplicate filter — the old
+    // per-position sequence() explode and the token-grain reassembly
+    // posexplode must both be gone
+    val gens = "Generate".r.findAllIn(plan).size
+    assert(gens == 2, s"expected 2 Generate nodes, got $gens:\n$plan")
+    // the old amplification was a Generate whose generator exploded a
+    // per-position sequence over __pos — no Generate line may do that now
+    // (sequence() inside the window-hash transform is fine and expected)
+    val badGen = plan.linesIterator.exists(l =>
+      l.contains("Generate explode(sequence("))
+    assert(!badGen, s"per-position sequence explode resurfaced:\n$plan")
+  }
+
   test("removeDuplicateSpans == all-docs reassembly reference on the corpus") {
     val s = spark
     import s.implicits._
@@ -406,6 +449,35 @@ class PipelineOpsSpec extends GraftSuite {
       "doc_id", "text", windowTokens = w)
       .select("doc_id", "text_clean", "n_removed")
     assertSameRows(got, want)
+  }
+
+  test("sharedWindowCrossPairs: full recall vs raw window-string cross-comparison") {
+    val s = spark
+    import s.implicits._
+    val w = 10
+    val train = docs.where(pmod($"doc_id", lit(5)) =!= 0)
+    val ev = docs.where(pmod($"doc_id", lit(5)) === 0)
+    // ground truth on RAW window strings (no hashing): any xxhash64
+    // collision or missed window would show up as a diff
+    def winStrings(df: org.apache.spark.sql.DataFrame, out: String) = {
+      val lt = split(lower($"text"), " ")
+      df.select(col("doc_id").as(out), explode(when(size(lt) >= w,
+        array_distinct(transform(sequence(lit(0), size(lt) - w),
+          i => concat_ws("\u0001", slice(lt, i + 1, lit(w))))))
+        .otherwise(array().cast("array<string>"))).as("wk"))
+    }
+    val want = winStrings(train, "a_id").join(winStrings(ev, "b_id"), Seq("wk"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("shared_windows"))
+    val got = Dedup.sharedWindowCrossPairs(train, ev, "doc_id", "text",
+      windowTokens = w)
+    assert(got.count() > 0, "fixture must contain cross-corpus contamination")
+    assertSameRows(got, want)
+    // the remover is exactly the left-anti over the pair view's train side
+    val clean = Dedup.removeExactContaminated(train, ev, "doc_id", "text",
+      windowTokens = w).select("doc_id")
+    val wantClean = train.select("doc_id").join(
+      got.select($"a_id".as("doc_id")).distinct(), Seq("doc_id"), "left_anti")
+    assertSameRows(clean, wantClean)
   }
 
   test("duplicateClusters: distributed sweeps == driver-finish path") {
@@ -812,10 +884,15 @@ class PipelineOpsSpec extends GraftSuite {
       "0400" + "1000" +
       "4C495354" + "03000000" + "414243" + "00" + // LIST, 3 bytes + pad
       "64617461" + "A00F0000")                     // data, 4000 bytes declared
-    assert(unpack(AudioHeaders.packedWavMeta(wav)) == ((1, 2, 16, 44100, 1000L)),
-      s"got ${unpack(AudioHeaders.packedWavMeta(wav))}")
+    // `wav` itself ends right after the data-chunk header (declared size,
+    // zero sample bytes) — append real sample bytes for the canonical case
+    // so the truncation assertion below exercises a genuinely shorter input
+    val wavWithSamples = wav ++ Array.fill[Byte](16)(0x11)
+    assert(unpack(AudioHeaders.packedWavMeta(wavWithSamples)) ==
+      ((1, 2, 16, 44100, 1000L)),
+      s"got ${unpack(AudioHeaders.packedWavMeta(wavWithSamples))}")
     // truncated after the data chunk HEADER (no sample bytes): still parses
-    assert(unpack(AudioHeaders.packedWavMeta(wav.take(wav.length)))._5 == 1000L)
+    assert(unpack(AudioHeaders.packedWavMeta(wav))._5 == 1000L)
     // non-PCM (audioFormat 3 = IEEE float) rejected
     val f32 = wav.clone(); f32(20) = 3
     assert(AudioHeaders.packedWavMeta(f32) == 0L)

@@ -98,7 +98,11 @@ class StreamOpsSpec extends GraftSuite {
       .outputMode("append")
       .option("checkpointLocation", tmpDir("graft_sess_ckpt_")).start()
     try {
-      val (b1, b2) = clicks.splitAt(clicks.size / 2)
+      // split in event-time order: with watermark "0 seconds", a b2 row
+      // older than b1's max event time would be silently dropped as late,
+      // and parquet row order is not a contract — sort so batch boundaries
+      // can never make rows late
+      val (b1, b2) = clicks.sortBy(_._2.getTime).splitAt(clicks.size / 2)
       mem.addData(b1: _*); q.processAllAvailable()
       mem.addData(b2: _*); q.processAllAvailable()
       // sentinel far past everything: watermark passes every session end

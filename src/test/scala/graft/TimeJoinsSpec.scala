@@ -125,6 +125,26 @@ class TimeJoinsSpec extends GraftSuite {
     assertSameRows(got.withColumn("ts", tsu), want)
   }
 
+  test("sessionize: null-ts rows join session 0, never fragment into singletons") {
+    val s = spark
+    import s.implicits._
+    val rows = Seq[(String, java.lang.Long)](
+      ("u1", null), ("u1", null), ("u1", 100L), ("u1", 150L), ("u1", 500L),
+      ("u2", null),               // only-null key: one session
+      ("u3", 10L), ("u3", 400L))  // no-null key: plain gap behavior
+      .toDF("k", "ts")
+    val got = Sessions.assign(rows, Seq("k"), "ts", gap = 100L)
+      .collect().map(r => (r.getString(0), Option(r.get(1)), r.getLong(2)))
+    val byKey = got.groupBy(_._1)
+    // u1: both nulls AND the first real rows (100, 150) share session 0;
+    // 500 opens session 1 (gap 350 > 100 from 150)
+    assert(byKey("u1").collect { case (_, None, sid) => sid }.toSet == Set(0L))
+    assert(byKey("u1").collect { case (_, Some(ts), sid) => (ts, sid) }.toSet ==
+      Set((100L, 0L), (150L, 0L), (500L, 1L)))
+    assert(byKey("u2").map(_._3).toSet == Set(0L))
+    assert(byKey("u3").map(_._3).toSet == Set(0L, 1L))
+  }
+
   test("asOf/asOfBucketed on timestamps equals the same join on epoch-micros longs") {
     // the timestamp-native path must be a pure re-typing of the numeric
     // path: run the identical join both ways and compare matches
