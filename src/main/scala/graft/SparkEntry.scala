@@ -42,6 +42,23 @@ object SparkEntry {
     * desynchronize them. */
   private val NormSuffix = " CAFÉ  \tx"
 
+  /** Committed BPE vocab fixture for q_bpe_tokens — multi-length entries so
+    * greedy longest-match is exercised ("the" must beat "th", "tion" must
+    * beat "ti"+"on"); characters outside every entry take the 1-token
+    * fallback. Mirrored VERBATIM in the oracle SQL's VALUES list;
+    * [[bpeOracleValues]] keeps the two in sync mechanically. */
+  val BpeFixtureVocab: Seq[String] = Seq(
+    "the", "th", "he", "in", "ing", "er", "an", "re", "on", "at", "en",
+    "nd", "ti", "es", "or", "te", "of", "ed", "is", "it", "al", "ar",
+    "st", "to", "nt", "ng", "se", "ha", "as", "ou", "io", "le", "ve",
+    "co", "me", "de", "hi", "ri", "ro", "ic", "tion", "and", "for",
+    "ent", "ion")
+
+  /** The oracle-side VALUES list, generated from the same Seq the Spark
+    * query broadcasts — the vocabularies cannot drift apart. */
+  private def bpeOracleValues: String =
+    BpeFixtureVocab.map(t => s"('$t')").mkString(", ")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- core index operators ---------------------------------------------
     "q_regular_join" -> ((s, dir) => {
@@ -745,6 +762,17 @@ object SparkEntry {
         TextAnalysis.uniqueTokenCount(col("text")).as("n_unique_tokens"),
         TextAnalysis.tokenEstimate(col("text")).as("est_tokens"),
         TextAnalysis.bpeTokenCount(col("text")).as("bpe_tokens"))
+        .orderBy("doc_id")
+    }),
+    // REAL BPE token counts: greedy longest-match over the committed
+    // fixture vocabulary (codegen'd broadcast expression) — the upgrade
+    // over q_token_count's pre-tokenizer lower bound; what
+    // packByTokenBudget packs on for exact token accounting
+    "q_bpe_tokens" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      lk.documents.select(col("doc_id"),
+        graft.functions.Bpe.segmentCount(s, BpeFixtureVocab)(lower(col("text")))
+          .as("bpe_tokens"))
         .orderBy("doc_id")
     }),
     "q_quality" -> ((s, dir) => {
@@ -1573,6 +1601,34 @@ object SparkEntry {
                 CAST(ceil(length(text) / 4.0) AS BIGINT) AS est_tokens,
                 len(regexp_extract_all(text,'''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+'))::BIGINT AS bpe_tokens
          FROM documents ORDER BY doc_id""",
+    // greedy longest-match replicated relationally: per distinct word,
+    // precompute the longest vocab match at every character position, then
+    // a recursive CTE walks the cursor (advance by match length, else 1);
+    // per-doc counts are the word-count-weighted sum
+    "q_bpe_tokens" ->
+      s"""WITH RECURSIVE
+           v(tok) AS (VALUES $bpeOracleValues),
+           w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) word
+                 FROM documents),
+           ww AS (SELECT doc_id, word FROM w WHERE len(word) > 0),
+           dw AS (SELECT DISTINCT word FROM ww),
+           pos AS (SELECT word, unnest(range(1, len(word) + 1)) p FROM dw),
+           m AS (SELECT pos.word, pos.p, coalesce(max(len(v.tok)), 1) adv
+                 FROM pos LEFT JOIN v
+                   ON substr(pos.word, pos.p, len(v.tok)) = v.tok
+                 GROUP BY pos.word, pos.p),
+           seg(word, pos, cnt) AS (
+             SELECT word, 1, 0 FROM dw
+             UNION ALL
+             SELECT s.word, s.pos + m.adv, s.cnt + 1
+             FROM seg s JOIN m ON m.word = s.word AND m.p = s.pos
+             WHERE s.pos <= len(s.word)),
+           wc AS (SELECT word, cnt FROM seg WHERE pos = len(word) + 1),
+           agg AS (SELECT ww.doc_id, sum(wc.cnt) n
+                   FROM ww JOIN wc USING (word) GROUP BY 1)
+         SELECT d.doc_id, coalesce(agg.n, 0)::BIGINT AS bpe_tokens
+         FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
     "q_quality" ->
       """SELECT doc_id,
                 length(text)::BIGINT AS n_chars_m,

@@ -229,6 +229,23 @@ object TextAnalysis {
     else counts
   }
 
+  /** Train a BPE vocabulary from the corpus: word frequencies via
+    * [[vocabulary]] (top `maxWordTable` lowercased whitespace words — the
+    * bounded word→count dict classic BPE trains on; the corpus itself is
+    * touched exactly once, by that aggregate), then `numMerges`
+    * driver-side merge rounds ([[graft.functions.BpeVocab.train]]).
+    * Count real tokens with `graft.functions.Bpe.segmentCount` and feed
+    * them to `Sampling.packByTokenBudget` for exact token accounting. */
+  def trainBpeVocab(
+      df: DataFrame,
+      textCol: String,
+      numMerges: Int,
+      maxWordTable: Int = 50000): graft.functions.BpeVocab = {
+    val wc = vocabulary(df, textCol, n = 1, top = maxWordTable)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    graft.functions.BpeVocab.train(wc, numMerges)
+  }
+
   /** Content fingerprints: md5 of raw text and of whitespace-normalized,
     * lowercased text (near-dup-robust form). */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -848,6 +848,79 @@ class PipelineOpsSpec extends GraftSuite {
     assert(got("bad")._1 == "unknown")
   }
 
+  test("BPE greedy segmentation: longest match wins, char fallback, handwritten cases") {
+    import graft.functions.BpeVocab
+    val v = new BpeVocab(SparkEntry.BpeFixtureVocab.toArray)
+    assert(v.segmentWord("the") == Seq("the"))        // "the" beats "th"
+    assert(v.segmentWord("than") == Seq("th", "an"))
+    assert(v.segmentWord("nation") == Seq("n", "at", "ion")) // fallback 'n'
+    assert(v.segmentWord("formation") == Seq("for", "m", "at", "ion"))
+    assert(v.segmentWord("xyz") == Seq("x", "y", "z")) // all-fallback
+    import org.apache.spark.unsafe.types.UTF8String
+    assert(v.countText(UTF8String.fromString("the nation")) == 4L)
+    assert(v.countText(UTF8String.fromString("  the  ")) == 1L) // space runs
+    assert(v.countText(UTF8String.fromString("")) == 0L)
+  }
+
+  test("BPE expression == independent JVM reimplementation on the corpus") {
+    val s = spark
+    import s.implicits._
+    val vocabSet = SparkEntry.BpeFixtureVocab.toSet
+    val maxLen = SparkEntry.BpeFixtureVocab.map(_.length).max
+    // independent greedy reimplementation (recursion instead of cursors)
+    def segCount(word: String): Long =
+      if (word.isEmpty) 0L
+      else {
+        val m = (math.min(maxLen, word.length) to 1 by -1)
+          .find(l => vocabSet.contains(word.take(l))).getOrElse(1)
+        1L + segCount(word.drop(m))
+      }
+    val got = docs.select($"doc_id",
+      graft.functions.Bpe.segmentCount(s, SparkEntry.BpeFixtureVocab)(
+        lower($"text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = docs.select($"doc_id", lower($"text")).collect().map { r =>
+      r.getLong(0) ->
+        r.getString(1).split(" ", -1).filter(_.nonEmpty).map(segCount).sum
+    }.toMap
+    assert(got == want)
+    // with a letters-only vocab no segment crosses a letter/punct boundary,
+    // so real counts dominate the pre-tokenizer lower bound on this corpus
+    val lb = docs.select($"doc_id",
+      TextAnalysis.bpeTokenCount(lower($"text")).as("lb"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viol = got.count { case (id, n) => n < lb(id) }
+    assert(viol == 0, s"$viol docs below the pre-tokenizer lower bound")
+  }
+
+  test("BPE training: merges learned in frequency order, deterministic ties") {
+    import graft.functions.BpeVocab
+    // (a,b) pair weight 15 beats (b,c) 5 -> first merge "ab", then "abc"
+    val v = BpeVocab.train(Seq(("ab", 10L), ("abc", 5L)), numMerges = 2)
+    assert(v.segmentWord("abc") == Seq("abc"))
+    assert(v.segmentWord("ab") == Seq("ab"))
+    assert(v.segmentWord("cab") == Seq("c", "ab"))
+    // trained-from-corpus path: vocabulary() feeds the same trainer, and
+    // packByTokenBudget packs on the REAL counts end-to-end
+    val s = spark
+    import s.implicits._
+    val trained = TextAnalysis.trainBpeVocab(docs, "text", numMerges = 50)
+    assert(trained.size > 50, "expected chars + 50 merges")
+    val bc = s.sparkContext.broadcast(trained)
+    val counted = docs.select($"doc_id",
+      graft.functions.Bpe.segmentCount(bc)(lower($"text")).as("toks"))
+    val packed = Sampling.packByTokenBudget(counted, "doc_id", "toks", budget = 2000L)
+    // chunk_id must equal floor(exclusive-prefix-sum / budget) in id order
+    val rows = packed.select($"doc_id", $"toks", $"chunk_id")
+      .collect().sortBy(_.getLong(0))
+    var prefix = 0L
+    rows.foreach { r =>
+      assert(r.getLong(2) == prefix / 2000L,
+        s"doc ${r.getLong(0)}: chunk ${r.getLong(2)} != ${prefix / 2000L}")
+      prefix += r.getLong(1)
+    }
+  }
+
   test("normalizeText: NFC recomposition, case fold, whitespace squeeze") {
     val s = spark
     import s.implicits._
