@@ -326,6 +326,21 @@ object SparkEntry {
           col("event_id"), col("session_idx"))
         .orderBy("user_id", "ts_us", "event_id")
     }),
+    // skew-bucketed sessionization: identical output to q_sessionize via
+    // the two-level carry-in scan (hot key capped at O(rows per bucket));
+    // bucket width deliberately SMALLER than the gap so sessions span
+    // many buckets and the carry-in path is exercised, not bypassed
+    "q_sessionize_bucketed" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val clicks = lk.events.where(col("event_type") === "click")
+        .select("user_id", "ts", "event_id")
+      operators.Sessions.assignBucketed(clicks, Seq("user_id"), "ts",
+        gap = 1800L * 1000 * 1000, bucketWidth = 600L * 1000 * 1000)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp))").as("ts_us"),
+          col("event_id"), col("session_idx"))
+        .orderBy("user_id", "ts_us", "event_id")
+    }),
     // per-session rollup (bounds, count, duration) — the frame
     // session-level quality filters run on
     "q_session_stats" -> ((s, dir) => {
@@ -1124,6 +1139,22 @@ object SparkEntry {
                                  AND epoch_us(e.ts) + 600000000
          ORDER BY c.user_id, ts, err_id""",
     "q_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) tsu, event_id
+                    FROM events WHERE event_type = 'click'),
+         m AS (SELECT user_id, tsu, event_id,
+                      CASE WHEN lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu)
+                             IS NULL
+                         OR tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu)
+                             > 1800000000
+                           THEN 1 ELSE 0 END n
+               FROM e)
+         SELECT user_id, tsu AS ts_us, event_id,
+                CAST(SUM(n) OVER (PARTITION BY user_id ORDER BY tsu
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1
+                  AS BIGINT) AS session_idx
+         FROM m ORDER BY user_id, ts_us, event_id""",
+    // bucketed variant must be indistinguishable from the plain window
+    "q_sessionize_bucketed" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) tsu, event_id
                     FROM events WHERE event_type = 'click'),
          m AS (SELECT user_id, tsu, event_id,

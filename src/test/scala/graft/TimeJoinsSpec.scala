@@ -125,6 +125,32 @@ class TimeJoinsSpec extends GraftSuite {
     assertSameRows(got.withColumn("ts", tsu), want)
   }
 
+  test("sessionBucketed equals assign across bucket widths (incl. null ts, hot key)") {
+    val s = spark
+    import s.implicits._
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    val clicks = events.where($"event_type" === "click")
+      .select("user_id", "ts", "event_id")
+    val gap = 1800L * 1000 * 1000
+    val want = Sessions.assign(clicks, Seq("user_id"), "ts", gap)
+    // widths smaller than, equal to, and much larger than the gap —
+    // sessions spanning many buckets and buckets holding many sessions
+    for (width <- Seq(gap / 7, gap, 40L * gap)) {
+      val got = Sessions.assignBucketed(clicks, Seq("user_id"), "ts", gap, width)
+      assertSameRows(got, want)
+    }
+    // hot key + null timestamps: one user owns most rows, nulls must join
+    // session 0 exactly as assign's contract says
+    val nullRows = Seq((77L, 999001L), (77L, 999002L))
+      .toDF("user_id", "event_id")
+      .withColumn("ts", lit(null).cast(clicks.schema("ts").dataType))
+      .select("user_id", "ts", "event_id")
+    val hot = clicks.withColumn("user_id", lit(77L)).unionByName(nullRows)
+    val wantHot = Sessions.assign(hot, Seq("user_id"), "ts", gap)
+    val gotHot = Sessions.assignBucketed(hot, Seq("user_id"), "ts", gap, gap)
+    assertSameRows(gotHot, wantHot)
+  }
+
   test("sessionize: null-ts rows join session 0, never fragment into singletons") {
     val s = spark
     import s.implicits._
