@@ -212,6 +212,118 @@ class SqlCatalogSpec extends GraftSuite {
     assert(n == lake.orders.count())
   }
 
+  test("property: random pushdown predicates equal raw-table filters, all index types") {
+    init()
+    lake.lineitemIdx
+    lake.eventsIdx
+    val rnd = new scala.util.Random(20260814)
+    import org.apache.spark.sql.Column
+    def pick[T](xs: Seq[T]): T = xs(rnd.nextInt(xs.size))
+    // random AND/OR trees over leaf predicates: indexed-equality, indexed-
+    // range, IN lists, and UNINDEXED columns mixed in — pruning decisions
+    // interact across conjuncts, which is exactly what hand-written guard
+    // tests cannot enumerate
+    def tree(depth: Int, leaf: () => (String, Column)): (String, Column) =
+      if (depth == 0 || rnd.nextInt(3) == 0) leaf()
+      else {
+        val (ls, lc) = tree(depth - 1, leaf)
+        val (rs, rc) = tree(depth - 1, leaf)
+        if (rnd.nextBoolean()) (s"($ls) AND ($rs)", lc && rc)
+        else (s"($ls) OR ($rs)", lc || rc)
+      }
+
+    // orders: regular(o_custkey) + range(o_orderkey) + unindexed status
+    val custKeys = lake.orders.select("o_custkey").distinct().limit(100)
+      .collect().map(_.getLong(0)).toSeq
+    val okB = lake.orders.agg(min("o_orderkey"), max("o_orderkey")).first()
+    val (okLo, okHi) = (okB.getLong(0), okB.getLong(1))
+    def okRand(): Long = okLo + math.abs(rnd.nextLong()) % (okHi - okLo + 1)
+    def ordersLeaf(): (String, Column) = rnd.nextInt(6) match {
+      case 0 =>
+        val k = pick(custKeys); (s"o_custkey = $k", col("o_custkey") === k)
+      case 1 =>
+        val ks = Seq.fill(1 + rnd.nextInt(4))(pick(custKeys)).distinct
+        (s"o_custkey IN (${ks.mkString(", ")})", col("o_custkey").isin(ks: _*))
+      case 2 =>
+        val a = okRand(); val b = a + rnd.nextInt(500)
+        (s"o_orderkey BETWEEN $a AND $b", col("o_orderkey").between(a, b))
+      case 3 =>
+        val a = okRand(); (s"o_orderkey >= $a", col("o_orderkey") >= a)
+      case 4 =>
+        val a = okRand(); (s"o_orderkey = $a", col("o_orderkey") === a)
+      case 5 =>
+        val st = pick(Seq("F", "O", "P"))
+        (s"o_orderstatus = '$st'", col("o_orderstatus") === st)
+    }
+    for (trial <- 1 to 20) {
+      val (sql, c) = tree(2, () => ordersLeaf())
+      val got = spark.sql(
+        s"SELECT o_orderkey, o_custkey FROM graft.orders_idx WHERE $sql")
+      val want = lake.orders.where(c).select("o_orderkey", "o_custkey")
+      withClue(s"orders trial $trial: WHERE $sql\n") { assertSameRows(got, want) }
+    }
+
+    // lineitem: bloom(l_partkey) + regular(l_suppkey)
+    val partKeys = lake.lineitem.select("l_partkey").distinct().limit(100)
+      .collect().map(_.getLong(0)).toSeq
+    val suppKeys = lake.lineitem.select("l_suppkey").distinct().limit(50)
+      .collect().map(_.getLong(0)).toSeq
+    def lineitemLeaf(): (String, Column) = rnd.nextInt(3) match {
+      case 0 =>
+        val k = pick(partKeys); (s"l_partkey = $k", col("l_partkey") === k)
+      case 1 =>
+        val ks = Seq.fill(1 + rnd.nextInt(3))(pick(suppKeys)).distinct
+        (s"l_suppkey IN (${ks.mkString(", ")})", col("l_suppkey").isin(ks: _*))
+      case 2 =>
+        val q = 1 + rnd.nextInt(40)
+        (s"l_quantity >= $q", col("l_quantity") >= q) // unindexed
+    }
+    for (trial <- 1 to 10) {
+      val (sql, c) = tree(1, () => lineitemLeaf())
+      val got = spark.sql(
+        s"SELECT l_orderkey, l_partkey, l_suppkey FROM graft.lineitem_idx WHERE $sql")
+      val want = lake.lineitem.where(c)
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+      withClue(s"lineitem trial $trial: WHERE $sql\n") { assertSameRows(got, want) }
+    }
+
+    // events: temporal(user_id by ts) + range(ts) — the catalog serves the
+    // LATEST row per user; random ts-range predicates must never resurrect
+    // stale versions (the temporal-safety guard), whatever they combine with
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts").desc)
+    val latest = lake.events.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1).drop("rn").cache()
+    val userIds = lake.events.select("user_id").distinct().limit(50)
+      .collect().map(_.getLong(0)).toSeq
+    val tsB = lake.events.selectExpr(
+      "min(unix_micros(cast(ts as timestamp)))",
+      "max(unix_micros(cast(ts as timestamp)))").first()
+    val (tsLo, tsHi) = (tsB.getLong(0), tsB.getLong(1))
+    def ntz(us: Long) = s"cast(timestamp_micros(${us}L) as timestamp_ntz)"
+    def tsRand(): Long = tsLo + math.abs(rnd.nextLong()) % (tsHi - tsLo + 1)
+    def eventsLeaf(): (String, Column) = rnd.nextInt(4) match {
+      case 0 =>
+        val u = pick(userIds); (s"user_id = $u", col("user_id") === u)
+      case 1 =>
+        val us = Seq.fill(1 + rnd.nextInt(4))(pick(userIds)).distinct
+        (s"user_id IN (${us.mkString(", ")})", col("user_id").isin(us: _*))
+      case 2 =>
+        val (a, b) = { val x = tsRand(); val y = tsRand(); (math.min(x, y), math.max(x, y)) }
+        (s"ts BETWEEN ${ntz(a)} AND ${ntz(b)}",
+          col("ts").between(expr(ntz(a)), expr(ntz(b))))
+      case 3 =>
+        val a = tsRand(); (s"ts >= ${ntz(a)}", col("ts") >= expr(ntz(a)))
+    }
+    for (trial <- 1 to 15) {
+      val (sql, c) = tree(2, () => eventsLeaf())
+      val got = spark.sql(
+        s"SELECT event_id, user_id FROM graft.events_idx WHERE $sql")
+      val want = latest.where(c).select("event_id", "user_id")
+      withClue(s"events trial $trial: WHERE $sql\n") { assertSameRows(got, want) }
+    }
+  }
+
   test("join of TWO graft tables stays correct (one side rewritten, other scanned)") {
     init()
     lake.lineitemIdx // second catalog table (regular index on l_suppkey)
