@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.harness.Lake
-import graft.operators.{AsOfJoin, Dedup, IntervalJoin, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, IntervalJoin, Multimodal, Rolling, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry (+ DuckDB oracle SQL) per operator.
   *
@@ -790,6 +790,51 @@ object SparkEntry {
           .as("bpe_tokens"))
         .orderBy("doc_id")
     }),
+    // corpus-wide paragraph dedup over synthesized multi-paragraph pages
+    // (shared intro/outro lines repeat across docs mod 7 / mod 3; the first
+    // (doc_id, pos) occurrence of each keeps, every other copy is cut)
+    "q_dedup_paragraphs" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val pages = lk.documents.select(col("doc_id"),
+        concat(lit("shared intro "), pmod(col("doc_id"), lit(7)), lit("\n"),
+          col("text"),
+          lit("\nshared outro "), pmod(col("doc_id"), lit(3))).as("page"))
+      Dedup.dedupParagraphs(pages, "doc_id", "page")
+        .select("doc_id", "text_clean", "n_removed").orderBy("doc_id")
+    }),
+    // surgical cross-corpus decontamination: cut the verbatim eval-window
+    // spans out of train docs instead of dropping the docs (same train/
+    // heldout split as q_decontaminate_exact)
+    "q_contaminated_spans" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val train = lk.documents.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      val heldout = lk.documents.where(pmod(col("doc_id"), lit(5)) === 0)
+      Dedup.removeContaminatedSpans(train, heldout, "doc_id", "text",
+        windowTokens = 10)
+        .select("doc_id", "text_clean", "n_removed").orderBy("doc_id")
+    }),
+    // deterministic weighted sample (A-ES): long docs win proportionally
+    // more often; hash-derived uniforms keep the winner set engine-stable
+    "q_sample_weighted" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Sampling.weightedSample(lk.documents, "doc_id", "n_chars", k = 200)
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    }),
+    // trailing-window feature engineering on the click stream: per-user
+    // last-hour count/sum/mean plus previous-event value and gap
+    "q_rolling_stats" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val clicks = lk.events.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      Rolling.trailingStats(clicks, Seq("user_id"), "ts", "value",
+        rangeBack = 3600L * 1000000L, tieCols = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("roll_cnt"),
+          round(col("roll_sum"), 6).as("roll_sum"),
+          round(col("roll_avg"), 6).as("roll_avg"),
+          round(col("roll_prev_value"), 6).as("prev_value"),
+          col("roll_gap").as("gap_micros"))
+        .orderBy("event_id")
+    }),
     "q_quality" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
       TextAnalysis.quality(lk.documents, "doc_id", "text").orderBy("doc_id")
@@ -980,6 +1025,87 @@ object SparkEntry {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "q_dedup_paragraphs" ->
+      """WITH pg AS (SELECT doc_id,
+               'shared intro ' || (doc_id % 7) || chr(10) || text || chr(10)
+                 || 'shared outro ' || (doc_id % 3) AS page
+             FROM documents),
+         t AS (SELECT doc_id, page, string_split(page, chr(10)) ps FROM pg),
+         occ AS (SELECT doc_id, unnest(ps) para,
+                   unnest(generate_series(0, len(ps) - 1)) pos FROM t),
+         o AS (SELECT * FROM occ WHERE len(para) >= 1),
+         ranked AS (SELECT doc_id, pos,
+                 row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) rn
+               FROM o),
+         cut AS (SELECT doc_id, pos FROM ranked WHERE rn > 1),
+         rm AS (SELECT doc_id, count(*) AS n_removed FROM cut GROUP BY doc_id),
+         tok AS (SELECT t.doc_id, unnest(ps) para,
+                   unnest(generate_series(0, len(ps) - 1)) pos
+                 FROM t JOIN rm USING (doc_id)),
+         kept AS (SELECT tok.doc_id, string_agg(para, chr(10) ORDER BY tok.pos)
+                    AS clean
+                 FROM tok LEFT JOIN cut
+                   ON tok.doc_id = cut.doc_id AND tok.pos = cut.pos
+                 WHERE cut.doc_id IS NULL GROUP BY tok.doc_id)
+         SELECT t.doc_id,
+           CASE WHEN rm.doc_id IS NULL THEN t.page
+                ELSE coalesce(kept.clean, '') END AS text_clean,
+           coalesce(rm.n_removed, 0) AS n_removed
+         FROM t LEFT JOIN rm USING (doc_id) LEFT JOIN kept USING (doc_id)
+         ORDER BY doc_id""",
+    "q_contaminated_spans" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS lt,
+                 string_split(text, ' ') AS ot, text FROM documents),
+         w AS (SELECT doc_id,
+               unnest(generate_series(0, len(lt) - 10)) AS pos,
+               unnest(list_transform(generate_series(1, len(lt) - 9),
+                 i -> array_to_string(lt[i:i+9], chr(1)))) AS win
+             FROM t WHERE len(lt) >= 10),
+         bad AS (SELECT DISTINCT win FROM w WHERE doc_id % 5 = 0),
+         tr AS (SELECT * FROM t WHERE doc_id % 5 != 0),
+         cov AS (SELECT DISTINCT doc_id, p FROM (
+                 SELECT doc_id, unnest(generate_series(pos, pos + 9)) AS p
+                 FROM w WHERE doc_id % 5 != 0
+                   AND win IN (SELECT win FROM bad))),
+         rem AS (SELECT doc_id, count(*) AS n_removed FROM cov
+                 GROUP BY doc_id),
+         tok AS (SELECT tr.doc_id, unnest(ot) AS tk,
+                     unnest(generate_series(0, len(ot) - 1)) AS p
+                 FROM tr JOIN rem USING (doc_id)),
+         kept AS (SELECT tok.doc_id, string_agg(tk, ' ' ORDER BY tok.p)
+                   AS clean
+                 FROM tok LEFT JOIN cov
+                   ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+                 WHERE cov.doc_id IS NULL GROUP BY tok.doc_id)
+         SELECT tr.doc_id,
+           CASE WHEN rem.n_removed IS NULL THEN tr.text
+                ELSE coalesce(kept.clean, '') END AS text_clean,
+           coalesce(rem.n_removed, 0) AS n_removed
+         FROM tr LEFT JOIN rem USING (doc_id) LEFT JOIN kept USING (doc_id)
+         ORDER BY doc_id""",
+    "q_sample_weighted" ->
+      """SELECT doc_id, lang, n_chars FROM (
+           SELECT doc_id, lang, n_chars,
+             pow((CAST(concat('0x',
+                    substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                  + 1) / 4294967296.0,
+                 1.0 / n_chars) AS wk
+           FROM documents ORDER BY wk DESC, doc_id LIMIT 200)
+         ORDER BY doc_id""",
+    "q_rolling_stats" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsn, value
+                    FROM events WHERE event_type = 'click')
+         SELECT event_id, user_id,
+           count(value) OVER rw AS roll_cnt,
+           round(sum(value) OVER rw, 6) AS roll_sum,
+           round(avg(value) OVER rw, 6) AS roll_avg,
+           round(lag(value, 1) OVER ow, 6) AS prev_value,
+           tsn - lag(tsn, 1) OVER ow AS gap_micros
+         FROM e
+         WINDOW rw AS (PARTITION BY user_id ORDER BY tsn
+                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+                ow AS (PARTITION BY user_id ORDER BY tsn, event_id)
+         ORDER BY event_id""",
     "q_regular_join" ->
       s"""SELECT o.o_orderkey, o.o_custkey, o.o_orderstatus
           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey

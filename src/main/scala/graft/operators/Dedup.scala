@@ -704,8 +704,6 @@ object Dedup extends org.apache.spark.internal.Logging {
     require(windowTokens > 0, "windowTokens must be positive")
     require(minDocs >= 2, "minDocs must be >= 2 — a span is duplicated " +
       "only when it repeats across documents")
-    val guarded = windowHashes(col(textCol), windowTokens,
-      distinctWithinDoc = false)
     // duplicated windows: distinct-within-doc explode makes plain count a
     // distinct-doc count (same trick as duplicatedWindowStats)
     val dupWins = df.select(explode(
@@ -713,8 +711,54 @@ object Dedup extends org.apache.spark.internal.Logging {
           distinctWithinDoc = true)).as("__w"))
       .groupBy("__w").agg(count(lit(1)).as("__d"))
       .where(col("__d") >= minDocs).select("__w")
-    // duplicated-window OCCURRENCES as interval starts — one row per
-    // occurrence, never one row per covered position
+    cutSpansAt(df, idCol, textCol, windowTokens, dupWins, outCol)
+  }
+
+  /** Cross-corpus exact-substring SPAN removal: cut from `corpus` every
+    * token covered by a `windowTokens`-token window that appears verbatim
+    * ANYWHERE in `probe` (eval/benchmark releases) — the surgical
+    * alternative to [[removeExactContaminated]]'s whole-document drop,
+    * for pipelines that keep a long train doc but excise the leaked eval
+    * lines it contains. Output mirrors [[removeDuplicateSpans]]: input
+    * columns + `outCol` + `n_removed`.
+    *
+    * Scale shape: the bad-window set is the probe's distinct window
+    * hashes (eval corpora are small — AQE broadcasts the semi-join side),
+    * and everything downstream is the shared occurrence→interval→gap
+    * pipeline: occurrence-grain shuffle, per-row reassembly, untouched
+    * docs pass through verbatim. */
+  def removeContaminatedSpans(
+      corpus: DataFrame,
+      probe: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 13,
+      outCol: String = "text_clean"): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    val badWins = probe
+      .select(explode(windowHashes(col(textCol), windowTokens,
+        distinctWithinDoc = true)).as("__w"))
+      .distinct()
+    cutSpansAt(corpus, idCol, textCol, windowTokens, badWins, outCol)
+  }
+
+  /** Shared span-cutting core ([[removeDuplicateSpans]] /
+    * [[removeContaminatedSpans]]): remove from each doc every token
+    * covered by an occurrence of a window whose hash is in `badWins`
+    * (single column `__w`). Occurrences flow as INTERVAL starts — one row
+    * per occurrence, never one row per covered position — merge per doc
+    * in one codegen'd linear fold, and the cleaned text is rebuilt
+    * per-row from the GAP slices between merged intervals. */
+  private def cutSpansAt(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int,
+      badWins: DataFrame,
+      outCol: String): DataFrame = {
+    val guarded = windowHashes(col(textCol), windowTokens,
+      distinctWithinDoc = false)
+    // bad-window OCCURRENCES as interval starts
     val occ = df.select(col(idCol).as("__id"),
       posexplode(guarded).as(Seq("__pos", "__w")))
     val wl = lit(windowTokens)
@@ -735,7 +779,7 @@ object Dedup extends org.apache.spark.internal.Logging {
           .otherwise(concat(acc, array(struct(p.as("s"), (p + wl).as("e")))))
       },
       acc => slice(acc, lit(2), size(acc) - 1))
-    val merged = occ.join(dupWins, Seq("__w"))
+    val merged = occ.join(badWins, Seq("__w"))
       .groupBy(col("__id"))
       .agg(collect_list(col("__pos")).as("__starts"))
       .select(col("__id").as(idCol), ivCol.as("__ivs"))
@@ -961,5 +1005,54 @@ object Dedup extends org.apache.spark.internal.Logging {
           filter(lines, (_, i) => !array_contains(col("__strip"), i)),
           "\n")))
       .drop("__id", "__strip")
+  }
+
+  /** Corpus-wide PARAGRAPH dedup (the CCNet recipe one grain up from
+    * [[stripBoilerplate]]'s frequency threshold): every distinct paragraph
+    * survives in exactly ONE place — its first occurrence by
+    * `(id, position)` — and every other occurrence anywhere in the corpus
+    * is cut; surviving paragraphs rejoin in order with `sep`. Unlike
+    * boilerplate stripping (which only fires at `minDocs` repeats and
+    * keeps NO copy), this keeps one canonical copy of everything.
+    * Paragraphs shorter than `minChars` never count as duplicates (empty
+    * segments from doubled separators pass through untouched). Output:
+    * input columns + `outCol` + `n_removed` (paragraphs cut). Ids must be
+    * orderable — the min-(id, pos) winner rule is what makes reruns and
+    * repartitions pick the SAME survivors.
+    *
+    * Scale shape: paragraphs shuffle once at occurrence grain keyed by
+    * paragraph hash (min-struct aggregate picks winners — no window, no
+    * skew cliff beyond the hottest paragraph's occurrence count, and the
+    * map-side partial min collapses most of a hot paragraph's volume
+    * before the exchange); only LOSING occurrences flow onward, grouped
+    * per doc into a position list; affected docs rebuild per-row with a
+    * codegen'd filter over the split array — untouched docs never leave
+    * the scan. */
+  def dedupParagraphs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      sep: String = "\n",
+      minChars: Int = 1,
+      outCol: String = "text_clean"): DataFrame = {
+    require(sep.nonEmpty, "sep must be non-empty")
+    val paras = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    val occ = df.select(col(idCol).as("__id"),
+        posexplode(paras).as(Seq("__pos", "__para")))
+      .where(length(col("__para")) >= minChars)
+      .select(col("__id"), col("__pos"), xxhash64(col("__para")).as("__h"))
+    val winners = occ.groupBy("__h")
+      .agg(min(struct(col("__id"), col("__pos"))).as("__win"))
+    val losses = occ.join(winners, Seq("__h"))
+      .where(struct(col("__id"), col("__pos")) =!= col("__win"))
+      .groupBy(col("__id"))
+      .agg(collect_set(col("__pos")).as("__cut"),
+        count(lit(1)).as("__nrm"))
+    df.join(losses, col(idCol) === losses("__id"), "left")
+      .withColumn(outCol,
+        when(col("__cut").isNull, col(textCol)).otherwise(array_join(
+          filter(paras, (_, i) => !array_contains(col("__cut"), i)), sep)))
+      .withColumn("n_removed", coalesce(col("__nrm"), lit(0L)))
+      .drop("__id", "__cut", "__nrm")
   }
 }

@@ -73,6 +73,36 @@ object Sampling {
     df.withColumn("split_id", assign)
   }
 
+  /** Deterministic weighted sample WITHOUT replacement, k rows, inclusion
+    * odds ∝ `weightCol` (Efraimidis–Spirakis A-ES: each row draws a
+    * deterministic uniform u from its id hash and competes on
+    * `u^(1/weight)`; the k largest keys win). Hash-determinism per the
+    * module contract: the uniform is `(hash_int + 1) / 2^32` from the same
+    * md5 prefix every other sampler here uses, so the winner SET is stable
+    * across runs, partitionings, and engines, and exactly replicable in
+    * SQL (`pow((CAST(concat('0x', substring(md5(id),1,8)) AS BIGINT)+1)
+    * / 4294967296, 1.0/w)`). Weights must be strictly positive.
+    *
+    * 100 TB shape: key computation is a per-row codegen'd expression in
+    * the scan; selection is one `TakeOrdered` (per-partition top-k, then
+    * a k-row merge on the driver) — no full sort, no shuffle of the
+    * corpus. k is bounded by driver memory (millions, not billions);
+    * for larger draws use [[hashSample]] rates or shard first. */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u = (conv(sampleKey(col(idCol)), 16, 10).cast("long") + lit(1L))
+      .cast("double") / lit(4294967296.0)
+    val key = pow(u, lit(1.0) / col(weightCol).cast("double"))
+    df.withColumn("__wkey", key)
+      .orderBy(col("__wkey").desc, col(idCol))
+      .limit(k)
+      .drop("__wkey")
+  }
+
   /** Keep the `k` best rows per group by `scoreCol` (descending), ties
     * broken by `tiebreakCol` ascending — "best 100 docs per language"
     * style curation.

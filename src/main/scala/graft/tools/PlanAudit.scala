@@ -33,7 +33,12 @@ object PlanAudit {
       // (k scans + nCells-row aggs), int8 quantization and wav header
       // parsing (pure per-row codegen)
       "q_sessionize", "q_session_stats", "q_kmeans_assign",
-      "q_quantize_int8", "q_audio_meta")
+      "q_quantize_int8", "q_audio_meta",
+      // r6 additions: interval-based span cuts (cross-corpus), paragraph
+      // dedup, A-ES weighted sample (TakeOrdered, no full sort), rolling
+      // range-frame features (single exchange+sort), greedy BPE counts
+      "q_contaminated_spans", "q_dedup_paragraphs", "q_sample_weighted",
+      "q_rolling_stats", "q_bpe_tokens", "q_sessionize_bucketed")
       .foreach { name =>
         val df = SparkEntry.queries(name)(spark, sfDir)
         df.collect() // finalize AQE so the printed plan is the executed one

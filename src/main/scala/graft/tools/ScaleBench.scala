@@ -209,6 +209,29 @@ object ScaleBench {
         "doc_id", "text", windowTokens = 10)
         .agg(sum(when(col("n_removed") > 0, 1L).otherwise(0L))).first().getLong(0)
     }
+    // surgical cross-corpus span decontamination at 150k docs: bad-window
+    // set is the 30k-doc eval side's distinct hashes; occurrence-grain
+    // intervals, per-row gap reassembly (r6)
+    bench("q_contaminated_spans") {
+      val train = lake.documents.where(pmod(col("doc_id"), lit(5)) =!= 0)
+        .select("doc_id", "text")
+      val ev = lake.documents.where(pmod(col("doc_id"), lit(5)) === 0)
+        .select("doc_id", "text")
+      Dedup.removeContaminatedSpans(train, ev, "doc_id", "text",
+        windowTokens = 10)
+        .agg(sum(when(col("n_removed") > 0, 1L).otherwise(0L)))
+        .first().getLong(0)
+    }
+    // corpus-wide paragraph dedup over synthesized pages: one occurrence-
+    // grain shuffle keyed by paragraph hash, min-struct winners (r6)
+    bench("q_paragraph_dedup") {
+      val pages = lake.documents.select(col("doc_id"),
+        concat(lit("shared intro "), pmod(col("doc_id"), lit(7)), lit("\n"),
+          col("text"),
+          lit("\nshared outro "), pmod(col("doc_id"), lit(3))).as("page"))
+      Dedup.dedupParagraphs(pages, "doc_id", "page")
+        .agg(sum(col("n_removed"))).first().getLong(0)
+    }
     // boilerplate strip over synthesized multi-line pages (header/footer
     // shared corpus-wide — maximal line-join skew): corpus is never
     // re-assembled; strip lists ride a doc-grain broadcast join
@@ -237,6 +260,15 @@ object ScaleBench {
     }
 
     // ---- time-series shapes at 3M events ---------------------------------
+    // trailing-hour rolling features: one per-key exchange+sort evaluates
+    // all five frames (r6)
+    bench("q_rolling_stats") {
+      val clicks = lake.events.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      graft.operators.Rolling.trailingStats(clicks, Seq("user_id"), "ts",
+        "value", rangeBack = 3600L * 1000000L, tieCols = Seq("event_id"))
+        .agg(max(col("roll_cnt"))).first().getLong(0)
+    }
     bench("q_asof_join") {
       val clicks = lake.events.where(col("event_type") === "click")
         .select(col("user_id"), col("ts"), col("event_id"))

@@ -5,14 +5,17 @@ import org.apache.spark.sql.SparkSession
 import graft.SparkEntry
 import graft.harness.Lake
 
-/** One-off triage for the r4 temporal bench deltas (verdict item #3):
-  * repeated timed runs of the three queries whose plans r4 rewrote for
-  * skew-safety, isolating plan cost from per-run container noise. */
+/** Repeated-run triage for bench deltas (r4 verdict item #3, r5 item #8):
+  * interleaved timed runs of the named queries, isolating plan cost from
+  * per-run container noise via medians. `args` = reps followed by query
+  * names (defaults to the r4 temporal trio). */
 object TriageBench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val reps = args.headOption.map(_.toInt).getOrElse(5)
-    val names = Seq("q_temporal_latest", "q_temporal_join", "q_topk_group")
+    val names: Seq[String] =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("q_temporal_latest", "q_temporal_join", "q_topk_group")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")

@@ -1077,4 +1077,159 @@ class PipelineOpsSpec extends GraftSuite {
       .where($"n" >= 2)
     assertSameRows(got, want)
   }
+
+  // ---- round 6: paragraph dedup / span decontamination / weighted sample
+
+  test("dedupParagraphs: first (doc, pos) occurrence survives, empties untouched") {
+    val s = spark
+    import s.implicits._
+    val fixture = Seq(
+      (1L, "intro\nbody one\nintro"),        // self-dup: second intro cut
+      (2L, "intro\nbody two"),               // intro already owned by doc 1
+      (3L, "\nbody three\n"),                // empty paragraphs pass through
+      (4L, "body one\nbody one")             // owned by doc 1; both copies cut
+    ).toDF("doc_id", "page")
+    val got = Dedup.dedupParagraphs(fixture, "doc_id", "page")
+      .select("doc_id", "text_clean", "n_removed")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == (("intro\nbody one", 1L)))
+    assert(got(2L) == (("body two", 1L)))
+    assert(got(3L) == (("\nbody three\n", 0L)))
+    assert(got(4L) == (("", 2L)))
+  }
+
+  test("dedupParagraphs == window-rank reference on synthesized pages") {
+    val s = spark
+    import s.implicits._
+    val pages = docs.select($"doc_id",
+      concat(lit("shared intro "), pmod($"doc_id", lit(7)), lit("\n"),
+        $"text",
+        lit("\nshared outro "), pmod($"doc_id", lit(3))).as("page"))
+    // reference: rank occurrences per PARAGRAPH STRING (no hashing) with a
+    // window, rebuild every doc from its kept paragraphs
+    val ps = split($"page", "\n")
+    val occ = pages.select($"doc_id", posexplode(ps).as(Seq("pos", "para")))
+      .where(length($"para") >= 1)
+    val ranked = occ.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"para").orderBy($"doc_id", $"pos")))
+    val cut = ranked.where($"rn" > 1).select($"doc_id", $"pos")
+    val rebuilt = pages.select($"doc_id", posexplode(ps).as(Seq("pos", "para")))
+      .join(cut, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(array_join(transform(array_sort(collect_list(struct($"pos", $"para"))),
+        x => x("para")), "\n").as("text_clean"))
+    val want = pages
+      .join(cut.groupBy("doc_id").agg(count(lit(1)).as("n_removed")),
+        Seq("doc_id"), "left")
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"n_removed".isNull, $"page")
+          .otherwise(coalesce($"text_clean", lit(""))).as("text_clean"),
+        coalesce($"n_removed", lit(0L)).as("n_removed"))
+    val got = Dedup.dedupParagraphs(pages, "doc_id", "page")
+      .select("doc_id", "text_clean", "n_removed")
+    assertSameRows(got, want)
+  }
+
+  test("removeContaminatedSpans: eval windows cut from train, clean docs verbatim") {
+    val s = spark
+    import s.implicits._
+    val train = Seq(
+      (1L, "keep one two SECRET EVAL ANSWER keep three"), // span cut
+      (2L, "all clean text here nothing shared at all"),  // verbatim
+      (3L, "secret eval answer")                          // fully contaminated
+    ).toDF("doc_id", "text")
+    val probe = Seq((100L, "the secret eval answer sheet")).toDF("doc_id", "text")
+    val got = Dedup.removeContaminatedSpans(train, probe, "doc_id", "text",
+      windowTokens = 3)
+      .select("doc_id", "text_clean", "n_removed")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    // matching is lowercase; removal applies to original-case tokens
+    assert(got(1L) == (("keep one two keep three", 3L)))
+    assert(got(2L) == (("all clean text here nothing shared at all", 0L)))
+    assert(got(3L) == (("", 3L)))
+  }
+
+  test("removeContaminatedSpans == position-grain reference on the corpus") {
+    val s = spark
+    import s.implicits._
+    val w = 10
+    val train = docs.where(pmod($"doc_id", lit(5)) =!= 0).select("doc_id", "text")
+    val ev = docs.where(pmod($"doc_id", lit(5)) === 0).select("doc_id", "text")
+    def wins(d: org.apache.spark.sql.DataFrame) = {
+      val lt = split(lower($"text"), " ")
+      d.select($"doc_id", posexplode(
+        when(size(lt) >= w, transform(sequence(lit(0), size(lt) - w),
+          i => xxhash64(concat_ws("\u0001", slice(lt, i + 1, lit(w))))))
+          .otherwise(array().cast("array<long>"))).as(Seq("pos", "win")))
+    }
+    val bad = wins(ev).select("win").distinct()
+    val cov = wins(train).join(bad, Seq("win"))
+      .select($"doc_id", explode(sequence($"pos", $"pos" + lit(w - 1))).as("p"))
+      .distinct()
+    val toks = train.select($"doc_id", posexplode(split($"text", " ")).as(Seq("p", "tk")))
+    val want = train.select($"doc_id", $"text").join(
+        toks.join(cov, Seq("doc_id", "p"), "left_anti")
+          .groupBy("doc_id")
+          .agg(array_join(transform(array_sort(collect_list(struct($"p", $"tk"))),
+            x => x("tk")), " ").as("rebuilt")),
+        Seq("doc_id"), "left")
+      .join(cov.groupBy("doc_id").agg(count(lit(1)).as("n_removed")),
+        Seq("doc_id"), "left")
+      .select($"doc_id",
+        when($"n_removed".isNull, $"text")
+          .otherwise(coalesce($"rebuilt", lit(""))).as("text_clean"),
+        coalesce($"n_removed", lit(0L)).as("n_removed"))
+    val got = Dedup.removeContaminatedSpans(train, ev, "doc_id", "text",
+      windowTokens = w)
+      .select("doc_id", "text_clean", "n_removed")
+    assertSameRows(got, want)
+  }
+
+  test("removeContaminatedSpans: no position-grain explode in the plan") {
+    val s = spark
+    import s.implicits._
+    val train = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val probe = Seq((9L, "b c d")).toDF("doc_id", "text")
+    val got = Dedup.removeContaminatedSpans(train, probe, "doc_id", "text",
+      windowTokens = 3)
+    got.collect()
+    val plan = got.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val badGen = plan.linesIterator.exists(l =>
+      l.contains("Generate explode(sequence("))
+    assert(!badGen, s"per-position sequence explode in the plan:\n$plan")
+  }
+
+  test("weightedSample: matches driver-side A-ES computation exactly") {
+    val got = Sampling.weightedSample(docs, "doc_id", "n_chars", k = 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // driver-side reference: same md5-prefix uniform, same key formula
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val want = docs.select("doc_id", "n_chars").collect()
+      .map { r =>
+        val id = r.getLong(0); val wgt = r.getLong(1)
+        val hex = md.synchronized {
+          md.reset()
+          md.digest(id.toString.getBytes("UTF-8"))
+            .take(4).map(b => f"$b%02x").mkString
+        }
+        val u = (java.lang.Long.parseLong(hex, 16) + 1.0) / 4294967296.0
+        (math.pow(u, 1.0 / wgt), id)
+      }
+      .sortBy { case (k, id) => (-k, id) }.take(100).map(_._2).toSet
+    assert(got == want)
+  }
+
+  test("weightedSample: stable under repartition; k >= n returns everything") {
+    val a = Sampling.weightedSample(docs, "doc_id", "n_chars", k = 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.weightedSample(docs.repartition(13), "doc_id", "n_chars", k = 50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    val n = docs.count()
+    assert(Sampling.weightedSample(docs, "doc_id", "n_chars",
+      k = (n + 10).toInt).count() == n)
+  }
 }

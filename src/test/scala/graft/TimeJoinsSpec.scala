@@ -395,4 +395,48 @@ class TimeJoinsSpec extends GraftSuite {
     assert(located.size < files.size,
       s"expected key pruning, located ${located.size} of ${files.size}")
   }
+
+  // ---- round 6: trailing-window rolling features -------------------------
+
+  test("trailingStats: range frame bounds, prev/gap, first-event nulls") {
+    val ev = Seq(
+      // user 1: 0s, 30m, 61m — the 61m row's trailing hour excludes t=0
+      (1L, 1L, 0L, 10.0),
+      (2L, 1L, 1800L * 1000000L, 20.0),
+      (3L, 1L, 3660L * 1000000L, 40.0),
+      // user 2: single event
+      (4L, 2L, 500L, 7.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = graft.operators.Rolling.trailingStats(ev, Seq("user_id"), "ts",
+      "value", rangeBack = 3600L * 1000000L, tieCols = Seq("event_id"))
+      .select("event_id", "roll_cnt", "roll_sum", "roll_avg",
+        "roll_prev_value", "roll_gap")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) == 1L && got(1L).getDouble(2) == 10.0)
+    assert(got(1L).isNullAt(4) && got(1L).isNullAt(5))           // first event
+    assert(got(2L).getLong(1) == 2L && got(2L).getDouble(2) == 30.0)
+    assert(got(2L).getDouble(4) == 10.0 &&
+      got(2L).getLong(5) == 1800L * 1000000L)
+    // 61m: trailing hour holds [1m, 61m] → the 30m and 61m events only
+    assert(got(3L).getLong(1) == 2L && got(3L).getDouble(2) == 60.0 &&
+      got(3L).getDouble(3) == 30.0)
+    assert(got(4L).getLong(1) == 1L && got(4L).isNullAt(4))
+  }
+
+  test("trailingStats: ts ties are frame peers of each other; timestamp timeline") {
+    val ev = Seq(
+      (1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (2L, 1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 2.0),
+      (3L, 1L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), 4.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = graft.operators.Rolling.trailingStats(ev, Seq("user_id"), "ts",
+      "value", rangeBack = 3600L * 1000000L, tieCols = Seq("event_id"))
+      .select("event_id", "roll_cnt", "roll_sum", "roll_gap")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // RANGE frame: tied rows include each other regardless of row order
+    assert(got(1L).getLong(1) == 2L && got(1L).getDouble(2) == 3.0)
+    assert(got(2L).getLong(1) == 2L && got(2L).getDouble(2) == 3.0)
+    assert(got(2L).getLong(3) == 0L)            // gap to its tie peer
+    assert(got(3L).getLong(1) == 3L && got(3L).getDouble(2) == 7.0)
+  }
 }
