@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.harness.Lake
-import graft.operators.{AsOfJoin, Dedup, IntervalJoin, Multimodal, Rolling, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, IntervalJoin, Multimodal, Profile, Rolling, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry (+ DuckDB oracle SQL) per operator.
   *
@@ -813,6 +813,38 @@ object SparkEntry {
         windowTokens = 10)
         .select("doc_id", "text_clean", "n_removed").orderBy("doc_id")
     }),
+    // fastText-shaped linear quality scoring: fixed unigram weight table,
+    // per-row codegen'd scoring (bigram path exercised in specs)
+    "q_text_score" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val w = Map("fast" -> 0.8, "slow" -> -1.2, "spark" -> 0.5,
+        "hash" -> 0.3, "the" -> -0.1)
+      lk.documents.select(col("doc_id"),
+        round(graft.functions.TextModel.score(s, w, bias = 0.2)(col("text")), 6)
+          .as("score"))
+        .orderBy("doc_id")
+    }),
+    // one-pass per-column profile (exact distincts at bench scale; the
+    // HLL swap is the documented petabyte path)
+    "q_profile" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Profile.table(lk.orders,
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .orderBy("column")
+    }),
+    // equi-width histogram with standard width_bucket numbering
+    "q_histogram" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Profile.histogram(lk.orders, "o_totalprice", 0.0, 600000.0, 20)
+        .orderBy("bucket")
+    }),
+    // group-integrity split: every doc of a language co-travels (the
+    // leak-proof split for near-dup clusters / domains)
+    "q_split_group" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Sampling.splitByGroup(lk.documents, "lang", Seq(0.6, 0.4))
+        .select("doc_id", "lang", "split_id").orderBy("doc_id")
+    }),
     // deterministic weighted sample (A-ES): long docs win proportionally
     // more often; hash-derived uniforms keep the winner set engine-stable
     "q_sample_weighted" -> ((s, dir) => {
@@ -1083,6 +1115,57 @@ object SparkEntry {
            coalesce(rem.n_removed, 0) AS n_removed
          FROM tr LEFT JOIN rem USING (doc_id) LEFT JOIN kept USING (doc_id)
          ORDER BY doc_id""",
+    "q_text_score" ->
+      """WITH w(tok, wt) AS (VALUES ('fast', 0.8), ('slow', -1.2),
+             ('spark', 0.5), ('hash', 0.3), ('the', -0.1)),
+         t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+               FROM documents),
+         s AS (SELECT doc_id, sum(wt) AS sw FROM t JOIN w ON t.word = w.tok
+               GROUP BY doc_id)
+         SELECT d.doc_id, round(0.2 + coalesce(s.sw, 0), 6) AS score
+         FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""",
+    "q_profile" ->
+      """SELECT 'o_orderkey' AS "column", count(o_orderkey) AS n_rows,
+             count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_nulls,
+             count(DISTINCT o_orderkey) AS n_distinct,
+             CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+             CAST(max(o_orderkey) AS VARCHAR) AS max_val,
+             round(avg(o_orderkey), 6) AS avg_val FROM orders
+         UNION ALL
+         SELECT 'o_custkey', count(o_custkey),
+             count(CASE WHEN o_custkey IS NULL THEN 1 END),
+             count(DISTINCT o_custkey),
+             CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR),
+             round(avg(o_custkey), 6) FROM orders
+         UNION ALL
+         SELECT 'o_orderstatus', count(o_orderstatus),
+             count(CASE WHEN o_orderstatus IS NULL THEN 1 END),
+             count(DISTINCT o_orderstatus),
+             min(o_orderstatus), max(o_orderstatus), NULL FROM orders
+         UNION ALL
+         SELECT 'o_orderpriority', count(o_orderpriority),
+             count(CASE WHEN o_orderpriority IS NULL THEN 1 END),
+             count(DISTINCT o_orderpriority),
+             min(o_orderpriority), max(o_orderpriority), NULL FROM orders
+         ORDER BY "column"""",
+    "q_histogram" ->
+      """SELECT b AS bucket,
+           CASE WHEN b BETWEEN 1 AND 20
+                THEN round((b - 1) * 30000.0, 6) END AS lo_edge,
+           CASE WHEN b BETWEEN 1 AND 20
+                THEN round(b * 30000.0, 6) END AS hi_edge,
+           cnt
+         FROM (SELECT CASE WHEN p < 0 THEN 0 WHEN p >= 600000 THEN 21
+                           ELSE CAST(floor(p / 30000.0) AS BIGINT) + 1 END
+                 AS b, count(*) AS cnt
+               FROM (SELECT CAST(o_totalprice AS DOUBLE) AS p FROM orders
+                     WHERE o_totalprice IS NOT NULL) GROUP BY 1)
+         ORDER BY bucket""",
+    "q_split_group" ->
+      """SELECT doc_id, lang,
+           CASE WHEN substring(md5(lang), 1, 8) < '99999999' THEN 0
+                ELSE 1 END AS split_id
+         FROM documents ORDER BY doc_id""",
     "q_sample_weighted" ->
       """SELECT doc_id, lang, n_chars FROM (
            SELECT doc_id, lang, n_chars,

@@ -56,12 +56,26 @@ object Sampling {
     * lands in the same split on every run, partitioning, and engine, and
     * growing the corpus never moves an existing row between splits. Rows
     * past `sum(fractions)` get a null split_id (held out). */
-  def hashSplit(df: DataFrame, idCol: String, fractions: Seq[Double]): DataFrame = {
+  def hashSplit(df: DataFrame, idCol: String, fractions: Seq[Double]): DataFrame =
+    df.withColumn("split_id", splitAssign(col(idCol), fractions))
+
+  /** Group-integrity multi-way split: like [[hashSplit]] but assignment
+    * hashes `groupCol`, so every row of a group lands in the SAME split —
+    * the leak-proof way to split a near-dup corpus (split on the
+    * [[Dedup.duplicateClusters]] cluster id and no duplicate pair ever
+    * straddles train/test; same trick for "all pages of a domain
+    * co-travel"). Fractions are honored in expectation over GROUPS, so
+    * realized row fractions track group-size mixture. Pure per-row
+    * expression — no join against a group table, no shuffle. */
+  def splitByGroup(df: DataFrame, groupCol: String, fractions: Seq[Double]): DataFrame =
+    df.withColumn("split_id", splitAssign(col(groupCol), fractions))
+
+  private def splitAssign(keySrc: Column, fractions: Seq[Double]): Column = {
     require(fractions.nonEmpty && fractions.forall(_ >= 0) && fractions.sum <= 1.0 + 1e-9,
       "fractions must be non-negative and sum to at most 1")
     val cum = fractions.scanLeft(0.0)(_ + _).tail
-    val key = sampleKey(col(idCol))
-    val assign = cum.zipWithIndex.reverse.foldLeft(lit(null).cast("int")) {
+    val key = sampleKey(keySrc)
+    cum.zipWithIndex.reverse.foldLeft(lit(null).cast("int")) {
       case (acc, (c, i)) =>
         // when the cumulative fraction reaches 1.0 the split must be TOTAL:
         // a strict `< 'ffffffff'` would silently hold out the ~1-in-2^32
@@ -70,7 +84,6 @@ object Sampling {
           else key < lit(hexThreshold(c))
         when(pred, lit(i)).otherwise(acc)
     }
-    df.withColumn("split_id", assign)
   }
 
   /** Deterministic weighted sample WITHOUT replacement, k rows, inclusion

@@ -246,6 +246,58 @@ object TextAnalysis {
     graft.functions.BpeVocab.train(wc, numMerges)
   }
 
+  /** Train a Naive-Bayes log-odds weight table for
+    * [[graft.functions.TextModel]] from a binary-labeled frame
+    * (`labelCol` = 1 for the "keep" class, 0 otherwise) — the classic
+    * bootstrap for a fastText-style quality filter: label a small seed
+    * (e.g. curated reference pages vs random crawl), train, score the
+    * whole corpus with the codegen'd expression. Each gram's weight is
+    * `log((c1+α)/(N1+αV)) − log((c0+α)/(N0+αV))` (Laplace-smoothed
+    * per-class occurrence log-ratios over the `topN` most frequent grams,
+    * V = table size); the returned bias is the class prior log-ratio.
+    *
+    * Scale shape: exactly [[vocabulary]]'s — gram arrays per-row, ONE
+    * (gram, label)-count shuffle with map-side partials, TakeOrdered cut
+    * to `topN`; only the bounded weight table is collected. */
+  def trainLogOdds(
+      df: DataFrame,
+      textCol: String,
+      labelCol: String,
+      topN: Int = 10000,
+      alpha: Double = 0.5,
+      useBigrams: Boolean = false): (Map[String, Double], Double) = {
+    require(topN > 0 && topN <= 1000000, "topN must be in (0, 1e6]")
+    require(alpha > 0, "alpha must be positive")
+    val toks = tokens(col(textCol))
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val grams = if (useBigrams) concat(toks, bigrams) else toks
+    val counts = df.select(col(labelCol).cast("int").as("__y"),
+        explode(grams).as("gram"))
+      .groupBy("gram")
+      .agg(sum(when(col("__y") === 1, 1L).otherwise(0L)).as("c1"),
+        sum(when(col("__y") === 0, 1L).otherwise(0L)).as("c0"))
+      .orderBy((col("c1") + col("c0")).desc, col("gram")).limit(topN)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val n1 = counts.map(_._2).sum.toDouble
+    val n0 = counts.map(_._3).sum.toDouble
+    val v = counts.length.toDouble
+    val weights = counts.map { case (g, c1, c0) =>
+      g -> (math.log((c1 + alpha) / (n1 + alpha * v)) -
+        math.log((c0 + alpha) / (n0 + alpha * v)))
+    }.toMap
+    val Array(d1, d0) = {
+      val byClass = df.groupBy(col(labelCol).cast("int").as("__y"))
+        .agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      Array(byClass.getOrElse(1, 0L), byClass.getOrElse(0, 0L))
+    }
+    val bias = math.log((d1 + alpha) / (d0 + alpha))
+    (weights, bias)
+  }
+
   /** Content fingerprints: md5 of raw text and of whitespace-normalized,
     * lowercased text (near-dup-robust form). */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {

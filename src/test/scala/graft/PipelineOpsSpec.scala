@@ -1222,6 +1222,91 @@ class PipelineOpsSpec extends GraftSuite {
     assert(got == want)
   }
 
+  test("linear text score: hand-computable fixture, bigrams, null safety") {
+    val s = spark
+    import s.implicits._
+    val w = Map("good" -> 1.0, "bad" -> -2.0, "very good" -> 0.5)
+    val df = Seq(
+      (1L, "good good bad"),          // 1 + 1 - 2 = 0 (+bias)
+      (2L, "Very GOOD"),              // lowercased: good=1, bigram=0.5
+      (3L, "nothing matches here"),
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = df.select($"id",
+      graft.functions.TextModel.score(s, w, bias = 0.25, useBigrams = true)($"text")
+        .as("score"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(math.abs(got(1L).get - 0.25) < 1e-12)
+    assert(math.abs(got(2L).get - 1.75) < 1e-12)
+    assert(math.abs(got(3L).get - 0.25) < 1e-12)
+    assert(got(4L).isEmpty)
+  }
+
+  test("trainLogOdds separates a labeled corpus; score orders classes") {
+    val s = spark
+    import s.implicits._
+    val labeled = Seq(
+      (1, "clean prose with actual sentences and meaning"),
+      (1, "clean prose flows with meaning and structure"),
+      (1, "sentences carry meaning and clean structure"),
+      (0, "buy buy cheap cheap click click spam"),
+      (0, "spam click cheap buy spam click"),
+      (0, "cheap spam buy click buy")
+    ).toDF("label", "text")
+    val (w, bias) = TextAnalysis.trainLogOdds(labeled, "text", "label")
+    assert(w("meaning") > 0 && w("clean") > 0)
+    assert(w("spam") < 0 && w("click") < 0)
+    val bc = spark.sparkContext.broadcast(new graft.functions.LinearTextModel(
+      w.keys.toArray, w.keys.toArray.map(w), bias, false))
+    val scored = labeled.select($"label",
+      graft.functions.TextModel.score(bc)($"text").as("sc"))
+      .groupBy("label").agg(avg($"sc").as("m"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(scored(1) > scored(0))
+  }
+
+  test("Profile.table: exact stats match direct aggregates; approx within rsd") {
+    import graft.operators.Profile
+    val got = Profile.table(docs, Seq("doc_id", "lang", "n_chars"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val n = docs.count()
+    assert(got("doc_id").getLong(1) == n && got("doc_id").getLong(3) == n)
+    val langs = docs.select("lang").distinct().count()
+    assert(got("lang").getLong(3) == langs)
+    assert(got("lang").isNullAt(6))                     // no avg for strings
+    val approx = Profile.table(docs, Seq("doc_id"), exactDistinct = false)
+      .collect()(0).getLong(3)
+    assert(math.abs(approx - n).toDouble / n < 0.1)
+  }
+
+  test("Profile.histogram: bucket totals and under/overflow bins") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Profile
+    val df = Seq(-5.0, 0.0, 1.0, 9.9, 10.0, 15.0, 25.0).toDF("x")
+    val got = Profile.histogram(df, "x", 0.0, 20.0, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // -5 underflows; [0,10): 0,1,9.9; [10,20): 10,15; 25 overflows
+    assert(got == Map(0L -> 1L, 1L -> 3L, 2L -> 2L, 3L -> 1L))
+    val total = Profile.histogram(docs, "n_chars", 0.0, 1000.0, 10)
+      .agg(sum("cnt")).first().getLong(0)
+    assert(total == docs.where(col("n_chars").isNotNull).count())
+  }
+
+  test("splitByGroup: groups never straddle splits; fractions roughly honored") {
+    val s = spark
+    import s.implicits._
+    val split = Sampling.splitByGroup(docs, "lang", Seq(0.5, 0.5))
+    val perGroup = split.groupBy("lang")
+      .agg(countDistinct($"split_id").as("k"))
+      .agg(max($"k")).first().getLong(0)
+    assert(perGroup == 1L, "a group landed in two splits")
+    // ids must NOT decide assignment: same result keyed from a shuffled frame
+    val again = Sampling.splitByGroup(docs.repartition(7), "lang", Seq(0.5, 0.5))
+    assertSameRows(split.select("doc_id", "split_id"),
+      again.select("doc_id", "split_id"))
+  }
+
   test("weightedSample: stable under repartition; k >= n returns everything") {
     val a = Sampling.weightedSample(docs, "doc_id", "n_chars", k = 50)
       .select("doc_id").collect().map(_.getLong(0)).toSet
