@@ -274,4 +274,52 @@ class PropertySpec extends GraftSuite {
     }
     got.zip(want).foreach { case (g, w) => assert(g == w) }
   }
+
+  test("span-cut family == driver-side token walk on random corpora (prop)") {
+    import spark.implicits._
+    // tiny token alphabet + short docs: heavy overlap by construction, so
+    // duplicated windows / cross hits / merges all fire frequently
+    def randomDoc(): String =
+      Seq.fill(3 + rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val w = 3
+    // driver reference: remove every token covered by a bad window start
+    def cutRef(text: String, starts: Seq[Int]): (String, Long) = {
+      val toks = text.split(" ", -1)
+      val covered = starts.flatMap(p => p until math.min(p + w, toks.length)).toSet
+      (toks.indices.filterNot(covered).map(toks).mkString(" "), covered.size.toLong)
+    }
+    def windows(text: String): Seq[(Int, Seq[String])] = {
+      val toks = text.toLowerCase.split(" ", -1).toSeq
+      if (toks.length < w) Nil
+      else (0 to toks.length - w).map(p => p -> toks.slice(p, p + w))
+    }
+    for (round <- 1 to 10) {
+      val corpus = (1L to 30L).map(i => (i, randomDoc()))
+      val probe = (1L to 8L).map(i => (i, randomDoc()))
+      // (a) removeDuplicateSpans: bad = windows in >= 2 distinct docs
+      val byWin = corpus.flatMap { case (id, t) =>
+        windows(t).map { case (_, win) => (win, id) } }
+        .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+      val dupRef = corpus.map { case (id, t) =>
+        val starts = windows(t).collect {
+          case (p, win) if byWin(win) >= 2 => p }
+        val (clean, n) = cutRef(t, starts); (id, clean, n)
+      }.toDF("doc_id", "text_clean", "n_removed")
+      val dupGot = Dedup.removeDuplicateSpans(
+        corpus.toDF("doc_id", "text"), "doc_id", "text", windowTokens = w)
+        .select("doc_id", "text_clean", "n_removed")
+      assertSameRows(dupGot, dupRef)
+      // (b) removeContaminatedSpans: bad = any window of the probe corpus
+      val probeWins = probe.flatMap { case (_, t) => windows(t).map(_._2) }.toSet
+      val conRef = corpus.map { case (id, t) =>
+        val starts = windows(t).collect {
+          case (p, win) if probeWins(win) => p }
+        val (clean, n) = cutRef(t, starts); (id, clean, n)
+      }.toDF("doc_id", "text_clean", "n_removed")
+      val conGot = Dedup.removeContaminatedSpans(corpus.toDF("doc_id", "text"),
+        probe.toDF("doc_id", "text"), "doc_id", "text", windowTokens = w)
+        .select("doc_id", "text_clean", "n_removed")
+      assertSameRows(conGot, conRef)
+    }
+  }
 }
