@@ -99,6 +99,19 @@ object SparkEntry {
         .select("doc_id", "tok")
         .orderBy("doc_id", "tok")
     }),
+    // capstone #2 — incremental dedup THROUGH the index layer: a new
+    // batch (re-ingest of every 10th doc under fresh ids) is checked for
+    // content collisions against the lake via a computed md5 index; the
+    // join reads only lake files that can hold a colliding hash
+    "q_incremental_dedup" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val batch = lk.documents.where(pmod(col("doc_id"), lit(10)) === 3)
+        .select((col("doc_id") + lit(1000000L)).as("batch_id"),
+          md5(col("text")).as("content_md5"))
+      lk.docsHashIdx.join(batch, Seq("content_md5"))
+        .select(col("batch_id"), col("doc_id").as("lake_id"))
+        .orderBy("batch_id", "lake_id")
+    }),
     "q_temporal_latest" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
       lk.eventsIdx.query(Map("user_id" -> UserIds))
@@ -1115,6 +1128,12 @@ object SparkEntry {
            coalesce(rem.n_removed, 0) AS n_removed
          FROM tr LEFT JOIN rem USING (doc_id) LEFT JOIN kept USING (doc_id)
          ORDER BY doc_id""",
+    "q_incremental_dedup" ->
+      """WITH b AS (SELECT doc_id + 1000000 AS batch_id, md5(text) AS h
+                    FROM documents WHERE doc_id % 10 = 3)
+         SELECT b.batch_id, d.doc_id AS lake_id
+         FROM documents d JOIN b ON md5(d.text) = b.h
+         ORDER BY batch_id, lake_id""",
     "q_text_score" ->
       """WITH w(tok, wt) AS (VALUES ('fast', 0.8), ('slow', -1.2),
              ('spark', 0.5), ('hash', 0.3), ('the', -0.1)),

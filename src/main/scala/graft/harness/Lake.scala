@@ -151,6 +151,18 @@ final class Lake private (val spark: SparkSession, val sfDir: String, val work: 
     idx
   }
 
+  /** Content-hash index over the document lake: the incremental-dedup
+    * serving path ("does this new batch duplicate anything already
+    * ingested?") — a computed md5 index prunes the lake read to files
+    * that could hold a colliding hash. */
+  def docsHashIdx: Index = memoIdx("docs_hash_idx") {
+    val idx = Index(spark, "docs_hash_idx", table("documents").schema, "parquet")
+    idx.addComputedIndex("content_md5", "md5(text)")
+    idx.addFile(documentsFiles: _*)
+    idx.update()
+    idx
+  }
+
   def ordersCsvIdx: Index = memoIdx("orders_csv_idx") {
     val schema = table("orders").select(OrdersTextCols.map(col): _*).schema
     val idx = Index(spark, "orders_csv_idx", schema, "csv",

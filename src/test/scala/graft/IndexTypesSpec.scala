@@ -242,4 +242,28 @@ class IndexTypesSpec extends GraftSuite {
       lake.ordersJsonIdx.query(Map("o_custkey" -> keys))
         .select("o_orderkey", "o_custkey", "o_orderstatus"), want)
   }
+
+  test("computed md5 index: incremental batch dedup matches full scan and prunes") {
+    // "new batch" re-ingests two lake docs under fresh ids; the content-hash
+    // index must find their collisions while reading only the lake files
+    // that can hold those hashes
+    val two = lake.documents.orderBy("doc_id").limit(2)
+      .select((col("doc_id") + lit(1000000L)).as("batch_id"),
+        md5(col("text")).as("content_md5"))
+    spark.conf.set("spark.graft.metricsEnabled", "true")
+    try {
+      graft.operators.IndexJoin.lastMetrics = None
+      val got = lake.docsHashIdx.join(two, Seq("content_md5"))
+        .select(col("batch_id"), col("doc_id").as("lake_id"))
+      val want = lake.documents.withColumn("content_md5", md5(col("text")))
+        .join(two, Seq("content_md5"))
+        .select(col("batch_id"), col("doc_id").as("lake_id"))
+      assertSameRows(got, want)
+      val m = graft.operators.IndexJoin.lastMetrics
+      assert(m.nonEmpty, "metrics must be recorded")
+      if (m.get.totalFiles > 1)
+        assert(m.get.locatedFiles < m.get.totalFiles,
+          s"two distinct hashes should not touch every file: $m")
+    } finally spark.conf.set("spark.graft.metricsEnabled", "false")
+  }
 }
