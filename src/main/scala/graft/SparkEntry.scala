@@ -241,6 +241,19 @@ object SparkEntry {
         valueCols = Seq("state_val"), rightTsAlias = "state_ts")
         .orderBy("user_id", "ts")
     }),
+    // nearest-direction as-of (pandas merge_asof "nearest"): closest view
+    // on either side of each click, exact ties prefer backward
+    "q_asof_nearest" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val clicks = lk.events.where(col("event_type") === "click")
+        .select(col("user_id"), expr("unix_micros(cast(ts as timestamp))").as("ts"), col("event_id"))
+      val views = lk.events.where(col("event_type") === "view")
+        .select(col("user_id"), expr("unix_micros(cast(ts as timestamp))").as("ts"), col("value"))
+        .groupBy("user_id", "ts").agg(max("value").as("state_val"))
+      AsOfJoin.asOfNearest(clicks, views, Seq("user_id"), "ts", "ts",
+        valueCols = Seq("state_val"), rightTsAlias = "state_ts")
+        .orderBy("user_id", "ts", "event_id")
+    }),
     // skew-resistant bucketed as-of: identical results to q_asof_join via
     // the two-level (per-bucket window + carry-in) plan; day-wide buckets
     "q_asof_bucketed" -> ((s, dir) => {
@@ -845,6 +858,13 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
         .orderBy("column")
     }),
+    // exact percentile_cont quantiles (approx sketch spec-tested)
+    "q_quantiles" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Profile.quantiles(lk.orders, "o_totalprice", Seq(0.1, 0.5, 0.9, 0.99))
+        .select(col("prob"), round(col("val"), 6).as("val"))
+        .orderBy("prob")
+    }),
     // equi-width histogram with standard width_bucket numbering
     "q_histogram" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
@@ -1167,6 +1187,13 @@ object SparkEntry {
              count(DISTINCT o_orderpriority),
              min(o_orderpriority), max(o_orderpriority), NULL FROM orders
          ORDER BY "column"""",
+    "q_quantiles" ->
+      """SELECT prob, round(val, 6) AS val FROM (
+           SELECT unnest([0.1, 0.5, 0.9, 0.99]) AS prob,
+                  unnest(quantile_cont(o_totalprice, [0.1, 0.5, 0.9, 0.99]))
+                    AS val
+           FROM orders)
+         ORDER BY prob""",
     "q_histogram" ->
       """SELECT b AS bucket,
            CASE WHEN b BETWEEN 1 AND 20
@@ -1312,6 +1339,23 @@ object SparkEntry {
          FROM clicks c ASOF LEFT JOIN views v
            ON c.user_id = v.user_id AND c.ts >= v.vts
          ORDER BY c.user_id, c.ts""",
+    "q_asof_nearest" ->
+      """WITH clicks AS (SELECT user_id, epoch_us(ts) AS ts, event_id
+                         FROM events WHERE event_type = 'click'),
+              views AS (SELECT user_id, epoch_us(ts) AS vts,
+                               max(value) AS state_val
+                        FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+              cand AS (SELECT c.event_id, v.vts, v.state_val,
+                              abs(c.ts - v.vts) AS ad,
+                              CASE WHEN v.vts <= c.ts THEN 0 ELSE 1 END AS fwd
+                       FROM clicks c JOIN views v USING (user_id)),
+              best AS (SELECT event_id, vts, state_val FROM (
+                         SELECT *, row_number() OVER (
+                           PARTITION BY event_id ORDER BY ad, fwd) AS rn
+                         FROM cand) WHERE rn = 1)
+         SELECT c.user_id, c.ts, c.event_id, b.state_val, b.vts AS state_ts
+         FROM clicks c LEFT JOIN best b USING (event_id)
+         ORDER BY c.user_id, c.ts, c.event_id""",
     "q_asof_bucketed" ->
       """WITH clicks AS (SELECT user_id, epoch_us(ts) AS ts, event_id
                          FROM events WHERE event_type = 'click'),

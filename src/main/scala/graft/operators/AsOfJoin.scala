@@ -128,6 +128,83 @@ object AsOfJoin {
     bounded.select(outCols: _*)
   }
 
+  /** Nearest-neighbor as-of: attach the right row whose timestamp is
+    * CLOSEST to each left row's (either side); exact |Δt| ties prefer the
+    * backward match (the point-in-time-safe choice). Tolerance bounds
+    * |Δt| in the usual units (µs for timestamp columns). The pandas
+    * `merge_asof(direction="nearest")` shape, absent from SQL engines.
+    *
+    * Execution: the SAME single union as [[asOf]], with BOTH directional
+    * window aggregates evaluated over it — one key shuffle, two in-
+    * partition sorts (the two orderings differ only in tag polarity), no
+    * second pass over either input and no left-row id stitching. */
+  def asOfNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      leftTsCol: String,
+      rightTsCol: String,
+      valueCols: Seq[String],
+      rightTsAlias: String = "",
+      tolerance: Option[Long] = None): DataFrame = {
+    val collisions = valueCols.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"right value columns collide with left columns: ${collisions.mkString(", ")}")
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val rPayload = struct(
+      (col(rightTsCol).as("__rts") +: valueCols.map(col)): _*)
+    val rPayloadType = StructType(
+      StructField("__rts", right.schema(rightTsCol).dataType) +:
+        valueCols.map(c => right.schema(c)))
+    val lPayloadType = StructType(left.schema.fields)
+    // one tagging serves both directions: right rows 0, left rows 1; the
+    // backward ordering (ts, side) puts tied right rows INSIDE the
+    // preceding-inclusive frame, the forward ordering (ts, -side) puts
+    // them inside the following-inclusive frame
+    val rTagged = right
+      .where(col(rightTsCol).isNotNull &&
+        keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(
+        keyCols.map(col) ++ Seq(
+          col(rightTsCol).as("__ts"), lit(0).as("__side"),
+          rPayload.as("__r"),
+          lit(null).cast(lPayloadType).as("__l")): _*)
+    val lTagged = left.select(
+      keyCols.map(col) ++ Seq(
+        col(leftTsCol).as("__ts"), lit(1).as("__side"),
+        lit(null).cast(rPayloadType).as("__r"),
+        struct(left.columns.map(col): _*).as("__l")): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    val mB = last(col("__r"), ignoreNulls = true)
+      .over(w.orderBy(col("__ts"), col("__side"), col("__r"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val mF = when(col("__ts").isNotNull,
+      first(col("__r"), ignoreNulls = true)
+        .over(w.orderBy(col("__ts"), negate(col("__side")), col("__r").desc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+    val withBoth = lTagged.unionByName(rTagged)
+      .withColumn("__mb", mB).withColumn("__mf", mF)
+      .where(col("__side") === 1)
+    val lN = TimeCols.numeric(col("__ts"), left.schema(leftTsCol).dataType)
+    def rN(m: String) =
+      TimeCols.numeric(col(s"$m.__rts"), right.schema(rightTsCol).dataType)
+    val bounded = tolerance match {
+      case Some(tol) => withBoth
+        .withColumn("__mb", when(lN - rN("__mb") <= lit(tol), col("__mb")))
+        .withColumn("__mf", when(rN("__mf") - lN <= lit(tol), col("__mf")))
+      case None => withBoth
+    }
+    val chosen = when(col("__mb").isNull, col("__mf"))
+      .when(col("__mf").isNull, col("__mb"))
+      .otherwise(when(rN("__mf") - lN < lN - rN("__mb"), col("__mf"))
+        .otherwise(col("__mb")))
+    val outCols =
+      left.columns.toSeq.map(c => col(s"__l.$c").as(c)) ++
+        valueCols.map(c => col(s"__m.$c").as(c)) ++
+        (if (rightTsAlias.nonEmpty) Seq(col("__m.__rts").as(rightTsAlias)) else Nil)
+    bounded.withColumn("__m", chosen).select(outCols: _*)
+  }
+
   /** Skew-resistant bucketed as-of: same results as [[asOf]], different
     * parallelism bound. Timestamp ts columns are normalized to epoch-micros
     * internally ([[TimeCols]]) — `bucketWidth` (and `tolerance`) are in

@@ -54,6 +54,33 @@ object Profile {
     one.select(inline(rows))
   }
 
+  /** Quantiles of a numeric column: `prob | val`, SQL `percentile_cont`
+    * semantics (linear interpolation at rank `p·(n−1)` over the sorted
+    * non-null values — identical in any engine implementing the
+    * standard). `exact = true` (default) uses Spark's exact percentile
+    * aggregate — one pass, but per-partition value-count maps bound
+    * memory by column CARDINALITY, so flip to `exact = false`
+    * (`percentile_approx`, a positional-error-bounded sketch with
+    * `accuracy` controlling the bound) for petabyte high-cardinality
+    * columns where ±ε on a quantile is noise. */
+  def quantiles(
+      df: DataFrame,
+      colName: String,
+      probs: Seq[Double],
+      exact: Boolean = true,
+      accuracy: Int = 10000): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
+      "probs must be in [0, 1]")
+    val arr = probs.mkString(", ")
+    val agg =
+      if (exact) expr(s"percentile($colName, array($arr))")
+      else expr(s"percentile_approx($colName, array($arr), $accuracy)")
+    df.agg(agg.as("__q"))
+      .select(posexplode(col("__q")).as(Seq("__i", "val")))
+      .select(element_at(lit(probs.toArray), col("__i") + 1).as("prob"),
+        col("val"))
+  }
+
   /** Equi-width histogram of a numeric column over `[lo, hi)`:
     * `bucket | lo_edge | hi_edge | cnt` for every OCCUPIED bucket
     * (standard SQL `width_bucket` numbering — bucket 0 is the underflow

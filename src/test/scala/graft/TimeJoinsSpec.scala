@@ -396,6 +396,74 @@ class TimeJoinsSpec extends GraftSuite {
       s"expected key pruning, located ${located.size} of ${files.size}")
   }
 
+  // ---- round 6: nearest-direction as-of ----------------------------------
+
+  test("asOfNearest: closer side wins, exact tie prefers backward, tolerance") {
+    val right = Seq(("a", 10L, 1.0), ("a", 30L, 3.0), ("b", 100L, 9.0))
+      .toDF("k", "ts", "px")
+    val leftDf = Seq(
+      ("a", 12L, 1L),  // 2 back vs 18 fwd -> backward (1.0)
+      ("a", 28L, 2L),  // 18 back vs 2 fwd -> forward (3.0)
+      ("a", 20L, 3L),  // exact tie 10/10 -> backward (1.0)
+      ("a", 5L, 4L),   // nothing behind -> forward (1.0)
+      ("a", 99L, 5L),  // nothing ahead -> backward (3.0)
+      ("c", 7L, 6L)    // key never on right -> null
+    ).toDF("k", "t_ts", "id")
+    val got = AsOfJoin.asOfNearest(leftDf, right, Seq("k"), "t_ts", "ts",
+      valueCols = Seq("px"), rightTsAlias = "m_ts")
+      .collect().map(r => r.getLong(2) ->
+        (if (r.isNullAt(3)) None else Some((r.getDouble(3), r.getLong(4))))).toMap
+    assert(got(1L).contains((1.0, 10L)))
+    assert(got(2L).contains((3.0, 30L)))
+    assert(got(3L).contains((1.0, 10L)))
+    assert(got(4L).contains((1.0, 10L)))
+    assert(got(5L).contains((3.0, 30L)))
+    assert(got(6L).isEmpty)
+    // tolerance 5: id 1 keeps (gap 2), id 4 keeps (gap exactly 5, inclusive),
+    // id 3 drops (both gaps 10), id 5 drops (gap 69)
+    val tol = AsOfJoin.asOfNearest(leftDf, right, Seq("k"), "t_ts", "ts",
+      valueCols = Seq("px"), tolerance = Some(5L))
+      .collect().map(r => r.getLong(2) -> !r.isNullAt(3)).toMap
+    assert(tol(1L) && !tol(3L) && tol(4L) && !tol(5L) && !tol(6L))
+  }
+
+  test("asOfNearest == brute argmin-|dt| on random data") {
+    val rnd = new scala.util.Random(7)
+    val keys = Seq("a", "b", "c", "d")
+    val leftDf = Seq.fill(300)((keys(rnd.nextInt(4)),
+      rnd.nextInt(1000).toLong, rnd.nextLong())).toDF("k", "ts", "id")
+    val right = Seq.fill(200)((keys(rnd.nextInt(3)),
+      rnd.nextInt(1000).toLong, rnd.nextDouble()))
+      .toDF("k", "ts", "v")
+      .groupBy("k", "ts").agg(max("v").as("v"))  // unique (k, ts)
+    val got = AsOfJoin.asOfNearest(leftDf, right, Seq("k"), "ts", "ts",
+      valueCols = Seq("v"), rightTsAlias = "rts")
+    val cand = leftDf.as("l").join(right.as("r"), Seq("k"))
+      .select($"k", $"l.ts".as("ts"), $"id", $"r.ts".as("rts"), $"v",
+        abs($"l.ts" - $"r.ts").as("ad"),
+        when($"r.ts" <= $"l.ts", 0).otherwise(1).as("fwd"))
+    val best = cand.withColumn("rn", row_number().over(
+        Window.partitionBy($"k", $"ts", $"id").orderBy($"ad", $"fwd")))
+      .where($"rn" === 1).select($"k", $"ts", $"id", $"v", $"rts")
+    val want = leftDf.join(best, Seq("k", "ts", "id"), "left")
+      .select($"k", $"ts", $"id", $"v", $"rts")
+    assertSameRows(got.select($"k", $"ts", $"id", $"v", $"rts"), want)
+  }
+
+  test("quantiles: exact matches sorted-seq interpolation; approx close") {
+    import graft.operators.Profile
+    val vals = (1 to 101).map(_.toDouble)
+    val df = vals.toDF("x")
+    val got = Profile.quantiles(df, "x", Seq(0.0, 0.25, 0.5, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // rank p*(n-1) over 1..101 -> 1 + 100p exactly
+    assert(got(0.0) == 1.0 && got(0.25) == 26.0 &&
+      got(0.5) == 51.0 && got(1.0) == 101.0)
+    val approx = Profile.quantiles(df, "x", Seq(0.5), exact = false)
+      .collect()(0).getDouble(1)
+    assert(math.abs(approx - 51.0) <= 2.0)
+  }
+
   // ---- round 6: trailing-window rolling features -------------------------
 
   test("trailingStats: range frame bounds, prev/gap, first-event nulls") {
