@@ -780,6 +780,26 @@ object SparkEntry {
         .select("doc_id", "n_tok", "chunk_id")
         .orderBy("doc_id")
     }),
+    // capstone #3 — the round-6 decontamination pipeline end-to-end:
+    // cut verbatim eval spans out of train docs, score the CLEANED text
+    // with the linear model, gate on (untouched OR still-positive), then
+    // group-integrity split by language
+    "q_pipeline_decontaminate" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val train = lk.documents.where(pmod(col("doc_id"), lit(5)) =!= 0)
+        .select("doc_id", "lang", "text")
+      val heldout = lk.documents.where(pmod(col("doc_id"), lit(5)) === 0)
+      val cleaned = Dedup.removeContaminatedSpans(train, heldout,
+        "doc_id", "text", windowTokens = 10)
+      val w = Map("fast" -> 0.8, "slow" -> -1.2, "spark" -> 0.5,
+        "hash" -> 0.3, "the" -> -0.1)
+      val scored = cleaned.withColumn("score",
+        round(graft.functions.TextModel.score(s, w, bias = 0.2)(col("text_clean")), 6))
+      val kept = scored.where(col("n_removed") === 0 || col("score") > 0.2)
+      Sampling.splitByGroup(kept, "lang", Seq(0.8, 0.2))
+        .select("doc_id", "lang", "n_removed", "score", "split_id")
+        .orderBy("doc_id")
+    }),
     // group-wise curation: the 20 longest docs per language, alpha-ratio
     // scored by exact integer counts (no float accumulation)
     "q_topk_group" -> ((s, dir) => {
@@ -1187,6 +1207,51 @@ object SparkEntry {
              count(DISTINCT o_orderpriority),
              min(o_orderpriority), max(o_orderpriority), NULL FROM orders
          ORDER BY "column"""",
+    "q_pipeline_decontaminate" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS lt,
+                 string_split(text, ' ') AS ot, text FROM documents),
+         w AS (SELECT doc_id,
+               unnest(generate_series(0, len(lt) - 10)) AS pos,
+               unnest(list_transform(generate_series(1, len(lt) - 9),
+                 i -> array_to_string(lt[i:i+9], chr(1)))) AS win
+             FROM t WHERE len(lt) >= 10),
+         bad AS (SELECT DISTINCT win FROM w WHERE doc_id % 5 = 0),
+         tr AS (SELECT * FROM t WHERE doc_id % 5 != 0),
+         cov AS (SELECT DISTINCT doc_id, p FROM (
+                 SELECT doc_id, unnest(generate_series(pos, pos + 9)) AS p
+                 FROM w WHERE doc_id % 5 != 0
+                   AND win IN (SELECT win FROM bad))),
+         rem AS (SELECT doc_id, count(*) AS n_removed FROM cov
+                 GROUP BY doc_id),
+         tok AS (SELECT tr.doc_id, unnest(ot) AS tk,
+                     unnest(generate_series(0, len(ot) - 1)) AS p
+                 FROM tr JOIN rem USING (doc_id)),
+         kept AS (SELECT tok.doc_id, string_agg(tk, ' ' ORDER BY tok.p)
+                   AS clean
+                 FROM tok LEFT JOIN cov
+                   ON tok.doc_id = cov.doc_id AND tok.p = cov.p
+                 WHERE cov.doc_id IS NULL GROUP BY tok.doc_id),
+         cln AS (SELECT tr.doc_id, tr.lang,
+               CASE WHEN rem.n_removed IS NULL THEN tr.text
+                    ELSE coalesce(kept.clean, '') END AS text_clean,
+               coalesce(rem.n_removed, 0) AS n_removed
+             FROM tr LEFT JOIN rem USING (doc_id)
+                     LEFT JOIN kept USING (doc_id)),
+         wt(tok, wtv) AS (VALUES ('fast', 0.8), ('slow', -1.2),
+             ('spark', 0.5), ('hash', 0.3), ('the', -0.1)),
+         sc AS (SELECT doc_id, sum(wtv) AS sw FROM
+                (SELECT doc_id,
+                   unnest(string_split(lower(text_clean), ' ')) AS word
+                 FROM cln) u
+                JOIN wt ON u.word = wt.tok GROUP BY doc_id),
+         fin AS (SELECT c.doc_id, c.lang, c.n_removed,
+               round(0.2 + coalesce(sc.sw, 0), 6) AS score
+             FROM cln c LEFT JOIN sc USING (doc_id))
+         SELECT doc_id, lang, n_removed, score,
+           CASE WHEN substring(md5(lang), 1, 8) < 'cccccccc' THEN 0
+                ELSE 1 END AS split_id
+         FROM fin WHERE n_removed = 0 OR score > 0.2
+         ORDER BY doc_id""",
     "q_quantiles" ->
       """SELECT prob, round(val, 6) AS val FROM (
            SELECT unnest([0.1, 0.5, 0.9, 0.99]) AS prob,
