@@ -848,6 +848,18 @@ object SparkEntry {
       Dedup.dedupParagraphs(pages, "doc_id", "page")
         .select("doc_id", "text_clean", "n_removed").orderBy("doc_id")
     }),
+    // per-doc contamination fraction vs the heldout corpus — the
+    // thresholdable metric form of the verbatim-overlap check
+    "q_contamination_stats" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val train = lk.documents.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      val heldout = lk.documents.where(pmod(col("doc_id"), lit(5)) === 0)
+      Dedup.crossContaminationStats(train, heldout, "doc_id", "text",
+        windowTokens = 10)
+        .select(col("doc_id"), col("n_windows"), col("n_contaminated"),
+          round(col("contamination_frac"), 6).as("contamination_frac"))
+        .orderBy("doc_id")
+    }),
     // surgical cross-corpus decontamination: cut the verbatim eval-window
     // spans out of train docs instead of dropping the docs (same train/
     // heldout split as q_decontaminate_exact)
@@ -1138,6 +1150,27 @@ object SparkEntry {
            coalesce(rm.n_removed, 0) AS n_removed
          FROM t LEFT JOIN rm USING (doc_id) LEFT JOIN kept USING (doc_id)
          ORDER BY doc_id""",
+    "q_contamination_stats" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS lt
+                    FROM documents),
+         w AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                 generate_series(1, len(lt) - 9),
+                 i -> array_to_string(lt[i:i+9], chr(1))))) AS win
+               FROM t WHERE len(lt) >= 10),
+         bad AS (SELECT DISTINCT win FROM w WHERE doc_id % 5 = 0),
+         tw AS (SELECT doc_id, win FROM w WHERE doc_id % 5 != 0),
+         tot AS (SELECT doc_id, count(*) AS n_windows FROM tw GROUP BY 1),
+         hit AS (SELECT doc_id, count(*) AS n_contaminated FROM tw
+                 WHERE win IN (SELECT win FROM bad) GROUP BY 1)
+         SELECT d.doc_id,
+           coalesce(tot.n_windows, 0) AS n_windows,
+           coalesce(hit.n_contaminated, 0) AS n_contaminated,
+           round(coalesce(hit.n_contaminated, 0) /
+             CAST(greatest(coalesce(tot.n_windows, 0), 1) AS DOUBLE), 6)
+             AS contamination_frac
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 5 != 0) d
+         LEFT JOIN tot USING (doc_id) LEFT JOIN hit USING (doc_id)
+         ORDER BY d.doc_id""",
     "q_contaminated_spans" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS lt,
                  string_split(text, ' ') AS ot, text FROM documents),

@@ -607,6 +607,42 @@ object Dedup extends org.apache.spark.internal.Logging {
       .where(col("shared_windows") >= minShared)
   }
 
+  /** Per-corpus-doc contamination profile against a probe corpus:
+    * `n_windows` (distinct windows in the doc), `n_contaminated` (of
+    * those, how many appear verbatim anywhere in `probe`) and
+    * `contamination_frac` — the THRESHOLDABLE form of the cross-corpus
+    * check ("drop docs >5 % eval overlap" instead of any-hit removal).
+    * Window-less short docs report zeros. Same shape as
+    * [[duplicatedWindowStats]]: one distinct-window explode per side, one
+    * semi-join on hashes, two per-doc counts — no pair aggregate. */
+  def crossContaminationStats(
+      corpus: DataFrame,
+      probe: DataFrame,
+      idCol: String,
+      textCol: String,
+      windowTokens: Int = 13): DataFrame = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    val probeWins = probe
+      .select(explode(windowHashes(col(textCol), windowTokens,
+        distinctWithinDoc = true)).as("__w"))
+      .distinct()
+    val w = corpus.select(col(idCol).as("__id"),
+      explode(windowHashes(col(textCol), windowTokens,
+        distinctWithinDoc = true)).as("__w"))
+    val tot = w.groupBy("__id").agg(count(lit(1)).as("n_windows"))
+    val hit = w.join(probeWins, Seq("__w"), "left_semi")
+      .groupBy("__id").agg(count(lit(1)).as("n_contaminated"))
+    corpus.select(col(idCol))
+      .join(tot.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .join(hit.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        (coalesce(col("n_contaminated"), lit(0L)).cast("double") /
+          greatest(coalesce(col("n_windows"), lit(0L)), lit(1L)).cast("double"))
+          .as("contamination_frac"))
+  }
+
   /** The probe-side LEFT-ANTI remover over [[sharedWindowCrossPairs]]'
     * collision set: corpus rows sharing NO verbatim `windowTokens`-token
     * run with any probe document (the clean training set after

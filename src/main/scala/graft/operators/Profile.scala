@@ -7,7 +7,9 @@ import org.apache.spark.sql.types.NumericType
 /** Dataset profiling: per-column summary statistics and histograms — the
   * "what is actually in this 100 TB table" first step of any curation or
   * debugging pass, kept oracle-checkable (exact counts, deterministic
-  * rendering) rather than sampled.
+  * rendering) rather than sampled. Ref parity note: the reference has
+  * no profiling operator; extends the analytics surface per the
+  * training-data-ops mandate (SURVEY §2 addendum).
   */
 object Profile {
 

@@ -10,6 +10,10 @@ import org.apache.spark.sql.functions._
   * the last hour, and the gap since their previous event", one output row
   * per input event.
   *
+  * Ref parity note: the reference has no window/rolling operator (its
+  * engine delegates windowing to the host, SURVEY §2.5); this extends
+  * the time-series family per the training-data-ops mandate.
+  *
   * All Spark-native window frames, nothing custom: a RANGE frame on the
   * epoch-micros view of the timestamp (see [[TimeCols]] — `rangeBack` is
   * MICROSECONDS for timestamp columns, column units for numerics) for the

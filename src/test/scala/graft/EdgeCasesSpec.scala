@@ -280,4 +280,59 @@ class EdgeCasesSpec extends GraftSuite {
       .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
     assert(nt(1).isEmpty && nt(2).contains("a b"))
   }
+
+  test("round-6 operators on degenerate inputs") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.{Dedup, Profile, Rolling, Sampling}
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val someDocs = Seq((1L, "a b c"), (2L, "a b c")).toDF("doc_id", "text")
+
+    // empty corpus flows through every span/paragraph operator
+    assert(Dedup.dedupParagraphs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.removeContaminatedSpans(emptyDocs, someDocs,
+      "doc_id", "text", 2).count() == 0)
+    // empty PROBE: every corpus doc passes verbatim with zero removals
+    val noProbe = Dedup.removeContaminatedSpans(someDocs, emptyDocs,
+      "doc_id", "text", 2).select("text_clean", "n_removed").collect()
+    assert(noProbe.forall(r => r.getString(0) == "a b c" && r.getLong(1) == 0L))
+    val stats = Dedup.crossContaminationStats(someDocs, emptyDocs,
+      "doc_id", "text", 2).select("n_contaminated").collect()
+    assert(stats.forall(_.getLong(0) == 0L))
+
+    // a doc that is ONLY separators: every paragraph empty -> untouched
+    val seps = Seq((1L, "\n\n")).toDF("doc_id", "text")
+    assert(Dedup.dedupParagraphs(seps, "doc_id", "text")
+      .select("text_clean").first().getString(0) == "\n\n")
+
+    // weighted sample: empty frame and k=1 singleton
+    assert(Sampling.weightedSample(emptyDocs
+      .withColumn("w", lit(1L)), "doc_id", "w", 5).count() == 0)
+    assert(Sampling.weightedSample(someDocs
+      .withColumn("w", lit(1L)), "doc_id", "w", 1).count() == 1)
+
+    // profile/histogram/quantiles on empty + all-null columns
+    val prof = Profile.table(emptyDocs, Seq("doc_id", "text")).collect()
+    assert(prof.length == 2 && prof.forall(r => r.getLong(1) == 0L))
+    val nulls = Seq.empty[Option[Double]].toDF("x")
+    assert(Profile.histogram(nulls, "x", 0, 10, 2).count() == 0)
+    assert(Profile.quantiles(emptyDocs.select($"doc_id".cast("double").as("x")),
+      "x", Seq(0.5)).where($"val".isNotNull).count() == 0)
+
+    // rolling on empty; non-time column rejected loudly
+    assert(Rolling.trailingStats(
+      Seq.empty[(Long, Long, Double)].toDF("user_id", "ts", "value"),
+      Seq("user_id"), "ts", "value", 10L).count() == 0)
+    intercept[IllegalArgumentException] {
+      Rolling.trailingStats(Seq((1L, "x", 1.0)).toDF("user_id", "ts", "value"),
+        Seq("user_id"), "ts", "value", 10L)
+    }
+
+    // asOfNearest with empty right: all left rows unmatched
+    val ln = Seq(("a", 5L, 1L)).toDF("k", "ts", "id")
+    val rn = Seq.empty[(String, Long, Double)].toDF("k", "ts", "v")
+    val near = graft.operators.AsOfJoin.asOfNearest(ln, rn, Seq("k"),
+      "ts", "ts", valueCols = Seq("v")).collect()
+    assert(near.length == 1 && near(0).isNullAt(3))
+  }
 }
