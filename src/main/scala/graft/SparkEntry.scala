@@ -936,6 +936,13 @@ object SparkEntry {
       val lk = Lake.get(s, dir)
       TextAnalysis.quality(lk.documents, "doc_id", "text").orderBy("doc_id")
     }),
+    // top-5 TF-IDF keywords per doc: raw tf · ln(N/df), deterministic
+    // (score desc, token asc) cut
+    "q_tfidf" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      TextAnalysis.tfidfKeywords(lk.documents, "doc_id", "text", k = 5)
+        .orderBy("doc_id", "token")
+    }),
     "q_fingerprint" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
       TextAnalysis.fingerprint(lk.documents, "doc_id", "text").orderBy("doc_id")
@@ -1201,6 +1208,19 @@ object SparkEntry {
            coalesce(rem.n_removed, 0) AS n_removed
          FROM tr LEFT JOIN rem USING (doc_id) LEFT JOIN kept USING (doc_id)
          ORDER BY doc_id""",
+    "q_tfidf" ->
+      """WITH tf AS (SELECT doc_id, word AS token, count(*) AS tf FROM (
+               SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+               FROM documents) GROUP BY 1, 2),
+         dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS nd FROM documents),
+         sc AS (SELECT tf.doc_id, tf.token, tf.tf, dfq.df,
+               tf.tf * ln((SELECT nd FROM n) / dfq.df) AS tfidf
+             FROM tf JOIN dfq USING (token)),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY tfidf DESC, token) AS rn FROM sc)
+         SELECT doc_id, token, tf, df, round(tfidf, 6) AS tfidf
+         FROM rk WHERE rn <= 5 ORDER BY doc_id, token""",
     "q_incremental_dedup" ->
       """WITH b AS (SELECT doc_id + 1000000 AS batch_id, md5(text) AS h
                     FROM documents WHERE doc_id % 10 = 3)

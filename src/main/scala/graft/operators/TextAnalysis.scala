@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: language ID,
@@ -296,6 +297,41 @@ object TextAnalysis {
     }
     val bias = math.log((d1 + alpha) / (d0 + alpha))
     (weights, bias)
+  }
+
+  /** Top-`k` TF-IDF keywords per document: `(id, token, tf, df,
+    * round(tfidf, 6))`, score = `tf · ln(N / df)` (raw counts, unsmoothed
+    * — a token in every doc scores exactly 0), ties broken by token
+    * ascending so the cut is deterministic and engine-replicable. Tokens
+    * are the lowercased space-split words.
+    *
+    * Scale shape: one (doc, token)-count shuffle (map-side partials), one
+    * token-grain document-frequency aggregate off the SAME frame (distinct
+    * (doc, token) rows — no second corpus scan), a token-keyed join of the
+    * two, and one per-doc window for the top-k cut. The df table is
+    * token-cardinality-sized; Spark broadcast-joins it when it fits, else
+    * sort-merge on the token key — either way nothing is ever all-pairs.
+    * Ref parity note: no reference equivalent; extends the text family per
+    * the training-data-ops mandate. */
+  def tfidfKeywords(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 10): DataFrame = {
+    require(k > 0, "k must be positive")
+    val tf = df.select(col(idCol).as("__id"),
+        explode(tokens(col(textCol))).as("token"))
+      .groupBy("__id", "token").agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = df.select(col(idCol)).count().toDouble
+    val scored = tf.join(docFreq, Seq("token"))
+      .withColumn("tfidf", col("tf") * log(lit(n) / col("df")))
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("tfidf").desc, col("token"))
+    scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= k)
+      .select(col("__id").as(idCol), col("token"), col("tf"), col("df"),
+        round(col("tfidf"), 6).as("tfidf"))
   }
 
   /** Content fingerprints: md5 of raw text and of whitespace-normalized,

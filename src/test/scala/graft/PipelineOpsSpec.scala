@@ -1222,6 +1222,30 @@ class PipelineOpsSpec extends GraftSuite {
     assert(got == want)
   }
 
+  test("tfidfKeywords: ubiquitous token scores 0, rare token tops, k cuts") {
+    val s = spark
+    import s.implicits._
+    val docs3 = Seq(
+      (1L, "common rare rare"),
+      (2L, "common shared"),
+      (3L, "common shared")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfKeywords(docs3, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // "common" in all 3 docs: ln(3/3) = 0 in every doc
+    assert(got((1L, "common"))._3 == 0.0)
+    // "rare": df=1, tf=2 -> 2*ln(3) tops doc 1
+    assert(got((1L, "rare")) == ((2L, 1L,
+      BigDecimal(2 * math.log(3.0)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // "shared": df=2 -> ln(1.5) in docs 2 and 3
+    assert(got((2L, "shared"))._3 == got((3L, "shared"))._3 &&
+      got((2L, "shared"))._3 > 0.0)
+    // k=2 respected per doc
+    assert(got.keys.groupBy(_._1).values.forall(_.size <= 2))
+  }
+
   test("linear text score: hand-computable fixture, bigrams, null safety") {
     val s = spark
     import s.implicits._
