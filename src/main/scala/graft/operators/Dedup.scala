@@ -542,7 +542,7 @@ object Dedup extends org.apache.spark.internal.Logging {
     * an EMPTY window array, not a phantom window. `distinctWithinDoc`
     * dedups hashes within the document, making a plain count over the
     * exploded frame a distinct-document count. */
-  private def windowHashes(
+  private[graft] def windowHashes(
       textCol: Column, windowTokens: Int, distinctWithinDoc: Boolean): Column = {
     val toks = split(lower(textCol), " ")
     val raw = transform(sequence(lit(0), size(toks) - windowTokens),

@@ -118,6 +118,43 @@ object StreamOps {
     deduped.toDF(schema.fieldNames: _*)
   }
 
+  /** Streaming eval-decontamination filter: drop every incoming document
+    * sharing a verbatim `windowTokens`-token run with the STATIC probe
+    * corpus (the stream-side form of
+    * [[graft.operators.Dedup.removeExactContaminated]]). The probe's
+    * distinct window hashes are collected ONCE (bounded by
+    * `maxProbeWindows` — eval corpora are small by construction; the
+    * collect fails loudly past the budget rather than OOMing the driver)
+    * and ride one broadcast sorted array; the stream-side check is a pure
+    * per-row predicate (binary search per window via the codegen'd
+    * [[graft.functions.BroadcastLongSetContains]]), so it works in ANY
+    * output mode with no state store, no watermark, and no stream-static
+    * join planning constraints. */
+  def decontaminateFilter(
+      stream: DataFrame,
+      textCol: String,
+      probe: DataFrame,
+      probeTextCol: String,
+      windowTokens: Int = 13,
+      maxProbeWindows: Int = 10000000): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import graft.operators.Dedup
+    val winRows = probe
+      .select(explode(Dedup.windowHashes(col(probeTextCol), windowTokens,
+        distinctWithinDoc = true)).as("__w"))
+      .distinct().limit(maxProbeWindows + 1).collect()
+    require(winRows.length <= maxProbeWindows,
+      s"probe corpus exceeds $maxProbeWindows distinct windows — " +
+        "decontaminate in batch (Dedup.removeExactContaminated) instead")
+    val sorted = winRows.map(_.getLong(0)).sorted
+    val bc = stream.sparkSession.sparkContext.broadcast(sorted)
+    val contaminated = exists(
+      Dedup.windowHashes(col(textCol), windowTokens, distinctWithinDoc = true),
+      h => GraftSqlBridge.column(graft.functions.BroadcastLongSetContains(
+        GraftSqlBridge.expression(h), bc)))
+    stream.where(!coalesce(contaminated, lit(false)))
+  }
+
   /** Per-micro-batch point-in-time enrichment: each batch of probe rows is
     * as-of joined against a temporal [[graft.Index]] (files pruned by the
     * batch's keys) and handed to `sink`. Stream-static as-of is not

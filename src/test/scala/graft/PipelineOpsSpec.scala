@@ -1331,6 +1331,30 @@ class PipelineOpsSpec extends GraftSuite {
       again.select("doc_id", "split_id"))
   }
 
+  test("round-6 plan shapes: TakeOrdered sample, single-exchange rolling, no cartesian tfidf") {
+    val s = spark
+    import s.implicits._
+    def executed(df: org.apache.spark.sql.DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    }
+    // weighted sample: per-partition top-k + driver merge, never a global sort
+    val ws = executed(Sampling.weightedSample(docs, "doc_id", "n_chars", 20))
+    assert(ws.contains("TakeOrderedAndProject"), ws)
+    // rolling features: ONE exchange feeds every window frame
+    val ev = Seq((1L, 1L, 10L, 1.0), (2L, 1L, 20L, 2.0), (3L, 2L, 5L, 3.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val rp = executed(graft.operators.Rolling.trailingStats(ev,
+      Seq("user_id"), "ts", "value", 100L, tieCols = Seq("event_id")))
+    val exchanges = "Exchange".r.findAllIn(rp).size -
+      "ReusedExchange".r.findAllIn(rp).size
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$rp")
+    // tfidf: bucket-joined on the token key — no cartesian anywhere
+    val tp = executed(TextAnalysis.tfidfKeywords(docs, "doc_id", "text", 3))
+    assert(!tp.contains("CartesianProduct") &&
+      !tp.contains("BroadcastNestedLoopJoin"), tp)
+  }
+
   test("weightedSample: stable under repartition; k >= n returns everything") {
     val a = Sampling.weightedSample(docs, "doc_id", "n_chars", k = 50)
       .select("doc_id").collect().map(_.getLong(0)).toSet

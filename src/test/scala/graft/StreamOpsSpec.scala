@@ -1,7 +1,10 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+
+import graft.harness.Lake
 
 import graft.streaming.StreamOps
 
@@ -153,5 +156,50 @@ class StreamOpsSpec extends GraftSuite {
     val got = StreamOps.dedupFirstSeen(df, "content_key", "doc_id")
     val want = StreamOps.dedupFirstSeenBatch(df, "content_key", "doc_id")
     assertSameRows(got, want)
+  }
+
+  test("decontaminateFilter == batch removeExactContaminated on a doc stream") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Lake.get(spark, sf).documents
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val corpus = docs.filter(_._1 % 5 != 0)
+    val probeDf = docs.filter(_._1 % 5 == 0).toDF("doc_id", "text")
+
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val survived = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamOps.decontaminateFilter(stream, "text", probeDf, "text",
+        windowTokens = 10)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        survived.synchronized {
+          survived ++= b.select("doc_id").collect().map(_.getLong(0)) }
+        ()
+      }
+      .option("checkpointLocation", tmpDir("graft_decon_ckpt_")).start()
+    try {
+      val (b1, b2) = corpus.splitAt(corpus.size / 2)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val want = graft.operators.Dedup.removeExactContaminated(
+        corpus.toDF("doc_id", "text"), probeDf, "doc_id", "text",
+        windowTokens = 10)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(want.nonEmpty && want.size < corpus.size,
+      "fixture must actually drop something")
+    assert(survived.toSet == want)
+  }
+
+  test("decontaminateFilter: probe over the window budget fails loudly") {
+    import spark.implicits._
+    val probeDf = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val stream = Seq((1L, "x y z")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      StreamOps.decontaminateFilter(stream, "text", probeDf, "text",
+        windowTokens = 2, maxProbeWindows = 1)
+    }
   }
 }
