@@ -242,6 +242,20 @@ object ScaleBench {
       Dedup.stripBoilerplate(pages, "doc_id", "page")
         .agg(count(lit(1))).first().getLong(0)
     }
+    // per-doc contamination fraction at 150k docs (r6)
+    bench("q_contamination_stats") {
+      val train = lake.documents.where(pmod(col("doc_id"), lit(5)) =!= 0)
+      val ev = lake.documents.where(pmod(col("doc_id"), lit(5)) === 0)
+      Dedup.crossContaminationStats(train, ev, "doc_id", "text",
+        windowTokens = 10)
+        .agg(sum(when(col("n_contaminated") > 0, 1L).otherwise(0L)))
+        .first().getLong(0)
+    }
+    // per-doc TF-IDF keyword cut at 150k docs (r6)
+    bench("q_tfidf") {
+      graft.operators.TextAnalysis.tfidfKeywords(
+        lake.documents, "doc_id", "text", k = 5).count()
+    }
     // corpus vocabulary: one hash-agg shuffle of (gram, partial count)
     bench("q_vocab_bigram") {
       graft.operators.TextAnalysis.vocabulary(
