@@ -761,6 +761,17 @@ object SparkEntry {
       Sampling.packByTokenBudget(toks, "doc_id", "n_tok", budget = 5000)
         .select("doc_id", "chunk_id").orderBy("doc_id")
     }),
+    // the packed chunks MATERIALIZED as training sequences: texts joined
+    // in id order per context window, with doc/token tallies
+    "q_pack_sequences" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val toks = lk.documents.select(col("doc_id"), col("text"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      val packed = Sampling.packByTokenBudget(toks, "doc_id", "n_tok",
+        budget = 5000)
+      Sampling.assembleChunks(packed, "doc_id", "text", "n_tok")
+        .orderBy("chunk_id")
+    }),
     // capstone: end-to-end corpus curation — language gate -> min-length
     // gate -> exact dedup (min id per content hash) -> deterministic 50%
     // sample -> 4096-token context packing. Every stage is one of this
@@ -2000,6 +2011,19 @@ object SparkEntry {
          FROM (SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tok
                FROM documents)
          ORDER BY doc_id""",
+    "q_pack_sequences" ->
+      """WITH packed AS (
+           SELECT doc_id, text, n_tok,
+                  CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    // 5000 AS BIGINT) AS chunk_id
+           FROM (SELECT doc_id, text,
+                   len(string_split(lower(text), ' ')) AS n_tok
+                 FROM documents))
+         SELECT chunk_id,
+                string_agg(text, chr(10) ORDER BY doc_id) AS sequence,
+                count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+         FROM packed GROUP BY chunk_id ORDER BY chunk_id""",
     "q_topk_group" ->
       """SELECT doc_id, lang, score FROM (
            SELECT doc_id, lang, length(text)::BIGINT AS score,

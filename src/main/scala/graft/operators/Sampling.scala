@@ -218,6 +218,33 @@ object Sampling {
       .drop("__pid", "__local")
   }
 
+  /** Assemble [[packByTokenBudget]]'s chunks into actual training
+    * SEQUENCES: one row per chunk — `chunk_id`, the member texts joined in
+    * id order with `sep` (EOS marker), `n_docs`, and the summed token
+    * count. The packing step decides WHO shares a context window; this
+    * materializes the window itself.
+    *
+    * Scale shape: one shuffle keyed by chunk_id; each chunk's payload is
+    * bounded by the token budget by construction (a chunk holds at most
+    * `budget` tokens' worth of text, +1 doc of spill), so the per-group
+    * sort+join is bounded no matter the corpus size. Deterministic: member
+    * order is the same (id asc) order the prefix sum packed by. */
+  def assembleChunks(
+      packed: DataFrame,
+      idCol: String,
+      textCol: String,
+      tokenCol: String,
+      chunkCol: String = "chunk_id",
+      sep: String = "\n"): DataFrame = {
+    packed.groupBy(col(chunkCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col(idCol), col(textCol)))),
+          x => x(textCol)), sep).as("sequence"),
+        count(lit(1)).as("n_docs"),
+        sum(col(tokenCol)).as("n_tokens"))
+  }
+
   /** Mixture re-weighting by fractional epoch count: each row is emitted
     * `floor(weight)` times, plus one more with probability `frac(weight)`
     * — decided by the row's hash, not an RNG, so `weight = 2.3` means every

@@ -1222,6 +1222,21 @@ class PipelineOpsSpec extends GraftSuite {
     assert(got == want)
   }
 
+  test("assembleChunks: id-ordered join, tallies, chunk budget respected") {
+    val s = spark
+    import s.implicits._
+    val toks = Seq((3L, "c c", 2L), (1L, "a", 1L), (2L, "b b b", 3L),
+      (4L, "d d", 2L)).toDF("doc_id", "text", "n_tok")
+    val packed = Sampling.packByTokenBudget(toks, "doc_id", "n_tok", budget = 4)
+    val got = Sampling.assembleChunks(packed, "doc_id", "text", "n_tok")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    // exclusive prefix sums: doc1@0, doc2@1 -> chunk 0; doc3@4, doc4@6 ->
+    // chunk 1 (floor(4/4) = floor(6/4) = 1)
+    assert(got == Map(
+      0L -> (("a\nb b b", 2L, 4L)),
+      1L -> (("c c\nd d", 2L, 4L))))
+  }
+
   test("tfidfKeywords: ubiquitous token scores 0, rare token tops, k cuts") {
     val s = spark
     import s.implicits._
