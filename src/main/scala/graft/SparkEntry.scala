@@ -1248,25 +1248,25 @@ object SparkEntry {
          SELECT d.doc_id, round(0.2 + coalesce(s.sw, 0), 6) AS score
          FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""",
     "q_profile" ->
-      """SELECT 'o_orderkey' AS "column", count(o_orderkey) AS n_rows,
+      """SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
              count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_nulls,
              count(DISTINCT o_orderkey) AS n_distinct,
              CAST(min(o_orderkey) AS VARCHAR) AS min_val,
              CAST(max(o_orderkey) AS VARCHAR) AS max_val,
              round(avg(o_orderkey), 6) AS avg_val FROM orders
          UNION ALL
-         SELECT 'o_custkey', count(o_custkey),
+         SELECT 'o_custkey', count(*),
              count(CASE WHEN o_custkey IS NULL THEN 1 END),
              count(DISTINCT o_custkey),
              CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR),
              round(avg(o_custkey), 6) FROM orders
          UNION ALL
-         SELECT 'o_orderstatus', count(o_orderstatus),
+         SELECT 'o_orderstatus', count(*),
              count(CASE WHEN o_orderstatus IS NULL THEN 1 END),
              count(DISTINCT o_orderstatus),
              min(o_orderstatus), max(o_orderstatus), NULL FROM orders
          UNION ALL
-         SELECT 'o_orderpriority', count(o_orderpriority),
+         SELECT 'o_orderpriority', count(*),
              count(CASE WHEN o_orderpriority IS NULL THEN 1 END),
              count(DISTINCT o_orderpriority),
              min(o_orderpriority), max(o_orderpriority), NULL FROM orders

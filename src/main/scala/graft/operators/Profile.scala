@@ -13,6 +13,12 @@ import org.apache.spark.sql.types.NumericType
   */
 object Profile {
 
+  /** Resolve a literal column name even when it needs quoting (spaces,
+    * dots, hyphens): backtick-quote with embedded backticks doubled, so
+    * `col` cannot misparse it as a nested path. */
+  private def qcol(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
   /** One row per profiled column: `column | n_rows | n_nulls | n_distinct
     * | min_val | max_val | avg_val`. Min/max are computed on the NATIVE
     * type (numeric ordering for numerics, binary for strings) and rendered
@@ -33,14 +39,18 @@ object Profile {
     require(cols.nonEmpty, "at least one column required")
     val aggs: Seq[Column] = cols.flatMap { c =>
       val isNum = df.schema(c).dataType.isInstanceOf[NumericType]
+      val cc = qcol(c)
       Seq(
-        count(col(c)).as(s"__cnt_$c"),
-        count(when(col(c).isNull, 1)).as(s"__nul_$c"),
-        (if (exactDistinct) count_distinct(col(c))
-         else approx_count_distinct(col(c))).as(s"__dst_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"),
-        (if (isNum) round(avg(col(c)), 6) else lit(null).cast("double"))
+        // count(lit(1)), not count(col): n_rows is the TABLE row count and
+        // must not silently shrink per-column on nullable columns — nulls
+        // are already reported in n_nulls (r6 advice)
+        count(lit(1)).as(s"__cnt_$c"),
+        count(when(cc.isNull, 1)).as(s"__nul_$c"),
+        (if (exactDistinct) count_distinct(cc)
+         else approx_count_distinct(cc)).as(s"__dst_$c"),
+        min(cc).cast("string").as(s"__min_$c"),
+        max(cc).cast("string").as(s"__max_$c"),
+        (if (isNum) round(avg(cc), 6) else lit(null).cast("double"))
           .as(s"__avg_$c"))
     }
     val one = df.agg(aggs.head, aggs.tail: _*)
@@ -73,10 +83,12 @@ object Profile {
       accuracy: Int = 10000): DataFrame = {
     require(probs.nonEmpty && probs.forall(p => p >= 0 && p <= 1),
       "probs must be in [0, 1]")
-    val arr = probs.mkString(", ")
+    // Column API, not a SQL-string splice: raw interpolation breaks on
+    // names needing backticks (spaces, dots, hyphens) — r6 advice
     val agg =
-      if (exact) expr(s"percentile($colName, array($arr))")
-      else expr(s"percentile_approx($colName, array($arr), $accuracy)")
+      if (exact) call_function("percentile", qcol(colName), lit(probs.toArray))
+      else call_function("percentile_approx", qcol(colName),
+        lit(probs.toArray), lit(accuracy))
     df.agg(agg.as("__q"))
       .select(posexplode(col("__q")).as(Seq("__i", "val")))
       .select(element_at(lit(probs.toArray), col("__i") + 1).as("prob"),
@@ -98,8 +110,8 @@ object Profile {
     require(nBins > 0, "nBins must be positive")
     require(lo < hi, "lo must be < hi")
     val w = (hi - lo) / nBins
-    val b = width_bucket(col(colName).cast("double"), lit(lo), lit(hi), lit(nBins))
-    df.where(col(colName).isNotNull)
+    val b = width_bucket(qcol(colName).cast("double"), lit(lo), lit(hi), lit(nBins))
+    df.where(qcol(colName).isNotNull)
       .groupBy(b.as("bucket"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("bucket"),

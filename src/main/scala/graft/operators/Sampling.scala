@@ -109,7 +109,13 @@ object Sampling {
     require(k > 0, "k must be positive")
     val u = (conv(sampleKey(col(idCol)), 16, 10).cast("long") + lit(1L))
       .cast("double") / lit(4294967296.0)
-    val key = pow(u, lit(1.0) / col(weightCol).cast("double"))
+    // enforce the contract in-plan: a zero weight divides by zero and a
+    // negative one flips the A-ES ordering (u^(1/w), w<0 inverts
+    // preference) — fail loudly instead of silently mis-sampling (r6 advice)
+    val w = col(weightCol).cast("double")
+    val key = when(w > 0, pow(u, lit(1.0) / w)).otherwise(raise_error(
+      concat(lit(s"weightedSample: weight '$weightCol' must be strictly " +
+        "positive, got "), coalesce(w.cast("string"), lit("null")))))
     df.withColumn("__wkey", key)
       .orderBy(col("__wkey").desc, col(idCol))
       .limit(k)

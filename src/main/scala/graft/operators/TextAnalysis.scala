@@ -269,13 +269,22 @@ object TextAnalysis {
       useBigrams: Boolean = false): (Map[String, Double], Double) = {
     require(topN > 0 && topN <= 1000000, "topN must be in (0, 1e6]")
     require(alpha > 0, "alpha must be positive")
+    // enforce the binary-label contract in-plan: a null label would NPE in
+    // the prior collect and any other integer would silently count as
+    // class 0, skewing weights without an error (r6 advice)
+    def checkedLabel: Column = {
+      val y = col(labelCol).cast("int")
+      when(y === 0 || y === 1, y).otherwise(raise_error(
+        concat(lit(s"trainLogOdds: label '$labelCol' must be 0 or 1, got "),
+          coalesce(y.cast("string"), lit("null")))))
+    }
     val toks = tokens(col(textCol))
     val bigrams = when(size(toks) >= 2,
       transform(sequence(lit(0), size(toks) - 2),
         i => concat_ws(" ", slice(toks, i + 1, lit(2)))))
       .otherwise(array().cast("array<string>"))
     val grams = if (useBigrams) concat(toks, bigrams) else toks
-    val counts = df.select(col(labelCol).cast("int").as("__y"),
+    val counts = df.select(checkedLabel.as("__y"),
         explode(grams).as("gram"))
       .groupBy("gram")
       .agg(sum(when(col("__y") === 1, 1L).otherwise(0L)).as("c1"),
@@ -290,7 +299,7 @@ object TextAnalysis {
         math.log((c0 + alpha) / (n0 + alpha * v)))
     }.toMap
     val Array(d1, d0) = {
-      val byClass = df.groupBy(col(labelCol).cast("int").as("__y"))
+      val byClass = df.groupBy(checkedLabel.as("__y"))
         .agg(count(lit(1)).as("n")).collect()
         .map(r => r.getInt(0) -> r.getLong(1)).toMap
       Array(byClass.getOrElse(1, 0L), byClass.getOrElse(0, 0L))

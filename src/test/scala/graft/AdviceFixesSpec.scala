@@ -119,4 +119,70 @@ class AdviceFixesSpec extends GraftSuite {
     val plan = viaExpr.queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("udf"), s"expected UDF-free plan:\n$plan")
   }
+
+  // ---- round-6 advisor lows ------------------------------------------------
+
+  test("weightedSample rejects zero, negative, and null weights loudly") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val ok = Seq(("a", 1.0), ("b", 2.0), ("c", 3.0)).toDF("id", "w")
+    assert(Sampling.weightedSample(ok, "id", "w", 2).count() == 2)
+    for (bad <- Seq(0.0, -1.5)) {
+      val df = Seq(("a", 1.0), ("b", bad)).toDF("id", "w")
+      val e = intercept[Exception] {
+        Sampling.weightedSample(df, "id", "w", 2).collect()
+      }
+      assert(e.getMessage.contains("strictly positive"),
+        s"weight=$bad: ${e.getMessage}")
+    }
+    val withNull = Seq(("a", java.lang.Double.valueOf(1.0)), ("b", null))
+      .toDF("id", "w")
+    val e = intercept[Exception] {
+      Sampling.weightedSample(withNull, "id", "w", 2).collect()
+    }
+    assert(e.getMessage.contains("strictly positive"))
+  }
+
+  test("Profile.table n_rows is the table row count even on nullable columns") {
+    import spark.implicits._
+    import graft.operators.Profile
+    val df = Seq[(java.lang.Long, String)]((1L, "x"), (null, "y"), (3L, null))
+      .toDF("num", "str")
+    val rows = Profile.table(df, Seq("num", "str")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows("num") == ((3L, 1L)), "n_rows must be 3 with 1 null")
+    assert(rows("str") == ((3L, 1L)))
+  }
+
+  test("Profile.quantiles handles column names that need backticks") {
+    import spark.implicits._
+    import graft.operators.Profile
+    val df = Seq(1.0, 2.0, 3.0, 4.0, 5.0).toDF("weird name-1.x")
+    val got = Profile.quantiles(df, "weird name-1.x", Seq(0.5))
+      .collect().head.getDouble(1)
+    assert(got == 3.0)
+    // approx path takes the same Column route
+    val ap = Profile.quantiles(df, "weird name-1.x", Seq(0.5), exact = false)
+      .collect().head.getDouble(1)
+    assert(math.abs(ap - 3.0) <= 1.0)
+  }
+
+  test("trainLogOdds rejects null and out-of-domain labels loudly") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val ok = Seq(("good fast text", 1), ("bad slow text", 0)).toDF("text", "y")
+    val (w, _) = TextAnalysis.trainLogOdds(ok, "text", "y", topN = 100)
+    assert(w.nonEmpty && w("fast") > 0 && w("slow") < 0)
+    val badVal = Seq(("a b", 1), ("c d", 2)).toDF("text", "y")
+    val e1 = intercept[Exception] {
+      TextAnalysis.trainLogOdds(badVal, "text", "y", topN = 10)
+    }
+    assert(e1.getMessage.contains("must be 0 or 1"))
+    val badNull = Seq(("a b", java.lang.Integer.valueOf(1)), ("c d", null))
+      .toDF("text", "y")
+    val e2 = intercept[Exception] {
+      TextAnalysis.trainLogOdds(badNull, "text", "y", topN = 10)
+    }
+    assert(e2.getMessage.contains("must be 0 or 1"))
+  }
 }
