@@ -86,7 +86,35 @@ object Bench {
 
     val qTotal = SparkEntry.queries.keys.map(results).sum
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$qTotal%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s"}""")
+    val fullLine =
+      f"""{"metric":"total","value":$qTotal%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s"}"""
+    println(fullLine)
+    // the harness keeps only the last ~2000 chars of output and parses the
+    // final metric line; the full per-query map (~2.8 KB at 98 queries) no
+    // longer fits, truncating its head and failing the parse (r6 finding
+    // #3). Persist the full line to a file and END with a compact line —
+    // total + the r2-baseline 29-query gate set + headline metrics — that
+    // fits the capture window whole.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("BENCH_SELF.json"),
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] BENCH_SELF.json write failed: $e") }
+    val gateSet = Seq(
+      "q_ann_ivf", "q_ann_lsh", "q_ann_pairs", "q_ann_topk", "q_bloom_probe",
+      "q_computed_probe", "q_csv_read", "q_dedup_exact", "q_dedup_hash",
+      "q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash",
+      "q_exploded_probe", "q_fingerprint", "q_json_read", "q_lang_id",
+      "q_multicol_and", "q_multimodal_meta", "q_pruned_agg", "q_quality",
+      "q_range_probe", "q_regular_join", "q_regular_probe", "q_reverse_join",
+      "q_select_join", "q_sql_join", "q_sql_where", "q_temporal_latest",
+      "q_token_count")
+    val gateTotal = gateSet.flatMap(results.get).sum
+    val compactQs = (gateSet ++ results.keys.filter(_.startsWith("x_")))
+      .flatMap(k => results.get(k).map(v => "\"" + k + f"""":$v%.3f"""))
+      .mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$qTotal%.3f,"unit":"sec","gate_total":$gateTotal%.3f,"queries":$compactQs%s,"sf":"$sfDir%s","full":"BENCH_SELF.json"}""")
     spark.stop()
   }
 }

@@ -840,10 +840,20 @@ object SparkEntry {
     // fixture vocabulary (codegen'd broadcast expression) — the upgrade
     // over q_token_count's pre-tokenizer lower bound; what
     // packByTokenBudget packs on for exact token accounting
+    // the scoring pass runs off a RELOADED artifact — save the fixture
+    // vocab through the atomic manifest, load it back with the fingerprint
+    // pinned, and count with the loaded object (the train-once/score-for-
+    // months production shape; a silently-changed vocab fails loudly here)
     "q_bpe_tokens" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
+      val vocab = new graft.functions.BpeVocab(BpeFixtureVocab.toArray)
+      val path = s"${lk.work}/artifacts/bpe_fixture.json"
+      graft.store.Artifacts.saveBpeVocab(s, path, vocab)
+      val loaded = graft.store.Artifacts.loadBpeVocab(s, path,
+        expectFingerprint = Some(graft.store.Artifacts.fingerprintOf(vocab)))
+      val bc = s.sparkContext.broadcast(loaded)
       lk.documents.select(col("doc_id"),
-        graft.functions.Bpe.segmentCount(s, BpeFixtureVocab)(lower(col("text")))
+        graft.functions.Bpe.segmentCount(bc)(lower(col("text")))
           .as("bpe_tokens"))
         .orderBy("doc_id")
     }),
@@ -884,12 +894,20 @@ object SparkEntry {
     }),
     // fastText-shaped linear quality scoring: fixed unigram weight table,
     // per-row codegen'd scoring (bigram path exercised in specs)
+    // scored with a RELOADED model artifact, same discipline as q_bpe_tokens
     "q_text_score" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
       val w = Map("fast" -> 0.8, "slow" -> -1.2, "spark" -> 0.5,
         "hash" -> 0.3, "the" -> -0.1)
+      val (g, wt) = w.toArray.sortBy(_._1).unzip
+      val model = new graft.functions.LinearTextModel(g, wt, 0.2, false)
+      val path = s"${lk.work}/artifacts/text_model_fixture.json"
+      graft.store.Artifacts.saveTextModel(s, path, model)
+      val loaded = graft.store.Artifacts.loadTextModel(s, path,
+        expectFingerprint = Some(graft.store.Artifacts.fingerprintOf(model)))
+      val bc = s.sparkContext.broadcast(loaded)
       lk.documents.select(col("doc_id"),
-        round(graft.functions.TextModel.score(s, w, bias = 0.2)(col("text")), 6)
+        round(graft.functions.TextModel.score(bc)(col("text")), 6)
           .as("score"))
         .orderBy("doc_id")
     }),
@@ -1090,6 +1108,22 @@ object SparkEntry {
       Similarity.trainCentroids(lk.embeddings, "vec_id", "embedding",
         nCells = 16, iters = 2)
         .select("cell_id", "n_assigned")
+        .orderBy("cell_id")
+    }),
+    // the IVF quantizer round-tripped through its persisted artifact: train
+    // 2 Lloyd iterations, save, reload, emit the loaded counts — the oracle
+    // replicates the full training walk, so a lossy save/load cannot pass
+    "q_kmeans_saved" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val (cs, counts) = Similarity.trainCentroidSet(
+        lk.embeddings, "vec_id", "embedding", nCells = 16, iters = 2)
+      val path = s"${lk.work}/artifacts/ivf_centroids.json"
+      graft.store.Artifacts.saveCentroids(s, path, cs, counts)
+      val (lcs, lcounts) = graft.store.Artifacts.loadCentroids(s, path,
+        expectFingerprint = Some(graft.store.Artifacts.fingerprintOf(cs)))
+      import s.implicits._
+      lcs.vecs.indices.map(c => (c.toLong, lcounts(c)))
+        .toDF("cell_id", "n_assigned")
         .orderBy("cell_id")
     }),
     // embedding near-dup DEDUP: IVF-bucketed cosine pairs + greedy keep-first
@@ -2163,6 +2197,44 @@ object SparkEntry {
     // 1e-6 and cast through FLOAT, exactly like the operator), re-assign,
     // count. Empty cells keep their previous centroid and report 0.
     "q_kmeans_assign" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         cent AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid,
+                         v AS cv
+                  FROM (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) h
+                        FROM e ORDER BY h, vec_id LIMIT 16)),
+         sc0 AS (SELECT e.vec_id id, c.cid,
+                        list_dot_product(e.v, c.cv) /
+                        (sqrt(list_dot_product(e.v, e.v)) *
+                         sqrt(list_dot_product(c.cv, c.cv))) sim
+                 FROM e CROSS JOIN cent c),
+         asg0 AS (SELECT id, cid FROM (
+                    SELECT id, cid, row_number() OVER (PARTITION BY id
+                      ORDER BY sim DESC, cid) rr FROM sc0) WHERE rr = 1),
+         dims AS (SELECT unnest(range(1, len(cv) + 1)) i
+                  FROM (SELECT cv FROM cent LIMIT 1)),
+         m0 AS (SELECT a.cid, d.i,
+                       CAST(CAST(round(avg(e.v[d.i]), 6) AS FLOAT) AS DOUBLE) m
+                FROM asg0 a JOIN e ON e.vec_id = a.id CROSS JOIN dims d
+                GROUP BY a.cid, d.i),
+         newc AS (SELECT cid, list(m ORDER BY i) cv FROM m0 GROUP BY cid),
+         cent1 AS (SELECT c.cid, coalesce(n.cv, c.cv) cv
+                   FROM cent c LEFT JOIN newc n ON n.cid = c.cid),
+         sc1 AS (SELECT e.vec_id id, c.cid,
+                        list_dot_product(e.v, c.cv) /
+                        (sqrt(list_dot_product(e.v, e.v)) *
+                         sqrt(list_dot_product(c.cv, c.cv))) sim
+                 FROM e CROSS JOIN cent1 c),
+         asg1 AS (SELECT id, cid FROM (
+                    SELECT id, cid, row_number() OVER (PARTITION BY id
+                      ORDER BY sim DESC, cid) rr FROM sc1) WHERE rr = 1),
+         n1 AS (SELECT cid, count(*) n FROM asg1 GROUP BY cid)
+         SELECT c.cid AS cell_id, coalesce(n1.n, CAST(0 AS BIGINT)) AS n_assigned
+         FROM cent c LEFT JOIN n1 ON n1.cid = c.cid
+         ORDER BY cell_id""",
+    // identical training walk to q_kmeans_assign — the Spark side differs
+    // only by the save/load round trip, so a lossy artifact format breaks
+    // the hash match
+    "q_kmeans_saved" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
          cent AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid,
                          v AS cv

@@ -35,3 +35,9 @@ class UnsupportedFormatException(msg: String)
 /** A storage migration step failed or the store is newer than this build. */
 class StorageMigrationException(msg: String, cause: Throwable = null)
   extends IllegalStateException(msg, cause) with GraftException
+
+/** A persisted trained artifact (BPE vocab, text-model weights, IVF
+  * centroids) is missing, of the wrong kind, from a newer format version
+  * than this build, or structurally invalid. */
+class ArtifactFormatException(msg: String, cause: Throwable = null)
+  extends IllegalStateException(msg, cause) with GraftException

@@ -23,10 +23,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * is one per-row codegen'd expression — no UDF boxing, no shuffle; the
   * vocabulary rides ONE broadcast handle in the plan, not a per-task
   * serialized set. */
-final class BpeVocab(tokenList: Array[String]) extends Serializable {
-  private val set = new java.util.HashSet[String](tokenList.length * 2)
-  tokenList.foreach(set.add)
-  val maxLen: Int = if (tokenList.isEmpty) 1 else tokenList.map(_.length).max
+final class BpeVocab(val tokens: Array[String]) extends Serializable {
+  private val set = new java.util.HashSet[String](tokens.length * 2)
+  tokens.foreach(set.add)
+  val maxLen: Int = if (tokens.isEmpty) 1 else tokens.map(_.length).max
 
   def size: Int = set.size
 

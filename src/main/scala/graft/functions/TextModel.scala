@@ -23,8 +23,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Training-side: [[graft.operators.TextAnalysis.trainLogOdds]] builds the
   * table distributively (one gram-count shuffle over a labeled frame). */
 final class LinearTextModel(
-    grams: Array[String],
-    weights: Array[Double],
+    val grams: Array[String],
+    val weights: Array[Double],
     val bias: Double,
     val useBigrams: Boolean) extends Serializable {
   require(grams.length == weights.length, "grams/weights length mismatch")

@@ -186,10 +186,12 @@ object Similarity {
       threshold: Double,
       nCells: Int = 16,
       nProbe: Int = 2,
-      trainIters: Int = 0): DataFrame = {
+      trainIters: Int = 0,
+      quantizer: Option[graft.functions.CentroidSet] = None): DataFrame = {
     val n = df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val assigned = ivfAssign(df, idCol, vecCol,
-      centroidSetFor(df, idCol, vecCol, nCells, trainIters), nProbe)
+      quantizer.getOrElse(
+        centroidSetFor(df, idCol, vecCol, nCells, trainIters)), nProbe)
     val a = assigned.select(col("__cid"), col("__id").as("a_id"))
     val b = assigned.select(col("__cid"), col("__id").as("b_id"))
     val cands = a.join(b, Seq("__cid"))
@@ -214,8 +216,10 @@ object Similarity {
       k: Int,
       nCells: Int = 16,
       nProbe: Int = 2,
-      trainIters: Int = 0): DataFrame = {
-    val cs = centroidSetFor(corpus, idCol, vecCol, nCells, trainIters)
+      trainIters: Int = 0,
+      quantizer: Option[graft.functions.CentroidSet] = None): DataFrame = {
+    val cs = quantizer.getOrElse(
+      centroidSetFor(corpus, idCol, vecCol, nCells, trainIters))
     val corpusCells = ivfAssign(corpus, idCol, vecCol, cs, nProbe = 1)
       .select(col("__cid"), col("__id").as("neighbor_id"))
     val queryCells = ivfAssign(queries, idCol, vecCol, cs, nProbe)
@@ -354,6 +358,21 @@ object Similarity {
     * mean was computed from). Feed the same `nCells`/`iters` to
     * [[ivfCosinePairs]]/[[ivfTopK]] via `trainIters` to query with the
     * refined cells; training costs `iters` corpus scans and nothing else. */
+  /** Object form of [[trainCentroids]] for persistence and reuse: the
+    * refined quantizer plus final-iteration assignment counts, ready for
+    * [[graft.store.Artifacts.saveCentroids]] and the `quantizer` option of
+    * [[ivfCosinePairs]]/[[ivfTopK]] (train once, score for months without
+    * re-running Lloyd). */
+  def trainCentroidSet(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nCells: Int = 16,
+      iters: Int = 2): (graft.functions.CentroidSet, Array[Long]) = {
+    require(iters >= 1, "iters must be >= 1")
+    lloydRefine(df, idCol, vecCol, nCells, iters)
+  }
+
   def trainCentroids(
       df: DataFrame,
       idCol: String,

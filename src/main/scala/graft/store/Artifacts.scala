@@ -1,0 +1,200 @@
+package graft.store
+
+import org.apache.spark.sql.SparkSession
+import org.json4s.{DefaultFormats, Formats}
+import org.json4s.jackson.Serialization
+
+import graft.ArtifactFormatException
+import graft.functions.{BpeVocab, CentroidSet, LinearTextModel}
+
+/** Persistence for trained artifacts — BPE vocabularies
+  * ([[graft.functions.BpeVocab]]), linear text-model weight tables
+  * ([[graft.functions.LinearTextModel]]), and IVF centroid sets
+  * ([[graft.functions.CentroidSet]]). A production pipeline trains once
+  * and scores for months; these artifacts previously lived only as
+  * in-memory objects (r6 verdict item 1).
+  *
+  * Wire format: one JSON manifest per artifact, written with the store's
+  * atomic-replace pattern ([[Fs.writeStringAtomic]] — readers see the old
+  * or the new manifest, never a torn write; same discipline as the index
+  * metadata, reference: IndexMetadataOperations.scala:125-155). Every
+  * manifest carries `kind` + `formatVersion` + a content `fingerprint`
+  * (md5 of the payload fields) so that (a) loading the wrong artifact
+  * kind fails loudly instead of mis-scoring, (b) a manifest written by a
+  * NEWER build refuses to half-load, and (c) a caller can pin the exact
+  * vocabulary a token accounting was computed with and detect silent
+  * drift (`expectFingerprint`).
+  *
+  * Size bound: artifacts are driver-bounded by construction (topN-cut
+  * weight tables, merge-bounded vocabularies, ≤nCells centroids), so a
+  * single JSON file is the right physical shape — no partitioned table
+  * needed at any corpus scale.
+  */
+object Artifacts {
+  implicit private val formats: Formats = DefaultFormats
+
+  val BpeVocabKind = "bpe_vocab"
+  val TextModelKind = "text_model"
+  val CentroidsKind = "ivf_centroids"
+  val CurrentFormatVersion = 1
+
+  private case class BpeVocabManifest(
+      kind: String, formatVersion: Int, fingerprint: String,
+      tokens: List[String])
+
+  private case class TextModelManifest(
+      kind: String, formatVersion: Int, fingerprint: String,
+      grams: List[String], weights: List[Double], bias: Double,
+      useBigrams: Boolean)
+
+  private case class CentroidsManifest(
+      kind: String, formatVersion: Int, fingerprint: String,
+      dim: Int, centroids: List[List[Float]], nAssigned: List[Long])
+
+  private def md5(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Canonical fingerprint of a vocabulary: md5 over the token list in
+    * STORED order (order is part of the artifact identity — it is what a
+    * user pins to guarantee stable token accounting). */
+  def fingerprintOf(vocab: BpeVocab): String =
+    md5(vocab.tokens.mkString("\u0000"))
+
+  def fingerprintOf(model: LinearTextModel): String =
+    md5(model.grams.mkString("\u0000") + "\u0001" +
+      model.weights.map(w => java.lang.Double.doubleToLongBits(w).toString)
+        .mkString("\u0000") + "\u0001" +
+      java.lang.Double.doubleToLongBits(model.bias) + "\u0001" +
+      model.useBigrams)
+
+  def fingerprintOf(cs: CentroidSet): String =
+    md5(cs.vecs.map(_.map(f => java.lang.Float.floatToIntBits(f).toString)
+      .mkString(",")).mkString("\u0000"))
+
+  private def readManifest[T: Manifest](
+      spark: SparkSession, path: String, expectedKind: String): T = {
+    if (!Fs.exists(spark, path))
+      throw new ArtifactFormatException(s"no artifact at $path")
+    val raw = Fs.readString(spark, path)
+    // check the (kind, formatVersion) envelope BEFORE the typed extraction,
+    // so a wrong-kind load reports the kind mismatch rather than a generic
+    // extraction failure
+    val json = try org.json4s.jackson.JsonMethods.parse(raw) catch {
+      case e: Exception =>
+        throw new ArtifactFormatException(s"unreadable artifact at $path", e)
+    }
+    val kind = (json \ "kind").extractOpt[String].getOrElse(
+      throw new ArtifactFormatException(s"artifact at $path has no 'kind'"))
+    if (kind != expectedKind)
+      throw new ArtifactFormatException(
+        s"artifact at $path is '$kind', expected '$expectedKind'")
+    val version = (json \ "formatVersion").extractOpt[Int].getOrElse(
+      throw new ArtifactFormatException(
+        s"artifact at $path has no 'formatVersion'"))
+    if (version > CurrentFormatVersion)
+      throw new ArtifactFormatException(
+        s"artifact at $path has formatVersion $version; this build reads " +
+          s"<= $CurrentFormatVersion — refusing a partial load")
+    try json.extract[T] catch {
+      case e: Exception =>
+        throw new ArtifactFormatException(s"unreadable artifact at $path", e)
+    }
+  }
+
+  private def checkFingerprint(
+      path: String, stored: String, recomputed: String,
+      expect: Option[String]): Unit = {
+    if (stored != recomputed)
+      throw new ArtifactFormatException(
+        s"artifact at $path is corrupt: stored fingerprint $stored != " +
+          s"payload fingerprint $recomputed")
+    expect.foreach { e =>
+      if (e != stored)
+        throw new ArtifactFormatException(
+          s"artifact at $path has fingerprint $stored, caller pinned $e — " +
+            "the trained artifact changed underneath this pipeline")
+    }
+  }
+
+  // ---- BPE vocabulary ------------------------------------------------------
+
+  def saveBpeVocab(spark: SparkSession, path: String, vocab: BpeVocab): Unit =
+    Fs.writeStringAtomic(spark, path, Serialization.writePretty(
+      BpeVocabManifest(BpeVocabKind, CurrentFormatVersion,
+        fingerprintOf(vocab), vocab.tokens.toList)))
+
+  /** Load a vocabulary; pass `expectFingerprint` (from a previous
+    * [[fingerprintOf]]) to pin the exact vocabulary and fail loudly if it
+    * changed — a silently-swapped vocab silently changes every downstream
+    * token count. */
+  def loadBpeVocab(
+      spark: SparkSession, path: String,
+      expectFingerprint: Option[String] = None): BpeVocab = {
+    val m = readManifest[BpeVocabManifest](spark, path, BpeVocabKind)
+    val vocab = new BpeVocab(m.tokens.toArray)
+    checkFingerprint(path, m.fingerprint, fingerprintOf(vocab),
+      expectFingerprint)
+    vocab
+  }
+
+  // ---- linear text model ---------------------------------------------------
+
+  def saveTextModel(
+      spark: SparkSession, path: String, model: LinearTextModel): Unit =
+    Fs.writeStringAtomic(spark, path, Serialization.writePretty(
+      TextModelManifest(TextModelKind, CurrentFormatVersion,
+        fingerprintOf(model), model.grams.toList, model.weights.toList,
+        model.bias, model.useBigrams)))
+
+  def loadTextModel(
+      spark: SparkSession, path: String,
+      expectFingerprint: Option[String] = None): LinearTextModel = {
+    val m = readManifest[TextModelManifest](spark, path, TextModelKind)
+    if (m.grams.length != m.weights.length)
+      throw new ArtifactFormatException(
+        s"artifact at $path: ${m.grams.length} grams vs " +
+          s"${m.weights.length} weights")
+    val model = new LinearTextModel(m.grams.toArray, m.weights.toArray,
+      m.bias, m.useBigrams)
+    checkFingerprint(path, m.fingerprint, fingerprintOf(model),
+      expectFingerprint)
+    model
+  }
+
+  // ---- IVF centroids -------------------------------------------------------
+
+  /** Save a centroid set plus the final-iteration assignment counts
+    * ([[graft.operators.Similarity.trainCentroids]]'s `n_assigned`). */
+  def saveCentroids(
+      spark: SparkSession, path: String, cs: CentroidSet,
+      nAssigned: Array[Long]): Unit = {
+    require(nAssigned.length == cs.size,
+      s"nAssigned length ${nAssigned.length} != ${cs.size} centroids")
+    Fs.writeStringAtomic(spark, path, Serialization.writePretty(
+      CentroidsManifest(CentroidsKind, CurrentFormatVersion,
+        fingerprintOf(cs),
+        if (cs.size == 0) 0 else cs.vecs(0).length,
+        cs.vecs.map(_.toList).toList, nAssigned.toList)))
+  }
+
+  def loadCentroids(
+      spark: SparkSession, path: String,
+      expectFingerprint: Option[String] = None): (CentroidSet, Array[Long]) = {
+    val m = readManifest[CentroidsManifest](spark, path, CentroidsKind)
+    if (m.centroids.exists(_.length != m.dim))
+      throw new ArtifactFormatException(
+        s"artifact at $path: centroid dims ${m.centroids.map(_.length).distinct} " +
+          s"!= declared dim ${m.dim}")
+    if (m.nAssigned.length != m.centroids.length)
+      throw new ArtifactFormatException(
+        s"artifact at $path: ${m.nAssigned.length} counts vs " +
+          s"${m.centroids.length} centroids")
+    val cs = new CentroidSet(m.centroids.map(_.toArray).toArray)
+    checkFingerprint(path, m.fingerprint, fingerprintOf(cs),
+      expectFingerprint)
+    (cs, m.nAssigned.toArray)
+  }
+}

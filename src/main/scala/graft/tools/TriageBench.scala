@@ -25,10 +25,27 @@ object TriageBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    Lake.get(spark, sfDir).prebuild()
+    val lake = Lake.get(spark, sfDir)
+    lake.prebuild()
+    // the Bench headline join (not a SparkEntry query) is triage-able too:
+    // same probe construction as Bench.scala so medians compare 1:1
+    import org.apache.spark.sql.functions.{col, max}
+    lazy val probe = {
+      val maxCust = lake.customers.agg(max("c_custkey")).first().getLong(0)
+      lake.customers
+        .where(col("c_custkey") <= maxCust / 8 && col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("o_custkey"))
+    }
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir).count()
+      name match {
+        case "x_join_indexed" =>
+          lake.ordersIdx.join(probe, Seq("o_custkey")).count()
+        case "x_join_fullscan" =>
+          spark.read.parquet(lake.ordersFiles: _*)
+            .join(probe, Seq("o_custkey")).count()
+        case _ => SparkEntry.queries(name)(spark, sfDir).count()
+      }
       (System.nanoTime() - t0) / 1e9
     }
     // warmup pass (JIT + index-table cache), then interleaved reps

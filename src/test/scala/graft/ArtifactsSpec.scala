@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{BpeVocab, CentroidSet, LinearTextModel}
+import graft.operators.Similarity
+import graft.store.{Artifacts, Fs}
+
+/** Persistence for trained artifacts (r6 verdict item 1): exact round
+  * trips for BPE vocabularies, linear text models, and IVF centroid sets;
+  * kind/version/fingerprint guard rails; and the production reuse path
+  * (IVF search with a reloaded quantizer ≡ training in-line). */
+class ArtifactsSpec extends GraftSuite {
+
+  test("BpeVocab round-trips exactly, preserving order and counts") {
+    val dir = tmpDir("graft_art_")
+    val vocab = new BpeVocab(Array("the", "th", "ing", "tion", "é", ""))
+    val path = s"$dir/vocab.json"
+    Artifacts.saveBpeVocab(spark, path, vocab)
+    val fp = Artifacts.fingerprintOf(vocab)
+    val loaded = Artifacts.loadBpeVocab(spark, path, Some(fp))
+    assert(loaded.tokens.toSeq == vocab.tokens.toSeq)
+    assert(loaded.maxLen == vocab.maxLen)
+    for (t <- Seq("the thing nation", "xyzzy", "", "é é")) {
+      assert(loaded.countText(org.apache.spark.unsafe.types.UTF8String.fromString(t)) ==
+        vocab.countText(org.apache.spark.unsafe.types.UTF8String.fromString(t)), t)
+    }
+    assert(Artifacts.fingerprintOf(loaded) == fp)
+  }
+
+  test("LinearTextModel round-trips exactly (bit-identical weights)") {
+    val dir = tmpDir("graft_art_")
+    val model = new LinearTextModel(
+      Array("fast", "slow", "a b"), Array(0.1, -1.0 / 3.0, 1e-300),
+      bias = math.Pi, useBigrams = true)
+    val path = s"$dir/model.json"
+    Artifacts.saveTextModel(spark, path, model)
+    val loaded = Artifacts.loadTextModel(spark, path,
+      Some(Artifacts.fingerprintOf(model)))
+    assert(loaded.grams.toSeq == model.grams.toSeq)
+    assert(loaded.weights.toSeq == model.weights.toSeq) // exact doubles
+    assert(loaded.bias == model.bias && loaded.useBigrams)
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString("fast a b slow")
+    assert(loaded.score(u) == model.score(u))
+  }
+
+  test("CentroidSet round-trips exactly with assignment counts") {
+    val dir = tmpDir("graft_art_")
+    val cs = new CentroidSet(Array(
+      Array(1.0f, 0.5f, -0.25f), Array(0.1f, 0.2f, 0.3f)))
+    val counts = Array(7L, 3L)
+    val path = s"$dir/cents.json"
+    Artifacts.saveCentroids(spark, path, cs, counts)
+    val (lcs, lcounts) = Artifacts.loadCentroids(spark, path,
+      Some(Artifacts.fingerprintOf(cs)))
+    assert(lcs.vecs.map(_.toSeq).toSeq == cs.vecs.map(_.toSeq).toSeq)
+    assert(lcs.norms.toSeq == cs.norms.toSeq)
+    assert(lcounts.toSeq == counts.toSeq)
+  }
+
+  test("kind, version, fingerprint, and corruption guards fail loudly") {
+    val dir = tmpDir("graft_art_")
+    val vocab = new BpeVocab(Array("ab", "cd"))
+    val vPath = s"$dir/v.json"
+    Artifacts.saveBpeVocab(spark, vPath, vocab)
+
+    // wrong kind: a vocab is not a text model
+    val e1 = intercept[ArtifactFormatException] {
+      Artifacts.loadTextModel(spark, vPath)
+    }
+    assert(e1.getMessage.contains("expected 'text_model'"))
+
+    // missing file
+    intercept[ArtifactFormatException] {
+      Artifacts.loadBpeVocab(spark, s"$dir/absent.json")
+    }
+
+    // newer format version than this build
+    val raw = Fs.readString(spark, vPath)
+    Fs.writeStringAtomic(spark, s"$dir/future.json",
+      raw.replace("\"formatVersion\" : 1", "\"formatVersion\" : 99"))
+    val e2 = intercept[ArtifactFormatException] {
+      Artifacts.loadBpeVocab(spark, s"$dir/future.json")
+    }
+    assert(e2.getMessage.contains("formatVersion 99"))
+
+    // tampered payload no longer matches the stored fingerprint
+    Fs.writeStringAtomic(spark, s"$dir/tampered.json",
+      raw.replace("\"ab\"", "\"zz\""))
+    val e3 = intercept[ArtifactFormatException] {
+      Artifacts.loadBpeVocab(spark, s"$dir/tampered.json")
+    }
+    assert(e3.getMessage.contains("corrupt"))
+
+    // caller-pinned fingerprint detects a re-trained artifact
+    Artifacts.saveBpeVocab(spark, vPath, new BpeVocab(Array("ab", "cd", "ef")))
+    val e4 = intercept[ArtifactFormatException] {
+      Artifacts.loadBpeVocab(spark, vPath,
+        Some(Artifacts.fingerprintOf(vocab)))
+    }
+    assert(e4.getMessage.contains("pinned"))
+
+    // unparseable JSON
+    Fs.writeStringAtomic(spark, s"$dir/garbage.json", "{not json")
+    intercept[ArtifactFormatException] {
+      Artifacts.loadBpeVocab(spark, s"$dir/garbage.json")
+    }
+  }
+
+  test("save is an atomic replace: a re-save overwrites cleanly") {
+    val dir = tmpDir("graft_art_")
+    val path = s"$dir/v.json"
+    Artifacts.saveBpeVocab(spark, path, new BpeVocab(Array("aa")))
+    Artifacts.saveBpeVocab(spark, path, new BpeVocab(Array("bb", "cc")))
+    assert(Artifacts.loadBpeVocab(spark, path).tokens.toSeq == Seq("bb", "cc"))
+    // no stray temp files left behind
+    val leftovers = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.contains(".tmp-"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
+
+  test("ivfTopK with a reloaded quantizer equals in-line training") {
+    val dir = tmpDir("graft_art_")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = emb.where(col("vec_id") < 8)
+    val (cs, counts) = Similarity.trainCentroidSet(
+      emb, "vec_id", "embedding", nCells = 8, iters = 2)
+    val path = s"$dir/q.json"
+    Artifacts.saveCentroids(spark, path, cs, counts)
+    val (lcs, _) = Artifacts.loadCentroids(spark, path)
+    val viaLoaded = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 3, nCells = 8, quantizer = Some(lcs))
+    val viaTrained = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      k = 3, nCells = 8, trainIters = 2)
+    assertSameRows(viaLoaded, viaTrained)
+  }
+}
