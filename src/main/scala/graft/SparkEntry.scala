@@ -961,6 +961,23 @@ object SparkEntry {
           col("roll_gap").as("gap_micros"))
         .orderBy("event_id")
     }),
+    // the same features through the skew-bucketed two-level execution
+    // (hot-key bound O(rows/bucket) per task) — oracle identical to
+    // q_rolling_stats, so any carry/fallback bug breaks the hash match
+    "q_rolling_bucketed" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val clicks = lk.events.where(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      Rolling.trailingStatsBucketed(clicks, Seq("user_id"), "ts", "value",
+        rangeBack = 3600L * 1000000L, bucketWidth = 2L * 3600L * 1000000L,
+        tieCols = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("roll_cnt"),
+          round(col("roll_sum"), 6).as("roll_sum"),
+          round(col("roll_avg"), 6).as("roll_avg"),
+          round(col("roll_prev_value"), 6).as("prev_value"),
+          col("roll_gap").as("gap_micros"))
+        .orderBy("event_id")
+    }),
     "q_quality" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
       TextAnalysis.quality(lk.documents, "doc_id", "text").orderBy("doc_id")
@@ -1385,6 +1402,21 @@ object SparkEntry {
            FROM documents ORDER BY wk DESC, doc_id LIMIT 200)
          ORDER BY doc_id""",
     "q_rolling_stats" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsn, value
+                    FROM events WHERE event_type = 'click')
+         SELECT event_id, user_id,
+           count(value) OVER rw AS roll_cnt,
+           round(sum(value) OVER rw, 6) AS roll_sum,
+           round(avg(value) OVER rw, 6) AS roll_avg,
+           round(lag(value, 1) OVER ow, 6) AS prev_value,
+           tsn - lag(tsn, 1) OVER ow AS gap_micros
+         FROM e
+         WINDOW rw AS (PARTITION BY user_id ORDER BY tsn
+                       RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW),
+                ow AS (PARTITION BY user_id ORDER BY tsn, event_id)
+         ORDER BY event_id""",
+    // identical window semantics, skew-bucketed execution — same oracle
+    "q_rolling_bucketed" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsn, value
                     FROM events WHERE event_type = 'click')
          SELECT event_id, user_id,

@@ -21,14 +21,17 @@ import org.apache.spark.sql.functions._
   * Catalyst evaluates all frames over one sort — the plan carries a single
   * per-key exchange+sort, not one per feature.
   *
-  * Skew bound, same statement as [[Sessions.assign]]: one key's whole
-  * history sorts in one task. A pathological hot key wants the two-level
-  * bucket treatment; unlike dense session indexes, a trailing RANGE
-  * aggregate needs cross-bucket rows (the trailing window spans bucket
-  * edges), so the remedy is replicating each bucket's trailing `rangeBack`
-  * slice into its successor before a bucketed window — not carried here
-  * until a real corpus needs it (events tables are rarely single-key
-  * skewed the way document corpora are lang-skewed).
+  * Skew bound, same statement as [[Sessions.assign]]: [[trailingStats]]
+  * sorts one key's whole history in one task. For a pathological hot key
+  * (bot traffic = one hot user_id at 100 TB) use
+  * [[trailingStatsBucketed]] — identical results, per-task work capped at
+  * O(rows per time bucket): unlike dense session indexes, a trailing
+  * RANGE aggregate needs cross-bucket ROWS (the trailing window spans
+  * bucket edges), so each bucket's trailing `rangeBack` slice is
+  * replicated into its successor before the bucketed window, and the
+  * `prev_*` ROWS features resolve bucket-first rows through the compact
+  * per-(key, occupied-bucket) last-event frame (the
+  * [[Sessions.assignBucketed]] two-level scan).
   *
   * Determinism at ts ties: RANGE frames include ALL tied rows in each
   * other's trailing window (frame bounds are on the ORDER BY value), so
@@ -66,5 +69,94 @@ object Rolling {
       .withColumn(s"${outPrefix}avg", avg(v).over(range))
       .withColumn(s"${outPrefix}prev_value", lag(v, 1).over(rows))
       .withColumn(s"${outPrefix}gap", tsN - lag(tsN, 1).over(rows))
+  }
+
+  /** Skew-resistant bucketed [[trailingStats]]: same output, different
+    * parallelism bound — the heavy windows partition by
+    * (key, ts div bucketWidth), so one hot key costs O(rows per bucket)
+    * per task instead of its whole history in one sort.
+    *
+    * Mechanics (two pieces, matching the two frame kinds):
+    *  - RANGE aggregates (`cnt`/`sum`/`avg`): every row whose trailing
+    *    window a successor-bucket row can see — the bucket's last
+    *    `rangeBack` slice, `pmod(ts, width) >= width - rangeBack` — is
+    *    replicated once into the next bucket as a frame-only carry row.
+    *    `bucketWidth >= rangeBack` guarantees a trailing window spans at
+    *    most two buckets, so ONE carry hop suffices; carry rows feed
+    *    frames and are dropped before output. Worst-case row inflation is
+    *    2× (at `bucketWidth == rangeBack`); wider buckets carry
+    *    proportionally less and sort proportionally more per task.
+    *  - ROWS features (`prev_value`/`gap`): a bucket's first row's
+    *    predecessor may sit ANY number of empty buckets back, which no
+    *    fixed carry reaches — so they resolve through the compact
+    *    per-(key, occupied-bucket) last-event frame (one row per occupied
+    *    bucket; the [[Sessions.assignBucketed]] pattern): an in-bucket
+    *    `lag` covers every row but the bucket's first, which takes the
+    *    previous occupied bucket's last event from the compact frame.
+    *
+    * Contract: rows must have a non-null timestamp (filter first — the
+    * single-window form's null-ordering behavior is not replicated) and
+    * `tieCols` must make (key, ts, tieCols) unique for deterministic
+    * `prev_*`, as in [[trailingStats]]. `tieCols` may not be named
+    * `__gts`/`__v` (reserved struct field names). Pick `bucketWidth` so
+    * one bucket holds a bounded slice of the hottest key's traffic. */
+  def trailingStatsBucketed(
+      df: DataFrame,
+      keyCols: Seq[String],
+      tsCol: String,
+      valueCol: String,
+      rangeBack: Long,
+      bucketWidth: Long,
+      tieCols: Seq[String] = Nil,
+      outPrefix: String = "roll_"): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    require(rangeBack > 0, "rangeBack must be positive")
+    require(bucketWidth >= rangeBack,
+      s"bucketWidth ($bucketWidth) must be >= rangeBack ($rangeBack) so a " +
+        "trailing window spans at most two buckets")
+    require(!tieCols.exists(Set("__gts", "__v")),
+      "tieCols may not use the reserved names __gts/__v")
+    val tsN: Column = TimeCols.numericFor(df, tsCol)
+    val v = col(valueCol)
+    val wL = lit(bucketWidth)
+    // floor division (pmod is non-negative), exact for any sign of ts
+    val base = df.withColumn("__gts", tsN)
+      .withColumn("__gb",
+        ((col("__gts") - pmod(col("__gts"), wL)) / wL).cast("long"))
+    val gridCols = (keyCols :+ "__gb").map(col)
+    // RANGE aggregates over originals ∪ one-hop carries
+    val carry = base
+      .where(pmod(col("__gts"), wL) >= lit(bucketWidth - rangeBack))
+      .withColumn("__gb", col("__gb") + 1)
+      .withColumn("__carry", lit(true))
+    val union = base.withColumn("__carry", lit(false)).unionByName(carry)
+    val wAgg = Window.partitionBy(gridCols: _*).orderBy(col("__gts"))
+      .rangeBetween(-rangeBack, Window.currentRow)
+    val agged = union
+      .withColumn(s"${outPrefix}cnt", count(v).over(wAgg))
+      .withColumn(s"${outPrefix}sum", sum(v).over(wAgg))
+      .withColumn(s"${outPrefix}avg", avg(v).over(wAgg))
+      .where(!col("__carry"))
+    // ROWS features: in-bucket lag + compact-frame fallback for bucket-
+    // first rows
+    val wRows = Window.partitionBy(gridCols: _*)
+      .orderBy(col("__gts") +: tieCols.map(col): _*)
+    val withLocal = agged
+      .withColumn("__pv_l", lag(v, 1).over(wRows))
+      .withColumn("__pt_l", lag(col("__gts"), 1).over(wRows))
+    val lastStruct = max(struct(
+      col("__gts") +: tieCols.map(col) :+ v.as("__v"): _*))
+    val perBucket = base.groupBy(gridCols: _*).agg(lastStruct.as("__last"))
+    val wK = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__gb"))
+    val bFrame = perBucket
+      .withColumn("__plast", lag(col("__last"), 1).over(wK))
+      .select((keyCols :+ "__gb").map(col) :+ col("__plast"): _*)
+    val hasLocal = col("__pt_l").isNotNull
+    withLocal.join(bFrame, keyCols :+ "__gb")
+      .withColumn(s"${outPrefix}prev_value",
+        when(hasLocal, col("__pv_l")).otherwise(col("__plast.__v")))
+      .withColumn(s"${outPrefix}gap", col("__gts") -
+        when(hasLocal, col("__pt_l")).otherwise(col("__plast.__gts")))
+      .drop("__gts", "__gb", "__carry", "__pv_l", "__pt_l", "__plast")
   }
 }

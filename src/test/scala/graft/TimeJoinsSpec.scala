@@ -507,4 +507,74 @@ class TimeJoinsSpec extends GraftSuite {
     assert(got(2L).getLong(3) == 0L)            // gap to its tie peer
     assert(got(3L).getLong(1) == 3L && got(3L).getDouble(2) == 7.0)
   }
+
+  // ---- round 7: skew-bucketed rolling features ---------------------------
+
+  test("trailingStatsBucketed ≡ trailingStats across bucket widths (random, hot key)") {
+    import graft.operators.Rolling
+    val rnd = new scala.util.Random(7)
+    val rangeBack = 100L
+    // hot key 1 holds 60% of rows; ts ties + empty-bucket stretches by
+    // construction (ids unique → deterministic prev via tie column)
+    val rows = (1 to 600).map { i =>
+      val user = if (rnd.nextInt(10) < 6) 1L else 2L + rnd.nextInt(4)
+      val ts = (rnd.nextInt(40) * 250L) + (if (rnd.nextBoolean()) 0L else 3000L)
+      (i.toLong, user, ts, rnd.nextInt(100).toDouble)
+    }
+    val ev = rows.toDF("event_id", "user_id", "ts", "value")
+    val single = Rolling.trailingStats(ev, Seq("user_id"), "ts", "value",
+      rangeBack, tieCols = Seq("event_id"))
+    for (width <- Seq(100L, 130L, 250L, 1000L, 100000L)) {
+      val bucketed = Rolling.trailingStatsBucketed(ev, Seq("user_id"), "ts",
+        "value", rangeBack, bucketWidth = width, tieCols = Seq("event_id"))
+      assertSameRows(bucketed, single)
+    }
+  }
+
+  test("trailingStatsBucketed: null values don't leak the compact fallback") {
+    import graft.operators.Rolling
+    // event 2's value is null; event 3's prev_value must be null (the real
+    // previous event), NOT fall through to event 1 across the bucket edge
+    val ev = Seq(
+      (1L, 1L, 50L, java.lang.Double.valueOf(5.0)),
+      (2L, 1L, 120L, null.asInstanceOf[java.lang.Double]),
+      (3L, 1L, 130L, java.lang.Double.valueOf(7.0))
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = Rolling.trailingStatsBucketed(ev, Seq("user_id"), "ts", "value",
+      rangeBack = 100L, bucketWidth = 100L, tieCols = Seq("event_id"))
+      .select("event_id", "roll_cnt", "roll_prev_value", "roll_gap")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(3L).isNullAt(2), "prev_value must be the null-valued event 2")
+    assert(got(3L).getLong(3) == 10L)
+    // count counts VALUES (nulls excluded), frame [30,130] holds 5.0 & 7.0
+    assert(got(3L).getLong(1) == 2L)
+    val single = Rolling.trailingStats(ev, Seq("user_id"), "ts", "value",
+      100L, tieCols = Seq("event_id"))
+    assertSameRows(
+      Rolling.trailingStatsBucketed(ev, Seq("user_id"), "ts", "value",
+        100L, 100L, tieCols = Seq("event_id")), single)
+  }
+
+  test("trailingStatsBucketed: timestamp timeline and guard rails") {
+    import graft.operators.Rolling
+    val ev = Seq(
+      (1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      (2L, 1L, java.sql.Timestamp.valueOf("2024-01-01 10:59:59"), 2.0),
+      (3L, 1L, java.sql.Timestamp.valueOf("2024-01-01 12:30:00"), 4.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val hour = 3600L * 1000000L
+    assertSameRows(
+      Rolling.trailingStatsBucketed(ev, Seq("user_id"), "ts", "value",
+        hour, hour, tieCols = Seq("event_id")),
+      Rolling.trailingStats(ev, Seq("user_id"), "ts", "value",
+        hour, tieCols = Seq("event_id")))
+    intercept[IllegalArgumentException] {
+      Rolling.trailingStatsBucketed(ev, Seq("user_id"), "ts", "value",
+        rangeBack = hour, bucketWidth = hour - 1)
+    }
+    intercept[IllegalArgumentException] {
+      Rolling.trailingStatsBucketed(ev, Seq("user_id"), "ts", "value",
+        rangeBack = hour, bucketWidth = hour, tieCols = Seq("__gts"))
+    }
+  }
 }
