@@ -911,6 +911,26 @@ object SparkEntry {
           .as("score"))
         .orderBy("doc_id")
     }),
+    // perplexity-style LM quality scoring (the CCNet/KenLM curation step):
+    // train the Laplace-smoothed unigram LM on the corpus (one gram
+    // shuffle, deterministic top-1000 cut), persist + reload the model
+    // artifact, then score every doc with the codegen'd one-walk
+    // perplexity expression; the oracle replicates the full train+score
+    // log-prob walk in SQL
+    "q_perplexity" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val lm = TextAnalysis.trainUnigramLm(lk.documents, "text",
+        topN = 1000, alpha = 0.5)
+      val path = s"${lk.work}/artifacts/unigram_lm.json"
+      graft.store.Artifacts.saveUnigramLm(s, path, lm)
+      val loaded = graft.store.Artifacts.loadUnigramLm(s, path,
+        expectFingerprint = Some(graft.store.Artifacts.fingerprintOf(lm)))
+      val bc = s.sparkContext.broadcast(loaded)
+      lk.documents.select(col("doc_id"),
+        round(graft.functions.NgramLm.perplexity(bc)(col("text")), 6)
+          .as("perplexity"))
+        .orderBy("doc_id")
+    }),
     // one-pass per-column profile (exact distincts at bench scale; the
     // HLL swap is the documented petabyte path)
     "q_profile" -> ((s, dir) => {
@@ -1298,6 +1318,25 @@ object SparkEntry {
                GROUP BY doc_id)
          SELECT d.doc_id, round(0.2 + coalesce(s.sw, 0), 6) AS score
          FROM documents d LEFT JOIN s USING (doc_id) ORDER BY d.doc_id""",
+    // replicates trainUnigramLm + the perplexity walk: top-1000 gram table
+    // (count desc, gram asc), Laplace over V+1 outcomes with one unk
+    // bucket, per-doc exp(-avg ln p) over non-empty lowercased tokens
+    "q_perplexity" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                    FROM documents),
+         tt AS (SELECT doc_id, w FROM t WHERE len(w) > 0),
+         c AS (SELECT w AS gram, count(*) AS n FROM tt GROUP BY w
+               ORDER BY n DESC, gram LIMIT 1000),
+         tot AS (SELECT sum(n)::DOUBLE AS nn, count(*)::DOUBLE AS v FROM c),
+         lp AS (SELECT gram, ln((n + 0.5) / (nn + 0.5 * (v + 1))) AS l
+                FROM c, tot),
+         unk AS (SELECT ln(0.5 / (nn + 0.5 * (v + 1))) AS l FROM tot),
+         sc AS (SELECT tt.doc_id,
+                       sum(coalesce(lp.l, (SELECT l FROM unk))) AS slp,
+                       count(*) AS n
+                FROM tt LEFT JOIN lp ON tt.w = lp.gram GROUP BY tt.doc_id)
+         SELECT d.doc_id, round(exp(-(sc.slp / sc.n)), 6) AS perplexity
+         FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""",
     "q_profile" ->
       """SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
              count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_nulls,

@@ -247,6 +247,31 @@ object TextAnalysis {
     graft.functions.BpeVocab.train(wc, numMerges)
   }
 
+  /** Train a count-based unigram language model for perplexity-style
+    * quality filtering ([[graft.functions.UnigramLm]] — the CCNet/KenLM
+    * curation step): one distributed gram-count shuffle over the trusted
+    * corpus (map-side partials, deterministic top-`topN` cut: count desc,
+    * gram asc), then the bounded table collects and becomes the broadcast
+    * log-prob model. Tokens are the lowercased space-split words; EMPTY
+    * tokens (from runs of spaces) are excluded on both the training and
+    * scoring side, so counts and the per-doc token divisor agree exactly.
+    * Score with [[graft.functions.NgramLm.perplexity]]; persist via
+    * [[graft.store.Artifacts.saveUnigramLm]]. */
+  def trainUnigramLm(
+      df: DataFrame,
+      textCol: String,
+      topN: Int = 50000,
+      alpha: Double = 0.5): graft.functions.UnigramLm = {
+    require(topN > 0 && topN <= 1000000, "topN must be in (0, 1e6]")
+    require(alpha > 0, "alpha must be positive")
+    val wc = df.select(explode(tokens(col(textCol))).as("gram"))
+      .where(length(col("gram")) > 0)
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram")).limit(topN)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    new graft.functions.UnigramLm(wc.map(_._1), wc.map(_._2), alpha)
+  }
+
   /** Train a Naive-Bayes log-odds weight table for
     * [[graft.functions.TextModel]] from a binary-labeled frame
     * (`labelCol` = 1 for the "keep" class, 0 otherwise) — the classic

@@ -36,6 +36,7 @@ object Artifacts {
   val BpeVocabKind = "bpe_vocab"
   val TextModelKind = "text_model"
   val CentroidsKind = "ivf_centroids"
+  val UnigramLmKind = "unigram_lm"
   val CurrentFormatVersion = 1
 
   private case class BpeVocabManifest(
@@ -46,6 +47,10 @@ object Artifacts {
       kind: String, formatVersion: Int, fingerprint: String,
       grams: List[String], weights: List[Double], bias: Double,
       useBigrams: Boolean)
+
+  private case class UnigramLmManifest(
+      kind: String, formatVersion: Int, fingerprint: String,
+      grams: List[String], counts: List[Long], alpha: Double)
 
   private case class CentroidsManifest(
       kind: String, formatVersion: Int, fingerprint: String,
@@ -69,6 +74,11 @@ object Artifacts {
         .mkString("\u0000") + "\u0001" +
       java.lang.Double.doubleToLongBits(model.bias) + "\u0001" +
       model.useBigrams)
+
+  def fingerprintOf(lm: graft.functions.UnigramLm): String =
+    md5(lm.grams.mkString("\u0000") + "\u0001" +
+      lm.counts.mkString("\u0000") + "\u0001" +
+      java.lang.Double.doubleToLongBits(lm.alpha))
 
   def fingerprintOf(cs: CentroidSet): String =
     md5(cs.vecs.map(_.map(f => java.lang.Float.floatToIntBits(f).toString)
@@ -162,6 +172,30 @@ object Artifacts {
     checkFingerprint(path, m.fingerprint, fingerprintOf(model),
       expectFingerprint)
     model
+  }
+
+  // ---- unigram LM ----------------------------------------------------------
+
+  def saveUnigramLm(
+      spark: SparkSession, path: String,
+      lm: graft.functions.UnigramLm): Unit =
+    Fs.writeStringAtomic(spark, path, Serialization.writePretty(
+      UnigramLmManifest(UnigramLmKind, CurrentFormatVersion,
+        fingerprintOf(lm), lm.grams.toList, lm.counts.toList, lm.alpha)))
+
+  def loadUnigramLm(
+      spark: SparkSession, path: String,
+      expectFingerprint: Option[String] = None): graft.functions.UnigramLm = {
+    val m = readManifest[UnigramLmManifest](spark, path, UnigramLmKind)
+    if (m.grams.length != m.counts.length)
+      throw new ArtifactFormatException(
+        s"artifact at $path: ${m.grams.length} grams vs " +
+          s"${m.counts.length} counts")
+    val lm = new graft.functions.UnigramLm(
+      m.grams.toArray, m.counts.toArray, m.alpha)
+    checkFingerprint(path, m.fingerprint, fingerprintOf(lm),
+      expectFingerprint)
+    lm
   }
 
   // ---- IVF centroids -------------------------------------------------------

@@ -51,6 +51,17 @@ class ArtifactFixtureSpec extends GraftSuite {
     assert(counts.toSeq == Seq(11L, 4L))
   }
 
+  test("committed unigram_lm_v1 fixture cold-opens with stable perplexity") {
+    val lm = Artifacts.loadUnigramLm(spark, s"$dir/unigram_lm_v1.json",
+      expectFingerprint = Some("15cae11e386ffb32d8c4f09f389f1e04"))
+    assert(lm.grams.toSeq == Seq("the", "of", "and"))
+    assert(lm.counts.toSeq == Seq(50L, 20L, 10L) && lm.alpha == 0.5)
+    // pinned at freeze time: denom = 80 + 0.5*4; ppl("the zz") =
+    // exp(-(ln(50.5/82) + ln(0.5/82)) / 2)
+    val p = lm.perplexity(u8("the zz")).doubleValue()
+    assert(math.abs(p - 16.318609919443826) < 1e-9, p.toString)
+  }
+
   test("the writer still emits the frozen field vocabulary") {
     val tmp = tmpDir("graft_wire_")
     def keysOf(path: String): Set[String] =
@@ -69,5 +80,9 @@ class ArtifactFixtureSpec extends GraftSuite {
       new CentroidSet(Array(Array(1.0f))), Array(1L))
     assert(keysOf(s"$tmp/c.json") == Set("kind", "formatVersion",
       "fingerprint", "dim", "centroids", "nAssigned"))
+    Artifacts.saveUnigramLm(spark, s"$tmp/lm.json",
+      new graft.functions.UnigramLm(Array("x"), Array(1L), 0.5))
+    assert(keysOf(s"$tmp/lm.json") == Set("kind", "formatVersion",
+      "fingerprint", "grams", "counts", "alpha"))
   }
 }

@@ -58,6 +58,27 @@ class ArtifactsSpec extends GraftSuite {
     assert(lcounts.toSeq == counts.toSeq)
   }
 
+  test("UnigramLm round-trips exactly (counts, alpha, scores)") {
+    val dir = tmpDir("graft_art_")
+    val lm = new graft.functions.UnigramLm(
+      Array("the", "a b"), Array(100L, 3L), 0.25)
+    val path = s"$dir/lm.json"
+    Artifacts.saveUnigramLm(spark, path, lm)
+    val loaded = Artifacts.loadUnigramLm(spark, path,
+      Some(Artifacts.fingerprintOf(lm)))
+    assert(loaded.grams.toSeq == lm.grams.toSeq)
+    assert(loaded.counts.toSeq == lm.counts.toSeq)
+    assert(loaded.alpha == lm.alpha)
+    assert(loaded.unkLogProb == lm.unkLogProb)
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString("the zz")
+    assert(loaded.perplexity(u) == lm.perplexity(u))
+    // wrong kind fails loudly
+    val e = intercept[ArtifactFormatException] {
+      Artifacts.loadBpeVocab(spark, path)
+    }
+    assert(e.getMessage.contains("expected 'bpe_vocab'"))
+  }
+
   test("kind, version, fingerprint, and corruption guards fail loudly") {
     val dir = tmpDir("graft_art_")
     val vocab = new BpeVocab(Array("ab", "cd"))

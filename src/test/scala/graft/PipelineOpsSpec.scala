@@ -1304,6 +1304,58 @@ class PipelineOpsSpec extends GraftSuite {
     assert(scored(1) > scored(0))
   }
 
+  test("unigram LM perplexity: hand-computed fixture + differential vs driver") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    // hand-built model: counts {a:3, b:1}, alpha=0.5 -> denom = 4 + 0.5*3
+    val lm = new graft.functions.UnigramLm(Array("a", "b"), Array(3L, 1L), 0.5)
+    val denom = 4.0 + 0.5 * 3
+    assert(lm.logProbOf("a") == math.log(3.5 / denom))
+    assert(lm.logProbOf("b") == math.log(1.5 / denom))
+    assert(lm.unkLogProb == math.log(0.5 / denom))
+    val expAB = math.exp(-(lm.logProbOf("a") + lm.logProbOf("b")) / 2)
+    assert(lm.perplexity(UTF8String.fromString("a b")) == expAB)
+    assert(lm.perplexity(UTF8String.fromString("A  B")) == expAB) // case+runs
+    assert(lm.perplexity(UTF8String.fromString("")) == null)
+    assert(lm.perplexity(UTF8String.fromString("  ")) == null)
+    // expression path ≡ driver walk, null text -> null, and codegen'd
+    val bc = s.sparkContext.broadcast(lm)
+    val df = Seq((1L, "a b zz a"), (2L, "zz"), (3L, ""), (4L, null))
+      .map { case (i, t) => (i, t) }.toDF("id", "text")
+    val scored = df.select($"id",
+      graft.functions.NgramLm.perplexity(bc)($"text").as("p"))
+    val got = scored.collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    for ((i, t) <- Seq(1L -> "a b zz a", 2L -> "zz")) {
+      assert(got(i).get == lm.perplexity(UTF8String.fromString(t)).doubleValue())
+    }
+    assert(got(3L).isEmpty && got(4L).isEmpty)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("udf"), s"expected UDF-free plan:\n$plan")
+  }
+
+  test("trainUnigramLm: excludes empty tokens, deterministic cut, ranks quality") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      "the quick brown fox  jumps", // double space: empty token excluded
+      "the lazy dog sleeps",
+      "the quick dog runs"
+    ).toDF("text")
+    val lm = TextAnalysis.trainUnigramLm(corpus, "text", topN = 4, alpha = 0.5)
+    // counts: the=3, quick=2, dog=2, rest=1 -> top-4 cut keeps the, dog,
+    // quick, then count-1 grams by gram asc: brown
+    assert(lm.grams.toSeq == Seq("the", "dog", "quick", "brown"))
+    assert(lm.counts.toSeq == Seq(3L, 2L, 2L, 1L))
+    // in-vocab text scores lower perplexity than all-unknown gibberish
+    import org.apache.spark.unsafe.types.UTF8String
+    val fluent = lm.perplexity(UTF8String.fromString("the quick dog")).doubleValue()
+    val junk = lm.perplexity(UTF8String.fromString("xq zv qqj")).doubleValue()
+    assert(fluent < junk)
+  }
+
   test("Profile.table: exact stats match direct aggregates; approx within rsd") {
     import graft.operators.Profile
     val got = Profile.table(docs, Seq("doc_id", "lang", "n_chars"))
