@@ -561,6 +561,23 @@ object SparkEntry {
           col("shared_windows"))
         .orderBy("train_id", "eval_id")
     }),
+    // decontamination THROUGH the index layer: the eval release's window
+    // hashes probe an exploded window-hash index, so the verbatim-overlap
+    // check reads ONLY lake files that can contain a colliding window
+    // (capstone #3 — the q_incremental_dedup pattern at window grain);
+    // emits the contaminated train doc ids the indexed read surfaces
+    "q_decontaminate_indexed" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val eval = lk.documents.where(pmod(col("doc_id"), lit(5)) === 0)
+      val evalWins = eval.select(explode(
+          Dedup.windowHashes(col("text"), 10, distinctWithinDoc = true))
+          .as("win_hash"))
+        .distinct()
+      lk.docsWindowIdx.join(evalWins, Seq("win_hash"))
+        .where(pmod(col("doc_id"), lit(5)) =!= 0)
+        .select("doc_id").distinct()
+        .orderBy("doc_id")
+    }),
     // the probe-side remover: train docs surviving exact decontamination
     // (one semi-join on window hashes — no pair aggregate)
     "q_decontaminate_clean" -> ((s, dir) => {
@@ -1753,6 +1770,19 @@ object SparkEntry {
                 count(*) AS shared_windows
          FROM tr JOIN ev ON tr.wk = ev.wk
          GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the contaminated-train-ids view of the same window universe — what
+    // the index-accelerated read must surface exactly
+    "q_decontaminate_indexed" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') ts
+                    FROM documents),
+              w AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                      generate_series(1, len(ts) - 9),
+                      i -> array_to_string(list_slice(ts, i, i + 9), chr(1))))) wk
+                    FROM t WHERE len(ts) >= 10),
+              ev AS (SELECT DISTINCT wk FROM w WHERE doc_id % 5 = 0)
+         SELECT DISTINCT doc_id FROM w
+         WHERE doc_id % 5 != 0 AND wk IN (SELECT wk FROM ev)
+         ORDER BY doc_id""",
     "q_decontaminate_clean" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') ts
                     FROM documents),

@@ -163,6 +163,20 @@ final class Lake private (val spark: SparkSession, val sfDir: String, val work: 
     idx
   }
 
+  /** Window-hash index over the document lake: decontamination at the
+    * index layer — per-file distinct 10-token window hashes, so checking a
+    * NEW eval release for verbatim overlap reads only lake files that can
+    * contain a colliding window (the docsHashIdx pattern applied to
+    * window-grain contamination). */
+  def docsWindowIdx: Index = memoIdx("docs_window_idx") {
+    val idx = Index(spark, "docs_window_idx", table("documents").schema, "parquet")
+    idx.addExplodedIndex("win_hash",
+      graft.operators.Dedup.windowHashSqlExpr("text", windowTokens = 10))
+    idx.addFile(documentsFiles: _*)
+    idx.update()
+    idx
+  }
+
   def ordersCsvIdx: Index = memoIdx("orders_csv_idx") {
     val schema = table("orders").select(OrdersTextCols.map(col): _*).schema
     val idx = Index(spark, "orders_csv_idx", schema, "csv",

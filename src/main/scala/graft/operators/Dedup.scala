@@ -542,7 +542,26 @@ object Dedup extends org.apache.spark.internal.Logging {
     * an EMPTY window array, not a phantom window. `distinctWithinDoc`
     * dedups hashes within the document, making a plain count over the
     * exploded frame a distinct-document count. */
-  private[graft] def windowHashes(
+  /** SQL-string twin of [[windowHashes]] (distinct-within-doc form) for
+    * EXPLODED INDEX definitions: an index built over this expression
+    * holds, per file, the distinct window hashes its documents contain —
+    * so decontamination against a NEW eval release probes the index and
+    * reads only lake files that can hold a colliding window (the
+    * q_incremental_dedup pattern applied to verbatim-overlap checks).
+    * Uses `char(1)` for the join separator so the persisted metadata
+    * string carries no control characters; `char(1)` equals the U+0001
+    * literal the Column form concatenates with, and the two produce
+    * bit-identical xxhash64 values (spec-asserted). */
+  def windowHashSqlExpr(textCol: String, windowTokens: Int): String = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    val toks = s"split(lower($textCol), ' ')"
+    s"CASE WHEN size($toks) >= $windowTokens THEN " +
+      s"array_distinct(transform(sequence(0, size($toks) - $windowTokens), " +
+      s"i -> xxhash64(concat_ws(char(1), slice($toks, i + 1, $windowTokens))))) " +
+      "ELSE CAST(array() AS ARRAY<BIGINT>) END"
+  }
+
+  def windowHashes(
       textCol: Column, windowTokens: Int, distinctWithinDoc: Boolean): Column = {
     val toks = split(lower(textCol), " ")
     val raw = transform(sequence(lit(0), size(toks) - windowTokens),

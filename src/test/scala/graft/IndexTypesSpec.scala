@@ -118,6 +118,72 @@ class IndexTypesSpec extends GraftSuite {
     }
   }
 
+  test("windowHashSqlExpr parses to exactly windowHashes (distinct form)") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "the quick Brown fox  jumps over the lazy dog today fine"),
+      (2L, "short doc"),
+      (3L, ""),
+      (4L, "a a a a a a a a a a a a")        // repeated windows -> distinct
+    ).toDF("id", "text")
+    val viaSql = df.select($"id",
+      expr(graft.operators.Dedup.windowHashSqlExpr("text", 10)).as("w"))
+    val viaCol = df.select($"id",
+      graft.operators.Dedup.windowHashes($"text", 10,
+        distinctWithinDoc = true).as("w"))
+    assertSameRows(viaSql, viaCol)
+    // short/empty docs -> empty array (not null, not a phantom window)
+    val short = viaSql.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(short(2L).isEmpty && short(3L).isEmpty)
+    assert(short(4L).size == 1)              // 3 identical windows dedup to 1
+  }
+
+  test("window-hash index prunes decontamination reads to colliding files") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("graft_winidx_")
+    // 3 files; ONLY file 0's docs share a 10-token run with the probe
+    val leak = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    def doc(id: Long, text: String) = (id, text)
+    val f0 = Seq(doc(1L, s"intro words then $leak and trailing text"),
+      doc(2L, "completely different content with many plain words here okay"))
+    val f1 = Seq(doc(3L, "this file shares nothing verbatim with the probe corpus at all"),
+      doc(4L, "more unrelated material filling out a second training document"))
+    val f2 = Seq(doc(5L, "third file also clean of any overlapping token run entirely"))
+    val files = Seq(f0, f1, f2).zipWithIndex.map { case (rows, i) =>
+      val p = s"$dir/f$i"
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(p)
+      new java.io.File(p).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    }
+    val idx = Index(spark, "t_docs_win",
+      Seq(doc(0L, "x")).toDF("doc_id", "text").schema, "parquet")
+    idx.addExplodedIndex("win_hash",
+      graft.operators.Dedup.windowHashSqlExpr("text", 10))
+    idx.addFile(files: _*)
+    idx.update()
+    val probe = Seq((100L, s"eval question containing $leak inside it plus padding tokens"))
+      .toDF("doc_id", "text")
+    val probeWins = probe.select(explode(
+      graft.operators.Dedup.windowHashes($"text", 10,
+        distinctWithinDoc = true)).as("win_hash")).distinct()
+    spark.conf.set("spark.graft.metricsEnabled", "true")
+    try {
+      graft.operators.IndexJoin.lastMetrics = None
+      val hit = idx.join(probeWins, Seq("win_hash"))
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(hit == Set(1L), s"only doc 1 holds the leaked run: $hit")
+      val m = graft.operators.IndexJoin.lastMetrics
+      assert(m.nonEmpty && m.get.locatedFiles < m.get.totalFiles,
+        s"window-hash probe must prune to the colliding file: $m")
+      assert(m.get.locatedFiles == 1 && m.get.totalFiles == 3, m.toString)
+    } finally {
+      spark.conf.set("spark.graft.metricsEnabled", "false")
+      Index.remove(spark, "t_docs_win")
+    }
+  }
+
   test("broadcast Frame probe with narrower probe type still matches (int vs long)") {
     // probe column is IntegerType, index column BIGINT; forcing the literal
     // cap below the value count routes through the broadcast set, which
