@@ -155,6 +155,35 @@ object StreamOps {
     stream.where(!coalesce(contaminated, lit(false)))
   }
 
+  /** Streaming perplexity gate: score each incoming document under a
+    * TRAINED unigram LM ([[graft.operators.TextAnalysis.trainUnigramLm]],
+    * typically reloaded from its persisted artifact,
+    * [[graft.store.Artifacts.loadUnigramLm]]) and keep rows below
+    * `maxPerplexity` — the streaming form of the CCNet-style quality
+    * filter. The model rides one broadcast handle; scoring is the same
+    * stateless codegen'd per-row expression the batch path uses
+    * ([[graft.functions.UnigramPerplexity]]) — any output mode, no state
+    * store, no watermark. Token-free documents score null and are
+    * DROPPED (they carry no trainable signal); flip `keepNullScores` to
+    * pass them through. The score is appended as `outCol` so downstream
+    * stages can log or re-threshold. */
+  def perplexityFilter(
+      stream: DataFrame,
+      textCol: String,
+      lm: graft.functions.UnigramLm,
+      maxPerplexity: Double,
+      outCol: String = "perplexity",
+      keepNullScores: Boolean = false): DataFrame = {
+    require(maxPerplexity > 0, "maxPerplexity must be positive")
+    require(!stream.columns.contains(outCol), s"output column '$outCol' exists")
+    val bc = stream.sparkSession.sparkContext.broadcast(lm)
+    val scored = stream.withColumn(outCol,
+      graft.functions.NgramLm.perplexity(bc)(col(textCol)))
+    if (keepNullScores)
+      scored.where(col(outCol).isNull || col(outCol) <= maxPerplexity)
+    else scored.where(col(outCol) <= maxPerplexity)
+  }
+
   /** Per-micro-batch point-in-time enrichment: each batch of probe rows is
     * as-of joined against a temporal [[graft.Index]] (files pruned by the
     * batch's keys) and handed to `sink`. Stream-static as-of is not

@@ -283,6 +283,69 @@ object ScaleBench {
         "value", rangeBack = 3600L * 1000000L, tieCols = Seq("event_id"))
         .agg(max(col("roll_cnt"))).first().getLong(0)
     }
+    // r7: hot-key rolling — 1/3 of 3M events remapped onto ONE user so the
+    // single-window form serializes that key's sort in one task while the
+    // bucketed form caps per-task work at one time bucket
+    val hotClicks = lake.events.where(col("event_type") === "click")
+      .select(when(pmod(col("event_id"), lit(3)) === 0, lit(1L))
+        .otherwise(col("user_id")).as("user_id"),
+        col("event_id"), col("ts"), col("value"))
+    bench("q_rolling_hotkey_single") {
+      graft.operators.Rolling.trailingStats(hotClicks, Seq("user_id"), "ts",
+        "value", rangeBack = 3600L * 1000000L, tieCols = Seq("event_id"))
+        .agg(max(col("roll_cnt"))).first().getLong(0)
+    }
+    bench("q_rolling_hotkey_bucketed") {
+      graft.operators.Rolling.trailingStatsBucketed(hotClicks, Seq("user_id"),
+        "ts", "value", rangeBack = 3600L * 1000000L,
+        bucketWidth = 4L * 3600L * 1000000L, tieCols = Seq("event_id"))
+        .agg(max(col("roll_cnt"))).first().getLong(0)
+    }
+    // r7: perplexity LM — train on the 150k-doc corpus (one gram shuffle +
+    // bounded top-N collect), then score every doc with the codegen'd
+    // one-walk expression off a broadcast model
+    var lmHolder: graft.functions.UnigramLm = null
+    bench("q_perplexity_train") {
+      lmHolder = graft.operators.TextAnalysis.trainUnigramLm(
+        lake.documents, "text", topN = 50000)
+      lmHolder.size.toLong
+    }
+    bench("q_perplexity_score") {
+      val bc = spark.sparkContext.broadcast(lmHolder)
+      lake.documents.select(
+          graft.functions.NgramLm.perplexity(bc)(col("text")).as("p"))
+        .agg(avg("p")).first().getDouble(0).toLong
+    }
+    // r7: decontamination THROUGH the window-hash index vs the full-scan
+    // semi-join — a SMALL new eval release (1/37 of docs) probes the lake;
+    // index build is timed separately (train once, probe per release)
+    bench("x_winidx_build") {
+      lake.docsWindowIdx; 1L
+    }
+    val newEval = lake.documents.where(pmod(col("doc_id"), lit(37)) === 0)
+    val evalWins = newEval.select(explode(Dedup.windowHashes(col("text"), 10,
+      distinctWithinDoc = true)).as("win_hash")).distinct()
+    spark.conf.set("spark.graft.metricsEnabled", "true")
+    graft.operators.IndexJoin.lastMetrics = None
+    bench("q_decon_indexed") {
+      lake.docsWindowIdx.join(evalWins, Seq("win_hash"))
+        .where(pmod(col("doc_id"), lit(37)) =!= 0)
+        .select("doc_id").distinct().count()
+    }
+    graft.operators.IndexJoin.lastMetrics.foreach { m =>
+      results("x_decon_files_frac") =
+        if (m.totalFiles == 0) 1.0 else m.locatedFiles.toDouble / m.totalFiles
+    }
+    spark.conf.set("spark.graft.metricsEnabled", "false")
+    bench("q_decon_fullscan") {
+      val train = lake.documents.where(pmod(col("doc_id"), lit(37)) =!= 0)
+      val trainWins = train.select(col("doc_id"), explode(
+        Dedup.windowHashes(col("text"), 10, distinctWithinDoc = true))
+        .as("win_hash"))
+      trainWins.join(evalWins, Seq("win_hash"), "left_semi")
+        .select("doc_id").distinct().count()
+    }
+
     bench("q_asof_join") {
       val clicks = lake.events.where(col("event_type") === "click")
         .select(col("user_id"), col("ts"), col("event_id"))

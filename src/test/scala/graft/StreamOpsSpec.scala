@@ -202,4 +202,48 @@ class StreamOpsSpec extends GraftSuite {
         windowTokens = 2, maxProbeWindows = 1)
     }
   }
+
+  test("perplexityFilter == batch threshold on a doc stream (loaded artifact)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Lake.get(spark, sf).documents
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    // train on the corpus, persist, reload — the serving-path shape
+    val lm = graft.operators.TextAnalysis.trainUnigramLm(
+      docs.toDF("doc_id", "text"), "text", topN = 500)
+    val path = tmpDir("graft_lm_") + "/lm.json"
+    graft.store.Artifacts.saveUnigramLm(spark, path, lm)
+    val loaded = graft.store.Artifacts.loadUnigramLm(spark, path)
+    // pick a mid-distribution cutoff so both sides of the gate are non-empty
+    val bc = spark.sparkContext.broadcast(loaded)
+    val ppls = docs.toDF("doc_id", "text").select(
+        graft.functions.NgramLm.perplexity(bc)($"text").as("p"))
+      .collect().map(_.getDouble(0)).sorted
+    val cutoff = ppls(ppls.length / 2)
+
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamOps.perplexityFilter(stream, "text", loaded, cutoff)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        kept.synchronized {
+          kept ++= b.select("doc_id").collect().map(_.getLong(0)) }
+        ()
+      }
+      .option("checkpointLocation", tmpDir("graft_ppl_ckpt_")).start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.size / 2)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val want = docs.toDF("doc_id", "text").select($"doc_id",
+        graft.functions.NgramLm.perplexity(bc)($"text").as("p"))
+      .where($"p" <= cutoff)
+      .collect().map(_.getLong(0)).toSet
+    assert(want.nonEmpty && want.size < docs.size,
+      "cutoff must actually split the corpus")
+    assert(kept.toSet == want)
+  }
 }
