@@ -948,6 +948,23 @@ object SparkEntry {
           .as("perplexity"))
         .orderBy("doc_id")
     }),
+    // stupid-backoff bigram LM (Brants et al. 2007): bigram conditionals
+    // over the full unigram normalizer, unigram fallback with a 0.4
+    // backoff penalty; scored off the RELOADED artifact like q_perplexity
+    "q_perplexity_bigram" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val lm = TextAnalysis.trainBigramLm(lk.documents, "text",
+        topNUnigrams = 1000, topNBigrams = 2000)
+      val path = s"${lk.work}/artifacts/bigram_lm.json"
+      graft.store.Artifacts.saveBigramLm(s, path, lm)
+      val loaded = graft.store.Artifacts.loadBigramLm(s, path,
+        expectFingerprint = Some(graft.store.Artifacts.fingerprintOf(lm)))
+      val bc = s.sparkContext.broadcast(loaded)
+      lk.documents.select(col("doc_id"),
+        round(graft.functions.NgramLm.bigramPerplexity(bc)(col("text")), 6)
+          .as("perplexity"))
+        .orderBy("doc_id")
+    }),
     // one-pass per-column profile (exact distincts at bench scale; the
     // HLL swap is the documented petabyte path)
     "q_profile" -> ((s, dir) => {
@@ -1354,6 +1371,45 @@ object SparkEntry {
                 FROM tt LEFT JOIN lp ON tt.w = lp.gram GROUP BY tt.doc_id)
          SELECT d.doc_id, round(exp(-(sc.slp / sc.n)), 6) AS perplexity
          FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""",
+    // replicates trainBigramLm + the stupid-backoff walk: bigram
+    // conditionals c(prev,w)/c(prev) over the FULL unigram counts
+    // (top-2000 cut), first token and backoff misses priced by the
+    // unigram model, exp(-avg ln s) per doc
+    "q_perplexity_bigram" ->
+      """WITH t AS (SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> len(x) > 0) ts
+             FROM documents),
+         uf AS (SELECT w AS gram, count(*) AS n
+                FROM (SELECT unnest(ts) AS w FROM t) GROUP BY 1),
+         ut AS (SELECT gram, n FROM uf ORDER BY n DESC, gram LIMIT 1000),
+         tot AS (SELECT sum(n)::DOUBLE AS nn, count(*)::DOUBLE AS v FROM ut),
+         ulp AS (SELECT gram, ln((n + 0.5) / (nn + 0.5 * (v + 1))) AS l
+                 FROM ut, tot),
+         unk AS (SELECT ln(0.5 / (nn + 0.5 * (v + 1))) AS l FROM tot),
+         bg AS (SELECT b, count(*) AS c FROM (
+                  SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                    i -> ts[i] || chr(1) || ts[i + 1])) AS b
+                  FROM t WHERE len(ts) >= 2) GROUP BY 1
+                ORDER BY c DESC, b LIMIT 2000),
+         bp AS (SELECT bg.b, ln(bg.c / uf.n::DOUBLE) AS lcp
+                FROM bg JOIN uf ON uf.gram = string_split(bg.b, chr(1))[1]),
+         pw AS (SELECT doc_id, unnest(ts) AS w,
+                  unnest(list_prepend(NULL, ts[1:len(ts) - 1])) AS prev
+                FROM t WHERE len(ts) >= 1),
+         sct AS (SELECT pw.doc_id,
+                   CASE WHEN pw.prev IS NULL
+                        THEN coalesce(u.l, (SELECT l FROM unk))
+                        ELSE coalesce(b.lcp,
+                             ln(0.4) + coalesce(u.l, (SELECT l FROM unk)))
+                   END AS sc
+                 FROM pw
+                 LEFT JOIN ulp u ON u.gram = pw.w
+                 LEFT JOIN bp b ON pw.prev IS NOT NULL
+                               AND b.b = pw.prev || chr(1) || pw.w),
+         agg AS (SELECT doc_id, sum(sc) AS slp, count(*) AS n
+                 FROM sct GROUP BY 1)
+         SELECT d.doc_id, round(exp(-(agg.slp / agg.n)), 6) AS perplexity
+         FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""",
     "q_profile" ->
       """SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
              count(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_nulls,

@@ -113,6 +113,106 @@ case class UnigramPerplexity(child: Expression, bc: Broadcast[UnigramLm])
     copy(child = newChild)
 }
 
+/** Bigram language model with STUPID BACKOFF (Brants et al. 2007, "Large
+  * Language Models in Machine Translation" — the standard large-scale
+  * choice because unnormalized backoff needs no discount bookkeeping):
+  *   s(w | prev) = c(prev, w) / c(prev)      if the bigram is in the table
+  *               = backoff · p_uni(w)        otherwise
+  * where `p_uni` is the Laplace-smoothed [[UnigramLm]] probability and
+  * `condProbs` stores c(prev,w)/c(prev) with c(prev) taken from the FULL
+  * unigram counts at train time (so the top-N unigram cut cannot skew
+  * conditionals). A document's score is `exp(−avg ln s)` with the FIRST
+  * token scored by the unigram model; token-free docs score null. `s` is
+  * not a normalized probability (stupid backoff's trade) — fine for
+  * filtering, where only the ordering matters.
+  *
+  * Same execution shape as [[UnigramLm]]: one broadcast handle, one
+  * codegen'd per-row walk (bigram lookup + unigram fallback per token). */
+final class BigramLm(
+    val unigram: UnigramLm,
+    val bigrams: Array[String],        // prev + "\u0001" + w keys
+    val condProbs: Array[Double],
+    val backoff: Double) extends Serializable {
+  require(bigrams.length == condProbs.length, "bigrams/condProbs mismatch")
+  require(backoff > 0 && backoff <= 1, "backoff must be in (0, 1]")
+
+  private val table = new java.util.HashMap[String, java.lang.Double](bigrams.length * 2)
+  bigrams.indices.foreach(i => table.put(bigrams(i), math.log(condProbs(i))))
+  private val logBackoff = math.log(backoff)
+
+  def size: Int = table.size
+
+  /** ln s(w | prev); `prev == null` means document start (unigram). */
+  def logScoreOf(prev: String, w: String): Double = {
+    if (prev == null) unigram.logProbOf(w)
+    else {
+      val bg = table.get(prev + "\u0001" + w)
+      if (bg != null) bg.doubleValue()
+      else logBackoff + unigram.logProbOf(w)
+    }
+  }
+
+  /** exp(−avg ln s) over the non-empty lowercased space-split tokens;
+    * null (boxed) when the text has no tokens. */
+  def perplexity(text: UTF8String): java.lang.Double = {
+    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
+    var lp = 0.0
+    var n = 0L
+    var prev: String = null
+    var wStart = 0
+    var i = 0
+    val len = s.length
+    while (i <= len) {
+      if (i == len || s.charAt(i) == ' ') {
+        if (i > wStart) {
+          val w = s.substring(wStart, i)
+          lp += logScoreOf(prev, w)
+          n += 1
+          prev = w
+        }
+        wStart = i + 1
+      }
+      i += 1
+    }
+    if (n == 0) null else java.lang.Double.valueOf(math.exp(-lp / n))
+  }
+}
+
+/** Codegen'd per-document stupid-backoff perplexity under a broadcast
+  * [[BigramLm]]. Null in → null out; empty-token documents → null. */
+case class BigramPerplexity(child: Expression, bc: Broadcast[BigramLm])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"BigramPerplexity expects string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    bc.value.perplexity(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bigramLm", bc,
+      "org.apache.spark.broadcast.Broadcast")
+    nullSafeCodeGen(ctx, ev, v => s"""
+      java.lang.Double ppl =
+        ((graft.functions.BigramLm) $ref.value()).perplexity($v);
+      if (ppl == null) {
+        ${ev.isNull} = true;
+      } else {
+        ${ev.value} = ppl.doubleValue();
+      }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BigramPerplexity =
+    copy(child = newChild)
+}
+
 object NgramLm {
   import org.apache.spark.sql.{Column, GraftSqlBridge}
 
@@ -120,4 +220,10 @@ object NgramLm {
     * (reuse the handle across expressions/queries). */
   def perplexity(bc: Broadcast[UnigramLm])(c: Column): Column =
     GraftSqlBridge.column(UnigramPerplexity(GraftSqlBridge.expression(c), bc))
+
+  /** Column form of the stupid-backoff bigram perplexity. (Named, not an
+    * overload: `Broadcast[UnigramLm]` and `Broadcast[BigramLm]` erase to
+    * the same JVM signature.) */
+  def bigramPerplexity(bc: Broadcast[BigramLm])(c: Column): Column =
+    GraftSqlBridge.column(BigramPerplexity(GraftSqlBridge.expression(c), bc))
 }

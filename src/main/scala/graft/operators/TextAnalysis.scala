@@ -272,6 +272,55 @@ object TextAnalysis {
     new graft.functions.UnigramLm(wc.map(_._1), wc.map(_._2), alpha)
   }
 
+  /** Train a stupid-backoff bigram LM ([[graft.functions.BigramLm]]): the
+    * [[trainUnigramLm]] unigram table PLUS a bounded table of bigram
+    * conditionals c(prev,w)/c(prev), with c(prev) taken from the FULL
+    * (uncut) unigram aggregate so the top-N unigram cut cannot skew
+    * conditionals. Two gram-count shuffles over the corpus (unigram +
+    * bigram), one bounded join of the cut bigram table against the full
+    * unigram counts, two bounded collects — nothing else leaves the
+    * executors. Adjacency is over the NON-EMPTY lowercased space-split
+    * tokens (runs of spaces don't break bigrams), matching the scoring
+    * walk exactly. Score with [[graft.functions.NgramLm.bigramPerplexity]];
+    * persist via [[graft.store.Artifacts.saveBigramLm]]. */
+  def trainBigramLm(
+      df: DataFrame,
+      textCol: String,
+      topNUnigrams: Int = 50000,
+      topNBigrams: Int = 200000,
+      alpha: Double = 0.5,
+      backoff: Double = 0.4): graft.functions.BigramLm = {
+    require(topNUnigrams > 0 && topNUnigrams <= 1000000,
+      "topNUnigrams must be in (0, 1e6]")
+    require(topNBigrams > 0 && topNBigrams <= 1000000,
+      "topNBigrams must be in (0, 1e6]")
+    val t = filter(tokens(col(textCol)), x => length(x) > 0)
+    val uniFull = df.select(explode(t).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("n"))
+    val uniTab = uniFull
+      .orderBy(col("n").desc, col("gram")).limit(topNUnigrams)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val uni = new graft.functions.UnigramLm(
+      uniTab.map(_._1), uniTab.map(_._2), alpha)
+    val pairsCol = when(size(t) >= 2,
+      transform(sequence(lit(0), size(t) - 2),
+        i => concat_ws("\u0001", slice(t, i + 1, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    val biRows = df.select(explode(pairsCol).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("bg")).limit(topNBigrams)
+      .withColumn("prev", substring_index(col("bg"), "\u0001", 1))
+      .join(uniFull.withColumnRenamed("gram", "prev")
+        .withColumnRenamed("n", "np"), Seq("prev"))
+      .select("bg", "c", "np")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1) // join scrambles order; sort for a stable artifact
+    new graft.functions.BigramLm(uni,
+      biRows.map(_._1),
+      biRows.map(r => r._2.toDouble / r._3.toDouble),
+      backoff)
+  }
+
   /** Train a Naive-Bayes log-odds weight table for
     * [[graft.functions.TextModel]] from a binary-labeled frame
     * (`labelCol` = 1 for the "keep" class, 0 otherwise) — the classic

@@ -37,6 +37,7 @@ object Artifacts {
   val TextModelKind = "text_model"
   val CentroidsKind = "ivf_centroids"
   val UnigramLmKind = "unigram_lm"
+  val BigramLmKind = "bigram_lm"
   val CurrentFormatVersion = 1
 
   private case class BpeVocabManifest(
@@ -51,6 +52,11 @@ object Artifacts {
   private case class UnigramLmManifest(
       kind: String, formatVersion: Int, fingerprint: String,
       grams: List[String], counts: List[Long], alpha: Double)
+
+  private case class BigramLmManifest(
+      kind: String, formatVersion: Int, fingerprint: String,
+      grams: List[String], counts: List[Long], alpha: Double,
+      bigrams: List[String], condProbs: List[Double], backoff: Double)
 
   private case class CentroidsManifest(
       kind: String, formatVersion: Int, fingerprint: String,
@@ -79,6 +85,13 @@ object Artifacts {
     md5(lm.grams.mkString("\u0000") + "\u0001" +
       lm.counts.mkString("\u0000") + "\u0001" +
       java.lang.Double.doubleToLongBits(lm.alpha))
+
+  def fingerprintOf(lm: graft.functions.BigramLm): String =
+    md5(fingerprintOf(lm.unigram) + "\u0001" +
+      lm.bigrams.mkString("\u0000") + "\u0001" +
+      lm.condProbs.map(p => java.lang.Double.doubleToLongBits(p).toString)
+        .mkString("\u0000") + "\u0001" +
+      java.lang.Double.doubleToLongBits(lm.backoff))
 
   def fingerprintOf(cs: CentroidSet): String =
     md5(cs.vecs.map(_.map(f => java.lang.Float.floatToIntBits(f).toString)
@@ -193,6 +206,33 @@ object Artifacts {
           s"${m.counts.length} counts")
     val lm = new graft.functions.UnigramLm(
       m.grams.toArray, m.counts.toArray, m.alpha)
+    checkFingerprint(path, m.fingerprint, fingerprintOf(lm),
+      expectFingerprint)
+    lm
+  }
+
+  // ---- bigram LM -----------------------------------------------------------
+
+  def saveBigramLm(
+      spark: SparkSession, path: String,
+      lm: graft.functions.BigramLm): Unit =
+    Fs.writeStringAtomic(spark, path, Serialization.writePretty(
+      BigramLmManifest(BigramLmKind, CurrentFormatVersion,
+        fingerprintOf(lm), lm.unigram.grams.toList, lm.unigram.counts.toList,
+        lm.unigram.alpha, lm.bigrams.toList, lm.condProbs.toList,
+        lm.backoff)))
+
+  def loadBigramLm(
+      spark: SparkSession, path: String,
+      expectFingerprint: Option[String] = None): graft.functions.BigramLm = {
+    val m = readManifest[BigramLmManifest](spark, path, BigramLmKind)
+    if (m.grams.length != m.counts.length ||
+        m.bigrams.length != m.condProbs.length)
+      throw new ArtifactFormatException(
+        s"artifact at $path: gram/count or bigram/condProb length mismatch")
+    val lm = new graft.functions.BigramLm(
+      new graft.functions.UnigramLm(m.grams.toArray, m.counts.toArray, m.alpha),
+      m.bigrams.toArray, m.condProbs.toArray, m.backoff)
     checkFingerprint(path, m.fingerprint, fingerprintOf(lm),
       expectFingerprint)
     lm

@@ -62,6 +62,18 @@ class ArtifactFixtureSpec extends GraftSuite {
     assert(math.abs(p - 16.318609919443826) < 1e-9, p.toString)
   }
 
+  test("committed bigram_lm_v1 fixture cold-opens with stable perplexity") {
+    val lm = Artifacts.loadBigramLm(spark, s"$dir/bigram_lm_v1.json",
+      expectFingerprint = Some("554ccd4eeeacb25c84b5ca939cf8bac5"))
+    assert(lm.unigram.grams.toSeq == Seq("the", "of"))
+    assert(lm.bigrams.toSeq == Seq("the\u0001of"))
+    assert(lm.condProbs.toSeq == Seq(0.25) && lm.backoff == 0.4)
+    // pinned: denom = 40 + 0.5*3; ppl("the of zz") =
+    // exp(-(ln(30.5/41.5) + ln(0.25) + ln(0.4) + ln(0.5/41.5)) / 3)
+    val p = lm.perplexity(u8("the of zz")).doubleValue()
+    assert(math.abs(p - 10.413789223438892) < 1e-9, p.toString)
+  }
+
   test("the writer still emits the frozen field vocabulary") {
     val tmp = tmpDir("graft_wire_")
     def keysOf(path: String): Set[String] =
@@ -84,5 +96,12 @@ class ArtifactFixtureSpec extends GraftSuite {
       new graft.functions.UnigramLm(Array("x"), Array(1L), 0.5))
     assert(keysOf(s"$tmp/lm.json") == Set("kind", "formatVersion",
       "fingerprint", "grams", "counts", "alpha"))
+    Artifacts.saveBigramLm(spark, s"$tmp/blm.json",
+      new graft.functions.BigramLm(
+        new graft.functions.UnigramLm(Array("x"), Array(1L), 0.5),
+        Array.empty, Array.empty, 0.4))
+    assert(keysOf(s"$tmp/blm.json") == Set("kind", "formatVersion",
+      "fingerprint", "grams", "counts", "alpha", "bigrams", "condProbs",
+      "backoff"))
   }
 }

@@ -79,6 +79,25 @@ class ArtifactsSpec extends GraftSuite {
     assert(e.getMessage.contains("expected 'bpe_vocab'"))
   }
 
+  test("BigramLm round-trips exactly (nested unigram, conditionals, backoff)") {
+    val dir = tmpDir("graft_art_")
+    val uni = new graft.functions.UnigramLm(
+      Array("a", "b"), Array(3L, 2L), 0.5)
+    val lm = new graft.functions.BigramLm(uni,
+      Array("a\u0001b"), Array(2.0 / 3.0), backoff = 0.4)
+    val path = s"$dir/blm.json"
+    Artifacts.saveBigramLm(spark, path, lm)
+    val loaded = Artifacts.loadBigramLm(spark, path,
+      Some(Artifacts.fingerprintOf(lm)))
+    assert(loaded.unigram.grams.toSeq == uni.grams.toSeq)
+    assert(loaded.unigram.counts.toSeq == uni.counts.toSeq)
+    assert(loaded.bigrams.toSeq == lm.bigrams.toSeq)   // U+0001 survives JSON
+    assert(loaded.condProbs.toSeq == lm.condProbs.toSeq)
+    assert(loaded.backoff == lm.backoff)
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString("a b zz")
+    assert(loaded.perplexity(u) == lm.perplexity(u))
+  }
+
   test("kind, version, fingerprint, and corruption guards fail loudly") {
     val dir = tmpDir("graft_art_")
     val vocab = new BpeVocab(Array("ab", "cd"))

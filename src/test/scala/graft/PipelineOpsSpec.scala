@@ -1356,6 +1356,46 @@ class PipelineOpsSpec extends GraftSuite {
     assert(fluent < junk)
   }
 
+  test("bigram LM stupid backoff: hand-computed fixture + differential") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.unsafe.types.UTF8String
+    val corpus = Seq("a b", "a b", "a c").toDF("text")
+    val lm = TextAnalysis.trainBigramLm(corpus, "text",
+      topNUnigrams = 10, topNBigrams = 10)
+    // full counts: a=3 b=2 c=1; bigrams a->b (2/3), a->c (1/3)
+    assert(lm.bigrams.toSeq == Seq("a\u0001b", "a\u0001c"))
+    assert(lm.condProbs.toSeq == Seq(2.0 / 3.0, 1.0 / 3.0))
+    val denom = 6.0 + 0.5 * 4
+    assert(lm.logScoreOf(null, "a") == math.log(3.5 / denom))
+    assert(lm.logScoreOf("a", "b") == math.log(2.0 / 3.0))
+    // unseen bigram backs off: ln(0.4) + unigram
+    assert(lm.logScoreOf("b", "a") == math.log(0.4) + math.log(3.5 / denom))
+    assert(lm.logScoreOf("a", "zz") == math.log(0.4) + math.log(0.5 / denom))
+    val expAB = math.exp(-(math.log(3.5 / denom) + math.log(2.0 / 3.0)) / 2)
+    assert(lm.perplexity(UTF8String.fromString("a b")) == expAB)
+    assert(lm.perplexity(UTF8String.fromString("A  B")) == expAB) // case+runs
+    assert(lm.perplexity(UTF8String.fromString(" ")) == null)
+    // expression ≡ driver walk; codegen'd (no UDF)
+    val bc = s.sparkContext.broadcast(lm)
+    val df = Seq((1L, "a b zz"), (2L, "c a b"), (3L, null))
+      .toDF("id", "text")
+    val scored = df.select($"id",
+      graft.functions.NgramLm.bigramPerplexity(bc)($"text").as("p"))
+    val got = scored.collect().map(r => r.getLong(0) ->
+      (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    for ((i, t) <- Seq(1L -> "a b zz", 2L -> "c a b"))
+      assert(got(i).get == lm.perplexity(UTF8String.fromString(t)).doubleValue())
+    assert(got(3L).isEmpty)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("udf"), s"expected UDF-free plan:\n$plan")
+    // bigram structure must price real continuations below backed-off ones:
+    // "a b" (seen bigram) beats "b a" (same unigrams, unseen order)
+    val pab = lm.perplexity(UTF8String.fromString("a b")).doubleValue()
+    val pba = lm.perplexity(UTF8String.fromString("b a")).doubleValue()
+    assert(pab < pba)
+  }
+
   test("Profile.table: exact stats match direct aggregates; approx within rsd") {
     import graft.operators.Profile
     val got = Profile.table(docs, Seq("doc_id", "lang", "n_chars"))
