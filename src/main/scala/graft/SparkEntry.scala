@@ -59,6 +59,17 @@ object SparkEntry {
   private def bpeOracleValues: String =
     BpeFixtureVocab.map(t => s"('$t')").mkString(", ")
 
+  /** q_strip_html fixture wrapper, shared VERBATIM between the Spark query
+    * and the oracle (the NormSuffix discipline): script/style blocks with
+    * embedded `<`, a comment, attributes, and the six decoded entities.
+    * No apostrophes — the strings splice into single-quoted SQL as-is. */
+  private val HtmlPrefix: String =
+    "<html><head><title>Doc</title><style>p{color:red}</style>" +
+      "<script type=\"text/javascript\">var x = 1 < 2;</script></head>" +
+      "<body><!-- nav bar --><p class=\"main\">"
+  private val HtmlSuffix: String =
+    "</p><div>&amp;copy; 2024 &lt;graft&gt;&nbsp;&quot;footer&quot;&#39;s</div></body></html>"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- core index operators ---------------------------------------------
     "q_regular_join" -> ((s, dir) => {
@@ -1035,6 +1046,16 @@ object SparkEntry {
     "q_quality" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
       TextAnalysis.quality(lk.documents, "doc_id", "text").orderBy("doc_id")
+    }),
+    // HTML -> text extraction over synthesized web pages (script/style
+    // blocks with embedded '<', comments, attributes, entities)
+    "q_strip_html" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val pages = lk.documents.select(col("doc_id"),
+        concat(lit(HtmlPrefix), col("text"), lit(HtmlSuffix)).as("page"))
+      pages.select(col("doc_id"),
+        TextAnalysis.stripHtml(col("page")).as("text_clean"))
+        .orderBy("doc_id")
     }),
     // top-5 TF-IDF keywords per doc: raw tf · ln(N/df), deterministic
     // (score desc, token asc) cut
@@ -2280,6 +2301,29 @@ object SparkEntry {
                       OR t = 'le' OR t = 'et' OR t = 'est' OR t = 'les'))::DOUBLE /
                   len(string_split(lower(text), ' '))::DOUBLE AS stopword_ratio
          FROM documents ORDER BY doc_id""",
+    // verbatim replica of the stripHtml regexp_replace chain (every
+    // pattern RE2-safe by construction); the page wrapper is the SAME
+    // Scala constant the Spark query concatenates
+    "q_strip_html" ->
+      s"""WITH p AS (SELECT doc_id, '$HtmlPrefix' || text || '$HtmlSuffix' AS page
+                     FROM documents),
+          s1 AS (SELECT doc_id, regexp_replace(page,
+                   '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS x FROM p),
+          s2 AS (SELECT doc_id, regexp_replace(x,
+                   '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS x FROM s1),
+          s3 AS (SELECT doc_id, regexp_replace(x,
+                   '(?s)<!--.*?-->', ' ', 'g') AS x FROM s2),
+          s4 AS (SELECT doc_id, regexp_replace(x,
+                   '<[^>]+>', ' ', 'g') AS x FROM s3),
+          e AS (SELECT doc_id,
+                  regexp_replace(regexp_replace(regexp_replace(
+                  regexp_replace(regexp_replace(regexp_replace(x,
+                    '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+                    '&quot;', '"', 'g'), '&#39;', CHR(39), 'g'),
+                    '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS x FROM s4)
+          SELECT doc_id,
+                 trim(regexp_replace(x, '[ \t\n\r\f]+', ' ', 'g')) AS text_clean
+          FROM e ORDER BY doc_id""",
     "q_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_raw,
                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_norm

@@ -173,6 +173,35 @@ object TextAnalysis {
     regexp_replace(ip, "[0-9]{7,}", "<NUM>")
   }
 
+  /** HTML → text extraction (the CommonCrawl-WET-style step a web-corpus
+    * pipeline runs before any quality/dedup pass): drop `<script>`/
+    * `<style>` blocks wholesale (their CONTENT is code, not prose), strip
+    * the remaining tags, decode the six ubiquitous entities, squeeze
+    * whitespace. A pure `regexp_replace` chain — codegen'd, one scan, and
+    * every pattern is RE2-safe (no backreferences, no lookarounds; lazy
+    * `.*?` and inline `(?is)` are in both java.util.regex and RE2) so the
+    * oracle replicates it verbatim. `&amp;` decodes LAST, the standard
+    * ordering that keeps `&amp;lt;` from double-decoding. This is
+    * deliberately a tag-stripper, not a boilerplate extractor — compose
+    * with [[graft.operators.Dedup.stripBoilerplate]] for nav/footer
+    * removal and [[quality]]/[[repetition]] for content filtering. */
+  def stripHtml(textCol: Column): Column = {
+    val noScript = regexp_replace(textCol,
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]+>", " ")
+    val ent = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (from, to)) =>
+        // entity names contain no regex metacharacters — plain literals
+        // keep the pattern valid in BOTH java.util.regex and RE2 (\Q…\E
+        // quoting would break the RE2-family oracle engines)
+        regexp_replace(c, from, to) }
+    trim(regexp_replace(ent, "[ \\t\\n\\r\\f]+", " "))
+  }
+
   /** Canonicalize text for hashing/dedup: Unicode-normalize (codegen'd
     * [[graft.functions.UnicodeNormalize]]), optionally lowercase, squeeze
     * runs of ASCII whitespace to single spaces and trim. The whitespace

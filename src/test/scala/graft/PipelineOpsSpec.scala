@@ -1356,6 +1356,30 @@ class PipelineOpsSpec extends GraftSuite {
     assert(fluent < junk)
   }
 
+  test("stripHtml: scripts/styles/comments/tags/entities, hand-computed") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "<html><script>if (a < b) { x(); }</script><p>Hello <b>world</b></p></html>"),
+      (2L, "<style type=\"text/css\">a > b {}</style>A &amp;amp; B &lt;tag&gt; &nbsp;end"),
+      (3L, "<!-- comment with <tags> inside -->plain  text"),
+      (4L, "no markup at all"),
+      (5L, "")
+    ).toDF("id", "page")
+    val got = df.select($"id",
+      TextAnalysis.stripHtml($"page").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "Hello world")
+    // &amp; decodes LAST: "&amp;amp;" -> "&amp;" (no double decode)
+    assert(got(2L) == "A &amp; B <tag> end", got(2L))
+    assert(got(3L) == "plain text")
+    assert(got(4L) == "no markup at all")
+    assert(got(5L) == "")
+    val plan = df.select(TextAnalysis.stripHtml($"page"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("udf"))
+  }
+
   test("bigram LM stupid backoff: hand-computed fixture + differential") {
     val s = spark
     import s.implicits._
