@@ -98,13 +98,17 @@ case class UnigramPerplexity(child: Expression, bc: Broadcast[UnigramLm])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("unigramLm", bc,
       "org.apache.spark.broadcast.Broadcast")
+    // freshName: with a non-nullable child the block lands unbraced in the
+    // enclosing generated function, so a fixed local would collide when
+    // two perplexity expressions share a codegen scope
+    val ppl = ctx.freshName("ppl")
     nullSafeCodeGen(ctx, ev, v => s"""
-      java.lang.Double ppl =
+      java.lang.Double $ppl =
         ((graft.functions.UnigramLm) $ref.value()).perplexity($v);
-      if (ppl == null) {
+      if ($ppl == null) {
         ${ev.isNull} = true;
       } else {
-        ${ev.value} = ppl.doubleValue();
+        ${ev.value} = $ppl.doubleValue();
       }
     """)
   }
@@ -198,13 +202,17 @@ case class BigramPerplexity(child: Expression, bc: Broadcast[BigramLm])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("bigramLm", bc,
       "org.apache.spark.broadcast.Broadcast")
+    // freshName: with a non-nullable child the block lands unbraced in the
+    // enclosing generated function, so a fixed local would collide when
+    // two perplexity expressions share a codegen scope
+    val ppl = ctx.freshName("ppl")
     nullSafeCodeGen(ctx, ev, v => s"""
-      java.lang.Double ppl =
+      java.lang.Double $ppl =
         ((graft.functions.BigramLm) $ref.value()).perplexity($v);
-      if (ppl == null) {
+      if ($ppl == null) {
         ${ev.isNull} = true;
       } else {
-        ${ev.value} = ppl.doubleValue();
+        ${ev.value} = $ppl.doubleValue();
       }
     """)
   }

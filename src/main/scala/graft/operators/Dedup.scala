@@ -507,6 +507,42 @@ object Dedup extends org.apache.spark.internal.Logging {
     df.join(pairs.select(col("b_id").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** Sliding-window xxhash64 array over the lowercased space-split tokens
+    * of `textCol`: one 64-bit hash per `windowTokens`-token run, built
+    * per-row inside codegen (the whole window family's shared primitive).
+    * Guard: `sequence(0, n)` DESCENDS when n < 0 — short docs must map to
+    * an EMPTY window array, not a phantom window. `distinctWithinDoc`
+    * dedups hashes within the document, making a plain count over the
+    * exploded frame a distinct-document count. */
+  def windowHashes(
+      textCol: Column, windowTokens: Int, distinctWithinDoc: Boolean): Column = {
+    val toks = split(lower(textCol), " ")
+    val raw = transform(sequence(lit(0), size(toks) - windowTokens),
+      i => xxhash64(concat_ws("\u0001", slice(toks, i + 1, lit(windowTokens)))))
+    when(size(toks) >= windowTokens,
+      if (distinctWithinDoc) array_distinct(raw) else raw)
+      .otherwise(array().cast("array<long>"))
+  }
+
+  /** SQL-string twin of [[windowHashes]] (distinct-within-doc form) for
+    * EXPLODED INDEX definitions: an index built over this expression
+    * holds, per file, the distinct window hashes its documents contain —
+    * so decontamination against a NEW eval release probes the index and
+    * reads only lake files that can hold a colliding window (the
+    * q_incremental_dedup pattern applied to verbatim-overlap checks).
+    * Uses `char(1)` for the join separator so the persisted metadata
+    * string carries no control characters; `char(1)` equals the U+0001
+    * literal the Column form concatenates with, and the two produce
+    * bit-identical xxhash64 values (spec-asserted). */
+  def windowHashSqlExpr(textCol: String, windowTokens: Int): String = {
+    require(windowTokens > 0, "windowTokens must be positive")
+    val toks = s"split(lower($textCol), ' ')"
+    s"CASE WHEN size($toks) >= $windowTokens THEN " +
+      s"array_distinct(transform(sequence(0, size($toks) - $windowTokens), " +
+      s"i -> xxhash64(concat_ws(char(1), slice($toks, i + 1, $windowTokens))))) " +
+      "ELSE CAST(array() AS ARRAY<BIGINT>) END"
+  }
+
   /** Exact-substring duplication: pairs of documents sharing at least
     * `minShared` verbatim runs of `windowTokens` consecutive tokens — the
     * signal behind suffix-array substring dedup (Lee et al. 2022,
@@ -535,42 +571,6 @@ object Dedup extends org.apache.spark.internal.Logging {
     * below ~10^9 windows; the oracle compares raw window strings and
     * agrees exactly at any tested scale. Docs shorter than
     * `windowTokens` contribute no windows. */
-  /** Sliding-window xxhash64 array over the lowercased space-split tokens
-    * of `textCol`: one 64-bit hash per `windowTokens`-token run, built
-    * per-row inside codegen (the whole window family's shared primitive).
-    * Guard: `sequence(0, n)` DESCENDS when n < 0 — short docs must map to
-    * an EMPTY window array, not a phantom window. `distinctWithinDoc`
-    * dedups hashes within the document, making a plain count over the
-    * exploded frame a distinct-document count. */
-  /** SQL-string twin of [[windowHashes]] (distinct-within-doc form) for
-    * EXPLODED INDEX definitions: an index built over this expression
-    * holds, per file, the distinct window hashes its documents contain —
-    * so decontamination against a NEW eval release probes the index and
-    * reads only lake files that can hold a colliding window (the
-    * q_incremental_dedup pattern applied to verbatim-overlap checks).
-    * Uses `char(1)` for the join separator so the persisted metadata
-    * string carries no control characters; `char(1)` equals the U+0001
-    * literal the Column form concatenates with, and the two produce
-    * bit-identical xxhash64 values (spec-asserted). */
-  def windowHashSqlExpr(textCol: String, windowTokens: Int): String = {
-    require(windowTokens > 0, "windowTokens must be positive")
-    val toks = s"split(lower($textCol), ' ')"
-    s"CASE WHEN size($toks) >= $windowTokens THEN " +
-      s"array_distinct(transform(sequence(0, size($toks) - $windowTokens), " +
-      s"i -> xxhash64(concat_ws(char(1), slice($toks, i + 1, $windowTokens))))) " +
-      "ELSE CAST(array() AS ARRAY<BIGINT>) END"
-  }
-
-  def windowHashes(
-      textCol: Column, windowTokens: Int, distinctWithinDoc: Boolean): Column = {
-    val toks = split(lower(textCol), " ")
-    val raw = transform(sequence(lit(0), size(toks) - windowTokens),
-      i => xxhash64(concat_ws("\u0001", slice(toks, i + 1, lit(windowTokens)))))
-    when(size(toks) >= windowTokens,
-      if (distinctWithinDoc) array_distinct(raw) else raw)
-      .otherwise(array().cast("array<long>"))
-  }
-
   def sharedWindowPairs(
       df: DataFrame,
       idCol: String,

@@ -97,8 +97,10 @@ object Rolling {
     * Contract: rows must have a non-null timestamp (filter first — the
     * single-window form's null-ordering behavior is not replicated) and
     * `tieCols` must make (key, ts, tieCols) unique for deterministic
-    * `prev_*`, as in [[trailingStats]]. `tieCols` may not be named
-    * `__gts`/`__v` (reserved struct field names). Pick `bucketWidth` so
+    * `prev_*`, as in [[trailingStats]]. Input/tie columns may not use the
+    * reserved `__`-prefixed internal names (enforced). Null KEYS group
+    * together, exactly as [[trailingStats]]'s window partitioning treats
+    * them (the compact-frame join is null-safe). Pick `bucketWidth` so
     * one bucket holds a bounded slice of the hottest key's traffic. */
   def trailingStatsBucketed(
       df: DataFrame,
@@ -114,15 +116,34 @@ object Rolling {
     require(bucketWidth >= rangeBack,
       s"bucketWidth ($bucketWidth) must be >= rangeBack ($rangeBack) so a " +
         "trailing window spans at most two buckets")
-    require(!tieCols.exists(Set("__gts", "__v")),
-      "tieCols may not use the reserved names __gts/__v")
+    val reserved =
+      Set("__gts", "__gb", "__carry", "__pv_l", "__pt_l", "__plast", "__v")
+    require(!tieCols.exists(reserved),
+      s"tieCols may not use the reserved names ${reserved.mkString("/")}")
+    require(!df.columns.exists(reserved),
+      s"input columns may not use the reserved names ${reserved.mkString("/")}")
     val tsN: Column = TimeCols.numericFor(df, tsCol)
     val v = col(valueCol)
     val wL = lit(bucketWidth)
-    // floor division (pmod is non-negative), exact for any sign of ts
+    // Bucket id = floor(ts / width). For integral timelines (timestamps
+    // normalize to epoch-micros; long/int numerics) this runs in LONG
+    // arithmetic throughout: pmod is non-negative, so the numerator is the
+    // exact floor multiple and SQL `div` (which truncates) agrees with
+    // floor on it — a double `/` would round the quotient for timelines
+    // above 2^53 (epoch-nanos) and misbucket rows near bucket edges.
+    // Fractional timelines carry double precision by nature; plain
+    // floor-divide is exact within it.
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integralTimeline =
+      TimeCols.isTimeType(df.schema(tsCol).dataType) ||
+        Set[org.apache.spark.sql.types.DataType](
+          ByteType, ShortType, IntegerType, LongType)
+          .contains(df.schema(tsCol).dataType)
     val base = df.withColumn("__gts", tsN)
       .withColumn("__gb",
-        ((col("__gts") - pmod(col("__gts"), wL)) / wL).cast("long"))
+        if (integralTimeline)
+          expr(s"(__gts - pmod(__gts, ${bucketWidth}L)) div ${bucketWidth}L")
+        else floor(col("__gts") / wL).cast("long"))
     val gridCols = (keyCols :+ "__gb").map(col)
     // RANGE aggregates over originals ∪ one-hop carries
     val carry = base
@@ -152,7 +173,15 @@ object Rolling {
       .withColumn("__plast", lag(col("__last"), 1).over(wK))
       .select((keyCols :+ "__gb").map(col) :+ col("__plast"): _*)
     val hasLocal = col("__pt_l").isNotNull
-    withLocal.join(bFrame, keyCols :+ "__gb")
+    // null-SAFE join keys: trailingStats keeps a null key as its own
+    // window group, so the compact-frame join must match it too (a plain
+    // equi-join would silently drop every null-key row)
+    val l = withLocal.as("__l")
+    val r = bFrame.as("__r")
+    val joinCond = (keyCols :+ "__gb")
+      .map(c => col(s"__l.$c") <=> col(s"__r.$c")).reduce(_ && _)
+    l.join(r, joinCond)
+      .select(col("__l.*"), col("__r.__plast"))
       .withColumn(s"${outPrefix}prev_value",
         when(hasLocal, col("__pv_l")).otherwise(col("__plast.__v")))
       .withColumn(s"${outPrefix}gap", col("__gts") -

@@ -351,13 +351,6 @@ object Similarity {
     (cs, counts)
   }
 
-  /** Train an IVF quantizer with `iters` Lloyd iterations over the
-    * deterministic seed and return it as a frame of
-    * `(cell_id, centroid, n_assigned)` — `n_assigned` counts the final
-    * iteration's nearest-cell assignment (the population each returned
-    * mean was computed from). Feed the same `nCells`/`iters` to
-    * [[ivfCosinePairs]]/[[ivfTopK]] via `trainIters` to query with the
-    * refined cells; training costs `iters` corpus scans and nothing else. */
   /** Object form of [[trainCentroids]] for persistence and reuse: the
     * refined quantizer plus final-iteration assignment counts, ready for
     * [[graft.store.Artifacts.saveCentroids]] and the `quantizer` option of
@@ -373,6 +366,13 @@ object Similarity {
     lloydRefine(df, idCol, vecCol, nCells, iters)
   }
 
+  /** Train an IVF quantizer with `iters` Lloyd iterations over the
+    * deterministic seed and return it as a frame of
+    * `(cell_id, centroid, n_assigned)` — `n_assigned` counts the final
+    * iteration's nearest-cell assignment (the population each returned
+    * mean was computed from). Feed the same `nCells`/`iters` to
+    * [[ivfCosinePairs]]/[[ivfTopK]] via `trainIters` to query with the
+    * refined cells; training costs `iters` corpus scans and nothing else. */
   def trainCentroids(
       df: DataFrame,
       idCol: String,

@@ -1334,6 +1334,21 @@ class PipelineOpsSpec extends GraftSuite {
     assert(got(3L).isEmpty && got(4L).isEmpty)
     val plan = scored.queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("udf"), s"expected UDF-free plan:\n$plan")
+    // two perplexity expressions over NON-NULLABLE children in one
+    // projection: their generated locals land unbraced in one Java scope,
+    // so the names must be fresh per-expression (regression: fixed `ppl`
+    // collided under whole-stage codegen)
+    val blm = new graft.functions.BigramLm(lm, Array.empty, Array.empty, 0.4)
+    val bcB = s.sparkContext.broadcast(blm)
+    val multi = spark.range(1).select(
+      graft.functions.NgramLm.perplexity(bc)(lit("a b")).as("p1"),
+      graft.functions.NgramLm.perplexity(bc)(lit("zz")).as("p2"),
+      graft.functions.NgramLm.bigramPerplexity(bcB)(lit("a b")).as("p3"))
+      .collect()(0)
+    assert(multi.getDouble(0) ==
+      lm.perplexity(UTF8String.fromString("a b")).doubleValue())
+    assert(multi.getDouble(2) ==
+      blm.perplexity(UTF8String.fromString("a b")).doubleValue())
   }
 
   test("trainUnigramLm: excludes empty tokens, deterministic cut, ranks quality") {

@@ -555,6 +555,39 @@ class TimeJoinsSpec extends GraftSuite {
         100L, 100L, tieCols = Seq("event_id")), single)
   }
 
+  test("trailingStatsBucketed: null keys and fractional timelines match single-window") {
+    import graft.operators.Rolling
+    // null keys form their own group in trailingStats — the compact-frame
+    // join must be null-safe, not silently drop them
+    val withNullKey = Seq(
+      (1L, java.lang.Long.valueOf(1L), 10L, 1.0),
+      (2L, null.asInstanceOf[java.lang.Long], 20L, 2.0),
+      (3L, null.asInstanceOf[java.lang.Long], 150L, 3.0),
+      (4L, java.lang.Long.valueOf(1L), 160L, 4.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val single = Rolling.trailingStats(withNullKey, Seq("user_id"), "ts",
+      "value", 100L, tieCols = Seq("event_id"))
+    val bucketed = Rolling.trailingStatsBucketed(withNullKey, Seq("user_id"),
+      "ts", "value", 100L, 100L, tieCols = Seq("event_id"))
+    assert(bucketed.count() == 4, "null-key rows must not be dropped")
+    assertSameRows(bucketed, single)
+    // fractional (double) timeline takes the floor-divide bucket path
+    val frac = Seq((1L, 1L, 0.5, 1.0), (2L, 1L, 99.75, 2.0),
+      (3L, 1L, 100.25, 3.0), (4L, 1L, 350.0, 4.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    assertSameRows(
+      Rolling.trailingStatsBucketed(frac, Seq("user_id"), "ts", "value",
+        100L, 130L, tieCols = Seq("event_id")),
+      Rolling.trailingStats(frac, Seq("user_id"), "ts", "value",
+        100L, tieCols = Seq("event_id")))
+    // reserved internal names are enforced on input columns too
+    intercept[IllegalArgumentException] {
+      Rolling.trailingStatsBucketed(
+        withNullKey.withColumnRenamed("value", "__gb"),
+        Seq("user_id"), "ts", "__gb", 100L, 100L)
+    }
+  }
+
   test("trailingStatsBucketed: timestamp timeline and guard rails") {
     import graft.operators.Rolling
     val ev = Seq(
