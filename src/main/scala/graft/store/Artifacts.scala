@@ -9,8 +9,9 @@ import graft.functions.{BpeVocab, CentroidSet, LinearTextModel}
 
 /** Persistence for trained artifacts — BPE vocabularies
   * ([[graft.functions.BpeVocab]]), linear text-model weight tables
-  * ([[graft.functions.LinearTextModel]]), and IVF centroid sets
-  * ([[graft.functions.CentroidSet]]). A production pipeline trains once
+  * ([[graft.functions.LinearTextModel]]), unigram/bigram language models
+  * ([[graft.functions.UnigramLm]]/[[graft.functions.BigramLm]]), and IVF
+  * centroid sets ([[graft.functions.CentroidSet]]). A production pipeline trains once
   * and scores for months; these artifacts previously lived only as
   * in-memory objects (r6 verdict item 1).
   *

@@ -7,7 +7,8 @@ import graft.operators.Similarity
 import graft.store.{Artifacts, Fs}
 
 /** Persistence for trained artifacts (r6 verdict item 1): exact round
-  * trips for BPE vocabularies, linear text models, and IVF centroid sets;
+  * trips for BPE vocabularies, linear text models, unigram/bigram LMs,
+  * and IVF centroid sets;
   * kind/version/fingerprint guard rails; and the production reuse path
   * (IVF search with a reloaded quantizer ≡ training in-line). */
 class ArtifactsSpec extends GraftSuite {
