@@ -322,4 +322,45 @@ class PropertySpec extends GraftSuite {
       assertSameRows(conGot, conRef)
     }
   }
+
+  test("artifact round trips survive 50 random models (r7 wire formats)") {
+    import graft.store.Artifacts
+    val dir = tmpDir("graft_art_prop_")
+    def randToken(): String = {
+      // exercise the full hazard surface: unicode, separators-adjacent
+      // control chars, spaces, quotes, backslashes, empties
+      val alphabet = "ab cé\"\\&#;\nz"
+      Seq.fill(rnd.nextInt(6))(alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    for (i <- 1 to 50) {
+      val vocab = new graft.functions.BpeVocab(
+        Array.fill(rnd.nextInt(8))(randToken()).distinct)
+      Artifacts.saveBpeVocab(spark, s"$dir/v$i.json", vocab)
+      val lv = Artifacts.loadBpeVocab(spark, s"$dir/v$i.json",
+        Some(Artifacts.fingerprintOf(vocab)))
+      assert(lv.tokens.toSeq == vocab.tokens.toSeq, s"case $i")
+
+      val grams = Array.fill(rnd.nextInt(6))(randToken()).distinct
+      val lm = new graft.functions.UnigramLm(grams,
+        Array.fill(grams.length)(rnd.nextInt(1000).toLong + 1),
+        rnd.nextDouble() + 1e-6)
+      Artifacts.saveUnigramLm(spark, s"$dir/lm$i.json", lm)
+      val llm = Artifacts.loadUnigramLm(spark, s"$dir/lm$i.json",
+        Some(Artifacts.fingerprintOf(lm)))
+      assert(llm.grams.toSeq == lm.grams.toSeq &&
+        llm.counts.toSeq == lm.counts.toSeq &&
+        llm.unkLogProb == lm.unkLogProb, s"case $i")
+
+      val m = rnd.nextInt(5)
+      val tm = new graft.functions.LinearTextModel(
+        Array.tabulate(m)(j => randToken() + j),  // unique grams
+        Array.fill(m)(rnd.nextGaussian()),
+        rnd.nextGaussian(), rnd.nextBoolean())
+      Artifacts.saveTextModel(spark, s"$dir/tm$i.json", tm)
+      val ltm = Artifacts.loadTextModel(spark, s"$dir/tm$i.json",
+        Some(Artifacts.fingerprintOf(tm)))
+      assert(ltm.weights.toSeq == tm.weights.toSeq &&
+        ltm.bias == tm.bias, s"case $i")
+    }
+  }
 }
