@@ -677,6 +677,18 @@ object SparkEntry {
       Dedup.keepCanonical(lk.documents.select(col("doc_id"), col("lang")),
         "doc_id", pairs).orderBy("doc_id")
     }),
+    // quality-aware survivor selection: each near-dup cluster keeps its
+    // LONGEST member (n_chars as the quality proxy; ties min id) instead
+    // of the smallest id — the curation-grade form of keepCanonical
+    "q_dedup_best" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val pairs = Dedup.minhashPairs(lk.documents, "doc_id", "text",
+        threshold = 0.95)
+      Dedup.keepBest(
+        lk.documents.select(col("doc_id"), col("lang"), col("n_chars")),
+        "doc_id", "n_chars", pairs)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
     // URL extraction + domain parse over deterministic synthesized link
     // text (the corpus has no URLs; both engines build the same strings,
     // so the regex machinery — not the fixture — is what's checked)
@@ -1970,6 +1982,33 @@ object SparkEntry {
                         HAVING id != min(r))
          SELECT doc_id, lang FROM documents
          WHERE doc_id NOT IN (SELECT id FROM drop_ids)
+         ORDER BY doc_id""",
+    // same transitive clusters, argmax-by-(n_chars desc, id) survivor
+    "q_dedup_best" ->
+      """WITH RECURSIVE
+           t AS MATERIALIZED (
+                 SELECT doc_id, list_distinct(string_split(lower(text), ' ')) ts
+                 FROM documents),
+           p AS MATERIALIZED (
+                 SELECT a.doc_id a_id, b.doc_id b_id
+                 FROM t a JOIN t b ON a.doc_id < b.doc_id
+                 WHERE len(list_intersect(a.ts, b.ts))::DOUBLE /
+                       len(list_distinct(list_concat(a.ts, b.ts)))::DOUBLE >= 0.95),
+           e AS MATERIALIZED (
+                 SELECT a_id s, b_id d FROM p UNION SELECT b_id, a_id FROM p),
+           reach(id, r) AS (
+             SELECT s, s FROM e
+             UNION
+             SELECT e.d, reach.r FROM reach JOIN e ON e.s = reach.id),
+           clusters AS (SELECT id, min(r) cid FROM reach GROUP BY id),
+           m AS (SELECT c.cid, c.id, d.n_chars
+                 FROM clusters c JOIN documents d ON d.doc_id = c.id),
+           losers AS (SELECT id FROM (
+                        SELECT cid, id, row_number() OVER (PARTITION BY cid
+                          ORDER BY n_chars DESC, id) rn FROM m)
+                      WHERE rn != 1)
+         SELECT doc_id, lang FROM documents
+         WHERE doc_id NOT IN (SELECT id FROM losers)
          ORDER BY doc_id""",
     "q_url_domains" ->
       """WITH s AS (SELECT doc_id,

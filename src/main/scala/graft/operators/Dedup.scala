@@ -1007,6 +1007,35 @@ object Dedup extends org.apache.spark.internal.Logging {
     df.join(drop, Seq(idCol), "left_anti")
   }
 
+  /** QUALITY-AWARE transitive survivor selection: keep the BEST row of
+    * each duplicate cluster — max `scoreCol`, ties broken by min id —
+    * plus every row in no pair at all. What a curation pipeline actually
+    * wants from near-dup removal: among N copies of a page, keep the one
+    * the quality model scores highest (the cleanest extraction), not the
+    * one that happens to carry the smallest id ([[keepCanonical]]).
+    *
+    * Scale shape: one CC pass over the PAIR frame
+    * ([[duplicateClusters]]), a cluster-keyed window over CLUSTERED rows
+    * only (bounded by duplicate volume, never corpus size — the
+    * unclustered majority skips the window entirely), one left-anti
+    * join back. A pathological mega-cluster sorts in one window task —
+    * the same bound duplicateClusters already carries. */
+  def keepBest(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      pairs: DataFrame): DataFrame = {
+    val clusters = duplicateClusters(pairs)
+    val scored = df.select(col(idCol), col(scoreCol))
+      .join(clusters.withColumnRenamed("id", idCol), Seq(idCol))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val losers = scored.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") =!= 1).select(col(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Cross-document boilerplate removal (the CCNet/RefinedWeb line-dedup
     * step): a LINE occurring in at least `minDocs` distinct documents is
     * boilerplate (nav bars, cookie banners, license footers) and is

@@ -525,6 +525,23 @@ class PipelineOpsSpec extends GraftSuite {
     assertSameRows(got, want)
   }
 
+  test("keepBest keeps each cluster's max-score member; ties min id") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val df = Seq((1L, 10L), (2L, 99L), (3L, 50L), (4L, 1L), (5L, 7L),
+      (6L, 7L), (7L, 0L)).toDF("doc_id", "score")
+    val got = Dedup.keepBest(df, "doc_id", "score", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // cluster {1,2,3} -> 2 (max score); {5,6} -> 5 (tie, min id);
+    // 4 and 7 unpaired survive
+    assert(got == Set(2L, 4L, 5L, 7L))
+    // with a CONSTANT score, keepBest degenerates to keepCanonical
+    val const = df.withColumn("score", lit(1L))
+    assertSameRows(
+      Dedup.keepBest(const, "doc_id", "score", pairs).select("doc_id"),
+      Dedup.keepCanonical(df.select("doc_id"), "doc_id", pairs))
+  }
+
   test("repetition HOF metrics equal an explode-based reference") {
     import spark.implicits._
     val fixture = Seq(
