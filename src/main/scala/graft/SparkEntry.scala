@@ -1072,6 +1072,20 @@ object SparkEntry {
       val lk = Lake.get(s, dir)
       TextAnalysis.quality(lk.documents, "doc_id", "text").orderBy("doc_id")
     }),
+    // within-doc repeated-line removal over pages that repeat their own
+    // header block (first occurrence survives, the repeat is cut; short
+    // lines always kept)
+    "q_dedup_lines" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val pages = lk.documents.select(col("doc_id"),
+        concat(lit("page header "), pmod(col("doc_id"), lit(5)), lit("\n"),
+          col("text"),
+          lit("\npage header "), pmod(col("doc_id"), lit(5)),
+          lit("\n\ntail ") , col("doc_id")).as("page"))
+      pages.select(col("doc_id"),
+        TextAnalysis.dedupLinesInDoc(col("page")).as("text_clean"))
+        .orderBy("doc_id")
+    }),
     // HTML -> text extraction over synthesized web pages (script/style
     // blocks with embedded '<', comments, attributes, entities)
     "q_strip_html" -> ((s, dir) => {
@@ -2375,6 +2389,24 @@ object SparkEntry {
                       OR t = 'le' OR t = 'et' OR t = 'est' OR t = 'les'))::DOUBLE /
                   len(string_split(lower(text), ' '))::DOUBLE AS stopword_ratio
          FROM documents ORDER BY doc_id""",
+    // replicates dedupLinesInDoc's first-occurrence walk: keep line i iff
+    // it is short (<2 chars) or its first position within the prefix is i
+    "q_dedup_lines" ->
+      """WITH p AS (SELECT doc_id,
+               'page header ' || (doc_id % 5) || chr(10) || text || chr(10) ||
+               'page header ' || (doc_id % 5) || chr(10) || chr(10) ||
+               'tail ' || doc_id AS page
+             FROM documents),
+         l AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM p)
+         SELECT doc_id,
+                array_to_string(
+                  list_filter(
+                    list_transform(generate_series(1, len(ls)),
+                      i -> CASE WHEN length(ls[i]) < 2
+                                  OR list_position(ls[1:i], ls[i]) = i
+                           THEN ls[i] END),
+                    v -> v IS NOT NULL), chr(10)) AS text_clean
+         FROM l ORDER BY doc_id""",
     // verbatim replica of the stripHtml regexp_replace chain (every
     // pattern RE2-safe by construction); the page wrapper is the SAME
     // Scala constant the Spark query concatenates

@@ -173,6 +173,26 @@ object TextAnalysis {
     regexp_replace(ip, "[0-9]{7,}", "<NUM>")
   }
 
+  /** WITHIN-document repeated-line removal: every line keeps only its
+    * FIRST occurrence inside the document (scraped pages often repeat
+    * their own nav/footer blocks several times); lines shorter than
+    * `minLineChars` are always kept — blank lines and one-character
+    * separators repeat legitimately and removing them would mangle
+    * paragraph structure (the [[graft.operators.Dedup.stripBoilerplate]]
+    * rule applied within one row). Pure per-row HOF arithmetic — no
+    * explode, no shuffle; the per-row cost is O(lines²) worst case,
+    * bounded by document length. The CROSS-document counterpart is
+    * `stripBoilerplate`; run this first so a page's self-repeats don't
+    * inflate cross-doc line counts. */
+  def dedupLinesInDoc(textCol: Column, minLineChars: Int = 2): Column = {
+    val lines = split(textCol, "\n")
+    array_join(
+      filter(lines, (l, i) =>
+        length(l) < minLineChars ||
+          array_position(slice(lines, lit(1), i + 1), l) === (i + 1)),
+      "\n")
+  }
+
   /** HTML → text extraction (the CommonCrawl-WET-style step a web-corpus
     * pipeline runs before any quality/dedup pass): drop `<script>`/
     * `<style>` blocks wholesale (their CONTENT is code, not prose), strip

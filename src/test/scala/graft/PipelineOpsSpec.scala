@@ -1417,6 +1417,29 @@ class PipelineOpsSpec extends GraftSuite {
     assert(!plain.columns.contains("doc_starts"))
   }
 
+  test("dedupLinesInDoc: first occurrence survives, short lines always kept") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "nav bar\ncontent one\nnav bar\ncontent two\nnav bar"),
+      (2L, "a\n\nx longer\n\na\nx longer"),   // short 'a'/blank kept, dup cut
+      (3L, "only line"),
+      (4L, "")
+    ).toDF("id", "page")
+    val got = df.select($"id",
+      TextAnalysis.dedupLinesInDoc($"page").as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "nav bar\ncontent one\ncontent two")
+    // 'a' is short (<2) so BOTH copies survive; blanks survive; the
+    // repeated 'x longer' loses its second copy
+    assert(got(2L) == "a\n\nx longer\n\na")
+    assert(got(3L) == "only line")
+    assert(got(4L) == "")
+    val plan = df.select(TextAnalysis.dedupLinesInDoc($"page"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("udf"))
+  }
+
   test("stripHtml: scripts/styles/comments/tags/entities, hand-computed") {
     val s = spark
     import s.implicits._
