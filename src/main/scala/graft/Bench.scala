@@ -110,6 +110,10 @@ object Bench {
       "q_range_probe", "q_regular_join", "q_regular_probe", "q_reverse_join",
       "q_select_join", "q_sql_join", "q_sql_where", "q_temporal_latest",
       "q_token_count")
+    val missing = gateSet.filterNot(results.contains)
+    require(missing.isEmpty,
+      s"gate queries missing from this bench run: ${missing.mkString(", ")} — " +
+        "a renamed/dropped gate query must fail loudly, not shrink gate_total")
     val gateTotal = gateSet.flatMap(results.get).sum
     val compactQs = (gateSet ++ results.keys.filter(_.startsWith("x_")))
       .flatMap(k => results.get(k).map(v => "\"" + k + f"""":$v%.3f"""))

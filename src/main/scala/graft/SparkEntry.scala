@@ -1251,7 +1251,7 @@ object SparkEntry {
       val path = s"${lk.work}/artifacts/ivf_centroids.json"
       graft.store.Artifacts.saveCentroids(s, path, cs, counts)
       val (lcs, lcounts) = graft.store.Artifacts.loadCentroids(s, path,
-        expectFingerprint = Some(graft.store.Artifacts.fingerprintOf(cs)))
+        expectFingerprint = Some(graft.store.Artifacts.fingerprintOf(cs, counts)))
       import s.implicits._
       lcs.vecs.indices.map(c => (c.toLong, lcounts(c)))
         .toDF("cell_id", "n_assigned")

@@ -58,7 +58,10 @@ final class UnigramLm(
     * the text has no tokens. Non-null input — the expression is
     * null-safe. Called from interpreted eval and generated code. */
   def perplexity(text: UTF8String): java.lang.Double = {
-    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
+    // UTF8String.toLowerCase is the SAME implementation Spark's lower()
+    // uses at training time — locale-sensitive characters (e.g. Turkish
+    // dotted I) lowercase identically on both sides (r7 advisor)
+    val s = text.toLowerCase.toString
     var lp = 0.0
     var n = 0L
     var wStart = 0
@@ -159,7 +162,10 @@ final class BigramLm(
   /** exp(−avg ln s) over the non-empty lowercased space-split tokens;
     * null (boxed) when the text has no tokens. */
   def perplexity(text: UTF8String): java.lang.Double = {
-    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
+    // UTF8String.toLowerCase is the SAME implementation Spark's lower()
+    // uses at training time — locale-sensitive characters (e.g. Turkish
+    // dotted I) lowercase identically on both sides (r7 advisor)
+    val s = text.toLowerCase.toString
     var lp = 0.0
     var n = 0L
     var prev: String = null

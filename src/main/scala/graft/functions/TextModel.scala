@@ -36,7 +36,10 @@ final class LinearTextModel(
   /** Raw linear score of one text (non-null input — the expression is
     * null-safe). Called from both interpreted eval and generated code. */
   def score(text: UTF8String): Double = {
-    val s = text.toString.toLowerCase(java.util.Locale.ROOT)
+    // UTF8String.toLowerCase is the SAME implementation Spark's lower()
+    // uses at training time — locale-sensitive characters (e.g. Turkish
+    // dotted I) lowercase identically on both sides (r7 advisor)
+    val s = text.toLowerCase.toString
     var total = bias
     var prev: String = null
     var wStart = 0

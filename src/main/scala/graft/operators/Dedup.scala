@@ -1015,11 +1015,17 @@ object Dedup extends org.apache.spark.internal.Logging {
     * one that happens to carry the smallest id ([[keepCanonical]]).
     *
     * Scale shape: one CC pass over the PAIR frame
-    * ([[duplicateClusters]]), a cluster-keyed window over CLUSTERED rows
-    * only (bounded by duplicate volume, never corpus size — the
-    * unclustered majority skips the window entirely), one left-anti
-    * join back. A pathological mega-cluster sorts in one window task —
-    * the same bound duplicateClusters already carries. */
+    * ([[duplicateClusters]]), then winner selection as two
+    * MAP-SIDE-COMBINED aggregates — max score per cluster, then min id
+    * among the max-score rows — and one left-anti join back. No window:
+    * a boilerplate mega-cluster (millions of near-identical pages, the
+    * common case in web corpora) partial-aggregates in every map task
+    * instead of sorting in one window task, and the cluster-keyed join
+    * between the rows and their cluster maximum is skew-splittable by
+    * AQE because the aggregate side is one row per cluster. Null scores
+    * follow the former `ORDER BY score DESC` (nulls-last) semantics: a
+    * null never beats a non-null, and an all-null cluster keeps its min
+    * id (null-safe `<=>` match against the null maximum). */
   def keepBest(
       df: DataFrame,
       idCol: String,
@@ -1028,11 +1034,14 @@ object Dedup extends org.apache.spark.internal.Logging {
     val clusters = duplicateClusters(pairs)
     val scored = df.select(col(idCol), col(scoreCol))
       .join(clusters.withColumnRenamed("id", idCol), Seq(idCol))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("cluster_id"))
-      .orderBy(col(scoreCol).desc, col(idCol))
-    val losers = scored.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") =!= 1).select(col(idCol))
+    val best = scored.groupBy(col("cluster_id"))
+      .agg(max(col(scoreCol)).as("__best"))
+    val winners = scored.join(best, Seq("cluster_id"))
+      .where(col(scoreCol) <=> col("__best"))
+      .groupBy(col("cluster_id"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    val losers = scored.select(col(idCol)).join(winners, Seq(idCol), "left_anti")
     df.join(losers, Seq(idCol), "left_anti")
   }
 

@@ -117,7 +117,8 @@ object Rolling {
       s"bucketWidth ($bucketWidth) must be >= rangeBack ($rangeBack) so a " +
         "trailing window spans at most two buckets")
     val reserved =
-      Set("__gts", "__gb", "__carry", "__pv_l", "__pt_l", "__plast", "__v")
+      Set("__gts", "__gb", "__carry", "__pv_l", "__pt_l", "__plast", "__v",
+        "__last")
     require(!tieCols.exists(reserved),
       s"tieCols may not use the reserved names ${reserved.mkString("/")}")
     require(!df.columns.exists(reserved),

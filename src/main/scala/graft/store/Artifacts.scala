@@ -40,6 +40,11 @@ object Artifacts {
   val UnigramLmKind = "unigram_lm"
   val BigramLmKind = "bigram_lm"
   val CurrentFormatVersion = 1
+  /** Centroids moved to v2 when the fingerprint grew to cover `nAssigned`
+    * (r7 advisor: a corrupted counts array must fail the corruption check
+    * like every other field). v1 artifacts still load — their stored
+    * fingerprint is verified with the v1 (vectors-only) formula. */
+  val CentroidsFormatVersion = 2
 
   private case class BpeVocabManifest(
       kind: String, formatVersion: Int, fingerprint: String,
@@ -94,12 +99,21 @@ object Artifacts {
         .mkString("\u0000") + "\u0001" +
       java.lang.Double.doubleToLongBits(lm.backoff))
 
+  /** v1 (vectors-only) centroid fingerprint — kept to verify v1
+    * artifacts on load; new saves use the v2 overload below. */
   def fingerprintOf(cs: CentroidSet): String =
     md5(cs.vecs.map(_.map(f => java.lang.Float.floatToIntBits(f).toString)
       .mkString(",")).mkString("\u0000"))
 
+  /** v2 centroid fingerprint: vectors AND assignment counts, so count
+    * drift fails the corruption check like every other field (r7
+    * advisor). */
+  def fingerprintOf(cs: CentroidSet, nAssigned: Array[Long]): String =
+    md5(fingerprintOf(cs) + "\u0001" + nAssigned.mkString("\u0000"))
+
   private def readManifest[T: Manifest](
-      spark: SparkSession, path: String, expectedKind: String): T = {
+      spark: SparkSession, path: String, expectedKind: String,
+      maxVersion: Int = CurrentFormatVersion): T = {
     if (!Fs.exists(spark, path))
       throw new ArtifactFormatException(s"no artifact at $path")
     val raw = Fs.readString(spark, path)
@@ -118,10 +132,10 @@ object Artifacts {
     val version = (json \ "formatVersion").extractOpt[Int].getOrElse(
       throw new ArtifactFormatException(
         s"artifact at $path has no 'formatVersion'"))
-    if (version > CurrentFormatVersion)
+    if (version > maxVersion)
       throw new ArtifactFormatException(
         s"artifact at $path has formatVersion $version; this build reads " +
-          s"<= $CurrentFormatVersion — refusing a partial load")
+          s"<= $maxVersion — refusing a partial load")
     try json.extract[T] catch {
       case e: Exception =>
         throw new ArtifactFormatException(s"unreadable artifact at $path", e)
@@ -249,8 +263,8 @@ object Artifacts {
     require(nAssigned.length == cs.size,
       s"nAssigned length ${nAssigned.length} != ${cs.size} centroids")
     Fs.writeStringAtomic(spark, path, Serialization.writePretty(
-      CentroidsManifest(CentroidsKind, CurrentFormatVersion,
-        fingerprintOf(cs),
+      CentroidsManifest(CentroidsKind, CentroidsFormatVersion,
+        fingerprintOf(cs, nAssigned),
         if (cs.size == 0) 0 else cs.vecs(0).length,
         cs.vecs.map(_.toList).toList, nAssigned.toList)))
   }
@@ -258,7 +272,8 @@ object Artifacts {
   def loadCentroids(
       spark: SparkSession, path: String,
       expectFingerprint: Option[String] = None): (CentroidSet, Array[Long]) = {
-    val m = readManifest[CentroidsManifest](spark, path, CentroidsKind)
+    val m = readManifest[CentroidsManifest](spark, path, CentroidsKind,
+      maxVersion = CentroidsFormatVersion)
     if (m.centroids.exists(_.length != m.dim))
       throw new ArtifactFormatException(
         s"artifact at $path: centroid dims ${m.centroids.map(_.length).distinct} " +
@@ -268,8 +283,12 @@ object Artifacts {
         s"artifact at $path: ${m.nAssigned.length} counts vs " +
           s"${m.centroids.length} centroids")
     val cs = new CentroidSet(m.centroids.map(_.toArray).toArray)
-    checkFingerprint(path, m.fingerprint, fingerprintOf(cs),
-      expectFingerprint)
+    // v1 artifacts were fingerprinted over vectors only; v2 folds in the
+    // assignment counts so count drift fails like every other field
+    val recomputed =
+      if (m.formatVersion >= 2) fingerprintOf(cs, m.nAssigned.toArray)
+      else fingerprintOf(cs)
+    checkFingerprint(path, m.fingerprint, recomputed, expectFingerprint)
     (cs, m.nAssigned.toArray)
   }
 }

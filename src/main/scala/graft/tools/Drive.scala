@@ -279,6 +279,54 @@ object Drive {
         (if (got2 == oracle2) "OK" else s"MISMATCH diff=${got2.diff(oracle2)}|${oracle2.diff(got2)}"))
     }
 
+    // 12) r8: keepBest aggregate formulation vs the old window oracle on
+    // real minhash pairs, + v2 centroid artifact round-trip
+    {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val scored = docs.withColumn("q", length(col("text")).cast("double"))
+      val pairs = graft.operators.Dedup.minhashPairs(
+        scored, "doc_id", "text", threshold = 0.7)
+      val kept = graft.operators.Dedup.keepBest(
+        scored.select("doc_id", "q"), "doc_id", "q", pairs)
+        .select("doc_id").as[Long].collect().toSet
+      val clusters = graft.operators.Dedup.duplicateClusters(pairs)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id").orderBy(col("q").desc, col("doc_id"))
+      val loserOracle = scored.join(
+          clusters.withColumnRenamed("id", "doc_id"), Seq("doc_id"))
+        .withColumn("rn", row_number().over(w)).where(col("rn") =!= 1)
+        .select("doc_id").as[Long].collect().toSet
+      val keptOracle = scored.select("doc_id").as[Long].collect().toSet
+        .diff(loserOracle)
+      val planStr = graft.operators.Dedup.keepBest(
+        scored.select("doc_id", "q"), "doc_id", "q", pairs)
+        .queryExecution.executedPlan.toString
+      println(s"[drive] 12-keepbest got=${kept.size} oracle=${keptOracle.size} " +
+        (if (kept == keptOracle) "OK" else "MISMATCH") +
+        s" windowFree=${!planStr.contains("Window")} (want true)")
+
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val (cs, counts) = graft.operators.Similarity.trainCentroidSet(
+        emb, "vec_id", "embedding", nCells = 4, iters = 1)
+      val apath = s"$work/artifacts/cents.json"
+      graft.store.Artifacts.saveCentroids(spark, apath, cs, counts)
+      val (lcs, lcounts) = graft.store.Artifacts.loadCentroids(spark, apath,
+        Some(graft.store.Artifacts.fingerprintOf(cs, counts)))
+      val rt = lcs.vecs.map(_.toSeq).toSeq == cs.vecs.map(_.toSeq).toSeq &&
+        lcounts.toSeq == counts.toSeq
+      val driftCaught = try {
+        val raw = graft.store.Fs.readString(spark, apath)
+        val tam = raw.replaceAll(s"""${counts(0)},""", s"${counts(0) + 1},")
+        graft.store.Fs.writeStringAtomic(spark, s"$work/artifacts/tam.json",
+          if (tam != raw) tam else raw.replaceAll(
+            s"""${counts(0)}\\s*\\]""", s"${counts(0) + 1} ]"))
+        graft.store.Artifacts.loadCentroids(spark, s"$work/artifacts/tam.json")
+        false
+      } catch { case _: graft.ArtifactFormatException => true }
+      println(s"[drive] 12-centroid-artifact roundTrip=$rt " +
+        s"countDriftCaught=$driftCaught (want true true)")
+    }
+
     spark.stop()
     println("[drive] done")
   }

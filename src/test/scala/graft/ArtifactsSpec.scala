@@ -53,10 +53,22 @@ class ArtifactsSpec extends GraftSuite {
     val path = s"$dir/cents.json"
     Artifacts.saveCentroids(spark, path, cs, counts)
     val (lcs, lcounts) = Artifacts.loadCentroids(spark, path,
-      Some(Artifacts.fingerprintOf(cs)))
+      Some(Artifacts.fingerprintOf(cs, counts)))
     assert(lcs.vecs.map(_.toSeq).toSeq == cs.vecs.map(_.toSeq).toSeq)
     assert(lcs.norms.toSeq == cs.norms.toSeq)
     assert(lcounts.toSeq == counts.toSeq)
+    // r7 advisor: the v2 fingerprint covers nAssigned — edited counts
+    // fail the corruption check like every other field
+    assert(Artifacts.fingerprintOf(cs, Array(9L, 3L)) !=
+      Artifacts.fingerprintOf(cs, counts))
+    val raw = Fs.readString(spark, path)
+    val drifted = raw.replaceAll("7,\\s*3", "9, 3")
+    assert(drifted != raw, "count tamper must hit the manifest")
+    Fs.writeStringAtomic(spark, s"$dir/cents_drift.json", drifted)
+    val e = intercept[graft.ArtifactFormatException] {
+      Artifacts.loadCentroids(spark, s"$dir/cents_drift.json")
+    }
+    assert(e.getMessage.contains("corrupt"))
   }
 
   test("UnigramLm round-trips exactly (counts, alpha, scores)") {

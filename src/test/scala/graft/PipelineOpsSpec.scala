@@ -540,6 +540,37 @@ class PipelineOpsSpec extends GraftSuite {
     assertSameRows(
       Dedup.keepBest(const, "doc_id", "score", pairs).select("doc_id"),
       Dedup.keepCanonical(df.select("doc_id"), "doc_id", pairs))
+    // null scores never beat non-null; all-null cluster keeps min id
+    val nulled = Seq((1L, Some(10L)), (2L, None), (3L, Some(10L)),
+      (5L, None), (6L, None)).toDF("doc_id", "score")
+    val gotNull = Dedup.keepBest(nulled, "doc_id", "score", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // {1,2,3}: max non-null 10 ties on 1,3 -> 1; {5,6}: all null -> 5
+    assert(gotNull == Set(1L, 5L))
+    // scale property (r7 verdict #1): survivor selection must be
+    // window-free — a mega-cluster partial-aggregates, never sorts in
+    // one window task
+    val plan = Dedup.keepBest(df, "doc_id", "score", pairs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"keepBest must not rank survivors with a window:\n${plan.take(800)}")
+  }
+
+  test("keepBest mega-cluster differential: one cluster >> task size") {
+    import spark.implicits._
+    // one transitive chain of 50k rows — with the old row_number
+    // formulation this sorts in ONE window task; with aggregates each
+    // map task partial-combines. Winner = max score (id 49_999 scores
+    // highest), everything else in the chain drops.
+    val n = 50000L
+    val pairs = spark.range(n - 1)
+      .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+    val df = spark.range(n).select(col("id").as("doc_id"),
+      col("id").as("score"))
+      .union(Seq((1000000L, -1L)).toDF("doc_id", "score")) // unpaired row
+    val got = Dedup.keepBest(df, "doc_id", "score", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(n - 1, 1000000L))
   }
 
   test("repetition HOF metrics equal an explode-based reference") {
