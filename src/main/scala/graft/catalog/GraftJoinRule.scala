@@ -166,6 +166,8 @@ object GraftJoinRule extends Rule[LogicalPlan] with Logging {
   * (reference: catalog/AriadneSparkExtension.scala:39-42)
   */
 class GraftSparkExtension extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => GraftJoinRule)
+    GraftFunctions.injectable.foreach(ext.injectFunction)
+  }
 }

@@ -21,4 +21,24 @@ object GraftSqlBridge {
   /** Unwrap a Column back to its Catalyst expression. */
   def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Unwrap a Column to a FULLY-CONVERTED Catalyst expression (recursively
+    * resolves ColumnNode wrappers). [[expression]] defers conversion to the
+    * Dataset API's central converter, which never runs for expression trees
+    * returned by FunctionRegistry builders — SQL-function builders must
+    * convert eagerly or custom expressions see void-typed children. */
+  def convertedExpression(
+      c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Register a named SQL function backed by an expression builder on an
+    * ALREADY-BUILT session (the runtime twin of
+    * `SparkSessionExtensions.injectFunction` — same registry, same
+    * resolution; for sessions that did not load the extension). */
+  def registerFunction(
+      spark: SparkSession, name: String,
+      builder: Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression): Unit =
+    spark.asInstanceOf[ClassicSparkSession].sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, builder, "built-in")
 }

@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.GraftSqlBridge
+
+import graft.catalog.GraftFunctions
+import graft.operators.{Dedup, Sampling, TextAnalysis}
+
+/** SQL ≡ programmatic differentials for the registered curation functions
+  * (the AriadneCatalogTests pattern extended to the curation surface):
+  * every graft_* SQL function must resolve to the same expression tree —
+  * and therefore the same values — as its Scala-API twin. */
+class SqlFunctionsSpec extends GraftSuite {
+
+  private lazy val docs = {
+    GraftFunctions.register(spark)
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    d.createOrReplaceTempView("sqlfn_docs")
+    d
+  }
+
+  test("scalar functions: SQL == programmatic on the documents fixture") {
+    val viaSql = docs.sparkSession.sql(
+      """SELECT doc_id,
+           graft_lang_id(text) AS lang_id,
+           graft_token_count(text) AS n_tok,
+           graft_unique_token_count(text) AS n_uniq,
+           graft_token_estimate(text) AS est,
+           graft_bpe_token_count(text) AS bpe,
+           graft_strip_html(text) AS stripped,
+           graft_redact_pii(text) AS redacted,
+           graft_dedup_lines(text) AS deduped,
+           graft_normalize_text(text) AS normed,
+           graft_simhash64(text) AS sh,
+           graft_minhash_sigs(text, 8) AS mh,
+           graft_window_hashes(text, 5) AS wh
+         FROM sqlfn_docs""")
+    val viaApi = docs.select(col("doc_id"),
+      TextAnalysis.langId(col("text")).as("lang_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tok"),
+      TextAnalysis.uniqueTokenCount(col("text")).as("n_uniq"),
+      TextAnalysis.tokenEstimate(col("text")).as("est"),
+      TextAnalysis.bpeTokenCount(col("text")).as("bpe"),
+      TextAnalysis.stripHtml(col("text")).as("stripped"),
+      TextAnalysis.redactPii(col("text")).as("redacted"),
+      TextAnalysis.dedupLinesInDoc(col("text")).as("deduped"),
+      TextAnalysis.normalizeText(col("text")).as("normed"),
+      graft.functions.VectorOps.simhash64(Dedup.tokenSet(col("text"))).as("sh"),
+      graft.functions.VectorOps.minhashSignature(Dedup.tokenSet(col("text")), 8).as("mh"),
+      Dedup.windowHashes(col("text"), 5, distinctWithinDoc = true).as("wh"))
+    assertSameRows(viaSql, viaApi)
+  }
+
+  test("graft_quality struct has field-parity with TextAnalysis.quality") {
+    val viaSql = docs.sparkSession.sql(
+      """SELECT doc_id, q.* FROM
+           (SELECT doc_id, graft_quality(text) AS q FROM sqlfn_docs) t""")
+    val viaApi = TextAnalysis.quality(docs, "doc_id", "text")
+    assert(viaSql.columns.toSeq == viaApi.columns.toSeq,
+      s"${viaSql.columns.toSeq} vs ${viaApi.columns.toSeq}")
+    assertSameRows(viaSql, viaApi)
+  }
+
+  test("artifact-backed functions score off persisted manifests") {
+    val dir = tmpDir("graft_sqlfn_")
+    // unigram + bigram LMs trained on the fixture corpus
+    val lm = TextAnalysis.trainUnigramLm(docs, "text", topN = 500)
+    graft.store.Artifacts.saveUnigramLm(spark, s"$dir/uni.json", lm)
+    val blm = TextAnalysis.trainBigramLm(docs, "text", topNUnigrams = 500)
+    graft.store.Artifacts.saveBigramLm(spark, s"$dir/bi.json", blm)
+    val vocab = new graft.functions.BpeVocab(Array("th", "the", "he", "is"))
+    graft.store.Artifacts.saveBpeVocab(spark, s"$dir/vocab.json", vocab)
+    val model = new graft.functions.LinearTextModel(
+      Array("fast", "slow", "the"), Array(0.8, -1.2, -0.1), 0.2, false)
+    graft.store.Artifacts.saveTextModel(spark, s"$dir/model.json", model)
+
+    val viaSql = docs.sparkSession.sql(
+      s"""SELECT doc_id,
+            round(graft_perplexity(text, '$dir/uni.json'), 6) AS ppl,
+            round(graft_bigram_perplexity(text, '$dir/bi.json'), 6) AS bppl,
+            graft_bpe_count(text, '$dir/vocab.json') AS nbpe,
+            round(graft_text_score(text, '$dir/model.json'), 6) AS score
+          FROM sqlfn_docs""")
+    val bcLm = spark.sparkContext.broadcast(lm)
+    val bcBlm = spark.sparkContext.broadcast(blm)
+    val bcV = spark.sparkContext.broadcast(vocab)
+    val bcM = spark.sparkContext.broadcast(model)
+    val viaApi = docs.select(col("doc_id"),
+      round(graft.functions.NgramLm.perplexity(bcLm)(col("text")), 6).as("ppl"),
+      round(graft.functions.NgramLm.bigramPerplexity(bcBlm)(col("text")), 6).as("bppl"),
+      graft.functions.Bpe.segmentCount(bcV)(col("text")).as("nbpe"),
+      round(graft.functions.TextModel.score(bcM)(col("text")), 6).as("score"))
+    assertSameRows(viaSql, viaApi)
+  }
+
+  test("misuse fails loudly: arity and literal-kind errors") {
+    docs // force registration
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT graft_lang_id(text, text) FROM sqlfn_docs").collect()
+    }
+    assert(e1.getMessage.contains("argument"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT graft_window_hashes(text, doc_id) FROM sqlfn_docs")
+        .collect()
+    }
+    assert(e2.getMessage.contains("INTEGER literal"))
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT graft_perplexity(text, text) FROM sqlfn_docs")
+        .collect()
+    }
+    assert(e3.getMessage.contains("STRING literal"))
+  }
+
+  test("pure-SQL curation pipeline == programmatic composition") {
+    docs // force registration
+    val viaSql = spark.sql(
+      """WITH gated AS (
+           SELECT doc_id, md5(text) AS k, graft_token_count(text) AS n_tok
+           FROM sqlfn_docs
+           WHERE graft_lang_id(text) = 'en' AND graft_token_count(text) >= 5),
+         ded AS (
+           SELECT min(doc_id) AS doc_id, max(n_tok) AS n_tok
+           FROM gated GROUP BY k)
+         SELECT doc_id, n_tok FROM ded
+         WHERE substring(md5(CAST(doc_id AS STRING)), 1, 8) < '80000000'
+         ORDER BY doc_id""")
+    val gated = docs
+      .where(TextAnalysis.langId(col("text")) === "en" &&
+        TextAnalysis.tokenCount(col("text")) >= 5)
+      .select(col("doc_id"), md5(col("text")).as("__k"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"))
+    val survivors = gated.groupBy("__k")
+      .agg(min("doc_id").as("doc_id"), max("n_tok").as("n_tok"))
+      .drop("__k")
+    val viaApi = Sampling.hashSample(survivors, "doc_id", 0.5)
+      .select("doc_id", "n_tok")
+    assert(viaSql.count() > 0, "curation pipeline must keep some docs")
+    assertSameRows(viaSql, viaApi)
+  }
+
+  test("no UDFs in the resolved SQL plans (codegen parity)") {
+    val plan = docs.sparkSession.sql(
+      """SELECT graft_lang_id(text), graft_simhash64(text),
+                graft_window_hashes(text, 5)
+         FROM sqlfn_docs""").queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("udf"),
+      s"registered functions must resolve to native expressions:\n${plan.take(600)}")
+  }
+}
