@@ -77,6 +77,26 @@ final class Index private (
   def addExplodedIndex(alias: String, arraySqlExpr: String): Index =
     addDef(IndexDef(alias, "exploded", expr = Some(arraySqlExpr)))
 
+  /** Bloom-mode exploded index: per-file bloom filter over the ELEMENTS of
+    * an array-typed SQL expression, joinable/probe-able via `alias` with
+    * the same read semantics as [[addExplodedIndex]]. The scale path for
+    * element universes proportional to CONTENT size (sliding-window
+    * hashes, shingles: ~rows × windows distinct values per file) where an
+    * exploded value array would route every file through the large-index
+    * overflow table — the bloom is fixed-size (`expectedItems` capacity at
+    * `fpr`, ~1.2 MB per file at the defaults) regardless of element count,
+    * so build cost is one streaming aggregate with no eviction pass and
+    * probe cost is a bloom membership scan of the index table. False
+    * positives only ever read extra files — the residual join keeps
+    * results exact. */
+  def addExplodedBloomIndex(
+      alias: String, arraySqlExpr: String, fpr: Double = 0.01,
+      expectedItems: Long = 1000000L): Index = {
+    require(expectedItems > 0, "expectedItems must be positive")
+    addDef(IndexDef(alias, "exploded_bloom", expr = Some(arraySqlExpr),
+      fpr = Some(fpr), expectedItems = Some(expectedItems)))
+  }
+
   /** Reference-shaped convenience: index one FIELD of an array-of-struct
     * column, joinable via `asColumn` (reference: Index.scala:324-370
     * addExplodedFieldIndex("items", "sku", "item_sku")). Delegates to the
@@ -273,7 +293,7 @@ final class Index private (
   def query(values: Map[String, Seq[Any]]): DataFrame = {
     val located = locateFiles(values)
     val aliases = meta.indexes
-      .filter(ix => ix.indexType == "exploded" && values.contains(ix.column))
+      .filter(ix => ix.isExplodedShaped && values.contains(ix.column))
       .map(_.column).toSet
     var df = readFiles(located, aliases)
     IndexJoin.applyTemporalDedup(

@@ -589,6 +589,22 @@ object SparkEntry {
         .select("doc_id").distinct()
         .orderBy("doc_id")
     }),
+    // bloom-mode window index (r7 verdict finding #3): identical
+    // decontamination result through the fixed-size per-file bloom — the
+    // residual join keeps fpr-bounded extra reads invisible; oracle shared
+    // with q_decontaminate_indexed by construction
+    "q_decontaminate_bloom" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val eval = lk.documents.where(pmod(col("doc_id"), lit(5)) === 0)
+      val evalWins = eval.select(explode(
+          Dedup.windowHashes(col("text"), 10, distinctWithinDoc = true))
+          .as("win_hash"))
+        .distinct()
+      lk.docsWindowBloomIdx.join(evalWins, Seq("win_hash"))
+        .where(pmod(col("doc_id"), lit(5)) =!= 0)
+        .select("doc_id").distinct()
+        .orderBy("doc_id")
+    }),
     // the probe-side remover: train docs surviving exact decontamination
     // (one semi-join on window hashes — no pair aggregate)
     "q_decontaminate_clean" -> ((s, dir) => {
@@ -1911,6 +1927,17 @@ object SparkEntry {
     // the contaminated-train-ids view of the same window universe — what
     // the index-accelerated read must surface exactly
     "q_decontaminate_indexed" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') ts
+                    FROM documents),
+              w AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                      generate_series(1, len(ts) - 9),
+                      i -> array_to_string(list_slice(ts, i, i + 9), chr(1))))) wk
+                    FROM t WHERE len(ts) >= 10),
+              ev AS (SELECT DISTINCT wk FROM w WHERE doc_id % 5 = 0)
+         SELECT DISTINCT doc_id FROM w
+         WHERE doc_id % 5 != 0 AND wk IN (SELECT wk FROM ev)
+         ORDER BY doc_id""",
+    "q_decontaminate_bloom" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') ts
                     FROM documents),
               w AS (SELECT doc_id, unnest(list_distinct(list_transform(

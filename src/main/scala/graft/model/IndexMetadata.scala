@@ -9,7 +9,8 @@ import graft.store.Fs
 
 /** One index definition over a single (storage) column.
   *
-  * `indexType` ∈ regular | computed | exploded | bloom | range | temporal.
+  * `indexType` ∈ regular | computed | exploded | exploded_bloom | bloom |
+  * range | temporal.
   * Exactly one index type per column is allowed (reference exclusivity rule:
   * IndexBuildOperations.scala:124-159).
   *
@@ -20,6 +21,13 @@ import graft.store.Fs
   *  - exploded: like regular, but over elements of an array-typed Spark SQL
   *              expression `expr` (generalizes the reference's
   *              array.field exploded indexes, IndexBuildOperations.scala:852-867)
+  *  - exploded_bloom: per-file bloom filter over the ELEMENTS of an
+  *              array-typed expression `expr` — exploded read/join
+  *              semantics with fixed-size bloom storage (capacity
+  *              `expectedItems`), for element universes so large that an
+  *              exploded value array would route every file through the
+  *              large-index overflow path (e.g. sliding-window hashes:
+  *              ~rows × windows distinct values per file)
   *  - bloom:    per-file bloom filter of `toString` values (stored as
   *              `bloom_{column}`, BinaryType)
   *  - range:    per-file `struct(min, max)` (stored as `range_{column}`)
@@ -31,13 +39,14 @@ case class IndexDef(
     indexType: String,
     expr: Option[String] = None,
     tsColumn: Option[String] = None,
-    fpr: Option[Double] = None) {
+    fpr: Option[Double] = None,
+    expectedItems: Option[Long] = None) {
 
   /** Column name under which this index is persisted in the index table. */
   def storageColumn: String = indexType match {
-    case "bloom" => s"bloom_$column"
-    case "range" => s"range_$column"
-    case _       => column
+    case "bloom" | "exploded_bloom" => s"bloom_$column"
+    case "range"                    => s"range_$column"
+    case _                          => column
   }
 
   /** Column holding the probe-able VALUE at data-read time. */
@@ -45,6 +54,11 @@ case class IndexDef(
 
   def isArrayShaped: Boolean =
     indexType == "regular" || indexType == "computed" || indexType == "exploded"
+
+  /** Kinds that materialize `expr`'s ELEMENTS as `column` at data-read
+    * time (row multiplicity changes — see FileReader.applyExploded). */
+  def isExplodedShaped: Boolean =
+    indexType == "exploded" || indexType == "exploded_bloom"
 }
 
 /** Persisted per-index configuration, JSON at

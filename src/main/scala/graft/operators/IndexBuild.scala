@@ -120,7 +120,7 @@ object IndexBuild extends Logging {
     val budget = GraftConf.buildBatchDistinctBudget(spark)
     val maxFiles = GraftConf.buildBatchMaxFiles(spark)
     val arrayDefs = meta.indexes.filter(d => d.isArrayShaped || d.indexType == "bloom")
-    val explodedSlack = if (meta.indexes.exists(_.indexType == "exploded")) 8L else 1L
+    val explodedSlack = if (meta.indexes.exists(_.isExplodedShaped)) 8L else 1L
 
     // Analyzed even for a single file: the estimate also decides whether the
     // large-eviction size check can be skipped (see buildBatchTracked), which
@@ -205,6 +205,22 @@ object IndexBuild extends Logging {
       val e = tagged
         .select(col(F).as("filename"), explode(expr(ix.expr.get)).as(ix.column))
         .groupBy("filename").agg(collect_set(col(ix.column)).as(ix.column))
+      rows = rows.join(e, Seq("filename"), "left_outer")
+    }
+
+    // Exploded-bloom: same exploded aggregation shape, but the per-file
+    // state is a FIXED-SIZE bloom (capacity from the index definition, not
+    // the batch estimate — the element universe scales with content, and a
+    // too-small bloom silently loses pruning power via fpr inflation).
+    // No collect_set, no eviction pass: this is the scale path for
+    // window-hash-grade element counts.
+    meta.indexes.filter(_.indexType == "exploded_bloom").foreach { ix =>
+      val cap = ix.expectedItems.getOrElse(1000000L)
+      val e = tagged
+        .select(col(F).as("filename"), explode(expr(ix.expr.get)).as("__ev"))
+        .groupBy("filename")
+        .agg(Blooms.bloomAgg(col("__ev").cast("string"), cap,
+          ix.fpr.getOrElse(0.01)).as(ix.storageColumn))
       rows = rows.join(e, Seq("filename"), "left_outer")
     }
 

@@ -92,7 +92,7 @@ object IndexJoin extends Logging {
     if (GraftConf.metricsEnabled(spark)) recordMetrics(store, files)
 
     val aliases = meta.indexes
-      .filter(ix => ix.indexType == "exploded" && usingColumns.contains(ix.column))
+      .filter(ix => ix.isExplodedShaped && usingColumns.contains(ix.column))
       .map(_.column).toSet
     // Temporal dedup needs each config's timestamp column — force-read the
     // ROOT column of (possibly nested) ts paths even under select(), then

@@ -87,7 +87,8 @@ object IndexProbe {
       return indexDf.select("filename")
     val matched = ix.indexType match {
       case "regular" | "computed" | "exploded" => arrayCandidates(store, indexDf, ix, probe)
-      case "bloom"    => bloomCandidates(store.spark, indexDf, ix, probe)
+      case "bloom" | "exploded_bloom" =>
+        bloomCandidates(store.spark, indexDf, ix, probe)
       case "range"    => rangeCandidates(store.spark, indexDf, ix, probe)
       case "temporal" => temporalCandidates(indexDf, ix, probe, latestFileOk)
       case t => throw new IllegalStateException(s"unknown index type $t")

@@ -93,7 +93,7 @@ object FileReader {
     * null arrays; join conditions on the alias drop the nulls naturally. */
   def applyExploded(df: DataFrame, meta: IndexMetadata, aliases: Set[String]): DataFrame =
     meta.indexes
-      .filter(ix => ix.indexType == "exploded" && aliases.contains(ix.column))
+      .filter(ix => ix.isExplodedShaped && aliases.contains(ix.column))
       .foldLeft(df) { (d, ix) => d.withColumn(ix.column, explode_outer(expr(ix.expr.get))) }
 
   /** Plain data read — no `_metadata` attribution. Query paths use this:

@@ -184,6 +184,63 @@ class IndexTypesSpec extends GraftSuite {
     }
   }
 
+  test("exploded-bloom window index: same pruning, same result, no overflow") {
+    val s = spark
+    import s.implicits._
+    val dir = tmpDir("graft_winbloom_")
+    val leak = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    def doc(id: Long, text: String) = (id, text)
+    val f0 = Seq(doc(1L, s"intro words then $leak and trailing text"),
+      doc(2L, "completely different content with many plain words here okay"))
+    val f1 = Seq(doc(3L, "this file shares nothing verbatim with the probe corpus at all"),
+      doc(4L, "more unrelated material filling out a second training document"))
+    val f2 = Seq(doc(5L, "third file also clean of any overlapping token run entirely"))
+    val files = Seq(f0, f1, f2).zipWithIndex.map { case (rows, i) =>
+      val p = s"$dir/f$i"
+      rows.toDF("doc_id", "text").coalesce(1).write.parquet(p)
+      new java.io.File(p).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.getAbsolutePath
+    }
+    val idx = Index(spark, "t_docs_winbloom",
+      Seq(doc(0L, "x")).toDF("doc_id", "text").schema, "parquet")
+    idx.addExplodedBloomIndex("win_hash",
+      graft.operators.Dedup.windowHashSqlExpr("text", 10),
+      fpr = 0.001, expectedItems = 10000L)
+    idx.addFile(files: _*)
+    idx.update()
+    try {
+      // the index table holds ONE fixed-size binary bloom per file — the
+      // whole point: no value arrays, no large-index overflow table
+      val st = new graft.store.IndexStore(spark, "t_docs_winbloom")
+      val itab = st.indexTable.read().get
+      assert(itab.schema("bloom_win_hash").dataType ==
+        org.apache.spark.sql.types.BinaryType)
+      assert(st.largeTable("win_hash").read().isEmpty,
+        "exploded_bloom must never route through the overflow path")
+      val probe = Seq((100L, s"eval question containing $leak inside it plus padding tokens"))
+        .toDF("doc_id", "text")
+      val probeWins = probe.select(explode(
+        graft.operators.Dedup.windowHashes($"text", 10,
+          distinctWithinDoc = true)).as("win_hash")).distinct()
+      spark.conf.set("spark.graft.metricsEnabled", "true")
+      graft.operators.IndexJoin.lastMetrics = None
+      val hit = idx.join(probeWins, Seq("win_hash"))
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(hit == Set(1L), s"only doc 1 holds the leaked run: $hit")
+      val m = graft.operators.IndexJoin.lastMetrics
+      assert(m.nonEmpty && m.get.locatedFiles == 1 && m.get.totalFiles == 3,
+        s"bloom window index must prune to the colliding file: $m")
+      // value-list probe path (Map query) answers the same question
+      val win = probeWins.collect().map(_.getLong(0)).toSeq
+      val got = idx.query(Map("win_hash" -> win))
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L), s"value probe: $got")
+    } finally {
+      spark.conf.set("spark.graft.metricsEnabled", "false")
+      Index.remove(spark, "t_docs_winbloom")
+    }
+  }
+
   test("broadcast Frame probe with narrower probe type still matches (int vs long)") {
     // probe column is IntegerType, index column BIGINT; forcing the literal
     // cap below the value count routes through the broadcast set, which
