@@ -807,6 +807,15 @@ object SparkEntry {
       Sampling.shardAssign(lk.documents.select("doc_id"), "doc_id", 8)
         .orderBy("shard_ix", "shard_pos")
     }),
+    // seeded epoch shuffle: same corpus, seed 7 — an independent,
+    // growth-stable permutation into training shards (loader-facing step
+    // after packing; vary the seed per epoch)
+    "q_corpus_shuffle" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Sampling.corpusShuffle(lk.documents.select("doc_id"), "doc_id",
+          nShards = 8, seed = 7L)
+        .orderBy("shard_ix", "shard_pos")
+    }),
     // context-window packing: docs in id order greedily packed into ~5000-
     // token chunks via a DISTRIBUTED exclusive prefix sum (range partitions
     // + local window + broadcast offsets — no single-task global window)
@@ -2350,6 +2359,16 @@ object SparkEntry {
                PARTITION BY ('0x' || key)::UBIGINT % 8
                ORDER BY key, doc_id) AS BIGINT) AS shard_pos
          FROM k ORDER BY shard_ix, shard_pos""",
+    "q_corpus_shuffle" ->
+      """WITH k AS (SELECT doc_id,
+             substring(md5('7#' || CAST(doc_id AS VARCHAR)), 1, 8) AS key
+           FROM documents)
+         SELECT doc_id,
+           CAST(('0x' || key)::UBIGINT % 8 AS BIGINT) AS shard_ix,
+           CAST(row_number() OVER (
+               PARTITION BY ('0x' || key)::UBIGINT % 8
+               ORDER BY key, doc_id) AS BIGINT) AS shard_pos
+         FROM k ORDER BY shard_ix, shard_pos""",
     "q_pack_chunks" ->
       """SELECT doc_id,
                 CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
@@ -2466,15 +2485,16 @@ object SparkEntry {
                'page header ' || (doc_id % 5) || chr(10) || chr(10) ||
                'tail ' || doc_id AS page
              FROM documents),
-         l AS (SELECT doc_id, string_split(page, chr(10)) AS ls FROM p)
+         l AS (SELECT doc_id, page, string_split(page, chr(10)) AS ls FROM p)
          SELECT doc_id,
+                CASE WHEN len(ls) > 10000 THEN page ELSE
                 array_to_string(
                   list_filter(
                     list_transform(generate_series(1, len(ls)),
                       i -> CASE WHEN length(ls[i]) < 2
                                   OR list_position(ls[1:i], ls[i]) = i
                            THEN ls[i] END),
-                    v -> v IS NOT NULL), chr(10)) AS text_clean
+                    v -> v IS NOT NULL), chr(10)) END AS text_clean
          FROM l ORDER BY doc_id""",
     // verbatim replica of the stripHtml regexp_replace chain (every
     // pattern RE2-safe by construction); the page wrapper is the SAME

@@ -332,4 +332,45 @@ object Sampling {
     df.withColumn(shardCol, shard)
       .withColumn(posCol, row_number().over(w).cast("long"))
   }
+
+  /** Seeded, deterministic corpus shuffle — the loader-facing "globally
+    * shuffle the packed sequences, then write N shard files" step that
+    * runs after [[packByTokenBudget]]/[[assembleChunks]], with a seed so
+    * each training EPOCH gets an independent permutation of the same
+    * corpus (vary only the seed; epoch number is the natural choice).
+    *
+    * Each row draws the key `md5(seed || '#' || id)` and lands in shard
+    * `key mod nShards` at the dense 1-based position of its key within
+    * the shard (ties broken by id). Stability contract:
+    *
+    *  - '''Run-stable''': the permutation is a pure function of
+    *    `(seed, id)` — identical across runs, partitionings, and engines
+    *    (the module's md5 contract; replicable verbatim in SQL).
+    *  - '''Growth-stable''': appending rows NEVER moves an existing row
+    *    to a different shard and never reorders two existing rows —
+    *    shard and relative order depend only on the row's own key. Dense
+    *    positions shift only by the number of new rows hashed ahead.
+    *  - '''Seed-independent''': permutations under different seeds are
+    *    unrelated (md5 avalanche), so epoch reshuffles don't correlate.
+    *
+    * Scale shape: one shuffle on the shard key + one per-shard sort;
+    * each shard sorts in a single task, so pick `nShards` at least the
+    * cluster parallelism — for training output files that is the natural
+    * choice anyway. No global single-task sort ever runs. */
+  def corpusShuffle(
+      df: DataFrame,
+      idCol: String,
+      nShards: Int,
+      seed: Long,
+      shardCol: String = "shard_ix",
+      posCol: String = "shard_pos"): DataFrame = {
+    require(nShards > 0, "nShards must be positive")
+    val key = substring(
+      md5(concat(lit(seed.toString), lit("#"), col(idCol).cast("string"))),
+      1, 8)
+    val shard = pmod(conv(key, 16, 10).cast("long"), lit(nShards.toLong))
+    val w = Window.partitionBy(col(shardCol)).orderBy(key, col(idCol))
+    df.withColumn(shardCol, shard)
+      .withColumn(posCol, row_number().over(w).cast("long"))
+  }
 }

@@ -183,14 +183,25 @@ object TextAnalysis {
     * explode, no shuffle; the per-row cost is O(lines²) worst case,
     * bounded by document length. The CROSS-document counterpart is
     * `stripBoilerplate`; run this first so a page's self-repeats don't
-    * inflate cross-doc line counts. */
-  def dedupLinesInDoc(textCol: Column, minLineChars: Int = 2): Column = {
+    * inflate cross-doc line counts.
+    *
+    * Pathological-document guard: a single 100k-line row would run
+    * 5·10⁹ in-row comparisons and stall its task, so documents with more
+    * than `maxLines` lines pass through UNCHANGED (r7 verdict item 7;
+    * real scraped pages sit far below the default 10,000 — a doc over it
+    * is a concatenation artifact that belongs to [[Dedup.stripBoilerplate]]
+    * at the occurrence grain, which is linear per line). Pass
+    * `maxLines = Int.MaxValue` to disable the guard. */
+  def dedupLinesInDoc(
+      textCol: Column, minLineChars: Int = 2,
+      maxLines: Int = 10000): Column = {
     val lines = split(textCol, "\n")
-    array_join(
-      filter(lines, (l, i) =>
-        length(l) < minLineChars ||
-          array_position(slice(lines, lit(1), i + 1), l) === (i + 1)),
-      "\n")
+    when(size(lines) > maxLines, textCol).otherwise(
+      array_join(
+        filter(lines, (l, i) =>
+          length(l) < minLineChars ||
+            array_position(slice(lines, lit(1), i + 1), l) === (i + 1)),
+        "\n"))
   }
 
   /** HTML → text extraction (the CommonCrawl-WET-style step a web-corpus

@@ -269,6 +269,90 @@ object Artifacts {
         cs.vecs.map(_.toList).toList, nAssigned.toList)))
   }
 
+  // ---- directory -----------------------------------------------------------
+
+  /** One artifact's catalog entry — envelope fields plus a kind-aware
+    * payload summary ("50000 tokens", "k=64 dim=128", …). */
+  case class ArtifactInfo(
+      path: String, name: String, kind: String, formatVersion: Int,
+      fingerprint: String, sizeBytes: Long, modifiedMs: Long,
+      summary: String)
+
+  private def payloadSummary(kind: String, json: org.json4s.JValue): String = {
+    def len(field: String): Int = (json \ field) match {
+      case org.json4s.JArray(xs) => xs.length
+      case _ => -1
+    }
+    kind match {
+      case BpeVocabKind => s"${len("tokens")} tokens"
+      case TextModelKind =>
+        val bi = (json \ "useBigrams").extractOpt[Boolean].getOrElse(false)
+        s"${len("grams")} grams, bigrams=$bi"
+      case UnigramLmKind =>
+        s"${len("grams")} grams, alpha=" +
+          (json \ "alpha").extractOpt[Double].getOrElse(Double.NaN)
+      case BigramLmKind =>
+        s"${len("grams")} grams + ${len("bigrams")} bigrams, backoff=" +
+          (json \ "backoff").extractOpt[Double].getOrElse(Double.NaN)
+      case CentroidsKind =>
+        s"k=${len("centroids")} dim=" +
+          (json \ "dim").extractOpt[Int].getOrElse(-1)
+      case _ => ""
+    }
+  }
+
+  /** Catalog entry for ONE artifact manifest. Reads only the envelope +
+    * array lengths — no payload validation (that stays in the typed
+    * `load*`); throws [[ArtifactFormatException]] if the file isn't an
+    * artifact manifest at all. */
+  def describe(spark: SparkSession, path: String): ArtifactInfo = {
+    if (!Fs.exists(spark, path))
+      throw new ArtifactFormatException(s"no artifact at $path")
+    val raw = Fs.readString(spark, path)
+    val json = try org.json4s.jackson.JsonMethods.parse(raw) catch {
+      case e: Exception =>
+        throw new ArtifactFormatException(s"unreadable artifact at $path", e)
+    }
+    val kind = (json \ "kind").extractOpt[String].getOrElse(
+      throw new ArtifactFormatException(s"artifact at $path has no 'kind'"))
+    val version = (json \ "formatVersion").extractOpt[Int].getOrElse(
+      throw new ArtifactFormatException(
+        s"artifact at $path has no 'formatVersion'"))
+    val fp = (json \ "fingerprint").extractOpt[String].getOrElse(
+      throw new ArtifactFormatException(
+        s"artifact at $path has no 'fingerprint'"))
+    val name = new org.apache.hadoop.fs.Path(path).getName
+    ArtifactInfo(path, name, kind, version, fp,
+      Fs.fileSize(spark, path), Fs.modificationTime(spark, path),
+      payloadSummary(kind, json))
+  }
+
+  /** Every artifact manifest directly under `dir` (non-recursive), sorted
+    * by name. Files that aren't artifact manifests (no parseable
+    * kind/formatVersion/fingerprint envelope) are skipped — a model
+    * directory legitimately holds other small files; corruption detection
+    * belongs to the typed `load*` fingerprint check, not the listing
+    * (the [[graft.IndexCatalog]] discipline). Driver-bounded: one small
+    * JSON read per file of ONE directory listing. */
+  def list(spark: SparkSession, dir: String): Seq[ArtifactInfo] =
+    Fs.listFiles(spark, dir).sorted.flatMap { f =>
+      try Some(describe(spark, dir.stripSuffix("/") + "/" + f))
+      catch { case _: ArtifactFormatException => None }
+    }
+
+  /** [[list]] as a summary DataFrame — the `IndexCatalog.toDF` pattern for
+    * persisted models/vocabs: one row per artifact with kind, version,
+    * fingerprint (what a pipeline pins via `expectFingerprint`), size and
+    * payload summary. */
+  def toDF(spark: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    list(spark, dir)
+      .map(a => (a.name, a.kind, a.formatVersion, a.fingerprint, a.sizeBytes,
+        new java.sql.Timestamp(a.modifiedMs), a.summary, a.path))
+      .toDF("name", "kind", "format_version", "fingerprint", "size_bytes",
+        "modified_at", "summary", "path")
+  }
+
   def loadCentroids(
       spark: SparkSession, path: String,
       expectFingerprint: Option[String] = None): (CentroidSet, Array[Long]) = {

@@ -109,6 +109,18 @@ object Fs {
     else f.listStatus(p).toSeq.filter(_.isDirectory).map(_.getPath.getName)
   }
 
+  /** Plain files directly under `path` (non-recursive), skipping dot- and
+    * underscore-prefixed names (temp writes, _SUCCESS). */
+  def listFiles(spark: SparkSession, path: String): Seq[String] = {
+    val f = fs(spark, path)
+    val p = new Path(path)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith("."))
+      .map(_.getPath.getName)
+  }
+
   /** Does the directory hold any data file (ignoring _SUCCESS/_keys/dot
     * files)? Used to exclude manifest-only segments from schema inference. */
   def hasDataFiles(spark: SparkSession, path: String): Boolean = {

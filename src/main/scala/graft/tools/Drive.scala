@@ -327,6 +327,43 @@ object Drive {
         s"countDriftCaught=$driftCaught (want true true)")
     }
 
+    // 13) r8: seeded corpus shuffle (growth-stable), artifact directory,
+    // dedupLinesInDoc pathological-doc guard
+    {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val base = docs.where(col("doc_id") < 400).select("doc_id")
+      val grown = docs.select("doc_id")
+      def perm(df: org.apache.spark.sql.DataFrame) =
+        graft.operators.Sampling.corpusShuffle(df, "doc_id", 4, seed = 99L)
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val pb = perm(base); val pg = perm(grown)
+      val shardStable = pb.forall { case (id, (s, _)) => pg(id)._1 == s }
+      val orderStable = (0L until 4L).forall { sh =>
+        val b = pb.collect { case (id, (s, p)) if s == sh => (p, id) }.toSeq.sorted.map(_._2)
+        val g = pg.collect { case (id, (s, p)) if s == sh && pb.contains(id) => (p, id) }
+          .toSeq.sorted.map(_._2)
+        b == g
+      }
+      val reseeded = graft.operators.Sampling
+        .corpusShuffle(base, "doc_id", 4, seed = 100L)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      println(s"[drive] 13-corpus-shuffle shardStable=$shardStable " +
+        s"orderStable=$orderStable seedChanges=${reseeded != pb} (want true true true)")
+
+      val adir = s"$work/artifacts"
+      val infos = graft.store.Artifacts.list(spark, adir)
+      val df = graft.store.Artifacts.toDF(spark, adir)
+      println(s"[drive] 13-artifact-dir n=${infos.size} kinds=" +
+        infos.map(_.kind).mkString(",") +
+        s" dfRows=${df.count()} summaries=${infos.map(_.summary).mkString("|")}")
+
+      val longDoc = (1 to 10001).map(i => s"repeat line ${i % 2}").mkString("\n")
+      val guarded = Seq((1L, longDoc)).toDF("id", "page")
+        .select(graft.operators.TextAnalysis.dedupLinesInDoc(col("page")).as("t"))
+        .collect().head.getString(0)
+      println(s"[drive] 13-lines-guard passthrough=${guarded == longDoc} (want true)")
+    }
+
     spark.stop()
     println("[drive] done")
   }

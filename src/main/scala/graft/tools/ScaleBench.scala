@@ -52,6 +52,7 @@ object ScaleBench {
       val lk = Lake.get(spark, sfDir)
       if (mode == "joins") lk.ordersIdx
       else if (mode == "build") lk.ordersFiles // split only; build IS the bench
+      else if (mode == "winidx") lk.documentsFiles // split only; builds ARE the bench
       else lk.prebuild()
       lk
     }
@@ -68,6 +69,61 @@ object ScaleBench {
       counts(name) = n
       System.err.println(f"[scalebench] $name $sec%.1fs ($n rows)")
       System.gc()
+    }
+
+    // r7: decontamination THROUGH the window-hash index vs the full-scan
+    // semi-join — a SMALL new eval release (1/37 of docs) probes the lake;
+    // index build is timed separately (train once, probe per release).
+    // r8 adds the exploded-BLOOM twin on both sides: the bloom build is one
+    // streaming aggregate (no large-index overflow eviction), the bloom
+    // probe answers the same which-files question with fpr-bounded extra
+    // reads. Runs in mode "all" and standalone as mode "winidx".
+    def windowIndexSection(): Unit = {
+      bench("x_winidx_build") {
+        lake.docsWindowIdx; 1L
+      }
+      bench("x_winbloom_build") {
+        lake.docsWindowBloomIdx; 1L
+      }
+      val newEval = lake.documents.where(pmod(col("doc_id"), lit(37)) === 0)
+      val evalWins = newEval.select(explode(Dedup.windowHashes(col("text"), 10,
+        distinctWithinDoc = true)).as("win_hash")).distinct()
+      // timed run measures the probe alone; pruning telemetry comes from a
+      // separate UNTIMED run so the indexed side isn't billed for metric
+      // aggregates the full scan doesn't pay (the Bench.scala discipline)
+      def deconVia(idx: => graft.Index): Long =
+        idx.join(evalWins, Seq("win_hash"))
+          .where(pmod(col("doc_id"), lit(37)) =!= 0)
+          .select("doc_id").distinct().count()
+      bench("q_decon_indexed") { deconVia(lake.docsWindowIdx) }
+      bench("q_decon_bloom") { deconVia(lake.docsWindowBloomIdx) }
+      spark.conf.set("spark.graft.metricsEnabled", "true")
+      graft.operators.IndexJoin.lastMetrics = None
+      deconVia(lake.docsWindowIdx)
+      graft.operators.IndexJoin.lastMetrics.foreach { m =>
+        results("x_decon_files_frac") =
+          if (m.totalFiles == 0) 1.0 else m.locatedFiles.toDouble / m.totalFiles
+      }
+      graft.operators.IndexJoin.lastMetrics = None
+      deconVia(lake.docsWindowBloomIdx)
+      graft.operators.IndexJoin.lastMetrics.foreach { m =>
+        results("x_decon_bloom_files_frac") =
+          if (m.totalFiles == 0) 1.0 else m.locatedFiles.toDouble / m.totalFiles
+      }
+      spark.conf.set("spark.graft.metricsEnabled", "false")
+      bench("q_decon_fullscan") {
+        val train = lake.documents.where(pmod(col("doc_id"), lit(37)) =!= 0)
+        val trainWins = train.select(col("doc_id"), explode(
+          Dedup.windowHashes(col("text"), 10, distinctWithinDoc = true))
+          .as("win_hash"))
+        trainWins.join(evalWins, Seq("win_hash"), "left_semi")
+          .select("doc_id").distinct().count()
+      }
+    }
+
+    if (mode == "winidx") {
+      windowIndexSection()
+      emit(results, counts, sfDir); spark.stop(); return
     }
 
     // ---- build-side: index construction cost over the ×30 lake -----------
@@ -316,41 +372,7 @@ object ScaleBench {
           graft.functions.NgramLm.perplexity(bc)(col("text")).as("p"))
         .agg(avg("p")).first().getDouble(0).toLong
     }
-    // r7: decontamination THROUGH the window-hash index vs the full-scan
-    // semi-join — a SMALL new eval release (1/37 of docs) probes the lake;
-    // index build is timed separately (train once, probe per release)
-    bench("x_winidx_build") {
-      lake.docsWindowIdx; 1L
-    }
-    val newEval = lake.documents.where(pmod(col("doc_id"), lit(37)) === 0)
-    val evalWins = newEval.select(explode(Dedup.windowHashes(col("text"), 10,
-      distinctWithinDoc = true)).as("win_hash")).distinct()
-    // timed run measures the probe alone; pruning telemetry comes from a
-    // separate UNTIMED run so the indexed side isn't billed for metric
-    // aggregates the full scan doesn't pay (the Bench.scala discipline)
-    bench("q_decon_indexed") {
-      lake.docsWindowIdx.join(evalWins, Seq("win_hash"))
-        .where(pmod(col("doc_id"), lit(37)) =!= 0)
-        .select("doc_id").distinct().count()
-    }
-    spark.conf.set("spark.graft.metricsEnabled", "true")
-    graft.operators.IndexJoin.lastMetrics = None
-    lake.docsWindowIdx.join(evalWins, Seq("win_hash"))
-      .where(pmod(col("doc_id"), lit(37)) =!= 0)
-      .select("doc_id").distinct().count()
-    graft.operators.IndexJoin.lastMetrics.foreach { m =>
-      results("x_decon_files_frac") =
-        if (m.totalFiles == 0) 1.0 else m.locatedFiles.toDouble / m.totalFiles
-    }
-    spark.conf.set("spark.graft.metricsEnabled", "false")
-    bench("q_decon_fullscan") {
-      val train = lake.documents.where(pmod(col("doc_id"), lit(37)) =!= 0)
-      val trainWins = train.select(col("doc_id"), explode(
-        Dedup.windowHashes(col("text"), 10, distinctWithinDoc = true))
-        .as("win_hash"))
-      trainWins.join(evalWins, Seq("win_hash"), "left_semi")
-        .select("doc_id").distinct().count()
-    }
+    windowIndexSection()
 
     bench("q_asof_join") {
       val clicks = lake.events.where(col("event_type") === "click")

@@ -172,6 +172,54 @@ class ArtifactsSpec extends GraftSuite {
     assert(leftovers.isEmpty, leftovers.mkString(","))
   }
 
+  test("directory: list/describe/toDF enumerate persisted artifacts") {
+    val dir = tmpDir("graft_artdir_")
+    val vocab = new BpeVocab(Array("aa", "bb", "cc"))
+    Artifacts.saveBpeVocab(spark, s"$dir/vocab.json", vocab)
+    Artifacts.saveTextModel(spark, s"$dir/model.json",
+      new LinearTextModel(Array("x"), Array(1.0), 0.0, useBigrams = false))
+    Artifacts.saveCentroids(spark, s"$dir/cents.json",
+      new CentroidSet(Array(Array(1.0f, 2.0f))), Array(5L))
+    // non-artifact files in the same directory are skipped, not fatal
+    Fs.writeStringAtomic(spark, s"$dir/README.txt", "not json")
+    Fs.writeStringAtomic(spark, s"$dir/other.json", """{"foo": 1}""")
+
+    val infos = Artifacts.list(spark, dir)
+    assert(infos.map(_.name) == Seq("cents.json", "model.json", "vocab.json"))
+    assert(infos.map(_.kind) == Seq(Artifacts.CentroidsKind,
+      Artifacts.TextModelKind, Artifacts.BpeVocabKind))
+    val byName = infos.map(i => i.name -> i).toMap
+    assert(byName("vocab.json").fingerprint == Artifacts.fingerprintOf(vocab))
+    assert(byName("vocab.json").summary == "3 tokens")
+    assert(byName("cents.json").summary == "k=1 dim=2")
+    assert(byName("cents.json").formatVersion ==
+      Artifacts.CentroidsFormatVersion)
+    assert(infos.forall(_.sizeBytes > 0))
+
+    // describe on a single path matches the listing entry
+    val one = Artifacts.describe(spark, s"$dir/vocab.json")
+    assert(one == byName("vocab.json"))
+    // describe on a non-artifact fails loudly
+    intercept[ArtifactFormatException] {
+      Artifacts.describe(spark, s"$dir/other.json")
+    }
+    intercept[ArtifactFormatException] {
+      Artifacts.describe(spark, s"$dir/absent.json")
+    }
+
+    // DataFrame summary: one row per artifact, pin-able fingerprints
+    val df = Artifacts.toDF(spark, dir)
+    assert(df.columns.toSeq == Seq("name", "kind", "format_version",
+      "fingerprint", "size_bytes", "modified_at", "summary", "path"))
+    assert(df.count() == 3)
+    assert(df.where(col("kind") === Artifacts.BpeVocabKind)
+      .select("fingerprint").collect().head.getString(0) ==
+        Artifacts.fingerprintOf(vocab))
+    // empty / missing directory lists cleanly
+    assert(Artifacts.list(spark, s"$dir/nope").isEmpty)
+    assert(Artifacts.toDF(spark, s"$dir/nope").count() == 0)
+  }
+
   test("ivfTopK with a reloaded quantizer equals in-line training") {
     val dir = tmpDir("graft_art_")
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")

@@ -1471,6 +1471,28 @@ class PipelineOpsSpec extends GraftSuite {
     assert(!plan.toLowerCase.contains("udf"))
   }
 
+  test("dedupLinesInDoc: maxLines guard passes pathological docs unchanged") {
+    val s = spark
+    import s.implicits._
+    // a doc ONE line over the guard passes through verbatim (repeats and
+    // all); at exactly the guard it still dedups
+    val over = (0 to 10) .map(i => s"line ${i % 3} repeated").mkString("\n")
+    val atCap = (1 to 10).map(i => s"line ${i % 3} repeated").mkString("\n")
+    val df = Seq((1L, over), (2L, atCap)).toDF("id", "page")
+    val got = df.select($"id",
+        TextAnalysis.dedupLinesInDoc($"page", maxLines = 10).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == over, "11 lines > maxLines=10: unchanged")
+    assert(got(2L) ==
+      "line 1 repeated\nline 2 repeated\nline 0 repeated",
+      "10 lines == maxLines: deduped as usual")
+    // default guard leaves ordinary pages untouched by the new branch
+    val small = Seq((1L, "a b\na b")).toDF("id", "page")
+      .select(TextAnalysis.dedupLinesInDoc($"page").as("t"))
+      .collect().head.getString(0)
+    assert(small == "a b")
+  }
+
   test("stripHtml: scripts/styles/comments/tags/entities, hand-computed") {
     val s = spark
     import s.implicits._

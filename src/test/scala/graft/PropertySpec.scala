@@ -363,4 +363,43 @@ class PropertySpec extends GraftSuite {
         ltm.bias == tm.bias, s"case $i")
     }
   }
+
+  test("corpusShuffle is growth-stable and seed-independent (prop)") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // random base corpus + random appended batch with disjoint ids
+    val baseIds = rnd.shuffle((0L until 400L).toVector).take(250)
+    val extraIds = (1000L until 1000L + rnd.nextInt(200) + 50L).toVector
+    val seed = rnd.nextLong()
+
+    def perm(ids: Seq[Long], sd: Long): Map[Long, (Long, Long)] =
+      Sampling.corpusShuffle(ids.toDF("id"), "id", nShards = 4, seed = sd)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val before = perm(baseIds, seed)
+    val after = perm(baseIds ++ extraIds, seed)
+    // growth-stable: no existing row changes shard...
+    for (id <- baseIds)
+      assert(after(id)._1 == before(id)._1, s"id $id moved shard on append")
+    // ...and no two existing rows swap relative order within a shard
+    for (shard <- 0L until 4L) {
+      val orderBefore = baseIds.filter(before(_)._1 == shard)
+        .sortBy(before(_)._2)
+      val orderAfter = baseIds.filter(after(_)._1 == shard)
+        .sortBy(after(_)._2)
+      assert(orderBefore == orderAfter, s"shard $shard reordered on append")
+    }
+    // positions stay dense 1..n per shard
+    for (shard <- 0L until 4L) {
+      val pos = after.collect { case (_, (s, p)) if s == shard => p }.toSeq.sorted
+      assert(pos == (1L to pos.length).toSeq, s"shard $shard not dense")
+    }
+    // run-stable: identical recompute
+    assert(perm(baseIds, seed) == before)
+    // seed-independent: a different seed yields a different permutation
+    val otherSeed = seed + 1
+    val reshuffled = perm(baseIds, otherSeed)
+    assert(baseIds.exists(id => reshuffled(id) != before(id)),
+      "different seeds produced the identical permutation")
+  }
 }
