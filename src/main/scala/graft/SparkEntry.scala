@@ -741,6 +741,28 @@ object SparkEntry {
       TextAnalysis.repetition(lk.documents, "doc_id", "text")
         .orderBy("doc_id")
     }),
+    // Gopher rule-bundle signals over synthesized multi-line pages: the
+    // corpus text is single-line, so both engines build identical pages
+    // with a markdown header (symbol rule), a bullet line, an
+    // ellipsis-ended line, and a duplicated body (dup-line rules) — every
+    // signal is exercised, not just token counts
+    "q_gopher_signals" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val page = concat(lit("# title "), col("lang"), lit("\n- item "),
+        col("lang"), lit("\nsee more...\n"), col("text"), lit("\n"),
+        col("text"))
+      val synth = lk.documents.select(col("doc_id"), page.as("page"))
+      TextAnalysis.gopherSignals(synth, "doc_id", "page").orderBy("doc_id")
+    }),
+    // the composite Gopher gate as a pure pushdown filter on the raw
+    // corpus (thresholds tuned so the 10-99-token docs split non-trivially)
+    "q_gopher_filter" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      TextAnalysis.gopherFilter(lk.documents, "text",
+        TextAnalysis.GopherRules(minTokens = 40L, minMeanTokenLen = 2.0,
+          minAlphaTokenRatio = 0.5, minStopwordHits = 1))
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
     // cross-document boilerplate strip over synthesized multi-line pages
     // (corpus text is single-line; both engines build identical pages, so
     // the line-frequency machinery — not the fixture — is what's checked):
@@ -778,6 +800,28 @@ object SparkEntry {
       val lk = Lake.get(s, dir)
       Sampling.stratifiedHashSample(lk.documents, "doc_id", "lang",
         Map("en" -> 0.5, "de" -> 0.1), defaultFraction = 0.02)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+    // deterministic per-domain cap (here: per-lang, the corpus's grouping
+    // column): every group keeps its `maxN` smallest-hash rows exactly —
+    // the web-corpus domain balancing step; saltBuckets=4 exercises the
+    // mega-group-safe two-level path
+    "q_domain_cap" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Sampling.capPerGroup(lk.documents, Seq("lang"), maxN = 30,
+        idCol = "doc_id", saltBuckets = 4)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+    // token-proportion corpus mixing: downsample en/de/es to a 50/25/25
+    // token mixture (fr/zh dropped); rates derive from the per-source
+    // token totals, the filter is the same deterministic hash key as
+    // q_sample_hash — the oracle recomputes rates and thresholds from
+    // scratch in SQL
+    "q_mix_corpora" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Sampling.mixCorpora(lk.documents, "lang", "doc_id",
+        TextAnalysis.tokenCount(col("text")),
+        Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25))
         .select("doc_id", "lang").orderBy("doc_id")
     }),
     // deterministic 80/10/10 split: hash-position assignment, stable under
@@ -2131,6 +2175,82 @@ object SparkEntry {
                t2 -> len(list_filter(ts, x -> x = t2))))::DOUBLE /
              len(ts)::DOUBLE AS top_token_ratio
          FROM r ORDER BY doc_id""",
+    "q_gopher_signals" ->
+      """WITH pg AS (SELECT doc_id,
+               '# title ' || lang || chr(10) || '- item ' || lang ||
+                 chr(10) || 'see more...' || chr(10) || text || chr(10) ||
+                 text AS p
+             FROM documents),
+         r AS (SELECT doc_id, p,
+               string_split(p, chr(10)) AS ls,
+               string_split(lower(p), ' ') AS ts
+             FROM pg),
+         s AS (SELECT doc_id,
+           len(ts)::BIGINT AS n_tokens,
+           list_sum(list_transform(ts, x -> length(x)))::DOUBLE /
+             len(ts)::DOUBLE AS mean_token_len,
+           (CAST((length(p) - length(replace(p, '#', ''))) / 1 AS BIGINT) +
+            CAST((length(p) - length(replace(p, '…', ''))) / 1 AS BIGINT) +
+            CAST((length(p) - length(replace(p, '...', ''))) / 3 AS BIGINT)
+           )::DOUBLE / len(ts)::DOUBLE AS symbol_ratio,
+           len(list_filter(ls, l ->
+               substr(ltrim(l), 1, 1) IN ('-', '*', '•')))::DOUBLE /
+             len(ls)::DOUBLE AS bullet_line_ratio,
+           len(list_filter(ls, l -> ends_with(rtrim(l), '...')
+               OR ends_with(rtrim(l), '…')))::DOUBLE /
+             len(ls)::DOUBLE AS ellipsis_line_ratio,
+           len(list_filter(ts, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE /
+             len(ts)::DOUBLE AS alpha_token_ratio,
+           len(list_filter(['the','be','to','of','and','that','have','with'],
+               w -> list_contains(ts, w)))::BIGINT AS stopword_hits,
+           (len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls)::DOUBLE
+             AS dup_line_ratio,
+           list_sum(list_transform(list_distinct(ls),
+               l -> (len(list_filter(ls, x -> x = l)) - 1) * length(l)))::DOUBLE /
+             greatest(list_sum(list_transform(ls, l -> length(l))), 1)::DOUBLE
+             AS dup_line_char_ratio
+         FROM r)
+         SELECT s.*,
+           (n_tokens BETWEEN 50 AND 100000
+            AND mean_token_len BETWEEN 3.0 AND 10.0
+            AND symbol_ratio <= 0.1
+            AND bullet_line_ratio <= 0.9
+            AND ellipsis_line_ratio <= 0.3
+            AND alpha_token_ratio >= 0.8
+            AND stopword_hits >= 2
+            AND dup_line_ratio <= 0.3
+            AND dup_line_char_ratio <= 0.2) AS passes
+         FROM s ORDER BY doc_id""",
+    "q_gopher_filter" ->
+      """WITH r AS (SELECT doc_id, lang, text AS p,
+               string_split(text, chr(10)) AS ls,
+               string_split(lower(text), ' ') AS ts
+             FROM documents)
+         SELECT doc_id, lang FROM r
+         WHERE len(ts) BETWEEN 40 AND 100000
+           AND list_sum(list_transform(ts, x -> length(x)))::DOUBLE /
+             len(ts)::DOUBLE BETWEEN 2.0 AND 10.0
+           AND (CAST((length(p) - length(replace(p, '#', ''))) / 1 AS BIGINT) +
+            CAST((length(p) - length(replace(p, '…', ''))) / 1 AS BIGINT) +
+            CAST((length(p) - length(replace(p, '...', ''))) / 3 AS BIGINT)
+           )::DOUBLE / len(ts)::DOUBLE <= 0.1
+           AND len(list_filter(ls, l ->
+               substr(ltrim(l), 1, 1) IN ('-', '*', '•')))::DOUBLE /
+             len(ls)::DOUBLE <= 0.9
+           AND len(list_filter(ls, l -> ends_with(rtrim(l), '...')
+               OR ends_with(rtrim(l), '…')))::DOUBLE /
+             len(ls)::DOUBLE <= 0.3
+           AND len(list_filter(ts, x -> regexp_matches(x, '[a-zA-Z]')))::DOUBLE /
+             len(ts)::DOUBLE >= 0.5
+           AND len(list_filter(['the','be','to','of','and','that','have','with'],
+               w -> list_contains(ts, w))) >= 1
+           AND (len(ls) - len(list_distinct(ls)))::DOUBLE /
+             len(ls)::DOUBLE <= 0.3
+           AND list_sum(list_transform(list_distinct(ls),
+               l -> (len(list_filter(ls, x -> x = l)) - 1) * length(l)))::DOUBLE /
+             greatest(list_sum(list_transform(ls, l -> length(l))), 1)::DOUBLE
+             <= 0.2
+         ORDER BY doc_id""",
     "q_span_removal" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS lt,
                  string_split(text, ' ') AS ot, text FROM documents),
@@ -2326,6 +2446,30 @@ object SparkEntry {
                 WHEN lang = 'de' THEN '19999999'
                 ELSE '051eb851' END
          ORDER BY doc_id""",
+    "q_domain_cap" ->
+      """SELECT doc_id, lang FROM (
+           SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 8),
+                 doc_id) AS rk
+           FROM documents)
+         WHERE rk <= 30 ORDER BY doc_id""",
+    "q_mix_corpora" ->
+      """WITH w(src, wt) AS (VALUES ('de', 0.25), ('en', 0.5), ('es', 0.25)),
+         tot AS (SELECT lang AS src,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok
+             FROM documents WHERE lang IN ('de', 'en', 'es') GROUP BY 1),
+         total AS (SELECT MIN(CAST(tok AS DOUBLE) / wt) AS t
+             FROM tot JOIN w USING (src)),
+         thr AS (SELECT src,
+               lpad(lower(to_hex(CAST(least(floor(least(
+                 wt * (SELECT t FROM total) / CAST(tok AS DOUBLE), 1.0)
+                 * 4294967296.0), 4294967295.0) AS BIGINT))), 8, '0') AS th
+             FROM tot JOIN w USING (src))
+         SELECT d.doc_id, d.lang FROM documents d
+         JOIN thr ON thr.src = d.lang
+         WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.th
+         ORDER BY d.doc_id""",
     "q_hash_split" ->
       """WITH s AS (SELECT doc_id, lang,
              CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccc' THEN 0

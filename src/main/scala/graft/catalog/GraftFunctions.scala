@@ -94,6 +94,11 @@ object GraftFunctions {
         "n_alpha, alpha_ratio, stopword_ratio)",
       args => { checkArity("graft_quality", args, 1)
         ex(qualityStruct(c(args(0)))) }),
+    ("graft_gopher_passes",
+      "_FUNC_(text) - composite Gopher quality gate (Rae et al. 2021 " +
+        "A1.1 default thresholds): true iff every rule passes",
+      args => { checkArity("graft_gopher_passes", args, 1)
+        ex(TextAnalysis.gopherPasses(c(args(0)))) }),
     ("graft_strip_html",
       "_FUNC_(html) - scripts/styles/comments/tags stripped, entities decoded",
       args => { checkArity("graft_strip_html", args, 1)

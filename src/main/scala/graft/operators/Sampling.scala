@@ -166,6 +166,91 @@ object Sampling {
       .drop("__rk")
   }
 
+  /** Downsample a multi-source corpus to TARGET token proportions — the
+    * data-mixture step before training (e.g. web 50% / code 30% / books
+    * 20%). Computes per-source token totals (ONE aggregate; the collect is
+    * bounded by the number of sources), derives the largest achievable
+    * mixture where every source's sampling rate stays ≤ 1 —
+    * `total = min_s(tokens_s / weight_s)`, `rate_s = weight_s · total /
+    * tokens_s` (the limiting source keeps everything) — and applies the
+    * same deterministic hash filter as [[hashSample]] per source, folded
+    * into one CASE expression: a pure pushdown-friendly filter, stable
+    * under reruns and repartitioning. Sources not in `weights` are
+    * dropped. Proportions are expectations over the doc-hash sample
+    * (exact-fraction-of-tokens selection would need a global
+    * order-dependent walk); the law of large numbers does the rest at
+    * corpus scale. */
+  def mixCorpora(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      tokenCol: Column,
+      weights: Map[String, Double]): DataFrame = {
+    require(weights.nonEmpty, "weights must be non-empty")
+    require(weights.values.forall(_ > 0.0), "weights must be positive")
+    val sources = weights.keys.toSeq.sorted
+    val totals = df.where(col(sourceCol).isin(sources: _*))
+      .groupBy(col(sourceCol).as("__src"))
+      .agg(sum(tokenCol).cast("long").as("__tok"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val missing = sources.filterNot(s => totals.getOrElse(s, 0L) > 0L)
+    require(missing.isEmpty,
+      s"sources with no tokens cannot be mixed: ${missing.mkString(", ")}")
+    val total = sources.map(s => totals(s).toDouble / weights(s)).min
+    // the limiting source's rate is 1 up to rounding: w·(tokens/w)/tokens
+    // can land one ulp above 1.0, so clamp (oracle replicates via least())
+    val thresholds = sources.map { s =>
+      s -> hexThreshold(
+        math.min(weights(s) * total / totals(s).toDouble, 1.0))
+    }
+    val thresholdExpr = thresholds.foldLeft(lit("00000000")) {
+      case (e, (s, t)) => when(col(sourceCol) === lit(s), lit(t)).otherwise(e)
+    }
+    df.where(col(sourceCol).isin(sources: _*) &&
+      sampleKey(col(idCol)) < thresholdExpr)
+  }
+
+  /** Cap every group at `maxN` rows, chosen DETERMINISTICALLY: survivors
+    * are the rows with the `maxN` smallest [[sampleKey]] hashes (ties by
+    * `idCol`) within their group — a seeded-looking but reproducible
+    * pseudo-random pick, the standard per-domain balancing step for web
+    * corpora (no domain may contribute more than N pages). Unlike a
+    * fractional sample, the cap is exact per group and leaves small groups
+    * untouched.
+    *
+    * Scale shape: the same two-level salted top-k as [[topKPerGroup]] —
+    * with `saltBuckets > 1` a mega-group (one domain with millions of
+    * pages) first ranks within (group, salt) buckets so no single task
+    * ever sorts more than its bucket, then the ≤ saltBuckets×maxN
+    * survivors re-rank exactly. */
+  def capPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      maxN: Int,
+      idCol: String,
+      saltBuckets: Int = 1): DataFrame = {
+    require(maxN > 0, "maxN must be positive")
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    val key = sampleKey(col(idCol))
+    val pruned =
+      if (saltBuckets == 1) df
+      else {
+        val salted = df.withColumn("__salt",
+          pmod(xxhash64(col(idCol)), lit(saltBuckets.toLong)))
+        val w1 = Window
+          .partitionBy((groupCols.map(col) :+ col("__salt")): _*)
+          .orderBy(key, col(idCol))
+        salted.withColumn("__rk1", row_number().over(w1))
+          .where(col("__rk1") <= maxN)
+          .drop("__rk1", "__salt")
+      }
+    val w2 = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(key, col(idCol))
+    pruned.withColumn("__rk", row_number().over(w2))
+      .where(col("__rk") <= maxN)
+      .drop("__rk")
+  }
+
   /** Pack rows into chunks of at most ~`budget` tokens, walking rows in
     * `idCol` order: `chunk_id = floor(exclusive_prefix_sum(tokens) /
     * budget)` — a row straddling a boundary starts the next chunk's count

@@ -279,6 +279,145 @@ object Similarity {
     when(den === 0.0, 0.0).otherwise(num / den)
   }
 
+  /** Train a product-quantization codebook (Jégou et al. 2011): split
+    * every vector into `m` contiguous `dim/m`-dim subvectors and run an
+    * independent k-means (k centroids, L2 metric) per subspace. Seeds are
+    * the `k` smallest-(md5(id), id) vectors' slices — the same
+    * deterministic uniform pick as [[trainCentroids]], shared across
+    * subspaces, so training is engine-replicable end to end. Each Lloyd
+    * iteration costs ONE codegen'd corpus scan ([[graft.functions
+    * .PqEncodeExpr]] assigns all m subspaces in the same walk) plus one
+    * ≤ m·k-row aggregate of per-(subspace, code) vector sums; cell means
+    * round to 1e-6 and cast to float (the [[trainCentroids]] determinism
+    * discipline — unrounded distributed sums differ in the last ulp with
+    * partition order). Empty cells keep their previous centroid. Train on
+    * a [[graft.operators.Sampling.hashSample]] at corpus scale — PQ needs
+    * ~k·1000 vectors, not 100 TB. */
+  def trainPqCodebook(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int = 4,
+      k: Int = 16,
+      iters: Int = 1): graft.functions.PqCodebook = {
+    require(m > 0, "m must be positive")
+    require(k > 1, "k must be > 1")
+    require(iters >= 0, "iters must be >= 0")
+    val seedRows = df.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("string").as("__id"), col(vecCol).as("__v"))
+      .withColumn("__h", md5(col("__id")))
+      .orderBy("__h", "__id").limit(k)
+      .select("__v").collect()
+    require(seedRows.nonEmpty, "cannot train a PQ codebook on an empty frame")
+    val dim = seedRows.head.getSeq[Float](0).length
+    require(dim % m == 0, s"embedding dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    def round6(x: Double): Double =
+      java.math.BigDecimal.valueOf(x)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    var cb = new graft.functions.PqCodebook(dim,
+      Array.tabulate(m) { j =>
+        seedRows.map(_.getSeq[Float](0)
+          .slice(j * dsub, (j + 1) * dsub).toArray).toArray
+      })
+    for (_ <- 1 to iters) {
+      val assigned = df.where(col(vecCol).isNotNull)
+        .select(posexplode(graft.functions.Pq.encode(col(vecCol), cb))
+            .as(Seq("__j", "__c")),
+          col(vecCol).cast("array<double>").as("__v"))
+        .select(col("__j"), col("__c"),
+          slice(col("__v"), col("__j") * lit(dsub) + lit(1), lit(dsub))
+            .as("__s"))
+      val rows = assigned.groupBy("__j", "__c") // bounded: ≤ m·k result rows
+        .agg(count(lit(1)).as("__n"),
+          graft.functions.VectorSum.vectorSum(col("__s")).as("__sum"))
+        .collect()
+      val byKey = rows.map(r => (r.getInt(0), r.getInt(1)) -> r).toMap
+      cb = new graft.functions.PqCodebook(dim,
+        Array.tabulate(m) { j =>
+          Array.tabulate(cb.k) { c =>
+            byKey.get((j, c)) match {
+              case Some(r) =>
+                val n = r.getLong(2).toDouble
+                r.getSeq[Double](3).iterator
+                  .map(s => round6(s / n).toFloat).toArray
+              case None => cb.centroids(j)(c)
+            }
+          }
+        })
+    }
+    cb
+  }
+
+  /** Encode a corpus against a trained codebook: adds `codesCol`
+    * (array<int>, length m, values in [0, k)) — the 4·dim-bytes →
+    * m-codes compression. One codegen'd scan, no shuffle; write the
+    * result and drop the fp32 column for the storage cut. */
+  def pqEncode(
+      df: DataFrame,
+      vecCol: String,
+      cb: graft.functions.PqCodebook,
+      codesCol: String = "pq_codes"): DataFrame =
+    df.withColumn(codesCol, graft.functions.Pq.encode(col(vecCol), cb))
+
+  /** Approximate cosine between a full-precision query and an encoded
+    * corpus row (asymmetric distance): `adcDot / (‖q‖ · ‖x̂‖)` where x̂ is
+    * the reconstruction the codes denote — no corpus vector is ever
+    * rehydrated. 0 when either norm is 0 (the [[int8Cosine]]
+    * convention). */
+  def pqCosine(
+      query: Column, codes: Column,
+      cb: graft.functions.PqCodebook): Column = {
+    val num = graft.functions.Pq.adcDot(query, codes, cb)
+    val den = norm(query) * sqrt(graft.functions.Pq.codeNorm2(codes, cb))
+    when(den === 0.0, 0.0).otherwise(num / den)
+  }
+
+  /** Top-k neighbors per query over a PQ-ENCODED corpus, ranked by
+    * approximate cosine (ties → neighbor id): the corpus side streams m
+    * int codes per row instead of dim floats — the shape that keeps a
+    * 100 TB corpus scan memory- and shuffle-light. `saltBuckets > 1`
+    * bounds every ranking task via the same two-level pruning as
+    * [[graft.operators.Sampling.topKPerGroup]]. Exact re-rank composes
+    * downstream: join the survivors' fp32 vectors back and order by true
+    * cosine. */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      cb: graft.functions.PqCodebook,
+      idCol: String,
+      vecCol: String,
+      codesCol: String,
+      k: Int,
+      saltBuckets: Int = 1): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__vq")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(codesCol).as("__codes"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("__sim", pqCosine(col("__vq"), col("__codes"), cb))
+    val pruned =
+      if (saltBuckets == 1) scored
+      else {
+        val salted = scored.withColumn("__salt",
+          pmod(xxhash64(col("neighbor_id")), lit(saltBuckets.toLong)))
+        val w1 = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"), col("__salt"))
+          .orderBy(col("__sim").desc, col("neighbor_id"))
+        salted.withColumn("__rk1", row_number().over(w1))
+          .where(col("__rk1") <= k)
+          .drop("__rk1", "__salt")
+      }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("__sim").desc, col("neighbor_id"))
+    pruned.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   /** Quantizer for the IVF pipelines: the deterministic seed as-is
     * (`trainIters = 0`, the default — zero extra jobs) or Lloyd-refined. */
   private def centroidSetFor(

@@ -143,6 +143,128 @@ object TextAnalysis {
         .as("top_token_ratio"))
   }
 
+  /** The Gopher stopword list (Rae et al. 2021 §A1.1): a document must
+    * contain at least `minStopwordHits` DISTINCT members to pass the
+    * "contains common English words" rule. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Thresholds for [[gopherSignals]] / [[gopherFilter]]. Defaults follow
+    * the published Gopher quality heuristics (Rae et al. 2021, Appendix
+    * A1.1) where the signal matches; every bound is configurable because
+    * real pipelines re-tune them per source. */
+  final case class GopherRules(
+      minTokens: Long = 50L,
+      maxTokens: Long = 100000L,
+      minMeanTokenLen: Double = 3.0,
+      maxMeanTokenLen: Double = 10.0,
+      maxSymbolRatio: Double = 0.1,
+      maxBulletLineRatio: Double = 0.9,
+      maxEllipsisLineRatio: Double = 0.3,
+      minAlphaTokenRatio: Double = 0.8,
+      minStopwordHits: Int = 2,
+      maxDupLineRatio: Double = 0.3,
+      maxDupLineCharRatio: Double = 0.2)
+
+  /** The raw per-document signal columns behind the Gopher rules, as
+    * (name -> expression) in a fixed order. All per-row higher-order-
+    * function arithmetic — codegen'd, shuffle-free, no explode: a 100 TB
+    * corpus pays exactly one scan, and every expression is replicable
+    * verbatim in ANSI/DuckDB SQL (the oracle discipline of this file).
+    * Ratios are single int/int divisions in double. */
+  private def gopherSignalExprs(t: Column): Seq[(String, Column)] = {
+    val toks = tokens(t)
+    val lines = split(t, "\n")
+    val nToks = size(toks).cast("long")
+    val nLines = size(lines).cast("long")
+    // non-overlapping occurrence count of a literal, via replace-and-diff
+    def occ(s: String): Column =
+      ((length(t) - length(replace(t, lit(s), lit("")))) / s.length)
+        .cast("long")
+    val symbolCount = occ("#") + occ("…") + occ("...")
+    val meanTokLen = aggregate(
+      transform(toks, x => length(x)), lit(0L),
+      (acc, x) => acc + x.cast("long")).cast("double") / nToks.cast("double")
+    val bulletLines = size(filter(lines, l =>
+      substring(ltrim(l), 1, 1).isin("-", "*", "•"))).cast("long")
+    val ellipsisLines = size(filter(lines, l =>
+      endswith(rtrim(l), lit("...")) || endswith(rtrim(l), lit("…"))))
+      .cast("long")
+    val alphaToks = size(filter(toks, x =>
+      regexp_like(x, lit("[a-zA-Z]")))).cast("long")
+    val stopHits = size(filter(
+      array(GopherStopwords.map(lit): _*),
+      w => exists(toks, x => x === w))).cast("long")
+    val nDistinctLines = size(array_distinct(lines)).cast("long")
+    val dupLineChars = aggregate(
+      transform(array_distinct(lines), l =>
+        (size(filter(lines, x => x === l)) - 1) * length(l)),
+      lit(0L), (acc, x) => acc + x.cast("long"))
+    val totalLineChars = aggregate(
+      transform(lines, l => length(l)),
+      lit(0L), (acc, x) => acc + x.cast("long"))
+    Seq(
+      "n_tokens" -> nToks,
+      "mean_token_len" -> meanTokLen,
+      "symbol_ratio" -> (symbolCount.cast("double") / nToks.cast("double")),
+      "bullet_line_ratio" ->
+        (bulletLines.cast("double") / nLines.cast("double")),
+      "ellipsis_line_ratio" ->
+        (ellipsisLines.cast("double") / nLines.cast("double")),
+      "alpha_token_ratio" ->
+        (alphaToks.cast("double") / nToks.cast("double")),
+      "stopword_hits" -> stopHits,
+      "dup_line_ratio" ->
+        ((nLines - nDistinctLines).cast("double") / nLines.cast("double")),
+      "dup_line_char_ratio" ->
+        (dupLineChars.cast("double") /
+          greatest(totalLineChars, lit(1L)).cast("double")))
+  }
+
+  /** The Gopher pass/fail predicate over [[gopherSignalExprs]] for one
+    * text column — a pure boolean column, so [[gopherFilter]] is a plain
+    * pushdown-friendly filter with no join and no precomputed signals
+    * table (also the SQL surface's `graft_gopher_passes`). */
+  def gopherPasses(t: Column, r: GopherRules = GopherRules()): Column = {
+    val s = gopherSignalExprs(t).toMap
+    s("n_tokens").between(lit(r.minTokens), lit(r.maxTokens)) &&
+      s("mean_token_len").between(lit(r.minMeanTokenLen),
+        lit(r.maxMeanTokenLen)) &&
+      s("symbol_ratio") <= lit(r.maxSymbolRatio) &&
+      s("bullet_line_ratio") <= lit(r.maxBulletLineRatio) &&
+      s("ellipsis_line_ratio") <= lit(r.maxEllipsisLineRatio) &&
+      s("alpha_token_ratio") >= lit(r.minAlphaTokenRatio) &&
+      s("stopword_hits") >= lit(r.minStopwordHits.toLong) &&
+      s("dup_line_ratio") <= lit(r.maxDupLineRatio) &&
+      s("dup_line_char_ratio") <= lit(r.maxDupLineCharRatio)
+  }
+
+  /** Gopher-style quality rule bundle (Rae et al. 2021, Appendix A1.1):
+    * one row per document with every raw signal plus the composite
+    * `passes` verdict under `rules`. Signals: token count bounds, mean
+    * token length bounds, symbol-to-token ratio (`#`, `…`, `...`),
+    * bullet-started and ellipsis-ended line fractions, fraction of tokens
+    * containing an alphabetic character, distinct-stopword hits, and the
+    * duplicate-line fractions shared with [[repetition]]. */
+  def gopherSignals(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      rules: GopherRules = GopherRules()): DataFrame = {
+    val t = col(textCol)
+    val cols = gopherSignalExprs(t).map { case (n, c) => c.as(n) }
+    df.select((col(idCol) +: cols :+ gopherPasses(t, rules).as("passes")): _*)
+  }
+
+  /** Keep only documents passing every Gopher rule — a single boolean
+    * filter over the input (no join, no signals materialization), so it
+    * composes with scans and other gates at zero extra passes. */
+  def gopherFilter(
+      df: DataFrame,
+      textCol: String,
+      rules: GopherRules = GopherRules()): DataFrame =
+    df.where(gopherPasses(col(textCol), rules))
+
   /** URL occurrences in free text, one row per (id, url). The pattern is
     * deliberately lookaround-free and backreference-free so java.util.regex
     * and RE2-family engines (DuckDB, Go, Trino) match identically — the

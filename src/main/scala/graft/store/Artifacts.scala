@@ -39,6 +39,7 @@ object Artifacts {
   val CentroidsKind = "ivf_centroids"
   val UnigramLmKind = "unigram_lm"
   val BigramLmKind = "bigram_lm"
+  val PqCodebookKind = "pq_codebook"
   val CurrentFormatVersion = 1
   /** Centroids moved to v2 when the fingerprint grew to cover `nAssigned`
     * (r7 advisor: a corrupted counts array must fail the corruption check
@@ -67,6 +68,10 @@ object Artifacts {
   private case class CentroidsManifest(
       kind: String, formatVersion: Int, fingerprint: String,
       dim: Int, centroids: List[List[Float]], nAssigned: List[Long])
+
+  private case class PqCodebookManifest(
+      kind: String, formatVersion: Int, fingerprint: String,
+      dim: Int, m: Int, k: Int, centroids: List[List[List[Float]]])
 
   private def md5(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
@@ -110,6 +115,15 @@ object Artifacts {
     * advisor). */
   def fingerprintOf(cs: CentroidSet, nAssigned: Array[Long]): String =
     md5(fingerprintOf(cs) + "\u0001" + nAssigned.mkString("\u0000"))
+
+  /** PQ codebook fingerprint: the full shape (dim, m, k) AND every
+    * centroid's float bits - any payload drift fails the corruption
+    * check. */
+  def fingerprintOf(cb: graft.functions.PqCodebook): String =
+    md5(s"${cb.dim},${cb.m},${cb.k}" + "\u0001" +
+      cb.centroids.map(_.map(
+        _.map(f => java.lang.Float.floatToIntBits(f).toString)
+          .mkString(",")).mkString("\u0000")).mkString("\u0001"))
 
   private def readManifest[T: Manifest](
       spark: SparkSession, path: String, expectedKind: String,
@@ -269,6 +283,37 @@ object Artifacts {
         cs.vecs.map(_.toList).toList, nAssigned.toList)))
   }
 
+  // ---- PQ codebook ---------------------------------------------------------
+
+  /** Save a product-quantization codebook
+    * ([[graft.operators.Similarity.trainPqCodebook]]). */
+  def savePqCodebook(
+      spark: SparkSession, path: String,
+      cb: graft.functions.PqCodebook): Unit =
+    Fs.writeStringAtomic(spark, path, Serialization.writePretty(
+      PqCodebookManifest(PqCodebookKind, CurrentFormatVersion,
+        fingerprintOf(cb), cb.dim, cb.m, cb.k,
+        cb.centroids.map(_.map(_.toList).toList).toList)))
+
+  def loadPqCodebook(
+      spark: SparkSession, path: String,
+      expectFingerprint: Option[String] = None): graft.functions.PqCodebook = {
+    val mf = readManifest[PqCodebookManifest](spark, path, PqCodebookKind)
+    if (mf.centroids.length != mf.m ||
+        mf.centroids.exists(_.length != mf.k) ||
+        (mf.m > 0 && mf.m * mf.centroids.head.headOption
+          .map(_.length).getOrElse(0) != mf.dim))
+      throw new ArtifactFormatException(
+        s"artifact at $path: centroid shape " +
+          s"${mf.centroids.length}×${mf.centroids.map(_.length).distinct} " +
+          s"does not match declared m=${mf.m} k=${mf.k} dim=${mf.dim}")
+    val cb = new graft.functions.PqCodebook(mf.dim,
+      mf.centroids.map(_.map(_.toArray).toArray).toArray)
+    checkFingerprint(path, mf.fingerprint, fingerprintOf(cb),
+      expectFingerprint)
+    cb
+  }
+
   // ---- directory -----------------------------------------------------------
 
   /** One artifact's catalog entry — envelope fields plus a kind-aware
@@ -296,6 +341,10 @@ object Artifacts {
           (json \ "backoff").extractOpt[Double].getOrElse(Double.NaN)
       case CentroidsKind =>
         s"k=${len("centroids")} dim=" +
+          (json \ "dim").extractOpt[Int].getOrElse(-1)
+      case PqCodebookKind =>
+        s"m=${(json \ "m").extractOpt[Int].getOrElse(-1)} " +
+          s"k=${(json \ "k").extractOpt[Int].getOrElse(-1)} dim=" +
           (json \ "dim").extractOpt[Int].getOrElse(-1)
       case _ => ""
     }

@@ -1633,4 +1633,101 @@ class PipelineOpsSpec extends GraftSuite {
     assert(Sampling.weightedSample(docs, "doc_id", "n_chars",
       k = (n + 10).toInt).count() == n)
   }
+
+  test("gopherSignals: hand-computed page signals and composite verdict") {
+    import spark.implicits._
+    // 9 tokens (newlines live inside space-split tokens), 2 identical lines
+    val dupPage = "the be to of and\nthe be to of and"
+    // 60 tokens, 2 stopwords, single line: passes every default rule
+    val passing = "the be " + (1 to 58).map(i => f"word$i%03d").mkString(" ")
+    val bullets = "- a\n- b\n* c\n• d"
+    val symbols = "hi there...\nok #tag …"
+    val df = Seq((1L, dupPage), (2L, passing), (3L, bullets),
+      (4L, symbols)).toDF("id", "t")
+    val s = TextAnalysis.gopherSignals(df, "id", "t").collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    val r1 = s(1L)
+    assert(r1.getAs[Long]("n_tokens") == 9L)
+    assert(r1.getAs[Double]("mean_token_len") == 25.0 / 9.0)
+    assert(r1.getAs[Long]("stopword_hits") == 5L)
+    assert(r1.getAs[Double]("dup_line_ratio") == 0.5)
+    assert(r1.getAs[Double]("dup_line_char_ratio") == 0.5)
+    assert(r1.getAs[Double]("alpha_token_ratio") == 1.0)
+    assert(!r1.getAs[Boolean]("passes"), "9 tokens must fail minTokens")
+    val r2 = s(2L)
+    assert(r2.getAs[Long]("n_tokens") == 60L)
+    assert(r2.getAs[Double]("mean_token_len") == 411.0 / 60.0)
+    assert(r2.getAs[Boolean]("passes"))
+    assert(s(3L).getAs[Double]("bullet_line_ratio") == 1.0)
+    val r4 = s(4L)
+    assert(r4.getAs[Double]("ellipsis_line_ratio") == 1.0)
+    assert(r4.getAs[Double]("symbol_ratio") == 0.75)
+    assert(r4.getAs[Double]("alpha_token_ratio") == 0.75)
+  }
+
+  test("gopherFilter ≡ the signals' passes column; shuffle-free plan") {
+    val filtered = TextAnalysis.gopherFilter(docs, "text")
+      .select("doc_id")
+    val want = TextAnalysis.gopherSignals(docs, "doc_id", "text")
+      .where(col("passes")).select("doc_id")
+    assertSameRows(filtered, want)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"gopherFilter must not shuffle:\n$plan")
+  }
+
+  test("capPerGroup: exact per-group cap, salted == unsalted, smallest hashes win") {
+    import org.apache.spark.sql.expressions.Window
+    val df = docs.select(col("doc_id"), col("lang"))
+    val capped = Sampling.capPerGroup(df, Seq("lang"), maxN = 10,
+      idCol = "doc_id")
+    val sizes = capped.groupBy("lang").count()
+      .join(df.groupBy("lang").agg(count(lit(1)).as("n")), "lang").collect()
+    assert(sizes.nonEmpty)
+    sizes.foreach { r =>
+      assert(r.getAs[Long]("count") == math.min(r.getAs[Long]("n"), 10L),
+        s"lang ${r.getAs[String]("lang")}")
+    }
+    val salted = Sampling.capPerGroup(df.repartition(13), Seq("lang"),
+      maxN = 10, idCol = "doc_id", saltBuckets = 8)
+    assertSameRows(capped, salted)
+    val want = df
+      .withColumn("k", substring(md5(col("doc_id").cast("string")), 1, 8))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("lang").orderBy(col("k"), col("doc_id"))))
+      .where(col("rk") <= 10).select("doc_id", "lang")
+    assertSameRows(capped, want)
+  }
+
+  test("mixCorpora: exact thresholds, limiting source intact, deterministic") {
+    val weights = Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25)
+    def tokCol = TextAnalysis.tokenCount(col("text"))
+    val mixed = Sampling.mixCorpora(docs, "lang", "doc_id", tokCol, weights)
+    assert(mixed.select("lang").distinct().collect().map(_.getString(0))
+      .toSet.subsetOf(weights.keySet), "unweighted sources must be dropped")
+    assertSameRows(mixed.select("doc_id", "lang"),
+      Sampling.mixCorpora(docs.repartition(7), "lang", "doc_id", tokCol,
+        weights).select("doc_id", "lang"))
+    // independent recomputation of the rate -> threshold -> filter chain
+    val totals = docs.groupBy("lang").agg(sum(tokCol).as("tok")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = weights.map { case (s, w) => totals(s).toDouble / w }.min
+    def thr(s: String): String = {
+      val rate = math.min(weights(s) * total / totals(s).toDouble, 1.0)
+      f"${math.min((rate * 4294967296.0).toLong, 4294967295L)}%08x"
+    }
+    val thrCol = when(col("lang") === "en", lit(thr("en")))
+      .when(col("lang") === "de", lit(thr("de")))
+      .otherwise(lit(thr("es")))
+    val want = docs.where(col("lang").isin("en", "de", "es"))
+      .where(substring(md5(col("doc_id").cast("string")), 1, 8) < thrCol)
+      .select("doc_id", "lang")
+    assertSameRows(mixed.select("doc_id", "lang"), want)
+    // the limiting source's rate is 1: it keeps (essentially) every row
+    val limiting = weights.keys.minBy(s => totals(s).toDouble / weights(s))
+    assert(mixed.where(col("lang") === limiting).count() ==
+      docs.where(col("lang") === limiting).count())
+    intercept[IllegalArgumentException] {
+      Sampling.mixCorpora(docs, "lang", "doc_id", tokCol, Map("xx" -> 1.0))
+    }
+  }
 }
