@@ -1299,6 +1299,51 @@ object SparkEntry {
             (a, x) => a + x.cast("long") * x.cast("long")).as("l2_q"))
         .orderBy("vec_id")
     }),
+    // product quantization (Jégou et al. 2011): m=2 subspaces × k=8
+    // centroids, 1 Lloyd iteration over the deterministic seed — the
+    // oracle replays the per-subspace seed -> L2 argmin -> rounded/
+    // float-cast means -> re-encode walk in SQL, so matching codes pin
+    // training AND the codegen'd encode expression
+    "q_pq_encode" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val cb = Similarity.trainPqCodebook(lk.embeddings, "vec_id",
+        "embedding", m = 2, k = 8, iters = 1)
+      Similarity.pqEncode(lk.embeddings, "embedding", cb)
+        .select(col("vec_id"),
+          element_at(col("pq_codes"), 1).cast("long").as("code_0"),
+          element_at(col("pq_codes"), 2).cast("long").as("code_1"))
+        .orderBy("vec_id")
+    }),
+    // the PQ codebook round-tripped through its persisted artifact
+    // (kind pq_codebook, fingerprint-pinned): identical oracle to
+    // q_pq_encode, so a lossy save/load cannot pass
+    "q_pq_saved" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val cb = Similarity.trainPqCodebook(lk.embeddings, "vec_id",
+        "embedding", m = 2, k = 8, iters = 1)
+      val path = s"${lk.work}/artifacts/pq_codebook.json"
+      graft.store.Artifacts.savePqCodebook(s, path, cb)
+      val lcb = graft.store.Artifacts.loadPqCodebook(s, path,
+        expectFingerprint = Some(graft.store.Artifacts.fingerprintOf(cb)))
+      Similarity.pqEncode(lk.embeddings, "embedding", lcb)
+        .select(col("vec_id"),
+          element_at(col("pq_codes"), 1).cast("long").as("code_0"),
+          element_at(col("pq_codes"), 2).cast("long").as("code_1"))
+        .orderBy("vec_id")
+    }),
+    // asymmetric-distance top-k over the PQ-encoded corpus: queries stay
+    // fp32, the corpus contributes only its codes; ranked by approximate
+    // cosine (ADC dot / reconstruction norm), salted two-level ranking
+    "q_pq_topk" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val cb = Similarity.trainPqCodebook(lk.embeddings, "vec_id",
+        "embedding", m = 2, k = 8, iters = 1)
+      val encoded = Similarity.pqEncode(lk.embeddings, "embedding", cb)
+      val queries = lk.embeddings.where(pmod(col("vec_id"), lit(50)) === 0)
+      Similarity.pqTopK(encoded, queries, cb, "vec_id", "embedding",
+        "pq_codes", k = 5, saltBuckets = 4)
+        .orderBy("query_id", "rank")
+    }),
     // Lloyd-trained IVF quantizer (2 iterations over the deterministic
     // seed): the oracle recomputes seed -> assign -> rounded/float-cast
     // means -> re-assign in SQL; matching per-cell counts pin the whole
@@ -1394,6 +1439,57 @@ object SparkEntry {
            ORDER BY doc_id""")
     })
   )
+
+  /** Shared DuckDB CTE chain replaying trainPqCodebook(m=2, k=8, iters=1)
+    * on the embeddings table: deterministic seed slices -> per-subspace L2
+    * argmin (the xx − 2·xc + cc identity, list_dot_product parity with the
+    * codegen'd expression) -> rounded/float-cast means -> final encode
+    * (a1). Used by the three q_pq_* oracles. */
+  private val pqTrainCte: String =
+    """e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+       seed AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, v
+                FROM (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) h
+                      FROM e ORDER BY h, vec_id LIMIT 8)),
+       js AS (SELECT unnest([0, 1]) AS j),
+       sub AS (SELECT j, cid,
+                 CASE WHEN j = 0 THEN v[1:32] ELSE v[33:64] END AS cv
+               FROM seed CROSS JOIN js),
+       ex AS (SELECT vec_id, j,
+                CASE WHEN j = 0 THEN v[1:32] ELSE v[33:64] END AS xv
+              FROM e CROSS JOIN js),
+       d0 AS (SELECT ex.vec_id, ex.j, s.cid,
+                list_dot_product(ex.xv, ex.xv)
+                  - 2 * list_dot_product(ex.xv, s.cv)
+                  + list_dot_product(s.cv, s.cv) AS dist
+              FROM ex JOIN sub s ON s.j = ex.j),
+       a0 AS (SELECT vec_id, j, cid FROM (
+                SELECT vec_id, j, cid, row_number() OVER (
+                  PARTITION BY vec_id, j ORDER BY dist, cid) rr FROM d0)
+              WHERE rr = 1),
+       dims AS (SELECT unnest(range(1, 33)) AS i),
+       m0 AS (SELECT a.j, a.cid, d.i,
+                CAST(CAST(round(avg(ex.xv[d.i]), 6) AS FLOAT) AS DOUBLE) mm
+              FROM a0 a JOIN ex ON ex.vec_id = a.vec_id AND ex.j = a.j
+              CROSS JOIN dims d
+              GROUP BY a.j, a.cid, d.i),
+       newc AS (SELECT j, cid, list(mm ORDER BY i) cv
+                FROM m0 GROUP BY j, cid),
+       cent1 AS (SELECT s.j, s.cid, coalesce(n.cv, s.cv) cv
+                 FROM sub s LEFT JOIN newc n
+                   ON n.j = s.j AND n.cid = s.cid),
+       d1 AS (SELECT ex.vec_id, ex.j, c.cid,
+                list_dot_product(ex.xv, ex.xv)
+                  - 2 * list_dot_product(ex.xv, c.cv)
+                  + list_dot_product(c.cv, c.cv) AS dist
+              FROM ex JOIN cent1 c ON c.j = ex.j),
+       a1 AS (SELECT vec_id, j, cid FROM (
+                SELECT vec_id, j, cid, row_number() OVER (
+                  PARTITION BY vec_id, j ORDER BY dist, cid) rr FROM d1)
+              WHERE rr = 1),
+       codes AS (SELECT vec_id,
+                   MAX(CASE WHEN j = 0 THEN cid END) AS c0,
+                   MAX(CASE WHEN j = 1 THEN cid END) AS c1
+                 FROM a1 GROUP BY vec_id)"""
 
   def oracleSql: Map[String, String] = Map(
     "q_dedup_paragraphs" ->
@@ -2736,6 +2832,32 @@ object SparkEntry {
     // two Lloyd iterations: assign to seed, recompute means (rounded to
     // 1e-6 and cast through FLOAT, exactly like the operator), re-assign,
     // count. Empty cells keep their previous centroid and report 0.
+    "q_pq_encode" -> (s"""WITH $pqTrainCte
+         SELECT vec_id, c0 AS code_0, c1 AS code_1
+         FROM codes ORDER BY vec_id"""),
+    "q_pq_saved" -> (s"""WITH $pqTrainCte
+         SELECT vec_id, c0 AS code_0, c1 AS code_1
+         FROM codes ORDER BY vec_id"""),
+    "q_pq_topk" -> (s"""WITH $pqTrainCte,
+         rec AS (SELECT co.vec_id, c0v.cv AS r0, c1v.cv AS r1
+                 FROM codes co
+                 JOIN cent1 c0v ON c0v.j = 0 AND c0v.cid = co.c0
+                 JOIN cent1 c1v ON c1v.j = 1 AND c1v.cid = co.c1),
+         q AS (SELECT vec_id AS query_id, v AS qv
+               FROM e WHERE vec_id % 50 = 0),
+         sc AS (SELECT q.query_id, r.vec_id AS neighbor_id,
+                  list_dot_product(q.qv, r.r0 || r.r1) AS num,
+                  sqrt(list_dot_product(q.qv, q.qv)) *
+                    sqrt(list_dot_product(r.r0, r.r0)
+                      + list_dot_product(r.r1, r.r1)) AS den
+                FROM q CROSS JOIN rec r WHERE r.vec_id <> q.query_id),
+         rk AS (SELECT query_id, neighbor_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY
+                    CASE WHEN den = 0 THEN 0 ELSE num / den END DESC,
+                    neighbor_id) AS rank
+                FROM sc)
+         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+         FROM rk WHERE rank <= 5 ORDER BY query_id, rank"""),
     "q_kmeans_assign" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
          cent AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid,

@@ -364,6 +364,30 @@ object Drive {
       println(s"[drive] 13-lines-guard passthrough=${guarded == longDoc} (want true)")
     }
 
+    // r8: PQ — train, persist, reload, encode; ADC topK vs exact fp32 topK
+    {
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val cb = graft.operators.Similarity.trainPqCodebook(
+        emb, "vec_id", "embedding", m = 16, k = 64, iters = 2)
+      val path = s"$work/artifacts/pq_drive.json"
+      graft.store.Artifacts.savePqCodebook(spark, path, cb)
+      val lcb = graft.store.Artifacts.loadPqCodebook(spark, path,
+        Some(graft.store.Artifacts.fingerprintOf(cb)))
+      val enc = graft.operators.Similarity.pqEncode(emb, "embedding", lcb)
+      val queries = emb.where(pmod(col("vec_id"), lit(100)) === 0)
+      val approx = graft.operators.Similarity.pqTopK(enc, queries, lcb,
+        "vec_id", "embedding", "pq_codes", k = 10, saltBuckets = 4)
+      val exact = graft.operators.Similarity.topK(emb, queries,
+        "vec_id", "embedding", k = 10)
+      val a = approx.select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val x = exact.select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = a.intersect(x).size.toDouble / x.size
+      println(f"[drive] 14-pq roundTrip=true recall@10=$recall%.2f " +
+        s"(want >= 0.5 at m=16 k=64) rows=${a.size} (want ${x.size})")
+    }
+
     spark.stop()
     println("[drive] done")
   }

@@ -235,4 +235,35 @@ class ArtifactsSpec extends GraftSuite {
       k = 3, nCells = 8, trainIters = 2)
     assertSameRows(viaLoaded, viaTrained)
   }
+
+  test("PqCodebook round-trips exactly; shape and corruption guards") {
+    val dir = tmpDir("graft_art_")
+    val cb = new graft.functions.PqCodebook(4, Array(
+      Array(Array(1.0f, -0.5f), Array(0.25f, 0.125f)),
+      Array(Array(0.0f, 2.0f), Array(-1.0f, 1e-7f))))
+    val path = s"$dir/pq.json"
+    Artifacts.savePqCodebook(spark, path, cb)
+    val fp = Artifacts.fingerprintOf(cb)
+    val loaded = Artifacts.loadPqCodebook(spark, path, Some(fp))
+    assert(loaded.dim == cb.dim && loaded.m == cb.m && loaded.k == cb.k)
+    assert(loaded.centroids.map(_.map(_.toSeq).toSeq).toSeq ==
+      cb.centroids.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(loaded.selfDots.map(_.toSeq).toSeq ==
+      cb.selfDots.map(_.toSeq).toSeq)
+    assert(Artifacts.fingerprintOf(loaded) == fp)
+    // a tampered centroid value fails the corruption check
+    val raw = Fs.readString(spark, path)
+    val drifted = raw.replace("2.0", "2.5")
+    assert(drifted != raw, "value tamper must hit the manifest")
+    Fs.writeStringAtomic(spark, s"$dir/pq_bad.json", drifted)
+    val e = intercept[graft.ArtifactFormatException] {
+      Artifacts.loadPqCodebook(spark, s"$dir/pq_bad.json")
+    }
+    assert(e.getMessage.contains("corrupt"))
+    // wrong kind fails loudly
+    val e2 = intercept[graft.ArtifactFormatException] {
+      Artifacts.loadCentroids(spark, path)
+    }
+    assert(e2.getMessage.contains("pq_codebook"))
+  }
 }

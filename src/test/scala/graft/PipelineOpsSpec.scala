@@ -1634,6 +1634,60 @@ class PipelineOpsSpec extends GraftSuite {
       k = (n + 10).toInt).count() == n)
   }
 
+  test("PQ: codegen'd encode == driver argmin; ADC cosine == reconstruction; topK salted==unsalted") {
+    val cb = graft.operators.Similarity.trainPqCodebook(emb, "vec_id",
+      "embedding", m = 4, k = 8, iters = 1)
+    assert(cb.m == 4 && cb.k == 8 && cb.dim == 64 && cb.dsub == 16)
+    val enc = graft.operators.Similarity.pqEncode(emb, "embedding", cb)
+    val rows = enc.select("vec_id", "embedding", "pq_codes").collect()
+    assert(rows.length == emb.count())
+    rows.foreach { r =>
+      val v = r.getSeq[Float](1).toArray
+      val got = r.getSeq[Int](2)
+      val want = (0 until cb.m).map { j =>
+        val x = v.slice(j * cb.dsub, (j + 1) * cb.dsub).map(_.toDouble)
+        val dists = (0 until cb.k).map { c =>
+          val cv = cb.centroids(j)(c)
+          var xx = 0.0; var xc = 0.0; var cc = 0.0
+          for (i <- x.indices) {
+            xx += x(i) * x(i)
+            xc += x(i) * cv(i).toDouble
+            cc += cv(i).toDouble * cv(i).toDouble
+          }
+          xx - 2.0 * xc + cc
+        }
+        dists.indices.minBy(dists) // minBy keeps the FIRST min — ties -> smallest id
+      }
+      assert(got == want, s"vec ${r.getLong(0)}")
+    }
+    // ADC cosine equals the driver-computed reconstruction cosine exactly
+    val scored = enc.limit(20).select(col("vec_id"), col("embedding"),
+      col("pq_codes"),
+      graft.operators.Similarity.pqCosine(col("embedding"), col("pq_codes"),
+        cb).as("sim")).collect()
+    scored.foreach { r =>
+      val q = r.getSeq[Float](1).toArray
+      val codes = r.getSeq[Int](2)
+      var num = 0.0
+      for (j <- 0 until cb.m; i <- 0 until cb.dsub)
+        num += q(j * cb.dsub + i).toDouble * cb.centroids(j)(codes(j))(i).toDouble
+      var qq = 0.0
+      for (i <- q.indices) qq += q(i).toDouble * q(i).toDouble
+      var n2 = 0.0
+      for (j <- 0 until cb.m) n2 += cb.selfDots(j)(codes(j))
+      val den = math.sqrt(qq) * math.sqrt(n2)
+      val want = if (den == 0.0) 0.0 else num / den
+      assert(r.getDouble(3) == want, s"vec ${r.getLong(0)}")
+    }
+    // salted ranking is a pure pruning: identical result
+    val queries = emb.where(pmod(col("vec_id"), lit(100)) === 0)
+    val a = graft.operators.Similarity.pqTopK(enc, queries, cb, "vec_id",
+      "embedding", "pq_codes", k = 3)
+    val b = graft.operators.Similarity.pqTopK(enc.repartition(9), queries,
+      cb, "vec_id", "embedding", "pq_codes", k = 3, saltBuckets = 8)
+    assertSameRows(a, b)
+  }
+
   test("gopherSignals: hand-computed page signals and composite verdict") {
     import spark.implicits._
     // 9 tokens (newlines live inside space-split tokens), 2 identical lines
