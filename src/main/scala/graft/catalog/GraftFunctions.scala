@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.VectorOps
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Similarity, TextAnalysis}
 
 /** SQL-callable curation functions — the pure-SQL completion of the
   * library's SQL-parity story (r7 verdict "what's missing" #3). The index
@@ -136,6 +136,20 @@ object GraftFunctions {
         ex(Dedup.windowHashes(c(args(0)),
           intLit("graft_window_hashes", "windowTokens", args(1)),
           distinctWithinDoc = true)) }),
+    ("graft_pq_encode",
+      "_FUNC_(vec, artifactPath) - PQ codes (array<int>, one per " +
+        "subspace) off a persisted pq_codebook artifact",
+      args => { checkArity("graft_pq_encode", args, 2)
+        val cb = graft.store.Artifacts.loadPqCodebook(SparkSession.active,
+          strLit("graft_pq_encode", "artifactPath", args(1)))
+        ex(graft.functions.Pq.encode(c(args(0)), cb)) }),
+    ("graft_pq_cosine",
+      "_FUNC_(queryVec, codes, artifactPath) - approximate cosine between " +
+        "an fp32 query and PQ codes off a persisted pq_codebook artifact",
+      args => { checkArity("graft_pq_cosine", args, 3)
+        val cb = graft.store.Artifacts.loadPqCodebook(SparkSession.active,
+          strLit("graft_pq_cosine", "artifactPath", args(2)))
+        ex(graft.operators.Similarity.pqCosine(c(args(0)), c(args(1)), cb)) }),
     ("graft_perplexity",
       "_FUNC_(text, artifactPath) - unigram perplexity off a persisted LM",
       args => { checkArity("graft_perplexity", args, 2)

@@ -184,6 +184,19 @@ object StreamOps {
     else scored.where(col(outCol) <= maxPerplexity)
   }
 
+  /** Streaming Gopher quality gate: the same pure boolean predicate as
+    * [[graft.operators.TextAnalysis.gopherFilter]] — per-row codegen'd
+    * HOF arithmetic, no state store, no watermark, any output mode. A
+    * streaming ingest can drop rule-failing pages before they ever land
+    * in the lake. */
+  def gopherFilter(
+      stream: DataFrame,
+      textCol: String,
+      rules: graft.operators.TextAnalysis.GopherRules =
+        graft.operators.TextAnalysis.GopherRules()): DataFrame =
+    stream.where(
+      graft.operators.TextAnalysis.gopherPasses(col(textCol), rules))
+
   /** Per-micro-batch point-in-time enrichment: each batch of probe rows is
     * as-of joined against a temporal [[graft.Index]] (files pruned by the
     * batch's keys) and handed to `sink`. Stream-static as-of is not

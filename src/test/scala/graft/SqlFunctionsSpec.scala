@@ -33,7 +33,8 @@ class SqlFunctionsSpec extends GraftSuite {
            graft_normalize_text(text) AS normed,
            graft_simhash64(text) AS sh,
            graft_minhash_sigs(text, 8) AS mh,
-           graft_window_hashes(text, 5) AS wh
+           graft_window_hashes(text, 5) AS wh,
+           graft_gopher_passes(text) AS gopher
          FROM sqlfn_docs""")
     val viaApi = docs.select(col("doc_id"),
       TextAnalysis.langId(col("text")).as("lang_id"),
@@ -47,7 +48,30 @@ class SqlFunctionsSpec extends GraftSuite {
       TextAnalysis.normalizeText(col("text")).as("normed"),
       graft.functions.VectorOps.simhash64(Dedup.tokenSet(col("text"))).as("sh"),
       graft.functions.VectorOps.minhashSignature(Dedup.tokenSet(col("text")), 8).as("mh"),
-      Dedup.windowHashes(col("text"), 5, distinctWithinDoc = true).as("wh"))
+      Dedup.windowHashes(col("text"), 5, distinctWithinDoc = true).as("wh"),
+      TextAnalysis.gopherPasses(col("text")).as("gopher"))
+    assertSameRows(viaSql, viaApi)
+  }
+
+  test("PQ functions score off a persisted codebook: SQL == programmatic") {
+    docs // force registration
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    emb.createOrReplaceTempView("sqlfn_emb")
+    val cb = graft.operators.Similarity.trainPqCodebook(
+      emb, "vec_id", "embedding", m = 4, k = 8, iters = 1)
+    val dir = tmpDir("graft_sqlfn_pq_")
+    graft.store.Artifacts.savePqCodebook(spark, s"$dir/pq.json", cb)
+    val viaSql = spark.sql(
+      s"""SELECT vec_id,
+            graft_pq_encode(embedding, '$dir/pq.json') AS codes,
+            round(graft_pq_cosine(embedding,
+              graft_pq_encode(embedding, '$dir/pq.json'),
+              '$dir/pq.json'), 6) AS sim
+          FROM sqlfn_emb""")
+    val viaApi = emb.select(col("vec_id"),
+      graft.functions.Pq.encode(col("embedding"), cb).as("codes"),
+      round(graft.operators.Similarity.pqCosine(col("embedding"),
+        graft.functions.Pq.encode(col("embedding"), cb), cb), 6).as("sim"))
     assertSameRows(viaSql, viaApi)
   }
 

@@ -246,4 +246,36 @@ class StreamOpsSpec extends GraftSuite {
       "cutoff must actually split the corpus")
     assert(kept.toSet == want)
   }
+
+  test("gopherFilter: stream == batch gate across micro-batch boundaries") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Lake.get(spark, sf).documents
+      .select("doc_id", "text").as[(Long, String)].collect().toSeq
+    val rules = graft.operators.TextAnalysis.GopherRules(
+      minTokens = 40L, minMeanTokenLen = 2.0, minAlphaTokenRatio = 0.5,
+      minStopwordHits = 1)
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val kept = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamOps.gopherFilter(stream, "text", rules)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        kept.synchronized {
+          kept ++= b.select("doc_id").collect().map(_.getLong(0)) }
+        ()
+      }
+      .option("checkpointLocation", tmpDir("graft_gopher_ckpt_")).start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.size / 2)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val want = graft.operators.TextAnalysis.gopherFilter(
+        docs.toDF("doc_id", "text"), "text", rules)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(want.nonEmpty && want.size < docs.size,
+      "rules must actually split the corpus")
+    assert(kept.toSet == want)
+  }
 }
