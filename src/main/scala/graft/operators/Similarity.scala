@@ -398,6 +398,16 @@ object Similarity {
       col(codesCol).as("__codes"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("__sim", pqCosine(col("__vq"), col("__codes"), cb))
+    rankPerQuery(scored, k, saltBuckets)
+  }
+
+  /** Shared ranking tail of the ADC top-k variants: two-level salted
+    * `row_number` cut on (`__sim` desc, neighbor id) — with
+    * `saltBuckets > 1` no task ever sorts more than its (query, salt)
+    * slice, and the final exact window sees ≤ saltBuckets·k rows per
+    * query. */
+  private def rankPerQuery(
+      scored: DataFrame, k: Int, saltBuckets: Int): DataFrame = {
     val pruned =
       if (saltBuckets == 1) scored
       else {
@@ -416,6 +426,57 @@ object Similarity {
     pruned.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
+  /** One-scan IVF-PQ corpus preparation: coarse cell id (nearest centroid,
+    * codegen'd — no shuffle) plus PQ codes. Write this once; serving never
+    * touches the fp32 vectors again. */
+  def ivfPqEncode(
+      df: DataFrame,
+      vecCol: String,
+      cs: graft.functions.CentroidSet,
+      cb: graft.functions.PqCodebook,
+      cellCol: String = "cell_id",
+      codesCol: String = "pq_codes"): DataFrame =
+    df.withColumn(cellCol, element_at(
+        graft.functions.VectorOps.nearestCells(col(vecCol), cs, 1), 1))
+      .withColumn(codesCol, graft.functions.Pq.encode(col(vecCol), cb))
+
+  /** The full corpus-scale ANN shape (IVF-PQ, Jégou et al. 2011 §V):
+    * queries route to their `nProbe` nearest coarse cells, the join
+    * touches ONLY those cells' rows, and scoring streams m-int PQ codes
+    * via asymmetric distance — corpus vectors never load. Candidate
+    * volume is corpus·(nProbe/nCells) instead of corpus; with
+    * `nProbe = nCells` the result equals [[pqTopK]] exactly
+    * (differential-pinned). Exact fp32 re-rank of survivors composes
+    * downstream by joining vectors back on neighbor_id. */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      cs: graft.functions.CentroidSet,
+      cb: graft.functions.PqCodebook,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nProbe: Int = 2,
+      cellCol: String = "cell_id",
+      codesCol: String = "pq_codes",
+      saltBuckets: Int = 1): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(nProbe > 0, "nProbe must be positive")
+    require(saltBuckets > 0, "saltBuckets must be positive")
+    val q = broadcast(queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("__vq"))
+      .withColumn(cellCol, explode(
+        graft.functions.VectorOps.nearestCells(col("__vq"), cs, nProbe))))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(cellCol),
+      col(codesCol).as("__codes"))
+    // a corpus row lives in exactly ONE cell, so probing several cells
+    // cannot duplicate a (query, neighbor) pair — no distinct needed
+    val scored = q.join(c, Seq(cellCol))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__sim", pqCosine(col("__vq"), col("__codes"), cb))
+    rankPerQuery(scored, k, saltBuckets)
   }
 
   /** Quantizer for the IVF pipelines: the deterministic seed as-is

@@ -386,6 +386,24 @@ object Drive {
       val recall = a.intersect(x).size.toDouble / x.size
       println(f"[drive] 14-pq roundTrip=true recall@10=$recall%.2f " +
         s"(want >= 0.5 at m=16 k=64) rows=${a.size} (want ${x.size})")
+      // IVF-PQ: nProbe=nCells degrades exactly to the full ADC scan;
+      // pruned nProbe keeps most of the ADC ranking
+      val (cs, _) = graft.operators.Similarity.trainCentroidSet(
+        emb, "vec_id", "embedding", nCells = 8, iters = 1)
+      val prepared = graft.operators.Similarity.ivfPqEncode(
+        emb, "embedding", cs, lcb)
+      val ivfAll = graft.operators.Similarity.ivfPqTopK(prepared, queries,
+        cs, lcb, "vec_id", "embedding", k = 10, nProbe = 8)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ivfPruned = graft.operators.Similarity.ivfPqTopK(prepared,
+        queries, cs, lcb, "vec_id", "embedding", k = 10, nProbe = 2,
+        saltBuckets = 4)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val adcRecall = ivfPruned.intersect(a).size.toDouble / a.size
+      println(f"[drive] 14-ivfpq allProbe==fullAdc=${ivfAll == a} " +
+        f"(want true) prunedVsAdcRecall=$adcRecall%.2f (nProbe 2/8)")
     }
 
     spark.stop()

@@ -1688,6 +1688,44 @@ class PipelineOpsSpec extends GraftSuite {
     assertSameRows(a, b)
   }
 
+  test("IVF-PQ: nProbe=nCells == full ADC scan; pruned probe is a subset-ranking; no cartesian") {
+    val S = graft.operators.Similarity
+    val cb = S.trainPqCodebook(emb, "vec_id", "embedding", m = 8, k = 16,
+      iters = 1)
+    val (cs, _) = S.trainCentroidSet(emb, "vec_id", "embedding", nCells = 8,
+      iters = 1)
+    val encoded = S.ivfPqEncode(emb, "embedding", cs, cb)
+    // every row gets exactly one cell and m codes
+    assert(encoded.where(col("cell_id").isNull ||
+      size(col("pq_codes")) =!= cb.m).count() == 0)
+    val queries = emb.where(pmod(col("vec_id"), lit(100)) === 0)
+    // nProbe = nCells probes everything -> identical to the full ADC scan
+    val all = S.ivfPqTopK(encoded, queries, cs, cb, "vec_id", "embedding",
+      k = 5, nProbe = 8)
+    val full = S.pqTopK(encoded, queries, cb, "vec_id", "embedding",
+      "pq_codes", k = 5)
+    assertSameRows(all, full)
+    // pruned probe: every result comes from a probed cell, and
+    // salted == unsalted on the same probe set
+    val pruned = S.ivfPqTopK(encoded, queries, cs, cb, "vec_id",
+      "embedding", k = 5, nProbe = 2)
+    val prunedSalted = S.ivfPqTopK(encoded.repartition(7), queries, cs, cb,
+      "vec_id", "embedding", k = 5, nProbe = 2, saltBuckets = 4)
+    assertSameRows(pruned, prunedSalted)
+    val probedPairs = queries
+      .select(col("vec_id").as("query_id"), explode(
+        graft.functions.VectorOps.nearestCells(col("embedding"), cs, 2))
+        .as("cell_id"))
+      .join(encoded.select(col("vec_id").as("neighbor_id"), col("cell_id")),
+        Seq("cell_id"))
+      .select("query_id", "neighbor_id")
+    assert(pruned.join(probedPairs, Seq("query_id", "neighbor_id"),
+      "left_anti").count() == 0, "results must come from probed cells")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("gopherSignals: hand-computed page signals and composite verdict") {
     import spark.implicits._
     // 9 tokens (newlines live inside space-split tokens), 2 identical lines
