@@ -479,6 +479,34 @@ object Similarity {
     rankPerQuery(scored, k, saltBuckets)
   }
 
+  /** Exact fp32 re-rank of an approximate candidate frame — the standard
+    * serving tail after [[pqTopK]]/[[ivfPqTopK]]: run the ADC search with
+    * an inflated k (e.g. 4·k), then re-rank the survivors by TRUE cosine
+    * and cut to the final k. Only the candidate rows (queries ×
+    * inflated-k, not the corpus) ever rehydrate fp32 vectors; the
+    * candidate-keyed join is the sole shuffle. With candidates covering
+    * the whole corpus this equals [[topK]] exactly
+    * (differential-pinned). */
+  def exactRerank(
+      candidates: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__vq"), norm(col(vecCol)).as("__nq")))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__vc"), norm(col(vecCol)).as("__nc"))
+    val scored = candidates.select("query_id", "neighbor_id")
+      .join(cv, Seq("neighbor_id"))
+      .join(qv, Seq("query_id"))
+      .withColumn("__sim",
+        dot(col("__vq"), col("__vc")) / (col("__nq") * col("__nc")))
+    rankPerQuery(scored, k, saltBuckets = 1)
+  }
+
   /** Quantizer for the IVF pipelines: the deterministic seed as-is
     * (`trainIters = 0`, the default — zero extra jobs) or Lloyd-refined. */
   private def centroidSetFor(

@@ -53,6 +53,7 @@ object ScaleBench {
       if (mode == "joins") lk.ordersIdx
       else if (mode == "build") lk.ordersFiles // split only; build IS the bench
       else if (mode == "winidx") lk.documentsFiles // split only; builds ARE the bench
+      else if (mode == "pq") () // embeddings only; no index fixtures needed
       else lk.prebuild()
       lk
     }
@@ -121,8 +122,74 @@ object ScaleBench {
       }
     }
 
+    // r8: PQ serving path over the ×30 embeddings — train once, prepare
+    // (cells + codes) once, then compare full-ADC vs cell-routed IVF-PQ
+    // vs fp32 brute for the same 100-query workload, plus the rerank
+    // tail. Runs in mode "all" and standalone as mode "pq".
+    def pqSection(): Unit = {
+      val emb = lake.embeddings.cache()
+      emb.count()
+      var cbH: graft.functions.PqCodebook = null
+      var csH: graft.functions.CentroidSet = null
+      bench("x_pq_train") {
+        cbH = Similarity.trainPqCodebook(emb, "vec_id", "embedding",
+          m = 16, k = 64, iters = 1)
+        csH = Similarity.trainCentroidSet(emb, "vec_id", "embedding",
+          nCells = 64, iters = 1)._1
+        (cbH.m * cbH.k).toLong
+      }
+      val prepared = Similarity.ivfPqEncode(emb, "embedding", csH, cbH)
+        .select("vec_id", "cell_id", "pq_codes").cache()
+      bench("x_pq_encode") { prepared.count() }
+      val queries = emb.where(pmod(col("vec_id"), lit(600)) === 0)
+      bench("q_pq_adc_topk") {
+        Similarity.pqTopK(prepared, queries, cbH, "vec_id", "embedding",
+          "pq_codes", k = 10, saltBuckets = 8).count()
+      }
+      bench("q_pq_ivf_topk") {
+        Similarity.ivfPqTopK(prepared, queries, csH, cbH, "vec_id",
+          "embedding", k = 10, nProbe = 8, saltBuckets = 8).count()
+      }
+      bench("q_pq_ivf_rerank") {
+        val cands = Similarity.ivfPqTopK(prepared, queries, csH, cbH,
+          "vec_id", "embedding", k = 40, nProbe = 8, saltBuckets = 8)
+        Similarity.exactRerank(cands, emb, queries, "vec_id", "embedding",
+          k = 10).count()
+      }
+      spark.conf.set("spark.graft.bruteForceRowLimit", "100000")
+      bench("q_pq_brute_fp32") {
+        Similarity.topK(emb, queries, "vec_id", "embedding", k = 10).count()
+      }
+      spark.conf.unset("spark.graft.bruteForceRowLimit")
+      // recall telemetry, UNTIMED (the Bench discipline)
+      val exact = Similarity.topK(emb, queries, "vec_id", "embedding",
+        k = 10).select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      def recall(df: org.apache.spark.sql.DataFrame): Double = {
+        val s = df.select("query_id", "neighbor_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        s.intersect(exact).size.toDouble / exact.size
+      }
+      results("x_pq_adc_recall") = recall(Similarity.pqTopK(prepared,
+        queries, cbH, "vec_id", "embedding", "pq_codes", k = 10,
+        saltBuckets = 8))
+      results("x_pq_ivf_recall") = recall(Similarity.ivfPqTopK(prepared,
+        queries, csH, cbH, "vec_id", "embedding", k = 10, nProbe = 8,
+        saltBuckets = 8))
+      results("x_pq_rerank_recall") = recall(Similarity.exactRerank(
+        Similarity.ivfPqTopK(prepared, queries, csH, cbH, "vec_id",
+          "embedding", k = 40, nProbe = 8, saltBuckets = 8),
+        emb, queries, "vec_id", "embedding", k = 10))
+      prepared.unpersist()
+      emb.unpersist()
+    }
+
     if (mode == "winidx") {
       windowIndexSection()
+      emit(results, counts, sfDir); spark.stop(); return
+    }
+    if (mode == "pq") {
+      pqSection()
       emit(results, counts, sfDir); spark.stop(); return
     }
 
@@ -328,6 +395,7 @@ object ScaleBench {
       Similarity.ivfTopK(emb, emb.where(col("vec_id") < 100), "vec_id",
         "embedding", k = 5).count()
     }
+    pqSection()
 
     // ---- time-series shapes at 3M events ---------------------------------
     // trailing-hour rolling features: one per-key exchange+sort evaluates

@@ -1726,6 +1726,21 @@ class PipelineOpsSpec extends GraftSuite {
       !plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("exactRerank: full-coverage ADC candidates == exact fp32 topK") {
+    val S = graft.operators.Similarity
+    val cb = S.trainPqCodebook(emb, "vec_id", "embedding", m = 4, k = 8,
+      iters = 1)
+    val enc = S.pqEncode(emb, "embedding", cb)
+    val queries = emb.where(pmod(col("vec_id"), lit(100)) === 0)
+    val n = emb.count().toInt
+    val allCands = S.pqTopK(enc, queries, cb, "vec_id", "embedding",
+      "pq_codes", k = n)
+    val reranked = S.exactRerank(allCands, emb, queries, "vec_id",
+      "embedding", k = 5)
+    val exact = S.topK(emb, queries, "vec_id", "embedding", k = 5)
+    assertSameRows(reranked, exact)
+  }
+
   test("gopherSignals: hand-computed page signals and composite verdict") {
     import spark.implicits._
     // 9 tokens (newlines live inside space-split tokens), 2 identical lines
