@@ -402,4 +402,74 @@ class PropertySpec extends GraftSuite {
     assert(baseIds.exists(id => reshuffled(id) != before(id)),
       "different seeds produced the identical permutation")
   }
+
+  test("capPerGroup: exact caps, repartition/salt invariance on random skewed data (prop)") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    // heavy skew: one mega group, several mid groups, many singletons
+    val rows = (1L to 5000L).map { id =>
+      val g = if (id <= 3000) "mega"
+        else if (id <= 4500) s"mid${id % 7}"
+        else s"solo$id"
+      (id, g)
+    }
+    val df = rows.toDF("id", "g")
+    for (maxN <- Seq(1, 17, 400)) {
+      val capped = Sampling.capPerGroup(df, Seq("g"), maxN, "id")
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      // exact per-group sizes
+      val sizes = capped.groupBy(_._2).view.mapValues(_.length).toMap
+      val orig = rows.groupBy(_._2).view.mapValues(_.length).toMap
+      for ((g, n) <- orig)
+        assert(sizes.getOrElse(g, 0) == math.min(n, maxN), s"$g at maxN=$maxN")
+      // salted + repartitioned run picks the SAME rows
+      val salted = Sampling.capPerGroup(df.repartition(11), Seq("g"), maxN,
+        "id", saltBuckets = 16)
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      assert(capped.toSet == salted.toSet, s"maxN=$maxN salted mismatch")
+    }
+  }
+
+  test("mixCorpora: rates honor the derivation on random weights (prop)") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val r2 = new Random(7)
+    val rows = (1L to 4000L).map { id =>
+      (id, s"src${id % 5}", 1L + r2.nextInt(100).toLong)
+    }
+    val df = rows.toDF("id", "src", "tok")
+    for (_ <- 1 to 5) {
+      val srcs = (0 until 5).map(i => s"src$i").filter(_ => r2.nextBoolean())
+      if (srcs.size >= 2) {
+        val weights = srcs.map(s => s -> (0.05 + r2.nextDouble())).toMap
+        val mixed = Sampling.mixCorpora(df, "src", "id", col("tok"), weights)
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        // only weighted sources; deterministic rerun identical
+        assert(mixed.forall { case (_, s) => weights.contains(s) })
+        val again = Sampling.mixCorpora(df.repartition(13), "src", "id",
+          col("tok"), weights)
+          .collect().map(r => (r.getLong(0), r.getString(1)))
+        assert(mixed.toSet == again.toSet)
+        // the limiting source keeps everything; every source keeps >0 at
+        // these sizes and rates >= 0.05/1.05 of its docs in expectation —
+        // assert the DERIVED thresholds directly instead of statistics
+        val totals = rows.filter(t => weights.contains(t._2))
+          .groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+        val total = weights.map { case (s, w) => totals(s).toDouble / w }.min
+        def thr(s: String): String = {
+          val rate = math.min(weights(s) * total / totals(s).toDouble, 1.0)
+          f"${math.min((rate * 4294967296.0).toLong, 4294967295L)}%08x"
+        }
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def key(id: Long): String = {
+          md.reset()
+          md.digest(id.toString.getBytes("UTF-8"))
+            .map("%02x".format(_)).mkString.substring(0, 8)
+        }
+        val want = rows.filter(t => weights.contains(t._2))
+          .filter(t => key(t._1) < thr(t._2)).map(t => (t._1, t._2)).toSet
+        assert(mixed.toSet == want)
+      }
+    }
+  }
 }
