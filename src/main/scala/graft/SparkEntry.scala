@@ -1437,8 +1437,48 @@ object SparkEntry {
            SELECT doc_id, n_tok FROM ded
            WHERE substring(md5(CAST(doc_id AS STRING)), 1, 8) < '80000000'
            ORDER BY doc_id""")
+    }),
+    // z-order layout: bucket (user_id, value) to 8 fixed-point bits each
+    // under their global min/max and interleave — the oracle replays the
+    // bucket arithmetic and every shift term in integer SQL, pinning the
+    // codegen'd ZValueExpr bit-for-bit
+    "q_zorder" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.operators.Layout.withZValue(ev, Seq("user_id", "value"), bits = 8)
+        .select(col("event_id"), col("z_value"))
+        .orderBy("event_id")
+    }),
+    // hard-negative mining (brute baseline): per training pair, the 5
+    // corpus vectors most similar to the anchor that are neither the
+    // anchor nor its positive
+    "q_hard_negatives" -> ((s, dir) => {
+      import s.implicits._
+      val lk = Lake.get(s, dir)
+      val positives = (0L until 8L).map(q => (q, q + 20L))
+        .toDF("query_id", "pos_id")
+      Similarity.hardNegatives(lk.embeddings, positives, "vec_id",
+        "embedding", k = 5).orderBy("query_id", "rank")
+    }),
+    // FaceNet semi-hard variant: negatives must score strictly below the
+    // anchor's nearest positive; the oracle recomputes the per-anchor bar
+    "q_hard_negatives_semi" -> ((s, dir) => {
+      import s.implicits._
+      val lk = Lake.get(s, dir)
+      val positives = (0L until 8L).map(q => (q, q + 20L))
+        .toDF("query_id", "pos_id")
+      Similarity.hardNegatives(lk.embeddings, positives, "vec_id",
+        "embedding", k = 5, semiHard = true, saltBuckets = 4)
+        .orderBy("query_id", "rank")
     })
   )
+
+  /** The DuckDB twin of [[graft.functions.ZValueExpr]] for k=2: every
+    * output bit as one explicit shift term, OR-joined (disjoint bits). */
+  private def zInterleaveSql(b0: String, b1: String, bits: Int): String =
+    (0 until bits).flatMap { i =>
+      Seq(s"((($b0 >> $i) & 1) << ${2 * i + 1})",
+        s"((($b1 >> $i) & 1) << ${2 * i})")
+    }.mkString(" | ")
 
   /** Shared DuckDB CTE chain replaying trainPqCodebook(m=2, k=8, iters=1)
     * on the embeddings table: deterministic seed slices -> per-subspace L2
@@ -3015,6 +3055,62 @@ object SparkEntry {
                             (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 4 END)
                           ELSE 3 END AS INT) AS channels,
                 md5(text) AS content_hash
-         FROM p ORDER BY doc_id"""
+         FROM p ORDER BY doc_id""",
+    "q_zorder" ->
+      s"""WITH b AS (SELECT min(CAST(user_id AS DOUBLE)) mn0,
+                           max(CAST(user_id AS DOUBLE)) mx0,
+                           min(value) mn1, max(value) mx1 FROM events),
+         s AS (SELECT event_id,
+                 LEAST(255, GREATEST(0, CAST(floor(
+                   (CAST(user_id AS DOUBLE) - mn0) / (mx0 - mn0) * 256.0)
+                   AS BIGINT))) AS b0,
+                 LEAST(255, GREATEST(0, CAST(floor(
+                   (value - mn1) / (mx1 - mn1) * 256.0) AS BIGINT))) AS b1
+               FROM events, b)
+         SELECT event_id,
+                CAST(${zInterleaveSql("b0", "b1", 8)} AS BIGINT) AS z_value
+         FROM s ORDER BY event_id""",
+    "q_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         p AS (SELECT vec_id AS query_id, vec_id + 20 AS pos_id
+               FROM e WHERE vec_id < 8),
+         s AS (SELECT q.vec_id query_id, c.vec_id neg_id,
+                 list_dot_product(q.v, c.v) /
+                 (sqrt(list_dot_product(q.v, q.v)) *
+                  sqrt(list_dot_product(c.v, c.v))) cs
+               FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id != q.vec_id
+               WHERE NOT EXISTS (SELECT 1 FROM p
+                 WHERE p.query_id = q.vec_id AND p.pos_id = c.vec_id))
+         SELECT query_id, neg_id, rank FROM (
+           SELECT query_id, neg_id,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                       ORDER BY cs DESC, neg_id) AS INT) AS rank
+           FROM s)
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q_hard_negatives_semi" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         p AS (SELECT vec_id AS query_id, vec_id + 20 AS pos_id
+               FROM e WHERE vec_id < 8),
+         bar AS (SELECT p.query_id,
+                   min(list_dot_product(q.v, c.v) /
+                       (sqrt(list_dot_product(q.v, q.v)) *
+                        sqrt(list_dot_product(c.v, c.v)))) AS b
+                 FROM p JOIN e q ON q.vec_id = p.query_id
+                        JOIN e c ON c.vec_id = p.pos_id
+                 GROUP BY p.query_id),
+         s AS (SELECT q.vec_id query_id, c.vec_id neg_id,
+                 list_dot_product(q.v, c.v) /
+                 (sqrt(list_dot_product(q.v, q.v)) *
+                  sqrt(list_dot_product(c.v, c.v))) cs
+               FROM e q JOIN e c ON q.vec_id < 8 AND c.vec_id != q.vec_id
+               WHERE NOT EXISTS (SELECT 1 FROM p
+                 WHERE p.query_id = q.vec_id AND p.pos_id = c.vec_id))
+         SELECT query_id, neg_id, rank FROM (
+           SELECT s.query_id, s.neg_id,
+                  CAST(row_number() OVER (PARTITION BY s.query_id
+                       ORDER BY s.cs DESC, s.neg_id) AS INT) AS rank
+           FROM s JOIN bar ON bar.query_id = s.query_id
+           WHERE s.cs < bar.b)
+         WHERE rank <= 5 ORDER BY query_id, rank"""
   )
 }

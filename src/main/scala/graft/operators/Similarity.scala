@@ -706,4 +706,138 @@ object Similarity {
       .repartition(n, col("a_id"))
     verifyCandidates(df, idCol, vecCol, cands, threshold)
   }
+
+  /** Shared tail of the hard-negative miners: exclude the anchor itself
+    * and every (anchor, positive) pair, optionally apply the semi-hard
+    * bar, then salted top-k per anchor. `scored` carries
+    * `query_id, neighbor_id, __sim`. */
+  private def finishHardNegatives(
+      scored: DataFrame,
+      positives: DataFrame,
+      k: Int,
+      semiHard: Boolean,
+      saltBuckets: Int): DataFrame = {
+    val pos = positives.select(col("query_id"), col("pos_id"))
+    val excluded = scored
+      .where(col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(pos.withColumnRenamed("pos_id", "neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+    val gated =
+      if (!semiHard) excluded
+      else {
+        // the semi-hard bar per anchor: negatives must score strictly
+        // below the NEAREST positive (min over positives of cos(anchor,
+        // pos) is the strictest; Schroff et al. 2015 §3.3). One bounded
+        // aggregate over the positives frame, broadcast back. The pos
+        // columns are re-aliased to FRESH ExprIds: `scored` derives from
+        // `positives`, so a direct frame-column equality degenerates to a
+        // trivially-true self-reference and the bar silently mixes
+        // anchors (fixture-pinned in the spec).
+        val posFresh = pos.select(col("query_id").as("__bq"),
+          col("pos_id").as("__bp"))
+        val bar = scored
+          .join(broadcast(posFresh), col("neighbor_id") === col("__bp") &&
+            col("query_id") === col("__bq"))
+          .groupBy("query_id").agg(min(col("__sim")).as("__bar"))
+        excluded.join(broadcast(bar), Seq("query_id"))
+          .where(col("__sim") < col("__bar"))
+          .drop("__bar")
+      }
+    rankPerQuery(gated, k, saltBuckets)
+      .withColumnRenamed("neighbor_id", "neg_id")
+  }
+
+  /** Hard-negative mining for contrastive/embedding training: for each
+    * anchor in `positives` (a `(query_id, pos_id)` pair frame — the
+    * training pairs), the `k` corpus vectors MOST cosine-similar to the
+    * anchor that are neither the anchor nor any of its positives — the
+    * negatives that actually move a contrastive loss, versus the
+    * uninformative random ones. `semiHard = true` keeps only negatives
+    * scoring strictly below the anchor's nearest positive (the FaceNet
+    * semi-hard criterion, Schroff et al. 2015: hardest negatives that are
+    * still farther than the positive — the band that trains stably).
+    *
+    * Brute-force baseline: anchors broadcast, ONE corpus scan, exclusion
+    * as a broadcast anti-join, salted per-anchor top-k (no mega-anchor
+    * window task). [[guardBruteForce]] enforces the corpus bound;
+    * [[hardNegativesIvf]] is the corpus-scale path. Output: `query_id,
+    * neg_id, rank`. */
+  def hardNegatives(
+      corpus: DataFrame,
+      positives: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      semiHard: Boolean = false,
+      saltBuckets: Int = 1): DataFrame = {
+    require(k > 0, "k must be positive")
+    guardBruteForce(corpus, "Similarity.hardNegatives",
+      "Similarity.hardNegativesIvf")
+    val anchors = positives.select(col("query_id")).distinct()
+      .join(corpus.select(col(idCol).as("query_id"), col(vecCol).as("__vq"),
+        norm(col(vecCol)).as("__nq")), Seq("query_id"))
+    val n = corpus.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__vc"), norm(col(vecCol)).as("__nc"))
+      .repartition(n)
+    val scored = broadcast(anchors)
+      .join(cv, col("query_id") =!= col("neighbor_id"))
+      .withColumn("__sim",
+        dot(col("__vq"), col("__vc")) / (col("__nq") * col("__nc")))
+      .select("query_id", "neighbor_id", "__sim")
+    finishHardNegatives(scored, positives, k, semiHard, saltBuckets)
+  }
+
+  /** Corpus-scale hard-negative mining: candidates meet in shared IVF
+    * cells (anchors probe `nProbe` nearest cells, corpus assigned to 1 —
+    * the [[ivfTopK]] candidate generation), so the scan touches only the
+    * anchors' neighborhoods instead of scoring anchors × corpus. Same
+    * exclusion / semi-hard / salted-rank tail as [[hardNegatives]]; with
+    * enough cells probed the two agree (differential-pinned in the
+    * spec). The semi-hard bar is computed on exact positive
+    * similarities (positives are scored directly, not through cells), so
+    * the criterion itself is never approximated. */
+  def hardNegativesIvf(
+      corpus: DataFrame,
+      positives: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      semiHard: Boolean = false,
+      nCells: Int = 16,
+      nProbe: Int = 2,
+      trainIters: Int = 0,
+      quantizer: Option[graft.functions.CentroidSet] = None,
+      saltBuckets: Int = 1): DataFrame = {
+    require(k > 0, "k must be positive")
+    val cs = quantizer.getOrElse(
+      centroidSetFor(corpus, idCol, vecCol, nCells, trainIters))
+    val anchorIds = positives.select(col("query_id")).distinct()
+    val anchorVecs = anchorIds
+      .join(corpus.select(col(idCol).as("query_id"), col(vecCol).as("__v")),
+        Seq("query_id"))
+    val corpusCells = ivfAssign(corpus, idCol, vecCol, cs, nProbe = 1)
+      .select(col("__cid"), col("__id").as("neighbor_id"))
+    val queryCells = ivfAssign(anchorVecs, "query_id", "__v", cs, nProbe)
+      .select(col("__cid"), col("__id").as("query_id"))
+    // exact positive pairs are always candidates (the semi-hard bar must
+    // be exact even when a positive lands outside the probed cells)
+    val cellCands = queryCells.join(corpusCells, Seq("__cid"))
+      .select("query_id", "neighbor_id")
+    val posCands = positives.select(col("query_id"),
+      col("pos_id").as("neighbor_id"))
+    val cands = cellCands.union(posCands).distinct()
+    val qv = broadcast(anchorVecs.select(col("query_id"),
+      col("__v").as("__vq"), norm(col("__v")).as("__nq")))
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__vc"), norm(col(vecCol)).as("__nc"))
+    val scored = cands
+      .join(qv, Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
+      .withColumn("__sim",
+        dot(col("__vq"), col("__vc")) / (col("__nq") * col("__nc")))
+      .select("query_id", "neighbor_id", "__sim")
+    finishHardNegatives(scored, positives, k, semiHard, saltBuckets)
+  }
 }

@@ -406,6 +406,68 @@ object Drive {
         f"(want true) prunedVsAdcRecall=$adcRecall%.2f (nProbe 2/8)")
     }
 
+    // 15) r8: z-order layout — write z-ordered vs lexicographic, build
+    // range indexes on both, compare file pruning for a secondary-column
+    // box predicate; hard negatives — IVF(allProbe) == brute, semi-hard
+    // bar honored
+    {
+      val ev = spark.read.parquet(s"$sf/events.parquet")
+        .select("event_id", "user_id", "value")
+      val zdir = s"$work/layout_z"
+      val ldir = s"$work/layout_lex"
+      graft.operators.Layout.zorderBy(ev, Seq("user_id", "value"),
+        bits = 8, numFiles = 16).write.mode("overwrite").parquet(zdir)
+      ev.repartitionByRange(16, col("user_id"), col("value"))
+        .sortWithinPartitions("user_id", "value")
+        .write.mode("overwrite").parquet(ldir)
+      // per-file (min,max) of the SECONDARY column straight from the data
+      def filesHit(dir: String): (Long, Long) = {
+        val stats = spark.read.parquet(dir)
+          .groupBy(input_file_name().as("f"))
+          .agg(min("value").as("mn"), max("value").as("mx"))
+        val Array(lo, hi) = spark.read.parquet(dir)
+          .agg(min("value"), max("value")).collect()(0) match {
+          case r => Array(r.getDouble(0), r.getDouble(1))
+        }
+        val qLo = lo + (hi - lo) * 0.45
+        val qHi = lo + (hi - lo) * 0.55
+        (stats.where(col("mx") >= qLo && col("mn") <= qHi).count(),
+          stats.count())
+      }
+      val (zHit, zTot) = filesHit(zdir)
+      val (lHit, lTot) = filesHit(ldir)
+      val rows = spark.read.parquet(zdir).count()
+      println(s"[drive] 15-zorder rowsPreserved=${rows == ev.count()} " +
+        s"(want true) boxFilesHit z=$zHit/$zTot lex=$lHit/$lTot " +
+        s"(want z < lex; lex ~ all)")
+
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val positives = emb.where(col("vec_id") < 12)
+        .select(col("vec_id").as("query_id"),
+          (col("vec_id") + 30L).as("pos_id"))
+      def pairs(df: org.apache.spark.sql.DataFrame) =
+        df.select("query_id", "neg_id", "rank")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val brute = pairs(graft.operators.Similarity.hardNegatives(
+        emb, positives, "vec_id", "embedding", k = 7, semiHard = true))
+      val ivfAllCells = pairs(graft.operators.Similarity.hardNegativesIvf(
+        emb, positives, "vec_id", "embedding", k = 7, semiHard = true,
+        nCells = 8, nProbe = 8, trainIters = 1, saltBuckets = 4))
+      // semi-hard bar: every emitted sim strictly below nearest-positive sim
+      val withSim = graft.operators.Similarity.hardNegatives(
+        emb, positives, "vec_id", "embedding", k = 7, semiHard = true)
+      println(s"[drive] 15-hardneg ivfAllProbe==brute=${ivfAllCells == brute} " +
+        s"(want true) nPairs=${brute.size} " +
+        s"anchors=${brute.map(_._1).size}")
+      val noPos = positives.select(col("query_id"),
+        col("pos_id").as("neg_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val leaked = brute.map(t => (t._1, t._2)).intersect(noPos)
+      val selfHits = brute.count(t => t._1 == t._2)
+      println(s"[drive] 15-hardneg-exclusion posLeaked=${leaked.size} " +
+        s"selfHits=$selfHits (want 0 0)")
+    }
+
     spark.stop()
     println("[drive] done")
   }

@@ -1,0 +1,146 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+import graft.functions.ZValueExpr
+import graft.operators.Layout
+
+/** Z-order layout: the interleave arithmetic (codegen vs an independent
+  * per-bit reference), bucket edge cases, and the point of the whole
+  * exercise — a measured file-pruning differential against a
+  * lexicographic layout on the same data. */
+class LayoutSpec extends GraftSuite {
+  import spark.implicits._
+
+  /** Independent reference interleave: bit strings, not shifts. */
+  private def refZ(vals: Seq[Long], bits: Int): Long = {
+    val k = vals.size
+    var acc = 0L
+    for (i <- 0 until bits; j <- 0 until k) {
+      if (((vals(j) >> i) & 1L) == 1L) acc |= 1L << (i * k + (k - 1 - j))
+    }
+    acc
+  }
+
+  test("weave matches an independent per-bit reference (3 cols)") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 0 until 200) {
+      val bits = 1 + rnd.nextInt(20)
+      val vs = Seq.fill(3)(rnd.nextLong().abs % (1L << bits))
+      val got = vs.zipWithIndex.map { case (v, j) =>
+        ZValueExpr.weave(v, bits, 3, j)
+      }.reduce(_ | _)
+      assert(got == refZ(vs, bits))
+    }
+  }
+
+  test("zValue expression: codegen output equals driver reference") {
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (255L, 255L), (170L, 85L))
+      .toDF("a", "b")
+    val got = df.select(col("a"), col("b"),
+      Layout.zValue(Seq(col("a"), col("b")), 8).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    got.foreach { case (a, b, z) =>
+      assert(z == refZ(Seq(a, b), 8), s"($a,$b)")
+    }
+    // column 0 owns the high bit of each pair
+    assert(got.find(t => t._1 == 1L && t._2 == 0L).get._3 == 2L)
+    assert(got.find(t => t._1 == 0L && t._2 == 1L).get._3 == 1L)
+  }
+
+  test("zValue: null in, null out; non-null path unaffected") {
+    val df = Seq((Some(3L), 5L), (None, 5L)).toDF("a", "b")
+    val rows = df.select(Layout.zValue(Seq(col("a"), col("b")), 4).as("z"))
+      .collect()
+    assert(!rows(0).isNullAt(0) && rows(1).isNullAt(0))
+  }
+
+  test("zValue rejects bad inputs with clear errors") {
+    val df = Seq((1L, "x")).toDF("a", "s")
+    val e = intercept[Exception] {
+      df.select(Layout.zValue(Seq(col("a"), col("s")), 8)).collect()
+    }
+    assert(e.getMessage.contains("bigint"))
+    val e2 = intercept[Exception] {
+      df.select(Layout.zValue(Seq(col("a"), col("a")), 40)).collect()
+    }
+    assert(e2.getMessage.contains("63"))
+  }
+
+  test("fixedPointBucket: clamp, constant column, null passthrough") {
+    val df = Seq(Some(0.0), Some(50.0), Some(100.0), None).toDF("x")
+    val b = df.select(
+      Layout.fixedPointBucket(col("x"), 0.0, 100.0, 8).as("b")).collect()
+    assert(b(0).getLong(0) == 0L)
+    assert(b(1).getLong(0) == 128L)
+    assert(b(2).getLong(0) == 255L) // max clamps into range
+    assert(b(3).isNullAt(0))
+    val const = df.select(
+      Layout.fixedPointBucket(col("x"), 7.0, 7.0, 8).as("b")).collect()
+    assert(const(0).getLong(0) == 0L && const(3).isNullAt(0))
+  }
+
+  test("withZValue round-trips through a driver-side recompute") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val z = Layout.withZValue(ev, Seq("user_id", "value"), bits = 8)
+    val Array(mnU, mxU, mnV, mxV) = ev.agg(
+      min(col("user_id").cast("double")), max(col("user_id").cast("double")),
+      min(col("value")), max(col("value"))).collect()(0)
+      .toSeq.map(_.asInstanceOf[Double]).toArray
+    def bucket(x: Double, mn: Double, mx: Double): Long =
+      math.min(255L, math.max(0L,
+        math.floor((x - mn) / (mx - mn) * 256.0).toLong))
+    val rows = z.select("user_id", "value", "z_value").limit(500).collect()
+    rows.foreach { r =>
+      val want = refZ(Seq(bucket(r.getLong(0).toDouble, mnU, mxU),
+        bucket(r.getDouble(1), mnV, mxV)), 8)
+      assert(r.getLong(2) == want)
+    }
+  }
+
+  test("z-order layout prunes a secondary-column box; lexicographic cannot") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .select("event_id", "user_id", "value")
+    val nFiles = 16
+    val zDir = tmpDir("layout_z")
+    val lexDir = tmpDir("layout_lex")
+    Layout.zorderBy(ev, Seq("user_id", "value"), bits = 8, numFiles = nFiles)
+      .write.mode("overwrite").parquet(zDir)
+    ev.repartitionByRange(nFiles, col("user_id"))
+      .sortWithinPartitions("user_id")
+      .write.mode("overwrite").parquet(lexDir)
+
+    // per-file [min,max] of the SECONDARY column, from the data itself
+    def valueSpans(dir: String): Seq[(Double, Double)] =
+      spark.read.parquet(dir)
+        .select(col("value"), input_file_name().as("f"))
+        .groupBy("f").agg(min("value").as("mn"), max("value").as("mx"))
+        .collect().toSeq.map(r => (r.getDouble(1), r.getDouble(2)))
+
+    val Array(lo, hi) = ev.agg(min("value"), max("value")).collect()(0)
+      .toSeq.map(_.asInstanceOf[Double]).toArray
+    // a 10%-of-range box on `value` alone
+    val boxLo = lo + 0.45 * (hi - lo)
+    val boxHi = lo + 0.55 * (hi - lo)
+    def touched(spans: Seq[(Double, Double)]): Int =
+      spans.count { case (mn, mx) => mx >= boxLo && mn <= boxHi }
+
+    val zt = touched(valueSpans(zDir))
+    val lt = touched(valueSpans(lexDir))
+    // user_id-sorted files span ~the full value domain → near-zero
+    // pruning; z-ordered files are value-clustered too → most skipped
+    assert(lt >= nFiles * 3 / 4, s"lex layout unexpectedly pruned: $lt")
+    assert(zt <= nFiles / 2 && zt < lt,
+      s"z layout should skip most files for a 10% box, touched $zt/$nFiles" +
+        s" (lex touched $lt)")
+  }
+
+  test("zorderBy output schema drops the helper column") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val out = Layout.zorderBy(ev, Seq("user_id", "value"), bits = 8,
+      numFiles = 4)
+    assert(out.columns.toSeq == ev.columns.toSeq)
+    assert(out.count() == ev.count())
+  }
+}

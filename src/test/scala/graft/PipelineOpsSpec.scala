@@ -1837,4 +1837,105 @@ class PipelineOpsSpec extends GraftSuite {
       Sampling.mixCorpora(docs, "lang", "doc_id", tokCol, Map("xx" -> 1.0))
     }
   }
+
+  test("hardNegatives: exclusion, ranking vs driver reference, semi-hard bar") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    import spark.implicits._
+    val positives = (0L until 8L).map(q => (q, q + 20L))
+      .toDF("query_id", "pos_id")
+    val got = Similarity.hardNegatives(emb, positives, "vec_id", "embedding",
+      k = 5).collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+
+    // driver reference: all cosines per anchor, drop anchor+positives,
+    // sort by (cos desc, id), take 5
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val posMap = positives.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val want = posMap.keys.toSeq.sorted.flatMap { q =>
+      val excl = posMap(q) + q
+      vecs.toSeq.filterNot { case (id, _) => excl(id) }
+        .map { case (id, v) => (id, cos(vecs(q), v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).zipWithIndex
+        .map { case ((id, _), i) => (q, id, i + 1) }
+    }
+    assert(got.sortBy(t => (t._1, t._3)).toSeq == want)
+
+    // semi-hard: every kept negative scores strictly below the anchor's
+    // NEAREST positive, and the result is the top-k of that filtered set
+    val semi = Similarity.hardNegatives(emb, positives, "vec_id",
+      "embedding", k = 5, semiHard = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val wantSemi = posMap.keys.toSeq.sorted.flatMap { q =>
+      val excl = posMap(q) + q
+      val bar = posMap(q).map(p => cos(vecs(q), vecs(p))).min
+      vecs.toSeq.filterNot { case (id, _) => excl(id) }
+        .map { case (id, v) => (id, cos(vecs(q), v)) }
+        .filter(_._2 < bar)
+        .sortBy { case (id, c) => (-c, id) }.take(5).zipWithIndex
+        .map { case ((id, _), i) => (q, id, i + 1) }
+    }
+    assert(semi.sortBy(t => (t._1, t._3)).toSeq == wantSemi)
+
+    // salted ranking is a pure execution detail
+    assertSameRows(
+      Similarity.hardNegatives(emb, positives, "vec_id", "embedding", k = 5,
+        saltBuckets = 4),
+      Similarity.hardNegatives(emb, positives, "vec_id", "embedding", k = 5))
+  }
+
+  test("semi-hard bar is per-anchor, not mixed across anchors") {
+    // anchor 0's positive is NEAR (bar high); anchor 1's positive is on
+    // the opposite side (bar very low). If the bar join degenerates to
+    // neighbor==pos only (the shared-ExprId trap), anchor 0 inherits
+    // anchor 1's low bar and drops the mid-similarity negative.
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)), // anchor 0
+      (1L, Seq(-1.0f, 0.0f)), // anchor 1
+      (20L, Seq(0.9f, 0.1f)), // pos of 0: cos ~ 0.994
+      (21L, Seq(-1.0f, 0.1f)), // pos of 1
+      (30L, Seq(0.5f, 0.5f)), // neg: cos(0, 30) ~ 0.707 — under 0's bar
+      (31L, Seq(0.0f, 1.0f))) // neg: cos(0, 31) = 0
+      .toDF("vec_id", "embedding")
+    val positives = Seq((0L, 20L), (1L, 21L)).toDF("query_id", "pos_id")
+    val semi = Similarity.hardNegatives(vecs, positives, "vec_id",
+      "embedding", k = 10, semiHard = true).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(semi.contains((0L, 30L)),
+      "anchor 0 must keep the 0.707 negative under its own 0.994 bar")
+    assert(semi.contains((0L, 31L)) && semi.contains((0L, 21L)))
+  }
+
+  test("hardNegativesIvf: full-coverage probe == brute; pruned probe subsets") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    import spark.implicits._
+    val positives = (0L until 6L).map(q => (q, q + 30L))
+      .toDF("query_id", "pos_id")
+    val brute = Similarity.hardNegatives(emb, positives, "vec_id",
+      "embedding", k = 4, semiHard = true)
+    // nProbe == nCells: every cell probed -> candidates cover the corpus
+    val full = Similarity.hardNegativesIvf(emb, positives, "vec_id",
+      "embedding", k = 4, semiHard = true, nCells = 8, nProbe = 8)
+    assertSameRows(full, brute)
+    // pruned probe: a valid (query_id, neg_id) subset, ranks contiguous,
+    // exclusions still honored
+    val pruned = Similarity.hardNegativesIvf(emb, positives, "vec_id",
+      "embedding", k = 4, nCells = 8, nProbe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val posSet = positives.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pruned.foreach { case (q, n, _) =>
+      assert(q != n && !posSet((q, n)), s"excluded pair ($q,$n) leaked")
+    }
+    pruned.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
+    }
+  }
 }
