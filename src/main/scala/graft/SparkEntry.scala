@@ -1469,8 +1469,47 @@ object SparkEntry {
       Similarity.hardNegatives(lk.embeddings, positives, "vec_id",
         "embedding", k = 5, semiHard = true, saltBuckets = 4)
         .orderBy("query_id", "rank")
+    }),
+    // C4 cleaning signals (Raffel et al. 2019 §2.2) over synthesized
+    // multi-line pages: per-doc variance in sentence count (%4), lorem
+    // ipsum (%7), braces (%5); the cookie line and the bullet line are
+    // always line-dropped, so line accounting and the page gate both
+    // split non-trivially
+    "q_c4_signals" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      TextAnalysis.c4Signals(
+        lk.documents.select(col("doc_id"), c4SynthPage.as("page")),
+        "doc_id", "page").orderBy("doc_id")
+    }),
+    // the full C4 transform: failing pages dropped, surviving pages line-
+    // cleaned in place — the md5 of the cleaned text pins the rewrite
+    "q_c4_filter" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      TextAnalysis.c4Filter(
+        lk.documents.select(col("doc_id"), c4SynthPage.as("page")), "page")
+        .select(col("doc_id"), md5(col("page")).as("clean_hash"))
+        .orderBy("doc_id")
     })
   )
+
+  /** The synthesized C4 fixture page (Spark side; [[c4SynthPageSql]] is
+    * the DuckDB twin): corpus text as one long sentence, a bullet line
+    * and a cookie line that always line-drop, lorem/brace/extra-sentence
+    * variance keyed off doc_id. */
+  private def c4SynthPage: Column =
+    concat(col("text"), lit(".\n- item "), col("lang"),
+      lit("\nthis page uses cookies.\n"),
+      when(col("doc_id") % 7 === 0, lit("Lorem ipsum dolor sit amet."))
+        .otherwise(lit("A clean informative sentence.")),
+      lit("\n"),
+      when(col("doc_id") % 5 === 0, lit("function { return }"))
+        .otherwise(lit("Plain words only here.")),
+      when(col("doc_id") % 4 >= 1, lit("\nExtra sentence number one."))
+        .otherwise(lit("")),
+      when(col("doc_id") % 4 >= 2, lit("\nExtra sentence number two."))
+        .otherwise(lit("")),
+      when(col("doc_id") % 4 >= 3, lit("\nExtra sentence number three."))
+        .otherwise(lit("")))
 
   /** The DuckDB twin of [[graft.functions.ZValueExpr]] for k=2: every
     * output bit as one explicit shift term, OR-joined (disjoint bits). */
@@ -3111,6 +3150,78 @@ object SparkEntry {
                        ORDER BY s.cs DESC, s.neg_id) AS INT) AS rank
            FROM s JOIN bar ON bar.query_id = s.query_id
            WHERE s.cs < bar.b)
-         WHERE rank <= 5 ORDER BY query_id, rank"""
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    "q_c4_signals" ->
+      s"""WITH pg AS (SELECT doc_id, $c4SynthPageSql AS p FROM documents),
+         r AS (SELECT doc_id, p, string_split(p, chr(10)) AS ls FROM pg),
+         k AS (SELECT doc_id, p, ls,
+                 list_filter(ls, l -> $c4LineKeepSql) AS kept FROM r),
+         s AS (SELECT doc_id, p,
+                 len(ls)::BIGINT AS n_lines,
+                 len(kept)::BIGINT AS n_kept_lines,
+                 (CAST((length(array_to_string(kept, chr(10))) -
+                    length(replace(array_to_string(kept, chr(10)), '.', '')))
+                    / 1 AS BIGINT) +
+                  CAST((length(array_to_string(kept, chr(10))) -
+                    length(replace(array_to_string(kept, chr(10)), '!', '')))
+                    / 1 AS BIGINT) +
+                  CAST((length(array_to_string(kept, chr(10))) -
+                    length(replace(array_to_string(kept, chr(10)), '?', '')))
+                    / 1 AS BIGINT)) AS n_sentences,
+                 contains(lower(p), 'lorem ipsum') AS has_lorem,
+                 contains(p, '{') AS has_brace
+               FROM k)
+         SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem,
+                has_brace,
+                (n_sentences >= 5 AND NOT has_lorem AND NOT has_brace)
+                  AS passes
+         FROM s ORDER BY doc_id""",
+    "q_c4_filter" ->
+      s"""WITH pg AS (SELECT doc_id, $c4SynthPageSql AS p FROM documents),
+         k AS (SELECT doc_id, p,
+                 array_to_string(list_filter(string_split(p, chr(10)),
+                   l -> $c4LineKeepSql), chr(10)) AS cleaned
+               FROM pg),
+         s AS (SELECT doc_id, cleaned,
+                 (CAST((length(cleaned) - length(replace(cleaned, '.', '')))
+                    / 1 AS BIGINT) +
+                  CAST((length(cleaned) - length(replace(cleaned, '!', '')))
+                    / 1 AS BIGINT) +
+                  CAST((length(cleaned) - length(replace(cleaned, '?', '')))
+                    / 1 AS BIGINT)) AS n_sentences,
+                 contains(lower(p), 'lorem ipsum') AS has_lorem,
+                 contains(p, '{') AS has_brace
+               FROM k)
+         SELECT doc_id, md5(cleaned) AS clean_hash FROM s
+         WHERE n_sentences >= 5 AND NOT has_lorem AND NOT has_brace
+         ORDER BY doc_id"""
   )
+
+  /** DuckDB twin of [[c4SynthPage]]. */
+  private def c4SynthPageSql: String =
+    """text || '.' || chr(10) || '- item ' || lang || chr(10) ||
+       'this page uses cookies.' || chr(10) ||
+       CASE WHEN doc_id % 7 = 0 THEN 'Lorem ipsum dolor sit amet.'
+            ELSE 'A clean informative sentence.' END || chr(10) ||
+       CASE WHEN doc_id % 5 = 0 THEN 'function { return }'
+            ELSE 'Plain words only here.' END ||
+       CASE WHEN doc_id % 4 >= 1 THEN chr(10) || 'Extra sentence number one.'
+            ELSE '' END ||
+       CASE WHEN doc_id % 4 >= 2 THEN chr(10) || 'Extra sentence number two.'
+            ELSE '' END ||
+       CASE WHEN doc_id % 4 >= 3 THEN chr(10) || 'Extra sentence number three.'
+            ELSE '' END"""
+
+  /** DuckDB twin of the C4 line-keep predicate (default rules), over a
+    * lambda-bound line `l`. */
+  private def c4LineKeepSql: String =
+    """substr(rtrim(l), -1, 1) IN ('.', '!', '?', '"') AND
+       len(list_filter(string_split(l, ' '), w -> w != '')) >= 3 AND
+       NOT contains(lower(l), 'javascript') AND
+       NOT contains(lower(l), 'terms of use') AND
+       NOT contains(lower(l), 'privacy policy') AND
+       NOT contains(lower(l), 'cookie policy') AND
+       NOT contains(lower(l), 'uses cookies') AND
+       NOT contains(lower(l), 'use of cookies') AND
+       NOT contains(lower(l), 'use cookies')"""
 }

@@ -99,6 +99,23 @@ object GraftFunctions {
         "A1.1 default thresholds): true iff every rule passes",
       args => { checkArity("graft_gopher_passes", args, 1)
         ex(TextAnalysis.gopherPasses(c(args(0)))) }),
+    ("graft_c4_passes",
+      "_FUNC_(text) - composite C4 page gate (Raffel et al. 2019 §2.2 " +
+        "default thresholds): true iff the cleaned page passes",
+      args => { checkArity("graft_c4_passes", args, 1)
+        ex(TextAnalysis.c4Passes(c(args(0)))) }),
+    ("graft_c4_clean",
+      "_FUNC_(text) - C4 line cleaning: keep lines with terminal " +
+        "punctuation, >=3 words, no policy/javascript phrases",
+      args => { checkArity("graft_c4_clean", args, 1)
+        ex(TextAnalysis.c4CleanText(c(args(0)))) }),
+    ("graft_zvalue",
+      "_FUNC_(bucket0, bucket1, ..., bits) - Morton bit-interleave of " +
+        "pre-bucketed bigint values (bits per value as INTEGER literal)",
+      args => { require(args.length >= 2,
+          s"graft_zvalue expects >= 2 arguments, got ${args.length}")
+        graft.functions.ZValueExpr(args.init,
+          intLit("graft_zvalue", "bits", args.last)) }),
     ("graft_strip_html",
       "_FUNC_(html) - scripts/styles/comments/tags stripped, entities decoded",
       args => { checkArity("graft_strip_html", args, 1)

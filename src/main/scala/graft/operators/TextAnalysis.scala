@@ -265,6 +265,111 @@ object TextAnalysis {
       rules: GopherRules = GopherRules()): DataFrame =
     df.where(gopherPasses(col(textCol), rules))
 
+  /** Line-removal phrases of the C4 cleaning pass (Raffel et al. 2019
+    * §2.2): any line containing one of these (case-insensitive) is
+    * dropped — cookie/policy boilerplate plus the paper's "javascript"
+    * rule for script-warning remnants. */
+  val C4LinePhrases: Seq[String] = Seq(
+    "javascript", "terms of use", "privacy policy", "cookie policy",
+    "uses cookies", "use of cookies", "use cookies")
+
+  /** Thresholds/knobs for [[c4Signals]] / [[c4Filter]]. Defaults follow
+    * the published C4 cleaning heuristics (Raffel et al. 2019 §2.2);
+    * `badWords` defaults empty — the paper's blocklist is an external
+    * artifact, supplied per deployment. */
+  final case class C4Rules(
+      minLineWords: Int = 3,
+      minSentences: Long = 5L,
+      requireTerminalPunct: Boolean = true,
+      linePhrases: Seq[String] = C4LinePhrases,
+      badWords: Seq[String] = Seq.empty,
+      maxChars: Long = 0L) // 0 = no bound
+
+  /** The C4 line-keep predicate for one line: ends in terminal
+    * punctuation (`.` `!` `?` `"`), has at least `minLineWords`
+    * whitespace words, and contains none of the removal phrases. Pure
+    * string arithmetic on the line — replicable verbatim in ANSI/DuckDB
+    * SQL (substring/endswith/contains only, no regex). */
+  private def c4LineKeep(l: Column, r: C4Rules): Column = {
+    val t = rtrim(l)
+    val punctOk =
+      if (!r.requireTerminalPunct) lit(true)
+      else substring(t, -1, 1).isin(".", "!", "?", "\"")
+    val wordsOk = size(filter(split(l, " "), w => w =!= "")) >=
+      lit(r.minLineWords)
+    val phraseOk = r.linePhrases.map(p => !contains(lower(l), lit(p)))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    punctOk && wordsOk && phraseOk
+  }
+
+  /** The C4 line-cleaning pass as a pure column: keep only lines passing
+    * [[c4LineKeep]], re-joined with newlines (the SQL surface's
+    * `graft_c4_clean`). A document with no surviving line becomes the
+    * empty string. */
+  def c4CleanText(t: Column, rules: C4Rules = C4Rules()): Column =
+    array_join(filter(split(t, "\n"), l => c4LineKeep(l, rules)), "\n")
+
+  /** Sentence-count approximation over cleaned text: occurrences of the
+    * three terminal marks (non-overlapping replace-and-diff). The paper
+    * uses a sentence splitter; terminal-mark counting is the
+    * engine-replicable stand-in and is what the thresholds here mean. */
+  private def c4SentenceCount(cleaned: Column): Column = {
+    def occ(s: String): Column =
+      ((length(cleaned) - length(replace(cleaned, lit(s), lit("")))) /
+        s.length).cast("long")
+    occ(".") + occ("!") + occ("?")
+  }
+
+  /** The C4 page-level pass/fail predicate: at least `minSentences`
+    * sentences AFTER line cleaning, no "lorem ipsum", no curly brace
+    * (code remnant), no blocklist word among the lowercased whitespace
+    * tokens, and (when `maxChars` > 0) a length bound. A pure boolean
+    * over the text column — [[c4Filter]] is a pushdown-friendly filter
+    * with no join (also the SQL surface's `graft_c4_passes`). */
+  def c4Passes(t: Column, r: C4Rules = C4Rules()): Column = {
+    val cleaned = c4CleanText(t, r)
+    val badOk = r.badWords.map(w =>
+      !exists(tokens(t), tok => tok === lit(w.toLowerCase)))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val lenOk = if (r.maxChars <= 0) lit(true) else length(t) <= lit(r.maxChars)
+    c4SentenceCount(cleaned) >= lit(r.minSentences) &&
+      !contains(lower(t), lit("lorem ipsum")) &&
+      !contains(t, lit("{")) && badOk && lenOk
+  }
+
+  /** C4-style cleaning signals (Raffel et al. 2019 §2.2): one row per
+    * document with line accounting (total vs kept), the post-clean
+    * sentence count, the page-level flags, and the composite `passes`
+    * verdict. Shuffle-free per-row arithmetic — a 100 TB corpus pays one
+    * scan, every expression replicable in the DuckDB oracle. */
+  def c4Signals(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      rules: C4Rules = C4Rules()): DataFrame = {
+    val t = col(textCol)
+    val lines = split(t, "\n")
+    val kept = filter(lines, l => c4LineKeep(l, rules))
+    df.select(col(idCol),
+      size(lines).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept_lines"),
+      c4SentenceCount(array_join(kept, "\n")).as("n_sentences"),
+      contains(lower(t), lit("lorem ipsum")).as("has_lorem"),
+      contains(t, lit("{")).as("has_brace"),
+      c4Passes(t, rules).as("passes"))
+  }
+
+  /** The full C4 document transform: drop failing pages, REPLACE the text
+    * column with its line-cleaned form (the paper removes lines and
+    * filters pages in one pass). Filter-then-rewrite, so the page gate
+    * still pushes down to the scan. */
+  def c4Filter(
+      df: DataFrame,
+      textCol: String,
+      rules: C4Rules = C4Rules()): DataFrame =
+    df.where(c4Passes(col(textCol), rules))
+      .withColumn(textCol, c4CleanText(col(textCol), rules))
+
   /** URL occurrences in free text, one row per (id, url). The pattern is
     * deliberately lookaround-free and backreference-free so java.util.regex
     * and RE2-family engines (DuckDB, Go, Trino) match identically — the

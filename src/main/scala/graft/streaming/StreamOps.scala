@@ -197,6 +197,20 @@ object StreamOps {
     stream.where(
       graft.operators.TextAnalysis.gopherPasses(col(textCol), rules))
 
+  /** Stateless streaming twin of
+    * [[graft.operators.TextAnalysis.c4Filter]] — the C4 page gate plus
+    * in-place line cleaning, per-row arithmetic only, so it composes
+    * into any streaming ingest with no state store or watermark. */
+  def c4Filter(
+      stream: DataFrame,
+      textCol: String,
+      rules: graft.operators.TextAnalysis.C4Rules =
+        graft.operators.TextAnalysis.C4Rules()): DataFrame =
+    stream
+      .where(graft.operators.TextAnalysis.c4Passes(col(textCol), rules))
+      .withColumn(textCol,
+        graft.operators.TextAnalysis.c4CleanText(col(textCol), rules))
+
   /** Per-micro-batch point-in-time enrichment: each batch of probe rows is
     * as-of joined against a temporal [[graft.Index]] (files pruned by the
     * batch's keys) and handed to `sink`. Stream-static as-of is not

@@ -1838,6 +1838,64 @@ class PipelineOpsSpec extends GraftSuite {
     }
   }
 
+  test("c4Signals: hand-computed line accounting and page verdicts") {
+    import spark.implicits._
+    // line keep: terminal punct + >=3 words + no phrase; page: >=5
+    // sentences after cleaning, no lorem/brace/badword
+    val mixed = "This line ends well.\nshort.\nno terminal punct here\n" +
+      "Another proper sentence here!\nWe use cookies always."
+    val passing = (1 to 6).map(i => s"Proper sentence number $i.")
+      .mkString("\n")
+    val lorem = passing + "\nAbout Lorem Ipsum text origins."
+    val braced = passing + "\nvar x = { y: 1 };"
+    val df = Seq((1L, mixed), (2L, passing), (3L, lorem), (4L, braced))
+      .toDF("id", "t")
+    val s = TextAnalysis.c4Signals(df, "id", "t").collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    val r1 = s(1L)
+    assert(r1.getAs[Long]("n_lines") == 5L)
+    assert(r1.getAs[Long]("n_kept_lines") == 2L,
+      "1-word, punct-less and cookie lines must drop")
+    assert(r1.getAs[Long]("n_sentences") == 2L)
+    assert(!r1.getAs[Boolean]("passes"), "2 sentences must fail min 5")
+    assert(s(2L).getAs[Boolean]("passes"))
+    assert(s(3L).getAs[Boolean]("has_lorem") && !s(3L).getAs[Boolean]("passes"))
+    assert(s(4L).getAs[Boolean]("has_brace") && !s(4L).getAs[Boolean]("passes"))
+    // the cleaned text itself, exactly
+    val cleaned = df.where(col("id") === 1L)
+      .select(TextAnalysis.c4CleanText(col("t")).as("c"))
+      .collect().head.getString(0)
+    assert(cleaned ==
+      "This line ends well.\nAnother proper sentence here!")
+    // badWords gate is token-exact on the lowercased split
+    val bad = TextAnalysis.C4Rules(minSentences = 1L,
+      badWords = Seq("slur"))
+    val verdicts = Seq((1L, "Contains the Slur word here."),
+      (2L, "Contains slurry but not the word."))
+      .toDF("id", "t")
+      .select(col("id"), TextAnalysis.c4Passes(col("t"), bad).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(!verdicts(1L) && verdicts(2L),
+      "badWords must match whole tokens, not substrings")
+  }
+
+  test("c4Filter ≡ signals' passes + in-place cleaning; shuffle-free plan") {
+    val synth = docs.select(col("doc_id"),
+      concat(col("text"), lit(".\nWe use cookies here.\n"),
+        lit("Extra one. Extra two. Extra three. Extra four.")).as("page"))
+    val filtered = TextAnalysis.c4Filter(synth, "page")
+    val want = TextAnalysis.c4Signals(synth, "doc_id", "page")
+      .where(col("passes")).select("doc_id")
+    assertSameRows(filtered.select("doc_id"), want)
+    // the surviving text is the line-cleaned form
+    val direct = synth.select(col("doc_id"),
+      TextAnalysis.c4CleanText(col("page")).as("page"))
+    assertSameRows(filtered,
+      direct.join(want, Seq("doc_id")))
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"c4Filter must not shuffle:\n$plan")
+  }
+
   test("hardNegatives: exclusion, ranking vs driver reference, semi-hard bar") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     import spark.implicits._

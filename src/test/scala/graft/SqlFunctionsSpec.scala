@@ -34,7 +34,10 @@ class SqlFunctionsSpec extends GraftSuite {
            graft_simhash64(text) AS sh,
            graft_minhash_sigs(text, 8) AS mh,
            graft_window_hashes(text, 5) AS wh,
-           graft_gopher_passes(text) AS gopher
+           graft_gopher_passes(text) AS gopher,
+           graft_c4_passes(text) AS c4,
+           graft_c4_clean(text) AS c4_clean,
+           graft_zvalue(doc_id % 16, doc_id % 11, 4) AS zv
          FROM sqlfn_docs""")
     val viaApi = docs.select(col("doc_id"),
       TextAnalysis.langId(col("text")).as("lang_id"),
@@ -49,7 +52,11 @@ class SqlFunctionsSpec extends GraftSuite {
       graft.functions.VectorOps.simhash64(Dedup.tokenSet(col("text"))).as("sh"),
       graft.functions.VectorOps.minhashSignature(Dedup.tokenSet(col("text")), 8).as("mh"),
       Dedup.windowHashes(col("text"), 5, distinctWithinDoc = true).as("wh"),
-      TextAnalysis.gopherPasses(col("text")).as("gopher"))
+      TextAnalysis.gopherPasses(col("text")).as("gopher"),
+      TextAnalysis.c4Passes(col("text")).as("c4"),
+      TextAnalysis.c4CleanText(col("text")).as("c4_clean"),
+      graft.operators.Layout.zValue(
+        Seq(col("doc_id") % 16, col("doc_id") % 11), 4).as("zv"))
     assertSameRows(viaSql, viaApi)
   }
 

@@ -278,4 +278,39 @@ class StreamOpsSpec extends GraftSuite {
       "rules must actually split the corpus")
     assert(kept.toSet == want)
   }
+
+  test("c4Filter: stream == batch gate + cleaning across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = Lake.get(spark, sf).documents
+      .select(col("doc_id"), concat(col("text"), lit(".\nshort\n"),
+        lit("One more. And two. Also three."),
+        when(col("doc_id") % 2 === 0, lit("\nThen four. And five."))
+          .otherwise(lit(""))).as("text"))
+      .as[(Long, String)].collect().toSeq
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val kept = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = StreamOps.c4Filter(stream, "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        kept.synchronized {
+          kept ++= b.select("doc_id", "text").collect()
+            .map(r => (r.getLong(0), r.getString(1))) }
+        ()
+      }
+      .option("checkpointLocation", tmpDir("graft_c4_ckpt_")).start()
+    try {
+      val (b1, b2) = docs.splitAt(docs.size / 2)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val want = graft.operators.TextAnalysis.c4Filter(
+        docs.toDF("doc_id", "text"), "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(want.nonEmpty && want.size < docs.size,
+      "the gate must actually split the stream")
+    assert(kept.toSet == want,
+      "stream must equal batch including the cleaned text")
+  }
 }
