@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.harness.Lake
-import graft.operators.{AsOfJoin, Dedup, IntervalJoin, Multimodal, Profile, Rolling, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Dsir, IntervalJoin, Multimodal, Profile, Rolling, Sampling, Similarity, TextAnalysis}
 
 /** Driver contract — one `queries` entry (+ DuckDB oracle SQL) per operator.
   *
@@ -1489,6 +1489,33 @@ object SparkEntry {
         lk.documents.select(col("doc_id"), c4SynthPage.as("page")), "page")
         .select(col("doc_id"), md5(col("page")).as("clean_hash"))
         .orderBy("doc_id")
+    }),
+    // DSIR importance scoring (Xie et al. 2023): hashed-unigram bag
+    // models on target (en docs) vs raw (all docs), per-doc log ratio;
+    // scored off the RELOADED artifact so the manifest round-trip is
+    // part of the oracle
+    "q_dsir_score" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val model = Dsir.train(lk.documents.where(col("lang") === "en"),
+        lk.documents, "text", buckets = 512, alpha = 1.0)
+      val path = s"${lk.work}/artifacts/dsir_model.json"
+      graft.store.Artifacts.saveDsirModel(s, path, model)
+      val loaded = graft.store.Artifacts.loadDsirModel(s, path,
+        expectFingerprint = Some(graft.store.Artifacts.fingerprintOf(model)))
+      Dsir.score(lk.documents, "text", loaded)
+        .select(col("doc_id"), col("lang"),
+          round(col("dsir_score"), 6).as("dsir_score"))
+        .orderBy("doc_id")
+    }),
+    // the Gumbel-top-k selection step on the same model: deterministic
+    // hash-derived Gumbel noise, top 150 by (score + noise)
+    "q_dsir_select" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val model = Dsir.train(lk.documents.where(col("lang") === "en"),
+        lk.documents, "text", buckets = 512, alpha = 1.0)
+      Dsir.resample(lk.documents, "doc_id", "text", model, k = 150,
+        seed = 7L)
+        .select("doc_id", "lang").orderBy("doc_id")
     })
   )
 
@@ -3194,8 +3221,49 @@ object SparkEntry {
                FROM k)
          SELECT doc_id, md5(cleaned) AS clean_hash FROM s
          WHERE n_sentences >= 5 AND NOT has_lorem AND NOT has_brace
+         ORDER BY doc_id""",
+    "q_dsir_score" ->
+      s"""$dsirScoreCte
+         SELECT d.doc_id, d.lang, round(COALESCE(sc.s, 0.0), 6) AS dsir_score
+         FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
+    "q_dsir_select" ->
+      s"""$dsirScoreCte,
+         g AS (SELECT d.doc_id, d.lang,
+                 COALESCE(sc.s, 0.0) -
+                 ln(-ln((CAST(concat('0x', substring(
+                      md5('7#' || CAST(d.doc_id AS VARCHAR)), 1, 8))
+                      AS BIGINT) + 1) / 4294967297.0)) AS gk
+               FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)
+         SELECT doc_id, lang FROM
+           (SELECT doc_id, lang FROM g ORDER BY gk DESC, doc_id LIMIT 150)
          ORDER BY doc_id"""
   )
+
+  /** Shared DuckDB CTE chain replaying Dsir.train(buckets=512, alpha=1)
+    * on target = en documents vs raw = all documents, ending in `sc` =
+    * per-doc log importance ratio sums: md5 token buckets, Laplace
+    * bucket probabilities, per-token-occurrence log-ratio sum. */
+  private def dsirScoreCte: String =
+    """WITH tok AS (SELECT doc_id, lang,
+             unnest(list_filter(string_split(lower(text), ' '),
+               w -> w != '')) AS t
+           FROM documents),
+       b AS (SELECT doc_id, lang,
+               CAST(concat('0x', substring(md5(t), 1, 8)) AS BIGINT) % 512
+                 AS bk
+             FROM tok),
+       tc AS (SELECT bk, count(*)::DOUBLE c FROM b WHERE lang = 'en'
+              GROUP BY bk),
+       rc AS (SELECT bk, count(*)::DOUBLE c FROM b GROUP BY bk),
+       tn AS (SELECT sum(c) n FROM tc),
+       rn AS (SELECT sum(c) n FROM rc),
+       lr AS (SELECT rc.bk,
+                ln((COALESCE(tc.c, 0) + 1.0) / (tn.n + 512.0)) -
+                ln((rc.c + 1.0) / (rn.n + 512.0)) AS r
+              FROM rc LEFT JOIN tc ON tc.bk = rc.bk, tn, rn),
+       sc AS (SELECT b.doc_id, sum(lr.r) AS s
+              FROM b JOIN lr ON lr.bk = b.bk GROUP BY b.doc_id)"""
 
   /** DuckDB twin of [[c4SynthPage]]. */
   private def c4SynthPageSql: String =

@@ -193,6 +193,13 @@ object GraftFunctions {
           strLit("graft_bpe_count", "artifactPath", args(1)))
         ex(graft.functions.Bpe.segmentCount(
           spark.sparkContext.broadcast(vocab))(c(args(0)))) }),
+    ("graft_dsir_score",
+      "_FUNC_(text, artifactPath) - DSIR log importance ratio off a " +
+        "persisted dsir_model artifact (hashed-unigram buckets)",
+      args => { checkArity("graft_dsir_score", args, 2)
+        val model = graft.store.Artifacts.loadDsirModel(SparkSession.active,
+          strLit("graft_dsir_score", "artifactPath", args(1)))
+        ex(graft.operators.Dsir.scoreCol(c(args(0)), model)) }),
     ("graft_text_score",
       "_FUNC_(text, artifactPath) - linear text-model score off persisted " +
         "weights",

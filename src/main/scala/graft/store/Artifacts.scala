@@ -40,6 +40,7 @@ object Artifacts {
   val UnigramLmKind = "unigram_lm"
   val BigramLmKind = "bigram_lm"
   val PqCodebookKind = "pq_codebook"
+  val DsirModelKind = "dsir_model"
   val CurrentFormatVersion = 1
   /** Centroids moved to v2 when the fingerprint grew to cover `nAssigned`
     * (r7 advisor: a corrupted counts array must fail the corruption check
@@ -72,6 +73,10 @@ object Artifacts {
   private case class PqCodebookManifest(
       kind: String, formatVersion: Int, fingerprint: String,
       dim: Int, m: Int, k: Int, centroids: List[List[List[Float]]])
+
+  private case class DsirModelManifest(
+      kind: String, formatVersion: Int, fingerprint: String,
+      buckets: Int, alpha: Double, logRatios: List[Double])
 
   private def md5(s: String): String = {
     val d = java.security.MessageDigest.getInstance("MD5")
@@ -124,6 +129,14 @@ object Artifacts {
       cb.centroids.map(_.map(
         _.map(f => java.lang.Float.floatToIntBits(f).toString)
           .mkString(",")).mkString("\u0000")).mkString("\u0001"))
+
+  /** DSIR model fingerprint: shape, smoothing, and every log-ratio's
+    * double bits. */
+  def fingerprintOf(model: graft.operators.Dsir.DsirModel): String =
+    md5(s"${model.buckets}" + "\u0001" +
+      java.lang.Double.doubleToLongBits(model.alpha) + "\u0001" +
+      model.logRatios.map(r =>
+        java.lang.Double.doubleToLongBits(r).toString).mkString("\u0000"))
 
   private def readManifest[T: Manifest](
       spark: SparkSession, path: String, expectedKind: String,
@@ -314,6 +327,32 @@ object Artifacts {
     cb
   }
 
+  // ---- DSIR importance model -----------------------------------------------
+
+  /** Save a DSIR importance model ([[graft.operators.Dsir.train]]). */
+  def saveDsirModel(
+      spark: SparkSession, path: String,
+      model: graft.operators.Dsir.DsirModel): Unit =
+    Fs.writeStringAtomic(spark, path, Serialization.writePretty(
+      DsirModelManifest(DsirModelKind, CurrentFormatVersion,
+        fingerprintOf(model), model.buckets, model.alpha,
+        model.logRatios.toList)))
+
+  def loadDsirModel(
+      spark: SparkSession, path: String,
+      expectFingerprint: Option[String] = None): graft.operators.Dsir.DsirModel = {
+    val mf = readManifest[DsirModelManifest](spark, path, DsirModelKind)
+    if (mf.logRatios.length != mf.buckets)
+      throw new ArtifactFormatException(
+        s"artifact at $path: ${mf.logRatios.length} log ratios vs " +
+          s"declared buckets=${mf.buckets}")
+    val model = graft.operators.Dsir.DsirModel(
+      mf.buckets, mf.alpha, mf.logRatios.toArray)
+    checkFingerprint(path, mf.fingerprint, fingerprintOf(model),
+      expectFingerprint)
+    model
+  }
+
   // ---- directory -----------------------------------------------------------
 
   /** One artifact's catalog entry — envelope fields plus a kind-aware
@@ -346,6 +385,9 @@ object Artifacts {
         s"m=${(json \ "m").extractOpt[Int].getOrElse(-1)} " +
           s"k=${(json \ "k").extractOpt[Int].getOrElse(-1)} dim=" +
           (json \ "dim").extractOpt[Int].getOrElse(-1)
+      case DsirModelKind =>
+        s"${(json \ "buckets").extractOpt[Int].getOrElse(-1)} buckets, " +
+          "alpha=" + (json \ "alpha").extractOpt[Double].getOrElse(Double.NaN)
       case _ => ""
     }
   }

@@ -266,4 +266,41 @@ class ArtifactsSpec extends GraftSuite {
     }
     assert(e2.getMessage.contains("pq_codebook"))
   }
+
+  test("DsirModel round-trips exactly; shape and corruption guards") {
+    val dir = tmpDir("graft_art_")
+    val model = graft.operators.Dsir.DsirModel(8, 0.5,
+      Array.tabulate(8)(i => i * 0.25 - 1.0))
+    val path = s"$dir/dsir.json"
+    Artifacts.saveDsirModel(spark, path, model)
+    val fp = Artifacts.fingerprintOf(model)
+    val loaded = Artifacts.loadDsirModel(spark, path, Some(fp))
+    assert(loaded.buckets == 8 && loaded.alpha == 0.5)
+    assert(loaded.logRatios.toSeq == model.logRatios.toSeq)
+    assert(Artifacts.fingerprintOf(loaded) == fp)
+    val info = Artifacts.describe(spark, path)
+    assert(info.kind == Artifacts.DsirModelKind &&
+      info.summary == "8 buckets, alpha=0.5")
+    // a tampered log ratio fails the corruption check
+    val raw = Fs.readString(spark, path)
+    val drifted = raw.replace("-0.75", "-0.7")
+    assert(drifted != raw, "value tamper must hit the manifest")
+    Fs.writeStringAtomic(spark, s"$dir/dsir_bad.json", drifted)
+    val e = intercept[graft.ArtifactFormatException] {
+      Artifacts.loadDsirModel(spark, s"$dir/dsir_bad.json")
+    }
+    assert(e.getMessage.contains("corrupt"))
+    // declared buckets must match the table length
+    val shapeBad = raw.replace("\"buckets\" : 8", "\"buckets\" : 9")
+    Fs.writeStringAtomic(spark, s"$dir/dsir_shape.json", shapeBad)
+    val e2 = intercept[graft.ArtifactFormatException] {
+      Artifacts.loadDsirModel(spark, s"$dir/dsir_shape.json")
+    }
+    assert(e2.getMessage.contains("buckets"))
+    // wrong kind fails loudly
+    val e3 = intercept[graft.ArtifactFormatException] {
+      Artifacts.loadPqCodebook(spark, path)
+    }
+    assert(e3.getMessage.contains("expected 'pq_codebook'"))
+  }
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.harness.Lake
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Dsir, Multimodal, Sampling, Similarity, TextAnalysis}
 
 /** LLM-data-pipeline operators: dedup families, similarity search, text
   * analysis, multimodal plumbing — each against an exact Spark oracle. */
@@ -1836,6 +1836,69 @@ class PipelineOpsSpec extends GraftSuite {
     intercept[IllegalArgumentException] {
       Sampling.mixCorpora(docs, "lang", "doc_id", tokCol, Map("xx" -> 1.0))
     }
+  }
+
+  test("Dsir: training and scoring match a driver replay; shuffle-free scan") {
+    val model = Dsir.train(docs.where(col("lang") === "en"), docs, "text",
+      buckets = 256, alpha = 1.0)
+    // independent driver replay of featurization + training
+    def bucket(t: String): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(t.getBytes("UTF-8")).map("%02x".format(_))
+        .mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) % 256).toInt
+    }
+    val toks = docs.select("doc_id", "lang", "text").collect().map(r =>
+      (r.getLong(0), r.getString(1),
+        r.getString(2).toLowerCase.split(" ").filter(_.nonEmpty)))
+    val tc = new Array[Long](256); val rc = new Array[Long](256)
+    toks.foreach { case (_, lang, ts) => ts.foreach { t =>
+      val b = bucket(t); rc(b) += 1; if (lang == "en") tc(b) += 1 } }
+    val tn = tc.sum.toDouble; val rn = rc.sum.toDouble
+    val want = Array.tabulate(256)(b =>
+      math.log((tc(b) + 1.0) / (tn + 256.0)) -
+        math.log((rc(b) + 1.0) / (rn + 256.0)))
+    assert(model.logRatios.zip(want).forall {
+      case (a, b) => math.abs(a - b) < 1e-12 })
+    // per-doc score: the same sequential left-fold the HOF walk does
+    val got = Dsir.score(docs, "text", model)
+      .select("doc_id", "dsir_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    toks.foreach { case (id, _, ts) =>
+      val w = ts.foldLeft(0.0)((acc, t) => acc + model.logRatios(bucket(t)))
+      assert(math.abs(got(id) - w) < 1e-9, s"doc $id: ${got(id)} vs $w")
+    }
+    // the selection semantics: target-language docs score higher on average
+    val byLang = toks.groupBy(_._2).view
+      .mapValues(xs => xs.map(x => got(x._1)).sum / xs.size).toMap
+    assert(byLang("en") > byLang.filterNot(_._1 == "en").values.max,
+      s"en mean must dominate: $byLang")
+    // scoring is one scan: no exchange in the plan
+    val plan = Dsir.score(docs, "text", model)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
+  }
+
+  test("Dsir.resample: Gumbel top-k matches driver replay; stable") {
+    val model = Dsir.train(docs.where(col("lang") === "en"), docs, "text",
+      buckets = 256, alpha = 1.0)
+    val sel = Dsir.resample(docs, "doc_id", "text", model, k = 40, seed = 3L)
+    val got = sel.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got.size == 40)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val scores = Dsir.score(docs, "text", model)
+      .select("doc_id", "dsir_score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+    val want = scores.map { case (id, s) =>
+      val u = (java.lang.Long.parseLong(md5hex(s"3#$id").take(8), 16) + 1L)
+        .toDouble / 4294967297.0
+      id -> (s - math.log(-math.log(u)))
+    }.sortBy { case (id, k) => (-k, id) }.take(40).map(_._1).toSet
+    assert(got == want)
+    assertSameRows(sel,
+      Dsir.resample(docs.repartition(13), "doc_id", "text", model, 40, 3L))
   }
 
   test("c4Signals: hand-computed line accounting and page verdicts") {

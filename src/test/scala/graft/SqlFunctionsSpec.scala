@@ -104,13 +104,17 @@ class SqlFunctionsSpec extends GraftSuite {
     val model = new graft.functions.LinearTextModel(
       Array("fast", "slow", "the"), Array(0.8, -1.2, -0.1), 0.2, false)
     graft.store.Artifacts.saveTextModel(spark, s"$dir/model.json", model)
+    val dsir = graft.operators.Dsir.train(
+      docs.where(col("lang") === "en"), docs, "text", buckets = 128)
+    graft.store.Artifacts.saveDsirModel(spark, s"$dir/dsir.json", dsir)
 
     val viaSql = docs.sparkSession.sql(
       s"""SELECT doc_id,
             round(graft_perplexity(text, '$dir/uni.json'), 6) AS ppl,
             round(graft_bigram_perplexity(text, '$dir/bi.json'), 6) AS bppl,
             graft_bpe_count(text, '$dir/vocab.json') AS nbpe,
-            round(graft_text_score(text, '$dir/model.json'), 6) AS score
+            round(graft_text_score(text, '$dir/model.json'), 6) AS score,
+            round(graft_dsir_score(text, '$dir/dsir.json'), 6) AS dsir
           FROM sqlfn_docs""")
     val bcLm = spark.sparkContext.broadcast(lm)
     val bcBlm = spark.sparkContext.broadcast(blm)
@@ -120,7 +124,8 @@ class SqlFunctionsSpec extends GraftSuite {
       round(graft.functions.NgramLm.perplexity(bcLm)(col("text")), 6).as("ppl"),
       round(graft.functions.NgramLm.bigramPerplexity(bcBlm)(col("text")), 6).as("bppl"),
       graft.functions.Bpe.segmentCount(bcV)(col("text")).as("nbpe"),
-      round(graft.functions.TextModel.score(bcM)(col("text")), 6).as("score"))
+      round(graft.functions.TextModel.score(bcM)(col("text")), 6).as("score"),
+      round(graft.operators.Dsir.scoreCol(col("text"), dsir), 6).as("dsir"))
     assertSameRows(viaSql, viaApi)
   }
 
