@@ -1516,6 +1516,15 @@ object SparkEntry {
       Dsir.resample(lk.documents, "doc_id", "text", model, k = 150,
         seed = 7L)
         .select("doc_id", "lang").orderBy("doc_id")
+    }),
+    // SemDeDup (Abbas et al. 2023): cluster-scoped semantic dedup — the
+    // oracle replays seed quantizer -> assignment -> in-cell priority
+    // pairs -> farthest-from-centroid survivors
+    "q_dedup_semantic" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Dedup.semDeDup(lk.embeddings, "vec_id", "embedding",
+        threshold = 0.4, nCells = 8)
+        .select("vec_id").orderBy("vec_id")
     })
   )
 
@@ -3237,7 +3246,29 @@ object SparkEntry {
                FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)
          SELECT doc_id, lang FROM
            (SELECT doc_id, lang FROM g ORDER BY gk DESC, doc_id LIMIT 150)
-         ORDER BY doc_id"""
+         ORDER BY doc_id""",
+    "q_dedup_semantic" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         cent AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid,
+                         v AS cv
+                  FROM (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) h
+                        FROM e ORDER BY h, vec_id LIMIT 8)),
+         sc AS (SELECT e.vec_id id, e.v, c.cid,
+                       list_dot_product(e.v, c.cv) /
+                       (sqrt(list_dot_product(e.v, e.v)) *
+                        sqrt(list_dot_product(c.cv, c.cv))) sim
+                FROM e CROSS JOIN cent c),
+         asg AS (SELECT id, v, cid, sim FROM (
+                   SELECT id, v, cid, sim, row_number() OVER (
+                     PARTITION BY id ORDER BY sim DESC, cid) rr
+                   FROM sc) WHERE rr = 1),
+         rm AS (SELECT DISTINCT b.id FROM asg a JOIN asg b ON a.cid = b.cid
+                  AND (a.sim < b.sim OR (a.sim = b.sim AND a.id < b.id))
+                WHERE list_dot_product(a.v, b.v) /
+                      (sqrt(list_dot_product(a.v, a.v)) *
+                       sqrt(list_dot_product(b.v, b.v))) > 0.4)
+         SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT id FROM rm)
+         ORDER BY vec_id"""
   )
 
   /** Shared DuckDB CTE chain replaying Dsir.train(buckets=512, alpha=1)

@@ -490,6 +490,22 @@ object Dedup extends org.apache.spark.internal.Logging {
       s"unknown embedding dedup method '$m' (ivf|brute)")
   }
 
+  /** SemDeDup cluster-scoped semantic dedup (Abbas et al. 2023) — keep
+    * the farthest-from-centroid member of every over-threshold pair
+    * inside a quantizer cell. Delegates to
+    * [[Similarity.semDeDup]]; see there for the keep policy and the
+    * O(Σ cell²) scale bound. */
+  def semDeDup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nCells: Int = 16,
+      trainIters: Int = 0,
+      quantizer: Option[graft.functions.CentroidSet] = None): DataFrame =
+    Similarity.semDeDup(df, idCol, vecCol, threshold, nCells, trainIters,
+      quantizer)
+
   /** Greedy survivor selection over a near-dup pair frame: keep a row iff
     * it has no near-duplicate with a smaller id. Pairs must carry
     * `a_id < b_id` — true of every SAME-CORPUS pair generator in this file

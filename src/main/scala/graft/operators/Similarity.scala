@@ -840,4 +840,65 @@ object Similarity {
       .select("query_id", "neighbor_id", "__sim")
     finishHardNegatives(scored, positives, k, semiHard, saltBuckets)
   }
+
+  /** SemDeDup (Abbas et al. 2023): semantic deduplication by k-means
+    * cluster — assign every vector to ONE quantizer cell, compare pairs
+    * only WITHIN a cell, and of any pair with cosine above `threshold`
+    * remove the member CLOSER to the cell centroid (the paper's keep
+    * policy: the example least typical of its cluster survives, which
+    * preserves diversity; ties by id). The published algorithm's scale
+    * story is exactly this clustering bound: the pairwise work is
+    * O(Σ cell²), controlled by `nCells`, never corpus-quadratic — the
+    * paper runs 50k clusters over LAION-scale corpora.
+    *
+    * Execution: one codegen'd assignment scan (no exchange), a broadcast
+    * join against the ≤nCells centroid frame for the exact
+    * cosine-to-centroid, one cell-keyed self-join for candidate pairs,
+    * and a left-anti join back to the input. The keep rule needs no
+    * transitive closure and no window: a row is removed iff ANY
+    * higher-priority cellmate sits above the threshold, which is a pure
+    * join predicate (priority = cosine-to-centroid ASC, id ASC —
+    * farthest-from-centroid first, the paper's choice).
+    *
+    * Returns the kept rows of `df`, schema unchanged. */
+  def semDeDup(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      nCells: Int = 16,
+      trainIters: Int = 0,
+      quantizer: Option[graft.functions.CentroidSet] = None): DataFrame = {
+    require(threshold > -1.0 && threshold < 1.0,
+      s"threshold $threshold must be a cosine in (-1, 1)")
+    val cs = quantizer.getOrElse(
+      centroidSetFor(df, idCol, vecCol, nCells, trainIters))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val centDf = cs.vecs.toSeq.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("__cid", "__cv")
+    val assigned = df.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      element_at(
+        graft.functions.VectorOps.nearestCells(col(vecCol), cs, 1), 1)
+        .as("__cid"))
+      .join(broadcast(centDf), Seq("__cid"))
+      .withColumn("__csim",
+        dot(col("__v"), col("__cv")) / (norm(col("__v")) * norm(col("__cv"))))
+      .select("__cid", "__id", "__v", "__csim")
+    val a = assigned.select(col("__cid"), col("__id").as("__aid"),
+      col("__v").as("__av"), col("__csim").as("__asim"))
+    val b = assigned.select(col("__cid"), col("__id").as("__bid"),
+      col("__v").as("__bv"), col("__csim").as("__bsim"))
+    // higher-priority a (farther from centroid, tie by id) removes b when
+    // the pair's exact cosine clears the threshold
+    val removed = a.join(b, Seq("__cid"))
+      .where(col("__asim") < col("__bsim") ||
+        (col("__asim") === col("__bsim") && col("__aid") < col("__bid")))
+      .where(dot(col("__av"), col("__bv")) /
+        (norm(col("__av")) * norm(col("__bv"))) > lit(threshold))
+      .select(col("__bid").as(idCol)).distinct()
+      .repartition(n, col(idCol))
+    df.join(removed, Seq(idCol), "left_anti")
+  }
 }

@@ -1838,6 +1838,68 @@ class PipelineOpsSpec extends GraftSuite {
     }
   }
 
+  test("semDeDup: driver replay of the full keep policy; exact-copy tiebreak") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val kept = Dedup.semDeDup(emb, "vec_id", "embedding", 0.4, nCells = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    // driver replay: seed quantizer (smallest-md5 ids), single-cell
+    // assignment, in-cell priority pairs, farthest-from-centroid keeps
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble; i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cents = vecs.keys.toSeq.map(id => (md5hex(id.toString), id))
+      .sorted.take(8).map(_._2).zipWithIndex
+      .map { case (id, c) => c -> vecs(id) }
+    val asg = vecs.map { case (id, v) =>
+      val (cid, sim) = cents.map { case (c, cv) => (c, cos(v, cv)) }
+        .maxBy { case (c, s) => (s, -c) }
+      id -> (cid, sim)
+    }
+    val removed = (for {
+      (aId, (aCid, aSim)) <- asg.toSeq
+      (bId, (bCid, bSim)) <- asg.toSeq
+      if aCid == bCid &&
+        (aSim < bSim || (aSim == bSim && aId < bId)) &&
+        cos(vecs(aId), vecs(bId)) > 0.4
+    } yield bId).toSet
+    assert(kept == vecs.keySet -- removed)
+    assert(removed.nonEmpty, "fixture must exercise removal")
+    // an exact copy (cosine 1, equal centroid sim) loses by id tiebreak;
+    // the quantizer is pinned so the injected id cannot shift the seed
+    import spark.implicits._
+    val (cs, _) = Similarity.trainCentroidSet(emb, "vec_id", "embedding",
+      nCells = 8, iters = 1)
+    val src = emb.select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .collect()
+    val copied = (src :+ (99999L, src.head._2)).toSeq
+      .toDF("vec_id", "embedding")
+    val keptBase = Dedup.semDeDup(src.toSeq.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", 0.4, quantizer = Some(cs))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val kept2 = Dedup.semDeDup(copied, "vec_id", "embedding", 0.4,
+      quantizer = Some(cs))
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(!kept2.contains(99999L),
+      "the larger-id exact copy must be the one removed")
+    assert(kept2 == keptBase,
+      "injecting a pure copy must not change other survivors")
+    // scale shape: no window anywhere in the plan
+    val plan = Dedup.semDeDup(emb, "vec_id", "embedding", 0.4, nCells = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"semDeDup must be window-free:\n$plan")
+  }
+
   test("Dsir: training and scoring match a driver replay; shuffle-free scan") {
     val model = Dsir.train(docs.where(col("lang") === "en"), docs, "text",
       buckets = 256, alpha = 1.0)
