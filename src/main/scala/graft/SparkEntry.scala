@@ -1448,6 +1448,16 @@ object SparkEntry {
         .select(col("event_id"), col("z_value"))
         .orderBy("event_id")
     }),
+    // Hilbert layout key on the same bucket grid as q_zorder: the oracle
+    // replays the rotate-and-accumulate transform one CTE per level,
+    // pinning the codegen'd HilbertIndexExpr bit-for-bit
+    "q_hilbert" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.operators.Layout.withHilbertValue(ev, "user_id", "value",
+        bits = 8)
+        .select(col("event_id"), col("h_value"))
+        .orderBy("event_id")
+    }),
     // hard-negative mining (brute baseline): per training pair, the 5
     // corpus vectors most similar to the anchor that are neither the
     // anchor nor its positive
@@ -1554,6 +1564,29 @@ object SparkEntry {
       Seq(s"((($b0 >> $i) & 1) << ${2 * i + 1})",
         s"((($b1 >> $i) & 1) << ${2 * i})")
     }.mkString(" | ")
+
+  /** The DuckDB twin of [[graft.functions.HilbertIndexExpr.xy2d]]: one
+    * chained CTE per curve level, each replaying the quadrant
+    * contribution `s²·(3·rx XOR ry)` and the rotation of (x, y) —
+    * expects a CTE `h0(event_id, x, y, d)` upstream. */
+  private def hilbertStepsSql(bits: Int): String =
+    (0 until bits).map { i =>
+      val s = 1L << (bits - 1 - i)
+      val ss = s * s
+      s"""h${i + 1} AS (SELECT event_id,
+           CASE WHEN ry = 1 THEN x
+                WHEN rx = 1 THEN $s - 1 - y ELSE y END AS x,
+           CASE WHEN ry = 1 THEN y
+                WHEN rx = 1 THEN $s - 1 - x ELSE x END AS y,
+           d + $ss * (CASE WHEN rx = 0 AND ry = 0 THEN 0
+                           WHEN rx = 0 AND ry = 1 THEN 1
+                           WHEN rx = 1 AND ry = 0 THEN 3
+                           ELSE 2 END) AS d
+         FROM (SELECT event_id, x, y, d,
+                 CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END rx,
+                 CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END ry
+               FROM h$i))"""
+    }.mkString(",\n         ")
 
   /** Shared DuckDB CTE chain replaying trainPqCodebook(m=2, k=8, iters=1)
     * on the embeddings table: deterministic seed slices -> per-subspace L2
@@ -3145,6 +3178,20 @@ object SparkEntry {
          SELECT event_id,
                 CAST(${zInterleaveSql("b0", "b1", 8)} AS BIGINT) AS z_value
          FROM s ORDER BY event_id""",
+    "q_hilbert" ->
+      s"""WITH b AS (SELECT min(CAST(user_id AS DOUBLE)) mn0,
+                           max(CAST(user_id AS DOUBLE)) mx0,
+                           min(value) mn1, max(value) mx1 FROM events),
+         h0 AS (SELECT event_id,
+                 LEAST(255, GREATEST(0, CAST(floor(
+                   (CAST(user_id AS DOUBLE) - mn0) / (mx0 - mn0) * 256.0)
+                   AS BIGINT))) AS x,
+                 LEAST(255, GREATEST(0, CAST(floor(
+                   (value - mn1) / (mx1 - mn1) * 256.0) AS BIGINT))) AS y,
+                 CAST(0 AS BIGINT) AS d
+               FROM events, b),
+         ${hilbertStepsSql(8)}
+         SELECT event_id, d AS h_value FROM h8 ORDER BY event_id""",
     "q_hard_negatives" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
          p AS (SELECT vec_id AS query_id, vec_id + 20 AS pos_id

@@ -94,6 +94,52 @@ object Layout {
     df.withColumn(out, zValue(bucketed, bits))
   }
 
+  /** The Hilbert curve position of two columns under their CURRENT global
+    * min/max, as an extra column `out` — the inspectable/oracle-checkable
+    * core of [[hilbertBy]]. Two dimensions only (the classic xy2d
+    * transform; [[withZValue]] handles k > 2). */
+  def withHilbertValue(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      bits: Int = 16,
+      out: String = "h_value"): DataFrame = {
+    require(xCol != yCol, "layout columns must differ")
+    require(!Seq(xCol, yCol).contains(out),
+      s"output column $out collides with an input")
+    Seq(xCol, yCol).foreach { c =>
+      require(df.schema(c).dataType.isInstanceOf[NumericType] ||
+        df.schema(c).dataType.typeName == "timestamp",
+        s"layout column $c must be numeric or timestamp")
+    }
+    val Seq((mnx, mxx), (mny, mxy)) = minMax(df, Seq(xCol, yCol))
+    df.withColumn(out, graft.functions.HilbertIndexExpr.hilbertIndex(
+      fixedPointBucket(col(xCol), mnx, mxx, bits),
+      fixedPointBucket(col(yCol), mny, mxy, bits), bits))
+  }
+
+  /** [[zorderBy]]'s Hilbert twin: re-layout into `numFiles` slices
+    * contiguous on the Hilbert curve. Consecutive curve positions are
+    * always grid-adjacent (the property the Z curve gives up at
+    * power-of-two seams), so each file's per-column min/max box is
+    * tighter and box predicates prune more files — measured against
+    * z-order in the layout spec. */
+  def hilbertBy(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      bits: Int = 16,
+      numFiles: Int = 0): DataFrame = {
+    val h = "__graft_h"
+    val withH = withHilbertValue(df, xCol, yCol, bits, h)
+    val parts =
+      if (numFiles > 0) numFiles
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    withH.repartitionByRange(parts, col(h))
+      .sortWithinPartitions(h)
+      .drop(h)
+  }
+
   /** Re-layout `df` into `numFiles` z-ordered slices: range-repartition on
     * the z-value (contiguous, balanced key ranges via sampled range
     * bounds — each output file is a compact z-curve segment, i.e. a small
