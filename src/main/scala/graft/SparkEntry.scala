@@ -894,6 +894,23 @@ object SparkEntry {
         .select("chunk_id", "n_docs", "n_tokens", "doc_starts")
         .orderBy("chunk_id")
     }),
+    // quality-ordered corpus cut ("take the best N tokens"): keep the
+    // highest-alpha-ratio docs until a 20k-token budget, via the SAME
+    // distributed prefix sum that packs chunks — ordered by score instead
+    // of id, so no global sort and no driver-side top-k heap
+    "q_token_budget" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val scored = lk.documents.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        (length(regexp_replace(col("text"), "[^a-zA-Z]", ""))
+          .cast("double") / length(col("text")).cast("double"))
+          .as("alpha_score"))
+      Sampling.takeByTokenBudget(scored, "doc_id", "n_tokens",
+          "alpha_score", budget = 20000)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("alpha_score"), 6).as("alpha_score"))
+        .orderBy("doc_id")
+    }),
     // capstone: end-to-end corpus curation — language gate -> min-length
     // gate -> exact dedup (min id per content hash) -> deterministic 50%
     // sample -> 4096-token context packing. Every stage is one of this
@@ -2800,6 +2817,18 @@ object SparkEntry {
                 string_agg(CAST(start AS VARCHAR), ',' ORDER BY doc_id)
                   AS doc_starts
          FROM o GROUP BY chunk_id ORDER BY chunk_id""",
+    "q_token_budget" ->
+      """WITH s AS (SELECT doc_id,
+             CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens,
+             length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE /
+               length(text)::DOUBLE AS score
+           FROM documents),
+         c AS (SELECT doc_id, n_tokens, score,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY score DESC NULLS LAST,
+               doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum FROM s)
+         SELECT doc_id, n_tokens, round(score, 6) AS alpha_score
+         FROM c WHERE cum < 20000 ORDER BY doc_id""",
     "q_topk_group" ->
       """SELECT doc_id, lang, score FROM (
            SELECT doc_id, lang, length(text)::BIGINT AS score,

@@ -257,12 +257,8 @@ object Sampling {
     * but stays in the chunk its prefix put it in (fixed, engine-replicable
     * semantics).
     *
-    * Scale shape: a naive `Window.orderBy(id)` global cumsum runs on ONE
-    * task. This is the classic distributed prefix sum instead: range-
-    * repartition by id, per-partition local cumsum (window WITHIN each
-    * partition), tiny per-partition totals prefix-scanned on the driver and
-    * broadcast back as offsets. Every stage is parallel; the driver holds
-    * one number per partition. */
+    * Scale shape: [[exclusivePrefixSum]]'s distributed prefix sum — no
+    * global single-task cumsum ever runs. */
   def packByTokenBudget(
       df: DataFrame,
       idCol: String,
@@ -270,6 +266,26 @@ object Sampling {
       budget: Long,
       numPartitions: Int = 0): DataFrame = {
     require(budget > 0, "budget must be positive")
+    exclusivePrefixSum(df, Seq(col(idCol)), col(tokenCol), numPartitions)
+      .withColumn("chunk_id", floor(col("__cum") / lit(budget)))
+      .drop("__cum")
+  }
+
+  /** Exclusive distributed prefix sum of `valueCol` under the TOTAL order
+    * given by `orderCols` (which must be a unique ordering — include an id
+    * tiebreaker), as a `__cum` column.
+    *
+    * Scale shape: a naive `Window.orderBy(...)` global cumsum runs on ONE
+    * task. This is the classic distributed prefix sum instead: range-
+    * repartition on the order, per-partition local cumsum (window WITHIN
+    * each partition), tiny per-partition totals prefix-scanned on the
+    * driver and broadcast back as offsets. Every stage is parallel; the
+    * driver holds one number per partition. */
+  private def exclusivePrefixSum(
+      df: DataFrame,
+      orderCols: Seq[Column],
+      valueCol: Column,
+      numPartitions: Int): DataFrame = {
     val spark = df.sparkSession
     val n = if (numPartitions > 0) numPartitions
       else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -278,23 +294,23 @@ object Sampling {
     // each re-execute the range exchange, and RangePartitioner re-SAMPLES
     // its boundaries per execution (per-RDD seeds) — a boundary that lands
     // a few rows differently between the passes mis-applies the offsets
-    // and silently corrupts chunk ids near partition edges (caught by the
+    // and silently corrupts the prefix near partition edges (caught by the
     // sf0.1 oracle: one boundary doc under-counted a whole chunk). The
-    // cost is one materialization of the rows being packed (blocks spill
+    // cost is one materialization of the rows being summed (blocks spill
     // to disk); on a cluster a lost executor fails the job loudly instead
     // of recomputing inconsistently.
-    val parted = df.repartitionByRange(n, col(idCol))
+    val parted = df.repartitionByRange(n, orderCols: _*)
       .withColumn("__pid", spark_partition_id())
       .localCheckpoint()
     // local EXCLUSIVE prefix sum within each range partition
-    val w = Window.partitionBy(col("__pid")).orderBy(col(idCol))
+    val w = Window.partitionBy(col("__pid")).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = parted.withColumn("__local",
-      coalesce(sum(col(tokenCol)).over(w), lit(0L)))
+      coalesce(sum(valueCol).over(w), lit(0L)))
     // per-partition totals -> driver prefix scan -> broadcast offsets.
-    // Range partitioning orders partitions by id, so offset(p) = sum of
-    // totals of partitions before p.
-    val totals = local.groupBy("__pid").agg(sum(col(tokenCol)).as("__total"))
+    // Range partitioning orders partitions by the order columns, so
+    // offset(p) = sum of totals of partitions before p.
+    val totals = local.groupBy("__pid").agg(sum(valueCol).as("__total"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offsetByPid = {
       var acc = 0L
@@ -304,9 +320,38 @@ object Sampling {
       when(col("__pid") === lit(pid), lit(off)).otherwise(e)
     }
     local
-      .withColumn("chunk_id",
-        floor((col("__local") + offsetExpr) / lit(budget)))
+      .withColumn("__cum", col("__local") + offsetExpr)
       .drop("__pid", "__local")
+  }
+
+  /** Quality-ordered corpus cut: keep the BEST rows (by `scoreCol`
+    * descending, nulls last, `idCol` tiebreak) until their running token
+    * total reaches `budget` — the "take the top 1T tokens" step of corpus
+    * construction. A row is kept iff the tokens of all strictly-better
+    * rows sum below the budget, so the cut includes the one row that
+    * crosses it (the budget is a floor, reached exactly or overshot by at
+    * most one document). Deterministic and engine-replicable: the
+    * (score desc nulls last, id) order is total, and the same exclusive
+    * prefix-sum semantics as [[packByTokenBudget]] decide membership.
+    *
+    * Scale shape: [[exclusivePrefixSum]]'s distributed prefix sum over the
+    * score order — range-repartition + per-partition cumsum + one number
+    * per partition on the driver; no global single-task sort, no top-k
+    * heap bounded by driver memory (the survivor set stays distributed,
+    * unlike a TakeOrdered cut). */
+  def takeByTokenBudget(
+      df: DataFrame,
+      idCol: String,
+      tokenCol: String,
+      scoreCol: String,
+      budget: Long,
+      numPartitions: Int = 0): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    exclusivePrefixSum(df,
+      Seq(col(scoreCol).desc_nulls_last, col(idCol)), col(tokenCol),
+      numPartitions)
+      .where(col("__cum") < lit(budget))
+      .drop("__cum")
   }
 
   /** Assemble [[packByTokenBudget]]'s chunks into actual training

@@ -839,6 +839,40 @@ class PipelineOpsSpec extends GraftSuite {
     assert(ids.head == 0L && ids.sameElements(ids.head to ids.last))
   }
 
+  test("takeByTokenBudget: best-first cut equals single-window reference; crossing doc included") {
+    import graft.operators.Sampling
+    val scored = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tok"),
+      (length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+        length(col("text")).cast("double")).as("score"))
+    val budget = 5000L
+    val got = Sampling.takeByTokenBudget(scored, "doc_id", "n_tok", "score",
+      budget, numPartitions = 7)
+    // reference: naive global window cumsum (fine at test scale)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc_nulls_last, col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val want = scored.withColumn("__cum",
+      coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .where(col("__cum") < budget).drop("__cum")
+    assertSameRows(got.select("doc_id"), want.select("doc_id"))
+    // kept tokens reach the budget: total >= budget (the crossing doc is
+    // included), and total minus ANY kept doc's tokens stays under it
+    val kept = got.agg(sum("n_tok"), max("n_tok")).first()
+    val (total, biggest) = (kept.getLong(0), kept.getLong(1))
+    assert(total >= budget, s"cut stopped short: $total < $budget")
+    // exclusive-prefix semantics: removing the crossing doc goes below
+    val worstKeptScore = got.agg(min("score")).first().getDouble(0)
+    val crossing = got.where(col("score") === worstKeptScore)
+      .orderBy(col("doc_id").desc).select("n_tok").first().getLong(0)
+    assert(total - crossing < budget)
+    // different partitioning, same survivors
+    val got3 = Sampling.takeByTokenBudget(
+      scored.repartition(13), "doc_id", "n_tok", "score", budget,
+      numPartitions = 3)
+    assertSameRows(got3.select("doc_id"), want.select("doc_id"))
+  }
+
   test("language id is deterministic and covers the marker langs") {
     val langs = docs.select(TextAnalysis.langId(col("text")).as("l"))
       .distinct().collect().map(_.getString(0)).toSet
