@@ -1070,6 +1070,20 @@ object SparkEntry {
           .as("perplexity"))
         .orderBy("doc_id")
     }),
+    // CCNet head/middle/tail corpus split (Wenzek et al. 2020): score with
+    // the unigram LM, cut at the perplexity terciles (exact percentile,
+    // ONE bounded aggregate), label each doc's slice — head = most fluent
+    "q_ppl_buckets" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val lm = TextAnalysis.trainUnigramLm(lk.documents, "text",
+        topN = 1000, alpha = 0.5)
+      val bc = s.sparkContext.broadcast(lm)
+      val scored = lk.documents.select(col("doc_id"),
+        round(graft.functions.NgramLm.perplexity(bc)(col("text")), 6)
+          .as("perplexity"))
+      graft.operators.Profile.quantileBuckets(scored, "perplexity")
+        .orderBy("doc_id")
+    }),
     // stupid-backoff bigram LM (Brants et al. 2007): bigram conditionals
     // over the full unigram normalizer, unigram fallback with a 0.4
     // backoff penalty; scored off the RELOADED artifact like q_perplexity
@@ -1783,6 +1797,31 @@ object SparkEntry {
                 FROM tt LEFT JOIN lp ON tt.w = lp.gram GROUP BY tt.doc_id)
          SELECT d.doc_id, round(exp(-(sc.slp / sc.n)), 6) AS perplexity
          FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""",
+    // the q_perplexity chain + percentile_cont terciles over the rounded
+    // scores + the slice CASE (null perplexity falls to the last slice,
+    // matching the operator's otherwise-branch)
+    "q_ppl_buckets" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+                    FROM documents),
+         tt AS (SELECT doc_id, w FROM t WHERE len(w) > 0),
+         c AS (SELECT w AS gram, count(*) AS n FROM tt GROUP BY w
+               ORDER BY n DESC, gram LIMIT 1000),
+         tot AS (SELECT sum(n)::DOUBLE AS nn, count(*)::DOUBLE AS v FROM c),
+         lp AS (SELECT gram, ln((n + 0.5) / (nn + 0.5 * (v + 1))) AS l
+                FROM c, tot),
+         unk AS (SELECT ln(0.5 / (nn + 0.5 * (v + 1))) AS l FROM tot),
+         sc AS (SELECT tt.doc_id,
+                       sum(coalesce(lp.l, (SELECT l FROM unk))) AS slp,
+                       count(*) AS n
+                FROM tt LEFT JOIN lp ON tt.w = lp.gram GROUP BY tt.doc_id),
+         p AS (SELECT d.doc_id, round(exp(-(sc.slp / sc.n)), 6) AS perplexity
+               FROM documents d LEFT JOIN sc USING (doc_id)),
+         th AS (SELECT quantile_cont(perplexity, [1.0/3, 2.0/3]) AS q FROM p)
+         SELECT p.doc_id, p.perplexity,
+                CASE WHEN p.perplexity <= q[1] THEN 'head'
+                     WHEN p.perplexity <= q[2] THEN 'middle'
+                     ELSE 'tail' END AS bucket
+         FROM p, th ORDER BY p.doc_id""",
     // replicates trainBigramLm + the stupid-backoff walk: bigram
     // conditionals c(prev,w)/c(prev) over the FULL unigram counts
     // (top-2000 cut), first token and backoff misses priced by the

@@ -95,6 +95,59 @@ object Profile {
         col("val"))
   }
 
+  /** Quantile bucketing: label every row by which quantile slice of
+    * `valueCol` it falls in — with the defaults, the CCNet head/middle/
+    * tail corpus split (Wenzek et al. 2020: score docs by reference-LM
+    * perplexity, cut at the terciles, train preferentially on the fluent
+    * "head"). `probs` are the interior cut points (strictly increasing,
+    * in (0,1)); `labels` names the `probs.size + 1` slices in value
+    * order (lowest slice first — for perplexity that is the most fluent).
+    * A row lands in the first slice whose threshold its value does not
+    * exceed (`value <= percentile(probs(i))`); rows with NULL values fall
+    * to the last slice.
+    *
+    * Engine-replicable: thresholds are SQL `percentile_cont` semantics
+    * over the column (see [[quantiles]]); round the value to 6 decimals
+    * upstream (house pattern) and the bucket assignment replays exactly —
+    * an interpolated threshold lies strictly between two data values, so
+    * last-ulp interpolation differences between engines cannot flip a
+    * row's bucket.
+    *
+    * Scale shape: ONE bounded aggregate (the `probs.size` thresholds on
+    * the driver) + a literal CASE projection — no join, no window, no
+    * sort. Two passes over the input (threshold pass + label pass); for
+    * petabyte columns flip `exact = false` to sketch the thresholds. */
+  def quantileBuckets(
+      df: DataFrame,
+      valueCol: String,
+      probs: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
+      labels: Seq[String] = Seq("head", "middle", "tail"),
+      bucketCol: String = "bucket",
+      exact: Boolean = true,
+      accuracy: Int = 10000): DataFrame = {
+    require(probs.nonEmpty && probs.forall(p => p > 0 && p < 1),
+      "probs must be interior points in (0, 1)")
+    require(probs == probs.sorted && probs.distinct == probs,
+      "probs must be strictly increasing")
+    require(labels.size == probs.size + 1,
+      s"need ${probs.size + 1} labels for ${probs.size} cut points")
+    require(!df.columns.contains(bucketCol),
+      s"bucket column $bucketCol collides with an input column")
+    val agg =
+      if (exact) call_function("percentile", qcol(valueCol), lit(probs.toArray))
+      else call_function("percentile_approx", qcol(valueCol),
+        lit(probs.toArray), lit(accuracy))
+    val row = df.agg(agg.as("__q")).first()
+    require(!row.isNullAt(0),
+      s"quantileBuckets: no non-null values in $valueCol")
+    val ths = row.getSeq[Double](0)
+    val bucket = ths.zip(labels).reverse.foldLeft(lit(labels.last)) {
+      case (acc, (t, lab)) =>
+        when(qcol(valueCol) <= lit(t), lit(lab)).otherwise(acc)
+    }
+    df.withColumn(bucketCol, bucket)
+  }
+
   /** Equi-width histogram of a numeric column over `[lo, hi)`:
     * `bucket | lo_edge | hi_edge | cnt` for every OCCUPIED bucket
     * (standard SQL `width_bucket` numbering — bucket 0 is the underflow

@@ -1619,6 +1619,40 @@ class PipelineOpsSpec extends GraftSuite {
     assert(total == docs.where(col("n_chars").isNotNull).count())
   }
 
+  test("Profile.quantileBuckets: ordered non-overlapping slices; nulls fall last; guards") {
+    val s = spark
+    import s.implicits._
+    import graft.operators.Profile
+    val scored = docs.select(col("doc_id"), col("n_chars").cast("double").as("v"))
+    val b = Profile.quantileBuckets(scored, "v")
+    // every row labeled, slices ordered by value and non-overlapping
+    val byLab = b.groupBy("bucket").agg(min("v").as("mn"), max("v").as("mx"),
+      count(lit(1)).as("n")).collect().map(r => r.getString(0) -> r).toMap
+    assert(byLab.keySet == Set("head", "middle", "tail"))
+    assert(byLab("head").getDouble(2) <= byLab("middle").getDouble(1))
+    assert(byLab("middle").getDouble(2) <= byLab("tail").getDouble(1))
+    assert(byLab.values.map(_.getLong(3)).sum == docs.count())
+    // roughly a third each (ties can shift boundaries)
+    byLab.values.foreach(r =>
+      assert(math.abs(r.getLong(3) - docs.count() / 3.0) < docs.count() * 0.2))
+    // nulls land in the LAST slice
+    val withNull = Seq(Some(1.0), Some(2.0), Some(3.0), None).toDF("v")
+    val nb = Profile.quantileBuckets(withNull, "v", Seq(0.5), Seq("lo", "hi"))
+    assert(nb.where($"v".isNull).select("bucket").first().getString(0) == "hi")
+    // custom labels + misuse guards
+    intercept[IllegalArgumentException] {
+      Profile.quantileBuckets(scored, "v", Seq(0.5), Seq("only"))
+    }
+    intercept[IllegalArgumentException] {
+      Profile.quantileBuckets(scored, "v", Seq(0.7, 0.3),
+        Seq("a", "b", "c"))
+    }
+    intercept[IllegalArgumentException] {
+      Profile.quantileBuckets(withNull.where($"v".isNull), "v",
+        Seq(0.5), Seq("lo", "hi"))
+    }
+  }
+
   test("splitByGroup: groups never straddle splits; fractions roughly honored") {
     val s = spark
     import s.implicits._
