@@ -477,6 +477,37 @@ object SparkEntry {
       s.table(sink).select(col("content_key"), col("doc_id").as("keep_id"))
         .orderBy("content_key")
     }),
+    // streaming NEAR-dup admission: docs arrive in two id-ordered batches,
+    // each LSH-filtered against the persistent band store, so the final
+    // survivor set equals the one-shot keepFirst(minhashPairs(...)) cut —
+    // which the oracle states directly as "no smaller-id true-Jaccard
+    // partner" (the q_dedup_minhash LSH≡exact equivalence at this banding)
+    "q_neardup_stream" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = lk.documents.where(col("doc_id") < 1000)
+        .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      val mem = MemoryStream[(Long, String)]
+      val stream = mem.toDF().toDF("doc_id", "text")
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = graft.streaming.StreamOps.nearDupFilter(stream, "doc_id",
+          "text", s"${lk.work}/neardup_store_$tag", threshold = 0.95) {
+          (df, _) =>
+            val ids = df.select("doc_id").collect().map(_.getLong(0))
+            buf.synchronized { buf ++= ids }
+        }
+        .option("checkpointLocation", s"${lk.work}/neardup_ckpt_$tag")
+        .start()
+      try {
+        mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+        mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      buf.toSeq.toDF("doc_id").orderBy("doc_id")
+    }),
     // column backfill: an index built on o_custkey gains a range index on
     // o_orderkey later; update() recomputes only the new column, and the
     // new index must answer probes over ALL previously indexed files.
@@ -2229,6 +2260,20 @@ object SparkEntry {
       """SELECT md5(text) AS content_key, min(doc_id) AS keep_id
          FROM documents WHERE doc_id < 1000
          GROUP BY md5(text) ORDER BY content_key""",
+    // keepFirst over true-Jaccard pairs: a doc survives iff no smaller-id
+    // partner reaches the threshold (register-all rule — dropped docs
+    // still block later ones)
+    "q_neardup_stream" ->
+      """WITH t AS (SELECT doc_id,
+               list_distinct(string_split(lower(text), ' ')) ts
+             FROM documents WHERE doc_id < 1000),
+         p AS (SELECT DISTINCT b.doc_id AS b_id
+               FROM t a JOIN t b ON a.doc_id < b.doc_id
+               WHERE len(list_intersect(a.ts, b.ts))::DOUBLE /
+                     len(list_distinct(list_concat(a.ts, b.ts)))::DOUBLE
+                     >= 0.95)
+         SELECT doc_id FROM t
+         WHERE doc_id NOT IN (SELECT b_id FROM p) ORDER BY doc_id""",
     "q_delete_files" ->
       """SELECT o_orderstatus, count(*) AS cnt FROM orders
          WHERE o_custkey >= (SELECT max(o_custkey) // 8 + 1 FROM orders)

@@ -523,6 +523,87 @@ object Dedup extends org.apache.spark.internal.Logging {
     df.join(pairs.select(col("b_id").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** Incremental near-dup ADMISSION against a persistent band store — the
+    * serving/streaming form of [[minhashPairs]] + [[keepFirst]]: a batch
+    * document is admitted iff it has NO verified near-duplicate (token-set
+    * Jaccard >= `threshold`) among (a) smaller-id documents of the same
+    * batch or (b) ANY document of a previous batch — kept or dropped, the
+    * same register-all rule as [[keepFirst]] — so admitting id-ordered
+    * batches one at a time lands on exactly the one-shot
+    * `keepFirst(df, id, minhashPairs(df, ...))` survivor set
+    * (differential-pinned in StreamOpsSpec; q_neardup_stream oracles it).
+    *
+    * The store is two parquet append logs under `storeDir`: `bands/`
+    * (band, bh, id — the LSH buckets) and `docs/` (id, toks — the hashed
+    * token sets verification needs). Candidates come from the same
+    * (band, bh) bucket join as every LSH path in this file — work scales
+    * with shared buckets, never batch × store. The dropped-id set (≤ one
+    * batch) is pinned EAGERLY (localCheckpoint) before the batch's own
+    * rows append, so the lazily-consumed survivor frame can never see the
+    * batch in the store.
+    *
+    * Scale notes: each batch shuffles the band log once for the bucket
+    * join; for a long-running ingest compact the logs periodically and/or
+    * put the band side behind an `exploded_bloom` [[graft.Index]] so a
+    * batch probes only candidate files. Single writer assumed (one
+    * ingest owns a store); ids must be unique across the ingest. */
+  def nearDupIncrementalBatch(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      storeDir: String,
+      threshold: Double,
+      numHashes: Int = 128,
+      bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val spark = batch.sparkSession
+    val bandsDir = s"$storeDir/bands"
+    val docsDir = s"$storeDir/docs"
+    val sigs = minhashSignatureArray(batch, idCol, textCol, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchToks = batch.select(col(idCol).as("__tid"),
+      hashedSet(tokenSet(col(textCol))).as("__toks"))
+    // (a) within the batch: the standard verified pairs, a_id < b_id
+    val inBatch = verifyPairs(minhashCandidates(sigs, numHashes, bands),
+      batchToks, jaccardSortedHashed(col("__ta"), col("__tb")) >= threshold,
+      sizeRatio = Some(threshold))
+      .select(col("b_id").as("__drop"))
+    // (b) against the store: bucket-collide, then verify exactly
+    val batchBuckets = sigs
+      .select(col("__id"),
+        graft.functions.VectorOps.bandHashes(col("__sig"), bands).as("__bands"))
+      .select(col("__id"), posexplode(col("__bands")).as(Seq("band", "bh")))
+    val crossDrop =
+      if (!graft.store.Fs.hasDataFiles(spark, bandsDir))
+        batchBuckets.where(lit(false)).select(col("__id").as("__drop"))
+      else {
+        val storeBands = spark.read.parquet(bandsDir)
+        val storeToks = spark.read.parquet(docsDir)
+        batchBuckets
+          .join(storeBands.select(col("band"), col("bh"),
+            col("id").as("__sid")), Seq("band", "bh"))
+          .select(col("__id"), col("__sid")).distinct()
+          .join(batchToks.withColumnRenamed("__tid", "__id"), Seq("__id"))
+          .join(storeToks.select(col("id").as("__sid"),
+            col("toks").as("__stoks")), Seq("__sid"))
+          .where(jaccardSortedHashed(col("__toks"), col("__stoks")) >= threshold)
+          .select(col("__id").as("__drop"))
+      }
+    // pin the (≤ batch-size) drop set BEFORE the batch reaches the store
+    val dropped = inBatch.union(crossDrop).distinct().localCheckpoint()
+    // register the WHOLE batch — kept and dropped — then emit survivors
+    sigs.select(col("__id").as("id"),
+        graft.functions.VectorOps.bandHashes(col("__sig"), bands).as("__bands"))
+      .select(col("id"), posexplode(col("__bands")).as(Seq("band", "bh")))
+      .select("band", "bh", "id")
+      .write.mode("append").parquet(bandsDir)
+    batchToks.select(col("__tid").as("id"), col("__toks").as("toks"))
+      .write.mode("append").parquet(docsDir)
+    sigs.unpersist()
+    batch.join(dropped.withColumnRenamed("__drop", idCol),
+      Seq(idCol), "left_anti")
+  }
+
   /** Sliding-window xxhash64 array over the lowercased space-split tokens
     * of `textCol`: one 64-bit hash per `windowTokens`-token run, built
     * per-row inside codegen (the whole window family's shared primitive).

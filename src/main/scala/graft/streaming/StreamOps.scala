@@ -234,6 +234,35 @@ object StreamOps {
         batchId)
     }
 
+  /** Streaming NEAR-dup admission: each micro-batch is MinHash-LSH
+    * filtered against a persistent band store
+    * ([[graft.operators.Dedup.nearDupIncrementalBatch]]) — a document
+    * passes iff it has no verified near-duplicate (token-set Jaccard >=
+    * `threshold`) among smaller-id documents of its own batch or ANY
+    * previously ingested document; the whole batch (kept and dropped)
+    * then registers in the store. Admitting id-ordered batches lands on
+    * exactly the batch `keepFirst(minhashPairs(...))` survivor set, so
+    * stream and one-shot dedup agree (differential-pinned).
+    *
+    * Stateful dedup with CONTENT similarity cannot ride the state store
+    * (a near-dup check needs bucket joins, not a key lookup), so this is
+    * the foreachBatch composition — exactly-once via the caller's
+    * checkpointed sink, like [[asOfEnrich]]. Returns the configured
+    * writer; caller sets checkpoint/options and calls `.start()`. */
+  def nearDupFilter(
+      stream: DataFrame,
+      idCol: String,
+      textCol: String,
+      storeDir: String,
+      threshold: Double,
+      numHashes: Int = 128,
+      bands: Int = 16)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      sink(graft.operators.Dedup.nearDupIncrementalBatch(batch.toDF(),
+        idCol, textCol, storeDir, threshold, numHashes, bands), batchId)
+    }
+
   /** Batch-side reference semantics of [[dedupFirstSeen]] for differential
     * testing: one row per key, smallest tiebreak wins. */
   def dedupFirstSeenBatch(df: DataFrame, keyCol: String, tiebreakCol: String): DataFrame = {

@@ -149,6 +149,42 @@ class StreamOpsSpec extends GraftSuite {
     assert(got == Set((1L, "aa"), (3L, "bb"), (5L, "cc")), s"got $got")
   }
 
+  test("nearDupFilter: 3-batch stream equals one-shot keepFirst(minhashPairs)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    // one-shot reference: drop every doc with a smaller-id verified near-dup
+    val want = Dedup.keepFirst(docs, "doc_id",
+        Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.95))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(want.size < docs.count(), "corpus must contain near-dups")
+    // the same corpus in three id-ordered micro-batches
+    val rows = docs.as[(Long, String)].collect().sortBy(_._1)
+    val batches = rows.grouped((rows.length + 2) / 3).toSeq
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF().toDF("doc_id", "text")
+    val store = tmpDir("graft_neardup_store_")
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamOps.nearDupFilter(stream, "doc_id", "text", store,
+        threshold = 0.95) { (df, _) =>
+        val ids = df.select("doc_id").collect().map(_.getLong(0))
+        buf.synchronized { buf ++= ids }
+      }
+      .option("checkpointLocation", tmpDir("graft_neardup_ckpt_")).start()
+    try {
+      batches.foreach { b =>
+        mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+      }
+    } finally q.stop()
+    assert(buf.toSet == want,
+      s"stream/batch diverge: only-stream=${buf.toSet -- want} " +
+        s"only-batch=${want -- buf.toSet}")
+    // survivors are unique (no doc emitted twice across batches)
+    assert(buf.size == buf.toSet.size)
+  }
+
   test("dedupFirstSeen on a batch frame equals the window reference") {
     import spark.implicits._
     val df = Seq((5L, "x"), (2L, "x"), (9L, "y"), (1L, "z"), (7L, "z"))
