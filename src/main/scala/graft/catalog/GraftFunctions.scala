@@ -116,6 +116,12 @@ object GraftFunctions {
           s"graft_zvalue expects >= 2 arguments, got ${args.length}")
         graft.functions.ZValueExpr(args.init,
           intLit("graft_zvalue", "bits", args.last)) }),
+    ("graft_hilbert",
+      "_FUNC_(bucketX, bucketY, bits) - 2-D Hilbert curve position of " +
+        "pre-bucketed bigint values (bits as INTEGER literal)",
+      args => { checkArity("graft_hilbert", args, 3)
+        graft.functions.HilbertIndexExpr(args(0), args(1),
+          intLit("graft_hilbert", "bits", args(2))) }),
     ("graft_strip_html",
       "_FUNC_(html) - scripts/styles/comments/tags stripped, entities decoded",
       args => { checkArity("graft_strip_html", args, 1)

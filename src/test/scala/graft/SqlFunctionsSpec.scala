@@ -37,7 +37,8 @@ class SqlFunctionsSpec extends GraftSuite {
            graft_gopher_passes(text) AS gopher,
            graft_c4_passes(text) AS c4,
            graft_c4_clean(text) AS c4_clean,
-           graft_zvalue(doc_id % 16, doc_id % 11, 4) AS zv
+           graft_zvalue(doc_id % 16, doc_id % 11, 4) AS zv,
+           graft_hilbert(doc_id % 16, doc_id % 11, 4) AS hv
          FROM sqlfn_docs""")
     val viaApi = docs.select(col("doc_id"),
       TextAnalysis.langId(col("text")).as("lang_id"),
@@ -56,7 +57,9 @@ class SqlFunctionsSpec extends GraftSuite {
       TextAnalysis.c4Passes(col("text")).as("c4"),
       TextAnalysis.c4CleanText(col("text")).as("c4_clean"),
       graft.operators.Layout.zValue(
-        Seq(col("doc_id") % 16, col("doc_id") % 11), 4).as("zv"))
+        Seq(col("doc_id") % 16, col("doc_id") % 11), 4).as("zv"),
+      graft.functions.HilbertIndexExpr.hilbertIndex(
+        col("doc_id") % 16, col("doc_id") % 11, 4).as("hv"))
     assertSameRows(viaSql, viaApi)
   }
 
