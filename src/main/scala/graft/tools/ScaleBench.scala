@@ -54,6 +54,7 @@ object ScaleBench {
       else if (mode == "build") lk.ordersFiles // split only; build IS the bench
       else if (mode == "winidx") lk.documentsFiles // split only; builds ARE the bench
       else if (mode == "pq") () // embeddings only; no index fixtures needed
+      else if (mode == "curate") () // raw docs/events only; no index fixtures
       else lk.prebuild()
       lk
     }
@@ -184,12 +185,94 @@ object ScaleBench {
       emb.unpersist()
     }
 
+    // r8 second half: the curation additions at ×30 — quality-ordered
+    // token-budget cut, perplexity terciles, incremental near-dup ingest
+    // (3 id-ordered batches vs the one-shot cut it must reproduce), and
+    // the hilbert-vs-zorder re-layout with box-pruning telemetry.
+    def curateSection(): Unit = {
+      import graft.operators.{Layout, Profile, Sampling, TextAnalysis}
+      val docs = lake.documents.cache()
+      counts("x_docs") = docs.count()
+      val scored = docs.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"),
+        (length(regexp_replace(col("text"), "[^a-zA-Z]", "")).cast("double") /
+          length(col("text")).cast("double")).as("score"))
+      val totalToks = scored.agg(sum("n_tok")).first().getLong(0)
+      counts("x_total_tokens") = totalToks
+      bench("q_token_budget") {
+        Sampling.takeByTokenBudget(scored, "doc_id", "n_tok", "score",
+          budget = totalToks / 3).count()
+      }
+      bench("q_ppl_buckets") {
+        val lm = TextAnalysis.trainUnigramLm(docs, "text", topN = 50000)
+        val bc = spark.sparkContext.broadcast(lm)
+        val s2 = docs.select(col("doc_id"),
+          round(graft.functions.NgramLm.perplexity(bc)(col("text")), 6)
+            .as("ppl"))
+        Profile.quantileBuckets(s2, "ppl").groupBy("bucket").count().count()
+      }
+      // incremental near-dup ingest: 3 id-ordered batches against a fresh
+      // band store; admitted total must equal the one-shot keepFirst cut
+      val store =
+        java.nio.file.Files.createTempDirectory("graft_neardup_x30_").toString
+      val b = docs.agg(min("doc_id"), max("doc_id")).first()
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val (cut1, cut2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+      var admitted = 0L
+      Seq(
+        docs.where(col("doc_id") <= cut1),
+        docs.where(col("doc_id") > cut1 && col("doc_id") <= cut2),
+        docs.where(col("doc_id") > cut2)).zipWithIndex.foreach {
+        case (batch, i) =>
+          bench(s"q_neardup_batch$i") {
+            val n = Dedup.nearDupIncrementalBatch(batch, "doc_id", "text",
+              store, threshold = 0.95).count()
+            admitted += n; n
+          }
+      }
+      counts("x_neardup_admitted") = admitted
+      bench("q_neardup_oneshot") {
+        Dedup.keepFirst(docs, "doc_id",
+          Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.95))
+          .count()
+      }
+      // hilbert vs z-order re-layout of the ×30 events + box telemetry
+      val ev = lake.events.select("event_id", "user_id", "value")
+      val outH =
+        java.nio.file.Files.createTempDirectory("graft_hilb_").toString
+      val outZ =
+        java.nio.file.Files.createTempDirectory("graft_zord_").toString
+      bench("q_hilbert_layout") {
+        Layout.hilbertBy(ev, "user_id", "value", bits = 16, numFiles = 64)
+          .write.mode("overwrite").parquet(outH); 64L
+      }
+      bench("q_zorder_layout") {
+        Layout.zorderBy(ev, Seq("user_id", "value"), bits = 16,
+          numFiles = 64).write.mode("overwrite").parquet(outZ); 64L
+      }
+      val vb = ev.agg(min("value"), max("value")).first()
+      val (vlo, vhi) = (vb.getDouble(0), vb.getDouble(1))
+      val (bLo, bHi) = (vlo + 0.45 * (vhi - vlo), vlo + 0.55 * (vhi - vlo))
+      def touched(dir: String): Long =
+        spark.read.parquet(dir)
+          .select(col("value"), input_file_name().as("f"))
+          .groupBy("f").agg(min("value").as("mn"), max("value").as("mx"))
+          .where(col("mx") >= bLo && col("mn") <= bHi).count()
+      results("x_hilbert_files_touched") = touched(outH).toDouble
+      results("x_zorder_files_touched") = touched(outZ).toDouble
+      docs.unpersist()
+    }
+
     if (mode == "winidx") {
       windowIndexSection()
       emit(results, counts, sfDir); spark.stop(); return
     }
     if (mode == "pq") {
       pqSection()
+      emit(results, counts, sfDir); spark.stop(); return
+    }
+    if (mode == "curate") {
+      curateSection()
       emit(results, counts, sfDir); spark.stop(); return
     }
 
