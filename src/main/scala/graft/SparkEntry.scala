@@ -1203,6 +1203,14 @@ object SparkEntry {
       val lk = Lake.get(s, dir)
       TextAnalysis.quality(lk.documents, "doc_id", "text").orderBy("doc_id")
     }),
+    // writing-system signals: per-doc Unicode-script character fractions +
+    // dominant-script label — the multilingual routing key; the oracle
+    // replays the same RE2 script classes and the strict-order argmax
+    "q_script_signals" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      TextAnalysis.scriptSignals(lk.documents, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // within-doc repeated-line removal over pages that repeat their own
     // header block (first occurrence survives, the repeat is cut; short
     // lines always kept)
@@ -2978,6 +2986,28 @@ object SparkEntry {
                       OR t = 'le' OR t = 'et' OR t = 'est' OR t = 'les'))::DOUBLE /
                   len(string_split(lower(text), ' '))::DOUBLE AS stopword_ratio
          FROM documents ORDER BY doc_id""",
+    // Unicode-script character fractions + strict-order argmax label; the
+    // sequential CASE replicates the declaration-order tie-break exactly
+    "q_script_signals" ->
+      """WITH s AS (SELECT doc_id, length(text)::BIGINT AS n_chars,
+             length(regexp_replace(text, '[^\p{Latin}]', '', 'g'))::BIGINT AS l,
+             length(regexp_replace(text, '[^\p{Cyrillic}]', '', 'g'))::BIGINT AS cy,
+             length(regexp_replace(text, '[^\p{Han}]', '', 'g'))::BIGINT AS h,
+             length(regexp_replace(text, '[^\p{Arabic}]', '', 'g'))::BIGINT AS a,
+             length(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS dg
+           FROM documents)
+         SELECT doc_id, n_chars,
+           CASE WHEN n_chars > 0 THEN round(l::DOUBLE / n_chars, 6) END AS latin_ratio,
+           CASE WHEN n_chars > 0 THEN round(cy::DOUBLE / n_chars, 6) END AS cyrillic_ratio,
+           CASE WHEN n_chars > 0 THEN round(h::DOUBLE / n_chars, 6) END AS cjk_ratio,
+           CASE WHEN n_chars > 0 THEN round(a::DOUBLE / n_chars, 6) END AS arabic_ratio,
+           CASE WHEN n_chars > 0 THEN round(dg::DOUBLE / n_chars, 6) END AS digit_ratio,
+           CASE WHEN l > 0 AND l >= cy AND l >= h AND l >= a THEN 'latin'
+                WHEN cy > 0 AND cy > l AND cy >= h AND cy >= a THEN 'cyrillic'
+                WHEN h > 0 AND h > l AND h > cy AND h >= a THEN 'cjk'
+                WHEN a > 0 AND a > l AND a > cy AND a > h THEN 'arabic'
+                ELSE 'other' END AS script
+         FROM s ORDER BY doc_id""",
     // replicates dedupLinesInDoc's first-occurrence walk: keep line i iff
     // it is short (<2 chars) or its first position within the prefix is i
     "q_dedup_lines" ->

@@ -533,32 +533,42 @@ object Dedup extends org.apache.spark.internal.Logging {
     * `keepFirst(df, id, minhashPairs(df, ...))` survivor set
     * (differential-pinned in StreamOpsSpec; q_neardup_stream oracles it).
     *
-    * The store is two parquet append logs under `storeDir`: `bands/`
-    * (band, bh, id — the LSH buckets) and `docs/` (id, toks — the hashed
-    * token sets verification needs). Candidates come from the same
-    * (band, bh) bucket join as every LSH path in this file — work scales
-    * with shared buckets, never batch × store. The dropped-id set (≤ one
-    * batch) is pinned EAGERLY (localCheckpoint) before the batch's own
-    * rows append, so the lazily-consumed survivor frame can never see the
-    * batch in the store.
+    * The store is two segmented [[graft.store.SnapshotTable]]s under
+    * `storeDir`: `bands/` (band, bh, id — the LSH buckets) and `docs/`
+    * (id, toks — the hashed token sets verification needs), each appended
+    * via `appendReplacing` keyed on `batch_id` — so a REPLAYED batch id
+    * atomically replaces its own earlier registration (exactly-once under
+    * foreachBatch redelivery) and the probe excludes the batch's own
+    * `batch_id` to stay idempotent mid-replay. Candidates come from the
+    * same (band, bh) bucket join as every LSH path in this file — work
+    * scales with shared buckets, never batch × store. The dropped-id set
+    * (≤ one batch) is pinned EAGERLY (localCheckpoint) before the batch's
+    * own rows append, so the lazily-consumed survivor frame can never see
+    * the batch in the store.
     *
     * Scale notes: each batch shuffles the band log once for the bucket
-    * join; for a long-running ingest compact the logs periodically and/or
-    * put the band side behind an `exploded_bloom` [[graft.Index]] so a
-    * batch probes only candidate files. Single writer assumed (one
-    * ingest owns a store); ids must be unique across the ingest. */
+    * join (measured flat across batches at ×30 — BASELINE.md round 8);
+    * the segment count is bounded by the table's fold policy, and
+    * `SnapshotTable.compact()` on both tables is the maintenance hook.
+    * For corpus-scale stores put the band side behind an `exploded_bloom`
+    * [[graft.Index]] so a batch probes only candidate files. Single
+    * writer assumed (one ingest owns a store); ids must be unique across
+    * the ingest and batch ids must be unique per batch (a streaming
+    * query's epoch id is exactly that). */
   def nearDupIncrementalBatch(
       batch: DataFrame,
       idCol: String,
       textCol: String,
       storeDir: String,
       threshold: Double,
+      batchId: Long,
       numHashes: Int = 128,
       bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val spark = batch.sparkSession
-    val bandsDir = s"$storeDir/bands"
-    val docsDir = s"$storeDir/docs"
+    val bandsTbl = new graft.store.SnapshotTable(spark, s"$storeDir/bands")
+    val docsTbl = new graft.store.SnapshotTable(spark, s"$storeDir/docs")
+    val bid = batchId.toString
     val sigs = minhashSignatureArray(batch, idCol, textCol, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val batchToks = batch.select(col(idCol).as("__tid"),
@@ -568,37 +578,44 @@ object Dedup extends org.apache.spark.internal.Logging {
       batchToks, jaccardSortedHashed(col("__ta"), col("__tb")) >= threshold,
       sizeRatio = Some(threshold))
       .select(col("b_id").as("__drop"))
-    // (b) against the store: bucket-collide, then verify exactly
+    // (b) against the store: bucket-collide, then verify exactly. A
+    // replayed batch's OWN earlier registration is excluded, else every
+    // redelivered doc would collide with itself and the replay emit nothing
     val batchBuckets = sigs
       .select(col("__id"),
         graft.functions.VectorOps.bandHashes(col("__sig"), bands).as("__bands"))
       .select(col("__id"), posexplode(col("__bands")).as(Seq("band", "bh")))
-    val crossDrop =
-      if (!graft.store.Fs.hasDataFiles(spark, bandsDir))
+    val crossDrop = bandsTbl.read() match {
+      case None =>
         batchBuckets.where(lit(false)).select(col("__id").as("__drop"))
-      else {
-        val storeBands = spark.read.parquet(bandsDir)
-        val storeToks = spark.read.parquet(docsDir)
+      case Some(storeBands) =>
+        val storeToks = docsTbl.read().get.where(col("batch_id") =!= bid)
         batchBuckets
-          .join(storeBands.select(col("band"), col("bh"),
-            col("id").as("__sid")), Seq("band", "bh"))
+          .join(storeBands.where(col("batch_id") =!= bid)
+            .select(col("band"), col("bh"), col("id").as("__sid")),
+            Seq("band", "bh"))
           .select(col("__id"), col("__sid")).distinct()
           .join(batchToks.withColumnRenamed("__tid", "__id"), Seq("__id"))
           .join(storeToks.select(col("id").as("__sid"),
             col("toks").as("__stoks")), Seq("__sid"))
           .where(jaccardSortedHashed(col("__toks"), col("__stoks")) >= threshold)
           .select(col("__id").as("__drop"))
-      }
+    }
     // pin the (≤ batch-size) drop set BEFORE the batch reaches the store
     val dropped = inBatch.union(crossDrop).distinct().localCheckpoint()
-    // register the WHOLE batch — kept and dropped — then emit survivors
-    sigs.select(col("__id").as("id"),
-        graft.functions.VectorOps.bandHashes(col("__sig"), bands).as("__bands"))
-      .select(col("id"), posexplode(col("__bands")).as(Seq("band", "bh")))
-      .select("band", "bh", "id")
-      .write.mode("append").parquet(bandsDir)
-    batchToks.select(col("__tid").as("id"), col("__toks").as("toks"))
-      .write.mode("append").parquet(docsDir)
+    // register the WHOLE batch — kept and dropped — replacing any earlier
+    // registration of the same batch id; then emit survivors
+    bandsTbl.appendReplacing(
+      sigs.select(col("__id").as("id"),
+          graft.functions.VectorOps.bandHashes(col("__sig"), bands)
+            .as("__bands"))
+        .select(col("id"), posexplode(col("__bands")).as(Seq("band", "bh")))
+        .select(col("band"), col("bh"), col("id"), lit(bid).as("batch_id")),
+      "batch_id", Seq(bid))
+    docsTbl.appendReplacing(
+      batchToks.select(col("__tid").as("id"), col("__toks").as("toks"),
+        lit(bid).as("batch_id")),
+      "batch_id", Seq(bid))
     sigs.unpersist()
     batch.join(dropped.withColumnRenamed("__drop", idCol),
       Seq(idCol), "left_anti")

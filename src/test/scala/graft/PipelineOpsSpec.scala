@@ -879,6 +879,35 @@ class PipelineOpsSpec extends GraftSuite {
     assert(langs.subsetOf(Set("en", "es", "de", "fr", "und")))
   }
 
+  test("scriptSignals: dominant script per writing system; ratios; edge docs") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "hello latin world"),
+      (2L, "привет мир из москвы"),          // Cyrillic
+      (3L, "你好世界这是中文"),                 // Han
+      (4L, "مرحبا بالعالم"),                  // Arabic
+      (5L, "abcd пока"),                      // 4 latin vs 4 cyrillic tie
+      (6L, "1234 5678"),                      // digits only -> other
+      (7L, "")                                // empty -> other, null ratios
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.scriptSignals(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getAs[String]("script") == "latin")
+    assert(got(2L).getAs[String]("script") == "cyrillic")
+    assert(got(3L).getAs[String]("script") == "cjk")
+    assert(got(4L).getAs[String]("script") == "arabic")
+    assert(got(5L).getAs[String]("script") == "latin") // tie -> declaration order
+    assert(got(6L).getAs[String]("script") == "other")
+    assert(got(7L).getAs[String]("script") == "other")
+    assert(got(7L).isNullAt(got(7L).fieldIndex("latin_ratio")))
+    // exact ratio arithmetic on a known row: "你好世界这是中文" = 8 Han chars
+    assert(got(3L).getAs[Long]("n_chars") == 8L &&
+      got(3L).getAs[Double]("cjk_ratio") == 1.0)
+    val r6 = got(6L)
+    assert(r6.getAs[Double]("digit_ratio") == math.rint(8.0 / 9.0 * 1e6) / 1e6)
+  }
+
   test("quality ratios are single divisions of exact counts") {
     val q = TextAnalysis.quality(docs, "doc_id", "text")
     val row = q.where(col("n_tokens") > 0).first()

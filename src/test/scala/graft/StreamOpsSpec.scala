@@ -185,6 +185,32 @@ class StreamOpsSpec extends GraftSuite {
     assert(buf.size == buf.toSet.size)
   }
 
+  test("nearDupIncrementalBatch: replaying a batch id is exactly-once") {
+    import graft.operators.Dedup
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").where(col("doc_id") < 300)
+    val b0 = docs.where(col("doc_id") < 150)
+    val b1 = docs.where(col("doc_id") >= 150)
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val store = tmpDir("graft_neardup_replay_")
+    val r0 = ids(Dedup.nearDupIncrementalBatch(b0, "doc_id", "text", store,
+      0.95, batchId = 0))
+    // redelivery of batch 0: same survivors, registration replaced not doubled
+    val r0again = ids(Dedup.nearDupIncrementalBatch(b0, "doc_id", "text",
+      store, 0.95, batchId = 0))
+    assert(r0again == r0, "replay must re-emit the same survivors")
+    val r1 = ids(Dedup.nearDupIncrementalBatch(b1, "doc_id", "text", store,
+      0.95, batchId = 1))
+    // a store that never saw the replay gives the same downstream batch
+    val store2 = tmpDir("graft_neardup_replay2_")
+    val s0 = ids(Dedup.nearDupIncrementalBatch(b0, "doc_id", "text", store2,
+      0.95, batchId = 0))
+    val s1 = ids(Dedup.nearDupIncrementalBatch(b1, "doc_id", "text", store2,
+      0.95, batchId = 1))
+    assert(s0 == r0 && s1 == r1, "replay must not change later admissions")
+  }
+
   test("dedupFirstSeen on a batch frame equals the window reference") {
     import spark.implicits._
     val df = Seq((5L, "x"), (2L, "x"), (9L, "y"), (1L, "z"), (7L, "z"))
