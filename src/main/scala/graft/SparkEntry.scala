@@ -751,6 +751,39 @@ object SparkEntry {
           TextAnalysis.urlDomain(col("url")).as("domain"))
         .orderBy("doc_id", "url")
     }),
+    // URL canonicalization over synthesized messy URLs (mixed-case host,
+    // utm_/fbclid tracking params, fragments, bare root slash) — the
+    // URL-dedup key; the oracle replays the identical regexp chain
+    "q_url_canonical" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val synth = lk.documents.select(col("doc_id"),
+        concat(lit("go https://WWW."), col("lang"), lit(".Example.COM/Path/"),
+          col("doc_id").cast("string"), lit("?utm_source=x&id="),
+          col("doc_id").cast("string"), lit("&utm_medium=y#frag"),
+          lit(" and http://cdn."), col("source"),
+          lit(".example.org/?fbclid=z end")).as("text"))
+      TextAnalysis.extractUrls(synth, "doc_id", "text")
+        .select(col("doc_id"), col("url"),
+          TextAnalysis.canonicalUrl(col("url")).as("canonical"))
+        .orderBy("doc_id", "url")
+    }),
+    // domain-suffix blocklist filtering: hosts synthesized as
+    // {source}.site-{lang}.com, blocklist holds the registrable parents
+    // site-en.com / site-de.com — subdomain pages must fall; the oracle
+    // states the same semantics independently via exact-or-'.'-suffix
+    // matching (EXISTS ... LIKE), a structural differential for the
+    // suffix-expansion path
+    "q_blocklist" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val synth = lk.documents.select(col("doc_id"), col("lang"),
+        concat(lit("see https://"), col("source"), lit(".site-"),
+          col("lang"), lit(".com/p/"), col("doc_id").cast("string"),
+          lit(" ok")).as("text"))
+      val block = s.createDataFrame(
+        Seq(Tuple1("site-en.com"), Tuple1("site-de.com"))).toDF("domain")
+      TextAnalysis.blocklistFilter(synth, "doc_id", "text", block)
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
     // PII redaction (emails / IPv4 / long digit runs) over synthesized
     // PII-bearing text — same fixture discipline as q_url_domains
     "q_pii_redact" -> ((s, dir) => {
@@ -853,6 +886,18 @@ object SparkEntry {
       Sampling.mixCorpora(lk.documents, "lang", "doc_id",
         TextAnalysis.tokenCount(col("text")),
         Map("en" -> 0.5, "de" -> 0.25, "es" -> 0.25))
+        .select("doc_id", "lang").orderBy("doc_id")
+    }),
+    // temperature-scaled mixing (alpha sampling): natural token shares
+    // raised to alpha=0.5 — the mC4/XLM-R low-resource lift; en (the
+    // head) sheds mass, the smallest source keeps everything. The oracle
+    // recomputes totals -> p^alpha (rounded to 9) -> rates -> thresholds
+    // from scratch
+    "q_mix_temperature" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Sampling.mixCorporaTemperature(lk.documents, "lang", "doc_id",
+        TextAnalysis.tokenCount(col("text")),
+        Seq("en", "de", "es", "fr", "zh"), alpha = 0.5)
         .select("doc_id", "lang").orderBy("doc_id")
     }),
     // deterministic 80/10/10 split: hash-position assignment, stable under
@@ -2491,6 +2536,50 @@ object SparkEntry {
          SELECT doc_id, url,
            lower(regexp_extract(url, 'https?://([^/\s?#]+)', 1)) AS domain
          FROM u ORDER BY doc_id, url""",
+    // the identical canonicalization chain: strip fragment, drop tracking
+    // params keeping their delimiter, collapse separator seams, strip
+    // trailing ?/&, lowercase scheme+host only, collapse bare root slash
+    "q_url_canonical" ->
+      """WITH s AS (SELECT doc_id,
+             'go https://WWW.' || lang || '.Example.COM/Path/' || doc_id ||
+             '?utm_source=x&id=' || doc_id || '&utm_medium=y#frag' ||
+             ' and http://cdn.' || source || '.example.org/?fbclid=z end'
+               AS text
+           FROM documents),
+         u AS (SELECT doc_id,
+             unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url
+           FROM s),
+         c1 AS (SELECT doc_id, url,
+             regexp_replace(url, '#.*$', '', 'g') AS v FROM u),
+         c2 AS (SELECT doc_id, url, regexp_replace(v,
+             '([?&])(utm_[A-Za-z]+|fbclid|gclid|msclkid|yclid|igshid|mc_eid|spm)=[^&#]*',
+             '\1', 'g') AS v FROM c1),
+         c3 AS (SELECT doc_id, url, regexp_replace(regexp_replace(
+             regexp_replace(v, '&+', '&', 'g'), '\?&', '?', 'g'),
+             '[?&]$', '', 'g') AS v FROM c2),
+         c4 AS (SELECT doc_id, url,
+             lower(regexp_extract(v, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))
+               || regexp_replace(v, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*', '',
+                 'g') AS v FROM c3)
+         SELECT doc_id, url,
+           regexp_replace(v, '^(https?://[^/?#]+)/$', '\1', 'g') AS canonical
+         FROM c4 ORDER BY doc_id, url""",
+    // same semantics stated independently: a host is blocked iff it
+    // EQUALS a blocklist entry or ends with '.'+entry — the definition
+    // the Spark side's bounded suffix expansion implements
+    "q_blocklist" ->
+      """WITH s AS (SELECT doc_id, lang,
+             'see https://' || source || '.site-' || lang || '.com/p/' ||
+             doc_id || ' ok' AS text
+           FROM documents),
+         d AS (SELECT doc_id, lang,
+             lower(regexp_extract(text, 'https?://([^/\s?#]+)', 1)) AS dom
+           FROM s),
+         b(bd) AS (VALUES ('site-en.com'), ('site-de.com'))
+         SELECT doc_id, lang FROM d
+         WHERE NOT EXISTS (SELECT 1 FROM b
+           WHERE dom = bd OR dom LIKE '%.' || bd)
+         ORDER BY doc_id""",
     "q_pii_redact" ->
       """WITH s AS (SELECT doc_id,
                'contact ' || lang || doc_id || '@mail.example.com or 10.0.' ||
@@ -2819,6 +2908,29 @@ object SparkEntry {
                  wt * (SELECT t FROM total) / CAST(tok AS DOUBLE), 1.0)
                  * 4294967296.0), 4294967295.0) AS BIGINT))), 8, '0') AS th
              FROM tot JOIN w USING (src))
+         SELECT d.doc_id, d.lang FROM documents d
+         JOIN thr ON thr.src = d.lang
+         WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.th
+         ORDER BY d.doc_id""",
+    // temperature mixing: the full derivation chain — totals, grand sum,
+    // weight = round(p^0.5, 9), total = min(tok/w), clamped rates,
+    // floor-to-hex thresholds — recomputed from scratch
+    "q_mix_temperature" ->
+      """WITH tot AS (SELECT lang AS src,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok
+             FROM documents WHERE lang IN ('de','en','es','fr','zh')
+             GROUP BY 1),
+         g AS (SELECT CAST(SUM(tok) AS DOUBLE) AS grand FROM tot),
+         w AS (SELECT src, tok,
+               round(pow(CAST(tok AS DOUBLE) / (SELECT grand FROM g), 0.5),
+                 9) AS wt
+             FROM tot),
+         total AS (SELECT MIN(CAST(tok AS DOUBLE) / wt) AS t FROM w),
+         thr AS (SELECT src,
+               lpad(lower(to_hex(CAST(least(floor(least(
+                 wt * (SELECT t FROM total) / CAST(tok AS DOUBLE), 1.0)
+                 * 4294967296.0), 4294967295.0) AS BIGINT))), 8, '0') AS th
+             FROM w)
          SELECT d.doc_id, d.lang FROM documents d
          JOIN thr ON thr.src = d.lang
          WHERE substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.th

@@ -130,6 +130,16 @@ object GraftFunctions {
       "_FUNC_(text) - emails/phones/ssns replaced with typed placeholders",
       args => { checkArity("graft_redact_pii", args, 1)
         ex(TextAnalysis.redactPii(c(args(0)))) }),
+    ("graft_script",
+      "_FUNC_(text) - dominant Unicode script: latin/cyrillic/cjk/" +
+        "arabic/other (declaration-order tie-break)",
+      args => { checkArity("graft_script", args, 1)
+        ex(TextAnalysis.dominantScript(c(args(0)))) }),
+    ("graft_canonical_url",
+      "_FUNC_(url) - canonical URL: fragment + tracking params stripped, " +
+        "scheme/host lowercased, root slash collapsed",
+      args => { checkArity("graft_canonical_url", args, 1)
+        ex(TextAnalysis.canonicalUrl(c(args(0)))) }),
     ("graft_dedup_lines",
       "_FUNC_(text[, minLineChars]) - within-document repeated-line removal",
       args => { checkArity("graft_dedup_lines", args, 1, 2)

@@ -188,7 +188,56 @@ object Sampling {
       weights: Map[String, Double]): DataFrame = {
     require(weights.nonEmpty, "weights must be non-empty")
     require(weights.values.forall(_ > 0.0), "weights must be positive")
-    val sources = weights.keys.toSeq.sorted
+    val totals = sourceTokenTotals(df, sourceCol, tokenCol,
+      weights.keys.toSeq.sorted)
+    applyMixture(df, sourceCol, idCol, totals, weights)
+  }
+
+  /** Temperature-scaled corpus mixing (alpha sampling, the multilingual
+    * balancing rule published with XLM-R and mC4): target proportions are
+    * the NATURAL token proportions raised to `alpha` and renormalized —
+    * `alpha = 1` keeps the corpus as-is, `alpha = 0` asks for uniform
+    * shares, values in between (0.3 is the published mC4 default, 0.7
+    * XLM-R's) lift low-resource sources without letting the head sources
+    * drown them. Downsample-only, like [[mixCorpora]]: the mixture is the
+    * largest one where every source's sampling rate stays ≤ 1, so the
+    * most-lifted (lowest-resource) source keeps everything and the head
+    * sources shed mass. To UPsample the tail instead, feed the target
+    * weights this derives into [[repeatByWeight]].
+    *
+    * Determinism across engines: the only non-arithmetic step is
+    * `pow(p, alpha)`, whose last ulp may differ between libm
+    * implementations — the derived weight is rounded to 9 decimals
+    * (HALF_UP, matching SQL `round`) before the exact threshold
+    * arithmetic, so a DuckDB oracle replays the chain bit-for-bit.
+    * Same execution shape as [[mixCorpora]]: one bounded aggregate, then
+    * a pushdown-friendly deterministic hash filter. */
+  def mixCorporaTemperature(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      tokenCol: Column,
+      sources: Seq[String],
+      alpha: Double): DataFrame = {
+    require(sources.nonEmpty, "sources must be non-empty")
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0,1]")
+    val totals = sourceTokenTotals(df, sourceCol, tokenCol, sources.sorted)
+    val grand = totals.values.sum.toDouble
+    val weights = totals.map { case (s, tok) =>
+      s -> BigDecimal(math.pow(tok.toDouble / grand, alpha))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    applyMixture(df, sourceCol, idCol, totals, weights)
+  }
+
+  /** One bounded aggregate: per-source token totals (collect size = number
+    * of sources). Fails loudly on empty sources — a zero-token source has
+    * no achievable rate. */
+  private def sourceTokenTotals(
+      df: DataFrame,
+      sourceCol: String,
+      tokenCol: Column,
+      sources: Seq[String]): Map[String, Long] = {
     val totals = df.where(col(sourceCol).isin(sources: _*))
       .groupBy(col(sourceCol).as("__src"))
       .agg(sum(tokenCol).cast("long").as("__tok"))
@@ -196,6 +245,22 @@ object Sampling {
     val missing = sources.filterNot(s => totals.getOrElse(s, 0L) > 0L)
     require(missing.isEmpty,
       s"sources with no tokens cannot be mixed: ${missing.mkString(", ")}")
+    totals
+  }
+
+  /** Shared mixture application: largest mixture with every rate ≤ 1 —
+    * `total = min_s(tokens_s / weight_s)`, `rate_s = weight_s · total /
+    * tokens_s` (the limiting source keeps everything) — applied as the
+    * [[hashSample]] deterministic hex-threshold filter folded into one
+    * CASE expression: pushdown-friendly, rerun/repartition-stable.
+    * Sources outside `weights` are dropped. */
+  private def applyMixture(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      totals: Map[String, Long],
+      weights: Map[String, Double]): DataFrame = {
+    val sources = weights.keys.toSeq.sorted
     val total = sources.map(s => totals(s).toDouble / weights(s)).min
     // the limiting source's rate is 1 up to rounding: w·(tokens/w)/tokens
     // can land one ulp above 1.0, so clamp (oracle replicates via least())

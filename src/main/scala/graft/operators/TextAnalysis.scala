@@ -96,26 +96,37 @@ object TextAnalysis {
     * breaks ties: latin, cyrillic, cjk, arabic) or `other` when no
     * script character appears. Shuffle-free codegen'd scan — one pass at
     * any corpus size. */
-  def scriptSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
-    val n = length(t).cast("double")
-    def cnt(cls: String): Column =
-      length(regexp_replace(t, s"[^$cls]", "")).cast("long")
-    val scripts = Seq(
-      "latin" -> cnt("\\p{IsLatin}"),
-      "cyrillic" -> cnt("\\p{IsCyrillic}"),
-      "cjk" -> cnt("\\p{IsHan}"),
-      "arabic" -> cnt("\\p{IsArabic}"))
-    val digits = cnt("0-9")
-    // strict argmax in declaration order: first script with count > all
-    // later ones and >= none earlier beats it (the langId discipline)
-    val best = scripts.zipWithIndex.foldLeft(lit("other")) {
+  private def scriptCharCount(t: Column, cls: String): Column =
+    length(regexp_replace(t, s"[^$cls]", "")).cast("long")
+
+  private def scriptCounts(t: Column): Seq[(String, Column)] = Seq(
+    "latin" -> scriptCharCount(t, "\\p{IsLatin}"),
+    "cyrillic" -> scriptCharCount(t, "\\p{IsCyrillic}"),
+    "cjk" -> scriptCharCount(t, "\\p{IsHan}"),
+    "arabic" -> scriptCharCount(t, "\\p{IsArabic}"))
+
+  /** The dominant-script label alone (the [[scriptSignals]] `script`
+    * column, SQL-callable as `graft_script`): strict argmax in
+    * declaration order — first script with count > all later ones and
+    * that no earlier one beats (the langId discipline), `other` when no
+    * script character appears. */
+  def dominantScript(t: Column): Column = {
+    val scripts = scriptCounts(t)
+    scripts.zipWithIndex.foldLeft(lit("other")) {
       case (acc, ((name, c), i)) =>
         val beatsEarlier = scripts.take(i).map { case (_, c2) => c > c2 }
         val tiesLater = scripts.drop(i + 1).map { case (_, c2) => c >= c2 }
         val isBest = (beatsEarlier ++ tiesLater :+ (c > 0)).reduce(_ && _)
         when(isBest && acc === "other", lit(name)).otherwise(acc)
     }
+  }
+
+  def scriptSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val n = length(t).cast("double")
+    val scripts = scriptCounts(t)
+    val digits = scriptCharCount(t, "0-9")
+    val best = dominantScript(t)
     val ratioCols = scripts.map { case (name, c) =>
       when(length(t) > 0, round(c.cast("double") / n, 6))
         .as(s"${name}_ratio")
@@ -430,6 +441,89 @@ object TextAnalysis {
     * origins; strip it upstream if undesired). */
   def urlDomain(url: Column): Column =
     lower(regexp_extract(url, "https?://([^/\\s?#]+)", 1))
+
+  /** Canonical form of a URL for dedup/blocklist keys — the CommonCrawl
+    * normalization every web pipeline applies before URL-level dedup:
+    * fragment stripped, tracking query parameters removed (`utm_*`,
+    * `fbclid`, `gclid`, `msclkid`, `yclid`, `igshid`, `mc_eid`, `spm`),
+    * query separators re-balanced after the removals, trailing `?`/`&`
+    * dropped, scheme+host lowercased (path and query case preserved —
+    * paths are case-significant), and a bare root path collapsed
+    * (`http://a.com/` → `http://a.com`). Pure `regexp_replace`/
+    * `regexp_extract`/`concat` chain: codegen'd, one scan, replicable
+    * verbatim in any RE2/PCRE engine with the global-replace flag. */
+  def canonicalUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // drop each tracking param but KEEP its leading delimiter, so the
+    // next parameter's delimiter survives; then collapse runs and fix
+    // the '?&' seam the removals leave behind
+    val noTrack = regexp_replace(noFrag,
+      "([?&])(utm_[A-Za-z]+|fbclid|gclid|msclkid|yclid|igshid|mc_eid|spm)=[^&#]*",
+      "$1")
+    val collapsed = regexp_replace(
+      regexp_replace(regexp_replace(noTrack, "&+", "&"), "\\?&", "?"),
+      "[?&]$", "")
+    val pre = regexp_extract(collapsed, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)", 1)
+    val rest = regexp_replace(collapsed, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", "")
+    val lowered = concat(lower(pre), rest)
+    regexp_replace(lowered, "^(https?://[^/?#]+)/$", "$1")
+  }
+
+  /** All dot-suffixes of a registrable host with ≥ 2 labels (plus the
+    * host itself when it has only one): `a.b.example.com` →
+    * `[a.b.example.com, b.example.com, example.com]`. The expansion a
+    * suffix-mode blocklist needs — blocking `example.com` must catch
+    * every subdomain. Bounded by the label count (hosts have ≤ ~10
+    * labels); pure array arithmetic, no explode here — the caller
+    * decides whether to explode or `arrays_overlap`. */
+  def domainSuffixes(domain: Column): Column = {
+    val labels = split(domain, "\\.")
+    val n = size(labels)
+    when(n <= lit(2), array(domain)).otherwise(
+      transform(sequence(lit(1), n - 1),
+        i => array_join(slice(labels, i, n - i + 1), ".")))
+  }
+
+  /** Drop every row whose URL's host — or ANY parent domain of it — is in
+    * `blocklist` (one `domainField` string column of lowercase registrable
+    * domains): the standard badlist/licence/opt-out filtering step. Rows
+    * whose text has no URL are kept.
+    *
+    * Scale shape: suffix expansion is per-row array arithmetic (no
+    * explode-shuffle — the hit test is `arrays_overlap` against the
+    * COLLECTED blocklist when it fits the literal budget, else an
+    * exploded semi-join that Spark broadcasts for any realistically-sized
+    * blocklist), so the common path is a pure codegen'd filter that
+    * pushes down with the scan. */
+  def blocklistFilter(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      blocklist: DataFrame,
+      domainField: String = "domain",
+      maxLiteralDomains: Int = 10000): DataFrame = {
+    val doms = blocklist.select(col(domainField).cast("string")).distinct()
+    val nBlock = doms.limit(maxLiteralDomains + 1).count()
+    val urlDoms = regexp_extract_all(col(textCol),
+      lit("https?://([^/\\s?#]+)"), lit(1))
+    val suffixes = array_distinct(flatten(transform(urlDoms,
+      u => domainSuffixes(lower(u)))))
+    if (nBlock <= maxLiteralDomains) {
+      val literals = doms.collect().map(_.getString(0))
+      if (literals.isEmpty) df
+      else df.where(!coalesce( // null text extracts null → keep the row
+        arrays_overlap(suffixes, array(literals.toSeq.map(lit): _*)),
+        lit(false)))
+    } else {
+      val hits = df.select(col(idCol).as("__bid"),
+          explode(suffixes).as("__dom"))
+        .join(doms.select(col(domainField).as("__dom")), Seq("__dom"),
+          "left_semi")
+        .select(col("__bid")).distinct()
+      df.join(hits.withColumnRenamed("__bid", idCol), Seq(idCol),
+        "left_anti")
+    }
+  }
 
   /** PII redaction for training text: emails, IPv4 literals, and ≥7-digit
     * runs (phone-class) replaced by stable tokens, in that order (emails

@@ -908,6 +908,97 @@ class PipelineOpsSpec extends GraftSuite {
     assert(r6.getAs[Double]("digit_ratio") == math.rint(8.0 / 9.0 * 1e6) / 1e6)
   }
 
+  test("canonicalUrl: tracking params, fragments, case, seams, root slash") {
+    val s = spark
+    import s.implicits._
+    val cases = Seq(
+      // leading tracking param: '?utm' removed, next param promoted to '?'
+      ("https://WWW.Ex.COM/Path?utm_source=a&id=7&utm_medium=b#frag",
+        "https://www.ex.com/Path?id=7"),
+      // only tracking params -> whole query gone
+      ("http://a.Com/p?fbclid=x&gclid=y", "http://a.com/p"),
+      // root slash collapses; host lowercased
+      ("http://CDN.Example.ORG/?igshid=z", "http://cdn.example.org"),
+      // clean URL passes through except host case; path case preserved
+      ("https://Ex.com/CaseSensitive/Path?a=1&b=2",
+        "https://ex.com/CaseSensitive/Path?a=1&b=2"),
+      // fragment alone
+      ("https://ex.com/p#sec-2", "https://ex.com/p"),
+      // deep path trailing slash NOT stripped (only bare root)
+      ("https://ex.com/a/b/", "https://ex.com/a/b/"),
+      // tracking param mid-query between real params
+      ("https://ex.com/p?a=1&utm_campaign=c&b=2", "https://ex.com/p?a=1&b=2"))
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), TextAnalysis.canonicalUrl(col("url")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"canonicalUrl($in) = ${got(in)}, want $want")
+    }
+  }
+
+  test("domainSuffixes: bounded suffix chains down to the 2-label parent") {
+    val s = spark
+    import s.implicits._
+    val got = Seq("a.b.example.com", "example.com", "localhost")
+      .toDF("d")
+      .select(col("d"), TextAnalysis.domainSuffixes(col("d")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(got("a.b.example.com") ==
+      Seq("a.b.example.com", "b.example.com", "example.com"))
+    assert(got("example.com") == Seq("example.com"))
+    assert(got("localhost") == Seq("localhost"))
+  }
+
+  test("blocklistFilter: subdomains fall, literal and join paths agree") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (1L, "see https://x.bad.com/p ok"),       // subdomain of blocked
+      (2L, "see https://bad.com ok"),            // exact blocked
+      (3L, "see https://notbad.com/p ok"),       // suffix of name, NOT dot-suffix
+      (4L, "see https://good.org/p ok"),         // clean
+      (5L, "no url here"),                       // no URL -> kept
+      (6L, null.asInstanceOf[String]))           // null text -> kept
+      .toDF("doc_id", "text")
+    val block = Seq("bad.com", "ads.example.org").toDF("domain")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      d.select("doc_id").collect().map(_.getLong(0)).toSet
+    val lit = ids(TextAnalysis.blocklistFilter(df, "doc_id", "text", block))
+    val join = ids(TextAnalysis.blocklistFilter(df, "doc_id", "text", block,
+      maxLiteralDomains = 0))
+    assert(lit == Set(3L, 4L, 5L, 6L), s"got $lit")
+    assert(join == lit, "literal and join paths must agree")
+  }
+
+  test("mixCorporaTemperature: smallest source keeps all; head sheds with alpha") {
+    val docsDf = docs.select(col("doc_id"), col("lang"), col("text"))
+    def keptBySource(alpha: Double): Map[String, Long] =
+      Sampling.mixCorporaTemperature(docsDf, "lang", "doc_id",
+        TextAnalysis.tokenCount(col("text")),
+        Seq("en", "de", "es", "fr", "zh"), alpha)
+        .groupBy("lang").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = docsDf.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val toks = docsDf.groupBy("lang")
+      .agg(sum(TextAnalysis.tokenCount(col("text"))).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k05 = keptBySource(0.5)
+    val k02 = keptBySource(0.2)
+    // the lowest-TOKEN source's rate is exactly 1 -> every row survives
+    val smallest = Seq("en", "de", "es", "fr", "zh").minBy(toks)
+    assert(k05(smallest) == rows(smallest))
+    // the head source sheds more as alpha drops toward uniform
+    val head = Seq("en", "de", "es", "fr", "zh").maxBy(toks)
+    assert(k02.getOrElse(head, 0L) < k05(head))
+    assert(k05(head) < rows(head))
+    // alpha bounds enforced
+    intercept[IllegalArgumentException] {
+      Sampling.mixCorporaTemperature(docsDf, "lang", "doc_id",
+        TextAnalysis.tokenCount(col("text")), Seq("en"), 1.5)
+    }
+  }
+
   test("quality ratios are single divisions of exact counts") {
     val q = TextAnalysis.quality(docs, "doc_id", "text")
     val row = q.where(col("n_tokens") > 0).first()

@@ -38,7 +38,10 @@ class SqlFunctionsSpec extends GraftSuite {
            graft_c4_passes(text) AS c4,
            graft_c4_clean(text) AS c4_clean,
            graft_zvalue(doc_id % 16, doc_id % 11, 4) AS zv,
-           graft_hilbert(doc_id % 16, doc_id % 11, 4) AS hv
+           graft_hilbert(doc_id % 16, doc_id % 11, 4) AS hv,
+           graft_script(text) AS script,
+           graft_canonical_url('https://WWW.Ex.COM/P/' || doc_id ||
+             '?utm_source=x&id=' || doc_id || '#f') AS curl
          FROM sqlfn_docs""")
     val viaApi = docs.select(col("doc_id"),
       TextAnalysis.langId(col("text")).as("lang_id"),
@@ -59,7 +62,11 @@ class SqlFunctionsSpec extends GraftSuite {
       graft.operators.Layout.zValue(
         Seq(col("doc_id") % 16, col("doc_id") % 11), 4).as("zv"),
       graft.functions.HilbertIndexExpr.hilbertIndex(
-        col("doc_id") % 16, col("doc_id") % 11, 4).as("hv"))
+        col("doc_id") % 16, col("doc_id") % 11, 4).as("hv"),
+      TextAnalysis.dominantScript(col("text")).as("script"),
+      TextAnalysis.canonicalUrl(concat(lit("https://WWW.Ex.COM/P/"),
+        col("doc_id").cast("string"), lit("?utm_source=x&id="),
+        col("doc_id").cast("string"), lit("#f"))).as("curl"))
     assertSameRows(viaSql, viaApi)
   }
 
