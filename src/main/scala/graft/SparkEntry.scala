@@ -1496,6 +1496,29 @@ object SparkEntry {
       Dedup.keepFirst(lk.embeddings.select("vec_id", "label"), "vec_id", pairs)
         .orderBy("vec_id")
     }),
+    // margin-criterion pair mining (Artetxe & Schwenk ratio margin):
+    // forward top-4 pairs src->tgt whose cosine clears both sides'
+    // k-NN-average normalizer — the oracle replays both scored top-k
+    // directions, the rank-ordered list_reduce averages, and the margin
+    "q_margin_mine" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Similarity.marginMine(
+        lk.embeddings.where(col("vec_id") < 50),
+        lk.embeddings.where(col("vec_id") >= 50 && col("vec_id") < 250),
+        "vec_id", "embedding", k = 4, minMargin = 1.0)
+        .orderBy("src_id", "tgt_id")
+    }),
+    // embedding-space decontamination: train rows within cosine 0.4 of
+    // any eval vector fall — broadcast nested-loop anti join, oracled as
+    // NOT EXISTS over the same cosine arithmetic
+    "q_decontaminate_semantic" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Similarity.semanticDecontaminate(
+        lk.embeddings.where(col("vec_id") >= 60),
+        lk.embeddings.where(col("vec_id") < 60),
+        "vec_id", "embedding", threshold = 0.4)
+        .select("vec_id", "label").orderBy("vec_id")
+    }),
     // ---- SQL surface (DSv2 catalog + Catalyst join rewrite) ---------------
     "q_sql_where" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
@@ -3361,6 +3384,61 @@ object SparkEntry {
          SELECT em.vec_id, em.label FROM embeddings em
          WHERE em.vec_id NOT IN (SELECT b_id FROM pairs)
          ORDER BY em.vec_id""",
+    // both scored top-k directions, rank-ordered list_reduce averages
+    // (same left-to-right float fold as the Spark aggregate()), margin
+    // filter on the UNROUNDED value, round(6) at the edge
+    "q_margin_mine" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         s AS (SELECT vec_id, v FROM e WHERE vec_id < 50),
+         t AS (SELECT vec_id, v FROM e WHERE vec_id >= 50 AND vec_id < 250),
+         fwd AS (SELECT * FROM (
+             SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+                    list_dot_product(s.v, t.v) /
+                    (sqrt(list_dot_product(s.v, s.v)) *
+                     sqrt(list_dot_product(t.v, t.v))) AS cs,
+                    row_number() OVER (PARTITION BY s.vec_id
+                      ORDER BY list_dot_product(s.v, t.v) /
+                        (sqrt(list_dot_product(s.v, s.v)) *
+                         sqrt(list_dot_product(t.v, t.v))) DESC,
+                        t.vec_id) AS rk
+             FROM s, t) WHERE rk <= 4),
+         bwd AS (SELECT * FROM (
+             SELECT t.vec_id AS tgt_id, s.vec_id AS src_id,
+                    list_dot_product(t.v, s.v) /
+                    (sqrt(list_dot_product(t.v, t.v)) *
+                     sqrt(list_dot_product(s.v, s.v))) AS cs,
+                    row_number() OVER (PARTITION BY t.vec_id
+                      ORDER BY list_dot_product(t.v, s.v) /
+                        (sqrt(list_dot_product(t.v, t.v)) *
+                         sqrt(list_dot_product(s.v, s.v))) DESC,
+                        s.vec_id) AS rk
+             FROM t, s) WHERE rk <= 4),
+         af AS (SELECT src_id,
+                  list_reduce(list(cs ORDER BY rk), (a, b) -> a + b) /
+                    count(*) AS af
+                FROM fwd GROUP BY src_id),
+         ab AS (SELECT tgt_id,
+                  list_reduce(list(cs ORDER BY rk), (a, b) -> a + b) /
+                    count(*) AS ab
+                FROM bwd GROUP BY tgt_id)
+         SELECT f.src_id, f.tgt_id, round(f.cs, 6) AS cosine,
+                round(f.cs / ((af.af + ab.ab) / 2), 6) AS margin
+         FROM fwd f JOIN af USING (src_id) JOIN ab USING (tgt_id)
+         WHERE f.cs / ((af.af + ab.ab) / 2) >= 1.0
+         ORDER BY src_id, tgt_id""",
+    // NOT EXISTS over the identical cosine arithmetic = the broadcast
+    // nested-loop anti join's semantics
+    "q_decontaminate_semantic" ->
+      """WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] v
+               FROM embeddings),
+         ev AS (SELECT v FROM e WHERE vec_id < 60),
+         tr AS (SELECT vec_id, label, v FROM e WHERE vec_id >= 60)
+         SELECT t.vec_id, t.label FROM tr t
+         WHERE NOT EXISTS (SELECT 1 FROM ev
+           WHERE list_dot_product(t.v, ev.v) /
+                 (sqrt(list_dot_product(t.v, t.v)) *
+                  sqrt(list_dot_product(ev.v, ev.v))) >= 0.4)
+         ORDER BY t.vec_id""",
     "q_sql_where" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
           WHERE o_custkey IN ${inList(CustKeys)} ORDER BY o_orderkey""",

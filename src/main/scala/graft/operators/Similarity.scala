@@ -861,6 +861,113 @@ object Similarity {
     * farthest-from-centroid first, the paper's choice).
     *
     * Returns the kept rows of `df`, schema unchanged. */
+  /** Scored top-k — the [[topK]]/[[ivfTopK]] candidate+score+rank stage,
+    * but KEEPING the cosine (margin mining needs the k-NN similarities,
+    * not just the ranks). Brute cross-score against broadcast queries
+    * when `cs` is None (caller guards), IVF cell-routed otherwise (same
+    * shape as [[ivfTopK]]: corpus rows live in their 1 nearest cell,
+    * queries probe `nProbe`). */
+  private def scoredTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      cs: Option[graft.functions.CentroidSet],
+      nProbe: Int): DataFrame = {
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__vq"),
+      norm(col(vecCol)).as("__nq"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__vc"),
+      norm(col(vecCol)).as("__nc"))
+    val joined = cs match {
+      case None =>
+        val n = corpus.sparkSession.conf
+          .get("spark.sql.shuffle.partitions", "32").toInt
+        broadcast(qv).join(cv.repartition(n),
+          col("query_id") =!= col("neighbor_id"))
+      case Some(c) =>
+        val corpusCells = ivfAssign(corpus, idCol, vecCol, c, nProbe = 1)
+          .select(col("__cid"), col("__id").as("neighbor_id"))
+        val queryCells = ivfAssign(queries, idCol, vecCol, c, nProbe)
+          .select(col("__cid"), col("__id").as("query_id"))
+        queryCells.join(corpusCells, Seq("__cid"))
+          .where(col("query_id") =!= col("neighbor_id"))
+          .select("query_id", "neighbor_id").distinct()
+          .join(broadcast(qv), Seq("query_id"))
+          .join(cv, Seq("neighbor_id"))
+    }
+    val scored = joined.withColumn("__sim",
+      dot(col("__vq"), col("__vc")) / (col("__nq") * col("__nc")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("__sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("__sim"), col("rank"))
+  }
+
+  /** Margin-criterion pair mining between two embedding corpora — the
+    * ratio margin of Artetxe & Schwenk 2019 (the LASER/CCMatrix bitext
+    * mining rule, equally the standard for mining aligned text⇄text or
+    * text⇄image training pairs): a candidate pair (x, y) scores
+    * `cos(x,y) / ((avgNN_k(x, tgt) + avgNN_k(y, src)) / 2)` — cosine
+    * normalized by both sides' k-NN similarity neighborhoods, which
+    * cancels hubness (a vector that is close to EVERYTHING earns no
+    * margin). Emits the forward top-k candidates with `margin >=
+    * minMargin` (1.0 = above-average only; published mining uses
+    * ~1.05-1.06).
+    *
+    * `nCells = 0` scores brute-force (guarded past the row limit);
+    * `nCells > 0` routes candidates through the shared IVF quantizer
+    * (trained on `tgt`, or pass one) in BOTH directions — the corpus-
+    * scale path; with `nProbe = nCells` it reproduces brute exactly
+    * (spec-pinned). k-NN averages fold in rank order (sequential
+    * `aggregate` over the sorted sims) so the float sum is
+    * order-deterministic and engine-replicable. */
+  def marginMine(
+      src: DataFrame,
+      tgt: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      minMargin: Double = 1.0,
+      nCells: Int = 0,
+      nProbe: Int = 2,
+      trainIters: Int = 0,
+      quantizer: Option[graft.functions.CentroidSet] = None): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val cs =
+      if (nCells > 0)
+        Some(quantizer.getOrElse(
+          centroidSetFor(tgt, idCol, vecCol, nCells, trainIters)))
+      else {
+        guardBruteForce(src, "Similarity.marginMine", "marginMine(nCells > 0)")
+        guardBruteForce(tgt, "Similarity.marginMine", "marginMine(nCells > 0)")
+        None
+      }
+    val fwd = scoredTopK(tgt, src, idCol, vecCol, k, cs, nProbe)
+    val bwd = scoredTopK(src, tgt, idCol, vecCol, k, cs, nProbe)
+    // ordered fold: sims summed in rank order, not partial-merge order
+    def knnAvg(d: DataFrame, keyOut: String, out: String) =
+      d.groupBy(col("query_id").as(keyOut))
+        .agg((aggregate(
+          array_sort(collect_list(struct(col("rank"), col("__sim")))),
+          lit(0.0), (acc, s) => acc + s.getField("__sim")) /
+            count(lit(1))).as(out))
+    val avgF = knnAvg(fwd, "src_id", "__af")
+    val avgB = knnAvg(bwd, "tgt_id", "__ab")
+    fwd.select(col("query_id").as("src_id"),
+        col("neighbor_id").as("tgt_id"), col("__sim"))
+      .join(avgF, Seq("src_id"))
+      .join(avgB, Seq("tgt_id"))
+      .withColumn("__margin",
+        col("__sim") / ((col("__af") + col("__ab")) / lit(2.0)))
+      .where(col("__margin") >= minMargin)
+      .select(col("src_id"), col("tgt_id"),
+        round(col("__sim"), 6).as("cosine"),
+        round(col("__margin"), 6).as("margin"))
+  }
+
   def semDeDup(
       df: DataFrame,
       idCol: String,
@@ -900,5 +1007,41 @@ object Similarity {
       .select(col("__bid").as(idCol)).distinct()
       .repartition(n, col(idCol))
     df.join(removed, Seq(idCol), "left_anti")
+  }
+
+  /** Embedding-space decontamination: drop every `train` row whose vector
+    * is within cosine `threshold` of ANY `eval` vector — the semantic
+    * complement of the n-gram decontamination family (paraphrased or
+    * reformatted benchmark leakage that shares no 13-gram still sits next
+    * to its source in embedding space). Eval benchmark sets are small by
+    * nature, so the scale shape is a broadcast nested-loop ANTI join:
+    * eval broadcasts once, every train partition streams through it
+    * independently (no shuffle, no aggregate), and a train row exits on
+    * the FIRST eval hit. Cost is |train| · |eval| codegen'd dot products,
+    * embarrassingly parallel and linear in the corpus; `maxEvalRows`
+    * (bounded limit+1 count, never a full pass) refuses eval sides too
+    * big to broadcast — cluster them down or use [[semDeDup]] machinery
+    * first. */
+  def semanticDecontaminate(
+      train: DataFrame,
+      eval: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      maxEvalRows: Int = 1000000): DataFrame = {
+    require(threshold > -1.0 && threshold < 1.0,
+      s"threshold $threshold must be a cosine in (-1, 1)")
+    val nEval = eval.limit(maxEvalRows + 1).count()
+    require(nEval <= maxEvalRows,
+      s"eval side has > $maxEvalRows rows - too big to broadcast; " +
+        "reduce it (cluster/sample) or raise maxEvalRows")
+    val ev = eval.select(col(vecCol).as("__ev"),
+      norm(col(vecCol)).as("__en"))
+    val withNorm = train.withColumn("__tn", norm(col(vecCol)))
+    withNorm.join(broadcast(ev),
+        dot(col(vecCol), col("__ev")) / (col("__tn") * col("__en")) >=
+          lit(threshold),
+        "left_anti")
+      .drop("__tn")
   }
 }

@@ -2309,4 +2309,84 @@ class PipelineOpsSpec extends GraftSuite {
       assert(rows.map(_._3).sorted.toSeq == (1 to rows.length))
     }
   }
+
+  test("marginMine: driver replay of the ratio margin; IVF allProbe == brute") {
+    val src = emb.where(col("vec_id") < 8)
+    val tgt = emb.where(col("vec_id") >= 8 && col("vec_id") < 40)
+    val k = 3
+    val got = Similarity.marginMine(src, tgt, "vec_id", "embedding", k,
+      minMargin = 0.0) // no filter: compare the whole candidate frame
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getDouble(3))).toSet
+    // driver replay on collected vectors
+    def vecs(d: org.apache.spark.sql.DataFrame) = d
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val sv = vecs(src); val tv = vecs(tgt)
+    def knn(q: (Long, Array[Double]), corpus: Seq[(Long, Array[Double])]) =
+      corpus.filter(_._1 != q._1).map { case (id, v) => (id, cos(q._2, v)) }
+        .sortBy { case (id, s) => (-s, id) }.take(k)
+    val avgF = sv.map(q => q._1 -> { val nn = knn(q, tv.toSeq)
+      nn.map(_._2).foldLeft(0.0)(_ + _) / nn.length }).toMap
+    val avgB = tv.map(q => q._1 -> { val nn = knn(q, sv.toSeq)
+      nn.map(_._2).foldLeft(0.0)(_ + _) / nn.length }).toMap
+    val want = sv.flatMap { q =>
+      knn(q, tv.toSeq).map { case (tid, c) =>
+        (q._1, tid, math.rint(c * 1e6) / 1e6,
+          math.rint(c / ((avgF(q._1) + avgB(tid)) / 2) * 1e6) / 1e6)
+      }
+    }.toSet
+    assert(got == want, s"diff=${(got diff want) ++ (want diff got)}")
+    // scale path: every cell probed reproduces brute exactly
+    val brute = Similarity.marginMine(src, tgt, "vec_id", "embedding", k,
+      minMargin = 1.0)
+    val ivfAll = Similarity.marginMine(src, tgt, "vec_id", "embedding", k,
+      minMargin = 1.0, nCells = 8, nProbe = 8)
+    assertSameRows(ivfAll, brute)
+    // the emitted frame honors the margin floor
+    brute.collect().foreach(r => assert(r.getDouble(3) >= 1.0))
+  }
+
+  test("semanticDecontaminate: NOT-EXISTS replay, no shuffle, eval guard") {
+    val evalSide = emb.where(col("vec_id") < 30)
+    val train = emb.where(col("vec_id") >= 30)
+    val kept = Similarity.semanticDecontaminate(train, evalSide,
+      "vec_id", "embedding", threshold = 0.4)
+    def vecs(d: org.apache.spark.sql.DataFrame) = d
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ev = vecs(evalSide)
+    val want = vecs(train).collect {
+      case (id, v) if !ev.exists { case (_, e) => cos(v, e) >= 0.4 } => id
+    }.toSet
+    val got = kept.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == want, s"missing=${want diff got} extra=${got diff want}")
+    assert(got.size < vecs(train).length,
+      "fixture must actually drop something")
+    // broadcast nested-loop anti join: no exchange other than broadcast
+    val plan = kept.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(500))
+    assert(!plan.contains("Exchange hashpartitioning"),
+      "semantic decontamination must not shuffle the corpus")
+    // eval sides too big to broadcast are refused with a bounded count
+    val e = intercept[IllegalArgumentException] {
+      Similarity.semanticDecontaminate(train, emb, "vec_id", "embedding",
+        0.4, maxEvalRows = 10)
+    }
+    assert(e.getMessage.contains("broadcast"))
+  }
 }
