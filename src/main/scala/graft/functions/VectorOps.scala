@@ -695,6 +695,73 @@ object NProbeNearestCells {
   }
 }
 
+/** Maximum cosine of a vector against a broadcast reference set — ONE
+  * codegen'd scan expression, the per-row form of "is this vector within
+  * cosine τ of ANY reference vector" (streaming semantic decontamination,
+  * centroid-radius gates). Same reference-object pattern and identical
+  * position-ordered double arithmetic as [[NProbeNearestCells]]; null for
+  * a null input or an empty reference set. */
+case class MaxCosineToSet(child: Expression, cs: CentroidSet)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"MaxCosineToSet expects array<float>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    if (cs.size == 0) null
+    else MaxCosineToSet.compute(input.asInstanceOf[ArrayData], cs)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val csRef = ctx.addReferenceObj("refVectors", cs,
+      "graft.functions.CentroidSet")
+    if (cs.size == 0) {
+      val nullSafe = nullSafeCodeGen(ctx, ev, _ => s"${ev.isNull} = true;")
+      nullSafe
+    } else defineCodeGen(ctx, ev, a =>
+      s"graft.functions.MaxCosineToSet.compute($a, $csRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MaxCosineToSet =
+    copy(child = newChild)
+}
+
+object MaxCosineToSet {
+  /** Called from both interpreted eval and generated code. */
+  def compute(v: ArrayData, cs: CentroidSet): Double = {
+    val n = v.numElements()
+    var vv = 0.0
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i)) { val x = v.getFloat(i).toDouble; vv += x * x }
+      i += 1
+    }
+    val nv = math.sqrt(vv)
+    var best = Double.NegativeInfinity
+    var c = 0
+    while (c < cs.size) {
+      val cv = cs.vecs(c)
+      val m = math.min(n, cv.length)
+      var d = 0.0
+      var j = 0
+      while (j < m) {
+        if (!v.isNullAt(j)) d += v.getFloat(j).toDouble * cv(j).toDouble
+        j += 1
+      }
+      val sim = d / (nv * cs.norms(c))
+      if (java.lang.Double.compare(sim, best) > 0) best = sim
+      c += 1
+    }
+    best
+  }
+}
+
 object VectorOps {
   /** Codegen'd dot(a, b) over float-array columns. */
   def dotF(a: Column, b: Column): Column =
@@ -749,4 +816,8 @@ object VectorOps {
   def nearestCells(vec: Column, cs: CentroidSet, nProbe: Int): Column =
     GraftSqlBridge.column(NProbeNearestCells(
       GraftSqlBridge.expression(vec), cs, nProbe))
+
+  /** Codegen'd max cosine against a broadcast reference vector set. */
+  def maxCosineToSet(vec: Column, cs: CentroidSet): Column =
+    GraftSqlBridge.column(MaxCosineToSet(GraftSqlBridge.expression(vec), cs))
 }

@@ -184,6 +184,35 @@ object StreamOps {
     else scored.where(col(outCol) <= maxPerplexity)
   }
 
+  /** Streaming embedding-space decontamination: the stateless twin of
+    * [[graft.operators.Similarity.semanticDecontaminate]] — the eval
+    * vectors are collected ONCE (bounded, like [[decontaminateFilter]]'s
+    * window collect), broadcast as a reference set, and every streamed
+    * row is gated by one codegen'd max-cosine walk
+    * ([[graft.functions.MaxCosineToSet]]): no state store, no join, no
+    * watermark — any output mode. Rows with a null vector pass (they
+    * cannot be contaminated); batch ≡ stream is spec-pinned. */
+  def semanticDecontaminateFilter(
+      stream: DataFrame,
+      vecCol: String,
+      eval: DataFrame,
+      evalVecCol: String,
+      threshold: Double,
+      maxEvalRows: Int = 1000000): DataFrame = {
+    require(threshold > -1.0 && threshold < 1.0,
+      s"threshold $threshold must be a cosine in (-1, 1)")
+    val rows = eval.select(col(evalVecCol)).limit(maxEvalRows + 1).collect()
+    require(rows.length <= maxEvalRows,
+      s"eval side has > $maxEvalRows rows - too big to broadcast; " +
+        "reduce it (cluster/sample) or raise maxEvalRows")
+    val cs = new graft.functions.CentroidSet(
+      rows.map(_.getSeq[Float](0).toArray))
+    stream.where(!coalesce(
+      graft.functions.VectorOps.maxCosineToSet(col(vecCol), cs) >=
+        lit(threshold),
+      lit(false)))
+  }
+
   /** Streaming Gopher quality gate: the same pure boolean predicate as
     * [[graft.operators.TextAnalysis.gopherFilter]] — per-row codegen'd
     * HOF arithmetic, no state store, no watermark, any output mode. A

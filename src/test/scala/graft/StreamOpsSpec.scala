@@ -255,6 +255,50 @@ class StreamOpsSpec extends GraftSuite {
     assert(survived.toSet == want)
   }
 
+  test("semanticDecontaminateFilter == batch semanticDecontaminate") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val all = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toSeq
+    val evalDf = all.filter(_._1 < 30).toDF("vec_id", "embedding")
+    val corpus = all.filter(_._1 >= 30)
+
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val stream = mem.toDF().toDF("vec_id", "embedding")
+    val survived = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamOps.semanticDecontaminateFilter(stream, "embedding",
+        evalDf, "embedding", threshold = 0.4)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        survived.synchronized {
+          survived ++= b.select("vec_id").collect().map(_.getLong(0)) }
+        ()
+      }
+      .option("checkpointLocation", tmpDir("graft_semdecon_ckpt_")).start()
+    try {
+      val (b1, b2) = corpus.splitAt(corpus.size / 2)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val want = graft.operators.Similarity.semanticDecontaminate(
+        corpus.toDF("vec_id", "embedding"), evalDf, "vec_id", "embedding",
+        threshold = 0.4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(want.nonEmpty && want.size < corpus.size,
+      "fixture must actually drop something")
+    assert(survived.toSet == want)
+
+    // a null vector cannot be contaminated - it passes the gate
+    val withNull = Seq((1L, Seq(1.0f, 0.0f)),
+        (2L, null.asInstanceOf[Seq[Float]]))
+      .toDF("vec_id", "embedding")
+    val keptNull = StreamOps.semanticDecontaminateFilter(withNull,
+      "embedding", evalDf, "embedding", threshold = -0.99)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(keptNull.contains(2L), "null vector must pass")
+  }
+
   test("decontaminateFilter: probe over the window budget fails loudly") {
     import spark.implicits._
     val probeDf = Seq((1L, "a b c d")).toDF("doc_id", "text")
