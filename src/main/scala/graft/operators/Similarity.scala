@@ -874,7 +874,8 @@ object Similarity {
       vecCol: String,
       k: Int,
       cs: Option[graft.functions.CentroidSet],
-      nProbe: Int): DataFrame = {
+      nProbe: Int,
+      broadcastQueries: Boolean = true): DataFrame = {
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("__vq"),
       norm(col(vecCol)).as("__nq"))
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__vc"),
@@ -883,17 +884,25 @@ object Similarity {
       case None =>
         val n = corpus.sparkSession.conf
           .get("spark.sql.shuffle.partitions", "32").toInt
-        broadcast(qv).join(cv.repartition(n),
-          col("query_id") =!= col("neighbor_id"))
+        if (broadcastQueries)
+          broadcast(qv).join(cv.repartition(n),
+            col("query_id") =!= col("neighbor_id"))
+        else // corpus is the small side here — broadcast it instead
+          qv.repartition(n).join(broadcast(cv),
+            col("query_id") =!= col("neighbor_id"))
       case Some(c) =>
         val corpusCells = ivfAssign(corpus, idCol, vecCol, c, nProbe = 1)
           .select(col("__cid"), col("__id").as("neighbor_id"))
         val queryCells = ivfAssign(queries, idCol, vecCol, c, nProbe)
           .select(col("__cid"), col("__id").as("query_id"))
+        // margin mining runs this with queries = the small src side (fwd,
+        // broadcastQueries) AND queries = the big corpus side (bwd, plain
+        // equi-joins — AQE picks the build side, so the bwd pass never
+        // tries to broadcast the corpus)
         queryCells.join(corpusCells, Seq("__cid"))
           .where(col("query_id") =!= col("neighbor_id"))
           .select("query_id", "neighbor_id").distinct()
-          .join(broadcast(qv), Seq("query_id"))
+          .join(if (broadcastQueries) broadcast(qv) else qv, Seq("query_id"))
           .join(cv, Seq("neighbor_id"))
     }
     val scored = joined.withColumn("__sim",
@@ -946,7 +955,8 @@ object Similarity {
         None
       }
     val fwd = scoredTopK(tgt, src, idCol, vecCol, k, cs, nProbe)
-    val bwd = scoredTopK(src, tgt, idCol, vecCol, k, cs, nProbe)
+    val bwd = scoredTopK(src, tgt, idCol, vecCol, k, cs, nProbe,
+      broadcastQueries = false) // queries = the BIG corpus side here
     // ordered fold: sims summed in rank order, not partial-merge order
     def knnAvg(d: DataFrame, keyOut: String, out: String) =
       d.groupBy(col("query_id").as(keyOut))

@@ -55,6 +55,7 @@ object ScaleBench {
       else if (mode == "winidx") lk.documentsFiles // split only; builds ARE the bench
       else if (mode == "pq") () // embeddings only; no index fixtures needed
       else if (mode == "curate") () // raw docs/events only; no index fixtures
+      else if (mode == "mine") () // embeddings only; no index fixtures
       else lk.prebuild()
       lk
     }
@@ -273,6 +274,46 @@ object ScaleBench {
     }
     if (mode == "curate") {
       curateSection()
+      emit(results, counts, sfDir); spark.stop(); return
+    }
+    // r8 third wave: margin mining + embedding-space decontamination over
+    // the ×30 embeddings — IVF-routed candidates in both directions for
+    // ~1k queries against the full corpus, and the broadcast nested-loop
+    // eval gate over all remaining rows (batch) plus its per-row
+    // max-cosine expression twin (the streaming serving path).
+    if (mode == "mine") {
+      val emb = lake.embeddings.cache()
+      counts("x_vectors") = emb.count()
+      val src = emb.where(pmod(col("vec_id"), lit(150)) === 0)
+      val tgt = emb.where(pmod(col("vec_id"), lit(150)) =!= 0)
+      var csH: graft.functions.CentroidSet = null
+      bench("x_mine_train") {
+        csH = Similarity.trainCentroidSet(tgt, "vec_id", "embedding",
+          nCells = 64, iters = 1)._1
+        csH.size.toLong
+      }
+      bench("q_margin_mine_ivf") {
+        Similarity.marginMine(src, tgt, "vec_id", "embedding", k = 8,
+          minMargin = 1.0, nCells = 64, nProbe = 8,
+          quantizer = Some(csH)).count()
+      }
+      val evalSide = emb.where(pmod(col("vec_id"), lit(150)) === 1)
+      val trainSide = emb.where(pmod(col("vec_id"), lit(150)) =!= 1)
+      bench("q_semantic_decon_batch") {
+        Similarity.semanticDecontaminate(trainSide, evalSide,
+          "vec_id", "embedding", threshold = 0.4).count()
+      }
+      bench("q_semantic_decon_exprgate") {
+        // the streaming twin's per-row codegen'd gate, run over the same
+        // batch frame: one broadcast walk per row, zero joins
+        val rows = evalSide.select(col("embedding")).collect()
+        val cs = new graft.functions.CentroidSet(
+          rows.map(_.getSeq[Float](0).toArray))
+        trainSide.where(!coalesce(
+          graft.functions.VectorOps.maxCosineToSet(col("embedding"), cs) >=
+            lit(0.4), lit(false))).count()
+      }
+      emb.unpersist()
       emit(results, counts, sfDir); spark.stop(); return
     }
 
