@@ -140,6 +140,14 @@ object GraftFunctions {
         "scheme/host lowercased, root slash collapsed",
       args => { checkArity("graft_canonical_url", args, 1)
         ex(TextAnalysis.canonicalUrl(c(args(0)))) }),
+    ("graft_url_domain",
+      "_FUNC_(url) - lowercased registrable host[:port] of a URL",
+      args => { checkArity("graft_url_domain", args, 1)
+        ex(TextAnalysis.urlDomain(c(args(0)))) }),
+    ("graft_domain_suffixes",
+      "_FUNC_(domain) - all >=2-label dot-suffixes (blocklist expansion)",
+      args => { checkArity("graft_domain_suffixes", args, 1)
+        ex(TextAnalysis.domainSuffixes(c(args(0)))) }),
     ("graft_dedup_lines",
       "_FUNC_(text[, minLineChars]) - within-document repeated-line removal",
       args => { checkArity("graft_dedup_lines", args, 1, 2)

@@ -28,6 +28,28 @@ class PropertySpec extends GraftSuite {
     assert(df.where(col("merge") =!= col("builtin")).count() == 0)
   }
 
+  test("canonicalUrl is idempotent over 200 random messy URLs") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val schemes = Seq("http://", "https://")
+    val hosts = Seq("WWW.Example.COM", "a.B.site.org", "CDN.x.Net", "host")
+    val paths = Seq("", "/", "/P/Q", "/deep/Path/", "/x")
+    val params = Seq("a=1", "utm_source=x", "id=9", "fbclid=zz", "b=", "gclid=k",
+      "utm_medium=email", "q=Hello")
+    val frags = Seq("", "#frag", "#sec-2")
+    def randomUrl(): String = {
+      val q = Seq.fill(rnd.nextInt(4))(params(rnd.nextInt(params.size)))
+      val qs = if (q.isEmpty) "" else "?" + q.mkString("&")
+      schemes(rnd.nextInt(2)) + hosts(rnd.nextInt(hosts.size)) +
+        paths(rnd.nextInt(paths.size)) + qs + frags(rnd.nextInt(frags.size))
+    }
+    val df = Seq.fill(200)(randomUrl()).toDF("url")
+      .select(TextAnalysis.canonicalUrl(col("url")).as("c1"))
+      .select(col("c1"), TextAnalysis.canonicalUrl(col("c1")).as("c2"))
+    val bad = df.where(col("c1") =!= col("c2")).collect()
+    assert(bad.isEmpty, bad.take(3).mkString(", "))
+  }
+
   test("jaccardSorted == built-in jaccard over 200 random nonempty set pairs") {
     import spark.implicits._
     val cases = Seq.fill(200)((randomSet() :+ "x", randomSet() :+ "y"))

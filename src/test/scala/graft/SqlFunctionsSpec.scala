@@ -41,7 +41,9 @@ class SqlFunctionsSpec extends GraftSuite {
            graft_hilbert(doc_id % 16, doc_id % 11, 4) AS hv,
            graft_script(text) AS script,
            graft_canonical_url('https://WWW.Ex.COM/P/' || doc_id ||
-             '?utm_source=x&id=' || doc_id || '#f') AS curl
+             '?utm_source=x&id=' || doc_id || '#f') AS curl,
+           graft_url_domain('https://A.b.Com/' || doc_id) AS udom,
+           graft_domain_suffixes('x.y.site.com') AS sufs
          FROM sqlfn_docs""")
     val viaApi = docs.select(col("doc_id"),
       TextAnalysis.langId(col("text")).as("lang_id"),
@@ -66,7 +68,10 @@ class SqlFunctionsSpec extends GraftSuite {
       TextAnalysis.dominantScript(col("text")).as("script"),
       TextAnalysis.canonicalUrl(concat(lit("https://WWW.Ex.COM/P/"),
         col("doc_id").cast("string"), lit("?utm_source=x&id="),
-        col("doc_id").cast("string"), lit("#f"))).as("curl"))
+        col("doc_id").cast("string"), lit("#f"))).as("curl"),
+      TextAnalysis.urlDomain(concat(lit("https://A.b.Com/"),
+        col("doc_id").cast("string"))).as("udom"),
+      TextAnalysis.domainSuffixes(lit("x.y.site.com")).as("sufs"))
     assertSameRows(viaSql, viaApi)
   }
 
