@@ -1198,6 +1198,26 @@ object SparkEntry {
       Profile.histogram(lk.orders, "o_totalprice", 0.0, 600000.0, 20)
         .orderBy("bucket")
     }),
+    // Misra-Gries heavy hitters over corpus tokens — exact regime
+    // (capacity >= distinct tokens), so the sketch envelope collapses and
+    // the DuckDB top-k-by-count oracle pins it bit-for-bit
+    "q_freq_items" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val toks = lk.documents
+        .select(explode(split(lower(col("text")), " ")).as("item"))
+      Profile.heavyHitters(toks, "item", k = 10, capacity = 64)
+        .orderBy(col("count_min").desc, col("item"))
+    }),
+    // per-group sketch composition: top user per event_type (exact regime,
+    // capacity >= distinct users)
+    "q_freq_group" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      lk.events.groupBy("event_type")
+        .agg(graft.functions.FreqItems
+          .freqItemsAgg(col("user_id").cast("string"), 2048, 3).as("__hh"))
+        .select(col("event_type"), inline(col("__hh")))
+        .orderBy("event_type", "item")
+    }),
     // group-integrity split: every doc of a language co-travels (the
     // leak-proof split for near-dup clusters / domains)
     "q_split_group" -> ((s, dir) => {
@@ -2057,6 +2077,21 @@ object SparkEntry {
                FROM (SELECT CAST(o_totalprice AS DOUBLE) AS p FROM orders
                      WHERE o_totalprice IS NOT NULL) GROUP BY 1)
          ORDER BY bucket""",
+    "q_freq_items" ->
+      """SELECT item, n AS count_min, n AS count_max FROM (
+           SELECT item, count(*)::BIGINT AS n
+           FROM (SELECT unnest(string_split(lower(text), ' ')) AS item
+                 FROM documents)
+           GROUP BY item ORDER BY n DESC, item LIMIT 10)
+         ORDER BY count_min DESC, item""",
+    "q_freq_group" ->
+      """SELECT event_type, item, n AS count_min, n AS count_max FROM (
+           SELECT event_type, CAST(user_id AS VARCHAR) AS item,
+                  count(*)::BIGINT AS n,
+                  row_number() OVER (PARTITION BY event_type
+                    ORDER BY count(*) DESC, CAST(user_id AS VARCHAR)) AS rk
+           FROM events GROUP BY event_type, user_id)
+         WHERE rk <= 3 ORDER BY event_type, item""",
     "q_split_group" ->
       """SELECT doc_id, lang,
            CASE WHEN substring(md5(lang), 1, 8) < '99999999' THEN 0

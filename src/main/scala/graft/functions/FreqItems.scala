@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+/** Misra–Gries frequent-items ("heavy hitters") sketch as a native
+  * mergeable Spark aggregate (Misra & Gries 1982; merge rule from
+  * Agarwal et al. 2012, "Mergeable Summaries").
+  *
+  * The 100 TB question this answers: "what are the hot domains / tokens /
+  * n-grams?" WITHOUT a full `groupBy(key)` — a corpus-wide groupBy
+  * shuffles the entire key universe (billions of distinct URLs or grams),
+  * while this sketch map-side combines into a capacity-bounded buffer, so
+  * the exchange carries `tasks × capacity` counter rows no matter how
+  * many distinct keys the data holds. One pass, no sort, no second scan.
+  *
+  * Guarantees (classic MG, preserved exactly under merge):
+  *   - every reported counter `c` bounds its item's true weight as
+  *     `count_min = c <= true <= c + err = count_max` where `err` is the
+  *     sketch's accumulated decrement mass;
+  *   - `err <= totalWeight / (capacity + 1)`, so ANY item whose true
+  *     weight exceeds `totalWeight / (capacity + 1)` is guaranteed to
+  *     survive and be reported (given `k` large enough to emit it).
+  * When `capacity >=` the number of distinct items seen, no decrement
+  * ever fires: counts are EXACT (`count_min == count_max`) and the
+  * result is deterministic under any partitioning / merge order — the
+  * regime the DuckDB oracle pins. In the sketchy regime the REPORTED
+  * BOUNDS still hold on every run, but counter values may vary with
+  * Spark's nondeterministic partial-aggregation order (property-tested).
+  *
+  * Weighted: `add(item, w)` treats an occurrence as `w` units (e.g. a
+  * domain weighted by its documents' token counts). Weights must be
+  * non-negative; null items and null/zero weights are ignored.
+  *
+  * Ref parity note: the reference has no sketch aggregates; this extends
+  * the profiling family per the training-data-ops mandate (SURVEY §2
+  * addendum), alongside `Profile.table`'s HLL cardinality option.
+  */
+object FreqItems {
+
+  /** One reported heavy hitter; `count_min <= true <= count_max`. */
+  case class FreqItem(item: String, count_min: Long, count_max: Long)
+
+  /** The mergeable summary: at most `capacity` live counters, plus the
+    * decrement mass `err` and the processed weight `total`. */
+  final class Sketch(val capacity: Int) extends Serializable {
+    val counts = new java.util.HashMap[String, Long](capacity * 2)
+    var err: Long = 0L
+    var total: Long = 0L
+
+    def add(item: String, w: Long): Unit = {
+      total += w
+      val cur = counts.get(item)
+      if (cur != null || counts.size < capacity) {
+        counts.put(item, (if (cur == null) 0L else cur.longValue()) + w)
+      } else {
+        // insert then shrink back to capacity: subtract the (capacity+1)-th
+        // largest counter value from every counter and drop the non-positive
+        // ones — with a single insert that value is the minimum counter
+        counts.put(item, w)
+        shrink()
+      }
+    }
+
+    /** Restore the capacity invariant after an insert or a merge: subtract
+      * the (capacity+1)-th largest counter from all counters, pruning
+      * non-positives (at least one entry dies). Mergeable-summaries rule —
+      * the decrement mass accumulates into `err`, keeping the
+      * `[count_min, count_max]` envelope valid after any merge tree. */
+    private def shrink(): Unit = {
+      if (counts.size <= capacity) return
+      val vals = new Array[Long](counts.size)
+      val it0 = counts.values().iterator()
+      var i = 0
+      while (it0.hasNext) { vals(i) = it0.next(); i += 1 }
+      java.util.Arrays.sort(vals)
+      // (capacity+1)-th largest = index size-1-capacity in ascending order
+      val dec = vals(vals.length - 1 - capacity)
+      err += dec
+      val it = counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val nv = e.getValue - dec
+        if (nv <= 0L) it.remove() else e.setValue(nv)
+      }
+    }
+
+    def merge(o: Sketch): Sketch = {
+      err += o.err
+      total += o.total
+      val it = o.counts.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val cur = counts.get(e.getKey)
+        counts.put(e.getKey,
+          (if (cur == null) 0L else cur.longValue()) + e.getValue)
+      }
+      shrink()
+      this
+    }
+
+    /** Deterministic top-k render: (count desc, item asc), each with its
+      * true-count envelope. */
+    def topK(k: Int): Seq[FreqItem] = {
+      import scala.jdk.CollectionConverters._
+      counts.entrySet().asScala.toSeq
+        .map(e => FreqItem(e.getKey, e.getValue, e.getValue + err))
+        .sortBy(f => (-f.count_min, f.item))
+        .take(k)
+    }
+  }
+
+  final class FreqItemsAggregator(capacity: Int, k: Int)
+      extends Aggregator[(String, Long), Sketch, Seq[FreqItem]] {
+    require(capacity > 0, "capacity must be positive")
+    require(k > 0 && k <= capacity, "k must be in [1, capacity]")
+    override def zero: Sketch = new Sketch(capacity)
+    override def reduce(b: Sketch, v: (String, Long)): Sketch = {
+      if (v._1 != null) {
+        require(v._2 >= 0L, s"freqItems: negative weight ${v._2}")
+        if (v._2 > 0L) b.add(v._1, v._2)
+      }
+      b
+    }
+    override def merge(a: Sketch, b: Sketch): Sketch = a.merge(b)
+    override def finish(b: Sketch): Seq[FreqItem] = b.topK(k)
+    override def bufferEncoder: Encoder[Sketch] =
+      org.apache.spark.sql.Encoders.kryo[Sketch]
+    override def outputEncoder: Encoder[Seq[FreqItem]] =
+      ExpressionEncoder[Seq[FreqItem]]()
+  }
+
+  /** Aggregation column: top-`k` heavy hitters of string column `item`
+    * (weighted by `weight` units each) under a `capacity`-counter
+    * Misra–Gries sketch. Returns `array<struct<item, count_min,
+    * count_max>>` sorted (count desc, item asc). Composes with any
+    * `groupBy` — per-group sketches merge map-side like every aggregate. */
+  def freqItemsAgg(item: Column, weight: Column, capacity: Int, k: Int): Column =
+    udaf(new FreqItemsAggregator(capacity, k))
+      .apply(item, weight.cast("long"))
+
+  /** Unweighted form: every occurrence counts 1. */
+  def freqItemsAgg(item: Column, capacity: Int, k: Int): Column =
+    freqItemsAgg(item, org.apache.spark.sql.functions.lit(1L), capacity, k)
+}

@@ -148,6 +148,28 @@ object Profile {
     df.withColumn(bucketCol, bucket)
   }
 
+  /** Top-`k` heavy hitters of `itemCol` via a capacity-bounded
+    * Misra–Gries sketch ([[graft.functions.FreqItems]]): one pass, ONE
+    * map-side-combined aggregate whose exchange carries `tasks ×
+    * capacity` counter rows — never the key universe, which is what a
+    * plain `groupBy(item).count.orderBy` shuffles on a 100 TB corpus
+    * with billions of distinct URLs or grams. Returns
+    * `item | count_min | count_max` with the true count guaranteed
+    * inside the envelope; `count_min == count_max` (exact) whenever
+    * `capacity >=` the distinct item count. Optional `weightCol` counts
+    * each occurrence as that many units (non-negative). */
+  def heavyHitters(
+      df: DataFrame,
+      itemCol: String,
+      k: Int,
+      capacity: Int,
+      weightCol: Option[String] = None): DataFrame = {
+    val w = weightCol.map(qcol).getOrElse(lit(1L))
+    df.agg(graft.functions.FreqItems
+        .freqItemsAgg(qcol(itemCol), w, capacity, k).as("__hh"))
+      .select(inline(col("__hh")))
+  }
+
   /** Equi-width histogram of a numeric column over `[lo, hi)`:
     * `bucket | lo_edge | hi_edge | cnt` for every OCCUPIED bucket
     * (standard SQL `width_bucket` numbering — bucket 0 is the underflow

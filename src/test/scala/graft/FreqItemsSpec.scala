@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.FreqItems
+import graft.operators.Profile
+
+/** Misra–Gries frequent-items aggregate: exact-regime equivalence with a
+  * full groupBy, envelope + guaranteed-survivor properties in the sketchy
+  * regime (capacity far below cardinality), weighted counting, per-group
+  * composition, and partitioning stability where determinism is claimed. */
+class FreqItemsSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def exactCounts(items: Seq[String]): Map[String, Long] =
+    items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+
+  test("exact regime (capacity >= distinct): equals groupBy counts, " +
+      "stable under repartitioning") {
+    val rng = new scala.util.Random(7)
+    val items = Seq.fill(5000)(s"d${rng.nextInt(40)}.example")
+    val truth = exactCounts(items)
+    val expected = truth.toSeq
+      .sortBy { case (k, c) => (-c, k) }.take(10)
+    for (parts <- Seq(1, 3, 16)) {
+      val df = items.toDF("item").repartition(parts)
+      val got = Profile.heavyHitters(df, "item", k = 10, capacity = 64)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(got.toSeq.map(t => (t._1, t._2)) == expected,
+        s"parts=$parts")
+      assert(got.forall(t => t._2 == t._3), "exact regime must have " +
+        "count_min == count_max")
+    }
+  }
+
+  test("sketchy regime: envelope holds, error bounded by n/(capacity+1), " +
+      "every guaranteed-heavy item survives") {
+    val rng = new scala.util.Random(11)
+    // zipfish: few hot items + a long tail of distinct noise
+    val hot = (0 until 8).flatMap(i => Seq.fill(400 - 40 * i)(s"hot$i"))
+    val tail = (0 until 4000).map(i => s"tail${i}_${rng.nextInt(10)}")
+    val items = rng.shuffle(hot ++ tail)
+    val truth = exactCounts(items)
+    val n = items.size.toLong
+    val cap = 50
+    val got = Profile.heavyHitters(
+      items.toDF("item").repartition(8), "item", k = 50, capacity = cap)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val maxErr = n / (cap + 1)
+    got.foreach { case (item, lo, hi) =>
+      val t = truth(item)
+      assert(lo <= t && t <= hi, s"$item: true $t outside [$lo, $hi]")
+      assert(hi - lo <= maxErr, s"$item: envelope ${hi - lo} > $maxErr")
+    }
+    val guaranteed = truth.filter(_._2 > maxErr).keySet
+    val reported = got.map(_._1).toSet
+    assert(guaranteed.subsetOf(reported),
+      s"missing guaranteed heavy hitters: ${guaranteed -- reported}")
+  }
+
+  test("weighted counting in the exact regime") {
+    val df = Seq(("a", 5L), ("b", 2L), ("a", 1L), ("c", 7L), ("b", 0L))
+      .toDF("item", "w")
+    val got = Profile.heavyHitters(df, "item", k = 3, capacity = 8,
+      weightCol = Some("w")).as[(String, Long, Long)].collect().toSeq
+    assert(got == Seq(("c", 7L, 7L), ("a", 6L, 6L), ("b", 2L, 2L)))
+  }
+
+  test("composes with groupBy: per-group top items (exact regime)") {
+    val df = Seq(
+      ("en", "x"), ("en", "x"), ("en", "y"),
+      ("de", "z"), ("de", "y"), ("de", "y"))
+      .toDF("lang", "item")
+    val got = df.groupBy("lang")
+      .agg(FreqItems.freqItemsAgg(col("item"), 16, 1).as("hh"))
+      .select(col("lang"), inline(col("hh")))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(got == Set(("en", "x", 2L, 2L), ("de", "y", 2L, 2L)))
+  }
+
+  test("nulls and zero weights are ignored; negative weights are rejected") {
+    val ok = Profile.heavyHitters(
+      Seq(Some("a"), None, Some("a"), None).toDF("item"),
+      "item", k = 2, capacity = 4)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(ok == Seq(("a", 2L, 2L)))
+    val bad = Seq(("a", -1L)).toDF("item", "w")
+    intercept[Exception] {
+      Profile.heavyHitters(bad, "item", k = 1, capacity = 4,
+        weightCol = Some("w")).collect()
+    }
+  }
+}
