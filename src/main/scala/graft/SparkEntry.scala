@@ -1208,6 +1208,33 @@ object SparkEntry {
       Profile.heavyHitters(toks, "item", k = 10, capacity = 64)
         .orderBy(col("count_min").desc, col("item"))
     }),
+    // streaming heavy hitters: two micro-batches fold into the persistent
+    // sketch store; the merged view (exact regime) must equal the batch
+    // token counts — same oracle shape as q_freq_items
+    "q_freq_stream" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = lk.documents.select("doc_id", "text")
+        .as[(Long, String)].collect().sortBy(_._1)
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      val mem = MemoryStream[(Long, String)]
+      val toks = mem.toDF().toDF("doc_id", "text")
+        .select(explode(split(lower(col("text")), " ")).as("item"))
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val store = s"${lk.work}/hh_store_$tag"
+      val q = graft.streaming.StreamOps.heavyHittersSink(
+          toks, "item", store, capacity = 64, k = 10) { (_, _) => () }
+        .option("checkpointLocation", s"${lk.work}/hh_ckpt_$tag")
+        .start()
+      try {
+        mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+        mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      Profile.heavyHittersView(s, store, 10)
+        .orderBy(col("count_min").desc, col("item"))
+    }),
     // per-group sketch composition: top user per event_type (exact regime,
     // capacity >= distinct users)
     "q_freq_group" -> ((s, dir) => {
@@ -2078,6 +2105,13 @@ object SparkEntry {
                      WHERE o_totalprice IS NOT NULL) GROUP BY 1)
          ORDER BY bucket""",
     "q_freq_items" ->
+      """SELECT item, n AS count_min, n AS count_max FROM (
+           SELECT item, count(*)::BIGINT AS n
+           FROM (SELECT unnest(string_split(lower(text), ' ')) AS item
+                 FROM documents)
+           GROUP BY item ORDER BY n DESC, item LIMIT 10)
+         ORDER BY count_min DESC, item""",
+    "q_freq_stream" ->
       """SELECT item, n AS count_min, n AS count_max FROM (
            SELECT item, count(*)::BIGINT AS n
            FROM (SELECT unnest(string_split(lower(text), ' ')) AS item

@@ -224,6 +224,20 @@ object GraftFunctions {
         val model = graft.store.Artifacts.loadDsirModel(SparkSession.active,
           strLit("graft_dsir_score", "artifactPath", args(1)))
         ex(graft.operators.Dsir.scoreCol(c(args(0)), model)) }),
+    ("graft_freq_items",
+      "_FUNC_(item[, weight], capacity, k) - AGGREGATE: top-k heavy " +
+        "hitters under a capacity-counter Misra-Gries sketch; returns " +
+        "array<struct<item, count_min, count_max>> (count desc, item asc)",
+      args => { checkArity("graft_freq_items", args, 3, 4)
+        val cap = intLit("graft_freq_items", "capacity",
+          args(args.length - 2))
+        val k = intLit("graft_freq_items", "k", args.last)
+        val agg =
+          if (args.length == 4)
+            graft.functions.FreqItems.freqItemsAgg(c(args(0)), c(args(1)),
+              cap, k)
+          else graft.functions.FreqItems.freqItemsAgg(c(args(0)), cap, k)
+        ex(agg) }),
     ("graft_text_score",
       "_FUNC_(text, artifactPath) - linear text-model score off persisted " +
         "weights",

@@ -132,6 +132,49 @@ object FreqItems {
       ExpressionEncoder[Seq[FreqItem]]()
   }
 
+  /** One raw counter of a rendered sketch state. */
+  case class SketchCounter(item: String, cnt: Long)
+
+  /** A sketch's full mergeable state, rendered: every live counter plus
+    * the decrement mass and processed weight. Two summaries merge by
+    * counter-sum + err-sum (optionally re-shrinking) — the persistence
+    * format for incremental / streaming heavy hitters. */
+  case class SketchSummary(counters: Seq[SketchCounter], err: Long, total: Long)
+
+  final class FreqSketchAggregator(capacity: Int)
+      extends Aggregator[(String, Long), Sketch, SketchSummary] {
+    require(capacity > 0, "capacity must be positive")
+    override def zero: Sketch = new Sketch(capacity)
+    override def reduce(b: Sketch, v: (String, Long)): Sketch = {
+      if (v._1 != null) {
+        require(v._2 >= 0L, s"freqSketch: negative weight ${v._2}")
+        if (v._2 > 0L) b.add(v._1, v._2)
+      }
+      b
+    }
+    override def merge(a: Sketch, b: Sketch): Sketch = a.merge(b)
+    override def finish(b: Sketch): SketchSummary = {
+      import scala.jdk.CollectionConverters._
+      SketchSummary(
+        b.counts.entrySet().asScala.toSeq
+          .map(e => SketchCounter(e.getKey, e.getValue))
+          .sortBy(c => (-c.cnt, c.item)),
+        b.err, b.total)
+    }
+    override def bufferEncoder: Encoder[Sketch] =
+      org.apache.spark.sql.Encoders.kryo[Sketch]
+    override def outputEncoder: Encoder[SketchSummary] =
+      ExpressionEncoder[SketchSummary]()
+  }
+
+  /** Aggregation column rendering the FULL sketch state
+    * (`struct<counters: array<struct<item, cnt>>, err, total>`) instead
+    * of a top-k cut — what a persistent store keeps so later batches can
+    * keep merging. */
+  def freqSketchAgg(item: Column, weight: Column, capacity: Int): Column =
+    udaf(new FreqSketchAggregator(capacity))
+      .apply(item, weight.cast("long"))
+
   /** Aggregation column: top-`k` heavy hitters of string column `item`
     * (weighted by `weight` units each) under a `capacity`-counter
     * Misra–Gries sketch. Returns `array<struct<item, count_min,

@@ -170,6 +170,68 @@ object Profile {
       .select(inline(col("__hh")))
   }
 
+  /** Incremental heavy hitters: fold one (micro-)batch into a persistent
+    * Misra–Gries summary store under `storeDir`. The batch aggregates
+    * into ONE capacity-bounded sketch row (map-side combined, exactly
+    * like [[heavyHitters]]), whose counters land in a `counters`
+    * SnapshotTable and whose decrement mass + processed weight land in a
+    * `meta` table — both keyed by `batchId` via `appendReplacing`, so a
+    * REDELIVERED batch atomically replaces its own earlier registration
+    * (exactly-once under streaming replay, the
+    * [[graft.operators.Dedup.nearDupIncrementalBatch]] discipline).
+    * Store growth is `epochs × capacity` counter rows — merge stays
+    * exact-sum (no re-shrink), so the merged envelope only widens by the
+    * SUM of per-epoch errs, never loses an item that any epoch kept. */
+  def heavyHittersIncrementalBatch(
+      batch: DataFrame,
+      itemCol: String,
+      storeDir: String,
+      capacity: Int,
+      batchId: Long,
+      weightCol: Option[String] = None): Unit = {
+    val spark = batch.sparkSession
+    val w = weightCol.map(qcol).getOrElse(lit(1L))
+    val bid = batchId.toString
+    // one row; pin it so counters + meta don't re-aggregate the batch
+    val s = batch.agg(graft.functions.FreqItems
+        .freqSketchAgg(qcol(itemCol), w, capacity).as("__s"))
+      .localCheckpoint()
+    new graft.store.SnapshotTable(spark, s"$storeDir/counters")
+      .appendReplacing(
+        s.select(explode(col("__s.counters")).as("__c"))
+          .select(col("__c.item").as("item"), col("__c.cnt").as("cnt"),
+            lit(bid).as("batch_id")),
+        "batch_id", Seq(bid))
+    new graft.store.SnapshotTable(spark, s"$storeDir/meta")
+      .appendReplacing(
+        s.select(col("__s.err").as("err"), col("__s.total").as("total"),
+          lit(bid).as("batch_id")),
+        "batch_id", Seq(bid))
+  }
+
+  /** The merged top-`k` view of a [[heavyHittersIncrementalBatch]] store:
+    * counter-sum per item across every registered batch, envelope widened
+    * by the summed decrement mass (`count_min <= true <= count_max`, the
+    * mergeable-summaries bound). One capacity×epochs-row aggregate + a
+    * TakeOrdered top-k — no full sort, no driver collect. */
+  def heavyHittersView(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      k: Int): DataFrame = {
+    val counters = new graft.store.SnapshotTable(spark, s"$storeDir/counters")
+      .read().getOrElse(spark.emptyDataFrame
+        .select(lit("").as("item"), lit(0L).as("cnt")))
+    val meta = new graft.store.SnapshotTable(spark, s"$storeDir/meta").read()
+    val errSum = meta.map(_.agg(coalesce(sum("err"), lit(0L)).as("__err")))
+      .getOrElse(spark.range(1).select(lit(0L).as("__err")))
+    counters.groupBy("item").agg(sum("cnt").as("count_min"))
+      .crossJoin(broadcast(errSum))
+      .select(col("item"), col("count_min"),
+        (col("count_min") + col("__err")).as("count_max"))
+      .orderBy(col("count_min").desc, col("item"))
+      .limit(k)
+  }
+
   /** Equi-width histogram of a numeric column over `[lo, hi)`:
     * `bucket | lo_edge | hi_edge | cnt` for every OCCUPIED bucket
     * (standard SQL `width_bucket` numbering — bucket 0 is the underflow

@@ -296,6 +296,31 @@ object StreamOps {
         batchId)
     }
 
+  /** Streaming heavy hitters: every micro-batch folds into a persistent
+    * Misra–Gries summary store
+    * ([[graft.operators.Profile.heavyHittersIncrementalBatch]]) and the
+    * sink receives the MERGED top-`k` view so far — a continuously
+    * maintained "hottest domains/tokens" materialized view. Per-batch
+    * state is one capacity-bounded sketch registered under the epoch id
+    * (`appendReplacing`), so a redelivered batch replaces its own
+    * registration and the view never double-counts (replay-pinned, the
+    * [[nearDupFilter]] exactly-once discipline). Returns the configured
+    * writer; caller sets checkpoint/options and calls `.start()`. */
+  def heavyHittersSink(
+      stream: DataFrame,
+      itemCol: String,
+      storeDir: String,
+      capacity: Int,
+      k: Int,
+      weightCol: Option[String] = None)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      graft.operators.Profile.heavyHittersIncrementalBatch(
+        batch.toDF(), itemCol, storeDir, capacity, batchId, weightCol)
+      sink(graft.operators.Profile.heavyHittersView(
+        batch.sparkSession, storeDir, k), batchId)
+    }
+
   /** Batch-side reference semantics of [[dedupFirstSeen]] for differential
     * testing: one row per key, smallest tiebreak wins. */
   def dedupFirstSeenBatch(df: DataFrame, keyCol: String, tiebreakCol: String): DataFrame = {

@@ -78,6 +78,44 @@ class FreqItemsSpec extends GraftSuite {
     assert(got == Set(("en", "x", 2L, 2L), ("de", "y", 2L, 2L)))
   }
 
+  test("incremental store: exact regime merges to the one-shot answer; " +
+      "replayed batch does not double-count") {
+    val dir = tmpDir("graft_hh_")
+    val rng = new scala.util.Random(3)
+    val all = Seq.fill(3000)(s"d${rng.nextInt(30)}")
+    val (b0, b1) = all.splitAt(1300)
+    Profile.heavyHittersIncrementalBatch(
+      b0.toDF("item"), "item", dir, capacity = 64, batchId = 0L)
+    Profile.heavyHittersIncrementalBatch(
+      b1.toDF("item"), "item", dir, capacity = 64, batchId = 1L)
+    val oneShot = Profile.heavyHitters(all.toDF("item"), "item", 8, 64)
+    assertSameRows(Profile.heavyHittersView(spark, dir, 8), oneShot)
+    // replay batch 1: appendReplacing must swap, not add
+    Profile.heavyHittersIncrementalBatch(
+      b1.toDF("item"), "item", dir, capacity = 64, batchId = 1L)
+    assertSameRows(Profile.heavyHittersView(spark, dir, 8), oneShot)
+  }
+
+  test("incremental store, sketchy regime: merged envelope still bounds " +
+      "the true counts") {
+    val dir = tmpDir("graft_hhs_")
+    val rng = new scala.util.Random(19)
+    val hot = (0 until 6).flatMap(i => Seq.fill(300 - 30 * i)(s"hot$i"))
+    val tail = (0 until 3000).map(i => s"t$i")
+    val all = rng.shuffle(hot ++ tail)
+    val batches = all.grouped((all.size + 2) / 3).toSeq
+    batches.zipWithIndex.foreach { case (b, i) =>
+      Profile.heavyHittersIncrementalBatch(
+        b.toDF("item"), "item", dir, capacity = 40, batchId = i.toLong)
+    }
+    val truth = exactCounts(all)
+    Profile.heavyHittersView(spark, dir, 40).collect().foreach { r =>
+      val (item, lo, hi) = (r.getString(0), r.getLong(1), r.getLong(2))
+      val t = truth(item)
+      assert(lo <= t && t <= hi, s"$item: true $t outside [$lo, $hi]")
+    }
+  }
+
   test("nulls and zero weights are ignored; negative weights are rejected") {
     val ok = Profile.heavyHitters(
       Seq(Some("a"), None, Some("a"), None).toDF("item"),

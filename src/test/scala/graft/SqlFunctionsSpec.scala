@@ -189,6 +189,28 @@ class SqlFunctionsSpec extends GraftSuite {
     assertSameRows(viaSql, viaApi)
   }
 
+  test("graft_freq_items aggregate: SQL == programmatic, grouped and " +
+      "weighted") {
+    docs // force registration
+    val viaSql = spark.sql(
+      """SELECT lang, graft_freq_items(source, 64, 2) AS hh
+         FROM sqlfn_docs GROUP BY lang""")
+    val viaApi = docs.groupBy("lang")
+      .agg(graft.functions.FreqItems
+        .freqItemsAgg(col("source"), 64, 2).as("hh"))
+    assertSameRows(
+      viaSql.select(col("lang"), inline(col("hh"))),
+      viaApi.select(col("lang"), inline(col("hh"))))
+    val wSql = spark.sql(
+      """SELECT graft_freq_items(lang, n_chars, 64, 3) AS hh
+         FROM sqlfn_docs""").select(inline(col("hh")))
+    val wApi = docs.agg(graft.functions.FreqItems
+        .freqItemsAgg(col("lang"), col("n_chars"), 64, 3).as("hh"))
+      .select(inline(col("hh")))
+    assert(wSql.count() == 3)
+    assertSameRows(wSql, wApi)
+  }
+
   test("no UDFs in the resolved SQL plans (codegen parity)") {
     val plan = docs.sparkSession.sql(
       """SELECT graft_lang_id(text), graft_simhash64(text),
