@@ -818,6 +818,27 @@ object SparkEntry {
       val synth = lk.documents.select(col("doc_id"), page.as("page"))
       TextAnalysis.gopherSignals(synth, "doc_id", "page").orderBy("doc_id")
     }),
+    // the n-gram half of the Gopher repetition rules: top-n-gram char
+    // fraction (count-tie -> lexicographically smallest gram) and
+    // position-coverage duplicate-n-gram char fraction, per document over
+    // the raw corpus (31-token vocabulary makes both signals non-trivial)
+    "q_repetition_ngrams" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      // corpus docs have no natural 5-gram repeats; re-append each doc's
+      // first 40 chars so the duplicate-coverage path fires non-trivially
+      // (identical synthesis in the oracle)
+      val synth = lk.documents.select(col("doc_id"),
+        concat(col("text"), lit(" "), substring(col("text"), 1, 40))
+          .as("page"))
+      TextAnalysis.repetitionSignals(synth, "doc_id", "page",
+          topNs = Seq(2, 3), dupNs = Seq(5, 6))
+        .select(col("doc_id"),
+          round(col("top_2gram_char_frac"), 6).as("top2"),
+          round(col("top_3gram_char_frac"), 6).as("top3"),
+          round(col("dup_5gram_char_frac"), 6).as("dup5"),
+          round(col("dup_6gram_char_frac"), 6).as("dup6"))
+        .orderBy("doc_id")
+    }),
     // the composite Gopher gate as a pure pushdown filter on the raw
     // corpus (thresholds tuned so the 10-99-token docs split non-trivially)
     "q_gopher_filter" -> ((s, dir) => {
@@ -2709,6 +2730,55 @@ object SparkEntry {
                t2 -> len(list_filter(ts, x -> x = t2))))::DOUBLE /
              len(ts)::DOUBLE AS top_token_ratio
          FROM r ORDER BY doc_id""",
+    "q_repetition_ngrams" ->
+      """WITH r AS (SELECT doc_id, string_split(lower(
+                      text || ' ' || substr(text, 1, 40)), ' ') AS ts
+                    FROM documents),
+         b AS (SELECT doc_id, ts,
+               list_sum(list_transform(ts, x -> length(x)))::BIGINT AS tot,
+               list_transform(generate_series(1, len(ts) - 1),
+                 i -> array_to_string(list_slice(ts, i, i + 1), ' ')) AS g2,
+               list_transform(generate_series(1, len(ts) - 2),
+                 i -> array_to_string(list_slice(ts, i, i + 2), ' ')) AS g3,
+               list_transform(generate_series(1, len(ts) - 4),
+                 i -> array_to_string(list_slice(ts, i, i + 4), ' ')) AS g5,
+               list_transform(generate_series(1, len(ts) - 5),
+                 i -> array_to_string(list_slice(ts, i, i + 5), ' ')) AS g6
+             FROM r),
+         t AS (SELECT doc_id, ts, tot, g2, g3, g5, g6,
+               list_max(list_transform(list_distinct(g2),
+                 g -> len(list_filter(g2, x -> x = g)))) AS c2,
+               list_max(list_transform(list_distinct(g3),
+                 g -> len(list_filter(g3, x -> x = g)))) AS c3
+             FROM b),
+         u AS (SELECT doc_id, ts, tot, g5, g6,
+               CASE WHEN len(g2) = 0 THEN 0.0 ELSE
+                 c2 * (length(list_min(list_filter(list_distinct(g2),
+                   g -> len(list_filter(g2, x -> x = g)) = c2))) - 1)::DOUBLE
+                 / tot::DOUBLE END AS top2,
+               CASE WHEN len(g3) = 0 THEN 0.0 ELSE
+                 c3 * (length(list_min(list_filter(list_distinct(g3),
+                   g -> len(list_filter(g3, x -> x = g)) = c3))) - 2)::DOUBLE
+                 / tot::DOUBLE END AS top3,
+               list_filter(generate_series(1, len(g5)),
+                 i -> len(list_filter(g5, x -> x = g5[i])) >= 2) AS s5,
+               list_filter(generate_series(1, len(g6)),
+                 i -> len(list_filter(g6, x -> x = g6[i])) >= 2) AS s6
+             FROM t)
+         SELECT doc_id, round(top2, 6) AS top2, round(top3, 6) AS top3,
+           round(coalesce(list_sum(list_transform(
+               generate_series(1, len(ts)),
+               p -> CASE WHEN len(list_filter(s5,
+                      s -> p >= s AND p <= s + 4)) > 0
+                    THEN length(ts[p]) ELSE 0 END)), 0)::DOUBLE
+             / tot::DOUBLE, 6) AS dup5,
+           round(coalesce(list_sum(list_transform(
+               generate_series(1, len(ts)),
+               p -> CASE WHEN len(list_filter(s6,
+                      s -> p >= s AND p <= s + 5)) > 0
+                    THEN length(ts[p]) ELSE 0 END)), 0)::DOUBLE
+             / tot::DOUBLE, 6) AS dup6
+         FROM u ORDER BY doc_id""",
     "q_gopher_signals" ->
       """WITH pg AS (SELECT doc_id,
                '# title ' || lang || chr(10) || '- item ' || lang ||

@@ -224,6 +224,16 @@ object GraftFunctions {
         val model = graft.store.Artifacts.loadDsirModel(SparkSession.active,
           strLit("graft_dsir_score", "artifactPath", args(1)))
         ex(graft.operators.Dsir.scoreCol(c(args(0)), model)) }),
+    ("graft_repetition",
+      "_FUNC_(text[, maxTokens]) - Gopher n-gram repetition struct: " +
+        "top_{2,3,4}gram_char_frac + dup_{5..10}gram_char_frac (NULL " +
+        "past the maxTokens guard, default 10000)",
+      args => { checkArity("graft_repetition", args, 1, 2)
+        val maxTokens = if (args.length == 2)
+          intLit("graft_repetition", "maxTokens", args(1)) else 10000
+        graft.functions.RepetitionStatsExpr(args(0),
+          new graft.functions.RepetitionConfig(
+            Array(2, 3, 4), Array(5, 6, 7, 8, 9, 10), maxTokens)) }),
     ("graft_freq_items",
       "_FUNC_(item[, weight], capacity, k) - AGGREGATE: top-k heavy " +
         "hitters under a capacity-counter Misra-Gries sketch; returns " +

@@ -199,6 +199,47 @@ object TextAnalysis {
         .as("top_token_ratio"))
   }
 
+  /** The n-gram HALF of the Gopher repetition rules (Rae et al. 2021
+    * Table A1 — the line/paragraph half is [[repetition]]):
+    * per document,
+    *   - `top_{n}gram_char_frac` (n in `topNs`): characters claimed by
+    *     the MOST FREQUENT word n-gram — occurrences × the gram's token
+    *     chars — over total token chars; count ties break to the
+    *     lexicographically smallest gram (determinism);
+    *   - `dup_{n}gram_char_frac` (n in `dupNs`): characters of tokens
+    *     COVERED by at least one n-gram occurring 2+ times (position
+    *     coverage — overlapping duplicates never double-count a token),
+    *     over total token chars.
+    * One codegen'd per-row walk ([[graft.functions.RepetitionStatsExpr]]
+    * — hash-map gram counting, O(tokens × n) per n) computes every
+    * requested signal in a single struct; shuffle-free, one corpus scan.
+    * A higher-order-function formulation is semantically identical but
+    * re-walks the interpreted lambda tree per array element (~1000×
+    * constant, measured ~40 ms/doc) — hence the native expression.
+    * Documents beyond `maxTokens` tokens emit NULL signals instead of
+    * paying unbounded per-row work (the [[dedupLinesInDoc]] guard
+    * discipline) — threshold upstream or raise the guard. */
+  def repetitionSignals(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      topNs: Seq[Int] = Seq(2, 3, 4),
+      dupNs: Seq[Int] = Seq(5, 6, 7, 8, 9, 10),
+      maxTokens: Int = 10000): DataFrame = {
+    val expr = graft.functions.RepetitionStatsExpr(
+      org.apache.spark.sql.GraftSqlBridge.convertedExpression(col(textCol)),
+      new graft.functions.RepetitionConfig(
+        topNs.toArray, dupNs.toArray, maxTokens))
+    // materialize the struct once, then extract fields — field extraction
+    // is cheap, and CollapseProject keeps the multi-referenced non-cheap
+    // struct from being inlined per output column
+    val fields = topNs.map(n => s"top_${n}gram_char_frac") ++
+      dupNs.map(n => s"dup_${n}gram_char_frac")
+    df.select(col(idCol),
+        org.apache.spark.sql.GraftSqlBridge.column(expr).as("__rep"))
+      .select((col(idCol) +: fields.map(f => col(s"__rep.$f").as(f))): _*)
+  }
+
   /** The Gopher stopword list (Rae et al. 2021 §A1.1): a document must
     * contain at least `minStopwordHits` DISTINCT members to pass the
     * "contains common English words" rule. */

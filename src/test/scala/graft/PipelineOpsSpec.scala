@@ -1970,6 +1970,46 @@ class PipelineOpsSpec extends GraftSuite {
     assert(!plan.contains("Exchange"), s"gopherFilter must not shuffle:\n$plan")
   }
 
+  test("repetitionSignals: hand-computed n-gram fractions, guard, " +
+      "shuffle-free plan") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b a b"),      // top 2-gram "a b" x3; every token covered
+      (2L, "x y z w v"),        // no repeats: top cnt 1, dup coverage 0
+      (3L, "a b"),              // shorter than n=3/n=2-dup edge
+      (4L, "q r q r s t u q r q r s")) // dup 5-gram "q r q r s" covers 1-10
+      .toDF("id", "t")
+    val s = TextAnalysis.repetitionSignals(df, "id", "t",
+      topNs = Seq(2, 3), dupNs = Seq(2, 5))
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    // id 1: tot token chars 6; "a b" cnt 3, gram chars 2 -> 6/6
+    assert(s(1L).getAs[Double]("top_2gram_char_frac") == 1.0)
+    // "a b a" cnt 2 beats "b a b" cnt 2? counts: "a b a"x2, "b a b"x2 ->
+    // tie, lexicographically smaller "a b a" wins; chars 3, cnt 2 -> 6/6
+    assert(s(1L).getAs[Double]("top_3gram_char_frac") == 1.0)
+    assert(s(1L).getAs[Double]("dup_2gram_char_frac") == 1.0)
+    assert(s(1L).getAs[Double]("dup_5gram_char_frac") == 0.0)
+    // id 2: five 1-char tokens; top 2-gram cnt 1 x 2 chars / 5
+    assert(s(2L).getAs[Double]("top_2gram_char_frac") == 0.4)
+    assert(s(2L).getAs[Double]("dup_2gram_char_frac") == 0.0)
+    // id 3: one 2-gram (cnt 1, 2 chars / 2 = 1.0); no 3-grams -> 0.0
+    assert(s(3L).getAs[Double]("top_2gram_char_frac") == 1.0)
+    assert(s(3L).getAs[Double]("top_3gram_char_frac") == 0.0)
+    // id 4: 12 tokens; "q r q r s" occurs at 1 and 6 (1-based) -> covers
+    // tokens 1..10 of 12 -> 10/12
+    assert(math.abs(s(4L).getAs[Double]("dup_5gram_char_frac") - 10.0 / 12) < 1e-12)
+    // guard: beyond maxTokens every signal is NULL
+    val g = TextAnalysis.repetitionSignals(df, "id", "t",
+      topNs = Seq(2), dupNs = Seq(5), maxTokens = 3).collect()
+      .map(r => r.getAs[Long]("id") -> r).toMap
+    assert(g(1L).isNullAt(1) && g(1L).isNullAt(2), "guarded doc must be NULL")
+    assert(!g(3L).isNullAt(1), "short doc under guard stays computed")
+    val plan = TextAnalysis.repetitionSignals(df, "id", "t")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"repetitionSignals must not shuffle:\n$plan")
+  }
+
   test("capPerGroup: exact per-group cap, salted == unsalted, smallest hashes win") {
     import org.apache.spark.sql.expressions.Window
     val df = docs.select(col("doc_id"), col("lang"))

@@ -189,6 +189,18 @@ class SqlFunctionsSpec extends GraftSuite {
     assertSameRows(viaSql, viaApi)
   }
 
+  test("graft_repetition: SQL == programmatic on the documents fixture") {
+    docs // force registration
+    val viaSql = spark.sql(
+      """SELECT doc_id, r.top_2gram_char_frac AS t2,
+                r.dup_5gram_char_frac AS d5
+         FROM (SELECT doc_id, graft_repetition(text) AS r FROM sqlfn_docs)""")
+    val viaApi = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .select(col("doc_id"), col("top_2gram_char_frac").as("t2"),
+        col("dup_5gram_char_frac").as("d5"))
+    assertSameRows(viaSql, viaApi)
+  }
+
   test("graft_freq_items aggregate: SQL == programmatic, grouped and " +
       "weighted") {
     docs // force registration
