@@ -46,16 +46,23 @@ object FreqItems {
   /** The mergeable summary: at most `capacity` live counters, plus the
     * decrement mass `err` and the processed weight `total`. */
   final class Sketch(val capacity: Int) extends Serializable {
-    val counts = new java.util.HashMap[String, Long](capacity * 2)
+    // values are EXPLICITLY boxed java.lang.Long: with scala.Long the
+    // compiler unboxes a missing key's null to 0 and `cur != null` folds
+    // to constant true, so the shrink branch never runs and the "sketch"
+    // silently degrades to an unbounded exact map — counts stay right,
+    // but every partial buffer ships the full per-task key universe
+    // (caught by the ×30 shuffle-bytes measurement; pinned by the
+    // capacity-invariant test)
+    val counts = new java.util.HashMap[String, java.lang.Long](capacity * 2)
     var err: Long = 0L
     var total: Long = 0L
 
     def add(item: String, w: Long): Unit = {
       total += w
       val cur = counts.get(item)
-      if (cur != null || counts.size < capacity) {
-        counts.put(item, (if (cur == null) 0L else cur.longValue()) + w)
-      } else {
+      if (cur != null) counts.put(item, cur.longValue() + w)
+      else if (counts.size < capacity) counts.put(item, w)
+      else {
         // insert then shrink back to capacity: subtract the (capacity+1)-th
         // largest counter value from every counter and drop the non-positive
         // ones — with a single insert that value is the minimum counter
@@ -74,7 +81,7 @@ object FreqItems {
       val vals = new Array[Long](counts.size)
       val it0 = counts.values().iterator()
       var i = 0
-      while (it0.hasNext) { vals(i) = it0.next(); i += 1 }
+      while (it0.hasNext) { vals(i) = it0.next().longValue(); i += 1 }
       java.util.Arrays.sort(vals)
       // (capacity+1)-th largest = index size-1-capacity in ascending order
       val dec = vals(vals.length - 1 - capacity)
@@ -82,8 +89,8 @@ object FreqItems {
       val it = counts.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
-        val nv = e.getValue - dec
-        if (nv <= 0L) it.remove() else e.setValue(nv)
+        val nv = e.getValue.longValue() - dec
+        if (nv <= 0L) it.remove() else e.setValue(java.lang.Long.valueOf(nv))
       }
     }
 
@@ -95,7 +102,7 @@ object FreqItems {
         val e = it.next()
         val cur = counts.get(e.getKey)
         counts.put(e.getKey,
-          (if (cur == null) 0L else cur.longValue()) + e.getValue)
+          (if (cur == null) 0L else cur.longValue()) + e.getValue.longValue())
       }
       shrink()
       this
@@ -106,7 +113,8 @@ object FreqItems {
     def topK(k: Int): Seq[FreqItem] = {
       import scala.jdk.CollectionConverters._
       counts.entrySet().asScala.toSeq
-        .map(e => FreqItem(e.getKey, e.getValue, e.getValue + err))
+        .map(e => FreqItem(e.getKey, e.getValue.longValue(),
+          e.getValue.longValue() + err))
         .sortBy(f => (-f.count_min, f.item))
         .take(k)
     }
@@ -157,7 +165,7 @@ object FreqItems {
       import scala.jdk.CollectionConverters._
       SketchSummary(
         b.counts.entrySet().asScala.toSeq
-          .map(e => SketchCounter(e.getKey, e.getValue))
+          .map(e => SketchCounter(e.getKey, e.getValue.longValue()))
           .sortBy(c => (-c.cnt, c.item)),
         b.err, b.total)
     }

@@ -56,6 +56,7 @@ object ScaleBench {
       else if (mode == "pq") () // embeddings only; no index fixtures needed
       else if (mode == "curate") () // raw docs/events only; no index fixtures
       else if (mode == "mine") () // embeddings only; no index fixtures
+      else if (mode == "hh") () // raw docs only; no index fixtures
       else lk.prebuild()
       lk
     }
@@ -281,6 +282,71 @@ object ScaleBench {
     // ~1k queries against the full corpus, and the broadcast nested-loop
     // eval gate over all remaining rows (batch) plus its per-row
     // max-cosine expression twin (the streaming serving path).
+    // r8 fourth wave: Misra-Gries heavy hitters vs the full groupBy over
+    // a hot/long-tail item stream — 25% of ~15M token occurrences land on
+    // the 31 hot tokens, the rest get near-unique suffixes (~11M distinct
+    // keys), the shape where a corpus-wide top-k by groupBy shuffles the
+    // whole key universe while the sketch exchanges tasks × capacity
+    // counter rows. Overlap of the two top-k answers is recorded — the
+    // hot keys sit far above the n/(capacity+1) guarantee, so the sketch
+    // must find every one of them.
+    if (mode == "hh") {
+      // single-node wall time is CPU-bound (per-row string decode) and
+      // slightly FAVORS the plain groupBy; the sketch's claim is the
+      // exchange: tasks × capacity counter rows vs the full key universe.
+      // Record shuffle-write bytes for both so the record states it.
+      val hhShuffleBytes = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val m = sc.stageInfo.taskMetrics
+            if (m != null)
+              hhShuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
+        })
+      def shuffleDelta[T](key: String)(body: => T): T = {
+        Thread.sleep(1500) // listener bus is async; settle before snapshot
+        val before = hhShuffleBytes.get()
+        val r = body
+        Thread.sleep(1500)
+        results(key) = (hhShuffleBytes.get() - before) / 1e6 // MB
+        r
+      }
+      val items = lake.documents.select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")).as(Seq("__pos", "__tok")))
+        .select(when(pmod(xxhash64(col("doc_id"), col("__pos")), lit(4)) === 0,
+            concat(lit("hot"), pmod(xxhash64(col("__tok")), lit(20))))
+          .otherwise(concat(col("__tok"), lit("#"),
+            pmod(xxhash64(col("__pos"), col("doc_id")), lit(100000000L))
+              .cast("string"))).as("item"))
+      counts("x_items") = items.count()
+      var sketchTop: Array[(String, Long, Long)] = null
+      var exactTop: Map[String, Long] = null
+      shuffleDelta("x_hh_sketch_shuffle_mb") { bench("x_hh_sketch") {
+        val top = graft.operators.Profile
+          .heavyHitters(items, "item", k = 40, capacity = 10000)
+          .collect()
+        sketchTop = top.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        top.length.toLong
+      } }
+      shuffleDelta("x_hh_groupby_shuffle_mb") { bench("x_hh_groupby") {
+        val top = items.groupBy("item").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("item")).limit(40)
+          .collect()
+        exactTop = top.map(r => r.getString(0) -> r.getLong(1)).toMap
+        top.length.toLong
+      } }
+      // every hot key (all 20 sit far above the n/(capacity+1) guarantee)
+      // must be reported, and every reported envelope must bracket the
+      // exact count
+      counts("x_hh_top_overlap") =
+        sketchTop.map(_._1).toSet.intersect(exactTop.keySet).size.toLong
+      counts("x_hh_envelope_ok") = sketchTop.count { case (item, lo, hi) =>
+        exactTop.get(item).forall(t => lo <= t && t <= hi)
+      }.toLong
+      emit(results, counts, sfDir); spark.stop(); return
+    }
     if (mode == "mine") {
       val emb = lake.embeddings.cache()
       counts("x_vectors") = emb.count()

@@ -33,6 +33,27 @@ class FreqItemsSpec extends GraftSuite {
     }
   }
 
+  test("the buffer honors its capacity: counter count stays bounded and " +
+      "decrements actually fire past capacity distinct keys") {
+    // pins the sketch being a sketch: a boxing bug once made the shrink
+    // branch unreachable (scala.Long unboxes a missing key's null to 0),
+    // silently degrading to an unbounded exact map — counts stayed right,
+    // so only the buffer-size invariant catches the regression
+    val sk = new FreqItems.Sketch(16)
+    (0 until 1000).foreach(i => sk.add(s"k$i", 1L))
+    assert(sk.counts.size <= 16,
+      s"buffer grew to ${sk.counts.size} entries past capacity 16")
+    assert(sk.err > 0L, "distinct keys past capacity must decrement")
+    assert(sk.total == 1000L)
+    // merge path too: two over-capacity sketches stay bounded
+    val a = new FreqItems.Sketch(16)
+    val b = new FreqItems.Sketch(16)
+    (0 until 200).foreach(i => a.add(s"a$i", 1L))
+    (0 until 200).foreach(i => b.add(s"b$i", 1L))
+    val m = a.merge(b)
+    assert(m.counts.size <= 16, s"merged buffer ${m.counts.size} > 16")
+  }
+
   test("sketchy regime: envelope holds, error bounded by n/(capacity+1), " +
       "every guaranteed-heavy item survives") {
     val rng = new scala.util.Random(11)
