@@ -97,6 +97,21 @@ final class Index private (
       fpr = Some(fpr), expectedItems = Some(expectedItems)))
   }
 
+  /** Statistics-only HyperLogLog index: one Datasketches HLL sketch per
+    * file over `column` (~`2^lgConfigK` bytes each; lgConfigK 12 ≈ 1.6%
+    * relative standard error). Sketches UNION across any file subset, so
+    * [[distinctEstimate]] answers "how many distinct keys in these
+    * files / this table" from index rows alone — the broadcast-vs-
+    * shuffle and pre-aggregation planning input — without touching data.
+    * Cannot answer membership probes (query() on this column throws);
+    * deleteFiles just drops rows and the union re-derives. */
+  def addHllIndex(column: String, lgConfigK: Int = 12): Index = {
+    requireTopLevel(column)
+    require(lgConfigK >= 4 && lgConfigK <= 21,
+      "lgConfigK must be in [4, 21] (Datasketches HLL bound)")
+    addDef(IndexDef(column, "hll", lgConfigK = Some(lgConfigK)))
+  }
+
   /** Reference-shaped convenience: index one FIELD of an array-of-struct
     * column, joinable via `asColumn` (reference: Index.scala:324-370
     * addExplodedFieldIndex("items", "sku", "item_sku")). Delegates to the
@@ -454,6 +469,36 @@ final class Index private (
     else frames.reduce(_.unionByName(_))
   }
 
+  /** Distinct-count estimate for an hll-indexed column over the whole
+    * table or a file subset — the per-file sketches union in one
+    * index-table aggregate, no data scan (Datasketches HLL: relative
+    * standard error ≈ 1.04/sqrt(2^lgConfigK), ~1.6% at the default 12).
+    * Files registered but not yet built (null sketch) contribute
+    * nothing — run `update()` first for a complete answer. Returns 0
+    * for an empty index or an empty subset. */
+  def distinctEstimate(column: String, files: Option[Seq[String]] = None): Long = {
+    val ix = meta.indexFor(column).getOrElse(
+      throw new ColumnNotFoundException(s"Column '$column' is not indexed"))
+    require(ix.indexType == "hll", s"Column '$column' has no hll index")
+    store.indexTable.read() match {
+      case None => 0L
+      case Some(idx) =>
+        if (!idx.columns.contains(ix.storageColumn)) return 0L
+        val scoped = files match {
+          case Some(fs) =>
+            val qualified = fs.map(p => graft.sources.FileReader.qualify(spark, p))
+            idx.where(col("filename").isin(qualified: _*))
+          case None => idx
+        }
+        val row = scoped.where(col(ix.storageColumn).isNotNull)
+          .agg(call_function("hll_sketch_estimate",
+            call_function("hll_union_agg", col(ix.storageColumn)))
+            .as("__est"))
+          .first()
+        if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
+  }
+
   /** Which files can contain values in [lo, hi] on a range-indexed column,
     * as a pruned + residual-filtered read (BETWEEN-style range scan — goes
     * beyond the reference's value-list probes). */
@@ -518,7 +563,7 @@ object Index {
             val newCols = schema.fieldNames.toSet
             existing.indexes.filter(ix => ix.indexType == "regular" ||
               ix.indexType == "bloom" || ix.indexType == "range" ||
-              ix.indexType == "temporal").foreach { ix =>
+              ix.indexType == "temporal" || ix.indexType == "hll").foreach { ix =>
               require(newCols.contains(ix.column),
                 s"Indexed column '${ix.column}' missing from new schema")
             }

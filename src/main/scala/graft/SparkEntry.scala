@@ -529,6 +529,30 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_orderstatus")
         .orderBy("o_orderkey")
     }),
+    // statistics-only HLL index: per-file sketches union to a table-wide
+    // distinct estimate with no data scan. The oracle pins the EXACT
+    // count (computed Spark-side the same way DuckDB does) and the
+    // estimate is asserted within the sketch's tolerance in-query — a
+    // drifting sketch flips within_tol and fails the hash match.
+    "q_hll_estimate" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val name = "orders_hll_idx"
+      val idx =
+        if (graft.Index.exists(s, name)) graft.Index.connect(s, name)
+        else {
+          val i = graft.Index(s, name, lk.orders.schema, "parquet")
+          i.addHllIndex("o_custkey")
+          i.addFile(lk.ordersFiles: _*)
+          i.update()
+          i
+        }
+      val est = idx.distinctEstimate("o_custkey")
+      import s.implicits._
+      lk.orders.agg(count_distinct(col("o_custkey")).as("n_exact"))
+        .select(col("n_exact"),
+          (abs(lit(est) - col("n_exact")).cast("double") /
+            col("n_exact").cast("double") <= 0.05).as("within_tol"))
+    }),
     // Structured Streaming ingestion: two micro-batches land in the index
     // via foreachBatch, then the index answers a pruned probe. Batch
     // content is deterministic, so replays across calls are idempotent.
@@ -2447,6 +2471,10 @@ object SparkEntry {
     "q_compact_probe" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
           WHERE o_custkey IN ${inList(CustKeys)} ORDER BY o_orderkey""",
+    "q_hll_estimate" ->
+      """SELECT count(DISTINCT o_custkey)::BIGINT AS n_exact,
+                true AS within_tol
+         FROM orders""",
     "q_backfill" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
           WHERE o_orderkey IN ${inList(OrderKeys)} ORDER BY o_orderkey""",

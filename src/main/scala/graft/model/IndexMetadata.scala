@@ -10,7 +10,7 @@ import graft.store.Fs
 /** One index definition over a single (storage) column.
   *
   * `indexType` ∈ regular | computed | exploded | exploded_bloom | bloom |
-  * range | temporal.
+  * range | temporal | hll.
   * Exactly one index type per column is allowed (reference exclusivity rule:
   * IndexBuildOperations.scala:124-159).
   *
@@ -33,6 +33,13 @@ import graft.store.Fs
   *  - range:    per-file `struct(min, max)` (stored as `range_{column}`)
   *  - temporal: per-file `array<struct<value, max_ts>>` giving
   *              latest-version semantics; `tsColumn` may be a nested path
+  *  - hll:      per-file Datasketches HyperLogLog sketch (stored as
+  *              `hll_{column}`, BinaryType; `lgConfigK` sizes it) —
+  *              STATISTICS-ONLY: sketches union across any file subset
+  *              for a distinct-count estimate (`Index.distinctEstimate`)
+  *              without scanning data, but cannot answer membership
+  *              probes. Deleting files just drops their rows — the union
+  *              re-derives from the survivors, no rebuild.
   */
 case class IndexDef(
     column: String,
@@ -40,12 +47,14 @@ case class IndexDef(
     expr: Option[String] = None,
     tsColumn: Option[String] = None,
     fpr: Option[Double] = None,
-    expectedItems: Option[Long] = None) {
+    expectedItems: Option[Long] = None,
+    lgConfigK: Option[Int] = None) {
 
   /** Column name under which this index is persisted in the index table. */
   def storageColumn: String = indexType match {
     case "bloom" | "exploded_bloom" => s"bloom_$column"
     case "range"                    => s"range_$column"
+    case "hll"                      => s"hll_$column"
     case _                          => column
   }
 

@@ -182,7 +182,8 @@ object IndexBuild extends Logging {
 
     val scalarDefs = meta.indexes.filter(ix =>
       ix.indexType == "regular" || ix.indexType == "computed" ||
-        ix.indexType == "bloom" || ix.indexType == "range")
+        ix.indexType == "bloom" || ix.indexType == "range" ||
+        ix.indexType == "hll")
 
     val aggCols: Seq[Column] =
       first(col(FileReader.FileSizeCol)).as("file_size") +:
@@ -193,6 +194,12 @@ object IndexBuild extends Logging {
           case ix if ix.indexType == "range" =>
             struct(min(col(ix.column)).as("min"), max(col(ix.column)).as("max"))
               .as(ix.storageColumn)
+          case ix if ix.indexType == "hll" =>
+            // Datasketches HLL (Spark-native aggregate): fixed-size
+            // per-file sketch, mergeable at estimate time across any
+            // file subset
+            call_function("hll_sketch_agg", col(ix.column),
+              lit(ix.lgConfigK.getOrElse(12))).as(ix.storageColumn)
           case ix =>
             collect_set(col(ix.column)).as(ix.storageColumn)
         }

@@ -91,6 +91,9 @@ object IndexProbe {
         bloomCandidates(store.spark, indexDf, ix, probe)
       case "range"    => rangeCandidates(store.spark, indexDf, ix, probe)
       case "temporal" => temporalCandidates(indexDf, ix, probe, latestFileOk)
+      case "hll" => throw new IllegalArgumentException(
+        s"Column '${ix.column}' carries a statistics-only hll index — " +
+          "it cannot answer membership probes; use Index.distinctEstimate")
       case t => throw new IllegalStateException(s"unknown index type $t")
     }
     // Files whose index entry for this column is NULL (registered but not

@@ -389,4 +389,44 @@ class IndexTypesSpec extends GraftSuite {
           s"two distinct hashes should not touch every file: $m")
     } finally spark.conf.set("spark.graft.metricsEnabled", "false")
   }
+
+  test("hll index: per-file sketches union to a <=2% distinct estimate, " +
+      "subset-scoped, survives deleteFiles, rejects probes") {
+    val name = "orders_hll_spec_idx"
+    graft.Index.remove(spark, name)
+    val idx = graft.Index(spark, name, lake.orders.schema, "parquet")
+    idx.addHllIndex("o_custkey")
+    idx.addFile(lake.ordersFiles: _*)
+    idx.update()
+    val exact = lake.orders.agg(
+      org.apache.spark.sql.functions.count_distinct(col("o_custkey")))
+      .first().getLong(0)
+    val est = idx.distinctEstimate("o_custkey")
+    assert(math.abs(est - exact).toDouble / exact < 0.05,
+      s"estimate $est vs exact $exact")
+    // subset: one file's estimate tracks that file's own distinct count
+    val f = lake.ordersFiles.head
+    val exact1 = spark.read.parquet(f).agg(
+      org.apache.spark.sql.functions.count_distinct(col("o_custkey")))
+      .first().getLong(0)
+    val est1 = idx.distinctEstimate("o_custkey", Some(Seq(f)))
+    assert(math.abs(est1 - exact1).toDouble / math.max(exact1, 1) < 0.05,
+      s"subset estimate $est1 vs exact $exact1")
+    // deleteFiles drops rows; the union re-derives from survivors
+    idx.deleteFiles(f)
+    val estRest = idx.distinctEstimate("o_custkey")
+    val exactRest = spark.read.parquet(lake.ordersFiles.tail: _*).agg(
+      org.apache.spark.sql.functions.count_distinct(col("o_custkey")))
+      .first().getLong(0)
+    assert(math.abs(estRest - exactRest).toDouble / exactRest < 0.05,
+      s"post-delete estimate $estRest vs exact $exactRest")
+    // statistics-only: membership probes must fail loudly
+    val e = intercept[Exception] {
+      idx.query(Map("o_custkey" -> Seq(1L))).collect()
+    }
+    assert(e.getMessage.contains("statistics-only"), e.getMessage)
+    // exclusivity unchanged: a second kind on the same column throws
+    intercept[IllegalArgumentException](idx.addRangeIndex("o_custkey"))
+    graft.Index.remove(spark, name)
+  }
 }
