@@ -529,6 +529,19 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_orderstatus")
         .orderBy("o_orderkey")
     }),
+    // corpus snapshot diff: old/new versions synthesized from documents
+    // (drops on both sides + a ' v2' edit on every third doc) — the
+    // added/removed/changed/unchanged labeling both engines must agree on
+    "q_corpus_diff" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val oldV = lk.documents.where(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val newV = lk.documents.where(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      Dedup.corpusDiff(oldV, newV, "doc_id", "text").orderBy("doc_id")
+    }),
     // statistics-only HLL index: per-file sketches union to a table-wide
     // distinct estimate with no data scan. The oracle pins the EXACT
     // count (computed Spark-side the same way DuckDB does) and the
@@ -2471,6 +2484,19 @@ object SparkEntry {
     "q_compact_probe" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
           WHERE o_custkey IN ${inList(CustKeys)} ORDER BY o_orderkey""",
+    "q_corpus_diff" ->
+      """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
+           n AS (SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN text || ' v2'
+                        ELSE text END AS text
+                 FROM documents WHERE doc_id % 5 <> 0)
+         SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+           CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.text <> n.text THEN 'changed'
+                ELSE 'unchanged' END AS status
+         FROM o FULL JOIN n ON o.doc_id = n.doc_id
+         ORDER BY doc_id""",
     "q_hll_estimate" ->
       """SELECT count(DISTINCT o_custkey)::BIGINT AS n_exact,
                 true AS within_tol

@@ -29,6 +29,46 @@ object Dedup extends org.apache.spark.internal.Logging {
     df.groupBy(md5(col(contentCol).cast("binary")).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("dup_count"))
 
+  /** Corpus snapshot diff — the incremental-curation primitive: given
+    * two versions of a corpus keyed by `idCol`, label every id as
+    * `added` (only in `newDf`), `removed` (only in `oldDf`), `changed`
+    * (both, content differs) or `unchanged`. Content comparison is by
+    * `xxhash64(contentCol)`, computed per side BEFORE the join so the
+    * exchange carries (id, 8-byte hash) — never the documents — and the
+    * join is one id-keyed full-outer sort-merge, AQE-skew-splittable.
+    * Downstream: re-run expensive stages (dedup registration,
+    * embedding, scoring) on `added` ∪ `changed` only; retire `removed`
+    * from stores. */
+  def corpusDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      contentCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("__id"),
+      xxhash64(col(contentCol)).as("__oh"))
+    val n = newDf.select(col(idCol).as("__id"),
+      xxhash64(col(contentCol)).as("__nh"))
+    o.join(n, Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        when(col("__oh").isNull, lit("added"))
+          .when(col("__nh").isNull, lit("removed"))
+          .when(col("__oh") =!= col("__nh"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
+  /** One-row summary of [[corpusDiff]]: `n_added | n_removed |
+    * n_changed | n_unchanged` in a single aggregate. */
+  def corpusDiffStats(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      contentCol: String): DataFrame =
+    corpusDiff(oldDf, newDf, idCol, contentCol).agg(
+      count(when(col("status") === "added", 1)).as("n_added"),
+      count(when(col("status") === "removed", 1)).as("n_removed"),
+      count(when(col("status") === "changed", 1)).as("n_changed"),
+      count(when(col("status") === "unchanged", 1)).as("n_unchanged"))
+
   /** Whitespace tokens, lowercased, distinct, as the doc's token SET. */
   def tokenSet(textCol: Column): Column =
     array_distinct(split(lower(textCol), " "))

@@ -12,6 +12,28 @@ class PipelineOpsSpec extends GraftSuite {
   lazy val docs = lake.documents.cache()
   lazy val emb = lake.embeddings.cache()
 
+  test("corpusDiff: hand-built snapshots label added/removed/changed/" +
+      "unchanged; stats agree; no text ever shuffles") {
+    import spark.implicits._
+    val oldV = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "t")
+    val newV = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("id", "t")
+    val got = Dedup.corpusDiff(oldV, newV, "id", "t")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+    val s = Dedup.corpusDiffStats(oldV, newV, "id", "t")
+      .as[(Long, Long, Long, Long)].first()
+    assert(s == ((1L, 1L, 1L, 1L)))
+    // content is hashed per side before the join: the join's exchange
+    // must not carry the text column
+    val plan = Dedup.corpusDiff(docs, docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("text#") ||
+      plan.split('\n').filter(_.contains("Exchange"))
+        .forall(!_.contains("text#")),
+      "diff exchange must carry hashes, not documents")
+  }
+
   test("exact dedup keeps min id per key group") {
     val got = Dedup.exact(docs, Seq("lang"), "doc_id")
     val want = docs.groupBy("lang")
