@@ -302,6 +302,53 @@ final class Index private (
     else df
   }
 
+  /** Index-accelerated phrase search over a window-hash index ("find
+    * every document containing this quote, reading only candidate
+    * files"): the phrase's own sliding-window hashes (same expression
+    * the index was built with) probe the exploded/exploded-bloom index
+    * on `column`, the candidate files are read, and a token-aligned
+    * residual filter keeps exactly the rows whose lowercased token
+    * sequence contains the phrase's — sound, because a document
+    * containing the phrase necessarily contains every one of its
+    * windows, so pruning can only over-approximate. Phrases shorter
+    * than `windowTokens` (the grain the index was built at) carry no
+    * complete window and fall back to a full read with the same
+    * residual filter. Token-aligned means whole space-split tokens:
+    * `" " + lower(text) + " "` contains `" " + lower(phrase) + " "` —
+    * the exact contract the DuckDB oracle replays. */
+  def searchText(
+      phrase: String,
+      column: String = "win_hash",
+      textCol: String = "text",
+      windowTokens: Int = 10): DataFrame = {
+    require(phrase.nonEmpty, "phrase must be non-empty")
+    val ix = meta.indexFor(column).getOrElse(
+      throw new ColumnNotFoundException(s"Column '$column' is not indexed"))
+    require(ix.isExplodedShaped,
+      s"Column '$column' must carry an exploded/exploded_bloom " +
+        "window-hash index")
+    // residual lowercases IN-PLAN on both sides (UTF8String.toLowerCase,
+    // the same implementation the index build's lower() used) — JVM
+    // String.toLowerCase would diverge on locale-sensitive characters
+    val matchExpr = contains(
+      concat(lit(" "), lower(col(textCol)), lit(" ")),
+      concat(lit(" "), lower(lit(phrase)), lit(" ")))
+    val nToks = phrase.split(" ", -1).length
+    val located =
+      if (nToks < windowTokens) files
+      else {
+        import spark.implicits._
+        // the phrase's windows: bounded by phrase length, one tiny job
+        val hashes = spark.range(1)
+          .select(explode(graft.operators.Dedup.windowHashes(
+            lit(phrase), windowTokens, distinctWithinDoc = true)).as("h"))
+          .as[Long].collect().toSeq
+        if (hashes.isEmpty) files
+        else locateFiles(Map(column -> hashes))
+      }
+    readFiles(located).where(matchExpr)
+  }
+
   /** Pruned read for literal predicates: locate files for `values`, read
     * them, and apply the residual row-level filter so pruning is invisible
     * (what the SQL scan path does — reference: catalog/AriadneScan.scala:157-197). */

@@ -529,6 +529,19 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_orderstatus")
         .orderBy("o_orderkey")
     }),
+    // index-accelerated phrase search: the probe phrase is doc 0's first
+    // ten tokens (derived identically in both engines), its window hashes
+    // prune the lake through the window-hash index, and the token-aligned
+    // residual keeps exactly the substring-matching docs
+    "q_phrase_search" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val phrase = lk.documents.where(col("doc_id") === 0)
+        .select(concat_ws(" ",
+          slice(split(lower(col("text")), " "), 1, 10)).as("p"))
+        .first().getString(0)
+      lk.docsWindowIdx.searchText(phrase)
+        .select("doc_id").orderBy("doc_id")
+    }),
     // corpus snapshot diff: old/new versions synthesized from documents
     // (drops on both sides + a ' v2' edit on every third doc) — the
     // added/removed/changed/unchanged labeling both engines must agree on
@@ -2484,6 +2497,13 @@ object SparkEntry {
     "q_compact_probe" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
           WHERE o_custkey IN ${inList(CustKeys)} ORDER BY o_orderkey""",
+    "q_phrase_search" ->
+      """WITH p AS (SELECT array_to_string(list_slice(
+               string_split(lower(text), ' '), 1, 10), ' ') AS ph
+             FROM documents WHERE doc_id = 0)
+         SELECT d.doc_id FROM documents d, p
+         WHERE contains(' ' || lower(d.text) || ' ', ' ' || p.ph || ' ')
+         ORDER BY doc_id""",
     "q_corpus_diff" ->
       """WITH o AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 <> 0),
            n AS (SELECT doc_id,

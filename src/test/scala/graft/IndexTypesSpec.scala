@@ -429,4 +429,38 @@ class IndexTypesSpec extends GraftSuite {
     intercept[IllegalArgumentException](idx.addRangeIndex("o_custkey"))
     graft.Index.remove(spark, name)
   }
+
+  test("searchText: pruned phrase search == full-scan token-aligned " +
+      "match; short phrases fall back to a full read") {
+    val phrase = lake.documents.where(col("doc_id") === 1)
+      .select(concat_ws(" ",
+        slice(split(lower(col("text")), " "), 1, 10)).as("p"))
+      .first().getString(0)
+    val got = lake.docsWindowIdx.searchText(phrase).select("doc_id")
+    val want = lake.documents.where(
+      org.apache.spark.sql.functions.contains(
+        concat(lit(" "), lower(col("text")), lit(" ")),
+        lit(" " + phrase + " "))).select("doc_id")
+    assertSameRows(got, want)
+    assert(got.count() >= 1, "doc 1 itself must match")
+    // pruning: the located candidate set must not be the whole lake
+    val hashes = spark.range(1)
+      .select(explode(graft.operators.Dedup.windowHashes(
+        lit(phrase), 10, distinctWithinDoc = true)).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    val located = lake.docsWindowIdx.locateFiles(Map("win_hash" -> hashes))
+    assert(located.nonEmpty && located.size < lake.documentsFiles.size,
+      s"expected pruning, got ${located.size}/${lake.documentsFiles.size}")
+    // short phrase (< windowTokens): full-read fallback, same contract
+    val short = phrase.split(" ").take(3).mkString(" ")
+    val gotShort = lake.docsWindowIdx.searchText(short).select("doc_id")
+    val wantShort = lake.documents.where(
+      org.apache.spark.sql.functions.contains(
+        concat(lit(" "), lower(col("text")), lit(" ")),
+        lit(" " + short + " "))).select("doc_id")
+    assertSameRows(gotShort, wantShort)
+    // a probe on a non-window column still fails loudly
+    intercept[IllegalArgumentException](
+      lake.ordersIdx.searchText("x y", column = "o_custkey"))
+  }
 }
