@@ -123,6 +123,31 @@ object ScaleBench {
         trainWins.join(evalWins, Seq("win_hash"), "left_semi")
           .select("doc_id").distinct().count()
       }
+      // r8 fourth wave: phrase search (find-this-quote) through the same
+      // window index vs the token-aligned full scan
+      val phrase = lake.documents.where(col("doc_id") === 1)
+        .select(concat_ws(" ",
+          slice(split(lower(col("text")), " "), 1, 10)).as("p"))
+        .first().getString(0)
+      bench("q_phrase_indexed") {
+        lake.docsWindowIdx.searchText(phrase).count()
+      }
+      bench("q_phrase_bloom") {
+        lake.docsWindowBloomIdx.searchText(phrase).count()
+      }
+      bench("q_phrase_fullscan") {
+        lake.documents.where(contains(
+          concat(lit(" "), lower(col("text")), lit(" ")),
+          lit(" " + phrase + " "))).count()
+      }
+      val hashes = spark.range(1)
+        .select(explode(Dedup.windowHashes(lit(phrase), 10,
+          distinctWithinDoc = true)).as("h"))
+        .collect().map(_.getLong(0)).toSeq
+      val locatedPhrase =
+        lake.docsWindowIdx.locateFiles(Map("win_hash" -> hashes))
+      results("x_phrase_files_frac") =
+        locatedPhrase.size.toDouble / lake.documentsFiles.size
     }
 
     // r8: PQ serving path over the ×30 embeddings — train once, prepare
