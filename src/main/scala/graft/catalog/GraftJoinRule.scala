@@ -107,7 +107,8 @@ object GraftJoinRule extends Rule[LogicalPlan] with Logging {
       if (pairs.isEmpty) return None
       // every graft-side join column must be indexed (reference rule,
       // AriadneJoinRule.scala:180-186)
-      if (!pairs.forall { case (g, _) => meta.indexFor(g.name).isDefined }) return None
+      if (!pairs.forall { case (g, _) =>
+        meta.indexFor(g.name).exists(_.canProbe) }) return None
 
       val spark = SparkSession.active
       val store = new IndexStore(spark, meta.name)

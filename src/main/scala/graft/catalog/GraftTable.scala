@@ -66,8 +66,10 @@ class GraftScanBuilder(meta: IndexMetadata)
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pruningFilters = filters.filter {
-      case EqualTo(attr, _)            => meta.indexFor(attr).isDefined
-      case In(attr, _)                 => meta.indexFor(attr).isDefined
+      // statistics-only kinds (hll) cannot prune: leave their columns
+      // un-pushed so the scan stays a full read + residual
+      case EqualTo(attr, _)            => meta.indexFor(attr).exists(_.canProbe)
+      case In(attr, _)                 => meta.indexFor(attr).exists(_.canProbe)
       case GreaterThan(attr, _)        => rangeIndexed(attr)
       case GreaterThanOrEqual(attr, _) => rangeIndexed(attr)
       case LessThan(attr, _)           => rangeIndexed(attr)

@@ -61,6 +61,13 @@ case class IndexDef(
   /** Column holding the probe-able VALUE at data-read time. */
   def valueColumn: String = column
 
+  /** Can this index answer membership probes (and therefore prune files
+    * for equality/range predicates and joins)? Statistics-only kinds
+    * (hll) hold no membership information — every pruning/rewrite site
+    * must treat their columns as unindexed, not route them into the
+    * probe path. */
+  def canProbe: Boolean = indexType != "hll"
+
   def isArrayShaped: Boolean =
     indexType == "regular" || indexType == "computed" || indexType == "exploded"
 

@@ -65,7 +65,8 @@ object IndexJoin extends Logging {
         s"Join column '$c' is not a column of index '${meta.name}' " +
           s"(available: ${readable.mkString(", ")})")
     }
-    val indexedCols = usingColumns.filter(c => meta.indexFor(c).isDefined)
+    val indexedCols = usingColumns.filter(c =>
+      meta.indexFor(c).exists(_.canProbe))
     require(indexedCols.nonEmpty,
       s"At least one join column must be indexed; none of " +
         s"${usingColumns.mkString(", ")} is (reference rule, " +

@@ -425,6 +425,23 @@ class IndexTypesSpec extends GraftSuite {
       idx.query(Map("o_custkey" -> Seq(1L))).collect()
     }
     assert(e.getMessage.contains("statistics-only"), e.getMessage)
+    // ...but every IMPLICIT pruning site must treat the column as
+    // unindexed instead of routing into the throwing probe:
+    // (a) SQL pushdown declines the filter (full scan + residual)
+    val sb = new graft.catalog.GraftScanBuilder(idx.metadata)
+    sb.pushFilters(Array(
+      org.apache.spark.sql.sources.EqualTo("o_custkey", 1L)))
+    assert(sb.pushedFilters().isEmpty,
+      "hll column must not be pushed as a pruning filter")
+    // (b) the EXPLICIT index-join API keeps the reference rule: a
+    // statistics-only index is not a join index, so the require fires
+    // exactly as for an unindexed column
+    val probe = lake.customers.limit(5)
+      .select(col("c_custkey").as("o_custkey"))
+    val ej = intercept[IllegalArgumentException] {
+      idx.join(probe, Seq("o_custkey"))
+    }
+    assert(ej.getMessage.contains("must be indexed"), ej.getMessage)
     // exclusivity unchanged: a second kind on the same column throws
     intercept[IllegalArgumentException](idx.addRangeIndex("o_custkey"))
     graft.Index.remove(spark, name)
