@@ -518,6 +518,76 @@ object Drive {
         s"got=${scripts.toSeq.sortBy(_._1).mkString(",")}")
     }
 
+    // 17: fourth-wave surfaces — heavy hitters (batch + incremental
+    // store), repetition signals vs a hand fixture, hll estimates, and
+    // index-accelerated phrase search vs the token-aligned scan.
+    {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val toks = docs.select(explode(split(lower(col("text")), " ")).as("w"))
+      val hhTop = graft.operators.Profile.heavyHitters(toks, "w", 5, 64)
+        .collect()
+      val exactTop = toks.groupBy("w").count()
+        .orderBy(col("count").desc, col("w")).limit(5)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      val hhOk = hhTop.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+        exactTop.toSeq
+      val hhDir = java.nio.file.Files
+        .createTempDirectory("drive_hh_").toString
+      graft.operators.Profile.heavyHittersIncrementalBatch(
+        toks.limit(5000), "w", hhDir, 64, 0L)
+      graft.operators.Profile.heavyHittersIncrementalBatch(
+        toks.limit(5000), "w", hhDir, 64, 0L) // replay same epoch
+      val viewN = graft.operators.Profile.heavyHittersView(spark, hhDir, 5)
+        .agg(sum("count_min")).first().getLong(0)
+      val oneN = graft.operators.Profile
+        .heavyHitters(toks.limit(5000), "w", 5, 64)
+        .agg(sum("count_min")).first().getLong(0)
+      println(s"[drive] 17-heavyhitters batch==groupBy=$hhOk (want true) " +
+        s"replayIdempotent=${viewN == oneN} (want true)")
+
+      val rep = graft.operators.TextAnalysis.repetitionSignals(
+        spark.createDataFrame(Seq((1L, "a b a b a b"))).toDF("id", "t"),
+        "id", "t", topNs = Seq(2), dupNs = Seq(2)).first()
+      println(s"[drive] 17-repetition top2=${rep.getDouble(1)} (want 1.0) " +
+        s"dup2=${rep.getDouble(2)} (want 1.0)")
+
+      val hname = "drive_hll_idx"
+      graft.Index.remove(spark, hname)
+      val hidx = graft.Index(spark, hname, docs.schema, "parquet")
+      hidx.addHllIndex("doc_id") // unique ids: estimate ~ row count
+      hidx.addIndex("lang")      // mixed-kind build in one batch
+      hidx.addFile(s"$sf/documents.parquet")
+      hidx.update()
+      val nRows = docs.count()
+      val hEst = hidx.distinctEstimate("doc_id")
+      val langProbe = hidx.query(Map("lang" -> Seq("en"))).count()
+      val langWant = docs.where(col("lang") === "en").count()
+      println(s"[drive] 17-hll est=$hEst exact=$nRows " +
+        s"ok=${math.abs(hEst - nRows).toDouble / nRows < 0.05} (want true) " +
+        s"mixedKindProbe=${langProbe == langWant} (want true)")
+      graft.Index.remove(spark, hname)
+
+      val wname = "drive_win_idx"
+      graft.Index.remove(spark, wname)
+      val widx = graft.Index(spark, wname, docs.schema, "parquet")
+      widx.addExplodedIndex("win_hash",
+        graft.operators.Dedup.windowHashSqlExpr("text", 10))
+      widx.addFile(s"$sf/documents.parquet")
+      widx.update()
+      val phrase = docs.where(col("doc_id") === 2)
+        .select(concat_ws(" ",
+          slice(split(lower(col("text")), " "), 1, 10))).first().getString(0)
+      val found = widx.searchText(phrase).select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      val wantFound = docs.where(contains(
+          concat(lit(" "), lower(col("text")), lit(" ")),
+          lit(" " + phrase + " ")))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      println(s"[drive] 17-phrase found=${found.size} " +
+        s"ok=${found == wantFound && found.contains(2L)} (want true)")
+      graft.Index.remove(spark, wname)
+    }
+
     spark.stop()
     println("[drive] done")
   }
