@@ -529,6 +529,14 @@ object SparkEntry {
         .select("o_orderkey", "o_custkey", "o_orderstatus")
         .orderBy("o_orderkey")
     }),
+    // token-distribution Shannon entropy (quality-classifier signal):
+    // deterministic sorted-order fold on both sides, 6-decimal rounding
+    "q_token_entropy" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      lk.documents.select(col("doc_id"),
+          round(TextAnalysis.tokenEntropy(col("text")), 6).as("entropy"))
+        .orderBy("doc_id")
+    }),
     // index-accelerated phrase search: the probe phrase is doc 0's first
     // ten tokens (derived identically in both engines), its window hashes
     // prune the lake through the window-hash index, and the token-aligned
@@ -2497,6 +2505,17 @@ object SparkEntry {
     "q_compact_probe" ->
       s"""SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
           WHERE o_custkey IN ${inList(CustKeys)} ORDER BY o_orderkey""",
+    "q_token_entropy" ->
+      """WITH t AS (SELECT doc_id,
+               string_split(lower(text), ' ') AS ts
+             FROM documents)
+         SELECT doc_id,
+           round(-list_sum(list_transform(
+               list_sort(list_distinct(ts)),
+               w -> (len(list_filter(ts, x -> x = w))::DOUBLE / len(ts))
+                    * ln(len(list_filter(ts, x -> x = w))::DOUBLE
+                         / len(ts)))), 6) AS entropy
+         FROM t ORDER BY doc_id""",
     "q_phrase_search" ->
       """WITH p AS (SELECT array_to_string(list_slice(
                string_split(lower(text), ' '), 1, 10), ' ') AS ph

@@ -224,6 +224,11 @@ object GraftFunctions {
         val model = graft.store.Artifacts.loadDsirModel(SparkSession.active,
           strLit("graft_dsir_score", "artifactPath", args(1)))
         ex(graft.operators.Dsir.scoreCol(c(args(0)), model)) }),
+    ("graft_token_entropy",
+      "_FUNC_(text) - Shannon entropy (nats) of the lowercased " +
+        "space-split token distribution",
+      args => { checkArity("graft_token_entropy", args, 1)
+        graft.functions.TokenEntropyExpr(args(0)) }),
     ("graft_repetition",
       "_FUNC_(text[, maxTokens]) - Gopher n-gram repetition struct: " +
         "top_{2,3,4}gram_char_frac + dup_{5..10}gram_char_frac (NULL " +

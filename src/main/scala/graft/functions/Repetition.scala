@@ -162,6 +162,76 @@ final class RepetitionConfig(
   }
 }
 
+/** Shannon entropy of a document's token distribution, in nats:
+  * `H = −Σ (c/m)·ln(c/m)` over the lowercased space-split tokens
+  * (empties included — split semantics). A standard quality-classifier
+  * signal: near-zero for degenerate repetition ("buy buy buy …"),
+  * `ln(m)` for all-distinct text; threshold low-entropy docs or feed it
+  * to a scorer alongside the repetition fractions. One imperative
+  * hash-map walk per row (the [[RepetitionConfig]] execution family);
+  * the per-distinct-token sum folds in code-point-sorted token order so
+  * the float result is deterministic and engine-replicable (the DuckDB
+  * oracle sums over `list_sort(list_distinct(...))` — same order, same
+  * reassociation, 6-decimal rounding absorbs the rest). */
+object TokenEntropy {
+  def compute(text: UTF8String): Double = {
+    val s = text.toLowerCase.toString
+    val toks = s.split(" ", -1)
+    val m = toks.length
+    val counts = new java.util.TreeMap[String, Integer](
+      new java.util.Comparator[String] {
+        override def compare(a: String, b: String): Int = {
+          var i = 0
+          var j = 0
+          while (i < a.length && j < b.length) {
+            val ca = a.codePointAt(i)
+            val cb = b.codePointAt(j)
+            if (ca != cb) return Integer.compare(ca, cb)
+            i += Character.charCount(ca)
+            j += Character.charCount(cb)
+          }
+          Integer.compare(a.length - i, b.length - j)
+        }
+      })
+    var p = 0
+    while (p < m) {
+      val c = counts.get(toks(p))
+      counts.put(toks(p), if (c == null) 1 else c.intValue() + 1)
+      p += 1
+    }
+    var h = 0.0
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val f = it.next().doubleValue() / m
+      h -= f * math.log(f)
+    }
+    h
+  }
+}
+
+/** Codegen'd per-document token-entropy scalar. Null in → null out. */
+case class TokenEntropyExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"TokenEntropyExpr expects string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(input: Any): Any =
+    TokenEntropy.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.TokenEntropy.compute($v)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenEntropyExpr =
+    copy(child = newChild)
+}
+
 /** Codegen'd per-document repetition signals struct
   * (`top_{n}gram_char_frac` per `topNs`, then `dup_{n}gram_char_frac`
   * per `dupNs`). Null in / guarded doc → null struct. */

@@ -38,7 +38,11 @@ object Dedup extends org.apache.spark.internal.Logging {
     * join is one id-keyed full-outer sort-merge, AQE-skew-splittable.
     * Downstream: re-run expensive stages (dedup registration,
     * embedding, scoring) on `added` ∪ `changed` only; retire `removed`
-    * from stores. */
+    * from stores. Contract: ids are unique within each snapshot (a
+    * duplicated id multiplies through the full-outer join); a 64-bit
+    * hash collision can mislabel a changed row `unchanged` with
+    * probability ~n/2^64 — use a cryptographic digest column upstream
+    * if that matters. */
   def corpusDiff(
       oldDf: DataFrame,
       newDf: DataFrame,

@@ -240,6 +240,18 @@ object TextAnalysis {
       .select((col(idCol) +: fields.map(f => col(s"__rep.$f").as(f))): _*)
   }
 
+  /** Shannon entropy of the document's token distribution in nats
+    * (`−Σ (c/m)·ln(c/m)` over lowercased space-split tokens): near-zero
+    * for degenerate repetition, `ln(m)` for all-distinct text — a
+    * standard quality-classifier signal complementing
+    * [[repetitionSignals]]. One codegen'd per-row walk
+    * ([[graft.functions.TokenEntropy]]), deterministic fold order,
+    * engine-replicable after 6-decimal rounding. */
+  def tokenEntropy(textCol: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.TokenEntropyExpr(
+        org.apache.spark.sql.GraftSqlBridge.convertedExpression(textCol)))
+
   /** The Gopher stopword list (Rae et al. 2021 §A1.1): a document must
     * contain at least `minStopwordHits` DISTINCT members to pass the
     * "contains common English words" rule. */

@@ -34,6 +34,26 @@ class PipelineOpsSpec extends GraftSuite {
       "diff exchange must carry hashes, not documents")
   }
 
+  test("tokenEntropy: hand-computed values, degenerate and uniform ends") {
+    import spark.implicits._
+    val df = Seq((1L, "a a a a"), (2L, "w x y z"), (3L, "a a b b"),
+      (4L, "Q")).toDF("id", "t")
+    val got = df.select(col("id"),
+      TextAnalysis.tokenEntropy(col("t")).as("h"))
+      .as[(Long, Double)].collect().toMap
+    assert(got(1L) == 0.0, "degenerate repetition must be zero entropy")
+    assert(math.abs(got(2L) - math.log(4)) < 1e-12, "uniform = ln(m)")
+    assert(math.abs(got(3L) - math.log(2)) < 1e-12)
+    assert(got(4L) == 0.0, "single token")
+    // SQL twin resolves to the same expression
+    graft.catalog.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("ent_docs")
+    val viaSql = spark.sql(
+      "SELECT id, graft_token_entropy(t) AS h FROM ent_docs")
+    assertSameRows(viaSql,
+      df.select(col("id"), TextAnalysis.tokenEntropy(col("t")).as("h")))
+  }
+
   test("exact dedup keeps min id per key group") {
     val got = Dedup.exact(docs, Seq("lang"), "doc_id")
     val want = docs.groupBy("lang")
