@@ -327,6 +327,17 @@ final class Index private (
     require(ix.isExplodedShaped,
       s"Column '$column' must carry an exploded/exploded_bloom " +
         "window-hash index")
+    // the probe's window grain and text column MUST match the expression
+    // the index was built with — a grain mismatch hashes windows that can
+    // never exist in the index and would return silently-empty results
+    // instead of the documents that contain the phrase
+    val wantExpr =
+      graft.operators.Dedup.windowHashSqlExpr(textCol, windowTokens)
+    require(ix.expr.contains(wantExpr),
+      s"Column '$column' was built with a different window expression " +
+        s"than windowHashSqlExpr('$textCol', $windowTokens) — pass the " +
+        "windowTokens/textCol the index was created with " +
+        s"(stored: ${ix.expr.getOrElse("<none>")})")
     // residual lowercases IN-PLAN on both sides (UTF8String.toLowerCase,
     // the same implementation the index build's lower() used) — JVM
     // String.toLowerCase would diverge on locale-sensitive characters
@@ -344,7 +355,13 @@ final class Index private (
             lit(phrase), windowTokens, distinctWithinDoc = true)).as("h"))
           .as[Long].collect().toSeq
         if (hashes.isEmpty) files
-        else locateFiles(Map(column -> hashes))
+        // ALL-values candidates: a containing document holds EVERY phrase
+        // window, so per-file match-count/bloom-forall semantics prune
+        // strictly tighter than the any-match locateFiles set (a phrase
+        // sharing one common window with many files would otherwise drag
+        // them all into the residual read)
+        else graft.operators.IndexProbe.allValuesCandidates(
+          store, ix, hashes)
       }
     readFiles(located).where(matchExpr)
   }

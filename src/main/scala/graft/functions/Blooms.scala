@@ -84,6 +84,22 @@ object Blooms {
     c => f(c)
   }
 
+  /** ALL-match probe: does this file's bloom possibly contain EVERY probe
+    * value? The phrase-search semantics — a file holding the phrase holds
+    * every one of its windows, so requiring all values prunes strictly
+    * tighter than any-match while staying sound (false positives only).
+    * Null bloom ⇒ candidate, like [[mightContainAny]]. */
+  def mightContainAll(values: Seq[String]): Column => Column = {
+    val f = udf { (bytes: Array[Byte]) =>
+      if (bytes == null) true
+      else {
+        val bf = deserialize(bytes)
+        values.forall(v => v == null || bf.mightContainString(v))
+      }
+    }
+    c => f(c)
+  }
+
   /** Same any-match probe, but over a BROADCAST value array: for probe sets
     * past the literal-`isin` comfort zone (10^4–10^6 values) the values ship
     * to executors once instead of being inlined into the plan, and each

@@ -115,7 +115,13 @@ object FreqItems {
       counts.entrySet().asScala.toSeq
         .map(e => FreqItem(e.getKey, e.getValue.longValue(),
           e.getValue.longValue() + err))
-        .sortBy(f => (-f.count_min, f.item))
+        .sortWith { (a, b) =>
+          // count desc, then code-point order == UTF-8 byte order: the
+          // tie-break DuckDB's ORDER BY item applies (JVM String order
+          // diverges on supplementary characters)
+          a.count_min > b.count_min || (a.count_min == b.count_min &&
+            CodePointOrder.cpCompare(a.item, b.item) < 0)
+        }
         .take(k)
     }
   }
@@ -166,7 +172,10 @@ object FreqItems {
       SketchSummary(
         b.counts.entrySet().asScala.toSeq
           .map(e => SketchCounter(e.getKey, e.getValue.longValue()))
-          .sortBy(c => (-c.cnt, c.item)),
+          .sortWith { (a, b) =>
+            a.cnt > b.cnt || (a.cnt == b.cnt &&
+              CodePointOrder.cpCompare(a.item, b.item) < 0)
+          },
         b.err, b.total)
     }
     override def bufferEncoder: Encoder[Sketch] =
@@ -181,7 +190,8 @@ object FreqItems {
     * keep merging. */
   def freqSketchAgg(item: Column, weight: Column, capacity: Int): Column =
     udaf(new FreqSketchAggregator(capacity))
-      .apply(item, weight.cast("long"))
+      .apply(item, org.apache.spark.sql.functions.coalesce(
+        weight.cast("long"), org.apache.spark.sql.functions.lit(0L)))
 
   /** Aggregation column: top-`k` heavy hitters of string column `item`
     * (weighted by `weight` units each) under a `capacity`-counter
@@ -189,8 +199,13 @@ object FreqItems {
     * count_max>>` sorted (count desc, item asc). Composes with any
     * `groupBy` — per-group sketches merge map-side like every aggregate. */
   def freqItemsAgg(item: Column, weight: Column, capacity: Int, k: Int): Column =
+    // NULL weights coalesce to 0 (= ignored) BEFORE the typed encoder:
+    // the (String, Long) input encoder's primitive _2 field would throw
+    // AssertNotNull on a null weight otherwise, contradicting the
+    // null-handling contract above
     udaf(new FreqItemsAggregator(capacity, k))
-      .apply(item, weight.cast("long"))
+      .apply(item, org.apache.spark.sql.functions.coalesce(
+        weight.cast("long"), org.apache.spark.sql.functions.lit(0L)))
 
   /** Unweighted form: every occurrence counts 1. */
   def freqItemsAgg(item: Column, capacity: Int, k: Int): Column =

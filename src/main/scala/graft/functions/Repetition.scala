@@ -32,17 +32,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * never double-count a token. Documents with more than `maxTokens`
   * tokens (quadratic-guard discipline) or zero token characters yield
   * NULL. */
-final class RepetitionConfig(
-    val topNs: Array[Int],
-    val dupNs: Array[Int],
-    val maxTokens: Int) extends Serializable {
-  require(topNs.forall(_ >= 2) && dupNs.forall(_ >= 2),
-    "n-gram sizes must be >= 2")
-
-  /** Code-point lexicographic compare == UTF-8 byte order (what both
-    * Spark's UTF8String `<` and DuckDB use); String.compareTo would
-    * diverge on supplementary characters (UTF-16 code-unit order). */
-  private def cpCompare(a: String, b: String): Int = {
+/** Code-point lexicographic string order == UTF-8 byte order — what both
+  * Spark's UTF8String `<` and DuckDB's ORDER BY use. JVM
+  * `String.compareTo` (UTF-16 code-unit order) diverges on supplementary
+  * characters, so every cross-engine tie-break in this package goes
+  * through this ONE shared comparator. */
+object CodePointOrder extends java.util.Comparator[String] with Serializable {
+  def cpCompare(a: String, b: String): Int = {
     var i = 0
     var j = 0
     while (i < a.length && j < b.length) {
@@ -54,6 +50,18 @@ final class RepetitionConfig(
     }
     Integer.compare(a.length - i, b.length - j)
   }
+  override def compare(a: String, b: String): Int = cpCompare(a, b)
+}
+
+final class RepetitionConfig(
+    val topNs: Array[Int],
+    val dupNs: Array[Int],
+    val maxTokens: Int) extends Serializable {
+  require(topNs.forall(_ >= 2) && dupNs.forall(_ >= 2),
+    "n-gram sizes must be >= 2")
+
+  private def cpCompare(a: String, b: String): Int =
+    CodePointOrder.cpCompare(a, b)
 
   /** All signals for one document in `topNs ++ dupNs` order, or null
     * when guarded. Called from interpreted eval and generated code. */
@@ -74,7 +82,13 @@ final class RepetitionConfig(
     val out = new Array[Any](topNs.length + dupNs.length)
     var oi = 0
 
-    def grams(n: Int): Array[String] = {
+    // grams + counts are cached per distinct n: an n appearing in BOTH
+    // topNs and dupNs pays the gram walk once
+    val gramCache =
+      new java.util.HashMap[Integer, (Array[String], java.util.HashMap[String, Integer])]
+    def gramsAndCounts(n: Int): (Array[String], java.util.HashMap[String, Integer]) = {
+      val hit = gramCache.get(Integer.valueOf(n))
+      if (hit != null) return hit
       val g = new Array[String](m - n + 1)
       val sb = new java.lang.StringBuilder
       var p = 0
@@ -89,7 +103,16 @@ final class RepetitionConfig(
         g(p) = sb.toString
         p += 1
       }
-      g
+      val counts = new java.util.HashMap[String, Integer](g.length * 2)
+      p = 0
+      while (p < g.length) {
+        val c = counts.get(g(p))
+        counts.put(g(p), if (c == null) 1 else c.intValue() + 1)
+        p += 1
+      }
+      val r = (g, counts)
+      gramCache.put(Integer.valueOf(n), r)
+      r
     }
 
     var ti = 0
@@ -98,14 +121,7 @@ final class RepetitionConfig(
       out(oi) =
         if (m < n) java.lang.Double.valueOf(0.0)
         else {
-          val g = grams(n)
-          val counts = new java.util.HashMap[String, Integer](g.length * 2)
-          var p = 0
-          while (p < g.length) {
-            val c = counts.get(g(p))
-            counts.put(g(p), if (c == null) 1 else c.intValue() + 1)
-            p += 1
-          }
+          val (_, counts) = gramsAndCounts(n)
           var bestCnt = 0
           var bestGram: String = null
           val it = counts.entrySet().iterator()
@@ -133,16 +149,9 @@ final class RepetitionConfig(
       out(oi) =
         if (m < n) java.lang.Double.valueOf(0.0)
         else {
-          val g = grams(n)
-          val counts = new java.util.HashMap[String, Integer](g.length * 2)
-          var p = 0
-          while (p < g.length) {
-            val c = counts.get(g(p))
-            counts.put(g(p), if (c == null) 1 else c.intValue() + 1)
-            p += 1
-          }
+          val (g, counts) = gramsAndCounts(n)
           val covered = new Array[Boolean](m)
-          p = 0
+          var p = 0
           while (p < g.length) {
             if (counts.get(g(p)).intValue() >= 2) {
               var q = p
@@ -178,21 +187,7 @@ object TokenEntropy {
     val s = text.toLowerCase.toString
     val toks = s.split(" ", -1)
     val m = toks.length
-    val counts = new java.util.TreeMap[String, Integer](
-      new java.util.Comparator[String] {
-        override def compare(a: String, b: String): Int = {
-          var i = 0
-          var j = 0
-          while (i < a.length && j < b.length) {
-            val ca = a.codePointAt(i)
-            val cb = b.codePointAt(j)
-            if (ca != cb) return Integer.compare(ca, cb)
-            i += Character.charCount(ca)
-            j += Character.charCount(cb)
-          }
-          Integer.compare(a.length - i, b.length - j)
-        }
-      })
+    val counts = new java.util.TreeMap[String, Integer](CodePointOrder)
     var p = 0
     while (p < m) {
       val c = counts.get(toks(p))

@@ -105,6 +105,50 @@ object IndexProbe {
       .unionByName(indexDf.where(col(ix.storageColumn).isNull).select("filename"))
   }
 
+  /** Files that can contain EVERY one of `values` on an exploded /
+    * exploded_bloom column — the phrase-search probe: a document holding
+    * the phrase holds ALL of its window hashes, so requiring every value
+    * (per-file match-count == distinct probe values for arrays; bloom
+    * `forall` for blooms) prunes strictly tighter than the any-match
+    * candidate set while staying sound (over-approximation only).
+    * Registered-but-unbuilt files (null entry) stay candidates, exactly
+    * like [[candidateFiles]]. */
+  def allValuesCandidates(
+      store: IndexStore,
+      ix: IndexDef,
+      values: Seq[Any]): Seq[String] = {
+    require(values.nonEmpty, "allValuesCandidates needs at least one value")
+    require(ix.isExplodedShaped,
+      s"all-values probe needs an exploded kind, got ${ix.indexType}")
+    val idx = store.indexTable.read().getOrElse(return Seq.empty)
+    if (!idx.columns.contains(ix.storageColumn))
+      return collectFiles(idx) // registered but never built: no pruning
+    val matched = ix.indexType match {
+      case "exploded_bloom" =>
+        idx.where(col(ix.storageColumn).isNull ||
+            Blooms.mightContainAll(values.map(v =>
+              if (v == null) null else v.toString))(col(ix.storageColumn)))
+          .select("filename")
+      case _ =>
+        val main = idx.where(col(ix.storageColumn).isNotNull)
+          .select(col("filename"), explode(col(ix.storageColumn)).as("__v"))
+        val all = store.largeTable(ix.column).read() match {
+          case Some(large) =>
+            main.unionByName(large.select(col("filename"), col("value").as("__v")))
+          case None => main
+        }
+        val need = values.distinct
+        all.where(isinOrFalse(col("__v"), need))
+          .groupBy("filename")
+          .agg(count_distinct(col("__v")).as("__n"))
+          .where(col("__n") === need.size)
+          .select("filename")
+          .unionByName(
+            idx.where(col(ix.storageColumn).isNull).select("filename"))
+    }
+    collectFiles(matched)
+  }
+
   /** Distinct-array columns: explode the per-file array (∪ the large-index
     * overflow rows, pre-filtered by auto-bloom when present) and keep files
     * whose values intersect the probe (reference:

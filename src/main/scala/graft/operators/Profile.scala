@@ -196,16 +196,20 @@ object Profile {
     val s = batch.agg(graft.functions.FreqItems
         .freqSketchAgg(qcol(itemCol), w, capacity).as("__s"))
       .localCheckpoint()
+    // meta (err) lands BEFORE counters: a crash between the writes then
+    // leaves an orphan err that only WIDENS the merged envelope, while
+    // the reverse order would sum orphan counters without their err and
+    // break the `count_max >= true` guarantee
+    new graft.store.SnapshotTable(spark, s"$storeDir/meta")
+      .appendReplacing(
+        s.select(col("__s.err").as("err"), col("__s.total").as("total"),
+          lit(bid).as("batch_id")),
+        "batch_id", Seq(bid))
     new graft.store.SnapshotTable(spark, s"$storeDir/counters")
       .appendReplacing(
         s.select(explode(col("__s.counters")).as("__c"))
           .select(col("__c.item").as("item"), col("__c.cnt").as("cnt"),
             lit(bid).as("batch_id")),
-        "batch_id", Seq(bid))
-    new graft.store.SnapshotTable(spark, s"$storeDir/meta")
-      .appendReplacing(
-        s.select(col("__s.err").as("err"), col("__s.total").as("total"),
-          lit(bid).as("batch_id")),
         "batch_id", Seq(bid))
   }
 

@@ -533,14 +533,18 @@ object Drive {
         exactTop.toSeq
       val hhDir = java.nio.file.Files
         .createTempDirectory("drive_hh_").toString
+      // pin the sample ONCE: un-ordered limit() is not deterministic
+      // across re-evaluations, and the idempotence check needs the same
+      // rows in all three jobs
+      val sample = toks.limit(5000).localCheckpoint()
       graft.operators.Profile.heavyHittersIncrementalBatch(
-        toks.limit(5000), "w", hhDir, 64, 0L)
+        sample, "w", hhDir, 64, 0L)
       graft.operators.Profile.heavyHittersIncrementalBatch(
-        toks.limit(5000), "w", hhDir, 64, 0L) // replay same epoch
+        sample, "w", hhDir, 64, 0L) // replay same epoch
       val viewN = graft.operators.Profile.heavyHittersView(spark, hhDir, 5)
         .agg(sum("count_min")).first().getLong(0)
       val oneN = graft.operators.Profile
-        .heavyHitters(toks.limit(5000), "w", 5, 64)
+        .heavyHitters(sample, "w", 5, 64)
         .agg(sum("count_min")).first().getLong(0)
       println(s"[drive] 17-heavyhitters batch==groupBy=$hhOk (want true) " +
         s"replayIdempotent=${viewN == oneN} (want true)")

@@ -365,11 +365,15 @@ object ScaleBench {
       // every hot key (all 20 sit far above the n/(capacity+1) guarantee)
       // must be reported, and every reported envelope must bracket the
       // exact count
-      counts("x_hh_top_overlap") =
-        sketchTop.map(_._1).toSet.intersect(exactTop.keySet).size.toLong
-      counts("x_hh_envelope_ok") = sketchTop.count { case (item, lo, hi) =>
-        exactTop.get(item).forall(t => lo <= t && t <= hi)
-      }.toLong
+      // bench() records a failed body as -1 and keeps going — honor that
+      // by skipping the cross-checks instead of NPE-ing on a null side
+      if (sketchTop != null && exactTop != null) {
+        counts("x_hh_top_overlap") =
+          sketchTop.map(_._1).toSet.intersect(exactTop.keySet).size.toLong
+        counts("x_hh_envelope_ok") = sketchTop.count { case (item, lo, hi) =>
+          exactTop.get(item).forall(t => lo <= t && t <= hi)
+        }.toLong
+      }
       emit(results, counts, sfDir); spark.stop(); return
     }
     if (mode == "mine") {

@@ -148,5 +148,13 @@ class FreqItemsSpec extends GraftSuite {
       Profile.heavyHitters(bad, "item", k = 1, capacity = 4,
         weightCol = Some("w")).collect()
     }
+    // NULL weights are ignored, not a crash: the typed input encoder's
+    // primitive weight field would AssertNotNull without the upstream
+    // coalesce (review finding)
+    val withNullW = Seq(("a", Some(2L)), ("a", None), ("b", Some(1L)))
+      .toDF("item", "w")
+    val nw = Profile.heavyHitters(withNullW, "item", k = 2, capacity = 4,
+      weightCol = Some("w")).as[(String, Long, Long)].collect().toSeq
+    assert(nw == Seq(("a", 2L, 2L), ("b", 1L, 1L)))
   }
 }
