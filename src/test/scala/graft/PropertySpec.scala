@@ -494,4 +494,77 @@ class PropertySpec extends GraftSuite {
       }
     }
   }
+
+  test("tokenEntropy == driver-side reference on random docs incl. " +
+      "multi-space and unicode (prop)") {
+    import spark.implicits._
+    val r = new Random(87)
+    val words = Vector("a", "bb", "ccc", "Ωmega", "混合", "x")
+    val docs = (0 until 120).map { i =>
+      val n = 1 + r.nextInt(30)
+      val sep = if (r.nextBoolean()) " " else "  " // forces empty tokens
+      (i.toLong, Seq.fill(n)(words(r.nextInt(words.size))).mkString(sep))
+    }
+    def ref(t: String): Double = {
+      val toks = t.toLowerCase.split(" ", -1)
+      val m = toks.length.toDouble
+      toks.groupBy(identity).values
+        .map(g => { val f = g.length / m; -f * math.log(f) }).sum
+    }
+    val got = docs.toDF("id", "t")
+      .select(col("id"), graft.operators.TextAnalysis
+        .tokenEntropy(col("t")).as("h"))
+      .as[(Long, Double)].collect().toMap
+    docs.foreach { case (id, t) =>
+      assert(math.abs(got(id) - ref(t)) < 1e-12, s"doc $id: '$t'")
+    }
+  }
+
+  test("repetitionSignals == driver-side reference on random docs (prop)") {
+    import spark.implicits._
+    val r = new Random(88)
+    val words = Vector("a", "bb", "c", "dd")
+    val docs = (0 until 100).map { i =>
+      val n = 1 + r.nextInt(20)
+      (i.toLong, Seq.fill(n)(words(r.nextInt(words.size))).mkString(" "))
+    }
+    def refTop(t: String, n: Int): Double = {
+      val toks = t.toLowerCase.split(" ", -1)
+      val tot = toks.map(_.length).sum.toDouble
+      if (toks.length < n) 0.0
+      else {
+        val grams = toks.sliding(n).map(_.mkString(" ")).toSeq
+        val byCnt = grams.groupBy(identity).map { case (g, o) => (g, o.size) }
+        val bestCnt = byCnt.values.max
+        val bestGram = byCnt.filter(_._2 == bestCnt).keys.min
+        bestCnt * (bestGram.length - (n - 1)) / tot
+      }
+    }
+    def refDup(t: String, n: Int): Double = {
+      val toks = t.toLowerCase.split(" ", -1)
+      val tot = toks.map(_.length).sum.toDouble
+      if (toks.length < n) 0.0
+      else {
+        val grams = toks.sliding(n).map(_.mkString(" ")).toVector
+        val cnt = grams.groupBy(identity).map { case (g, o) => (g, o.size) }
+        val covered = Array.fill(toks.length)(false)
+        grams.zipWithIndex.foreach { case (g, i) =>
+          if (cnt(g) >= 2) (i until i + n).foreach(covered(_) = true)
+        }
+        toks.zipWithIndex.collect {
+          case (w, i) if covered(i) => w.length
+        }.sum / tot
+      }
+    }
+    val got = graft.operators.TextAnalysis.repetitionSignals(
+        docs.toDF("id", "t"), "id", "t", topNs = Seq(2, 3), dupNs = Seq(2, 4))
+      .collect().map(row => row.getLong(0) -> row).toMap
+    docs.foreach { case (id, t) =>
+      val row = got(id)
+      assert(math.abs(row.getDouble(1) - refTop(t, 2)) < 1e-12, s"top2 '$t'")
+      assert(math.abs(row.getDouble(2) - refTop(t, 3)) < 1e-12, s"top3 '$t'")
+      assert(math.abs(row.getDouble(3) - refDup(t, 2)) < 1e-12, s"dup2 '$t'")
+      assert(math.abs(row.getDouble(4) - refDup(t, 4)) < 1e-12, s"dup4 '$t'")
+    }
+  }
 }
