@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.harness.Lake
-import graft.operators.{AsOfJoin, Dedup, Dsir, IntervalJoin, Multimodal, Profile, Rolling, Sampling, Similarity, TextAnalysis}
+import graft.operators.{AsOfJoin, Dedup, Dsir, IntervalJoin, Multimodal, Profile, Resample, Rolling, Sampling, Similarity, TextAnalysis, Validate}
 
 /** Driver contract — one `queries` entry (+ DuckDB oracle SQL) per operator.
   *
@@ -1324,6 +1324,88 @@ object SparkEntry {
         .select(col("event_type"), inline(col("__hh")))
         .orderBy("event_type", "item")
     }),
+    // KLL quantile sketch per group — exact regime (k >= group rows), so
+    // the compactor stack never fires and the DuckDB quantile_disc oracle
+    // pins it bit-for-bit under any partitioning
+    "q_quantile_sketch" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      lk.orders.groupBy("o_orderpriority")
+        .agg(graft.functions.Kll.quantilesAgg(col("o_totalprice"), 65536,
+          Seq(0.25, 0.5, 0.9)).as("__q"))
+        .select(col("o_orderpriority"), inline(col("__q")))
+        .select(col("o_orderpriority"), col("prob"),
+          round(col("value"), 6).as("val"))
+        .orderBy("o_orderpriority", "prob")
+    }),
+    // epoch-store quantiles: two batches fold into a persistent KLL store
+    // (appendReplacing per batchId), batch 1 is REPLAYED to prove
+    // exactly-once, then the re-merge view must equal the one-shot
+    // quantile_disc over the whole subset (exact regime)
+    "q_quantile_store" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val urgent = lk.orders.where(col("o_orderpriority") === "1-URGENT")
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val store = s"${lk.work}/kll_store_$tag"
+      val b0 = urgent.where(pmod(col("o_orderkey"), lit(2)) === 0)
+      val b1 = urgent.where(pmod(col("o_orderkey"), lit(2)) === 1)
+      Profile.quantileSketchIncrementalBatch(b0, "o_totalprice", store,
+        k = 65536, batchId = 0L)
+      Profile.quantileSketchIncrementalBatch(b1, "o_totalprice", store,
+        k = 65536, batchId = 1L)
+      // replayed delivery of batch 1: must replace, not double-count
+      Profile.quantileSketchIncrementalBatch(b1, "o_totalprice", store,
+        k = 65536, batchId = 1L)
+      Profile.quantileSketchView(s, store, Seq(0.1, 0.5, 0.99), k = 65536)
+        .select(col("prob"), round(col("val"), 6).as("val"))
+        .orderBy("prob")
+    }),
+    // declarative data-quality gate: per-rule violation counts in ONE
+    // aggregate pass + the global uniqueness rule
+    "q_validate" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Validate.check(lk.orders, Seq(
+          Validate.notNull("o_custkey"),
+          Validate.inRange("o_totalprice", 0, 300000),
+          Validate.inSet("o_orderstatus", Seq("O", "F")),
+          Validate.matchesRegex("o_orderpriority", "[1-3]-.*")))
+        .unionByName(Validate.checkUnique(lk.orders, "o_orderkey"))
+        .orderBy("rule")
+    }),
+    // row-level quarantine: failed rule names per row, codegen'd map —
+    // the reject stream an ingest gate diverts
+    "q_quarantine" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Validate.quarantine(lk.orders, Seq(
+          Validate.inRange("o_totalprice", 0, 300000),
+          Validate.inSet("o_orderstatus", Seq("O", "F")),
+          Validate.matchesRegex("o_orderpriority", "[1-3]-.*")))
+        .where(!col("is_valid"))
+        .select(col("o_orderkey"),
+          array_join(col("violations"), ",").as("violations"))
+        .orderBy("o_orderkey")
+    }),
+    // time-grid resample + LOCF: per-user daily grid over the click
+    // stream, each tick carrying the latest prior observation
+    "q_resample_locf" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val clicks = lk.events.where(col("event_type") === "click")
+      Resample.gridLocf(clicks, Seq("user_id"), "ts",
+          step = 86400000000L, valueCols = Seq("value"),
+          obsTsName = "obs_ts")
+        .select(col("user_id"), col("grid_ts"),
+          round(col("value"), 6).as("value"), col("obs_ts"))
+        .orderBy("user_id", "grid_ts")
+    }),
+    // fuzzy edit-distance self-join over the part-name vocabulary:
+    // q-gram-blocked candidates, threshold-bounded levenshtein verify
+    "q_fuzzy_names" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val names = lk.part.select(col("p_name").as("name")).distinct()
+      Dedup.editDistancePairs(names, "name", "name", maxDist = 2, q = 2)
+        .select(col("a_id").as("a_name"), col("b_id").as("b_name"),
+          col("dist").cast("long").as("dist"))
+        .orderBy("a_name", "b_name")
+    }),
     // group-integrity split: every doc of a language co-travels (the
     // leak-proof split for near-dup clusters / domains)
     "q_split_group" -> ((s, dir) => {
@@ -2205,6 +2287,100 @@ object SparkEntry {
                     ORDER BY count(*) DESC, CAST(user_id AS VARCHAR)) AS rk
            FROM events GROUP BY event_type, user_id)
          WHERE rk <= 3 ORDER BY event_type, item""",
+    "q_quantile_sketch" ->
+      """SELECT o_orderpriority, prob, round(val, 6) AS val FROM (
+           SELECT o_orderpriority,
+                  unnest([0.25, 0.5, 0.9]) AS prob,
+                  unnest([quantile_disc(o_totalprice, 0.25),
+                          quantile_disc(o_totalprice, 0.5),
+                          quantile_disc(o_totalprice, 0.9)]) AS val
+           FROM orders GROUP BY o_orderpriority)
+         ORDER BY o_orderpriority, prob""",
+    "q_quantile_store" ->
+      """SELECT prob, round(val, 6) AS val FROM (
+           SELECT unnest([0.1, 0.5, 0.99]) AS prob,
+                  unnest([quantile_disc(o_totalprice, 0.1),
+                          quantile_disc(o_totalprice, 0.5),
+                          quantile_disc(o_totalprice, 0.99)]) AS val
+           FROM orders WHERE o_orderpriority = '1-URGENT')
+         ORDER BY prob""",
+    "q_validate" ->
+      """WITH n AS (SELECT count(*)::BIGINT AS n_rows FROM orders)
+         SELECT * FROM (
+           SELECT 'not_null(o_custkey)' AS rule,
+                  (SELECT count(*) FROM orders
+                   WHERE o_custkey IS NULL)::BIGINT AS n_violations,
+                  n_rows FROM n
+           UNION ALL
+           SELECT 'in_range(o_totalprice)',
+                  (SELECT count(*) FROM orders WHERE NOT coalesce(
+                    o_totalprice BETWEEN 0 AND 300000, false))::BIGINT,
+                  n_rows FROM n
+           UNION ALL
+           SELECT 'in_set(o_orderstatus)',
+                  (SELECT count(*) FROM orders WHERE NOT coalesce(
+                    o_orderstatus IN ('O', 'F'), false))::BIGINT,
+                  n_rows FROM n
+           UNION ALL
+           SELECT 'matches_regex(o_orderpriority)',
+                  (SELECT count(*) FROM orders WHERE NOT coalesce(
+                    regexp_full_match(o_orderpriority, '(?:[1-3]-.*)'),
+                    false))::BIGINT,
+                  n_rows FROM n
+           UNION ALL
+           SELECT 'unique(o_orderkey)',
+                  (SELECT coalesce(sum(c - 1), 0) FROM (
+                     SELECT count(*) AS c FROM orders
+                     WHERE o_orderkey IS NOT NULL
+                     GROUP BY o_orderkey))::BIGINT,
+                  n_rows FROM n)
+         ORDER BY rule""",
+    "q_quarantine" ->
+      """SELECT * FROM (
+           SELECT o_orderkey, array_to_string(list_filter([
+               CASE WHEN NOT coalesce(o_totalprice BETWEEN 0 AND 300000,
+                 false) THEN 'in_range(o_totalprice)' END,
+               CASE WHEN NOT coalesce(o_orderstatus IN ('O', 'F'), false)
+                 THEN 'in_set(o_orderstatus)' END,
+               CASE WHEN NOT coalesce(regexp_full_match(o_orderpriority,
+                 '(?:[1-3]-.*)'), false)
+                 THEN 'matches_regex(o_orderpriority)' END
+             ], x -> x IS NOT NULL), ',') AS violations
+           FROM orders)
+         WHERE violations <> '' ORDER BY o_orderkey""",
+    "q_resample_locf" ->
+      """WITH obs AS (
+           SELECT user_id, ts, value,
+                  CAST(floor(epoch_us(ts) / 86400000000) AS BIGINT) AS tick
+           FROM events
+           WHERE event_type = 'click' AND user_id IS NOT NULL
+             AND ts IS NOT NULL),
+         comp AS (
+           SELECT user_id, tick,
+                  max(struct_pack(ts := ts, v := value)) AS r
+           FROM obs GROUP BY user_id, tick),
+         span AS (SELECT user_id, min(tick) AS lo, max(tick) AS hi
+                  FROM obs GROUP BY user_id),
+         grid AS (SELECT user_id, unnest(generate_series(lo, hi)) AS tick
+                  FROM span),
+         j AS (SELECT g.user_id, g.tick, c.r
+               FROM grid g LEFT JOIN comp c USING (user_id, tick)),
+         f AS (SELECT user_id, tick,
+                 last_value(r IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY tick
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r
+               FROM j)
+         SELECT user_id, make_timestamp(tick * 86400000000) AS grid_ts,
+                round(struct_extract(r, 'v'), 6) AS value,
+                struct_extract(r, 'ts') AS obs_ts
+         FROM f ORDER BY user_id, grid_ts""",
+    "q_fuzzy_names" ->
+      """WITH nm AS (SELECT DISTINCT p_name AS name FROM part)
+         SELECT a.name AS a_name, b.name AS b_name,
+                levenshtein(a.name, b.name)::BIGINT AS dist
+         FROM nm a JOIN nm b ON a.name < b.name
+         WHERE levenshtein(a.name, b.name) <= 2
+         ORDER BY a_name, b_name""",
     "q_split_group" ->
       """SELECT doc_id, lang,
            CASE WHEN substring(md5(lang), 1, 8) < '99999999' THEN 0

@@ -515,6 +515,85 @@ object Dedup extends org.apache.spark.internal.Logging {
       sizeRatio = None)
   }
 
+  // ---- Edit-distance (fuzzy) self-join ---------------------------------------
+
+  /** Pairs within Levenshtein edit distance `maxDist` — the fuzzy string
+    * self-join (record linkage, near-identical titles/URLs/names), exact
+    * recall by the q-gram pigeonhole: `d` edits destroy at most `q·d` of
+    * a string's `L−q+1` overlapping q-grams, so whenever the LONGER
+    * string of a qualifying pair has `L >= q·(d+1)` one of its grams
+    * survives intact as a substring of the other and the pair collides
+    * in the gram inverted index. Pairs where BOTH strings are shorter
+    * than `q·(d+1)` can share no gram yet still qualify — those route
+    * through a length-band key join instead (each right row emits its
+    * `2d+1` admissible lengths; exact within the band). Candidates then
+    * verify with Spark's threshold-bounded `levenshtein(a, b, d)`
+    * (codegen'd, early-exit at `d+1`), so false candidates cost a
+    * bounded scan, not a full DP matrix.
+    *
+    * Output: `a_id | b_id | dist` with `a_id < b_id`, `dist <= maxDist`
+    * (0 = exact duplicates included — same-corpus pair-frame contract,
+    * composes with [[keepFirst]]/[[keepCanonical]]/[[keepBest]]). Null
+    * texts never match.
+    *
+    * SCALE NOTE: gram blocking is subquadratic while gram buckets stay
+    * small. Two saturation modes, both data-visible: (a) tiny `q` on a
+    * large corpus (the [[ngramJaccardPairs]] `n<=3` note applies —
+    * raise `q` with corpus size; recall holds whenever `q·(d+1)` stays
+    * under typical string length); (b) a shared boilerplate prefix
+    * ("Customer#0000…") puts every row in the same buckets — raise `q`
+    * past the boilerplate length or strip it first. The short-string
+    * band join is all-pairs per length band by construction: honest for
+    * the tail of genuinely short strings, not for a corpus OF short
+    * strings (use [[ngramJaccardPairs]] grams-of-words there). */
+  def editDistancePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int,
+      q: Int = 3): DataFrame = {
+    require(maxDist >= 0, "maxDist must be >= 0")
+    require(q >= 1, "q must be >= 1")
+    val minLong = q * (maxDist + 1)
+    val base = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
+      .where(col("__t").isNotNull)
+      .withColumn("__len", length(col("__t")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // gram inverted index over every string long enough to HAVE a gram;
+    // hashed int grams (collisions only add candidates, never lose one)
+    val grams = base.where(col("__len") >= q)
+      .select(col("__id"), col("__len"),
+        explode(graft.functions.VectorOps.hashedNgramSet(col("__t"), q))
+          .as("gram"))
+    val ga = grams.select(col("gram"), col("__id").as("a_id"),
+      col("__len").as("__la"))
+    val gb = grams.select(col("gram"), col("__id").as("b_id"),
+      col("__len").as("__lb"))
+    // complete for every pair whose longer member is >= q·(d+1); the
+    // length filter runs inside the join, before distinct
+    val candsGram = ga.join(gb, Seq("gram"))
+      .where(col("a_id") < col("b_id") &&
+        abs(col("__la") - col("__lb")) <= maxDist &&
+        greatest(col("__la"), col("__lb")) >= minLong)
+      .select("a_id", "b_id").distinct()
+    // both-short remainder: band join on admissible length keys
+    val shorts = base.where(col("__len") < minLong)
+    val sa = shorts.select(col("__id").as("a_id"), col("__len").as("__k"))
+    val sb = shorts.select(col("__id").as("b_id"),
+      explode(sequence(col("__len") - maxDist, col("__len") + maxDist))
+        .as("__k"))
+    val candsShort = sa.join(sb, Seq("__k"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val cands = candsGram.unionByName(candsShort)
+    val withDist = cands
+      .join(base.select(col("__id").as("a_id"), col("__t").as("__ta")), Seq("a_id"))
+      .join(base.select(col("__id").as("b_id"), col("__t").as("__tb")), Seq("b_id"))
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb"), maxDist))
+    withDist.where(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("a_id"), col("b_id"), col("dist"))
+  }
+
   // ---- Embedding near-dup ----------------------------------------------------
 
   /** Embedding-cosine near-duplicate pairs — the embedding member of the

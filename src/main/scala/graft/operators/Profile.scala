@@ -262,4 +262,66 @@ object Profile {
           round(lit(lo) + col("bucket") * lit(w), 6)).as("hi_edge"),
         col("cnt"))
   }
+
+  /** Discrete quantiles of `valueCol` at `probs` via a `k`-capacity KLL
+    * compactor stack ([[graft.functions.Kll]]): ONE map-side-combined
+    * aggregate whose buffers are capacity-bounded (`k × log` doubles),
+    * unlike exact `percentile` whose buffer holds the whole value
+    * multiset of the group. Returns `prob | val`, one row per prob.
+    * EXACT (and equal to DuckDB `quantile_disc`) whenever the table has
+    * <= `k` non-null rows; within the KLL rank envelope otherwise. */
+  def quantileSketch(
+      df: DataFrame,
+      valueCol: String,
+      probs: Seq[Double],
+      k: Int): DataFrame =
+    df.agg(graft.functions.Kll
+        .quantilesAgg(qcol(valueCol), k, probs).as("__q"))
+      .select(inline(col("__q")))
+      .withColumnRenamed("value", "val")
+
+  /** Incremental quantiles: fold one (micro-)batch into a persistent KLL
+    * summary store under `storeDir`. The batch aggregates into ONE
+    * bounded sketch row whose `(level, value)` survivors land in an
+    * `items` SnapshotTable keyed by `batchId` via `appendReplacing` — a
+    * REDELIVERED batch atomically replaces its own earlier registration
+    * (exactly-once under streaming replay, the heavy-hitters store
+    * discipline). Store growth is `epochs × k·log` item rows. */
+  def quantileSketchIncrementalBatch(
+      batch: DataFrame,
+      valueCol: String,
+      storeDir: String,
+      k: Int,
+      batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val bid = batchId.toString
+    val s = batch.agg(graft.functions.Kll
+        .sketchAgg(qcol(valueCol), k).as("__s"))
+      .localCheckpoint()
+    new graft.store.SnapshotTable(spark, s"$storeDir/items")
+      .appendReplacing(
+        s.select(explode(col("__s.items")).as("__i"))
+          .select(col("__i.level").as("level"), col("__i.value").as("value"),
+            lit(bid).as("batch_id")),
+        "batch_id", Seq(bid))
+  }
+
+  /** The merged quantile view of a [[quantileSketchIncrementalBatch]]
+    * store: every persisted `(level, value)` row re-enters a KLL stack at
+    * its level ([[graft.functions.Kll.remergeAgg]]) — a distributive
+    * aggregate over `epochs × k·log` rows, no driver collect, no special
+    * merge path. Exact while total rows across epochs stay <= `k`. */
+  def quantileSketchView(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      probs: Seq[Double],
+      k: Int): DataFrame = {
+    val items = new graft.store.SnapshotTable(spark, s"$storeDir/items")
+      .read().getOrElse(spark.emptyDataFrame
+        .select(lit(-1).as("level"), lit(Double.NaN).as("value")))
+    items.agg(graft.functions.Kll
+        .remergeAgg(col("level"), col("value"), k, probs).as("__q"))
+      .select(inline(col("__q")))
+      .withColumnRenamed("value", "val")
+  }
 }
