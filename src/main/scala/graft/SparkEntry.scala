@@ -1359,6 +1359,45 @@ object SparkEntry {
         .select(col("prob"), round(col("val"), 6).as("val"))
         .orderBy("prob")
     }),
+    // streaming quantiles: two micro-batches fold into the persistent KLL
+    // store; the merged view (exact regime) must equal the one-shot
+    // quantile_disc over all documents
+    "q_quantile_stream" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = lk.documents.select("doc_id", "n_chars")
+        .as[(Long, Long)].collect().sortBy(_._1)
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      val mem = MemoryStream[(Long, Long)]
+      val vals = mem.toDF().toDF("doc_id", "n_chars")
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val store = s"${lk.work}/kllq_store_$tag"
+      val q = graft.streaming.StreamOps.quantileSink(
+          vals, "n_chars", store, k = 65536,
+          probs = Seq(0.1, 0.5, 0.9)) { (_, _) => () }
+        .option("checkpointLocation", s"${lk.work}/kllq_ckpt_$tag")
+        .start()
+      try {
+        mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+        mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      Profile.quantileSketchView(s, store, Seq(0.1, 0.5, 0.9), k = 65536)
+        .select(col("prob"), round(col("val"), 6).as("val"))
+        .orderBy("prob")
+    }),
+    // robust outlier detection: per-event-type modified z-score
+    // (Iglewicz-Hoaglin median/MAD) — the heavy-tail-safe quality gate
+    "q_outliers" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Profile.outliers(lk.events, "value", Seq("event_type"), z = 2.0)
+        .where(col("is_outlier"))
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 6).as("value"),
+          round(col("robust_z"), 6).as("robust_z"))
+        .orderBy("event_id")
+    }),
     // declarative data-quality gate: per-rule violation counts in ONE
     // aggregate pass + the global uniqueness rule
     "q_validate" -> ((s, dir) => {
@@ -2304,6 +2343,28 @@ object SparkEntry {
                           quantile_disc(o_totalprice, 0.99)]) AS val
            FROM orders WHERE o_orderpriority = '1-URGENT')
          ORDER BY prob""",
+    "q_quantile_stream" ->
+      """SELECT prob, round(val, 6) AS val FROM (
+           SELECT unnest([0.1, 0.5, 0.9]) AS prob,
+                  unnest([CAST(quantile_disc(n_chars, 0.1) AS DOUBLE),
+                          CAST(quantile_disc(n_chars, 0.5) AS DOUBLE),
+                          CAST(quantile_disc(n_chars, 0.9) AS DOUBLE)])
+                    AS val
+           FROM documents)
+         ORDER BY prob""",
+    "q_outliers" ->
+      """WITH med AS (
+           SELECT event_type, median(value) AS m FROM events
+           WHERE value IS NOT NULL GROUP BY event_type),
+         mad AS (
+           SELECT e.event_type, median(abs(e.value - med.m)) AS d
+           FROM events e JOIN med USING (event_type)
+           WHERE e.value IS NOT NULL GROUP BY e.event_type)
+         SELECT event_id, event_type, round(value, 6) AS value,
+                round(0.6745 * (value - m) / d, 6) AS robust_z
+         FROM events JOIN med USING (event_type) JOIN mad USING (event_type)
+         WHERE d > 0 AND abs(0.6745 * (value - m) / d) > 2.0
+         ORDER BY event_id""",
     "q_validate" ->
       """WITH n AS (SELECT count(*)::BIGINT AS n_rows FROM orders)
          SELECT * FROM (

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StringType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.VectorOps
@@ -52,6 +52,19 @@ object GraftFunctions {
       case Literal(s: UTF8String, StringType) => s.toString
       case _ => throw new IllegalArgumentException(
         s"$name: $arg must be a STRING literal, got $e")
+    }
+
+  private def doubleLit(name: String, arg: String, e: Expression): Double =
+    e match {
+      case Literal(v: Double, DoubleType) => v
+      case Literal(v: Float, FloatType) => v.toDouble
+      case Literal(v: Int, IntegerType) => v.toDouble
+      case Literal(v: Long, LongType) => v.toDouble
+      case Literal(v: java.math.BigDecimal, _: DecimalType) => v.doubleValue()
+      case Literal(v: org.apache.spark.sql.types.Decimal, _: DecimalType) =>
+        v.toDouble
+      case _ => throw new IllegalArgumentException(
+        s"$name: $arg must be a numeric literal, got $e")
     }
 
   /** The quality feature vector as one struct (field-parity with
@@ -253,6 +266,17 @@ object GraftFunctions {
               cap, k)
           else graft.functions.FreqItems.freqItemsAgg(c(args(0)), cap, k)
         ex(agg) }),
+    ("graft_quantiles",
+      "_FUNC_(value, k, prob1[, prob2, ...]) - AGGREGATE: discrete " +
+        "quantiles under a k-capacity KLL compactor stack; returns " +
+        "array<struct<prob, value>>; exact (= quantile_disc) while the " +
+        "group has <= k non-null rows",
+      args => { checkArity("graft_quantiles", args,
+          (3 to 12): _*)
+        val k = intLit("graft_quantiles", "k", args(1))
+        val probs = args.drop(2).zipWithIndex.map { case (e, i) =>
+          doubleLit("graft_quantiles", s"prob${i + 1}", e) }
+        ex(graft.functions.Kll.quantilesAgg(c(args(0)), k, probs)) }),
     ("graft_text_score",
       "_FUNC_(text, artifactPath) - linear text-model score off persisted " +
         "weights",

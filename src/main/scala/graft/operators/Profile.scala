@@ -263,6 +263,69 @@ object Profile {
         col("cnt"))
   }
 
+  /** Robust outlier detection (Iglewicz–Hoaglin modified z-score): flag
+    * rows where `|0.6745 (x − median)| / MAD > z`, with median and MAD
+    * (median absolute deviation) computed per `keyCols` group (or
+    * globally when empty). Median/mean-based z-scores break on the very
+    * heavy tails they're meant to find — one pathological 10 GB document
+    * drags a mean; it cannot drag a median.
+    *
+    * Appends `robust_z` (null when `MAD = 0` — a degenerate
+    * constant-valued group has no scale to score against; those rows are
+    * never flagged, documented) and `is_outlier`. Null values get a null
+    * z and `is_outlier = false`.
+    *
+    * Scale shape: two aggregate passes (median, then MAD over the
+    * residuals) + two joins whose aggregate side is ONE row per key —
+    * broadcastable, AQE-friendly. `approx = true` swaps the exact
+    * `percentile` (whose buffer holds each group's value multiset) for
+    * the `k`-capacity KLL sketch — the petabyte path, discrete rather
+    * than interpolated medians. */
+  def outliers(
+      df: DataFrame,
+      valueCol: String,
+      keyCols: Seq[String] = Nil,
+      z: Double = 3.5,
+      approx: Boolean = false,
+      k: Int = 8192): DataFrame = {
+    require(z > 0, "z must be positive")
+    val reserved = Seq("__med", "__mad", "robust_z", "is_outlier")
+    require(!df.columns.exists(reserved.contains(_)),
+      s"input columns may not use the reserved names ${reserved.mkString("/")}")
+    val v = qcol(valueCol).cast("double")
+    // exact medians interpolate (Spark `percentile` ≡ DuckDB
+    // quantile_cont); approx medians are the sketch's discrete
+    // quantile_disc
+    def sketchMed(c: Column): Column =
+      graft.functions.Kll.quantilesAgg(c, k, Seq(0.5))
+        .getItem(0).getField("value")
+    def grouped(in: DataFrame, agg: Column, name: String): DataFrame =
+      if (keyCols.isEmpty) in.agg(agg.as(name))
+      else in.groupBy(keyCols.map(col): _*).agg(agg.as(name))
+    val withV = df.withColumn("__v", v)
+    val medDf = grouped(withV.where(col("__v").isNotNull),
+      (if (approx) sketchMed(col("__v"))
+       else expr("percentile(__v, 0.5)")), "__med")
+    // LEFT joins: an all-null-valued group has no median row (the
+    // aggregates run on non-null values), but its rows must still come
+    // out — with null robust_z, never silently dropped
+    val j1 =
+      if (keyCols.isEmpty) withV.crossJoin(broadcast(medDf))
+      else withV.join(medDf, keyCols, "left")
+    val madDf = grouped(j1.where(col("__v").isNotNull),
+      (if (approx) sketchMed(abs(col("__v") - col("__med")))
+       else expr("percentile(abs(__v - __med), 0.5)")), "__mad")
+    val j2 =
+      if (keyCols.isEmpty) j1.crossJoin(broadcast(madDf))
+      else j1.join(madDf, keyCols, "left")
+    j2.withColumn("robust_z",
+        when(col("__mad") > 0,
+          lit(0.6745) * (col("__v") - col("__med")) / col("__mad")))
+      .withColumn("is_outlier",
+        coalesce(abs(col("robust_z")) > lit(z), lit(false)))
+      .drop("__v", "__med", "__mad")
+  }
+
   /** Discrete quantiles of `valueCol` at `probs` via a `k`-capacity KLL
     * compactor stack ([[graft.functions.Kll]]): ONE map-side-combined
     * aggregate whose buffers are capacity-bounded (`k × log` doubles),

@@ -321,6 +321,31 @@ object StreamOps {
         batch.sparkSession, storeDir, k), batchId)
     }
 
+  /** Streaming quantiles: every micro-batch folds into a persistent KLL
+    * summary store
+    * ([[graft.operators.Profile.quantileSketchIncrementalBatch]]) and the
+    * sink receives the MERGED quantile view so far — a continuously
+    * maintained "p50/p90/p99 of doc length / quality score" materialized
+    * view. Per-batch state is one capacity-bounded sketch registered
+    * under the epoch id (`appendReplacing`), so a redelivered batch
+    * replaces its own registration and the view never double-counts (the
+    * [[heavyHittersSink]] exactly-once discipline). Exact while total
+    * rows across epochs stay <= `k`. Returns the configured writer;
+    * caller sets checkpoint/options and calls `.start()`. */
+  def quantileSink(
+      stream: DataFrame,
+      valueCol: String,
+      storeDir: String,
+      k: Int,
+      probs: Seq[Double])(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      graft.operators.Profile.quantileSketchIncrementalBatch(
+        batch.toDF(), valueCol, storeDir, k, batchId)
+      sink(graft.operators.Profile.quantileSketchView(
+        batch.sparkSession, storeDir, probs, k), batchId)
+    }
+
   /** Batch-side reference semantics of [[dedupFirstSeen]] for differential
     * testing: one row per key, smallest tiebreak wins. */
   def dedupFirstSeenBatch(df: DataFrame, keyCol: String, tiebreakCol: String): DataFrame = {

@@ -57,6 +57,7 @@ object ScaleBench {
       else if (mode == "curate") () // raw docs/events only; no index fixtures
       else if (mode == "mine") () // embeddings only; no index fixtures
       else if (mode == "hh") () // raw docs only; no index fixtures
+      else if (mode == "kll") () // raw lineitem only; no index fixtures
       else lk.prebuild()
       lk
     }
@@ -374,6 +375,64 @@ object ScaleBench {
           exactTop.get(item).forall(t => lo <= t && t <= hi)
         }.toLong
       }
+      emit(results, counts, sfDir); spark.stop(); return
+    }
+    // r9 fifth wave: KLL quantile sketch vs Spark's exact percentile over
+    // the ×30 lineitem price column (~18M doubles). The exact aggregate's
+    // buffer holds the value MULTISET of its partition (and the merged
+    // buffer the whole column); the sketch's buffer is k·log-bounded, so
+    // the exchange and the peak memory are corpus-independent. Rank-error
+    // telemetry is recorded against the exact answer — the sketch's
+    // sketchy-regime claim is the envelope, not value equality.
+    if (mode == "kll") {
+      val kllShuffleBytes = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val m = sc.stageInfo.taskMetrics
+            if (m != null)
+              kllShuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
+        })
+      def shuffleDelta[T](key: String)(body: => T): T = {
+        Thread.sleep(1500)
+        val before = kllShuffleBytes.get()
+        val r = body
+        Thread.sleep(1500)
+        results(key) = (kllShuffleBytes.get() - before) / 1e6 // MB
+        r
+      }
+      val prices = lake.lineitem.select(col("l_extendedprice").as("v")).cache()
+      counts("x_kll_rows") = prices.count()
+      val probs = Seq(0.1, 0.5, 0.9, 0.99)
+      var est: Array[(Double, Double)] = null
+      var exact: Array[Double] = null
+      shuffleDelta("x_kll_sketch_shuffle_mb") { bench("x_kll_sketch") {
+        val r = graft.operators.Profile
+          .quantileSketch(prices, "v", probs, k = 1024).collect()
+        est = r.map(x => (x.getDouble(0), x.getDouble(1)))
+        r.length.toLong
+      } }
+      shuffleDelta("x_kll_exact_shuffle_mb") { bench("x_kll_exact") {
+        val r = prices.agg(expr(
+          s"percentile(v, array(${probs.mkString(", ")}))").as("q"))
+          .collect()
+        exact = r.head.getSeq[Double](0).toArray
+        r.length.toLong
+      } }
+      if (est != null && exact != null) {
+        // observed rank error per prob: |rank(est)/n - prob|, in per-mille
+        val n = counts("x_kll_rows").toDouble
+        val errs = est.map { case (p, v) =>
+          val rank = prices.where(col("v") <= lit(v)).count()
+          math.abs(rank / n - p)
+        }
+        counts("x_kll_rank_err_pm_max") = math.round(errs.max * 1000)
+        // k=1024 uniform-capacity stack: conservative envelope 2%
+        counts("x_kll_envelope_ok") = if (errs.max <= 0.02) 1L else 0L
+      }
+      prices.unpersist()
       emit(results, counts, sfDir); spark.stop(); return
     }
     if (mode == "mine") {

@@ -223,6 +223,26 @@ class SqlFunctionsSpec extends GraftSuite {
     assertSameRows(wSql, wApi)
   }
 
+  test("graft_quantiles aggregate: SQL == programmatic, grouped; " +
+      "non-literal probs fail loudly") {
+    docs // force registration
+    val viaSql = spark.sql(
+      """SELECT lang, graft_quantiles(n_chars, 4096, 0.25, 0.5, 0.9) AS q
+         FROM sqlfn_docs GROUP BY lang""")
+    val viaApi = docs.groupBy("lang")
+      .agg(graft.functions.Kll
+        .quantilesAgg(col("n_chars"), 4096, Seq(0.25, 0.5, 0.9)).as("q"))
+    assertSameRows(
+      viaSql.select(col("lang"), inline(col("q"))),
+      viaApi.select(col("lang"), inline(col("q"))))
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_quantiles(n_chars, 64, n_chars) " +
+        "FROM sqlfn_docs").collect()
+    }
+    assert(e.getMessage.contains("numeric literal"),
+      s"unexpected: ${e.getMessage}")
+  }
+
   test("no UDFs in the resolved SQL plans (codegen parity)") {
     val plan = docs.sparkSession.sql(
       """SELECT graft_lang_id(text), graft_simhash64(text),

@@ -419,4 +419,40 @@ class StreamOpsSpec extends GraftSuite {
     assert(kept.toSet == want,
       "stream must equal batch including the cleaned text")
   }
+
+  test("Validate.quarantine is stateless: streaming gate equals the " +
+      "batch split, including violation labels") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.operators.Validate
+    val rows = Seq((1L, 5.0, "en"), (2L, -1.0, "en"), (3L, 50.0, "xx"),
+      (4L, 200.0, "de"), (5L, 7.0, null.asInstanceOf[String]))
+    val rules = Seq(
+      Validate.inRange("score", 0.0, 100.0),
+      Validate.inSet("lang", Seq("en", "de")))
+    val mem = MemoryStream[(Long, Double, String)]
+    val stream = mem.toDF().toDF("id", "score", "lang")
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Seq[String], Boolean)]
+    val q = Validate.quarantine(stream, rules)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        got.synchronized {
+          got ++= b.select("id", "violations", "is_valid").collect()
+            .map(r => (r.getLong(0), r.getSeq[String](1), r.getBoolean(2))) }
+        ()
+      }
+      .option("checkpointLocation", tmpDir("graft_vq_ckpt_")).start()
+    try {
+      val (b1, b2) = rows.splitAt(2)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val want = Validate.quarantine(rows.toDF("id", "score", "lang"), rules)
+      .select("id", "violations", "is_valid").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1), r.getBoolean(2))).toSet
+    assert(got.toSet == want)
+    assert(want.exists(_._3) && want.exists(!_._3),
+      "the gate must actually split the stream")
+  }
 }
