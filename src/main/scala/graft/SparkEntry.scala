@@ -1387,6 +1387,16 @@ object SparkEntry {
         .select(col("prob"), round(col("val"), 6).as("val"))
         .orderBy("prob")
     }),
+    // quantile winsorization: clip the value tails per event type before
+    // scale-sensitive downstream math
+    "q_winsorize" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Profile.winsorize(lk.events, "value", Seq("event_type"),
+          loProb = 0.05, hiProb = 0.95)
+        .select(col("event_id"), col("event_type"),
+          round(col("value_wins"), 6).as("value_wins"))
+        .orderBy("event_id")
+    }),
     // robust outlier detection: per-event-type modified z-score
     // (Iglewicz-Hoaglin median/MAD) — the heavy-tail-safe quality gate
     "q_outliers" -> ((s, dir) => {
@@ -2352,6 +2362,16 @@ object SparkEntry {
                     AS val
            FROM documents)
          ORDER BY prob""",
+    "q_winsorize" ->
+      """WITH q AS (
+           SELECT event_type,
+                  quantile_cont(value, 0.05) AS ql,
+                  quantile_cont(value, 0.95) AS qh
+           FROM events WHERE value IS NOT NULL GROUP BY event_type)
+         SELECT event_id, event_type,
+                round(least(greatest(value, ql), qh), 6) AS value_wins
+         FROM events JOIN q USING (event_type)
+         ORDER BY event_id""",
     "q_outliers" ->
       """WITH med AS (
            SELECT event_type, median(value) AS m FROM events

@@ -263,6 +263,64 @@ object Profile {
         col("cnt"))
   }
 
+  /** Winsorization: clip `valueCol` to its `[loProb, hiProb]` quantile
+    * range per `keyCols` group (globally when empty) — the standard
+    * tail-capping step before scale-sensitive downstream math (mixture
+    * weights, normalization, embedding-training temperatures). Appends
+    * `outCol` (default `<valueCol>_wins`); nulls stay null.
+    *
+    * Scale shape: BOTH cut points come from ONE aggregate pass
+    * (`percentile(v, array(lo, hi))`), joined back broadcast-style (one
+    * row per key); the clip is a pure codegen'd map. `approx = true`
+    * swaps the exact interpolated percentile (group-multiset buffer) for
+    * the `k`-capacity KLL sketch (discrete cut points) — the petabyte
+    * path. */
+  def winsorize(
+      df: DataFrame,
+      valueCol: String,
+      keyCols: Seq[String] = Nil,
+      loProb: Double = 0.01,
+      hiProb: Double = 0.99,
+      approx: Boolean = false,
+      k: Int = 8192,
+      outCol: String = ""): DataFrame = {
+    require(loProb >= 0 && hiProb <= 1 && loProb <= hiProb,
+      s"need 0 <= loProb <= hiProb <= 1, got [$loProb, $hiProb]")
+    val out = if (outCol.nonEmpty) outCol else s"${valueCol}_wins"
+    require(!df.columns.contains(out),
+      s"output column '$out' collides with input schema")
+    require(!df.columns.exists(Set("__ql", "__qh", "__v")),
+      "input columns may not use the reserved names __ql/__qh/__v")
+    val v = qcol(valueCol).cast("double")
+    val cuts: Column =
+      if (approx) graft.functions.Kll.quantilesAgg(col("__v"), k,
+        Seq(loProb, hiProb))
+      else expr(s"percentile(__v, array($loProb, $hiProb))")
+    val cutCols =
+      if (approx) Seq(element_at(col("__c"), 1).getField("value").as("__ql"),
+        element_at(col("__c"), 2).getField("value").as("__qh"))
+      else Seq(element_at(col("__c"), 1).as("__ql"),
+        element_at(col("__c"), 2).as("__qh"))
+    val withV = df.withColumn("__v", v)
+    val qDf = {
+      val base = withV.where(col("__v").isNotNull)
+      val agged =
+        if (keyCols.isEmpty) base.agg(cuts.as("__c"))
+        else base.groupBy(keyCols.map(col): _*).agg(cuts.as("__c"))
+      agged.select((keyCols.map(col) ++ cutCols): _*)
+    }
+    val joined =
+      if (keyCols.isEmpty) withV.crossJoin(broadcast(qDf))
+      else withV.join(qDf, keyCols, "left")
+    // Spark's least/greatest SKIP nulls, which is right for a missing cut
+    // (one-sided or absent cuts degrade to passthrough) but would turn a
+    // NULL VALUE into the lower cut — guard the value explicitly
+    joined
+      .withColumn(out, when(col("__v").isNotNull,
+        least(greatest(col("__v"), col("__ql")), col("__qh"))))
+      .drop("__v", "__ql", "__qh")
+  }
+
   /** Robust outlier detection (Iglewicz–Hoaglin modified z-score): flag
     * rows where `|0.6745 (x − median)| / MAD > z`, with median and MAD
     * (median absolute deviation) computed per `keyCols` group (or

@@ -97,9 +97,22 @@ object Resample {
     val obs = df
       .where(col(tsCol).isNotNull && keyCols.map(col(_).isNotNull).reduce(_ && _))
       .withColumn("__ts", tsN)
+    // (3) comes first in the plan: one surviving observation per occupied
+    // tick — latest ts wins, ties by greatest payload (the asOf tie rule,
+    // made explicit so the compacted side is deterministic on any
+    // partitioning). The per-key span (1) derives from THIS compacted
+    // frame, not the raw input, so observations are scanned once, and the
+    // persist covers the two consumers (span/grid branch + as-of side).
+    val compacted = obs
+      .groupBy((keyCols.map(col) :+ tick(col("__ts")).as("__tick")): _*)
+      .agg(max(struct((col("__ts") +: valueCols.map(col)): _*)).as("__obs"))
+      .select(keyCols.map(col) ++
+        Seq(col("__tick"), col("__obs.__ts").as("__obsts")) ++
+        valueCols.map(c => col(s"__obs.$c").as(c)): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // (1) per-key tick span; (2) guarded grid expansion
-    val span = obs.groupBy(keyCols.map(col): _*)
-      .agg(tick(min(col("__ts"))).as("__lo"), tick(max(col("__ts"))).as("__hi"))
+    val span = compacted.groupBy(keyCols.map(col): _*)
+      .agg(min(col("__tick")).as("__lo"), max(col("__tick")).as("__hi"))
     val guarded = span.withColumn("__hi",
       when(col("__hi") - col("__lo") < lit(maxTicksPerKey), col("__hi"))
         .otherwise(raise_error(concat(
@@ -109,15 +122,6 @@ object Resample {
     val grid = guarded
       .select(keyCols.map(col) :+
         explode(sequence(col("__lo"), col("__hi"))).as("__tick"): _*)
-    // (3) one surviving observation per occupied tick: latest ts wins,
-    // ties by greatest payload (the asOf tie rule, made explicit here so
-    // the compacted side is deterministic on any partitioning)
-    val compacted = obs
-      .groupBy((keyCols.map(col) :+ tick(col("__ts")).as("__tick")): _*)
-      .agg(max(struct((col("__ts") +: valueCols.map(col)): _*)).as("__obs"))
-      .select(keyCols.map(col) ++
-        Seq(col("__tick"), col("__obs.__ts").as("__obsts")) ++
-        valueCols.map(c => col(s"__obs.$c").as(c)): _*)
     // (4) LOCF = backward as-of join on the TICK index: an observation is
     // visible from its own tick onward, staleness counts whole ticks
     val joined = AsOfJoin.asOf(

@@ -65,4 +65,40 @@ class OutliersSpec extends GraftSuite {
       Profile.outliers(Seq(1.0).toDF("is_outlier"), "is_outlier")
     }
   }
+
+  test("winsorize clips to the per-group quantile band; nulls stay null; " +
+      "rows preserved") {
+    val df = (Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("a", Some(4.0)), ("a", Some(100.0)), ("a", None)) ++
+      (1 to 5).map(i => ("b", Some(i * 10.0)))).toDF("g", "v")
+    val got = Profile.winsorize(df, "v", Seq("g"),
+        loProb = 0.25, hiProb = 0.75)
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getDouble(1),
+        if (r.isNullAt(2)) null else r.getDouble(2)))
+    assert(got.length == 11)
+    // group a non-null values (1,2,3,4,100): q25 = 2, q75 = 4
+    val a = got.filter(_._1 == "a").map(t => (t._2, t._3)).toMap
+    assert(a(1.0) == 2.0 && a(2.0) == 2.0 && a(3.0) == 3.0 &&
+      a(4.0) == 4.0 && a(100.0) == 4.0)
+    assert(a(null) == null, "null value must stay null, not become a cut")
+    // group b (10..50): q25 = 20, q75 = 40
+    val b = got.filter(_._1 == "b").map(t => (t._2, t._3)).toMap
+    assert(b(10.0) == 20.0 && b(30.0) == 30.0 && b(50.0) == 40.0)
+  }
+
+  test("winsorize: sketch path agrees with exact on the flagged band " +
+      "for separated data; global scope works") {
+    val df = ((1 to 100).map(_.toDouble) ++ Seq(1e9, -1e9)).toDF("v")
+    val exact = Profile.winsorize(df, "v", Nil, 0.05, 0.95)
+      .agg(min("v_wins"), max("v_wins")).collect().head
+    // tails must be capped well inside the planted extremes
+    assert(math.abs(exact.getDouble(0)) < 1e3 &&
+      math.abs(exact.getDouble(1)) < 1e3)
+    val approx = Profile.winsorize(df, "v", Nil, 0.05, 0.95,
+        approx = true, k = 1024)
+      .agg(min("v_wins"), max("v_wins")).collect().head
+    assert(math.abs(approx.getDouble(0)) < 1e3 &&
+      math.abs(approx.getDouble(1)) < 1e3)
+  }
 }
