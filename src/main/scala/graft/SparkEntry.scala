@@ -1387,6 +1387,22 @@ object SparkEntry {
         .select(col("prob"), round(col("val"), 6).as("val"))
         .orderBy("prob")
     }),
+    // HLL distinct-cardinality epoch store: two overlapping batches fold
+    // into persistent sketches (epoch 1 replayed — exactly-once), the
+    // union view answers "distinct so far"; small-set sparse regime is
+    // exact, so the count(DISTINCT) oracle pins it
+    "q_distinct_store" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val store = s"${lk.work}/hll_store_$tag"
+      val b0 = lk.documents.where(pmod(col("doc_id"), lit(3)) =!= 0)
+      val b1 = lk.documents.where(pmod(col("doc_id"), lit(3)) =!= 1)
+      Profile.distinctSketchIncrementalBatch(b0, "lang", store, batchId = 0L)
+      Profile.distinctSketchIncrementalBatch(b1, "lang", store, batchId = 1L)
+      // replayed delivery: must replace, not double-count
+      Profile.distinctSketchIncrementalBatch(b1, "lang", store, batchId = 1L)
+      Profile.distinctSketchView(s, store)
+    }),
     // quantile winsorization: clip the value tails per event type before
     // scale-sensitive downstream math
     "q_winsorize" -> ((s, dir) => {
@@ -2362,6 +2378,8 @@ object SparkEntry {
                     AS val
            FROM documents)
          ORDER BY prob""",
+    "q_distinct_store" ->
+      """SELECT count(DISTINCT lang)::BIGINT AS n_distinct FROM documents""",
     "q_winsorize" ->
       """WITH q AS (
            SELECT event_type,

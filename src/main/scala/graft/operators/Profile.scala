@@ -263,6 +263,53 @@ object Profile {
         col("cnt"))
   }
 
+  /** Incremental distinct cardinality: fold one (micro-)batch into a
+    * persistent HyperLogLog summary store under `storeDir` — the third
+    * member of the mergeable-summaries family (Misra–Gries counts, KLL
+    * quantiles, HLL cardinality), answering "how many distinct
+    * users/URLs/docs so far, across epochs" without ever re-scanning
+    * history or shuffling the key universe. Uses Spark's built-in
+    * Datasketches HLL aggregate (`hll_sketch_agg`): the batch collapses
+    * to ONE `2^lgK`-byte-bounded sketch row, registered under `batchId`
+    * via `appendReplacing` (replays replace — the heavy-hitters store
+    * discipline). DETERMINISTIC for a fixed input (hash-based, no RNG);
+    * collision-free in practice for small-cardinality columns (the
+    * coupon regime — measured: exact at 40, already 447/450 at 450), and
+    * ~1–2 % standard error at `lgK = 12` at scale. Keep oracles on
+    * small-cardinality columns; assert error bounds, not values, past
+    * that (the sketch-regime discipline). */
+  def distinctSketchIncrementalBatch(
+      batch: DataFrame,
+      itemCol: String,
+      storeDir: String,
+      batchId: Long,
+      lgK: Int = 12): Unit = {
+    val spark = batch.sparkSession
+    val bid = batchId.toString
+    val s = batch
+      .agg(hll_sketch_agg(qcol(itemCol), lit(lgK)).as("__s"))
+      .localCheckpoint()
+    new graft.store.SnapshotTable(spark, s"$storeDir/sketches")
+      .appendReplacing(
+        s.select(col("__s").as("sketch"), lit(bid).as("batch_id")),
+        "batch_id", Seq(bid))
+  }
+
+  /** The merged view of a [[distinctSketchIncrementalBatch]] store: ONE
+    * row `n_distinct` — the union estimate across every registered epoch
+    * (`hll_union_agg` over epochs×1 sketch rows; distinct-union, never a
+    * double-count, no matter how epochs overlap). */
+  def distinctSketchView(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): DataFrame = {
+    val sketches = new graft.store.SnapshotTable(spark, s"$storeDir/sketches")
+      .read().getOrElse(spark.emptyDataFrame
+        .select(lit(null).cast("binary").as("sketch")))
+    sketches
+      .agg(hll_sketch_estimate(
+        hll_union_agg(col("sketch"), lit(true))).as("n_distinct"))
+  }
+
   /** Winsorization: clip `valueCol` to its `[loProb, hiProb]` quantile
     * range per `keyCols` group (globally when empty) — the standard
     * tail-capping step before scale-sensitive downstream math (mixture
