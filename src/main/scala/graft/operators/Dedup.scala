@@ -552,7 +552,8 @@ object Dedup extends org.apache.spark.internal.Logging {
       textCol: String,
       maxDist: Int,
       q: Int = 3): DataFrame = {
-    require(maxDist >= 0, "maxDist must be >= 0")
+    require(maxDist >= 1,
+      "maxDist must be >= 1 — for exact duplicates use exact/exactByHash")
     require(q >= 1, "q must be >= 1")
     val minLong = q * (maxDist + 1)
     val base = df.select(col(idCol).as("__id"), col(textCol).as("__t"))

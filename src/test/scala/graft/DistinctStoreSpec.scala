@@ -26,6 +26,12 @@ class DistinctStoreSpec extends GraftSuite {
     assert(got == 40L, s"union of 1..40, got $got")
   }
 
+  test("empty store reads 0, not null") {
+    val got = Profile.distinctSketchView(spark, tmpDir("hll_empty_"))
+      .collect().head
+    assert(!got.isNullAt(0) && got.getLong(0) == 0L)
+  }
+
   test("estimating regime: within 2.5% of exact at 50k distinct ids") {
     val store = tmpDir("hll_store_")
     val rng = new scala.util.Random(37)

@@ -88,6 +88,14 @@ class FuzzyJoinSpec extends GraftSuite {
     assert(got == allPairs(strs, 1))
   }
 
+  test("maxDist = 0 fails loudly toward the exact-dedup operators") {
+    val df = Seq((1L, "a")).toDF("id", "s")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.editDistancePairs(df, "id", "s", maxDist = 0)
+    }
+    assert(e.getMessage.contains("exact"))
+  }
+
   test("null texts never match; dist 0 exact duplicates are included") {
     val df = Seq((1L, "same"), (2L, "same"), (3L, null.asInstanceOf[String]))
       .toDF("id", "s")
