@@ -1449,6 +1449,27 @@ object SparkEntry {
           array_join(col("violations"), ",").as("violations"))
         .orderBy("o_orderkey")
     }),
+    // distribution drift (PSI over reference-quantile bins): does the
+    // purchase half of the event stream price like the click half?
+    "q_drift_numeric" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val ref = lk.events.where(pmod(col("user_id"), lit(2)) === 0)
+      val cur = lk.events.where(pmod(col("user_id"), lit(2)) === 1)
+      Profile.driftNumeric(ref, cur, "value", nBins = 4)
+        .select(col("bin"), round(col("lo"), 6).as("lo"),
+          round(col("hi"), 6).as("hi"), col("n_ref"), col("n_cur"),
+          col("p_ref"), col("p_cur"), col("psi_term"))
+        .orderBy("bin")
+    }),
+    // categorical drift: language-mix shift between two corpus halves,
+    // vanished/new categories clamped to eps (finite, large terms)
+    "q_drift_categorical" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val ref = lk.documents.where(pmod(col("doc_id"), lit(2)) === 0)
+      val cur = lk.documents.where(pmod(col("doc_id"), lit(2)) === 1)
+      Profile.driftCategorical(ref, cur, "lang")
+        .orderBy("category")
+    }),
     // time-grid resample + LOCF: per-user daily grid over the click
     // stream, each tick carrying the latest prior observation
     "q_resample_locf" -> ((s, dir) => {
@@ -2447,6 +2468,60 @@ object SparkEntry {
              ], x -> x IS NOT NULL), ',') AS violations
            FROM orders)
          WHERE violations <> '' ORDER BY o_orderkey""",
+    "q_drift_numeric" ->
+      """WITH cuts AS (
+           SELECT quantile_cont(value, 0.25) AS c1,
+                  quantile_cont(value, 0.5)  AS c2,
+                  quantile_cont(value, 0.75) AS c3
+           FROM events WHERE user_id % 2 = 0 AND value IS NOT NULL),
+         b AS (
+           SELECT user_id % 2 AS side,
+                  CASE WHEN value IS NULL THEN -1 ELSE
+                    (CASE WHEN value > c1 THEN 1 ELSE 0 END +
+                     CASE WHEN value > c2 THEN 1 ELSE 0 END +
+                     CASE WHEN value > c3 THEN 1 ELSE 0 END) END AS bin
+           FROM events, cuts),
+         r AS (SELECT bin, count(*)::BIGINT AS n_ref FROM b
+               WHERE side = 0 GROUP BY bin),
+         c AS (SELECT bin, count(*)::BIGINT AS n_cur FROM b
+               WHERE side = 1 GROUP BY bin),
+         j AS (SELECT coalesce(r.bin, c.bin) AS bin,
+                      coalesce(n_ref, 0)::BIGINT AS n_ref,
+                      coalesce(n_cur, 0)::BIGINT AS n_cur
+               FROM r FULL JOIN c ON r.bin = c.bin),
+         t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+         SELECT j.bin,
+                round(CASE WHEN j.bin = 1 THEN c1 WHEN j.bin = 2 THEN c2
+                           WHEN j.bin = 3 THEN c3 END, 6) AS lo,
+                round(CASE WHEN j.bin = 0 THEN c1 WHEN j.bin = 1 THEN c2
+                           WHEN j.bin = 2 THEN c3 END, 6) AS hi,
+                j.n_ref, j.n_cur,
+                round(greatest(j.n_ref / t.tr, 0.000001), 6) AS p_ref,
+                round(greatest(j.n_cur / t.tc, 0.000001), 6) AS p_cur,
+                round((greatest(j.n_cur / t.tc, 0.000001) -
+                       greatest(j.n_ref / t.tr, 0.000001)) *
+                      ln(greatest(j.n_cur / t.tc, 0.000001) /
+                         greatest(j.n_ref / t.tr, 0.000001)), 6) AS psi_term
+         FROM j, t, cuts ORDER BY bin""",
+    "q_drift_categorical" ->
+      """WITH r AS (SELECT lang AS category, count(*)::BIGINT AS n_ref
+                    FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+         c AS (SELECT lang AS category, count(*)::BIGINT AS n_cur
+               FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+         j AS (SELECT coalesce(r.category, c.category) AS category,
+                      coalesce(n_ref, 0)::BIGINT AS n_ref,
+                      coalesce(n_cur, 0)::BIGINT AS n_cur
+               FROM r FULL JOIN c
+                 ON r.category IS NOT DISTINCT FROM c.category),
+         t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+         SELECT j.category, j.n_ref, j.n_cur,
+                round(greatest(j.n_ref / t.tr, 0.000001), 6) AS p_ref,
+                round(greatest(j.n_cur / t.tc, 0.000001), 6) AS p_cur,
+                round((greatest(j.n_cur / t.tc, 0.000001) -
+                       greatest(j.n_ref / t.tr, 0.000001)) *
+                      ln(greatest(j.n_cur / t.tc, 0.000001) /
+                         greatest(j.n_ref / t.tr, 0.000001)), 6) AS psi_term
+         FROM j, t ORDER BY category""",
     "q_resample_locf" ->
       """WITH obs AS (
            SELECT user_id, ts, value,

@@ -305,9 +305,10 @@ object Profile {
     val sketches = new graft.store.SnapshotTable(spark, s"$storeDir/sketches")
       .read().getOrElse(spark.emptyDataFrame
         .select(lit(null).cast("binary").as("sketch")))
+    // an EMPTY store must read 0, not a null estimate over zero sketches
     sketches
-      .agg(hll_sketch_estimate(
-        hll_union_agg(col("sketch"), lit(true))).as("n_distinct"))
+      .agg(coalesce(hll_sketch_estimate(
+        hll_union_agg(col("sketch"), lit(true))), lit(0L)).as("n_distinct"))
   }
 
   /** Winsorization: clip `valueCol` to its `[loProb, hiProb]` quantile
@@ -386,6 +387,50 @@ object Profile {
     * `percentile` (whose buffer holds each group's value multiset) for
     * the `k`-capacity KLL sketch — the petabyte path, discrete rather
     * than interpolated medians. */
+  /** Robust location/scale per group: `keyCols | median | mad` (median
+    * absolute deviation), one row per key holding at least one non-null
+    * value — the trained side of the Iglewicz–Hoaglin gate. Factored out
+    * of [[outliers]] so a pipeline can train the stats ONCE on a trusted
+    * batch, persist them (they are one row per key), and serve them to a
+    * stream ([[graft.streaming.StreamOps.outlierFilter]]) — the same
+    * train-batch/serve-stream split as the perplexity LM.
+    *
+    * Scale shape: two aggregate passes over `(keys, value)` only
+    * (column-pruned), joined on a one-row-per-key frame. Exact medians
+    * interpolate (Spark `percentile` ≡ DuckDB quantile_cont); `approx =
+    * true` swaps in the `k`-capacity KLL sketch (discrete medians, bounded
+    * buffers — the petabyte path). */
+  def robustStats(
+      df: DataFrame,
+      valueCol: String,
+      keyCols: Seq[String] = Nil,
+      approx: Boolean = false,
+      k: Int = 8192): DataFrame = {
+    val reserved = Seq("__v", "median", "mad")
+    require(!keyCols.exists(reserved.contains(_)),
+      s"key columns may not use the reserved names ${reserved.mkString("/")}")
+    def sketchMed(c: Column): Column =
+      graft.functions.Kll.quantilesAgg(c, k, Seq(0.5))
+        .getItem(0).getField("value")
+    def grouped(in: DataFrame, agg: Column, name: String): DataFrame =
+      if (keyCols.isEmpty) in.agg(agg.as(name))
+      else in.groupBy(keyCols.map(col): _*).agg(agg.as(name))
+    val withV = df
+      .select(keyCols.map(qcol) :+ qcol(valueCol).cast("double").as("__v"): _*)
+      .where(col("__v").isNotNull)
+    val medDf = grouped(withV,
+      (if (approx) sketchMed(col("__v"))
+       else expr("percentile(__v, 0.5)")), "median")
+    val j1 =
+      if (keyCols.isEmpty) withV.crossJoin(broadcast(medDf))
+      else withV.join(medDf, keyCols)
+    val madDf = grouped(j1,
+      (if (approx) sketchMed(abs(col("__v") - col("median")))
+       else expr("percentile(abs(__v - median), 0.5)")), "mad")
+    if (keyCols.isEmpty) medDf.crossJoin(madDf)
+    else medDf.join(madDf, keyCols)
+  }
+
   def outliers(
       df: DataFrame,
       valueCol: String,
@@ -394,42 +439,31 @@ object Profile {
       approx: Boolean = false,
       k: Int = 8192): DataFrame = {
     require(z > 0, "z must be positive")
-    val reserved = Seq("__med", "__mad", "robust_z", "is_outlier")
+    val reserved = Seq("__v", "__med", "__mad", "robust_z", "is_outlier")
     require(!df.columns.exists(reserved.contains(_)),
       s"input columns may not use the reserved names ${reserved.mkString("/")}")
-    val v = qcol(valueCol).cast("double")
-    // exact medians interpolate (Spark `percentile` ≡ DuckDB
-    // quantile_cont); approx medians are the sketch's discrete
-    // quantile_disc
-    def sketchMed(c: Column): Column =
-      graft.functions.Kll.quantilesAgg(c, k, Seq(0.5))
-        .getItem(0).getField("value")
-    def grouped(in: DataFrame, agg: Column, name: String): DataFrame =
-      if (keyCols.isEmpty) in.agg(agg.as(name))
-      else in.groupBy(keyCols.map(col): _*).agg(agg.as(name))
-    val withV = df.withColumn("__v", v)
-    val medDf = grouped(withV.where(col("__v").isNotNull),
-      (if (approx) sketchMed(col("__v"))
-       else expr("percentile(__v, 0.5)")), "__med")
-    // LEFT joins: an all-null-valued group has no median row (the
+    val stats = robustStats(df, valueCol, keyCols, approx, k)
+      .withColumnRenamed("median", "__med").withColumnRenamed("mad", "__mad")
+    val withV = df.withColumn("__v", qcol(valueCol).cast("double"))
+    // LEFT join: an all-null-valued group has no stats row (the
     // aggregates run on non-null values), but its rows must still come
     // out — with null robust_z, never silently dropped
-    val j1 =
-      if (keyCols.isEmpty) withV.crossJoin(broadcast(medDf))
-      else withV.join(medDf, keyCols, "left")
-    val madDf = grouped(j1.where(col("__v").isNotNull),
-      (if (approx) sketchMed(abs(col("__v") - col("__med")))
-       else expr("percentile(abs(__v - __med), 0.5)")), "__mad")
-    val j2 =
-      if (keyCols.isEmpty) j1.crossJoin(broadcast(madDf))
-      else j1.join(madDf, keyCols, "left")
-    j2.withColumn("robust_z",
-        when(col("__mad") > 0,
-          lit(0.6745) * (col("__v") - col("__med")) / col("__mad")))
+    val joined =
+      if (keyCols.isEmpty) withV.crossJoin(broadcast(stats))
+      else withV.join(stats, keyCols, "left")
+    joined.withColumn("robust_z", robustZ(col("__v"), col("__med"), col("__mad")))
       .withColumn("is_outlier",
         coalesce(abs(col("robust_z")) > lit(z), lit(false)))
       .drop("__v", "__med", "__mad")
   }
+
+  /** The Iglewicz–Hoaglin modified z-score expression shared by the batch
+    * gate ([[outliers]]) and the streaming gate
+    * ([[graft.streaming.StreamOps.outlierFilter]]): null when MAD is not
+    * strictly positive (a constant-valued group has no scale to score
+    * against). */
+  def robustZ(v: Column, median: Column, mad: Column): Column =
+    when(mad > 0, lit(0.6745) * (v - median) / mad)
 
   /** Discrete quantiles of `valueCol` at `probs` via a `k`-capacity KLL
     * compactor stack ([[graft.functions.Kll]]): ONE map-side-combined
@@ -491,5 +525,107 @@ object Profile {
         .remergeAgg(col("level"), col("value"), k, probs).as("__q"))
       .select(inline(col("__q")))
       .withColumnRenamed("value", "val")
+  }
+
+  /** Distribution drift between a REFERENCE corpus and a CURRENT one —
+    * the Population Stability Index over `nBins` equal-frequency bins cut
+    * on the reference's own quantiles (the standard monitoring recipe:
+    * bins are fixed by the baseline, so the metric moves only when the
+    * data does). Returns one row per bin:
+    * `bin | lo | hi | n_ref | n_cur | p_ref | p_cur | psi_term`, with
+    * `bin = -1` collecting NULL values on both sides (null-rate drift is
+    * drift), `lo/hi` the bin's cut bounds (null at the open ends), and
+    * `psi_term = (p_cur − p_ref) · ln(p_cur / p_ref)` after clamping both
+    * proportions to `eps` (the usual empty-bin guard). Total PSI =
+    * `sum(psi_term)`; the common alert bands are 0.1 (watch) / 0.25
+    * (act). Proportions and terms are rounded to 6 decimals — determinism
+    * across engines beats the 7th decimal of a monitoring statistic.
+    *
+    * Scale shape: ONE aggregate on the reference for the cut vector
+    * (exact `percentile`, or the KLL sketch when `approx = true` — the
+    * petabyte path), collected as `nBins − 1` doubles (bounded, the
+    * centroid-collect discipline); binning is a pure codegen'd
+    * comparison chain (no HOF, no join); each side then pays one
+    * ≤ nBins+1-row groupBy, and everything after is arithmetic on a
+    * ≤ nBins+1-row frame. Two scans total, no shuffle wider than the bin
+    * count. */
+  def driftNumeric(
+      ref: DataFrame,
+      cur: DataFrame,
+      valueCol: String,
+      nBins: Int = 10,
+      approx: Boolean = false,
+      k: Int = 8192,
+      eps: Double = 1e-6): DataFrame = {
+    require(nBins >= 2, "need at least 2 bins")
+    require(eps > 0, "eps must be positive")
+    val probs = (1 until nBins).map(_.toDouble / nBins)
+    val v = qcol(valueCol).cast("double")
+    val refV = ref.select(v.as("__v")).where(col("__v").isNotNull)
+    val cutRow =
+      (if (approx)
+         refV.agg(graft.functions.Kll.quantilesAgg(col("__v"), k, probs)
+             .getField("value").as("__c"))
+       else refV.agg(expr(
+           s"percentile(__v, array(${probs.mkString(", ")}))").as("__c")))
+        .collect()
+    require(cutRow.nonEmpty && !cutRow.head.isNullAt(0),
+      "reference has no non-null values to cut bins on")
+    val cuts = cutRow.head.getSeq[Double](0).toArray
+    def binOf(c: Column): Column =
+      when(c.isNull, lit(-1)).otherwise(
+        cuts.foldLeft(lit(0))((acc, cut) =>
+          acc + when(c > lit(cut), 1).otherwise(0)))
+    def binned(df: DataFrame, n: String): DataFrame =
+      df.select(binOf(qcol(valueCol).cast("double")).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(n))
+    val joined = binned(ref, "n_ref").join(binned(cur, "n_cur"),
+        Seq("bin"), "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val totals = joined.agg(sum("n_ref").as("__tr"), sum("n_cur").as("__tc"))
+    val cutsLit = array(cuts.map(lit(_)): _*)
+    val pRef = greatest(col("n_ref") / col("__tr"), lit(eps))
+    val pCur = greatest(col("n_cur") / col("__tc"), lit(eps))
+    joined.crossJoin(broadcast(totals))
+      .select(col("bin"),
+        when(col("bin") > 0, element_at(cutsLit, col("bin"))).as("lo"),
+        when(col("bin").between(0, cuts.length - 1),
+          element_at(cutsLit, col("bin") + 1)).as("hi"),
+        col("n_ref"), col("n_cur"),
+        round(pRef, 6).as("p_ref"), round(pCur, 6).as("p_cur"),
+        round((pCur - pRef) * log(pCur / pRef), 6).as("psi_term"))
+  }
+
+  /** Categorical drift: the PSI of [[driftNumeric]] with categories as
+    * the bins — one row per category seen on EITHER side (`category`
+    * rendered as string, null kept as its own row):
+    * `category | n_ref | n_cur | p_ref | p_cur | psi_term`. A category
+    * present on one side only is clamped to `eps` on the other (new or
+    * vanished categories contribute large, finite terms — exactly the
+    * signal wanted). One groupBy per side, a null-safe full-outer join on
+    * a one-row-per-category frame, then arithmetic. */
+  def driftCategorical(
+      ref: DataFrame,
+      cur: DataFrame,
+      colName: String,
+      eps: Double = 1e-6): DataFrame = {
+    require(eps > 0, "eps must be positive")
+    def counted(df: DataFrame, n: String): DataFrame =
+      df.select(qcol(colName).cast("string").as(s"__cat_$n"))
+        .groupBy(s"__cat_$n").agg(count(lit(1)).as(n))
+    val r = counted(ref, "n_ref")
+    val c = counted(cur, "n_cur")
+    val joined = r.join(c,
+        col("__cat_n_ref") <=> col("__cat_n_cur"), "full_outer")
+      .select(coalesce(col("__cat_n_ref"), col("__cat_n_cur")).as("category"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(sum("n_ref").as("__tr"), sum("n_cur").as("__tc"))
+    val pRef = greatest(col("n_ref") / col("__tr"), lit(eps))
+    val pCur = greatest(col("n_cur") / col("__tc"), lit(eps))
+    joined.crossJoin(broadcast(totals))
+      .select(col("category"), col("n_ref"), col("n_cur"),
+        round(pRef, 6).as("p_ref"), round(pCur, 6).as("p_cur"),
+        round((pCur - pRef) * log(pCur / pRef), 6).as("psi_term"))
   }
 }

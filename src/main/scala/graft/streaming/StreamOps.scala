@@ -346,6 +346,62 @@ object StreamOps {
         batch.sparkSession, storeDir, probs, k), batchId)
     }
 
+  /** Streaming robust-outlier gate: score each incoming row's `valueCol`
+    * with the Iglewicz–Hoaglin modified z-score against TRAINED per-key
+    * robust stats ([[graft.operators.Profile.robustStats]], typically
+    * computed once on a trusted batch and persisted) — the
+    * train-batch/serve-stream split of [[graft.operators.Profile.outliers]],
+    * the numeric twin of [[perplexityFilter]].
+    *
+    * Keyed stats ride a stream-static equi-join (natively plannable in
+    * any output mode, broadcast when the stats side is small — one row
+    * per key by construction); global stats (no `keyCols`) are collected
+    * ONCE (a single row) and injected as literals, leaving a pure
+    * stateless per-row expression. Appends `robust_z` (null when the
+    * key is untrained or its MAD is 0) and `is_outlier`, then keeps
+    * non-outliers; flip `keepOutliers` to route the reject stream
+    * instead. Stream ≡ batch is spec-pinned. */
+  def outlierFilter(
+      stream: DataFrame,
+      stats: DataFrame,
+      valueCol: String,
+      keyCols: Seq[String] = Nil,
+      z: Double = 3.5,
+      keepOutliers: Boolean = false): DataFrame = {
+    require(z > 0, "z must be positive")
+    val reserved = Seq("__v", "__med", "__mad", "robust_z", "is_outlier")
+    require(!stream.columns.exists(reserved.contains(_)),
+      s"input columns may not use the reserved names ${reserved.mkString("/")}")
+    val expected = keyCols ++ Seq("median", "mad")
+    require(expected.forall(stats.columns.contains),
+      s"stats frame must carry columns ${expected.mkString(", ")} " +
+        "(the Profile.robustStats shape)")
+    val v = col(valueCol).cast("double")
+    val scored =
+      if (keyCols.isEmpty) {
+        val rows = stats.select(col("median"), col("mad")).collect()
+        require(rows.length == 1,
+          s"global stats frame must hold exactly one row, got ${rows.length}")
+        val r = rows.head
+        stream.withColumn("robust_z",
+          if (r.isNullAt(0) || r.isNullAt(1)) lit(null).cast("double")
+          else graft.operators.Profile.robustZ(v,
+            lit(r.getDouble(0)), lit(r.getDouble(1))))
+      } else {
+        val s = stats.select(
+          (keyCols.map(col) :+ col("median").as("__med")
+            :+ col("mad").as("__mad")): _*)
+        stream.join(s, keyCols, "left")
+          .withColumn("robust_z",
+            graft.operators.Profile.robustZ(v, col("__med"), col("__mad")))
+          .drop("__med", "__mad")
+      }
+    val gated = scored.withColumn("is_outlier",
+      coalesce(abs(col("robust_z")) > lit(z), lit(false)))
+    if (keepOutliers) gated.where(col("is_outlier"))
+    else gated.where(!col("is_outlier"))
+  }
+
   /** Batch-side reference semantics of [[dedupFirstSeen]] for differential
     * testing: one row per key, smallest tiebreak wins. */
   def dedupFirstSeenBatch(df: DataFrame, keyCol: String, tiebreakCol: String): DataFrame = {

@@ -592,6 +592,30 @@ object Drive {
       graft.Index.remove(spark, wname)
     }
 
+    // 18: drift + train/serve robust gate — the serving path end to end:
+    // train robust stats on a trusted half, gate the full event stream
+    // (batch frame ≡ streaming semantics, StreamOpsSpec pins the stream
+    // side), and PSI between the halves of a self-similar column ~ 0.
+    {
+      val events = spark.read.parquet(s"$sf/events.parquet")
+      val trusted = events.where(pmod(col("user_id"), lit(2)) === 0)
+      val stats = graft.operators.Profile.robustStats(
+        trusted, "value", Seq("event_type"))
+      val kept = graft.streaming.StreamOps.outlierFilter(
+        events, stats, "value", Seq("event_type"), z = 3.5).count()
+      val flagged = graft.streaming.StreamOps.outlierFilter(
+        events, stats, "value", Seq("event_type"), z = 3.5,
+        keepOutliers = true).count()
+      val total = events.count()
+      val psi = graft.operators.Profile.driftNumeric(
+          trusted, events.where(pmod(col("user_id"), lit(2)) === 1),
+          "value", nBins = 8)
+        .agg(sum("psi_term")).collect().head.getDouble(0)
+      println(s"[drive] 18-outliergate kept=$kept flagged=$flagged " +
+        s"partition=${kept + flagged == total} (want true) " +
+        s"selfPsiSmall=${math.abs(psi) < 0.05} (want true, psi=$psi)")
+    }
+
     spark.stop()
     println("[drive] done")
   }

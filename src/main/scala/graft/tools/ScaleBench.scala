@@ -58,6 +58,7 @@ object ScaleBench {
       else if (mode == "mine") () // embeddings only; no index fixtures
       else if (mode == "hh") () // raw docs only; no index fixtures
       else if (mode == "kll") () // raw lineitem only; no index fixtures
+      else if (mode == "quality") () // raw tables only; no index fixtures
       else lk.prebuild()
       lk
     }
@@ -433,6 +434,70 @@ object ScaleBench {
         counts("x_kll_envelope_ok") = if (errs.max <= 0.02) 1L else 0L
       }
       prices.unpersist()
+      emit(results, counts, sfDir); spark.stop(); return
+    }
+    // r9 second wave at ×30: the data-quality gate over 18M lineitem rows,
+    // robust outliers/winsorization (sketch vs exact cut points), the hourly
+    // LOCF grid over 3M events / 45k users (~30M grid rows), and the fuzzy
+    // edit-distance self-join over 150k doc prefixes with injected dist-1
+    // perturbations (recall observable in counts, not asserted by hope).
+    if (mode == "quality") {
+      val li = lake.lineitem.cache()
+      counts("x_li_rows") = li.count()
+      val rules = Seq(
+        graft.operators.Validate.notNull("l_orderkey"),
+        graft.operators.Validate.inRange("l_quantity", 1, 50),
+        graft.operators.Validate.inRange("l_discount", 0, 0.1),
+        graft.operators.Validate.inSet("l_returnflag", Seq("A", "N", "R")),
+        graft.operators.Validate.satisfies("price_pos",
+          col("l_extendedprice") > 0))
+      bench("x_validate_check") {
+        graft.operators.Validate.check(li, rules).count()
+      }
+      bench("x_quarantine_valid") {
+        graft.operators.Validate.quarantine(li, rules)
+          .where(col("is_valid")).count()
+      }
+      bench("x_outliers_exact") {
+        graft.operators.Profile.outliers(li, "l_extendedprice",
+          Seq("l_returnflag"), z = 3.5).where(col("is_outlier")).count()
+      }
+      bench("x_outliers_sketch") {
+        graft.operators.Profile.outliers(li, "l_extendedprice",
+          Seq("l_returnflag"), z = 3.5, approx = true, k = 8192)
+          .where(col("is_outlier")).count()
+      }
+      bench("x_winsorize_sketch") {
+        graft.operators.Profile.winsorize(li, "l_extendedprice",
+          Seq("l_returnflag"), approx = true, k = 8192)
+          .agg(sum(col("l_extendedprice_wins"))).collect(); counts("x_li_rows")
+      }
+      li.unpersist()
+      bench("x_resample_locf_hourly") {
+        graft.operators.Resample.gridLocf(
+          lake.events.select("user_id", "ts", "value"),
+          Seq("user_id"), "ts", step = 3600L * 1000000L,
+          valueCols = Seq("value"), maxGapTicks = Some(48)).count()
+      }
+      // fuzzy join: 40-char doc prefixes + a 1% perturbed twin at edit
+      // distance exactly 1 (leading char replaced) — the found-pair count
+      // must cover every injected twin; buckets stay small because the
+      // corpus is non-self-similar by construction
+      val basePrefix = lake.documents
+        .select(col("doc_id"), substring(col("text"), 1, 40).as("t"))
+        .where(length(col("t")) === 40)
+      val injected = basePrefix.where(pmod(col("doc_id"), lit(100)) === 0)
+        .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+          concat(lit("~"), substring(col("t"), 2, 39)).as("t"))
+      val fuzzyIn = basePrefix.unionByName(injected).cache()
+      counts("x_fuzzy_strings") = fuzzyIn.count()
+      counts("x_fuzzy_injected") =
+        basePrefix.where(pmod(col("doc_id"), lit(100)) === 0).count()
+      bench("x_fuzzy_pairs_d1") {
+        Dedup.editDistancePairs(fuzzyIn, "doc_id", "t", maxDist = 1, q = 4)
+          .count()
+      }
+      fuzzyIn.unpersist()
       emit(results, counts, sfDir); spark.stop(); return
     }
     if (mode == "mine") {

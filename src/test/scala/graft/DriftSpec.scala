@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Profile
+
+/** PSI drift detection: hand-computed terms, zero drift on identical
+  * inputs, null-rate drift bin, bin bounds, the sketch cut path, the
+  * categorical variant, and the robustStats train-side frame. */
+class DriftSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def psiTerm(pc: Double, pr: Double, eps: Double = 1e-6): Double = {
+    val (a, b) = (math.max(pc, eps), math.max(pr, eps))
+    BigDecimal((a - b) * math.log(a / b))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("identical distributions drift by exactly zero in every bin") {
+    val df = (1 to 1000).map(_.toDouble).toDF("v")
+    val got = Profile.driftNumeric(df, df, "v", nBins = 10).collect()
+    assert(got.length == 10)
+    assert(got.forall(r => r.getDouble(r.fieldIndex("psi_term")) == 0.0))
+    assert(got.forall(r =>
+      r.getLong(r.fieldIndex("n_ref")) == r.getLong(r.fieldIndex("n_cur"))))
+  }
+
+  test("hand-computed 2-bin shift: emptied bin clamps to eps") {
+    val ref = Seq(1.0, 2.0, 3.0, 4.0).toDF("v") // median cut 2.5
+    val cur = Seq(3.0, 4.0, 5.0, 6.0).toDF("v") // everything above the cut
+    val got = Profile.driftNumeric(ref, cur, "v", nBins = 2)
+      .orderBy("bin").collect()
+    assert(got.map(_.getInt(0)).toSeq == Seq(0, 1))
+    val bin0 = got(0); val bin1 = got(1)
+    assert(bin0.getLong(bin0.fieldIndex("n_ref")) == 2 &&
+      bin0.getLong(bin0.fieldIndex("n_cur")) == 0)
+    assert(bin0.getDouble(bin0.fieldIndex("psi_term")) == psiTerm(0.0, 0.5))
+    assert(bin1.getDouble(bin1.fieldIndex("psi_term")) == psiTerm(1.0, 0.5))
+    // bounds: bin 0 is open below, closes at the cut; last bin open above
+    assert(bin0.isNullAt(bin0.fieldIndex("lo")) &&
+      bin0.getDouble(bin0.fieldIndex("hi")) == 2.5)
+    assert(bin1.getDouble(bin1.fieldIndex("lo")) == 2.5 &&
+      bin1.isNullAt(bin1.fieldIndex("hi")))
+  }
+
+  test("null values land in bin -1 on both sides: null-rate drift is drift") {
+    val ref = Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0), None)
+      .toDF("v")
+    val cur = Seq(Some(1.0), None, None, None, None).toDF("v")
+    val got = Profile.driftNumeric(ref, cur, "v", nBins = 2)
+      .where(col("bin") === -1).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(r.fieldIndex("n_ref")) == 1 &&
+      r.getLong(r.fieldIndex("n_cur")) == 4)
+    assert(r.isNullAt(r.fieldIndex("lo")) && r.isNullAt(r.fieldIndex("hi")))
+    assert(r.getDouble(r.fieldIndex("psi_term")) == psiTerm(0.8, 0.2))
+  }
+
+  test("an all-null reference fails loudly") {
+    val ref = Seq[Option[Double]](None, None).toDF("v")
+    val cur = Seq(1.0).toDF("v")
+    val e = intercept[IllegalArgumentException] {
+      Profile.driftNumeric(ref, cur, "v")
+    }
+    assert(e.getMessage.contains("no non-null values"))
+  }
+
+  test("sketch cuts (approx = true) agree with exact on separated data") {
+    val rng = new scala.util.Random(41)
+    val ref = Seq.fill(400)(rng.nextDouble()).toDF("v")
+    val cur = Seq.fill(400)(rng.nextDouble() + 0.3).toDF("v")
+    val exact = Profile.driftNumeric(ref, cur, "v", nBins = 4)
+      .agg(sum("psi_term")).collect().head.getDouble(0)
+    val approx = Profile.driftNumeric(ref, cur, "v", nBins = 4,
+        approx = true, k = 2048)
+      .agg(sum("psi_term")).collect().head.getDouble(0)
+    assert(exact > 0.25, s"constructed shift must alert, psi=$exact")
+    assert(math.abs(exact - approx) < 0.1 * exact,
+      s"sketch psi $approx strays from exact $exact")
+  }
+
+  test("categorical drift: vanished and new categories clamp, nulls are " +
+      "a category") {
+    val ref = Seq("a", "a", "b", "b").toDF("c")
+    val cur = Seq(Some("b"), Some("b"), Some("c"), None).toDF("c")
+    val got = Profile.driftCategorical(ref, cur, "c").collect()
+      .map(r => (Option(r.getString(0)).getOrElse("<null>"),
+        r.getLong(1), r.getLong(2), r.getDouble(5))).sortBy(_._1)
+    assert(got.map(_._1).toSeq == Seq("<null>", "a", "b", "c"))
+    val byCat = got.map(t => t._1 -> t).toMap
+    assert(byCat("a")._4 == psiTerm(0.0, 0.5))   // vanished
+    assert(byCat("b")._4 == psiTerm(0.5, 0.5))   // steady = 0
+    assert(byCat("c")._4 == psiTerm(0.25, 0.0))  // appeared
+    assert(byCat("<null>")._4 == psiTerm(0.25, 0.0))
+  }
+
+  test("robustStats emits one row per key with interpolated median and MAD") {
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 100.0),
+      ("h", 5.0), ("i", Double.NaN)).toDF("k", "v")
+      .where(!isnan(col("v")))
+    val got = Profile.robustStats(df, "v", Seq("k")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got("g")._1 == 2.5) // percentile interpolates between 2 and 3
+    // residuals to 2.5: {1.5, 0.5, 0.5, 97.5} -> median 1.0
+    assert(got("g")._2 == 1.0)
+    assert(got("h") == ((5.0, 0.0)))
+    assert(!got.contains("i"))
+  }
+
+  test("outliers still flags through the factored stats (regression)") {
+    val df = Seq(8.0, 9.0, 10.0, 11.0, 12.0, 100.0).map(("g", _)).toDF("g", "v")
+    val flagged = Profile.outliers(df, "v", Seq("g"), z = 3.5)
+      .where(col("is_outlier")).select("v").collect().map(_.getDouble(0))
+    assert(flagged.toSeq == Seq(100.0))
+  }
+}

@@ -255,6 +255,69 @@ class StreamOpsSpec extends GraftSuite {
     assert(survived.toSet == want)
   }
 
+  test("outlierFilter == batch outliers survivors across micro-batches; " +
+      "untrained keys and degenerate scale pass the gate") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rng = new scala.util.Random(53)
+    val rows = (1L to 400L).map { i =>
+      val g = if (i % 3 == 0) "a" else "b"
+      val v = if (i % 97 == 0) 1e5 else rng.nextDouble() * 10
+      (i, g, v)
+    } ++ Seq((9001L, "untrained", 1e9), (9002L, "const", 7.0))
+    val trusted = rows.filter(r => r._2 == "a" || r._2 == "b")
+      .toDF("id", "g", "v")
+    val stats = graft.operators.Profile.robustStats(trusted, "v", Seq("g"))
+      .unionByName(Seq(("const", 7.0, 0.0)).toDF("g", "median", "mad"))
+
+    val mem = MemoryStream[(Long, String, Double)]
+    val stream = mem.toDF().toDF("id", "g", "v")
+    val survived = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamOps.outlierFilter(stream, stats, "v", Seq("g"), z = 3.5)
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        survived.synchronized {
+          survived ++= b.select("id").collect().map(_.getLong(0)) }
+        ()
+      }
+      .option("checkpointLocation", tmpDir("graft_outgate_ckpt_")).start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.size / 2)
+      mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    // batch reference over the SAME frame with the SAME trained stats:
+    // outliers() retrains per-group on its input, so compare against the
+    // gate's own semantics — z against the trusted stats
+    val all = rows.toDF("id", "g", "v")
+    val want = StreamOps.outlierFilter(all, stats, "v", Seq("g"), z = 3.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(survived.toSet == want)
+    // the planted extremes in trained groups are gone ...
+    assert(rows.filter(r => r._3 == 1e5).forall(r => !want.contains(r._1)))
+    // ... and on the trusted frame the gate agrees with batch outliers()
+    val batchKeep = graft.operators.Profile
+      .outliers(trusted, "v", Seq("g"), z = 3.5)
+      .where(!col("is_outlier")).select("id").collect()
+      .map(_.getLong(0)).toSet
+    val gateKeep = StreamOps.outlierFilter(trusted, stats, "v", Seq("g"),
+      z = 3.5).select("id").collect().map(_.getLong(0)).toSet
+    assert(gateKeep == batchKeep)
+    // untrained key (left-join miss) and MAD=0 key pass, never crash
+    assert(want.contains(9001L) && want.contains(9002L))
+
+    // global (no keys): literal-injected stats, outlier routed out
+    val gstats = graft.operators.Profile.robustStats(trusted, "v")
+    val gkeep = StreamOps.outlierFilter(all, gstats, "v", Nil, z = 3.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(!gkeep.contains(9001L), "1e9 must flag under global stats")
+    // keepOutliers routes the exact complement
+    val grej = StreamOps.outlierFilter(all, gstats, "v", Nil, z = 3.5,
+      keepOutliers = true).select("id").collect().map(_.getLong(0)).toSet
+    assert((gkeep ++ grej) == rows.map(_._1).toSet && (gkeep & grej).isEmpty)
+  }
+
   test("semanticDecontaminateFilter == batch semanticDecontaminate") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
