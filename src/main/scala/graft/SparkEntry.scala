@@ -1461,6 +1461,35 @@ object SparkEntry {
           col("p_ref"), col("p_cur"), col("psi_term"))
         .orderBy("bin")
     }),
+    // sketch-native drift: PSI computed purely from two persisted KLL
+    // epoch stores (no history rescan) — exact regime, so the DuckDB
+    // oracle replicates it with quantile_disc cuts + counts; one epoch
+    // is delivered twice to pin the store's exactly-once replay
+    "q_drift_sketch" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val refStore = s"${lk.work}/drift_ref_$tag"
+      val curStore = s"${lk.work}/drift_cur_$tag"
+      val docs = lk.documents
+      val m4 = pmod(col("doc_id"), lit(4))
+      Profile.quantileSketchIncrementalBatch(docs.where(m4 === 0),
+        "n_chars", refStore, k = 65536, batchId = 0L)
+      Profile.quantileSketchIncrementalBatch(docs.where(m4 === 2),
+        "n_chars", refStore, k = 65536, batchId = 1L)
+      Profile.quantileSketchIncrementalBatch(docs.where(m4 === 1),
+        "n_chars", curStore, k = 65536, batchId = 0L)
+      val b1 = docs.where(m4 === 3)
+      Profile.quantileSketchIncrementalBatch(b1,
+        "n_chars", curStore, k = 65536, batchId = 1L)
+      Profile.quantileSketchIncrementalBatch(b1,
+        "n_chars", curStore, k = 65536, batchId = 1L) // replayed delivery
+      Profile.driftFromSketchStores(s, refStore, curStore,
+          nBins = 4, k = 65536)
+        .select(col("bin"), round(col("lo"), 6).as("lo"),
+          round(col("hi"), 6).as("hi"), col("n_ref"), col("n_cur"),
+          col("p_ref"), col("p_cur"), col("psi_term"))
+        .orderBy("bin")
+    }),
     // categorical drift: language-mix shift between two corpus halves,
     // vanished/new categories clamped to eps (finite, large terms)
     "q_drift_categorical" -> ((s, dir) => {
@@ -2489,6 +2518,42 @@ object SparkEntry {
                       coalesce(n_ref, 0)::BIGINT AS n_ref,
                       coalesce(n_cur, 0)::BIGINT AS n_cur
                FROM r FULL JOIN c ON r.bin = c.bin),
+         t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
+         SELECT j.bin,
+                round(CASE WHEN j.bin = 1 THEN c1 WHEN j.bin = 2 THEN c2
+                           WHEN j.bin = 3 THEN c3 END, 6) AS lo,
+                round(CASE WHEN j.bin = 0 THEN c1 WHEN j.bin = 1 THEN c2
+                           WHEN j.bin = 2 THEN c3 END, 6) AS hi,
+                j.n_ref, j.n_cur,
+                round(greatest(j.n_ref / t.tr, 0.000001), 6) AS p_ref,
+                round(greatest(j.n_cur / t.tc, 0.000001), 6) AS p_cur,
+                round((greatest(j.n_cur / t.tc, 0.000001) -
+                       greatest(j.n_ref / t.tr, 0.000001)) *
+                      ln(greatest(j.n_cur / t.tc, 0.000001) /
+                         greatest(j.n_ref / t.tr, 0.000001)), 6) AS psi_term
+         FROM j, t, cuts ORDER BY bin""",
+    "q_drift_sketch" ->
+      """WITH cuts AS (
+           SELECT quantile_disc(n_chars::DOUBLE, 0.25) AS c1,
+                  quantile_disc(n_chars::DOUBLE, 0.5)  AS c2,
+                  quantile_disc(n_chars::DOUBLE, 0.75) AS c3
+           FROM documents WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL),
+         b AS (
+           SELECT doc_id % 2 AS side,
+                  (CASE WHEN n_chars > c1 THEN 1 ELSE 0 END +
+                   CASE WHEN n_chars > c2 THEN 1 ELSE 0 END +
+                   CASE WHEN n_chars > c3 THEN 1 ELSE 0 END) AS bin
+           FROM documents, cuts WHERE n_chars IS NOT NULL),
+         r AS (SELECT bin, count(*)::BIGINT AS n_ref FROM b
+               WHERE side = 0 GROUP BY bin),
+         c AS (SELECT bin, count(*)::BIGINT AS n_cur FROM b
+               WHERE side = 1 GROUP BY bin),
+         spine AS (SELECT unnest([0, 1, 2, 3]) AS bin),
+         j AS (SELECT s.bin,
+                      coalesce(r.n_ref, 0)::BIGINT AS n_ref,
+                      coalesce(c.n_cur, 0)::BIGINT AS n_cur
+               FROM spine s LEFT JOIN r ON s.bin = r.bin
+                            LEFT JOIN c ON s.bin = c.bin),
          t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j)
          SELECT j.bin,
                 round(CASE WHEN j.bin = 1 THEN c1 WHEN j.bin = 2 THEN c2

@@ -180,6 +180,53 @@ object Kll {
       }
     }
 
+    /** Cumulative survivor-mass fraction at or below each probe value
+      * (`value <= x`), over the survivor weight mass — the rank side of
+      * the sketch (exact in the exact regime, within the rank envelope
+      * otherwise). Probes must be ascending for one walk; unsorted input
+      * is handled by sorting probes and un-permuting the answer. */
+    def fractionsAtOrBelow(xs: Seq[Double]): Seq[Double] = {
+      val pairs = weighted()
+      if (pairs.isEmpty) return xs.map(_ => 0.0)
+      val total = pairs.map(_._2).sum.toDouble
+      val order = xs.zipWithIndex.sortBy(_._1)
+      val out = new Array[Double](xs.length)
+      var cum = 0L
+      var i = 0
+      order.foreach { case (x, pos) =>
+        while (i < pairs.length && pairs(i)._1 <= x) { cum += pairs(i)._2; i += 1 }
+        out(pos) = cum / total
+      }
+      out.toSeq
+    }
+
+    /** Discrete median and MAD (median absolute deviation) from ONE
+      * sketch: the median is the usual `quantile_disc` walk; the MAD is
+      * the weighted median of `|survivor - median|` — the residual
+      * transform is monotone on each side of the median, so the
+      * survivors' rank error carries through (~2x the envelope) without
+      * a SECOND data pass. Exact (= the discrete median of the true
+      * residual multiset) in the exact regime. */
+    def medianAbsDev(): (Double, Double) = {
+      val pairs = weighted()
+      if (pairs.isEmpty) return (Double.NaN, Double.NaN)
+      val m = quantiles(Seq(0.5)).head.value
+      val resid = pairs.map { case (v, w) => (math.abs(v - m), w) }
+        .sortBy(_._1)
+      val total = resid.map(_._2).sum
+      val target = math.max(1L, math.ceil(0.5 * total).toLong)
+      var cum = 0L
+      var i = 0
+      var ans = resid(resid.length - 1)._1
+      var done = false
+      while (i < resid.length && !done) {
+        cum += resid(i)._2
+        if (cum >= target) { ans = resid(i)._1; done = true }
+        i += 1
+      }
+      (m, ans)
+    }
+
     def summary(): SketchSummary = {
       val items = new ArrayBuffer[SketchItem]()
       var i = 0
@@ -245,6 +292,61 @@ object Kll {
     override def outputEncoder: Encoder[Seq[QuantileEst]] =
       ExpressionEncoder[Seq[QuantileEst]]()
   }
+
+  /** One-pass robust location/scale: median AND MAD from a single
+    * `k`-bounded sketch per group ([[Sketch.medianAbsDev]]) — the
+    * trained side of the outlier gate without the exact path's
+    * residual join (two full scans collapse to one bounded aggregate).
+    * NaN (empty group) renders as null downstream via nanSafe guards. */
+  final class KllRobustStatsAggregator(k: Int)
+      extends Aggregator[Double, Sketch, (Double, Double)] {
+    override def zero: Sketch = new Sketch(k)
+    override def reduce(b: Sketch, v: Double): Sketch = {
+      if (!v.isNaN) b.add(v)
+      b
+    }
+    override def merge(a: Sketch, b: Sketch): Sketch = a.merge(b)
+    override def finish(b: Sketch): (Double, Double) = b.medianAbsDev()
+    override def bufferEncoder: Encoder[Sketch] =
+      org.apache.spark.sql.Encoders.kryo[Sketch]
+    override def outputEncoder: Encoder[(Double, Double)] =
+      ExpressionEncoder[(Double, Double)]()
+  }
+
+  /** Aggregation column: `struct<_1: median, _2: mad>` under a
+    * `k`-capacity stack, one data pass. */
+  def robustStatsAgg(value: Column, k: Int): Column =
+    udaf(new KllRobustStatsAggregator(k)).apply(nanSafe(value))
+
+  /** Re-merge aggregator rendering the merged SKETCH STATE rather than
+    * quantiles — the loader side of sketch-native drift: fold a store's
+    * `(level, value)` rows back into one bounded summary that a driver
+    * can walk for both quantiles (bin cuts) and ranks (bin masses). */
+  final class KllRemergeSketchAggregator(k: Int)
+      extends Aggregator[(Int, Double), Sketch, SketchSummary] {
+    override def zero: Sketch = new Sketch(k)
+    override def reduce(b: Sketch, v: (Int, Double)): Sketch = {
+      if (v._1 >= 0 && !v._2.isNaN) b.addAtLevel(v._1, v._2)
+      b
+    }
+    override def merge(a: Sketch, b: Sketch): Sketch = a.merge(b)
+    override def finish(b: Sketch): SketchSummary = b.summary()
+    override def bufferEncoder: Encoder[Sketch] =
+      org.apache.spark.sql.Encoders.kryo[Sketch]
+    override def outputEncoder: Encoder[SketchSummary] =
+      ExpressionEncoder[SketchSummary]()
+  }
+
+  /** Aggregation column re-merging persisted `(level, value)` rows into
+    * the full merged sketch state (`struct<items, n>`). NOTE: the
+    * re-merged `n` counts survivor WEIGHT (each row re-enters at its
+    * level), which equals the true row count only in the exact regime —
+    * epoch stores that need the true count must persist it alongside. */
+  def remergeSketchAgg(level: Column, value: Column, k: Int): Column =
+    udaf(new KllRemergeSketchAggregator(k)).apply(
+      org.apache.spark.sql.functions.coalesce(
+        level.cast("int"), org.apache.spark.sql.functions.lit(-1)),
+      nanSafe(value))
 
   private def nanSafe(value: Column): Column =
     org.apache.spark.sql.functions.coalesce(

@@ -331,7 +331,8 @@ object Profile {
       hiProb: Double = 0.99,
       approx: Boolean = false,
       k: Int = 8192,
-      outCol: String = ""): DataFrame = {
+      outCol: String = "",
+      broadcastStats: Boolean = true): DataFrame = {
     require(loProb >= 0 && hiProb <= 1 && loProb <= hiProb,
       s"need 0 <= loProb <= hiProb <= 1, got [$loProb, $hiProb]")
     val out = if (outCol.nonEmpty) outCol else s"${valueCol}_wins"
@@ -359,7 +360,8 @@ object Profile {
     }
     val joined =
       if (keyCols.isEmpty) withV.crossJoin(broadcast(qDf))
-      else withV.join(qDf, keyCols, "left")
+      else withV.join(
+        if (broadcastStats) broadcast(qDf) else qDf, keyCols, "left")
     // Spark's least/greatest SKIP nulls, which is right for a missing cut
     // (one-sided or absent cuts degrade to passthrough) but would turn a
     // NULL VALUE into the lower cut — guard the value explicitly
@@ -381,12 +383,11 @@ object Profile {
     * never flagged, documented) and `is_outlier`. Null values get a null
     * z and `is_outlier = false`.
     *
-    * Scale shape: two aggregate passes (median, then MAD over the
-    * residuals) + two joins whose aggregate side is ONE row per key —
-    * broadcastable, AQE-friendly. `approx = true` swaps the exact
-    * `percentile` (whose buffer holds each group's value multiset) for
-    * the `k`-capacity KLL sketch — the petabyte path, discrete rather
-    * than interpolated medians. */
+    * Scale shape: [[robustStats]] trains (exact: two aggregate passes +
+    * one residual join; approx: ONE `k`-bounded sketch pass, no join),
+    * then the full frame joins the one-row-per-key stats ONCE —
+    * broadcast under `broadcastStats` (default), so the big side never
+    * exchanges; flip it off for ultra-high-cardinality keys. */
   /** Robust location/scale per group: `keyCols | median | mad` (median
     * absolute deviation), one row per key holding at least one non-null
     * value — the trained side of the Iglewicz–Hoaglin gate. Factored out
@@ -395,40 +396,51 @@ object Profile {
     * stream ([[graft.streaming.StreamOps.outlierFilter]]) — the same
     * train-batch/serve-stream split as the perplexity LM.
     *
-    * Scale shape: two aggregate passes over `(keys, value)` only
-    * (column-pruned), joined on a one-row-per-key frame. Exact medians
-    * interpolate (Spark `percentile` ≡ DuckDB quantile_cont); `approx =
-    * true` swaps in the `k`-capacity KLL sketch (discrete medians, bounded
-    * buffers — the petabyte path). */
+    * Scale shape, exact path: two aggregate passes over `(keys, value)`
+    * only (column-pruned; exact medians interpolate — Spark `percentile`
+    * ≡ DuckDB quantile_cont), with the residual pass joining the value
+    * frame against the one-row-per-key median frame (broadcast under
+    * `broadcastStats`; flip it off for ultra-high-cardinality keys and
+    * let AQE plan the shuffle join). `approx = true` is the petabyte
+    * path: median AND MAD come out of ONE `k`-bounded KLL sketch per
+    * group (the MAD is the weighted median of `|survivor − median|` —
+    * [[graft.functions.Kll.Sketch.medianAbsDev]]), so training is a
+    * single map-side-combined pass with NO residual join at all;
+    * medians are discrete, and the MAD carries ~2× the rank envelope. */
   def robustStats(
       df: DataFrame,
       valueCol: String,
       keyCols: Seq[String] = Nil,
       approx: Boolean = false,
-      k: Int = 8192): DataFrame = {
-    val reserved = Seq("__v", "median", "mad")
+      k: Int = 8192,
+      broadcastStats: Boolean = true): DataFrame = {
+    val reserved = Seq("__v", "__mm", "median", "mad")
     require(!keyCols.exists(reserved.contains(_)),
       s"key columns may not use the reserved names ${reserved.mkString("/")}")
-    def sketchMed(c: Column): Column =
-      graft.functions.Kll.quantilesAgg(c, k, Seq(0.5))
-        .getItem(0).getField("value")
     def grouped(in: DataFrame, agg: Column, name: String): DataFrame =
       if (keyCols.isEmpty) in.agg(agg.as(name))
       else in.groupBy(keyCols.map(col): _*).agg(agg.as(name))
     val withV = df
       .select(keyCols.map(qcol) :+ qcol(valueCol).cast("double").as("__v"): _*)
       .where(col("__v").isNotNull)
-    val medDf = grouped(withV,
-      (if (approx) sketchMed(col("__v"))
-       else expr("percentile(__v, 0.5)")), "median")
-    val j1 =
-      if (keyCols.isEmpty) withV.crossJoin(broadcast(medDf))
-      else withV.join(medDf, keyCols)
-    val madDf = grouped(j1,
-      (if (approx) sketchMed(abs(col("__v") - col("median")))
-       else expr("percentile(abs(__v - median), 0.5)")), "mad")
-    if (keyCols.isEmpty) medDf.crossJoin(madDf)
-    else medDf.join(madDf, keyCols)
+    if (approx) {
+      def deNaN(c: Column): Column = when(!isnan(c), c)
+      grouped(withV,
+          graft.functions.Kll.robustStatsAgg(col("__v"), k), "__mm")
+        .select(keyCols.map(col) :+
+          deNaN(col("__mm._1")).as("median") :+
+          deNaN(col("__mm._2")).as("mad"): _*)
+    } else {
+      val medDf = grouped(withV, expr("percentile(__v, 0.5)"), "median")
+      val j1 =
+        if (keyCols.isEmpty) withV.crossJoin(broadcast(medDf))
+        else withV.join(
+          if (broadcastStats) broadcast(medDf) else medDf, keyCols)
+      val madDf = grouped(j1,
+        expr("percentile(abs(__v - median), 0.5)"), "mad")
+      if (keyCols.isEmpty) medDf.crossJoin(madDf)
+      else medDf.join(madDf, keyCols)
+    }
   }
 
   def outliers(
@@ -437,20 +449,23 @@ object Profile {
       keyCols: Seq[String] = Nil,
       z: Double = 3.5,
       approx: Boolean = false,
-      k: Int = 8192): DataFrame = {
+      k: Int = 8192,
+      broadcastStats: Boolean = true): DataFrame = {
     require(z > 0, "z must be positive")
     val reserved = Seq("__v", "__med", "__mad", "robust_z", "is_outlier")
     require(!df.columns.exists(reserved.contains(_)),
       s"input columns may not use the reserved names ${reserved.mkString("/")}")
-    val stats = robustStats(df, valueCol, keyCols, approx, k)
+    val stats = robustStats(df, valueCol, keyCols, approx, k, broadcastStats)
       .withColumnRenamed("median", "__med").withColumnRenamed("mad", "__mad")
-    val withV = df.withColumn("__v", qcol(valueCol).cast("double"))
     // LEFT join: an all-null-valued group has no stats row (the
     // aggregates run on non-null values), but its rows must still come
-    // out — with null robust_z, never silently dropped
+    // out — with null robust_z, never silently dropped. Broadcasting the
+    // one-row-per-key stats side keeps the full frame exchange-free.
+    val withV = df.withColumn("__v", qcol(valueCol).cast("double"))
     val joined =
       if (keyCols.isEmpty) withV.crossJoin(broadcast(stats))
-      else withV.join(stats, keyCols, "left")
+      else withV.join(
+        if (broadcastStats) broadcast(stats) else stats, keyCols, "left")
     joined.withColumn("robust_z", robustZ(col("__v"), col("__med"), col("__mad")))
       .withColumn("is_outlier",
         coalesce(abs(col("robust_z")) > lit(z), lit(false)))
@@ -594,6 +609,80 @@ object Profile {
         col("n_ref"), col("n_cur"),
         round(pRef, 6).as("p_ref"), round(pCur, 6).as("p_cur"),
         round((pCur - pRef) * log(pCur / pRef), 6).as("psi_term"))
+  }
+
+  /** Sketch-native drift: the PSI of [[driftNumeric]] computed purely
+    * from two persisted KLL epoch stores
+    * ([[quantileSketchIncrementalBatch]]) — drift monitoring over a
+    * stream WITHOUT rescanning any history. Cuts come from the
+    * reference sketch's discrete quantiles; each side's bin masses come
+    * from the sketch's rank walk (`fractionsAtOrBelow`); both stores
+    * fold distributively into ONE bounded summary each (the
+    * [[quantileSketchView]] re-merge discipline), and only those two
+    * `k·log`-item summaries ever reach the driver.
+    *
+    * Output matches [[driftNumeric]] minus the null bin (sketches ingest
+    * only non-null values): `bin | lo | hi | n_ref | n_cur | p_ref |
+    * p_cur | psi_term`. EXACT — bit-equal to `driftNumeric(approx =
+    * true)` over the same non-null rows (sketch cuts are DISCRETE
+    * quantiles; the exact-percentile path interpolates), and
+    * DuckDB-oracle-able via `quantile_disc` — while each store's total
+    * row count stays <= `k` (`n_ref`/`n_cur` are then true counts);
+    * in the estimating regime bins carry the sketch rank envelope and
+    * counts are survivor-weight estimates. An empty CURRENT store reads
+    * as all-eps bins (maximal drift alert, not a crash); an empty
+    * reference fails loudly — there is nothing to cut bins on. */
+  def driftFromSketchStores(
+      spark: org.apache.spark.sql.SparkSession,
+      refStoreDir: String,
+      curStoreDir: String,
+      nBins: Int = 10,
+      k: Int = 8192,
+      eps: Double = 1e-6): DataFrame = {
+    require(nBins >= 2, "need at least 2 bins")
+    require(eps > 0, "eps must be positive")
+    import spark.implicits._
+    def load(dir: String): (graft.functions.Kll.Sketch, Long) = {
+      val items = new graft.store.SnapshotTable(spark, s"$dir/items")
+        .read().getOrElse(spark.emptyDataFrame
+          .select(lit(-1).as("level"), lit(Double.NaN).as("value")))
+      val row = items.agg(graft.functions.Kll
+        .remergeSketchAgg(col("level"), col("value"), k).as("__s"))
+        .collect().head
+      val st = row.getStruct(0)
+      val sk = new graft.functions.Kll.Sketch(k)
+      st.getSeq[org.apache.spark.sql.Row](0).foreach { it =>
+        sk.addAtLevel(it.getInt(0), it.getDouble(1))
+      }
+      (sk, st.getLong(1))
+    }
+    val (refSk, refW) = load(refStoreDir)
+    val (curSk, curW) = load(curStoreDir)
+    require(refW > 0, s"reference sketch store at $refStoreDir is empty " +
+      "- nothing to cut bins on")
+    val probs = (1 until nBins).map(_.toDouble / nBins)
+    val cuts = refSk.quantiles(probs).map(_.value)
+    def binProps(f: Seq[Double]): Seq[Double] = {
+      val ext = 0.0 +: f :+ 1.0
+      (0 until nBins).map(i => ext(i + 1) - ext(i))
+    }
+    val pR = binProps(refSk.fractionsAtOrBelow(cuts))
+    val pC =
+      if (curW == 0) Seq.fill(nBins)(0.0)
+      else binProps(curSk.fractionsAtOrBelow(cuts))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val rows = (0 until nBins).map { b =>
+      val pr = math.max(pR(b), eps)
+      val pc = math.max(pC(b), eps)
+      (b,
+        if (b == 0) None else Some(cuts(b - 1)),
+        if (b == nBins - 1) None else Some(cuts(b)),
+        math.round(pR(b) * refW), math.round(pC(b) * curW),
+        r6(pr), r6(pc), r6((pc - pr) * math.log(pc / pr)))
+    }
+    rows.toDF("bin", "lo", "hi", "n_ref", "n_cur",
+      "p_ref", "p_cur", "psi_term")
   }
 
   /** Categorical drift: the PSI of [[driftNumeric]] with categories as

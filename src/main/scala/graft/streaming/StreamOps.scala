@@ -367,7 +367,8 @@ object StreamOps {
       valueCol: String,
       keyCols: Seq[String] = Nil,
       z: Double = 3.5,
-      keepOutliers: Boolean = false): DataFrame = {
+      keepOutliers: Boolean = false,
+      broadcastStats: Boolean = true): DataFrame = {
     require(z > 0, "z must be positive")
     val reserved = Seq("__v", "__med", "__mad", "robust_z", "is_outlier")
     require(!stream.columns.exists(reserved.contains(_)),
@@ -391,7 +392,8 @@ object StreamOps {
         val s = stats.select(
           (keyCols.map(col) :+ col("median").as("__med")
             :+ col("mad").as("__mad")): _*)
-        stream.join(s, keyCols, "left")
+        stream.join(
+            if (broadcastStats) broadcast(s) else s, keyCols, "left")
           .withColumn("robust_z",
             graft.operators.Profile.robustZ(v, col("__med"), col("__mad")))
           .drop("__med", "__mad")

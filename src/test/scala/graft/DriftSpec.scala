@@ -108,6 +108,75 @@ class DriftSpec extends GraftSuite {
     assert(!got.contains("i"))
   }
 
+  test("sketch-native drift == driftNumeric(approx) in the exact regime, " +
+      "across epochs and a replayed delivery") {
+    val rng = new scala.util.Random(59)
+    val refData = Seq.fill(900)(rng.nextDouble() * 100).map(math.floor)
+    val curData = Seq.fill(700)(rng.nextDouble() * 100 + 15).map(math.floor)
+    val refDf = refData.toDF("v"); val curDf = curData.toDF("v")
+    val refStore = tmpDir("drift_ref_"); val curStore = tmpDir("drift_cur_")
+    val (r0, r1) = refData.splitAt(450)
+    Profile.quantileSketchIncrementalBatch(r0.toDF("v"), "v", refStore,
+      k = 4096, batchId = 0L)
+    Profile.quantileSketchIncrementalBatch(r1.toDF("v"), "v", refStore,
+      k = 4096, batchId = 1L)
+    val (c0, c1) = curData.splitAt(350)
+    Profile.quantileSketchIncrementalBatch(c0.toDF("v"), "v", curStore,
+      k = 4096, batchId = 0L)
+    Profile.quantileSketchIncrementalBatch(c1.toDF("v"), "v", curStore,
+      k = 4096, batchId = 1L)
+    Profile.quantileSketchIncrementalBatch(c1.toDF("v"), "v", curStore,
+      k = 4096, batchId = 1L) // replay must not double-count
+    val fromStores = Profile.driftFromSketchStores(spark, refStore,
+      curStore, nBins = 5, k = 4096)
+    val fromData = Profile.driftNumeric(refDf, curDf, "v", nBins = 5,
+      approx = true, k = 4096)
+    assertSameRows(fromStores, fromData)
+    val psi = fromStores.agg(sum("psi_term")).collect().head.getDouble(0)
+    assert(psi > 0.1, s"constructed shift must register, psi=$psi")
+  }
+
+  test("sketch drift: empty current store alerts with eps bins; empty " +
+      "reference fails loudly") {
+    val refStore = tmpDir("drift_ref_"); val curStore = tmpDir("drift_cur_")
+    Profile.quantileSketchIncrementalBatch(
+      (1 to 100).map(_.toDouble).toDF("v"), "v", refStore,
+      k = 1024, batchId = 0L)
+    val got = Profile.driftFromSketchStores(spark, refStore, curStore,
+      nBins = 4, k = 1024).collect()
+    assert(got.length == 4)
+    assert(got.forall(r => r.getLong(r.fieldIndex("n_cur")) == 0L &&
+      r.getDouble(r.fieldIndex("p_cur")) == 1e-6))
+    assert(got.forall(r => r.getDouble(r.fieldIndex("psi_term")) > 1.0),
+      "every reference bin vanishing is a loud alert")
+    val e = intercept[IllegalArgumentException] {
+      Profile.driftFromSketchStores(spark, curStore, refStore,
+        nBins = 4, k = 1024)
+    }
+    assert(e.getMessage.contains("empty"))
+  }
+
+  test("sketch drift tracks exact drift within tolerance in the " +
+      "estimating regime (50k rows, k = 512)") {
+    val rng = new scala.util.Random(61)
+    val refData = Seq.fill(50000)(rng.nextGaussian())
+    val curData = Seq.fill(50000)(rng.nextGaussian() * 1.3 + 0.4)
+    val refStore = tmpDir("drift_ref_"); val curStore = tmpDir("drift_cur_")
+    Profile.quantileSketchIncrementalBatch(refData.toDF("v"), "v",
+      refStore, k = 512, batchId = 0L)
+    Profile.quantileSketchIncrementalBatch(curData.toDF("v"), "v",
+      curStore, k = 512, batchId = 0L)
+    val sketchPsi = Profile.driftFromSketchStores(spark, refStore,
+        curStore, nBins = 10, k = 512)
+      .agg(sum("psi_term")).collect().head.getDouble(0)
+    val exactPsi = Profile.driftNumeric(refData.toDF("v"),
+        curData.toDF("v"), "v", nBins = 10)
+      .agg(sum("psi_term")).collect().head.getDouble(0)
+    assert(exactPsi > 0.1, s"constructed shift must alert, psi=$exactPsi")
+    assert(math.abs(sketchPsi - exactPsi) < 0.15 * exactPsi,
+      s"sketch psi $sketchPsi strays from exact $exactPsi")
+  }
+
   test("outliers still flags through the factored stats (regression)") {
     val df = Seq(8.0, 9.0, 10.0, 11.0, 12.0, 100.0).map(("g", _)).toDF("g", "v")
     val flagged = Profile.outliers(df, "v", Seq("g"), z = 3.5)
