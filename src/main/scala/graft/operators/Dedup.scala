@@ -536,16 +536,21 @@ object Dedup extends org.apache.spark.internal.Logging {
     * composes with [[keepFirst]]/[[keepCanonical]]/[[keepBest]]). Null
     * texts never match.
     *
-    * SCALE NOTE: gram blocking is subquadratic while gram buckets stay
-    * small. Two saturation modes, both data-visible: (a) tiny `q` on a
-    * large corpus (the [[ngramJaccardPairs]] `n<=3` note applies —
-    * raise `q` with corpus size; recall holds whenever `q·(d+1)` stays
-    * under typical string length); (b) a shared boilerplate prefix
-    * ("Customer#0000…") puts every row in the same buckets — raise `q`
-    * past the boilerplate length or strip it first. The short-string
-    * band join is all-pairs per length band by construction: honest for
-    * the tail of genuinely short strings, not for a corpus OF short
-    * strings (use [[ngramJaccardPairs]] grams-of-words there). */
+    * SCALE NOTE: the inverted index holds only each string's `q·d+1`
+    * globally-RAREST grams (frequency-ordered positional prefix filter,
+    * exact by the prefix-filter theorem), so frequent shared grams sit
+    * outside the index unless a string has nothing rarer — candidate
+    * volume is bounded by rare-gram bucket products, not by the hottest
+    * gram. Residual saturation modes, both data-visible: (a) tiny `q`
+    * on a large corpus shrinks the gram universe until even rare grams
+    * are hot (raise `q` with corpus size; recall holds whenever
+    * `q·(d+1)` stays under typical string length); (b) a corpus whose
+    * strings are near-identical ("Customer#0000…") has only hot grams,
+    * so prefixes are hot too — raise `q` past the boilerplate or strip
+    * it first. The short-string band join is all-pairs per length band
+    * by construction: honest for the tail of genuinely short strings,
+    * not for a corpus OF short strings (use [[ngramJaccardPairs]]
+    * grams-of-words there). */
   def editDistancePairs(
       df: DataFrame,
       idCol: String,
@@ -561,14 +566,34 @@ object Dedup extends org.apache.spark.internal.Logging {
       .withColumn("__len", length(col("__t")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // gram inverted index over every string long enough to HAVE a gram;
-    // hashed int grams (collisions only add candidates, never lose one)
+    // hashed int grams (collisions only add candidates, never lose one —
+    // the whole argument runs on the hashed-value alphabet)
     val grams = base.where(col("__len") >= q)
       .select(col("__id"), col("__len"),
         explode(graft.functions.VectorOps.hashedNgramSet(col("__t"), q))
           .as("gram"))
-    val ga = grams.select(col("gram"), col("__id").as("a_id"),
+    // ED-Join-style POSITIONAL PREFIX FILTER (Xiao, Wang & Lin 2008;
+    // Chaudhuri, Ganti & Kaushik 2006): under any GLOBAL gram order, two
+    // strings within distance d (each side loses <= q·d distinct gram
+    // values per the same pigeonhole) must share a gram among each
+    // side's first q·d+1 grams in that order. Ordering by ascending
+    // document frequency puts each string's RAREST grams in its prefix,
+    // so the inverted index holds q·d+1 grams per string instead of
+    // ~len, and bucket sizes collapse exactly where the full index
+    // saturates (frequent grams sit outside prefixes unless a string
+    // has nothing rarer). Exact recall; the randomized all-pairs DP
+    // differential pins it.
+    val prefLen = q * maxDist + 1
+    val gramDf = grams.groupBy("gram").agg(count(lit(1)).as("__df"))
+    val pref = grams.join(gramDf, Seq("gram"))
+      .groupBy("__id", "__len")
+      .agg(collect_list(struct(col("__df"), col("gram"))).as("__g"))
+      .select(col("__id"), col("__len"),
+        explode(slice(array_sort(col("__g")), 1, prefLen)).as("__p"))
+      .select(col("__id"), col("__len"), col("__p.gram").as("gram"))
+    val ga = pref.select(col("gram"), col("__id").as("a_id"),
       col("__len").as("__la"))
-    val gb = grams.select(col("gram"), col("__id").as("b_id"),
+    val gb = pref.select(col("gram"), col("__id").as("b_id"),
       col("__len").as("__lb"))
     // complete for every pair whose longer member is >= q·(d+1); the
     // length filter runs inside the join, before distinct
