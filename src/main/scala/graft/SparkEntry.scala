@@ -1461,6 +1461,20 @@ object SparkEntry {
           col("p_ref"), col("p_cur"), col("psi_term"))
         .orderBy("bin")
     }),
+    // per-group drift: independent PSI per event type (corpus-level PSI
+    // washes out a shift confined to one domain)
+    "q_drift_keyed" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val ref = lk.events.where(pmod(col("user_id"), lit(2)) === 0)
+      val cur = lk.events.where(pmod(col("user_id"), lit(2)) === 1)
+      Profile.driftNumericByKey(ref, cur, "value", Seq("event_type"),
+          nBins = 4)
+        .select(col("event_type"), col("bin"),
+          round(col("lo"), 6).as("lo"), round(col("hi"), 6).as("hi"),
+          col("n_ref"), col("n_cur"),
+          col("p_ref"), col("p_cur"), col("psi_term"))
+        .orderBy("event_type", "bin")
+    }),
     // sketch-native drift: PSI computed purely from two persisted KLL
     // epoch stores (no history rescan) — exact regime, so the DuckDB
     // oracle replicates it with quantile_disc cuts + counts; one epoch
@@ -2532,6 +2546,49 @@ object SparkEntry {
                       ln(greatest(j.n_cur / t.tc, 0.000001) /
                          greatest(j.n_ref / t.tr, 0.000001)), 6) AS psi_term
          FROM j, t, cuts ORDER BY bin""",
+    "q_drift_keyed" ->
+      """WITH cuts AS (
+           SELECT event_type,
+                  quantile_cont(value, 0.25) AS c1,
+                  quantile_cont(value, 0.5)  AS c2,
+                  quantile_cont(value, 0.75) AS c3
+           FROM events
+           WHERE user_id % 2 = 0 AND value IS NOT NULL
+             AND event_type IS NOT NULL
+           GROUP BY event_type),
+         b AS (
+           SELECT e.event_type, e.user_id % 2 AS side,
+                  CASE WHEN e.value IS NULL THEN -1 ELSE
+                    (CASE WHEN e.value > c1 THEN 1 ELSE 0 END +
+                     CASE WHEN e.value > c2 THEN 1 ELSE 0 END +
+                     CASE WHEN e.value > c3 THEN 1 ELSE 0 END) END AS bin
+           FROM events e JOIN cuts USING (event_type)),
+         r AS (SELECT event_type, bin, count(*)::BIGINT AS n_ref FROM b
+               WHERE side = 0 GROUP BY event_type, bin),
+         c AS (SELECT event_type, bin, count(*)::BIGINT AS n_cur FROM b
+               WHERE side = 1 GROUP BY event_type, bin),
+         j AS (SELECT coalesce(r.event_type, c.event_type) AS event_type,
+                      coalesce(r.bin, c.bin) AS bin,
+                      coalesce(n_ref, 0)::BIGINT AS n_ref,
+                      coalesce(n_cur, 0)::BIGINT AS n_cur
+               FROM r FULL JOIN c
+                 ON r.event_type = c.event_type AND r.bin = c.bin),
+         t AS (SELECT event_type, sum(n_ref) AS tr, sum(n_cur) AS tc
+               FROM j GROUP BY event_type)
+         SELECT j.event_type, j.bin,
+                round(CASE WHEN j.bin = 1 THEN c1 WHEN j.bin = 2 THEN c2
+                           WHEN j.bin = 3 THEN c3 END, 6) AS lo,
+                round(CASE WHEN j.bin = 0 THEN c1 WHEN j.bin = 1 THEN c2
+                           WHEN j.bin = 2 THEN c3 END, 6) AS hi,
+                j.n_ref, j.n_cur,
+                round(greatest(j.n_ref / t.tr, 0.000001), 6) AS p_ref,
+                round(greatest(j.n_cur / t.tc, 0.000001), 6) AS p_cur,
+                round((greatest(j.n_cur / t.tc, 0.000001) -
+                       greatest(j.n_ref / t.tr, 0.000001)) *
+                      ln(greatest(j.n_cur / t.tc, 0.000001) /
+                         greatest(j.n_ref / t.tr, 0.000001)), 6) AS psi_term
+         FROM j JOIN t USING (event_type) JOIN cuts USING (event_type)
+         ORDER BY event_type, bin""",
     "q_drift_sketch" ->
       """WITH cuts AS (
            SELECT quantile_disc(n_chars::DOUBLE, 0.25) AS c1,

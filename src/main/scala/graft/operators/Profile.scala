@@ -611,6 +611,85 @@ object Profile {
         round((pCur - pRef) * log(pCur / pRef), 6).as("psi_term"))
   }
 
+  /** Per-group drift: [[driftNumeric]] with an independent PSI per key
+    * (per-source / per-language / per-domain monitoring — corpus-level
+    * PSI washes out a shift confined to one domain). Bins are each
+    * key's OWN reference quantiles; output is one row per observed
+    * `(key, bin)`: `keyCols | bin | lo | hi | n_ref | n_cur | p_ref |
+    * p_cur | psi_term` (`bin = -1` collects nulls; per-key total PSI =
+    * `sum(psi_term) GROUP BY keys`). Only keys present in the REFERENCE
+    * are monitored (a brand-new key has no baseline to drift from —
+    * catch key-mix shifts with [[driftCategorical]] on the key column);
+    * null-key rows carry no series identity and are excluded, the
+    * join-semantics contract everywhere else in the library.
+    *
+    * Scale shape: one cut aggregate per side of the join (the cut frame
+    * is ONE row per key — broadcast under `broadcastStats`), binning is
+    * a per-row `aggregate` HOF over that key's `nBins−1` cut array (the
+    * cut vector is data, not a literal, so the comparison chain cannot
+    * be unrolled driver-side without collecting an unbounded key set —
+    * the HOF costs O(nBins) per row, nBins is small by construction),
+    * then one `(keys × bins)`-grain groupBy per side and arithmetic on
+    * the tiny result. `approx = true` cuts with the KLL sketch. */
+  def driftNumericByKey(
+      ref: DataFrame,
+      cur: DataFrame,
+      valueCol: String,
+      keyCols: Seq[String],
+      nBins: Int = 10,
+      approx: Boolean = false,
+      k: Int = 8192,
+      eps: Double = 1e-6,
+      broadcastStats: Boolean = true): DataFrame = {
+    require(keyCols.nonEmpty,
+      "keyCols must be non-empty - use driftNumeric for corpus-level PSI")
+    require(nBins >= 2, "need at least 2 bins")
+    require(eps > 0, "eps must be positive")
+    val reserved = Seq("__v", "__cuts", "bin", "n_ref", "n_cur")
+    require(!keyCols.exists(reserved.contains(_)),
+      s"key columns may not use the reserved names ${reserved.mkString("/")}")
+    val probs = (1 until nBins).map(_.toDouble / nBins)
+    val refV = ref
+      .select(keyCols.map(qcol) :+ qcol(valueCol).cast("double").as("__v"): _*)
+      .where(keyCols.map(col(_).isNotNull).reduce(_ && _))
+    val curV = cur
+      .select(keyCols.map(qcol) :+ qcol(valueCol).cast("double").as("__v"): _*)
+      .where(keyCols.map(col(_).isNotNull).reduce(_ && _))
+    val cutsDf = refV.where(col("__v").isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg((if (approx)
+          graft.functions.Kll.quantilesAgg(col("__v"), k, probs)
+            .getField("value")
+        else expr(s"percentile(__v, array(${probs.mkString(", ")}))"))
+        .as("__cuts"))
+    val cutsSide = if (broadcastStats) broadcast(cutsDf) else cutsDf
+    def binned(in: DataFrame, n: String): DataFrame =
+      in.join(cutsSide, keyCols)
+        .withColumn("bin",
+          when(col("__v").isNull, lit(-1)).otherwise(
+            aggregate(col("__cuts"), lit(0),
+              (acc, c) => acc + when(col("__v") > c, 1).otherwise(0))))
+        .groupBy((keyCols.map(col) :+ col("bin")): _*)
+        .agg(count(lit(1)).as(n))
+    val joined = binned(refV, "n_ref")
+      .join(binned(curV, "n_cur"), keyCols :+ "bin", "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val totals = joined.groupBy(keyCols.map(col): _*)
+      .agg(sum("n_ref").as("__tr"), sum("n_cur").as("__tc"))
+    val totalsSide = if (broadcastStats) broadcast(totals) else totals
+    val pRef = greatest(col("n_ref") / col("__tr"), lit(eps))
+    val pCur = greatest(col("n_cur") / col("__tc"), lit(eps))
+    joined.join(totalsSide, keyCols)
+      .join(cutsSide, keyCols)
+      .select(keyCols.map(col) ++ Seq(col("bin"),
+        when(col("bin") > 0, element_at(col("__cuts"), col("bin"))).as("lo"),
+        when(col("bin").between(0, nBins - 2),
+          element_at(col("__cuts"), col("bin") + 1)).as("hi"),
+        col("n_ref"), col("n_cur"),
+        round(pRef, 6).as("p_ref"), round(pCur, 6).as("p_cur"),
+        round((pCur - pRef) * log(pCur / pRef), 6).as("psi_term")): _*)
+  }
+
   /** Sketch-native drift: the PSI of [[driftNumeric]] computed purely
     * from two persisted KLL epoch stores
     * ([[quantileSketchIncrementalBatch]]) — drift monitoring over a

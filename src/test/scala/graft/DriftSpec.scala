@@ -108,6 +108,39 @@ class DriftSpec extends GraftSuite {
     assert(!got.contains("i"))
   }
 
+  test("keyed drift: per-key cuts, a shift confined to one key alerts " +
+      "only there; unmonitored and null keys are excluded") {
+    val rng = new scala.util.Random(67)
+    // key "a" lives near 0, key "b" near 100 — per-key cuts MUST differ
+    val refRows = Seq.fill(500)(("a", rng.nextDouble())) ++
+      Seq.fill(500)(("b", 100 + rng.nextDouble()))
+    val curRows = Seq.fill(500)(("a", rng.nextDouble())) ++        // stable
+      Seq.fill(500)(("b", 100.6 + rng.nextDouble())) ++            // shifted
+      Seq.fill(10)(("newkey", 5.0)) ++                             // no baseline
+      Seq.fill(10)((null.asInstanceOf[String], 1.0))               // no identity
+    val got = Profile.driftNumericByKey(refRows.toDF("k", "v"),
+      curRows.toDF("k", "v"), "v", Seq("k"), nBins = 4)
+    val psiByKey = got.groupBy("k").agg(sum("psi_term").as("psi"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(psiByKey.keySet == Set("a", "b"),
+      s"only baselined non-null keys monitored, got ${psiByKey.keySet}")
+    assert(psiByKey("a") < 0.05, s"stable key must not alert: ${psiByKey("a")}")
+    assert(psiByKey("b") > 0.25, s"shifted key must alert: ${psiByKey("b")}")
+    // cuts are per-key: key b's bin bounds live near 100
+    val bCut = got.where(col("k") === "b" && col("bin") === 1)
+      .select("lo").collect().head.getDouble(0)
+    assert(bCut > 99, s"key b's cuts must come from key b's values: $bCut")
+    // and the keyed frame agrees with running driftNumeric per key
+    val aOnly = Profile.driftNumeric(
+      refRows.filter(_._1 == "a").toDF("k", "v").select("v"),
+      curRows.filter(_._1 == "a").toDF("k", "v").select("v"),
+      "v", nBins = 4)
+    val aKeyed = got.where(col("k") === "a")
+      .select("bin", "lo", "hi", "n_ref", "n_cur", "p_ref", "p_cur",
+        "psi_term")
+    assertSameRows(aKeyed, aOnly)
+  }
+
   test("sketch-native drift == driftNumeric(approx) in the exact regime, " +
       "across epochs and a replayed delivery") {
     val rng = new scala.util.Random(59)
