@@ -346,6 +346,31 @@ object StreamOps {
         batch.sparkSession, storeDir, probs, k), batchId)
     }
 
+  /** Continuous drift monitor: every micro-batch folds into a KLL epoch
+    * store ([[graft.operators.Profile.quantileSketchIncrementalBatch]] —
+    * epoch-keyed `appendReplacing`, replay-idempotent like every other
+    * sink here) and the sink receives the PSI of everything-so-far
+    * against a PINNED reference store
+    * ([[graft.operators.Profile.driftFromSketchStores]]) — "has the
+    * stream drifted from the baseline corpus" as a continuously
+    * maintained view, with no history rescan at any batch (only two
+    * bounded summaries are ever re-merged). Returns the configured
+    * writer; caller sets checkpoint/options and calls `.start()`. */
+  def driftSink(
+      stream: DataFrame,
+      valueCol: String,
+      refStoreDir: String,
+      curStoreDir: String,
+      k: Int = 8192,
+      nBins: Int = 10)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      graft.operators.Profile.quantileSketchIncrementalBatch(
+        batch.toDF(), valueCol, curStoreDir, k, batchId)
+      sink(graft.operators.Profile.driftFromSketchStores(
+        batch.sparkSession, refStoreDir, curStoreDir, nBins, k), batchId)
+    }
+
   /** Streaming robust-outlier gate: score each incoming row's `valueCol`
     * with the Iglewicz–Hoaglin modified z-score against TRAINED per-key
     * robust stats ([[graft.operators.Profile.robustStats]], typically

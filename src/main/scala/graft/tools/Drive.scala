@@ -614,6 +614,25 @@ object Drive {
       println(s"[drive] 18-outliergate kept=$kept flagged=$flagged " +
         s"partition=${kept + flagged == total} (want true) " +
         s"selfPsiSmall=${math.abs(psi) < 0.05} (want true, psi=$psi)")
+
+      // sketch-native drift round trip: stores built from the same
+      // halves must agree with driftNumeric(approx) bin for bin
+      val work = java.nio.file.Files.createTempDirectory("drive_drift_")
+        .toString
+      val refH = events.where(pmod(col("user_id"), lit(2)) === 0)
+      val curH = events.where(pmod(col("user_id"), lit(2)) === 1)
+      graft.operators.Profile.quantileSketchIncrementalBatch(
+        refH, "value", s"$work/ref", k = 65536, batchId = 0L)
+      graft.operators.Profile.quantileSketchIncrementalBatch(
+        curH, "value", s"$work/cur", k = 65536, batchId = 0L)
+      val viaStores = graft.operators.Profile.driftFromSketchStores(
+        spark, s"$work/ref", s"$work/cur", nBins = 6, k = 65536)
+        .collect().sortBy(_.getInt(0))
+      val viaData = graft.operators.Profile.driftNumeric(
+        refH, curH, "value", nBins = 6, approx = true, k = 65536)
+        .collect().sortBy(_.getInt(0))
+      println(s"[drive] 18-sketchdrift bins=${viaStores.length} " +
+        s"ok=${viaStores.toSeq == viaData.toSeq} (want true)")
     }
 
     spark.stop()

@@ -255,6 +255,41 @@ class StreamOpsSpec extends GraftSuite {
     assert(survived.toSet == want)
   }
 
+  test("driftSink: streamed PSI view equals the batch-built stores and " +
+      "driftNumeric(approx) in the exact regime") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rng = new scala.util.Random(71)
+    val refData = Seq.fill(800)(math.floor(rng.nextDouble() * 50))
+    val curData = Seq.fill(600)(math.floor(rng.nextDouble() * 50 + 8))
+    val refStore = tmpDir("sdrift_ref_")
+    graft.operators.Profile.quantileSketchIncrementalBatch(
+      refData.toDF("v"), "v", refStore, k = 4096, batchId = 0L)
+    val curStore = tmpDir("sdrift_cur_")
+
+    val mem = MemoryStream[Double]
+    val stream = mem.toDF().toDF("v")
+    var last: Array[Row] = Array.empty
+    val q = StreamOps.driftSink(stream, "v", refStore, curStore,
+        k = 4096, nBins = 5) { (view, _) =>
+        last = view.collect(); ()
+      }
+      .option("checkpointLocation", tmpDir("sdrift_ckpt_")).start()
+    try {
+      val (b1, b2) = curData.splitAt(300)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+
+    val want = graft.operators.Profile.driftNumeric(refData.toDF("v"),
+      curData.toDF("v"), "v", nBins = 5, approx = true, k = 4096)
+      .collect()
+    def key(r: Row) = r.getInt(r.fieldIndex("bin"))
+    assert(last.sortBy(key).toSeq == want.sortBy(key).toSeq)
+    val psi = last.map(_.getDouble(last.head.fieldIndex("psi_term"))).sum
+    assert(psi > 0.1, s"constructed shift must register through the sink: $psi")
+  }
+
   test("outlierFilter == batch outliers survivors across micro-batches; " +
       "untrained keys and degenerate scale pass the gate") {
     import spark.implicits._
