@@ -1461,6 +1461,23 @@ object SparkEntry {
           col("p_ref"), col("p_cur"), col("psi_term"))
         .orderBy("bin")
     }),
+    // join/groupBy skew diagnostic: heaviest keys + the salt factor
+    // that would level them, one Misra-Gries pass (exact regime here)
+    "q_skew_report" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Profile.skewReport(lk.orders, Seq("o_orderpriority"),
+          kTop = 10, capacity = 100000, parallelism = 32)
+        .orderBy(desc("count_max"), col("key"))
+    }),
+    // robust feature standardization: median/MAD z per event type
+    "q_standardize" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Profile.standardize(lk.events, "value", Seq("event_type"),
+          robust = true)
+        .select(col("event_id"), col("event_type"),
+          round(col("value_std"), 6).as("value_std"))
+        .orderBy("event_id")
+    }),
     // per-group drift: independent PSI per event type (corpus-level PSI
     // washes out a shift confined to one domain)
     "q_drift_keyed" -> ((s, dir) => {
@@ -2546,6 +2563,27 @@ object SparkEntry {
                       ln(greatest(j.n_cur / t.tc, 0.000001) /
                          greatest(j.n_ref / t.tr, 0.000001)), 6) AS psi_term
          FROM j, t, cuts ORDER BY bin""",
+    "q_skew_report" ->
+      """WITH n AS (SELECT count(*)::BIGINT AS total FROM orders),
+         c AS (SELECT o_orderpriority AS key, count(*)::BIGINT AS cnt
+               FROM orders GROUP BY 1)
+         SELECT key, cnt AS count_min, cnt AS count_max,
+                round(cnt / total, 6) AS frac,
+                greatest(1, CAST(ceil(cnt * 32 / total) AS BIGINT)) AS salt
+         FROM c, n ORDER BY count_max DESC, key""",
+    "q_standardize" ->
+      """WITH med AS (
+           SELECT event_type, median(value) AS m FROM events
+           WHERE value IS NOT NULL GROUP BY event_type),
+         mad AS (
+           SELECT e.event_type, median(abs(e.value - med.m)) AS d
+           FROM events e JOIN med USING (event_type)
+           WHERE e.value IS NOT NULL GROUP BY e.event_type)
+         SELECT event_id, event_type,
+                round(CASE WHEN d * 1.4826 > 0
+                  THEN (value - m) / (d * 1.4826) END, 6) AS value_std
+         FROM events JOIN med USING (event_type) JOIN mad USING (event_type)
+         ORDER BY event_id""",
     "q_drift_keyed" ->
       """WITH cuts AS (
            SELECT event_type,

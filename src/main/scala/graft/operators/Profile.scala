@@ -611,6 +611,97 @@ object Profile {
         round((pCur - pRef) * log(pCur / pRef), 6).as("psi_term"))
   }
 
+  /** Feature standardization: appends `outCol` (default
+    * `<valueCol>_std`) = `(v − center) / scale` per `keyCols` group
+    * (globally when empty) — the scaling step before distance-based
+    * math (embedding mixes, clustering, score fusion). `robust = true`
+    * centers on the median and scales by `1.4826 × MAD` (the normal
+    * consistency constant), so the tails being normalized cannot drag
+    * the scale ([[robustStats]] trains it; `approx` selects its
+    * one-pass sketch); the default centers on the mean and scales by
+    * the sample stddev (one aggregate pass). A degenerate scale
+    * (constant group, single row) yields null — never ±Infinity; nulls
+    * stay null. One broadcastable stats join, the [[winsorize]] shape. */
+  def standardize(
+      df: DataFrame,
+      valueCol: String,
+      keyCols: Seq[String] = Nil,
+      robust: Boolean = false,
+      approx: Boolean = false,
+      k: Int = 8192,
+      outCol: String = "",
+      broadcastStats: Boolean = true): DataFrame = {
+    val out = if (outCol.nonEmpty) outCol else s"${valueCol}_std"
+    require(!df.columns.contains(out),
+      s"output column '$out' collides with input schema")
+    val reserved = Seq("__v", "__c", "__s")
+    require(!df.columns.exists(reserved.contains(_)),
+      s"input columns may not use the reserved names ${reserved.mkString("/")}")
+    val stats =
+      if (robust)
+        robustStats(df, valueCol, keyCols, approx, k, broadcastStats)
+          .select(keyCols.map(col) :+ col("median").as("__c") :+
+            (col("mad") * lit(1.4826)).as("__s"): _*)
+      else {
+        val withV = df
+          .select(keyCols.map(qcol) :+
+            qcol(valueCol).cast("double").as("__v"): _*)
+          .where(col("__v").isNotNull)
+        if (keyCols.isEmpty)
+          withV.agg(avg("__v").as("__c"), stddev_samp(col("__v")).as("__s"))
+        else withV.groupBy(keyCols.map(col): _*)
+          .agg(avg("__v").as("__c"), stddev_samp(col("__v")).as("__s"))
+      }
+    val withV = df.withColumn("__v", qcol(valueCol).cast("double"))
+    val joined =
+      if (keyCols.isEmpty) withV.crossJoin(broadcast(stats))
+      else withV.join(
+        if (broadcastStats) broadcast(stats) else stats, keyCols, "left")
+    joined
+      .withColumn(out,
+        when(col("__s") > 0, (col("__v") - col("__c")) / col("__s")))
+      .drop("__v", "__c", "__s")
+  }
+
+  /** Join/groupBy skew diagnostic: the top-`kTop` heaviest keys with
+    * their row share and the SALT FACTOR that would level them —
+    * "which keys will melt this shuffle, and how many ways to split
+    * them" answered in ONE Misra–Gries pass
+    * ([[heavyHitters]] — no groupBy over the key universe). Output, by
+    * descending weight: `key | count_min | count_max | frac | salt`
+    * where `frac = count_max / n_rows` and `salt = ceil(count_max /
+    * (n_rows / parallelism))` — the number of sub-keys needed so the
+    * hottest key's share fits one average task at `parallelism`-way
+    * shuffle (1 = no salting needed). Estimates are sketch envelopes:
+    * EXACT while `capacity` >= distinct keys (the oracle regime);
+    * past it `count_max` over-reports by at most `n/(capacity+1)` —
+    * conservative in exactly the direction a salting decision wants.
+    * Multi-column keys are unit-separator concatenated (the
+    * [[graft.operators.Dedup]] composite-key discipline); null key
+    * parts render as empty (they collide into one diagnostic row —
+    * null-heavy keys ARE a skew class worth surfacing). */
+  def skewReport(
+      df: DataFrame,
+      keyCols: Seq[String],
+      kTop: Int = 20,
+      capacity: Int = 100000,
+      parallelism: Int = 200): DataFrame = {
+    require(keyCols.nonEmpty, "at least one key column required")
+    require(parallelism > 0, "parallelism must be positive")
+    val keyed = df.select(concat_ws("\u001f",
+      keyCols.map(qcol(_).cast("string")): _*).as("__key"))
+    val hh = keyed.agg(
+      graft.functions.FreqItems
+        .freqItemsAgg(col("__key"), lit(1L), capacity, kTop).as("__hh"),
+      count(lit(1)).as("__n"))
+    hh.select(inline(col("__hh")), col("__n"))
+      .select(col("item").as("key"), col("count_min"), col("count_max"),
+        round(col("count_max") / col("__n"), 6).as("frac"),
+        greatest(lit(1L),
+          ceil(col("count_max") * lit(parallelism) / col("__n")))
+          .cast("long").as("salt"))
+  }
+
   /** Per-group drift: [[driftNumeric]] with an independent PSI per key
     * (per-source / per-language / per-domain monitoring — corpus-level
     * PSI washes out a shift confined to one domain). Bins are each

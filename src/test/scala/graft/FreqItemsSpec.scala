@@ -157,4 +157,28 @@ class FreqItemsSpec extends GraftSuite {
       weightCol = Some("w")).as[(String, Long, Long)].collect().toSeq
     assert(nw == Seq(("a", 2L, 2L), ("b", 1L, 1L)))
   }
+
+  test("skewReport: exact regime counts, shares, and salt factors; " +
+      "multi-column keys; null keys surface as one row") {
+    // 100 rows: key "hot" 60, "warm" 30, "cold" 9, null 1
+    val rows = Seq.fill(60)(Some("hot")) ++ Seq.fill(30)(Some("warm")) ++
+      Seq.fill(9)(Some("cold")) ++ Seq(None)
+    val df = rows.toDF("k")
+    val got = Profile.skewReport(df, Seq("k"), kTop = 10,
+        capacity = 1000, parallelism = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).sortBy(-_._2)
+    // exact regime: count_min == count_max == true counts
+    assert(got.map(t => (t._1, t._2)).toSeq ==
+      Seq(("hot", 60L), ("warm", 30L), ("cold", 9L), ("", 1L)))
+    assert(got.forall(t => t._2 == t._3))
+    // salt = ceil(count * parallelism / n): hot -> 6, warm -> 3,
+    // cold -> ceil(0.9) = 1, null-key row -> floor at 1
+    assert(got.map(_._5).toSeq == Seq(6L, 3L, 1L, 1L))
+    assert(got.head._4 == 0.6)
+    // composite keys concatenate with a separator: ("ab","c") != ("a","bc")
+    val comp = Seq(("ab", "c"), ("a", "bc")).toDF("x", "y")
+    assert(Profile.skewReport(comp, Seq("x", "y"), kTop = 5,
+      capacity = 100).count() == 2)
+  }
 }

@@ -101,4 +101,27 @@ class OutliersSpec extends GraftSuite {
     assert(math.abs(approx.getDouble(0)) < 1e3 &&
       math.abs(approx.getDouble(1)) < 1e3)
   }
+
+  test("standardize: robust scaling hand-checked; degenerate scale and " +
+      "nulls yield null, rows preserved; classic path matches avg/stddev") {
+    val df = Seq(("g", Some(1.0)), ("g", Some(2.0)), ("g", Some(3.0)),
+      ("g", Some(4.0)), ("g", None), ("c", Some(7.0)), ("c", Some(7.0)))
+      .toDF("k", "v")
+    val got = Profile.standardize(df, "v", Seq("k"), robust = true)
+    assert(got.count() == 7, "all rows preserved")
+    // g: median 2.5, residuals {1.5,.5,.5,1.5} -> mad 1.0 -> scale 1.4826
+    val gVals = got.where(col("k") === "g" && col("v") === 4.0)
+      .select("v_std").collect().head.getDouble(0)
+    assert(math.abs(gVals - 1.5 / 1.4826) < 1e-12)
+    // constant group: scale 0 -> null, not Infinity
+    assert(got.where(col("k") === "c").collect()
+      .forall(_.isNullAt(2)))
+    assert(got.where(col("v").isNull).collect().forall(_.isNullAt(2)))
+    // classic path: (v - mean) / stddev_samp
+    val classic = Profile.standardize(
+      Seq(2.0, 4.0, 6.0).toDF("v"), "v", Nil)
+      .select("v_std").collect().map(_.getDouble(0)).sorted
+    assert(classic.zip(Seq(-1.0, 0.0, 1.0))
+      .forall { case (a, b) => math.abs(a - b) < 1e-12 })
+  }
 }
