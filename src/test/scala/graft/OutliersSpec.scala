@@ -102,6 +102,25 @@ class OutliersSpec extends GraftSuite {
       math.abs(approx.getDouble(1)) < 1e3)
   }
 
+  test("plan shape: sketch-path outliers/standardize serve through " +
+      "broadcast joins - no sort-merge exchange of the big side, no window") {
+    val df = (1 to 1000).map(i => (s"k${i % 3}", i.toDouble)).toDF("g", "v")
+    for (plan <- Seq(
+        Profile.outliers(df, "v", Seq("g"), z = 3.5, approx = true)
+          .queryExecution.executedPlan.toString,
+        Profile.standardize(df, "v", Seq("g"), robust = true,
+          approx = true).queryExecution.executedPlan.toString,
+        Profile.winsorize(df, "v", Seq("g"))
+          .queryExecution.executedPlan.toString)) {
+      assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastNestedLoopJoin"),
+        s"stats must serve via broadcast:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"big side must not exchange for a one-row-per-key join:\n$plan")
+      assert(!plan.contains("Window"), s"window-free contract:\n$plan")
+    }
+  }
+
   test("standardize: robust scaling hand-checked; degenerate scale and " +
       "nulls yield null, rows preserved; classic path matches avg/stddev") {
     val df = Seq(("g", Some(1.0)), ("g", Some(2.0)), ("g", Some(3.0)),
