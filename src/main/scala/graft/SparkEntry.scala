@@ -1492,6 +1492,33 @@ object SparkEntry {
           col("p_ref"), col("p_cur"), col("psi_term"))
         .orderBy("event_type", "bin")
     }),
+    // per-key sketch drift: per-language PSI purely from two KEYED KLL
+    // epoch stores — fully relational, no driver collect; exact regime
+    "q_drift_sketch_keyed" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val refStore = s"${lk.work}/driftk_ref_$tag"
+      val curStore = s"${lk.work}/driftk_cur_$tag"
+      val docs = lk.documents
+      val m4 = pmod(col("doc_id"), lit(4))
+      Profile.quantileSketchIncrementalBatchByKey(docs.where(m4 === 0),
+        "n_chars", Seq("lang"), refStore, k = 65536, batchId = 0L)
+      Profile.quantileSketchIncrementalBatchByKey(docs.where(m4 === 2),
+        "n_chars", Seq("lang"), refStore, k = 65536, batchId = 1L)
+      Profile.quantileSketchIncrementalBatchByKey(docs.where(m4 === 1),
+        "n_chars", Seq("lang"), curStore, k = 65536, batchId = 0L)
+      val b1 = docs.where(m4 === 3)
+      Profile.quantileSketchIncrementalBatchByKey(b1,
+        "n_chars", Seq("lang"), curStore, k = 65536, batchId = 1L)
+      Profile.quantileSketchIncrementalBatchByKey(b1,
+        "n_chars", Seq("lang"), curStore, k = 65536, batchId = 1L) // replay
+      Profile.driftByKeyFromSketchStores(s, refStore, curStore,
+          Seq("lang"), nBins = 4, k = 65536)
+        .select(col("lang"), col("bin"), round(col("lo"), 6).as("lo"),
+          round(col("hi"), 6).as("hi"), col("n_ref"), col("n_cur"),
+          col("p_ref"), col("p_cur"), col("psi_term"))
+        .orderBy("lang", "bin")
+    }),
     // sketch-native drift: PSI computed purely from two persisted KLL
     // epoch stores (no history rescan) — exact regime, so the DuckDB
     // oracle replicates it with quantile_disc cuts + counts; one epoch
@@ -2627,6 +2654,49 @@ object SparkEntry {
                          greatest(j.n_ref / t.tr, 0.000001)), 6) AS psi_term
          FROM j JOIN t USING (event_type) JOIN cuts USING (event_type)
          ORDER BY event_type, bin""",
+    "q_drift_sketch_keyed" ->
+      """WITH cuts AS (
+           SELECT lang,
+                  quantile_disc(n_chars::DOUBLE, 0.25) AS c1,
+                  quantile_disc(n_chars::DOUBLE, 0.5)  AS c2,
+                  quantile_disc(n_chars::DOUBLE, 0.75) AS c3
+           FROM documents
+           WHERE doc_id % 2 = 0 AND n_chars IS NOT NULL
+             AND lang IS NOT NULL
+           GROUP BY lang),
+         b AS (
+           SELECT d.lang, d.doc_id % 2 AS side,
+                  (CASE WHEN n_chars > c1 THEN 1 ELSE 0 END +
+                   CASE WHEN n_chars > c2 THEN 1 ELSE 0 END +
+                   CASE WHEN n_chars > c3 THEN 1 ELSE 0 END) AS bin
+           FROM documents d JOIN cuts USING (lang)
+           WHERE d.n_chars IS NOT NULL),
+         r AS (SELECT lang, bin, count(*)::BIGINT AS n_ref FROM b
+               WHERE side = 0 GROUP BY lang, bin),
+         c AS (SELECT lang, bin, count(*)::BIGINT AS n_cur FROM b
+               WHERE side = 1 GROUP BY lang, bin),
+         j AS (SELECT coalesce(r.lang, c.lang) AS lang,
+                      coalesce(r.bin, c.bin) AS bin,
+                      coalesce(n_ref, 0)::BIGINT AS n_ref,
+                      coalesce(n_cur, 0)::BIGINT AS n_cur
+               FROM r FULL JOIN c
+                 ON r.lang = c.lang AND r.bin = c.bin),
+         t AS (SELECT lang, sum(n_ref) AS tr, sum(n_cur) AS tc
+               FROM j GROUP BY lang)
+         SELECT j.lang, j.bin,
+                round(CASE WHEN j.bin = 1 THEN c1 WHEN j.bin = 2 THEN c2
+                           WHEN j.bin = 3 THEN c3 END, 6) AS lo,
+                round(CASE WHEN j.bin = 0 THEN c1 WHEN j.bin = 1 THEN c2
+                           WHEN j.bin = 2 THEN c3 END, 6) AS hi,
+                j.n_ref, j.n_cur,
+                round(greatest(j.n_ref / t.tr, 0.000001), 6) AS p_ref,
+                round(greatest(j.n_cur / t.tc, 0.000001), 6) AS p_cur,
+                round((greatest(j.n_cur / t.tc, 0.000001) -
+                       greatest(j.n_ref / t.tr, 0.000001)) *
+                      ln(greatest(j.n_cur / t.tc, 0.000001) /
+                         greatest(j.n_ref / t.tr, 0.000001)), 6) AS psi_term
+         FROM j JOIN t USING (lang) JOIN cuts USING (lang)
+         ORDER BY lang, bin""",
     "q_drift_sketch" ->
       """WITH cuts AS (
            SELECT quantile_disc(n_chars::DOUBLE, 0.25) AS c1,

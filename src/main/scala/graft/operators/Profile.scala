@@ -542,6 +542,120 @@ object Profile {
       .withColumnRenamed("value", "val")
   }
 
+  /** Keyed incremental quantiles: [[quantileSketchIncrementalBatch]]
+    * with one bounded sketch PER KEY per epoch — per-domain p50/p99
+    * that folds across days. Store grain: `keyCols | level | value |
+    * batch_id`, epoch-keyed `appendReplacing` (replayed batches
+    * replace). Store growth: `epochs × keys × k·log` item rows. */
+  def quantileSketchIncrementalBatchByKey(
+      batch: DataFrame,
+      valueCol: String,
+      keyCols: Seq[String],
+      storeDir: String,
+      k: Int,
+      batchId: Long): Unit = {
+    require(keyCols.nonEmpty,
+      "keyCols must be non-empty - use quantileSketchIncrementalBatch")
+    val spark = batch.sparkSession
+    val bid = batchId.toString
+    val s = batch
+      .where(keyCols.map(qcol(_).isNotNull).reduce(_ && _))
+      .groupBy(keyCols.map(qcol): _*)
+      .agg(graft.functions.Kll.sketchAgg(qcol(valueCol), k).as("__s"))
+      .localCheckpoint()
+    new graft.store.SnapshotTable(spark, s"$storeDir/items")
+      .appendReplacing(
+        s.select(keyCols.map(col) :+ explode(col("__s.items")).as("__i"): _*)
+          .select(keyCols.map(col) :+ col("__i.level").as("level") :+
+            col("__i.value").as("value") :+ lit(bid).as("batch_id"): _*),
+        "batch_id", Seq(bid))
+  }
+
+  /** The per-key merged quantile view of a
+    * [[quantileSketchIncrementalBatchByKey]] store: one distributive
+    * re-merge aggregate per key — `keyCols | prob | val`. */
+  def quantileSketchViewByKey(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      keyCols: Seq[String],
+      probs: Seq[Double],
+      k: Int): DataFrame = {
+    val items = new graft.store.SnapshotTable(spark, s"$storeDir/items")
+      .read().getOrElse(spark.emptyDataFrame.select(
+        keyCols.map(lit(null).cast("string").as(_)) :+
+          lit(-1).as("level") :+ lit(Double.NaN).as("value"): _*))
+    items.groupBy(keyCols.map(col): _*)
+      .agg(graft.functions.Kll
+        .remergeAgg(col("level"), col("value"), k, probs).as("__q"))
+      .select(keyCols.map(col) :+ explode(col("__q")).as("__e"): _*)
+      .select(keyCols.map(col) :+ col("__e.prob").as("prob") :+
+        col("__e.value").as("val"): _*)
+  }
+
+  /** Per-key sketch-native drift: [[driftNumericByKey]] computed purely
+    * from two keyed KLL epoch stores — the per-domain "has this source
+    * drifted" monitor with no history rescan. Fully relational and
+    * driver-collect-free: per-key cuts come from one distributive
+    * re-merge aggregate over the reference store; bin masses come from
+    * binning the stores' OWN survivor items (weight `2^level`) against
+    * those cuts — one HOF comparison per item row, one `(key, bin)`
+    * groupBy per side. Output matches [[driftNumericByKey]] minus the
+    * null bin (sketches ingest only non-null values); `n_ref`/`n_cur`
+    * are survivor-weight masses — true counts in the exact regime
+    * (store ≤ `k` rows per key), rank-envelope estimates past it. Only
+    * reference-baselined keys are monitored. */
+  def driftByKeyFromSketchStores(
+      spark: org.apache.spark.sql.SparkSession,
+      refStoreDir: String,
+      curStoreDir: String,
+      keyCols: Seq[String],
+      nBins: Int = 10,
+      k: Int = 8192,
+      eps: Double = 1e-6,
+      broadcastStats: Boolean = true): DataFrame = {
+    require(keyCols.nonEmpty,
+      "keyCols must be non-empty - use driftFromSketchStores")
+    require(nBins >= 2, "need at least 2 bins")
+    require(eps > 0, "eps must be positive")
+    def load(dir: String): DataFrame =
+      new graft.store.SnapshotTable(spark, s"$dir/items").read()
+        .getOrElse(throw new IllegalArgumentException(
+          s"no keyed sketch store at $dir"))
+    val refItems = load(refStoreDir)
+    val curItems = load(curStoreDir)
+    val probs = (1 until nBins).map(_.toDouble / nBins)
+    val cutsDf = refItems.groupBy(keyCols.map(col): _*)
+      .agg(graft.functions.Kll
+        .remergeAgg(col("level"), col("value"), k, probs)
+        .getField("value").as("__cuts"))
+    val cutsSide = if (broadcastStats) broadcast(cutsDf) else cutsDf
+    def binnedW(items: DataFrame, n: String): DataFrame =
+      items.join(cutsSide, keyCols)
+        .withColumn("bin",
+          aggregate(col("__cuts"), lit(0),
+            (acc, c) => acc + when(col("value") > c, 1).otherwise(0)))
+        .withColumn("__w", expr("shiftleft(CAST(1 AS BIGINT), level)"))
+        .groupBy((keyCols.map(col) :+ col("bin")): _*)
+        .agg(sum("__w").as(n))
+    val joined = binnedW(refItems, "n_ref")
+      .join(binnedW(curItems, "n_cur"), keyCols :+ "bin", "full_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+    val totals = joined.groupBy(keyCols.map(col): _*)
+      .agg(sum("n_ref").as("__tr"), sum("n_cur").as("__tc"))
+    val totalsSide = if (broadcastStats) broadcast(totals) else totals
+    val pRef = greatest(when(col("__tr") > 0, col("n_ref") / col("__tr")), lit(eps))
+    val pCur = greatest(when(col("__tc") > 0, col("n_cur") / col("__tc")), lit(eps))
+    joined.join(totalsSide, keyCols)
+      .join(cutsSide, keyCols)
+      .select(keyCols.map(col) ++ Seq(col("bin"),
+        when(col("bin") > 0, element_at(col("__cuts"), col("bin"))).as("lo"),
+        when(col("bin").between(0, nBins - 2),
+          element_at(col("__cuts"), col("bin") + 1)).as("hi"),
+        col("n_ref"), col("n_cur"),
+        round(pRef, 6).as("p_ref"), round(pCur, 6).as("p_cur"),
+        round((pCur - pRef) * log(pCur / pRef), 6).as("psi_term")): _*)
+  }
+
   /** Distribution drift between a REFERENCE corpus and a CURRENT one —
     * the Population Stability Index over `nBins` equal-frequency bins cut
     * on the reference's own quantiles (the standard monitoring recipe:
@@ -599,8 +713,8 @@ object Profile {
       .na.fill(0L, Seq("n_ref", "n_cur"))
     val totals = joined.agg(sum("n_ref").as("__tr"), sum("n_cur").as("__tc"))
     val cutsLit = array(cuts.map(lit(_)): _*)
-    val pRef = greatest(col("n_ref") / col("__tr"), lit(eps))
-    val pCur = greatest(col("n_cur") / col("__tc"), lit(eps))
+    val pRef = greatest(when(col("__tr") > 0, col("n_ref") / col("__tr")), lit(eps))
+    val pCur = greatest(when(col("__tc") > 0, col("n_cur") / col("__tc")), lit(eps))
     joined.crossJoin(broadcast(totals))
       .select(col("bin"),
         when(col("bin") > 0, element_at(cutsLit, col("bin"))).as("lo"),
@@ -768,8 +882,8 @@ object Profile {
     val totals = joined.groupBy(keyCols.map(col): _*)
       .agg(sum("n_ref").as("__tr"), sum("n_cur").as("__tc"))
     val totalsSide = if (broadcastStats) broadcast(totals) else totals
-    val pRef = greatest(col("n_ref") / col("__tr"), lit(eps))
-    val pCur = greatest(col("n_cur") / col("__tc"), lit(eps))
+    val pRef = greatest(when(col("__tr") > 0, col("n_ref") / col("__tr")), lit(eps))
+    val pCur = greatest(when(col("__tc") > 0, col("n_cur") / col("__tc")), lit(eps))
     joined.join(totalsSide, keyCols)
       .join(cutsSide, keyCols)
       .select(keyCols.map(col) ++ Seq(col("bin"),
@@ -880,8 +994,8 @@ object Profile {
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))
     val totals = joined.agg(sum("n_ref").as("__tr"), sum("n_cur").as("__tc"))
-    val pRef = greatest(col("n_ref") / col("__tr"), lit(eps))
-    val pCur = greatest(col("n_cur") / col("__tc"), lit(eps))
+    val pRef = greatest(when(col("__tr") > 0, col("n_ref") / col("__tr")), lit(eps))
+    val pCur = greatest(when(col("__tc") > 0, col("n_cur") / col("__tc")), lit(eps))
     joined.crossJoin(broadcast(totals))
       .select(col("category"), col("n_ref"), col("n_cur"),
         round(pRef, 6).as("p_ref"), round(pCur, 6).as("p_cur"),

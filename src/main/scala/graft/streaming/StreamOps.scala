@@ -371,6 +371,28 @@ object StreamOps {
         batch.sparkSession, refStoreDir, curStoreDir, nBins, k), batchId)
     }
 
+  /** Per-key [[driftSink]]: each micro-batch folds one bounded sketch
+    * PER KEY into the keyed epoch store and the sink receives the
+    * per-domain PSI-so-far against the pinned keyed reference
+    * ([[graft.operators.Profile.driftByKeyFromSketchStores]] — fully
+    * relational, no driver collect at any batch). */
+  def driftSinkByKey(
+      stream: DataFrame,
+      valueCol: String,
+      keyCols: Seq[String],
+      refStoreDir: String,
+      curStoreDir: String,
+      k: Int = 8192,
+      nBins: Int = 10)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      graft.operators.Profile.quantileSketchIncrementalBatchByKey(
+        batch.toDF(), valueCol, keyCols, curStoreDir, k, batchId)
+      sink(graft.operators.Profile.driftByKeyFromSketchStores(
+        batch.sparkSession, refStoreDir, curStoreDir, keyCols, nBins, k),
+        batchId)
+    }
+
   /** Streaming robust-outlier gate: score each incoming row's `valueCol`
     * with the Iglewicz–Hoaglin modified z-score against TRAINED per-key
     * robust stats ([[graft.operators.Profile.robustStats]], typically

@@ -189,6 +189,41 @@ class DriftSpec extends GraftSuite {
     assert(e.getMessage.contains("empty"))
   }
 
+  test("keyed sketch drift == driftNumericByKey(approx) in the exact " +
+      "regime; keyed view renders per-key quantiles; replay exactly-once") {
+    val rng = new scala.util.Random(73)
+    val refRows = Seq.fill(400)(("a", math.floor(rng.nextDouble() * 40))) ++
+      Seq.fill(400)(("b", math.floor(rng.nextDouble() * 40 + 200)))
+    val curRows = Seq.fill(400)(("a", math.floor(rng.nextDouble() * 40))) ++
+      Seq.fill(400)(("b", math.floor(rng.nextDouble() * 40 + 212)))
+    val refStore = tmpDir("kdrift_ref_"); val curStore = tmpDir("kdrift_cur_")
+    val (r0, r1) = refRows.splitAt(400)
+    Profile.quantileSketchIncrementalBatchByKey(r0.toDF("g", "v"), "v",
+      Seq("g"), refStore, k = 4096, batchId = 0L)
+    Profile.quantileSketchIncrementalBatchByKey(r1.toDF("g", "v"), "v",
+      Seq("g"), refStore, k = 4096, batchId = 1L)
+    Profile.quantileSketchIncrementalBatchByKey(curRows.toDF("g", "v"),
+      "v", Seq("g"), curStore, k = 4096, batchId = 0L)
+    Profile.quantileSketchIncrementalBatchByKey(curRows.toDF("g", "v"),
+      "v", Seq("g"), curStore, k = 4096, batchId = 0L) // replay
+    val fromStores = Profile.driftByKeyFromSketchStores(spark, refStore,
+      curStore, Seq("g"), nBins = 4, k = 4096)
+    val fromData = Profile.driftNumericByKey(refRows.toDF("g", "v"),
+      curRows.toDF("g", "v"), "v", Seq("g"), nBins = 4,
+      approx = true, k = 4096)
+    assertSameRows(fromStores, fromData)
+    val psiByKey = fromStores.groupBy("g")
+      .agg(sum("psi_term").as("psi")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(psiByKey("a") < 0.05 && psiByKey("b") > 0.25,
+      s"shift confined to b must alert only there: $psiByKey")
+    // keyed view: per-key medians land in each key's own range
+    val med = Profile.quantileSketchViewByKey(spark, refStore, Seq("g"),
+      Seq(0.5), k = 4096).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(med("a") < 45 && med("b") > 195, s"per-key medians: $med")
+  }
+
   test("sketch drift tracks exact drift within tolerance in the " +
       "estimating regime (50k rows, k = 512)") {
     val rng = new scala.util.Random(61)

@@ -290,6 +290,40 @@ class StreamOpsSpec extends GraftSuite {
     assert(psi > 0.1, s"constructed shift must register through the sink: $psi")
   }
 
+  test("driftSinkByKey: streamed per-key PSI equals batch-built keyed " +
+      "stores") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rng = new scala.util.Random(79)
+    val refRows = Seq.fill(300)(("a", math.floor(rng.nextDouble() * 30))) ++
+      Seq.fill(300)(("b", math.floor(rng.nextDouble() * 30 + 100)))
+    val curRows = Seq.fill(300)(("a", math.floor(rng.nextDouble() * 30))) ++
+      Seq.fill(300)(("b", math.floor(rng.nextDouble() * 30 + 110)))
+    val refStore = tmpDir("skdrift_ref_")
+    graft.operators.Profile.quantileSketchIncrementalBatchByKey(
+      refRows.toDF("g", "v"), "v", Seq("g"), refStore, k = 4096,
+      batchId = 0L)
+    val curStore = tmpDir("skdrift_cur_")
+    val mem = MemoryStream[(String, Double)]
+    val stream = mem.toDF().toDF("g", "v")
+    var last: Array[Row] = Array.empty
+    val q = StreamOps.driftSinkByKey(stream, "v", Seq("g"), refStore,
+        curStore, k = 4096, nBins = 4) { (view, _) =>
+        last = view.collect(); ()
+      }
+      .option("checkpointLocation", tmpDir("skdrift_ckpt_")).start()
+    try {
+      val (b1, b2) = curRows.splitAt(300)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val want = graft.operators.Profile.driftNumericByKey(
+      refRows.toDF("g", "v"), curRows.toDF("g", "v"), "v", Seq("g"),
+      nBins = 4, approx = true, k = 4096).collect()
+    def key(r: Row) = (r.getString(0), r.getInt(1))
+    assert(last.sortBy(key).toSeq == want.sortBy(key).toSeq)
+  }
+
   test("outlierFilter == batch outliers survivors across micro-batches; " +
       "untrained keys and degenerate scale pass the gate") {
     import spark.implicits._
