@@ -59,6 +59,7 @@ object ScaleBench {
       else if (mode == "hh") () // raw docs only; no index fixtures
       else if (mode == "kll") () // raw lineitem only; no index fixtures
       else if (mode == "quality") () // raw tables only; no index fixtures
+      else if (mode == "drift") () // raw lineitem only; no index fixtures
       else lk.prebuild()
       lk
     }
@@ -436,6 +437,41 @@ object ScaleBench {
       prices.unpersist()
       emit(results, counts, sfDir); spark.stop(); return
     }
+    // r9 drift family at ×30: the claim that matters is MONITOR COST IS
+    // INDEPENDENT OF HISTORY — fold cost is per-batch, view cost is over
+    // two bounded summaries; the batch rescan pays the full frame every
+    // evaluation. 18M lineitem rows by l_returnflag (3 keys).
+    if (mode == "drift") {
+      val li = lake.lineitem.cache()
+      counts("x_li_rows") = li.count()
+      val work = java.nio.file.Files
+        .createTempDirectory("scale_drift_").toString
+      val ref = li.where(pmod(col("l_orderkey"), lit(2)) === 0)
+      val cur = li.where(pmod(col("l_orderkey"), lit(2)) === 1)
+      bench("x_drift_fold_ref") {
+        graft.operators.Profile.quantileSketchIncrementalBatchByKey(
+          ref.select("l_returnflag", "l_extendedprice"), "l_extendedprice",
+          Seq("l_returnflag"), s"$work/ref", k = 8192, batchId = 0L); 9000000L
+      }
+      bench("x_drift_fold_cur") {
+        graft.operators.Profile.quantileSketchIncrementalBatchByKey(
+          cur.select("l_returnflag", "l_extendedprice"), "l_extendedprice",
+          Seq("l_returnflag"), s"$work/cur", k = 8192, batchId = 0L); 9000000L
+      }
+      bench("q_drift_view_keyed") {
+        graft.operators.Profile.driftByKeyFromSketchStores(spark,
+          s"$work/ref", s"$work/cur", Seq("l_returnflag"), nBins = 10,
+          k = 8192).count()
+      }
+      bench("q_drift_batch_rescan") {
+        graft.operators.Profile.driftNumericByKey(ref, cur,
+          "l_extendedprice", Seq("l_returnflag"), nBins = 10,
+          approx = true, k = 8192).count()
+      }
+      li.unpersist()
+      emit(results, counts, sfDir); spark.stop(); return
+    }
+
     // r9 second wave at ×30: the data-quality gate over 18M lineitem rows,
     // robust outliers/winsorization (sketch vs exact cut points), the hourly
     // LOCF grid over 3M events / 45k users (~30M grid rows), and the fuzzy
