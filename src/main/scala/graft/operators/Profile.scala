@@ -701,6 +701,11 @@ object Profile {
     require(cutRow.nonEmpty && !cutRow.head.isNullAt(0),
       "reference has no non-null values to cut bins on")
     val cuts = cutRow.head.getSeq[Double](0).toArray
+    // the sketch path renders an EMPTY reference as NaN quantiles (not a
+    // null row) — catch it the same loud way, and never bin against NaN
+    // (NaN orders largest in Spark: every row would silently land in bin 0)
+    require(!cuts.exists(_.isNaN),
+      "reference has no non-null values to cut bins on")
     def binOf(c: Column): Column =
       when(c.isNull, lit(-1)).otherwise(
         cuts.foldLeft(lit(0))((acc, cut) =>

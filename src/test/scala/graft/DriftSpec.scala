@@ -57,13 +57,18 @@ class DriftSpec extends GraftSuite {
     assert(r.getDouble(r.fieldIndex("psi_term")) == psiTerm(0.8, 0.2))
   }
 
-  test("an all-null reference fails loudly") {
+  test("an all-null reference fails loudly - on BOTH cut paths (the " +
+      "sketch renders empty as NaN, which must not bin silently)") {
     val ref = Seq[Option[Double]](None, None).toDF("v")
     val cur = Seq(1.0).toDF("v")
     val e = intercept[IllegalArgumentException] {
       Profile.driftNumeric(ref, cur, "v")
     }
     assert(e.getMessage.contains("no non-null values"))
+    val e2 = intercept[IllegalArgumentException] {
+      Profile.driftNumeric(ref, cur, "v", approx = true)
+    }
+    assert(e2.getMessage.contains("no non-null values"))
   }
 
   test("sketch cuts (approx = true) agree with exact on separated data") {
