@@ -1761,6 +1761,33 @@ object SparkEntry {
           md5(encode(col("text"), "UTF-8")).as("content_hash"))
         .orderBy("doc_id")
     }),
+    // REAL pixel decode (r10): synthesize solid / vertical-split PNGs
+    // per row (codegen'd ImageIO encode), decode them back through the
+    // codegen'd ImageIO stats expression, and emit statistics that are
+    // pure arithmetic in (w, h, colors) — the oracle replays the
+    // arithmetic, so the whole encode -> decode -> stats path is pinned.
+    // kind 2 rows carry prose bytes: undecodable => null stats.
+    "q_multimodal_pixels" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val kind = pmod(col("doc_id"), lit(3L)).cast("int")
+      val w = (pmod(col("doc_id"), lit(40L)) * 2 + 9).cast("int") // odd
+      val h = (pmod(col("doc_id") * 3, lit(40L)) + 8).cast("int")
+      def chan(m: Long) = pmod(col("doc_id") * m, lit(256L)).cast("int")
+      val c1 = (chan(1) * 65536 + chan(7) * 256 + chan(13)).cast("int")
+      val c2 = (chan(5) * 65536 + chan(11) * 256 + chan(17)).cast("int")
+      val payload = when(kind <= 1,
+        Multimodal.syntheticImage(kind, w, h, c1, c2))
+        .otherwise(encode(col("text"), "UTF-8"))
+      lk.documents
+        .select(col("doc_id"), Multimodal.pixelStats(payload).as("s"))
+        .select(col("doc_id"), col("s.width").as("width"),
+          col("s.height").as("height"), col("s.n_pixels").as("n_pixels"),
+          col("s.mean_r").as("mean_r"), col("s.mean_g").as("mean_g"),
+          col("s.mean_b").as("mean_b"),
+          col("s.luma_entropy").as("luma_entropy"),
+          col("s.dominant_hex").as("dominant_hex"))
+        .orderBy("doc_id")
+    }),
     // LSH-bucketed ANN (scale path). The oracle replicates the WHOLE
     // approximate algorithm — axis-sign signature, banding, bucket join,
     // exact cosine re-rank — so the approximation itself is verified, not
@@ -4309,6 +4336,49 @@ object SparkEntry {
                           ELSE 3 END AS INT) AS channels,
                 md5(text) AS content_hash
          FROM p ORDER BY doc_id""",
+    "q_multimodal_pixels" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  doc_id % 3 AS kind,
+                  (doc_id % 40) * 2 + 9 AS w,
+                  (doc_id * 3) % 40 + 8 AS h,
+                  doc_id % 256 AS r1, (doc_id * 7) % 256 AS g1,
+                  (doc_id * 13) % 256 AS b1,
+                  (doc_id * 5) % 256 AS r2, (doc_id * 11) % 256 AS g2,
+                  (doc_id * 17) % 256 AS b2
+           FROM documents),
+         q AS (
+           SELECT *,
+                  (w // 2) * h AS nl, (w - w // 2) * h AS nr, w * h AS n,
+                  (299 * r1 + 587 * g1 + 114 * b1) // 1000 AS l1,
+                  (299 * r2 + 587 * g2 + 114 * b2) // 1000 AS l2
+           FROM p)
+         SELECT doc_id,
+                CAST(CASE WHEN kind <= 1 THEN w END AS INT) AS width,
+                CAST(CASE WHEN kind <= 1 THEN h END AS INT) AS height,
+                CAST(CASE WHEN kind <= 1 THEN n END AS BIGINT) AS n_pixels,
+                CASE WHEN kind = 0 THEN CAST(r1 AS DOUBLE)
+                     WHEN kind = 1 THEN (nl * r1 + nr * r2) / CAST(n AS DOUBLE)
+                END AS mean_r,
+                CASE WHEN kind = 0 THEN CAST(g1 AS DOUBLE)
+                     WHEN kind = 1 THEN (nl * g1 + nr * g2) / CAST(n AS DOUBLE)
+                END AS mean_g,
+                CASE WHEN kind = 0 THEN CAST(b1 AS DOUBLE)
+                     WHEN kind = 1 THEN (nl * b1 + nr * b2) / CAST(n AS DOUBLE)
+                END AS mean_b,
+                CASE WHEN kind = 0 THEN 0.0
+                     WHEN kind = 1 THEN
+                       CASE WHEN l1 = l2 THEN 0.0 ELSE round(
+                         -((nl / CAST(n AS DOUBLE)) * log2(nl / CAST(n AS DOUBLE))
+                           + (nr / CAST(n AS DOUBLE)) * log2(nr / CAST(n AS DOUBLE))),
+                         6) END
+                END AS luma_entropy,
+                CASE WHEN kind = 0 THEN
+                       lpad(upper(hex((r1 // 16) * 256 + (g1 // 16) * 16 + (b1 // 16))), 3, '0')
+                     WHEN kind = 1 THEN
+                       lpad(upper(hex((r2 // 16) * 256 + (g2 // 16) * 16 + (b2 // 16))), 3, '0')
+                END AS dominant_hex
+         FROM q ORDER BY doc_id""",
     "q_zorder" ->
       s"""WITH b AS (SELECT min(CAST(user_id AS DOUBLE)) mn0,
                            max(CAST(user_id AS DOUBLE)) mx0,

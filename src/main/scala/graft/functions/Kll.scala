@@ -341,7 +341,9 @@ object Kll {
     * the full merged sketch state (`struct<items, n>`). NOTE: the
     * re-merged `n` counts survivor WEIGHT (each row re-enters at its
     * level), which equals the true row count only in the exact regime —
-    * epoch stores that need the true count must persist it alongside. */
+    * the epoch stores therefore persist the true per-epoch count in
+    * their `n_rows` column and the count-rendering views sum THAT
+    * (`Profile.trueCountPerKey`), never this field. */
   def remergeSketchAgg(level: Column, value: Column, k: Int): Column =
     udaf(new KllRemergeSketchAggregator(k)).apply(
       org.apache.spark.sql.functions.coalesce(

@@ -561,10 +561,15 @@ object Dedup extends org.apache.spark.internal.Logging {
       "maxDist must be >= 1 — for exact duplicates use exact/exactByHash")
     require(q >= 1, "q must be >= 1")
     val minLong = q * (maxDist + 1)
+    // localCheckpoint, not persist: four consumers (gram index, short
+    // band, two verify joins) share one scan, and the blocks are
+    // ContextCleaner-reclaimed when the returned frame goes unreachable —
+    // a lazily-returned result has no unpersist hook (r9 advice; the
+    // minhashCrossPairs discipline)
     val base = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
       .where(col("__t").isNotNull)
       .withColumn("__len", length(col("__t")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     // gram inverted index over every string long enough to HAVE a gram;
     // hashed int grams (collisions only add candidates, never lose one —
     // the whole argument runs on the hashed-value alphabet)

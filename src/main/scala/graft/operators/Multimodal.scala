@@ -87,6 +87,28 @@ object Multimodal {
       md5(binCol).as("content_hash"))
   }
 
+  /** REAL pixel statistics over an opaque image `binary` column via the
+    * JDK's own `javax.imageio` codecs (PNG/GIF/JPEG ship in every
+    * standard JRE — no new dependency): one codegen'd decode per row
+    * emitting `struct<width, height, n_pixels, mean_r, mean_g, mean_b,
+    * luma_entropy, dominant_hex>`; null for payloads the JDK cannot
+    * decode or that claim more than [[graft.functions.ImagePixels.MaxPixels]]
+    * pixels (dimension bombs are refused from the HEADER, before any
+    * allocation). Closes the r3 pixel-decode stub ([[decodeImageStub]]
+    * remains only for unknown containers on the METADATA path). */
+  def pixelStats(binCol: Column): Column = GraftSqlBridge.column(
+    graft.functions.ImagePixelStats(GraftSqlBridge.expression(binCol)))
+
+  /** Deterministic synthetic PNG per row (harness/oracle utility):
+    * `kind = 0` solid `rgb1`, `kind = 1` vertical split `rgb1 | rgb2`
+    * at `w / 2`. Exists so the encode → decode → stats round trip is
+    * plan-exercisable and DuckDB-checkable
+    * ([[graft.functions.ImagePixels.synth]]). */
+  def syntheticImage(kind: Column, w: Column, h: Column,
+      rgb1: Column, rgb2: Column): Column = GraftSqlBridge.column(
+    graft.functions.SyntheticImageBytes(
+      Seq(kind, w, h, rgb1, rgb2).map(GraftSqlBridge.expression)))
+
   /** Header decode for the `mapPartitions` path: real container parse via
     * [[ImageHeaders.packedMeta]], stub fallback for unknown containers. */
   def decodeImage(bytes: Array[Byte]): (Long, String, Int, Int, Int) = {

@@ -178,18 +178,26 @@ object Profile {
     * `meta` table — both keyed by `batchId` via `appendReplacing`, so a
     * REDELIVERED batch atomically replaces its own earlier registration
     * (exactly-once under streaming replay, the
-    * [[graft.operators.Dedup.nearDupIncrementalBatch]] discipline).
-    * Store growth is `epochs × capacity` counter rows — merge stays
-    * exact-sum (no re-shrink), so the merged envelope only widens by the
-    * SUM of per-epoch errs, never loses an item that any epoch kept. */
+    * [[graft.operators.Dedup.nearDupIncrementalBatch]] discipline);
+    * replays of epochs already consolidated by the store fold drop
+    * instead ([[foldWatermark]] — their counters live in the folded
+    * segment). Recent-epoch merge stays exact-sum (no re-shrink), so the
+    * merged envelope only widens by the SUM of per-epoch errs, never
+    * loses an item that any epoch kept. Store size is bounded: past
+    * `maxEpochs` registered epochs the aged ones re-merge through one
+    * capacity-bounded sketch under a sentinel epoch
+    * ([[foldHeavyHitterStore]]), capping growth at O(maxEpochs ×
+    * capacity) counter rows (`maxEpochs <= 0` disables the fold). */
   def heavyHittersIncrementalBatch(
       batch: DataFrame,
       itemCol: String,
       storeDir: String,
       capacity: Int,
       batchId: Long,
-      weightCol: Option[String] = None): Unit = {
+      weightCol: Option[String] = None,
+      maxEpochs: Int = 64): Unit = {
     val spark = batch.sparkSession
+    if (batchId <= foldWatermark(spark, storeDir)) return
     val w = weightCol.map(qcol).getOrElse(lit(1L))
     val bid = batchId.toString
     // one row; pin it so counters + meta don't re-aggregate the batch
@@ -211,13 +219,68 @@ object Profile {
           .select(col("__c.item").as("item"), col("__c.cnt").as("cnt"),
             lit(bid).as("batch_id")),
         "batch_id", Seq(bid))
+    if (shouldCheckFold(batchId, maxEpochs))
+      foldHeavyHitterStore(spark, storeDir, capacity, maxEpochs)
+  }
+
+  /** Bound a Misra–Gries epoch store ([[foldSketchStore]] for the
+    * heavy-hitters family): past `maxEpochs` real epochs, the aged
+    * epochs' counters re-merge through ONE capacity-bounded sketch
+    * (weighted re-ingest — the MG merge; any decrement mass it incurs
+    * joins the consolidated `err`) and both tables rewrite as
+    * `recent ∪ consolidated`. The envelope stays valid in every regime
+    * (`count_min <= true <= count_max` — re-merge decrements only move
+    * mass from count_min into err) and the fold is a no-op numerically
+    * while `capacity >=` the folded epochs' distinct items (the exact
+    * regime). The consolidated meta row carries the SUM of folded true
+    * totals. Meta rewrites BEFORE counters (the registration
+    * discipline): a crash between them leaves the consolidated err
+    * alongside still-unfolded counters — the envelope only widens. */
+  private def foldHeavyHitterStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      capacity: Int,
+      maxEpochs: Int): Unit = {
+    val metaT = new graft.store.SnapshotTable(spark, s"$storeDir/meta")
+    val countersT = new graft.store.SnapshotTable(spark, s"$storeDir/counters")
+    (metaT.read(), countersT.read()) match {
+      case (Some(meta), Some(counters)) =>
+        val foldIds = foldableEpochs(meta, maxEpochs)
+        if (foldIds.nonEmpty) {
+          val foldKeys = foldIds.map(_.toString) :+ FoldedEpochId
+          val oldC = counters.where(col("batch_id").isin(foldKeys: _*))
+          val keptC = counters.where(!col("batch_id").isin(foldKeys: _*))
+          val oldM = meta.where(col("batch_id").isin(foldKeys: _*))
+          val keptM = meta.where(!col("batch_id").isin(foldKeys: _*))
+          // one row: merged sketch state + folded err/total sums, pinned
+          // so the two rewrites don't re-aggregate
+          val merged = oldC.agg(graft.functions.FreqItems
+              .freqSketchAgg(col("item"), col("cnt"), capacity).as("__s"))
+            .crossJoin(oldM.agg(
+              coalesce(sum("err"), lit(0L)).as("__olderr"),
+              coalesce(sum("total"), lit(0L)).as("__oldtotal")))
+            .localCheckpoint()
+          advanceFoldWatermark(spark, storeDir, foldIds)
+          metaT.overwrite(keptM.unionByName(merged.select(
+            (col("__s.err") + col("__olderr")).as("err"),
+            col("__oldtotal").as("total"),
+            lit(FoldedEpochId).as("batch_id"))))
+          countersT.overwrite(keptC.unionByName(
+            merged.select(explode(col("__s.counters")).as("__c"))
+              .select(col("__c.item").as("item"), col("__c.cnt").as("cnt"),
+                lit(FoldedEpochId).as("batch_id"))))
+        }
+      case _ => ()
+    }
   }
 
   /** The merged top-`k` view of a [[heavyHittersIncrementalBatch]] store:
     * counter-sum per item across every registered batch, envelope widened
     * by the summed decrement mass (`count_min <= true <= count_max`, the
-    * mergeable-summaries bound). One capacity×epochs-row aggregate + a
-    * TakeOrdered top-k — no full sort, no driver collect. */
+    * mergeable-summaries bound). One aggregate over at most
+    * maxEpochs×capacity counter rows (the store fold consolidates aged
+    * epochs — view cost is flat in stream lifetime) + a TakeOrdered
+    * top-k — no full sort, no driver collect. */
   def heavyHittersView(
       spark: org.apache.spark.sql.SparkSession,
       storeDir: String,
@@ -283,8 +346,10 @@ object Profile {
       itemCol: String,
       storeDir: String,
       batchId: Long,
-      lgK: Int = 12): Unit = {
+      lgK: Int = 12,
+      maxEpochs: Int = 64): Unit = {
     val spark = batch.sparkSession
+    if (batchId <= foldWatermark(spark, storeDir)) return
     val bid = batchId.toString
     val s = batch
       .agg(hll_sketch_agg(qcol(itemCol), lit(lgK)).as("__s"))
@@ -293,6 +358,33 @@ object Profile {
       .appendReplacing(
         s.select(col("__s").as("sketch"), lit(bid).as("batch_id")),
         "batch_id", Seq(bid))
+    if (shouldCheckFold(batchId, maxEpochs))
+      foldDistinctStore(spark, storeDir, maxEpochs)
+  }
+
+  /** Bound an HLL epoch store: past `maxEpochs` real epochs, the aged
+    * sketches union into ONE consolidated sketch under the sentinel
+    * epoch. HLL union is associative AND idempotent, so the view is
+    * bit-identical across the fold in every regime — the easiest member
+    * of the family ([[foldSketchStore]], [[foldHeavyHitterStore]]). */
+  private def foldDistinctStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      maxEpochs: Int): Unit = {
+    val table = new graft.store.SnapshotTable(spark, s"$storeDir/sketches")
+    table.read().foreach { sketches =>
+      val foldIds = foldableEpochs(sketches, maxEpochs)
+      if (foldIds.nonEmpty) {
+        val foldKeys = foldIds.map(_.toString) :+ FoldedEpochId
+        val old = sketches.where(col("batch_id").isin(foldKeys: _*))
+        val kept = sketches.where(!col("batch_id").isin(foldKeys: _*))
+        val merged = old
+          .agg(hll_union_agg(col("sketch"), lit(true)).as("sketch"))
+          .select(col("sketch"), lit(FoldedEpochId).as("batch_id"))
+        advanceFoldWatermark(spark, storeDir, foldIds)
+        table.overwrite(kept.unionByName(merged))
+      }
+    }
   }
 
   /** The merged view of a [[distinctSketchIncrementalBatch]] store: ONE
@@ -497,37 +589,192 @@ object Profile {
       .select(inline(col("__q")))
       .withColumnRenamed("value", "val")
 
+  /** Sentinel `batch_id` under which the store fold consolidates aged
+    * epochs ([[foldSketchStore]]). `~` sorts after every digit and can
+    * never collide with a real epoch id (writers mint those from `Long`
+    * batch ids). */
+  private[graft] val FoldedEpochId = "~folded"
+
+  private def foldWatermarkPath(storeDir: String): String =
+    s"$storeDir/fold_watermark"
+
+  /** Largest numeric epoch id already consolidated into the folded
+    * segment of the store at `storeDir` (−1 when never folded). Folds
+    * advance it monotonically, BEFORE the consolidating rewrite commits:
+    * a crash between the two leaves those epochs individually keyed AND
+    * replay-dropped — their original registrations still count exactly
+    * once (the safe direction; the reverse order could double-count). */
+  private[graft] def foldWatermark(
+      spark: org.apache.spark.sql.SparkSession, storeDir: String): Long =
+    if (!graft.store.Fs.exists(spark, foldWatermarkPath(storeDir))) -1L
+    else scala.util.Try(graft.store.Fs
+      .readString(spark, foldWatermarkPath(storeDir)).trim.toLong)
+      .getOrElse(-1L)
+
+  /** Distinct REAL (numeric, non-sentinel) epoch ids in an epoch-keyed
+    * store frame, ascending. Bounded by the fold cap — called only on
+    * stores that fold. */
+  private def epochIds(items: DataFrame): Seq[Long] =
+    items.select("batch_id").where(col("batch_id") =!= FoldedEpochId)
+      .distinct().collect()
+      .flatMap(r => scala.util.Try(r.getString(0).toLong).toOption)
+      .sorted.toSeq
+
+  /** Epoch ids to consolidate when the store holds more than `maxEpochs`
+    * real epochs: everything but the newest `max(1, maxEpochs/2)`.
+    * Keeping the recent half individually keyed preserves normal replay
+    * replacement for any epoch a restarted stream could redeliver, and
+    * amortizes the fold's O(store) rewrite over `maxEpochs/2` appends.
+    * Empty when under the cap (or folding is disabled, `maxEpochs <=
+    * 0`). */
+  private def foldableEpochs(items: DataFrame, maxEpochs: Int): Seq[Long] = {
+    if (maxEpochs <= 0) return Seq.empty
+    val epochs = epochIds(items)
+    if (epochs.length <= maxEpochs) Seq.empty
+    else epochs.dropRight(math.max(1, maxEpochs / 2))
+  }
+
+  /** Whether this append should even CHECK the fold condition: counting
+    * registered epochs is a (small) Spark job, so paying it every batch
+    * roughly doubles per-append cost for trivial batches (measured on
+    * the ×30 long-stream bench). Checking every `max(1, maxEpochs/8)`
+    * batches keeps the check amortized while bounding the overshoot at
+    * `maxEpochs + maxEpochs/8` epochs — still O(maxEpochs). Epoch ids
+    * are monotone (structured-streaming batch ids), so consecutive
+    * appends hit every residue class. */
+  private def shouldCheckFold(batchId: Long, maxEpochs: Int): Boolean =
+    maxEpochs > 0 && batchId % math.max(1, maxEpochs / 8) == 0
+
+  /** Advance the fold watermark to cover `foldIds` (monotone max). Must
+    * commit BEFORE the consolidating rewrite — see [[foldWatermark]]. */
+  private def advanceFoldWatermark(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      foldIds: Seq[Long]): Unit =
+    graft.store.Fs.writeStringAtomic(spark, foldWatermarkPath(storeDir),
+      math.max(foldIds.max, foldWatermark(spark, storeDir)).toString)
+
+  /** Pre-r10 KLL stores carry no `n_rows` column; a segmented append of
+    * the new schema onto old segments would leave the table's inferred
+    * schema ambiguous, so the first write after the upgrade rewrites the
+    * store once with a null count (views fall back to survivor weight
+    * for those epochs — the old rendering, exact in the exact regime). */
+  private def upgradeItemsSchema(table: graft.store.SnapshotTable): Unit =
+    table.read().foreach { items =>
+      if (!items.columns.contains("n_rows"))
+        table.overwrite(items.withColumn("n_rows", lit(null).cast("long")))
+    }
+
+  private def withNRows(items: DataFrame): DataFrame =
+    if (items.columns.contains("n_rows")) items
+    else items.withColumn("n_rows", lit(null).cast("long"))
+
+  /** Per-epoch survivor weight (`sum 2^level`) and recorded true count,
+    * reduced to one total per `keyCols` group: true counts where the
+    * epoch recorded one, survivor weight otherwise (pre-upgrade epochs).
+    * Bounded input by construction (the store's item rows). */
+  private def trueCountPerKey(
+      items: DataFrame, keyCols: Seq[String], out: String): DataFrame = {
+    val perEpoch = withNRows(items)
+      .groupBy((keyCols :+ "batch_id").map(col): _*)
+      .agg(first("n_rows").as("__n"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), level)")).as("__w"))
+    val n = sum(coalesce(col("__n"), col("__w"))).as(out)
+    if (keyCols.isEmpty) perEpoch.agg(n)
+    else perEpoch.groupBy(keyCols.map(col): _*).agg(n)
+  }
+
+  /** Bound a KLL epoch store: when more than `maxEpochs` real epochs are
+    * registered, re-merge every aged epoch (plus any previous fold) into
+    * ONE consolidated summary under [[FoldedEpochId]] and rewrite the
+    * store as `recent epochs ∪ consolidated` — view and sink cost become
+    * O(maxEpochs × k·log) rows regardless of stream lifetime (the
+    * `maxOverflowSegments` fold discipline applied to epoch age). The
+    * re-merge aggregate is associative, so every view is UNCHANGED in
+    * the exact regime and stays within the rank envelope past it; the
+    * consolidated row-set carries the SUM of the folded epochs' true
+    * counts, so count rendering survives the fold exactly. Replay of an
+    * already-folded epoch is dropped by the watermark check in the
+    * writers (its rows are inside the consolidated segment — exactly
+    * once either way under deterministic redelivery). */
+  private def foldSketchStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      keyCols: Seq[String],
+      k: Int,
+      maxEpochs: Int): Unit = {
+    val table = new graft.store.SnapshotTable(spark, s"$storeDir/items")
+    table.read().foreach { items0 =>
+      val foldIds = foldableEpochs(items0, maxEpochs)
+      if (foldIds.nonEmpty) {
+        val items = withNRows(items0)
+        val foldKeys = foldIds.map(_.toString) :+ FoldedEpochId
+        val old = items.where(col("batch_id").isin(foldKeys: _*))
+        val kept = items.where(!col("batch_id").isin(foldKeys: _*))
+        val oldN = trueCountPerKey(old, keyCols, "n_rows")
+        val sk = graft.functions.Kll
+          .remergeSketchAgg(col("level"), col("value"), k).as("__s")
+        val merged =
+          if (keyCols.isEmpty) old.agg(sk).crossJoin(oldN)
+          else old.groupBy(keyCols.map(col): _*).agg(sk).join(oldN, keyCols)
+        val consolidated = merged
+          .select(keyCols.map(col) :+ explode(col("__s.items")).as("__i")
+            :+ col("n_rows"): _*)
+          .select(keyCols.map(col) :+ col("__i.level").as("level")
+            :+ col("__i.value").as("value")
+            :+ lit(FoldedEpochId).as("batch_id") :+ col("n_rows"): _*)
+        advanceFoldWatermark(spark, storeDir, foldIds)
+        table.overwrite(kept.unionByName(consolidated))
+      }
+    }
+  }
+
   /** Incremental quantiles: fold one (micro-)batch into a persistent KLL
     * summary store under `storeDir`. The batch aggregates into ONE
     * bounded sketch row whose `(level, value)` survivors land in an
     * `items` SnapshotTable keyed by `batchId` via `appendReplacing` — a
     * REDELIVERED batch atomically replaces its own earlier registration
     * (exactly-once under streaming replay, the heavy-hitters store
-    * discipline). Store growth is `epochs × k·log` item rows. */
+    * discipline); a replay of an epoch ALREADY consolidated by the store
+    * fold is dropped instead (its rows live in the folded segment — the
+    * [[foldWatermark]] check, still exactly once). Every item row also
+    * records the epoch's TRUE ingested count (`n_rows`, non-null values
+    * only), so count-rendering views never fall back to survivor-weight
+    * estimates. Store size is bounded: past `maxEpochs` registered
+    * epochs the aged ones consolidate under one sentinel epoch
+    * ([[foldSketchStore]]), capping growth at O(maxEpochs × k·log) item
+    * rows for the life of the stream (`maxEpochs <= 0` disables the
+    * fold). */
   def quantileSketchIncrementalBatch(
       batch: DataFrame,
       valueCol: String,
       storeDir: String,
       k: Int,
-      batchId: Long): Unit = {
+      batchId: Long,
+      maxEpochs: Int = 64): Unit = {
     val spark = batch.sparkSession
+    if (batchId <= foldWatermark(spark, storeDir)) return
     val bid = batchId.toString
     val s = batch.agg(graft.functions.Kll
         .sketchAgg(qcol(valueCol), k).as("__s"))
       .localCheckpoint()
-    new graft.store.SnapshotTable(spark, s"$storeDir/items")
-      .appendReplacing(
-        s.select(explode(col("__s.items")).as("__i"))
-          .select(col("__i.level").as("level"), col("__i.value").as("value"),
-            lit(bid).as("batch_id")),
-        "batch_id", Seq(bid))
+    val table = new graft.store.SnapshotTable(spark, s"$storeDir/items")
+    upgradeItemsSchema(table)
+    table.appendReplacing(
+      s.select(explode(col("__s.items")).as("__i"), col("__s.n").as("n_rows"))
+        .select(col("__i.level").as("level"), col("__i.value").as("value"),
+          lit(bid).as("batch_id"), col("n_rows")),
+      "batch_id", Seq(bid))
+    foldSketchStore(spark, storeDir, Nil, k, maxEpochs)
   }
 
   /** The merged quantile view of a [[quantileSketchIncrementalBatch]]
     * store: every persisted `(level, value)` row re-enters a KLL stack at
     * its level ([[graft.functions.Kll.remergeAgg]]) — a distributive
-    * aggregate over `epochs × k·log` rows, no driver collect, no special
-    * merge path. Exact while total rows across epochs stay <= `k`. */
+    * aggregate over at most `maxEpochs × k·log` rows (the store fold
+    * consolidates aged epochs, so view cost is FLAT in stream lifetime),
+    * no driver collect, no special merge path. Exact while total rows
+    * across epochs stay <= `k`. */
   def quantileSketchView(
       spark: org.apache.spark.sql.SparkSession,
       storeDir: String,
@@ -545,30 +792,43 @@ object Profile {
   /** Keyed incremental quantiles: [[quantileSketchIncrementalBatch]]
     * with one bounded sketch PER KEY per epoch — per-domain p50/p99
     * that folds across days. Store grain: `keyCols | level | value |
-    * batch_id`, epoch-keyed `appendReplacing` (replayed batches
-    * replace). Store growth: `epochs × keys × k·log` item rows. */
+    * batch_id | n_rows` (the epoch's true per-key count rides on every
+    * item row), epoch-keyed `appendReplacing` (replayed batches replace;
+    * already-folded epochs drop — [[foldWatermark]]). Store size is
+    * bounded at O(maxEpochs × keys × k·log) item rows by the same aged-
+    * epoch consolidation as the global store, applied PER KEY. */
   def quantileSketchIncrementalBatchByKey(
       batch: DataFrame,
       valueCol: String,
       keyCols: Seq[String],
       storeDir: String,
       k: Int,
-      batchId: Long): Unit = {
+      batchId: Long,
+      maxEpochs: Int = 64): Unit = {
     require(keyCols.nonEmpty,
       "keyCols must be non-empty - use quantileSketchIncrementalBatch")
+    val reserved = Seq("level", "value", "batch_id", "n_rows", "__n", "__w")
+    require(!keyCols.exists(reserved.contains(_)),
+      s"key columns may not use the reserved names ${reserved.mkString("/")}")
     val spark = batch.sparkSession
+    if (batchId <= foldWatermark(spark, storeDir)) return
     val bid = batchId.toString
     val s = batch
       .where(keyCols.map(qcol(_).isNotNull).reduce(_ && _))
       .groupBy(keyCols.map(qcol): _*)
       .agg(graft.functions.Kll.sketchAgg(qcol(valueCol), k).as("__s"))
       .localCheckpoint()
-    new graft.store.SnapshotTable(spark, s"$storeDir/items")
-      .appendReplacing(
-        s.select(keyCols.map(col) :+ explode(col("__s.items")).as("__i"): _*)
-          .select(keyCols.map(col) :+ col("__i.level").as("level") :+
-            col("__i.value").as("value") :+ lit(bid).as("batch_id"): _*),
-        "batch_id", Seq(bid))
+    val table = new graft.store.SnapshotTable(spark, s"$storeDir/items")
+    upgradeItemsSchema(table)
+    table.appendReplacing(
+      s.select(keyCols.map(col) :+ explode(col("__s.items")).as("__i") :+
+          col("__s.n").as("n_rows"): _*)
+        .select(keyCols.map(col) :+ col("__i.level").as("level") :+
+          col("__i.value").as("value") :+ lit(bid).as("batch_id") :+
+          col("n_rows"): _*),
+      "batch_id", Seq(bid))
+    if (shouldCheckFold(batchId, maxEpochs))
+      foldSketchStore(spark, storeDir, keyCols, k, maxEpochs)
   }
 
   /** The per-key merged quantile view of a
@@ -601,9 +861,12 @@ object Profile {
     * those cuts — one HOF comparison per item row, one `(key, bin)`
     * groupBy per side. Output matches [[driftNumericByKey]] minus the
     * null bin (sketches ingest only non-null values); `n_ref`/`n_cur`
-    * are survivor-weight masses — true counts in the exact regime
-    * (store ≤ `k` rows per key), rank-envelope estimates past it. Only
-    * reference-baselined keys are monitored. */
+    * render the survivor-weight bin masses RESCALED to each key's
+    * recorded true total (per-epoch `n_rows`, summed — the epoch fold
+    * preserves the sum), so the count columns are true-count-scaled in
+    * all regimes (identically the raw masses in the exact regime, where
+    * weight equals count; the PSI fractions never depend on the
+    * scaling). Only reference-baselined keys are monitored. */
   def driftByKeyFromSketchStores(
       spark: org.apache.spark.sql.SparkSession,
       refStoreDir: String,
@@ -643,15 +906,25 @@ object Profile {
     val totals = joined.groupBy(keyCols.map(col): _*)
       .agg(sum("n_ref").as("__tr"), sum("n_cur").as("__tc"))
     val totalsSide = if (broadcastStats) broadcast(totals) else totals
+    // recorded true totals per key (one row per key — broadcastable);
+    // left joins: a key absent from one side keeps its 0-mass bins
+    val trueRef = trueCountPerKey(refItems, keyCols, "__ntr")
+    val trueCur = trueCountPerKey(curItems, keyCols, "__ntc")
+    def scaled(mass: Column, total: Column, trueN: Column): Column =
+      when(total > 0, round(mass * (trueN / total)).cast("long"))
+        .otherwise(mass)
     val pRef = greatest(when(col("__tr") > 0, col("n_ref") / col("__tr")), lit(eps))
     val pCur = greatest(when(col("__tc") > 0, col("n_cur") / col("__tc")), lit(eps))
     joined.join(totalsSide, keyCols)
+      .join(if (broadcastStats) broadcast(trueRef) else trueRef, keyCols, "left")
+      .join(if (broadcastStats) broadcast(trueCur) else trueCur, keyCols, "left")
       .join(cutsSide, keyCols)
       .select(keyCols.map(col) ++ Seq(col("bin"),
         when(col("bin") > 0, element_at(col("__cuts"), col("bin"))).as("lo"),
         when(col("bin").between(0, nBins - 2),
           element_at(col("__cuts"), col("bin") + 1)).as("hi"),
-        col("n_ref"), col("n_cur"),
+        scaled(col("n_ref"), col("__tr"), col("__ntr")).as("n_ref"),
+        scaled(col("n_cur"), col("__tc"), col("__ntc")).as("n_cur"),
         round(pRef, 6).as("p_ref"), round(pCur, 6).as("p_cur"),
         round((pCur - pRef) * log(pCur / pRef), 6).as("psi_term")): _*)
   }
@@ -916,11 +1189,14 @@ object Profile {
     * true)` over the same non-null rows (sketch cuts are DISCRETE
     * quantiles; the exact-percentile path interpolates), and
     * DuckDB-oracle-able via `quantile_disc` — while each store's total
-    * row count stays <= `k` (`n_ref`/`n_cur` are then true counts);
-    * in the estimating regime bins carry the sketch rank envelope and
-    * counts are survivor-weight estimates. An empty CURRENT store reads
-    * as all-eps bins (maximal drift alert, not a crash); an empty
-    * reference fails loudly — there is nothing to cut bins on. */
+    * row count stays <= `k`; in the estimating regime bins carry the
+    * sketch rank envelope. `n_ref`/`n_cur` render against each store's
+    * recorded TRUE totals (per-epoch `n_rows`, summed — survives the
+    * epoch fold exactly), so the count columns are true-count-scaled in
+    * ALL regimes; only epochs written before the `n_rows` column existed
+    * fall back to survivor weight. An empty CURRENT store reads as
+    * all-eps bins (maximal drift alert, not a crash); an empty reference
+    * fails loudly — there is nothing to cut bins on. */
   def driftFromSketchStores(
       spark: org.apache.spark.sql.SparkSession,
       refStoreDir: String,
@@ -932,9 +1208,9 @@ object Profile {
     require(eps > 0, "eps must be positive")
     import spark.implicits._
     def load(dir: String): (graft.functions.Kll.Sketch, Long) = {
-      val items = new graft.store.SnapshotTable(spark, s"$dir/items")
-        .read().getOrElse(spark.emptyDataFrame
-          .select(lit(-1).as("level"), lit(Double.NaN).as("value")))
+      val stored = new graft.store.SnapshotTable(spark, s"$dir/items").read()
+      val items = stored.getOrElse(spark.emptyDataFrame
+        .select(lit(-1).as("level"), lit(Double.NaN).as("value")))
       val row = items.agg(graft.functions.Kll
         .remergeSketchAgg(col("level"), col("value"), k).as("__s"))
         .collect().head
@@ -943,7 +1219,14 @@ object Profile {
       st.getSeq[org.apache.spark.sql.Row](0).foreach { it =>
         sk.addAtLevel(it.getInt(0), it.getDouble(1))
       }
-      (sk, st.getLong(1))
+      // true ingested total: recorded per-epoch counts where present
+      // (survives the fold — the consolidated epoch carries their sum),
+      // per-epoch survivor weight for pre-upgrade epochs
+      val n = stored.map { it =>
+        val r = trueCountPerKey(it, Nil, "__n").collect().head
+        if (r.isNullAt(0)) 0L else r.getLong(0)
+      }.getOrElse(0L)
+      (sk, n)
     }
     val (refSk, refW) = load(refStoreDir)
     val (curSk, curW) = load(curStoreDir)

@@ -101,15 +101,20 @@ object Resample {
     // tick — latest ts wins, ties by greatest payload (the asOf tie rule,
     // made explicit so the compacted side is deterministic on any
     // partitioning). The per-key span (1) derives from THIS compacted
-    // frame, not the raw input, so observations are scanned once, and the
-    // persist covers the two consumers (span/grid branch + as-of side).
+    // frame, not the raw input, so observations are scanned once and the
+    // materialization covers both consumers (span/grid branch + as-of
+    // side). localCheckpoint, not persist: the result is returned lazily
+    // so no unpersist hook exists — checkpoint blocks are the same
+    // MEMORY_AND_DISK, lineage-cut, and ContextCleaner-reclaimed once
+    // the frame is unreachable instead of pinning the cache until LRU
+    // eviction (r9 advice; the minhashCrossPairs discipline).
     val compacted = obs
       .groupBy((keyCols.map(col) :+ tick(col("__ts")).as("__tick")): _*)
       .agg(max(struct((col("__ts") +: valueCols.map(col)): _*)).as("__obs"))
       .select(keyCols.map(col) ++
         Seq(col("__tick"), col("__obs.__ts").as("__obsts")) ++
         valueCols.map(c => col(s"__obs.$c").as(c)): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     // (1) per-key tick span; (2) guarded grid expansion
     val span = compacted.groupBy(keyCols.map(col): _*)
       .agg(min(col("__tick")).as("__lo"), max(col("__tick")).as("__hi"))

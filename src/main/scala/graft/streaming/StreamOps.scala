@@ -304,19 +304,24 @@ object StreamOps {
     * state is one capacity-bounded sketch registered under the epoch id
     * (`appendReplacing`), so a redelivered batch replaces its own
     * registration and the view never double-counts (replay-pinned, the
-    * [[nearDupFilter]] exactly-once discipline). Returns the configured
-    * writer; caller sets checkpoint/options and calls `.start()`. */
+    * [[nearDupFilter]] exactly-once discipline); past `maxEpochs` epochs
+    * the store folds aged sketches into one consolidated segment, so
+    * store size and per-batch view cost stay flat. Returns the
+    * configured writer; caller sets checkpoint/options and calls
+    * `.start()`. */
   def heavyHittersSink(
       stream: DataFrame,
       itemCol: String,
       storeDir: String,
       capacity: Int,
       k: Int,
-      weightCol: Option[String] = None)(
+      weightCol: Option[String] = None,
+      maxEpochs: Int = 64)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       graft.operators.Profile.heavyHittersIncrementalBatch(
-        batch.toDF(), itemCol, storeDir, capacity, batchId, weightCol)
+        batch.toDF(), itemCol, storeDir, capacity, batchId, weightCol,
+        maxEpochs)
       sink(graft.operators.Profile.heavyHittersView(
         batch.sparkSession, storeDir, k), batchId)
     }
@@ -330,18 +335,23 @@ object StreamOps {
     * under the epoch id (`appendReplacing`), so a redelivered batch
     * replaces its own registration and the view never double-counts (the
     * [[heavyHittersSink]] exactly-once discipline). Exact while total
-    * rows across epochs stay <= `k`. Returns the configured writer;
-    * caller sets checkpoint/options and calls `.start()`. */
+    * rows across epochs stay <= `k`. Store size AND per-batch view cost
+    * are FLAT in stream lifetime: past `maxEpochs` epochs the store
+    * folds aged epochs into one consolidated summary (associative
+    * re-merge — the view is unchanged in the exact regime). Returns the
+    * configured writer; caller sets checkpoint/options and calls
+    * `.start()`. */
   def quantileSink(
       stream: DataFrame,
       valueCol: String,
       storeDir: String,
       k: Int,
-      probs: Seq[Double])(
+      probs: Seq[Double],
+      maxEpochs: Int = 64)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       graft.operators.Profile.quantileSketchIncrementalBatch(
-        batch.toDF(), valueCol, storeDir, k, batchId)
+        batch.toDF(), valueCol, storeDir, k, batchId, maxEpochs)
       sink(graft.operators.Profile.quantileSketchView(
         batch.sparkSession, storeDir, probs, k), batchId)
     }
@@ -354,7 +364,9 @@ object StreamOps {
     * ([[graft.operators.Profile.driftFromSketchStores]]) — "has the
     * stream drifted from the baseline corpus" as a continuously
     * maintained view, with no history rescan at any batch (only two
-    * bounded summaries are ever re-merged). Returns the configured
+    * bounded summaries are ever re-merged) AND no store growth past
+    * `maxEpochs` epochs (the aged-epoch fold keeps per-batch monitor
+    * cost flat for the life of the stream). Returns the configured
     * writer; caller sets checkpoint/options and calls `.start()`. */
   def driftSink(
       stream: DataFrame,
@@ -362,11 +374,12 @@ object StreamOps {
       refStoreDir: String,
       curStoreDir: String,
       k: Int = 8192,
-      nBins: Int = 10)(
+      nBins: Int = 10,
+      maxEpochs: Int = 64)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       graft.operators.Profile.quantileSketchIncrementalBatch(
-        batch.toDF(), valueCol, curStoreDir, k, batchId)
+        batch.toDF(), valueCol, curStoreDir, k, batchId, maxEpochs)
       sink(graft.operators.Profile.driftFromSketchStores(
         batch.sparkSession, refStoreDir, curStoreDir, nBins, k), batchId)
     }
@@ -383,11 +396,12 @@ object StreamOps {
       refStoreDir: String,
       curStoreDir: String,
       k: Int = 8192,
-      nBins: Int = 10)(
+      nBins: Int = 10,
+      maxEpochs: Int = 64)(
       sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
     stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
       graft.operators.Profile.quantileSketchIncrementalBatchByKey(
-        batch.toDF(), valueCol, keyCols, curStoreDir, k, batchId)
+        batch.toDF(), valueCol, keyCols, curStoreDir, k, batchId, maxEpochs)
       sink(graft.operators.Profile.driftByKeyFromSketchStores(
         batch.sparkSession, refStoreDir, curStoreDir, keyCols, nBins, k),
         batchId)

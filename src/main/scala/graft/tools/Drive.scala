@@ -633,6 +633,49 @@ object Drive {
         .collect().sortBy(_.getInt(0))
       println(s"[drive] 18-sketchdrift bins=${viaStores.length} " +
         s"ok=${viaStores.toSeq == viaData.toSeq} (want true)")
+
+      // r10: the epoch-store fold — 12 epochs at maxEpochs=4 must view
+      // identically to the unfolded store (exact regime) while holding
+      // fewer registered epochs; a replayed folded epoch must drop
+      val vals = events.select(col("value")).where(col("value").isNotNull)
+      (0 until 12).foreach { e =>
+        val slice = vals.where(pmod(col("value") * 100, lit(12)) === e)
+        graft.operators.Profile.quantileSketchIncrementalBatch(
+          slice, "value", s"$work/fold", k = 65536, batchId = e.toLong,
+          maxEpochs = 4)
+        graft.operators.Profile.quantileSketchIncrementalBatch(
+          slice, "value", s"$work/plain", k = 65536, batchId = e.toLong,
+          maxEpochs = 0)
+      }
+      def viewOf(dir: String) = graft.operators.Profile.quantileSketchView(
+        spark, dir, Seq(0.1, 0.5, 0.9), k = 65536).collect().toSeq
+      val foldedView = viewOf(s"$work/fold")
+      graft.operators.Profile.quantileSketchIncrementalBatch(
+        vals.limit(50), "value", s"$work/fold", k = 65536, batchId = 0L,
+        maxEpochs = 4) // epoch 0 is folded: must drop
+      val epochsNow = new graft.store.SnapshotTable(
+        spark, s"$work/fold/items").read().get
+        .select("batch_id").distinct().count()
+      println(s"[drive] 19-storefold viewEq=" +
+        s"${foldedView == viewOf(s"$work/plain")} (want true) " +
+        s"replayDropped=${foldedView == viewOf(s"$work/fold")} (want true) " +
+        s"epochs=$epochsNow (want <= 5)")
+
+      // r10: real pixel decode — synthesize a split PNG per event row,
+      // decode through ImageIO, compare the mean against the closed form
+      val px = events.limit(200)
+        .select(col("event_id"),
+          graft.operators.Multimodal.pixelStats(
+            graft.operators.Multimodal.syntheticImage(
+              lit(1), lit(11), lit(6),
+              (pmod(col("event_id"), lit(256)) * 65536).cast("int"),
+              lit(0x0000FF))).as("s"))
+        .select(col("event_id"), col("s.mean_r").as("mr"),
+          col("s.mean_b").as("mb"), col("s.n_pixels").as("np"))
+      val pxBad = px.where(col("np") =!= 66 ||
+        abs(col("mr") - pmod(col("event_id"), lit(256)) * (5.0 * 6 / 66)) > 1e-9 ||
+        abs(col("mb") - lit(255.0 * 36 / 66)) > 1e-9).count()
+      println(s"[drive] 20-pixeldecode rows=${px.count()} bad=$pxBad (want 0)")
     }
 
     spark.stop()

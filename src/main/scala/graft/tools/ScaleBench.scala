@@ -468,6 +468,57 @@ object ScaleBench {
           "l_extendedprice", Seq("l_returnflag"), nBins = 10,
           approx = true, k = 8192).count()
       }
+      // r10: the long-stream claim — per-batch cost (ingest AND view) is
+      // FLAT in epoch count once the store folds aged epochs (r9 verdict
+      // item #1). 240 one-batch epochs into a folding store
+      // (maxEpochs = 16) vs an unfolding one, timed in thirds: the
+      // folded store's per-epoch cost is the same in every third
+      // (bounded bookkeeping: fold rewrites a CAPPED store every
+      // maxEpochs/2 appends), while the unfolded store's grows — its
+      // maxOverflowSegments consolidation rewrites the ENTIRE
+      // ever-growing history, an O(epochs) term per rewrite that only
+      // compounds. View time at the end: folded re-merges O(maxEpochs x
+      // k log) rows, unfolded O(epochs x k log).
+      val rng = new java.util.Random(7)
+      val epochVals = (0 until 240).map { _ =>
+        Seq.fill(1000)(rng.nextGaussian() * 100 + 500)
+      }
+      import spark.implicits._
+      def ingestThirds(store: String, maxEpochs: Int): Seq[Double] =
+        (0 until 3).map { third =>
+          val (_, sec) = time {
+            (third * 80 until (third + 1) * 80).foreach { e =>
+              graft.operators.Profile.quantileSketchIncrementalBatch(
+                epochVals(e).toDF("v"), "v", store, k = 1024,
+                batchId = e.toLong, maxEpochs = maxEpochs)
+            }
+          }
+          sec
+        }
+      val foldStore = s"$work/longstream_fold"
+      val plainStore = s"$work/longstream_plain"
+      val foldThirds = ingestThirds(foldStore, 16)
+      results("x_longstream_fold_ingest_t1") = foldThirds(0)
+      results("x_longstream_fold_ingest_t2") = foldThirds(1)
+      results("x_longstream_fold_ingest_t3") = foldThirds(2)
+      bench("x_longstream_fold_view_at240") {
+        graft.operators.Profile.quantileSketchView(
+          spark, foldStore, Seq(0.5, 0.99), k = 1024).count()
+      }
+      counts("x_longstream_fold_items") =
+        new graft.store.SnapshotTable(spark, s"$foldStore/items")
+          .read().map(_.count()).getOrElse(0L)
+      val plainThirds = ingestThirds(plainStore, 0)
+      results("x_longstream_plain_ingest_t1") = plainThirds(0)
+      results("x_longstream_plain_ingest_t2") = plainThirds(1)
+      results("x_longstream_plain_ingest_t3") = plainThirds(2)
+      bench("x_longstream_plain_view_at240") {
+        graft.operators.Profile.quantileSketchView(
+          spark, plainStore, Seq(0.5, 0.99), k = 1024).count()
+      }
+      counts("x_longstream_plain_items") =
+        new graft.store.SnapshotTable(spark, s"$plainStore/items")
+          .read().map(_.count()).getOrElse(0L)
       li.unpersist()
       emit(results, counts, sfDir); spark.stop(); return
     }

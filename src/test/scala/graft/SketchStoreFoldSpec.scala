@@ -1,0 +1,284 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Profile
+
+/** The epoch-store fold (r9 verdict item #1): past `maxEpochs` registered
+  * epochs, aged epochs consolidate under one sentinel epoch so view cost
+  * and store size are flat in stream lifetime. These specs pin:
+  *   - fold-vs-unfolded view EQUIVALENCE (the re-merge is associative);
+  *   - replay safety across the fold boundary (an epoch already folded is
+  *     dropped by the watermark — exactly once either way);
+  *   - bounded store size after many epochs;
+  *   - true-count rendering surviving both the fold and the estimating
+  *     regime (r9 verdict item #3);
+  *   - pre-r10 store schema upgrade (no `n_rows` column);
+  *   - the same discipline on the Misra–Gries and HLL stores.
+  */
+class SketchStoreFoldSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def exactDisc(sorted: Seq[Double], q: Double): Double = {
+    val target = math.max(1L, math.ceil(q * sorted.length).toLong)
+    sorted((target - 1).toInt)
+  }
+
+  private def itemRows(store: String): Long =
+    new graft.store.SnapshotTable(spark, s"$store/items").read()
+      .map(_.count()).getOrElse(0L)
+
+  private def epochsIn(store: String, table: String = "items"): Seq[String] =
+    new graft.store.SnapshotTable(spark, s"$store/$table").read()
+      .map(_.select("batch_id").distinct().collect()
+        .map(_.getString(0)).sorted.toSeq)
+      .getOrElse(Seq.empty)
+
+  test("KLL fold: 14 epochs at maxEpochs=4 — view equals the unfolded " +
+      "store and the exact quantiles; store size is bounded") {
+    val rng = new scala.util.Random(101)
+    val folded = tmpDir("fold_kll_")
+    val plain = tmpDir("nofold_kll_")
+    val all = scala.collection.mutable.ArrayBuffer[Double]()
+    (0 until 14).foreach { e =>
+      val vals = Seq.fill(200)(math.floor(rng.nextDouble() * 500))
+      all ++= vals
+      Profile.quantileSketchIncrementalBatch(vals.toDF("v"), "v", folded,
+        k = 8192, batchId = e.toLong, maxEpochs = 4)
+      Profile.quantileSketchIncrementalBatch(vals.toDF("v"), "v", plain,
+        k = 8192, batchId = e.toLong, maxEpochs = 0)
+    }
+    val probs = Seq(0.1, 0.5, 0.9)
+    val got = Profile.quantileSketchView(spark, folded, probs, k = 8192)
+    val want = Profile.quantileSketchView(spark, plain, probs, k = 8192)
+    assertSameRows(got, want)
+    // exact regime: both equal quantile_disc over all epochs' values
+    val sorted = all.sorted.toSeq
+    val gotMap = got.collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    probs.foreach(q => assert(gotMap(q) == exactDisc(sorted, q), s"q=$q"))
+    // bounded: the folded store holds <= maxEpochs real epochs + sentinel,
+    // the unfolded one all 14
+    val fe = epochsIn(folded)
+    assert(fe.contains(Profile.FoldedEpochId), s"no sentinel in $fe")
+    assert(fe.size <= 5, s"folded store kept too many epochs: $fe")
+    assert(epochsIn(plain).size == 14)
+    // exact regime: the fold keeps every survivor (that's what makes it
+    // lossless), so sizes only tie; never more
+    assert(itemRows(folded) <= itemRows(plain))
+  }
+
+  test("KLL fold bounds store size in the estimating regime: 30 epochs " +
+      "at k=128 stay O(maxEpochs x k log) items while the unfolded " +
+      "store grows linearly") {
+    val rng = new scala.util.Random(113)
+    val folded = tmpDir("fold_size_")
+    val plain = tmpDir("nofold_size_")
+    (0 until 30).foreach { e =>
+      val vals = Seq.fill(3000)(rng.nextDouble())
+      Profile.quantileSketchIncrementalBatch(vals.toDF("v"), "v", folded,
+        k = 128, batchId = e.toLong, maxEpochs = 8)
+      Profile.quantileSketchIncrementalBatch(vals.toDF("v"), "v", plain,
+        k = 128, batchId = e.toLong, maxEpochs = 0)
+    }
+    val (fr, pr) = (itemRows(folded), itemRows(plain))
+    assert(fr < pr / 2, s"fold must cap growth: folded=$fr unfolded=$pr")
+    // the folded store is <= (kept epochs + 1 consolidated) sketches of
+    // k x levels items each; 3000-row epochs at k=128 stay under ~12
+    // levels, so 10 x 128 x 12 is a generous ceiling
+    assert(fr <= 10L * 128 * 12, s"folded store too large: $fr")
+    // the merged view still tracks the true quantiles within the envelope
+    val med = Profile.quantileSketchView(spark, folded, Seq(0.5), k = 128)
+      .collect().head.getDouble(1)
+    assert(math.abs(med - 0.5) < 0.05, s"median of U(0,1) ~ 0.5, got $med")
+  }
+
+  test("KLL fold replay safety: an epoch already consolidated is DROPPED " +
+      "(poisoned redelivery cannot double-count or corrupt); a kept epoch " +
+      "still replaces") {
+    val store = tmpDir("fold_replay_")
+    (0 until 10).foreach { e =>
+      Profile.quantileSketchIncrementalBatch(
+        Seq.fill(100)(e.toDouble).toDF("v"), "v", store,
+        k = 4096, batchId = e.toLong, maxEpochs = 4)
+    }
+    val before = Profile.quantileSketchView(spark, store,
+      Seq(0.1, 0.5, 0.9), k = 4096).collect().toSeq
+    // epoch 0 was folded long ago: redeliver it with DIFFERENT data —
+    // the watermark must drop it entirely
+    Profile.quantileSketchIncrementalBatch(
+      Seq.fill(100)(9999.0).toDF("v"), "v", store,
+      k = 4096, batchId = 0L, maxEpochs = 4)
+    val afterFoldedReplay = Profile.quantileSketchView(spark, store,
+      Seq(0.1, 0.5, 0.9), k = 4096).collect().toSeq
+    assert(afterFoldedReplay == before,
+      "replay of a folded epoch must be dropped")
+    // epoch 9 is still individually keyed: deterministic redelivery
+    // replaces its registration, view unchanged
+    Profile.quantileSketchIncrementalBatch(
+      Seq.fill(100)(9.0).toDF("v"), "v", store,
+      k = 4096, batchId = 9L, maxEpochs = 4)
+    val afterKeptReplay = Profile.quantileSketchView(spark, store,
+      Seq(0.1, 0.5, 0.9), k = 4096).collect().toSeq
+    assert(afterKeptReplay == before)
+  }
+
+  test("keyed KLL fold: per-key views and keyed drift equal the unfolded " +
+      "store across the fold boundary") {
+    val rng = new scala.util.Random(103)
+    val folded = tmpDir("fold_keyed_")
+    val plain = tmpDir("nofold_keyed_")
+    (0 until 12).foreach { e =>
+      val rows = Seq.fill(150)(
+        (if (rng.nextBoolean()) "a" else "b",
+          math.floor(rng.nextDouble() * 300)))
+      Profile.quantileSketchIncrementalBatchByKey(rows.toDF("g", "v"), "v",
+        Seq("g"), folded, k = 8192, batchId = e.toLong, maxEpochs = 4)
+      Profile.quantileSketchIncrementalBatchByKey(rows.toDF("g", "v"), "v",
+        Seq("g"), plain, k = 8192, batchId = e.toLong, maxEpochs = 0)
+    }
+    assertSameRows(
+      Profile.quantileSketchViewByKey(spark, folded, Seq("g"),
+        Seq(0.25, 0.5, 0.75), k = 8192),
+      Profile.quantileSketchViewByKey(spark, plain, Seq("g"),
+        Seq(0.25, 0.5, 0.75), k = 8192))
+    // keyed drift folded-vs-folded == unfolded-vs-unfolded (same data)
+    assertSameRows(
+      Profile.driftByKeyFromSketchStores(spark, folded, folded, Seq("g"),
+        nBins = 4, k = 8192),
+      Profile.driftByKeyFromSketchStores(spark, plain, plain, Seq("g"),
+        nBins = 4, k = 8192))
+    assert(epochsIn(folded).size <= 5)
+  }
+
+  test("true-count rendering (estimating regime, n >> k): drift n_ref / " +
+      "n_cur sum to the TRUE ingested counts, not survivor weight") {
+    val rng = new scala.util.Random(107)
+    val refStore = tmpDir("truen_ref_")
+    val curStore = tmpDir("truen_cur_")
+    // 3 epochs x 7000 rows at k=256: deep in the estimating regime
+    (0 until 3).foreach { e =>
+      Profile.quantileSketchIncrementalBatch(
+        Seq.fill(7000)(rng.nextGaussian()).toDF("v"), "v", refStore,
+        k = 256, batchId = e.toLong)
+      Profile.quantileSketchIncrementalBatch(
+        Seq.fill(5000)(rng.nextGaussian() + 0.3).toDF("v"), "v", curStore,
+        k = 256, batchId = e.toLong)
+    }
+    val got = Profile.driftFromSketchStores(spark, refStore, curStore,
+      nBins = 5, k = 256)
+    val sums = got.agg(sum("n_ref"), sum("n_cur")).collect().head
+    // bin masses are sketch fractions of the true total; rounding each
+    // bin independently can drift by at most nBins/2 rows in the sum
+    assert(math.abs(sums.getLong(0) - 21000L) <= 3,
+      s"n_ref sum ${sums.getLong(0)} != true 21000")
+    assert(math.abs(sums.getLong(1) - 15000L) <= 3,
+      s"n_cur sum ${sums.getLong(1)} != true 15000")
+  }
+
+  test("keyed true-count rendering: per-key n sums track true per-key " +
+      "ingested counts in the estimating regime") {
+    val rng = new scala.util.Random(109)
+    val refStore = tmpDir("truenk_ref_")
+    val curStore = tmpDir("truenk_cur_")
+    val mk = (n: Int, g: String, shift: Double) =>
+      Seq.fill(n)((g, rng.nextGaussian() + shift)).toDF("g", "v")
+    (0 until 2).foreach { e =>
+      Profile.quantileSketchIncrementalBatchByKey(
+        mk(6000, "a", 0).union(mk(4000, "b", 5)), "v", Seq("g"), refStore,
+        k = 128, batchId = e.toLong)
+      Profile.quantileSketchIncrementalBatchByKey(
+        mk(3000, "a", 0.2).union(mk(2000, "b", 5.2)), "v", Seq("g"),
+        curStore, k = 128, batchId = e.toLong)
+    }
+    val byKey = Profile.driftByKeyFromSketchStores(spark, refStore,
+        curStore, Seq("g"), nBins = 4, k = 128)
+      .groupBy("g").agg(sum("n_ref").as("nr"), sum("n_cur").as("nc"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(math.abs(byKey("a")._1 - 12000L) <= 2, s"a n_ref: $byKey")
+    assert(math.abs(byKey("a")._2 - 6000L) <= 2, s"a n_cur: $byKey")
+    assert(math.abs(byKey("b")._1 - 8000L) <= 2, s"b n_ref: $byKey")
+    assert(math.abs(byKey("b")._2 - 4000L) <= 2, s"b n_cur: $byKey")
+  }
+
+  test("pre-r10 store upgrade: a legacy items table without n_rows " +
+      "accepts new epochs and views fall back to survivor weight for " +
+      "the old ones") {
+    val store = tmpDir("legacy_kll_")
+    // simulate a pre-r10 writer: items without the n_rows column
+    val legacy = Seq((0, 1.0), (0, 2.0), (0, 3.0), (0, 4.0))
+      .toDF("level", "value")
+      .select(col("level"), col("value"), lit("0").as("batch_id"))
+    new graft.store.SnapshotTable(spark, s"$store/items").overwrite(legacy)
+    // legacy epoch: 4 level-0 items => survivor-weight fallback count 4
+    Profile.quantileSketchIncrementalBatch(
+      Seq(5.0, 6.0).toDF("v"), "v", store, k = 1024, batchId = 1L)
+    val med = Profile.quantileSketchView(spark, store, Seq(0.5), k = 1024)
+      .collect().head.getDouble(1)
+    assert(med == 3.0, s"median over 1..6 discrete = 3, got $med")
+    val refStore = store
+    val curStore = tmpDir("legacy_cur_")
+    Profile.quantileSketchIncrementalBatch(
+      (1 to 6).map(_.toDouble).toDF("v"), "v", curStore,
+      k = 1024, batchId = 0L)
+    val drift = Profile.driftFromSketchStores(spark, refStore, curStore,
+      nBins = 3, k = 1024)
+    val nr = drift.agg(sum("n_ref"), sum("n_cur")).collect().head
+    assert(nr.getLong(0) == 6L, s"legacy weight fallback + new true: $nr")
+    assert(nr.getLong(1) == 6L)
+  }
+
+  test("Misra-Gries fold: exact regime view identical across the fold; " +
+      "store bounded; estimating-regime envelope stays valid") {
+    val folded = tmpDir("fold_mg_")
+    val plain = tmpDir("nofold_mg_")
+    (0 until 12).foreach { e =>
+      val items = (1 to 300).map(i => s"item_${i % 20}")
+      Profile.heavyHittersIncrementalBatch(items.toDF("x"), "x", folded,
+        capacity = 64, batchId = e.toLong, maxEpochs = 4)
+      Profile.heavyHittersIncrementalBatch(items.toDF("x"), "x", plain,
+        capacity = 64, batchId = e.toLong, maxEpochs = 0)
+    }
+    assertSameRows(
+      Profile.heavyHittersView(spark, folded, k = 10),
+      Profile.heavyHittersView(spark, plain, k = 10))
+    assert(epochsIn(folded, "counters").size <= 5)
+    assert(epochsIn(plain, "counters").size == 12)
+    // estimating regime: capacity 8 << 50 distinct items; the true count
+    // of the planted heavy item must stay inside [count_min, count_max]
+    val tight = tmpDir("fold_mg_tight_")
+    (0 until 10).foreach { e =>
+      val items = Seq.fill(500)("hot") ++ (1 to 200).map(i => s"cold_$i")
+      Profile.heavyHittersIncrementalBatch(items.toDF("x"), "x", tight,
+        capacity = 8, batchId = e.toLong, maxEpochs = 4)
+    }
+    val hot = Profile.heavyHittersView(spark, tight, k = 3)
+      .where(col("item") === "hot").collect().head
+    val (lo, hi) = (hot.getLong(1), hot.getLong(2))
+    assert(lo <= 5000L && 5000L <= hi,
+      s"true 5000 outside folded envelope [$lo, $hi]")
+  }
+
+  test("HLL fold: distinct-union view bit-identical across the fold; " +
+      "replay of a folded epoch dropped") {
+    val folded = tmpDir("fold_hll_")
+    val plain = tmpDir("nofold_hll_")
+    (0 until 12).foreach { e =>
+      val items = (e * 50 until e * 50 + 80).map(i => s"u$i")
+      Profile.distinctSketchIncrementalBatch(items.toDF("x"), "x", folded,
+        batchId = e.toLong, maxEpochs = 4)
+      Profile.distinctSketchIncrementalBatch(items.toDF("x"), "x", plain,
+        batchId = e.toLong, maxEpochs = 0)
+    }
+    assertSameRows(
+      Profile.distinctSketchView(spark, folded),
+      Profile.distinctSketchView(spark, plain))
+    assert(epochsIn(folded, "sketches").size <= 5)
+    val before = Profile.distinctSketchView(spark, folded).collect().head
+    Profile.distinctSketchIncrementalBatch(
+      Seq("brand_new_item").toDF("x"), "x", folded,
+      batchId = 0L, maxEpochs = 4) // folded epoch id: must drop
+    val after = Profile.distinctSketchView(spark, folded).collect().head
+    assert(after == before)
+  }
+}
