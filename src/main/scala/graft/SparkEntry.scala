@@ -1867,6 +1867,27 @@ object SparkEntry {
         "pq_codes", k = 5, saltBuckets = 4)
         .orderBy("query_id", "rank")
     }),
+    // the FULL corpus-scale ANN composition as one call (r10): IVF cell
+    // routing (1-iteration Lloyd quantizer) x PQ asymmetric distance —
+    // queries probe their 2 nearest cells, only those cells' PQ codes
+    // are scored, fp32 corpus vectors never load. The oracle replays
+    // BOTH trainings (the q_kmeans_assign Lloyd chain + the shared
+    // pqTrainCte), the corpus/query cell assignments, the cell-routed
+    // candidate join, and the ADC ranking — the whole composition is
+    // pinned, not just its pieces.
+    "q_ivfpq_topk" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val cb = Similarity.trainPqCodebook(lk.embeddings, "vec_id",
+        "embedding", m = 2, k = 8, iters = 1)
+      val (cs, _) = Similarity.trainCentroidSet(lk.embeddings, "vec_id",
+        "embedding", nCells = 16, iters = 1)
+      val prepared = Similarity.ivfPqEncode(lk.embeddings, "embedding",
+        cs, cb)
+      val queries = lk.embeddings.where(pmod(col("vec_id"), lit(50)) === 0)
+      Similarity.ivfPqTopK(prepared, queries, cs, cb, "vec_id",
+        "embedding", k = 5, nProbe = 2, saltBuckets = 4)
+        .orderBy("query_id", "rank")
+    }),
     // Lloyd-trained IVF quantizer (2 iterations over the deterministic
     // seed): the oracle recomputes seed -> assign -> rounded/float-cast
     // means -> re-assign in SQL; matching per-cell counts pin the whole
@@ -1983,6 +2004,36 @@ object SparkEntry {
            SELECT doc_id, n_tok FROM ded
            WHERE substring(md5(CAST(doc_id AS STRING)), 1, 8) < '80000000'
            ORDER BY doc_id""")
+    }),
+    // pure-SQL drift monitoring (r10): PSI of the odd-orderkey half
+    // against the even half composed ENTIRELY in SQL from the
+    // monitoring vocabulary — graft_quantiles (reference cuts, exact
+    // regime), graft_bin (equal-frequency binning), graft_psi_term (the
+    // clamped bin contribution) — the q_sql_curate proof for the
+    // monitoring family. One scan for cuts, one grouped scan for bins.
+    "q_sql_drift" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      graft.catalog.GraftFunctions.register(s)
+      lk.orders.createOrReplaceTempView("graft_orders_sql")
+      s.sql(
+        """WITH cuts AS (
+             SELECT transform(
+                 graft_quantiles(o_totalprice, 262144, 0.2, 0.4, 0.6, 0.8),
+                 x -> x.value) AS c
+             FROM graft_orders_sql WHERE o_orderkey % 2 = 0),
+           binned AS (
+             SELECT graft_bin(o.o_totalprice, c.c) AS bin,
+                    sum(CASE WHEN o.o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS n_ref,
+                    sum(CASE WHEN o.o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS n_cur
+             FROM graft_orders_sql o CROSS JOIN cuts c
+             GROUP BY 1),
+           tot AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM binned)
+           SELECT bin, n_ref, n_cur,
+                  graft_psi_term(
+                    CASE WHEN tr > 0 THEN n_ref / tr END,
+                    CASE WHEN tc > 0 THEN n_cur / tc END) AS psi_term
+           FROM binned CROSS JOIN tot
+           ORDER BY bin""")
     }),
     // z-order layout: bucket (user_id, value) to 8 fixed-point bits each
     // under their global min/max and interleave — the oracle replays the
@@ -3739,6 +3790,27 @@ object SparkEntry {
          SELECT doc_id, n_tok FROM ded
          WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'
          ORDER BY doc_id""",
+    "q_sql_drift" ->
+      """WITH ref AS (SELECT o_totalprice v FROM orders
+                      WHERE o_orderkey % 2 = 0),
+         cuts AS (SELECT quantile_disc(v, [0.2, 0.4, 0.6, 0.8]) c FROM ref),
+         binned AS (
+           SELECT len(list_filter(c.c, x -> o.o_totalprice > x)) AS bin,
+                  sum(CASE WHEN o.o_orderkey % 2 = 0 THEN 1 ELSE 0 END) AS n_ref,
+                  sum(CASE WHEN o.o_orderkey % 2 = 1 THEN 1 ELSE 0 END) AS n_cur
+           FROM orders o CROSS JOIN cuts c GROUP BY 1),
+         tot AS (SELECT sum(n_ref) tr, sum(n_cur) tc FROM binned),
+         p AS (SELECT bin, n_ref, n_cur,
+                 greatest(coalesce(CASE WHEN tr > 0
+                   THEN n_ref / CAST(tr AS DOUBLE) END, 0), 1e-6) pr,
+                 greatest(coalesce(CASE WHEN tc > 0
+                   THEN n_cur / CAST(tc AS DOUBLE) END, 0), 1e-6) pc
+               FROM binned CROSS JOIN tot)
+         SELECT CAST(bin AS INT) AS bin,
+                CAST(n_ref AS BIGINT) AS n_ref,
+                CAST(n_cur AS BIGINT) AS n_cur,
+                round((pc - pr) * ln(pc / pr), 6) AS psi_term
+         FROM p ORDER BY bin""",
     "q_sample_hash" ->
       """SELECT doc_id, lang FROM documents
          WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'
@@ -4116,6 +4188,65 @@ object SparkEntry {
                     sqrt(list_dot_product(r.r0, r.r0)
                       + list_dot_product(r.r1, r.r1)) AS den
                 FROM q CROSS JOIN rec r WHERE r.vec_id <> q.query_id),
+         rk AS (SELECT query_id, neighbor_id, row_number() OVER (
+                  PARTITION BY query_id ORDER BY
+                    CASE WHEN den = 0 THEN 0 ELSE num / den END DESC,
+                    neighbor_id) AS rank
+                FROM sc)
+         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+         FROM rk WHERE rank <= 5 ORDER BY query_id, rank"""),
+    "q_ivfpq_topk" -> (s"""WITH $pqTrainCte,
+         rec AS (SELECT co.vec_id, c0v.cv AS r0, c1v.cv AS r1
+                 FROM codes co
+                 JOIN cent1 c0v ON c0v.j = 0 AND c0v.cid = co.c0
+                 JOIN cent1 c1v ON c1v.j = 1 AND c1v.cid = co.c1),
+         icent AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid,
+                          v AS cv
+                   FROM (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) h
+                         FROM e ORDER BY h, vec_id LIMIT 16)),
+         isc0 AS (SELECT e.vec_id id, c.cid,
+                         list_dot_product(e.v, c.cv) /
+                         (sqrt(list_dot_product(e.v, e.v)) *
+                          sqrt(list_dot_product(c.cv, c.cv))) sim
+                  FROM e CROSS JOIN icent c),
+         iasg0 AS (SELECT id, cid FROM (
+                     SELECT id, cid, row_number() OVER (PARTITION BY id
+                       ORDER BY sim DESC, cid) rr FROM isc0) WHERE rr = 1),
+         idims AS (SELECT unnest(range(1, len(cv) + 1)) i
+                   FROM (SELECT cv FROM icent LIMIT 1)),
+         im0 AS (SELECT a.cid, d.i,
+                        CAST(CAST(round(avg(e.v[d.i]), 6) AS FLOAT) AS DOUBLE) m
+                 FROM iasg0 a JOIN e ON e.vec_id = a.id CROSS JOIN idims d
+                 GROUP BY a.cid, d.i),
+         inewc AS (SELECT cid, list(m ORDER BY i) cv FROM im0 GROUP BY cid),
+         icent1 AS (SELECT c.cid, coalesce(n.cv, c.cv) cv
+                    FROM icent c LEFT JOIN inewc n ON n.cid = c.cid),
+         casg AS (SELECT id, cid FROM (
+                    SELECT e.vec_id id, c.cid, row_number() OVER (
+                      PARTITION BY e.vec_id ORDER BY
+                        list_dot_product(e.v, c.cv) /
+                        (sqrt(list_dot_product(e.v, e.v)) *
+                         sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) rr
+                    FROM e CROSS JOIN icent1 c) WHERE rr = 1),
+         q AS (SELECT vec_id AS query_id, v AS qv
+               FROM e WHERE vec_id % 50 = 0),
+         qasg AS (SELECT query_id, cid FROM (
+                    SELECT q.query_id, c.cid, row_number() OVER (
+                      PARTITION BY q.query_id ORDER BY
+                        list_dot_product(q.qv, c.cv) /
+                        (sqrt(list_dot_product(q.qv, q.qv)) *
+                         sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) rr
+                    FROM q CROSS JOIN icent1 c) WHERE rr <= 2),
+         sc AS (SELECT q.query_id, r.vec_id AS neighbor_id,
+                  list_dot_product(q.qv, r.r0 || r.r1) AS num,
+                  sqrt(list_dot_product(q.qv, q.qv)) *
+                    sqrt(list_dot_product(r.r0, r.r0)
+                      + list_dot_product(r.r1, r.r1)) AS den
+                FROM q
+                JOIN qasg ON qasg.query_id = q.query_id
+                JOIN casg ON casg.cid = qasg.cid
+                JOIN rec r ON r.vec_id = casg.id
+                WHERE r.vec_id <> q.query_id),
          rk AS (SELECT query_id, neighbor_id, row_number() OVER (
                   PARTITION BY query_id ORDER BY
                     CASE WHEN den = 0 THEN 0 ELSE num / den END DESC,

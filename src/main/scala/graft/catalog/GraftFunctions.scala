@@ -285,7 +285,41 @@ object GraftFunctions {
         val model = graft.store.Artifacts.loadTextModel(spark,
           strLit("graft_text_score", "artifactPath", args(1)))
         ex(graft.functions.TextModel.score(
-          spark.sparkContext.broadcast(model))(c(args(0)))) }))
+          spark.sparkContext.broadcast(model))(c(args(0)))) }),
+    // r10: the monitoring vocabulary (verdict item #7) — the scalar
+    // pieces of the drift / robust-outlier family, so a pure-SQL
+    // pipeline can compose PSI and modified-z gates the way
+    // q_sql_curate proved for curation. Each resolves to the SAME
+    // expression tree the programmatic operators build.
+    ("graft_robust_z",
+      "_FUNC_(v, median, mad) - Iglewicz-Hoaglin modified z-score " +
+        "(null when mad <= 0; the Profile.outliers score)",
+      args => { checkArity("graft_robust_z", args, 3)
+        ex(graft.operators.Profile.robustZ(c(args(0)).cast("double"),
+          c(args(1)).cast("double"), c(args(2)).cast("double"))) }),
+    ("graft_psi_term",
+      "_FUNC_(p_ref, p_cur[, eps]) - one PSI contribution: " +
+        "(p_cur' - p_ref') * ln(p_cur'/p_ref') with both proportions " +
+        "clamped to eps (default 1e-6) and the term rounded to 6 " +
+        "decimals (the driftNumeric bin arithmetic; null proportions " +
+        "clamp to eps - an absent side is maximal drift, not a null)",
+      args => { checkArity("graft_psi_term", args, 2, 3)
+        val eps = if (args.length == 3)
+          doubleLit("graft_psi_term", "eps", args(2)) else 1e-6
+        require(eps > 0, "graft_psi_term: eps must be positive")
+        val pr = greatest(c(args(0)).cast("double"), lit(eps))
+        val pc = greatest(c(args(1)).cast("double"), lit(eps))
+        ex(round((pc - pr) * log(pc / pr), 6)) }),
+    ("graft_bin",
+      "_FUNC_(v, cuts) - equal-frequency bin index of v against an " +
+        "ascending cut array: count of cuts strictly below v; -1 for " +
+        "null v (the driftNumericByKey binning)",
+      args => { checkArity("graft_bin", args, 2)
+        val v = c(args(0)).cast("double")
+        ex(when(v.isNull, lit(-1)).otherwise(
+          aggregate(c(args(1)), lit(0),
+            (acc, cut) => acc + when(v > cut.cast("double"), 1)
+              .otherwise(0)))) }))
 
   /** Idempotent runtime registration on a live session (the
     * `extraOptimizations` twin for functions). */

@@ -243,6 +243,63 @@ class SqlFunctionsSpec extends GraftSuite {
       s"unexpected: ${e.getMessage}")
   }
 
+  test("monitoring vocabulary: graft_robust_z / graft_psi_term / " +
+      "graft_bin == their programmatic twins") {
+    docs // force registration
+    // robust_z: SQL == Profile.robustZ, including the mad<=0 null
+    val zSql = spark.sql(
+      """SELECT doc_id,
+           graft_robust_z(n_chars, 500.0, 120.0) AS z,
+           graft_robust_z(n_chars, 500.0, 0.0) AS z0
+         FROM sqlfn_docs""")
+    val zApi = docs.select(col("doc_id"),
+      graft.operators.Profile.robustZ(col("n_chars").cast("double"),
+        lit(500.0), lit(120.0)).as("z"),
+      graft.operators.Profile.robustZ(col("n_chars").cast("double"),
+        lit(500.0), lit(0.0)).as("z0"))
+    assertSameRows(zSql, zApi)
+    assert(zSql.where(col("z0").isNotNull).count() == 0)
+    // bin: SQL == the driftNumericByKey HOF binning; null value => -1
+    val binSql = spark.sql(
+      """SELECT doc_id, graft_bin(n_chars, array(100.0, 500.0, 900.0)) b,
+                graft_bin(CAST(NULL AS DOUBLE), array(1.0)) bn
+         FROM sqlfn_docs""")
+    val v = col("n_chars").cast("double")
+    val binApi = docs.select(col("doc_id"),
+      when(v.isNull, lit(-1)).otherwise(
+        aggregate(array(lit(100.0), lit(500.0), lit(900.0)), lit(0),
+          (acc, c) => acc + when(v > c, 1).otherwise(0))).as("b"),
+      lit(-1).as("bn"))
+    assertSameRows(binSql, binApi)
+    // psi_term composed over real bins == driftNumeric's psi_term
+    val ref = docs.where(pmod(col("doc_id"), lit(2)) === 0)
+    val cur = docs.where(pmod(col("doc_id"), lit(2)) === 1)
+    // approx = true so BOTH sides cut with the same discrete sketch
+    // quantiles (the interpolated-percentile path can bin integer
+    // values differently near integral cut points)
+    val want = graft.operators.Profile.driftNumeric(ref, cur, "n_chars",
+      nBins = 4, approx = true, k = 262144).select("bin", "psi_term")
+    docs.createOrReplaceTempView("sqlfn_docs2")
+    val got = spark.sql(
+      """WITH cuts AS (SELECT transform(
+             graft_quantiles(n_chars, 262144, 0.25, 0.5, 0.75),
+             x -> x.value) AS c
+           FROM sqlfn_docs2 WHERE doc_id % 2 = 0),
+         binned AS (SELECT graft_bin(d.n_chars, c.c) AS bin,
+             sum(CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 0 END) AS n_ref,
+             sum(CASE WHEN d.doc_id % 2 = 1 THEN 1 ELSE 0 END) AS n_cur
+           FROM sqlfn_docs2 d CROSS JOIN cuts c GROUP BY 1),
+         tot AS (SELECT sum(n_ref) tr, sum(n_cur) tc FROM binned)
+         SELECT bin, graft_psi_term(
+             CASE WHEN tr > 0 THEN n_ref / tr END,
+             CASE WHEN tc > 0 THEN n_cur / tc END) AS psi_term
+         FROM binned CROSS JOIN tot""")
+    val wantPsi = want.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val gotPsi = got.collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(gotPsi == wantPsi.filter(_._1 >= 0),
+      s"sql $gotPsi vs programmatic $wantPsi")
+  }
+
   test("no UDFs in the resolved SQL plans (codegen parity)") {
     val plan = docs.sparkSession.sql(
       """SELECT graft_lang_id(text), graft_simhash64(text),
