@@ -1387,6 +1387,61 @@ object SparkEntry {
         .select(col("prob"), round(col("val"), 6).as("val"))
         .orderBy("prob")
     }),
+    // keyed streaming quantiles (r10): two micro-batches fold one
+    // bounded sketch PER LANGUAGE into the keyed store; the per-key
+    // merged view (exact regime) == per-key one-shot quantile_disc
+    "q_quantile_keyed_stream" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = lk.documents.where(col("lang").isNotNull)
+        .select("doc_id", "lang", "n_chars")
+        .as[(Long, String, Long)].collect().sortBy(_._1)
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      val mem = MemoryStream[(Long, String, Long)]
+      val vals = mem.toDF().toDF("doc_id", "lang", "n_chars")
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val store = s"${lk.work}/kllqk_store_$tag"
+      val q = graft.streaming.StreamOps.quantileSinkByKey(
+          vals, "n_chars", Seq("lang"), store, k = 65536,
+          probs = Seq(0.5, 0.9)) { (_, _) => () }
+        .option("checkpointLocation", s"${lk.work}/kllqk_ckpt_$tag")
+        .start()
+      try {
+        mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+        mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      Profile.quantileSketchViewByKey(s, store, Seq("lang"),
+          Seq(0.5, 0.9), k = 65536)
+        .select(col("lang"), col("prob"), round(col("val"), 6).as("val"))
+        .orderBy("lang", "prob")
+    }),
+    // streaming distinct cardinality (r10): two OVERLAPPING micro-batches
+    // fold HLL sketches into the store; distinct-union makes the overlap
+    // free, and the exact coupon regime pins the count(DISTINCT) oracle
+    "q_distinct_stream" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val ids = lk.documents.select("doc_id").as[Long].collect().sorted
+      val b1 = ids.filter(_ % 3 != 0).map(i => (i, (i % 50).toString))
+      val b2 = ids.filter(_ % 3 != 1).map(i => (i, (i % 50).toString))
+      val mem = MemoryStream[(Long, String)]
+      val vals = mem.toDF().toDF("doc_id", "u")
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val store = s"${lk.work}/hlls_store_$tag"
+      val q = graft.streaming.StreamOps.distinctSink(
+          vals, "u", store) { (_, _) => () }
+        .option("checkpointLocation", s"${lk.work}/hlls_ckpt_$tag")
+        .start()
+      try {
+        mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+        mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      Profile.distinctSketchView(s, store)
+    }),
     // HLL distinct-cardinality epoch store: two overlapping batches fold
     // into persistent sketches (epoch 1 replayed — exactly-once), the
     // union view answers "distinct so far"; small-set sparse regime is
@@ -1423,6 +1478,80 @@ object SparkEntry {
           round(col("value"), 6).as("value"),
           round(col("robust_z"), 6).as("robust_z"))
         .orderBy("event_id")
+    }),
+    // keyed Misra-Gries epoch store (r10): one capacity-bounded sketch
+    // per language per epoch, epoch 1 replayed (exactly-once), the
+    // per-key merged top-3 view in the exact regime == plain per-key
+    // counts with the deterministic tie order
+    "q_freq_keyed_store" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val store = s"${lk.work}/mgk_store_$tag"
+      val base = lk.documents.where(col("lang").isNotNull)
+        .select(col("lang"), col("doc_id"),
+          pmod(col("doc_id"), lit(20L)).cast("string").as("item_v"))
+      val b0 = base.where(pmod(col("doc_id"), lit(2)) === 0)
+      val b1 = base.where(pmod(col("doc_id"), lit(2)) === 1)
+      Profile.heavyHittersIncrementalBatchByKey(b0, "item_v", Seq("lang"),
+        store, capacity = 64, batchId = 0L)
+      Profile.heavyHittersIncrementalBatchByKey(b1, "item_v", Seq("lang"),
+        store, capacity = 64, batchId = 1L)
+      Profile.heavyHittersIncrementalBatchByKey(b1, "item_v", Seq("lang"),
+        store, capacity = 64, batchId = 1L) // replay must replace
+      Profile.heavyHittersViewByKey(s, store, Seq("lang"), k = 3)
+        .orderBy("lang", "item")
+    }),
+    // keyed HLL distinct epoch store (r10): per-language union estimate
+    // across two OVERLAPPING epochs + a replay — distinct-union never
+    // double-counts; small per-key universes pin the exact coupon regime
+    "q_distinct_keyed_store" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val store = s"${lk.work}/hllk_store_$tag"
+      val base = lk.documents.where(col("lang").isNotNull)
+        .select(col("lang"), col("doc_id"),
+          pmod(col("doc_id"), lit(40L)).cast("string").as("u"))
+      val b0 = base.where(pmod(col("doc_id"), lit(3)) =!= 0)
+      val b1 = base.where(pmod(col("doc_id"), lit(3)) =!= 1)
+      Profile.distinctSketchIncrementalBatchByKey(b0, "u", Seq("lang"),
+        store, batchId = 0L)
+      Profile.distinctSketchIncrementalBatchByKey(b1, "u", Seq("lang"),
+        store, batchId = 1L)
+      Profile.distinctSketchIncrementalBatchByKey(b1, "u", Seq("lang"),
+        store, batchId = 1L) // replay must replace
+      Profile.distinctSketchViewByKey(s, store, Seq("lang"))
+        .orderBy("lang")
+    }),
+    // two-sample Kolmogorov-Smirnov from two KLL epoch stores (r10):
+    // the CDF complement of the binned PSI — exact regime, so the
+    // oracle walks the true ECDFs; epoch 1 of the current store replayed
+    "q_ks_sketch" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val refStore = s"${lk.work}/ks_ref_$tag"
+      val curStore = s"${lk.work}/ks_cur_$tag"
+      val ref = lk.orders.where(pmod(col("o_orderkey"), lit(2)) === 0)
+      val cur = lk.orders.where(pmod(col("o_orderkey"), lit(2)) === 1)
+      Profile.quantileSketchIncrementalBatch(
+        ref.where(pmod(col("o_orderkey"), lit(4)) === 0), "o_totalprice",
+        refStore, k = 262144, batchId = 0L)
+      Profile.quantileSketchIncrementalBatch(
+        ref.where(pmod(col("o_orderkey"), lit(4)) === 2), "o_totalprice",
+        refStore, k = 262144, batchId = 1L)
+      Profile.quantileSketchIncrementalBatch(cur, "o_totalprice",
+        curStore, k = 262144, batchId = 0L)
+      Profile.quantileSketchIncrementalBatch(cur, "o_totalprice",
+        curStore, k = 262144, batchId = 0L) // replay must replace
+      Profile.ksFromSketchStores(s, refStore, curStore, k = 262144)
+    }),
+    // batch KS without a store: two bounded sketch aggregates + a
+    // driver walk — no global sort/window anywhere (r10)
+    "q_ks_batch" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Profile.ksNumeric(
+        lk.documents.where(pmod(col("doc_id"), lit(2)) === 0),
+        lk.documents.where(pmod(col("doc_id"), lit(2)) === 1),
+        "n_chars", k = 262144)
     }),
     // declarative data-quality gate: per-rule violation counts in ONE
     // aggregate pass + the global uniqueness rule
@@ -2566,6 +2695,80 @@ object SparkEntry {
          ORDER BY prob""",
     "q_distinct_store" ->
       """SELECT count(DISTINCT lang)::BIGINT AS n_distinct FROM documents""",
+    "q_freq_keyed_store" ->
+      """WITH t AS (SELECT lang, CAST(doc_id % 20 AS VARCHAR) AS item
+                    FROM documents WHERE lang IS NOT NULL),
+         cnt AS (SELECT lang, item, CAST(count(*) AS BIGINT) c
+                 FROM t GROUP BY 1, 2),
+         rk AS (SELECT lang, item, c, row_number() OVER (
+                  PARTITION BY lang ORDER BY c DESC, item) rr FROM cnt)
+         SELECT lang, item, c AS count_min, c AS count_max
+         FROM rk WHERE rr <= 3 ORDER BY lang, item""",
+    "q_distinct_keyed_store" ->
+      """WITH t AS (SELECT lang, CAST(doc_id % 40 AS VARCHAR) AS u, doc_id
+                    FROM documents WHERE lang IS NOT NULL),
+         un AS (SELECT lang, u FROM t WHERE doc_id % 3 != 0
+                UNION SELECT lang, u FROM t WHERE doc_id % 3 != 1)
+         SELECT lang, CAST(count(DISTINCT u) AS BIGINT) AS n_distinct
+         FROM un GROUP BY lang ORDER BY lang""",
+    "q_ks_sketch" ->
+      """WITH r AS (SELECT o_totalprice v FROM orders
+                    WHERE o_orderkey % 2 = 0),
+         c AS (SELECT o_totalprice v FROM orders WHERE o_orderkey % 2 = 1),
+         u AS (SELECT v, sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) nr,
+                      sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) nc
+               FROM (SELECT v, 0 side FROM r
+                     UNION ALL SELECT v, 1 side FROM c)
+               GROUP BY v),
+         tot AS (SELECT (SELECT count(*) FROM r) nrt,
+                        (SELECT count(*) FROM c) nct),
+         cum AS (SELECT v,
+                  sum(nr) OVER (ORDER BY v) / CAST(nrt AS DOUBLE) fr,
+                  sum(nc) OVER (ORDER BY v) / CAST(nct AS DOUBLE) fc
+                 FROM u CROSS JOIN tot),
+         d AS (SELECT v, abs(fr - fc) dd FROM cum),
+         m AS (SELECT max(dd) md FROM d)
+         SELECT round((SELECT md FROM m), 6) AS ks_stat,
+                CAST((SELECT min(v) FROM d CROSS JOIN m WHERE dd = md)
+                  AS DOUBLE) AS at_value,
+                (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_ref,
+                (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_cur""",
+    "q_ks_batch" ->
+      """WITH r AS (SELECT CAST(n_chars AS DOUBLE) v FROM documents
+                    WHERE doc_id % 2 = 0),
+         c AS (SELECT CAST(n_chars AS DOUBLE) v FROM documents
+               WHERE doc_id % 2 = 1),
+         u AS (SELECT v, sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) nr,
+                      sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) nc
+               FROM (SELECT v, 0 side FROM r
+                     UNION ALL SELECT v, 1 side FROM c)
+               GROUP BY v),
+         tot AS (SELECT (SELECT count(*) FROM r) nrt,
+                        (SELECT count(*) FROM c) nct),
+         cum AS (SELECT v,
+                  sum(nr) OVER (ORDER BY v) / CAST(nrt AS DOUBLE) fr,
+                  sum(nc) OVER (ORDER BY v) / CAST(nct AS DOUBLE) fc
+                 FROM u CROSS JOIN tot),
+         d AS (SELECT v, abs(fr - fc) dd FROM cum),
+         m AS (SELECT max(dd) md FROM d)
+         SELECT round((SELECT md FROM m), 6) AS ks_stat,
+                (SELECT min(v) FROM d CROSS JOIN m WHERE dd = md)
+                  AS at_value,
+                (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_ref,
+                (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_cur""",
+    "q_quantile_keyed_stream" ->
+      """WITH q AS (SELECT lang, quantile_disc(n_chars, [0.5, 0.9]) qs
+                    FROM documents WHERE lang IS NOT NULL GROUP BY lang)
+         SELECT lang, CASE i WHEN 1 THEN 0.5 ELSE 0.9 END AS prob,
+                round(CAST(qs[i] AS DOUBLE), 6) AS val
+         FROM q CROSS JOIN (SELECT unnest([1, 2]) i)
+         ORDER BY lang, prob""",
+    "q_distinct_stream" ->
+      """WITH t AS (SELECT doc_id, CAST(doc_id % 50 AS VARCHAR) u
+                    FROM documents),
+         un AS (SELECT u FROM t WHERE doc_id % 3 != 0
+                UNION SELECT u FROM t WHERE doc_id % 3 != 1)
+         SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_distinct FROM un""",
     "q_winsorize" ->
       """WITH q AS (
            SELECT event_type,

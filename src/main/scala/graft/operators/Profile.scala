@@ -220,7 +220,96 @@ object Profile {
             lit(bid).as("batch_id")),
         "batch_id", Seq(bid))
     if (shouldCheckFold(batchId, maxEpochs))
-      foldHeavyHitterStore(spark, storeDir, capacity, maxEpochs)
+      foldHeavyHitterStore(spark, storeDir, capacity, maxEpochs, Nil)
+  }
+
+  /** Keyed incremental heavy hitters: [[heavyHittersIncrementalBatch]]
+    * with one capacity-bounded sketch PER KEY per epoch — "hottest
+    * tokens/URLs per domain/language" that folds across days, the MG
+    * member of the keyed store family
+    * ([[quantileSketchIncrementalBatchByKey]],
+    * [[distinctSketchIncrementalBatchByKey]]). Store grain: counters
+    * `keyCols | item | cnt | batch_id`, meta `keyCols | err | total |
+    * batch_id`; epoch-keyed `appendReplacing` (replays replace;
+    * already-folded epochs drop), aged epochs consolidate PER KEY. Rows
+    * with null keys are excluded (no series identity — the keyed-join
+    * contract everywhere else). */
+  def heavyHittersIncrementalBatchByKey(
+      batch: DataFrame,
+      itemCol: String,
+      keyCols: Seq[String],
+      storeDir: String,
+      capacity: Int,
+      batchId: Long,
+      weightCol: Option[String] = None,
+      maxEpochs: Int = 64): Unit = {
+    require(keyCols.nonEmpty,
+      "keyCols must be non-empty - use heavyHittersIncrementalBatch")
+    val reserved = Seq("item", "cnt", "err", "total", "batch_id",
+      "__s", "__n", "__w")
+    require(!keyCols.exists(reserved.contains(_)),
+      s"key columns may not use the reserved names ${reserved.mkString("/")}")
+    val spark = batch.sparkSession
+    if (batchId <= foldWatermark(spark, storeDir)) return
+    val w = weightCol.map(qcol).getOrElse(lit(1L))
+    val bid = batchId.toString
+    val s = batch
+      .where(keyCols.map(qcol(_).isNotNull).reduce(_ && _))
+      .groupBy(keyCols.map(qcol): _*)
+      .agg(graft.functions.FreqItems
+        .freqSketchAgg(qcol(itemCol), w, capacity).as("__s"))
+      .localCheckpoint()
+    // meta before counters — the global writer's crash discipline
+    new graft.store.SnapshotTable(spark, s"$storeDir/meta")
+      .appendReplacing(
+        s.select(keyCols.map(col) :+ col("__s.err").as("err") :+
+          col("__s.total").as("total") :+ lit(bid).as("batch_id"): _*),
+        "batch_id", Seq(bid))
+    new graft.store.SnapshotTable(spark, s"$storeDir/counters")
+      .appendReplacing(
+        s.select(keyCols.map(col) :+ explode(col("__s.counters")).as("__c"): _*)
+          .select(keyCols.map(col) :+ col("__c.item").as("item") :+
+            col("__c.cnt").as("cnt") :+ lit(bid).as("batch_id"): _*),
+        "batch_id", Seq(bid))
+    if (shouldCheckFold(batchId, maxEpochs))
+      foldHeavyHitterStore(spark, storeDir, capacity, maxEpochs, keyCols)
+  }
+
+  /** The per-key merged top-`k` view of a
+    * [[heavyHittersIncrementalBatchByKey]] store: counter-sum per
+    * `(key, item)`, envelope widened by the key's summed decrement mass,
+    * top-`k` per key (count_min desc, item asc — deterministic). The
+    * rank window is PARTITIONED by key over ≤ maxEpochs × capacity
+    * counter rows per key — bounded, never a global sort. */
+  def heavyHittersViewByKey(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      keyCols: Seq[String],
+      k: Int): DataFrame = {
+    require(keyCols.nonEmpty,
+      "keyCols must be non-empty - use heavyHittersView")
+    val counters = new graft.store.SnapshotTable(spark, s"$storeDir/counters")
+      .read().getOrElse(spark.emptyDataFrame.select(
+        keyCols.map(lit(null).cast("string").as(_)) :+
+          lit("").as("item") :+ lit(0L).as("cnt"): _*))
+    val errs = new graft.store.SnapshotTable(spark, s"$storeDir/meta")
+      .read()
+      .map(_.groupBy(keyCols.map(col): _*)
+        .agg(coalesce(sum("err"), lit(0L)).as("__err")))
+      .getOrElse(spark.emptyDataFrame.select(
+        keyCols.map(lit(null).cast("string").as(_)) :+
+          lit(0L).as("__err"): _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("count_min").desc, col("item"))
+    counters.groupBy((keyCols :+ "item").map(col): _*)
+      .agg(sum("cnt").as("count_min"))
+      .join(broadcast(errs), keyCols, "left")
+      .select(keyCols.map(col) ++ Seq(col("item"), col("count_min"),
+        (col("count_min") + coalesce(col("__err"), lit(0L)))
+          .as("count_max")): _*)
+      .withColumn("__rk", row_number().over(w))
+      .where(col("__rk") <= k).drop("__rk")
   }
 
   /** Bound a Misra–Gries epoch store ([[foldSketchStore]] for the
@@ -228,19 +317,21 @@ object Profile {
     * epochs' counters re-merge through ONE capacity-bounded sketch
     * (weighted re-ingest — the MG merge; any decrement mass it incurs
     * joins the consolidated `err`) and both tables rewrite as
-    * `recent ∪ consolidated`. The envelope stays valid in every regime
-    * (`count_min <= true <= count_max` — re-merge decrements only move
-    * mass from count_min into err) and the fold is a no-op numerically
-    * while `capacity >=` the folded epochs' distinct items (the exact
-    * regime). The consolidated meta row carries the SUM of folded true
-    * totals. Meta rewrites BEFORE counters (the registration
-    * discipline): a crash between them leaves the consolidated err
-    * alongside still-unfolded counters — the envelope only widens. */
+    * `recent ∪ consolidated`, per key when `keyCols` is non-empty. The
+    * envelope stays valid in every regime (`count_min <= true <=
+    * count_max` — re-merge decrements only move mass from count_min
+    * into err) and the fold is a no-op numerically while `capacity >=`
+    * the folded epochs' distinct items (the exact regime). The
+    * consolidated meta row carries the SUM of folded true totals. Meta
+    * rewrites BEFORE counters (the registration discipline): a crash
+    * between them leaves the consolidated err alongside still-unfolded
+    * counters — the envelope only widens. */
   private def foldHeavyHitterStore(
       spark: org.apache.spark.sql.SparkSession,
       storeDir: String,
       capacity: Int,
-      maxEpochs: Int): Unit = {
+      maxEpochs: Int,
+      keyCols: Seq[String]): Unit = {
     val metaT = new graft.store.SnapshotTable(spark, s"$storeDir/meta")
     val countersT = new graft.store.SnapshotTable(spark, s"$storeDir/counters")
     (metaT.read(), countersT.read()) match {
@@ -252,23 +343,35 @@ object Profile {
           val keptC = counters.where(!col("batch_id").isin(foldKeys: _*))
           val oldM = meta.where(col("batch_id").isin(foldKeys: _*))
           val keptM = meta.where(!col("batch_id").isin(foldKeys: _*))
-          // one row: merged sketch state + folded err/total sums, pinned
-          // so the two rewrites don't re-aggregate
-          val merged = oldC.agg(graft.functions.FreqItems
-              .freqSketchAgg(col("item"), col("cnt"), capacity).as("__s"))
-            .crossJoin(oldM.agg(
-              coalesce(sum("err"), lit(0L)).as("__olderr"),
-              coalesce(sum("total"), lit(0L)).as("__oldtotal")))
-            .localCheckpoint()
+          // merged sketch state + folded err/total sums (one row per
+          // key; ONE row globally), pinned so the two rewrites don't
+          // re-aggregate. full_outer keyed join: a crash-orphaned meta
+          // row (err without counters) must keep its err.
+          val sk = graft.functions.FreqItems
+            .freqSketchAgg(col("item"), col("cnt"), capacity).as("__s")
+          val sums = Seq(coalesce(sum("err"), lit(0L)).as("__olderr"),
+            coalesce(sum("total"), lit(0L)).as("__oldtotal"))
+          val merged = (
+            if (keyCols.isEmpty)
+              oldC.agg(sk).crossJoin(oldM.agg(sums.head, sums.tail: _*))
+            else
+              oldC.groupBy(keyCols.map(col): _*).agg(sk)
+                .join(oldM.groupBy(keyCols.map(col): _*)
+                  .agg(sums.head, sums.tail: _*), keyCols, "full_outer")
+          ).localCheckpoint()
           advanceFoldWatermark(spark, storeDir, foldIds)
           metaT.overwrite(keptM.unionByName(merged.select(
-            (col("__s.err") + col("__olderr")).as("err"),
-            col("__oldtotal").as("total"),
-            lit(FoldedEpochId).as("batch_id"))))
+            keyCols.map(col) ++ Seq(
+              (coalesce(col("__s.err"), lit(0L)) +
+                coalesce(col("__olderr"), lit(0L))).as("err"),
+              coalesce(col("__oldtotal"), lit(0L)).as("total"),
+              lit(FoldedEpochId).as("batch_id")): _*)))
           countersT.overwrite(keptC.unionByName(
-            merged.select(explode(col("__s.counters")).as("__c"))
-              .select(col("__c.item").as("item"), col("__c.cnt").as("cnt"),
-                lit(FoldedEpochId).as("batch_id"))))
+            merged.select(keyCols.map(col) :+
+                explode(col("__s.counters")).as("__c"): _*)
+              .select(keyCols.map(col) ++ Seq(col("__c.item").as("item"),
+                col("__c.cnt").as("cnt"),
+                lit(FoldedEpochId).as("batch_id")): _*)))
         }
       case _ => ()
     }
@@ -359,18 +462,76 @@ object Profile {
         s.select(col("__s").as("sketch"), lit(bid).as("batch_id")),
         "batch_id", Seq(bid))
     if (shouldCheckFold(batchId, maxEpochs))
-      foldDistinctStore(spark, storeDir, maxEpochs)
+      foldDistinctStore(spark, storeDir, maxEpochs, Nil)
+  }
+
+  /** Keyed incremental distinct cardinality:
+    * [[distinctSketchIncrementalBatch]] with one HLL sketch PER KEY per
+    * epoch — "distinct users/URLs so far, per domain/language", the HLL
+    * member of the keyed store family. Store grain: `keyCols | sketch |
+    * batch_id`; epoch-keyed `appendReplacing` (replays replace;
+    * already-folded epochs drop), aged epochs union PER KEY. Null-key
+    * rows are excluded (the keyed-join contract). */
+  def distinctSketchIncrementalBatchByKey(
+      batch: DataFrame,
+      itemCol: String,
+      keyCols: Seq[String],
+      storeDir: String,
+      batchId: Long,
+      lgK: Int = 12,
+      maxEpochs: Int = 64): Unit = {
+    require(keyCols.nonEmpty,
+      "keyCols must be non-empty - use distinctSketchIncrementalBatch")
+    val reserved = Seq("sketch", "batch_id", "__s")
+    require(!keyCols.exists(reserved.contains(_)),
+      s"key columns may not use the reserved names ${reserved.mkString("/")}")
+    val spark = batch.sparkSession
+    if (batchId <= foldWatermark(spark, storeDir)) return
+    val bid = batchId.toString
+    val s = batch
+      .where(keyCols.map(qcol(_).isNotNull).reduce(_ && _))
+      .groupBy(keyCols.map(qcol): _*)
+      .agg(hll_sketch_agg(qcol(itemCol), lit(lgK)).as("sketch"))
+      .localCheckpoint()
+    new graft.store.SnapshotTable(spark, s"$storeDir/sketches")
+      .appendReplacing(
+        s.select(keyCols.map(col) :+ col("sketch") :+
+          lit(bid).as("batch_id"): _*),
+        "batch_id", Seq(bid))
+    if (shouldCheckFold(batchId, maxEpochs))
+      foldDistinctStore(spark, storeDir, maxEpochs, keyCols)
+  }
+
+  /** The per-key merged view of a
+    * [[distinctSketchIncrementalBatchByKey]] store: one union estimate
+    * per key — `keyCols | n_distinct`. Distinct-union semantics: epochs
+    * overlapping on a key never double-count. */
+  def distinctSketchViewByKey(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty,
+      "keyCols must be non-empty - use distinctSketchView")
+    val sketches = new graft.store.SnapshotTable(spark, s"$storeDir/sketches")
+      .read().getOrElse(spark.emptyDataFrame.select(
+        keyCols.map(lit(null).cast("string").as(_)) :+
+          lit(null).cast("binary").as("sketch"): _*))
+    sketches.groupBy(keyCols.map(col): _*)
+      .agg(coalesce(hll_sketch_estimate(
+        hll_union_agg(col("sketch"), lit(true))), lit(0L)).as("n_distinct"))
   }
 
   /** Bound an HLL epoch store: past `maxEpochs` real epochs, the aged
     * sketches union into ONE consolidated sketch under the sentinel
-    * epoch. HLL union is associative AND idempotent, so the view is
-    * bit-identical across the fold in every regime — the easiest member
-    * of the family ([[foldSketchStore]], [[foldHeavyHitterStore]]). */
+    * epoch (per key when `keyCols` is non-empty). HLL union is
+    * associative AND idempotent, so the view is bit-identical across the
+    * fold in every regime — the easiest member of the family
+    * ([[foldSketchStore]], [[foldHeavyHitterStore]]). */
   private def foldDistinctStore(
       spark: org.apache.spark.sql.SparkSession,
       storeDir: String,
-      maxEpochs: Int): Unit = {
+      maxEpochs: Int,
+      keyCols: Seq[String]): Unit = {
     val table = new graft.store.SnapshotTable(spark, s"$storeDir/sketches")
     table.read().foreach { sketches =>
       val foldIds = foldableEpochs(sketches, maxEpochs)
@@ -378,9 +539,12 @@ object Profile {
         val foldKeys = foldIds.map(_.toString) :+ FoldedEpochId
         val old = sketches.where(col("batch_id").isin(foldKeys: _*))
         val kept = sketches.where(!col("batch_id").isin(foldKeys: _*))
-        val merged = old
-          .agg(hll_union_agg(col("sketch"), lit(true)).as("sketch"))
-          .select(col("sketch"), lit(FoldedEpochId).as("batch_id"))
+        val u = hll_union_agg(col("sketch"), lit(true)).as("sketch")
+        val merged =
+          (if (keyCols.isEmpty) old.agg(u)
+           else old.groupBy(keyCols.map(col): _*).agg(u))
+            .select(keyCols.map(col) :+ col("sketch") :+
+              lit(FoldedEpochId).as("batch_id"): _*)
         advanceFoldWatermark(spark, storeDir, foldIds)
         table.overwrite(kept.unionByName(merged))
       }
@@ -1207,29 +1371,8 @@ object Profile {
     require(nBins >= 2, "need at least 2 bins")
     require(eps > 0, "eps must be positive")
     import spark.implicits._
-    def load(dir: String): (graft.functions.Kll.Sketch, Long) = {
-      val stored = new graft.store.SnapshotTable(spark, s"$dir/items").read()
-      val items = stored.getOrElse(spark.emptyDataFrame
-        .select(lit(-1).as("level"), lit(Double.NaN).as("value")))
-      val row = items.agg(graft.functions.Kll
-        .remergeSketchAgg(col("level"), col("value"), k).as("__s"))
-        .collect().head
-      val st = row.getStruct(0)
-      val sk = new graft.functions.Kll.Sketch(k)
-      st.getSeq[org.apache.spark.sql.Row](0).foreach { it =>
-        sk.addAtLevel(it.getInt(0), it.getDouble(1))
-      }
-      // true ingested total: recorded per-epoch counts where present
-      // (survives the fold — the consolidated epoch carries their sum),
-      // per-epoch survivor weight for pre-upgrade epochs
-      val n = stored.map { it =>
-        val r = trueCountPerKey(it, Nil, "__n").collect().head
-        if (r.isNullAt(0)) 0L else r.getLong(0)
-      }.getOrElse(0L)
-      (sk, n)
-    }
-    val (refSk, refW) = load(refStoreDir)
-    val (curSk, curW) = load(curStoreDir)
+    val (refSk, refW) = loadSketchAndCount(spark, refStoreDir, k)
+    val (curSk, curW) = loadSketchAndCount(spark, curStoreDir, k)
     require(refW > 0, s"reference sketch store at $refStoreDir is empty " +
       "- nothing to cut bins on")
     val probs = (1 until nBins).map(_.toDouble / nBins)
@@ -1255,6 +1398,124 @@ object Profile {
     }
     rows.toDF("bin", "lo", "hi", "n_ref", "n_cur",
       "p_ref", "p_cur", "psi_term")
+  }
+
+  /** Driver-side load of a KLL epoch store: the distributively re-merged
+    * sketch (only `k·log` survivor items ever reach the driver) plus the
+    * TRUE ingested total — recorded per-epoch counts where present
+    * (survives the fold: the consolidated epoch carries their sum),
+    * per-epoch survivor weight for pre-upgrade epochs. Shared by the
+    * sketch-native monitors ([[driftFromSketchStores]],
+    * [[ksFromSketchStores]]). */
+  private def loadSketchAndCount(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      k: Int): (graft.functions.Kll.Sketch, Long) = {
+    val stored = new graft.store.SnapshotTable(spark, s"$dir/items").read()
+    val items = stored.getOrElse(spark.emptyDataFrame
+      .select(lit(-1).as("level"), lit(Double.NaN).as("value")))
+    val row = items.agg(graft.functions.Kll
+      .remergeSketchAgg(col("level"), col("value"), k).as("__s"))
+      .collect().head
+    val st = row.getStruct(0)
+    val sk = new graft.functions.Kll.Sketch(k)
+    st.getSeq[org.apache.spark.sql.Row](0).foreach { it =>
+      sk.addAtLevel(it.getInt(0), it.getDouble(1))
+    }
+    val n = stored.map { it =>
+      val r = trueCountPerKey(it, Nil, "__n").collect().head
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }.getOrElse(0L)
+    (sk, n)
+  }
+
+  private def r6d(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** The two-sample Kolmogorov–Smirnov walk over two sketches: the
+    * max |F_ref − F_cur| over the UNION of survivor values (two ECDF
+    * step functions can only differ maximally at a point where one of
+    * them steps, and every step point is a survivor), ties broken to
+    * the smallest value. Exact when both sketches are in the exact
+    * regime (survivors = the data); within ~2× the rank envelope past
+    * it. */
+  private def ksWalk(
+      a: graft.functions.Kll.Sketch,
+      b: graft.functions.Kll.Sketch): (Double, Double) = {
+    val cand = (a.summary().items.map(_.value) ++
+      b.summary().items.map(_.value)).distinct.sorted
+    val fa = a.fractionsAtOrBelow(cand)
+    val fb = b.fractionsAtOrBelow(cand)
+    var best = 0.0
+    var at = Double.NaN
+    var i = 0
+    while (i < cand.length) {
+      val d = math.abs(fa(i) - fb(i))
+      if (d > best) { best = d; at = cand(i) }
+      i += 1
+    }
+    (best, at)
+  }
+
+  /** Two-sample Kolmogorov–Smirnov drift between two KLL epoch stores —
+    * the CDF-shaped complement of the binned PSI
+    * ([[driftFromSketchStores]]): PSI weighs re-distributed MASS, KS
+    * catches the largest cumulative displacement (a pure location shift
+    * that PSI's coarse bins dilute, KS reads directly). One row:
+    * `ks_stat | at_value | n_ref | n_cur` — the statistic (rounded 6),
+    * the value where the ECDFs diverge most (smallest such value on
+    * ties), and the recorded true counts (the usual
+    * `D > c(α)·sqrt((n1+n2)/(n1·n2))` test needs them). Both stores
+    * fold distributively to one `k·log` summary each; only those reach
+    * the driver. EXACT (and DuckDB-oracle-able against the ECDF walk)
+    * while both stores are in the exact regime; within ~2× the rank
+    * envelope past it. Empty stores fail loudly — there is no
+    * distribution to compare. */
+  def ksFromSketchStores(
+      spark: org.apache.spark.sql.SparkSession,
+      refStoreDir: String,
+      curStoreDir: String,
+      k: Int = 8192): DataFrame = {
+    import spark.implicits._
+    val (refSk, refN) = loadSketchAndCount(spark, refStoreDir, k)
+    val (curSk, curN) = loadSketchAndCount(spark, curStoreDir, k)
+    require(refN > 0, s"reference sketch store at $refStoreDir is empty")
+    require(curN > 0, s"current sketch store at $curStoreDir is empty")
+    val (stat, at) = ksWalk(refSk, curSk)
+    Seq((r6d(stat), at, refN, curN))
+      .toDF("ks_stat", "at_value", "n_ref", "n_cur")
+  }
+
+  /** Batch two-sample KS directly from two frames: each side collapses
+    * to ONE `k`-bounded sketch aggregate (map-side combined, no global
+    * sort, no window — the exact distributed KS would need a full-order
+    * cumulative sum), then the driver walks two bounded summaries.
+    * Exact whenever both sides hold <= `k` non-null rows; the petabyte
+    * path drops `k` and accepts the rank envelope. Nulls are ignored on
+    * both sides (a null has no rank). */
+  def ksNumeric(
+      ref: DataFrame,
+      cur: DataFrame,
+      valueCol: String,
+      k: Int = 65536): DataFrame = {
+    def sketchOf(df: DataFrame): (graft.functions.Kll.Sketch, Long) = {
+      val st = df.agg(graft.functions.Kll
+        .sketchAgg(qcol(valueCol), k).as("__s"))
+        .collect().head.getStruct(0)
+      val sk = new graft.functions.Kll.Sketch(k)
+      st.getSeq[org.apache.spark.sql.Row](0).foreach { it =>
+        sk.addAtLevel(it.getInt(0), it.getDouble(1))
+      }
+      (sk, st.getLong(1))
+    }
+    val (refSk, refN) = sketchOf(ref)
+    val (curSk, curN) = sketchOf(cur)
+    require(refN > 0, "reference frame has no non-null values")
+    require(curN > 0, "current frame has no non-null values")
+    val (stat, at) = ksWalk(refSk, curSk)
+    import ref.sparkSession.implicits._
+    Seq((r6d(stat), at, refN, curN))
+      .toDF("ks_stat", "at_value", "n_ref", "n_cur")
   }
 
   /** Categorical drift: the PSI of [[driftNumeric]] with categories as

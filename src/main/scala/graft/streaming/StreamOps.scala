@@ -356,6 +356,91 @@ object StreamOps {
         batch.sparkSession, storeDir, probs, k), batchId)
     }
 
+  /** Per-key [[quantileSink]]: each micro-batch folds one bounded
+    * sketch PER KEY into the keyed epoch store
+    * ([[graft.operators.Profile.quantileSketchIncrementalBatchByKey]])
+    * and the sink receives the per-key merged quantile view so far —
+    * continuously maintained per-domain p50/p99. Same exactly-once and
+    * fold disciplines as the global sink. */
+  def quantileSinkByKey(
+      stream: DataFrame,
+      valueCol: String,
+      keyCols: Seq[String],
+      storeDir: String,
+      k: Int,
+      probs: Seq[Double],
+      maxEpochs: Int = 64)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      graft.operators.Profile.quantileSketchIncrementalBatchByKey(
+        batch.toDF(), valueCol, keyCols, storeDir, k, batchId, maxEpochs)
+      sink(graft.operators.Profile.quantileSketchViewByKey(
+        batch.sparkSession, storeDir, keyCols, probs, k), batchId)
+    }
+
+  /** Per-key [[heavyHittersSink]]: one capacity-bounded Misra–Gries
+    * sketch PER KEY per micro-batch
+    * ([[graft.operators.Profile.heavyHittersIncrementalBatchByKey]]);
+    * the sink receives the per-key merged top-`k` so far — continuously
+    * maintained "hottest items per domain". Same exactly-once and fold
+    * disciplines as the global sink. */
+  def heavyHittersSinkByKey(
+      stream: DataFrame,
+      itemCol: String,
+      keyCols: Seq[String],
+      storeDir: String,
+      capacity: Int,
+      k: Int,
+      weightCol: Option[String] = None,
+      maxEpochs: Int = 64)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      graft.operators.Profile.heavyHittersIncrementalBatchByKey(
+        batch.toDF(), itemCol, keyCols, storeDir, capacity, batchId,
+        weightCol, maxEpochs)
+      sink(graft.operators.Profile.heavyHittersViewByKey(
+        batch.sparkSession, storeDir, keyCols, k), batchId)
+    }
+
+  /** Streaming distinct cardinality: every micro-batch folds one HLL
+    * sketch into the persistent store
+    * ([[graft.operators.Profile.distinctSketchIncrementalBatch]]) and
+    * the sink receives the union estimate so far — a continuously
+    * maintained "distinct users/URLs to date". Distinct-union semantics
+    * make overlapping batches AND replays free (never a double-count);
+    * the epoch keying + fold keep the store bounded anyway. */
+  def distinctSink(
+      stream: DataFrame,
+      itemCol: String,
+      storeDir: String,
+      lgK: Int = 12,
+      maxEpochs: Int = 64)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      graft.operators.Profile.distinctSketchIncrementalBatch(
+        batch.toDF(), itemCol, storeDir, batchId, lgK, maxEpochs)
+      sink(graft.operators.Profile.distinctSketchView(
+        batch.sparkSession, storeDir), batchId)
+    }
+
+  /** Per-key [[distinctSink]]
+    * ([[graft.operators.Profile.distinctSketchIncrementalBatchByKey]]):
+    * the per-domain distinct-so-far materialized view. */
+  def distinctSinkByKey(
+      stream: DataFrame,
+      itemCol: String,
+      keyCols: Seq[String],
+      storeDir: String,
+      lgK: Int = 12,
+      maxEpochs: Int = 64)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      graft.operators.Profile.distinctSketchIncrementalBatchByKey(
+        batch.toDF(), itemCol, keyCols, storeDir, batchId, lgK, maxEpochs)
+      sink(graft.operators.Profile.distinctSketchViewByKey(
+        batch.sparkSession, storeDir, keyCols), batchId)
+    }
+
   /** Continuous drift monitor: every micro-batch folds into a KLL epoch
     * store ([[graft.operators.Profile.quantileSketchIncrementalBatch]] —
     * epoch-keyed `appendReplacing`, replay-idempotent like every other

@@ -259,6 +259,104 @@ class SketchStoreFoldSpec extends GraftSuite {
       s"true 5000 outside folded envelope [$lo, $hi]")
   }
 
+  test("keyed Misra-Gries store: per-key view == per-key counts in the " +
+      "exact regime, across a fold and a replay; orphan meta err survives") {
+    val folded = tmpDir("fold_mgk_")
+    val plain = tmpDir("nofold_mgk_")
+    val rows = (0 until 11).flatMap { e =>
+      (1 to 200).map(i => (if (i % 2 == 0) "a" else "b",
+        s"item_${(i + e) % 15}", e))
+    }
+    (0 until 11).foreach { e =>
+      val b = rows.filter(_._3 == e).map(r => (r._1, r._2))
+        .toDF("g", "x")
+      Profile.heavyHittersIncrementalBatchByKey(b, "x", Seq("g"), folded,
+        capacity = 64, batchId = e.toLong, maxEpochs = 4)
+      Profile.heavyHittersIncrementalBatchByKey(b, "x", Seq("g"), plain,
+        capacity = 64, batchId = e.toLong, maxEpochs = 0)
+    }
+    // replay a kept epoch on the folded store: must replace, not add
+    val last = rows.filter(_._3 == 10).map(r => (r._1, r._2)).toDF("g", "x")
+    Profile.heavyHittersIncrementalBatchByKey(last, "x", Seq("g"), folded,
+      capacity = 64, batchId = 10L, maxEpochs = 4)
+    assertSameRows(
+      Profile.heavyHittersViewByKey(spark, folded, Seq("g"), k = 5),
+      Profile.heavyHittersViewByKey(spark, plain, Seq("g"), k = 5))
+    // exact regime: count_min == count_max == the true per-key count
+    val got = Profile.heavyHittersViewByKey(spark, folded, Seq("g"), k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val want = rows.groupBy(r => (r._1, r._2)).view.mapValues(_.size.toLong)
+    got.foreach { case (k0, (lo, hi)) =>
+      assert(lo == want(k0) && hi == want(k0), s"$k0: ($lo,$hi) vs ${want(k0)}")
+    }
+    assert(epochsIn(folded, "counters").size <= 5)
+  }
+
+  test("keyed HLL store: per-key view identical across the fold; keyed " +
+      "replay drops for folded epochs") {
+    val folded = tmpDir("fold_hllk_")
+    val plain = tmpDir("nofold_hllk_")
+    (0 until 11).foreach { e =>
+      val b = (0 until 60).map(i =>
+        (if (i % 3 == 0) "x" else "y", s"u${(e * 13 + i) % 37}"))
+        .toDF("g", "u")
+      Profile.distinctSketchIncrementalBatchByKey(b, "u", Seq("g"), folded,
+        batchId = e.toLong, maxEpochs = 4)
+      Profile.distinctSketchIncrementalBatchByKey(b, "u", Seq("g"), plain,
+        batchId = e.toLong, maxEpochs = 0)
+    }
+    assertSameRows(
+      Profile.distinctSketchViewByKey(spark, folded, Seq("g")),
+      Profile.distinctSketchViewByKey(spark, plain, Seq("g")))
+    val before = Profile.distinctSketchViewByKey(spark, folded, Seq("g"))
+      .collect().toSeq
+    Profile.distinctSketchIncrementalBatchByKey(
+      Seq(("x", "brand_new")).toDF("g", "u"), "u", Seq("g"), folded,
+      batchId = 0L, maxEpochs = 4) // folded epoch id: must drop
+    assert(Profile.distinctSketchViewByKey(spark, folded, Seq("g"))
+      .collect().toSeq == before)
+    assert(epochsIn(folded, "sketches").size <= 5)
+  }
+
+  test("KS from sketch stores == the exact ECDF walk in the exact " +
+      "regime; batch ksNumeric agrees; location shift registers") {
+    val rng = new scala.util.Random(127)
+    val refData = Seq.fill(3000)(math.floor(rng.nextDouble() * 400))
+    val curData = Seq.fill(2500)(math.floor(rng.nextDouble() * 400 + 60))
+    val refStore = tmpDir("ks_ref_"); val curStore = tmpDir("ks_cur_")
+    val (r0, r1) = refData.splitAt(1500)
+    Profile.quantileSketchIncrementalBatch(r0.toDF("v"), "v", refStore,
+      k = 8192, batchId = 0L)
+    Profile.quantileSketchIncrementalBatch(r1.toDF("v"), "v", refStore,
+      k = 8192, batchId = 1L)
+    Profile.quantileSketchIncrementalBatch(curData.toDF("v"), "v",
+      curStore, k = 8192, batchId = 0L)
+    val got = Profile.ksFromSketchStores(spark, refStore, curStore,
+      k = 8192).collect().head
+    // driver-side exact two-sample KS over the union of points
+    val pts = (refData ++ curData).distinct.sorted
+    val rs = refData.sorted.toArray; val cs = curData.sorted.toArray
+    def cdf(a: Array[Double], x: Double): Double = {
+      var i = java.util.Arrays.binarySearch(a, x)
+      if (i < 0) i = -(i + 1) else { while (i < a.length && a(i) == x) i += 1 }
+      i.toDouble / a.length
+    }
+    var best = 0.0; var at = Double.NaN
+    pts.foreach { x =>
+      val d = math.abs(cdf(rs, x) - cdf(cs, x))
+      if (d > best) { best = d; at = x }
+    }
+    assert(got.getDouble(0) ==
+      BigDecimal(best).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(got.getDouble(1) == at)
+    assert(got.getLong(2) == 3000L && got.getLong(3) == 2500L)
+    assert(got.getDouble(0) > 0.1, "constructed shift must register")
+    val batch = Profile.ksNumeric(refData.toDF("v"), curData.toDF("v"),
+      "v", k = 8192).collect().head
+    assert(batch == got)
+  }
+
   test("HLL fold: distinct-union view bit-identical across the fold; " +
       "replay of a folded epoch dropped") {
     val folded = tmpDir("fold_hll_")

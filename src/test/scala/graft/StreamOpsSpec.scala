@@ -587,4 +587,83 @@ class StreamOpsSpec extends GraftSuite {
     assert(want.exists(_._3) && want.exists(!_._3),
       "the gate must actually split the stream")
   }
+
+  test("quantileSinkByKey: streamed per-key view equals the one-shot " +
+      "per-key discrete quantiles in the exact regime") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rng = new scala.util.Random(83)
+    val rows = Seq.fill(600)(
+      (if (rng.nextBoolean()) "a" else "b", rng.nextDouble() * 100))
+    val store = tmpDir("kqsink_store_")
+    val mem = MemoryStream[(String, Double)]
+    var last: Array[Row] = Array.empty
+    val q = StreamOps.quantileSinkByKey(mem.toDF().toDF("g", "v"), "v",
+        Seq("g"), store, k = 4096, probs = Seq(0.25, 0.75)) { (view, _) =>
+        last = view.collect(); ()
+      }
+      .option("checkpointLocation", tmpDir("kqsink_ckpt_")).start()
+    try {
+      val (b1, b2) = rows.splitAt(300)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def disc(vs: Seq[Double], p: Double): Double = {
+      val s = vs.sorted
+      s((math.max(1L, math.ceil(p * s.length).toLong) - 1).toInt)
+    }
+    val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      Seq((g, 0.25, disc(rs.map(_._2), 0.25)),
+        (g, 0.75, disc(rs.map(_._2), 0.75)))
+    }.toSet
+    val got = last.map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+      .toSet
+    assert(got == want)
+  }
+
+  test("heavyHittersSinkByKey + distinctSinkByKey: streamed per-key views " +
+      "equal their batch twins across overlapping micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = (1 to 500).map(i =>
+      (if (i % 3 == 0) "a" else "b", s"item_${i % 12}"))
+    val hhStore = tmpDir("khh_store_")
+    val mem = MemoryStream[(String, String)]
+    var lastHH: Array[Row] = Array.empty
+    val q = StreamOps.heavyHittersSinkByKey(mem.toDF().toDF("g", "x"),
+        "x", Seq("g"), hhStore, capacity = 64, k = 4) { (view, _) =>
+        lastHH = view.collect(); ()
+      }
+      .option("checkpointLocation", tmpDir("khh_ckpt_")).start()
+    try {
+      val (b1, b2) = rows.splitAt(250)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // exact regime: top-4 per key == true counts, ties by item asc
+    val want = rows.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+      .map { case ((g, x), c) => (g, x, c) }
+      .groupBy(_._1).flatMap { case (_, rs) =>
+        rs.sortBy(r => (-r._3, r._2)).take(4)
+      }.toSet
+    assert(lastHH.map(r => (r.getString(0), r.getString(1),
+      r.getLong(2))).toSet == want)
+    assert(lastHH.forall(r => r.getLong(2) == r.getLong(3)),
+      "exact regime: count_min == count_max")
+
+    val dStore = tmpDir("kd_store_")
+    val mem2 = MemoryStream[(String, String)]
+    var lastD: Array[Row] = Array.empty
+    val q2 = StreamOps.distinctSinkByKey(mem2.toDF().toDF("g", "u"), "u",
+        Seq("g"), dStore) { (view, _) => lastD = view.collect(); () }
+      .option("checkpointLocation", tmpDir("kd_ckpt_")).start()
+    try {
+      // overlapping batches: distinct-union must not double-count
+      mem2.addData(rows.take(300): _*); q2.processAllAvailable()
+      mem2.addData(rows.drop(200): _*); q2.processAllAvailable()
+    } finally q2.stop()
+    val wantD = rows.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.size.toLong).toMap
+    assert(lastD.map(r => r.getString(0) -> r.getLong(1)).toMap == wantD)
+  }
 }
