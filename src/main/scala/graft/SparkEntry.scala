@@ -1553,6 +1553,44 @@ object SparkEntry {
         lk.documents.where(pmod(col("doc_id"), lit(2)) === 1),
         "n_chars", k = 262144)
     }),
+    // deterministic reservoir-sample epoch store (r10): the k-row
+    // uniform sample of everything ingested so far — per-epoch top-k by
+    // the md5-hash priority, merged by "top-k of top-ks" (associative
+    // by construction), epoch 1 replayed (exactly-once). The oracle
+    // recomputes every priority and takes the global top-k.
+    "q_sample_store" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val store = s"${lk.work}/res_store_$tag"
+      val base = lk.documents.select(col("doc_id"), col("lang"))
+      val b0 = base.where(pmod(col("doc_id"), lit(2)) === 0)
+      val b1 = base.where(pmod(col("doc_id"), lit(2)) === 1)
+      Profile.sampleReservoirIncrementalBatch(b0, "doc_id", Seq("lang"),
+        store, k = 50, batchId = 0L)
+      Profile.sampleReservoirIncrementalBatch(b1, "doc_id", Seq("lang"),
+        store, k = 50, batchId = 1L)
+      Profile.sampleReservoirIncrementalBatch(b1, "doc_id", Seq("lang"),
+        store, k = 50, batchId = 1L) // replay must replace
+      Profile.sampleReservoirView(s, store, k = 50)
+        .orderBy(desc("priority"), col("id"))
+    }),
+    // pairwise Pearson correlations in ONE aggregate pass (r10), with
+    // the co-non-null count each coefficient was computed over
+    "q_corr_profile" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Profile.correlations(lk.lineitem,
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .orderBy("col_a", "col_b")
+    }),
+    // chi-square homogeneity between the event-type mixes of the two
+    // user halves (r10): the hypothesis-test complement of PSI
+    "q_chi2_categorical" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Profile.chiSquareCategorical(
+        lk.events.where(pmod(col("user_id"), lit(2)) === 0),
+        lk.events.where(pmod(col("user_id"), lit(2)) === 1),
+        "event_type")
+    }),
     // declarative data-quality gate: per-rule violation counts in ONE
     // aggregate pass + the global uniqueness rule
     "q_validate" -> ((s, dir) => {
@@ -2769,6 +2807,61 @@ object SparkEntry {
          un AS (SELECT u FROM t WHERE doc_id % 3 != 0
                 UNION SELECT u FROM t WHERE doc_id % 3 != 1)
          SELECT CAST(count(DISTINCT u) AS BIGINT) AS n_distinct FROM un""",
+    "q_sample_store" ->
+      """WITH p AS (SELECT doc_id AS id, lang,
+             (CAST(concat('0x', substring(md5(CAST(doc_id AS VARCHAR)),
+                1, 8)) AS BIGINT) + 1) / 4294967296.0 AS priority
+           FROM documents)
+         SELECT id, priority, lang FROM p
+         ORDER BY priority DESC, id LIMIT 50""",
+    "q_corr_profile" ->
+      """WITH pairs AS (
+           SELECT 'l_quantity' col_a, 'l_extendedprice' col_b,
+                  round(corr(l_quantity, l_extendedprice), 6) AS "corr",
+                  CAST(count(*) AS BIGINT) n
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+           UNION ALL
+           SELECT 'l_quantity', 'l_discount',
+                  round(corr(l_quantity, l_discount), 6),
+                  CAST(count(*) AS BIGINT)
+           FROM lineitem
+           WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+           UNION ALL
+           SELECT 'l_extendedprice', 'l_discount',
+                  round(corr(l_extendedprice, l_discount), 6),
+                  CAST(count(*) AS BIGINT)
+           FROM lineitem
+           WHERE l_extendedprice IS NOT NULL AND l_discount IS NOT NULL)
+         SELECT col_a, col_b, "corr", n FROM pairs ORDER BY col_a, col_b""",
+    "q_chi2_categorical" ->
+      """WITH r AS (SELECT event_type c FROM events WHERE user_id % 2 = 0),
+         c AS (SELECT event_type c FROM events WHERE user_id % 2 = 1),
+         u AS (SELECT c AS cat, sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) nr,
+                      sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) nc
+               FROM (SELECT c, 0 side FROM r UNION ALL SELECT c, 1 FROM c)
+               GROUP BY 1),
+         tot AS (SELECT sum(nr) tr, sum(nc) tc,
+                        CAST(count(*) AS BIGINT) cats FROM u),
+         terms AS (SELECT
+             (CAST(nr AS DOUBLE) - CAST(tr AS DOUBLE) *
+                (CAST(nr + nc AS DOUBLE) / CAST(tr + tc AS DOUBLE)))
+               * (CAST(nr AS DOUBLE) - CAST(tr AS DOUBLE) *
+                (CAST(nr + nc AS DOUBLE) / CAST(tr + tc AS DOUBLE)))
+               / (CAST(tr AS DOUBLE) *
+                (CAST(nr + nc AS DOUBLE) / CAST(tr + tc AS DOUBLE)))
+             + (CAST(nc AS DOUBLE) - CAST(tc AS DOUBLE) *
+                (CAST(nr + nc AS DOUBLE) / CAST(tr + tc AS DOUBLE)))
+               * (CAST(nc AS DOUBLE) - CAST(tc AS DOUBLE) *
+                (CAST(nr + nc AS DOUBLE) / CAST(tr + tc AS DOUBLE)))
+               / (CAST(tc AS DOUBLE) *
+                (CAST(nr + nc AS DOUBLE) / CAST(tr + tc AS DOUBLE)))
+             AS t
+           FROM u CROSS JOIN tot)
+         SELECT round((SELECT sum(t) FROM terms), 6) AS chi2,
+                (SELECT cats - 1 FROM tot) AS dof,
+                (SELECT CAST(tr AS BIGINT) FROM tot) AS n_ref,
+                (SELECT CAST(tc AS BIGINT) FROM tot) AS n_cur""",
     "q_winsorize" ->
       """WITH q AS (
            SELECT event_type,

@@ -1518,6 +1518,181 @@ object Profile {
       .toDF("ks_stat", "at_value", "n_ref", "n_cur")
   }
 
+  /** Incremental deterministic reservoir sample: maintain the `k`-row
+    * (optionally weighted) sample of EVERYTHING ingested so far across
+    * epochs — the sampling member of the mergeable store family (MG
+    * counts / KLL quantiles / HLL cardinality / A-ES sample). Each row
+    * draws the SAME deterministic priority as
+    * [[graft.operators.Sampling.weightedSample]] (Efraimidis–Spirakis:
+    * `u^(1/w)` from the row's md5-hash uniform; `w = 1` uniform), so
+    * "top-k by priority" is associative — the sample-so-far of a union
+    * is the top-k of the per-epoch top-ks, which is exactly what the
+    * store keeps. Per epoch only the batch's own top-`k` rows persist
+    * (`id | priority | payloadCols… | batch_id`, epoch-keyed
+    * `appendReplacing`: replays replace, folded epochs drop); aged
+    * epochs consolidate to their combined top-`k` ([[foldSketchStore]]
+    * discipline), so the store holds O(maxEpochs × k) rows for the life
+    * of the stream. Semantics: a sample of OBSERVATIONS — an id
+    * re-ingested in a LATER epoch can appear twice (append-only id
+    * streams, the dominant case, are unaffected; redelivery of the same
+    * epoch is still exactly-once). Weights must be strictly positive
+    * (enforced in-plan, the [[graft.operators.Sampling.weightedSample]]
+    * contract). */
+  def sampleReservoirIncrementalBatch(
+      batch: DataFrame,
+      idCol: String,
+      payloadCols: Seq[String],
+      storeDir: String,
+      k: Int,
+      batchId: Long,
+      weightCol: Option[String] = None,
+      maxEpochs: Int = 64): Unit = {
+    require(k > 0, "k must be positive")
+    val reserved = Seq("id", "priority", "batch_id")
+    require(!payloadCols.exists(reserved.contains(_)),
+      s"payload columns may not use the reserved names ${reserved.mkString("/")}")
+    val spark = batch.sparkSession
+    if (batchId <= foldWatermark(spark, storeDir)) return
+    val bid = batchId.toString
+    val u = (conv(graft.operators.Sampling.sampleKey(qcol(idCol)), 16, 10)
+      .cast("long") + lit(1L)).cast("double") / lit(4294967296.0)
+    val priority = weightCol match {
+      case None => u
+      case Some(wc) =>
+        val w = qcol(wc).cast("double")
+        when(w > 0, pow(u, lit(1.0) / w)).otherwise(raise_error(
+          concat(lit(s"sampleReservoirIncrementalBatch: weight '$wc' " +
+            "must be strictly positive, got "),
+            coalesce(w.cast("string"), lit("null")))))
+    }
+    val top = batch
+      .select(qcol(idCol).as("id") +: priority.as("priority") +:
+        payloadCols.map(qcol): _*)
+      .where(col("id").isNotNull)
+      .orderBy(col("priority").desc, col("id"))
+      .limit(k)
+      .withColumn("batch_id", lit(bid))
+    new graft.store.SnapshotTable(spark, s"$storeDir/rows")
+      .appendReplacing(top, "batch_id", Seq(bid))
+    if (shouldCheckFold(batchId, maxEpochs))
+      foldReservoirStore(spark, storeDir, k, maxEpochs)
+  }
+
+  /** The merged sample-so-far of a [[sampleReservoirIncrementalBatch]]
+    * store: global top-`k` by (priority desc, id asc) over at most
+    * maxEpochs × k persisted rows — one bounded TakeOrdered, no full
+    * sort. Columns: `id | priority | payloadCols…`. */
+  def sampleReservoirView(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val rows = new graft.store.SnapshotTable(spark, s"$storeDir/rows")
+      .read().getOrElse(spark.emptyDataFrame.select(
+        lit(null).cast("string").as("id"),
+        lit(null).cast("double").as("priority"),
+        lit("").as("batch_id")))
+    rows.orderBy(col("priority").desc, col("id")).limit(k)
+      .drop("batch_id")
+  }
+
+  /** Bound a reservoir store: aged epochs consolidate to their COMBINED
+    * top-`k` under the sentinel epoch — "top-k of union = top-k of
+    * top-ks" is exactly the associativity the priorities were designed
+    * for, so the view is unchanged by the fold in every regime. */
+  private def foldReservoirStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      k: Int,
+      maxEpochs: Int): Unit = {
+    val table = new graft.store.SnapshotTable(spark, s"$storeDir/rows")
+    table.read().foreach { rows =>
+      val foldIds = foldableEpochs(rows, maxEpochs)
+      if (foldIds.nonEmpty) {
+        val foldKeys = foldIds.map(_.toString) :+ FoldedEpochId
+        val old = rows.where(col("batch_id").isin(foldKeys: _*))
+        val kept = rows.where(!col("batch_id").isin(foldKeys: _*))
+        val merged = old.orderBy(col("priority").desc, col("id")).limit(k)
+          .withColumn("batch_id", lit(FoldedEpochId))
+        advanceFoldWatermark(spark, storeDir, foldIds)
+        table.overwrite(kept.unionByName(merged))
+      }
+    }
+  }
+
+  /** Pairwise Pearson correlations of numeric columns in ONE aggregate
+    * pass: `col_a | col_b | corr | n` for every unordered pair, with
+    * `n` the pair's co-non-null row count (what the correlation was
+    * actually computed over — silent null-overlap shrinkage is a
+    * classic profile trap) and `corr` rounded to 6 decimals (engine
+    * determinism over the 7th decimal of a profile statistic; null for
+    * degenerate pairs — constant columns have no correlation). The
+    * whole matrix is one map-side-combined aggregate + a driver-free
+    * `inline` transpose, the [[table]] shape — no per-pair jobs. */
+  def correlations(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    val pairs = cols.combinations(2).map(p => (p(0), p(1))).toSeq
+    val aggs = pairs.zipWithIndex.flatMap { case ((a, b), i) =>
+      val (ca, cb) = (qcol(a).cast("double"), qcol(b).cast("double"))
+      // covar/stddev over the CO-non-null rows, guarded: Spark 4's own
+      // `corr` divides 0/0 on a zero-variance column and ANSI mode
+      // turns that into a runtime error instead of the null it should be
+      val sa = stddev_samp(when(cb.isNotNull, ca))
+      val sb = stddev_samp(when(ca.isNotNull, cb))
+      Seq(round(when(sa > 0 && sb > 0,
+          covar_samp(ca, cb) / (sa * sb)), 6).as(s"__c_$i"),
+        count(when(ca.isNotNull && cb.isNotNull, 1)).as(s"__n_$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = array(pairs.zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"__c_$i").as("corr"), col(s"__n_$i").as("n"))
+    }: _*)
+    one.select(inline(rows))
+  }
+
+  /** Chi-square test of homogeneity between a reference and a current
+    * categorical column — the HYPOTHESIS-TEST complement of
+    * [[driftCategorical]]'s PSI (PSI sizes the shift; chi-square prices
+    * it against sampling noise). One row: `chi2 | dof | n_ref | n_cur`
+    * where `chi2 = Σ_cells (obs − exp)² / exp` over the 2×C contingency
+    * table (expected under homogeneity: row total × column total /
+    * grand), `dof = C − 1`, both rounded/exact as shown. Zero-total
+    * categories cannot occur (a category only exists by being observed);
+    * null is a category (null-rate shifts count). Shape: one groupBy
+    * per side, a null-safe full-outer join on the ≤C-row frame,
+    * arithmetic, one final 1-row aggregate. */
+  def chiSquareCategorical(
+      ref: DataFrame,
+      cur: DataFrame,
+      colName: String): DataFrame = {
+    def counted(df: DataFrame, n: String): DataFrame =
+      df.select(qcol(colName).cast("string").as(s"__cat_$n"))
+        .groupBy(s"__cat_$n").agg(count(lit(1)).as(n))
+    val joined = counted(ref, "n_ref").join(counted(cur, "n_cur"),
+        col("__cat_n_ref") <=> col("__cat_n_cur"), "full_outer")
+      .select(coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(sum("n_ref").as("__tr"), sum("n_cur").as("__tc"),
+      count(lit(1)).as("__cats"))
+    def term(obs0: Column, rowTotal: Column): Column = {
+      // double arithmetic from the first multiply: long x long products
+      // overflow at petabyte row counts
+      val obs = obs0.cast("double")
+      val exp = rowTotal.cast("double") *
+        ((col("n_ref") + col("n_cur")).cast("double") /
+          (col("__tr") + col("__tc")).cast("double"))
+      (obs - exp) * (obs - exp) / exp
+    }
+    joined.crossJoin(broadcast(totals))
+      .agg(
+        round(sum(term(col("n_ref"), col("__tr")) +
+          term(col("n_cur"), col("__tc"))), 6).as("chi2"),
+        (first(col("__cats")) - 1L).cast("long").as("dof"),
+        first(col("__tr")).as("n_ref"), first(col("__tc")).as("n_cur"))
+  }
+
   /** Categorical drift: the PSI of [[driftNumeric]] with categories as
     * the bins — one row per category seen on EITHER side (`category`
     * rendered as string, null kept as its own row):

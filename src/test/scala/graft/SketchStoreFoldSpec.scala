@@ -357,6 +357,43 @@ class SketchStoreFoldSpec extends GraftSuite {
     assert(batch == got)
   }
 
+  test("reservoir store: sample-so-far == one-shot top-k across folds " +
+      "and a replay; weighted priorities follow weightedSample") {
+    import org.apache.spark.sql.functions.{conv, pow}
+    val folded = tmpDir("fold_res_")
+    val rows = (1L to 1100L).map(i => (i, s"lang_${i % 5}", (i % 7) + 1.0))
+    (0 until 11).foreach { e =>
+      val b = rows.filter(_._1 % 11 == e).toDF("doc_id", "lang", "w")
+      Profile.sampleReservoirIncrementalBatch(b, "doc_id", Seq("lang"),
+        folded, k = 30, batchId = e.toLong, maxEpochs = 4)
+    }
+    // replay a folded epoch with poisoned data: must drop entirely
+    Profile.sampleReservoirIncrementalBatch(
+      Seq((999999L, "poison", 1.0)).toDF("doc_id", "lang", "w"),
+      "doc_id", Seq("lang"), folded, k = 30, batchId = 0L, maxEpochs = 4)
+    val got = Profile.sampleReservoirView(spark, folded, k = 30)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+    // one-shot reference: top-30 by the same deterministic priority
+    val want = rows.toDF("doc_id", "lang", "w")
+      .withColumn("__u",
+        (conv(graft.operators.Sampling.sampleKey(col("doc_id")), 16, 10)
+          .cast("long") + lit(1L)).cast("double") / lit(4294967296.0))
+      .orderBy(col("__u").desc, col("doc_id")).limit(30)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == want)
+    assert(epochsIn(folded, "rows").size <= 5)
+    // weighted: store sample == weightedSample winners on the same frame
+    val wStore = tmpDir("fold_resw_")
+    val all = rows.toDF("doc_id", "lang", "w")
+    Profile.sampleReservoirIncrementalBatch(all, "doc_id", Seq("lang"),
+      wStore, k = 25, batchId = 0L, weightCol = Some("w"))
+    val gotW = Profile.sampleReservoirView(spark, wStore, k = 25)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val wantW = graft.operators.Sampling.weightedSample(all, "doc_id",
+      "w", k = 25).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(gotW == wantW)
+  }
+
   test("HLL fold: distinct-union view bit-identical across the fold; " +
       "replay of a folded epoch dropped") {
     val folded = tmpDir("fold_hll_")
