@@ -1544,6 +1544,34 @@ object SparkEntry {
         curStore, k = 262144, batchId = 0L) // replay must replace
       Profile.ksFromSketchStores(s, refStore, curStore, k = 262144)
     }),
+    // per-epoch drift timeline (r10): "WHEN did it drift" — each
+    // registered epoch PSI'd independently against the pinned reference;
+    // epoch 2 is constructed 100 units hotter, and epoch 1 is replayed
+    // (the timeline must not double-count it)
+    "q_drift_epochs" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val refStore = s"${lk.work}/dte_ref_$tag"
+      val curStore = s"${lk.work}/dte_cur_$tag"
+      val ref = lk.events.where(pmod(col("user_id"), lit(2)) === 0)
+      Profile.quantileSketchIncrementalBatch(ref, "value", refStore,
+        k = 262144, batchId = 0L)
+      val odd = lk.events.where(pmod(col("user_id"), lit(2)) === 1)
+      (0 until 3).foreach { e =>
+        val slice = odd.where(pmod(col("event_id"), lit(3)) === e)
+          .withColumn("value", col("value") + lit(e * 50.0))
+        Profile.quantileSketchIncrementalBatch(slice, "value", curStore,
+          k = 262144, batchId = e.toLong)
+      }
+      // replayed delivery of epoch 1: must replace, not double-count
+      Profile.quantileSketchIncrementalBatch(
+        odd.where(pmod(col("event_id"), lit(3)) === 1)
+          .withColumn("value", col("value") + lit(50.0)),
+        "value", curStore, k = 262144, batchId = 1L)
+      Profile.driftEpochsFromSketchStores(s, refStore, curStore,
+          nBins = 4, k = 262144)
+        .orderBy("batch_id")
+    }),
     // batch KS without a store: two bounded sketch aggregates + a
     // driver walk — no global sort/window anywhere (r10)
     "q_ks_batch" -> ((s, dir) => {
@@ -2771,6 +2799,42 @@ object SparkEntry {
                   AS DOUBLE) AS at_value,
                 (SELECT CAST(count(*) AS BIGINT) FROM r) AS n_ref,
                 (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_cur""",
+    "q_drift_epochs" ->
+      """WITH refv AS (SELECT value v FROM events
+                       WHERE user_id % 2 = 0 AND value IS NOT NULL),
+         cuts AS (SELECT quantile_disc(v, 0.25) c1, quantile_disc(v, 0.5) c2,
+                         quantile_disc(v, 0.75) c3 FROM refv),
+         rb AS (SELECT (CASE WHEN v > c1 THEN 1 ELSE 0 END +
+                        CASE WHEN v > c2 THEN 1 ELSE 0 END +
+                        CASE WHEN v > c3 THEN 1 ELSE 0 END) bin
+                FROM refv, cuts),
+         r AS (SELECT bin, count(*)::BIGINT n FROM rb GROUP BY bin),
+         tr AS (SELECT sum(n) t FROM r),
+         curv AS (SELECT CAST(event_id % 3 AS VARCHAR) batch_id,
+                         value + (event_id % 3) * 50.0 v
+                  FROM events WHERE user_id % 2 = 1 AND value IS NOT NULL),
+         cb AS (SELECT batch_id,
+                  (CASE WHEN v > c1 THEN 1 ELSE 0 END +
+                   CASE WHEN v > c2 THEN 1 ELSE 0 END +
+                   CASE WHEN v > c3 THEN 1 ELSE 0 END) bin
+                FROM curv, cuts),
+         cc AS (SELECT batch_id, bin, count(*)::BIGINT n
+                FROM cb GROUP BY 1, 2),
+         ct AS (SELECT batch_id, sum(n) t FROM cc GROUP BY 1),
+         spine AS (SELECT batch_id, t, unnest([0, 1, 2, 3]) bin FROM ct),
+         j AS (SELECT s.batch_id, s.bin, s.t, coalesce(cc.n, 0) n
+               FROM spine s LEFT JOIN cc
+                 ON cc.batch_id = s.batch_id AND cc.bin = s.bin),
+         terms AS (SELECT j.batch_id,
+             (greatest(j.n / CAST(j.t AS DOUBLE), 1e-6)
+               - greatest(r.n / CAST(tr.t AS DOUBLE), 1e-6))
+             * ln(greatest(j.n / CAST(j.t AS DOUBLE), 1e-6)
+                  / greatest(r.n / CAST(tr.t AS DOUBLE), 1e-6)) term
+           FROM j JOIN r ON r.bin = j.bin CROSS JOIN tr)
+         SELECT t.batch_id, round(sum(t.term), 6) AS psi,
+                (SELECT CAST(ct.t AS BIGINT) FROM ct
+                 WHERE ct.batch_id = t.batch_id) AS n_cur
+         FROM terms t GROUP BY t.batch_id ORDER BY t.batch_id""",
     "q_ks_batch" ->
       """WITH r AS (SELECT CAST(n_chars AS DOUBLE) v FROM documents
                     WHERE doc_id % 2 = 0),

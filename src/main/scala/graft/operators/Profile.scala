@@ -1486,6 +1486,87 @@ object Profile {
       .toDF("ks_stat", "at_value", "n_ref", "n_cur")
   }
 
+  /** Per-epoch drift timeline: the PSI of EACH registered epoch in the
+    * current store against the pinned reference — "WHEN did it drift",
+    * where [[driftFromSketchStores]] answers "has it drifted overall"
+    * (a one-epoch regression that later epochs wash out of the global
+    * number stands out in its own row). One row per epoch:
+    * `batch_id | psi | n_cur` (true ingested count; the consolidated
+    * [[FoldedEpochId]] epoch reports its folded aggregate as one row —
+    * per-epoch attribution inside it was traded away by the fold,
+    * by design). Fully relational: reference cuts + bin masses load
+    * driver-side as ONE bounded summary (the [[ksFromSketchStores]]
+    * discipline), the current store pays one codegen'd bin projection +
+    * one `(epoch × bin)`-grain groupBy over its ≤ maxEpochs × k·log
+    * item rows. EXACT per-epoch PSI (DuckDB-oracle-able) in the exact
+    * regime; rank-envelope past it. */
+  def driftEpochsFromSketchStores(
+      spark: org.apache.spark.sql.SparkSession,
+      refStoreDir: String,
+      curStoreDir: String,
+      nBins: Int = 10,
+      k: Int = 8192,
+      eps: Double = 1e-6): DataFrame = {
+    require(nBins >= 2, "need at least 2 bins")
+    require(eps > 0, "eps must be positive")
+    val (refSk, refN) = loadSketchAndCount(spark, refStoreDir, k)
+    require(refN > 0, s"reference sketch store at $refStoreDir is empty " +
+      "- nothing to cut bins on")
+    val probs = (1 until nBins).map(_.toDouble / nBins)
+    val cuts = refSk.quantiles(probs).map(_.value)
+    val pRs = {
+      val fr = refSk.fractionsAtOrBelow(cuts)
+      val ext = 0.0 +: fr :+ 1.0
+      (0 until nBins).map(i => ext(i + 1) - ext(i))
+    }
+    val items = withNRows(
+      new graft.store.SnapshotTable(spark, s"$curStoreDir/items").read()
+        .getOrElse(throw new IllegalArgumentException(
+          s"no sketch store at $curStoreDir")))
+    val binOf = cuts.foldLeft(lit(0))((acc, cut) =>
+      acc + when(col("value") > lit(cut), 1).otherwise(0))
+    val wExpr = expr("shiftleft(CAST(1 AS BIGINT), level)")
+    val binned = items.withColumn("bin", binOf).withColumn("__w", wExpr)
+      .groupBy("batch_id", "bin").agg(sum("__w").as("__wb"))
+    val totals = items.groupBy("batch_id")
+      .agg(first("n_rows").as("__n"), sum(wExpr).as("__wt"))
+    val spine = totals.select(col("batch_id"), col("__n"), col("__wt"),
+      explode(sequence(lit(0), lit(nBins - 1))).as("bin"))
+    val pRLit = array(pRs.map(lit(_)): _*)
+    val pc = greatest(col("__wb") / col("__wt"), lit(eps))
+    val pr = greatest(element_at(pRLit, col("bin") + 1), lit(eps))
+    spine.join(binned, Seq("batch_id", "bin"), "left")
+      .na.fill(0L, Seq("__wb"))
+      .withColumn("__term", (pc - pr) * log(pc / pr))
+      .groupBy("batch_id")
+      .agg(round(sum("__term"), 6).as("psi"),
+        first(coalesce(col("__n"), col("__wt"))).as("n_cur"))
+  }
+
+  /** Operational description of an epoch store (any member of the
+    * family — pass the data table name): real epoch count, whether a
+    * consolidated fold segment exists, total stored rows, and the fold
+    * watermark (−1 = never folded). Diagnostics/ops surface; one bounded
+    * scan of the store. */
+  def sketchStoreStats(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      table: String = "items"): DataFrame = {
+    import spark.implicits._
+    val rows = new graft.store.SnapshotTable(spark, s"$storeDir/$table")
+      .read()
+    val (nEpochs, hasFolded, nRows) = rows match {
+      case None => (0L, false, 0L)
+      case Some(df) =>
+        val eps = df.select("batch_id").distinct().collect()
+          .map(_.getString(0))
+        (eps.count(_ != FoldedEpochId).toLong,
+          eps.contains(FoldedEpochId), df.count())
+    }
+    Seq((nEpochs, hasFolded, nRows, foldWatermark(spark, storeDir)))
+      .toDF("n_epochs", "has_folded", "n_rows", "fold_watermark")
+  }
+
   /** Batch two-sample KS directly from two frames: each side collapses
     * to ONE `k`-bounded sketch aggregate (map-side combined, no global
     * sort, no window — the exact distributed KS would need a full-order

@@ -394,6 +394,58 @@ class SketchStoreFoldSpec extends GraftSuite {
     assert(gotW == wantW)
   }
 
+  test("drift timeline: per-epoch PSI flags exactly the drifted epoch; " +
+      "folded epochs report as one consolidated row; storeStats describes") {
+    val rng = new scala.util.Random(131)
+    val refStore = tmpDir("dte_ref_"); val curStore = tmpDir("dte_cur_")
+    val base = Seq.fill(2000)(math.floor(rng.nextDouble() * 100))
+    Profile.quantileSketchIncrementalBatch(base.toDF("v"), "v", refStore,
+      k = 8192, batchId = 0L)
+    // 10 epochs from the reference distribution, epoch 7 shifted hard
+    (0 until 10).foreach { e =>
+      val vals =
+        if (e == 7) Seq.fill(400)(math.floor(rng.nextDouble() * 100 + 70))
+        else Seq.fill(400)(math.floor(rng.nextDouble() * 100))
+      Profile.quantileSketchIncrementalBatch(vals.toDF("v"), "v", curStore,
+        k = 8192, batchId = e.toLong, maxEpochs = 0)
+    }
+    val psi = Profile.driftEpochsFromSketchStores(spark, refStore,
+        curStore, nBins = 5, k = 8192)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(psi.size == 10)
+    assert(psi("7") > 0.25, s"shifted epoch must alert: ${psi("7")}")
+    (0 until 10).filter(_ != 7).foreach(e =>
+      assert(psi(e.toString) < 0.1, s"quiet epoch $e alerted: ${psi(e.toString)}"))
+    // same data through a FOLDING store: recent epochs keep their own
+    // rows, aged ones merge under the sentinel (attribution traded away
+    // by design — but the consolidated row still carries their mass)
+    val foldedCur = tmpDir("dte_curf_")
+    (0 until 10).foreach { e =>
+      val vals =
+        if (e == 7) Seq.fill(400)(math.floor(rng.nextDouble() * 100 + 70))
+        else Seq.fill(400)(math.floor(rng.nextDouble() * 100))
+      Profile.quantileSketchIncrementalBatch(vals.toDF("v"), "v",
+        foldedCur, k = 8192, batchId = e.toLong, maxEpochs = 4)
+    }
+    val tl = Profile.driftEpochsFromSketchStores(spark, refStore,
+        foldedCur, nBins = 5, k = 8192)
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getLong(2))).toMap
+    assert(tl.contains(Profile.FoldedEpochId))
+    assert(tl(Profile.FoldedEpochId)._2 == tl.filterKeys(_ !=
+      Profile.FoldedEpochId).values.map(_ => 0L).sum + // folded count:
+      (10 - (tl.size - 1)) * 400L, // epochs not individually present
+      s"consolidated n_cur: $tl")
+    val stats = Profile.sketchStoreStats(spark, foldedCur).collect().head
+    assert(stats.getLong(0) == (tl.size - 1).toLong, s"n_epochs: $stats")
+    assert(stats.getBoolean(1), "has_folded")
+    assert(stats.getLong(3) >= 0L, "watermark recorded")
+    val statsPlain = Profile.sketchStoreStats(spark, curStore)
+      .collect().head
+    assert(statsPlain.getLong(0) == 10L && !statsPlain.getBoolean(1))
+    assert(statsPlain.getLong(3) == -1L)
+  }
+
   test("HLL fold: distinct-union view bit-identical across the fold; " +
       "replay of a folded epoch dropped") {
     val folded = tmpDir("fold_hll_")
