@@ -2327,8 +2327,92 @@ object SparkEntry {
       Dedup.semDeDup(lk.embeddings, "vec_id", "embedding",
         threshold = 0.4, nCells = 8)
         .select("vec_id").orderBy("vec_id")
+    }),
+    // ---- governance / privacy audits (r10) --------------------------------
+    // k-anonymity audit: singleton quasi-identifier classes on
+    // (lang, source, n_chars) — each reported row is a re-identifiable
+    // signature; one groupBy-count pass
+    "q_k_anonymity" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Validate.kAnonymity(lk.documents, Seq("lang", "source", "n_chars"),
+          k = 2)
+        .orderBy("lang", "source", "n_chars")
+    }),
+    // l-diversity audit: user-days whose events all share ONE event
+    // type — large-enough classes can still leak the sensitive value
+    "q_l_diversity" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Validate.lDiversity(
+          lk.events.withColumn("day", to_date(col("ts"))),
+          Seq("user_id", "day"), "event_type", l = 2)
+        .orderBy("user_id", "day")
+    }),
+    // FK orphan audit: orders pointing at customers outside the
+    // non-negative-balance parent slice — one pruned anti join
+    "q_ref_orphans" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Validate.referentialOrphans(lk.orders,
+          lk.customers.where(col("c_acctbal") >= 0),
+          Seq("o_custkey" -> "c_custkey"))
+        .select("o_orderkey", "o_custkey").orderBy("o_orderkey")
+    }),
+    // split-leakage audit: a row-hashed split on grouped data leaks by
+    // construction — every lang spans all three splits; the zero-row
+    // complement (splitByGroup on the same grain) is asserted in tests
+    "q_split_leakage" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Validate.splitLeakage(
+          Sampling.hashSplit(lk.documents, "doc_id", Seq(0.5, 0.3, 0.2)),
+          "lang", "split_id")
+        .orderBy("lang")
+    }),
+    // corpus snapshot diff (r10): two derived document versions —
+    // doc_id%7==3 absent from old (-> added), %11==5 absent from new
+    // (-> removed), %5==0 re-texted in old (-> changed, ['text']);
+    // column mode attributes WHICH compared column moved
+    "q_snapshot_diff" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val (o, n) = diffSnapshots(lk.documents)
+      graft.operators.Diff.snapshotDiff(o, n, "doc_id",
+          Seq("text", "lang"))
+        .select(col("doc_id"), col("change"),
+          array_join(col("changed_cols"), ",").as("changed_cols"))
+        .orderBy("doc_id")
+    }),
+    // the same diff folded to the 4-row gate summary on the hash-compare
+    // path: the exchange carries doc_id + 16 digest bytes, not the text
+    "q_diff_summary" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val (o, n) = diffSnapshots(lk.documents)
+      graft.operators.Diff.diffSummary(o, n, "doc_id",
+          Seq("text", "lang"), hashCompare = true)
+        .orderBy("change")
+    }),
+    // corpus overlap (r10): customers active in 1995-H1 vs 1995-H2 —
+    // Jaccard + both containments from distinct key sets, exact path
+    // oracled (the HLL inclusion-exclusion path is bound-asserted in
+    // ProfileStatsSpec and benched at x30)
+    "q_corpus_overlap" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val h1 = lk.orders.where(
+        col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
+      val h2 = lk.orders.where(
+        col("o_orderdate") >= lit("1995-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      Profile.overlapEstimate(h1, h2, "o_custkey", exact = true)
     })
   )
+
+  /** q_snapshot_diff / q_diff_summary fixture: two deterministic
+    * document-corpus versions derived from the one real table. */
+  private def diffSnapshots(docs: DataFrame): (DataFrame, DataFrame) = {
+    val old = docs.where(pmod(col("doc_id"), lit(7)) =!= 3)
+      .withColumn("text",
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" [v1]"))).otherwise(col("text")))
+    val cur = docs.where(pmod(col("doc_id"), lit(11)) =!= 5)
+    (old, cur)
+  }
 
   /** The synthesized C4 fixture page (Spark side; [[c4SynthPageSql]] is
     * the DuckDB twin): corpus text as one long sentence, a bullet line
@@ -5021,8 +5105,101 @@ object SparkEntry {
                       (sqrt(list_dot_product(a.v, a.v)) *
                        sqrt(list_dot_product(b.v, b.v))) > 0.4)
          SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT id FROM rm)
-         ORDER BY vec_id"""
+         ORDER BY vec_id""",
+    "q_k_anonymity" ->
+      """SELECT lang, source, n_chars, count(*)::BIGINT AS n_rows
+         FROM documents GROUP BY lang, source, n_chars
+         HAVING count(*) < 2 ORDER BY lang, source, n_chars""",
+    "q_l_diversity" ->
+      """SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+                count(*)::BIGINT AS n_rows,
+                count(DISTINCT event_type)::BIGINT AS n_sensitive
+         FROM events GROUP BY 1, 2
+         HAVING count(DISTINCT event_type) < 2 ORDER BY user_id, day""",
+    "q_ref_orphans" ->
+      """SELECT o_orderkey, o_custkey FROM orders o
+         WHERE o_custkey IS NOT NULL AND NOT EXISTS (
+           SELECT 1 FROM customer c
+           WHERE c.c_custkey = o.o_custkey AND c.c_acctbal >= 0)
+         ORDER BY o_orderkey""",
+    "q_split_leakage" ->
+      """WITH s AS (SELECT lang,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    < '80000000' THEN 0
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    < 'cccccccc' THEN 1
+                  ELSE 2 END AS split_id
+           FROM documents)
+         SELECT lang, count(DISTINCT split_id)::BIGINT AS n_splits,
+                count(*)::BIGINT AS n_rows
+         FROM s WHERE lang IS NOT NULL GROUP BY lang
+         HAVING count(DISTINCT split_id) > 1 ORDER BY lang""",
+    "q_snapshot_diff" ->
+      s"""$diffSnapshotCte
+         SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+                CASE WHEN o.doc_id IS NULL THEN 'added'
+                     WHEN n.doc_id IS NULL THEN 'removed'
+                     WHEN o.text IS DISTINCT FROM n.text
+                       OR o.lang IS DISTINCT FROM n.lang THEN 'changed'
+                     ELSE 'unchanged' END AS change,
+                CASE WHEN o.doc_id IS NULL OR n.doc_id IS NULL THEN ''
+                     ELSE array_to_string(list_filter([
+                       CASE WHEN o.text IS DISTINCT FROM n.text
+                         THEN 'text' END,
+                       CASE WHEN o.lang IS DISTINCT FROM n.lang
+                         THEN 'lang' END], x -> x IS NOT NULL), ',')
+                END AS changed_cols
+         FROM old o FULL OUTER JOIN cur n ON o.doc_id = n.doc_id
+         WHERE NOT (o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+           AND o.text IS NOT DISTINCT FROM n.text
+           AND o.lang IS NOT DISTINCT FROM n.lang)
+         ORDER BY doc_id""",
+    "q_diff_summary" ->
+      s"""$diffSnapshotCte,
+         d AS (SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+                     WHEN n.doc_id IS NULL THEN 'removed'
+                     WHEN o.text IS DISTINCT FROM n.text
+                       OR o.lang IS DISTINCT FROM n.lang THEN 'changed'
+                     ELSE 'unchanged' END AS change
+               FROM old o FULL OUTER JOIN cur n ON o.doc_id = n.doc_id)
+         SELECT k.change, COALESCE(c.n, 0)::BIGINT AS n
+         FROM (VALUES ('added'), ('removed'), ('changed'), ('unchanged'))
+           k(change)
+         LEFT JOIN (SELECT change, count(*)::BIGINT n FROM d
+                    GROUP BY change) c ON k.change = c.change
+         ORDER BY k.change""",
+    "q_corpus_overlap" ->
+      """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_custkey IS NOT NULL
+               AND o_orderdate < TIMESTAMP '1995-07-01'),
+         b AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_custkey IS NOT NULL
+               AND o_orderdate >= TIMESTAMP '1995-07-01'
+               AND o_orderdate < TIMESTAMP '1996-01-01'),
+         c AS (SELECT (SELECT count(*) FROM a)::BIGINT AS n_left,
+                      (SELECT count(*) FROM b)::BIGINT AS n_right,
+                      (SELECT count(*) FROM a JOIN b USING (o_custkey))
+                        ::BIGINT AS n_common)
+         SELECT n_left, n_right, n_common,
+                (n_left + n_right - n_common)::BIGINT AS n_union,
+                round(CASE WHEN n_left + n_right - n_common = 0 THEN 0
+                  ELSE n_common / (n_left + n_right - n_common) END, 6)
+                  AS jaccard,
+                round(CASE WHEN n_left = 0 THEN 0
+                  ELSE n_common / n_left END, 6) AS containment_left,
+                round(CASE WHEN n_right = 0 THEN 0
+                  ELSE n_common / n_right END, 6) AS containment_right
+         FROM c"""
   )
+
+  /** DuckDB twin of [[diffSnapshots]]. */
+  private val diffSnapshotCte =
+    """WITH old AS (SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN text || ' [v1]' ELSE text END
+             AS text, lang
+         FROM documents WHERE doc_id % 7 <> 3),
+       cur AS (SELECT doc_id, text, lang
+         FROM documents WHERE doc_id % 11 <> 5)"""
 
   /** Shared DuckDB CTE chain replaying Dsir.train(buckets=512, alpha=1)
     * on target = en documents vs raw = all documents, ending in `sc` =

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus snapshot diff: what changed between two versions of a keyed
+  * table — the audit step an incremental training-data pipeline runs
+  * before re-tokenizing ("which documents are new / edited / gone since
+  * the last crawl?"), and the cheap certificate that a migration or
+  * backfill touched exactly what it claimed.
+  *
+  * Both inputs are keyed by `idCol` (one row per id per snapshot — the
+  * caller's contract; enforce upstream with `Validate.checkUnique`, a
+  * duplicated id would fan the join out). The diff is ONE full-outer
+  * shuffle join on the id over inputs pruned to `idCol ++ compareCols`;
+  * with `hashCompare` the compared payload collapses to a single
+  * 128-bit md5 per side BEFORE the exchange, so a wide-document diff
+  * shuffles id+16 bytes per row instead of the text itself — the 100 TB
+  * path (the changed-column attribution is the price; it reports null).
+  *
+  * Ref parity note: the reference has no snapshot-diff operator; this
+  * extends the maintenance surface per the training-data-ops mandate
+  * (SURVEY §2 addendum).
+  */
+object Diff {
+
+  private def qcol(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
+  /** Null-proof per-column render for the hash-compare digest: field
+    * separator U+001F between columns, U+0000 sentinel for null
+    * (distinct from any realistic value including the empty string —
+    * only a payload that itself contains bare U+0000/U+001F bytes could
+    * alias, the documented edge of the hash path; the column mode
+    * compares values null-safely and has no such edge). */
+  private def digest(cols: Seq[String]): Column =
+    md5(concat_ws("\u001f",
+      cols.map(c => coalesce(qcol(c).cast("string"), lit("\u0000"))): _*))
+
+  /** Row-level diff: `idCol | change | changed_cols` where `change` is
+    * `added` (id only in `newDf`), `removed` (only in `oldDf`),
+    * `changed` (present in both, some compared column differs
+    * null-safely) or `unchanged` (emitted only when
+    * `includeUnchanged`). `changed_cols` lists the differing columns in
+    * `compareCols` order for `changed` rows, is empty for
+    * added/removed, and is null throughout under `hashCompare` (the
+    * digest knows THAT something changed, not what).
+    */
+  def snapshotDiff(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      compareCols: Seq[String],
+      includeUnchanged: Boolean = false,
+      hashCompare: Boolean = false): DataFrame = {
+    require(compareCols.nonEmpty, "at least one compared column")
+    require(!compareCols.contains(idCol),
+      "idCol is the join key, not a compared column")
+    val reserved = Seq("__old_present", "__new_present", "change",
+      "changed_cols")
+    require(!(compareCols :+ idCol).exists(reserved.contains(_)),
+      s"columns may not use the reserved names ${reserved.mkString("/")}")
+
+    def side(df: DataFrame, marker: String): DataFrame = {
+      val payload =
+        if (hashCompare) Seq(digest(compareCols).as(s"${marker}_d"))
+        else compareCols.map(c => qcol(c).as(s"${marker}_$c"))
+      df.select(qcol(idCol).as(s"${marker}_id") +: payload: _*)
+    }
+    val o = side(oldDf, "__o")
+    val n = side(newDf, "__n")
+    val joined = o.join(n, col("__o_id") === col("__n_id"), "full_outer")
+
+    val oldPresent = col("__o_id").isNotNull
+    val newPresent = col("__n_id").isNotNull
+    val (differs, changedCols) =
+      if (hashCompare)
+        (col("__o_d") =!= col("__n_d"), lit(null).cast("array<string>"))
+      else {
+        val diffs = compareCols.map(c =>
+          !(col(s"__o_$c") <=> col(s"__n_$c")))
+        (diffs.reduce(_ || _),
+          filter(array(compareCols.zip(diffs).map { case (c, d) =>
+            when(d, lit(c))
+          }: _*), _.isNotNull))
+      }
+    val change = when(!oldPresent, "added")
+      .when(!newPresent, "removed")
+      .when(differs, "changed")
+      .otherwise("unchanged")
+
+    val out = joined.select(
+      coalesce(col("__n_id"), col("__o_id")).as(idCol),
+      change.as("change"),
+      when(change === "changed", changedCols)
+        .otherwise(if (hashCompare) lit(null).cast("array<string>")
+          else array().cast("array<string>"))
+        .as("changed_cols"))
+    if (includeUnchanged) out else out.where(col("change") =!= "unchanged")
+  }
+
+  /** The diff folded to one row per change kind: `change | n` over
+    * added/removed/changed/unchanged (all four always present, zero
+    * counts included — a stable-schema gate row for dashboards and
+    * `Validate.satisfies` thresholds). Same single join as
+    * [[snapshotDiff]] plus a 4-row aggregate. */
+  def diffSummary(
+      oldDf: DataFrame,
+      newDf: DataFrame,
+      idCol: String,
+      compareCols: Seq[String],
+      hashCompare: Boolean = true): DataFrame = {
+    val spark = newDf.sparkSession
+    import spark.implicits._
+    val counted = snapshotDiff(oldDf, newDf, idCol, compareCols,
+        includeUnchanged = true, hashCompare = hashCompare)
+      .groupBy("change").agg(count(lit(1)).as("n"))
+    val kinds = Seq("added", "removed", "changed", "unchanged")
+      .toDF("change")
+    kinds.join(counted, Seq("change"), "left")
+      .select(col("change"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+}

@@ -89,6 +89,130 @@ object Validate {
         col("__n").as("n_rows"))
   }
 
+  /** Equivalence classes below the k-anonymity threshold: rows are
+    * grouped by the quasi-identifier tuple and every class with fewer
+    * than `k` members is reported (`quasiCols | n_rows`) — the standard
+    * re-identification audit before a corpus with user attributes ships
+    * as training data (Sweeney 2002, "k-anonymity: a model for
+    * protecting privacy"). Empty result = the table IS k-anonymous on
+    * those columns. Nulls group as ordinary values (a null quasi tuple
+    * is itself a linkable signature, so it is audited, not exempted).
+    *
+    * 100 TB shape: ONE column-pruned, map-side-combined
+    * `groupBy(quasi)` count plus a post-aggregation filter — the same
+    * exchange a `GROUP BY` query on the quasi columns would cost; no
+    * join, no window, no driver state. The output is bounded by the
+    * number of VIOLATING classes (small for a near-anonymous table;
+    * if everything is a singleton the report is the corpus and the
+    * right fix is coarser quasi-identifiers, not a bigger driver). */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column")
+    require(k >= 2, s"k must be >= 2 (k=$k never violates)")
+    df.groupBy(quasiCols.map(qcol): _*)
+      .agg(count(lit(1)).as("n_rows"))
+      .where(col("n_rows") < k)
+  }
+
+  /** Distinct-sensitive-value diversity audit: quasi-identifier classes
+    * whose `sensitiveCol` takes fewer than `l` DISTINCT values
+    * (`quasiCols | n_rows | n_sensitive`) — k-anonymity's complement
+    * (Machanavelli et al. 2007, l-diversity): a class can be large yet
+    * still leak when every member shares one sensitive value. Null
+    * sensitive values do not count toward diversity (COUNT DISTINCT
+    * semantics); classes where the sensitive column is entirely null
+    * report `n_sensitive = 0`.
+    *
+    * 100 TB shape: one `groupBy(quasi)` with a count-distinct aggregate
+    * (Spark plans the standard two-phase partial-distinct expand) over
+    * the pruned quasi+sensitive columns only; filter after. */
+  def lDiversity(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitiveCol: String,
+      l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "at least one quasi-identifier column")
+    require(l >= 2, s"l must be >= 2 (l=$l never violates)")
+    require(!quasiCols.contains(sensitiveCol),
+      "sensitive column may not also be a quasi-identifier")
+    df.groupBy(quasiCols.map(qcol): _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(qcol(sensitiveCol)).as("n_sensitive"))
+      .where(col("n_sensitive") < l)
+  }
+
+  /** Foreign-key orphan audit: child rows whose key tuple has no match
+    * in `parent` — `keys` maps child column -> parent column. Rows with
+    * ANY null key component are exempt (SQL FK semantics: a null FK is
+    * "not asserted", and [[notNull]] is the rule for mandatory keys).
+    * Returns the orphan child rows unchanged; wrap in a count or union
+    * a [[referentialCheck]] row into a [[check]] report.
+    *
+    * 100 TB shape: one LEFT ANTI join on the key tuple over a
+    * column-pruned, distinct-collapsed parent side — AQE broadcasts the
+    * parent when its distinct keys are dimension-sized, else a standard
+    * shuffled anti join; either way no data moves twice and the child
+    * scan carries only the audited columns plus payload. */
+  def referentialOrphans(
+      child: DataFrame,
+      parent: DataFrame,
+      keys: Seq[(String, String)]): DataFrame = {
+    require(keys.nonEmpty, "at least one key pair required")
+    val asserted = keys.map { case (c, _) => qcol(c).isNotNull }
+      .reduce(_ && _)
+    // distinct BEFORE the anti join: the join needs parent key EXISTENCE
+    // only, and collapsing first keeps the build side minimal
+    val parentKeys = parent
+      .select(keys.map { case (_, p) => qcol(p) }: _*).distinct()
+    val cond = keys.map { case (c, p) =>
+      child(c) === parentKeys(p)
+    }.reduce(_ && _)
+    child.where(asserted).join(parentKeys, cond, "left_anti")
+  }
+
+  /** [[referentialOrphans]] folded to one [[check]]-style report row:
+    * `rule | n_violations | n_rows` (n_rows = child row count, nulls
+    * included — the same denominator every other rule reports). */
+  def referentialCheck(
+      child: DataFrame,
+      parent: DataFrame,
+      keys: Seq[(String, String)]): DataFrame = {
+    val name = "references(" +
+      keys.map { case (c, p) => s"$c->$p" }.mkString(",") + ")"
+    val orphans = referentialOrphans(child, parent, keys)
+      .agg(count(lit(1)).as("n_violations"))
+    val nRows = child.agg(count(lit(1)).as("__n"))
+    orphans.crossJoin(broadcast(nRows))
+      .select(lit(name).as("rule"), col("n_violations"),
+        col("__n").as("n_rows"))
+  }
+
+  /** Split-leakage audit: groups (near-dup clusters, url domains,
+    * users) whose rows landed in MORE than one split — `groupCol |
+    * n_splits | n_rows`. Zero rows is the certificate that a
+    * train/val/test split is leak-proof at the chosen grain; pair with
+    * [[Sampling.splitByGroup]], which guarantees it by construction,
+    * or run against any externally-assigned split column to find the
+    * contamination a row-hashed split (`Sampling.hashSplit`) inflicts
+    * on grouped data. Null split values count as their own split (a
+    * row that escaped assignment IS a leak); null groups are exempt
+    * (ungrouped rows cannot co-travel).
+    *
+    * 100 TB shape: one `groupBy(group)` count-distinct over two pruned
+    * columns, filter after — the cheapest possible certificate for a
+    * property that otherwise surfaces as silent eval contamination. */
+  def splitLeakage(
+      df: DataFrame,
+      groupCol: String,
+      splitCol: String): DataFrame = {
+    require(groupCol != splitCol, "group and split columns must differ")
+    df.where(qcol(groupCol).isNotNull)
+      .groupBy(qcol(groupCol))
+      .agg(countDistinct(coalesce(qcol(splitCol).cast("string"),
+          lit(" null"))).as("n_splits"),
+        count(lit(1)).as("n_rows"))
+      .where(col("n_splits") > 1)
+  }
+
   /** Row-level gate: appends `violations` (array of failed rule names,
     * rule order, empty = clean) and `is_valid`. Pure codegen'd map —
     * split downstream with `where(col("is_valid"))` /

@@ -676,6 +676,49 @@ object Drive {
         abs(col("mr") - pmod(col("event_id"), lit(256)) * (5.0 * 6 / 66)) > 1e-9 ||
         abs(col("mb") - lit(255.0 * 36 / 66)) > 1e-9).count()
       println(s"[drive] 20-pixeldecode rows=${px.count()} bad=$pxBad (want 0)")
+
+      // r10: governance audits + snapshot diff + overlap vs full-scan
+      // Spark oracles
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      val kA = graft.operators.Validate.kAnonymity(
+        docs, Seq("lang", "source", "n_chars"), k = 2).count()
+      val kOracle = docs.groupBy("lang", "source", "n_chars").count()
+        .where(col("count") < 2).count()
+      val orph = graft.operators.Validate.referentialOrphans(
+        orders, spark.read.parquet(s"$sf/customer.parquet")
+          .where(col("c_acctbal") >= 0),
+        Seq("o_custkey" -> "c_custkey")).count()
+      val orphOracle = orders.join(
+        spark.read.parquet(s"$sf/customer.parquet")
+          .where(col("c_acctbal") >= 0)
+          .select(col("c_custkey").as("o_custkey")).distinct(),
+        Seq("o_custkey"), "left_anti").count()
+      println(s"[drive] 21-audits kA=$kA oracle=$kOracle " +
+        s"orphans=$orph oracle=$orphOracle " +
+        s"(want equal pairs)")
+
+      val oldDocs = docs.where(pmod(col("doc_id"), lit(7)) =!= 3)
+      val d1 = graft.operators.Diff.snapshotDiff(
+        oldDocs, docs, "doc_id", Seq("text", "lang"))
+        .groupBy("change").count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val dHash = graft.operators.Diff.diffSummary(
+        oldDocs, docs, "doc_id", Seq("text", "lang"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val addedOracle = docs.where(pmod(col("doc_id"), lit(7)) === 3)
+        .count()
+      println(s"[drive] 21-diff added=${d1.getOrElse("added", 0L)} " +
+        s"hashAdded=${dHash("added")} oracle=$addedOracle " +
+        s"changed=${d1.getOrElse("changed", 0L)}+" +
+        s"${dHash("changed")} (want 0+0)")
+
+      val ovl = graft.operators.Profile.overlapEstimate(
+        docs.where(col("lang") === "en"), docs, "doc_id", exact = true)
+        .collect().head
+      val enN = docs.where(col("lang") === "en")
+        .select("doc_id").distinct().count()
+      println(s"[drive] 21-overlap containment_left=${ovl.getDouble(5)} " +
+        s"(want 1.0) n_left=${ovl.getLong(0)} oracle=$enN")
     }
 
     spark.stop()

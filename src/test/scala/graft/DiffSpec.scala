@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Diff, Profile}
+
+/** Corpus snapshot diff + corpus overlap: change classification,
+  * null-safe column comparison, hash-compare equivalence, summary
+  * stability, and the HLL overlap path's error envelope. */
+class DiffSpec extends GraftSuite {
+  import spark.implicits._
+
+  private val oldDf = Seq(
+    (1L, Some("alpha"), Some("en")),   // unchanged
+    (2L, Some("beta"), Some("en")),    // text changes
+    (3L, Some("gamma"), Some("fr")),   // removed in new
+    (4L, None: Option[String], Some("de")), // null -> value = changed
+    (6L, Some("zeta"), None: Option[String]) // lang null both = unchanged
+  ).toDF("id", "text", "lang")
+
+  private val newDf = Seq(
+    (1L, Some("alpha"), Some("en")),
+    (2L, Some("beta2"), Some("en")),
+    (4L, Some("delta"), Some("de")),
+    (5L, Some("epsilon"), Some("es")), // added
+    (6L, Some("zeta"), None: Option[String])
+  ).toDF("id", "text", "lang")
+
+  test("snapshotDiff: added/removed/changed with per-column " +
+      "attribution; null-safe compares; unchanged excluded by default") {
+    val got = Diff.snapshotDiff(oldDf, newDf, "id", Seq("text", "lang"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.getSeq[String](2)).map(_.toList).orNull))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (2L, "changed", List("text")),
+      (3L, "removed", Nil),
+      (4L, "changed", List("text")),
+      (5L, "added", Nil)))
+  }
+
+  test("snapshotDiff: includeUnchanged adds the identical rows with " +
+      "empty changed_cols") {
+    val got = Diff.snapshotDiff(oldDf, newDf, "id", Seq("text", "lang"),
+        includeUnchanged = true)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, "unchanged"), (2L, "changed"),
+      (3L, "removed"), (4L, "changed"), (5L, "added"),
+      (6L, "unchanged")))
+  }
+
+  test("snapshotDiff hashCompare: same change classification, null " +
+      "changed_cols (digest cannot attribute)") {
+    val cols = Diff.snapshotDiff(oldDf, newDf, "id", Seq("text", "lang"),
+        includeUnchanged = true)
+      .select("id", "change")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val hashed = Diff.snapshotDiff(oldDf, newDf, "id",
+        Seq("text", "lang"), includeUnchanged = true, hashCompare = true)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.isNullAt(2)))
+      .sortBy(_._1)
+    assert(hashed.map(t => (t._1, t._2)).toSeq == cols.toSeq)
+    assert(hashed.forall(_._3), "hashCompare must null changed_cols")
+    // digest null-sentinel: null text vs empty-string text IS a change
+    val a = Seq((1L, None: Option[String])).toDF("id", "text")
+    val b = Seq((1L, Some(""))).toDF("id", "text")
+    val d = Diff.snapshotDiff(a, b, "id", Seq("text"),
+      hashCompare = true).collect()
+    assert(d.length == 1 && d.head.getString(1) == "changed")
+  }
+
+  test("diffSummary: all four kinds always present, zero-filled") {
+    val got = Diff.diffSummary(oldDf, newDf, "id", Seq("text", "lang"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == Map("added" -> 1L, "removed" -> 1L, "changed" -> 2L,
+      "unchanged" -> 2L))
+    val same = Diff.diffSummary(oldDf, oldDf, "id", Seq("text", "lang"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(same == Map("added" -> 0L, "removed" -> 0L, "changed" -> 0L,
+      "unchanged" -> 5L))
+  }
+
+  test("snapshotDiff loud contracts: reserved/id-in-compare throw") {
+    intercept[IllegalArgumentException] {
+      Diff.snapshotDiff(oldDf, newDf, "id", Seq("id", "text"))
+    }
+    intercept[IllegalArgumentException] {
+      Diff.snapshotDiff(oldDf.withColumnRenamed("text", "change"),
+        newDf.withColumnRenamed("text", "change"), "id", Seq("change"))
+    }
+  }
+
+  test("overlapEstimate exact: counts, jaccard, containments; " +
+      "nulls never overlap; empty side reads zeros") {
+    val a = Seq(Some(1L), Some(2L), Some(3L), Some(3L), None).toDF("k")
+    val b = Seq(Some(3L), Some(4L), None).toDF("k")
+    val r = Profile.overlapEstimate(a, b, "k", exact = true)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (3L, 2L, 1L, 4L))
+    assert(r.getDouble(4) == 0.25)        // jaccard 1/4
+    assert(r.getDouble(5) == 0.333333)    // containment_left 1/3
+    assert(r.getDouble(6) == 0.5)         // containment_right 1/2
+    val empty = Profile.overlapEstimate(
+      a.where(col("k") > 100), b, "k", exact = true).collect().head
+    assert((empty.getLong(0), empty.getLong(2), empty.getDouble(4)) ==
+      (0L, 0L, 0.0))
+  }
+
+  test("overlapEstimate sketch: within the HLL envelope of exact on " +
+      "a 5k/5k 50%-overlap corpus; empty side reads zero common") {
+    val a = spark.range(0, 5000).toDF("k")
+    val b = spark.range(2500, 7500).toDF("k")
+    val ex = Profile.overlapEstimate(a, b, "k", exact = true)
+      .collect().head
+    val sk = Profile.overlapEstimate(a, b, "k").collect().head
+    // lgK=12 -> ~1.6% standard error per sketch; allow 4x on the
+    // inclusion-exclusion difference of three estimates
+    for (i <- 0 to 2) {
+      val (e, s) = (ex.getLong(i).toDouble, sk.getLong(i).toDouble)
+      assert(math.abs(s - e) <= 0.07 * math.max(e, 1.0),
+        s"col $i: sketch $s vs exact $e")
+    }
+    val emptySketch = Profile.overlapEstimate(
+      a.where(col("k") < 0), b, "k").collect().head
+    assert((emptySketch.getLong(0), emptySketch.getLong(2)) == (0L, 0L))
+  }
+}

@@ -70,6 +70,76 @@ class ValidateSpec extends GraftSuite {
     assert(got.getLong(1) == 2L) // only the exact "ab" passes
   }
 
+  test("kAnonymity: classes below k, nulls group as values") {
+    val df = Seq(
+      ("en", 25), ("en", 25), ("en", 30),
+      ("fr", 25), (null.asInstanceOf[String], 30),
+      (null.asInstanceOf[String], 30)
+    ).toDF("lang", "age")
+    val got = Validate.kAnonymity(df, Seq("lang", "age"), k = 2)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .toSet
+    // (en,25)x2 and (null,30)x2 are k=2-anonymous; singletons violate
+    assert(got == Set(("en", 30, 1L), ("fr", 25, 1L)))
+    intercept[IllegalArgumentException] {
+      Validate.kAnonymity(df, Seq("lang"), k = 1)
+    }
+  }
+
+  test("lDiversity: distinct sensitive values per class; null " +
+      "sensitive does not count as diversity") {
+    val df = Seq(
+      ("a", "flu"), ("a", "flu"), ("a", "cold"),   // diverse
+      ("b", "flu"), ("b", "flu"),                  // 1 distinct -> violates
+      ("c", null.asInstanceOf[String])             // 0 distinct -> violates
+    ).toDF("zip", "diag")
+    val got = Validate.lDiversity(df, Seq("zip"), "diag", l = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == Set(("b", 2L, 1L), ("c", 1L, 0L)))
+    intercept[IllegalArgumentException] {
+      Validate.lDiversity(df, Seq("diag"), "diag", l = 2)
+    }
+  }
+
+  test("referentialOrphans/referentialCheck: null FKs exempt, " +
+      "multi-column keys, report denominator is all child rows") {
+    val child = Seq(
+      (1L, Some(10L), Some("x")), (2L, Some(10L), Some("y")),
+      (3L, Some(99L), Some("x")), (4L, None, Some("x")),
+      (5L, Some(10L), None)
+    ).toDF("id", "fk1", "fk2")
+    val parent = Seq((10L, "x"), (20L, "y")).toDF("p1", "p2")
+    val orphans = Validate.referentialOrphans(child, parent,
+        Seq("fk1" -> "p1", "fk2" -> "p2"))
+      .select("id").as[Long].collect().sorted
+    // 1 matches; 2 (10,y no), 3 (99 no) orphan; 4,5 exempt via null
+    assert(orphans.toSeq == Seq(2L, 3L))
+    val rep = Validate.referentialCheck(child, parent,
+      Seq("fk1" -> "p1", "fk2" -> "p2")).collect().head
+    assert((rep.getString(0), rep.getLong(1), rep.getLong(2)) ==
+      ("references(fk1->p1,fk2->p2)", 2L, 5L))
+  }
+
+  test("splitLeakage: row-hashed split leaks groups, splitByGroup is " +
+      "leak-free by construction, null split counts as a split") {
+    val docs = (0L until 200L).map(i => (i, s"g${i % 7}"))
+      .toDF("id", "grp")
+    val leaky = graft.operators.Sampling
+      .hashSplit(docs, "id", Seq(0.5, 0.5))
+    assert(Validate.splitLeakage(leaky, "grp", "split_id").count() > 0)
+    val tight = graft.operators.Sampling
+      .splitByGroup(docs, "grp", Seq(0.5, 0.5))
+    assert(Validate.splitLeakage(tight, "grp", "split_id").count() == 0)
+    // a null split_id is its own split: group g0 with one assigned and
+    // one unassigned row leaks
+    val mixed = Seq(("a", Some(0)), ("a", None), ("b", Some(1)))
+      .toDF("grp", "split_id")
+    val got = Validate.splitLeakage(mixed, "grp", "split_id")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("a", 2L)))
+  }
+
   test("loud contracts: duplicate rule names and colliding output " +
       "columns throw") {
     val df = Seq(1).toDF("x")
