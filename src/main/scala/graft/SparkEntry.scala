@@ -2388,6 +2388,22 @@ object SparkEntry {
           Seq("text", "lang"), hashCompare = true)
         .orderBy("change")
     }),
+    // categorical association (r10): order status x priority in ONE
+    // contingency pass — chi2 + Cramer's V + mutual information
+    "q_association" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Profile.association(lk.orders, "o_orderstatus", "o_orderpriority")
+    }),
+    // quantile (CDF) transform (r10): distributed-exact cume_dist of
+    // the event value without a global window; approx path is
+    // envelope-tested in ProfileStatsSpec
+    "q_quantile_transform" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Profile.quantileTransform(lk.events.select("event_id", "value"),
+          "value")
+        .select(col("event_id"), round(col("value_q"), 6).as("value_q"))
+        .orderBy("event_id")
+    }),
     // corpus overlap (r10): customers active in 1995-H1 vs 1995-H2 —
     // Jaccard + both containments from distinct key sets, exact path
     // oracled (the HLL inclusion-exclusion path is bound-asserted in
@@ -5168,6 +5184,42 @@ object SparkEntry {
          LEFT JOIN (SELECT change, count(*)::BIGINT n FROM d
                     GROUP BY change) c ON k.change = c.change
          ORDER BY k.change""",
+    "q_association" ->
+      """WITH j AS (SELECT o_orderstatus a, o_orderpriority b,
+                count(*)::DOUBLE c FROM orders GROUP BY 1, 2),
+         ra AS (SELECT a, sum(c) ra FROM j GROUP BY a),
+         cb AS (SELECT b, sum(c) cb FROM j GROUP BY b),
+         t AS (SELECT sum(c) n, count(DISTINCT a) r,
+                      count(DISTINCT b) k FROM j),
+         cells AS (SELECT j.c o, ra.ra, cb.cb, t.n, t.r, t.k
+                   FROM j JOIN ra USING (a) JOIN cb USING (b)
+                   CROSS JOIN t)
+         SELECT CAST(any_value(n) AS BIGINT) AS n,
+           round(sum((o - ra*cb/n)*(o - ra*cb/n)/(ra*cb/n))
+             + any_value(n) - sum(ra*cb/n), 6) AS chi2,
+           CAST((any_value(r) - 1) * (any_value(k) - 1) AS BIGINT)
+             AS dof,
+           round(CASE WHEN (any_value(r)-1)*(any_value(k)-1) = 0 THEN 0
+             ELSE sqrt((sum((o - ra*cb/n)*(o - ra*cb/n)/(ra*cb/n))
+               + any_value(n) - sum(ra*cb/n))
+               / (any_value(n) *
+                  least(any_value(r) - 1, any_value(k) - 1))) END, 6)
+             AS cramers_v,
+           round(greatest(
+             sum((o/n) * ln((o/n) / ((ra/n)*(cb/n)))), 0), 6) AS mi,
+           round(CASE WHEN (-sum((o/n)*ln(ra/n)))
+                        * (-sum((o/n)*ln(cb/n))) <= 0 THEN 0
+             ELSE greatest(sum((o/n) * ln((o/n) / ((ra/n)*(cb/n)))), 0)
+               / sqrt((-sum((o/n)*ln(ra/n))) * (-sum((o/n)*ln(cb/n))))
+             END, 6) AS nmi
+         FROM cells""",
+    "q_quantile_transform" ->
+      """SELECT e.event_id, round(q.q, 6) AS value_q
+         FROM events e LEFT JOIN (
+           SELECT event_id, cume_dist() OVER (ORDER BY value) AS q
+           FROM events WHERE value IS NOT NULL) q
+           ON e.event_id = q.event_id
+         ORDER BY e.event_id""",
     "q_corpus_overlap" ->
       """WITH a AS (SELECT DISTINCT o_custkey FROM orders
              WHERE o_custkey IS NOT NULL

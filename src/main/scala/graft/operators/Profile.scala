@@ -148,6 +148,64 @@ object Profile {
     df.withColumn(bucketCol, bucket)
   }
 
+  /** Quantile (CDF/rank) transform: append `outCol` = the fraction of
+    * non-null rows with value `<= v` — `cume_dist` without a global
+    * window, the uniformizing feature map (rank-gauss minus the gauss)
+    * that makes heavy-tailed signals (views, token counts, scores)
+    * comparable and mixture-weight-safe. Nulls transform to null.
+    *
+    * Exact path (default): per-value counts (one groupBy over the
+    * pruned column), a DISTRIBUTED exclusive prefix sum over the value
+    * order on that counts frame ([[Sampling.exclusivePrefixSum]]:
+    * range-repartition + per-partition cumsum + one offset per
+    * partition — no single-task global window), then one join back on
+    * the value. Exact at any scale; the join is the cost.
+    *
+    * `approx = true`: ONE `percentile_approx` aggregate collects
+    * `grid - 1` interior cut points; the rank is a codegen'd count of
+    * cuts `<= v` over the broadcast cut array — rank granularity `1/
+    * grid` plus the sketch's rank error, NO join, no second shuffle:
+    * the petabyte path (grid=100 ≈ percentile-resolution features). */
+  def quantileTransform(
+      df: DataFrame,
+      valueCol: String,
+      outCol: String = "",
+      approx: Boolean = false,
+      grid: Int = 100,
+      accuracy: Int = 10000): DataFrame = {
+    val out = if (outCol.nonEmpty) outCol else s"${valueCol}_q"
+    require(!df.columns.contains(out),
+      s"output column $out collides with an input column")
+    require(grid >= 2, "grid must be >= 2")
+    val v = qcol(valueCol).cast("double")
+    if (approx) {
+      val row = df.agg(call_function("percentile_approx", v,
+        lit((1 until grid).map(_.toDouble / grid).toArray),
+        lit(accuracy)).as("__q")).first()
+      if (row.isNullAt(0)) // all-null column: transform is all-null too
+        return df.withColumn(out, lit(null).cast("double"))
+      val cuts = row.getSeq[Double](0)
+      df.withColumn(out,
+        when(v.isNull, lit(null).cast("double")).otherwise(
+          size(filter(lit(cuts.toArray),
+            c => c <= v)).cast("double") / grid))
+    } else {
+      val counts = df.where(v.isNotNull)
+        .select(v.as("__v")).groupBy("__v")
+        .agg(count(lit(1)).as("__cnt"))
+      val cum = Sampling.exclusivePrefixSum(
+        counts, Seq(col("__v").asc), col("__cnt"), 0)
+      val tot = counts.agg(sum("__cnt").as("__n"))
+      val ranks = cum.crossJoin(broadcast(tot))
+        .select(col("__v"),
+          ((col("__cum") + col("__cnt")).cast("double") / col("__n"))
+            .as("__rank"))
+      df.join(ranks, v <=> col("__v"), "left")
+        .drop("__v")
+        .withColumnRenamed("__rank", out)
+    }
+  }
+
   /** Top-`k` heavy hitters of `itemCol` via a capacity-bounded
     * Misra–Gries sketch ([[graft.functions.FreqItems]]): one pass, ONE
     * map-side-combined aggregate whose exchange carries `tasks ×
@@ -1853,6 +1911,66 @@ object Profile {
           term(col("n_cur"), col("__tc"))), 6).as("chi2"),
         (first(col("__cats")) - 1L).cast("long").as("dof"),
         first(col("__tr")).as("n_ref"), first(col("__tc")).as("n_cur"))
+  }
+
+  /** Association strength between two categorical columns in ONE
+    * contingency pass: `n | chi2 | dof | cramers_v | mi | nmi` — the
+    * "is source correlated with label / lang / quality bucket?"
+    * question asked before trusting a mixture weight or a stratified
+    * split. `cramers_v` is chi-square normalized to [0,1] (0 =
+    * independent, 1 = one column determines the other); `mi` is mutual
+    * information in nats over the observed joint; `nmi` normalizes by
+    * `sqrt(H(a)·H(b))` (0 when either marginal is constant). Nulls are
+    * ordinary categories (a missing value can carry association).
+    *
+    * Scale shape: one map-side-combined `groupBy(a, b)` count over the
+    * two pruned columns; everything after runs on the contingency frame
+    * (≤ distinct-pair rows) — marginals by re-aggregation, absent cells
+    * NEVER generated (their chi-square mass enters via the closed form
+    * `Σ_absent e = n − Σ_present e`, and they contribute 0 to MI).
+    * Double arithmetic from the first multiply — long×long marginal
+    * products overflow at petabyte row counts. */
+  def association(df: DataFrame, colA: String, colB: String): DataFrame = {
+    require(colA != colB, "association of a column with itself is 1")
+    val joint = df
+      .select(qcol(colA).cast("string").as("__a"),
+        qcol(colB).cast("string").as("__b"))
+      .groupBy("__a", "__b").agg(count(lit(1)).as("__c"))
+    val ra = joint.groupBy("__a").agg(sum("__c").as("__ra"))
+      .withColumnRenamed("__a", "__a2")
+    val cb = joint.groupBy("__b").agg(sum("__c").as("__cb"))
+      .withColumnRenamed("__b", "__b2")
+    val tot = joint.agg(sum("__c").as("__n"),
+      countDistinct(coalesce(col("__a"), lit("\u0000"))).as("__r"),
+      countDistinct(coalesce(col("__b"), lit("\u0000"))).as("__k"))
+    val cells = joint
+      .join(ra, col("__a") <=> col("__a2")).drop("__a2")
+      .join(cb, col("__b") <=> col("__b2")).drop("__b2")
+      .crossJoin(broadcast(tot))
+    val n = col("__n").cast("double")
+    val o = col("__c").cast("double")
+    val e = col("__ra").cast("double") * col("__cb").cast("double") / n
+    val pab = o / n
+    val pa = col("__ra").cast("double") / n
+    val pb = col("__cb").cast("double") / n
+    cells.agg(
+        first(col("__n")).as("n"),
+        // present cells + the absent-cell closed form
+        (sum((o - e) * (o - e) / e) +
+          (first(n) - sum(e))).as("__chi2"),
+        ((first(col("__r")) - 1) * (first(col("__k")) - 1)).cast("long")
+          .as("dof"),
+        sum(pab * log(pab / (pa * pb))).as("__mi"),
+        (-sum(pab * log(pa)) * -sum(pab * log(pb))).as("__hahb"),
+        first(col("__r")).as("__r"), first(col("__k")).as("__k"))
+      .select(col("n"), round(col("__chi2"), 6).as("chi2"), col("dof"),
+        round(when(col("dof") === 0, 0.0).otherwise(
+          sqrt(col("__chi2") / (col("n") *
+            least(col("__r") - 1, col("__k") - 1)))), 6).as("cramers_v"),
+        round(greatest(col("__mi"), lit(0.0)), 6).as("mi"),
+        round(when(col("__hahb") <= 0, 0.0)
+          .otherwise(greatest(col("__mi"), lit(0.0)) /
+            sqrt(col("__hahb"))), 6).as("nmi"))
   }
 
   /** Categorical drift: the PSI of [[driftNumeric]] with categories as

@@ -346,7 +346,7 @@ object Sampling {
     * each partition), tiny per-partition totals prefix-scanned on the
     * driver and broadcast back as offsets. Every stage is parallel; the
     * driver holds one number per partition. */
-  private def exclusivePrefixSum(
+  private[graft] def exclusivePrefixSum(
       df: DataFrame,
       orderCols: Seq[Column],
       valueCol: Column,

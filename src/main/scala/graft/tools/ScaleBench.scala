@@ -60,6 +60,7 @@ object ScaleBench {
       else if (mode == "kll") () // raw lineitem only; no index fixtures
       else if (mode == "quality") () // raw tables only; no index fixtures
       else if (mode == "drift") () // raw lineitem only; no index fixtures
+      else if (mode == "govern") () // raw docs/lineitem; no index fixtures
       else lk.prebuild()
       lk
     }
@@ -585,6 +586,82 @@ object ScaleBench {
           .count()
       }
       fuzzyIn.unpersist()
+      emit(results, counts, sfDir); spark.stop(); return
+    }
+    // r10: governance family — the snapshot diff's hash-vs-column shuffle
+    // claim, the overlap estimate's join-free sketch path, and the
+    // one-aggregate audits, all on the ×30 corpus.
+    if (mode == "govern") {
+      val governShuffleBytes = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val m = sc.stageInfo.taskMetrics
+            if (m != null)
+              governShuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
+        })
+      def shuffleDelta[T](key: String)(body: => T): T = {
+        Thread.sleep(1500)
+        val before = governShuffleBytes.get()
+        val r = body
+        Thread.sleep(1500)
+        results(key) = (governShuffleBytes.get() - before) / 1e6 // MB
+        r
+      }
+      // snapshot diff over the 150k real-text docs: the column path
+      // shuffles the text twice; the digest path shuffles id+16 bytes
+      val docs = lake.documents.select("doc_id", "text", "lang")
+      val oldDocs = docs.where(pmod(col("doc_id"), lit(7)) =!= 3)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(col("text"), lit(" [v1]"))).otherwise(col("text")))
+      counts("x_docs_rows") = docs.count()
+      var nCols = -1L; var nHash = -1L
+      shuffleDelta("x_diff_columns_shuffle_mb") { bench("x_diff_columns") {
+        nCols = graft.operators.Diff.snapshotDiff(
+          oldDocs, docs, "doc_id", Seq("text", "lang")).count()
+        nCols
+      } }
+      shuffleDelta("x_diff_hash_shuffle_mb") { bench("x_diff_hash") {
+        nHash = graft.operators.Diff.snapshotDiff(
+          oldDocs, docs, "doc_id", Seq("text", "lang"),
+          hashCompare = true).count()
+        nHash
+      } }
+      counts("x_diff_paths_agree") = if (nCols == nHash) 1L else 0L
+      // corpus overlap on 18M-row lineitem partkeys split by orderkey
+      // parity: exact = distinct+semi-join shuffles, sketch = two scans
+      // and a two-sketch exchange
+      val li = lake.lineitem.select("l_orderkey", "l_partkey")
+      val a = li.where(pmod(col("l_orderkey"), lit(2)) === 0)
+      val b = li.where(pmod(col("l_orderkey"), lit(2)) === 1)
+      var exCommon = -1L; var skCommon = -1L
+      shuffleDelta("x_overlap_exact_shuffle_mb") { bench("x_overlap_exact") {
+        val r = graft.operators.Profile.overlapEstimate(
+          a, b, "l_partkey", exact = true).collect().head
+        exCommon = r.getLong(2); r.getLong(3)
+      } }
+      shuffleDelta("x_overlap_sketch_shuffle_mb") { bench("x_overlap_sketch") {
+        val r = graft.operators.Profile.overlapEstimate(
+          a, b, "l_partkey").collect().head
+        skCommon = r.getLong(2); r.getLong(3)
+      } }
+      counts("x_overlap_exact_common") = exCommon
+      counts("x_overlap_sketch_common") = skCommon
+      // one-aggregate audits at the 18M-row grain
+      bench("x_k_anonymity") {
+        graft.operators.Validate.kAnonymity(lake.lineitem,
+          Seq("l_returnflag", "l_linestatus", "l_quantity"), k = 5).count()
+      }
+      bench("x_split_leakage") {
+        graft.operators.Validate.splitLeakage(
+          graft.operators.Sampling.hashSplit(
+            lake.events.select("event_id", "user_id"),
+            "event_id", Seq(0.8, 0.1, 0.1)),
+          "user_id", "split_id").count()
+      }
       emit(results, counts, sfDir); spark.stop(); return
     }
     if (mode == "mine") {

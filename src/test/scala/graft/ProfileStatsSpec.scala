@@ -48,4 +48,87 @@ class ProfileStatsSpec extends GraftSuite {
     val g3 = Profile.chiSquareCategorical(r3, c3, "c").collect().head
     assert(g3.getLong(1) == 3L, s"A/B/C/null => dof 3, got ${g3.getLong(1)}")
   }
+
+  test("association: perfect dependence reads V=1/NMI=1, independence " +
+      "reads ~0; hand-computed 2x2; nulls are categories") {
+    // perfectly dependent: b determined by a (2x2, diagonal only)
+    val dep = (Seq.fill(6)(("x", "p")) ++ Seq.fill(4)(("y", "q")))
+      .toDF("a", "b")
+    val d = Profile.association(dep, "a", "b").collect().head
+    assert(d.getLong(0) == 10L && d.getLong(2) == 1L)
+    assert(d.getDouble(3) == 1.0, s"V=${d.getDouble(3)}")   // cramers_v
+    assert(d.getDouble(5) == 1.0, s"NMI=${d.getDouble(5)}")
+    // chi2 for a perfect 6/4 2x2 split = n = 10
+    assert(math.abs(d.getDouble(1) - 10.0) < 1e-6)
+    // mi = H(a) = -(0.6 ln 0.6 + 0.4 ln 0.4)
+    val hA = -(0.6 * math.log(0.6) + 0.4 * math.log(0.4))
+    assert(math.abs(d.getDouble(4) - hA) < 1e-6)
+
+    // independent by construction: balanced cross product
+    val ind = (for { a <- Seq("x", "y"); b <- Seq("p", "q");
+      _ <- 1 to 25 } yield (a, b)).toDF("a", "b")
+    val i = Profile.association(ind, "a", "b").collect().head
+    assert(i.getDouble(1) == 0.0 && i.getDouble(3) == 0.0 &&
+      i.getDouble(4) == 0.0)
+
+    // absent-cell closed form: 2x2 with one empty cell,
+    // hand-computed chi2 = sum over ALL 4 cells
+    val sparse = (Seq.fill(4)(("x", "p")) ++ Seq.fill(2)(("x", "q")) ++
+      Seq.fill(4)(("y", "q"))).toDF("a", "b")
+    val s = Profile.association(sparse, "a", "b").collect().head
+    // marginals: ra(x)=6 ra(y)=4, cb(p)=4 cb(q)=6, n=10
+    val chi2 = Seq((4.0, 6.0 * 4 / 10), (2.0, 6.0 * 6 / 10),
+      (0.0, 4.0 * 4 / 10), (4.0, 4.0 * 6 / 10))
+      .map { case (o, e) => (o - e) * (o - e) / e }.sum
+    assert(math.abs(s.getDouble(1) - chi2) < 1e-6,
+      s"chi2=${s.getDouble(1)} want $chi2")
+
+    // nulls are categories: dof counts the null row/col
+    val withNull = Seq(("x", "p"), ("x", "p"), (null, "q"), (null, "q"))
+      .toDF("a", "b")
+    val nv = Profile.association(withNull, "a", "b").collect().head
+    assert(nv.getLong(2) == 1L && nv.getDouble(3) == 1.0)
+
+    // constant column: dof 0, V 0, NMI 0
+    val const = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    val c = Profile.association(const, "a", "b").collect().head
+    assert(c.getLong(2) == 0L && c.getDouble(3) == 0.0 &&
+      c.getDouble(5) == 0.0)
+  }
+
+  test("quantileTransform: exact equals windowed cume_dist; ties share " +
+      "a rank; nulls stay null; approx within 1/grid + sketch error") {
+    val df = ((0 until 400).map(i =>
+        (i.toLong, Some((i % 100).toDouble))) :+ ((400L, None)))
+      .toDF("id", "v")
+    val got = Profile.quantileTransform(df, "v")
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    // windowed oracle on the 400 non-null rows: 4 ties per value,
+    // cume_dist(v=k) = 4(k+1)/400
+    for (k <- Seq(0, 37, 99)) {
+      val want = 4.0 * (k + 1) / 400
+      val ids = (0 until 400).filter(_ % 100 == k).map(_.toLong)
+      ids.foreach { id =>
+        assert(math.abs(got(id).get - want) < 1e-12,
+          s"id=$id got=${got(id)} want=$want") }
+    }
+    assert(got(400L).isEmpty, "null value must transform to null")
+
+    // approx: rank within 1/grid + epsilon of exact on a smooth column
+    val smooth = (0 until 2000).map(i => (i.toLong, i.toDouble))
+      .toDF("id", "v")
+    val ex = Profile.quantileTransform(smooth, "v")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val ap = Profile.quantileTransform(smooth, "v", approx = true,
+        grid = 50)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val worst = ex.keys.map(k => math.abs(ex(k) - ap(k))).max
+    assert(worst <= 0.025 + 1e-9, s"worst approx gap $worst")
+
+    // collision guard
+    intercept[IllegalArgumentException] {
+      Profile.quantileTransform(smooth.withColumn("v_q", lit(1)), "v")
+    }
+  }
 }
