@@ -2388,6 +2388,35 @@ object SparkEntry {
           Seq("text", "lang"), hashCompare = true)
         .orderBy("change")
     }),
+    // streaming quality ledger (r10): two replayed micro-batches fold
+    // per-rule violation counts into the epoch store; the merged view
+    // == one-shot Validate.check over the whole table
+    "q_stream_validate" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = lk.documents.select("doc_id", "lang", "n_chars")
+        .as[(Long, String, Long)].collect().sortBy(_._1)
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      val rules = Seq(
+        Validate.notNull("lang"),
+        Validate.inRange("n_chars", 0, 900),
+        Validate.matchesRegex("lang", "[a-z]{2}"))
+      val mem = MemoryStream[(Long, String, Long)]
+      val rows = mem.toDF().toDF("doc_id", "lang", "n_chars")
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val store = s"${lk.work}/validate_store_$tag"
+      val q = graft.streaming.StreamOps.validateSink(
+          rows, rules, store) { (_, _) => () }
+        .option("checkpointLocation", s"${lk.work}/validate_ckpt_$tag")
+        .start()
+      try {
+        mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+        mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      Validate.checkView(s, store).orderBy("rule")
+    }),
     // categorical association (r10): order status x priority in ONE
     // contingency pass — chi2 + Cramer's V + mutual information
     "q_association" -> ((s, dir) => {
@@ -5184,6 +5213,25 @@ object SparkEntry {
          LEFT JOIN (SELECT change, count(*)::BIGINT n FROM d
                     GROUP BY change) c ON k.change = c.change
          ORDER BY k.change""",
+    "q_stream_validate" ->
+      """WITH n AS (SELECT count(*)::BIGINT AS n_rows FROM documents)
+         SELECT * FROM (
+           SELECT 'not_null(lang)' AS rule,
+                  (SELECT count(*) FROM documents
+                   WHERE lang IS NULL)::BIGINT AS n_violations,
+                  n_rows FROM n
+           UNION ALL
+           SELECT 'in_range(n_chars)',
+                  (SELECT count(*) FROM documents WHERE NOT coalesce(
+                    n_chars BETWEEN 0 AND 900, false))::BIGINT,
+                  n_rows FROM n
+           UNION ALL
+           SELECT 'matches_regex(lang)',
+                  (SELECT count(*) FROM documents WHERE NOT coalesce(
+                    regexp_full_match(lang, '(?:[a-z]{2})'),
+                    false))::BIGINT,
+                  n_rows FROM n)
+         ORDER BY rule""",
     "q_association" ->
       """WITH j AS (SELECT o_orderstatus a, o_orderpriority b,
                 count(*)::DOUBLE c FROM orders GROUP BY 1, 2),

@@ -917,7 +917,7 @@ object Profile {
   /** Distinct REAL (numeric, non-sentinel) epoch ids in an epoch-keyed
     * store frame, ascending. Bounded by the fold cap — called only on
     * stores that fold. */
-  private def epochIds(items: DataFrame): Seq[Long] =
+  private[graft] def epochIds(items: DataFrame): Seq[Long] =
     items.select("batch_id").where(col("batch_id") =!= FoldedEpochId)
       .distinct().collect()
       .flatMap(r => scala.util.Try(r.getString(0).toLong).toOption)
@@ -930,7 +930,7 @@ object Profile {
     * amortizes the fold's O(store) rewrite over `maxEpochs/2` appends.
     * Empty when under the cap (or folding is disabled, `maxEpochs <=
     * 0`). */
-  private def foldableEpochs(items: DataFrame, maxEpochs: Int): Seq[Long] = {
+  private[graft] def foldableEpochs(items: DataFrame, maxEpochs: Int): Seq[Long] = {
     if (maxEpochs <= 0) return Seq.empty
     val epochs = epochIds(items)
     if (epochs.length <= maxEpochs) Seq.empty
@@ -945,12 +945,12 @@ object Profile {
     * `maxEpochs + maxEpochs/8` epochs — still O(maxEpochs). Epoch ids
     * are monotone (structured-streaming batch ids), so consecutive
     * appends hit every residue class. */
-  private def shouldCheckFold(batchId: Long, maxEpochs: Int): Boolean =
+  private[graft] def shouldCheckFold(batchId: Long, maxEpochs: Int): Boolean =
     maxEpochs > 0 && batchId % math.max(1, maxEpochs / 8) == 0
 
   /** Advance the fold watermark to cover `foldIds` (monotone max). Must
     * commit BEFORE the consolidating rewrite — see [[foldWatermark]]. */
-  private def advanceFoldWatermark(
+  private[graft] def advanceFoldWatermark(
       spark: org.apache.spark.sql.SparkSession,
       storeDir: String,
       foldIds: Seq[Long]): Unit =

@@ -213,6 +213,100 @@ object Validate {
       .where(col("n_splits") > 1)
   }
 
+  /** Incremental quality ledger: fold one micro-batch's [[check]]
+    * report into a persistent epoch-keyed store — the state step behind
+    * `StreamOps.validateSink`, usable directly from any batch loop.
+    * Store grain `rule | n_violations | n_rows | batch_id`; a
+    * redelivered epoch REPLACES its own registration
+    * (`appendReplacing`) and an epoch at or below the fold watermark
+    * drops (already consolidated — the sketch-store replay discipline,
+    * see `Profile.foldWatermark`). Past `maxEpochs` registered epochs,
+    * aged epochs consolidate into one summed row per rule under the
+    * sentinel epoch — counts are plain sums (associative), so the
+    * merged view is IDENTICAL across the fold and store size / view
+    * cost stay flat in stream lifetime. */
+  def checkIncrementalBatch(
+      batch: DataFrame,
+      rules: Seq[Rule],
+      storeDir: String,
+      batchId: Long,
+      maxEpochs: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    if (batchId <= Profile.foldWatermark(spark, storeDir)) return
+    val bid = batchId.toString
+    val report = check(batch, rules).localCheckpoint()
+    new graft.store.SnapshotTable(spark, s"$storeDir/items")
+      .appendReplacing(
+        report.select(col("rule"), col("n_violations"), col("n_rows"),
+          lit(bid).as("batch_id")),
+        "batch_id", Seq(bid))
+    if (Profile.shouldCheckFold(batchId, maxEpochs))
+      foldCheckStore(spark, storeDir, maxEpochs)
+  }
+
+  /** The merged view of a [[checkIncrementalBatch]] store: one row per
+    * rule — `rule | n_violations | n_rows` summed across every
+    * registered epoch, identical to [[check]] over the concatenated
+    * batches. */
+  def checkView(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): DataFrame =
+    new graft.store.SnapshotTable(spark, s"$storeDir/items")
+      .read().getOrElse(spark.emptyDataFrame.select(
+        lit(null).cast("string").as("rule"),
+        lit(null).cast("long").as("n_violations"),
+        lit(null).cast("long").as("n_rows")))
+      .groupBy("rule")
+      .agg(sum("n_violations").as("n_violations"),
+        sum("n_rows").as("n_rows"))
+      .where(col("rule").isNotNull)
+
+  /** The per-epoch timeline of a [[checkIncrementalBatch]] store:
+    * `batch_id | rule | n_violations | n_rows | violation_frac`, real
+    * epochs only (the consolidated sentinel segment is an aggregate of
+    * FOLDED epochs, not a point on the timeline) — "did batch 1371
+    * suddenly go 40 % null?" without rescanning any data. */
+  def checkTimeline(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): DataFrame =
+    new graft.store.SnapshotTable(spark, s"$storeDir/items")
+      .read().getOrElse(spark.emptyDataFrame.select(
+        lit(null).cast("string").as("rule"),
+        lit(null).cast("long").as("n_violations"),
+        lit(null).cast("long").as("n_rows"),
+        lit(null).cast("string").as("batch_id")))
+      .where(col("batch_id").isNotNull &&
+        col("batch_id") =!= Profile.FoldedEpochId)
+      .select(col("batch_id").cast("long").as("batch_id"), col("rule"),
+        col("n_violations"), col("n_rows"),
+        round(col("n_violations").cast("double") /
+          greatest(col("n_rows"), lit(1L)), 6).as("violation_frac"))
+
+  /** Bound a [[checkIncrementalBatch]] store: aged epochs' per-rule
+    * counts sum into one consolidated row set under the sentinel epoch.
+    * Plain-sum consolidation — exact in every regime. */
+  private def foldCheckStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      maxEpochs: Int): Unit = {
+    val table = new graft.store.SnapshotTable(spark, s"$storeDir/items")
+    table.read().foreach { items =>
+      val foldIds = Profile.foldableEpochs(items, maxEpochs)
+      if (foldIds.nonEmpty) {
+        val foldKeys = foldIds.map(_.toString) :+ Profile.FoldedEpochId
+        val old = items.where(col("batch_id").isin(foldKeys: _*))
+        val kept = items.where(!col("batch_id").isin(foldKeys: _*))
+        val merged = old.groupBy("rule")
+          .agg(sum("n_violations").as("n_violations"),
+            sum("n_rows").as("n_rows"))
+          .select(col("rule"), col("n_violations"), col("n_rows"),
+            lit(Profile.FoldedEpochId).as("batch_id"))
+        Profile.advanceFoldWatermark(spark, storeDir, foldIds)
+        table.overwrite(kept.unionByName(merged))
+      }
+    }
+  }
+
   /** Row-level gate: appends `violations` (array of failed rule names,
     * rule order, empty = clean) and `is_valid`. Pure codegen'd map —
     * split downstream with `where(col("is_valid"))` /

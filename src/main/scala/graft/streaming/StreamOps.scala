@@ -441,6 +441,32 @@ object StreamOps {
         batch.sparkSession, storeDir, keyCols), batchId)
     }
 
+  /** Continuous quality ledger: every micro-batch's rule-violation
+    * report ([[graft.operators.Validate.check]] — ONE codegen'd
+    * aggregate over the batch) folds into a persistent epoch-keyed
+    * store ([[graft.operators.Validate.checkIncrementalBatch]]) and
+    * the sink receives the MERGED per-rule totals so far — "how many
+    * nulls / out-of-range / malformed rows has this feed EVER sent",
+    * maintained without rescanning a byte of history. Replays replace
+    * their own epoch (exactly-once, the sink-family discipline); past
+    * `maxEpochs` epochs the aged reports consolidate by plain sum, so
+    * store size and view cost stay flat for the stream's lifetime.
+    * `Validate.checkTimeline` over the same store answers the
+    * per-batch "when did it break?" question. Returns the configured
+    * writer; caller sets checkpoint/options and calls `.start()`. */
+  def validateSink(
+      stream: DataFrame,
+      rules: Seq[graft.operators.Validate.Rule],
+      storeDir: String,
+      maxEpochs: Int = 64)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      graft.operators.Validate.checkIncrementalBatch(
+        batch.toDF(), rules, storeDir, batchId, maxEpochs)
+      sink(graft.operators.Validate.checkView(
+        batch.sparkSession, storeDir), batchId)
+    }
+
   /** Continuous drift monitor: every micro-batch folds into a KLL epoch
     * store ([[graft.operators.Profile.quantileSketchIncrementalBatch]] —
     * epoch-keyed `appendReplacing`, replay-idempotent like every other

@@ -468,4 +468,52 @@ class SketchStoreFoldSpec extends GraftSuite {
     val after = Profile.distinctSketchView(spark, folded).collect().head
     assert(after == before)
   }
+
+  test("validate ledger fold: 14 epochs at maxEpochs=4 — view equals " +
+      "the unfolded store and the one-shot check; replay across the " +
+      "fold boundary drops; timeline excludes the sentinel") {
+    import graft.operators.Validate
+    val rng = new scala.util.Random(77)
+    val folded = tmpDir("fold_val_")
+    val plain = tmpDir("nofold_val_")
+    val rules = Seq(
+      Validate.notNull("v"),
+      Validate.inRange("v", 0, 400))
+    val all = scala.collection.mutable.ArrayBuffer[Option[Double]]()
+    (0 until 14).foreach { e =>
+      val vals: Seq[Option[Double]] = Seq.fill(50)(
+        if (rng.nextDouble() < 0.1) None
+        else Some(math.floor(rng.nextDouble() * 500)))
+      all ++= vals
+      Validate.checkIncrementalBatch(vals.toDF("v"), rules, folded,
+        batchId = e.toLong, maxEpochs = 4)
+      Validate.checkIncrementalBatch(vals.toDF("v"), rules, plain,
+        batchId = e.toLong, maxEpochs = 0)
+    }
+    val got = Validate.checkView(spark, folded)
+    assertSameRows(got, Validate.checkView(spark, plain))
+    assertSameRows(got, Validate.check(all.toSeq.toDF("v"), rules))
+    // bounded store: <= maxEpochs real epochs + the sentinel
+    assert(epochsIn(folded).length <= 5 && epochsIn(plain).length == 14)
+    // replay of an already-folded epoch must drop (watermark)
+    val before = got.collect().toSet
+    Validate.checkIncrementalBatch(
+      Seq(Some(9999.0)).toDF("v"), rules, folded,
+      batchId = 0L, maxEpochs = 4)
+    assert(Validate.checkView(spark, folded).collect().toSet == before)
+    // replay of a LIVE epoch replaces, never double-counts
+    val liveEpoch = epochsIn(plain).map(_.toLong).max
+    Validate.checkIncrementalBatch(
+      Seq(Some(1.0)).toDF("v"), rules, plain,
+      batchId = liveEpoch, maxEpochs = 0)
+    val replayed = Validate.checkView(spark, plain).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(replayed.values.forall(_ == 13 * 50 + 1),
+      s"live replay must replace: $replayed")
+    // timeline: real epochs only, per-epoch fractions
+    val tl = Validate.checkTimeline(spark, folded)
+    val tlEpochs = tl.select("batch_id").distinct().count()
+    assert(tlEpochs <= 4 && tl.where(col("batch_id").isNull).count() == 0)
+    assert(tl.columns.contains("violation_frac"))
+  }
 }
