@@ -2388,6 +2388,35 @@ object SparkEntry {
           Seq("text", "lang"), hashCompare = true)
         .orderBy("change")
     }),
+    // bucketed co-location (r10): both sides written as 8-bucket
+    // external tables on the join key, read back via the catalog, and
+    // joined — content parity with the plain join is oracled here; the
+    // zero-exchange plan certificate is pinned in LayoutSpec (broadcast
+    // disabled there so the shuffle would otherwise be visible)
+    "q_bucketed_join" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val (to, tc) = (s"bkt_orders_$tag", s"bkt_cust_$tag")
+      graft.operators.Layout.writeBucketed(lk.orders, to,
+        Seq("o_custkey"), numBuckets = 8, sortCols = Seq("o_custkey"),
+        path = Some(s"${lk.work}/$to"))
+      graft.operators.Layout.writeBucketed(
+        lk.customers.select(col("c_custkey").as("o_custkey"),
+          col("c_mktsegment")),
+        tc, Seq("o_custkey"), numBuckets = 8,
+        path = Some(s"${lk.work}/$tc"))
+      try {
+        s.table(to).join(s.table(tc), Seq("o_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum("o_totalprice"), 2).as("total"))
+          .orderBy("c_mktsegment")
+          .localCheckpoint() // pin before the tables drop below
+      } finally {
+        s.sql(s"DROP TABLE IF EXISTS $to")
+        s.sql(s"DROP TABLE IF EXISTS $tc")
+      }
+    }),
     // streaming quality ledger (r10): two replayed micro-batches fold
     // per-rule violation counts into the epoch store; the merged view
     // == one-shot Validate.check over the whole table
@@ -5213,6 +5242,11 @@ object SparkEntry {
          LEFT JOIN (SELECT change, count(*)::BIGINT n FROM d
                     GROUP BY change) c ON k.change = c.change
          ORDER BY k.change""",
+    "q_bucketed_join" ->
+      """SELECT c.c_mktsegment, count(*)::BIGINT AS n_orders,
+                round(sum(o.o_totalprice), 2) AS total
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
     "q_stream_validate" ->
       """WITH n AS (SELECT count(*)::BIGINT AS n_rows FROM documents)
          SELECT * FROM (

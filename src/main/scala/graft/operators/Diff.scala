@@ -99,6 +99,36 @@ object Diff {
     if (includeUnchanged) out else out.where(col("change") =!= "unchanged")
   }
 
+  /** Schema diff between two snapshots: one row per column that was
+    * added, removed, retyped, or re-nullabled — `column | change |
+    * old_type | new_type` (types as Spark SQL type strings; a column
+    * whose type AND nullability both moved reports `retyped`, the
+    * stronger change). The schema-evolution gate an ingest runs BEFORE
+    * [[snapshotDiff]]: a retyped column makes every row "changed" for
+    * free, so catch it at the metadata grain first. Pure metadata —
+    * no job, no scan; returned as a DataFrame so it composes with
+    * `Validate.satisfies` thresholds like every other audit. */
+  def schemaDiff(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+    val spark = newDf.sparkSession
+    import spark.implicits._
+    val o = oldDf.schema.map(f => f.name -> f).toMap
+    val n = newDf.schema.map(f => f.name -> f).toMap
+    val added = (n.keySet -- o.keySet).toSeq.sorted
+      .map(c => (c, "added", null: String, n(c).dataType.sql))
+    val removed = (o.keySet -- n.keySet).toSeq.sorted
+      .map(c => (c, "removed", o(c).dataType.sql, null: String))
+    val common = (o.keySet & n.keySet).toSeq.sorted
+    val retyped = common
+      .filter(c => o(c).dataType != n(c).dataType)
+      .map(c => (c, "retyped", o(c).dataType.sql, n(c).dataType.sql))
+    val renulled = common
+      .filter(c => o(c).dataType == n(c).dataType &&
+        o(c).nullable != n(c).nullable)
+      .map(c => (c, "re-nullabled", o(c).dataType.sql, n(c).dataType.sql))
+    (added ++ removed ++ retyped ++ renulled)
+      .toDF("column", "change", "old_type", "new_type")
+  }
+
   /** The diff folded to one row per change kind: `change | n` over
     * added/removed/changed/unchanged (all four always present, zero
     * counts included — a stable-schema gate row for dashboards and

@@ -163,4 +163,47 @@ object Layout {
       .sortWithinPartitions(z)
       .drop(z)
   }
+
+  /** Bucketed co-location: persist `df` as a Spark bucketed (and
+    * optionally sorted) table so every LATER join or aggregation on the
+    * bucket columns skips its shuffle — the scan's output partitioning
+    * already satisfies the required hash distribution. This is THE
+    * write-amortized answer for a fact table joined on the same key by
+    * many downstream jobs at 100 TB: pay one clustered write, skip the
+    * exchange forever after (both sides, when the dimension is bucketed
+    * the same way with the same count; one side otherwise still saves
+    * its own). `path = Some(...)` creates an EXTERNAL bucketed table at
+    * that location (no warehouse dependency — the lake-friendly form);
+    * `None` writes a managed table under the session warehouse.
+    * Spark's bucket layout (hash(key) mod n file groups + the bucket
+    * spec in the catalog) is what `spark.table(name)` reads back with
+    * the shuffle-free guarantee; plain `spark.read.parquet(path)` sees
+    * only files and loses it. [[shuffleCount]] is the certificate. */
+  def writeBucketed(
+      df: DataFrame,
+      tableName: String,
+      bucketCols: Seq[String],
+      numBuckets: Int,
+      sortCols: Seq[String] = Nil,
+      path: Option[String] = None,
+      format: String = "parquet",
+      mode: String = "overwrite"): Unit = {
+    require(bucketCols.nonEmpty, "at least one bucket column")
+    require(numBuckets >= 1 && numBuckets <= 100000,
+      s"numBuckets $numBuckets out of range")
+    var w = df.write.format(format).mode(mode)
+      .bucketBy(numBuckets, bucketCols.head, bucketCols.tail: _*)
+    if (sortCols.nonEmpty) w = w.sortBy(sortCols.head, sortCols.tail: _*)
+    path.foreach(p => w = w.option("path", p))
+    w.saveAsTable(tableName)
+  }
+
+  /** Number of shuffle exchanges in `df`'s physical plan (AQE inner
+    * plans included — counted off the formatted plan text, where every
+    * shuffle prints as an `Exchange` node; reused exchanges count
+    * once). 0 is the bucketed-join certificate: the plan moves no rows
+    * to satisfy its distribution requirements. */
+  def shuffleCount(df: DataFrame): Int =
+    df.queryExecution.executedPlan.toString.linesIterator
+      .count(l => l.contains("Exchange ") && !l.contains("ReusedExchange"))
 }

@@ -92,6 +92,27 @@ class DiffSpec extends GraftSuite {
     }
   }
 
+  test("schemaDiff: added/removed/retyped/re-nullabled at the " +
+      "metadata grain; identical schemas diff empty") {
+    val o = Seq((1L, "a", 1.0)).toDF("id", "text", "score")
+    val n = Seq((1, "a", Some("en"))).toDF("id", "text", "lang")
+    val got = Diff.schemaDiff(o, n).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("lang", "added"), ("score", "removed"),
+      ("id", "retyped")))
+    val types = Diff.schemaDiff(o, n).collect()
+      .map(r => r.getString(0) -> (r.getString(2), r.getString(3))).toMap
+    assert(types("id") == (("BIGINT", "INT")))
+    assert(types("lang") == ((null, "STRING")))
+    assert(Diff.schemaDiff(o, o).count() == 0)
+    // nullability-only move: primitive Double is non-nullable,
+    // Option[Double] is nullable
+    val nn = Seq((1L, "a", Some(1.0))).toDF("id", "text", "score")
+    val renull = Diff.schemaDiff(o, nn).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(renull.toSeq == Seq(("score", "re-nullabled")))
+  }
+
   test("overlapEstimate exact: counts, jaccard, containments; " +
       "nulls never overlap; empty side reads zeros") {
     val a = Seq(Some(1L), Some(2L), Some(3L), Some(3L), None).toDF("k")

@@ -216,4 +216,46 @@ class LayoutSpec extends GraftSuite {
     assert(ht <= zt + 2,
       s"hilbert should not prune materially worse than z: h=$ht z=$zt")
   }
+
+  test("writeBucketed: a both-sides-bucketed equi-join and a bucket-key " +
+      "groupBy run with ZERO shuffle exchanges; results match the " +
+      "shuffled plan") {
+    import spark.implicits._
+    val facts = (0L until 10000L).map(i => (i % 512, i, (i % 97).toDouble))
+      .toDF("k", "row_id", "v")
+    val dims = (0L until 512L).map(i => (i, s"dim_$i")).toDF("k", "name")
+    val fDir = tmpDir("bkt_facts_")
+    val dDir = tmpDir("bkt_dims_")
+    spark.sql("DROP TABLE IF EXISTS bkt_facts")
+    spark.sql("DROP TABLE IF EXISTS bkt_dims")
+    Layout.writeBucketed(facts, "bkt_facts", Seq("k"), numBuckets = 8,
+      sortCols = Seq("k"), path = Some(fDir))
+    Layout.writeBucketed(dims, "bkt_dims", Seq("k"), numBuckets = 8,
+      path = Some(dDir))
+    // bucketed scans must satisfy the join's distribution directly
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val bucketed = spark.table("bkt_facts")
+        .join(spark.table("bkt_dims"), Seq("k"))
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      assert(Layout.shuffleCount(
+        spark.table("bkt_facts").join(spark.table("bkt_dims"), Seq("k"))
+      ) == 0, "bucketed-bucketed join must plan no exchange")
+      val plain = facts.join(dims, Seq("k"))
+        .agg(sum("v").as("s"), count(lit(1)).as("n"))
+      assert(Layout.shuffleCount(facts.join(dims, Seq("k"))) > 0,
+        "the unbucketed control join should shuffle")
+      assert(bucketed.collect().toSeq == plain.collect().toSeq)
+      // aggregation on the bucket key: no exchange either
+      val gb = spark.table("bkt_facts").groupBy("k")
+        .agg(sum("v").as("s"))
+      assert(Layout.shuffleCount(gb) == 0,
+        "bucket-key groupBy must plan no exchange")
+      assertSameRows(gb, facts.groupBy("k").agg(sum("v").as("s")))
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS bkt_facts")
+      spark.sql("DROP TABLE IF EXISTS bkt_dims")
+    }
+  }
 }

@@ -17,6 +17,7 @@ object SparkTestBase {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir", s"$tmp/warehouse")
       .config("spark.graft.storagePath", tmp)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
