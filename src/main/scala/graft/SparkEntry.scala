@@ -2452,6 +2452,54 @@ object SparkEntry {
       val lk = Lake.get(s, dir)
       Profile.association(lk.orders, "o_orderstatus", "o_orderpriority")
     }),
+    // multi-feature MI sweep (r10): both order categoricals against a
+    // price band, melted into ONE grouped job
+    "q_info_gain" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Profile.informationGain(
+          lk.orders.withColumn("price_band",
+            when(col("o_totalprice") > 150000, "hi").otherwise("lo")),
+          Seq("o_orderstatus", "o_orderpriority"), "price_band")
+        .orderBy("feature")
+    }),
+    // per-key overlap (r10): per-language containment of the old
+    // snapshot's doc ids in the new — the slice-grain merge audit
+    "q_overlap_by_key" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val (o, n) = diffSnapshots(lk.documents)
+      Profile.overlapEstimateByKey(o, n, Seq("lang"), "doc_id",
+          exact = true)
+        .orderBy("lang")
+    }),
+    // per-batch quality timeline (r10): the same two-batch replay as
+    // q_stream_validate read back at the EPOCH grain — which batch
+    // carried the violations, without rescanning either batch
+    "q_validate_timeline" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = lk.documents.select("doc_id", "lang", "n_chars")
+        .as[(Long, String, Long)].collect().sortBy(_._1)
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      val rules = Seq(
+        Validate.notNull("lang"),
+        Validate.inRange("n_chars", 0, 900),
+        Validate.matchesRegex("lang", "[a-z]{2}"))
+      val mem = MemoryStream[(Long, String, Long)]
+      val rows = mem.toDF().toDF("doc_id", "lang", "n_chars")
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val store = s"${lk.work}/validate_tl_store_$tag"
+      val q = graft.streaming.StreamOps.validateSink(
+          rows, rules, store) { (_, _) => () }
+        .option("checkpointLocation", s"${lk.work}/validate_tl_ckpt_$tag")
+        .start()
+      try {
+        mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable()
+        mem.addData(b2.toIndexedSeq: _*); q.processAllAvailable()
+      } finally q.stop()
+      Validate.checkTimeline(s, store).orderBy("batch_id", "rule")
+    }),
     // quantile (CDF) transform (r10): distributed-exact cume_dist of
     // the event value without a global window; approx path is
     // envelope-tested in ProfileStatsSpec
@@ -5295,6 +5343,68 @@ object SparkEntry {
                / sqrt((-sum((o/n)*ln(ra/n))) * (-sum((o/n)*ln(cb/n))))
              END, 6) AS nmi
          FROM cells""",
+    "q_info_gain" ->
+      s"""WITH src AS (SELECT o_orderstatus, o_orderpriority,
+             CASE WHEN o_totalprice > 150000 THEN 'hi' ELSE 'lo' END l
+           FROM orders)
+         SELECT * FROM (
+           ${infoGainSql("o_orderstatus")}
+           UNION ALL
+           ${infoGainSql("o_orderpriority")})
+         ORDER BY feature""",
+    "q_overlap_by_key" ->
+      s"""$diffSnapshotCte,
+         a AS (SELECT DISTINCT lang, doc_id FROM old
+               WHERE lang IS NOT NULL AND doc_id IS NOT NULL),
+         b AS (SELECT DISTINCT lang, doc_id FROM cur
+               WHERE lang IS NOT NULL AND doc_id IS NOT NULL),
+         na AS (SELECT lang, count(*)::BIGINT n_left FROM a GROUP BY 1),
+         nb AS (SELECT lang, count(*)::BIGINT n_right FROM b GROUP BY 1),
+         ni AS (SELECT a.lang, count(*)::BIGINT n_common
+                FROM a JOIN b USING (lang, doc_id) GROUP BY 1),
+         m AS (SELECT lang, COALESCE(n_left, 0) AS n_left,
+                      COALESCE(n_right, 0) AS n_right,
+                      COALESCE(n_common, 0) AS n_common
+               FROM na FULL OUTER JOIN nb USING (lang)
+               LEFT JOIN ni USING (lang))
+         SELECT lang, n_left, n_right, n_common,
+                (n_left + n_right - n_common)::BIGINT AS n_union,
+                round(CASE WHEN n_left + n_right - n_common = 0 THEN 0
+                  ELSE n_common / (n_left + n_right - n_common) END, 6)
+                  AS jaccard,
+                round(CASE WHEN n_left = 0 THEN 0
+                  ELSE n_common / n_left END, 6) AS containment_left,
+                round(CASE WHEN n_right = 0 THEN 0
+                  ELSE n_common / n_right END, 6) AS containment_right
+         FROM m ORDER BY lang""",
+    "q_validate_timeline" ->
+      """WITH r AS (SELECT lang, n_chars,
+             row_number() OVER (ORDER BY doc_id) rn,
+             count(*) OVER () cnt FROM documents),
+         b AS (SELECT lang, n_chars,
+             CASE WHEN rn <= cnt // 2 THEN 0 ELSE 1 END AS batch_id
+           FROM r),
+         g AS (SELECT batch_id, count(*)::BIGINT AS n_rows,
+             sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS v_null,
+             sum(CASE WHEN NOT coalesce(n_chars BETWEEN 0 AND 900,
+               false) THEN 1 ELSE 0 END)::BIGINT AS v_range,
+             sum(CASE WHEN NOT coalesce(regexp_full_match(lang,
+               '(?:[a-z]{2})'), false) THEN 1 ELSE 0 END)::BIGINT
+               AS v_regex
+           FROM b GROUP BY batch_id)
+         SELECT batch_id, rule, n_violations, n_rows,
+                round(n_violations / greatest(n_rows, 1), 6)
+                  AS violation_frac
+         FROM (
+           SELECT batch_id, 'not_null(lang)' AS rule,
+                  v_null AS n_violations, n_rows FROM g
+           UNION ALL
+           SELECT batch_id, 'in_range(n_chars)', v_range, n_rows FROM g
+           UNION ALL
+           SELECT batch_id, 'matches_regex(lang)', v_regex, n_rows
+           FROM g)
+         ORDER BY batch_id, rule""",
     "q_quantile_transform" ->
       """SELECT e.event_id, round(q.q, 6) AS value_q
          FROM events e LEFT JOIN (
@@ -5325,6 +5435,29 @@ object SparkEntry {
                   ELSE n_common / n_right END, 6) AS containment_right
          FROM c"""
   )
+
+  /** One arm of the q_info_gain oracle: MI/NMI of one feature against
+    * the label `l` in the `src` CTE, mirroring
+    * `Profile.informationGain`'s marginal math. */
+  private def infoGainSql(feature: String): String =
+    s"""SELECT '$feature' AS feature,
+        round(greatest(sum((c/n)*ln((c/n)/((rv/n)*(rl/n)))), 0), 6)
+          AS mi,
+        round(CASE WHEN (-sum((c/n)*ln(rv/n)))
+                     * (-sum((c/n)*ln(rl/n))) <= 0 THEN 0
+          ELSE greatest(sum((c/n)*ln((c/n)/((rv/n)*(rl/n)))), 0)
+            / sqrt((-sum((c/n)*ln(rv/n))) * (-sum((c/n)*ln(rl/n))))
+          END, 6) AS nmi,
+        CAST(any_value(n) AS BIGINT) AS n
+        FROM (
+          SELECT j.c, rv.rv, rl.rl, t.n FROM
+            (SELECT $feature v, l, count(*)::DOUBLE c FROM src
+             GROUP BY 1, 2) j
+            JOIN (SELECT $feature v, count(*)::DOUBLE rv FROM src
+                  GROUP BY 1) rv USING (v)
+            JOIN (SELECT l, count(*)::DOUBLE rl FROM src GROUP BY 1) rl
+              USING (l)
+            CROSS JOIN (SELECT count(*)::DOUBLE n FROM src) t)"""
 
   /** DuckDB twin of [[diffSnapshots]]. */
   private val diffSnapshotCte =

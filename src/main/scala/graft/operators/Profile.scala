@@ -1973,6 +1973,158 @@ object Profile {
             sqrt(col("__hahb"))), 6).as("nmi"))
   }
 
+  /** Per-feature mutual information against one label for MANY features
+    * in ONE job: `feature | mi | nmi | n` — the feature-selection sweep
+    * ("which metadata columns actually predict quality/label?") that
+    * would otherwise cost one [[association]] pass per column. Rows are
+    * melted to `(feature, value, label)` triples by a codegen'd
+    * explode (k× the rows, each a 3-tuple — NOT k× the table width),
+    * one `groupBy(feature, value, label)` count shuffles them all
+    * together, and every marginal re-aggregates the contingency frame.
+    * Nulls are categories on both sides ([[association]] semantics);
+    * `nmi` normalizes by `sqrt(H(value)·H(label))` per feature. */
+  def informationGain(
+      df: DataFrame,
+      featureCols: Seq[String],
+      labelCol: String): DataFrame = {
+    require(featureCols.nonEmpty, "at least one feature column")
+    require(!featureCols.contains(labelCol),
+      "the label is not a feature of itself")
+    val melted = df.select(
+        explode(array(featureCols.map(f =>
+          struct(lit(f).as("__f"),
+            qcol(f).cast("string").as("__v"))): _*)).as("__fv"),
+        qcol(labelCol).cast("string").as("__l"))
+      .select(col("__fv.__f").as("__f"), col("__fv.__v").as("__v"),
+        col("__l"))
+    val joint = melted.groupBy("__f", "__v", "__l")
+      .agg(count(lit(1)).as("__c"))
+    val rv = joint.groupBy("__f", "__v").agg(sum("__c").as("__rv"))
+      .withColumnRenamed("__f", "__f1").withColumnRenamed("__v", "__v1")
+    val rl = joint.groupBy("__f", "__l").agg(sum("__c").as("__rl"))
+      .withColumnRenamed("__f", "__f2").withColumnRenamed("__l", "__l2")
+    val tot = joint.groupBy("__f").agg(sum("__c").as("__n"))
+      .withColumnRenamed("__f", "__f3")
+    val cells = joint
+      .join(rv, col("__f") === col("__f1") && col("__v") <=> col("__v1"))
+      .join(rl, col("__f") === col("__f2") && col("__l") <=> col("__l2"))
+      .join(tot, col("__f") === col("__f3"))
+    val n = col("__n").cast("double")
+    val pab = col("__c").cast("double") / n
+    val pv = col("__rv").cast("double") / n
+    val pl = col("__rl").cast("double") / n
+    cells.groupBy(col("__f").as("feature"))
+      .agg(
+        sum(pab * log(pab / (pv * pl))).as("__mi"),
+        (-sum(pab * log(pv)) * -sum(pab * log(pl))).as("__hvhl"),
+        first(col("__n")).as("n"))
+      .select(col("feature"),
+        round(greatest(col("__mi"), lit(0.0)), 6).as("mi"),
+        round(when(col("__hvhl") <= 0, 0.0)
+          .otherwise(greatest(col("__mi"), lit(0.0)) /
+            sqrt(col("__hvhl"))), 6).as("nmi"),
+        col("n"))
+  }
+
+  /** Per-key [[overlapEstimate]]: one overlap row PER GROUP —
+    * "per-language (or per-domain) containment of crawl B in crawl A",
+    * the slice-grain merge audit. Keys present on one side only report
+    * zero counts for the other. Null keys are exempt (the keyed-join
+    * contract shared by the keyed store family); null values never
+    * overlap. Exact path: per-key distinct collapses + one semi join.
+    * Sketch path: one HLL sketch per key per side, a full-outer join of
+    * the two per-key sketch frames (≤ one row per key each), and
+    * inclusion-exclusion per key — no data-grain join at any scale. */
+  def overlapEstimateByKey(
+      left: DataFrame,
+      right: DataFrame,
+      keyCols: Seq[String],
+      valueCol: String,
+      exact: Boolean = false,
+      lgK: Int = 12): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty - use overlapEstimate")
+    require(!keyCols.contains(valueCol),
+      "the value column may not also be a key")
+    def r6(c: Column): Column = round(c, 6)
+    def keyed(df: DataFrame): DataFrame = df
+      .where(keyCols.map(qcol(_).isNotNull).reduce(_ && _) &&
+        qcol(valueCol).isNotNull)
+    val k1 = keyCols.map(c => s"__k1_$c")
+    val k2 = keyCols.map(c => s"__k2_$c")
+    val withCounts =
+      if (exact) {
+        val da = keyed(left)
+          .select((keyCols.map(qcol) :+ qcol(valueCol).as("__v")): _*)
+          .distinct()
+        val db = keyed(right)
+          .select((keyCols.zip(k2).map { case (c, a) => qcol(c).as(a) } :+
+            qcol(valueCol).as("__v2")): _*)
+          .distinct()
+        val na = da.groupBy(keyCols.map(qcol): _*)
+          .agg(count(lit(1)).as("n_left"))
+        val nb = db.groupBy(k2.map(col): _*)
+          .agg(count(lit(1)).as("n_right"))
+        val ni = da.join(db,
+            keyCols.zip(k2).map { case (c, a) => qcol(c) === col(a) }
+              .reduce(_ && _) && col("__v") === col("__v2"),
+            "left_semi")
+          .groupBy(keyCols.map(qcol): _*)
+          .agg(count(lit(1)).as("n_common"))
+          .withColumnsRenamed(keyCols.zip(k1).toMap)
+        na.join(nb,
+            keyCols.zip(k2).map { case (c, a) => qcol(c) <=> col(a) }
+              .reduce(_ && _), "full_outer")
+          .select((keyCols.zip(k2).map { case (c, a) =>
+            coalesce(qcol(c), col(a)).as(c) } ++
+            Seq(coalesce(col("n_left"), lit(0L)).as("n_left"),
+              coalesce(col("n_right"), lit(0L)).as("n_right"))): _*)
+          .join(ni,
+            keyCols.zip(k1).map { case (c, a) => qcol(c) === col(a) }
+              .reduce(_ && _), "left")
+          .select((keyCols.map(qcol) ++ Seq(col("n_left"), col("n_right"),
+            coalesce(col("n_common"), lit(0L)).as("n_common"))): _*)
+      } else {
+        val sa = keyed(left).groupBy(keyCols.map(qcol): _*)
+          .agg(hll_sketch_agg(qcol(valueCol), lit(lgK)).as("__sa"))
+        val sb = keyed(right)
+          .groupBy(keyCols.zip(k2).map { case (c, a) => qcol(c).as(a) }: _*)
+          .agg(hll_sketch_agg(qcol(valueCol), lit(lgK)).as("__sb"))
+        sa.join(sb,
+            keyCols.zip(k2).map { case (c, a) => qcol(c) <=> col(a) }
+              .reduce(_ && _), "full_outer")
+          .select((keyCols.zip(k2).map { case (c, a) =>
+            coalesce(qcol(c), col(a)).as(c) } ++ Seq(
+            coalesce(hll_sketch_estimate(col("__sa")), lit(0L))
+              .as("n_left"),
+            coalesce(hll_sketch_estimate(col("__sb")), lit(0L))
+              .as("n_right"),
+            coalesce(
+              hll_sketch_estimate(hll_union(col("__sa"), col("__sb"),
+                allowDifferentLgConfigK = true)),
+              hll_sketch_estimate(col("__sa")),
+              hll_sketch_estimate(col("__sb")),
+              lit(0L)).as("__nu"))): _*)
+          .select((keyCols.map(qcol) ++ Seq(col("n_left"), col("n_right"),
+            greatest(lit(0L),
+              col("n_left") + col("n_right") - col("__nu"))
+              .as("n_common"))): _*)
+      }
+    withCounts.select((keyCols.map(qcol) ++ Seq(
+        col("n_left"), col("n_right"), col("n_common"),
+        (col("n_left") + col("n_right") - col("n_common"))
+          .as("n_union"))): _*)
+      .select(col("*"),
+        r6(when(col("n_union") === 0, 0.0)
+          .otherwise(col("n_common").cast("double") / col("n_union")))
+          .as("jaccard"),
+        r6(when(col("n_left") === 0, 0.0)
+          .otherwise(col("n_common").cast("double") / col("n_left")))
+          .as("containment_left"),
+        r6(when(col("n_right") === 0, 0.0)
+          .otherwise(col("n_common").cast("double") / col("n_right")))
+          .as("containment_right"))
+  }
+
   /** Categorical drift: the PSI of [[driftNumeric]] with categories as
     * the bins — one row per category seen on EITHER side (`category`
     * rendered as string, null kept as its own row):

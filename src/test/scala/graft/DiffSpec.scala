@@ -130,6 +130,44 @@ class DiffSpec extends GraftSuite {
       (0L, 0L, 0.0))
   }
 
+  test("overlapEstimateByKey exact: per-key counts with one-side-only " +
+      "keys zero-filled; null keys and values exempt") {
+    val l = Seq(("en", 1L), ("en", 2L), ("en", 2L), ("fr", 5L),
+      (null.asInstanceOf[String], 9L)).toDF("lang", "id")
+    val r = Seq(("en", 2L), ("en", 3L), ("de", 7L)).toDF("lang", "id")
+    val got = Profile.overlapEstimateByKey(l, r, Seq("lang"), "id",
+        exact = true)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getDouble(5)))
+      .toMap
+    assert(got.keySet == Set("en", "fr", "de"))
+    assert(got("en") == ((2L, 2L, 1L, 0.333333))) // {1,2} vs {2,3}
+    assert(got("fr") == ((1L, 0L, 0L, 0.0)))
+    assert(got("de") == ((0L, 1L, 0L, 0.0)))
+  }
+
+  test("overlapEstimateByKey sketch: coupon regime equals exact on " +
+      "small per-key universes") {
+    val l = (0 until 600).map(i => (s"k${i % 3}", (i / 3).toLong))
+      .toDF("key", "id")
+    val r = (300 until 900).map(i => (s"k${i % 3}", (i / 3).toLong))
+      .toDF("key", "id")
+    val ex = Profile.overlapEstimateByKey(l, r, Seq("key"), "id",
+        exact = true)
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    val sk = Profile.overlapEstimateByKey(l, r, Seq("key"), "id")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3))).toMap
+    assert(sk.keySet == ex.keySet)
+    for (k <- ex.keySet) {
+      val (e, s) = (ex(k), sk(k))
+      for ((ev, sv) <- Seq(e._1 -> s._1, e._2 -> s._2, e._3 -> s._3))
+        assert(math.abs(sv - ev) <= math.max(2.0, 0.05 * ev),
+          s"key $k sketch $s vs exact $e")
+    }
+  }
+
   test("overlapEstimate sketch: within the HLL envelope of exact on " +
       "a 5k/5k 50%-overlap corpus; empty side reads zero common") {
     val a = spark.range(0, 5000).toDF("k")

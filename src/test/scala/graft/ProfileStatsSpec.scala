@@ -96,6 +96,31 @@ class ProfileStatsSpec extends GraftSuite {
       c.getDouble(5) == 0.0)
   }
 
+  test("informationGain: per-feature MI matches association's mi/nmi " +
+      "computed one feature at a time; null feature values count") {
+    val df = Seq(
+      ("x", "p", null.asInstanceOf[String], "hi"),
+      ("x", "p", "m", "hi"), ("x", "q", "m", "hi"),
+      ("y", "q", "m", "lo"), ("y", "q", null.asInstanceOf[String], "lo"),
+      ("y", "p", "m", "lo")
+    ).toDF("f1", "f2", "f3", "label")
+    val sweep = Profile.informationGain(df, Seq("f1", "f2", "f3"),
+        "label")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getLong(3))).toMap
+    assert(sweep.keySet == Set("f1", "f2", "f3"))
+    for (f <- Seq("f1", "f2", "f3")) {
+      val one = Profile.association(df, f, "label").collect().head
+      assert(sweep(f)._1 == one.getDouble(4),
+        s"$f mi sweep=${sweep(f)._1} assoc=${one.getDouble(4)}")
+      assert(sweep(f)._2 == one.getDouble(5),
+        s"$f nmi sweep=${sweep(f)._2} assoc=${one.getDouble(5)}")
+      assert(sweep(f)._3 == 6L)
+    }
+    // f1 determines label perfectly -> nmi 1
+    assert(sweep("f1")._2 == 1.0)
+  }
+
   test("quantileTransform: exact equals windowed cume_dist; ties share " +
       "a rank; nulls stay null; approx within 1/grid + sketch error") {
     val df = ((0 until 400).map(i =>
