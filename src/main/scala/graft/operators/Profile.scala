@@ -184,11 +184,20 @@ object Profile {
         lit(accuracy)).as("__q")).first()
       if (row.isNullAt(0)) // all-null column: transform is all-null too
         return df.withColumn(out, lit(null).cast("double"))
-      val cuts = row.getSeq[Double](0)
+      // sorted ascending by construction (quantiles of increasing
+      // probs); the codegen'd binary search needs it sorted.
+      // size(filter(lit(cuts), _ <= v)) would be the declarative
+      // spelling, but ArrayFilter is CodegenFallback — measured 2.3x
+      // SLOWER than the exact path on the x30 bench; CutUpperBound
+      // keeps the walk inside whole-stage codegen at log2(grid)
+      // compares per row.
+      val cuts = row.getSeq[Double](0).toArray
+      val rank = org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.CutUpperBound(
+          org.apache.spark.sql.GraftSqlBridge.expression(v), cuts))
       df.withColumn(out,
-        when(v.isNull, lit(null).cast("double")).otherwise(
-          size(filter(lit(cuts.toArray),
-            c => c <= v)).cast("double") / grid))
+        when(v.isNull, lit(null).cast("double"))
+          .otherwise(rank.cast("double") / grid))
     } else {
       val counts = df.where(v.isNotNull)
         .select(v.as("__v")).groupBy("__v")

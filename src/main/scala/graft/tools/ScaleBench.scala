@@ -650,6 +650,38 @@ object ScaleBench {
       } }
       counts("x_overlap_exact_common") = exCommon
       counts("x_overlap_sketch_common") = skCommon
+      // quantile transform over 18M prices: the exact path pays the
+      // per-value counts + value-keyed join; the grid path is one
+      // aggregate + a broadcast cut walk in the scan
+      bench("x_qt_exact") {
+        graft.operators.Profile.quantileTransform(
+          lake.lineitem.select("l_orderkey", "l_extendedprice"),
+          "l_extendedprice")
+          .agg(sum("l_extendedprice_q")).collect(); 1L
+      }
+      bench("x_qt_sketch") {
+        graft.operators.Profile.quantileTransform(
+          lake.lineitem.select("l_orderkey", "l_extendedprice"),
+          "l_extendedprice", approx = true, grid = 100)
+          .agg(sum("l_extendedprice_q")).collect(); 1L
+      }
+      // multi-feature MI sweep: 2 features x 18M rows, one melted job
+      bench("x_info_gain") {
+        graft.operators.Profile.informationGain(
+          lake.lineitem.withColumn("price_band",
+            when(col("l_extendedprice") > 40000, "hi").otherwise("lo")),
+          Seq("l_returnflag", "l_linestatus"), "price_band").count()
+      }
+      // per-key overlap: partkey universes per returnflag, key-grain
+      // sketch join (no data-grain join)
+      bench("x_overlap_by_key") {
+        val liF = lake.lineitem
+          .select("l_orderkey", "l_partkey", "l_returnflag")
+        graft.operators.Profile.overlapEstimateByKey(
+          liF.where(pmod(col("l_orderkey"), lit(2)) === 0),
+          liF.where(pmod(col("l_orderkey"), lit(2)) === 1),
+          Seq("l_returnflag"), "l_partkey").count()
+      }
       // one-aggregate audits at the 18M-row grain
       bench("x_k_anonymity") {
         graft.operators.Validate.kAnonymity(lake.lineitem,
