@@ -567,4 +567,32 @@ class PropertySpec extends GraftSuite {
       assert(math.abs(row.getDouble(4) - refDup(t, 4)) < 1e-12, s"dup4 '$t'")
     }
   }
+
+  test("snapshotDiff hash path == column path over random snapshots " +
+      "with nulls, empty strings, and near-miss payloads") {
+    import spark.implicits._
+    import graft.operators.Diff
+    // payload pool engineered for digest edge cases: null vs empty vs
+    // whitespace vs the same text with a trailing separator-ish char
+    val pool: Seq[Option[String]] = Seq(None, Some(""), Some(" "),
+      Some("a"), Some("a "), Some("ab"), Some("a\tb"), Some("b"))
+    def snapshot(seed: Int): Seq[(Long, Option[String], Option[String])] = {
+      val r = new Random(seed)
+      (0L until 300L).flatMap { id =>
+        if (r.nextDouble() < 0.15) None // absent from this snapshot
+        else Some((id, pool(r.nextInt(pool.size)), pool(r.nextInt(pool.size))))
+      }
+    }
+    val o = snapshot(1).toDF("id", "t1", "t2")
+    val n = snapshot(2).toDF("id", "t1", "t2")
+    val byCols = Diff.snapshotDiff(o, n, "id", Seq("t1", "t2"),
+        includeUnchanged = true)
+      .select("id", "change")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byHash = Diff.snapshotDiff(o, n, "id", Seq("t1", "t2"),
+        includeUnchanged = true, hashCompare = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byCols == byHash,
+      (byCols.toSet diff byHash.toSet).take(5).toString)
+  }
 }
