@@ -1534,15 +1534,15 @@ object SparkEntry {
       val cur = lk.orders.where(pmod(col("o_orderkey"), lit(2)) === 1)
       Profile.quantileSketchIncrementalBatch(
         ref.where(pmod(col("o_orderkey"), lit(4)) === 0), "o_totalprice",
-        refStore, k = 262144, batchId = 0L)
+        refStore, k = 131072, batchId = 0L)
       Profile.quantileSketchIncrementalBatch(
         ref.where(pmod(col("o_orderkey"), lit(4)) === 2), "o_totalprice",
-        refStore, k = 262144, batchId = 1L)
+        refStore, k = 131072, batchId = 1L)
       Profile.quantileSketchIncrementalBatch(cur, "o_totalprice",
-        curStore, k = 262144, batchId = 0L)
+        curStore, k = 131072, batchId = 0L)
       Profile.quantileSketchIncrementalBatch(cur, "o_totalprice",
-        curStore, k = 262144, batchId = 0L) // replay must replace
-      Profile.ksFromSketchStores(s, refStore, curStore, k = 262144)
+        curStore, k = 131072, batchId = 0L) // replay must replace
+      Profile.ksFromSketchStores(s, refStore, curStore, k = 131072)
     }),
     // per-epoch drift timeline (r10): "WHEN did it drift" — each
     // registered epoch PSI'd independently against the pinned reference;
@@ -1555,21 +1555,21 @@ object SparkEntry {
       val curStore = s"${lk.work}/dte_cur_$tag"
       val ref = lk.events.where(pmod(col("user_id"), lit(2)) === 0)
       Profile.quantileSketchIncrementalBatch(ref, "value", refStore,
-        k = 262144, batchId = 0L)
+        k = 65536, batchId = 0L)
       val odd = lk.events.where(pmod(col("user_id"), lit(2)) === 1)
       (0 until 3).foreach { e =>
         val slice = odd.where(pmod(col("event_id"), lit(3)) === e)
           .withColumn("value", col("value") + lit(e * 50.0))
         Profile.quantileSketchIncrementalBatch(slice, "value", curStore,
-          k = 262144, batchId = e.toLong)
+          k = 65536, batchId = e.toLong)
       }
       // replayed delivery of epoch 1: must replace, not double-count
       Profile.quantileSketchIncrementalBatch(
         odd.where(pmod(col("event_id"), lit(3)) === 1)
           .withColumn("value", col("value") + lit(50.0)),
-        "value", curStore, k = 262144, batchId = 1L)
+        "value", curStore, k = 65536, batchId = 1L)
       Profile.driftEpochsFromSketchStores(s, refStore, curStore,
-          nBins = 4, k = 262144)
+          nBins = 4, k = 65536)
         .orderBy("batch_id")
     }),
     // batch KS without a store: two bounded sketch aggregates + a
@@ -1579,7 +1579,7 @@ object SparkEntry {
       Profile.ksNumeric(
         lk.documents.where(pmod(col("doc_id"), lit(2)) === 0),
         lk.documents.where(pmod(col("doc_id"), lit(2)) === 1),
-        "n_chars", k = 262144)
+        "n_chars", k = 8192)
     }),
     // deterministic reservoir-sample epoch store (r10): the k-row
     // uniform sample of everything ingested so far — per-epoch top-k by
@@ -2213,7 +2213,7 @@ object SparkEntry {
       s.sql(
         """WITH cuts AS (
              SELECT transform(
-                 graft_quantiles(o_totalprice, 262144, 0.2, 0.4, 0.6, 0.8),
+                 graft_quantiles(o_totalprice, 131072, 0.2, 0.4, 0.6, 0.8),
                  x -> x.value) AS c
              FROM graft_orders_sql WHERE o_orderkey % 2 = 0),
            binned AS (
