@@ -71,6 +71,44 @@ class DiffSpec extends GraftSuite {
     assert(d.length == 1 && d.head.getString(1) == "changed")
   }
 
+  test("snapshotDiff hashCompare plan: every shuffle exchange carries " +
+      "id + 16-byte digest only — the payload never moves") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // executedPlan, not sparkPlan: exchanges are inserted by
+    // EnsureRequirements during preparation
+    def exchangeCols(df: org.apache.spark.sql.DataFrame): Seq[Set[String]] =
+      df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e.child.output.map(_.name).toSet
+      }
+    // big-enough inputs + no broadcast so the join actually shuffles
+    val o = spark.range(0, 5000).toDF("id")
+      .withColumn("text", concat(lit("doc "), col("id")))
+      .withColumn("lang", lit("en"))
+    val n = o.withColumn("text",
+      when(col("id") % 7 === 0, lit("edited")).otherwise(col("text")))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // AQE wraps the physical plan in AdaptiveSparkPlanExec (a leaf to
+    // collect()); turn it off so the exchanges are inspectable
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val hx = exchangeCols(
+        Diff.snapshotDiff(o, n, "id", Seq("text", "lang"),
+          hashCompare = true))
+      assert(hx.nonEmpty, "expected a shuffle for the full-outer join")
+      val allowed = Set("__o_id", "__o_d", "__n_id", "__n_d")
+      hx.foreach(cols => assert(cols.subsetOf(allowed),
+        s"digest-path exchange carries $cols"))
+      // the column path, by contrast, must ship the payload columns
+      val cx = exchangeCols(
+        Diff.snapshotDiff(o, n, "id", Seq("text", "lang")))
+      assert(cx.exists(_.exists(_.endsWith("_text"))),
+        s"column-path exchanges $cx should carry the compared text")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("diffSummary: all four kinds always present, zero-filled") {
     val got = Diff.diffSummary(oldDf, newDf, "id", Seq("text", "lang"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap

@@ -568,6 +568,32 @@ class PropertySpec extends GraftSuite {
     }
   }
 
+  test("CutUpperBound == size(filter(cuts, _ <= v)) over random cuts " +
+      "with ties, +-infinities, and boundary values") {
+    import spark.implicits._
+    val r = new Random(7)
+    val cuts = Seq.fill(97)(math.floor(r.nextDouble() * 50)) // heavy ties
+      .sorted.toArray
+    val vals = Seq.fill(400)(r.nextDouble() * 60 - 5) ++
+      cuts.take(10).toSeq ++ // exact boundary hits
+      Seq(Double.NegativeInfinity, Double.PositiveInfinity, -1e300, 1e300)
+    val df = vals.toDF("v")
+    val got = df.select(
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.CutUpperBound(
+          org.apache.spark.sql.GraftSqlBridge.expression(col("v")),
+          cuts)).as("fast"),
+      size(filter(lit(cuts), c => c <= col("v"))).as("slow"))
+    assert(got.where(col("fast") =!= col("slow")).count() == 0)
+    // null in, null out
+    val n = Seq[Option[Double]](None).toDF("v").select(
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.CutUpperBound(
+          org.apache.spark.sql.GraftSqlBridge.expression(col("v")),
+          cuts))).collect().head
+    assert(n.isNullAt(0))
+  }
+
   test("snapshotDiff hash path == column path over random snapshots " +
       "with nulls, empty strings, and near-miss payloads") {
     import spark.implicits._
