@@ -2388,6 +2388,15 @@ object SparkEntry {
           Seq("text", "lang"), hashCompare = true)
         .orderBy("change")
     }),
+    // curriculum ordering (r10): n_chars-banded easy-to-hard layout with
+    // a deterministic within-band shuffle key
+    "q_curriculum" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Sampling.curriculumOrder(lk.documents.select("doc_id", "n_chars"),
+          "doc_id", "n_chars", bands = 3, seed = 7L)
+        .select("doc_id", "curriculum_band", "curriculum_key")
+        .orderBy("doc_id")
+    }),
     // bucketed co-location (r10): both sides written as 8-bucket
     // external tables on the join key, read back via the catalog, and
     // joined — content parity with the plain join is oracled here; the
@@ -5290,6 +5299,16 @@ object SparkEntry {
          LEFT JOIN (SELECT change, count(*)::BIGINT n FROM d
                     GROUP BY change) c ON k.change = c.change
          ORDER BY k.change""",
+    "q_curriculum" ->
+      """WITH th AS (SELECT quantile_cont(n_chars, [1.0/3, 2.0/3]) AS q
+                     FROM documents)
+         SELECT doc_id,
+           CAST(CASE WHEN n_chars IS NULL THEN NULL
+                WHEN n_chars <= q[1] THEN 1
+                WHEN n_chars <= q[2] THEN 2 ELSE 3 END AS INT)
+             AS curriculum_band,
+           md5('7#' || CAST(doc_id AS VARCHAR)) AS curriculum_key
+         FROM documents, th ORDER BY doc_id""",
     "q_bucketed_join" ->
       """SELECT c.c_mktsegment, count(*)::BIGINT AS n_orders,
                 round(sum(o.o_totalprice), 2) AS total

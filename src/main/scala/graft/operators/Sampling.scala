@@ -389,6 +389,44 @@ object Sampling {
       .drop("__pid", "__local")
   }
 
+  /** Curriculum ordering: band rows by score quantile (band 1 = lowest
+    * scores, `bands` = highest) and give each row a deterministic
+    * within-band shuffle key — the easy-to-hard (or clean-to-noisy)
+    * corpus ordering curriculum-training recipes ask for, with the
+    * intra-band order decorrelated from ingest order. Appends
+    * `curriculum_band` (int; NULL score -> null band — order those
+    * explicitly or filter upstream) and `curriculum_key` (md5 of
+    * `seed#id` — re-keying with a new seed reshuffles within bands
+    * without re-banding). Materialize the order with
+    * `.repartitionByRange(n, col("curriculum_band"),
+    * col("curriculum_key")).sortWithinPartitions(...)` — contiguous
+    * band-ordered files, no global single-task sort.
+    *
+    * Scale shape: one bounded quantile aggregate for the band cuts
+    * ([[Profile.quantileBuckets]]; `exact = false` sketches them on
+    * petabyte columns) + a pure codegen'd projection for band and key.
+    * Engine-replicable end to end (percentile_cont cuts + md5 keys). */
+  def curriculumOrder(
+      df: DataFrame,
+      idCol: String,
+      scoreCol: String,
+      bands: Int = 4,
+      exact: Boolean = true,
+      accuracy: Int = 10000,
+      seed: Long = 1L): DataFrame = {
+    require(bands >= 2, "need at least 2 bands")
+    val banded = Profile.quantileBuckets(df, scoreCol,
+      probs = (1 until bands).map(_.toDouble / bands),
+      labels = (1 to bands).map(_.toString),
+      bucketCol = "curriculum_band", exact = exact, accuracy = accuracy)
+    banded
+      .withColumn("curriculum_band",
+        when(col(scoreCol).isNull, lit(null).cast("int"))
+          .otherwise(col("curriculum_band").cast("int")))
+      .withColumn("curriculum_key",
+        md5(concat(lit(s"$seed#"), col(idCol).cast("string"))))
+  }
+
   /** Quality-ordered corpus cut: keep the BEST rows (by `scoreCol`
     * descending, nulls last, `idCol` tiebreak) until their running token
     * total reaches `budget` — the "take the top 1T tokens" step of corpus

@@ -2471,4 +2471,34 @@ class PipelineOpsSpec extends GraftSuite {
     }
     assert(e.getMessage.contains("broadcast"))
   }
+
+  test("curriculumOrder: quantile bands ascend with score, re-seeding " +
+      "reshuffles within bands only, null score -> null band") {
+    import spark.implicits._
+    import graft.operators.Sampling
+    val df = ((1L to 90L).map(i => (i, Some(i.toDouble))) :+
+      ((91L, None: Option[Double]))).toDF("id", "score")
+    val a = Sampling.curriculumOrder(df, "id", "score", bands = 3)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getInt(2)), r.getString(3)))
+      .toMap
+    // 90 uniform scores: thirds band cleanly (cuts at 30.67 / 60.33)
+    assert((1L to 90L).forall { i =>
+      val want = if (i <= 30) 1 else if (i <= 60) 2 else 3
+      a(i)._1.contains(want)
+    })
+    assert(a(91L)._1.isEmpty, "null score must band null")
+    // re-seed: same bands, different within-band key order
+    val b = Sampling.curriculumOrder(df, "id", "score", bands = 3,
+        seed = 99L)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getInt(2)), r.getString(3)))
+      .toMap
+    assert((1L to 90L).forall(i => a(i)._1 == b(i)._1))
+    assert((1L to 90L).exists(i => a(i)._2 != b(i)._2))
+    // determinism: identical call = identical keys
+    val c = Sampling.curriculumOrder(df, "id", "score", bands = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert((1L to 90L).forall(i => a(i)._2 == c(i)))
+  }
 }
