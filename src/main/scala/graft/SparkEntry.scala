@@ -2388,6 +2388,21 @@ object SparkEntry {
           Seq("text", "lang"), hashCompare = true)
         .orderBy("change")
     }),
+    // incremental diff ledger (r10): commit the old snapshot's
+    // (id, digest) state, then diff the new corpus against the LEDGER
+    // (the old snapshot itself is gone) — same change set as
+    // q_snapshot_diff at the digest grain
+    "q_incremental_diff" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val (o, n) = diffSnapshots(lk.documents)
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val store = s"${lk.work}/incdiff_$tag"
+      graft.operators.Diff.diffAndCommit(o, "doc_id",
+        Seq("text", "lang"), store) // seeds the ledger (all 'added')
+      graft.operators.Diff.diffAndCommit(n, "doc_id",
+          Seq("text", "lang"), store)
+        .orderBy("doc_id")
+    }),
     // curriculum ordering (r10): n_chars-banded easy-to-hard layout with
     // a deterministic within-band shuffle key
     "q_curriculum" -> ((s, dir) => {
@@ -5299,6 +5314,17 @@ object SparkEntry {
          LEFT JOIN (SELECT change, count(*)::BIGINT n FROM d
                     GROUP BY change) c ON k.change = c.change
          ORDER BY k.change""",
+    "q_incremental_diff" ->
+      s"""$diffSnapshotCte
+         SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,
+                CASE WHEN o.doc_id IS NULL THEN 'added'
+                     WHEN n.doc_id IS NULL THEN 'removed'
+                     ELSE 'changed' END AS change
+         FROM old o FULL OUTER JOIN cur n ON o.doc_id = n.doc_id
+         WHERE NOT (o.doc_id IS NOT NULL AND n.doc_id IS NOT NULL
+           AND o.text IS NOT DISTINCT FROM n.text
+           AND o.lang IS NOT DISTINCT FROM n.lang)
+         ORDER BY doc_id""",
     "q_curriculum" ->
       """WITH th AS (SELECT quantile_cont(n_chars, [1.0/3, 2.0/3]) AS q
                      FROM documents)

@@ -99,6 +99,58 @@ object Diff {
     if (includeUnchanged) out else out.where(col("change") =!= "unchanged")
   }
 
+  /** Incremental corpus diff against the last COMMITTED state: report
+    * `idCol | change` (added/removed/changed) of `df` versus the
+    * `(id, digest)` ledger at `storeDir`, then atomically commit `df`'s
+    * state as the new ledger — "what changed since the last ingest"
+    * WITHOUT retaining the previous corpus snapshot. First call reports
+    * everything `added`; running the same data twice reports nothing
+    * (idempotent — the spec pins it). The ledger is a
+    * [[graft.store.SnapshotTable]] (atomic pointer swap; a reader of
+    * the returned diff keeps reading the pre-commit version it joined
+    * against, and a crash before the swap leaves the old state
+    * intact — the next run simply re-reports).
+    *
+    * 100 TB shape: state is id + one 128-bit digest per row — the
+    * minimal diffable memory of a corpus (a wide-document table's
+    * ledger is ~24 bytes/row); the diff is one id-keyed join of that
+    * ledger against the current digests ([[snapshotDiff]]'s hashCompare
+    * exchange discipline), and the digest projection is computed ONCE
+    * (localCheckpoint) to serve both the diff and the commit. */
+  def diffAndCommit(
+      df: DataFrame,
+      idCol: String,
+      compareCols: Seq[String],
+      storeDir: String): DataFrame = {
+    require(compareCols.nonEmpty, "at least one compared column")
+    require(!compareCols.contains(idCol),
+      "idCol is the join key, not a compared column")
+    val spark = df.sparkSession
+    val snap = df
+      .select(qcol(idCol).as("id"), digest(compareCols).as("digest"))
+      .localCheckpoint()
+    val table = new graft.store.SnapshotTable(spark, s"$storeDir/state")
+    val prev = table.read().getOrElse(spark.emptyDataFrame.select(
+      lit(null).cast(snap.schema("id").dataType).as("id"),
+      lit(null).cast("string").as("digest")))
+    val joined = prev.select(col("id").as("__o_id"),
+        col("digest").as("__o_d"))
+      .join(snap.select(col("id").as("__n_id"),
+        col("digest").as("__n_d")),
+        col("__o_id") === col("__n_id"), "full_outer")
+    val change = when(col("__o_id").isNull, "added")
+      .when(col("__n_id").isNull, "removed")
+      .when(col("__o_d") =!= col("__n_d"), "changed")
+      .otherwise("unchanged")
+    val diff = joined
+      .select(coalesce(col("__n_id"), col("__o_id")).as(idCol),
+        change.as("change"))
+      .where(col("change") =!= "unchanged")
+      .localCheckpoint()
+    table.overwrite(snap)
+    diff
+  }
+
   /** Schema diff between two snapshots: one row per column that was
     * added, removed, retyped, or re-nullabled — `column | change |
     * old_type | new_type` (types as Spark SQL type strings; a column

@@ -130,6 +130,29 @@ class DiffSpec extends GraftSuite {
     }
   }
 
+  test("diffAndCommit: first call all-added, rerun idempotent, " +
+      "ledger survives commits and reports against the LAST state") {
+    import graft.operators.Diff
+    val store = tmpDir("incdiff_")
+    val first = Diff.diffAndCommit(oldDf, "id", Seq("text", "lang"),
+        store)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(first.values.toSet == Set("added") && first.size == 5)
+    // same data again: nothing to report
+    assert(Diff.diffAndCommit(oldDf, "id", Seq("text", "lang"), store)
+      .count() == 0)
+    // new snapshot vs the ledger == snapshotDiff vs the old frame
+    val inc = Diff.diffAndCommit(newDf, "id", Seq("text", "lang"), store)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val full = Diff.snapshotDiff(oldDf, newDf, "id", Seq("text", "lang"))
+      .select("id", "change")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(inc == full, s"inc $inc vs full $full")
+    // and the commit moved the state forward: rerun is empty again
+    assert(Diff.diffAndCommit(newDf, "id", Seq("text", "lang"), store)
+      .count() == 0)
+  }
+
   test("schemaDiff: added/removed/retyped/re-nullabled at the " +
       "metadata grain; identical schemas diff empty") {
     val o = Seq((1L, "a", 1.0)).toDF("id", "text", "score")
