@@ -719,6 +719,38 @@ object Drive {
         .select("doc_id").distinct().count()
       println(s"[drive] 21-overlap containment_left=${ovl.getDouble(5)} " +
         s"(want 1.0) n_left=${ovl.getLong(0)} oracle=$enN")
+
+      // r10 closing batch: curriculum bands, incremental diff ledger,
+      // info-gain sweep vs one-off association
+      val cur = graft.operators.Sampling.curriculumOrder(
+        docs.select("doc_id", "n_chars"), "doc_id", "n_chars", bands = 4)
+      val bandSizes = cur.groupBy("curriculum_band").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val balanced = bandSizes.size == 4 &&
+        bandSizes.values.max <= 2L * bandSizes.values.min
+      println(s"[drive] 22-curriculum bands=$bandSizes balanced=$balanced " +
+        "(want 4 near-equal bands)")
+
+      val ledger = s"$work/incdiff"
+      graft.operators.Diff.diffAndCommit(
+        docs.where(pmod(col("doc_id"), lit(3)) =!= 0), "doc_id",
+        Seq("text"), ledger)
+      val inc = graft.operators.Diff.diffAndCommit(docs, "doc_id",
+        Seq("text"), ledger)
+        .groupBy("change").count()
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val incOracle = docs.where(pmod(col("doc_id"), lit(3)) === 0).count()
+      println(s"[drive] 22-incdiff added=${inc.getOrElse("added", 0L)} " +
+        s"oracle=$incOracle changed=${inc.getOrElse("changed", 0L)} " +
+        "(want oracle, 0)")
+
+      val ig = graft.operators.Profile.informationGain(
+        docs, Seq("lang", "source"), "n_chars")
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val igOracle = graft.operators.Profile.association(
+        docs, "lang", "n_chars").collect().head.getDouble(4)
+      println(s"[drive] 22-infogain lang=${ig("lang")} assoc=$igOracle " +
+        s"match=${ig("lang") == igOracle} (want true)")
     }
 
     spark.stop()
