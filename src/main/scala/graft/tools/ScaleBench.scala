@@ -694,6 +694,55 @@ object ScaleBench {
             "event_id", Seq(0.8, 0.1, 0.1)),
           "user_id", "split_id").count()
       }
+      // the quality-ledger long-stream claim (the x_longstream_* drift
+      // discipline applied to Validate.checkIncrementalBatch): 240
+      // one-batch epochs into a folding (maxEpochs = 16) vs unfolding
+      // ledger, ingest timed in thirds + final view cost + store rows.
+      // The ledger's per-epoch state is #rules rows, so the unfolded
+      // store's growth term is smaller than the sketch stores' — the
+      // claim is the same (flat vs linear), the constants just start
+      // lower.
+      val work2 = java.nio.file.Files
+        .createTempDirectory("govern_ledger_").toString
+      val rng2 = new java.util.Random(11)
+      val ledgerVals = (0 until 240).map { _ =>
+        Seq.fill(1000)(rng2.nextGaussian() * 100 + 500)
+      }
+      val ledgerRules = Seq(
+        graft.operators.Validate.inRange("v", 200, 800),
+        graft.operators.Validate.notNull("v"))
+      import spark.implicits._
+      def ledgerThirds(store: String, maxEpochs: Int): Seq[Double] =
+        (0 until 3).map { third =>
+          val (_, sec) = time {
+            (third * 80 until (third + 1) * 80).foreach { e =>
+              graft.operators.Validate.checkIncrementalBatch(
+                ledgerVals(e).toDF("v"), ledgerRules, store,
+                batchId = e.toLong, maxEpochs = maxEpochs)
+            }
+          }
+          sec
+        }
+      val lf = ledgerThirds(s"$work2/fold", 16)
+      results("x_ledger_fold_ingest_t1") = lf(0)
+      results("x_ledger_fold_ingest_t2") = lf(1)
+      results("x_ledger_fold_ingest_t3") = lf(2)
+      bench("x_ledger_fold_view_at240") {
+        graft.operators.Validate.checkView(spark, s"$work2/fold").count()
+      }
+      counts("x_ledger_fold_rows") =
+        new graft.store.SnapshotTable(spark, s"$work2/fold/items")
+          .read().map(_.count()).getOrElse(0L)
+      val lp = ledgerThirds(s"$work2/plain", 0)
+      results("x_ledger_plain_ingest_t1") = lp(0)
+      results("x_ledger_plain_ingest_t2") = lp(1)
+      results("x_ledger_plain_ingest_t3") = lp(2)
+      bench("x_ledger_plain_view_at240") {
+        graft.operators.Validate.checkView(spark, s"$work2/plain").count()
+      }
+      counts("x_ledger_plain_rows") =
+        new graft.store.SnapshotTable(spark, s"$work2/plain/items")
+          .read().map(_.count()).getOrElse(0L)
       emit(results, counts, sfDir); spark.stop(); return
     }
     if (mode == "mine") {
