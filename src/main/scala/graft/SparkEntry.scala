@@ -2388,6 +2388,22 @@ object SparkEntry {
           Seq("text", "lang"), hashCompare = true)
         .orderBy("change")
     }),
+    // encoding-noise signals (r10): replacement chars, control chars,
+    // and double-decode mojibake injected deterministically, counted by
+    // three codegen'd regex passes
+    "q_encoding_noise" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val noisy = lk.documents.select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(9)) === 0,
+            lit("\u00C3\u00A9")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            lit("\uFFFD")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(11)) === 0,
+            lit("\u0007")).otherwise(lit(""))).as("text"))
+      TextAnalysis.encodingSignals(noisy, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
     // incremental diff ledger (r10): commit the old snapshot's
     // (id, digest) state, then diff the new corpus against the LEDGER
     // (the old snapshot itself is gone) — same change set as
@@ -5314,6 +5330,29 @@ object SparkEntry {
          LEFT JOIN (SELECT change, count(*)::BIGINT n FROM d
                     GROUP BY change) c ON k.change = c.change
          ORDER BY k.change""",
+    "q_encoding_noise" ->
+      """WITH noisy AS (SELECT doc_id,
+           text || CASE WHEN doc_id % 9 = 0
+                     THEN chr(195) || chr(169) ELSE '' END
+                || CASE WHEN doc_id % 7 = 0 THEN chr(65533) ELSE '' END
+                || CASE WHEN doc_id % 11 = 0 THEN chr(7) ELSE '' END
+             AS t
+           FROM documents),
+         c AS (SELECT doc_id, t,
+           (length(t) - length(regexp_replace(t,
+             '\x{FFFD}', '', 'g')))::BIGINT AS n_replacement,
+           (length(t) - length(regexp_replace(t,
+             '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}-\x{009F}]',
+             '', 'g')))::BIGINT AS n_control,
+           ((length(t) - length(regexp_replace(t,
+             '[\x{00C2}\x{00C3}\x{00E2}][\x{0080}-\x{00BF}]', '', 'g')))
+             // 2)::BIGINT AS n_mojibake
+           FROM noisy)
+         SELECT doc_id, n_replacement, n_control, n_mojibake,
+           CASE WHEN length(t) = 0 THEN 0
+             ELSE round((n_replacement + n_control + 2 * n_mojibake)
+               / length(t), 6) END AS noise_frac
+         FROM c ORDER BY doc_id""",
     "q_incremental_diff" ->
       s"""$diffSnapshotCte
          SELECT COALESCE(n.doc_id, o.doc_id) AS doc_id,

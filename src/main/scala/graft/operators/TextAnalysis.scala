@@ -673,6 +673,44 @@ object TextAnalysis {
     else cased
   }
 
+  /** Encoding-noise signals: per-document counts of the three artifact
+    * classes corpus cleaning screens for — `n_replacement` (U+FFFD, the
+    * scar a lossy decode leaves), `n_control` (C0/C1 control characters
+    * excluding tab/newline/CR — binary-in-text and terminal-escape
+    * residue), `n_mojibake` (the Ã/Â/â latin-1-reread-as-UTF-8 lead
+    * bytes followed by a continuation-range character — the classic
+    * double-decode signature) — plus `noise_frac`, their sum over the
+    * character count (0 for empty/null text). Gate with
+    * `Validate.satisfies("clean", col("noise_frac") < 0.01)` or rank
+    * for re-crawl. The classes OVERLAP by design: a mojibake pair whose
+    * continuation character falls in C1 (U+0080-U+009F) counts in both
+    * `n_control` and `n_mojibake`, so `noise_frac` is an upper bound on
+    * the distinct-artifact fraction — the right direction for a gate. Counts are `length - length(regexp_replace(...))`
+    * differences — three codegen'd regex passes per row, one scan, no
+    * shuffle; engine-replicable (the oracle replays the same regexes).
+    */
+  def encodingSignals(
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    def cnt(pattern: String): Column =
+      when(t.isNull, lit(0L)).otherwise(
+        (length(t) - length(regexp_replace(t, pattern, ""))).cast("long"))
+    val repl = cnt("\uFFFD")
+    val ctrl = cnt("[\u0000-\u0008\u000B\u000C\u000E-\u001F\u007F-\u009F]")
+    // Ã/Â/â followed by a char in the UTF-8 continuation reread range:
+    // each counted artifact is 2 chars; count the LEAD chars only
+    val moji = when(t.isNull, lit(0L)).otherwise(
+      ((length(t) - length(regexp_replace(t,
+        "[\u00C2\u00C3\u00E2][\u0080-\u00BF]", ""))) / 2).cast("long"))
+    df.select(col(idCol), repl.as("n_replacement"),
+        ctrl.as("n_control"), moji.as("n_mojibake"),
+        when(t.isNull || length(t) === 0, lit(0.0))
+          .otherwise(round((repl + ctrl + moji * 2).cast("double") /
+            length(t), 6)).as("noise_frac"))
+  }
+
   /** Corpus vocabulary: n-gram occurrence counts over the whole corpus —
     * the frequency table tokenizer/vocab construction starts from (and the
     * corpus-statistics view quality analyses read). Tokens are

@@ -2472,6 +2472,35 @@ class PipelineOpsSpec extends GraftSuite {
     assert(e.getMessage.contains("broadcast"))
   }
 
+  test("encodingSignals: hand-built artifacts count exactly; clean, " +
+      "empty, and null text read zero") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    val df = Seq(
+      (1L, "clean text"),
+      (2L, "bad \uFFFD\uFFFD run"),            // 2 replacement chars
+      (3L, "bell\u0007 and del\u007F"),        // 2 control chars
+      (4L, "caf\u00C3\u00A9 \u00E2\u0080\u0099"), // 2 mojibake pairs
+      (5L, ""),
+      (6L, null.asInstanceOf[String])
+    ).toDF("id", "text")
+    val got = TextAnalysis.encodingSignals(df, "id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(got(1L) == ((0L, 0L, 0L, 0.0)))
+    // "bad \uFFFD\uFFFD run" = 10 chars
+    assert(got(2L) == ((2L, 0L, 0L, 0.2)))
+    // 14 chars, 2 control
+    assert(got(3L)._2 == 2L && got(3L)._4 == math.rint(2.0 / 14 * 1e6) / 1e6)
+    // 9 chars, 2 pairs; the C1 continuation bytes (\u0080, \u0099)
+    // also count as control (documented overlap) -> 6 noisy chars
+    assert(got(4L)._3 == 2L && got(4L)._2 == 2L, s"mojibake ${got(4L)}")
+    assert(got(4L)._4 == math.rint(6.0 / 9 * 1e6) / 1e6, s"frac ${got(4L)}")
+    assert(got(5L) == ((0L, 0L, 0L, 0.0)))
+    assert(got(6L) == ((0L, 0L, 0L, 0.0)))
+  }
+
   test("curriculumOrder: quantile bands ascend with score, re-seeding " +
       "reshuffles within bands only, null score -> null band") {
     import spark.implicits._
