@@ -2058,6 +2058,11 @@ object Profile {
     require(keyCols.nonEmpty, "keyCols must be non-empty - use overlapEstimate")
     require(!keyCols.contains(valueCol),
       "the value column may not also be a key")
+    val reservedOut = Seq("n_left", "n_right", "n_common", "n_union",
+      "jaccard", "containment_left", "containment_right")
+    require(!keyCols.exists(reservedOut.contains(_)),
+      "key columns may not use the reserved output names " +
+        reservedOut.mkString("/"))
     def r6(c: Column): Column = round(c, 6)
     def keyed(df: DataFrame): DataFrame = df
       .where(keyCols.map(qcol(_).isNotNull).reduce(_ && _) &&

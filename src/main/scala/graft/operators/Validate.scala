@@ -108,6 +108,8 @@ object Validate {
   def kAnonymity(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
     require(quasiCols.nonEmpty, "at least one quasi-identifier column")
     require(k >= 2, s"k must be >= 2 (k=$k never violates)")
+    require(!quasiCols.contains("n_rows"),
+      "a quasi column may not use the reserved output name n_rows")
     df.groupBy(quasiCols.map(qcol): _*)
       .agg(count(lit(1)).as("n_rows"))
       .where(col("n_rows") < k)
@@ -134,6 +136,9 @@ object Validate {
     require(l >= 2, s"l must be >= 2 (l=$l never violates)")
     require(!quasiCols.contains(sensitiveCol),
       "sensitive column may not also be a quasi-identifier")
+    require(!quasiCols.exists(Seq("n_rows", "n_sensitive").contains(_)),
+      "a quasi column may not use the reserved output names " +
+        "n_rows/n_sensitive")
     df.groupBy(quasiCols.map(qcol): _*)
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(qcol(sensitiveCol)).as("n_sensitive"))
@@ -205,6 +210,9 @@ object Validate {
       groupCol: String,
       splitCol: String): DataFrame = {
     require(groupCol != splitCol, "group and split columns must differ")
+    require(!Seq("n_splits", "n_rows").contains(groupCol),
+      "the group column may not use the reserved output names " +
+        "n_splits/n_rows")
     df.where(qcol(groupCol).isNotNull)
       .groupBy(qcol(groupCol))
       .agg(countDistinct(coalesce(qcol(splitCol).cast("string"),
