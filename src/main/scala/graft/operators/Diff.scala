@@ -56,10 +56,19 @@ object Diff {
     require(compareCols.nonEmpty, "at least one compared column")
     require(!compareCols.contains(idCol),
       "idCol is the join key, not a compared column")
-    val reserved = Seq("__old_present", "__new_present", "change",
-      "changed_cols")
+    // the output carries `change`/`changed_cols` next to idCol, and the
+    // internal sides alias idCol to `__o_id`/`__n_id` — so idCol may not
+    // shadow an output name, and no compared column may alias onto the
+    // id marker (a compared column literally named "id" would produce a
+    // second `__o_id` and fail later with an ambiguous-reference error)
+    val reserved = Seq("change", "changed_cols")
     require(!(compareCols :+ idCol).exists(reserved.contains(_)),
       s"columns may not use the reserved names ${reserved.mkString("/")}")
+    require(!compareCols.contains("id"),
+      "a compared column named 'id' collides with the internal " +
+        "__o_id/__n_id markers")
+    require(compareCols.distinct.size == compareCols.size,
+      "compareCols must be distinct")
 
     def side(df: DataFrame, marker: String): DataFrame = {
       val payload =

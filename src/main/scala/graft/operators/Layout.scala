@@ -201,9 +201,13 @@ object Layout {
   /** Number of shuffle exchanges in `df`'s physical plan (AQE inner
     * plans included — counted off the formatted plan text, where every
     * shuffle prints as an `Exchange` node; reused exchanges count
-    * once). 0 is the bucketed-join certificate: the plan moves no rows
-    * to satisfy its distribution requirements. */
+    * once). `BroadcastExchange` nodes do NOT count: a broadcast ships a
+    * built hash relation to every executor but never repartitions rows,
+    * so a bucketed join that Spark chooses to broadcast is still
+    * shuffle-free. 0 is the bucketed-join certificate: the plan moves
+    * no rows to satisfy its distribution requirements. */
   def shuffleCount(df: DataFrame): Int =
     df.queryExecution.executedPlan.toString.linesIterator
-      .count(l => l.contains("Exchange ") && !l.contains("ReusedExchange"))
+      .count(l => l.contains("Exchange ") && !l.contains("ReusedExchange")
+        && !l.contains("BroadcastExchange"))
 }

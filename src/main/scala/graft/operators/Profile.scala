@@ -696,8 +696,12 @@ object Profile {
               hll_sketch_estimate(col("__sb")),
               lit(0L)).as("__nu"))
           .select(col("n_left"), col("n_right"),
-            greatest(lit(0L),
-              col("n_left") + col("n_right") - col("__nu"))
+            // inclusion-exclusion noise on near-containment corpora can
+            // push the estimate past a side's own count (containment
+            // would then read > 1.0) — clamp to [0, min(sides)]
+            least(least(col("n_left"), col("n_right")),
+              greatest(lit(0L),
+                col("n_left") + col("n_right") - col("__nu")))
               .as("n_common"))
       }
     withCounts.select(
@@ -2123,8 +2127,11 @@ object Profile {
               hll_sketch_estimate(col("__sb")),
               lit(0L)).as("__nu"))): _*)
           .select((keyCols.map(qcol) ++ Seq(col("n_left"), col("n_right"),
-            greatest(lit(0L),
-              col("n_left") + col("n_right") - col("__nu"))
+            // same clamp as the global sketch path: n_common can never
+            // exceed the smaller side
+            least(least(col("n_left"), col("n_right")),
+              greatest(lit(0L),
+                col("n_left") + col("n_right") - col("__nu")))
               .as("n_common"))): _*)
       }
     withCounts.select((keyCols.map(qcol) ++ Seq(

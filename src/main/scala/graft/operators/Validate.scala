@@ -215,8 +215,10 @@ object Validate {
         "n_splits/n_rows")
     df.where(qcol(groupCol).isNotNull)
       .groupBy(qcol(groupCol))
-      .agg(countDistinct(coalesce(qcol(splitCol).cast("string"),
-          lit(" null"))).as("n_splits"),
+      // countDistinct over a struct: struct(null) is a non-null value,
+      // so a null split counts as its own distinct assignment with no
+      // sentinel string that a real value could alias with
+      .agg(countDistinct(struct(qcol(splitCol))).as("n_splits"),
         count(lit(1)).as("n_rows"))
       .where(col("n_splits") > 1)
   }

@@ -749,8 +749,10 @@ object Drive {
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
       val igOracle = graft.operators.Profile.association(
         docs, "lang", "n_chars").collect().head.getDouble(4)
+      // the two values come from differently-planned aggregations whose
+      // float summation order differs — epsilon compare, not ==
       println(s"[drive] 22-infogain lang=${ig("lang")} assoc=$igOracle " +
-        s"match=${ig("lang") == igOracle} (want true)")
+        s"match=${math.abs(ig("lang") - igOracle) <= 1e-6} (want true)")
     }
 
     spark.stop()

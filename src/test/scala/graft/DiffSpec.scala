@@ -128,6 +128,18 @@ class DiffSpec extends GraftSuite {
       Diff.snapshotDiff(oldDf.withColumnRenamed("text", "change"),
         newDf.withColumnRenamed("text", "change"), "id", Seq("change"))
     }
+    // a compared column literally named "id" would alias to __o_id and
+    // collide with the internal id markers — rejected up front, not as
+    // a confusing ambiguous-reference failure later
+    intercept[IllegalArgumentException] {
+      Diff.snapshotDiff(
+        oldDf.withColumnRenamed("id", "key").withColumnRenamed("text", "id"),
+        newDf.withColumnRenamed("id", "key").withColumnRenamed("text", "id"),
+        "key", Seq("id"))
+    }
+    intercept[IllegalArgumentException] {
+      Diff.snapshotDiff(oldDf, newDf, "id", Seq("text", "text"))
+    }
   }
 
   test("diffAndCommit: first call all-added, rerun idempotent, " +

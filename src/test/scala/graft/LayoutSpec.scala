@@ -258,4 +258,25 @@ class LayoutSpec extends GraftSuite {
       spark.sql("DROP TABLE IF EXISTS bkt_dims")
     }
   }
+
+  test("shuffleCount: a broadcast join is shuffle-free (BroadcastExchange " +
+      "is data movement, not a repartition) — the 0-certificate holds " +
+      "under DEFAULT broadcast settings") {
+    import spark.implicits._
+    val facts = (0L until 2000L).map(i => (i % 64, i)).toDF("k", "row_id")
+    val dims = (0L until 64L).map(i => (i, s"d_$i")).toDF("k", "name")
+    // defaults: the 64-row dim broadcasts; the plan has a
+    // BroadcastExchange node but moves no fact rows
+    val bj = facts.join(dims, Seq("k"))
+    val plan = bj.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"fixture must actually broadcast:\n$plan")
+    assert(Layout.shuffleCount(bj) == 0,
+      "a broadcast hash join repartitions nothing — must not count " +
+        "against the shuffle-free certificate")
+    // control: the same join forced to sort-merge DOES count
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try assert(Layout.shuffleCount(facts.join(dims, Seq("k"))) > 0)
+    finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }
