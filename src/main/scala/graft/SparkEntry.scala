@@ -2083,6 +2083,28 @@ object SparkEntry {
         "embedding", k = 5, nProbe = 2, saltBuckets = 4)
         .orderBy("query_id", "rank")
     }),
+    // the ANN SERVING TAIL end-to-end (r11): IVF-PQ retrieves an
+    // inflated 4·k=20 candidate list by asymmetric distance, then the
+    // standard exact fp32 re-rank scores just those 20 rows per query
+    // with true cosine and keeps the final k=5 — quantization error
+    // decides RECALL (which 20 survive), never the served ORDER. The
+    // oracle replays the whole composition: both trainings, cell
+    // routing, ADC ranking to 20, exact cosine re-rank to 5.
+    "q_ann_rerank" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val cb = Similarity.trainPqCodebook(lk.embeddings, "vec_id",
+        "embedding", m = 2, k = 8, iters = 1)
+      val (cs, _) = Similarity.trainCentroidSet(lk.embeddings, "vec_id",
+        "embedding", nCells = 16, iters = 1)
+      val prepared = Similarity.ivfPqEncode(lk.embeddings, "embedding",
+        cs, cb)
+      val queries = lk.embeddings.where(pmod(col("vec_id"), lit(50)) === 0)
+      val cand = Similarity.ivfPqTopK(prepared, queries, cs, cb, "vec_id",
+        "embedding", k = 20, nProbe = 2, saltBuckets = 4)
+      Similarity.exactRerank(cand, lk.embeddings, queries, "vec_id",
+        "embedding", k = 5)
+        .orderBy("query_id", "rank")
+    }),
     // Lloyd-trained IVF quantizer (2 iterations over the deterministic
     // seed): the oracle recomputes seed -> assign -> rounded/float-cast
     // means -> re-assign in SQL; matching per-cell counts pin the whole
@@ -4860,6 +4882,79 @@ object SparkEntry {
                 FROM sc)
          SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
          FROM rk WHERE rank <= 5 ORDER BY query_id, rank"""),
+    // q_ivfpq_topk's CTE chain cut at rank <= 20, then exact fp32
+    // cosine over just those candidates, final top-5
+    "q_ann_rerank" -> (s"""WITH $pqTrainCte,
+         rec AS (SELECT co.vec_id, c0v.cv AS r0, c1v.cv AS r1
+                 FROM codes co
+                 JOIN cent1 c0v ON c0v.j = 0 AND c0v.cid = co.c0
+                 JOIN cent1 c1v ON c1v.j = 1 AND c1v.cid = co.c1),
+         icent AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid,
+                          v AS cv
+                   FROM (SELECT vec_id, v, md5(CAST(vec_id AS VARCHAR)) h
+                         FROM e ORDER BY h, vec_id LIMIT 16)),
+         isc0 AS (SELECT e.vec_id id, c.cid,
+                         list_dot_product(e.v, c.cv) /
+                         (sqrt(list_dot_product(e.v, e.v)) *
+                          sqrt(list_dot_product(c.cv, c.cv))) sim
+                  FROM e CROSS JOIN icent c),
+         iasg0 AS (SELECT id, cid FROM (
+                     SELECT id, cid, row_number() OVER (PARTITION BY id
+                       ORDER BY sim DESC, cid) rr FROM isc0) WHERE rr = 1),
+         idims AS (SELECT unnest(range(1, len(cv) + 1)) i
+                   FROM (SELECT cv FROM icent LIMIT 1)),
+         im0 AS (SELECT a.cid, d.i,
+                        CAST(CAST(round(avg(e.v[d.i]), 6) AS FLOAT) AS DOUBLE) m
+                 FROM iasg0 a JOIN e ON e.vec_id = a.id CROSS JOIN idims d
+                 GROUP BY a.cid, d.i),
+         inewc AS (SELECT cid, list(m ORDER BY i) cv FROM im0 GROUP BY cid),
+         icent1 AS (SELECT c.cid, coalesce(n.cv, c.cv) cv
+                    FROM icent c LEFT JOIN inewc n ON n.cid = c.cid),
+         casg AS (SELECT id, cid FROM (
+                    SELECT e.vec_id id, c.cid, row_number() OVER (
+                      PARTITION BY e.vec_id ORDER BY
+                        list_dot_product(e.v, c.cv) /
+                        (sqrt(list_dot_product(e.v, e.v)) *
+                         sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) rr
+                    FROM e CROSS JOIN icent1 c) WHERE rr = 1),
+         q AS (SELECT vec_id AS query_id, v AS qv
+               FROM e WHERE vec_id % 50 = 0),
+         qasg AS (SELECT query_id, cid FROM (
+                    SELECT q.query_id, c.cid, row_number() OVER (
+                      PARTITION BY q.query_id ORDER BY
+                        list_dot_product(q.qv, c.cv) /
+                        (sqrt(list_dot_product(q.qv, q.qv)) *
+                         sqrt(list_dot_product(c.cv, c.cv))) DESC, c.cid) rr
+                    FROM q CROSS JOIN icent1 c) WHERE rr <= 2),
+         sc AS (SELECT q.query_id, r.vec_id AS neighbor_id,
+                  list_dot_product(q.qv, r.r0 || r.r1) AS num,
+                  sqrt(list_dot_product(q.qv, q.qv)) *
+                    sqrt(list_dot_product(r.r0, r.r0)
+                      + list_dot_product(r.r1, r.r1)) AS den
+                FROM q
+                JOIN qasg ON qasg.query_id = q.query_id
+                JOIN casg ON casg.cid = qasg.cid
+                JOIN rec r ON r.vec_id = casg.id
+                WHERE r.vec_id <> q.query_id),
+         cand AS (SELECT query_id, neighbor_id FROM (
+                    SELECT query_id, neighbor_id, row_number() OVER (
+                      PARTITION BY query_id ORDER BY
+                        CASE WHEN den = 0 THEN 0 ELSE num / den END DESC,
+                        neighbor_id) AS rank
+                    FROM sc) WHERE rank <= 20),
+         fsc AS (SELECT c.query_id, c.neighbor_id,
+                  list_dot_product(q.qv, e.v) /
+                  (sqrt(list_dot_product(q.qv, q.qv)) *
+                   sqrt(list_dot_product(e.v, e.v))) AS cs
+                FROM cand c
+                JOIN e ON e.vec_id = c.neighbor_id
+                JOIN q ON q.query_id = c.query_id),
+         rk2 AS (SELECT query_id, neighbor_id, row_number() OVER (
+                   PARTITION BY query_id ORDER BY cs DESC,
+                     neighbor_id) AS rank
+                 FROM fsc)
+         SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+         FROM rk2 WHERE rank <= 5 ORDER BY query_id, rank"""),
     "q_kmeans_assign" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
          cent AS (SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid,

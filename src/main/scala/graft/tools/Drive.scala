@@ -404,6 +404,22 @@ object Drive {
       val adcRecall = ivfPruned.intersect(a).size.toDouble / a.size
       println(f"[drive] 14-ivfpq allProbe==fullAdc=${ivfAll == a} " +
         f"(want true) prunedVsAdcRecall=$adcRecall%.2f (nProbe 2/8)")
+      // r11: the serving tail — exact fp32 re-rank of a 4·k inflated ADC
+      // candidate list. Measured against brute-force exact top-10: plain
+      // ADC recall vs rerank-tail recall shows what the standard tail
+      // buys (the rerank can only fix ORDER errors inside the candidate
+      // set, so the lift is bounded by candidate recall@40)
+      val adcPlainRecall = a.intersect(x).size.toDouble / x.size
+      val cand40 = graft.operators.Similarity.pqTopK(enc, queries, lcb,
+        "vec_id", "embedding", "pq_codes", k = 40, saltBuckets = 4)
+      val reranked = graft.operators.Similarity.exactRerank(cand40, emb,
+        queries, "vec_id", "embedding", k = 10)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val rerankRecall = reranked.intersect(x).size.toDouble / x.size
+      println(f"[drive] 14-rerank adc@10=$adcPlainRecall%.2f " +
+        f"rerank(4k)@10=$rerankRecall%.2f (want rerank >= adc) " +
+        f"lift=${rerankRecall - adcPlainRecall}%.2f rows=${reranked.size}")
     }
 
     // 15) r8: z-order layout — write z-ordered vs lexicographic, build
