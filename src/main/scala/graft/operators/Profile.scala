@@ -265,6 +265,7 @@ object Profile {
       maxEpochs: Int = 64): Unit = {
     val spark = batch.sparkSession
     if (batchId <= foldWatermark(spark, storeDir)) return
+    Stores.register(spark, storeDir, "heavy_hitters", Nil, Some(capacity))
     val w = weightCol.map(qcol).getOrElse(lit(1L))
     val bid = batchId.toString
     // one row; pin it so counters + meta don't re-aggregate the batch
@@ -318,6 +319,8 @@ object Profile {
       s"key columns may not use the reserved names ${reserved.mkString("/")}")
     val spark = batch.sparkSession
     if (batchId <= foldWatermark(spark, storeDir)) return
+    Stores.register(spark, storeDir, "heavy_hitters", keyCols,
+      Some(capacity))
     val w = weightCol.map(qcol).getOrElse(lit(1L))
     val bid = batchId.toString
     val s = batch
@@ -393,7 +396,7 @@ object Profile {
     * rewrites BEFORE counters (the registration discipline): a crash
     * between them leaves the consolidated err alongside still-unfolded
     * counters — the envelope only widens. */
-  private def foldHeavyHitterStore(
+  private[graft] def foldHeavyHitterStore(
       spark: org.apache.spark.sql.SparkSession,
       storeDir: String,
       capacity: Int,
@@ -520,6 +523,7 @@ object Profile {
       maxEpochs: Int = 64): Unit = {
     val spark = batch.sparkSession
     if (batchId <= foldWatermark(spark, storeDir)) return
+    Stores.register(spark, storeDir, "distinct", Nil, Some(lgK))
     val bid = batchId.toString
     val s = batch
       .agg(hll_sketch_agg(qcol(itemCol), lit(lgK)).as("__s"))
@@ -554,6 +558,7 @@ object Profile {
       s"key columns may not use the reserved names ${reserved.mkString("/")}")
     val spark = batch.sparkSession
     if (batchId <= foldWatermark(spark, storeDir)) return
+    Stores.register(spark, storeDir, "distinct", keyCols, Some(lgK))
     val bid = batchId.toString
     val s = batch
       .where(keyCols.map(qcol(_).isNotNull).reduce(_ && _))
@@ -594,7 +599,7 @@ object Profile {
     * associative AND idempotent, so the view is bit-identical across the
     * fold in every regime — the easiest member of the family
     * ([[foldSketchStore]], [[foldHeavyHitterStore]]). */
-  private def foldDistinctStore(
+  private[graft] def foldDistinctStore(
       spark: org.apache.spark.sql.SparkSession,
       storeDir: String,
       maxEpochs: Int,
@@ -1013,7 +1018,7 @@ object Profile {
     * already-folded epoch is dropped by the watermark check in the
     * writers (its rows are inside the consolidated segment — exactly
     * once either way under deterministic redelivery). */
-  private def foldSketchStore(
+  private[graft] def foldSketchStore(
       spark: org.apache.spark.sql.SparkSession,
       storeDir: String,
       keyCols: Seq[String],
@@ -1070,6 +1075,7 @@ object Profile {
       maxEpochs: Int = 64): Unit = {
     val spark = batch.sparkSession
     if (batchId <= foldWatermark(spark, storeDir)) return
+    Stores.register(spark, storeDir, "quantiles", Nil, Some(k))
     val bid = batchId.toString
     val s = batch.agg(graft.functions.Kll
         .sketchAgg(qcol(valueCol), k).as("__s"))
@@ -1128,6 +1134,7 @@ object Profile {
       s"key columns may not use the reserved names ${reserved.mkString("/")}")
     val spark = batch.sparkSession
     if (batchId <= foldWatermark(spark, storeDir)) return
+    Stores.register(spark, storeDir, "quantiles", keyCols, Some(k))
     val bid = batchId.toString
     val s = batch
       .where(keyCols.map(qcol(_).isNotNull).reduce(_ && _))
@@ -1790,6 +1797,7 @@ object Profile {
       s"payload columns may not use the reserved names ${reserved.mkString("/")}")
     val spark = batch.sparkSession
     if (batchId <= foldWatermark(spark, storeDir)) return
+    Stores.register(spark, storeDir, "reservoir", Nil, Some(k))
     val bid = batchId.toString
     val u = (conv(graft.operators.Sampling.sampleKey(qcol(idCol)), 16, 10)
       .cast("long") + lit(1L)).cast("double") / lit(4294967296.0)
@@ -1837,7 +1845,7 @@ object Profile {
     * top-`k` under the sentinel epoch — "top-k of union = top-k of
     * top-ks" is exactly the associativity the priorities were designed
     * for, so the view is unchanged by the fold in every regime. */
-  private def foldReservoirStore(
+  private[graft] def foldReservoirStore(
       spark: org.apache.spark.sql.SparkSession,
       storeDir: String,
       k: Int,

@@ -243,6 +243,7 @@ object Validate {
       maxEpochs: Int = 64): Unit = {
     val spark = batch.sparkSession
     if (batchId <= Profile.foldWatermark(spark, storeDir)) return
+    Stores.register(spark, storeDir, "quality_ledger", Nil, None)
     val bid = batchId.toString
     val report = check(batch, rules).localCheckpoint()
     new graft.store.SnapshotTable(spark, s"$storeDir/items")
@@ -295,7 +296,7 @@ object Validate {
   /** Bound a [[checkIncrementalBatch]] store: aged epochs' per-rule
     * counts sum into one consolidated row set under the sentinel epoch.
     * Plain-sum consolidation — exact in every regime. */
-  private def foldCheckStore(
+  private[graft] def foldCheckStore(
       spark: org.apache.spark.sql.SparkSession,
       storeDir: String,
       maxEpochs: Int): Unit = {

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Profile, Stores, Validate}
+
+/** Unified monitor-store maintenance: every incremental writer
+  * self-registers its store, Stores.describe inventories a tree of
+  * stores across all five families, and Stores.compact runs each
+  * family's fold with views unchanged (the associativity contract). */
+class StoresSpec extends GraftSuite {
+  import spark.implicits._
+
+  /** Build one store per family under a common parent, `epochs` batches
+    * each, and return the parent dir. */
+  private def buildStores(epochs: Int, maxEpochs: Int): String = {
+    val parent = tmpDir("stores_")
+    (0 until epochs).foreach { b =>
+      val batch = (0 until 20).map(i => (s"item_${(b * 7 + i) % 13}",
+        (b * 20 + i).toLong, i.toDouble + b)).toDF("item", "id", "v")
+      Profile.heavyHittersIncrementalBatch(batch, "item",
+        s"$parent/hh", capacity = 16, batchId = b, maxEpochs = maxEpochs)
+      Profile.quantileSketchIncrementalBatch(batch, "v",
+        s"$parent/kll", k = 256, batchId = b, maxEpochs = maxEpochs)
+      Profile.distinctSketchIncrementalBatch(batch, "item",
+        s"$parent/hll", batchId = b, maxEpochs = maxEpochs)
+      Profile.sampleReservoirIncrementalBatch(batch, "id", Seq("item"),
+        s"$parent/res", k = 8, batchId = b, maxEpochs = maxEpochs)
+      Validate.checkIncrementalBatch(batch,
+        Seq(Validate.Rule("v_nonneg", col("v") >= 0)),
+        s"$parent/ledger", batchId = b, maxEpochs = maxEpochs)
+    }
+    parent
+  }
+
+  test("describe inventories all five families with their registered " +
+      "identity and epoch state") {
+    val parent = buildStores(epochs = 4, maxEpochs = 64)
+    val got = Stores.describe(spark, parent)
+      .collect().map(r => (r.getString(0).split("/").last, r.getString(1),
+        r.getSeq[String](2).toList, Option(r.get(3)), r.getLong(4),
+        r.getBoolean(5), r.getLong(7), r.getBoolean(8)))
+      .sortBy(_._1).toList
+    assert(got.map(_._1) == List("hh", "hll", "kll", "ledger", "res"))
+    val byName = got.map(g => g._1 -> g).toMap
+    assert(byName("hh")._2 == "heavy_hitters" &&
+      byName("hh")._4 == Some(16))
+    assert(byName("kll")._2 == "quantiles" && byName("kll")._4 == Some(256))
+    assert(byName("hll")._2 == "distinct" && byName("hll")._4 == Some(12))
+    assert(byName("res")._2 == "reservoir" && byName("res")._4 == Some(8))
+    assert(byName("ledger")._2 == "quality_ledger" &&
+      byName("ledger")._4.isEmpty)
+    // 4 epochs each, none folded, watermark -1, all registered
+    assert(got.forall(g => g._5 == 4L && !g._6 && g._7 == -1L && g._8))
+    // describing a single store dir works too
+    assert(Stores.describe(spark, s"$parent/kll").count() == 1)
+    // an empty / storeless dir reads as an empty inventory
+    assert(Stores.describe(spark, tmpDir("nostore_")).count() == 0)
+  }
+
+  test("compact folds every family past the cap and leaves every view " +
+      "unchanged; under-cap stores are noops") {
+    val parent = buildStores(epochs = 10, maxEpochs = 0) // folding off
+    // snapshot the views BEFORE the maintenance fold
+    val hhBefore = Profile.heavyHittersView(spark, s"$parent/hh", 5)
+      .collect().toSeq
+    val kllBefore = Profile.quantileSketchView(spark, s"$parent/kll",
+      Seq(0.5, 0.9), 256).collect().toSeq
+    val hllBefore = Profile.distinctSketchView(spark, s"$parent/hll")
+      .collect().toSeq
+    val resBefore = Profile.sampleReservoirView(spark, s"$parent/res", 8)
+      .collect().toSeq
+    val ledBefore = Validate.checkView(spark, s"$parent/ledger")
+      .collect().toSeq
+
+    val rpt = Stores.compact(spark, parent, maxEpochs = 4)
+      .collect().map(r => r.getString(0).split("/").last ->
+        ((r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rpt.keySet == Set("hh", "hll", "kll", "ledger", "res"))
+    rpt.foreach { case (name, (action, before, after)) =>
+      assert(action == "folded", s"$name: $action")
+      assert(before == 10L && after == 2L, // keeps newest max(1, 4/2)=2
+        s"$name folded $before -> $after epochs")
+    }
+
+    assert(Profile.heavyHittersView(spark, s"$parent/hh", 5)
+      .collect().toSeq == hhBefore)
+    assert(Profile.quantileSketchView(spark, s"$parent/kll",
+      Seq(0.5, 0.9), 256).collect().toSeq == kllBefore)
+    assert(Profile.distinctSketchView(spark, s"$parent/hll")
+      .collect().toSeq == hllBefore)
+    assert(Profile.sampleReservoirView(spark, s"$parent/res", 8)
+      .collect().toSeq == resBefore)
+    assert(Validate.checkView(spark, s"$parent/ledger")
+      .collect().toSeq == ledBefore)
+
+    // second compact: everything under the cap now -> all noop
+    val again = Stores.compact(spark, parent, maxEpochs = 4)
+      .select("action").collect().map(_.getString(0)).toSet
+    assert(again == Set("noop"))
+  }
+
+  test("legacy stores (no descriptor) are detected by layout; compact " +
+      "folds the parameter-free families and refuses to guess for the " +
+      "rest") {
+    val parent = buildStores(epochs = 10, maxEpochs = 0)
+    // simulate pre-descriptor stores
+    Seq("hh", "kll", "hll", "res", "ledger").foreach { n =>
+      graft.store.Fs.delete(spark, s"$parent/$n/${Stores.DescriptorFile}")
+    }
+    val desc = Stores.describe(spark, parent)
+      .collect().map(r => (r.getString(0).split("/").last, r.getString(1),
+        Option(r.get(3)), r.getBoolean(8))).sortBy(_._1).toList
+    assert(desc.map(_._1) == List("hh", "hll", "kll", "ledger", "res"))
+    assert(desc.forall(d => d._3.isEmpty && !d._4),
+      "legacy stores report no param and registered=false")
+    assert(desc.map(d => d._1 -> d._2).toMap == Map(
+      "hh" -> "heavy_hitters", "kll" -> "quantiles", "hll" -> "distinct",
+      "res" -> "reservoir", "ledger" -> "quality_ledger"))
+
+    val actions = Stores.compact(spark, parent, maxEpochs = 4)
+      .collect().map(r => (r.getString(0).split("/").last, r.getString(2)))
+      .toMap
+    assert(actions("hll") == "folded" && actions("ledger") == "folded")
+    assert(actions("hh") == "skipped_no_descriptor" &&
+      actions("kll") == "skipped_no_descriptor" &&
+      actions("res") == "skipped_no_descriptor")
+    // one real append re-registers a legacy store; compact then folds it
+    val batch = Seq(("item_x", 1L, 1.0)).toDF("item", "id", "v")
+    Profile.heavyHittersIncrementalBatch(batch, "item", s"$parent/hh",
+      capacity = 16, batchId = 10, maxEpochs = 0)
+    val after = Stores.compact(spark, s"$parent/hh", maxEpochs = 4)
+      .collect().head
+    assert(after.getString(2) == "folded")
+  }
+}
