@@ -63,6 +63,42 @@ object GraftConf {
   def probeBroadcastLimit(spark: SparkSession): Int =
     getInt(spark, "probeBroadcastLimit", 100000)
 
+  /** Cost-aware multi-column probe ordering: when a probed column
+    * carries an HLL statistics sidecar (built under [[statsSidecars]]),
+    * its per-file-density estimate orders the AND-intersection
+    * most-selective-first and enables the short-circuit below. Disable
+    * to restore the fixed-order single-plan intersection. */
+  def probeOrderingEnabled(spark: SparkSession): Boolean =
+    get(spark, "probeOrderingEnabled").forall(_.toBoolean)
+
+  /** Build a per-file HLL distinct sketch SIDECAR column alongside every
+    * membership index (regular/computed/bloom/range in the same
+    * aggregate pass; exploded kinds in theirs) — ~4 KB per file per
+    * column at lgK 12, aggregated in the pass the index pays anyway.
+    * The sidecars feed [[probeOrderingEnabled]] and survive large-index
+    * eviction (a sketch summarizes the FILE's values wherever the array
+    * rows live). Stores built without sidecars stay readable and simply
+    * keep the fixed probe order. */
+  def statsSidecars(spark: SparkSession): Boolean =
+    get(spark, "statsSidecars").forall(_.toBoolean)
+
+  /** Short-circuit floor for the ordered multi-column probe: once the
+    * running candidate set holds at most this many files, remaining
+    * column probes are SKIPPED — another index pass can at best save
+    * that many file reads while always costing a scan of the index
+    * table, and residual filters keep results exact regardless (pruning
+    * only ever over-approximates). 0 short-circuits only on a provably
+    * empty intersection. */
+  def probeShortCircuitFiles(spark: SparkSession): Int =
+    getInt(spark, "probeShortCircuitFiles", 1)
+
+  /** Assumed distinct-value count of a DataFrame probe for ORDERING
+    * purposes only (counting a frame's distinct values exactly would
+    * cost a planning-time scan of the probe side). Literal-value probes
+    * use their exact count. */
+  def probeOrderFramePrior(spark: SparkSession): Int =
+    getInt(spark, "probeOrderFramePrior", 64)
+
   /** Row-count ceiling for the brute-force similarity baselines
     * (Similarity.cosinePairs / topK): above it they fail fast naming the
     * bucketed alternative instead of launching an O(n²) job. 0 disables. */

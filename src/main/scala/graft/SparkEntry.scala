@@ -2252,6 +2252,85 @@ object SparkEntry {
            FROM binned CROSS JOIN tot
            ORDER BY bin""")
     }),
+    // PURE-SQL monitoring capstone no. 2 (r11): the per-epoch quality
+    // timeline (the validate-ledger shape), exact two-sample KS of each
+    // epoch against the baseline epoch (windowed CDFs — the exact
+    // regime of Profile.ksNumeric), and PSI from the graft vocabulary
+    // (graft_quantiles cuts -> graft_bin -> graft_psi_term, the
+    // q_sql_drift chain) — ONE SQL statement over a temp view, proving
+    // the whole monitoring tier reachable from SQL alone. SQL ≡
+    // programmatic pinned in SqlFunctionsSpec.
+    "q_sql_monitor" -> ((s, dir) => {
+      graft.catalog.GraftFunctions.register(s)
+      s.read.parquet(s"$dir/events.parquet")
+        .createOrReplaceTempView("graft_events_sql")
+      s.sql(
+        """WITH ev AS (SELECT CAST(user_id % 4 AS BIGINT) AS epoch,
+                  value AS v, event_type FROM graft_events_sql),
+           led AS (SELECT epoch, count(*) AS n_rows,
+                     sum(CASE WHEN v > 400 OR event_type = 'error'
+                         THEN 1 ELSE 0 END) AS n_viol
+                   FROM ev GROUP BY epoch),
+           nn AS (SELECT epoch, v FROM ev WHERE v IS NOT NULL),
+           eps AS (SELECT DISTINCT epoch FROM nn),
+           ref AS (SELECT v FROM nn WHERE epoch = 0),
+           pairs AS (SELECT e.epoch AS epoch, r.v AS v, 1 AS rw, 0 AS cw
+                     FROM eps e CROSS JOIN ref r
+                     UNION ALL
+                     SELECT epoch, v, 0 AS rw, 1 AS cw FROM nn),
+           cdf AS (SELECT epoch,
+                     CAST(sum(rw) OVER (PARTITION BY epoch ORDER BY v
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS DOUBLE)
+                       / sum(rw) OVER (PARTITION BY epoch) AS f_ref,
+                     CAST(sum(cw) OVER (PARTITION BY epoch ORDER BY v
+                       RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS DOUBLE)
+                       / sum(cw) OVER (PARTITION BY epoch) AS f_cur
+                   FROM pairs),
+           ks AS (SELECT epoch, round(max(abs(f_ref - f_cur)), 6) AS ks_d
+                  FROM cdf GROUP BY epoch),
+           cuts AS (SELECT transform(
+                        graft_quantiles(v, 131072, 0.25, 0.5, 0.75),
+                        x -> x.value) AS c
+                    FROM nn WHERE epoch = 0),
+           bins AS (SELECT n.epoch, graft_bin(n.v, c.c) AS bin,
+                      count(*) AS n
+                    FROM nn n CROSS JOIN cuts c GROUP BY 1, 2),
+           grid AS (SELECT e.epoch, b.bin FROM eps e
+                    CROSS JOIN (SELECT DISTINCT bin FROM bins) b),
+           rb AS (SELECT bin, n AS n0 FROM bins WHERE epoch = 0),
+           rt AS (SELECT sum(n0) AS t0 FROM rb),
+           et AS (SELECT epoch, sum(n) AS te FROM bins GROUP BY epoch),
+           terms AS (SELECT g.epoch, g.bin,
+                       graft_psi_term(
+                         CASE WHEN rt.t0 > 0 THEN
+                           CAST(coalesce(rb.n0, 0) AS DOUBLE) / rt.t0 END,
+                         CASE WHEN et.te > 0 THEN
+                           CAST(coalesce(b.n, 0) AS DOUBLE) / et.te END)
+                         AS term
+                     FROM grid g
+                     LEFT JOIN rb ON rb.bin = g.bin
+                     LEFT JOIN bins b ON b.epoch = g.epoch AND b.bin = g.bin
+                     JOIN et ON et.epoch = g.epoch
+                     CROSS JOIN rt),
+           -- fixed left-to-right addition over the 4 pivoted bins: a
+           -- GROUP-BY sum's accumulation order is engine-defined, and
+           -- the oracle compare is exact at 6 decimals
+           psi AS (SELECT epoch,
+                     round(coalesce(max(CASE WHEN bin = 0 THEN term END), 0)
+                         + coalesce(max(CASE WHEN bin = 1 THEN term END), 0)
+                         + coalesce(max(CASE WHEN bin = 2 THEN term END), 0)
+                         + coalesce(max(CASE WHEN bin = 3 THEN term END), 0),
+                       6) AS psi
+                   FROM terms GROUP BY epoch)
+           SELECT l.epoch, l.n_rows, CAST(l.n_viol AS BIGINT) AS n_viol,
+                  round(CAST(l.n_viol AS DOUBLE) / l.n_rows, 6) AS violation_frac,
+                  k.ks_d, p.psi
+           FROM led l JOIN ks k ON l.epoch = k.epoch
+                      JOIN psi p ON p.epoch = l.epoch
+           ORDER BY l.epoch""")
+    }),
     // z-order layout: bucket (user_id, value) to 8 fixed-point bits each
     // under their global min/max and interleave — the oracle replays the
     // bucket arithmetic and every shift term in integer SQL, pinning the
@@ -4439,6 +4518,79 @@ object SparkEntry {
                 CAST(n_cur AS BIGINT) AS n_cur,
                 round((pc - pr) * ln(pc / pr), 6) AS psi_term
          FROM p ORDER BY bin""",
+    // replays the whole monitoring composition: ledger counts, windowed
+    // exact KS per epoch vs epoch 0, quantile_disc cuts ≡ exact-regime
+    // graft_quantiles, strictly-below bin ≡ graft_bin, clamped psi term
+    "q_sql_monitor" ->
+      """WITH ev AS (SELECT CAST(user_id % 4 AS BIGINT) AS epoch,
+                value AS v, event_type FROM events),
+         led AS (SELECT epoch, count(*) AS n_rows,
+                   sum(CASE WHEN v > 400 OR event_type = 'error'
+                       THEN 1 ELSE 0 END) AS n_viol
+                 FROM ev GROUP BY epoch),
+         nn AS (SELECT epoch, v FROM ev WHERE v IS NOT NULL),
+         eps AS (SELECT DISTINCT epoch FROM nn),
+         ref AS (SELECT v FROM nn WHERE epoch = 0),
+         pairs AS (SELECT e.epoch AS epoch, r.v AS v, 1 AS rw, 0 AS cw
+                   FROM eps e CROSS JOIN ref r
+                   UNION ALL
+                   SELECT epoch, v, 0 AS rw, 1 AS cw FROM nn),
+         cdf AS (SELECT epoch,
+                   CAST(sum(rw) OVER (PARTITION BY epoch ORDER BY v
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS DOUBLE)
+                     / sum(rw) OVER (PARTITION BY epoch) AS f_ref,
+                   CAST(sum(cw) OVER (PARTITION BY epoch ORDER BY v
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS DOUBLE)
+                     / sum(cw) OVER (PARTITION BY epoch) AS f_cur
+                 FROM pairs),
+         ks AS (SELECT epoch, round(max(abs(f_ref - f_cur)), 6) AS ks_d
+                FROM cdf GROUP BY epoch),
+         cuts AS (SELECT quantile_disc(v, [0.25, 0.5, 0.75]) AS c
+                  FROM nn WHERE epoch = 0),
+         bins AS (SELECT n.epoch,
+                    len(list_filter(c.c, x -> n.v > x)) AS bin,
+                    count(*) AS n
+                  FROM nn n CROSS JOIN cuts c GROUP BY 1, 2),
+         grid AS (SELECT e.epoch, b.bin FROM eps e
+                  CROSS JOIN (SELECT DISTINCT bin FROM bins) b),
+         rb AS (SELECT bin, n AS n0 FROM bins WHERE epoch = 0),
+         rt AS (SELECT sum(n0) AS t0 FROM rb),
+         et AS (SELECT epoch, sum(n) AS te FROM bins GROUP BY epoch),
+         terms AS (SELECT g.epoch, g.bin,
+                     -- graft_psi_term rounds EACH term to 6 decimals;
+                     -- replicate before the pivoted fixed-order sum
+                     round((greatest(coalesce(CASE WHEN et.te > 0 THEN
+                        CAST(coalesce(b.n, 0) AS DOUBLE) / et.te END, 0),
+                        1e-6)
+                      - greatest(coalesce(CASE WHEN rt.t0 > 0 THEN
+                        CAST(coalesce(rb.n0, 0) AS DOUBLE) / rt.t0 END, 0),
+                        1e-6))
+                     * ln(greatest(coalesce(CASE WHEN et.te > 0 THEN
+                         CAST(coalesce(b.n, 0) AS DOUBLE) / et.te END, 0),
+                         1e-6)
+                       / greatest(coalesce(CASE WHEN rt.t0 > 0 THEN
+                         CAST(coalesce(rb.n0, 0) AS DOUBLE) / rt.t0 END, 0),
+                         1e-6)), 6) AS term
+                   FROM grid g
+                   LEFT JOIN rb ON rb.bin = g.bin
+                   LEFT JOIN bins b ON b.epoch = g.epoch AND b.bin = g.bin
+                   JOIN et ON et.epoch = g.epoch
+                   CROSS JOIN rt),
+         psi AS (SELECT epoch,
+                   round(coalesce(max(CASE WHEN bin = 0 THEN term END), 0)
+                       + coalesce(max(CASE WHEN bin = 1 THEN term END), 0)
+                       + coalesce(max(CASE WHEN bin = 2 THEN term END), 0)
+                       + coalesce(max(CASE WHEN bin = 3 THEN term END), 0),
+                     6) AS psi
+                 FROM terms GROUP BY epoch)
+         SELECT l.epoch, l.n_rows, CAST(l.n_viol AS BIGINT) AS n_viol,
+                round(CAST(l.n_viol AS DOUBLE) / l.n_rows, 6) AS violation_frac,
+                k.ks_d, p.psi
+         FROM led l JOIN ks k ON l.epoch = k.epoch
+                    JOIN psi p ON p.epoch = l.epoch
+         ORDER BY l.epoch""",
     "q_sample_hash" ->
       """SELECT doc_id, lang FROM documents
          WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '40000000'

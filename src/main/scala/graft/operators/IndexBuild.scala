@@ -33,6 +33,12 @@ import graft.store.IndexStore
 object IndexBuild extends Logging {
   private val F = FileReader.FilenameCol
 
+  /** Storage column of a membership index's HLL distinct-stats sidecar
+    * (the `auto_bloom_<col>` naming pattern). Absent on stores built
+    * with `spark.graft.statsSidecars=false` or by older versions —
+    * probes then keep the fixed order. */
+  def statsColumn(column: String): String = s"hll_stats_$column"
+
   final case class FileAnalysis(filename: String, maxDistinct: Long)
 
   /** Entry point: consolidate any stale staging (crash recovery), then
@@ -185,8 +191,22 @@ object IndexBuild extends Logging {
         ix.indexType == "bloom" || ix.indexType == "range" ||
         ix.indexType == "hll")
 
+    // HLL distinct-stats sidecar per membership index (the auto-bloom
+    // sidecar pattern): one fixed-size sketch per (file, column) riding
+    // the aggregate pass the index pays anyway. Feeds cost-aware probe
+    // ordering (IndexProbe) and survives large-index eviction — a
+    // sketch summarizes the FILE's values wherever the array rows live.
+    val sidecars = GraftConf.statsSidecars(spark)
+    // cast-to-string universality (the bloom-agg trick): hll_sketch_agg
+    // accepts int/long/string/binary only, but any column type's
+    // distinct count survives a string rendering
+    def statsAgg(values: Column, column: String): Seq[Column] =
+      if (!sidecars) Nil
+      else Seq(call_function("hll_sketch_agg", values.cast("string"),
+        lit(12)).as(statsColumn(column)))
+
     val aggCols: Seq[Column] =
-      first(col(FileReader.FileSizeCol)).as("file_size") +:
+      (first(col(FileReader.FileSizeCol)).as("file_size") +:
         scalarDefs.map {
           case ix if ix.indexType == "bloom" =>
             Blooms.bloomAgg(col(ix.column).cast("string"), bloomItems,
@@ -202,16 +222,19 @@ object IndexBuild extends Logging {
               lit(ix.lgConfigK.getOrElse(12))).as(ix.storageColumn)
           case ix =>
             collect_set(col(ix.column)).as(ix.storageColumn)
-        }
+        }) ++ scalarDefs.filter(_.indexType != "hll")
+          .flatMap(ix => statsAgg(col(ix.column), ix.column))
 
     var rows = base.groupBy(col(F).as("filename")).agg(aggCols.head, aggCols.tail: _*)
 
     // Exploded-array indexes change row multiplicity → separate aggregation,
     // merged by filename (reference: IndexBuildOperations.scala:852-867).
     meta.indexes.filter(_.indexType == "exploded").foreach { ix =>
+      val eAggs = collect_set(col(ix.column)).as(ix.column) +:
+        statsAgg(col(ix.column), ix.column)
       val e = tagged
         .select(col(F).as("filename"), explode(expr(ix.expr.get)).as(ix.column))
-        .groupBy("filename").agg(collect_set(col(ix.column)).as(ix.column))
+        .groupBy("filename").agg(eAggs.head, eAggs.tail: _*)
       rows = rows.join(e, Seq("filename"), "left_outer")
     }
 
@@ -223,11 +246,13 @@ object IndexBuild extends Logging {
     // window-hash-grade element counts.
     meta.indexes.filter(_.indexType == "exploded_bloom").foreach { ix =>
       val cap = ix.expectedItems.getOrElse(1000000L)
+      val ebAggs = Blooms.bloomAgg(col("__ev").cast("string"), cap,
+        ix.fpr.getOrElse(0.01)).as(ix.storageColumn) +:
+        statsAgg(col("__ev"), ix.column)
       val e = tagged
         .select(col(F).as("filename"), explode(expr(ix.expr.get)).as("__ev"))
         .groupBy("filename")
-        .agg(Blooms.bloomAgg(col("__ev").cast("string"), cap,
-          ix.fpr.getOrElse(0.01)).as(ix.storageColumn))
+        .agg(ebAggs.head, ebAggs.tail: _*)
       rows = rows.join(e, Seq("filename"), "left_outer")
     }
 

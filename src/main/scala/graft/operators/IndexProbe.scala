@@ -57,12 +57,131 @@ object IndexProbe {
         // Mirrors the SQL catalog's r4 temporal-safety guard on the
         // programmatic path.
         val latestFileOk = indexed.size == 1
-        indexed
-          .map { case (ix, probe) =>
-            candidatesForColumn(store, indexDf, ix, probe, latestFileOk) }
-          .map(_.select("filename").distinct())
-          .reduce((a, b) => a.join(b, Seq("filename"), "inner"))
+        val scores =
+          if (indexed.size > 1 && GraftConf.probeOrderingEnabled(spark))
+            hllProbeScores(spark, indexDf, indexed)
+          else Map.empty[String, Double]
+        if (scores.isEmpty) {
+          lastProbeTrace = None
+          indexed
+            .map { case (ix, probe) =>
+              candidatesForColumn(store, indexDf, ix, probe, latestFileOk) }
+            .map(_.select("filename").distinct())
+            .reduce((a, b) => a.join(b, Seq("filename"), "inner"))
+        } else orderedCandidateFiles(store, indexDf, indexed, scores)
     }
+  }
+
+  /** One step of an ordered multi-column probe, for diagnostics:
+    * the column probed, the running candidate count AFTER it (−1 when
+    * skipped), and whether the short-circuit skipped it. Recorded only
+    * under `spark.graft.metricsEnabled`. */
+  final case class ProbeStep(column: String, candidates: Long,
+      skipped: Boolean)
+  @volatile var lastProbeTrace: Option[Seq[ProbeStep]] = None
+
+  /** Selectivity scores from the HLL distinct-stats SIDECARS the index
+    * build rides along every membership index
+    * ([[IndexBuild.statsColumn]]): for each probed column whose sidecar
+    * exists, estimate the expected per-file match count of its probe as
+    * `nValues × avgPerFileDistinct / globalDistinct` — the union-bound
+    * probability proxy for "does a given file survive this probe".
+    * Lower = more selective = probe earlier. One bounded aggregate over
+    * the index table computes every score (per-file sketches estimate
+    * per row; the global estimate is their union — Datasketches HLL,
+    * ~1.6 % rse at lgK 12). Literal probes use their exact distinct
+    * value count; DataFrame probes a configured prior (counting them
+    * would cost a planning scan of the probe side). Columns with no
+    * sidecar get no score and keep their original relative order AFTER
+    * every scored column. */
+  private def hllProbeScores(
+      spark: SparkSession,
+      indexDf: DataFrame,
+      indexed: Seq[(IndexDef, Probe)]): Map[String, Double] = {
+    val statCols = indexed.flatMap { case (ix, probe) =>
+      val sc = IndexBuild.statsColumn(ix.column)
+      if (indexDf.columns.contains(sc)) Some((ix.column, sc, probe))
+      else None
+    }
+    if (statCols.isEmpty) return Map.empty
+    val aggs = statCols.flatMap { case (c, sc, _) =>
+      Seq(
+        avg(call_function("hll_sketch_estimate", col(sc)))
+          .as(s"__avg_$c"),
+        call_function("hll_sketch_estimate",
+          call_function("hll_union_agg", col(sc), lit(true)))
+          .as(s"__u_$c"))
+    }
+    val row = indexDf.agg(aggs.head, aggs.tail: _*).first()
+    val framePrior = GraftConf.probeOrderFramePrior(spark).toDouble
+    statCols.zipWithIndex.flatMap { case ((c, _, probe), i) =>
+      val (avgI, uI) = (2 * i, 2 * i + 1)
+      if (row.isNullAt(avgI) || row.isNullAt(uI)) None
+      else {
+        val perFile = row.getDouble(avgI)
+        val global = math.max(1L, row.getLong(uI)).toDouble
+        val nVals = probe match {
+          case Values(vs) => math.max(1, vs.distinct.size).toDouble
+          case Frame(_) => framePrior
+        }
+        Some(c -> nVals * perFile / global)
+      }
+    }.toMap
+  }
+
+  /** Ordered, short-circuiting AND-intersection: probe the most
+    * selective column FIRST (ascending [[hllProbeScores]]; unscored
+    * columns keep their original relative order after every scored
+    * one), restrict each later probe's index frame to the running
+    * candidate set, and SKIP remaining probes once the running set is
+    * at most `spark.graft.probeShortCircuitFiles` files (or provably
+    * empty) — each skipped probe saves a full index-table pass while
+    * costing at most that many extra file reads, and the result is a
+    * SUPERSET of the fixed-order intersection, which pruning is always
+    * allowed to be (residual joins/filters keep results exact). Every
+    * step pins its bounded filename frame (≤ one row per file) and
+    * counts it — the count is the short-circuit decision AND the
+    * intersection-tightness certificate recorded in [[lastProbeTrace]].
+    * Overflow-segment candidates are re-intersected with the running
+    * set explicitly: the large-table scan is not restricted by the
+    * frame, so its matches must not re-admit files an earlier probe
+    * eliminated. */
+  private def orderedCandidateFiles(
+      store: IndexStore,
+      indexDf: DataFrame,
+      indexed: Seq[(IndexDef, Probe)],
+      scores: Map[String, Double]): DataFrame = {
+    val spark = store.spark
+    // stable sort: scored columns ascending, unscored (MaxValue) keep
+    // their original relative order at the end; ties broken by column
+    // name for plan determinism
+    val ordered = indexed.sortBy { case (ix, _) =>
+      (scores.getOrElse(ix.column, Double.MaxValue), ix.column)
+    }
+    val floor = GraftConf.probeShortCircuitFiles(spark).toLong
+    val trace = scala.collection.mutable.ArrayBuffer.empty[ProbeStep]
+    var cand: Option[DataFrame] = None
+    var candCount = Long.MaxValue
+    ordered.foreach { case (ix, probe) =>
+      if (candCount <= floor) trace += ProbeStep(ix.column, -1L, true)
+      else {
+        val frame = cand match {
+          case Some(c) => indexDf.join(c, Seq("filename"), "left_semi")
+          case None => indexDf
+        }
+        var next = candidatesForColumn(store, frame, ix, probe,
+            latestFileOk = false)
+          .select("filename").distinct()
+        cand.foreach(c => next = next.join(c, Seq("filename"), "left_semi"))
+        val pinned = next.localCheckpoint()
+        candCount = pinned.count()
+        cand = Some(pinned)
+        trace += ProbeStep(ix.column, candCount, false)
+      }
+    }
+    lastProbeTrace =
+      if (GraftConf.metricsEnabled(spark)) Some(trace.toSeq) else None
+    cand.get
   }
 
   /** Collect the final (bounded: one row per candidate file) path list. */

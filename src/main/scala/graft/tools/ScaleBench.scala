@@ -61,6 +61,7 @@ object ScaleBench {
       else if (mode == "quality") () // raw tables only; no index fixtures
       else if (mode == "drift") () // raw lineitem only; no index fixtures
       else if (mode == "govern") () // raw docs/lineitem; no index fixtures
+      else if (mode == "probeorder") lk.documentsFiles // split only; build is the bench
       else lk.prebuild()
       lk
     }
@@ -296,6 +297,48 @@ object ScaleBench {
 
     if (mode == "winidx") {
       windowIndexSection()
+      emit(results, counts, sfDir); spark.stop(); return
+    }
+    // r11: cost-aware multi-column probe ordering on a skewed pair —
+    // doc_id (unique per row: one probe value lives in ONE file, and the
+    // probe is a cheap array scan) AND a corpus-common token on the
+    // exploded index (lives in EVERY file, and the probe pays an explode
+    // of every file's token array). Ordered+short-circuit probes doc_id
+    // first, sees 1 candidate file, and SKIPS the token explode; the
+    // fixed-order intersection pays it in full. Same located set.
+    if (mode == "probeorder") {
+      val name = "sb_po_docs"
+      graft.Index.remove(spark, name)
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      bench("x_po_build") {
+        val idx = graft.Index(spark, name, docs.schema, "parquet")
+        idx.addIndex("doc_id")
+        idx.addExplodedIndex("tok", "split(text, ' ')")
+        idx.addFile(lake.documentsFiles: _*)
+        idx.update()
+        lake.documentsFiles.size.toLong
+      }
+      val idx = graft.Index.connect(spark, name)
+      val probe: Map[String, Seq[Any]] = Map(
+        "tok" -> Seq("the"), "doc_id" -> Seq(77777L))
+      // warm both paths once (JIT + FS cache), then measure
+      spark.conf.set("spark.graft.probeOrderingEnabled", "false")
+      idx.locateFiles(probe)
+      spark.conf.set("spark.graft.probeOrderingEnabled", "true")
+      idx.locateFiles(probe)
+      var orderedFiles = Seq.empty[String]
+      bench("x_po_ordered") {
+        orderedFiles = idx.locateFiles(probe); orderedFiles.size.toLong
+      }
+      spark.conf.set("spark.graft.probeOrderingEnabled", "false")
+      var fixedFiles = Seq.empty[String]
+      bench("x_po_fixed") {
+        fixedFiles = idx.locateFiles(probe); fixedFiles.size.toLong
+      }
+      spark.conf.unset("spark.graft.probeOrderingEnabled")
+      counts("x_po_sets_agree") =
+        if (orderedFiles.toSet == fixedFiles.toSet) 1L else 0L
+      graft.Index.remove(spark, name)
       emit(results, counts, sfDir); spark.stop(); return
     }
     if (mode == "pq") {

@@ -300,6 +300,44 @@ class SqlFunctionsSpec extends GraftSuite {
       s"sql $gotPsi vs programmatic $wantPsi")
   }
 
+  test("pure-SQL monitoring capstone: windowed exact KS per epoch == " +
+      "Profile.ksNumeric in the exact regime") {
+    val s = spark
+    val ev = s.read.parquet(s"$sf/events.parquet")
+      .select((col("user_id") % 4).cast("long").as("epoch"), col("value"))
+      .where(col("value").isNotNull)
+    val ref = ev.where(col("epoch") === 0).select("value")
+    val want = (0L until 4L).map { e =>
+      e -> graft.operators.Profile.ksNumeric(ref,
+          ev.where(col("epoch") === e).select("value"), "value", k = 131072)
+        .collect().head.getDouble(0)
+    }.toMap
+    ev.createOrReplaceTempView("sqlfn_events")
+    val got = s.sql(
+      """WITH eps AS (SELECT DISTINCT epoch FROM sqlfn_events),
+         ref AS (SELECT value AS v FROM sqlfn_events WHERE epoch = 0),
+         pairs AS (SELECT e.epoch AS epoch, r.v AS v, 1 AS rw, 0 AS cw
+                   FROM eps e CROSS JOIN ref r
+                   UNION ALL
+                   SELECT epoch, value AS v, 0 AS rw, 1 AS cw
+                   FROM sqlfn_events),
+         cdf AS (SELECT epoch,
+                   CAST(sum(rw) OVER (PARTITION BY epoch ORDER BY v
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS DOUBLE)
+                     / sum(rw) OVER (PARTITION BY epoch) AS f_ref,
+                   CAST(sum(cw) OVER (PARTITION BY epoch ORDER BY v
+                     RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS DOUBLE)
+                     / sum(cw) OVER (PARTITION BY epoch) AS f_cur
+                 FROM pairs)
+         SELECT epoch, round(max(abs(f_ref - f_cur)), 6) AS ks_d
+         FROM cdf GROUP BY epoch""")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == want, s"sql $got vs programmatic $want")
+    assert(want(0L) == 0.0, "baseline vs itself must read 0")
+  }
+
   test("no UDFs in the resolved SQL plans (codegen parity)") {
     val plan = docs.sparkSession.sql(
       """SELECT graft_lang_id(text), graft_simhash64(text),
