@@ -319,8 +319,15 @@ object ScaleBench {
         lake.documentsFiles.size.toLong
       }
       val idx = graft.Index.connect(spark, name)
+      // the decontamination-shaped expensive side: 5k corpus tokens —
+      // the fixed-order plan explodes every file's token array against
+      // all 5k values; the ordered plan never runs that probe
+      val hotToks: Seq[Any] = docs
+        .select(explode(split(col("text"), " ")).as("t"))
+        .groupBy("t").count().orderBy(col("count").desc, col("t"))
+        .limit(5000).collect().map(_.getString(0)).toSeq
       val probe: Map[String, Seq[Any]] = Map(
-        "tok" -> Seq("the"), "doc_id" -> Seq(77777L))
+        "tok" -> hotToks, "doc_id" -> Seq(77777L))
       // warm both paths once (JIT + FS cache), then measure
       spark.conf.set("spark.graft.probeOrderingEnabled", "false")
       idx.locateFiles(probe)
@@ -336,8 +343,10 @@ object ScaleBench {
         fixedFiles = idx.locateFiles(probe); fixedFiles.size.toLong
       }
       spark.conf.unset("spark.graft.probeOrderingEnabled")
-      counts("x_po_sets_agree") =
-        if (orderedFiles.toSet == fixedFiles.toSet) 1L else 0L
+      // contract: ordered may only over-approximate (a skipped probe
+      // widens the candidate set; residual filters keep rows exact)
+      counts("x_po_superset_ok") =
+        if (fixedFiles.toSet.subsetOf(orderedFiles.toSet)) 1L else 0L
       graft.Index.remove(spark, name)
       emit(results, counts, sfDir); spark.stop(); return
     }
