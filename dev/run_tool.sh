@@ -4,7 +4,7 @@
 # Usage: dev/run_tool.sh graft.tools.ScaleBench [args...]
 set -euo pipefail
 CP="/root/repo/target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
-exec java \
+exec java ${GRAFT_JAVA_OPTS:-} \
   -Xmx96g \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \

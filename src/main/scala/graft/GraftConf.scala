@@ -99,6 +99,14 @@ object GraftConf {
   def probeOrderFramePrior(spark: SparkSession): Int =
     getInt(spark, "probeOrderFramePrior", 64)
 
+  /** Report post-pruning `sizeInBytes` from the SQL catalog scan
+    * (summed `file_size` of the located candidate files — one bounded
+    * index-table aggregate, no data scan). Without it a DSv2 relation
+    * defaults to Long.MaxValue and a pruned graft table can never plan
+    * as a join's broadcast side. */
+  def reportStatistics(spark: SparkSession): Boolean =
+    get(spark, "reportStatistics").forall(_.toBoolean)
+
   /** Row-count ceiling for the brute-force similarity baselines
     * (Similarity.cosinePairs / topK): above it they fail fast naming the
     * bucketed alternative instead of launching an O(n²) job. 0 disables. */

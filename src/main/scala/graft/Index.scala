@@ -181,6 +181,8 @@ final class Index private (
     store.updateLock.withLock {
       store.fileListLock.withLock(store.fileList.deleteKeys(keys, "filename"))
       store.indexTable.deleteKeys(keys, "filename")
+      if (store.statsTable.exists)
+        store.statsTable.deleteKeys(keys, "filename")
       // overflow tables: manifest-only tombstone segment — no data rewrite
       store.largeColumns.foreach(c =>
         store.largeTable(c).deleteLiteralKeys("filename", qualified))

@@ -2192,6 +2192,11 @@ object SparkEntry {
       if (!s.experimental.extraOptimizations.contains(graft.catalog.GraftJoinRule))
         s.experimental.extraOptimizations =
           s.experimental.extraOptimizations :+ graft.catalog.GraftJoinRule
+      if (!s.experimental.extraOptimizations
+          .contains(graft.catalog.GraftBroadcastHintRule))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+
+            graft.catalog.GraftBroadcastHintRule
       lk.customers.where(col("c_acctbal") > 9000)
         .createOrReplaceTempView("graft_probe_cust")
       s.sql(

@@ -90,32 +90,70 @@ class GraftScanBuilder(meta: IndexMetadata)
 class GraftScan(
     val meta: IndexMetadata,
     pruningFilters: Array[Filter],
-    requiredSchema: StructType) extends V1Scan {
+    requiredSchema: StructType)
+    extends V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   override def readSchema(): StructType = requiredSchema
 
   override def description(): String =
     s"GraftScan(${meta.name}, pruning=[${pruningFilters.mkString(", ")}])"
 
+  /** Candidate files under the pushed filters, located ONCE per scan and
+    * shared by statistics estimation (planning) and the actual read
+    * (execution) — statistics never pay a second probe. */
+  private[catalog] lazy val locatedFiles: Seq[String] =
+    GraftScan.locateFiles(SparkSession.active, meta, pruningFilters)
+
+  /** Post-pruning size from the index table's own `file_size` column —
+    * no data scan, no footer reads. Without this, a DSv2 relation
+    * defaults to `spark.sql.defaultSizeInBytes` (Long.MaxValue), so a
+    * graft table pruned to one band could NEVER plan as the broadcast
+    * side of a join; with it, Catalyst sees the size of the files the
+    * scan will actually read. `numRows` stays unreported (the index
+    * stores byte sizes, not row counts) — sizeInBytes alone drives the
+    * broadcast decision. Disable via `spark.graft.reportStatistics`. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val spark = SparkSession.active
+    val size: java.util.OptionalLong =
+      if (!graft.GraftConf.reportStatistics(spark))
+        java.util.OptionalLong.empty()
+      else {
+        val store = new IndexStore(spark, meta.name)
+        store.indexTable.read() match {
+          case Some(idx) if idx.columns.contains("file_size") =>
+            val scoped =
+              if (pruningFilters.isEmpty) idx
+              else {
+                // semi-join, not an isin literal: the candidate list can
+                // be thousands of paths on a real lake
+                import spark.implicits._
+                idx.join(locatedFiles.toDF("filename"),
+                  Seq("filename"), "left_semi")
+              }
+            val row = scoped.agg(org.apache.spark.sql.functions
+              .coalesce(org.apache.spark.sql.functions.sum("file_size"),
+                org.apache.spark.sql.functions.lit(0L))).first()
+            java.util.OptionalLong.of(math.max(row.getLong(0), 1L))
+          case _ => java.util.OptionalLong.empty()
+        }
+      }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = size
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
+
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
-    new GraftBaseRelation(context.sparkSession, meta, pruningFilters, requiredSchema)
+    new GraftBaseRelation(context.sparkSession, meta, () => locatedFiles,
+      requiredSchema)
       .asInstanceOf[T]
 }
 
-/** Locates files from the pushed filters, reads only those through the
-  * normal read path, applies latest-version semantics for every temporal
-  * index (the catalog read semantic, reference: AriadneScan.scala:279-283),
-  * projects required columns. Residual row filters are applied by Spark. */
-class GraftBaseRelation(
-    spark: SparkSession,
-    meta: IndexMetadata,
-    pruningFilters: Array[Filter],
-    requiredSchema: StructType) extends BaseRelation with TableScan {
-
-  override def sqlContext: SQLContext = spark.sqlContext
-
-  override def schema: StructType = requiredSchema
+object GraftScan {
 
   /** Which pushed filters may prune FILES without breaking the catalog's
     * latest-version semantic? Temporal dedup computes per-key winners over
@@ -132,7 +170,7 @@ class GraftBaseRelation(
     * The reference's catalog scan prunes on any indexed EqualTo/In and so
     * can resurrect stale versions on temporal tables
     * (AriadneScan.scala:50-60 + 279-283); this rule pins the safe subset. */
-  private def pruneSafe(f: Filter): Boolean = {
+  private def pruneSafe(meta: IndexMetadata)(f: Filter): Boolean = {
     val temporal = meta.indexes.filter(_.indexType == "temporal")
     if (temporal.isEmpty) true
     else if (temporal.size == 1) f match {
@@ -142,9 +180,14 @@ class GraftBaseRelation(
     } else false
   }
 
-  override def buildScan(): RDD[Row] = {
+  /** Candidate files for the safe subset of the pushed filters (every
+    * registered file when nothing prunes). */
+  private[catalog] def locateFiles(
+      spark: SparkSession,
+      meta: IndexMetadata,
+      pruningFilters: Array[Filter]): Seq[String] = {
     val store = new IndexStore(spark, meta.name)
-    val safeFilters = pruningFilters.filter(pruneSafe)
+    val safeFilters = pruningFilters.filter(pruneSafe(meta))
     val values: Map[String, Seq[Any]] = safeFilters.collect {
       case EqualTo(attr, v) => attr -> Seq(v)
       case In(attr, vs)     => attr -> vs.toSeq
@@ -159,26 +202,45 @@ class GraftBaseRelation(
       case LessThanOrEqual(attr, v)    => attr -> ("<=" -> v)
     }.groupBy(_._1).map { case (k, kvs) => k -> kvs.map(_._2).toSeq }
 
-    val files: Seq[String] =
-      if (values.isEmpty && bounds.isEmpty) {
-        store.fileList.read()
-          .map(_.select("filename").collect().map(_.getString(0)).toSeq)
-          .getOrElse(Seq.empty)
-      } else {
-        val valueFrame =
-          if (values.isEmpty) None
-          else Some(IndexProbe.candidateFiles(store, meta,
-            values.map { case (c, vs) => c -> IndexProbe.Values(vs) }))
-        val boundFrames = bounds.flatMap { case (c, ops) =>
-          meta.indexFor(c).map(ix =>
-            IndexProbe.rangeFilterCandidates(store, ix, ops))
-        }
-        val all = (valueFrame.toSeq ++ boundFrames)
-          .map(_.select("filename").distinct())
-          .reduce((a, b) => a.join(b, Seq("filename"), "inner"))
-        IndexProbe.collectFiles(all)
+    if (values.isEmpty && bounds.isEmpty) {
+      store.fileList.read()
+        .map(_.select("filename").collect().map(_.getString(0)).toSeq)
+        .getOrElse(Seq.empty)
+    } else {
+      val valueFrame =
+        if (values.isEmpty) None
+        else Some(IndexProbe.candidateFiles(store, meta,
+          values.map { case (c, vs) => c -> IndexProbe.Values(vs) }))
+      val boundFrames = bounds.flatMap { case (c, ops) =>
+        meta.indexFor(c).map(ix =>
+          IndexProbe.rangeFilterCandidates(store, ix, ops))
       }
-    if (graft.GraftConf.metricsEnabled(spark)) IndexJoin.recordMetrics(store, files)
+      val all = (valueFrame.toSeq ++ boundFrames)
+        .map(_.select("filename").distinct())
+        .reduce((a, b) => a.join(b, Seq("filename"), "inner"))
+      IndexProbe.collectFiles(all)
+    }
+  }
+}
+
+/** Reads the scan's located files through the normal read path, applies
+  * latest-version semantics for every temporal index (the catalog read
+  * semantic, reference: AriadneScan.scala:279-283), projects required
+  * columns. Residual row filters are applied by Spark. */
+class GraftBaseRelation(
+    spark: SparkSession,
+    meta: IndexMetadata,
+    locatedFiles: () => Seq[String],
+    requiredSchema: StructType) extends BaseRelation with TableScan {
+
+  override def sqlContext: SQLContext = spark.sqlContext
+
+  override def schema: StructType = requiredSchema
+
+  override def buildScan(): RDD[Row] = {
+    val files = locatedFiles()
+    if (graft.GraftConf.metricsEnabled(spark))
+      IndexJoin.recordMetrics(new IndexStore(spark, meta.name), files)
 
     var df = FileReader.readFiles(spark, meta, files)
     df = IndexJoin.applyTemporalDedup(df, meta,

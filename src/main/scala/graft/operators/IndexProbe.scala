@@ -59,7 +59,7 @@ object IndexProbe {
         val latestFileOk = indexed.size == 1
         val scores =
           if (indexed.size > 1 && GraftConf.probeOrderingEnabled(spark))
-            hllProbeScores(spark, indexDf, indexed)
+            hllProbeScores(store, indexed)
           else Map.empty[String, Double]
         if (scores.isEmpty) {
           lastProbeTrace = None
@@ -81,26 +81,28 @@ object IndexProbe {
   @volatile var lastProbeTrace: Option[Seq[ProbeStep]] = None
 
   /** Selectivity scores from the HLL distinct-stats SIDECARS the index
-    * build rides along every membership index
-    * ([[IndexBuild.statsColumn]]): for each probed column whose sidecar
-    * exists, estimate the expected per-file match count of its probe as
-    * `nValues × avgPerFileDistinct / globalDistinct` — the union-bound
-    * probability proxy for "does a given file survive this probe".
-    * Lower = more selective = probe earlier. One bounded aggregate over
-    * the index table computes every score (per-file sketches estimate
-    * per row; the global estimate is their union — Datasketches HLL,
-    * ~1.6 % rse at lgK 12). Literal probes use their exact distinct
-    * value count; DataFrame probes a configured prior (counting them
-    * would cost a planning scan of the probe side). Columns with no
-    * sidecar get no score and keep their original relative order AFTER
-    * every scored column. */
+    * build writes alongside every membership index
+    * ([[IndexBuild.statsColumn]], persisted in the store's separate
+    * `stats` table so the hot index table stays lean): for each probed
+    * column with a sidecar, estimate the expected per-file match count
+    * of its probe as `nValues × avgPerFileDistinct / globalDistinct` —
+    * the union-bound probability proxy for "does a given file survive
+    * this probe". Lower = more selective = probe earlier. One bounded
+    * aggregate over the stats table computes every score (per-file
+    * sketches estimate per row; the global estimate is their union —
+    * Datasketches HLL, ~1.6 % rse at lgK 12). Literal probes use their
+    * exact distinct value count; DataFrame probes a configured prior
+    * (counting them would cost a planning scan of the probe side).
+    * Columns with no sidecar get no score and keep their original
+    * relative order AFTER every scored column. */
   private def hllProbeScores(
-      spark: SparkSession,
-      indexDf: DataFrame,
+      store: IndexStore,
       indexed: Seq[(IndexDef, Probe)]): Map[String, Double] = {
+    val spark = store.spark
+    val stats = store.statsTable.read().getOrElse(return Map.empty)
     val statCols = indexed.flatMap { case (ix, probe) =>
       val sc = IndexBuild.statsColumn(ix.column)
-      if (indexDf.columns.contains(sc)) Some((ix.column, sc, probe))
+      if (stats.columns.contains(sc)) Some((ix.column, sc, probe))
       else None
     }
     if (statCols.isEmpty) return Map.empty
@@ -112,7 +114,7 @@ object IndexProbe {
           call_function("hll_union_agg", col(sc), lit(true)))
           .as(s"__u_$c"))
     }
-    val row = indexDf.agg(aggs.head, aggs.tail: _*).first()
+    val row = stats.agg(aggs.head, aggs.tail: _*).first()
     val framePrior = GraftConf.probeOrderFramePrior(spark).toDouble
     statCols.zipWithIndex.flatMap { case ((c, _, probe), i) =>
       val (avgI, uI) = (2 * i, 2 * i + 1)

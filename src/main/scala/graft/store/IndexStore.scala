@@ -23,6 +23,17 @@ final class IndexStore(val spark: SparkSession, val name: String) {
   val largeDir = s"$indexDir/large_indexes"
 
   def indexTable = new SnapshotTable(spark, s"$indexDir/index")
+  /** Advisory planning statistics (per-file HLL distinct sketches per
+    * indexed column) — kept OUT of the hot index table so the table
+    * every probe scans (and Spark-caches) stays lean; only the
+    * multi-column probe orderer reads this. NOT Spark-cached: the
+    * orderer runs one bounded aggregate per multi-column probe, and
+    * pinning megabytes of sketch binaries in executor memory would
+    * pressure the caches the hot probes actually live on (measured:
+    * post-prebuild single-probe latency doubled when build-side stats
+    * reads were cached). */
+  def statsTable =
+    new SnapshotTable(spark, s"$indexDir/stats", cacheable = false)
   def largeTable(column: String) = new SnapshotTable(spark, s"$largeDir/$column")
   def largeColumns: Seq[String] = Fs.listDirs(spark, largeDir)
   def fileList = new SnapshotTable(spark, s"$root/filelists/$name")

@@ -30,7 +30,8 @@ import graft.GraftConf
   *    (the r1 scale finding). Segment count is bounded: reaching
   *    `spark.graft.maxOverflowSegments` folds the table into one directory.
   */
-final class SnapshotTable(spark: SparkSession, root: String) {
+final class SnapshotTable(spark: SparkSession, root: String,
+    cacheable: Boolean = true) {
   private val pointerPath = s"$root/_current"
 
   def exists: Boolean = Fs.exists(spark, pointerPath)
@@ -111,7 +112,7 @@ final class SnapshotTable(spark: SparkSession, root: String) {
         val n = GraftConf.indexRepartitionCount(spark)
         if (n > 0) assemble.repartition(n) else assemble
       }
-      if (!GraftConf.cacheIndexTables(spark)) shaped
+      if (!cacheable || !GraftConf.cacheIndexTables(spark)) shaped
       else SnapshotTable.dfCache.getOrElseUpdate(key, {
         SnapshotTable.dfCache.keys
           .filter(k => k._1 == root && k != key)

@@ -117,7 +117,8 @@ object Drive {
       (if (sqlWhereN == oracleWhereN) "OK" else "MISMATCH"))
 
     spark.experimental.extraOptimizations =
-      spark.experimental.extraOptimizations :+ graft.catalog.GraftJoinRule
+      spark.experimental.extraOptimizations :+ graft.catalog.GraftJoinRule :+
+        graft.catalog.GraftBroadcastHintRule
     probe.createOrReplaceTempView("drive_probe")
     val sqlJoin = spark.sql(
       """SELECT o.o_orderkey, o.o_custkey FROM graft.orders_drive o

@@ -34,12 +34,17 @@ class ProbeOrderSpec extends GraftSuite {
     idx
   }
 
-  test("sidecar sketches are built per membership index and estimate " +
-      "per-file and global distincts") {
+  test("sidecar sketches are built per membership index into the " +
+      "SEPARATE stats table (the hot index table stays lean) and " +
+      "estimate per-file and global distincts") {
     val idx = skewedLake("po_sidecar")
     try {
-      val tbl = new graft.store.IndexStore(spark, "po_sidecar")
-        .indexTable.read().get
+      val store = new graft.store.IndexStore(spark, "po_sidecar")
+      // the hot table every probe scans must NOT carry the sketches
+      assert(!store.indexTable.read().get.columns
+        .exists(_.startsWith("hll_stats_")),
+        "stats sidecars must not widen the cached index table")
+      val tbl = store.statsTable.read().get
       assert(tbl.columns.contains("hll_stats_hi") &&
         tbl.columns.contains("hll_stats_lo"))
       val est = tbl.agg(
@@ -137,7 +142,7 @@ class ProbeOrderSpec extends GraftSuite {
     spark.conf.set("spark.graft.metricsEnabled", "true")
     try {
       assert(!new graft.store.IndexStore(spark, "po_nosidecar")
-        .indexTable.read().get.columns.exists(_.startsWith("hll_stats_")))
+        .statsTable.exists)
       graft.operators.IndexProbe.lastProbeTrace = None
       val located = idx.locateFiles(Map("lo" -> Seq("a"), "hi" -> Seq(42L)))
       assert(located.size == 1)

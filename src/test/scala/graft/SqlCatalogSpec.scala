@@ -338,4 +338,42 @@ class SqlCatalogSpec extends GraftSuite {
       .select("o_orderkey", "l_suppkey")
     assertSameRows(got, want)
   }
+
+  test("broadcast-hint rule: a pruned graft table plans STATICALLY as " +
+      "the broadcast side (the V1ScanWrapper hides the scan's size, so " +
+      "without the rule every such join sort-merges); results identical") {
+    init()
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.catalog.GraftBroadcastHintRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.catalog.GraftBroadcastHintRule
+    // a non-broadcastable big probe side (range → size estimate ~46 MB)
+    spark.range(0, 3000000)
+      .select(col("id").as("o_orderkey"), (col("id") % 97).as("pay"))
+      .createOrReplaceTempView("sqlcat_big")
+    // a LEFT join: GraftJoinRule rewrites only INNER equi-joins, so the
+    // graft side survives as the V1 scan whose size the wrapper hides —
+    // exactly the case the hint rule exists for (the filter sits INSIDE
+    // the subquery; a WHERE above the join would let the optimizer
+    // convert the outer join to inner and re-admit the rewrite)
+    val q =
+      """SELECT b.pay, o.o_orderkey
+         FROM sqlcat_big b LEFT JOIN
+           (SELECT o_orderkey FROM graft.orders_idx WHERE o_custkey = 5) o
+           ON b.o_orderkey = o.o_orderkey"""
+    val withStats = spark.sql(q)
+    val plan = withStats.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"pruned graft side must broadcast statically:\n${plan.take(800)}")
+    spark.conf.set("spark.graft.reportStatistics", "false")
+    try {
+      val off = spark.sql(q)
+      val offPlan = off.queryExecution.executedPlan.toString
+      assert(!offPlan.contains("BroadcastHashJoin") &&
+        offPlan.contains("SortMergeJoin"),
+        s"without statistics the join must sort-merge:\n${offPlan.take(800)}")
+      assertSameRows(withStats, off)
+    } finally spark.conf.unset("spark.graft.reportStatistics")
+  }
 }
