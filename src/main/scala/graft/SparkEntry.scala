@@ -2465,6 +2465,24 @@ object SparkEntry {
     // split-leakage audit: a row-hashed split on grouped data leaks by
     // construction — every lang spans all three splits; the zero-row
     // complement (splitByGroup on the same grain) is asserted in tests
+    // column-level PII exposure audit (r11): emails / IPv4s / long digit
+    // runs injected deterministically (doc_id residues), then one
+    // aggregate pass reports per-column hit counts and fractions — the
+    // "which columns need redactPii" gate. The oracle replays the
+    // injection and the three regex counters.
+    "q_pii_scan" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val seeded = lk.documents.withColumn("text2",
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit(" contact user"), col("doc_id"),
+              lit("@example.com"))).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(11)) === 3,
+            lit(" from 10.0.0.1")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(5)) === 1,
+            concat(lit(" id 900000"), col("doc_id"))).otherwise(lit(""))))
+      Validate.piiScan(seeded, Seq("text2", "source")).orderBy("column")
+    }),
     "q_split_leakage" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
       Validate.splitLeakage(
@@ -5536,6 +5554,43 @@ object SparkEntry {
            SELECT 1 FROM customer c
            WHERE c.c_custkey = o.o_custkey AND c.c_acctbal >= 0)
          ORDER BY o_orderkey""",
+    "q_pii_scan" ->
+      """WITH seeded AS (SELECT source,
+             text || CASE WHEN doc_id % 7 = 0
+                 THEN ' contact user' || doc_id || '@example.com'
+                 ELSE '' END
+               || CASE WHEN doc_id % 11 = 3
+                 THEN ' from 10.0.0.1' ELSE '' END
+               || CASE WHEN doc_id % 5 = 1
+                 THEN ' id 900000' || doc_id ELSE '' END AS text2
+           FROM documents),
+         m AS (SELECT 'text2' AS "column",
+                 count(text2) AS n_rows,
+                 count(*) FILTER (regexp_matches(text2,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                   AS n_email,
+                 count(*) FILTER (regexp_matches(text2,
+                   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+                   AS n_ip,
+                 count(*) FILTER (regexp_matches(text2, '[0-9]{7,}'))
+                   AS n_number
+               FROM seeded
+               UNION ALL
+               SELECT 'source', count(source),
+                 count(*) FILTER (regexp_matches(source,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')),
+                 count(*) FILTER (regexp_matches(source,
+                   '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')),
+                 count(*) FILTER (regexp_matches(source, '[0-9]{7,}'))
+               FROM seeded)
+         SELECT "column", n_rows, n_email, n_ip, n_number,
+                round(CASE WHEN n_rows = 0 THEN 0.0
+                  ELSE CAST(n_email AS DOUBLE) / n_rows END, 6) AS frac_email,
+                round(CASE WHEN n_rows = 0 THEN 0.0
+                  ELSE CAST(n_ip AS DOUBLE) / n_rows END, 6) AS frac_ip,
+                round(CASE WHEN n_rows = 0 THEN 0.0
+                  ELSE CAST(n_number AS DOUBLE) / n_rows END, 6) AS frac_number
+         FROM m ORDER BY "column"""",
     "q_split_leakage" ->
       """WITH s AS (SELECT lang,
              CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)

@@ -191,6 +191,48 @@ object Validate {
         col("__n").as("n_rows"))
   }
 
+  /** Column-level PII exposure report: for each listed column, how many
+    * (non-null, string-rendered) values contain an email address, an
+    * IPv4 literal, or a ≥7-digit run — the
+    * [[TextAnalysis.redactPii]] pattern family — as
+    * `column | n_rows | n_email | n_ip | n_number | frac_email |
+    * frac_ip | frac_number` (fractions over non-null rows, rounded to
+    * 6; zero rows read 0.0). The "which columns even need redaction"
+    * audit that gates a release: run it BEFORE deciding where
+    * [[TextAnalysis.redactPii]] must apply, and AFTER redaction as the
+    * zero-exposure certificate.
+    *
+    * 100 TB shape: ONE map-side-combined aggregate computes every
+    * (column × pattern) counter in a single scan — codegen'd `RLIKE`
+    * predicates, no explode, no shuffle beyond the one-row aggregate;
+    * the per-column report rows come from a driver-free `inline`
+    * transpose (the [[Profile.correlations]] shape). */
+  def piiScan(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one column to scan")
+    require(cols.distinct.size == cols.size, s"duplicate columns in $cols")
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+    val num = "[0-9]{7,}"
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+      val s = qcol(c).cast("string")
+      Seq(count(s).as(s"__n_$i"),
+        count(when(s.rlike(email), 1)).as(s"__e_$i"),
+        count(when(s.rlike(ip), 1)).as(s"__i_$i"),
+        count(when(s.rlike(num), 1)).as(s"__d_$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    def frac(nHits: Column, n: Column): Column =
+      round(when(n === 0, 0.0).otherwise(nHits.cast("double") / n), 6)
+    val rows = array(cols.zipWithIndex.map { case (c, i) =>
+      val (n, e, ipc, d) =
+        (col(s"__n_$i"), col(s"__e_$i"), col(s"__i_$i"), col(s"__d_$i"))
+      struct(lit(c).as("column"), n.as("n_rows"), e.as("n_email"),
+        ipc.as("n_ip"), d.as("n_number"), frac(e, n).as("frac_email"),
+        frac(ipc, n).as("frac_ip"), frac(d, n).as("frac_number"))
+    }: _*)
+    one.select(inline(rows))
+  }
+
   /** Split-leakage audit: groups (near-dup clusters, url domains,
     * users) whose rows landed in MORE than one split — `groupCol |
     * n_splits | n_rows`. Zero rows is the certificate that a

@@ -140,6 +140,36 @@ class ValidateSpec extends GraftSuite {
     assert(got == Set(("a", 2L)))
   }
 
+  test("piiScan: per-column email/ip/number hit counts hand-checked; " +
+      "nulls excluded from the base; redacted text certifies zero") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Some("write to bob@example.com now"), Some("10.1.2.3")),
+      (Some("account 12345678 flagged"), Some("clean")),
+      (Some("nothing here"), None),
+      (None, Some("also bob@x.org and 1234567"))
+    ).toDF("a", "b")
+    val got = Validate.piiScan(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // a: 3 non-null; 1 email, 0 ip, 1 long number
+    assert(got("a") == ((3L, 1L, 0L, 1L)), got.toString)
+    // b: 3 non-null; 1 email, 1 ip, 1 long number
+    assert(got("b") == ((3L, 1L, 1L, 1L)), got.toString)
+    // the audit after redaction reads zero exposure (the certificate)
+    val redacted = df.select(
+      graft.operators.TextAnalysis.redactPii(col("a")).as("a"),
+      graft.operators.TextAnalysis.redactPii(col("b")).as("b"))
+    val zero = Validate.piiScan(redacted, Seq("a", "b"))
+      .agg(sum("n_email") + sum("n_ip") + sum("n_number"))
+      .first().getLong(0)
+    assert(zero == 0L, s"redacted corpus must scan clean, got $zero hits")
+    intercept[IllegalArgumentException] {
+      Validate.piiScan(df, Seq("a", "a"))
+    }
+  }
+
   test("loud contracts: duplicate rule names and colliding output " +
       "columns throw") {
     val df = Seq(1).toDF("x")
