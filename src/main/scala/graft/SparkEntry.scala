@@ -1863,6 +1863,21 @@ object SparkEntry {
       TextAnalysis.tfidfKeywords(lk.documents, "doc_id", "text", k = 5)
         .orderBy("doc_id", "token")
     }),
+    // Okapi BM25 top-5 retrieval (Lucene idf variant): the inverted-index
+    // plan — one postings shuffle, broadcast query terms, rounded-score
+    // deterministic ranking. The oracle replicates idf/tf-norm/avgdl
+    // arithmetic term-for-term in SQL.
+    "q_bm25_topk" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      import s.implicits._
+      val queries = Seq(
+        (1, "hash join order"),
+        (2, "slow table scan merge"),
+        (3, "streaming window watermark state")).toDF("query_id", "qtext")
+      TextAnalysis.bm25TopK(lk.documents, "doc_id", "text",
+          queries, "query_id", "qtext", k = 5)
+        .orderBy("query_id", "rank")
+    }),
     "q_fingerprint" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
       TextAnalysis.fingerprint(lk.documents, "doc_id", "text").orderBy("doc_id")
@@ -2512,6 +2527,58 @@ object SparkEntry {
           Seq("text", "lang"), hashCompare = true)
         .orderBy("change")
     }),
+    // order-independent corpus fingerprint (r11): two 60-bit md5-slice
+    // sums + a count in ONE map-side-combined aggregate — the O(1)-state
+    // multiset-equality certificate (no sort, no join, no content
+    // shuffle). A single perturbed row must move the sums.
+    "q_corpus_fingerprint" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val cols = Seq("doc_id", "text", "lang")
+      val base = graft.operators.Diff.corpusFingerprint(lk.documents, cols)
+        .select(lit("base").as("tag"), col("n_rows"),
+          col("fp_hi"), col("fp_lo"))
+      val perturbed = lk.documents.select(col("doc_id"),
+        when(col("doc_id") === 0, concat(col("text"), lit("!")))
+          .otherwise(col("text")).as("text"), col("lang"))
+      val pfp = graft.operators.Diff.corpusFingerprint(perturbed, cols)
+        .select(lit("perturbed").as("tag"), col("n_rows"),
+          col("fp_hi"), col("fp_lo"))
+      base.unionAll(pfp).orderBy("tag")
+    }),
+    // model-eval family (r11): grade the filter models the pipeline
+    // trains. Scores/labels synthesized with pure integer arithmetic so
+    // both engines see bit-identical doubles. AUC via the Mann-Whitney
+    // rank-sum with tie-averaged ranks — the per-distinct-score collapse
+    // keeps the rank walk off the corpus grain.
+    "q_auc" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      graft.operators.ModelEval.aucRoc(modelScored(lk.documents),
+        "score", "label")
+    }),
+    "q_confusion" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      graft.operators.ModelEval.confusionStats(modelScored(lk.documents),
+        "score", "label", threshold = 0.5)
+    }),
+    "q_calibration" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      graft.operators.ModelEval.calibration(modelScored(lk.documents),
+        "score", "label", nBins = 10).orderBy("bin")
+    }),
+    "q_ece" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      graft.operators.ModelEval.expectedCalibrationError(
+        modelScored(lk.documents), "score", "label", nBins = 10)
+    }),
+    // two "annotators": lang vs lang with every 7th doc relabeled 'xx' —
+    // kappa discounts the agreement the marginals predict by chance
+    "q_cohen_kappa" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val rated = lk.documents.select(col("lang").as("a"),
+        when(pmod(col("doc_id"), lit(7)) === 0, lit("xx"))
+          .otherwise(col("lang")).as("b"))
+      graft.operators.ModelEval.cohenKappa(rated, "a", "b")
+    }),
     // encoding-noise signals (r10): replacement chars, control chars,
     // and double-decode mojibake injected deterministically, counted by
     // three codegen'd regex passes
@@ -2691,6 +2758,23 @@ object SparkEntry {
 
   /** q_snapshot_diff / q_diff_summary fixture: two deterministic
     * document-corpus versions derived from the one real table. */
+  /** Deterministic model-output fixture for the model-eval family
+    * ([[modelScoredCte]] is the DuckDB twin): score = ((id·37) mod 100)
+    * / 100 — 100 distinct values, heavy ties so rank-averaging is
+    * exercised — and a label correlated with the score plus integer
+    * "noise" from a COPRIME modulus (49 vs 100, so the residues vary
+    * independently across ids and the ROC is a real curve, AUC ≈ 0.85
+    * — a same-modulus noise term would make the label a monotone
+    * function of the score and pin AUC at a degenerate 1.0). All
+    * integer arithmetic so both engines see bit-identical doubles. */
+  private def modelScored(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      (pmod(col("doc_id") * 37, lit(100)).cast("double") / lit(100.0))
+        .as("score"),
+      when(pmod(col("doc_id") * 37, lit(100))
+          + lit(2) * pmod(col("doc_id") * 29, lit(49)) >= 110, 1)
+        .otherwise(0).as("label"))
+
   private def diffSnapshots(docs: DataFrame): (DataFrame, DataFrame) = {
     val old = docs.where(pmod(col("doc_id"), lit(7)) =!= 3)
       .withColumn("text",
@@ -4899,6 +4983,46 @@ object SparkEntry {
           SELECT doc_id,
                  trim(regexp_replace(x, '[ \t\n\r\f]+', ' ', 'g')) AS text_clean
           FROM e ORDER BY doc_id""",
+    // replicates bm25TopK arithmetic term-for-term: postings off the
+    // lowercased space-split tokens (empty tokens count toward dl but
+    // query terms are non-empty so they never match), Lucene idf
+    // ln((N-df+0.5)/(df+0.5)+1), tf-norm with k1=1.2 b=0.75, rank on the
+    // ROUNDED score desc / doc_id asc
+    "q_bm25_topk" ->
+      """WITH q(query_id, qtext) AS (VALUES
+             (1, 'hash join order'),
+             (2, 'slow table scan merge'),
+             (3, 'streaming window watermark state')),
+         t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+               FROM documents),
+         p AS (SELECT doc_id, len(toks)::DOUBLE AS dl, unnest(toks) AS token
+               FROM t),
+         tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM p
+                GROUP BY 1, 2, 3),
+         dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         st AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         ad AS (SELECT avg(len(string_split(lower(text), ' '))) AS avgdl
+                FROM documents),
+         qt AS (SELECT DISTINCT query_id, token FROM
+                  (SELECT query_id,
+                          unnest(string_split(lower(qtext), ' ')) AS token
+                   FROM q) WHERE len(token) > 0),
+         sc AS (SELECT qt.query_id, tf.doc_id,
+                  round(sum(
+                    ln(((SELECT n FROM st) - dfq.df + 0.5)
+                       / (dfq.df + 0.5) + 1)
+                    * tf.tf * (1.2 + 1)
+                    / (tf.tf + 1.2 * (1 - 0.75
+                        + 0.75 * tf.dl / (SELECT avgdl FROM ad)))), 6)
+                  AS score
+                FROM qt JOIN tf USING (token) JOIN dfq USING (token)
+                GROUP BY 1, 2),
+         rk AS (SELECT query_id, doc_id, score,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, doc_id) AS INT) AS rank
+                FROM sc)
+         SELECT query_id, doc_id, score, rank FROM rk
+         WHERE rank <= 5 ORDER BY query_id, rank""",
     "q_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_raw,
                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_norm
@@ -5637,6 +5761,106 @@ object SparkEntry {
          LEFT JOIN (SELECT change, count(*)::BIGINT n FROM d
                     GROUP BY change) c ON k.change = c.change
          ORDER BY k.change""",
+    // replicates corpusFingerprint: md5 over the chr(31)-joined,
+    // chr(0)-null-sentinel rendering of (doc_id, text, lang), summed as
+    // two 60-bit hex slices (chars 1-15 and 17-31) — DuckDB's BIGINT sum
+    // promotes to HUGEINT so neither engine ever overflows
+    "q_corpus_fingerprint" ->
+      """WITH h AS (SELECT md5(concat_ws(chr(31),
+             coalesce(doc_id::VARCHAR, chr(0)),
+             coalesce(text, chr(0)),
+             coalesce(lang, chr(0)))) AS d FROM documents),
+         p AS (SELECT CASE WHEN doc_id = 0 THEN text || '!' ELSE text END
+                 AS text, doc_id, lang FROM documents),
+         h2 AS (SELECT md5(concat_ws(chr(31),
+             coalesce(doc_id::VARCHAR, chr(0)),
+             coalesce(text, chr(0)),
+             coalesce(lang, chr(0)))) AS d FROM p)
+         SELECT 'base' AS tag, count(*) AS n_rows,
+           CAST(sum(('0x' || substr(d, 1, 15))::BIGINT) AS VARCHAR) AS fp_hi,
+           CAST(sum(('0x' || substr(d, 17, 15))::BIGINT) AS VARCHAR) AS fp_lo
+         FROM h
+         UNION ALL
+         SELECT 'perturbed' AS tag, count(*) AS n_rows,
+           CAST(sum(('0x' || substr(d, 1, 15))::BIGINT) AS VARCHAR) AS fp_hi,
+           CAST(sum(('0x' || substr(d, 17, 15))::BIGINT) AS VARCHAR) AS fp_lo
+         FROM h2
+         ORDER BY tag""",
+    // model-eval family: Mann-Whitney rank-sum AUC with tie-averaged
+    // ranks off the per-distinct-score collapse — mirrors aucRoc's
+    // cum/avg-rank arithmetic exactly
+    "q_auc" ->
+      s"""$modelScoredCte,
+         ps AS (SELECT score AS s, count(*) AS n, sum(label) AS np
+                FROM d GROUP BY 1),
+         r AS (SELECT s, n, np,
+                 sum(n) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND CURRENT ROW) - n AS cum FROM ps),
+         ag AS (SELECT sum(np) AS p, sum(n - np) AS ng,
+                  sum(np * (cum::DOUBLE + (n::DOUBLE + 1) / 2)) AS r
+                FROM r)
+         SELECT p::BIGINT AS n_pos, ng::BIGINT AS n_neg,
+           round((r - p::DOUBLE * (p::DOUBLE + 1) / 2)
+             / (p::DOUBLE * ng::DOUBLE), 6) AS auc
+         FROM ag""",
+    "q_confusion" ->
+      s"""$modelScoredCte,
+         c AS (SELECT
+             sum(CASE WHEN score >= 0.5 AND label = 1 THEN 1 ELSE 0
+               END)::BIGINT AS tp,
+             sum(CASE WHEN score >= 0.5 AND label = 0 THEN 1 ELSE 0
+               END)::BIGINT AS fp,
+             sum(CASE WHEN score < 0.5 AND label = 0 THEN 1 ELSE 0
+               END)::BIGINT AS tn,
+             sum(CASE WHEN score < 0.5 AND label = 1 THEN 1 ELSE 0
+               END)::BIGINT AS fn
+           FROM d)
+         SELECT tp, fp, tn, fn,
+           round((tp + tn)::DOUBLE / (tp + fp + tn + fn), 6) AS accuracy,
+           round(tp::DOUBLE / (tp + fp), 6) AS precision,
+           round(tp::DOUBLE / (tp + fn), 6) AS recall,
+           round(2 * tp::DOUBLE / (2 * tp + fp + fn), 6) AS f1
+         FROM c""",
+    "q_calibration" ->
+      s"""$modelScoredCte
+         SELECT least(floor(score * 10), 9)::INT AS bin,
+           count(*) AS n, round(avg(score), 6) AS confidence,
+           round(avg(CASE WHEN label = 1 THEN 1.0::DOUBLE ELSE 0.0::DOUBLE
+             END), 6) AS accuracy
+         FROM d GROUP BY 1 ORDER BY 1""",
+    "q_ece" ->
+      s"""$modelScoredCte,
+         cal AS (SELECT least(floor(score * 10), 9)::INT AS bin,
+             count(*) AS n, round(avg(score), 6) AS confidence,
+             round(avg(CASE WHEN label = 1 THEN 1.0::DOUBLE
+               ELSE 0.0::DOUBLE END), 6) AS accuracy
+           FROM d GROUP BY 1)
+         SELECT sum(n)::BIGINT AS n,
+           round(sum(n * abs(accuracy - confidence)) / sum(n)::DOUBLE, 6)
+             AS ece
+         FROM cal""",
+    // kappa from the contingency cells: po observed, pe from matched
+    // marginals, kappa off the ROUNDED po/pe exactly as cohenKappa
+    // composes them
+    "q_cohen_kappa" ->
+      """WITH d AS (SELECT lang AS a,
+             CASE WHEN doc_id % 7 = 0 THEN 'xx' ELSE lang END AS b
+           FROM documents),
+         cells AS (SELECT a, b, count(*) AS n FROM d GROUP BY 1, 2),
+         t AS (SELECT sum(n) AS t FROM cells),
+         agr AS (SELECT coalesce(sum(CASE WHEN a = b THEN n ELSE 0 END),
+             0) AS agree FROM cells),
+         am AS (SELECT a, sum(n) AS na FROM cells GROUP BY 1),
+         bm AS (SELECT b, sum(n) AS nb FROM cells GROUP BY 1),
+         pe AS (SELECT coalesce(sum(na::DOUBLE * nb::DOUBLE
+             / (t.t::DOUBLE * t.t::DOUBLE)), 0) AS pe
+           FROM am JOIN bm ON am.a = bm.b, t),
+         rp AS (SELECT t.t::BIGINT AS n,
+             round(agr.agree::DOUBLE / t.t, 6) AS po,
+             round(pe.pe, 6) AS pe
+           FROM t, agr, pe)
+         SELECT n, po, pe, round((po - pe) / (1 - pe), 6) AS kappa
+         FROM rp""",
     "q_encoding_noise" ->
       """WITH noisy AS (SELECT doc_id,
            text || CASE WHEN doc_id % 9 = 0
@@ -5851,6 +6075,15 @@ object SparkEntry {
             CROSS JOIN (SELECT count(*)::DOUBLE n FROM src) t)"""
 
   /** DuckDB twin of [[diffSnapshots]]. */
+  /** DuckDB twin of [[modelScored]]. */
+  private val modelScoredCte =
+    """WITH d AS (SELECT doc_id,
+           ((doc_id * 37) % 100)::DOUBLE / 100 AS score,
+           CASE WHEN ((doc_id * 37) % 100) + 2 * ((doc_id * 29) % 49)
+               >= 110
+             THEN 1 ELSE 0 END AS label
+         FROM documents)"""
+
   private val diffSnapshotCte =
     """WITH old AS (SELECT doc_id,
            CASE WHEN doc_id % 5 = 0 THEN text || ' [v1]' ELSE text END

@@ -211,4 +211,51 @@ object Diff {
     kinds.join(counted, Seq("change"), "left")
       .select(col("change"), coalesce(col("n"), lit(0L)).as("n"))
   }
+
+  /** Order-independent corpus content fingerprint: ONE row `(n_rows,
+    * fp_hi, fp_lo)` where fp_hi/fp_lo are the SUMS of two 60-bit slices
+    * (hex chars 1-15 and 17-31) of each row's 128-bit md5 digest over
+    * `cols` (the null-proof [[digest]] rendering snapshotDiff's hash
+    * mode uses), carried in decimal so no engine ever overflows
+    * (60-bit terms × any realistic row count stay far under 38
+    * digits), surfaced as strings. Equal `(n_rows, fp_hi, fp_lo)`
+    * certifies "same multiset of rows" up to md5+slice collisions —
+    * WITHOUT a sort, a join, or shuffling row content: the whole
+    * computation is one map-side-combined aggregate whose only
+    * exchange carries two integers + a count PER PARTITION (the
+    * partial-aggregate state), so comparing two 100 TB snapshots costs
+    * two scans and a few kilobytes of network (vs the diff join when
+    * you need to know WHICH rows differ).
+    *
+    * Because the fingerprint is a plain sum it is also INCREMENTAL:
+    * fp(A ⊎ B) = fp(A) + fp(B) term-wise, so an append-only pipeline
+    * maintains the corpus fingerprint by adding each batch's
+    * fingerprint, and a delete subtracts — no rescan. Empty input
+    * yields n_rows=0 with null sums (sum over nothing), same on any
+    * ANSI engine.
+    *
+    * Ref parity note: no reference equivalent; completes the
+    * governance family ([[snapshotDiff]] says what changed, this is
+    * the O(1)-state certificate that nothing did). */
+  def corpusFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "at least one fingerprinted column")
+    val h = digest(cols)
+    df.agg(
+      count(lit(1)).as("n_rows"),
+      sum(conv(substring(h, 1, 15), 16, 10).cast("decimal(20,0)"))
+        .cast("decimal(38,0)").cast("string").as("fp_hi"),
+      sum(conv(substring(h, 17, 15), 16, 10).cast("decimal(20,0)"))
+        .cast("decimal(38,0)").cast("string").as("fp_lo"))
+  }
+
+  /** Driver-side convenience over [[corpusFingerprint]]: true iff the
+    * two frames carry the same multiset of `cols` rows (both
+    * fingerprints' three fields equal, null-safely — two empty frames
+    * are the same content). Two bounded scans, zero shuffles. */
+  def sameContent(a: DataFrame, b: DataFrame, cols: Seq[String]): Boolean = {
+    val fa = corpusFingerprint(a, cols).head()
+    val fb = corpusFingerprint(b, cols).head()
+    (0 until 3).forall(i => fa.isNullAt(i) == fb.isNullAt(i) &&
+      (fa.isNullAt(i) || fa.get(i) == fb.get(i)))
+  }
 }

@@ -1,0 +1,173 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Evaluation metrics for the filter/classifier models a training-data
+  * pipeline trains and applies (quality filters, language ID, toxicity
+  * gates): ROC AUC, threshold confusion stats, calibration + ECE,
+  * inter-annotator agreement. Everything is exact relational arithmetic
+  * — integer counts until the final division, rounded to 6 places — so
+  * every metric is replicable 1:1 in ANSI SQL, which is how the oracle
+  * checks them.
+  *
+  * Ref parity note: no reference equivalent; extends the validation
+  * family ([[Validate]] gates data, this grades the models that gate
+  * data) per the training-data-ops mandate.
+  */
+object ModelEval {
+
+  private def qcol(name: String): Column =
+    col("`" + name.replace("`", "``") + "`")
+
+  /** ROC AUC by the Mann-Whitney rank-sum identity, ties handled by
+    * average ranks (the exact trapezoidal AUC): one row `(n_pos, n_neg,
+    * auc)`, `auc = (Σ_{pos} avgrank − nPos(nPos+1)/2) / (nPos·nNeg)`,
+    * rounded to 6. Null scores/labels are excluded (a model that
+    * abstained can't be graded on the row); degenerate inputs (no
+    * positives or no negatives) yield a null auc rather than a lying
+    * 0/0.
+    *
+    * Scale shape: rows collapse FIRST to per-distinct-score counts
+    * (one map-side-combined aggregate), so the rank prefix-walk is a
+    * window over DISTINCT scores, not rows — for a quality filter
+    * emitting 6-decimal scores that is at most ~10^6 entries no matter
+    * the corpus size (quantize wider scores upstream, e.g.
+    * `round(score, 6)`, to bound it). The unpartitioned window is the
+    * documented single-partition step; its input is the bounded
+    * distinct-score table, never the corpus. */
+  def aucRoc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val perScore = df
+      .where(qcol(scoreCol).isNotNull && qcol(labelCol).isNotNull)
+      .groupBy(qcol(scoreCol).as("__s"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(qcol(labelCol).cast("int") === 1, 1L).otherwise(0L))
+          .as("__np"))
+    val w = Window.orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = perScore
+      .withColumn("__cum", sum(col("__n")).over(w) - col("__n"))
+      // Σ over this score's positives of the tie-averaged rank
+      .withColumn("__rs",
+        col("__np") * (col("__cum").cast("double")
+          + (col("__n").cast("double") + 1.0) / 2.0))
+    ranked.agg(
+        sum(col("__np")).as("__P"),
+        sum(col("__n") - col("__np")).as("__N"),
+        sum(col("__rs")).as("__R"))
+      .select(
+        coalesce(col("__P"), lit(0L)).as("n_pos"),
+        coalesce(col("__N"), lit(0L)).as("n_neg"),
+        round(try_divide(col("__R") - col("__P").cast("double")
+            * (col("__P").cast("double") + 1.0) / 2.0,
+          col("__P").cast("double") * col("__N").cast("double")), 6)
+          .as("auc"))
+  }
+
+  /** Confusion-matrix stats at `threshold` (predict positive when
+    * `score >= threshold`): one row of exact counts `(tp, fp, tn, fn)`
+    * plus `accuracy, precision, recall, f1` rounded to 6 — one
+    * conditional-count aggregate, no shuffle of anything but partial
+    * counters. Division-by-zero degenerate cases (no predicted
+    * positives, no actual positives) surface null, not 0. */
+  def confusionStats(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      threshold: Double): DataFrame = {
+    val pos = qcol(labelCol).cast("int") === 1
+    val pred = qcol(scoreCol) >= lit(threshold)
+    def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+    df.where(qcol(scoreCol).isNotNull && qcol(labelCol).isNotNull)
+      .agg(cnt(pred && pos).as("tp"), cnt(pred && !pos).as("fp"),
+        cnt(!pred && !pos).as("tn"), cnt(!pred && pos).as("fn"))
+      .select(col("tp"), col("fp"), col("tn"), col("fn"),
+        round(try_divide((col("tp") + col("tn")).cast("double"),
+          col("tp") + col("fp") + col("tn") + col("fn")), 6)
+          .as("accuracy"),
+        round(try_divide(col("tp").cast("double"),
+          col("tp") + col("fp")), 6).as("precision"),
+        round(try_divide(col("tp").cast("double"),
+          col("tp") + col("fn")), 6).as("recall"),
+        round(try_divide(lit(2.0) * col("tp").cast("double"),
+          lit(2.0) * col("tp") + col("fp") + col("fn")), 6).as("f1"))
+  }
+
+  /** Reliability table for a probability-scored model (`scoreCol` in
+    * [0, 1]): `nBins` equal-width bins over the score, one row per
+    * non-empty bin — `(bin, n, confidence, accuracy)` where confidence
+    * is the bin's mean score and accuracy its positive rate, both
+    * rounded to 6. `score = 1.0` folds into the top bin. One
+    * aggregate; bins are the plot a calibration audit reads. */
+  def calibration(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    val bin = least(floor(qcol(scoreCol) * nBins), lit(nBins - 1))
+      .cast("int")
+    df.where(qcol(scoreCol).isNotNull && qcol(labelCol).isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(qcol(scoreCol)), 6).as("confidence"),
+        round(avg(when(qcol(labelCol).cast("int") === 1, 1.0)
+          .otherwise(0.0)), 6).as("accuracy"))
+  }
+
+  /** Expected calibration error over [[calibration]]'s bins: one row
+    * `(n, ece)` with `ece = Σ_bins (n_b/N)·|accuracy_b − confidence_b|`
+    * over the ROUNDED per-bin values (so the number is exactly
+    * reproducible from the published reliability table), rounded to 6.
+    * The fold is over at most `nBins` rows — driver-free but trivially
+    * bounded. */
+  def expectedCalibrationError(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      nBins: Int = 10): DataFrame =
+    calibration(df, scoreCol, labelCol, nBins)
+      .agg(sum(col("n")).as("__N"),
+        sum(col("n") * abs(col("accuracy") - col("confidence"))).as("__E"))
+      .select(coalesce(col("__N"), lit(0L)).as("n"),
+        round(try_divide(col("__E"), col("__N").cast("double")), 6)
+          .as("ece"))
+
+  /** Cohen's kappa between two categorical label columns (two
+    * annotators, or model vs gold): one row `(n, po, pe, kappa)` —
+    * observed agreement, chance agreement from the marginals, and
+    * `(po − pe)/(1 − pe)`, all rounded to 6. Rows where either side is
+    * null are excluded. Perfect chance agreement (pe = 1, both sides
+    * constant and equal) yields a null kappa — the statistic is
+    * undefined there, and po alone tells the story.
+    *
+    * Scale shape: one conditional-count aggregate for n/agreement plus
+    * one (a, b) contingency aggregate whose size is the label-alphabet
+    * product — bounded by vocabulary, not corpus; pe folds over that
+    * bounded table. */
+  def cohenKappa(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val both = df.where(qcol(colA).isNotNull && qcol(colB).isNotNull)
+    val cells = both.groupBy(qcol(colA).as("__a"), qcol(colB).as("__b"))
+      .agg(count(lit(1)).as("__n"))
+    val aM = cells.groupBy(col("__a")).agg(sum(col("__n")).as("__na"))
+    val bM = cells.groupBy(col("__b")).agg(sum(col("__n")).as("__nb"))
+    val n = cells.agg(sum(col("__n")).as("__t"))
+    val po = cells.where(col("__a") === col("__b"))
+      .agg(sum(col("__n")).as("__agree"))
+    val pe = aM.join(bM, col("__a") === col("__b"))
+      .crossJoin(broadcast(n))
+      .agg(sum(try_divide(
+        col("__na").cast("double") * col("__nb").cast("double"),
+        col("__t").cast("double") * col("__t").cast("double")))
+        .as("__pe"))
+    n.crossJoin(broadcast(po)).crossJoin(broadcast(pe))
+      .select(col("__t").as("n"),
+        round(try_divide(coalesce(col("__agree"), lit(0L)).cast("double"),
+          col("__t")), 6).as("po"),
+        round(coalesce(col("__pe"), lit(0.0)), 6).as("pe"))
+      .select(col("n"), col("po"), col("pe"),
+        round(try_divide(col("po") - col("pe"), lit(1.0) - col("pe")), 6)
+          .as("kappa"))
+  }
+}

@@ -934,6 +934,91 @@ object TextAnalysis {
         round(col("tfidf"), 6).as("tfidf"))
   }
 
+  /** Okapi BM25 top-`k` retrieval: rank the corpus against each query.
+    * Output one row per (query, retained doc): `(queryIdCol, idCol,
+    * round(score, 6), rank)`, where `score = Σ_{t ∈ q ∩ d} idf(t) ·
+    * tf(t,d)·(k1+1) / (tf(t,d) + k1·(1 − b + b·dl/avgdl))` with the
+    * non-negative idf variant `ln((N − df + 0.5)/(df + 0.5) + 1)`
+    * (Lucene's BM25 flavor — a term in every doc still scores ≥ 0, so
+    * stopword-heavy queries can't drive scores negative). Query terms are
+    * the DISTINCT non-empty lowercased space-split tokens — classic BM25
+    * ignores in-query term repetition. Ranking is on the ROUNDED score
+    * (desc) with doc-id ascending tie-break, so the cut is deterministic
+    * and engine-replicable; `rank` is 1-based.
+    *
+    * Scale shape (the inverted-index plan, declared relationally): one
+    * (doc, token)-grain postings shuffle (map-side partials) — this IS
+    * the inverted index, and persisting `postings` amortizes it across
+    * query batches; the document-frequency table comes off the SAME
+    * frame, token-keyed like the postings so the df join co-partitions;
+    * the query-terms frame is tiny and broadcast by AQE, so matching
+    * candidates without moving postings a second time; the final
+    * (query, doc) aggregate and per-query top-k window are bounded by
+    * matched postings and k. N and avgdl are one bounded scalar
+    * aggregate. Nothing is ever all-pairs: a doc sharing no token with
+    * any query never leaves its scan.
+    * Ref parity note: no reference equivalent; extends the text family
+    * (tfidfKeywords) to full retrieval per the training-data-ops mandate
+    * (eval-set decontamination and RAG corpus building both need it). */
+  def bm25TopK(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      queryIdCol: String,
+      queryTextCol: String,
+      k: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(k1 >= 0, "k1 must be non-negative")
+    require(b >= 0 && b <= 1, "b must be in [0, 1]")
+    require(idCol != queryIdCol,
+      "doc and query id columns must have distinct names (both appear in " +
+        "the output)")
+    val reserved = Seq("score", "rank")
+    require(!reserved.contains(idCol) && !reserved.contains(queryIdCol),
+      "id columns may not be named 'score' or 'rank' (output columns)")
+
+    val postings = docs
+      .select(col(idCol).as("__doc"), tokens(col(textCol)).as("__toks"))
+      .select(col("__doc"), size(col("__toks")).cast("double").as("__dl"),
+        explode(col("__toks")).as("token"))
+      .groupBy("__doc", "__dl", "token").agg(count(lit(1)).as("tf"))
+    val docFreq = postings.groupBy("token").agg(count(lit(1)).as("df"))
+
+    val stats = docs.agg(count(lit(1)).cast("double").as("n"),
+      avg(size(tokens(col(textCol)))).as("avgdl")).head()
+    val nDocs = stats.getDouble(0)
+    require(nDocs > 0, "docs frame is empty")
+    val avgdl = stats.getDouble(1)
+
+    val queryTerms = queries
+      .select(col(queryIdCol).as("__q"),
+        explode(tokens(col(queryTextCol))).as("token"))
+      .where(length(col("token")) > 0)
+      .distinct()
+
+    val idf = log((lit(nDocs) - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val tfNorm = (col("tf") * lit(k1 + 1.0)) /
+      (col("tf") + lit(k1) *
+        (lit(1.0) - lit(b) + lit(b) * col("__dl") / lit(avgdl)))
+    val scored = queryTerms
+      .join(postings, Seq("token"))
+      .join(docFreq, Seq("token"))
+      .select(col("__q"), col("__doc"), (idf * tfNorm).as("__s"))
+      .groupBy("__q", "__doc")
+      .agg(round(sum(col("__s")), 6).as("score"))
+
+    val w = Window.partitionBy(col("__q"))
+      .orderBy(col("score").desc, col("__doc"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("__q").as(queryIdCol), col("__doc").as(idCol),
+        col("score"), col("rank"))
+  }
+
   /** Content fingerprints: md5 of raw text and of whitespace-normalized,
     * lowercased text (near-dup-robust form). */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {

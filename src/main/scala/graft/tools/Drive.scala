@@ -772,6 +772,91 @@ object Drive {
         s"match=${math.abs(ig("lang") - igOracle) <= 1e-6} (want true)")
     }
 
+    // 23: retrieval + certificate + model-eval wave (r11)
+    {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      import spark.implicits._
+
+      // bm25TopK vs a driver-side brute-force of the same formula
+      // (independent code path: plain Scala maps over collected rows)
+      val qText = "slow table scan merge"
+      val queries = Seq((1, qText)).toDF("query_id", "qtext")
+      val got = graft.operators.TextAnalysis.bm25TopK(
+        docs, "doc_id", "text", queries, "query_id", "qtext", k = 5)
+        .collect().map(r => (r.getLong(1), r.getDouble(2)))
+      val corpus = docs.select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ", -1))
+      val nD = corpus.length.toDouble
+      val avgdl = corpus.map(_._2.length.toDouble).sum / nD
+      val dfMap = corpus.flatMap { case (_, ts) => ts.distinct }
+        .groupBy(identity).map { case (t, xs) => t -> xs.length }
+      val qTerms = qText.split(" ").distinct.filter(_.nonEmpty)
+      val brute = corpus.map { case (id, ts) =>
+        val dl = ts.length.toDouble
+        val s = qTerms.map { t =>
+          val tf = ts.count(_ == t).toDouble
+          if (tf == 0) 0.0
+          else {
+            val dfT = dfMap(t).toDouble
+            math.log((nD - dfT + 0.5) / (dfT + 0.5) + 1.0) *
+              tf * (1.2 + 1.0) /
+              (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+          }
+        }.sum
+        id -> BigDecimal(s).setScale(6,
+          BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.filter(_._2 > 0).sortBy { case (id, s) => (-s, id) }.take(5)
+      println(s"[drive] 23-bm25 top5=${got.toSeq} " +
+        s"brute=${brute.toSeq} match=${got.toSeq == brute.toSeq} " +
+        "(want true)")
+
+      // corpus fingerprint: partition-invariant, edit-sensitive, additive
+      val cols = Seq("doc_id", "text", "lang")
+      val same = graft.operators.Diff.sameContent(
+        docs, docs.repartition(13), cols)
+      val edited = docs.withColumn("text",
+        when(col("doc_id") === 1, concat(col("text"), lit("!")))
+          .otherwise(col("text")))
+      val differs = !graft.operators.Diff.sameContent(docs, edited, cols)
+      val whole = graft.operators.Diff.corpusFingerprint(docs, cols)
+        .head()
+      val parts = Seq(
+        graft.operators.Diff.corpusFingerprint(
+          docs.where(pmod(col("doc_id"), lit(2)) === 0), cols).head(),
+        graft.operators.Diff.corpusFingerprint(
+          docs.where(pmod(col("doc_id"), lit(2)) === 1), cols).head())
+      val additive =
+        parts.map(_.getLong(0)).sum == whole.getLong(0) &&
+        parts.map(r => BigInt(r.getString(1))).sum ==
+          BigInt(whole.getString(1)) &&
+        parts.map(r => BigInt(r.getString(2))).sum ==
+          BigInt(whole.getString(2))
+      println(s"[drive] 23-fingerprint same=$same differs=$differs " +
+        s"additive=$additive (want true true true)")
+
+      // aucRoc vs the O(n^2) pairwise definition on the synthesized frame
+      val scored = docs.select(col("doc_id"),
+        (pmod(col("doc_id") * 37, lit(100)).cast("double") / lit(100.0))
+          .as("score"),
+        when(pmod(col("doc_id") * 37, lit(100))
+            + lit(2) * pmod(col("doc_id") * 29, lit(49)) >= 110, 1)
+          .otherwise(0).as("label"))
+      val auc = graft.operators.ModelEval.aucRoc(scored, "score", "label")
+        .head().getDouble(2)
+      val pos = scored.where(col("label") === 1)
+        .select(col("score").as("sp"))
+      val neg = scored.where(col("label") === 0)
+        .select(col("score").as("sn"))
+      val pair = pos.crossJoin(neg).agg(
+          avg(when(col("sp") > col("sn"), 1.0)
+            .when(col("sp") === col("sn"), 0.5).otherwise(0.0)))
+        .head().getDouble(0)
+      val pairR = BigDecimal(pair).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      println(s"[drive] 23-auc ranksum=$auc pairwise=$pairR " +
+        s"match=${math.abs(auc - pairR) <= 1e-6} (want true)")
+    }
+
     spark.stop()
     println("[drive] done")
   }

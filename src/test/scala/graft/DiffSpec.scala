@@ -259,4 +259,60 @@ class DiffSpec extends GraftSuite {
       a.where(col("k") < 0), b, "k").collect().head
     assert((emptySketch.getLong(0), emptySketch.getLong(2)) == (0L, 0L))
   }
+
+  test("corpusFingerprint: order/partition invariant, detects one-row " +
+      "edits, distinguishes null from empty, additive, plan shuffle-free") {
+    val docs = Seq(
+      (1L, Some("alpha"), Some("en")),
+      (2L, Some("beta"), Some("fr")),
+      (3L, None: Option[String], Some("de")),
+      (4L, Some(""), Some("de"))
+    ).toDF("id", "text", "lang")
+    val cols = Seq("id", "text", "lang")
+    def fp(df: org.apache.spark.sql.DataFrame): (Long, String, String) = {
+      val r = Diff.corpusFingerprint(df, cols).head()
+      (r.getLong(0), r.getString(1), r.getString(2))
+    }
+    val base = fp(docs)
+    assert(base._1 == 4L)
+    // row order and physical partitioning do not move the sums
+    assert(fp(docs.repartition(7)) == base)
+    assert(fp(docs.orderBy(col("text").desc_nulls_last)) == base)
+    // one edited row moves them
+    val edited = docs.withColumn("text",
+      when(col("id") === 2L, lit("beta!")).otherwise(col("text")))
+    assert(fp(edited) != base && fp(edited)._1 == 4L)
+    // the null-sentinel rendering keeps null and '' rows distinct: swap
+    // row 3's null for '' and the fingerprint moves
+    val nulledToEmpty = docs.withColumn("text",
+      when(col("id") === 3L, lit("")).otherwise(col("text")))
+    assert(fp(nulledToEmpty) != base)
+    // additivity: fp(A union B) = term-wise sum (incremental maintenance)
+    val aPart = docs.where(col("id") <= 2L)
+    val bPart = docs.where(col("id") > 2L)
+    val (fa, fb) = (fp(aPart), fp(bPart))
+    assert(fa._1 + fb._1 == base._1)
+    assert((BigInt(fa._2) + BigInt(fb._2)).toString == base._2)
+    assert((BigInt(fa._3) + BigInt(fb._3)).toString == base._3)
+    // empty input: 0 rows, null sums; and sameContent is null-safe there
+    val none = Diff.corpusFingerprint(docs.where(col("id") < 0L), cols).head()
+    assert(none.getLong(0) == 0L && none.isNullAt(1) && none.isNullAt(2))
+    assert(Diff.sameContent(docs.where(col("id") < 0L),
+      docs.where(col("id") > 99L), cols))
+    // sameContent: permutation-equal yes, edited no
+    assert(Diff.sameContent(docs, docs.repartition(3), cols))
+    assert(!Diff.sameContent(docs, edited, cols))
+    // the certificate plan never moves row content: the only exchange
+    // is the single-partition gather of partial-aggregate state (the
+    // partial aggregate must sit BELOW it — map-side combine)
+    val certified = Diff.corpusFingerprint(docs, cols)
+    assert(graft.operators.Layout.shuffleCount(certified) <= 1)
+    val planBelowExchange = certified.queryExecution.executedPlan.toString
+      .linesIterator.dropWhile(l => !l.contains("Exchange")).mkString("\n")
+    assert(planBelowExchange.contains("partial"),
+      "partial aggregation must run below the exchange (map-side combine)")
+    intercept[IllegalArgumentException] {
+      Diff.corpusFingerprint(docs, Seq.empty)
+    }
+  }
 }

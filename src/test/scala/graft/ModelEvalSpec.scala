@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ModelEval
+
+/** Model-evaluation metrics: rank-sum AUC with ties, confusion stats,
+  * calibration/ECE, Cohen's kappa — every number hand-computed. */
+class ModelEvalSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("aucRoc: tie-averaged rank-sum equals the pairwise definition, " +
+      "nulls excluded, degenerate label sets yield null") {
+    val df = Seq(
+      (0.9, 1), (0.8, 1), (0.5, 1), // positives
+      (0.5, 0), (0.3, 0)            // negatives, one tied at 0.5
+    ).toDF("score", "label")
+    val r = ModelEval.aucRoc(df, "score", "label").head()
+    // pairwise: 5 clear wins + half credit for the 0.5-0.5 tie over
+    // 3*2 pairs = 5.5/6
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 2L)))
+    assert(r.getDouble(2) == BigDecimal(5.5 / 6.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // a null score or label drops the row, not the metric
+    val withNulls = Seq(
+      (Some(0.9), Some(1)), (Some(0.8), Some(1)), (Some(0.5), Some(1)),
+      (Some(0.5), Some(0)), (Some(0.3), Some(0)),
+      (None, Some(1)), (Some(0.99), None)
+    ).toDF("score", "label")
+    assert(ModelEval.aucRoc(withNulls, "score", "label").head() == r)
+    // all-positive input: n_neg = 0, auc null (not 0/0)
+    val onlyPos = ModelEval.aucRoc(
+      df.where(col("label") === 1), "score", "label").head()
+    assert(onlyPos.getLong(1) == 0L && onlyPos.isNullAt(2))
+    // perfect separation reads exactly 1
+    val sep = Seq((0.9, 1), (0.8, 1), (0.2, 0)).toDF("score", "label")
+    assert(ModelEval.aucRoc(sep, "score", "label").head().getDouble(2)
+      == 1.0)
+  }
+
+  test("confusionStats: exact counts at an inclusive threshold; " +
+      "no-predicted-positive degenerates to null precision") {
+    val df = Seq(
+      (0.9, 1), (0.5, 1), (0.4, 1), // tp, tp (>= is inclusive), fn
+      (0.6, 0), (0.2, 0), (0.1, 0)  // fp, tn, tn
+    ).toDF("score", "label")
+    val r = ModelEval.confusionStats(df, "score", "label", 0.5).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((2L, 1L, 2L, 1L)))
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) == r6(4.0 / 6.0)) // accuracy
+    assert(r.getDouble(5) == r6(2.0 / 3.0)) // precision
+    assert(r.getDouble(6) == r6(2.0 / 3.0)) // recall
+    assert(r.getDouble(7) == r6(4.0 / 6.0)) // f1
+    // nothing predicted positive: precision null, recall 0
+    val low = ModelEval.confusionStats(df, "score", "label", 2.0).head()
+    assert(low.getLong(0) == 0L && low.getLong(1) == 0L)
+    assert(low.isNullAt(5) && low.getDouble(6) == 0.0)
+  }
+
+  test("calibration + ECE: bin folding, top-bin inclusion of 1.0, " +
+      "hand-computed ece") {
+    val df = Seq(
+      (0.05, 0), (0.15, 0), (0.95, 1), (1.0, 1)
+    ).toDF("score", "label")
+    val cal = ModelEval.calibration(df, "score", "label", nBins = 10)
+      .orderBy("bin").collect()
+    assert(cal.map(_.getInt(0)).toSeq == Seq(0, 1, 9))
+    val top = cal.last
+    // score 1.0 folds into bin 9 alongside 0.95
+    assert(top.getLong(1) == 2L && top.getDouble(2) == 0.975
+      && top.getDouble(3) == 1.0)
+    val ece = ModelEval.expectedCalibrationError(
+      df, "score", "label", nBins = 10).head()
+    // bins: (1, .05, 0) (1, .15, 0) (2, .975, 1): ece =
+    // (1*.05 + 1*.15 + 2*.025)/4 = 0.0625
+    assert(ece.getLong(0) == 4L && ece.getDouble(1) == 0.0625)
+  }
+
+  test("cohenKappa: textbook 2x2 fixture, null-row exclusion, " +
+      "constant-agreement undefined") {
+    val df = Seq(
+      ("y", "y"), ("y", "n"), ("n", "n"), ("n", "n")
+    ).toDF("a", "b")
+    val r = ModelEval.cohenKappa(df, "a", "b").head()
+    // po = 3/4; marginals a:{y:2,n:2} b:{y:1,n:3};
+    // pe = (2*1 + 2*3)/16 = 0.5; kappa = (0.75-0.5)/(1-0.5) = 0.5
+    assert(r.getLong(0) == 4L && r.getDouble(1) == 0.75
+      && r.getDouble(2) == 0.5 && r.getDouble(3) == 0.5)
+    // null on either side drops the row
+    val withNull = df.union(Seq((null, "y"), ("y", null)).toDF("a", "b"))
+    assert(ModelEval.cohenKappa(withNull, "a", "b").head() == r)
+    // both raters constant and equal: pe = 1, kappa undefined -> null
+    val const = Seq(("y", "y"), ("y", "y")).toDF("a", "b")
+    val c = ModelEval.cohenKappa(const, "a", "b").head()
+    assert(c.getDouble(1) == 1.0 && c.getDouble(2) == 1.0 && c.isNullAt(3))
+  }
+}

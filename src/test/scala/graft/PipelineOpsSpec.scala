@@ -1505,6 +1505,57 @@ class PipelineOpsSpec extends GraftSuite {
     assert(got.keys.groupBy(_._1).values.forall(_.size <= 2))
   }
 
+  test("bm25TopK: hand-computed scores, query-term dedup, k cuts, guards") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (1L, "apple banana apple"),
+      (2L, "apple cherry"),
+      (3L, "banana banana banana cherry")
+    ).toDF("doc_id", "text")
+    val qs = Seq(
+      (10, "apple"),
+      (20, "banana cherry"),
+      (30, "apple apple") // repeated term counts once
+    ).toDF("query_id", "qtext")
+    val got = TextAnalysis.bm25TopK(corpus, "doc_id", "text",
+        qs, "query_id", "qtext", k = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getInt(3))).toMap
+
+    // every token has df=2, N=3, avgdl=3 -> idf = ln(1.5/2.5 + 1),
+    // computed in the operator's operation order (divide, then + 1)
+    val idf = math.log(1.5 / 2.5 + 1.0)
+    def tfn(tf: Double, dl: Double): Double =
+      tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+    // q10 "apple": d1 (tf=2, dl=3) beats d2 (tf=1, dl=2)
+    assert(got((10, 1L)) == ((r6(idf * tfn(2, 3)), 1)))
+    assert(got((10, 2L)) == ((r6(idf * tfn(1, 2)), 2)))
+    // q20 "banana cherry": d3 sums both terms and tops; d2 (cherry,
+    // short doc) beats d1 (banana, longer doc); k=2 cuts d1
+    assert(got((20, 3L)) == ((r6(idf * (tfn(3, 4) + tfn(1, 4))), 1)))
+    assert(got((20, 2L))._2 == 2)
+    assert(!got.contains((20, 1L)))
+    // in-query repetition is ignored: q30 ranks exactly like q10
+    assert(got((30, 1L)) == got((10, 1L)) && got((30, 2L)) == got((10, 2L)))
+    // scores non-negative under the Lucene idf variant
+    assert(got.values.forall(_._1 >= 0.0))
+
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopK(corpus, "doc_id", "text", qs, "doc_id", "qtext")
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopK(corpus, "rank", "text", qs, "query_id", "qtext")
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopK(corpus, "doc_id", "text", qs, "query_id",
+        "qtext", k = 0)
+    }
+  }
+
   test("linear text score: hand-computable fixture, bigrams, null safety") {
     val s = spark
     import s.implicits._
