@@ -2651,6 +2651,32 @@ object SparkEntry {
     // streaming quality ledger (r10): two replayed micro-batches fold
     // per-rule violation counts into the epoch store; the merged view
     // == one-shot Validate.check over the whole table
+    // streamed content certificate (r11): three micro-batches through
+    // fingerprintSink; the epoch-summed view must equal the one-shot
+    // fingerprint of the whole corpus (the oracle recomputes it in SQL)
+    "q_fingerprint_stream" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = lk.documents.select("doc_id", "text", "lang")
+        .as[(Long, String, String)].collect().sortBy(_._1)
+      val thirds = docs.grouped((docs.length + 2) / 3).toSeq
+      val mem = MemoryStream[(Long, String, String)]
+      val rows = mem.toDF().toDF("doc_id", "text", "lang")
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val store = s"${lk.work}/fp_store_$tag"
+      val q = graft.streaming.StreamOps.fingerprintSink(
+          rows, Seq("doc_id", "text", "lang"), store) { (_, _) => () }
+        .option("checkpointLocation", s"${lk.work}/fp_ckpt_$tag")
+        .start()
+      try {
+        thirds.foreach { b =>
+          mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      graft.operators.Diff.fingerprintView(s, store)
+    }),
     "q_stream_validate" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -5910,6 +5936,16 @@ object SparkEntry {
                 round(sum(o.o_totalprice), 2) AS total
          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
          GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
+    // the streamed store must sum to the one-shot corpus fingerprint
+    "q_fingerprint_stream" ->
+      """WITH h AS (SELECT md5(concat_ws(chr(31),
+             coalesce(doc_id::VARCHAR, chr(0)),
+             coalesce(text, chr(0)),
+             coalesce(lang, chr(0)))) AS d FROM documents)
+         SELECT count(*) AS n_rows,
+           CAST(sum(('0x' || substr(d, 1, 15))::BIGINT) AS VARCHAR) AS fp_hi,
+           CAST(sum(('0x' || substr(d, 17, 15))::BIGINT) AS VARCHAR) AS fp_lo
+         FROM h""",
     "q_stream_validate" ->
       """WITH n AS (SELECT count(*)::BIGINT AS n_rows FROM documents)
          SELECT * FROM (

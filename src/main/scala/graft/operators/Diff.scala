@@ -237,15 +237,24 @@ object Diff {
     * Ref parity note: no reference equivalent; completes the
     * governance family ([[snapshotDiff]] says what changed, this is
     * the O(1)-state certificate that nothing did). */
-  def corpusFingerprint(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def corpusFingerprint(df: DataFrame, cols: Seq[String]): DataFrame =
+    fingerprintSums(df, cols).select(col("n_rows"),
+      when(col("n_rows") > 0, col("fp_hi_sum").cast("string")).as("fp_hi"),
+      when(col("n_rows") > 0, col("fp_lo_sum").cast("string")).as("fp_lo"))
+
+  /** The raw decimal slice-sums behind [[corpusFingerprint]] —
+    * zero-filled on empty input so epoch rows stay additive under
+    * plain `sum` (the string view re-derives the null-on-empty
+    * surface from n_rows). */
+  private def fingerprintSums(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "at least one fingerprinted column")
     val h = digest(cols)
-    df.agg(
-      count(lit(1)).as("n_rows"),
-      sum(conv(substring(h, 1, 15), 16, 10).cast("decimal(20,0)"))
-        .cast("decimal(38,0)").cast("string").as("fp_hi"),
-      sum(conv(substring(h, 17, 15), 16, 10).cast("decimal(20,0)"))
-        .cast("decimal(38,0)").cast("string").as("fp_lo"))
+    def slice(from: Int): Column = coalesce(
+      sum(conv(substring(h, from, 15), 16, 10).cast("decimal(20,0)"))
+        .cast("decimal(38,0)"),
+      lit(0).cast("decimal(38,0)"))
+    df.agg(count(lit(1)).as("n_rows"),
+      slice(1).as("fp_hi_sum"), slice(17).as("fp_lo_sum"))
   }
 
   /** Driver-side convenience over [[corpusFingerprint]]: true iff the
@@ -257,5 +266,101 @@ object Diff {
     val fb = corpusFingerprint(b, cols).head()
     (0 until 3).forall(i => fa.isNullAt(i) == fb.isNullAt(i) &&
       (fa.isNullAt(i) || fa.get(i) == fb.get(i)))
+  }
+
+  /** Incremental corpus fingerprint: fold one micro-batch's
+    * [[corpusFingerprint]] sums into a persistent epoch-keyed store —
+    * the running content certificate of everything a stream has
+    * ingested, maintained for the cost of fingerprinting each batch
+    * (the additivity note on [[corpusFingerprint]] made durable).
+    * Store grain `n_rows | fp_hi_sum | fp_lo_sum | batch_id` — ONE row
+    * per epoch, so the store is bounded by epoch count before folding
+    * even starts. A redelivered epoch REPLACES its own registration
+    * (`appendReplacing`); an epoch at or below the fold watermark
+    * drops (already consolidated — the sketch-store replay
+    * discipline). Past `maxEpochs` registered epochs, aged epochs
+    * consolidate into one summed row under the sentinel epoch — sums
+    * are associative, so [[fingerprintView]] is IDENTICAL across the
+    * fold. */
+  def fingerprintIncrementalBatch(
+      batch: DataFrame,
+      cols: Seq[String],
+      storeDir: String,
+      batchId: Long,
+      maxEpochs: Int = 64): Unit = {
+    val spark = batch.sparkSession
+    if (batchId <= Profile.foldWatermark(spark, storeDir)) return
+    Stores.register(spark, storeDir, "fingerprint", cols, None)
+    val bid = batchId.toString
+    val fp = fingerprintSums(batch, cols).localCheckpoint()
+    new graft.store.SnapshotTable(spark, s"$storeDir/items")
+      .appendReplacing(fp.withColumn("batch_id", lit(bid)),
+        "batch_id", Seq(bid))
+    if (Profile.shouldCheckFold(batchId, maxEpochs))
+      foldFingerprintStore(spark, storeDir, maxEpochs)
+  }
+
+  /** The merged view of a [[fingerprintIncrementalBatch]] store:
+    * `(n_rows, fp_hi, fp_lo)` summed across every registered epoch —
+    * identical to [[corpusFingerprint]] over the concatenated batches
+    * (an empty or missing store reads n_rows = 0 with null sums, the
+    * empty-input surface). Compare against a batch recompute to
+    * certify a stream lost or duplicated nothing. */
+  def fingerprintView(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): DataFrame =
+    new graft.store.SnapshotTable(spark, s"$storeDir/items")
+      .read().getOrElse(spark.emptyDataFrame.select(
+        lit(null).cast("long").as("n_rows"),
+        lit(null).cast("decimal(38,0)").as("fp_hi_sum"),
+        lit(null).cast("decimal(38,0)").as("fp_lo_sum")))
+      .agg(coalesce(sum("n_rows"), lit(0L)).as("n_rows"),
+        sum("fp_hi_sum").cast("decimal(38,0)").as("__hi"),
+        sum("fp_lo_sum").cast("decimal(38,0)").as("__lo"))
+      .select(col("n_rows"),
+        when(col("n_rows") > 0, col("__hi").cast("string")).as("fp_hi"),
+        when(col("n_rows") > 0, col("__lo").cast("string")).as("fp_lo"))
+
+  /** The per-epoch timeline of a [[fingerprintIncrementalBatch]] store:
+    * `batch_id | n_rows | fp_hi | fp_lo`, real epochs only (the
+    * consolidated sentinel segment aggregates FOLDED epochs, not a
+    * point on the timeline) — "which batch changed the corpus?"
+    * without rescanning any data. */
+  def fingerprintTimeline(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String): DataFrame =
+    new graft.store.SnapshotTable(spark, s"$storeDir/items")
+      .read().getOrElse(spark.emptyDataFrame.select(
+        lit(null).cast("long").as("n_rows"),
+        lit(null).cast("decimal(38,0)").as("fp_hi_sum"),
+        lit(null).cast("decimal(38,0)").as("fp_lo_sum"),
+        lit(null).cast("string").as("batch_id")))
+      .where(col("batch_id").isNotNull &&
+        col("batch_id") =!= Profile.FoldedEpochId)
+      .select(col("batch_id"), col("n_rows"),
+        col("fp_hi_sum").cast("string").as("fp_hi"),
+        col("fp_lo_sum").cast("string").as("fp_lo"))
+
+  private[graft] def foldFingerprintStore(
+      spark: org.apache.spark.sql.SparkSession,
+      storeDir: String,
+      maxEpochs: Int): Unit = {
+    val table = new graft.store.SnapshotTable(spark, s"$storeDir/items")
+    table.read().foreach { items =>
+      val foldIds = Profile.foldableEpochs(items, maxEpochs)
+      if (foldIds.nonEmpty) {
+        val foldKeys = foldIds.map(_.toString) :+ Profile.FoldedEpochId
+        val old = items.where(col("batch_id").isin(foldKeys: _*))
+        val kept = items.where(!col("batch_id").isin(foldKeys: _*))
+        val merged = old.agg(
+            coalesce(sum("n_rows"), lit(0L)).as("n_rows"),
+            sum("fp_hi_sum").cast("decimal(38,0)").as("fp_hi_sum"),
+            sum("fp_lo_sum").cast("decimal(38,0)").as("fp_lo_sum"))
+          .select(col("n_rows"), col("fp_hi_sum"), col("fp_lo_sum"),
+            lit(Profile.FoldedEpochId).as("batch_id"))
+        Profile.advanceFoldWatermark(spark, storeDir, foldIds)
+        table.overwrite(kept.unionByName(merged))
+      }
+    }
   }
 }

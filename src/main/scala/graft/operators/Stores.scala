@@ -40,10 +40,10 @@ object Stores {
     * a store directory is self-contained and survives a rename/move. */
   private[graft] val DescriptorFile = "_graft_store.json"
 
-  /** The five monitor-store families this surface maintains. */
+  /** The six monitor-store families this surface maintains. */
   private[graft] val Families =
     Seq("heavy_hitters", "quantiles", "distinct", "reservoir",
-      "quality_ledger")
+      "quality_ledger", "fingerprint")
 
   /** Family → the SnapshotTable (under the store dir) that carries the
     * epoch-keyed data rows and defines the store's epoch set. */
@@ -52,7 +52,8 @@ object Stores {
     "quantiles" -> "items",
     "distinct" -> "sketches",
     "reservoir" -> "rows",
-    "quality_ledger" -> "items")
+    "quality_ledger" -> "items",
+    "fingerprint" -> "items")
 
   private case class Descriptor(
       family: String,
@@ -127,6 +128,8 @@ object Stores {
           Descriptor("quantiles",
             i.columns.toSeq.diff(
               Seq("level", "value", "batch_id", "n_rows")), None)
+        else if (cols.contains("fp_hi_sum"))
+          Descriptor("fingerprint", Nil, None)
         else Descriptor("quality_ledger", Nil, None)
       }
     else None
@@ -236,6 +239,9 @@ object Stores {
               "folded"
             case ("quality_ledger", _) =>
               Validate.foldCheckStore(spark, sd, maxEpochs)
+              "folded"
+            case ("fingerprint", _) =>
+              Diff.foldFingerprintStore(spark, sd, maxEpochs)
               "folded"
             case _ => "skipped_no_descriptor"
           }

@@ -467,6 +467,30 @@ object StreamOps {
         batch.sparkSession, storeDir), batchId)
     }
 
+  /** Continuous content certificate: every micro-batch folds its
+    * [[graft.operators.Diff.corpusFingerprint]] sums into the epoch
+    * store ([[graft.operators.Diff.fingerprintIncrementalBatch]] —
+    * epoch-keyed `appendReplacing`, replay-idempotent like every other
+    * sink here) and the sink receives the running
+    * [[graft.operators.Diff.fingerprintView]] — "exactly what has this
+    * stream ingested, as a comparable O(1) fingerprint" maintained for
+    * the cost of fingerprinting each batch. Compare the view against a
+    * batch recompute of the landed table to certify the stream lost or
+    * duplicated nothing. Returns the configured writer; caller sets
+    * checkpoint/options and calls `.start()`. */
+  def fingerprintSink(
+      stream: DataFrame,
+      cols: Seq[String],
+      storeDir: String,
+      maxEpochs: Int = 64)(
+      sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    stream.writeStream.foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+      graft.operators.Diff.fingerprintIncrementalBatch(
+        batch.toDF(), cols, storeDir, batchId, maxEpochs)
+      sink(graft.operators.Diff.fingerprintView(
+        batch.sparkSession, storeDir), batchId)
+    }
+
   /** Continuous drift monitor: every micro-batch folds into a KLL epoch
     * store ([[graft.operators.Profile.quantileSketchIncrementalBatch]] —
     * epoch-keyed `appendReplacing`, replay-idempotent like every other

@@ -834,6 +834,27 @@ object Drive {
       println(s"[drive] 23-fingerprint same=$same differs=$differs " +
         s"additive=$additive (want true true true)")
 
+      // incremental fingerprint store: 4 epoch quarters + one replayed
+      // epoch + a forced fold must all read the one-shot fingerprint
+      val store = java.nio.file.Files
+        .createTempDirectory("drive_fp_").toString
+      (0 until 4).foreach { b =>
+        graft.operators.Diff.fingerprintIncrementalBatch(
+          docs.where(pmod(col("doc_id"), lit(4)) === b), cols, store,
+          batchId = b.toLong)
+      }
+      graft.operators.Diff.fingerprintIncrementalBatch(
+        docs.where(pmod(col("doc_id"), lit(4)) === 2), cols, store,
+        batchId = 2L) // replay
+      graft.operators.Diff.foldFingerprintStore(spark, store, 2)
+      val viewEq = graft.operators.Diff.fingerprintView(spark, store)
+        .collect().toSeq == Seq(whole)
+      val inventory = graft.operators.Stores.describe(spark, store)
+        .collect().head
+      println(s"[drive] 23-fpstore viewEq=$viewEq " +
+        s"family=${inventory.getString(1)} " +
+        s"epochs=${inventory.getLong(4)} (want true fingerprint <=2)")
+
       // aucRoc vs the O(n^2) pairwise definition on the synthesized frame
       val scored = docs.select(col("doc_id"),
         (pmod(col("doc_id") * 37, lit(100)).cast("double") / lit(100.0))

@@ -61,6 +61,7 @@ object ScaleBench {
       else if (mode == "quality") () // raw tables only; no index fixtures
       else if (mode == "drift") () // raw lineitem only; no index fixtures
       else if (mode == "govern") () // raw docs/lineitem; no index fixtures
+      else if (mode == "retrieval") () // raw docs/lineitem; no index fixtures
       else if (mode == "probeorder") lk.documentsFiles // split only; build is the bench
       else lk.prebuild()
       lk
@@ -795,6 +796,73 @@ object ScaleBench {
       counts("x_ledger_plain_rows") =
         new graft.store.SnapshotTable(spark, s"$work2/plain/items")
           .read().map(_.count()).getOrElse(0L)
+      emit(results, counts, sfDir); spark.stop(); return
+    }
+    if (mode == "retrieval") {
+      // r11 wave: BM25 retrieval + fingerprint certificate + rank-sum
+      // AUC at the x30 grain, with shuffle-byte deltas where the scale
+      // claim IS a shuffle bound.
+      val retrShuffleBytes = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val m = sc.stageInfo.taskMetrics
+            if (m != null)
+              retrShuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
+        })
+      def shuffleDelta[T](key: String)(body: => T): T = {
+        Thread.sleep(1500)
+        val before = retrShuffleBytes.get()
+        val r = body
+        Thread.sleep(1500)
+        results(key) = (retrShuffleBytes.get() - before) / 1e6 // MB
+        r
+      }
+      import spark.implicits._
+      val docs = lake.documents.select("doc_id", "text", "lang")
+      counts("x_docs_rows") = docs.count()
+      // an 8-query batch over the 150k real-text docs: the postings
+      // shuffle is the cost; the query side broadcasts
+      val queries = Seq(
+        (1, "slow table scan merge"), (2, "hash join order"),
+        (3, "spark group query row"), (4, "filter customer line batch"),
+        (5, "window small part sort"), (6, "data value key fast"),
+        (7, "streaming state watermark"), (8, "merge join scan table")
+      ).toDF("query_id", "qtext")
+      shuffleDelta("x_bm25_shuffle_mb") { bench("x_bm25_8q_top10") {
+        graft.operators.TextAnalysis.bm25TopK(docs, "doc_id", "text",
+          queries, "query_id", "qtext", k = 10).count()
+      } }
+      // equality certificate vs change report on the SAME corpus: the
+      // fingerprint's only exchange is partial-aggregate state; the
+      // digest diff (the cheapest change REPORT) still shuffles
+      // id+16 bytes per row on both sides
+      shuffleDelta("x_fingerprint_shuffle_mb") { bench("x_fingerprint") {
+        graft.operators.Diff.corpusFingerprint(docs,
+          Seq("doc_id", "text", "lang")).count()
+      } }
+      val oldDocs = docs.where(pmod(col("doc_id"), lit(7)) =!= 3)
+      shuffleDelta("x_diff_digest_shuffle_mb") { bench("x_diff_digest") {
+        graft.operators.Diff.snapshotDiff(oldDocs, docs, "doc_id",
+          Seq("text", "lang"), hashCompare = true).count()
+      } }
+      // rank-sum AUC over 18M rows with a 100-value score alphabet:
+      // the per-distinct-score collapse keeps the unpartitioned rank
+      // walk at 100 rows no matter the corpus
+      val liScored = lake.lineitem.select(
+        (pmod(col("l_orderkey") * 37, lit(100)).cast("double")
+          / lit(100.0)).as("score"),
+        when(pmod(col("l_orderkey") * 37, lit(100))
+            + lit(2) * pmod(col("l_orderkey") * 29, lit(49)) >= 110, 1)
+          .otherwise(0).as("label"))
+      bench("x_auc_18m") {
+        val r = graft.operators.ModelEval.aucRoc(
+          liScored, "score", "label").head()
+        counts("x_auc_times_1e6") = math.round(r.getDouble(2) * 1e6)
+        r.getLong(0)
+      }
       emit(results, counts, sfDir); spark.stop(); return
     }
     if (mode == "mine") {

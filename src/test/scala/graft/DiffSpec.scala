@@ -315,4 +315,40 @@ class DiffSpec extends GraftSuite {
       Diff.corpusFingerprint(docs, Seq.empty)
     }
   }
+
+  test("fingerprint store: view == one-shot fingerprint, replay drops, " +
+      "fold consolidates with the view unchanged, timeline is per-epoch") {
+    val docs = (0L until 90L).map(i => (i, s"text_$i", s"l${i % 3}"))
+      .toDF("id", "text", "lang")
+    val cols = Seq("id", "text", "lang")
+    val store = tmpDir("fp_store_")
+    (0 until 3).foreach { b =>
+      Diff.fingerprintIncrementalBatch(
+        docs.where(pmod(col("id"), lit(3)) === b), cols, store,
+        batchId = b.toLong, maxEpochs = 64)
+    }
+    val whole = Diff.corpusFingerprint(docs, cols).collect().toSeq
+    assert(Diff.fingerprintView(spark, store).collect().toSeq == whole)
+    // redelivery of an epoch REPLACES, never double-counts
+    Diff.fingerprintIncrementalBatch(
+      docs.where(pmod(col("id"), lit(3)) === 1), cols, store,
+      batchId = 1L, maxEpochs = 64)
+    assert(Diff.fingerprintView(spark, store).collect().toSeq == whole)
+    // timeline: one row per real epoch, n_rows = 30 each
+    val tl = Diff.fingerprintTimeline(spark, store).collect()
+    assert(tl.length == 3 && tl.forall(_.getLong(1) == 30L))
+    // fold to 2 epochs: view identical, epochs bounded, sentinel present
+    Diff.foldFingerprintStore(spark, store, maxEpochs = 2)
+    assert(Diff.fingerprintView(spark, store).collect().toSeq == whole)
+    assert(Diff.fingerprintTimeline(spark, store).count() <= 2)
+    // an epoch at/below the fold watermark drops on replay
+    Diff.fingerprintIncrementalBatch(
+      docs.where(pmod(col("id"), lit(3)) === 0), cols, store,
+      batchId = 0L, maxEpochs = 2)
+    assert(Diff.fingerprintView(spark, store).collect().toSeq == whole)
+    // empty store surface
+    assert(Diff.fingerprintView(spark, tmpDir("fp_none_")).collect()
+      .toSeq.map(r => (r.getLong(0), r.isNullAt(1), r.isNullAt(2)))
+      == Seq((0L, true, true)))
+  }
 }

@@ -2,11 +2,11 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Profile, Stores, Validate}
+import graft.operators.{Diff, Profile, Stores, Validate}
 
 /** Unified monitor-store maintenance: every incremental writer
   * self-registers its store, Stores.describe inventories a tree of
-  * stores across all five families, and Stores.compact runs each
+  * stores across all six families, and Stores.compact runs each
   * family's fold with views unchanged (the associativity contract). */
 class StoresSpec extends GraftSuite {
   import spark.implicits._
@@ -29,11 +29,13 @@ class StoresSpec extends GraftSuite {
       Validate.checkIncrementalBatch(batch,
         Seq(Validate.Rule("v_nonneg", col("v") >= 0)),
         s"$parent/ledger", batchId = b, maxEpochs = maxEpochs)
+      Diff.fingerprintIncrementalBatch(batch, Seq("item", "id", "v"),
+        s"$parent/fp", batchId = b, maxEpochs = maxEpochs)
     }
     parent
   }
 
-  test("describe inventories all five families with their registered " +
+  test("describe inventories all six families with their registered " +
       "identity and epoch state") {
     val parent = buildStores(epochs = 4, maxEpochs = 64)
     val got = Stores.describe(spark, parent)
@@ -41,7 +43,8 @@ class StoresSpec extends GraftSuite {
         r.getSeq[String](2).toList, Option(r.get(3)), r.getLong(4),
         r.getBoolean(5), r.getLong(7), r.getBoolean(8)))
       .sortBy(_._1).toList
-    assert(got.map(_._1) == List("hh", "hll", "kll", "ledger", "res"))
+    assert(got.map(_._1) == List("fp", "hh", "hll", "kll", "ledger",
+      "res"))
     val byName = got.map(g => g._1 -> g).toMap
     assert(byName("hh")._2 == "heavy_hitters" &&
       byName("hh")._4 == Some(16))
@@ -50,6 +53,7 @@ class StoresSpec extends GraftSuite {
     assert(byName("res")._2 == "reservoir" && byName("res")._4 == Some(8))
     assert(byName("ledger")._2 == "quality_ledger" &&
       byName("ledger")._4.isEmpty)
+    assert(byName("fp")._2 == "fingerprint" && byName("fp")._4.isEmpty)
     // 4 epochs each, none folded, watermark -1, all registered
     assert(got.forall(g => g._5 == 4L && !g._6 && g._7 == -1L && g._8))
     // describing a single store dir works too
@@ -72,11 +76,13 @@ class StoresSpec extends GraftSuite {
       .collect().toSeq
     val ledBefore = Validate.checkView(spark, s"$parent/ledger")
       .collect().toSeq
+    val fpBefore = Diff.fingerprintView(spark, s"$parent/fp")
+      .collect().toSeq
 
     val rpt = Stores.compact(spark, parent, maxEpochs = 4)
       .collect().map(r => r.getString(0).split("/").last ->
         ((r.getString(2), r.getLong(3), r.getLong(4)))).toMap
-    assert(rpt.keySet == Set("hh", "hll", "kll", "ledger", "res"))
+    assert(rpt.keySet == Set("fp", "hh", "hll", "kll", "ledger", "res"))
     rpt.foreach { case (name, (action, before, after)) =>
       assert(action == "folded", s"$name: $action")
       assert(before == 10L && after == 2L, // keeps newest max(1, 4/2)=2
@@ -93,6 +99,8 @@ class StoresSpec extends GraftSuite {
       .collect().toSeq == resBefore)
     assert(Validate.checkView(spark, s"$parent/ledger")
       .collect().toSeq == ledBefore)
+    assert(Diff.fingerprintView(spark, s"$parent/fp")
+      .collect().toSeq == fpBefore)
 
     // second compact: everything under the cap now -> all noop
     val again = Stores.compact(spark, parent, maxEpochs = 4)
@@ -105,23 +113,26 @@ class StoresSpec extends GraftSuite {
       "rest") {
     val parent = buildStores(epochs = 10, maxEpochs = 0)
     // simulate pre-descriptor stores
-    Seq("hh", "kll", "hll", "res", "ledger").foreach { n =>
+    Seq("hh", "kll", "hll", "res", "ledger", "fp").foreach { n =>
       graft.store.Fs.delete(spark, s"$parent/$n/${Stores.DescriptorFile}")
     }
     val desc = Stores.describe(spark, parent)
       .collect().map(r => (r.getString(0).split("/").last, r.getString(1),
         Option(r.get(3)), r.getBoolean(8))).sortBy(_._1).toList
-    assert(desc.map(_._1) == List("hh", "hll", "kll", "ledger", "res"))
+    assert(desc.map(_._1) == List("fp", "hh", "hll", "kll", "ledger",
+      "res"))
     assert(desc.forall(d => d._3.isEmpty && !d._4),
       "legacy stores report no param and registered=false")
     assert(desc.map(d => d._1 -> d._2).toMap == Map(
       "hh" -> "heavy_hitters", "kll" -> "quantiles", "hll" -> "distinct",
-      "res" -> "reservoir", "ledger" -> "quality_ledger"))
+      "res" -> "reservoir", "ledger" -> "quality_ledger",
+      "fp" -> "fingerprint"))
 
     val actions = Stores.compact(spark, parent, maxEpochs = 4)
       .collect().map(r => (r.getString(0).split("/").last, r.getString(2)))
       .toMap
-    assert(actions("hll") == "folded" && actions("ledger") == "folded")
+    assert(actions("hll") == "folded" && actions("ledger") == "folded"
+      && actions("fp") == "folded")
     assert(actions("hh") == "skipped_no_descriptor" &&
       actions("kll") == "skipped_no_descriptor" &&
       actions("res") == "skipped_no_descriptor")

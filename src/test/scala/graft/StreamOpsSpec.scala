@@ -255,6 +255,27 @@ class StreamOpsSpec extends GraftSuite {
     assert(survived.toSet == want)
   }
 
+  test("fingerprintSink: streamed content certificate equals the batch " +
+      "fingerprint of everything ingested") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = (0L until 120L).map(i => (i, s"doc_$i"))
+    val store = tmpDir("fpsink_store_")
+    val mem = MemoryStream[(Long, String)]
+    var last: Array[Row] = Array.empty
+    val q = StreamOps.fingerprintSink(mem.toDF().toDF("id", "text"),
+        Seq("id", "text"), store) { (view, _) => last = view.collect(); () }
+      .option("checkpointLocation", tmpDir("fpsink_ckpt_")).start()
+    try {
+      val (b1, b2) = rows.splitAt(70)
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val want = graft.operators.Diff.corpusFingerprint(
+      rows.toDF("id", "text"), Seq("id", "text")).collect().toSeq
+    assert(last.toSeq == want)
+  }
+
   test("driftSink: streamed PSI view equals the batch-built stores and " +
       "driftNumeric(approx) in the exact regime") {
     import spark.implicits._
