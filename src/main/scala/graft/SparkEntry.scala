@@ -2579,6 +2579,45 @@ object SparkEntry {
           .otherwise(col("lang")).as("b"))
       graft.operators.ModelEval.cohenKappa(rated, "a", "b")
     }),
+    // per-slice fairness audit: the same rank-sum AUC windowed per
+    // language — no single-partition step anywhere in the plan
+    "q_auc_by_key" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      graft.operators.ModelEval.aucRocByKey(modelScored(lk.documents),
+        "score", "label", Seq("lang")).orderBy("lang")
+    }),
+    "q_pr_curve" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      graft.operators.ModelEval.prCurve(modelScored(lk.documents),
+        "score", "label").orderBy(col("threshold").desc)
+    }),
+    "q_avg_precision" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      graft.operators.ModelEval.averagePrecision(modelScored(lk.documents),
+        "score", "label")
+    }),
+    // retrieval grading: arithmetic result/truth fixtures (results =
+    // docs with doc_id%7==q ranked by id, top-20; truth = doc_id%14==q,
+    // a strict subset hit at alternating ranks) so recall/MRR/nDCG are
+    // hand-derivable and the oracle replicates them exactly
+    "q_ranking_metrics" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      import s.implicits._
+      val qids = Seq(1L, 2L, 3L).toDF("query_id")
+      val cand = qids.join(lk.documents,
+        pmod(col("doc_id"), lit(7)) === col("query_id"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy("doc_id")
+      val results = cand
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 20)
+        .select("query_id", "doc_id", "rank")
+      val truth = qids.join(lk.documents,
+        pmod(col("doc_id"), lit(14)) === col("query_id"))
+        .select("query_id", "doc_id")
+      graft.operators.ModelEval.rankingMetrics(results, truth,
+        "query_id", "doc_id", "rank", k = 20).orderBy("query_id")
+    }),
     // encoding-noise signals (r10): replacement chars, control chars,
     // and double-decode mojibake injected deterministically, counted by
     // three codegen'd regex passes
@@ -2794,7 +2833,7 @@ object SparkEntry {
     * function of the score and pin AUC at a degenerate 1.0). All
     * integer arithmetic so both engines see bit-identical doubles. */
   private def modelScored(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    docs.select(col("doc_id"), col("lang"),
       (pmod(col("doc_id") * 37, lit(100)).cast("double") / lit(100.0))
         .as("score"),
       when(pmod(col("doc_id") * 37, lit(100))
@@ -5887,6 +5926,93 @@ object SparkEntry {
            FROM t, agr, pe)
          SELECT n, po, pe, round((po - pe) / (1 - pe), 6) AS kappa
          FROM rp""",
+    "q_auc_by_key" ->
+      s"""$modelScoredCte,
+         ps AS (SELECT lang, score AS s, count(*) AS n, sum(label) AS np
+                FROM d GROUP BY 1, 2),
+         r AS (SELECT lang, s, n, np,
+                 sum(n) OVER (PARTITION BY lang ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n
+                   AS cum FROM ps),
+         ag AS (SELECT lang, sum(np) AS p, sum(n - np) AS ng,
+                  sum(np * (cum::DOUBLE + (n::DOUBLE + 1) / 2)) AS r
+                FROM r GROUP BY 1)
+         SELECT lang, p::BIGINT AS n_pos, ng::BIGINT AS n_neg,
+           round((r - p::DOUBLE * (p::DOUBLE + 1) / 2)
+             / (p::DOUBLE * ng::DOUBLE), 6) AS auc
+         FROM ag ORDER BY lang""",
+    "q_pr_curve" ->
+      s"""$modelScoredCte,
+         ps AS (SELECT score AS threshold, count(*) AS n, sum(label) AS np
+                FROM d GROUP BY 1),
+         c AS (SELECT threshold,
+                 sum(np) OVER (ORDER BY threshold DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   ::BIGINT AS tp,
+                 sum(n - np) OVER (ORDER BY threshold DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   ::BIGINT AS fp,
+                 sum(np) OVER ()::BIGINT AS p
+               FROM ps)
+         SELECT threshold, tp, fp,
+           round(tp::DOUBLE / (tp + fp), 6) AS precision,
+           round(tp::DOUBLE / p, 6) AS recall
+         FROM c ORDER BY threshold DESC""",
+    "q_avg_precision" ->
+      s"""$modelScoredCte,
+         ps AS (SELECT score AS threshold, count(*) AS n, sum(label) AS np
+                FROM d GROUP BY 1),
+         c AS (SELECT threshold,
+                 sum(np) OVER (ORDER BY threshold DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   ::BIGINT AS tp,
+                 sum(n - np) OVER (ORDER BY threshold DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   ::BIGINT AS fp
+               FROM ps),
+         t AS (SELECT tp, fp,
+                 coalesce(lag(tp) OVER (ORDER BY threshold DESC), 0) AS ptp
+               FROM c)
+         SELECT sum(tp - ptp)::BIGINT AS n_pos,
+           max(fp)::BIGINT AS n_neg,
+           round(sum((tp - ptp)::DOUBLE * (tp::DOUBLE / (tp + fp)))
+             / sum(tp - ptp)::DOUBLE, 6) AS ap
+         FROM t""",
+    "q_ranking_metrics" ->
+      """WITH q(query_id) AS (VALUES (1::BIGINT), (2::BIGINT), (3::BIGINT)),
+         cand AS (SELECT query_id, doc_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY doc_id)
+               AS rank
+           FROM q JOIN documents ON doc_id % 7 = query_id),
+         res AS (SELECT query_id, doc_id, rank FROM cand WHERE rank <= 20),
+         rel AS (SELECT query_id, doc_id
+           FROM q JOIN documents ON doc_id % 14 = query_id),
+         nrel AS (SELECT query_id, count(*) AS n_relevant FROM rel
+           GROUP BY 1),
+         hits AS (SELECT r.query_id, count(*) AS n_hits,
+             min(rank) AS fh, sum(1 / log2(rank::DOUBLE + 1)) AS dcg
+           FROM res r JOIN rel USING (query_id, doc_id) GROUP BY 1),
+         seen AS (SELECT DISTINCT query_id FROM
+           (SELECT query_id FROM res UNION ALL SELECT query_id FROM rel)),
+         idcg AS (SELECT query_id,
+             sum(1 / log2(i::DOUBLE + 1)) AS idcg
+           FROM nrel, LATERAL (SELECT unnest(generate_series(1,
+             least(n_relevant, 20))) AS i) GROUP BY 1)
+         SELECT s.query_id,
+           coalesce(n.n_relevant, 0)::BIGINT AS n_relevant,
+           coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+           round(coalesce(h.n_hits, 0)::DOUBLE / n.n_relevant, 6)
+             AS recall_at_k,
+           round(coalesce(1 / h.fh::DOUBLE,
+             CASE WHEN n.n_relevant > 0 THEN 0.0::DOUBLE END), 6)
+             AS reciprocal_rank,
+           round(coalesce(h.dcg, 0) /
+             CASE WHEN n.n_relevant > 0 THEN i.idcg END, 6) AS ndcg
+         FROM seen s
+         LEFT JOIN nrel n USING (query_id)
+         LEFT JOIN hits h USING (query_id)
+         LEFT JOIN idcg i USING (query_id)
+         ORDER BY s.query_id""",
     "q_encoding_noise" ->
       """WITH noisy AS (SELECT doc_id,
            text || CASE WHEN doc_id % 9 = 0
@@ -6113,7 +6239,7 @@ object SparkEntry {
   /** DuckDB twin of [[diffSnapshots]]. */
   /** DuckDB twin of [[modelScored]]. */
   private val modelScoredCte =
-    """WITH d AS (SELECT doc_id,
+    """WITH d AS (SELECT doc_id, lang,
            ((doc_id * 37) % 100)::DOUBLE / 100 AS score,
            CASE WHEN ((doc_id * 37) % 100) + 2 * ((doc_id * 29) % 49)
                >= 110

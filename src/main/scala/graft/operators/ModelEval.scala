@@ -65,6 +65,160 @@ object ModelEval {
           .as("auc"))
   }
 
+  /** Per-slice [[aucRoc]]: one row per distinct `keys` combination —
+    * the fairness audit ("does the quality filter rank well for EVERY
+    * language/source, not just in aggregate?"). Same per-distinct-score
+    * collapse, but the rank walk windows PARTITION BY the keys, so
+    * unlike the global metric no single-partition step exists at all —
+    * the whole plan is two keyed aggregates and a keyed window. Null
+    * keys group together (they are a slice worth auditing). */
+  def aucRocByKey(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "at least one key column (else use aucRoc)")
+    require(!keys.exists(Seq("n_pos", "n_neg", "auc").contains(_)),
+      "key columns may not use the reserved output names n_pos/n_neg/auc")
+    val kcols = keys.map(qcol)
+    val perScore = df
+      .where(qcol(scoreCol).isNotNull && qcol(labelCol).isNotNull)
+      .groupBy(kcols :+ qcol(scoreCol).as("__s"): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(when(qcol(labelCol).cast("int") === 1, 1L).otherwise(0L))
+          .as("__np"))
+    val w = Window.partitionBy(kcols: _*).orderBy(col("__s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perScore
+      .withColumn("__cum", sum(col("__n")).over(w) - col("__n"))
+      .withColumn("__rs",
+        col("__np") * (col("__cum").cast("double")
+          + (col("__n").cast("double") + 1.0) / 2.0))
+      .groupBy(kcols: _*)
+      .agg(sum(col("__np")).as("__P"),
+        sum(col("__n") - col("__np")).as("__N"),
+        sum(col("__rs")).as("__R"))
+      .select(kcols ++ Seq(
+        col("__P").as("n_pos"), col("__N").as("n_neg"),
+        round(try_divide(col("__R") - col("__P").cast("double")
+            * (col("__P").cast("double") + 1.0) / 2.0,
+          col("__P").cast("double") * col("__N").cast("double")), 6)
+          .as("auc")): _*)
+  }
+
+  /** Precision-recall curve at every distinct score threshold (predict
+    * positive when `score >= threshold`), thresholds descending: one
+    * row per distinct score — `(threshold, tp, fp, precision, recall)`
+    * with exact cumulative counts and 6-rounded ratios. The same
+    * per-distinct-score collapse as [[aucRoc]]: the curve's length is
+    * the score alphabet, never the corpus. This is the
+    * threshold-selection artifact for a quality filter — pick the
+    * operating point, then pin it with [[confusionStats]]. */
+  def prCurve(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val perScore = df
+      .where(qcol(scoreCol).isNotNull && qcol(labelCol).isNotNull)
+      .groupBy(qcol(scoreCol).as("threshold"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(qcol(labelCol).cast("int") === 1, 1L).otherwise(0L))
+          .as("__np"))
+    val w = Window.orderBy(col("threshold").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totP = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    perScore
+      .withColumn("tp", sum(col("__np")).over(w))
+      .withColumn("fp", sum(col("__n") - col("__np")).over(w))
+      .withColumn("__P", sum(col("__np")).over(totP))
+      .select(col("threshold"), col("tp"), col("fp"),
+        round(try_divide(col("tp").cast("double"), col("tp") + col("fp")),
+          6).as("precision"),
+        round(try_divide(col("tp").cast("double"), col("__P")), 6)
+          .as("recall"))
+  }
+
+  /** Average precision (area under the PR curve by the step rule, the
+    * sklearn definition): one row `(n_pos, n_neg, ap)` with
+    * `ap = Σ_thresholds (R_t − R_{t−1}) · P_t` walking thresholds
+    * descending, rounded to 6. Degenerate inputs (no positives) read
+    * null. Same bounded distinct-score walk as [[prCurve]]. */
+  def averagePrecision(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String): DataFrame = {
+    val pr = prCurve(df, scoreCol, labelCol)
+    val w = Window.orderBy(col("threshold").desc)
+    pr.withColumn("__prevTp", coalesce(lag(col("tp"), 1).over(w), lit(0L)))
+      .withColumn("__term",
+        (col("tp") - col("__prevTp")).cast("double")
+          * try_divide(col("tp").cast("double"), col("tp") + col("fp")))
+      .agg(sum(col("tp") - col("__prevTp")).as("__P"),
+        max(col("fp")).as("__maxFp"),
+        sum(col("__term")).as("__apSum"))
+      .select(coalesce(col("__P"), lit(0L)).as("n_pos"),
+        coalesce(col("__maxFp"), lit(0L)).as("n_neg"),
+        round(try_divide(col("__apSum"), col("__P").cast("double")), 6)
+          .as("ap"))
+  }
+
+  /** Retrieval-quality metrics for a ranked result set against a
+    * relevance truth table — the grader for [[TextAnalysis.bm25TopK]]
+    * and the ANN top-k family. `results` carries one row per
+    * (query, doc) with a 1-based `rankCol`; `truth` one row per
+    * relevant (query, doc). One row per query in `results`:
+    * `n_relevant | n_hits | recall_at_k | reciprocal_rank | ndcg`,
+    * where hits are relevant docs at rank ≤ k, RR = 1/first-hit-rank
+    * (0 when nothing relevant surfaced), DCG = Σ 1/log2(rank+1) over
+    * hits, IDCG = the best possible arrangement of min(n_relevant, k)
+    * hits, and all ratios round to 6. Queries in `truth` only (nothing
+    * retrieved) are included with zero metrics; queries with no truth
+    * rows read n_relevant = 0 and null ratios (nothing to grade
+    * against).
+    *
+    * Scale shape: one (query, doc)-keyed equi-join of results against
+    * truth (both sides pruned to ids+rank), one query-grain aggregate;
+    * the IDCG fold is a per-row HOF over min(n_relevant, k) ≤ k terms.
+    * Nothing touches corpus text. */
+  def rankingMetrics(
+      results: DataFrame,
+      truth: DataFrame,
+      queryIdCol: String,
+      docIdCol: String,
+      rankCol: String,
+      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val res = results.select(qcol(queryIdCol).as("__q"),
+      qcol(docIdCol).as("__d"), qcol(rankCol).cast("long").as("__r"))
+      .where(col("__r") <= k)
+    val rel = truth.select(qcol(queryIdCol).as("__q"),
+      qcol(docIdCol).as("__d")).distinct()
+    val nRel = rel.groupBy(col("__q"))
+      .agg(count(lit(1)).as("n_relevant"))
+    val hits = res.join(rel, Seq("__q", "__d"))
+      .groupBy(col("__q"))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("__r")).as("__firstHit"),
+        sum(lit(1.0) / log2(col("__r").cast("double") + 1.0)).as("__dcg"))
+    val queriesSeen = res.select("__q").union(rel.select("__q")).distinct()
+    val idcgTerms = (n: Column) => aggregate(
+      sequence(lit(1L), least(n, lit(k.toLong))),
+      lit(0.0),
+      (acc, i) => acc + lit(1.0) / log2(i.cast("double") + 1.0))
+    queriesSeen
+      .join(nRel, Seq("__q"), "left")
+      .join(hits, Seq("__q"), "left")
+      .select(col("__q").as(queryIdCol),
+        coalesce(col("n_relevant"), lit(0L)).as("n_relevant"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(try_divide(coalesce(col("n_hits"), lit(0L)).cast("double"),
+          col("n_relevant")), 6).as("recall_at_k"),
+        round(coalesce(lit(1.0) / col("__firstHit").cast("double"),
+          when(col("n_relevant").isNotNull && col("n_relevant") > 0, 0.0)),
+          6).as("reciprocal_rank"),
+        round(try_divide(coalesce(col("__dcg"), lit(0.0)),
+          when(col("n_relevant") > 0, idcgTerms(col("n_relevant")))),
+          6).as("ndcg"))
+  }
+
   /** Confusion-matrix stats at `threshold` (predict positive when
     * `score >= threshold`): one row of exact counts `(tp, fp, tn, fn)`
     * plus `accuracy, precision, recall, f1` rounded to 6 — one

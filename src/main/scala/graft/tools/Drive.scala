@@ -855,6 +855,26 @@ object Drive {
         s"family=${inventory.getString(1)} " +
         s"epochs=${inventory.getLong(4)} (want true fingerprint <=2)")
 
+      // the graders grading the retriever: rankingMetrics over bm25TopK
+      // with conjunctive-containment truth — every truth doc carries
+      // every query token, so BM25 must surface some of them
+      val truthDocs = docs.where(qTerms.map(t =>
+          array_contains(graft.operators.TextAnalysis.tokens(col("text")),
+            t)).reduce(_ && _))
+        .select(lit(1).as("query_id"), col("doc_id"))
+      val bmRanked = graft.operators.TextAnalysis.bm25TopK(
+        docs, "doc_id", "text", queries, "query_id", "qtext", k = 20)
+        .select("query_id", "doc_id", "rank")
+      val rm = graft.operators.ModelEval.rankingMetrics(
+        bmRanked, truthDocs, "query_id", "doc_id", "rank", k = 20)
+        .collect().head
+      val nRel = rm.getLong(1)
+      val recall = rm.getDouble(3)
+      val mrr = rm.getDouble(4)
+      val ndcg = rm.getDouble(5)
+      println(s"[drive] 23-bm25-graded nRel=$nRel recall@20=$recall " +
+        s"mrr=$mrr ndcg=$ndcg (want nRel>0, recall>0, 0<ndcg<=1)")
+
       // aucRoc vs the O(n^2) pairwise definition on the synthesized frame
       val scored = docs.select(col("doc_id"),
         (pmod(col("doc_id") * 37, lit(100)).cast("double") / lit(100.0))

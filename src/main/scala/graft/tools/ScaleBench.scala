@@ -823,17 +823,30 @@ object ScaleBench {
       import spark.implicits._
       val docs = lake.documents.select("doc_id", "text", "lang")
       counts("x_docs_rows") = docs.count()
-      // an 8-query batch over the 150k real-text docs: the postings
-      // shuffle is the cost; the query side broadcasts
-      val queries = Seq(
-        (1, "slow table scan merge"), (2, "hash join order"),
-        (3, "spark group query row"), (4, "filter customer line batch"),
-        (5, "window small part sort"), (6, "data value key fast"),
-        (7, "streaming state watermark"), (8, "merge join scan table")
-      ).toDF("query_id", "qtext")
-      shuffleDelta("x_bm25_shuffle_mb") { bench("x_bm25_8q_top10") {
+      // an 8-query batch whose terms come FROM the corpus (4 tokens off
+      // 8 deterministic docs), so every query has real matches; the
+      // claim under test is the pruned postings scan (query tokens
+      // broadcast below the exchange) vs the relational fallback that
+      // shuffles the full corpus-grain postings
+      val qTexts = docs.orderBy("doc_id").limit(8)
+        .select(concat_ws(" ",
+          slice(split(lower(col("text")), " "), 1, 4)).as("qtext"))
+        .collect().map(_.getString(0))
+      val queries = qTexts.zipWithIndex
+        .map { case (t, i) => (i + 1, t) }.toSeq.toDF("query_id", "qtext")
+      // warm the page cache once so pruned-vs-fallback compares plans,
+      // not disk state (the first text read otherwise penalizes
+      // whichever variant runs first)
+      bench("x_warm_scan") {
+        docs.agg(sum(length(col("text")))).collect(); docs.count()
+      }
+      shuffleDelta("x_bm25_pruned_shuffle_mb") { bench("x_bm25_8q_top10") {
         graft.operators.TextAnalysis.bm25TopK(docs, "doc_id", "text",
           queries, "query_id", "qtext", k = 10).count()
+      } }
+      shuffleDelta("x_bm25_fallback_shuffle_mb") { bench("x_bm25_fallback") {
+        graft.operators.TextAnalysis.bm25TopK(docs, "doc_id", "text",
+          queries, "query_id", "qtext", k = 10, maxQueryTerms = 0).count()
       } }
       // equality certificate vs change report on the SAME corpus: the
       // fingerprint's only exchange is partial-aggregate state; the

@@ -78,6 +78,88 @@ class ModelEvalSpec extends GraftSuite {
     assert(ece.getLong(0) == 4L && ece.getDouble(1) == 0.0625)
   }
 
+  test("aucRocByKey: per-slice rank-sum matches per-slice aucRoc; " +
+      "null keys form their own slice") {
+    val df = Seq(
+      (Some("a"), 0.9, 1), (Some("a"), 0.8, 1), (Some("a"), 0.2, 0),
+      (Some("b"), 0.9, 1), (Some("b"), 0.8, 1), (Some("b"), 0.5, 1),
+      (Some("b"), 0.5, 0), (Some("b"), 0.3, 0),
+      (None: Option[String], 0.1, 1), (None: Option[String], 0.9, 0)
+    ).toDF("k", "score", "label")
+    val got = ModelEval.aucRocByKey(df, "score", "label", Seq("k"))
+      .collect().map(r => Option(r.getString(0)) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(Some("a")) == ((2L, 1L, 1.0)))       // perfect separation
+    assert(got(Some("b")) == ((3L, 2L, r6(5.5 / 6)))) // the tied fixture
+    assert(got(None) == ((1L, 1L, 0.0)))            // inverted slice
+    // each slice must equal the global metric computed on that slice
+    Seq("a", "b").foreach { k =>
+      val solo = ModelEval.aucRoc(
+        df.where(col("k") === k), "score", "label").head()
+      assert((solo.getLong(0), solo.getLong(1), solo.getDouble(2))
+        == got(Some(k)))
+    }
+  }
+
+  test("prCurve + averagePrecision: hand-walked thresholds, step-rule " +
+      "area, degenerate empty input") {
+    val df = Seq((0.9, 1), (0.5, 1), (0.5, 0), (0.3, 0))
+      .toDF("score", "label")
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val curve = ModelEval.prCurve(df, "score", "label")
+      .orderBy(col("threshold").desc).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(curve.toSeq == Seq(
+      (0.9, 1L, 0L, 1.0, 0.5),
+      (0.5, 2L, 1L, r6(2.0 / 3), 1.0),
+      (0.3, 2L, 2L, 0.5, 1.0)))
+    val ap = ModelEval.averagePrecision(df, "score", "label").head()
+    // steps: +1 pos at P=1, +1 pos at P=2/3, +0 -> (1 + 2/3)/2
+    assert((ap.getLong(0), ap.getLong(1)) == ((2L, 2L)))
+    assert(ap.getDouble(2) == r6((1.0 + 2.0 / 3) / 2))
+    // empty input: zero counts, null ap (nothing to average)
+    val empty = ModelEval.averagePrecision(
+      df.where(col("score") < 0), "score", "label").head()
+    assert(empty.getLong(0) == 0L && empty.getLong(1) == 0L
+      && empty.isNullAt(2))
+  }
+
+  test("rankingMetrics: recall/MRR/nDCG hand-computed; truth-only and " +
+      "results-only queries surface correctly; k cuts") {
+    val results = Seq(
+      (1L, 10L, 1), (1L, 20L, 2), (1L, 30L, 3), (1L, 40L, 4),
+      (3L, 90L, 1)
+    ).toDF("query_id", "doc_id", "rank")
+    val truth = Seq(
+      (1L, 20L), (1L, 99L), (1L, 40L), // 40 hits only past k=3
+      (2L, 50L)                        // never retrieved
+    ).toDF("query_id", "doc_id")
+    val got = ModelEval.rankingMetrics(results, truth,
+      "query_id", "doc_id", "rank", k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)), Option(r.get(4)),
+          Option(r.get(5)))).toMap
+    def r6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // q1: 3 relevant, one hit at rank 2 (rank-4 hit cut by k=3);
+    // IDCG@3 arranges all min(3, k=3) relevant at ranks 1..3
+    def log2(x: Double): Double = math.log(x) / math.log(2.0)
+    val dcg = 1.0 / log2(3.0)
+    val idcg = 1.0 / log2(2.0) + 1.0 / log2(3.0) + 1.0 / log2(4.0)
+    assert(got(1L)._1 == 3L && got(1L)._2 == 1L)
+    assert(got(1L)._3 == Some(r6(1.0 / 3)))
+    assert(got(1L)._4 == Some(0.5))
+    assert(got(1L)._5 == Some(r6(dcg / idcg)))
+    // q2: relevant but never retrieved -> zeros
+    assert(got(2L) == ((1L, 0L, Some(0.0), Some(0.0), Some(0.0))))
+    // q3: retrieved but no truth -> nothing to grade against
+    assert(got(3L) == ((0L, 0L, None, None, None)))
+  }
+
   test("cohenKappa: textbook 2x2 fixture, null-row exclusion, " +
       "constant-agreement undefined") {
     val df = Seq(

@@ -1544,6 +1544,19 @@ class PipelineOpsSpec extends GraftSuite {
     // scores non-negative under the Lucene idf variant
     assert(got.values.forall(_._1 >= 0.0))
 
+    // the pruned-scan path (default: query tokens broadcast below the
+    // postings exchange) and the relational fallback (maxQueryTerms = 0
+    // keeps all postings and joins) must produce identical numbers —
+    // differential on the real lake corpus
+    val realQ = Seq((1, "slow table scan merge"), (2, "hash join order"))
+      .toDF("query_id", "qtext")
+    val pruned = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      realQ, "query_id", "qtext", k = 8).collect().toSeq
+    val fallback = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      realQ, "query_id", "qtext", k = 8, maxQueryTerms = 0)
+      .collect().toSeq
+    assert(pruned.nonEmpty && pruned.toSet == fallback.toSet)
+
     intercept[IllegalArgumentException] {
       TextAnalysis.bm25TopK(corpus, "doc_id", "text", qs, "doc_id", "qtext")
     }
