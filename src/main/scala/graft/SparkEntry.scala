@@ -1049,6 +1049,28 @@ object SparkEntry {
         .select("chunk_id", "n_docs", "n_tokens", "doc_starts")
         .orderBy("chunk_id")
     }),
+    // packing-efficiency audit (r11): fill rate + overflow fraction of
+    // the packByTokenBudget result — the "is the pad waste worth
+    // re-tuning" gate before a long tokenization run
+    "q_packing_stats" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val toks = lk.documents.select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).as("n_tok"))
+      val packed = Sampling.packByTokenBudget(toks, "doc_id", "n_tok",
+        budget = 200)
+      Sampling.packingStats(packed, "chunk_id", "n_tok", budget = 200)
+    }),
+    // sentence-boundary RAG chunking (r11): sentinel-replace split (no
+    // lookbehind, RE2-replayable), per-doc prefix-sum packing into
+    // ~60-char passages, windowed reassembly in sentence order
+    "q_sentence_chunks" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val prose = lk.documents.where(col("doc_id") < 200)
+        .select(col("doc_id"), concat(col("text"), lit(". "), col("lang"),
+          lit(" part two! third bit? tail")).as("t"))
+      TextAnalysis.sentenceChunks(prose, "doc_id", "t", maxChars = 60)
+        .orderBy("doc_id", "chunk_ix")
+    }),
     // quality-ordered corpus cut ("take the best N tokens"): keep the
     // highest-alpha-ratio docs until a 20k-token budget, via the SAME
     // distributed prefix sum that packs chunks — ordered by score instead
@@ -1997,6 +2019,26 @@ object SparkEntry {
           col("s.luma_entropy").as("luma_entropy"),
           col("s.dominant_hex").as("dominant_hex"))
         .orderBy("doc_id")
+    }),
+    // image near-dup by perceptual hash (r11): 36x16 vertical-split
+    // PNGs whose dHash is arithmetically forced — dark->bright splits
+    // hash to the 16-bit boundary pattern, bright->dark to zero (the
+    // strictly-brighter comparison fails both ways), so with
+    // maxHamming=2 the expected pairs are EXACTLY the same-parity doc
+    // pairs. Pins encode -> real ImageIO decode -> 9x8 box-filter
+    // dHash -> banded LSH -> bit_count verify, end to end.
+    "q_image_neardup" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val dark = lit(0x202020)
+      val bright = lit(0xE0E0E0)
+      val even = pmod(col("doc_id"), lit(2L)) === 0
+      val imgs = lk.documents.where(col("doc_id") < 40)
+        .select(col("doc_id"),
+          Multimodal.syntheticImage(lit(1), lit(36), lit(16),
+            when(even, dark).otherwise(bright).cast("int"),
+            when(even, bright).otherwise(dark).cast("int")).as("img"))
+      Multimodal.imageNearDupPairs(imgs, "doc_id", "img", maxHamming = 2)
+        .orderBy("a_id", "b_id")
     }),
     // LSH-bucketed ANN (scale path). The oracle replicates the WHOLE
     // approximate algorithm — axis-sign signature, banding, bucket join,
@@ -4887,6 +4929,43 @@ object SparkEntry {
          FROM packed GROUP BY chunk_id ORDER BY chunk_id""",
     // same packing + per-member character offsets inside the sequence
     // (running sum of len+sepLen within the chunk, id order)
+    "q_packing_stats" ->
+      """WITH packed AS (
+           SELECT doc_id, n_tok,
+                  CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    // 200 AS BIGINT) AS chunk_id
+           FROM (SELECT doc_id,
+                   len(string_split(lower(text), ' ')) AS n_tok
+                 FROM documents)),
+         g AS (SELECT chunk_id, count(*) AS nr, sum(n_tok) AS nt
+               FROM packed GROUP BY 1)
+         SELECT count(*)::BIGINT AS n_chunks,
+           sum(nr)::BIGINT AS n_rows,
+           sum(nt)::BIGINT AS total_tokens,
+           round(sum(nt)::DOUBLE / (count(*)::DOUBLE * 200), 6)
+             AS mean_fill,
+           round(sum(CASE WHEN nt > 200 THEN 1 ELSE 0 END)::DOUBLE
+             / count(*), 6) AS overflow_frac
+         FROM g""",
+    "q_sentence_chunks" ->
+      """WITH src AS (SELECT doc_id,
+             text || '. ' || lang || ' part two! third bit? tail' AS t
+           FROM documents WHERE doc_id < 200),
+         m AS (SELECT doc_id, string_split(regexp_replace(t,
+             '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)) AS l FROM src),
+         s AS (SELECT doc_id, i - 1 AS pos, l[i] AS sent
+               FROM m, LATERAL (SELECT unnest(generate_series(1, len(l)))
+                 AS i) WHERE len(l[i]) > 0),
+         c AS (SELECT doc_id, pos, sent,
+                 sum(len(sent)) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - len(sent) AS cum
+               FROM s)
+         SELECT doc_id, CAST(floor(cum / 60) AS INT) AS chunk_ix,
+           string_agg(sent, ' ' ORDER BY pos) AS chunk_text,
+           count(*) AS n_sentences, sum(len(sent))::BIGINT AS n_chars
+         FROM c GROUP BY 1, 2 ORDER BY doc_id, chunk_ix""",
     "q_pack_boundaries" ->
       """WITH packed AS (
            SELECT doc_id, text, n_tok,
@@ -5532,6 +5611,14 @@ object SparkEntry {
                           ELSE 3 END AS INT) AS channels,
                 md5(text) AS content_hash
          FROM p ORDER BY doc_id""",
+    // the dHash classes are arithmetically forced (see the query
+    // comment): expected pairs = same-parity doc pairs at hamming 0
+    "q_image_neardup" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id < 40)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id, 0::INT AS hamming
+         FROM d a JOIN d b
+           ON a.doc_id < b.doc_id AND a.doc_id % 2 = b.doc_id % 2
+         ORDER BY a_id, b_id""",
     "q_multimodal_pixels" ->
       """WITH p AS (
            SELECT doc_id,

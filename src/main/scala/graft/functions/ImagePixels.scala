@@ -130,6 +130,83 @@ object ImagePixels {
         sumB.toDouble / n, r6, UTF8String.fromString(hex)))
   }
 
+  /** 64-bit perceptual difference-hash (dHash): decode behind the same
+    * guard path as [[compute]] (header-first dims, [[MaxPixels]]
+    * refusal), box-average integer luma onto a 9×8 grid with
+    * integer-boundary cells (pixel x lands in cell `⌊x·9/w⌋`) — fully
+    * deterministic arithmetic, deliberately NOT Graphics2D resampling
+    * (whose interpolation is platform/JDK-dependent and would make the
+    * hash irreproducible across environments) — then bit `8·cy + cx`
+    * is set iff cell (cx+1, cy) is strictly brighter than cell
+    * (cx, cy), compared exactly by cross-multiplied sums (no float).
+    * Null for undecodable payloads and for images smaller than the
+    * grid (w < 9 or h < 8 — a sub-thumbnail has no 9×8 structure to
+    * hash). Near-identical images differ in few bits; Hamming distance
+    * is the near-dup metric ([[graft.operators.Multimodal
+    * .imageNearDupPairs]]). */
+  def phash(bytes: Array[Byte]): Any = {
+    if (bytes == null) return null
+    val in = new java.io.ByteArrayInputStream(bytes)
+    var stream: javax.imageio.stream.ImageInputStream = null
+    try {
+      stream = javax.imageio.ImageIO.createImageInputStream(in)
+      val readers = javax.imageio.ImageIO.getImageReaders(stream)
+      if (!readers.hasNext) return null
+      val reader = readers.next()
+      try {
+        reader.setInput(stream, true, true)
+        val w = reader.getWidth(0)
+        val h = reader.getHeight(0)
+        if (w < 9 || h < 8 || w.toLong * h > MaxPixels) return null
+        val img = reader.read(0)
+        dhashGrid(img)
+      } finally reader.dispose()
+    } catch {
+      case _: Exception => null
+    } finally {
+      if (stream != null) try stream.close() catch { case _: Exception => () }
+    }
+  }
+
+  private def dhashGrid(img: java.awt.image.BufferedImage): Any = {
+    val w = img.getWidth
+    val h = img.getHeight
+    // per-cell luma sums and pixel counts over the 9x8 grid
+    val sums = Array.ofDim[Long](8, 9)
+    val cnts = Array.ofDim[Long](8, 9)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      val cy = (y.toLong * 8 / h).toInt
+      img.getRGB(0, y, w, 1, row, 0, w)
+      var x = 0
+      while (x < w) {
+        val cx = (x.toLong * 9 / w).toInt
+        val rgb = row(x)
+        val luma = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF)
+          + 114 * (rgb & 0xFF)) / 1000
+        sums(cy)(cx) += luma
+        cnts(cy)(cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var cy = 0
+    while (cy < 8) {
+      var cx = 0
+      while (cx < 8) {
+        // right cell strictly brighter, exactly: s1/n1 > s0/n0
+        if (sums(cy)(cx + 1) * cnts(cy)(cx) >
+            sums(cy)(cx) * cnts(cy)(cx + 1))
+          bits |= 1L << (8 * cy + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    bits
+  }
+
   /** Deterministic PNG synthesis for oracles/specs: `kind = 0` solid
     * `rgb1`; `kind = 1` vertical split — the first `w / 2` pixel columns
     * `rgb1`, the rest `rgb2`. Stats of the result are pure arithmetic in
@@ -180,6 +257,35 @@ case class ImagePixelStats(child: Expression) extends UnaryExpression {
      """.stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): ImagePixelStats =
+    copy(child = newChild)
+}
+
+/** Codegen'd `binary → bigint` perceptual difference-hash (see
+  * [[ImagePixels.phash]]). Null when the payload cannot be decoded or
+  * is smaller than the 9×8 hash grid. */
+case class ImagePerceptualHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ImagePerceptualHash expects binary input, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(bytes: Any): Any =
+    ImagePixels.phash(bytes.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => s"""
+       |Object ${ev.value}Obj = graft.functions.ImagePixels.phash($b);
+       |${ev.isNull} = (${ev.value}Obj == null);
+       |${ev.value} = ${ev.isNull} ? -1L
+       |  : ((java.lang.Long) ${ev.value}Obj).longValue();
+     """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): ImagePerceptualHash =
     copy(child = newChild)
 }
 

@@ -407,29 +407,46 @@ object Dedup extends org.apache.spark.internal.Logging {
     * band only — no distinct(). */
   def simhashNearPairs(
       df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hamming64NearPairs(sh.select(col("__id"), col("simhash").as("__h")),
+      maxHamming).select("a_id", "b_id")
+  }
+
+  /** Shared LSH-band candidate generation + exact verify for ANY 64-bit
+    * locality hash (`__id`, `__h`): split the hash into `maxHamming + 1`
+    * bands — a pair within the Hamming budget must agree on at least one
+    * full band (pigeonhole), so recall is exactly 1 — meet candidates in
+    * per-band buckets, emit each pair ONCE from its first equal band (no
+    * distinct), verify with `bit_count(xor)`. One row per pair:
+    * `a_id | b_id | hamming`. Backs [[simhashNearPairs]] (text) and
+    * [[Multimodal.imageNearDupPairs]] (perceptual hash). */
+  private[graft] def hamming64NearPairs(
+      hashed: DataFrame, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming < 16, "maxHamming must be in [0, 16)")
     val nBands = maxHamming + 1
     val width = 64 / nBands
-    val sh = simhash(df, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bandCols = (0 until nBands).map { b =>
       val hi = if (b == nBands - 1) 64 else (b + 1) * width
       val bits = hi - b * width
       val mask = if (bits >= 64) -1L else (1L << bits) - 1
-      shiftrightunsigned(col("simhash"), b * width).bitwiseAND(lit(mask))
+      shiftrightunsigned(col("__h"), b * width).bitwiseAND(lit(mask))
     }
-    val withBands = sh.select(col("__id"), col("simhash"), array(bandCols: _*).as("__bands"))
-    val buckets = withBands.select(col("__id"), col("simhash"), col("__bands"),
+    val withBands = hashed.where(col("__h").isNotNull)
+      .select(col("__id"), col("__h"), array(bandCols: _*).as("__bands"))
+    val buckets = withBands.select(col("__id"), col("__h"), col("__bands"),
       posexplode(col("__bands")).as(Seq("band", "bh")))
     val a = buckets.select(col("band"), col("bh"), col("__id").as("a_id"),
-      col("simhash").as("__sa"), col("__bands").as("__ba"))
+      col("__h").as("__sa"), col("__bands").as("__ba"))
     val b = buckets.select(col("band"), col("bh"), col("__id").as("b_id"),
-      col("simhash").as("__sb"), col("__bands").as("__bb"))
+      col("__h").as("__sb"), col("__bands").as("__bb"))
     a.join(b, Seq("band", "bh"))
       .where(col("a_id") < col("b_id") &&
-        graft.functions.VectorOps.firstEqualIndex(col("__ba"), col("__bb")) === col("band") &&
-        bit_count(col("__sa").bitwiseXOR(col("__sb"))) <= maxHamming)
-      .select("a_id", "b_id")
+        graft.functions.VectorOps.firstEqualIndex(col("__ba"), col("__bb")) === col("band"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("int")
+          .as("hamming"))
+      .where(col("hamming") <= maxHamming)
   }
 
   // ---- character n-gram Jaccard with prefix filtering ----------------------

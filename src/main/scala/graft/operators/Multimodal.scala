@@ -99,6 +99,38 @@ object Multimodal {
   def pixelStats(binCol: Column): Column = GraftSqlBridge.column(
     graft.functions.ImagePixelStats(GraftSqlBridge.expression(binCol)))
 
+  /** 64-bit perceptual difference-hash of an image payload
+    * ([[graft.functions.ImagePixels.phash]]): codegen'd binary → bigint,
+    * null for undecodable bytes or images smaller than the 9×8 grid.
+    * Near-identical images (re-encode, mild crop/brightness shift)
+    * differ in few bits — Hamming distance is the image near-dup
+    * metric, and the deterministic box-filter grid makes the same bytes
+    * hash identically on every executor and JDK. */
+  def perceptualHash(binCol: Column): Column = GraftSqlBridge.column(
+    graft.functions.ImagePerceptualHash(GraftSqlBridge.expression(binCol)))
+
+  /** Image near-duplicate pairs by perceptual hash: one row per pair
+    * with Hamming distance ≤ `maxHamming` — `a_id | b_id | hamming`.
+    * The visual analog of [[Dedup.simhashNearPairs]], riding the SAME
+    * banded-LSH candidate generation ([[Dedup.hamming64NearPairs]]):
+    * `maxHamming + 1` bands, pigeonhole recall 1, each pair emitted
+    * once from its first equal band, exact `bit_count(xor)` verify.
+    * Undecodable / sub-grid images hash null and never pair.
+    *
+    * 100 TB shape: one decode pass (the codegen'd expression next to
+    * the scan — image BYTES never shuffle, only (id, 64-bit hash)
+    * leaves the scan), one band-keyed exchange of 8-byte hashes,
+    * bucket-local joins. Never all-pairs. */
+  def imageNearDupPairs(
+      df: DataFrame,
+      idCol: String,
+      binCol: String,
+      maxHamming: Int = 3): DataFrame =
+    Dedup.hamming64NearPairs(
+      df.select(col(idCol).as("__id"),
+        perceptualHash(col(binCol)).as("__h")),
+      maxHamming)
+
   /** Deterministic synthetic PNG per row (harness/oracle utility):
     * `kind = 0` solid `rgb1`, `kind = 1` vertical split `rgb1 | rgb2`
     * at `w / 2`. Exists so the encode → decode → stats round trip is

@@ -336,6 +336,35 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** Packing-efficiency report over a [[packByTokenBudget]] result (or
+    * any chunked frame): ONE row — `n_chunks | n_rows | total_tokens |
+    * mean_fill | overflow_frac`, where mean_fill is
+    * `total_tokens / (n_chunks · budget)` (the fraction of the training
+    * window actually filled; `1 − mean_fill` is pad waste) and
+    * overflow_frac the fraction of chunks whose token sum exceeds the
+    * budget (straddle rows — the rows a sequence-packer truncates or
+    * spills). Ratios round to 6. Two bounded aggregates (chunk grain,
+    * then one row); the audit that decides whether the packing order /
+    * budget is worth re-tuning before a multi-day tokenization run. */
+  def packingStats(
+      packed: DataFrame,
+      chunkCol: String,
+      tokenCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    packed.groupBy(col(chunkCol))
+      .agg(count(lit(1)).as("__rows"), sum(col(tokenCol)).as("__toks"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(col("__rows")).as("n_rows"),
+        sum(col("__toks")).as("total_tokens"),
+        sum(when(col("__toks") > budget, 1L).otherwise(0L)).as("__over"))
+      .select(col("n_chunks"), col("n_rows"), col("total_tokens"),
+        round(try_divide(col("total_tokens").cast("double"),
+          col("n_chunks").cast("double") * budget), 6).as("mean_fill"),
+        round(try_divide(col("__over").cast("double"), col("n_chunks")), 6)
+          .as("overflow_frac"))
+  }
+
   /** Exclusive distributed prefix sum of `valueCol` under the TOTAL order
     * given by `orderCols` (which must be a unique ordering — include an id
     * tiebreaker), as a `__cum` column.

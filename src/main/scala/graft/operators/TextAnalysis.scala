@@ -159,6 +159,48 @@ object TextAnalysis {
       ).as(Seq("chunk_ix", "chunk_text")))
   }
 
+  /** Sentence-boundary chunking (the RAG-passage variant of
+    * [[chunkFixed]]): split on sentence ends (`[.!?]` followed by
+    * whitespace — encoded as a sentinel replace + split because RE2
+    * engines have no lookbehind, so the rule replays identically in
+    * ANSI SQL), then greedily pack CONSECUTIVE sentences into chunks of
+    * at most ~`maxChars` characters with [[Sampling.packByTokenBudget]]
+    * straddle semantics (a sentence crossing the boundary stays in the
+    * chunk its prefix put it in, so a sentence longer than `maxChars`
+    * still lands exactly once). Output one row per chunk: `idCol |
+    * chunk_ix | chunk_text | n_sentences | n_chars` with sentences
+    * rejoined by a single space.
+    *
+    * Scale shape: the split is one generator expression per row; the
+    * prefix sum and reassembly window/group PER DOCUMENT — everything
+    * keys on the id, no global order anywhere. */
+  def sentenceChunks(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxChars: Int): DataFrame = {
+    require(maxChars > 0, "maxChars must be positive")
+    val marked = regexp_replace(col(textCol), "([.!?])\\s+", "$1\u0001")
+    val sents = df.select(col(idCol),
+        posexplode(split(marked, "\u0001")).as(Seq("__pos", "__sent")))
+      .where(length(col("__sent")) > 0)
+    val w = Window.partitionBy(col(idCol)).orderBy(col("__pos"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sents
+      .withColumn("__cum",
+        sum(length(col("__sent")).cast("long")).over(w)
+          - length(col("__sent")))
+      .withColumn("chunk_ix",
+        floor(col("__cum") / lit(maxChars.toLong)).cast("int"))
+      .groupBy(col(idCol), col("chunk_ix"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("__pos"), col("__sent")))),
+          s => s.getField("__sent")), " ").as("chunk_text"),
+        count(lit(1)).as("n_sentences"),
+        sum(length(col("__sent")).cast("long")).as("n_chars"))
+  }
+
   /** Gopher-style repetition features: the within-document duplication
     * signals the published quality filters threshold on (Rae et al. 2021
     * §A1.1 — duplicate line fraction, duplicate line character fraction,

@@ -875,6 +875,21 @@ object Drive {
       println(s"[drive] 23-bm25-graded nRel=$nRel recall@20=$recall " +
         s"mrr=$mrr ndcg=$ndcg (want nRel>0, recall>0, 0<ndcg<=1)")
 
+      // image near-dup e2e: synthesize real PNGs (3 groups: two split
+      // classes + solids), pair by perceptual hash, check group algebra
+      val imgs = docs.where(col("doc_id") < 24).select(col("doc_id"),
+        graft.operators.Multimodal.syntheticImage(lit(1), lit(36), lit(16),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit(0x202020))
+            .otherwise(lit(0xE0E0E0)).cast("int"),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit(0xE0E0E0))
+            .otherwise(lit(0x202020)).cast("int")).as("img"))
+      val ndp = graft.operators.Multimodal.imageNearDupPairs(
+        imgs, "doc_id", "img", maxHamming = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val sameParity = ndp.forall { case (a, b) => a % 2 == b % 2 }
+      println(s"[drive] 23-imgneardup pairs=${ndp.length} " +
+        s"sameParityOnly=$sameParity (want 132 true)")
+
       // aucRoc vs the O(n^2) pairwise definition on the synthesized frame
       val scored = docs.select(col("doc_id"),
         (pmod(col("doc_id") * 37, lit(100)).cast("double") / lit(100.0))

@@ -83,6 +83,86 @@ class MultimodalPixelsSpec extends GraftSuite {
     assert(row.getDouble(3) == 127.5 && row.getDouble(5) == 127.5)
   }
 
+  /** Seeded pseudo-random RGB image via an LCG — every pixel differs, so
+    * the 9×8 cell averages carry real structure (unlike solid synths). */
+  private def noiseImage(w: Int, h: Int, seed: Long,
+      perturb: Option[(Int, Int, Int, Int)] = None): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var s = seed
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        s = s * 6364136223846793005L + 1442695040888963407L
+        img.setRGB(x, y, ((s >>> 24) & 0xFFFFFF).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    perturb.foreach { case (px, py, pw, ph) =>
+      (py until math.min(py + ph, h)).foreach { yy =>
+        (px until math.min(px + pw, w)).foreach { xx =>
+          img.setRGB(xx, yy, 0x000000) // black out one block
+        }
+      }
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("perceptual hash: identical bytes hash equal; a blacked-out block " +
+      "moves few bits; an unrelated image moves many; sub-grid is null") {
+    def ph(b: Array[Byte]): Long =
+      ImagePixels.phash(b).asInstanceOf[Long]
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val base = noiseImage(90, 64, seed = 42)
+    val again = noiseImage(90, 64, seed = 42)
+    assert(ph(base) == ph(again))
+    // black out one full grid row (y 24-31 = cell row 3): every
+    // horizontal comparison in that row goes flat-false, nothing else
+    // moves - so the distance is that row's original bit count, >= 1
+    // unless the seed already zeroed all 8 (checked: it doesn't)
+    val nearDup = noiseImage(90, 64, seed = 42,
+      perturb = Some((0, 24, 90, 8)))
+    val dNear = hamming(ph(base), ph(nearDup))
+    assert(dNear >= 1 && dNear <= 8, s"near-dup moved $dNear bits")
+    // a different seed is visually unrelated
+    val other = noiseImage(90, 64, seed = 777)
+    val dOther = hamming(ph(base), ph(other))
+    assert(dOther > 12, s"unrelated image moved only $dOther bits")
+    // smaller than the 9x8 grid: nothing to hash
+    assert(ImagePixels.phash(ImagePixels.synth(0, 8, 7, 0x123456, 0)) == null)
+    assert(ImagePixels.phash(Array[Byte](1, 2, 3)) == null)
+  }
+
+  test("imageNearDupPairs: finds exactly the perturbed pair (banded " +
+      "candidates == brute force), null hashes never pair") {
+    val rows = Seq(
+      (1L, noiseImage(90, 64, 42)),
+      (2L, noiseImage(90, 64, 42, Some((0, 24, 90, 8)))),  // near-dup of 1
+      (3L, noiseImage(90, 64, 777)),                       // unrelated
+      (4L, noiseImage(90, 64, 31337)),                     // unrelated
+      (5L, Array[Byte](9, 9, 9))                           // undecodable
+    ).toDF("img_id", "bytes")
+    val got = Multimodal.imageNearDupPairs(rows, "img_id", "bytes",
+      maxHamming = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)))
+    assert(got.head._3 >= 1 && got.head._3 <= 8)
+    // brute force over the decoded hashes agrees (recall-1 certificate)
+    val hs = rows.select(col("img_id"),
+      Multimodal.perceptualHash(col("bytes")).as("h"))
+      .collect().flatMap(r =>
+        if (r.isNullAt(1)) None else Some(r.getLong(0) -> r.getLong(1)))
+    val brute = for {
+      (ia, ha) <- hs; (ib, hb) <- hs
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 8
+    } yield (ia, ib)
+    assert(brute.toSeq == got.map(p => (p._1, p._2)).toSeq)
+  }
+
   test("undecodable payloads are null: corrupt bytes, and a PNG header " +
       "claiming more than MaxPixels is refused from the header") {
     assert(ImagePixels.compute("just some text".getBytes("UTF-8")) == null)

@@ -1569,6 +1569,50 @@ class PipelineOpsSpec extends GraftSuite {
     }
   }
 
+  test("sentenceChunks: boundary split, straddle packing, in-order " +
+      "reassembly, oversized sentence lands once") {
+    val s = spark
+    import s.implicits._
+    val prose = Seq(
+      // sentences: "One two." (8) / "Three four five!" (16) / "Six?" (4)
+      // / "tail" (4); maxChars=20: cum 0,8,24,28 -> chunks 0,0,1,1
+      (1L, "One two. Three four five! Six? tail"),
+      // a single sentence longer than maxChars still lands exactly once
+      (2L, "This sentence is far longer than twenty characters")
+    ).toDF("doc_id", "t")
+    val got = TextAnalysis.sentenceChunks(prose, "doc_id", "t",
+      maxChars = 20).orderBy("doc_id", "chunk_ix").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, 0, "One two. Three four five!", 2L, 24L),
+      (1L, 1, "Six? tail", 2L, 8L),
+      (2L, 0, "This sentence is far longer than twenty characters", 1L,
+        50L)))
+  }
+
+  test("packingStats: fill and overflow arithmetic over a hand fixture") {
+    val s = spark
+    import s.implicits._
+    // budget 10: chunk 0 = rows (1:4, 2:5) = 9 tokens (fits);
+    // chunk 1 = rows (3:8, 4:3) = 11 tokens (straddle row 4 overflows)
+    val packed = Seq((1L, 4L, 0L), (2L, 5L, 0L), (3L, 8L, 1L),
+      (4L, 3L, 1L)).toDF("id", "n_tok", "chunk_id")
+    val r = Sampling.packingStats(packed, "chunk_id", "n_tok", 10).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((2L, 4L, 20L)))
+    assert(r.getDouble(3) == 1.0)   // 20 / (2 * 10)
+    assert(r.getDouble(4) == 0.5)   // 1 of 2 chunks over budget
+    // consistency with the real packer on the lake corpus
+    val toks = docs.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tok"))
+    val lakeStats = Sampling.packingStats(
+      Sampling.packByTokenBudget(toks, "doc_id", "n_tok", budget = 200),
+      "chunk_id", "n_tok", budget = 200).head()
+    assert(lakeStats.getLong(1) == docs.count())
+    assert(lakeStats.getDouble(3) > 0.9,
+      "straddle packing keeps fill near 1 by construction")
+  }
+
   test("linear text score: hand-computable fixture, bigrams, null safety") {
     val s = spark
     import s.implicits._
