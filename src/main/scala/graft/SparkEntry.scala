@@ -1904,6 +1904,41 @@ object SparkEntry {
       val lk = Lake.get(s, dir)
       TextAnalysis.fingerprint(lk.documents, "doc_id", "text").orderBy("doc_id")
     }),
+    // hybrid retrieval: BM25 lexical top-10 fused with embedding-cosine
+    // semantic top-10 by reciprocal-rank fusion (the production RAG
+    // retriever shape). vec_id and doc_id share the lake's item universe,
+    // so overlapping hits genuinely sum their reciprocal ranks; the oracle
+    // replays both retrievers AND the fusion arithmetic.
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      import s.implicits._
+      val textQueries = Seq(
+        (1, "hash join order"),
+        (2, "slow table scan merge"),
+        (3, "streaming window watermark state")).toDF("query_id", "qtext")
+      val lexical = TextAnalysis.bm25TopK(lk.documents, "doc_id", "text",
+        textQueries, "query_id", "qtext", k = 10)
+      val semantic = Similarity.topK(lk.embeddings,
+          lk.embeddings.where(col("vec_id").isin(1, 2, 3)),
+          "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("neighbor_id").as("doc_id"), col("rank"))
+      TextAnalysis.rrfFuse(Seq(lexical, semantic), "query_id", "doc_id", k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    // SPC alarm layer over a monitor timeline: daily event counts per
+    // event_type through the EWMA + CUSUM control chart. The metric is an
+    // exact integer count so both engines feed identical inputs into the
+    // recurrences; the oracle recomputes the EWMA via an INDEPENDENT
+    // recursive CTE (the operator uses the rebased closed form).
+    "q_control_chart" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val daily = lk.events
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("n_events"))
+      Profile.controlChart(daily, "n_events", "day", Seq("event_type"),
+          alpha = 0.3, ewmaL = 3.0, cusumSlack = 0.5, cusumH = 4.0)
+        .orderBy("event_type", "day")
+    }),
     // Synthesizes REAL container bytes per doc (PNG / JPEG / raw-text by
     // doc_id mod 3; dimensions derived from doc_id), then parses them back
     // through the codegen'd header scan — the oracle computes the expected
@@ -5171,6 +5206,117 @@ object SparkEntry {
       """SELECT doc_id, md5(text) AS fp_raw,
                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_norm
          FROM documents ORDER BY doc_id""",
+    // replays BOTH retrievers (BM25 top-10 and cosine top-10, each with
+    // their deterministic tie-breaks) and the reciprocal-rank fusion
+    "q_hybrid_rrf" ->
+      """WITH q(query_id, qtext) AS (VALUES
+             (1, 'hash join order'),
+             (2, 'slow table scan merge'),
+             (3, 'streaming window watermark state')),
+         t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks
+               FROM documents),
+         p AS (SELECT doc_id, len(toks)::DOUBLE AS dl, unnest(toks) AS token
+               FROM t),
+         tf AS (SELECT doc_id, dl, token, count(*) AS tf FROM p
+                GROUP BY 1, 2, 3),
+         dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         st AS (SELECT count(*)::DOUBLE AS n FROM documents),
+         ad AS (SELECT avg(len(string_split(lower(text), ' '))) AS avgdl
+                FROM documents),
+         qt AS (SELECT DISTINCT query_id, token FROM
+                  (SELECT query_id,
+                          unnest(string_split(lower(qtext), ' ')) AS token
+                   FROM q) WHERE len(token) > 0),
+         sc AS (SELECT qt.query_id, tf.doc_id,
+                  round(sum(
+                    ln(((SELECT n FROM st) - dfq.df + 0.5)
+                       / (dfq.df + 0.5) + 1)
+                    * tf.tf * (1.2 + 1)
+                    / (tf.tf + 1.2 * (1 - 0.75
+                        + 0.75 * tf.dl / (SELECT avgdl FROM ad)))), 6)
+                  AS score
+                FROM qt JOIN tf USING (token) JOIN dfq USING (token)
+                GROUP BY 1, 2),
+         lex AS (SELECT query_id, doc_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY score DESC, doc_id) AS INT) AS rank
+                 FROM sc QUALIFY rank <= 10),
+         e AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings),
+         cs AS (SELECT qe.vec_id query_id, c.vec_id neighbor_id,
+                  list_dot_product(qe.v, c.v) /
+                  (sqrt(list_dot_product(qe.v, qe.v)) *
+                   sqrt(list_dot_product(c.v, c.v))) sim
+                FROM e qe JOIN e c
+                  ON qe.vec_id IN (1, 2, 3) AND c.vec_id != qe.vec_id),
+         sem AS (SELECT query_id, neighbor_id AS doc_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+                 FROM cs QUALIFY rank <= 10),
+         contrib AS (SELECT query_id, doc_id,
+                       1.0::DOUBLE / (60 + rank)::DOUBLE AS c
+                     FROM lex
+                     UNION ALL
+                     SELECT query_id, doc_id,
+                       1.0::DOUBLE / (60 + rank)::DOUBLE FROM sem),
+         fused AS (SELECT query_id, doc_id,
+                     round(sum(c), 6) AS rrf_score
+                   FROM contrib GROUP BY 1, 2),
+         rk AS (SELECT query_id, doc_id, rrf_score,
+                  CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY rrf_score DESC, doc_id) AS INT) AS rank
+                FROM fused)
+         SELECT query_id, doc_id, rrf_score, rank FROM rk
+         WHERE rank <= 5 ORDER BY query_id, rank""",
+    // independent replay of the control chart: the EWMA comes from a
+    // recursive CTE running the recurrence itself (the operator uses the
+    // rebased closed form - a different computation of the same series),
+    // the CUSUM from the prefix-sum/running-min identity
+    "q_control_chart" ->
+      """WITH RECURSIVE
+         d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+                      count(*)::DOUBLE AS n_events
+               FROM events GROUP BY 1, 2),
+         st AS (SELECT event_type, avg(n_events) AS mu,
+                       stddev_pop(n_events) AS sigma
+                FROM d GROUP BY 1),
+         ord AS (SELECT d.event_type, d.day, d.n_events, st.mu, st.sigma,
+                   CAST(row_number() OVER (PARTITION BY d.event_type
+                     ORDER BY d.day) AS INT) AS i
+                 FROM d JOIN st USING (event_type)),
+         ew AS (SELECT event_type, day, i, n_events, mu, sigma,
+                  0.3::DOUBLE * n_events + 0.7::DOUBLE * mu AS ewma
+                FROM ord WHERE i = 1
+                UNION ALL
+                SELECT o.event_type, o.day, o.i, o.n_events, o.mu, o.sigma,
+                  0.3::DOUBLE * o.n_events + 0.7::DOUBLE * e.ewma
+                FROM ord o JOIN ew e
+                  ON o.event_type = e.event_type AND o.i = e.i + 1),
+         z AS (SELECT *, CASE WHEN sigma > 0
+                     THEN (n_events - mu) / sigma ELSE 0::DOUBLE END AS zs,
+                  sigma * sqrt(0.3 / 1.7 *
+                    (1 - pow(0.49::DOUBLE, i::DOUBLE))) AS sigz
+               FROM ew),
+         pf AS (SELECT *,
+                  sum(zs - 0.5) OVER (PARTITION BY event_type ORDER BY i
+                    ROWS UNBOUNDED PRECEDING) AS phisum,
+                  sum(-zs - 0.5) OVER (PARTITION BY event_type ORDER BY i
+                    ROWS UNBOUNDED PRECEDING) AS plosum
+                FROM z),
+         cu AS (SELECT *,
+                  phisum - least(min(phisum) OVER (PARTITION BY event_type
+                    ORDER BY i ROWS UNBOUNDED PRECEDING), 0) AS chi,
+                  plosum - least(min(plosum) OVER (PARTITION BY event_type
+                    ORDER BY i ROWS UNBOUNDED PRECEDING), 0) AS clo
+                FROM pf)
+         SELECT event_type, day, n_events,
+                round(ewma, 6) AS ewma,
+                round(mu - 3 * sigz, 6) AS ewma_lcl,
+                round(mu + 3 * sigz, 6) AS ewma_ucl,
+                (sigma > 0 AND abs(ewma - mu) > 3 * sigz) AS ewma_alarm,
+                round(chi, 6) AS cusum_hi,
+                round(clo, 6) AS cusum_lo,
+                (chi > 4 OR clo > 4) AS cusum_alarm
+         FROM cu ORDER BY event_type, day""",
     // replicates axisLshCosinePairs exactly: 16 sign bits of the first 16
     // coordinates, 4 bands of 4 bits, candidates meet in shared (band, hash)
     // buckets, exact double cosine >= 0.4 re-rank

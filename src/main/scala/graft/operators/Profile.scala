@@ -2190,4 +2190,136 @@ object Profile {
         round(pRef, 6).as("p_ref"), round(pCur, 6).as("p_cur"),
         round((pCur - pRef) * log(pCur / pRef), 6).as("psi_term"))
   }
+
+  /** Statistical-process-control chart over a monitor timeline — the
+    * alarm layer the drift family feeds: [[driftEpochsFromSketchStores]]
+    * and the quality ledger say what each epoch LOOKS like; this says
+    * when the series has gone out of control. Two standard detectors per
+    * point (Montgomery, *Statistical Quality Control*): the EWMA chart
+    * (`z_i = α·x_i + (1−α)·z_{i−1}`, seeded at the series mean, alarm
+    * when the smoothed value leaves `μ ± L·σ_z(i)` with the usual
+    * startup-corrected `σ_z(i) = σ·sqrt(α/(2−α)·(1−(1−α)^{2i}))`) for
+    * slow drifts, and the tabular CUSUM (`c⁺_i = max(0, c⁺_{i−1} +
+    * z-score_i − slack)`, mirrored low side, alarm past `h`) for
+    * accumulated small shifts. Center and scale are self-baselined from
+    * the whole series per key (μ, population σ); a zero-σ series never
+    * alarms.
+    *
+    * Output, per input point: `keyCols… | orderCol | value | ewma |
+    * ewma_lcl | ewma_ucl | ewma_alarm | cusum_hi | cusum_lo |
+    * cusum_alarm` (floats rounded 6).
+    *
+    * Scale shape: ONE sort-shuffle on the key brings each series
+    * together; μ/σ are unordered window aggregates over the same
+    * partition (no self-join), the CUSUM recurrences are EXACT closed
+    * forms over running sums (`c⁺_i = P_i − min(0, min_{j≤i} P_j)` with
+    * `P` the prefix sum of slacked z-scores), and the EWMA recurrence is
+    * the rebased closed form `z_i = (1−α)^i·(μ + α·Σ_j x_j·(1−α)^{−j})`
+    * — all window functions, no collect, ANSI-replicable (the oracle
+    * recomputes the EWMA via an independent recursive CTE). The rebase
+    * term `(1−α)^{−i}` overflows a double on very long series, so series
+    * length is guarded at `maxPoints` (default 2000) with an in-plan
+    * raise — monitor timelines are fold-bounded (≤ maxEpochs per store)
+    * long before that. Duplicate `(key, order)` points are refused
+    * in-plan too: the recurrences need a well-defined total order.
+    * Nulls in the value column have no place on a chart and are refused
+    * with the duplicates (drop or impute upstream, explicitly).
+    * Ref parity note: no reference equivalent; completes the
+    * drift-monitoring tier (detection → attribution → ALARM). */
+  def controlChart(
+      df: DataFrame,
+      valueCol: String,
+      orderCol: String,
+      keyCols: Seq[String] = Seq.empty,
+      alpha: Double = 0.2,
+      ewmaL: Double = 3.0,
+      cusumSlack: Double = 0.5,
+      cusumH: Double = 5.0,
+      maxPoints: Int = 2000): DataFrame = {
+    require(alpha > 0 && alpha <= 1, "alpha must be in (0, 1]")
+    require(ewmaL > 0, "ewmaL must be positive")
+    require(cusumSlack >= 0, "cusumSlack must be non-negative")
+    require(cusumH > 0, "cusumH must be positive")
+    require(maxPoints > 0, "maxPoints must be positive")
+    val reserved = Seq("ewma", "ewma_lcl", "ewma_ucl", "ewma_alarm",
+      "cusum_hi", "cusum_lo", "cusum_alarm")
+    require(!(keyCols :+ valueCol :+ orderCol).exists(reserved.contains),
+      s"input columns may not be named any of: ${reserved.mkString(", ")}")
+    val keys = keyCols.map(qcol)
+    val x = qcol(valueCol).cast("double")
+
+    val wKey = org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)
+    val wOrd = wKey.orderBy(qcol(orderCol))
+
+    val mu = avg(x).over(wKey)
+    val sigma = stddev_pop(x).over(wKey)
+    val n = count(lit(1)).over(wKey)
+    val i = row_number().over(wOrd).cast("double")
+    // in-plan guards: they ride the same window pass, stay lazy, and
+    // fail loudly on the executor instead of silently mis-charting
+    val dupes = count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(
+        (keys :+ qcol(orderCol)): _*))
+    val guard = when(x.isNull, raise_error(lit(
+        s"controlChart: null in value column '$valueCol' - drop or " +
+          "impute upstream")))
+      .when(dupes > 1, raise_error(lit(
+        s"controlChart: duplicate (key, $orderCol) point - the " +
+          "recurrences need a well-defined total order")))
+      .when(n > maxPoints, raise_error(lit(
+        s"controlChart: series longer than maxPoints=$maxPoints - " +
+          "fold the store or raise maxPoints")))
+      .otherwise(lit(null).cast("string"))
+
+    val base = df.select((keys :+ qcol(orderCol).as("__ord") :+ x.as("__x")
+      :+ mu.as("__mu") :+ sigma.as("__sig") :+ i.as("__i")
+      :+ guard.as("__guard")): _*)
+
+    val oneMa = lit(1.0 - alpha)
+    // EWMA closed form, rebased per point; alpha == 1 degenerates to the
+    // raw series (pow(0, -j) would be Inf, so special-case it)
+    val ewma =
+      if (alpha == 1.0) col("__x")
+      else pow(oneMa, col("__i")) * (col("__mu") +
+        lit(alpha) * sum(col("__x") / pow(oneMa, col("__i"))).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(keys: _*)
+            .orderBy(col("__ord")).rowsBetween(
+              org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val sigZ = col("__sig") * sqrt(lit(alpha / (2.0 - alpha)) *
+      (lit(1.0) - pow(oneMa * oneMa, col("__i"))))
+    // standardized score; a zero-sigma series is flat by definition
+    val z = when(col("__sig") > 0, (col("__x") - col("__mu")) / col("__sig"))
+      .otherwise(lit(0.0))
+
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys: _*).orderBy(col("__ord")).rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val stepped = base
+      .withColumn("__ewma", ewma)
+      .withColumn("__sigz", sigZ)
+      // prefix sums of the slacked z-scores; the CUSUM recurrence is the
+      // exact identity c_i = P_i - min(0, min_{j<=i} P_j) over them
+      .withColumn("__phisum", sum(z - lit(cusumSlack)).over(wRun))
+      .withColumn("__plosum", sum(-z - lit(cusumSlack)).over(wRun))
+      .withColumn("__chi",
+        col("__phisum") - least(min(col("__phisum")).over(wRun), lit(0.0)))
+      .withColumn("__clo",
+        col("__plosum") - least(min(col("__plosum")).over(wRun), lit(0.0)))
+
+    stepped
+      .select((keys
+        :+ col("__ord").as(orderCol)
+        :+ col("__x").as(valueCol)
+        // __guard is always null (non-null paths raise); referencing it
+        // here keeps the in-plan checks from being pruned away
+        :+ when(col("__guard").isNull, round(col("__ewma"), 6)).as("ewma")
+        :+ round(col("__mu") - lit(ewmaL) * col("__sigz"), 6).as("ewma_lcl")
+        :+ round(col("__mu") + lit(ewmaL) * col("__sigz"), 6).as("ewma_ucl")
+        :+ (col("__sig") > 0 && abs(col("__ewma") - col("__mu")) >
+          lit(ewmaL) * col("__sigz")).as("ewma_alarm")
+        :+ round(col("__chi"), 6).as("cusum_hi")
+        :+ round(col("__clo"), 6).as("cusum_lo")
+        :+ (col("__chi") > lit(cusumH) ||
+          col("__clo") > lit(cusumH)).as("cusum_alarm")): _*)
+  }
 }

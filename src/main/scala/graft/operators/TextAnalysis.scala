@@ -1080,6 +1080,58 @@ object TextAnalysis {
         col("score"), col("rank"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR 2009): merge the
+    * top-k lists of several retrievers into one ranking with
+    * `rrf_score = Σ_r 1/(rrfC + rank_r)` summed over the lists that
+    * retained the item. RRF is the standard hybrid-retrieval combiner
+    * (lexical BM25 + embedding ANN) because it needs only RANKS — the
+    * retrievers' score scales never have to be calibrated against each
+    * other. Each input frame must carry `(queryIdCol, idCol, rankCol)`;
+    * extra columns are ignored. Output: `(queryIdCol, idCol,
+    * round(rrf_score, 6), rank)` — re-ranked on the rounded score desc
+    * with id-ascending tie-break (deterministic, engine-replicable),
+    * cut to the final `k`.
+    *
+    * Scale shape: every input is already a top-k cut, so this plan
+    * touches `Σ_r (queries × k_r)` rows TOTAL — the union + one
+    * (query, id) aggregate + per-query window are all bounded by the
+    * fused lists, never by the corpus. The expensive work stays in the
+    * upstream retrievers, each free to use its own scale path
+    * ([[bm25TopK]]'s pruned postings scan, `Similarity.ivfPqTopK`'s
+    * cell routing).
+    * Ref parity note: no reference equivalent; completes the retrieval
+    * family for RAG-corpus curation (hybrid recall is the default
+    * production retriever shape). */
+  def rrfFuse(
+      rankings: Seq[DataFrame],
+      queryIdCol: String,
+      idCol: String,
+      k: Int,
+      rrfC: Int = 60,
+      rankCol: String = "rank"): DataFrame = {
+    require(rankings.nonEmpty, "rankings must be non-empty")
+    require(k > 0, "k must be positive")
+    require(rrfC >= 0, "rrfC must be non-negative")
+    require(idCol != queryIdCol,
+      "query and item id columns must have distinct names (both appear " +
+        "in the output)")
+    require(idCol != "rrf_score" && queryIdCol != "rrf_score",
+      "id columns may not be named 'rrf_score' (output column)")
+    val contribs = rankings.map { r =>
+      r.select(col(queryIdCol).as("__q"), col(idCol).as("__i"),
+        (lit(1.0) / (lit(rrfC.toDouble) + col(rankCol).cast("double")))
+          .as("__c"))
+    }.reduce(_ unionAll _)
+    val fused = contribs.groupBy("__q", "__i")
+      .agg(round(sum(col("__c")), 6).as("rrf_score"))
+    val w = Window.partitionBy(col("__q"))
+      .orderBy(col("rrf_score").desc, col("__i"))
+    fused.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("__q").as(queryIdCol), col("__i").as(idCol),
+        col("rrf_score"), col("rank"))
+  }
+
   /** Content fingerprints: md5 of raw text and of whitespace-normalized,
     * lowercased text (near-dup-robust form). */
   def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -911,6 +911,77 @@ object Drive {
         BigDecimal.RoundingMode.HALF_UP).toDouble
       println(s"[drive] 23-auc ranksum=$auc pairwise=$pairR " +
         s"match=${math.abs(auc - pairR) <= 1e-6} (want true)")
+
+      // 24: hybrid RRF fusion — fuse BM25 with a second deterministic
+      // ranking, replay the reciprocal-rank arithmetic on the driver
+      val listA = bmRanked.where(col("rank") <= 10)
+      val listB = docs.select(lit(1).as("query_id"), col("doc_id"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+            .orderBy(pmod(col("doc_id") * 13, lit(97)), col("doc_id"))))
+        .where(col("rank") <= 10)
+      val fused = graft.operators.TextAnalysis.rrfFuse(
+        Seq(listA, listB), "query_id", "doc_id", k = 8)
+        .collect().map(r => (r.getLong(1), r.getDouble(2), r.getInt(3)))
+      val contrib = (listA.collect() ++ listB.collect())
+        .map(r => (r.getLong(r.fieldIndex("doc_id")),
+          1.0 / (60.0 + r.getInt(r.fieldIndex("rank")))))
+        .groupBy(_._1).map { case (d, cs) =>
+          d -> BigDecimal(cs.map(_._2).sum).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble }
+      val expect24 = contrib.toSeq.sortBy { case (d, s) => (-s, d) }.take(8)
+        .zipWithIndex.map { case ((d, s), i) => (d, s, i + 1) }
+      println(s"[drive] 24-rrf rows=${fused.length} " +
+        s"match=${fused.toSeq.sortBy(_._3) == expect24} (want 8 true)")
+
+      // 24: control chart over real per-day event counts + an injected
+      // level shift; driver replays the recurrences from the same counts
+      val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      val daily = ev.groupBy(col("event_type"),
+          to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast("double").as("n"))
+        // inject a +5x shift on the last 6 days of one series
+        .withColumn("n", when(col("event_type") === "click" &&
+          dayofmonth(col("day")) > 24, col("n") * 5).otherwise(col("n")))
+      val chart = graft.operators.Profile.controlChart(
+          daily, "n", "day", Seq("event_type"), alpha = 0.3, cusumH = 4.0)
+        .collect()
+      // driver replay: per key, walk the day-sorted series once and emit
+      // (key, day) -> expected (ewma, cusum_hi)
+      val expByPoint = daily.collect()
+        .map(r => (r.getString(0), r.getDate(1).toString, r.getDouble(2)))
+        .groupBy(_._1).toSeq.flatMap { case (k0, rows) =>
+          val series = rows.sortBy(_._2)
+          val xs = series.map(_._3)
+          val mu = xs.sum / xs.length
+          val sg = math.sqrt(xs.map(v => (v - mu) * (v - mu)).sum / xs.length)
+          var e = mu; var ch = 0.0; var cl = 0.0
+          series.map { case (_, d0, x) =>
+            e = 0.3 * x + 0.7 * e
+            val z = if (sg > 0) (x - mu) / sg else 0.0
+            ch = math.max(0.0, ch + z - 0.5)
+            cl = math.max(0.0, cl - z - 0.5)
+            (k0, d0) -> ((e, ch))
+          }
+        }.toMap
+      def r6x(x: Double) = BigDecimal(x).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      var mism = 0
+      var clickAlarm = false
+      chart.foreach { r =>
+        val (e, ch) = expByPoint((r.getString(0), r.getDate(1).toString))
+        if (math.abs(r.getDouble(r.fieldIndex("ewma")) - r6x(e)) > 1e-5 ||
+            math.abs(r.getDouble(r.fieldIndex("cusum_hi")) - r6x(ch)) > 1e-5)
+          mism += 1
+        if (r.getString(0) == "click" &&
+            r.getBoolean(r.fieldIndex("cusum_alarm")))
+          clickAlarm = true
+      }
+      val quiet = chart.filter(r => r.getString(0) != "click")
+        .count(r => r.getBoolean(r.fieldIndex("cusum_alarm")))
+      println(s"[drive] 24-controlchart rows=${chart.length} mism=$mism " +
+        s"clickAlarm=$clickAlarm quietAlarms=$quiet " +
+        "(want mism=0, clickAlarm=true, quietAlarms=0)")
     }
 
     spark.stop()

@@ -256,4 +256,105 @@ class DriftSpec extends GraftSuite {
       .where(col("is_outlier")).select("v").collect().map(_.getDouble(0))
     assert(flagged.toSeq == Seq(100.0))
   }
+
+  test("controlChart: driver replay of the EWMA and CUSUM recurrences; " +
+      "constructed drift alarms; flat series never alarms; guards") {
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // a series that sits at 10 for 20 points then drifts up by +0.8
+    // sigma-ish steps — the textbook EWMA/CUSUM detection target
+    val vals = (1 to 20).map(i => 10.0 + (if (i % 2 == 0) 0.5 else -0.5)) ++
+      (21 to 30).map(i => 10.0 + 0.4 * (i - 20))
+    val rows = vals.zipWithIndex.map { case (v, i) => ("m", i + 1, v) }
+    val df = rows.toDF("metric", "epoch", "v")
+    val got = Profile.controlChart(df, "v", "epoch", Seq("metric"),
+        alpha = 0.2, ewmaL = 3.0, cusumSlack = 0.5, cusumH = 5.0)
+      .orderBy("epoch").collect()
+    assert(got.length == vals.length)
+
+    // driver replay of the exact recurrences
+    val n = vals.length
+    val mu = vals.sum / n
+    val sigma = math.sqrt(vals.map(v => (v - mu) * (v - mu)).sum / n)
+    var zEwma = mu
+    var cHi = 0.0
+    var cLo = 0.0
+    vals.zipWithIndex.foreach { case (v, idx) =>
+      val i = idx + 1
+      zEwma = 0.2 * v + 0.8 * zEwma
+      val zScore = (v - mu) / sigma
+      cHi = math.max(0.0, cHi + zScore - 0.5)
+      cLo = math.max(0.0, cLo - zScore - 0.5)
+      val sigZ = sigma * math.sqrt(0.2 / 1.8 *
+        (1.0 - math.pow(0.64, i.toDouble)))
+      val r = got(idx)
+      assert(math.abs(r.getDouble(r.fieldIndex("ewma")) - zEwma) < 1e-6,
+        s"ewma at $i")
+      assert(math.abs(r.getDouble(r.fieldIndex("cusum_hi")) - cHi) < 1e-6,
+        s"cusum_hi at $i")
+      assert(math.abs(r.getDouble(r.fieldIndex("cusum_lo")) - cLo) < 1e-6,
+        s"cusum_lo at $i")
+      assert(r.getDouble(r.fieldIndex("ewma_ucl")) ==
+        r6(mu + 3.0 * sigZ), s"ucl at $i")
+      assert(r.getBoolean(r.fieldIndex("ewma_alarm")) ==
+        (math.abs(zEwma - mu) > 3.0 * sigZ), s"ewma_alarm at $i")
+      assert(r.getBoolean(r.fieldIndex("cusum_alarm")) ==
+        (cHi > 5.0 || cLo > 5.0), s"cusum_alarm at $i")
+    }
+    // the constructed drift must actually fire both detectors by the end
+    val last = got.last
+    assert(last.getBoolean(last.fieldIndex("ewma_alarm")))
+    assert(last.getBoolean(last.fieldIndex("cusum_alarm")))
+    // and the in-control prefix must be quiet
+    assert(got.take(18).forall(r =>
+      !r.getBoolean(r.fieldIndex("cusum_alarm"))))
+
+    // a zero-sigma series never alarms (no spurious float-residue alarms)
+    val flat = (1 to 10).map(i => ("f", i, 7.0)).toDF("metric", "epoch", "v")
+    val flatGot = Profile.controlChart(flat, "v", "epoch", Seq("metric"))
+      .collect()
+    assert(flatGot.forall(r => !r.getBoolean(r.fieldIndex("ewma_alarm")) &&
+      !r.getBoolean(r.fieldIndex("cusum_alarm"))))
+
+    // alpha = 1 degenerates the EWMA to the raw series
+    val raw = Profile.controlChart(df, "v", "epoch", Seq("metric"),
+        alpha = 1.0).orderBy("epoch").collect()
+    raw.zip(vals).foreach { case (r, v) =>
+      assert(r.getDouble(r.fieldIndex("ewma")) == r6(v))
+    }
+
+    // keyed independence: a second flat key does not disturb the first
+    val two = (rows ++ (1 to 30).map(i => ("q", i, 3.0))).toDF(
+      "metric", "epoch", "v")
+    val keyed = Profile.controlChart(two, "v", "epoch", Seq("metric"))
+      .where(col("metric") === "m").orderBy("epoch").collect()
+    keyed.zip(got).foreach { case (a, b) =>
+      assert(a.getDouble(a.fieldIndex("ewma")) ==
+        b.getDouble(b.fieldIndex("ewma")))
+    }
+
+    // guards: nulls and duplicate (key, order) points raise in-plan
+    val withNull = Seq(("m", 1, Some(1.0)), ("m", 2, None))
+      .toDF("metric", "epoch", "v")
+    val e1 = intercept[Exception] {
+      Profile.controlChart(withNull, "v", "epoch", Seq("metric")).collect()
+    }
+    assert(e1.getMessage != null)
+    val withDup = Seq(("m", 1, 1.0), ("m", 1, 2.0))
+      .toDF("metric", "epoch", "v")
+    intercept[Exception] {
+      Profile.controlChart(withDup, "v", "epoch", Seq("metric")).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Profile.controlChart(df, "v", "epoch", Seq("metric"), alpha = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Profile.controlChart(df, "ewma", "epoch", Seq("metric"))
+    }
+    // maxPoints bound raises in-plan
+    intercept[Exception] {
+      Profile.controlChart(df, "v", "epoch", Seq("metric"), maxPoints = 5)
+        .collect()
+    }
+  }
 }

@@ -1569,6 +1569,55 @@ class PipelineOpsSpec extends GraftSuite {
     }
   }
 
+  test("rrfFuse: hand-computed fusion, overlap sums, k cut, tie-break, " +
+      "guards; plan is bounded by the fused lists") {
+    val s = spark
+    import s.implicits._
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // retriever A: q1 ranks (10, 11, 12); retriever B: q1 ranks (11, 13)
+    val a = Seq((1, 10L, 1), (1, 11L, 2), (1, 12L, 3))
+      .toDF("query_id", "doc_id", "rank")
+    val b = Seq((1, 11L, 1), (1, 13L, 2))
+      .toDF("query_id", "doc_id", "rank")
+    val got = TextAnalysis.rrfFuse(Seq(a, b), "query_id", "doc_id", k = 3)
+      .collect().map(r => r.getLong(1) -> (r.getDouble(2), r.getInt(3)))
+      .toMap
+    // 11 appears in both lists and must top: 1/62 + 1/61
+    assert(got(11L) == ((r6(1.0 / 62 + 1.0 / 61), 1)))
+    assert(got(10L) == ((r6(1.0 / 61), 2)))
+    // 12 (rank 3 in A) loses to 13 (rank 2 in B); k=3 cuts 12
+    assert(got(13L) == ((r6(1.0 / 62), 3)))
+    assert(!got.contains(12L))
+
+    // equal scores tie-break by item id ascending
+    val t1 = Seq((1, 5L, 1), (1, 3L, 2)).toDF("query_id", "doc_id", "rank")
+    val tied = TextAnalysis.rrfFuse(Seq(t1), "query_id", "doc_id", k = 2)
+      .collect().map(r => (r.getLong(1), r.getInt(3)))
+    assert(tied.toSeq.sortBy(_._2) == Seq((5L, 1), (3L, 2)))
+
+    // a single-retriever fuse preserves the input order (monotone map)
+    val solo = TextAnalysis.rrfFuse(Seq(a), "query_id", "doc_id", k = 3)
+      .collect().map(r => (r.getLong(1), r.getInt(3))).toMap
+    assert(solo == Map(10L -> 1, 11L -> 2, 12L -> 3))
+
+    intercept[IllegalArgumentException] {
+      TextAnalysis.rrfFuse(Seq.empty, "query_id", "doc_id", k = 3)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.rrfFuse(Seq(a), "query_id", "doc_id", k = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.rrfFuse(Seq(a), "doc_id", "doc_id", k = 3)
+    }
+
+    // plan shape: the fusion never touches a corpus — no scan relation
+    // appears beyond the two localtablescans of the ranked lists
+    val plan = TextAnalysis.rrfFuse(Seq(a, b), "query_id", "doc_id", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("FileScan"))
+  }
+
   test("sentenceChunks: boundary split, straddle packing, in-order " +
       "reassembly, oversized sentence lands once") {
     val s = spark
