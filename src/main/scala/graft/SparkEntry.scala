@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.harness.Lake
-import graft.operators.{AsOfJoin, Dedup, Dsir, IntervalJoin, Multimodal, Profile, Resample, Rolling, Sampling, Similarity, TextAnalysis, Validate}
+import graft.operators.{AsOfJoin, Dedup, Dsir, Graph, IntervalJoin, Multimodal, Profile, Resample, Rolling, Sampling, Similarity, TextAnalysis, Validate}
 
 /** Driver contract — one `queries` entry (+ DuckDB oracle SQL) per operator.
   *
@@ -1938,6 +1938,41 @@ object SparkEntry {
       Profile.controlChart(daily, "n_events", "day", Seq("event_type"),
           alpha = 0.3, ewmaL = 3.0, cusumSlack = 0.5, cusumH = 4.0)
         .orderBy("event_type", "day")
+    }),
+    // link centrality over the supplier->customer "served" graph (the
+    // corpus-quality-weighting shape: rank nodes by in-link mass). The
+    // supplier id space is offset so the two key universes cannot
+    // collide; customers are all DANGLING (no out-edges), so the oracle
+    // must replay the dangling-mass redistribution to match.
+    "q_pagerank" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val edges = lk.lineitem
+        .join(lk.orders, col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") + lit(1000000L)).as("src"),
+          col("o_custkey").as("dst"))
+        .distinct()
+      Graph.pageRank(edges, "src", "dst", iters = 5)
+        .select(col("node"), round(col("pagerank"), 6).as("pagerank"))
+        .orderBy("node")
+    }),
+    "q_graph_degrees" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val edges = lk.lineitem
+        .join(lk.orders, col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") + lit(1000000L)).as("src"),
+          col("o_custkey").as("dst"))
+        .distinct()
+      Graph.degrees(edges, "src", "dst").orderBy("node")
+    }),
+    // Deflate redundancy signal: values are JDK-zlib-determined, so there
+    // is no cross-engine oracle BY DESIGN (rows-only check); order
+    // properties and SQL parity are pinned in PipelineOpsSpec
+    "q_compression_ratio" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      lk.documents.select(col("doc_id"),
+          round(TextAnalysis.compressionRatio(col("text")), 6)
+            .as("deflate_ratio"))
+        .orderBy("doc_id")
     }),
     // Synthesizes REAL container bytes per doc (PNG / JPEG / raw-text by
     // doc_id mod 3; dimensions derived from doc_id), then parses them back
@@ -5317,6 +5352,20 @@ object SparkEntry {
                 round(clo, 6) AS cusum_lo,
                 (chi > 4 OR clo > 4) AS cusum_alarm
          FROM cu ORDER BY event_type, day""",
+    // unrolled power iteration (5 steps), teleport + dangling mass, the
+    // same per-iteration 12-decimal rounding the operator pins
+    "q_pagerank" -> pageRankOracleSql(5),
+    "q_graph_degrees" ->
+      s"""WITH $graphEdgesCte,
+         o AS (SELECT src AS node, count(*) AS out_degree
+               FROM edges GROUP BY 1),
+         i AS (SELECT dst AS node, count(*) AS in_degree
+               FROM edges GROUP BY 1)
+         SELECT coalesce(o.node, i.node) AS node,
+                coalesce(out_degree, 0)::BIGINT AS out_degree,
+                coalesce(in_degree, 0)::BIGINT AS in_degree
+         FROM o FULL OUTER JOIN i ON o.node = i.node
+         ORDER BY node""",
     // replicates axisLshCosinePairs exactly: 16 sign bits of the first 16
     // coordinates, 4 bands of 4 bits, candidates meet in shared (band, hash)
     // buckets, exact double cosine >= 0.4 re-rank
@@ -6471,6 +6520,46 @@ object SparkEntry {
 
   /** DuckDB twin of [[diffSnapshots]]. */
   /** DuckDB twin of [[modelScored]]. */
+  /** The supplier->customer "served" edge frame both graph oracles rank:
+    * suppliers offset by 1e6 so the key universes cannot collide. */
+  private val graphEdgesCte: String =
+    """edges AS (SELECT DISTINCT l_suppkey + 1000000 AS src,
+           o_custkey AS dst
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"""
+
+  /** Unrolled PageRank power iteration: teleport (1-d)/N, dangling mass
+    * redistributed uniformly, ranks rounded to 12 decimals after every
+    * step (the operator's determinism discipline), final render at 6. */
+  private def pageRankOracleSql(iters: Int, d: Double = 0.85): String = {
+    val steps = (1 to iters).map { i =>
+      val p = i - 1
+      s"""dang$p AS (SELECT coalesce(sum(pr), 0)::DOUBLE AS dm
+             FROM it$p LEFT JOIN outd ON it$p.node = outd.src
+             WHERE outd.src IS NULL),
+         c$i AS (SELECT e.dst AS node, sum(it$p.pr / outd.outdeg) AS contrib
+             FROM edges e JOIN it$p ON e.src = it$p.node
+                          JOIN outd ON outd.src = e.src
+             GROUP BY 1),
+         it$i AS (SELECT n.node,
+             round(${1.0 - d}::DOUBLE / (SELECT n FROM nn) + $d::DOUBLE *
+               (coalesce(c$i.contrib, 0) +
+                (SELECT dm FROM dang$p) / (SELECT n FROM nn)), 12) AS pr
+             FROM nodes n LEFT JOIN c$i ON n.node = c$i.node)"""
+    }.mkString(",\n         ")
+    s"""WITH $graphEdgesCte,
+       nodes AS (SELECT src AS node FROM edges
+                 UNION SELECT dst FROM edges),
+       nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+       outd AS (SELECT src, count(*)::DOUBLE AS outdeg
+                FROM edges GROUP BY 1),
+       it0 AS (SELECT node,
+                 round(1.0::DOUBLE / (SELECT n FROM nn), 12) AS pr
+               FROM nodes),
+       $steps
+       SELECT node, round(pr, 6) AS pagerank FROM it$iters
+       ORDER BY node"""
+  }
+
   private val modelScoredCte =
     """WITH d AS (SELECT doc_id, lang,
            ((doc_id * 37) % 100)::DOUBLE / 100 AS score,

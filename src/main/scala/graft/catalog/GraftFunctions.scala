@@ -242,6 +242,14 @@ object GraftFunctions {
         "space-split token distribution",
       args => { checkArity("graft_token_entropy", args, 1)
         graft.functions.TokenEntropyExpr(args(0)) }),
+    ("graft_compression_ratio",
+      "_FUNC_(text[, level]) - Deflate compression ratio " +
+        "(deflate_len / utf8_len; NULL for empty text) - the " +
+        "redundancy quality proxy; level defaults to 6",
+      args => { checkArity("graft_compression_ratio", args, 1, 2)
+        val level = if (args.length == 2)
+          intLit("graft_compression_ratio", "level", args(1)) else 6
+        graft.functions.DeflateRatioExpr(args(0), level) }),
     ("graft_repetition",
       "_FUNC_(text[, maxTokens]) - Gopher n-gram repetition struct: " +
         "top_{2,3,4}gram_char_frac + dup_{5..10}gram_char_frac (NULL " +

@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph operators over edge frames — the corpus-as-a-graph tier of the
+  * curation surface. Web-scale training corpora carry link structure
+  * (hyperlinks, citation edges, near-dup adjacency), and the standard
+  * quality prior over that structure is link centrality: CommonCrawl
+  * curation weights pages by a PageRank-family score before sampling.
+  * Edges live in an ordinary DataFrame `(src, dst)`; nodes are whatever
+  * the id columns hold. Ref parity note: the reference has no graph
+  * operators; extends the analytics surface per the training-data-ops
+  * mandate (SURVEY §2 addendum).
+  */
+object Graph {
+
+  /** Per-node degree summary: `node | out_degree | in_degree` over the
+    * edge frame AS GIVEN (multi-edges count once each — dedupe upstream
+    * if the semantics want simple-graph degrees). One groupBy per
+    * direction + a null-safe full outer join on node — both exchanges
+    * are node-grain, never edge-grain. Nodes appearing only as source
+    * (or only as destination) report 0 on the absent side. */
+  def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val out = edges.groupBy(col(srcCol).as("__n_out"))
+      .agg(count(lit(1)).as("out_degree"))
+    val in = edges.groupBy(col(dstCol).as("__n_in"))
+      .agg(count(lit(1)).as("in_degree"))
+    out.join(in, col("__n_out") <=> col("__n_in"), "full_outer")
+      .select(coalesce(col("__n_out"), col("__n_in")).as("node"),
+        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
+        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+  }
+
+  /** Power-iteration PageRank (Brin & Page 1998) with proper dangling-
+    * mass redistribution: `pr_{t+1}(v) = (1−d)/N + d·(Σ_{u→v}
+    * pr_t(u)/outdeg(u) + D_t/N)` where `D_t` is the rank mass parked on
+    * nodes with no out-edges. Returns `node | pagerank` for every node
+    * that appears on either side of an edge; ranks sum to 1 (a
+    * probability distribution — the dangling term is what keeps it
+    * one). Runs a FIXED `iters` iterations rather than a convergence
+    * test: deterministic cost, deterministic result, and the usual
+    * choice for corpus-weighting where the induced ORDER stabilizes
+    * long before the values do.
+    *
+    * Determinism: ranks are rounded to `roundScale` decimals (HALF_UP,
+    * matching Spark's `round`) after every iteration — the lloydRefine
+    * discipline — so floating-point summation order across partitions
+    * cannot compound into run-to-run drift, and an external engine
+    * replaying the same formula lands on the same numbers.
+    *
+    * Scale shape (the canonical distributed PageRank): edges persist
+    * ONCE, pre-partitioned by `src`, so every iteration's
+    * contributions join shuffles only the (node, rank) frame — N rows,
+    * never E — onto the stationary edge partitioning; the per-
+    * destination sum is map-side combined before its node-grain
+    * exchange. Per iteration the driver sees exactly ONE scalar (the
+    * dangling mass — an aggregate of a node-grain frame); nothing
+    * edge-grain or node-grain ever collects. Each iteration's rank
+    * frame is persisted and the previous one released, so lineage
+    * stays one step deep instead of `iters` joins tall. Multi-edges
+    * contribute once per edge (multigraph semantics) — dedupe upstream
+    * for simple-graph ranks. */
+  def pageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int = 10,
+      damping: Double = 0.85,
+      roundScale: Int = 12): DataFrame = {
+    require(iters >= 1, "iters must be at least 1")
+    require(damping >= 0 && damping < 1, "damping must be in [0, 1)")
+    require(roundScale >= 1 && roundScale <= 15,
+      "roundScale must be in [1, 15]")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "edge frame is empty - no graph to rank")
+    val outdeg = e.groupBy("src")
+      .agg(count(lit(1)).cast("double").as("__outdeg"))
+    // the loop-invariant frames, built ONCE: degree-annotated edges
+    // pinned on the src partitioning every iteration joins against, and
+    // the (static) set of dangling nodes
+    val eDeg = e.join(outdeg, "src")
+      .select(col("src"), col("dst"), col("__outdeg"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val danglingNodes = nodes
+      .join(outdeg, nodes("node") === outdeg("src"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val teleport = (1.0 - damping) / n
+    var ranks = nodes
+      .select(col("node"), round(lit(1.0 / n), roundScale).as("pr"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ranks.count() // pin before the loop reads it twice per iteration
+
+    (1 to iters).foreach { _ =>
+      // dangling mass: rank parked on nodes with no out-edges (ONE
+      // scalar to the driver per iteration; the set itself is static)
+      val dangling = ranks
+        .join(danglingNodes.select(col("node")), Seq("node"), "left_semi")
+        .agg(coalesce(sum("pr"), lit(0.0)))
+        .head().getDouble(0)
+      val contribs = eDeg
+        .join(ranks, eDeg("src") === ranks("node"))
+        .select(col("dst").as("node"),
+          (col("pr") / col("__outdeg")).as("__c"))
+        .groupBy("node").agg(sum("__c").as("__contrib"))
+      val next = nodes.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          round(lit(teleport) + lit(damping) *
+            (coalesce(col("__contrib"), lit(0.0)) + lit(dangling / n)),
+            roundScale).as("pr"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // materialize before releasing the parent
+      ranks.unpersist(blocking = false)
+      ranks = next
+    }
+    // the final rank frame is materialized; the helpers can go (a cache
+    // eviction would recompute through lineage, not fail)
+    eDeg.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    danglingNodes.unpersist(blocking = false)
+    ranks.select(col("node"), col("pr").as("pagerank"))
+  }
+}

@@ -294,6 +294,19 @@ object TextAnalysis {
       graft.functions.TokenEntropyExpr(
         org.apache.spark.sql.GraftSqlBridge.convertedExpression(textCol)))
 
+  /** Deflate compression ratio (`deflate_len / utf8_len`) — the classic
+    * redundancy proxy (RefinedWeb/MassiveText gate on it): boilerplate
+    * and keyword spam compress far below prose, noise sits near/above
+    * 1.0. Null for empty/null text. One codegen'd per-row call with a
+    * thread-local reused Deflater ([[graft.functions.DeflateRatio]]);
+    * JDK-zlib-determined values, so specs pin ORDER properties and the
+    * correctness entry is rows-only — see the expression's scaladoc. */
+  def compressionRatio(textCol: Column, level: Int = 6): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.DeflateRatioExpr(
+        org.apache.spark.sql.GraftSqlBridge.convertedExpression(textCol),
+        level))
+
   /** The Gopher stopword list (Rae et al. 2021 §A1.1): a document must
     * contain at least `minStopwordHits` DISTINCT members to pass the
     * "contains common English words" rule. */

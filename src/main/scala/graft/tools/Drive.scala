@@ -982,6 +982,47 @@ object Drive {
       println(s"[drive] 24-controlchart rows=${chart.length} mism=$mism " +
         s"clickAlarm=$clickAlarm quietAlarms=$quiet " +
         "(want mism=0, clickAlarm=true, quietAlarms=0)")
+
+      // 25: PageRank on the real supplier->customer graph vs a full
+      // driver replay of the power iteration (collected edges, sf0.001)
+      val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+      val ord = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      val gEdges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") + lit(1000000L)).as("src"),
+          col("o_custkey").as("dst")).distinct()
+      val pr = graft.operators.Graph.pageRank(gEdges, "src", "dst", iters = 4)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val eList = gEdges.collect().map(r => (r.getLong(0), r.getLong(1)))
+      val gNodes = (eList.map(_._1) ++ eList.map(_._2)).distinct.sorted
+      val outd = eList.groupBy(_._1).view.mapValues(_.length.toDouble).toMap
+      def r12(x: Double) = BigDecimal(x).setScale(12,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      var prRep = gNodes.map(_ -> r12(1.0 / gNodes.length)).toMap
+      (1 to 4).foreach { _ =>
+        val dm = gNodes.filterNot(outd.contains).map(prRep).sum
+        val contrib = eList.groupBy(_._2).view.mapValues(
+          _.map { case (u, _) => prRep(u) / outd(u) }.sum).toMap
+        prRep = gNodes.map(v => v -> r12(0.15 / gNodes.length +
+          0.85 * (contrib.getOrElse(v, 0.0) + dm / gNodes.length))).toMap
+      }
+      val prMism = pr.count { case (k, v) => math.abs(v - prRep(k)) > 1e-9 }
+      val mass = pr.values.sum
+      println(s"[drive] 25-pagerank nodes=${pr.size} mism=$prMism " +
+        s"mass=${math.abs(mass - 1.0) < 1e-8} (want mism=0, mass=true)")
+
+      // 25: deflate redundancy signal over the real corpus — all ratios
+      // in (0, 1.5], and an injected degenerate doc scores below them all
+      val ratios = docs.select(graft.operators.TextAnalysis
+          .compressionRatio(col("text")).as("r"))
+        .agg(min("r"), max("r"), count(lit(1))).head()
+      val degenerate = Seq(("spam spam " * 50))
+        .toDF("text").select(graft.operators.TextAnalysis
+          .compressionRatio(col("text"))).head().getDouble(0)
+      println(s"[drive] 25-deflate min=${ratios.getDouble(0)} " +
+        s"max=${ratios.getDouble(1)} n=${ratios.getLong(2)} " +
+        s"degenerate=$degenerate " +
+        s"belowAll=${degenerate < ratios.getDouble(0)} " +
+        "(want 0<min<=max<=1.5, belowAll=true)")
     }
 
     spark.stop()

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** Graph centrality: hand-computed PageRank fixtures, a driver replay of
+  * the power iteration (dangling mass included), probability-mass
+  * conservation, partitioning invariance, and degree accounting. */
+class GraphSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def r(x: Double, s: Int = 12): Double =
+    BigDecimal(x).setScale(s, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** Driver replay of the exact iteration the operator documents,
+    * including the per-iteration rounding. */
+  private def replay(
+      edges: Seq[(Long, Long)],
+      iters: Int,
+      d: Double = 0.85): Map[Long, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.length
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    var pr = nodes.map(_ -> r(1.0 / n)).toMap
+    (1 to iters).foreach { _ =>
+      val dangling = nodes.filterNot(outdeg.contains).map(pr).sum
+      val contrib = edges.groupBy(_._2).view.mapValues(_.map { case (s, _) =>
+        pr(s) / outdeg(s) }.sum).toMap
+      pr = nodes.map(v => v -> r((1 - d) / n +
+        d * (contrib.getOrElse(v, 0.0) + dangling / n))).toMap
+    }
+    pr
+  }
+
+  test("pageRank: hand-computed 2-node dangling graph, first iteration") {
+    val got = Graph.pageRank(Seq((1L, 2L)).toDF("s", "t"), "s", "t",
+        iters = 1)
+      .collect().map(r0 => r0.getLong(0) -> r0.getDouble(1)).toMap
+    // N=2, pr0 = .5 each; node 2 is dangling with mass .5
+    // pr1(1) = .075 + .85*(0 + .25)   = .2875
+    // pr1(2) = .075 + .85*(.5 + .25)  = .7125
+    assert(got == Map(1L -> 0.2875, 2L -> 0.7125))
+  }
+
+  test("pageRank: driver replay on a cyclic multigraph; mass conserved; " +
+      "repartition-invariant; more in-links means more rank") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L),
+      (2L, 3L)) // multi-edge 2->3 counts twice
+    val df = edges.toDF("s", "t")
+    val got = Graph.pageRank(df, "s", "t", iters = 7)
+      .collect().map(r0 => r0.getLong(0) -> r0.getDouble(1)).toMap
+    val want = replay(edges, iters = 7)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - want(k)) < 1e-9, s"node $k: $v vs ${want(k)}")
+    }
+    // a probability distribution (rounding leaves ~1e-11 slack)
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // node 3 collects the most in-link mass
+    assert(got(3L) == got.values.max)
+    // partitioning must not change a single value
+    val re = Graph.pageRank(df.repartition(7), "s", "t", iters = 7)
+      .collect().map(r0 => r0.getLong(0) -> r0.getDouble(1)).toMap
+    assert(re == got)
+  }
+
+  test("pageRank: uniform cycle stays uniform; guards") {
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("s", "t")
+    val got = Graph.pageRank(cyc, "s", "t", iters = 5)
+      .collect().map(r0 => r0.getDouble(1))
+    got.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-9))
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(cyc, "s", "t", iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(cyc, "s", "t", damping = 1.0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.pageRank(spark.emptyDataFrame
+        .select(lit(1L).as("s"), lit(2L).as("t")), "s", "t")
+    }
+  }
+
+  test("degrees: out/in accounting, one-sided nodes report zero") {
+    val df = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 2L)).toDF("s", "t")
+    val got = Graph.degrees(df, "s", "t")
+      .collect().map(r0 => r0.getLong(0) -> ((r0.getLong(1), r0.getLong(2))))
+      .toMap
+    assert(got == Map(
+      1L -> ((3L, 0L)), // multi-edge counts per edge
+      2L -> ((1L, 2L)),
+      3L -> ((0L, 2L))))
+  }
+}

@@ -1569,6 +1569,65 @@ class PipelineOpsSpec extends GraftSuite {
     }
   }
 
+  test("compressionRatio: order properties (repetition < prose < noise), " +
+      "bounds, null/empty, partitioning-determinism, SQL parity") {
+    val s = spark
+    import s.implicits._
+    val prose = "the quick brown fox jumps over the lazy dog while " +
+      "seventeen jugglers practice quietly behind the old stone bridge"
+    val repetitive = ("buy now " * 40).trim
+    // xorshift noise: no printable-ascii structure for deflate to find
+    val noise = {
+      var x = 0x9E3779B97F4A7C15L
+      (1 to 200).map { _ =>
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        (33 + math.floorMod(x, 94).toInt).toChar
+      }.mkString
+    }
+    val df = Seq((1L, repetitive), (2L, prose), (3L, noise),
+      (4L, ""), (5L, null)).toDF("id", "text")
+    val got = df.select(col("id"),
+        graft.operators.TextAnalysis.compressionRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1))))
+      .toMap
+    assert(got(4L) == null && got(5L) == null)
+    val (rep, pro, noi) =
+      (got(1L).doubleValue(), got(2L).doubleValue(), got(3L).doubleValue())
+    assert(rep < pro && pro < noi, s"order violated: $rep $pro $noi")
+    assert(rep > 0 && rep < 0.3, s"repetition should crush: $rep")
+    assert(noi > 0.9, s"noise should not compress: $noi")
+
+    // deterministic under repartitioning (same JDK, same bytes)
+    val re = df.repartition(7).select(col("id"),
+        graft.operators.TextAnalysis.compressionRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else java.lang.Double.valueOf(r.getDouble(1))))
+      .toMap
+    assert(re == got)
+
+    // a stronger level compresses at least as well
+    val l1 = df.where(col("id") === 2).select(
+      graft.operators.TextAnalysis.compressionRatio(col("text"), 1))
+      .head().getDouble(0)
+    val l9 = df.where(col("id") === 2).select(
+      graft.operators.TextAnalysis.compressionRatio(col("text"), 9))
+      .head().getDouble(0)
+    assert(l9 <= l1)
+
+    // SQL surface computes the identical value
+    graft.catalog.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("cr_docs")
+    val viaSql = spark.sql(
+      "SELECT id, graft_compression_ratio(text) AS r FROM cr_docs " +
+        "WHERE id = 2").head().getDouble(1)
+    assert(viaSql == pro)
+
+    intercept[IllegalArgumentException] {
+      graft.operators.TextAnalysis.compressionRatio(col("text"), 0)
+    }
+  }
+
   test("rrfFuse: hand-computed fusion, overlap sums, k cut, tie-break, " +
       "guards; plan is bounded by the fused lists") {
     val s = spark
