@@ -62,6 +62,7 @@ object ScaleBench {
       else if (mode == "drift") () // raw lineitem only; no index fixtures
       else if (mode == "govern") () // raw docs/lineitem; no index fixtures
       else if (mode == "retrieval") () // raw docs/lineitem; no index fixtures
+      else if (mode == "graph") () // raw lineitem/orders; no index fixtures
       else if (mode == "probeorder") lk.documentsFiles // split only; build is the bench
       else lk.prebuild()
       lk
@@ -798,6 +799,66 @@ object ScaleBench {
           .read().map(_.count()).getOrElse(0L)
       emit(results, counts, sfDir); spark.stop(); return
     }
+    if (mode == "graph") {
+      // r11 wave: PageRank at the x30 grain. The scale claim is the
+      // iteration's exchange shape: after the one-time edge
+      // materialization, every iteration shuffles the NODE-grain rank
+      // frame plus a map-side-combined dst-grain aggregate — never the
+      // edge frame. Shuffle bytes per phase make that inspectable.
+      val grShuffleBytes = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val m = sc.stageInfo.taskMetrics
+            if (m != null)
+              grShuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
+        })
+      def shuffleDelta[T](key: String)(body: => T): T = {
+        Thread.sleep(1500)
+        val before = grShuffleBytes.get()
+        val r = body
+        Thread.sleep(1500)
+        results(key) = (grShuffleBytes.get() - before) / 1e6 // MB
+        r
+      }
+      // supplier->customer "served" graph: x30 = 18M lineitem rows down
+      // to the distinct bipartite edge set (suppliers offset so the key
+      // universes cannot collide); customers are all dangling
+      val edges = lake.lineitem
+        .join(lake.orders, col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") + lit(10000000L)).as("src"),
+          col("o_custkey").as("dst"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      bench("x_edges_build") { edges.count() }
+      shuffleDelta("x_degrees_shuffle_mb") { bench("x_degrees") {
+        graft.operators.Graph.degrees(edges, "src", "dst").count()
+      } }
+      // iteration sweep: the per-iteration marginal cost (wall and
+      // shuffle) is the scale claim — it must be node-grain-flat, with
+      // the edge-grain costs paid once per call (eDeg repartition) and
+      // once per sitting (JIT/codegen warm-up rides the first call)
+      Seq(1, 3, 5, 9).foreach { it =>
+        shuffleDelta(s"x_pagerank_${it}it_shuffle_mb") {
+          bench(s"x_pagerank_${it}it") {
+            val pr = graft.operators.Graph.pageRank(edges, "src", "dst",
+              iters = it)
+            if (it == 5) {
+              val top = pr.orderBy(col("pagerank").desc, col("node"))
+                .limit(1).head()
+              counts("x_pr_top_node") = top.getLong(0)
+              counts("x_pr_mass_1e9") = math.round(
+                pr.agg(sum("pagerank")).head().getDouble(0) * 1e9)
+            }
+            pr.count()
+          }
+        }
+      }
+      emit(results, counts, sfDir); spark.stop(); return
+    }
+
     if (mode == "retrieval") {
       // r11 wave: BM25 retrieval + fingerprint certificate + rank-sum
       // AUC at the x30 grain, with shuffle-byte deltas where the scale
