@@ -1974,6 +1974,15 @@ object SparkEntry {
             .as("deflate_ratio"))
         .orderBy("doc_id")
     }),
+    // Poisson-bootstrap CI for a corpus mean: every (row, replicate)
+    // weight is a deterministic md5 draw through the Poisson(1) inverse
+    // CDF, so the oracle replays the full resampling — weights, replicate
+    // means, interpolated percentiles — not just the point estimate
+    "q_bootstrap_ci" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      graft.operators.ModelEval.bootstrapMeanCI(lk.documents, "n_chars",
+        "doc_id", b = 64, seed = 7)
+    }),
     // Synthesizes REAL container bytes per doc (PNG / JPEG / raw-text by
     // doc_id mod 3; dimensions derived from doc_id), then parses them back
     // through the codegen'd header scan — the oracle computes the expected
@@ -5355,6 +5364,39 @@ object SparkEntry {
     // unrolled power iteration (5 steps), teleport + dangling mass, the
     // same per-iteration 12-decimal rounding the operator pins
     "q_pagerank" -> pageRankOracleSql(5),
+    // full resampling replay: md5 -> uniform -> Poisson(1) inverse CDF
+    // weights, per-replicate weighted means, interpolated percentiles
+    "q_bootstrap_ci" ->
+      """WITH base AS (SELECT doc_id::VARCHAR AS id, n_chars::DOUBLE AS x
+               FROM documents WHERE n_chars IS NOT NULL),
+         reps AS (SELECT id, x, b FROM base, generate_series(1, 64) t(b)),
+         uu AS (SELECT b, x,
+                  (CAST(concat('0x', substring(md5(
+                     concat_ws('#', '7', id, b::VARCHAR)), 1, 8)) AS BIGINT)
+                   + 1)::DOUBLE / 4294967297.0 AS u
+                FROM reps),
+         ww AS (SELECT b, x,
+                  CASE WHEN u <= 0.3678794411714423 THEN 0.0
+                       WHEN u <= 0.7357588823428846 THEN 1.0
+                       WHEN u <= 0.9196986029286058 THEN 2.0
+                       WHEN u <= 0.9810118431238462 THEN 3.0
+                       WHEN u <= 0.9963401531726563 THEN 4.0
+                       WHEN u <= 0.9994058151824183 THEN 5.0
+                       WHEN u <= 0.9999167588507119 THEN 6.0
+                       WHEN u <= 0.9999897508033253 THEN 7.0
+                       WHEN u <= 0.9999988747974512 THEN 8.0
+                       ELSE 9.0 END AS w
+                FROM uu),
+         rm AS (SELECT b, sum(w * x) / nullif(sum(w), 0) AS m
+                FROM ww GROUP BY b),
+         st AS (SELECT count(*)::BIGINT AS n, avg(x) AS est FROM base)
+         SELECT n,
+                (SELECT count(m) FROM rm)::BIGINT AS b,
+                round(est, 6) AS estimate,
+                round((SELECT stddev_samp(m) FROM rm), 6) AS se,
+                round((SELECT quantile_cont(m, 0.025) FROM rm), 6) AS ci_lo,
+                round((SELECT quantile_cont(m, 0.975) FROM rm), 6) AS ci_hi
+         FROM st""",
     "q_graph_degrees" ->
       s"""WITH $graphEdgesCte,
          o AS (SELECT src AS node, count(*) AS out_degree

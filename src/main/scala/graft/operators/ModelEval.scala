@@ -324,4 +324,78 @@ object ModelEval {
         round(try_divide(col("po") - col("pe"), lit(1.0) - col("pe")), 6)
           .as("kappa"))
   }
+
+  /** Poisson(1) inverse CDF over a uniform — the per-(row, replicate)
+    * bootstrap weight. Cumulative thresholds of the Poisson(1) pmf,
+    * spelled as double literals so an external engine's CASE chain lands
+    * on the identical weights; mass past k=8 (~1.1e-6) truncates to 9. */
+  private val PoissonCum: Seq[Double] = Seq(
+    0.3678794411714423, 0.7357588823428846, 0.9196986029286058,
+    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+    0.9999167588507119, 0.9999897508033253, 0.9999988747974512)
+
+  private def poissonW(u: Column): Column =
+    PoissonCum.zipWithIndex.foldRight(lit(9.0)) { case ((c, k), acc) =>
+      when(u <= lit(c), lit(k.toDouble)).otherwise(acc)
+    }
+
+  /** Poisson-bootstrap confidence interval for the mean — THE bootstrap
+    * that survives 100 TB (Chamandy et al., "Estimating Uncertainty for
+    * Massive Data Streams", Google 2012): instead of resampling n rows
+    * B times (unshardable), each (row, replicate) draws an independent
+    * Poisson(1) weight, so all `b` replicate sums accumulate in ONE
+    * pass. Weights are DETERMINISTIC — `u = md5(seed # id # replicate)`
+    * through the Poisson inverse CDF — so reruns, repartitionings, and
+    * the DuckDB oracle land on identical draws.
+    *
+    * Output, one row: `n | b | estimate | se | ci_lo | ci_hi` — the
+    * plain mean, the bootstrap standard error (sample stddev of the B
+    * replicate means), and the percentile-method interval at
+    * `1 − alpha` (exact interpolated percentiles over the B means).
+    *
+    * Scale shape: the replicate explosion is map-side only — it feeds
+    * straight into a partial aggregate in the same whole-stage-codegen
+    * pipeline, so the exchange carries `b × partitions` partial sums,
+    * never `n × b` rows; the B replicate means then reduce on the
+    * driver-side single partition (B doubles). Null values are ignored
+    * (a null has no mean). Rows whose id is not unique get correlated
+    * weights — pass a genuinely unique id. */
+  def bootstrapMeanCI(
+      df: DataFrame,
+      valueCol: String,
+      idCol: String,
+      b: Int = 100,
+      seed: Long = 42L,
+      alpha: Double = 0.05): DataFrame = {
+    require(b >= 2, "need at least 2 replicates")
+    require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
+    val base = df
+      .select(col(idCol).cast("string").as("__id"),
+        col(valueCol).cast("double").as("__x"))
+      .where(col("__x").isNotNull)
+    val u = (conv(substring(md5(concat_ws("#", lit(seed), col("__id"),
+      col("__b"))), 1, 8), 16, 10).cast("long") + lit(1L))
+      .cast("double") / lit(4294967297.0)
+    val reps = base
+      .select(col("__id"), col("__x"),
+        explode(sequence(lit(1), lit(b))).as("__b"))
+      .withColumn("__w", poissonW(u))
+    // a replicate whose weights all drew 0 (possible only at tiny n)
+    // contributes no mean — try_divide nulls it and percentile skips it
+    val repMeans = reps.groupBy("__b")
+      .agg(try_divide(sum(col("__w") * col("__x")), sum(col("__w")))
+        .as("__m"))
+    val stats = base.agg(count(lit(1)).as("n"),
+      avg(col("__x")).as("__est"))
+    stats.crossJoin(broadcast(repMeans.agg(
+        count(col("__m")).as("__bn"),
+        stddev_samp(col("__m")).as("__se"),
+        percentile(col("__m"), lit(alpha / 2)).as("__lo"),
+        percentile(col("__m"), lit(1.0 - alpha / 2)).as("__hi"))))
+      .select(col("n"), col("__bn").as("b"),
+        round(col("__est"), 6).as("estimate"),
+        round(col("__se"), 6).as("se"),
+        round(col("__lo"), 6).as("ci_lo"),
+        round(col("__hi"), 6).as("ci_hi"))
+  }
 }

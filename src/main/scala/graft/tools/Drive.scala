@@ -1023,6 +1023,21 @@ object Drive {
         s"degenerate=$degenerate " +
         s"belowAll=${degenerate < ratios.getDouble(0)} " +
         "(want 0<min<=max<=1.5, belowAll=true)")
+
+      // 25: Poisson bootstrap on the real corpus — the CI must bracket
+      // the plain mean and a rerun must reproduce every digit
+      val ci = graft.operators.ModelEval.bootstrapMeanCI(
+        docs.withColumn("len", length(col("text")).cast("double")),
+        "len", "doc_id", b = 64, seed = 3).head()
+      val ci2 = graft.operators.ModelEval.bootstrapMeanCI(
+        docs.repartition(11)
+          .withColumn("len", length(col("text")).cast("double")),
+        "len", "doc_id", b = 64, seed = 3).head()
+      println(s"[drive] 25-bootstrap n=${ci.getLong(0)} " +
+        s"est=${ci.getDouble(2)} ci=[${ci.getDouble(4)},${ci.getDouble(5)}] " +
+        s"brackets=${ci.getDouble(4) < ci.getDouble(2) &&
+          ci.getDouble(2) < ci.getDouble(5)} stable=${ci == ci2} " +
+        "(want brackets=true, stable=true)")
     }
 
     spark.stop()

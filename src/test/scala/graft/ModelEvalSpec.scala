@@ -178,4 +178,74 @@ class ModelEvalSpec extends GraftSuite {
     val c = ModelEval.cohenKappa(const, "a", "b").head()
     assert(c.getDouble(1) == 1.0 && c.getDouble(2) == 1.0 && c.isNullAt(3))
   }
+
+  test("bootstrapMeanCI: driver replay of the Poisson weights and " +
+      "replicate means; CI brackets; deterministic; guards") {
+    import spark.implicits._
+    val rows = (1L to 400L).map(i => (i, 10.0 + (i % 21).toDouble))
+    val df = rows.toDF("id", "v")
+    val got = ModelEval.bootstrapMeanCI(df, "v", "id", b = 50, seed = 7)
+      .head()
+
+    // full driver replay: same md5 -> uniform -> Poisson inverse walk
+    val cum = Seq(0.3678794411714423, 0.7357588823428846,
+      0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+      0.9994058151824183, 0.9999167588507119, 0.9999897508033253,
+      0.9999988747974512)
+    def weight(id: Long, b: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"7#$id#$b".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.substring(0, 8)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1L).toDouble / 4294967297.0
+      val k = cum.indexWhere(u <= _)
+      if (k < 0) 9.0 else k.toDouble
+    }
+    val means = (1 to 50).flatMap { b =>
+      var sw = 0.0; var swx = 0.0
+      rows.foreach { case (id, x) =>
+        val w = weight(id, b); sw += w; swx += w * x
+      }
+      if (sw == 0) None else Some(swx / sw)
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    // interpolated percentile (Spark/DuckDB quantile_cont semantics)
+    def pct(sorted: Seq[Double], p: Double): Double = {
+      val pos = p * (sorted.length - 1)
+      val lo = math.floor(pos).toInt
+      val hi = math.ceil(pos).toInt
+      sorted(lo) + (pos - lo) * (sorted(hi) - sorted(lo))
+    }
+    val sortedM = means.sorted
+    val est = rows.map(_._2).sum / rows.length
+    val mbar = means.sum / means.length
+    val se = math.sqrt(
+      means.map(m => (m - mbar) * (m - mbar)).sum / (means.length - 1))
+    assert(got.getLong(0) == 400L && got.getLong(1) == 50L)
+    assert(math.abs(got.getDouble(2) - r6(est)) < 1e-9)
+    assert(math.abs(got.getDouble(3) - se) < 1e-6, s"se ${got.getDouble(3)} vs $se")
+    assert(math.abs(got.getDouble(4) - pct(sortedM, 0.025)) < 1e-6)
+    assert(math.abs(got.getDouble(5) - pct(sortedM, 0.975)) < 1e-6)
+    // sane bracket around the true mean, and nonzero width
+    assert(got.getDouble(4) < est && est < got.getDouble(5))
+    assert(got.getDouble(5) - got.getDouble(4) > 0)
+
+    // partitioning must not change a digit
+    val re = ModelEval.bootstrapMeanCI(df.repartition(13), "v", "id",
+      b = 50, seed = 7).head()
+    assert(re == got)
+    // nulls ignored
+    val withNull = df.union(Seq((999L, null.asInstanceOf[java.lang.Double]))
+      .map { case (i, v) => (i, v: java.lang.Double) }
+      .toDF("id", "v"))
+    assert(ModelEval.bootstrapMeanCI(withNull, "v", "id", b = 50, seed = 7)
+      .head() == got)
+
+    intercept[IllegalArgumentException] {
+      ModelEval.bootstrapMeanCI(df, "v", "id", b = 1)
+    }
+    intercept[IllegalArgumentException] {
+      ModelEval.bootstrapMeanCI(df, "v", "id", alpha = 0.0)
+    }
+  }
 }
