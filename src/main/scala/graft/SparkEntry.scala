@@ -1964,6 +1964,24 @@ object SparkEntry {
         .distinct()
       Graph.degrees(edges, "src", "dst").orderBy("node")
     }),
+    // topic-conditioned centrality: teleport + dangling mass return only
+    // to the seed suppliers (every 10th), so rank measures proximity to
+    // that seed set along served-by links
+    "q_ppr" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val edges = lk.lineitem
+        .join(lk.orders, col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") + lit(1000000L)).as("src"),
+          col("o_custkey").as("dst"))
+        .distinct()
+      val seeds = edges
+        .select(col("src").as("node"))
+        .where(pmod(col("node"), lit(10)) === 0)
+      Graph.personalizedPageRank(edges, "src", "dst", seeds, "node",
+          iters = 5)
+        .select(col("node"), round(col("pagerank"), 6).as("pagerank"))
+        .orderBy("node")
+    }),
     // Deflate redundancy signal: values are JDK-zlib-determined, so there
     // is no cross-engine oracle BY DESIGN (rows-only check); order
     // properties and SQL parity are pinned in PipelineOpsSpec
@@ -1982,6 +2000,14 @@ object SparkEntry {
       val lk = Lake.get(s, dir)
       graft.operators.ModelEval.bootstrapMeanCI(lk.documents, "n_chars",
         "doc_id", b = 64, seed = 7)
+    }),
+    // per-slice CIs: weights are key-independent, so each lang's row
+    // equals the global bootstrap run on that slice (pinned in spec)
+    "q_bootstrap_by_key" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      graft.operators.ModelEval.bootstrapMeanCIByKey(lk.documents,
+          "n_chars", "doc_id", Seq("lang"), b = 64, seed = 7)
+        .orderBy("lang")
     }),
     // Synthesizes REAL container bytes per doc (PNG / JPEG / raw-text by
     // doc_id mod 3; dimensions derived from doc_id), then parses them back
@@ -5364,6 +5390,10 @@ object SparkEntry {
     // unrolled power iteration (5 steps), teleport + dangling mass, the
     // same per-iteration 12-decimal rounding the operator pins
     "q_pagerank" -> pageRankOracleSql(5),
+    // personalized variant: reset weight only on the seed suppliers
+    // (node offset 1e6 is divisible by 10, so the seed test survives it)
+    "q_ppr" -> pageRankOracleSql(5,
+      resetCond = "node >= 1000000 AND node % 10 = 0"),
     // full resampling replay: md5 -> uniform -> Poisson(1) inverse CDF
     // weights, per-replicate weighted means, interpolated percentiles
     "q_bootstrap_ci" ->
@@ -5397,6 +5427,41 @@ object SparkEntry {
                 round((SELECT quantile_cont(m, 0.025) FROM rm), 6) AS ci_lo,
                 round((SELECT quantile_cont(m, 0.975) FROM rm), 6) AS ci_hi
          FROM st""",
+    "q_bootstrap_by_key" ->
+      """WITH base AS (SELECT lang, doc_id::VARCHAR AS id,
+               n_chars::DOUBLE AS x
+               FROM documents WHERE n_chars IS NOT NULL),
+         reps AS (SELECT lang, id, x, b
+                  FROM base, generate_series(1, 64) t(b)),
+         uu AS (SELECT lang, b, x,
+                  (CAST(concat('0x', substring(md5(
+                     concat_ws('#', '7', id, b::VARCHAR)), 1, 8)) AS BIGINT)
+                   + 1)::DOUBLE / 4294967297.0 AS u
+                FROM reps),
+         ww AS (SELECT lang, b, x,
+                  CASE WHEN u <= 0.3678794411714423 THEN 0.0
+                       WHEN u <= 0.7357588823428846 THEN 1.0
+                       WHEN u <= 0.9196986029286058 THEN 2.0
+                       WHEN u <= 0.9810118431238462 THEN 3.0
+                       WHEN u <= 0.9963401531726563 THEN 4.0
+                       WHEN u <= 0.9994058151824183 THEN 5.0
+                       WHEN u <= 0.9999167588507119 THEN 6.0
+                       WHEN u <= 0.9999897508033253 THEN 7.0
+                       WHEN u <= 0.9999988747974512 THEN 8.0
+                       ELSE 9.0 END AS w
+                FROM uu),
+         rm AS (SELECT lang, b, sum(w * x) / nullif(sum(w), 0) AS m
+                FROM ww GROUP BY 1, 2),
+         ci AS (SELECT lang, count(m)::BIGINT AS b,
+                  round(stddev_samp(m), 6) AS se,
+                  round(quantile_cont(m, 0.025), 6) AS ci_lo,
+                  round(quantile_cont(m, 0.975), 6) AS ci_hi
+                FROM rm GROUP BY 1),
+         st AS (SELECT lang, count(*)::BIGINT AS n, round(avg(x), 6) AS
+                  estimate
+                FROM base GROUP BY 1)
+         SELECT st.lang, n, b, estimate, se, ci_lo, ci_hi
+         FROM st JOIN ci USING (lang) ORDER BY st.lang""",
     "q_graph_degrees" ->
       s"""WITH $graphEdgesCte,
          o AS (SELECT src AS node, count(*) AS out_degree
@@ -6569,10 +6634,16 @@ object SparkEntry {
            o_custkey AS dst
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"""
 
-  /** Unrolled PageRank power iteration: teleport (1-d)/N, dangling mass
-    * redistributed uniformly, ranks rounded to 12 decimals after every
-    * step (the operator's determinism discipline), final render at 6. */
-  private def pageRankOracleSql(iters: Int, d: Double = 0.85): String = {
+  /** Unrolled PageRank power iteration, reset-weight formulation: each
+    * node carries weight `rf·(1/Σrf)` (uniform rank: `rf = 1`
+    * everywhere; personalized: `rf = 1` on the reset set), teleport is
+    * `(1−d)·w(v)` and the dangling mass returns as `dm·w(v)` — the
+    * EXACT arithmetic order of [[graft.operators.Graph.rankImpl]], with
+    * its per-step 12-decimal rounding, final render at 6. */
+  private def pageRankOracleSql(
+      iters: Int,
+      d: Double = 0.85,
+      resetCond: String = "TRUE"): String = {
     val steps = (1 to iters).map { i =>
       val p = i - 1
       s"""dang$p AS (SELECT coalesce(sum(pr), 0)::DOUBLE AS dm
@@ -6583,20 +6654,25 @@ object SparkEntry {
                           JOIN outd ON outd.src = e.src
              GROUP BY 1),
          it$i AS (SELECT n.node,
-             round(${1.0 - d}::DOUBLE / (SELECT n FROM nn) + $d::DOUBLE *
-               (coalesce(c$i.contrib, 0) +
-                (SELECT dm FROM dang$p) / (SELECT n FROM nn)), 12) AS pr
-             FROM nodes n LEFT JOIN c$i ON n.node = c$i.node)"""
+             round(${1.0 - d}::DOUBLE * (n.rf * (SELECT w FROM rn))
+               + $d::DOUBLE * (coalesce(c$i.contrib, 0) +
+                 (SELECT dm FROM dang$p) * (n.rf * (SELECT w FROM rn))),
+               12) AS pr
+             FROM nw n LEFT JOIN c$i ON n.node = c$i.node)"""
     }.mkString(",\n         ")
     s"""WITH $graphEdgesCte,
        nodes AS (SELECT src AS node FROM edges
                  UNION SELECT dst FROM edges),
-       nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+       nw AS (SELECT node,
+                CASE WHEN $resetCond THEN 1.0::DOUBLE ELSE 0.0::DOUBLE END
+                  AS rf
+              FROM nodes),
+       rn AS (SELECT 1.0::DOUBLE / sum(rf) AS w FROM nw),
        outd AS (SELECT src, count(*)::DOUBLE AS outdeg
                 FROM edges GROUP BY 1),
-       it0 AS (SELECT node,
-                 round(1.0::DOUBLE / (SELECT n FROM nn), 12) AS pr
-               FROM nodes),
+       it0 AS (SELECT node, rf,
+                 round(rf * (SELECT w FROM rn), 12) AS pr
+               FROM nw),
        $steps
        SELECT node, round(pr, 6) AS pagerank FROM it$iters
        ORDER BY node"""

@@ -68,18 +68,64 @@ object Graph {
       dstCol: String,
       iters: Int = 10,
       damping: Double = 0.85,
-      roundScale: Int = 12): DataFrame = {
+      roundScale: Int = 12): DataFrame =
+    rankImpl(edges, srcCol, dstCol, None, iters, damping, roundScale)
+
+  /** Personalized PageRank (Haveliwala 2002): the teleport AND the
+    * dangling mass return only to the `resetNodes` set, each member
+    * weighted `1/|R|` — rank then measures proximity to R along links
+    * rather than global centrality (topic-conditioned corpus weighting:
+    * R = the seed docs of a domain, rank = how much of the corpus that
+    * domain's random surfer actually visits). `resetNodes` members that
+    * are not graph nodes are ignored; the intersection must be
+    * non-empty. Uniform PageRank is exactly the special case R = all
+    * nodes (differential-pinned in spec). Same iteration shape, same
+    * per-iteration rounding discipline, same cost. */
+  def personalizedPageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      resetNodes: DataFrame,
+      resetCol: String,
+      iters: Int = 10,
+      damping: Double = 0.85,
+      roundScale: Int = 12): DataFrame =
+    rankImpl(edges, srcCol, dstCol,
+      Some(resetNodes.select(col(resetCol).as("node")).distinct()),
+      iters, damping, roundScale)
+
+  private def rankImpl(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      reset: Option[DataFrame],
+      iters: Int,
+      damping: Double,
+      roundScale: Int): DataFrame = {
     require(iters >= 1, "iters must be at least 1")
     require(damping >= 0 && damping < 1, "damping must be in [0, 1)")
     require(roundScale >= 1 && roundScale <= 15,
       "roundScale must be in [1, 15]")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
-    val nodes = e.select(col("src").as("node"))
+    val bare = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // the reset-weight vector: 1/N everywhere (uniform) or 1/|R| on the
+    // reset set and 0 elsewhere (personalized) — the loop is identical
+    val nodes = (reset match {
+      case None => bare.withColumn("__in_r", lit(true))
+      case Some(r) => bare.join(r.withColumn("__in_r", lit(true)),
+        Seq("node"), "left").na.fill(false, Seq("__in_r"))
+    }).persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     require(n > 0, "edge frame is empty - no graph to rank")
+    val nReset = reset match {
+      case None => n
+      case Some(_) => nodes.where(col("__in_r")).count()
+    }
+    require(nReset > 0,
+      "resetNodes shares no member with the graph - nothing to teleport to")
+    val rw = when(col("__in_r"), lit(1.0 / nReset)).otherwise(lit(0.0))
     val outdeg = e.groupBy("src")
       .agg(count(lit(1)).cast("double").as("__outdeg"))
     // the loop-invariant frames, built ONCE: degree-annotated edges
@@ -91,11 +137,12 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val danglingNodes = nodes
       .join(outdeg, nodes("node") === outdeg("src"), "left_anti")
+      .select(col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val teleport = (1.0 - damping) / n
     var ranks = nodes
-      .select(col("node"), round(lit(1.0 / n), roundScale).as("pr"))
+      .select(col("node"), col("__in_r"),
+        round(rw, roundScale).as("pr"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     ranks.count() // pin before the loop reads it twice per iteration
 
@@ -103,18 +150,18 @@ object Graph {
       // dangling mass: rank parked on nodes with no out-edges (ONE
       // scalar to the driver per iteration; the set itself is static)
       val dangling = ranks
-        .join(danglingNodes.select(col("node")), Seq("node"), "left_semi")
+        .join(danglingNodes, Seq("node"), "left_semi")
         .agg(coalesce(sum("pr"), lit(0.0)))
         .head().getDouble(0)
       val contribs = eDeg
-        .join(ranks, eDeg("src") === ranks("node"))
+        .join(ranks.select("node", "pr"), eDeg("src") === col("node"))
         .select(col("dst").as("node"),
           (col("pr") / col("__outdeg")).as("__c"))
         .groupBy("node").agg(sum("__c").as("__contrib"))
       val next = nodes.join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          round(lit(teleport) + lit(damping) *
-            (coalesce(col("__contrib"), lit(0.0)) + lit(dangling / n)),
+        .select(col("node"), col("__in_r"),
+          round(lit(1.0 - damping) * rw + lit(damping) *
+            (coalesce(col("__contrib"), lit(0.0)) + lit(dangling) * rw),
             roundScale).as("pr"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       next.count() // materialize before releasing the parent

@@ -398,4 +398,54 @@ object ModelEval {
         round(col("__lo"), 6).as("ci_lo"),
         round(col("__hi"), 6).as("ci_hi"))
   }
+
+  /** Per-slice [[bootstrapMeanCI]]: one CI row per key — the
+    * uncertainty-aware form of a sliced metric report (a 2-point gap
+    * between slices means nothing when each slice's CI is ±5). Same
+    * deterministic Poisson weights, same one-pass shape with the key
+    * riding every aggregate: the exchange is `keys × b × partitions`
+    * partial sums, the percentile reduction is `keys × b` replicate
+    * means — both bounded by the report size, never the data. Output:
+    * `keyCols… | n | b | estimate | se | ci_lo | ci_hi`. */
+  def bootstrapMeanCIByKey(
+      df: DataFrame,
+      valueCol: String,
+      idCol: String,
+      keyCols: Seq[String],
+      b: Int = 100,
+      seed: Long = 42L,
+      alpha: Double = 0.05): DataFrame = {
+    require(keyCols.nonEmpty,
+      "keyCols must be non-empty (use bootstrapMeanCI for the global CI)")
+    require(b >= 2, "need at least 2 replicates")
+    require(alpha > 0 && alpha < 1, "alpha must be in (0, 1)")
+    val keys = keyCols.map(col)
+    val base = df
+      .select((keys :+ col(idCol).cast("string").as("__id")
+        :+ col(valueCol).cast("double").as("__x")): _*)
+      .where(col("__x").isNotNull)
+    val u = (conv(substring(md5(concat_ws("#", lit(seed), col("__id"),
+      col("__b"))), 1, 8), 16, 10).cast("long") + lit(1L))
+      .cast("double") / lit(4294967297.0)
+    val repMeans = base
+      .select((keys :+ col("__id") :+ col("__x")
+        :+ explode(sequence(lit(1), lit(b))).as("__b")): _*)
+      .withColumn("__w", poissonW(u))
+      .groupBy((keys :+ col("__b")): _*)
+      .agg(try_divide(sum(col("__w") * col("__x")), sum(col("__w")))
+        .as("__m"))
+    val ciByKey = repMeans.groupBy(keys: _*)
+      .agg(count(col("__m")).as("b"),
+        stddev_samp(col("__m")).as("__se"),
+        percentile(col("__m"), lit(alpha / 2)).as("__lo"),
+        percentile(col("__m"), lit(1.0 - alpha / 2)).as("__hi"))
+    val statsByKey = base.groupBy(keys: _*)
+      .agg(count(lit(1)).as("n"), avg(col("__x")).as("__est"))
+    statsByKey.join(ciByKey, keyCols)
+      .select((keys :+ col("n") :+ col("b")
+        :+ round(col("__est"), 6).as("estimate")
+        :+ round(col("__se"), 6).as("se")
+        :+ round(col("__lo"), 6).as("ci_lo")
+        :+ round(col("__hi"), 6).as("ci_hi")): _*)
+  }
 }

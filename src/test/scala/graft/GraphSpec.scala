@@ -82,6 +82,49 @@ class GraphSpec extends GraftSuite {
     }
   }
 
+  test("personalizedPageRank: R = all nodes equals uniform pageRank; " +
+      "driver replay of the reset-weighted recurrence; mass conserved; " +
+      "off-graph seeds ignored; empty intersection raises") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L))
+    val df = edges.toDF("s", "t")
+    val allNodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    // R = everything == uniform PageRank, value for value
+    val uni = Graph.pageRank(df, "s", "t", iters = 6)
+      .collect().map(r0 => r0.getLong(0) -> r0.getDouble(1)).toMap
+    val rAll = Graph.personalizedPageRank(df, "s", "t",
+        allNodes.toDF("node"), "node", iters = 6)
+      .collect().map(r0 => r0.getLong(0) -> r0.getDouble(1)).toMap
+    assert(rAll == uni)
+
+    // R = {1}, with an off-graph seed 99 that must be ignored
+    val got = Graph.personalizedPageRank(df, "s", "t",
+        Seq(1L, 99L).toDF("node"), "node", iters = 6)
+      .collect().map(r0 => r0.getLong(0) -> r0.getDouble(1)).toMap
+    // driver replay with reset weights w(1)=1, else 0
+    val nodes = allNodes.sorted
+    val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    def w(v: Long) = if (v == 1L) 1.0 else 0.0
+    var pr = nodes.map(v => v -> r(w(v))).toMap
+    (1 to 6).foreach { _ =>
+      val dm = nodes.filterNot(outdeg.contains).map(pr).sum
+      val contrib = edges.groupBy(_._2).view.mapValues(_.map { case (s0, _) =>
+        pr(s0) / outdeg(s0) }.sum).toMap
+      pr = nodes.map(v => v -> r(0.15 * w(v) +
+        0.85 * (contrib.getOrElse(v, 0.0) + dm * w(v)))).toMap
+    }
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - pr(k)) < 1e-9, s"node $k: $v vs ${pr(k)}")
+    }
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+    // the seed holds more rank than under the uniform teleport
+    assert(got(1L) > uni(1L))
+
+    intercept[IllegalArgumentException] {
+      Graph.personalizedPageRank(df, "s", "t",
+        Seq(99L).toDF("node"), "node")
+    }
+  }
+
   test("degrees: out/in accounting, one-sided nodes report zero") {
     val df = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 2L)).toDF("s", "t")
     val got = Graph.degrees(df, "s", "t")

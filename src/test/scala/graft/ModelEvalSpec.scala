@@ -248,4 +248,23 @@ class ModelEvalSpec extends GraftSuite {
       ModelEval.bootstrapMeanCI(df, "v", "id", alpha = 0.0)
     }
   }
+
+  test("bootstrapMeanCIByKey: each slice equals the global bootstrap " +
+      "run on that slice alone (weights are key-independent)") {
+    import spark.implicits._
+    val df = (1L to 300L)
+      .map(i => (i, if (i % 3 == 0) "a" else "b", (i % 17).toDouble))
+      .toDF("id", "k", "v")
+    val keyed = ModelEval.bootstrapMeanCIByKey(df, "v", "id", Seq("k"),
+        b = 40, seed = 5)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    Seq("a", "b").foreach { k =>
+      val solo = ModelEval.bootstrapMeanCI(df.where(col("k") === k),
+        "v", "id", b = 40, seed = 5).head().toSeq
+      assert(keyed(k) == solo, s"slice $k diverged")
+    }
+    intercept[IllegalArgumentException] {
+      ModelEval.bootstrapMeanCIByKey(df, "v", "id", Seq.empty)
+    }
+  }
 }
