@@ -2943,6 +2943,51 @@ object SparkEntry {
       } finally q.stop()
       Validate.checkTimeline(s, store).orderBy("batch_id", "rule")
     }),
+    // r11 monitoring capstone: a 12-epoch streamed quality ledger read
+    // back through the SPC alarm layer — stream -> epoch store ->
+    // control chart, every stage replayed by the oracle (ntile batches,
+    // per-rule violation fracs, recursive-CTE EWMA, prefix-sum CUSUM)
+    "q_ledger_chart" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = lk.documents.select("doc_id", "lang", "n_chars")
+        .as[(Long, String, Long)].collect().sortBy(_._1)
+      // ntile(12) semantics: the first (n mod 12) buckets get the extra row
+      val nB = 12
+      val q0 = docs.length / nB
+      val r0 = docs.length % nB
+      val batches = {
+        var idx = 0
+        (1 to nB).map { i =>
+          val sz = q0 + (if (i <= r0) 1 else 0)
+          val b = docs.slice(idx, idx + sz); idx += sz; b
+        }
+      }
+      val rules = Seq(
+        Validate.notNull("lang"),
+        Validate.inRange("n_chars", 0, 900),
+        Validate.matchesRegex("lang", "[a-z]{2}"))
+      val mem = MemoryStream[(Long, String, Long)]
+      val rows = mem.toDF().toDF("doc_id", "lang", "n_chars")
+      val tag = java.util.UUID.randomUUID().toString.take(8)
+      val store = s"${lk.work}/ledger_chart_store_$tag"
+      val q = graft.streaming.StreamOps.validateSink(
+          rows, rules, store) { (_, _) => () }
+        .option("checkpointLocation", s"${lk.work}/ledger_chart_ckpt_$tag")
+        .start()
+      try {
+        batches.foreach { b =>
+          mem.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+        }
+      } finally q.stop()
+      val tl = Validate.checkTimeline(s, store)
+        .select("rule", "batch_id", "violation_frac")
+      Profile.controlChart(tl, "violation_frac", "batch_id", Seq("rule"),
+          alpha = 0.3, ewmaL = 3.0, cusumSlack = 0.5, cusumH = 4.0)
+        .orderBy("rule", "batch_id")
+    }),
     // quantile (CDF) transform (r10): distributed-exact cume_dist of
     // the event value without a global window; approx path is
     // envelope-tested in ProfileStatsSpec
@@ -6571,6 +6616,74 @@ object SparkEntry {
            SELECT batch_id, 'matches_regex(lang)', v_regex, n_rows
            FROM g)
          ORDER BY batch_id, rule""",
+    // replays the whole pipeline: ntile(12) epochs, per-rule violation
+    // fracs, then the control chart (recursive-CTE EWMA at alpha 0.3,
+    // prefix-sum/running-min CUSUM at slack 0.5 / h 4)
+    "q_ledger_chart" ->
+      """WITH RECURSIVE
+         r AS (SELECT lang, n_chars,
+                 (ntile(12) OVER (ORDER BY doc_id) - 1)::BIGINT AS batch_id
+               FROM documents),
+         g AS (SELECT batch_id, count(*)::BIGINT AS n_rows,
+                 sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS v_null,
+                 sum(CASE WHEN NOT coalesce(n_chars BETWEEN 0 AND 900,
+                   false) THEN 1 ELSE 0 END)::BIGINT AS v_range,
+                 sum(CASE WHEN NOT coalesce(regexp_full_match(lang,
+                   '(?:[a-z]{2})'), false) THEN 1 ELSE 0 END)::BIGINT
+                   AS v_regex
+               FROM r GROUP BY batch_id),
+         tl AS (SELECT batch_id, rule,
+                  round(v / greatest(n_rows, 1), 6) AS x
+                FROM (
+                  SELECT batch_id, 'not_null(lang)' AS rule,
+                         v_null AS v, n_rows FROM g
+                  UNION ALL
+                  SELECT batch_id, 'in_range(n_chars)', v_range, n_rows
+                  FROM g
+                  UNION ALL
+                  SELECT batch_id, 'matches_regex(lang)', v_regex, n_rows
+                  FROM g)),
+         st AS (SELECT rule, avg(x) AS mu, stddev_pop(x) AS sigma
+                FROM tl GROUP BY 1),
+         ord AS (SELECT tl.rule, tl.batch_id, tl.x, st.mu, st.sigma,
+                   CAST(row_number() OVER (PARTITION BY tl.rule
+                     ORDER BY tl.batch_id) AS INT) AS i
+                 FROM tl JOIN st USING (rule)),
+         ew AS (SELECT rule, batch_id, i, x, mu, sigma,
+                  0.3::DOUBLE * x + 0.7::DOUBLE * mu AS ewma
+                FROM ord WHERE i = 1
+                UNION ALL
+                SELECT o.rule, o.batch_id, o.i, o.x, o.mu, o.sigma,
+                  0.3::DOUBLE * o.x + 0.7::DOUBLE * e.ewma
+                FROM ord o JOIN ew e
+                  ON o.rule = e.rule AND o.i = e.i + 1),
+         z AS (SELECT *, CASE WHEN sigma > 0
+                     THEN (x - mu) / sigma ELSE 0::DOUBLE END AS zs,
+                  sigma * sqrt(0.3 / 1.7 *
+                    (1 - pow(0.49::DOUBLE, i::DOUBLE))) AS sigz
+               FROM ew),
+         pf AS (SELECT *,
+                  sum(zs - 0.5) OVER (PARTITION BY rule ORDER BY i
+                    ROWS UNBOUNDED PRECEDING) AS phisum,
+                  sum(-zs - 0.5) OVER (PARTITION BY rule ORDER BY i
+                    ROWS UNBOUNDED PRECEDING) AS plosum
+                FROM z),
+         cu AS (SELECT *,
+                  phisum - least(min(phisum) OVER (PARTITION BY rule
+                    ORDER BY i ROWS UNBOUNDED PRECEDING), 0) AS chi,
+                  plosum - least(min(plosum) OVER (PARTITION BY rule
+                    ORDER BY i ROWS UNBOUNDED PRECEDING), 0) AS clo
+                FROM pf)
+         SELECT rule, batch_id, x AS violation_frac,
+                round(ewma, 6) AS ewma,
+                round(mu - 3 * sigz, 6) AS ewma_lcl,
+                round(mu + 3 * sigz, 6) AS ewma_ucl,
+                (sigma > 0 AND abs(ewma - mu) > 3 * sigz) AS ewma_alarm,
+                round(chi, 6) AS cusum_hi,
+                round(clo, 6) AS cusum_lo,
+                (chi > 4 OR clo > 4) AS cusum_alarm
+         FROM cu ORDER BY rule, batch_id""",
     "q_quantile_transform" ->
       """SELECT e.event_id, round(q.q, 6) AS value_q
          FROM events e LEFT JOIN (
