@@ -1964,6 +1964,22 @@ object SparkEntry {
         .distinct()
       Graph.degrees(edges, "src", "dst").orderBy("node")
     }),
+    // generic connected components over a sparse supplier-part
+    // co-occurrence graph (the entity-resolution blocking shape); the
+    // oracle computes true min-reachable labels via a recursive
+    // reachability CTE — an entirely different algorithm than the
+    // operator's contraction label propagation
+    "q_graph_cc" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val edges = lk.lineitem
+        .where(col("l_quantity") === 1 &&
+          pmod(col("l_partkey"), lit(5)) === 0)
+        .select((col("l_suppkey") + lit(1000000L)).as("src"),
+          col("l_partkey").as("dst"))
+        .distinct()
+      Graph.connectedComponents(edges, "src", "dst")
+        .orderBy("node")
+    }),
     // topic-conditioned centrality: teleport + dangling mass return only
     // to the seed suppliers (every 10th), so rank measures proximity to
     // that seed set along served-by links
@@ -5439,6 +5455,24 @@ object SparkEntry {
     // (node offset 1e6 is divisible by 10, so the seed test survives it)
     "q_ppr" -> pageRankOracleSql(5,
       resetCond = "node >= 1000000 AND node % 10 = 0"),
+    // true min-reachable component labels by recursive reachability:
+    // (v, lab) joins reach iff lab < v and lab reaches v, so min(lab)
+    // per node is the component minimum — independent of the operator's
+    // contraction sweeps
+    "q_graph_cc" ->
+      """WITH RECURSIVE
+         e0 AS (SELECT DISTINCT l_suppkey + 1000000 AS a, l_partkey AS b
+                FROM lineitem
+                WHERE l_quantity = 1 AND l_partkey % 5 = 0),
+         e AS (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+         nodes AS (SELECT DISTINCT a AS node FROM e),
+         reach(node, lab) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT e.a, r.lab FROM reach r JOIN e ON e.b = r.node
+           WHERE r.lab < e.a)
+         SELECT node, min(lab) AS component
+         FROM reach GROUP BY node ORDER BY node""",
     // full resampling replay: md5 -> uniform -> Poisson(1) inverse CDF
     // weights, per-replicate weighted means, interpolated percentiles
     "q_bootstrap_ci" ->

@@ -33,6 +33,25 @@ object Graph {
         coalesce(col("in_degree"), lit(0L)).as("in_degree"))
   }
 
+  /** Connected components over an edge frame, treated as UNDIRECTED:
+    * `(node, component)` for every node on either side of an edge, where
+    * `component` is the minimum node id transitively reachable. Thin
+    * facade over the contraction label-propagation engine the dedup
+    * family runs ([[Dedup.duplicateClusters]] — full edge frame
+    * traversed exactly twice, later sweeps on the geometrically
+    * shrinking label graph, bounded driver union-find finish); this
+    * entry point gives the same machinery to arbitrary graphs (link
+    * graphs, co-citation, entity resolution blocking). */
+  def connectedComponents(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      maxIter: Int = 50): DataFrame =
+    Dedup.duplicateClusters(
+        edges.select(col(srcCol).as("a_id"), col(dstCol).as("b_id")),
+        maxIter)
+      .select(col("id").as("node"), col("cluster_id").as("component"))
+
   /** Power-iteration PageRank (Brin & Page 1998) with proper dangling-
     * mass redistribution: `pr_{t+1}(v) = (1−d)/N + d·(Σ_{u→v}
     * pr_t(u)/outdeg(u) + D_t/N)` where `D_t` is the rank mass parked on

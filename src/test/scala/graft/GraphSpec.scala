@@ -125,6 +125,21 @@ class GraphSpec extends GraftSuite {
     }
   }
 
+  test("connectedComponents: undirected transitive closure, min labels, " +
+      "direction-invariant") {
+    // two components: {1,2,3,7} via chain, {10,11} isolated pair
+    val edges = Seq((2L, 1L), (2L, 3L), (7L, 3L), (10L, 11L))
+    val got = Graph.connectedComponents(edges.toDF("s", "t"), "s", "t")
+      .collect().map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      10L -> 10L, 11L -> 10L))
+    // undirected: flipping every edge changes nothing
+    val flipped = Graph.connectedComponents(
+        edges.map(_.swap).toDF("s", "t"), "s", "t")
+      .collect().map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap
+    assert(flipped == got)
+  }
+
   test("degrees: out/in accounting, one-sided nodes report zero") {
     val df = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 2L)).toDF("s", "t")
     val got = Graph.degrees(df, "s", "t")
