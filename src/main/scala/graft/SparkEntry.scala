@@ -1980,6 +1980,25 @@ object SparkEntry {
       Graph.connectedComponents(edges, "src", "dst")
         .orderBy("node")
     }),
+    // triangle census on the same sparse co-occurrence graph; oracle is
+    // the id-ordered 3-way join, the operator the degree-ordered wedge
+    // join — two different algorithms, one count
+    "q_triangles" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val edges = lk.lineitem
+        .where(col("l_quantity") === 1 &&
+          pmod(col("l_partkey"), lit(5)) === 0)
+        .select((col("l_suppkey") + lit(1000000L)).as("src"),
+          col("l_partkey").as("dst"))
+        .distinct()
+      // the bipartite graph is triangle-free by construction; project
+      // suppliers sharing a part into supplier-supplier edges first
+      val coSupp = edges.select(col("dst").as("p"), col("src").as("s1"))
+        .join(edges.select(col("dst").as("p"), col("src").as("s2")), "p")
+        .where(col("s1") < col("s2"))
+        .select(col("s1"), col("s2")).distinct()
+      Graph.triangleCount(coSupp, "s1", "s2")
+    }),
     // topic-conditioned centrality: teleport + dangling mass return only
     // to the seed suppliers (every 10th), so rank measures proximity to
     // that seed set along served-by links
@@ -5473,6 +5492,23 @@ object SparkEntry {
            WHERE r.lab < e.a)
          SELECT node, min(lab) AS component
          FROM reach GROUP BY node ORDER BY node""",
+    // id-ordered 3-way join triangle census over the co-supplier
+    // projection of the same sparse graph
+    "q_triangles" ->
+      """WITH e0 AS (SELECT DISTINCT l_suppkey + 1000000 AS s,
+                l_partkey AS p
+              FROM lineitem
+              WHERE l_quantity = 1 AND l_partkey % 5 = 0),
+         co AS (SELECT DISTINCT x.s AS a, y.s AS b
+                FROM e0 x JOIN e0 y ON x.p = y.p AND x.s < y.s),
+         nodes AS (SELECT a AS n FROM co UNION SELECT b FROM co),
+         tri AS (SELECT count(*)::BIGINT AS n_triangles
+                 FROM co e1 JOIN co e2 ON e1.b = e2.a
+                            JOIN co e3 ON e3.a = e1.a AND e3.b = e2.b)
+         SELECT (SELECT count(*) FROM nodes)::BIGINT AS n_nodes,
+                (SELECT count(*) FROM co)::BIGINT AS n_edges,
+                n_triangles
+         FROM tri""",
     // full resampling replay: md5 -> uniform -> Poisson(1) inverse CDF
     // weights, per-replicate weighted means, interpolated percentiles
     "q_bootstrap_ci" ->

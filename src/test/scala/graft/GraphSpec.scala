@@ -140,6 +140,29 @@ class GraphSpec extends GraftSuite {
     assert(flipped == got)
   }
 
+  test("triangleCount: K4 has 4, multi-edges/self-loops/direction " +
+      "collapse, hub star has none") {
+    // K4 on {1,2,3,4} = 4 triangles; plus noise: duplicate edge,
+    // reversed duplicate, self-loop, and a pendant node
+    val k4 = for {
+      a <- 1L to 4L; b <- 1L to 4L if a < b
+    } yield (a, b)
+    val noisy = k4 ++ Seq((2L, 1L), (1L, 2L), (3L, 3L), (4L, 9L))
+    val got = Graph.triangleCount(noisy.toDF("s", "t"), "s", "t").head()
+    assert(got.getLong(0) == 5L, "nodes") // {1,2,3,4,9}
+    assert(got.getLong(1) == 7L, "edges") // 6 K4 edges + (4,9)
+    assert(got.getLong(2) == 4L, "triangles")
+    // a star (one hub, no closures) has zero triangles — the shape the
+    // degree orientation exists to keep cheap
+    val star = (2L to 30L).map(i => (1L, i))
+    val s = Graph.triangleCount(star.toDF("s", "t"), "s", "t").head()
+    assert(s.getLong(2) == 0L)
+    // triangle sharing a hub: star + one rim edge closes exactly one
+    val rim = star ++ Seq((7L, 8L))
+    val r1 = Graph.triangleCount(rim.toDF("s", "t"), "s", "t").head()
+    assert(r1.getLong(2) == 1L)
+  }
+
   test("degrees: out/in accounting, one-sided nodes report zero") {
     val df = Seq((1L, 2L), (1L, 3L), (2L, 3L), (1L, 2L)).toDF("s", "t")
     val got = Graph.degrees(df, "s", "t")
