@@ -5517,7 +5517,8 @@ object SparkEntry {
          reps AS (SELECT id, x, b FROM base, generate_series(1, 64) t(b)),
          uu AS (SELECT b, x,
                   (CAST(concat('0x', substring(md5(
-                     concat_ws('#', '7', id, b::VARCHAR)), 1, 8)) AS BIGINT)
+                     concat_ws('#', '7', id, ((b - 1) // 4)::VARCHAR)),
+                     1 + 8 * ((b - 1) % 4), 8)) AS BIGINT)
                    + 1)::DOUBLE / 4294967297.0 AS u
                 FROM reps),
          ww AS (SELECT b, x,
@@ -5550,7 +5551,8 @@ object SparkEntry {
                   FROM base, generate_series(1, 64) t(b)),
          uu AS (SELECT lang, b, x,
                   (CAST(concat('0x', substring(md5(
-                     concat_ws('#', '7', id, b::VARCHAR)), 1, 8)) AS BIGINT)
+                     concat_ws('#', '7', id, ((b - 1) // 4)::VARCHAR)),
+                     1 + 8 * ((b - 1) % 4), 8)) AS BIGINT)
                    + 1)::DOUBLE / 4294967297.0 AS u
                 FROM reps),
          ww AS (SELECT lang, b, x,

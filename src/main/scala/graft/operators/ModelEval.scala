@@ -325,41 +325,61 @@ object ModelEval {
           .as("kappa"))
   }
 
-  /** Poisson(1) inverse CDF over a uniform — the per-(row, replicate)
-    * bootstrap weight. Cumulative thresholds of the Poisson(1) pmf,
-    * spelled as double literals so an external engine's CASE chain lands
-    * on the identical weights; mass past k=8 (~1.1e-6) truncates to 9. */
-  private val PoissonCum: Seq[Double] = Seq(
-    0.3678794411714423, 0.7357588823428846, 0.9196986029286058,
-    0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
-    0.9999167588507119, 0.9999897508033253, 0.9999988747974512)
-
-  private def poissonW(u: Column): Column =
-    PoissonCum.zipWithIndex.foldRight(lit(9.0)) { case ((c, k), acc) =>
-      when(u <= lit(c), lit(k.toDouble)).otherwise(acc)
-    }
+  /** All `b` replicate means in ONE aggregate pass with ZERO row
+    * amplification: [[graft.functions.PoissonBootstrapAggregator]]
+    * carries the 2b interleaved `(Σw·x, Σw)` sums as one
+    * `Array[Double]` buffer updated imperatively per row. Two slower
+    * formulations were measured out at ×30 (18M rows × 64 replicates):
+    * explode(1..b) pays ~295 s of generator-row allocation, and 2b
+    * relational aggregate columns blow the whole-stage-codegen method
+    * budget into interpreted fallback (~156 s); the buffer runs the
+    * identical arithmetic in seconds. The result row(s) are key-grain;
+    * the `(replicate, mean)` transpose explodes a b-element array AFTER
+    * aggregation — bounded by the report, not the data. Returns
+    * `(keys…, __b, __m)`. */
+  private def replicateMeans(
+      base: DataFrame,
+      keyNames: Seq[String],
+      b: Int,
+      seed: Long): DataFrame = {
+    val sums = graft.functions.PoissonBootstrap
+      .replicateSums(seed, b)(col("__id"), col("__x")).as("__sums")
+    val agged =
+      if (keyNames.isEmpty) base.agg(sums)
+      else base.groupBy(keyNames.map(col): _*).agg(sums)
+    val arr = array((1 to b).map(bb =>
+      struct(lit(bb).as("b"),
+        element_at(col("__sums"), 2 * bb - 1).as("swx"),
+        element_at(col("__sums"), 2 * bb).as("sw"))): _*)
+    agged
+      .select((keyNames.map(col) :+ explode(arr).as("__e")): _*)
+      .select((keyNames.map(col) :+ col("__e.b").as("__b")
+        :+ try_divide(col("__e.swx"), col("__e.sw")).as("__m")): _*)
+  }
 
   /** Poisson-bootstrap confidence interval for the mean — THE bootstrap
     * that survives 100 TB (Chamandy et al., "Estimating Uncertainty for
     * Massive Data Streams", Google 2012): instead of resampling n rows
     * B times (unshardable), each (row, replicate) draws an independent
     * Poisson(1) weight, so all `b` replicate sums accumulate in ONE
-    * pass. Weights are DETERMINISTIC — `u = md5(seed # id # replicate)`
-    * through the Poisson inverse CDF — so reruns, repartitionings, and
-    * the DuckDB oracle land on identical draws.
+    * pass. Weights are DETERMINISTIC — replicate `b` reads the 8-hex
+    * slice `(b−1)%4` of `md5(seed # id # (b−1)/4)` through the Poisson
+    * inverse CDF (see [[replicateWeights]]) — so reruns,
+    * repartitionings, and the DuckDB oracle land on identical draws.
     *
     * Output, one row: `n | b | estimate | se | ci_lo | ci_hi` — the
     * plain mean, the bootstrap standard error (sample stddev of the B
     * replicate means), and the percentile-method interval at
     * `1 − alpha` (exact interpolated percentiles over the B means).
     *
-    * Scale shape: the replicate explosion is map-side only — it feeds
-    * straight into a partial aggregate in the same whole-stage-codegen
-    * pipeline, so the exchange carries `b × partitions` partial sums,
-    * never `n × b` rows; the B replicate means then reduce on the
-    * driver-side single partition (B doubles). Null values are ignored
-    * (a null has no mean). Rows whose id is not unique get correlated
-    * weights — pass a genuinely unique id. */
+    * Scale shape: ONE aggregate scan with zero row amplification
+    * ([[replicateMeans]] — 2·b aggregate columns in the same
+    * whole-stage-codegen row loop), so the exchange carries
+    * `2b × partitions` partial sums, never `n × b` rows; the B
+    * replicate means then reduce over one bounded frame (B doubles).
+    * Null values are ignored (a null has no mean). Rows whose id is
+    * not unique get correlated weights — pass a genuinely unique
+    * id. */
   def bootstrapMeanCI(
       df: DataFrame,
       valueCol: String,
@@ -373,18 +393,9 @@ object ModelEval {
       .select(col(idCol).cast("string").as("__id"),
         col(valueCol).cast("double").as("__x"))
       .where(col("__x").isNotNull)
-    val u = (conv(substring(md5(concat_ws("#", lit(seed), col("__id"),
-      col("__b"))), 1, 8), 16, 10).cast("long") + lit(1L))
-      .cast("double") / lit(4294967297.0)
-    val reps = base
-      .select(col("__id"), col("__x"),
-        explode(sequence(lit(1), lit(b))).as("__b"))
-      .withColumn("__w", poissonW(u))
     // a replicate whose weights all drew 0 (possible only at tiny n)
     // contributes no mean — try_divide nulls it and percentile skips it
-    val repMeans = reps.groupBy("__b")
-      .agg(try_divide(sum(col("__w") * col("__x")), sum(col("__w")))
-        .as("__m"))
+    val repMeans = replicateMeans(base, Seq.empty, b, seed)
     val stats = base.agg(count(lit(1)).as("n"),
       avg(col("__x")).as("__est"))
     stats.crossJoin(broadcast(repMeans.agg(
@@ -402,10 +413,11 @@ object ModelEval {
   /** Per-slice [[bootstrapMeanCI]]: one CI row per key — the
     * uncertainty-aware form of a sliced metric report (a 2-point gap
     * between slices means nothing when each slice's CI is ±5). Same
-    * deterministic Poisson weights, same one-pass shape with the key
-    * riding every aggregate: the exchange is `keys × b × partitions`
-    * partial sums, the percentile reduction is `keys × b` replicate
-    * means — both bounded by the report size, never the data. Output:
+    * deterministic Poisson weights, same zero-amplification one-pass
+    * shape with the key as the grouping: the exchange is
+    * `keys × 2b × partitions` partial sums, the percentile reduction is
+    * `keys × b` replicate means — both bounded by the report size,
+    * never the data. Output:
     * `keyCols… | n | b | estimate | se | ci_lo | ci_hi`. */
   def bootstrapMeanCIByKey(
       df: DataFrame,
@@ -424,16 +436,7 @@ object ModelEval {
       .select((keys :+ col(idCol).cast("string").as("__id")
         :+ col(valueCol).cast("double").as("__x")): _*)
       .where(col("__x").isNotNull)
-    val u = (conv(substring(md5(concat_ws("#", lit(seed), col("__id"),
-      col("__b"))), 1, 8), 16, 10).cast("long") + lit(1L))
-      .cast("double") / lit(4294967297.0)
-    val repMeans = base
-      .select((keys :+ col("__id") :+ col("__x")
-        :+ explode(sequence(lit(1), lit(b))).as("__b")): _*)
-      .withColumn("__w", poissonW(u))
-      .groupBy((keys :+ col("__b")): _*)
-      .agg(try_divide(sum(col("__w") * col("__x")), sum(col("__w")))
-        .as("__m"))
+    val repMeans = replicateMeans(base, keyCols, b, seed)
     val ciByKey = repMeans.groupBy(keys: _*)
       .agg(count(col("__m")).as("b"),
         stddev_samp(col("__m")).as("__se"),

@@ -63,6 +63,7 @@ object ScaleBench {
       else if (mode == "govern") () // raw docs/lineitem; no index fixtures
       else if (mode == "retrieval") () // raw docs/lineitem; no index fixtures
       else if (mode == "graph") () // raw lineitem/orders; no index fixtures
+      else if (mode == "uncertainty") () // raw lineitem; no index fixtures
       else if (mode == "probeorder") lk.documentsFiles // split only; build is the bench
       else lk.prebuild()
       lk
@@ -799,6 +800,73 @@ object ScaleBench {
           .read().map(_.count()).getOrElse(0L)
       emit(results, counts, sfDir); spark.stop(); return
     }
+    if (mode == "uncertainty") {
+      // r11 wave: Poisson bootstrap at the x30 grain (18M values). The
+      // scale claim is ONE-PASS-NESS: all B replicate sums accumulate in
+      // a single scan whose exchange is B x partitions partial sums; the
+      // alternative everyone writes first (one weighted scan per
+      // replicate) is linear in B. Shuffle-byte deltas per phase.
+      val unShuffleBytes = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val m = sc.stageInfo.taskMetrics
+            if (m != null)
+              unShuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+          }
+        })
+      def shuffleDelta[T](key: String)(body: => T): T = {
+        Thread.sleep(1500)
+        val before = unShuffleBytes.get()
+        val r = body
+        Thread.sleep(1500)
+        results(key) = (unShuffleBytes.get() - before) / 1e6 // MB
+        r
+      }
+      val li = lake.lineitem.select(
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("rid"),
+        col("l_extendedprice").as("price"), col("l_returnflag"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      counts("x_li_rows") = li.count()
+      shuffleDelta("x_bootstrap64_shuffle_mb") { bench("x_bootstrap_64") {
+        val r = graft.operators.ModelEval.bootstrapMeanCI(
+          li, "price", "rid", b = 64, seed = 11).head()
+        counts("x_ci_width_1e3") = math.round(
+          (r.getDouble(5) - r.getDouble(4)) * 1e3)
+        r.getLong(1)
+      } }
+      shuffleDelta("x_bootstrap_bykey_shuffle_mb") {
+        bench("x_bootstrap_bykey") {
+          // collect(), not count(): count lets Catalyst prune the CI
+          // aggregates and with them the ENTIRE weight computation (the
+          // first sitting read a fantasy 3.5 s this way)
+          graft.operators.ModelEval.bootstrapMeanCIByKey(
+            li, "price", "rid", Seq("l_returnflag"), b = 64,
+            seed = 11).collect().length.toLong
+        }
+      }
+      // the linear-in-B alternative, measured at 4 replicates: one
+      // weighted full scan per replicate (same md5 weights), so per-
+      // replicate cost x 64 is the honest comparator
+      shuffleDelta("x_scan4_shuffle_mb") { bench("x_bootstrap_4scan") {
+        (1 to 4).foreach { b =>
+          val u = (conv(substring(md5(concat_ws("#", lit(11L),
+            col("rid").cast("string"), lit(b))), 1, 8), 16, 10)
+            .cast("long") + lit(1L)).cast("double") / lit(4294967297.0)
+          val w = Seq(0.3678794411714423, 0.7357588823428846,
+            0.9196986029286058, 0.9810118431238462, 0.9963401531726563,
+            0.9994058151824183, 0.9999167588507119, 0.9999897508033253,
+            0.9999988747974512).zipWithIndex.foldRight(lit(9.0)) {
+              case ((c, k), acc) => when(u <= lit(c), lit(k.toDouble))
+                .otherwise(acc) }
+          li.agg((sum(w * col("price")) / sum(w)).as("m")).head()
+        }
+        4L
+      } }
+      emit(results, counts, sfDir); spark.stop(); return
+    }
+
     if (mode == "graph") {
       // r11 wave: PageRank at the x30 grain. The scale claim is the
       // iteration's exchange shape: after the one-time edge

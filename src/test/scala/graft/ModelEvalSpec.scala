@@ -193,9 +193,13 @@ class ModelEvalSpec extends GraftSuite {
       0.9994058151824183, 0.9999167588507119, 0.9999897508033253,
       0.9999988747974512)
     def weight(id: Long, b: Int): Double = {
+      // replicate b reads 8-hex slot (b-1)%4 of digest chunk (b-1)/4
+      val chunk = (b - 1) / 4
+      val slot = (b - 1) % 4
       val md = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"7#$id#$b".getBytes("UTF-8"))
-      val hex = md.map("%02x".format(_)).mkString.substring(0, 8)
+        .digest(s"7#$id#$chunk".getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString
+        .substring(8 * slot, 8 * slot + 8)
       val u = (java.lang.Long.parseLong(hex, 16) + 1L).toDouble / 4294967297.0
       val k = cum.indexWhere(u <= _)
       if (k < 0) 9.0 else k.toDouble
