@@ -1999,6 +1999,26 @@ object SparkEntry {
         .select(col("s1"), col("s2")).distinct()
       Graph.triangleCount(coSupp, "s1", "s2")
     }),
+    // rank agreement between two order-value signals: Spearman over
+    // alphabet-grain average ranks (nothing corpus-grain is sorted)
+    "q_spearman" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Profile.spearman(lk.lineitem, "l_quantity", "l_extendedprice")
+    }),
+    // edge-weighted centrality: rank flows in proportion to how MANY
+    // line items a supplier shipped each customer (the similarity-graph
+    // form of PageRank)
+    "q_wpagerank" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val edges = lk.lineitem
+        .join(lk.orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy((col("l_suppkey") + lit(1000000L)).as("src"),
+          col("o_custkey").as("dst"))
+        .agg(count(lit(1)).cast("double").as("w"))
+      Graph.weightedPageRank(edges, "src", "dst", "w", iters = 5)
+        .select(col("node"), round(col("pagerank"), 6).as("pagerank"))
+        .orderBy("node")
+    }),
     // topic-conditioned centrality: teleport + dangling mass return only
     // to the seed suppliers (every 10th), so rank measures proximity to
     // that seed set along served-by links
@@ -5474,6 +5494,36 @@ object SparkEntry {
     // (node offset 1e6 is divisible by 10, so the seed test survives it)
     "q_ppr" -> pageRankOracleSql(5,
       resetCond = "node >= 1000000 AND node % 10 = 0"),
+    // weighted twin: per-edge fraction precomputed, multiply-only steps
+    "q_wpagerank" -> pageRankOracleSql(5, weighted = true),
+    // identical average-rank assignment (alphabet prefix), identical
+    // exact rank sums, identical closed formula
+    "q_spearman" ->
+      """WITH base AS (SELECT l_quantity::DOUBLE AS a,
+               l_extendedprice::DOUBLE AS b
+             FROM lineitem
+             WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+         da AS (SELECT a, count(*) AS c FROM base GROUP BY 1),
+         ra AS (SELECT a, sum(c) OVER (ORDER BY a
+                    ROWS UNBOUNDED PRECEDING) - c
+                  + (c + 1)::DOUBLE / 2.0 AS r_a
+                FROM da),
+         db AS (SELECT b, count(*) AS c FROM base GROUP BY 1),
+         rb AS (SELECT b, sum(c) OVER (ORDER BY b
+                    ROWS UNBOUNDED PRECEDING) - c
+                  + (c + 1)::DOUBLE / 2.0 AS r_b
+                FROM db),
+         j AS (SELECT r_a, r_b FROM base
+               JOIN ra USING (a) JOIN rb USING (b)),
+         s AS (SELECT count(*)::BIGINT AS n, sum(r_a) AS sa, sum(r_b) AS sb,
+                 sum(r_a * r_a) AS saa, sum(r_b * r_b) AS sbb,
+                 sum(r_a * r_b) AS sab
+               FROM j)
+         SELECT n,
+                round((n * sab - sa * sb) /
+                  (sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb)), 6)
+                  AS spearman
+         FROM s""",
     // true min-reachable component labels by recursive reachability:
     // (v, lab) joins reach iff lab < v and lab reaches v, so min(lab)
     // per node is the component minimum — independent of the operator's
@@ -6819,6 +6869,13 @@ object SparkEntry {
            o_custkey AS dst
          FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"""
 
+  /** The weighted twin: edge weight = number of line items shipped. */
+  private val weightedGraphEdgesCte: String =
+    """edges AS (SELECT l_suppkey + 1000000 AS src, o_custkey AS dst,
+           count(*)::DOUBLE AS w
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY 1, 2)"""
+
   /** Unrolled PageRank power iteration, reset-weight formulation: each
     * node carries weight `rf·(1/Σrf)` (uniform rank: `rf = 1`
     * everywhere; personalized: `rf = 1` on the reset set), teleport is
@@ -6828,15 +6885,24 @@ object SparkEntry {
   private def pageRankOracleSql(
       iters: Int,
       d: Double = 0.85,
-      resetCond: String = "TRUE"): String = {
+      resetCond: String = "TRUE",
+      weighted: Boolean = false): String = {
+    // weighted: contribution = pr·(w/Σw) with the fraction precomputed
+    // (the operator's multiply-only iteration); uniform: pr/outdeg
+    val contribSrc =
+      if (weighted) "ef e JOIN it%P ON e.src = it%P.node"
+      else "edges e JOIN it%P ON e.src = it%P.node\n" +
+        "                          JOIN outd ON outd.src = e.src"
+    val contribExpr =
+      if (weighted) "sum(it%P.pr * e.frac)" else "sum(it%P.pr / outd.outdeg)"
     val steps = (1 to iters).map { i =>
       val p = i - 1
+      def sub(s: String) = s.replace("%P", p.toString)
       s"""dang$p AS (SELECT coalesce(sum(pr), 0)::DOUBLE AS dm
              FROM it$p LEFT JOIN outd ON it$p.node = outd.src
              WHERE outd.src IS NULL),
-         c$i AS (SELECT e.dst AS node, sum(it$p.pr / outd.outdeg) AS contrib
-             FROM edges e JOIN it$p ON e.src = it$p.node
-                          JOIN outd ON outd.src = e.src
+         c$i AS (SELECT e.dst AS node, ${sub(contribExpr)} AS contrib
+             FROM ${sub(contribSrc)}
              GROUP BY 1),
          it$i AS (SELECT n.node,
              round(${1.0 - d}::DOUBLE * (n.rf * (SELECT w FROM rn))
@@ -6845,7 +6911,16 @@ object SparkEntry {
                12) AS pr
              FROM nw n LEFT JOIN c$i ON n.node = c$i.node)"""
     }.mkString(",\n         ")
-    s"""WITH $graphEdgesCte,
+    val edgesCte = if (weighted) weightedGraphEdgesCte else graphEdgesCte
+    val outdCte =
+      if (weighted)
+        """outd AS (SELECT src, sum(w) AS outdeg FROM edges GROUP BY 1),
+           ef AS (SELECT src, dst, w / outdeg AS frac
+                  FROM edges JOIN outd USING (src))"""
+      else
+        """outd AS (SELECT src, count(*)::DOUBLE AS outdeg
+                FROM edges GROUP BY 1)"""
+    s"""WITH $edgesCte,
        nodes AS (SELECT src AS node FROM edges
                  UNION SELECT dst FROM edges),
        nw AS (SELECT node,
@@ -6853,8 +6928,7 @@ object SparkEntry {
                   AS rf
               FROM nodes),
        rn AS (SELECT 1.0::DOUBLE / sum(rf) AS w FROM nw),
-       outd AS (SELECT src, count(*)::DOUBLE AS outdeg
-                FROM edges GROUP BY 1),
+       $outdCte,
        it0 AS (SELECT node, rf,
                  round(rf * (SELECT w FROM rn), 12) AS pr
                FROM nw),

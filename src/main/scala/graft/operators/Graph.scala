@@ -151,7 +151,29 @@ object Graph {
       iters: Int = 10,
       damping: Double = 0.85,
       roundScale: Int = 12): DataFrame =
-    rankImpl(edges, srcCol, dstCol, None, iters, damping, roundScale)
+    rankImpl(edges, srcCol, dstCol, None, None, iters, damping, roundScale)
+
+  /** Edge-weighted PageRank: a node's rank flows to each out-neighbor in
+    * proportion to the edge weight (`pr(u)·w(u→v)/Σ_out w(u)`) — the
+    * form a SIMILARITY graph wants (near-dup edges weighted by Jaccard,
+    * citation edges by count): centrality then prefers the strongly-
+    * linked member of each cluster, which is exactly the
+    * keep-canonical-by-authority signal. Weights must be positive —
+    * refused in-plan otherwise (a zero-weight edge is a non-edge; drop
+    * it upstream, explicitly). Same iteration shape and rounding
+    * discipline as [[pageRank]]; the per-edge `w/Σw` fraction is
+    * precomputed ONCE on the pinned edge frame, so iterations stay
+    * multiply-only. */
+  def weightedPageRank(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      iters: Int = 10,
+      damping: Double = 0.85,
+      roundScale: Int = 12): DataFrame =
+    rankImpl(edges, srcCol, dstCol, Some(weightCol), None, iters, damping,
+      roundScale)
 
   /** Personalized PageRank (Haveliwala 2002): the teleport AND the
     * dangling mass return only to the `resetNodes` set, each member
@@ -172,7 +194,7 @@ object Graph {
       iters: Int = 10,
       damping: Double = 0.85,
       roundScale: Int = 12): DataFrame =
-    rankImpl(edges, srcCol, dstCol,
+    rankImpl(edges, srcCol, dstCol, None,
       Some(resetNodes.select(col(resetCol).as("node")).distinct()),
       iters, damping, roundScale)
 
@@ -180,6 +202,7 @@ object Graph {
       edges: DataFrame,
       srcCol: String,
       dstCol: String,
+      weightCol: Option[String],
       reset: Option[DataFrame],
       iters: Int,
       damping: Double,
@@ -188,7 +211,18 @@ object Graph {
     require(damping >= 0 && damping < 1, "damping must be in [0, 1)")
     require(roundScale >= 1 && roundScale <= 15,
       "roundScale must be in [1, 15]")
-    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val e = weightCol match {
+      case None =>
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      case Some(w) =>
+        // positive weights or a loud in-plan refusal — a zero/negative
+        // weight silently corrupts every downstream fraction
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+          when(col(w).cast("double") > 0, col(w).cast("double"))
+            .otherwise(raise_error(lit(
+              s"weightedPageRank: non-positive weight in '$w' - drop " +
+                "non-edges upstream"))).as("__w"))
+    }
     val bare = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
@@ -208,14 +242,23 @@ object Graph {
     require(nReset > 0,
       "resetNodes shares no member with the graph - nothing to teleport to")
     val rw = when(col("__in_r"), lit(1.0 / nReset)).otherwise(lit(0.0))
-    val outdeg = e.groupBy("src")
-      .agg(count(lit(1)).cast("double").as("__outdeg"))
+    val outdeg = weightCol match {
+      case None => e.groupBy("src")
+        .agg(count(lit(1)).cast("double").as("__outdeg"))
+      case Some(_) => e.groupBy("src")
+        .agg(sum(col("__w")).as("__outdeg"))
+    }
     // the loop-invariant frames, built ONCE: degree-annotated edges
-    // pinned on the src partitioning every iteration joins against, and
-    // the (static) set of dangling nodes
-    val eDeg = e.join(outdeg, "src")
-      .select(col("src"), col("dst"), col("__outdeg"))
-      .repartition(col("src"))
+    // pinned on the src partitioning every iteration joins against
+    // (weighted: the per-edge w/Σw fraction precomputed, so iterations
+    // stay multiply-only), and the (static) set of dangling nodes
+    val eDeg = (weightCol match {
+      case None => e.join(outdeg, "src")
+        .select(col("src"), col("dst"), col("__outdeg"))
+      case Some(_) => e.join(outdeg, "src")
+        .select(col("src"), col("dst"),
+          (col("__w") / col("__outdeg")).as("__wfrac"))
+    }).repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val danglingNodes = nodes
       .join(outdeg, nodes("node") === outdeg("src"), "left_anti")
@@ -235,10 +278,12 @@ object Graph {
         .join(danglingNodes, Seq("node"), "left_semi")
         .agg(coalesce(sum("pr"), lit(0.0)))
         .head().getDouble(0)
+      val perEdge =
+        if (weightCol.isDefined) col("pr") * col("__wfrac")
+        else col("pr") / col("__outdeg")
       val contribs = eDeg
         .join(ranks.select("node", "pr"), eDeg("src") === col("node"))
-        .select(col("dst").as("node"),
-          (col("pr") / col("__outdeg")).as("__c"))
+        .select(col("dst").as("node"), perEdge.as("__c"))
         .groupBy("node").agg(sum("__c").as("__contrib"))
       val next = nodes.join(contribs, Seq("node"), "left")
         .select(col("node"), col("__in_r"),

@@ -2191,6 +2191,59 @@ object Profile {
         round((pCur - pRef) * log(pCur / pRef), 6).as("psi_term"))
   }
 
+  /** Spearman rank correlation between two numeric columns — the
+    * monotone-agreement complement of [[correlations]]' Pearson: "does
+    * my new quality score ORDER documents the way the old one did"
+    * survives any monotone rescaling, which is exactly what model swaps
+    * do to scores. Ties get average ranks (the standard definition);
+    * rows with a null on either side are ignored. One row:
+    * `n | spearman` (rounded 6).
+    *
+    * Scale shape (the [[ModelEval.aucRoc]] discipline): ranks are
+    * assigned per DISTINCT VALUE — one groupBy per column, a running
+    * prefix over the value alphabet (window over alphabet-grain rows,
+    * never the corpus), joined back by value — so nothing corpus-grain
+    * is ever sorted. The final ρ comes from exact rank sums (average
+    * ranks are half-integers, exact in doubles to 2^51 rows): Σr_a,
+    * Σr_b, Σr_a², Σr_b², Σr_a·r_b in one aggregate, then the closed
+    * Pearson-on-ranks formula — bit-replicable by any engine that
+    * computes the same sums. Quantize continuous columns first
+    * (`round(x, 6)`) to bound the alphabet. */
+  def spearman(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val base = df.select(qcol(colA).cast("double").as("__a"),
+        qcol(colB).cast("double").as("__b"))
+      .where(col("__a").isNotNull && col("__b").isNotNull)
+    def avgRanks(c: String): DataFrame = {
+      val byVal = base.groupBy(col(c).as("__v"))
+        .agg(count(lit(1)).as("__c"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      byVal
+        .withColumn("__cum", sum(col("__c")).over(w))
+        .select(col("__v").as(c),
+          (col("__cum") - col("__c") +
+            (col("__c") + lit(1L)).cast("double") / lit(2.0))
+            .as(s"__r$c"))
+    }
+    val ranked = base
+      .join(avgRanks("__a"), Seq("__a"))
+      .join(avgRanks("__b"), Seq("__b"))
+    ranked.agg(
+        count(lit(1)).as("n"),
+        sum(col("__r__a")).as("__sa"),
+        sum(col("__r__b")).as("__sb"),
+        sum(col("__r__a") * col("__r__a")).as("__saa"),
+        sum(col("__r__b") * col("__r__b")).as("__sbb"),
+        sum(col("__r__a") * col("__r__b")).as("__sab"))
+      .select(col("n"),
+        round(try_divide(
+          col("n") * col("__sab") - col("__sa") * col("__sb"),
+          sqrt(col("n") * col("__saa") - col("__sa") * col("__sa")) *
+            sqrt(col("n") * col("__sbb") - col("__sb") * col("__sb"))), 6)
+          .as("spearman"))
+  }
+
   /** Statistical-process-control chart over a monitor timeline — the
     * alarm layer the drift family feeds: [[driftEpochsFromSketchStores]]
     * and the quality ledger say what each epoch LOOKS like; this says

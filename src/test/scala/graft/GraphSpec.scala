@@ -125,6 +125,48 @@ class GraphSpec extends GraftSuite {
     }
   }
 
+  test("weightedPageRank: driver replay with proportional flow; " +
+      "unit weights track the uniform ranks; non-positive weight raises") {
+    // node 1 splits 80/20 between 2 and 3; 2 and 3 return all to 1
+    val edges = Seq((1L, 2L, 4.0), (1L, 3L, 1.0), (2L, 1L, 1.0),
+      (3L, 1L, 2.0))
+    val df = edges.toDF("s", "t", "w")
+    val got = Graph.weightedPageRank(df, "s", "t", "w", iters = 6)
+      .collect().map(r0 => r0.getLong(0) -> r0.getDouble(1)).toMap
+    // driver replay of the weighted recurrence with the same rounding
+    val nodes = Seq(1L, 2L, 3L)
+    val outW = edges.groupBy(_._1).view
+      .mapValues(_.map(_._3).sum).toMap
+    var pr = nodes.map(_ -> r(1.0 / 3)).toMap
+    (1 to 6).foreach { _ =>
+      val contrib = edges.groupBy(_._2).view.mapValues(_.map {
+        case (s0, _, w) => pr(s0) * (w / outW(s0)) }.sum).toMap
+      pr = nodes.map(v => v -> r(0.15 / 3 +
+        0.85 * contrib.getOrElse(v, 0.0))).toMap
+    }
+    got.foreach { case (k, v) =>
+      assert(math.abs(v - pr(k)) < 1e-9, s"node $k: $v vs ${pr(k)}")
+    }
+    // the heavier edge pulls more rank to 2 than to 3
+    assert(got(2L) > got(3L))
+    assert(math.abs(got.values.sum - 1.0) < 1e-9)
+
+    // unit weights reproduce the uniform ranks (to float slack: the
+    // weighted path multiplies by a precomputed 1/outdeg)
+    val unit = Graph.weightedPageRank(
+        df.withColumn("w", lit(1.0)), "s", "t", "w", iters = 6)
+      .collect().map(r0 => r0.getLong(0) -> r0.getDouble(1)).toMap
+    val uni = Graph.pageRank(df, "s", "t", iters = 6)
+      .collect().map(r0 => r0.getLong(0) -> r0.getDouble(1)).toMap
+    unit.foreach { case (k, v) => assert(math.abs(v - uni(k)) < 1e-9) }
+
+    // a zero weight is refused in-plan
+    intercept[Exception] {
+      Graph.weightedPageRank(
+        Seq((1L, 2L, 0.0)).toDF("s", "t", "w"), "s", "t", "w").collect()
+    }
+  }
+
   test("connectedComponents: undirected transitive closure, min labels, " +
       "direction-invariant") {
     // two components: {1,2,3,7} via chain, {10,11} isolated pair

@@ -156,4 +156,49 @@ class ProfileStatsSpec extends GraftSuite {
       Profile.quantileTransform(smooth.withColumn("v_q", lit(1)), "v")
     }
   }
+
+  test("spearman: monotone = 1, reversed = -1, hand-computed ties, " +
+      "rescale-invariant, nulls ignored, constant column undefined") {
+    import spark.implicits._
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val mono = Seq((1.0, 10.0), (2.0, 20.0), (3.0, 25.0), (4.0, 90.0))
+      .toDF("a", "b")
+    val m = Profile.spearman(mono, "a", "b").head()
+    assert(m.getLong(0) == 4L && m.getDouble(1) == 1.0)
+    val rev = Profile.spearman(
+      Seq((1.0, 9.0), (2.0, 7.0), (3.0, 3.0)).toDF("a", "b"), "a", "b")
+      .head()
+    assert(rev.getDouble(1) == -1.0)
+
+    // hand-computed with ties: a = 1,2,2,4  b = 10,20,20,5
+    // ranks a: 1, 2.5, 2.5, 4;  b: 2, 3.5, 3.5, 1
+    val tied = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (4.0, 5.0))
+      .toDF("a", "b")
+    val ra = Seq(1.0, 2.5, 2.5, 4.0)
+    val rb = Seq(2.0, 3.5, 3.5, 1.0)
+    val n = 4.0
+    val num = n * ra.zip(rb).map { case (x, y) => x * y }.sum -
+      ra.sum * rb.sum
+    val den = math.sqrt(n * ra.map(x => x * x).sum - ra.sum * ra.sum) *
+      math.sqrt(n * rb.map(y => y * y).sum - rb.sum * rb.sum)
+    val t = Profile.spearman(tied, "a", "b").head()
+    assert(t.getDouble(1) == r6(num / den))
+
+    // invariant under any monotone rescale of either side
+    val rescaled = Profile.spearman(
+      tied.select((col("a") * 1000 + 7).as("a"), exp(col("b")).as("b")),
+      "a", "b").head()
+    assert(rescaled.getDouble(1) == t.getDouble(1))
+
+    // null on either side drops the row
+    val withNull = tied.union(Seq((null.asInstanceOf[java.lang.Double],
+        java.lang.Double.valueOf(1.0)))
+      .map { case (x, y) => (x: java.lang.Double, y) }.toDF("a", "b"))
+    assert(Profile.spearman(withNull, "a", "b").head() == t)
+
+    // zero variance on a side -> division by zero -> null, not garbage
+    val const = Seq((1.0, 5.0), (2.0, 5.0)).toDF("a", "b")
+    assert(Profile.spearman(const, "a", "b").head().isNullAt(1))
+  }
 }
