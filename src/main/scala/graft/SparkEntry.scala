@@ -1999,6 +1999,22 @@ object SparkEntry {
         .select(col("s1"), col("s2")).distinct()
       Graph.triangleCount(coSupp, "s1", "s2")
     }),
+    // index core x graph tier composition: the edge frame is read
+    // THROUGH the bloom index (only files that can hold the probed part
+    // keys are scanned), then ranked — pruning and centrality compose
+    "q_pagerank_pruned" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val li = lk.lineitemIdx.query(Map("l_partkey" -> PartKeys))
+        .where(col("l_partkey").isin(PartKeys: _*))
+      val edges = li
+        .join(lk.orders, col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") + lit(1000000L)).as("src"),
+          col("o_custkey").as("dst"))
+        .distinct()
+      Graph.pageRank(edges, "src", "dst", iters = 3)
+        .select(col("node"), round(col("pagerank"), 6).as("pagerank"))
+        .orderBy("node")
+    }),
     // rank agreement between two order-value signals: Spearman over
     // alphabet-grain average ranks (nothing corpus-grain is sorted)
     "q_spearman" -> ((s, dir) => {
@@ -5496,6 +5512,13 @@ object SparkEntry {
       resetCond = "node >= 1000000 AND node % 10 = 0"),
     // weighted twin: per-edge fraction precomputed, multiply-only steps
     "q_wpagerank" -> pageRankOracleSql(5, weighted = true),
+    // the pruned composition: same iteration, edge set filtered to the
+    // probed part keys (the index path's correctness contract)
+    "q_pagerank_pruned" -> pageRankOracleSql(3, edgesCteOverride = Some(
+      """edges AS (SELECT DISTINCT l_suppkey + 1000000 AS src,
+             o_custkey AS dst
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_partkey IN (5, 17, 42, 133, 177))""")),
     // identical average-rank assignment (alphabet prefix), identical
     // exact rank sums, identical closed formula
     "q_spearman" ->
@@ -6886,7 +6909,8 @@ object SparkEntry {
       iters: Int,
       d: Double = 0.85,
       resetCond: String = "TRUE",
-      weighted: Boolean = false): String = {
+      weighted: Boolean = false,
+      edgesCteOverride: Option[String] = None): String = {
     // weighted: contribution = pr·(w/Σw) with the fraction precomputed
     // (the operator's multiply-only iteration); uniform: pr/outdeg
     val contribSrc =
@@ -6911,7 +6935,8 @@ object SparkEntry {
                12) AS pr
              FROM nw n LEFT JOIN c$i ON n.node = c$i.node)"""
     }.mkString(",\n         ")
-    val edgesCte = if (weighted) weightedGraphEdgesCte else graphEdgesCte
+    val edgesCte = edgesCteOverride.getOrElse(
+      if (weighted) weightedGraphEdgesCte else graphEdgesCte)
     val outdCte =
       if (weighted)
         """outd AS (SELECT src, sum(w) AS outdeg FROM edges GROUP BY 1),
