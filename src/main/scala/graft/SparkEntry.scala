@@ -1999,6 +1999,36 @@ object SparkEntry {
         .select(col("s1"), col("s2")).distinct()
       Graph.triangleCount(coSupp, "s1", "s2")
     }),
+    // multi-rater agreement: 40 items x 10 deterministic "raters" (the
+    // first ten docs of each residue class, lang as the vote) — how much
+    // do slices of the corpus agree on language beyond chance
+    "q_fleiss_kappa" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("item")).orderBy(col("doc_id"))
+      val ratings = lk.documents
+        .select(pmod(col("doc_id"), lit(40L)).as("item"), col("doc_id"),
+          col("lang"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 10)
+      graft.operators.ModelEval.fleissKappa(ratings, "item", "lang")
+    }),
+    // two-sided centrality on the bipartite served graph: hub ranks
+    // suppliers by the authority of who they serve, authority ranks
+    // customers by the hubs serving them (where single-score PageRank
+    // washes out on bipartite structure)
+    "q_hits" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val edges = lk.lineitem
+        .join(lk.orders, col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") + lit(1000000L)).as("src"),
+          col("o_custkey").as("dst"))
+        .distinct()
+      Graph.hits(edges, "src", "dst", iters = 4)
+        .select(col("node"), round(col("hub"), 6).as("hub"),
+          round(col("authority"), 6).as("authority"))
+        .orderBy("node")
+    }),
     // index core x graph tier composition: the edge frame is read
     // THROUGH the bloom index (only files that can hold the probed part
     // keys are scanned), then ranked — pruning and centrality compose
@@ -5512,6 +5542,36 @@ object SparkEntry {
       resetCond = "node >= 1000000 AND node % 10 = 0"),
     // weighted twin: per-edge fraction precomputed, multiply-only steps
     "q_wpagerank" -> pageRankOracleSql(5, weighted = true),
+    // unrolled two-sided half-steps, same normalization + rounding
+    "q_hits" -> hitsOracleSql(4),
+    // the Fleiss arithmetic from contingency counts: P_i from squared
+    // cell sums, pe from squared category marginals
+    "q_fleiss_kappa" ->
+      """WITH r AS (SELECT doc_id % 40 AS item, doc_id, lang,
+               row_number() OVER (PARTITION BY doc_id % 40
+                 ORDER BY doc_id) AS rn
+             FROM documents),
+         rt AS (SELECT item, lang FROM r WHERE rn <= 10),
+         cells AS (SELECT item, lang, count(*) AS nij
+                   FROM rt GROUP BY 1, 2),
+         per_item AS (SELECT item, sum(nij) AS n, sum(nij * nij) AS sq
+                      FROM cells GROUP BY 1),
+         shape AS (SELECT count(*)::BIGINT AS n_items,
+                     min(n)::BIGINT AS n_raters, sum(sq) AS sqsum
+                   FROM per_item),
+         cat AS (SELECT sum(nj * nj) AS pj2num FROM (
+                   SELECT sum(nij) AS nj FROM cells GROUP BY lang)),
+         po AS (SELECT n_items, n_raters,
+                  round((sqsum - n_items * n_raters)::DOUBLE /
+                    (n_items * n_raters * (n_raters - 1))::DOUBLE, 6)
+                    AS po,
+                  round((SELECT pj2num FROM cat)::DOUBLE /
+                    ((n_items * n_raters) *
+                     (n_items * n_raters))::DOUBLE, 6) AS pe
+                FROM shape)
+         SELECT n_items, n_raters, po, pe,
+                round((po - pe) / (1 - pe), 6) AS kappa
+         FROM po""",
     // the pruned composition: same iteration, edge set filtered to the
     // probed part keys (the index path's correctness contract)
     "q_pagerank_pruned" -> pageRankOracleSql(3, edgesCteOverride = Some(
@@ -6922,13 +6982,13 @@ object SparkEntry {
     val steps = (1 to iters).map { i =>
       val p = i - 1
       def sub(s: String) = s.replace("%P", p.toString)
-      s"""dang$p AS (SELECT coalesce(sum(pr), 0)::DOUBLE AS dm
+      s"""dang$p AS MATERIALIZED (SELECT coalesce(sum(pr), 0)::DOUBLE AS dm
              FROM it$p LEFT JOIN outd ON it$p.node = outd.src
              WHERE outd.src IS NULL),
-         c$i AS (SELECT e.dst AS node, ${sub(contribExpr)} AS contrib
+         c$i AS MATERIALIZED (SELECT e.dst AS node, ${sub(contribExpr)} AS contrib
              FROM ${sub(contribSrc)}
              GROUP BY 1),
-         it$i AS (SELECT n.node,
+         it$i AS MATERIALIZED (SELECT n.node,
              round(${1.0 - d}::DOUBLE * (n.rf * (SELECT w FROM rn))
                + $d::DOUBLE * (coalesce(c$i.contrib, 0) +
                  (SELECT dm FROM dang$p) * (n.rf * (SELECT w FROM rn))),
@@ -6954,12 +7014,45 @@ object SparkEntry {
               FROM nodes),
        rn AS (SELECT 1.0::DOUBLE / sum(rf) AS w FROM nw),
        $outdCte,
-       it0 AS (SELECT node, rf,
+       it0 AS MATERIALIZED (SELECT node, rf,
                  round(rf * (SELECT w FROM rn), 12) AS pr
                FROM nw),
        $steps
        SELECT node, round(pr, 6) AS pagerank FROM it$iters
        ORDER BY node"""
+  }
+
+  /** Unrolled HITS half-steps with L1 normalization and per-step
+    * 12-decimal rounding — [[graft.operators.Graph.hits]] term for
+    * term. */
+  private def hitsOracleSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      val p = i - 1
+      s"""ar$i AS MATERIALIZED (SELECT e.dst AS node, sum(h$p.h) AS a
+             FROM edges e JOIN h$p ON e.src = h$p.node GROUP BY 1),
+         at$i AS MATERIALIZED (SELECT sum(a) AS t FROM ar$i),
+         a$i AS MATERIALIZED (SELECT n.node,
+             round(coalesce(ar.a, 0) / (SELECT t FROM at$i), 12) AS a
+             FROM nodes n LEFT JOIN ar$i ar ON n.node = ar.node),
+         hr$i AS MATERIALIZED (SELECT e.src AS node, sum(a$i.a) AS h
+             FROM edges e JOIN a$i ON e.dst = a$i.node GROUP BY 1),
+         ht$i AS MATERIALIZED (SELECT sum(h) AS t FROM hr$i),
+         h$i AS MATERIALIZED (SELECT n.node,
+             round(coalesce(hr.h, 0) / (SELECT t FROM ht$i), 12) AS h
+             FROM nodes n LEFT JOIN hr$i hr ON n.node = hr.node)"""
+    }.mkString(",\n         ")
+    s"""WITH $graphEdgesCte,
+       nodes AS (SELECT src AS node FROM edges
+                 UNION SELECT dst FROM edges),
+       nn AS (SELECT count(*)::DOUBLE AS n FROM nodes),
+       h0 AS MATERIALIZED (SELECT node,
+                round(1.0::DOUBLE / (SELECT n FROM nn), 12) AS h
+              FROM nodes),
+       $steps
+       SELECT h$iters.node, round(h$iters.h, 6) AS hub,
+              round(a$iters.a, 6) AS authority
+       FROM h$iters JOIN a$iters ON h$iters.node = a$iters.node
+       ORDER BY h$iters.node"""
   }
 
   private val modelScoredCte =

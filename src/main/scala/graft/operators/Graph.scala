@@ -52,6 +52,85 @@ object Graph {
         maxIter)
       .select(col("id").as("node"), col("cluster_id").as("component"))
 
+  /** HITS hubs and authorities (Kleinberg 1999) — the two-sided
+    * centrality a BIPARTITE graph wants, where PageRank's single score
+    * washes out: on a supplier→customer graph, hub score ranks
+    * suppliers by the authority of who they serve, authority ranks
+    * customers by the hubs who serve them. Power iteration with L1
+    * normalization each half-step (`a ← Σ_{u→v} h(u)`, normalize;
+    * `h ← Σ_{u→v} a(v)`, normalize) and the family's per-step
+    * `roundScale` rounding, so results are partition-order-proof and
+    * engine-replicable. Returns `node | hub | authority` for every node
+    * (0.0 on a side the node does not participate in).
+    *
+    * Scale shape: the edge frame is pinned TWICE, once partitioned by
+    * each endpoint, so both half-step joins land on a stationary
+    * partitioning; each half-step shuffles one node-grain score frame
+    * plus a map-side-combined aggregate, and the driver sees one
+    * normalization scalar per half-step. */
+  def hits(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int = 10,
+      roundScale: Int = 12): DataFrame = {
+    require(iters >= 1, "iters must be at least 1")
+    require(roundScale >= 1 && roundScale <= 15,
+      "roundScale must be in [1, 15]")
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "edge frame is empty - no graph to score")
+    val eBySrc = e.repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val eByDst = e.repartition(col("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var hubs = nodes
+      .select(col("node"), round(lit(1.0 / n), roundScale).as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    hubs.count()
+    var auths: DataFrame = null
+
+    (1 to iters).foreach { _ =>
+      // authority half-step: in-flowing hub mass, L1-normalized
+      val aRaw = eBySrc
+        .join(hubs.select(col("node").as("src"), col("h")), "src")
+        .groupBy(col("dst").as("node")).agg(sum("h").as("__a"))
+      val aTot = aRaw.agg(coalesce(sum("__a"), lit(0.0))).head().getDouble(0)
+      require(aTot > 0, "authority mass vanished - the graph has no edges")
+      val nextA = nodes.join(aRaw, Seq("node"), "left")
+        .select(col("node"), round(
+          coalesce(col("__a"), lit(0.0)) / lit(aTot), roundScale).as("a"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      nextA.count()
+      if (auths != null) auths.unpersist(blocking = false)
+      auths = nextA
+      // hub half-step: out-flowing authority mass, L1-normalized
+      val hRaw = eByDst
+        .join(auths.select(col("node").as("dst"), col("a")), "dst")
+        .groupBy(col("src").as("node")).agg(sum("a").as("__h"))
+      val hTot = hRaw.agg(coalesce(sum("__h"), lit(0.0))).head().getDouble(0)
+      require(hTot > 0, "hub mass vanished - the graph has no edges")
+      val nextH = nodes.join(hRaw, Seq("node"), "left")
+        .select(col("node"), round(
+          coalesce(col("__h"), lit(0.0)) / lit(hTot), roundScale).as("h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      nextH.count()
+      hubs.unpersist(blocking = false)
+      hubs = nextH
+    }
+    val out = hubs.join(auths, Seq("node"))
+      .select(col("node"), col("h").as("hub"), col("a").as("authority"))
+    eBySrc.unpersist(blocking = false)
+    eByDst.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
   /** Global triangle count over an edge frame treated as UNDIRECTED and
     * SIMPLE (self-loops dropped, multi-edges collapsed). One row:
     * `n_nodes | n_edges | n_triangles`. Triangle density is the

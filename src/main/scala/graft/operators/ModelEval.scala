@@ -357,6 +357,62 @@ object ModelEval {
         :+ try_divide(col("__e.swx"), col("__e.sw")).as("__m")): _*)
   }
 
+  /** Fleiss' kappa — [[cohenKappa]] generalized to ANY fixed number of
+    * raters (the label-quality read on crowdsourced annotation batches
+    * where each item was judged by n workers). Input: one row per
+    * RATING `(itemCol, categoryCol)`; every item must carry exactly the
+    * same number of ratings (guarded loudly — Fleiss is undefined
+    * otherwise; cut or pad upstream, explicitly). Output one row:
+    * `n_items | n_raters | po | pe | kappa` (rounded 6; a chance-only
+    * agreement `pe = 1` reads null kappa). All integer counts until the
+    * final divisions: `P_i = (Σ_j n_ij² − n)/(n(n−1))`, `p_j = Σ_i
+    * n_ij/(N·n)`, `κ = (P̄ − P̄_e)/(1 − P̄_e)`.
+    *
+    * Scale shape: one (item, category) count aggregate, one item-grain
+    * aggregate, one category-grain aggregate — nothing wider than the
+    * contingency structure ever shuffles. */
+  def fleissKappa(
+      df: DataFrame,
+      itemCol: String,
+      categoryCol: String): DataFrame = {
+    val cells = df
+      .where(col(itemCol).isNotNull && col(categoryCol).isNotNull)
+      .groupBy(col(itemCol).as("__i"), col(categoryCol).as("__c"))
+      .agg(count(lit(1)).as("__nij"))
+    val perItem = cells.groupBy("__i")
+      .agg(sum("__nij").as("__n"), sum(col("__nij") * col("__nij")).as("__sq"))
+    val shape = perItem.agg(count(lit(1)).as("__items"),
+      min("__n").as("__nmin"), max("__n").as("__nmax"),
+      sum("__sq").as("__sqsum"))
+    val catTot = cells.groupBy("__c").agg(sum("__nij").as("__nj"))
+      .agg(sum(col("__nj") * col("__nj")).as("__pj2num"))
+    // pe = Σ_j (Σ_i n_ij / (N·n))² = Σ_j n_j² / (N·n)²
+    shape.crossJoin(broadcast(catTot))
+      .select(col("__items"), col("__nmin"), col("__nmax"),
+        col("__sqsum"), col("__pj2num"))
+      .select(
+        when(col("__items") === 0, raise_error(lit(
+          "fleissKappa: no ratings"))).otherwise(col("__items"))
+          .as("n_items"),
+        when(col("__nmin") =!= col("__nmax") || col("__nmin") < 2,
+          raise_error(lit("fleissKappa: every item needs the same " +
+            "number of ratings (>= 2) - cut or pad upstream")))
+          .otherwise(col("__nmin")).as("n_raters"),
+        col("__sqsum"), col("__pj2num"))
+      .select(col("n_items"), col("n_raters"),
+        round(((col("__sqsum") - col("n_items") * col("n_raters"))
+            .cast("double")) /
+          (col("n_items") * col("n_raters") * (col("n_raters") - 1))
+            .cast("double"), 6).as("po"),
+        round(col("__pj2num").cast("double") /
+          ((col("n_items") * col("n_raters")) *
+            (col("n_items") * col("n_raters"))).cast("double"), 6)
+          .as("pe"))
+      .select(col("n_items"), col("n_raters"), col("po"), col("pe"),
+        round(try_divide(col("po") - col("pe"), lit(1.0) - col("pe")), 6)
+          .as("kappa"))
+  }
+
   /** Poisson-bootstrap confidence interval for the mean — THE bootstrap
     * that survives 100 TB (Chamandy et al., "Estimating Uncertainty for
     * Massive Data Streams", Google 2012): instead of resampling n rows

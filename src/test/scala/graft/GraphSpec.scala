@@ -182,6 +182,42 @@ class GraphSpec extends GraftSuite {
     assert(flipped == got)
   }
 
+  test("hits: driver replay of the normalized half-steps on a bipartite " +
+      "graph; sides sum to 1; the better-connected supplier out-hubs") {
+    // suppliers 1,2 -> customers 10,11,12; supplier 1 serves all three,
+    // supplier 2 only customer 12
+    val edges = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 12L))
+    val got = Graph.hits(edges.toDF("s", "t"), "s", "t", iters = 4)
+      .collect().map(r0 => (r0.getLong(0),
+        (r0.getDouble(1), r0.getDouble(2)))).toMap
+    // driver replay with the same rounding discipline
+    val nodes = Seq(1L, 2L, 10L, 11L, 12L)
+    var h = nodes.map(_ -> r(1.0 / 5)).toMap
+    var a = Map.empty[Long, Double]
+    (1 to 4).foreach { _ =>
+      val aRaw = edges.groupBy(_._2).view.mapValues(_.map(e => h(e._1)).sum)
+      val at = aRaw.values.sum
+      a = nodes.map(v => v -> r(aRaw.getOrElse(v, 0.0) / at)).toMap
+      val hRaw = edges.groupBy(_._1).view.mapValues(_.map(e => a(e._2)).sum)
+      val ht = hRaw.values.sum
+      h = nodes.map(v => v -> r(hRaw.getOrElse(v, 0.0) / ht)).toMap
+    }
+    nodes.foreach { v =>
+      assert(math.abs(got(v)._1 - h(v)) < 1e-9, s"hub $v")
+      assert(math.abs(got(v)._2 - a(v)) < 1e-9, s"auth $v")
+    }
+    assert(math.abs(got.values.map(_._1).sum - 1.0) < 1e-9)
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-9)
+    // supplier 1 out-hubs supplier 2; customers have zero hub score
+    assert(got(1L)._1 > got(2L)._1)
+    assert(got(10L)._1 == 0.0 && got(11L)._1 == 0.0)
+    // the shared customer 12 is the top authority
+    assert(got(12L)._2 == Seq(10L, 11L, 12L).map(got(_)._2).max)
+    intercept[IllegalArgumentException] {
+      Graph.hits(edges.toDF("s", "t"), "s", "t", iters = 0)
+    }
+  }
+
   test("triangleCount: K4 has 4, multi-edges/self-loops/direction " +
       "collapse, hub star has none") {
     // K4 on {1,2,3,4} = 4 triangles; plus noise: duplicate edge,

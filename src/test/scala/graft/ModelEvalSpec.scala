@@ -179,6 +179,46 @@ class ModelEvalSpec extends GraftSuite {
     assert(c.getDouble(1) == 1.0 && c.getDouble(2) == 1.0 && c.isNullAt(3))
   }
 
+  test("fleissKappa: Wikipedia-style hand fixture, perfect agreement, " +
+      "chance-only null, unequal rating counts refused") {
+    import spark.implicits._
+    // 4 items x 3 raters, 2 categories; contingency per item:
+    // i1: (3,0)  i2: (2,1)  i3: (1,2)  i4: (0,3)
+    val ratings = Seq(
+      (1, "a"), (1, "a"), (1, "a"),
+      (2, "a"), (2, "a"), (2, "b"),
+      (3, "a"), (3, "b"), (3, "b"),
+      (4, "b"), (4, "b"), (4, "b")).toDF("item", "cat")
+    val got = ModelEval.fleissKappa(ratings, "item", "cat").head()
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    // P_i = (sum n_ij^2 - n) / (n(n-1)): (9-3)/6=1, (5-3)/6=1/3 twice, 1
+    val po = (1.0 + 1.0 / 3 + 1.0 / 3 + 1.0) / 4
+    // p_a = 6/12, p_b = 6/12 -> pe = 0.5
+    val pe = 0.5
+    assert(got.getLong(0) == 4L && got.getLong(1) == 3L)
+    assert(got.getDouble(2) == r6(po) && got.getDouble(3) == pe)
+    assert(got.getDouble(4) == r6((r6(po) - pe) / (1 - pe)))
+
+    // perfect agreement
+    val perfect = Seq((1, "x"), (1, "x"), (2, "y"), (2, "y"))
+      .toDF("item", "cat")
+    assert(ModelEval.fleissKappa(perfect, "item", "cat")
+      .head().getDouble(4) == 1.0)
+    // every rating its own category on every item -> pe path sane,
+    // po = 0 -> kappa < 0 (worse than chance)
+    val anti = Seq((1, "x"), (1, "y"), (2, "x"), (2, "y"))
+      .toDF("item", "cat")
+    assert(ModelEval.fleissKappa(anti, "item", "cat")
+      .head().getDouble(4) < 0)
+    // unequal ratings per item refused in-plan
+    intercept[Exception] {
+      ModelEval.fleissKappa(
+        Seq((1, "x"), (1, "y"), (2, "x")).toDF("item", "cat"),
+        "item", "cat").collect()
+    }
+  }
+
   test("bootstrapMeanCI: driver replay of the Poisson weights and " +
       "replicate means; CI brackets; deterministic; guards") {
     import spark.implicits._
