@@ -222,7 +222,14 @@ object Graph {
     * frame is persisted and the previous one released, so lineage
     * stays one step deep instead of `iters` joins tall. Multi-edges
     * contribute once per edge (multigraph semantics) — dedupe upstream
-    * for simple-graph ranks. */
+    * for simple-graph ranks.
+    *
+    * Lifecycle note (applies to [[weightedPageRank]],
+    * [[personalizedPageRank]] and [[hits]] too): the returned frame is
+    * backed by ONE persisted node-grain result — the loop's helper
+    * caches are released before return, but the final scores stay
+    * cached so downstream reads don't replay the iteration chain.
+    * Write it out or accept one node-grain cache entry per call. */
   def pageRank(
       edges: DataFrame,
       srcCol: String,
