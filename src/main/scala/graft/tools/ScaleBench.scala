@@ -904,6 +904,14 @@ object ScaleBench {
       shuffleDelta("x_degrees_shuffle_mb") { bench("x_degrees") {
         graft.operators.Graph.degrees(edges, "src", "dst").count()
       } }
+      // r11 late add: HITS on the same bipartite graph — two node-grain
+      // half-steps per iteration, edge frame pinned once per direction
+      shuffleDelta("x_hits_4it_shuffle_mb") { bench("x_hits_4it") {
+        val hs = graft.operators.Graph.hits(edges, "src", "dst", iters = 4)
+        val top = hs.orderBy(col("hub").desc, col("node")).limit(1).head()
+        counts("x_hits_top_hub") = top.getLong(0)
+        hs.count()
+      } }
       // iteration sweep: the per-iteration marginal cost (wall and
       // shuffle) is the scale claim — it must be node-grain-flat, with
       // the edge-grain costs paid once per call (eDeg repartition) and
