@@ -113,6 +113,14 @@ object GraftConf {
   def bruteForceRowLimit(spark: SparkSession): Long =
     getLong(spark, "bruteForceRowLimit", 1000000L)
 
+  /** Distinct-score ceiling for the ModelEval global rank walks
+    * (aucRoc / prCurve / averagePrecision): their unpartitioned window
+    * is bounded by the score alphabet, so past this many distinct
+    * scores they fail fast naming `round(score, 6)` instead of sorting
+    * the corpus in one task. 0 disables. */
+  def modelEvalScoreLimit(spark: SparkSession): Long =
+    getLong(spark, "modelEvalScoreLimit", 2000000L)
+
   /** Contracted-graph edge count at or below which duplicateClusters
     * finishes with driver-side union-find instead of further distributed
     * sweeps. The contracted label graph is counted (not guessed) before

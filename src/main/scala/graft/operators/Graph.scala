@@ -84,6 +84,14 @@ object Graph {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     require(n > 0, "edge frame is empty - no graph to score")
+    // the uniform seed round(1/n, roundScale) must survive rounding: on
+    // a graph with more than 10^roundScale nodes it rounds to 0.0 and
+    // the first authority total vanishes with a misleading "no edges"
+    // error — refuse up front, naming the actual cause
+    require(BigDecimal(1.0 / n)
+        .setScale(roundScale, BigDecimal.RoundingMode.HALF_UP) > 0,
+      s"hits: roundScale=$roundScale rounds the uniform seed 1/$n to " +
+        "zero - raise roundScale above log10(n_nodes)")
     val eBySrc = e.repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val eByDst = e.repartition(col("dst"))

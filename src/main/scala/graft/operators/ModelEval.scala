@@ -21,6 +21,36 @@ object ModelEval {
   private def qcol(name: String): Column =
     col("`" + name.replace("`", "``") + "`")
 
+  /** In-plan distinct-score cardinality guard for the global rank
+    * walks: the unpartitioned window's input is the per-distinct-score
+    * frame, so its size is the score ALPHABET — bounded for quantized
+    * scores but ≈ n for a raw continuous double, where the window
+    * degenerates to one task sorting the corpus. The scaladoc alone
+    * doesn't enforce the quantization, so this does: a distributed
+    * count of `perScore` rides back as a broadcast one-row frame and
+    * raises past [[GraftConf.modelEvalScoreLimit]] BEFORE any
+    * single-partition gather (the bruteForceRowLimit discipline —
+    * fail fast, name the fix). Exchange reuse keeps `perScore` from
+    * being computed twice. Returns the frame with a `__guard` column
+    * (always null on the pass path) the caller must reference in a
+    * live output column so pruning can't drop the check. */
+  private def guardScoreAlphabet(perScore: DataFrame, what: String): DataFrame = {
+    val limit = graft.GraftConf.modelEvalScoreLimit(perScore.sparkSession)
+    if (limit <= 0L) perScore.withColumn("__guard", lit(null).cast("string"))
+    else {
+      val n = perScore.agg(count(lit(1)).as("__nscores"))
+      perScore.crossJoin(broadcast(n))
+        .withColumn("__guard", when(col("__nscores") > limit,
+          raise_error(lit(
+            s"$what: more than $limit distinct score values - the rank " +
+              "walk would sort them in one task; quantize the score " +
+              "upstream (e.g. round(score, 6)) or raise " +
+              "spark.graft.modelEvalScoreLimit")))
+          .otherwise(lit(null).cast("string")))
+        .drop("__nscores")
+    }
+  }
+
   /** ROC AUC by the Mann-Whitney rank-sum identity, ties handled by
     * average ranks (the exact trapezoidal AUC): one row `(n_pos, n_neg,
     * auc)`, `auc = (Σ_{pos} avgrank − nPos(nPos+1)/2) / (nPos·nNeg)`,
@@ -36,7 +66,10 @@ object ModelEval {
     * the corpus size (quantize wider scores upstream, e.g.
     * `round(score, 6)`, to bound it). The unpartitioned window is the
     * documented single-partition step; its input is the bounded
-    * distinct-score table, never the corpus. */
+    * distinct-score table, never the corpus — and the bound is
+    * ENFORCED in-plan: past `spark.graft.modelEvalScoreLimit`
+    * (default 2M) distinct scores the plan raises naming
+    * `round(score, 6)` instead of sorting the corpus in one task. */
   def aucRoc(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
     val perScore = df
       .where(qcol(scoreCol).isNotNull && qcol(labelCol).isNotNull)
@@ -46,12 +79,15 @@ object ModelEval {
           .as("__np"))
     val w = Window.orderBy(col("__s"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = perScore
+    val ranked = guardScoreAlphabet(perScore, "aucRoc")
       .withColumn("__cum", sum(col("__n")).over(w) - col("__n"))
-      // Σ over this score's positives of the tie-averaged rank
+      // Σ over this score's positives of the tie-averaged rank;
+      // __guard is always null (the over-limit path raises) — wrapping
+      // the live __rs column keeps the guard from being pruned away
       .withColumn("__rs",
-        col("__np") * (col("__cum").cast("double")
-          + (col("__n").cast("double") + 1.0) / 2.0))
+        when(col("__guard").isNull,
+          col("__np") * (col("__cum").cast("double")
+            + (col("__n").cast("double") + 1.0) / 2.0)))
     ranked.agg(
         sum(col("__np")).as("__P"),
         sum(col("__n") - col("__np")).as("__N"),
@@ -125,8 +161,11 @@ object ModelEval {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totP = Window.rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
-    perScore
-      .withColumn("tp", sum(col("__np")).over(w))
+    // __guard is always null on the pass path; wrapping tp (live in
+    // this output AND in averagePrecision's fold) pins the check
+    guardScoreAlphabet(perScore, "prCurve")
+      .withColumn("tp",
+        when(col("__guard").isNull, sum(col("__np")).over(w)))
       .withColumn("fp", sum(col("__n") - col("__np")).over(w))
       .withColumn("__P", sum(col("__np")).over(totP))
       .select(col("threshold"), col("tp"), col("fp"),

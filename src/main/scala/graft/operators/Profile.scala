@@ -2270,10 +2270,12 @@ object Profile {
     * the rebased closed form `z_i = (1−α)^i·(μ + α·Σ_j x_j·(1−α)^{−j})`
     * — all window functions, no collect, ANSI-replicable (the oracle
     * recomputes the EWMA via an independent recursive CTE). The rebase
-    * term `(1−α)^{−i}` overflows a double on very long series, so series
-    * length is guarded at `maxPoints` (default 2000) with an in-plan
-    * raise — monitor timelines are fold-bounded (≤ maxEpochs per store)
-    * long before that. Duplicate `(key, order)` points are refused
+    * term `(1−α)^{−i}` overflows a double once `i·−ln(1−α)` nears 709,
+    * so series length is guarded in-plan at the α-dependent cap
+    * `min(maxPoints, ⌊650/−ln(1−α)⌋)` (α=0.2 → the default 2000 stands;
+    * α=0.5 → the cap tightens to ~937 — well before the Inf/NaN region)
+    * — monitor timelines are fold-bounded (≤ maxEpochs per store) long
+    * before either. Duplicate `(key, order)` points are refused
     * in-plan too: the recurrences need a well-defined total order.
     * Nulls in the value column have no place on a chart and are refused
     * with the duplicates (drop or impute upstream, explicitly).
@@ -2294,6 +2296,14 @@ object Profile {
     require(cusumSlack >= 0, "cusumSlack must be non-negative")
     require(cusumH > 0, "cusumH must be positive")
     require(maxPoints > 0, "maxPoints must be positive")
+    // the rebase factor (1-alpha)^(-i) overflows a double once
+    // i * -ln(1-alpha) nears ln(Double.MaxValue) ~ 709.78; 650 leaves
+    // headroom for |x| up to ~e^59, so the effective series cap must
+    // shrink with alpha (alpha=0.5 caps near 937, not the default 2000)
+    val effCap =
+      if (alpha == 1.0) maxPoints // degenerates to the raw series, no rebase
+      else math.min(maxPoints.toLong,
+        math.max(1L, math.floor(650.0 / -math.log1p(-alpha)).toLong)).toInt
     val reserved = Seq("ewma", "ewma_lcl", "ewma_ucl", "ewma_alarm",
       "cusum_hi", "cusum_lo", "cusum_alarm")
     require(!(keyCols :+ valueCol :+ orderCol).exists(reserved.contains),
@@ -2319,9 +2329,10 @@ object Profile {
       .when(dupes > 1, raise_error(lit(
         s"controlChart: duplicate (key, $orderCol) point - the " +
           "recurrences need a well-defined total order")))
-      .when(n > maxPoints, raise_error(lit(
-        s"controlChart: series longer than maxPoints=$maxPoints - " +
-          "fold the store or raise maxPoints")))
+      .when(n > effCap, raise_error(lit(
+        s"controlChart: series longer than $effCap points (maxPoints=" +
+          s"$maxPoints, numeric-stability cap for alpha=$alpha) - fold " +
+          "the store, shorten the series, or lower alpha")))
       .otherwise(lit(null).cast("string"))
 
     val base = df.select((keys :+ qcol(orderCol).as("__ord") :+ x.as("__x")

@@ -178,10 +178,19 @@ object Stores {
         val (nEpochs, hasFolded, nRows) = data match {
           case None => (0L, false, 0L)
           case Some(df) =>
-            val eps = df.select("batch_id").distinct().collect()
-              .map(_.getString(0))
-            (eps.count(_ != Profile.FoldedEpochId).toLong,
-              eps.contains(Profile.FoldedEpochId), df.count())
+            // the counts are aggregates, so compute them IN-PLAN — a
+            // legacy never-folded store that streamed for months holds
+            // one epoch per micro-batch, and describe exists precisely
+            // to inventory those stragglers without collecting them
+            val s = df.agg(
+              countDistinct(when(
+                col("batch_id") =!= lit(Profile.FoldedEpochId),
+                col("batch_id"))).as("__ne"),
+              coalesce(sum(when(
+                col("batch_id") === lit(Profile.FoldedEpochId), 1L)
+                .otherwise(0L)), lit(0L)).as("__nf"),
+              count(lit(1)).as("__nr")).head()
+            (s.getLong(0), s.getLong(1) > 0L, s.getLong(2))
         }
         (sd, d.family, d.keyCols, d.param, nEpochs, hasFolded, nRows,
           Profile.foldWatermark(spark, sd),
@@ -216,9 +225,13 @@ object Stores {
         def stats(): (Long, Long) = table.read() match {
           case None => (0L, 0L)
           case Some(df) =>
-            (df.select("batch_id").distinct().collect()
-              .count(_.getString(0) != Profile.FoldedEpochId).toLong,
-              df.count())
+            // in-plan like describe's: never collect the epoch-id set
+            val s = df.agg(
+              countDistinct(when(
+                col("batch_id") =!= lit(Profile.FoldedEpochId),
+                col("batch_id"))).as("__ne"),
+              count(lit(1)).as("__nr")).head()
+            (s.getLong(0), s.getLong(1))
         }
         val (epochsBefore, rowsBefore) = stats()
         val action =

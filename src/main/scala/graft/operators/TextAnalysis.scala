@@ -1099,7 +1099,9 @@ object TextAnalysis {
     * retained the item. RRF is the standard hybrid-retrieval combiner
     * (lexical BM25 + embedding ANN) because it needs only RANKS — the
     * retrievers' score scales never have to be calibrated against each
-    * other. Each input frame must carry `(queryIdCol, idCol, rankCol)`;
+    * other. Each input frame must carry `(queryIdCol, idCol, rankCol)`
+    * and hold at most one row per (query, item) — duplicate rows would
+    * inflate `rrf_score`, so they are refused with an in-plan raise;
     * extra columns are ignored. Output: `(queryIdCol, idCol,
     * round(rrf_score, 6), rank)` — re-ranked on the rounded score desc
     * with id-ascending tie-break (deterministic, engine-replicable),
@@ -1130,10 +1132,23 @@ object TextAnalysis {
         "in the output)")
     require(idCol != "rrf_score" && queryIdCol != "rrf_score",
       "id columns may not be named 'rrf_score' (output column)")
-    val contribs = rankings.map { r =>
+    val contribs = rankings.zipWithIndex.map { case (r, ri) =>
+      // precondition: each ranking frame holds AT MOST ONE row per
+      // (query, item) — a retriever that emits duplicates would silently
+      // inflate rrf_score and reorder the fused list, so refuse in-plan
+      // (controlChart's duplicate-guard discipline; the window rides the
+      // already-bounded top-k cut, not the corpus)
+      val dupes = count(lit(1)).over(
+        Window.partitionBy(col("__q"), col("__i")))
       r.select(col(queryIdCol).as("__q"), col(idCol).as("__i"),
         (lit(1.0) / (lit(rrfC.toDouble) + col(rankCol).cast("double")))
           .as("__c"))
+        .select(col("__q"), col("__i"),
+          when(dupes > 1, raise_error(lit(
+            s"rrfFuse: duplicate ($queryIdCol, $idCol) row in rankings($ri)" +
+              " - each retriever list must be unique per (query, item)"))
+            .cast("double"))
+            .otherwise(col("__c")).as("__c"))
     }.reduce(_ unionAll _)
     val fused = contribs.groupBy("__q", "__i")
       .agg(round(sum(col("__c")), 6).as("rrf_score"))

@@ -979,7 +979,7 @@ object Drive {
       }
       val quiet = chart.filter(r => r.getString(0) != "click")
         .count(r => r.getBoolean(r.fieldIndex("cusum_alarm")))
-      println(s"[drive] 24-controlchart rows=${chart.length} mism=$mism " +
+      println(s"[drive] 25-controlchart rows=${chart.length} mism=$mism " +
         s"clickAlarm=$clickAlarm quietAlarms=$quiet " +
         "(want mism=0, clickAlarm=true, quietAlarms=0)")
 
@@ -1007,7 +1007,7 @@ object Drive {
       }
       val prMism = pr.count { case (k, v) => math.abs(v - prRep(k)) > 1e-9 }
       val mass = pr.values.sum
-      println(s"[drive] 25-pagerank nodes=${pr.size} mism=$prMism " +
+      println(s"[drive] 26-pagerank nodes=${pr.size} mism=$prMism " +
         s"mass=${math.abs(mass - 1.0) < 1e-8} (want mism=0, mass=true)")
 
       // 25: deflate redundancy signal over the real corpus — all ratios
@@ -1018,7 +1018,7 @@ object Drive {
       val degenerate = Seq(("spam spam " * 50))
         .toDF("text").select(graft.operators.TextAnalysis
           .compressionRatio(col("text"))).head().getDouble(0)
-      println(s"[drive] 25-deflate min=${ratios.getDouble(0)} " +
+      println(s"[drive] 27-deflate min=${ratios.getDouble(0)} " +
         s"max=${ratios.getDouble(1)} n=${ratios.getLong(2)} " +
         s"degenerate=$degenerate " +
         s"belowAll=${degenerate < ratios.getDouble(0)} " +
@@ -1033,7 +1033,7 @@ object Drive {
         docs.repartition(11)
           .withColumn("len", length(col("text")).cast("double")),
         "len", "doc_id", b = 64, seed = 3).head()
-      println(s"[drive] 25-bootstrap n=${ci.getLong(0)} " +
+      println(s"[drive] 28-bootstrap n=${ci.getLong(0)} " +
         s"est=${ci.getDouble(2)} ci=[${ci.getDouble(4)},${ci.getDouble(5)}] " +
         s"brackets=${ci.getDouble(4) < ci.getDouble(2) &&
           ci.getDouble(2) < ci.getDouble(5)} stable=${ci == ci2} " +
