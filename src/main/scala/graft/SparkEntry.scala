@@ -2045,6 +2045,62 @@ object SparkEntry {
         .select(col("node"), round(col("pagerank"), 6).as("pagerank"))
         .orderBy("node")
     }),
+    // the graph tier's SERVING query: 2-hop egonet from two seed
+    // customers over the heterogeneous customer→order→supplier edge
+    // lake, every hop's read pruned through the src/dst indexes (the
+    // searchText pattern on graphs) — hop 1 reaches the seeds' orders,
+    // hop 2 the suppliers on those orders
+    "q_egonet" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Graph.neighborhood(lk.edgesIdx, "src", "dst",
+          Seq(3L, 7L), hops = 2, direction = "both")
+        .orderBy("node")
+    }),
+    // the graph tier's SQL capstone (r11 verdict item #6): centrality is
+    // computed ONCE and persisted (the train-once/serve-for-months shape
+    // — hours of iteration at web scale, frozen for every consumer);
+    // the SQL side reads the scores through a view and joins them with
+    // degrees computed in plain SQL — no Scala in the serving statement
+    "q_sql_graph" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val edges = lk.lineitem
+        .join(lk.orders, col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") + lit(1000000L)).as("src"),
+          col("o_custkey").as("dst"))
+        .distinct()
+      val scoresDir = s"${lk.work}/sql_graph_scores"
+      Graph.persistScores(s, scoresDir,
+        Graph.pageRank(edges, "src", "dst", iters = 3))
+      Graph.scoresView(s, scoresDir).createOrReplaceTempView("graft_pr_sql")
+      edges.createOrReplaceTempView("graft_edges_sql")
+      s.sql("""WITH deg AS (
+            SELECT node, CAST(sum(od) AS BIGINT) AS out_degree,
+                   CAST(sum(ind) AS BIGINT) AS in_degree
+            FROM (SELECT src AS node, 1 AS od, 0 AS ind
+                    FROM graft_edges_sql
+                  UNION ALL
+                  SELECT dst AS node, 0 AS od, 1 AS ind
+                    FROM graft_edges_sql)
+            GROUP BY node)
+          SELECT d.node, d.out_degree, d.in_degree,
+                 round(p.pagerank, 6) AS pagerank
+          FROM deg d JOIN graft_pr_sql p ON d.node = p.node
+          ORDER BY d.node""")
+    }),
+    // the model-eval tier's SQL capstone: per-slice ROC AUC in ONE SQL
+    // clause via the graft_auc native aggregate (the fairness audit,
+    // GROUP BY lang) — the same rank-sum math as ModelEval.aucRoc,
+    // differential-pinned in SqlFunctionsSpec
+    "q_sql_eval" -> ((s, dir) => {
+      graft.catalog.GraftFunctions.register(s)
+      val lk = Lake.get(s, dir)
+      modelScored(lk.documents).createOrReplaceTempView("graft_scored_sql")
+      s.sql("""SELECT lang, r.n_pos AS n_pos, r.n_neg AS n_neg,
+                      r.auc AS auc
+               FROM (SELECT lang, graft_auc(score, label) AS r
+                     FROM graft_scored_sql GROUP BY lang)
+               ORDER BY lang""")
+    }),
     // rank agreement between two order-value signals: Spearman over
     // alphabet-grain average ranks (nothing corpus-grain is sorted)
     "q_spearman" -> ((s, dir) => {
@@ -5579,6 +5635,63 @@ object SparkEntry {
              o_custkey AS dst
            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
            WHERE l_partkey IN (5, 17, 42, 133, 177))""")),
+    // min-hop BFS over the symmetrized heterogeneous edge set; the
+    // recursive CTE's UNION dedupes (node, hop) pairs and the final
+    // MIN(hop) is the BFS distance — hop-bounded so it terminates
+    "q_egonet" ->
+      """WITH RECURSIVE edges AS MATERIALIZED (
+             SELECT o_custkey AS src, o_orderkey + 10000000 AS dst
+               FROM orders
+             UNION
+             SELECT l_orderkey + 10000000, l_suppkey + 20000000
+               FROM lineitem),
+         sym AS MATERIALIZED (
+             SELECT src, dst FROM edges
+             UNION
+             SELECT dst, src FROM edges),
+         bfs(node, hop) AS (
+             SELECT CAST(node AS BIGINT) AS node, hop
+               FROM (VALUES (3, 0), (7, 0)) t(node, hop)
+             UNION
+             SELECT e.dst, b.hop + 1
+               FROM bfs b JOIN sym e ON e.src = b.node
+              WHERE b.hop < 2)
+         SELECT node, MIN(hop) AS hop FROM bfs
+         GROUP BY node ORDER BY node""",
+    // same 3-iteration replay as q_pagerank_pruned's engine, joined in
+    // SQL with a plain degree aggregate — the persisted-result read is
+    // invisible to the oracle (it only checks the VALUES the view serves)
+    "q_sql_graph" -> pageRankOracleSql(3, finalTailOverride = Some(
+      """, deg AS (SELECT node,
+              CAST(sum(od) AS BIGINT) AS out_degree,
+              CAST(sum(ind) AS BIGINT) AS in_degree
+            FROM (SELECT src AS node, 1 AS od, 0 AS ind FROM edges
+                  UNION ALL
+                  SELECT dst AS node, 0 AS od, 1 AS ind FROM edges)
+            GROUP BY node)
+       SELECT d.node, d.out_degree, d.in_degree,
+              round(it3.pr, 6) AS pagerank
+       FROM deg d JOIN it3 ON d.node = it3.node
+       ORDER BY d.node""")),
+    // per-lang replay of the q_auc rank-sum identity (PARTITION BY lang
+    // in the cumulative walk)
+    "q_sql_eval" ->
+      s"""$modelScoredCte,
+         ps AS (SELECT lang, score AS s, count(*) AS n,
+                  sum(label) AS np
+                FROM d GROUP BY 1, 2),
+         r AS (SELECT lang, s, n, np,
+                 sum(n) OVER (PARTITION BY lang ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - n AS cum
+               FROM ps),
+         ag AS (SELECT lang, sum(np) AS p, sum(n - np) AS ng,
+                  sum(np * (cum::DOUBLE + (n::DOUBLE + 1) / 2)) AS r
+                FROM r GROUP BY lang)
+         SELECT lang, p::BIGINT AS n_pos, ng::BIGINT AS n_neg,
+           round((r - p::DOUBLE * (p::DOUBLE + 1) / 2)
+             / (p::DOUBLE * ng::DOUBLE), 6) AS auc
+         FROM ag ORDER BY lang""",
     // identical average-rank assignment (alphabet prefix), identical
     // exact rank sums, identical closed formula
     "q_spearman" ->
@@ -6970,7 +7083,8 @@ object SparkEntry {
       d: Double = 0.85,
       resetCond: String = "TRUE",
       weighted: Boolean = false,
-      edgesCteOverride: Option[String] = None): String = {
+      edgesCteOverride: Option[String] = None,
+      finalTailOverride: Option[String] = None): String = {
     // weighted: contribution = pr·(w/Σw) with the fraction precomputed
     // (the operator's multiply-only iteration); uniform: pr/outdeg
     val contribSrc =
@@ -7018,8 +7132,9 @@ object SparkEntry {
                  round(rf * (SELECT w FROM rn), 12) AS pr
                FROM nw),
        $steps
-       SELECT node, round(pr, 6) AS pagerank FROM it$iters
-       ORDER BY node"""
+       ${finalTailOverride.getOrElse(
+        s"""SELECT node, round(pr, 6) AS pagerank FROM it$iters
+       ORDER BY node""")}"""
   }
 
   /** Unrolled HITS half-steps with L1 normalization and per-step

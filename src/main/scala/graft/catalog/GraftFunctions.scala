@@ -285,6 +285,18 @@ object GraftFunctions {
         val probs = args.drop(2).zipWithIndex.map { case (e, i) =>
           doubleLit("graft_quantiles", s"prob${i + 1}", e) }
         ex(graft.functions.Kll.quantilesAgg(c(args(0)), k, probs)) }),
+    ("graft_auc",
+      "_FUNC_(score, label[, maxScores]) - AGGREGATE: exact ROC AUC of " +
+        "the group by the Mann-Whitney rank-sum identity (ties by " +
+        "average rank); returns struct<n_pos, n_neg, auc> with auc " +
+        "rounded to 6 (null when the group lacks positives or " +
+        "negatives); null score/label rows excluded; the per-group " +
+        "distinct-score alphabet is capped at maxScores (default 2^20)",
+      args => { checkArity("graft_auc", args, 2, 3)
+        val cap =
+          if (args.length == 3) intLit("graft_auc", "maxScores", args(2))
+          else 1 << 20
+        ex(graft.functions.AucAgg.aucAgg(c(args(0)), c(args(1)), cap)) }),
     ("graft_text_score",
       "_FUNC_(text, artifactPath) - linear text-model score off persisted " +
         "weights",

@@ -239,6 +239,46 @@ final class Lake private (val spark: SparkSession, val sfDir: String, val work: 
     idx
   }
 
+  /** Heterogeneous edge lake table for the graph-serving queries:
+    * customer→order edges (src = o_custkey, dst = o_orderkey + 10M) plus
+    * order→supplier edges (src = l_orderkey + 10M, dst = l_suppkey +
+    * 20M), namespaces disjoint so BFS node identity is unambiguous.
+    * Files are banded by src WITHIN each edge type (4 customer-src
+    * bands, then 4 order-src bands), mirroring a lake that clusters
+    * edges by source entity — that's what makes the per-hop endpoint
+    * probes of [[graft.operators.Graph.neighborhood]] actually prune. */
+  def edgesFiles: Seq[String] = memoSplit(s"edges@x$bandScale") {
+    val n = 4 * bandScale
+    val cust = table("orders").select(col("o_custkey").as("src"),
+      (col("o_orderkey") + lit(10000000L)).as("dst"))
+    val sup = table("lineitem").select(
+      (col("l_orderkey") + lit(10000000L)).as("src"),
+      (col("l_suppkey") + lit(20000000L)).as("dst")).distinct()
+    val maxCust = cust.agg(max("src")).first().getLong(0)
+    val maxOrd = sup.agg(max("src")).first().getLong(0) - 10000000L
+    val cw = maxCust / n + 1
+    val ow = maxOrd / n + 1
+    val banded = cust
+      .withColumn("band", col("src").divide(cw).cast("long").cast("int"))
+      .unionAll(sup.withColumn("band",
+        (lit(n) + (col("src") - lit(10000000L)).divide(ow).cast("long"))
+          .cast("int")))
+    Lake.splitPrebanded(banded, s"$work/edges", 2 * n)
+  }
+
+  /** edges: regular(src) + regular(dst) — both endpoints probe-able, the
+    * neighborhood/egonet substrate. */
+  def edgesIdx: Index = memoIdx("edges_idx") {
+    val files = edgesFiles
+    val idx = Index(spark, "edges_idx",
+      spark.read.parquet(files.head).schema, "parquet")
+    idx.addIndex("src")
+    idx.addIndex("dst")
+    idx.addFile(files: _*)
+    idx.update()
+    idx
+  }
+
   /** Build every index the query set touches, CONCURRENTLY — the builds are
     * independent (per-index store dirs + locks), and Spark schedules jobs
     * from multiple threads fine. On a real cluster you'd parallelize
@@ -250,7 +290,7 @@ final class Lake private (val spark: SparkSession, val sfDir: String, val work: 
     val tasks: Seq[() => Any] = Seq(
       () => ordersIdx, () => lineitemIdx, () => eventsIdx,
       () => docsIdx, () => ordersCsvIdx, () => ordersJsonIdx,
-      () => ordersOrcIdx, () => eventsMultiIdx)
+      () => ordersOrcIdx, () => eventsMultiIdx, () => edgesIdx)
     Await.result(Future.sequence(tasks.map(t => Future(t()))), 30.minutes)
     ()
   }
@@ -291,6 +331,20 @@ object Lake {
   def splitByBand(df: DataFrame, dir: String, key: String, n: Int): Seq[String] =
     splitWrite(df, dir, key, n,
       (d, p) => d.write.partitionBy("band").mode("overwrite").parquet(p), ".parquet")
+
+  /** splitByBand with a CALLER-computed `band` column (for tables whose
+    * banding spans heterogeneous key namespaces). Every band in
+    * [0, nBands) must be non-empty. */
+  def splitPrebanded(df: DataFrame, dir: String, nBands: Int): Seq[String] = {
+    val banded = df.repartition(nBands, col("band"))
+    banded.write.partitionBy("band").mode("overwrite").parquet(dir)
+    (0 until nBands).map { b =>
+      val path = s"$dir/band=$b"
+      val f = new java.io.File(path.stripPrefix("file:"))
+      f.listFiles().filter(x => x.getName.startsWith("part-") && x.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).head
+    }
+  }
 
   def splitWrite(
       df: DataFrame,

@@ -396,4 +396,145 @@ object Graph {
     danglingNodes.unpersist(blocking = false)
     ranks.select(col("node"), col("pr").as("pagerank"))
   }
+
+  /** Index-pruned k-hop neighborhood (egonet) expansion over an INDEXED
+    * edge table — the graph tier's serving-shape query, the
+    * [[graft.Index.searchText]] pattern applied to BFS: each hop
+    * locates, through the src/dst indexes, ONLY the edge files that can
+    * contain the current frontier's keys, reads those, and expands one
+    * step. Returns `node | hop` with `hop` the minimum BFS distance
+    * from the seed set (seeds themselves at hop 0, deduped; nodes
+    * first reached at distance > `hops` are absent). `direction`:
+    * `out` follows src→dst, `in` follows dst→src, `both` treats edges
+    * as undirected (probing BOTH endpoint indexes per hop and unioning
+    * the located files).
+    *
+    * Scale shape: an egonet is seed-local by definition, so this is a
+    * driver-paced loop over BOUNDED frontiers — the bounded-collect
+    * posture of `probeValueLimit`, enforced: the visited set may never
+    * exceed `maxFrontier` nodes (fail fast naming the relational
+    * alternative — on a frontier that covers the graph you want
+    * [[connectedComponents]], not an egonet). What makes it a 100 TB
+    * shape is the per-hop read: a 3-hop expansion from 50 seeds
+    * touches only the files whose index rows contain frontier keys,
+    * never the corpus — the located<total pruning is asserted in the
+    * drive and spec. Requires an index on the probed endpoint
+    * column(s) (`out` → srcCol, `in` → dstCol, `both` → both). */
+  /** `(filesLocated, filesTotal)` per hop of the most recent
+    * [[neighborhood]] call in this JVM — the pruning-evidence surface
+    * (the `IndexJoin.lastMetrics` pattern): specs and the drive assert
+    * located < total on the hops where the frontier is key-local. */
+  @volatile var lastNeighborhoodProbes: Seq[(Int, Int)] = Nil
+
+  def neighborhood(
+      index: graft.Index,
+      srcCol: String,
+      dstCol: String,
+      seeds: Seq[Any],
+      hops: Int,
+      direction: String = "out",
+      maxFrontier: Int = 10000): DataFrame = {
+    require(hops >= 0, "hops must be non-negative")
+    require(Seq("out", "in", "both").contains(direction),
+      s"direction must be one of out/in/both, got '$direction'")
+    require(seeds.nonEmpty, "seeds must be non-empty")
+    require(maxFrontier > 0, "maxFrontier must be positive")
+    val spark = index.spark
+    // min-hop BFS bookkeeping; LinkedHashMap keeps discovery order out
+    // of the result (callers sort), but makes reruns deterministic
+    val visited = scala.collection.mutable.LinkedHashMap[Any, Int]()
+    seeds.distinct.foreach(s => visited(s) = 0)
+    require(visited.size <= maxFrontier,
+      s"neighborhood: ${visited.size} seeds exceed maxFrontier=" +
+        s"$maxFrontier")
+    var frontier: Seq[Any] = visited.keys.toSeq
+    var h = 0
+    val probeStats = Seq.newBuilder[(Int, Int)]
+    val totalFiles = index.files.size
+    while (h < hops && frontier.nonEmpty) {
+      h += 1
+      val probeCols = direction match {
+        case "out" => Seq(srcCol)
+        case "in" => Seq(dstCol)
+        case "both" => Seq(srcCol, dstCol)
+      }
+      // OR-semantics across endpoints: one locate per probed column,
+      // files unioned (a Map probe would AND-intersect them)
+      val located = probeCols
+        .flatMap(c => index.locateFiles(Map(c -> frontier)))
+        .distinct
+      probeStats += ((located.size, totalFiles))
+      if (located.isEmpty) frontier = Nil
+      else {
+        val edges = index.readFiles(located)
+        val fVals = frontier
+        val next = (direction match {
+          case "out" =>
+            edges.where(col(srcCol).isin(fVals: _*))
+              .select(col(dstCol).as("__n"))
+          case "in" =>
+            edges.where(col(dstCol).isin(fVals: _*))
+              .select(col(srcCol).as("__n"))
+          case "both" =>
+            edges.where(col(srcCol).isin(fVals: _*))
+              .select(col(dstCol).as("__n"))
+              .unionAll(edges.where(col(dstCol).isin(fVals: _*))
+                .select(col(srcCol).as("__n")))
+        }).where(col("__n").isNotNull).distinct()
+          .collect().map(_.get(0)).toSeq
+        val fresh = next.filterNot(visited.contains)
+        require(visited.size + fresh.size <= maxFrontier,
+          s"neighborhood: frontier grew past maxFrontier=$maxFrontier " +
+            s"at hop $h (${visited.size} visited + ${fresh.size} new) - " +
+            "this seed set is not local; use connectedComponents or a " +
+            "relational BFS instead, or raise maxFrontier")
+        fresh.foreach(n => visited(n) = h)
+        frontier = fresh
+      }
+    }
+    lastNeighborhoodProbes = probeStats.result()
+    // node type from the read path's schema (covers computed columns
+    // too — the empty-read branch has full schema parity)
+    val readSchema = index.readFiles(Seq.empty).schema
+    val nodeType = readSchema.find(_.name == srcCol)
+      .orElse(readSchema.find(_.name == dstCol))
+      .map(_.dataType)
+      .getOrElse(throw new IllegalArgumentException(
+        s"neighborhood: neither '$srcCol' nor '$dstCol' is in the " +
+          "indexed table's schema"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("node", nodeType),
+      org.apache.spark.sql.types.StructField("hop",
+        org.apache.spark.sql.types.IntegerType, nullable = false)))
+    val rows = visited.toSeq.map { case (n, d) =>
+      org.apache.spark.sql.Row(n, d)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** Persist a centrality result (any `node | score…` frame: pageRank,
+    * hits, degrees) as a crash-safe snapshot table under `dir` — the
+    * train-once/serve-for-months shape the artifact store gives models,
+    * applied to graph scores: centrality over a web-scale link graph is
+    * hours of iteration, and every downstream consumer (SQL weighting,
+    * sampling priors, join enrichment) reads the FROZEN result, not the
+    * computation. Atomic snapshot-swap semantics (readers of the old
+    * snapshot are unaffected mid-overwrite). */
+  def persistScores(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      scores: DataFrame): Long =
+    new graft.store.SnapshotTable(spark, dir).overwrite(scores)
+
+  /** Read persisted centrality scores back ([[persistScores]]'s dual) —
+    * register the result as a temp view and the scores are one
+    * `JOIN graft_scores USING (node)` away from any SQL pipeline
+    * (q_sql_graph's pattern). Throws if nothing was persisted. */
+  def scoresView(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    new graft.store.SnapshotTable(spark, dir).read().getOrElse(
+      throw new IllegalStateException(
+        s"no persisted graph scores under $dir - run persistScores first"))
 }

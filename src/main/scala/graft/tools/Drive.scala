@@ -934,7 +934,7 @@ object Drive {
       println(s"[drive] 24-rrf rows=${fused.length} " +
         s"match=${fused.toSeq.sortBy(_._3) == expect24} (want 8 true)")
 
-      // 24: control chart over real per-day event counts + an injected
+      // 25: control chart over real per-day event counts + an injected
       // level shift; driver replays the recurrences from the same counts
       val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       val daily = ev.groupBy(col("event_type"),
@@ -983,7 +983,7 @@ object Drive {
         s"clickAlarm=$clickAlarm quietAlarms=$quiet " +
         "(want mism=0, clickAlarm=true, quietAlarms=0)")
 
-      // 25: PageRank on the real supplier->customer graph vs a full
+      // 26: PageRank on the real supplier->customer graph vs a full
       // driver replay of the power iteration (collected edges, sf0.001)
       val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
       val ord = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
@@ -1010,7 +1010,7 @@ object Drive {
       println(s"[drive] 26-pagerank nodes=${pr.size} mism=$prMism " +
         s"mass=${math.abs(mass - 1.0) < 1e-8} (want mism=0, mass=true)")
 
-      // 25: deflate redundancy signal over the real corpus — all ratios
+      // 27: deflate redundancy signal over the real corpus — all ratios
       // in (0, 1.5], and an injected degenerate doc scores below them all
       val ratios = docs.select(graft.operators.TextAnalysis
           .compressionRatio(col("text")).as("r"))
@@ -1024,7 +1024,7 @@ object Drive {
         s"belowAll=${degenerate < ratios.getDouble(0)} " +
         "(want 0<min<=max<=1.5, belowAll=true)")
 
-      // 25: Poisson bootstrap on the real corpus — the CI must bracket
+      // 28: Poisson bootstrap on the real corpus — the CI must bracket
       // the plain mean and a rerun must reproduce every digit
       val ci = graft.operators.ModelEval.bootstrapMeanCI(
         docs.withColumn("len", length(col("text")).cast("double")),
@@ -1038,6 +1038,36 @@ object Drive {
         s"brackets=${ci.getDouble(4) < ci.getDouble(2) &&
           ci.getDouble(2) < ci.getDouble(5)} stable=${ci == ci2} " +
         "(want brackets=true, stable=true)")
+
+      // 29: index-pruned egonet (r12) — a dedicated src/dst-indexed edge
+      // lake; the 1-hop read must locate FEWER files than registered and
+      // match a full-scan BFS exactly
+      val egoEdges = spark.read.parquet(s"$sf/orders.parquet")
+        .select(col("o_custkey").as("src"),
+          (col("o_orderkey") + lit(10000000L)).as("dst"))
+      val egoDir = s"$work/lake/ego_edges"
+      egoEdges.withColumn("band", pmod(col("src"), lit(4)))
+        .write.partitionBy("band").mode("overwrite").parquet(egoDir)
+      val egoFiles = new java.io.File(egoDir).listFiles()
+        .filter(_.isDirectory).flatMap(_.listFiles())
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+      val egoIdx = Index(spark, "ego_drive",
+        spark.read.parquet(egoFiles.head).schema, "parquet")
+      egoIdx.addIndex("src")
+      egoIdx.addIndex("dst")
+      egoIdx.addFile(egoFiles: _*)
+      egoIdx.update()
+      val ego = graft.operators.Graph.neighborhood(egoIdx, "src", "dst",
+        Seq(4L, 8L), hops = 1, direction = "out")
+      val egoGot = ego.collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val egoWant = egoEdges.where(col("src").isin(4L, 8L))
+        .select("dst").collect().map(_.getLong(0) -> 1).toMap ++
+        Map(4L -> 0, 8L -> 0)
+      val egoProbes = graft.operators.Graph.lastNeighborhoodProbes
+      println(s"[drive] 29-egonet nodes=${egoGot.size} match=" +
+        s"${egoGot == egoWant} probes=$egoProbes pruned=" +
+        s"${egoProbes.forall(p => p._1 < p._2)} " +
+        "(want match=true, pruned=true)")
     }
 
     spark.stop()

@@ -251,4 +251,52 @@ class GraphSpec extends GraftSuite {
       2L -> ((1L, 2L)),
       3L -> ((0L, 2L))))
   }
+
+  test("neighborhood: index-pruned BFS matches a full-scan driver BFS; " +
+      "key-local hops locate fewer files than the lake holds") {
+    import graft.harness.Lake
+    val lk = Lake.get(spark, sf)
+    val got = Graph.neighborhood(lk.edgesIdx, "src", "dst",
+        Seq(3L, 7L), hops = 2, direction = "both")
+      .collect().map(r0 => r0.getLong(0) -> r0.getInt(1)).toMap
+    // pruning evidence: the hop-1 probe (two customer keys against the
+    // src-banded lake) must NOT read every file — this is the point of
+    // composing BFS with the index layer
+    val probes = Graph.lastNeighborhoodProbes
+    assert(probes.nonEmpty)
+    assert(probes.head._1 < probes.head._2,
+      s"hop-1 must prune: located=${probes.head._1} of ${probes.head._2}")
+    assert(probes.forall { case (l, t) => l <= t })
+    // full-scan oracle: driver BFS over the same symmetrized edge set
+    val edges = spark.read.parquet(lk.edgesFiles: _*)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1)))
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    val want = scala.collection.mutable.Map[Long, Int](3L -> 0, 7L -> 0)
+    var frontier = Set(3L, 7L)
+    (1 to 2).foreach { h =>
+      val next = frontier.flatMap(n => adj.getOrElse(n, Set.empty))
+        .filterNot(want.contains)
+      next.foreach(n => want(n) = h)
+      frontier = next
+    }
+    assert(got == want.toMap,
+      s"egonet mismatch: ${got.size} got vs ${want.size} want")
+    // hop-0-only degenerate + direction variants stay consistent
+    val zero = Graph.neighborhood(lk.edgesIdx, "src", "dst",
+      Seq(3L, 7L), hops = 0).collect()
+    assert(zero.map(_.getLong(0)).toSet == Set(3L, 7L) &&
+      zero.forall(_.getInt(1) == 0))
+    val out1 = Graph.neighborhood(lk.edgesIdx, "src", "dst",
+        Seq(3L), hops = 1, direction = "out")
+      .collect().map(r0 => r0.getLong(0) -> r0.getInt(1)).toMap
+    val wantOut = edges.filter(_._1 == 3L).map(_._2).toSet
+    assert(out1.filter(_._2 == 1).keySet == wantOut)
+    // a frontier that can't stay local fails fast naming the alternative
+    val e = intercept[IllegalArgumentException] {
+      Graph.neighborhood(lk.edgesIdx, "src", "dst", Seq(3L, 7L),
+        hops = 2, direction = "both", maxFrontier = 5)
+    }
+    assert(e.getMessage.contains("maxFrontier"))
+  }
 }

@@ -346,4 +346,64 @@ class SqlFunctionsSpec extends GraftSuite {
     assert(!plan.toLowerCase.contains("udf"),
       s"registered functions must resolve to native expressions:\n${plan.take(600)}")
   }
+
+  test("graft_auc aggregate: SQL == ModelEval.aucRoc, global and " +
+      "grouped; null rows excluded; degenerate slice reads null; " +
+      "alphabet cap fails loudly") {
+    import spark.implicits._
+    docs // force registration
+    // synthetic scored frame with ties, nulls, and a degenerate slice
+    val scored = (1 to 400).map { i =>
+      val score = if (i % 11 == 0) None else Some((i % 17).toDouble / 17.0)
+      val label = if (i % 13 == 0) None
+        else Some(if ((i * 7) % 10 < 4) 1 else 0)
+      (s"slice_${i % 3}", score, label)
+    } ++ Seq(("all_pos", Some(0.5), Some(1)), ("all_pos", Some(0.7), Some(1)))
+    val df = scored.toDF("slice", "score", "label")
+    df.createOrReplaceTempView("sqlfn_scored")
+    // global
+    val gSql = spark.sql(
+      """SELECT r.n_pos AS n_pos, r.n_neg AS n_neg, r.auc AS auc
+         FROM (SELECT graft_auc(score, label) AS r FROM sqlfn_scored)""")
+    val gApi = graft.operators.ModelEval.aucRoc(df, "score", "label")
+    assertSameRows(gSql, gApi)
+    // grouped == per-slice relational walk (incl. the all-positive
+    // degenerate slice reading a null auc)
+    val kSql = spark.sql(
+      """SELECT slice, r.n_pos AS n_pos, r.n_neg AS n_neg, r.auc AS auc
+         FROM (SELECT slice, graft_auc(score, label) AS r
+               FROM sqlfn_scored GROUP BY slice)""")
+    val kApi = graft.operators.ModelEval.aucRocByKey(
+      df, "score", "label", Seq("slice"))
+    assertSameRows(kSql, kApi)
+    assert(kSql.where(col("slice") === "all_pos" && col("auc").isNull)
+      .count() == 1)
+    // the distinct-score alphabet cap is enforced per group
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_auc(score, label, 3) FROM sqlfn_scored")
+        .collect()
+    }
+    assert(e.getMessage.contains("round(score, 6)") ||
+      e.getCause != null &&
+        e.getCause.getMessage.contains("round(score, 6)"),
+      s"unexpected: ${e.getMessage}")
+  }
+
+  test("q_sql_graph: the pure-SQL degrees + persisted-pagerank serving " +
+      "statement == the programmatic composition") {
+    import graft.harness.Lake
+    import graft.operators.Graph
+    val lk = Lake.get(spark, sf)
+    val viaSql = graft.SparkEntry.queries("q_sql_graph")(spark, sf)
+    val edges = lk.lineitem
+      .join(lk.orders, col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") + lit(1000000L)).as("src"),
+        col("o_custkey").as("dst"))
+      .distinct()
+    val viaApi = Graph.degrees(edges, "src", "dst")
+      .join(Graph.pageRank(edges, "src", "dst", iters = 3), "node")
+      .select(col("node"), col("out_degree"), col("in_degree"),
+        round(col("pagerank"), 6).as("pagerank"))
+    assertSameRows(viaSql, viaApi)
+  }
 }
