@@ -2056,6 +2056,37 @@ object SparkEntry {
           Seq(3L, 7L), hops = 2, direction = "both")
         .orderBy("node")
     }),
+    // GNN minibatch prep: seeded deterministic fan-out sampling (≤5
+    // orders per seed customer, then ≤3 suppliers per sampled order)
+    // over the same indexed edge lake — every hop's read index-pruned,
+    // the sample bit-reproducible (md5 rank), the DuckDB oracle replays
+    // the identical hash order
+    "q_sample_neighbors" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Graph.sampleNeighbors(lk.edgesIdx, "src", "dst",
+          Seq(3L, 7L), fanouts = Seq(5, 3), samplingSeed = 42L)
+        .orderBy("hop", "node", "neighbor")
+    }),
+    // pure-SQL graph traversal — Spark 4's recursive CTE (UNION ALL,
+    // hop-bounded, MIN(hop) dedup at the end) walking PROVENANCE
+    // upstream: which orders contained these suppliers' parts, and which
+    // customers placed them. Differential-pinned against the indexed
+    // Graph.neighborhood('in') in GraphSpec — the same BFS, declared in
+    // SQL instead of driven through the index layer
+    "q_sql_bfs" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      s.read.parquet(lk.edgesFiles: _*)
+        .createOrReplaceTempView("graft_edges_sql")
+      s.sql("""WITH RECURSIVE bfs(node, hop) AS (
+            SELECT CAST(v AS BIGINT), 0
+              FROM VALUES (20000005), (20000009) AS t(v)
+            UNION ALL
+            SELECT e.src, b.hop + 1
+              FROM bfs b JOIN graft_edges_sql e ON e.dst = b.node
+             WHERE b.hop < 2)
+          SELECT node, MIN(hop) AS hop FROM bfs
+          GROUP BY node ORDER BY node""")
+    }),
     // the graph tier's SQL capstone (r11 verdict item #6): centrality is
     // computed ONCE and persisted (the train-once/serve-for-months shape
     // — hours of iteration at web scale, frozen for every consumer);
@@ -5658,6 +5689,58 @@ object SparkEntry {
               WHERE b.hop < 2)
          SELECT node, MIN(hop) AS hop FROM bfs
          GROUP BY node ORDER BY node""",
+    // the identical recursive walk (DuckDB supports the same UNION ALL
+    // + hop-bound + MIN(hop) shape)
+    "q_sql_bfs" ->
+      """WITH RECURSIVE edges AS MATERIALIZED (
+             SELECT o_custkey AS src, o_orderkey + 10000000 AS dst
+               FROM orders
+             UNION
+             SELECT l_orderkey + 10000000, l_suppkey + 20000000
+               FROM lineitem),
+         bfs(node, hop) AS (
+             SELECT CAST(v AS BIGINT), 0
+               FROM (VALUES (20000005), (20000009)) t(v)
+             UNION ALL
+             SELECT e.src, b.hop + 1
+               FROM bfs b JOIN edges e ON e.dst = b.node
+              WHERE b.hop < 2)
+         SELECT node, MIN(hop) AS hop FROM bfs
+         GROUP BY node ORDER BY node""",
+    // hop-unrolled replay of the seeded fan-out sample: same distinct
+    // candidate sets, same md5("u:v:seed") rank (both engines emit
+    // lowercase hex over identical bytes), same frontier-minus-visited
+    // step — a sampling procedure is only auditable if an independent
+    // engine reproduces it bit-for-bit
+    "q_sample_neighbors" ->
+      """WITH edges AS MATERIALIZED (
+             SELECT o_custkey AS src, o_orderkey + 10000000 AS dst
+               FROM orders
+             UNION
+             SELECT l_orderkey + 10000000, l_suppkey + 20000000
+               FROM lineitem),
+         f0(node) AS (SELECT CAST(v AS BIGINT)
+             FROM (VALUES (3), (7)) t(v)),
+         c1 AS (SELECT DISTINCT e.src AS u, e.dst AS v
+             FROM edges e JOIN f0 ON e.src = f0.node),
+         r1 AS (SELECT u, v, row_number() OVER (PARTITION BY u
+                  ORDER BY md5(u::VARCHAR || ':' || v::VARCHAR || ':42'))
+                  AS rn
+                FROM c1),
+         s1 AS (SELECT u, v FROM r1 WHERE rn <= 5),
+         f1(node) AS (SELECT DISTINCT v FROM s1
+             WHERE v NOT IN (SELECT node FROM f0)),
+         c2 AS (SELECT DISTINCT e.src AS u, e.dst AS v
+             FROM edges e JOIN f1 ON e.src = f1.node),
+         r2 AS (SELECT u, v, row_number() OVER (PARTITION BY u
+                  ORDER BY md5(u::VARCHAR || ':' || v::VARCHAR || ':42'))
+                  AS rn
+                FROM c2),
+         s2 AS (SELECT u, v FROM r2 WHERE rn <= 3)
+         SELECT 1 AS hop, u AS node, v AS neighbor FROM s1
+         UNION ALL
+         SELECT 2 AS hop, u AS node, v AS neighbor FROM s2
+         ORDER BY hop, node, neighbor""",
     // same 3-iteration replay as q_pagerank_pruned's engine, joined in
     // SQL with a plain degree aggregate — the persisted-result read is
     // invisible to the oracle (it only checks the VALUES the view serves)

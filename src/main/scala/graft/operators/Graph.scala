@@ -513,6 +513,140 @@ object Graph {
       spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** GraphSAGE-style deterministic fan-out neighbor sampling over an
+    * INDEXED edge table (Hamilton et al. 2017) — the minibatch-
+    * construction step of GNN training-data prep, which at corpus scale
+    * is a SAMPLING SERVICE, not a full-graph pass: for each hop `h`,
+    * every frontier node keeps at most `fanouts(h-1)` of its distinct
+    * neighbors, chosen by a SEEDED deterministic rank (md5 of
+    * `"u:v:seed"`, ascending) so the same minibatch is bit-reproducible
+    * across replays, engines, and partitionings — the property that
+    * makes sampled training data auditable. Multi-edges collapse before
+    * sampling (the sample is over the neighbor SET).
+    *
+    * Returns the sampled edge frame `hop | node | neighbor` (hop
+    * 1-based; `node` is always the FRONTIER side of the edge, whatever
+    * the stored orientation — the adjacency a GNN layer aggregates
+    * over). The next
+    * frontier is the sampled neighbors not yet visited, so the node
+    * universe grows at most `Σ_h Π_{i<=h} fanouts(i)` from each seed —
+    * fan-out is what bounds the hop-k explosion that makes unsampled
+    * k-hop expansion intractable on power-law graphs.
+    *
+    * Scale shape: [[neighborhood]]'s serving posture — per-hop reads
+    * locate only the files whose src/dst indexes can contain frontier
+    * keys; the rank window partitions BY FRONTIER NODE over the
+    * already-pruned candidate edges (never the corpus); the driver
+    * holds only the bounded sample (≤ maxFrontier nodes, fail-fast).
+    * Ref parity note: no reference equivalent; extends the graph tier
+    * per the training-data-ops mandate (GNN minibatch prep). */
+  def sampleNeighbors(
+      index: graft.Index,
+      srcCol: String,
+      dstCol: String,
+      seeds: Seq[Any],
+      fanouts: Seq[Int],
+      samplingSeed: Long = 42L,
+      direction: String = "out",
+      maxFrontier: Int = 10000): DataFrame = {
+    require(fanouts.nonEmpty, "fanouts must be non-empty (one per hop)")
+    require(fanouts.forall(_ > 0), "every fanout must be positive")
+    require(Seq("out", "in", "both").contains(direction),
+      s"direction must be one of out/in/both, got '$direction'")
+    require(seeds.nonEmpty, "seeds must be non-empty")
+    require(maxFrontier > 0, "maxFrontier must be positive")
+    val spark = index.spark
+    val visited = scala.collection.mutable.LinkedHashSet[Any](
+      seeds.distinct: _*)
+    require(visited.size <= maxFrontier,
+      s"sampleNeighbors: ${visited.size} seeds exceed maxFrontier=" +
+        s"$maxFrontier")
+    var frontier: Seq[Any] = visited.toSeq
+    val sampled = Seq.newBuilder[(Int, Any, Any)]
+    val probeStats = Seq.newBuilder[(Int, Int)]
+    val totalFiles = index.files.size
+    fanouts.zipWithIndex.foreach { case (f, i) =>
+      val h = i + 1
+      if (frontier.nonEmpty) {
+        val probeCols = direction match {
+          case "out" => Seq(srcCol)
+          case "in" => Seq(dstCol)
+          case "both" => Seq(srcCol, dstCol)
+        }
+        val located = probeCols
+          .flatMap(c => index.locateFiles(Map(c -> frontier)))
+          .distinct
+        probeStats += ((located.size, totalFiles))
+        if (located.isEmpty) frontier = Nil
+        else {
+          val edges = index.readFiles(located)
+          val fVals = frontier
+          // frontier-node u, neighbor v — both orientations under `both`
+          val cand = (direction match {
+            case "out" =>
+              edges.where(col(srcCol).isin(fVals: _*))
+                .select(col(srcCol).as("__u"), col(dstCol).as("__v"))
+            case "in" =>
+              edges.where(col(dstCol).isin(fVals: _*))
+                .select(col(dstCol).as("__u"), col(srcCol).as("__v"))
+            case "both" =>
+              edges.where(col(srcCol).isin(fVals: _*))
+                .select(col(srcCol).as("__u"), col(dstCol).as("__v"))
+                .unionAll(edges.where(col(dstCol).isin(fVals: _*))
+                  .select(col(dstCol).as("__u"), col(srcCol).as("__v")))
+          }).where(col("__v").isNotNull).distinct()
+          // the seeded deterministic rank: md5("u:v:seed") ascending —
+          // engine-replicable (the DuckDB oracle computes the same hex)
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__u"))
+            .orderBy(md5(concat(col("__u").cast("string"), lit(":"),
+              col("__v").cast("string"), lit(":"),
+              lit(samplingSeed.toString))))
+          val take = cand
+            .withColumn("__rn", row_number().over(w))
+            .where(col("__rn") <= f)
+            .select(col("__u"), col("__v"))
+            .collect()
+          take.foreach(r => sampled += ((h, r.get(0), r.get(1))))
+          val fresh = take.map(_.get(1)).distinct
+            .filterNot(visited.contains)
+          require(visited.size + fresh.size <= maxFrontier,
+            s"sampleNeighbors: sampled universe past maxFrontier=" +
+              s"$maxFrontier at hop $h - lower the fanouts or raise " +
+              "maxFrontier")
+          fresh.foreach(visited.add)
+          frontier = fresh
+        }
+      }
+    }
+    lastNeighborhoodProbes = probeStats.result()
+    val readSchema = index.readFiles(Seq.empty).schema
+    def typeOf(name: String) = readSchema.find(_.name == name)
+      .map(_.dataType).getOrElse(throw new IllegalArgumentException(
+        s"sampleNeighbors: '$name' is not in the indexed table's schema"))
+    // node = frontier side: src-typed under out, dst-typed under in;
+    // `both` mixes orientations, so the endpoint types must agree
+    val (nodeType, neighborType) = direction match {
+      case "out" => (typeOf(srcCol), typeOf(dstCol))
+      case "in" => (typeOf(dstCol), typeOf(srcCol))
+      case "both" =>
+        require(typeOf(srcCol) == typeOf(dstCol),
+          s"sampleNeighbors: direction 'both' needs matching endpoint " +
+            s"types, got ${typeOf(srcCol)} vs ${typeOf(dstCol)}")
+        (typeOf(srcCol), typeOf(dstCol))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("hop",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("node", nodeType),
+      org.apache.spark.sql.types.StructField("neighbor", neighborType)))
+    val rows = sampled.result().map { case (h, u, v) =>
+      org.apache.spark.sql.Row(h, u, v)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** Persist a centrality result (any `node | score…` frame: pageRank,
     * hits, degrees) as a crash-safe snapshot table under `dir` — the
     * train-once/serve-for-months shape the artifact store gives models,

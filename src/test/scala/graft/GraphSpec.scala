@@ -299,4 +299,64 @@ class GraphSpec extends GraftSuite {
     }
     assert(e.getMessage.contains("maxFrontier"))
   }
+
+  test("sampleNeighbors: seeded fan-out sample matches a driver replay " +
+      "of the md5 rank; fanouts bound every hop; seed changes the " +
+      "sample; probes prune") {
+    import graft.harness.Lake
+    val lk = Lake.get(spark, sf)
+    val got = Graph.sampleNeighbors(lk.edgesIdx, "src", "dst",
+        Seq(3L, 7L), fanouts = Seq(5, 3), samplingSeed = 42L)
+      .collect().map(r0 => (r0.getInt(0), r0.getLong(1), r0.getLong(2)))
+    assert(Graph.lastNeighborhoodProbes.head._1 <
+      Graph.lastNeighborhoodProbes.head._2, "hop-1 must prune")
+    // driver replay: distinct adjacency, md5(u:v:seed) ascending, take f
+    val edges = spark.read.parquet(lk.edgesFiles: _*)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).distinct
+    val adj: Map[Long, Seq[Long]] =
+      edges.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSeq }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def take(f: Set[Long], n: Int): Seq[(Long, Long)] =
+      f.toSeq.flatMap { u =>
+        adj.getOrElse(u, Seq.empty)
+          .sortBy(v => md5hex(s"$u:$v:42")).take(n).map(u -> _)
+      }
+    val s1 = take(Set(3L, 7L), 5)
+    val f1 = s1.map(_._2).distinct.filterNot(Set(3L, 7L)).toSet
+    val s2 = take(f1, 3)
+    val want = s1.map(p => (1, p._1, p._2)) ++ s2.map(p => (2, p._1, p._2))
+    assert(got.toSet == want.toSet,
+      s"sample mismatch: ${got.length} got vs ${want.length} want")
+    // every (hop, node) group is within its fanout
+    val byHopNode = got.groupBy(t => (t._1, t._2)).view.mapValues(_.length)
+    assert(byHopNode.forall { case ((h, _), n) =>
+      n <= (if (h == 1) 5 else 3) })
+    // a different seed draws a different sample (same sizes)
+    val other = Graph.sampleNeighbors(lk.edgesIdx, "src", "dst",
+        Seq(3L, 7L), fanouts = Seq(5, 3), samplingSeed = 7L)
+      .collect().map(r0 => (r0.getInt(0), r0.getLong(1), r0.getLong(2)))
+    assert(other.toSet != got.toSet, "seed must steer the sample")
+    // replay stability: identical call, identical rows
+    val again = Graph.sampleNeighbors(lk.edgesIdx, "src", "dst",
+        Seq(3L, 7L), fanouts = Seq(5, 3), samplingSeed = 42L)
+      .collect().map(r0 => (r0.getInt(0), r0.getLong(1), r0.getLong(2)))
+    assert(again.toSet == got.toSet)
+  }
+
+  test("q_sql_bfs: the pure-SQL recursive-CTE walk == the index-driven " +
+      "neighborhood('in') on the same seeds") {
+    import graft.harness.Lake
+    val lk = Lake.get(spark, sf)
+    val viaSql = graft.SparkEntry.queries("q_sql_bfs")(spark, sf)
+      .collect().map(r0 => r0.getLong(0) -> r0.getInt(1)).toMap
+    val viaIdx = Graph.neighborhood(lk.edgesIdx, "src", "dst",
+        Seq(20000005L, 20000009L), hops = 2, direction = "in")
+      .collect().map(r0 => r0.getLong(0) -> r0.getInt(1)).toMap
+    assert(viaSql == viaIdx,
+      s"BFS mismatch: sql=${viaSql.size} idx=${viaIdx.size}")
+    assert(viaSql.nonEmpty && viaSql.values.exists(_ == 2),
+      "the walk must actually reach hop 2")
+  }
 }
