@@ -63,6 +63,7 @@ object ScaleBench {
       else if (mode == "govern") () // raw docs/lineitem; no index fixtures
       else if (mode == "retrieval") () // raw docs/lineitem; no index fixtures
       else if (mode == "graph") () // raw lineitem/orders; no index fixtures
+      else if (mode == "ego") lk.edgesFiles // split only; index build is the bench
       else if (mode == "uncertainty") () // raw lineitem; no index fixtures
       else if (mode == "probeorder") lk.documentsFiles // split only; build is the bench
       else lk.prebuild()
@@ -864,6 +865,56 @@ object ScaleBench {
         }
         4L
       } }
+      emit(results, counts, sfDir); spark.stop(); return
+    }
+
+    if (mode == "ego") {
+      // r12 wave: the graph SERVING path at the x30 grain — k-hop
+      // egonet + seeded fan-out sampling through the src/dst-indexed
+      // edge lake. The scale claim is the per-hop READ: a key-local
+      // frontier locates a few of the lake's files through the index
+      // tables, where the no-index engine re-scans every edge file per
+      // hop. Located/total per hop is recorded alongside the walls.
+      bench("x_ego_idx_build") {
+        lake.edgesIdx; lake.edgesFiles.size.toLong
+      }
+      bench("x_egonet_2hop") {
+        graft.operators.Graph.neighborhood(lake.edgesIdx, "src", "dst",
+          Seq(3L, 7L), hops = 2, direction = "both").count()
+      }
+      graft.operators.Graph.lastNeighborhoodProbes.zipWithIndex.foreach {
+        case ((l, t), i) =>
+          counts(s"x_egonet_hop${i + 1}_located") = l.toLong
+          counts(s"x_egonet_hop${i + 1}_total") = t.toLong
+      }
+      bench("x_sample_2hop_f10x5") {
+        graft.operators.Graph.sampleNeighbors(lake.edgesIdx, "src", "dst",
+          Seq(3L, 7L), fanouts = Seq(10, 5)).count()
+      }
+      graft.operators.Graph.lastNeighborhoodProbes.zipWithIndex.foreach {
+        case ((l, t), i) =>
+          counts(s"x_sample_hop${i + 1}_located") = l.toLong
+      }
+      // the no-index comparison: the same BFS where every hop scans the
+      // whole edge lake (bounded driver frontier, identical semantics)
+      bench("x_egonet_fullscan") {
+        val all = spark.read.parquet(lake.edgesFiles: _*)
+        var visited = Set[Long](3L, 7L)
+        var frontier: Seq[Long] = Seq(3L, 7L)
+        (1 to 2).foreach { _ =>
+          if (frontier.nonEmpty) {
+            val next = all.where(col("src").isin(frontier: _*))
+              .select(col("dst").as("n"))
+              .unionAll(all.where(col("dst").isin(frontier: _*))
+                .select(col("src").as("n")))
+              .distinct().collect().map(_.getLong(0)).toSeq
+            val fresh = next.filterNot(visited.contains)
+            visited ++= fresh
+            frontier = fresh
+          }
+        }
+        visited.size.toLong
+      }
       emit(results, counts, sfDir); spark.stop(); return
     }
 
