@@ -2067,6 +2067,18 @@ object SparkEntry {
           Seq(3L, 7L), fanouts = Seq(5, 3), samplingSeed = 42L)
         .orderBy("hop", "node", "neighbor")
     }),
+    // the GNN-prep composition capstone: the 2-hop egonet's node set
+    // (bounded, collected) feeds induced-edge extraction — one src-index
+    // probe locates candidate files, the residual keeps edges with BOTH
+    // endpoints inside the set (the PyG subgraph() shape)
+    "q_induced_subgraph" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val nodes = Graph.neighborhood(lk.edgesIdx, "src", "dst",
+          Seq(3L, 7L), hops = 2, direction = "both")
+        .select("node").collect().map(_.getLong(0)).toSeq
+      Graph.induceEdges(lk.edgesIdx, "src", "dst", nodes)
+        .orderBy("src", "dst")
+    }),
     // pure-SQL graph traversal — Spark 4's recursive CTE (UNION ALL,
     // hop-bounded, MIN(hop) dedup at the end) walking PROVENANCE
     // upstream: which orders contained these suppliers' parts, and which
@@ -5689,6 +5701,36 @@ object SparkEntry {
               WHERE b.hop < 2)
          SELECT node, MIN(hop) AS hop FROM bfs
          GROUP BY node ORDER BY node""",
+    // the egonet CTE re-derives the node set, then keeps the stored
+    // edges with both endpoints inside it. DISTINCT is explicit: inside
+    // WITH RECURSIVE, DuckDB 1.0 parses ANY top-level-UNION CTE as
+    // anchor/step and skips the set-dedup (edges read 7500 not 6451
+    // without it) — reachability queries are immune, row extraction
+    // is not (caught by the dual-SF sweep this round)
+    "q_induced_subgraph" ->
+      """WITH RECURSIVE edges AS MATERIALIZED (
+             SELECT o_custkey AS src, o_orderkey + 10000000 AS dst
+               FROM orders
+             UNION
+             SELECT l_orderkey + 10000000, l_suppkey + 20000000
+               FROM lineitem),
+         sym AS MATERIALIZED (
+             SELECT src, dst FROM edges
+             UNION
+             SELECT dst, src FROM edges),
+         bfs(node, hop) AS (
+             SELECT CAST(node AS BIGINT) AS node, hop
+               FROM (VALUES (3, 0), (7, 0)) t(node, hop)
+             UNION
+             SELECT e.dst, b.hop + 1
+               FROM bfs b JOIN sym e ON e.src = b.node
+              WHERE b.hop < 2),
+         ns AS (SELECT DISTINCT node FROM bfs)
+         SELECT DISTINCT e.src, e.dst
+         FROM edges e
+         JOIN ns a ON e.src = a.node
+         JOIN ns b ON e.dst = b.node
+         ORDER BY e.src, e.dst""",
     // the identical recursive walk (DuckDB supports the same UNION ALL
     // + hop-bound + MIN(hop) shape)
     "q_sql_bfs" ->

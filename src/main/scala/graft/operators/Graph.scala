@@ -647,6 +647,38 @@ object Graph {
       spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** Induced-subgraph edge extraction over an INDEXED edge table — the
+    * step after [[neighborhood]]/[[sampleNeighbors]] picks a node set:
+    * fetch every stored edge BOTH of whose endpoints are in the set
+    * (PyG's `subgraph()` shape — the adjacency a GNN minibatch or an
+    * egonet visualization actually consumes). One index probe on the
+    * src column locates candidate files (a qualifying edge's file must
+    * hold one of the set's keys in src), then a row-level residual
+    * keeps `src ∈ S AND dst ∈ S` — pruning is invisible, exactly the
+    * `query()` contract. The set is bounded (`maxNodes`, fail-fast):
+    * induced extraction over a corpus-sized set is a join, not a
+    * serving call. Returns the stored-orientation `srcCol | dstCol`
+    * pairs. */
+  def induceEdges(
+      index: graft.Index,
+      srcCol: String,
+      dstCol: String,
+      nodes: Seq[Any],
+      maxNodes: Int = 100000): DataFrame = {
+    require(nodes.nonEmpty, "nodes must be non-empty")
+    require(maxNodes > 0, "maxNodes must be positive")
+    val set = nodes.distinct
+    require(set.size <= maxNodes,
+      s"induceEdges: ${set.size} nodes exceed maxNodes=$maxNodes - an " +
+        "induced subgraph over a corpus-sized set is a semi-join " +
+        "(index.join), not a serving call")
+    val located = index.locateFiles(Map(srcCol -> set))
+    lastNeighborhoodProbes = Seq((located.size, index.files.size))
+    index.readFiles(located)
+      .where(col(srcCol).isin(set: _*) && col(dstCol).isin(set: _*))
+      .select(col(srcCol), col(dstCol))
+  }
+
   /** Persist a centrality result (any `node | score…` frame: pageRank,
     * hits, degrees) as a crash-safe snapshot table under `dir` — the
     * train-once/serve-for-months shape the artifact store gives models,

@@ -345,6 +345,29 @@ class GraphSpec extends GraftSuite {
     assert(again.toSet == got.toSet)
   }
 
+  test("induceEdges: exactly the stored edges with both endpoints in " +
+      "the set; prunes; refuses corpus-sized sets") {
+    import graft.harness.Lake
+    val lk = Lake.get(spark, sf)
+    val nodes = Graph.neighborhood(lk.edgesIdx, "src", "dst",
+        Seq(3L, 7L), hops = 2, direction = "both")
+      .select("node").collect().map(_.getLong(0)).toSeq
+    val got = Graph.induceEdges(lk.edgesIdx, "src", "dst", nodes)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    assert(Graph.lastNeighborhoodProbes.head._1 <
+      Graph.lastNeighborhoodProbes.head._2, "the src probe must prune")
+    val ns = nodes.toSet
+    val want = spark.read.parquet(lk.edgesFiles: _*)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1)))
+      .filter(p => ns(p._1) && ns(p._2)).toSet
+    assert(got == want, s"${got.size} got vs ${want.size} want")
+    assert(got.nonEmpty)
+    val e = intercept[IllegalArgumentException] {
+      Graph.induceEdges(lk.edgesIdx, "src", "dst", nodes, maxNodes = 3)
+    }
+    assert(e.getMessage.contains("maxNodes"))
+  }
+
   test("q_sql_bfs: the pure-SQL recursive-CTE walk == the index-driven " +
       "neighborhood('in') on the same seeds") {
     import graft.harness.Lake
