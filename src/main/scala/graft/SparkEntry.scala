@@ -2067,6 +2067,16 @@ object SparkEntry {
           Seq(3L, 7L), fanouts = Seq(5, 3), samplingSeed = 42L)
         .orderBy("hop", "node", "neighbor")
     }),
+    // the weighted draw: Gumbel-top-f on ln(w) (hash-derived uniforms,
+    // the DSIR machinery) — suppliers filling more line items of an
+    // order are proportionally likelier to be kept
+    "q_sample_weighted" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Graph.sampleNeighbors(lk.edgesIdx, "src", "dst",
+          Seq(3L, 7L), fanouts = Seq(5, 2), samplingSeed = 42L,
+          weightCol = Some("w"))
+        .orderBy("hop", "node", "neighbor")
+    }),
     // the GNN-prep composition capstone: the 2-hop egonet's node set
     // (bounded, collected) feeds induced-edge extraction — one src-index
     // probe locates candidate files, the residual keeps edges with BOTH
@@ -5731,6 +5741,43 @@ object SparkEntry {
          JOIN ns a ON e.src = a.node
          JOIN ns b ON e.dst = b.node
          ORDER BY e.src, e.dst""",
+    // the weighted replay: identical Gumbel keys off the identical
+    // md5-derived uniforms (the q_dsir_select float-parity chain)
+    "q_sample_weighted" ->
+      """WITH edges AS MATERIALIZED (
+             SELECT o_custkey AS src, o_orderkey + 10000000 AS dst,
+                    1.0::DOUBLE AS w
+               FROM orders
+             UNION ALL
+             SELECT l_orderkey + 10000000, l_suppkey + 20000000,
+                    count(*)::DOUBLE
+               FROM lineitem GROUP BY 1, 2),
+         f0(node) AS (SELECT CAST(v AS BIGINT)
+             FROM (VALUES (3), (7)) t(v)),
+         c1 AS (SELECT e.src AS u, e.dst AS v, e.w
+             FROM edges e JOIN f0 ON e.src = f0.node),
+         r1 AS (SELECT u, v, row_number() OVER (PARTITION BY u
+                  ORDER BY ln(w) - ln(-ln((CAST(concat('0x', substring(
+                      md5('42#' || u::VARCHAR || '#' || v::VARCHAR),
+                      1, 8)) AS BIGINT) + 1) / 4294967297.0)) DESC, v)
+                  AS rn
+                FROM c1),
+         s1 AS (SELECT u, v FROM r1 WHERE rn <= 5),
+         f1(node) AS (SELECT DISTINCT v FROM s1
+             WHERE v NOT IN (SELECT node FROM f0)),
+         c2 AS (SELECT e.src AS u, e.dst AS v, e.w
+             FROM edges e JOIN f1 ON e.src = f1.node),
+         r2 AS (SELECT u, v, row_number() OVER (PARTITION BY u
+                  ORDER BY ln(w) - ln(-ln((CAST(concat('0x', substring(
+                      md5('42#' || u::VARCHAR || '#' || v::VARCHAR),
+                      1, 8)) AS BIGINT) + 1) / 4294967297.0)) DESC, v)
+                  AS rn
+                FROM c2),
+         s2 AS (SELECT u, v FROM r2 WHERE rn <= 2)
+         SELECT 1 AS hop, u AS node, v AS neighbor FROM s1
+         UNION ALL
+         SELECT 2 AS hop, u AS node, v AS neighbor FROM s2
+         ORDER BY hop, node, neighbor""",
     // the identical recursive walk (DuckDB supports the same UNION ALL
     // + hop-bound + MIN(hop) shape)
     "q_sql_bfs" ->

@@ -249,11 +249,16 @@ final class Lake private (val spark: SparkSession, val sfDir: String, val work: 
     * probes of [[graft.operators.Graph.neighborhood]] actually prune. */
   def edgesFiles: Seq[String] = memoSplit(s"edges@x$bandScale") {
     val n = 4 * bandScale
+    // `w` = edge weight: 1.0 on customer→order, the lineitem count on
+    // order→supplier (how many line items the supplier fills on the
+    // order) — the weighted fan-out sampler's importance signal
     val cust = table("orders").select(col("o_custkey").as("src"),
-      (col("o_orderkey") + lit(10000000L)).as("dst"))
-    val sup = table("lineitem").select(
-      (col("l_orderkey") + lit(10000000L)).as("src"),
-      (col("l_suppkey") + lit(20000000L)).as("dst")).distinct()
+      (col("o_orderkey") + lit(10000000L)).as("dst"),
+      lit(1.0).as("w"))
+    val sup = table("lineitem")
+      .groupBy((col("l_orderkey") + lit(10000000L)).as("src"),
+        (col("l_suppkey") + lit(20000000L)).as("dst"))
+      .agg(count(lit(1)).cast("double").as("w"))
     val maxCust = cust.agg(max("src")).first().getLong(0)
     val maxOrd = sup.agg(max("src")).first().getLong(0) - 10000000L
     val cw = maxCust / n + 1

@@ -524,6 +524,15 @@ object Graph {
     * makes sampled training data auditable. Multi-edges collapse before
     * sampling (the sample is over the neighbor SET).
     *
+    * With `weightCol` set, the per-node draw becomes weighted sampling
+    * WITHOUT replacement on the (accumulated, positive) edge weights —
+    * the Gumbel-top-f trick in log space (`key = ln w − ln(−ln u)`,
+    * `u` hash-derived from `"seed#u#v"`, the [[Dsir.resample]]
+    * machinery), still fully deterministic and engine-replicable.
+    * Heavier edges are proportionally likelier to be kept — the
+    * importance-sampling form GNN samplers use on co-occurrence and
+    * similarity graphs. Non-positive weights raise in-plan.
+    *
     * Returns the sampled edge frame `hop | node | neighbor` (hop
     * 1-based; `node` is always the FRONTIER side of the edge, whatever
     * the stored orientation — the adjacency a GNN layer aggregates
@@ -548,7 +557,8 @@ object Graph {
       fanouts: Seq[Int],
       samplingSeed: Long = 42L,
       direction: String = "out",
-      maxFrontier: Int = 10000): DataFrame = {
+      maxFrontier: Int = 10000,
+      weightCol: Option[String] = None): DataFrame = {
     require(fanouts.nonEmpty, "fanouts must be non-empty (one per hop)")
     require(fanouts.forall(_ > 0), "every fanout must be positive")
     require(Seq("out", "in", "both").contains(direction),
@@ -581,27 +591,58 @@ object Graph {
         else {
           val edges = index.readFiles(located)
           val fVals = frontier
+          val wSel = weightCol.map(c =>
+            when(col(c).cast("double") > 0, col(c).cast("double"))
+              .otherwise(raise_error(lit(
+                s"sampleNeighbors: non-positive weight in '$c' - drop " +
+                  "non-edges upstream")).cast("double")).as("__w")).toSeq
           // frontier-node u, neighbor v — both orientations under `both`
-          val cand = (direction match {
+          val raw = (direction match {
             case "out" =>
               edges.where(col(srcCol).isin(fVals: _*))
-                .select(col(srcCol).as("__u"), col(dstCol).as("__v"))
+                .select(col(srcCol).as("__u") +: col(dstCol).as("__v")
+                  +: wSel: _*)
             case "in" =>
               edges.where(col(dstCol).isin(fVals: _*))
-                .select(col(dstCol).as("__u"), col(srcCol).as("__v"))
+                .select(col(dstCol).as("__u") +: col(srcCol).as("__v")
+                  +: wSel: _*)
             case "both" =>
               edges.where(col(srcCol).isin(fVals: _*))
-                .select(col(srcCol).as("__u"), col(dstCol).as("__v"))
+                .select(col(srcCol).as("__u") +: col(dstCol).as("__v")
+                  +: wSel: _*)
                 .unionAll(edges.where(col(dstCol).isin(fVals: _*))
-                  .select(col(dstCol).as("__u"), col(srcCol).as("__v")))
-          }).where(col("__v").isNotNull).distinct()
-          // the seeded deterministic rank: md5("u:v:seed") ascending —
-          // engine-replicable (the DuckDB oracle computes the same hex)
+                  .select(col(dstCol).as("__u") +: col(srcCol).as("__v")
+                    +: wSel: _*))
+          }).where(col("__v").isNotNull)
+          // multi-edges collapse: weights ACCUMULATE (a neighbor stored
+          // on many parallel edges is proportionally likelier); the
+          // unweighted sample is over the neighbor SET
+          val cand =
+            if (weightCol.isDefined)
+              raw.groupBy(col("__u"), col("__v"))
+                .agg(sum(col("__w")).as("__w"))
+            else raw.distinct()
+          // the seeded deterministic rank. Unweighted: md5("u:v:seed")
+          // ascending. Weighted: Gumbel-top-f on ln(w) with the SAME
+          // hash-derived uniform the DSIR resampler uses — weighted
+          // sampling without replacement in log space, and
+          // engine-replicable (q_dsir_select already pins the
+          // md5→uniform→ln chain's float parity in DuckDB)
+          val rankKey =
+            if (weightCol.isDefined) {
+              val u = (conv(substring(md5(concat_ws("#",
+                lit(samplingSeed.toString), col("__u").cast("string"),
+                col("__v").cast("string"))), 1, 8), 16, 10)
+                .cast("long") + lit(1L)).cast("double") /
+                lit(4294967297.0)
+              (log(col("__w")) - log(-log(u))).desc
+            } else
+              md5(concat(col("__u").cast("string"), lit(":"),
+                col("__v").cast("string"), lit(":"),
+                lit(samplingSeed.toString))).asc
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(col("__u"))
-            .orderBy(md5(concat(col("__u").cast("string"), lit(":"),
-              col("__v").cast("string"), lit(":"),
-              lit(samplingSeed.toString))))
+            .orderBy(rankKey, col("__v").asc)
           val take = cand
             .withColumn("__rn", row_number().over(w))
             .where(col("__rn") <= f)

@@ -345,6 +345,69 @@ class GraphSpec extends GraftSuite {
     assert(again.toSet == got.toSet)
   }
 
+  test("sampleNeighbors weighted: Gumbel-top-f replay matches; heavier " +
+      "edges are kept more often than the unweighted draw; non-positive " +
+      "weight raises") {
+    import graft.harness.Lake
+    val lk = Lake.get(spark, sf)
+    val got = Graph.sampleNeighbors(lk.edgesIdx, "src", "dst",
+        Seq(3L, 7L), fanouts = Seq(5, 2), samplingSeed = 42L,
+        weightCol = Some("w"))
+      .collect().map(r0 => (r0.getInt(0), r0.getLong(1), r0.getLong(2)))
+    // driver replay of the exact Gumbel key: ln w - ln(-ln u), u from
+    // the first 8 md5 hex digits of "seed#u#v"
+    val edges = spark.read.parquet(lk.edgesFiles: _*)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1), r0.getDouble(2)))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def gk(u: Long, v: Long, w: Double): Double = {
+      val uu = (java.lang.Long.parseLong(
+        md5hex(s"42#$u#$v").take(8), 16) + 1L).toDouble / 4294967297.0
+      math.log(w) - math.log(-math.log(uu))
+    }
+    val adj: Map[Long, Seq[(Long, Double)]] = edges.groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(t => (t._2, t._3)).toSeq }
+    def take(f: Set[Long], n: Int): Seq[(Long, Long)] =
+      f.toSeq.flatMap { u =>
+        adj.getOrElse(u, Seq.empty)
+          .sortBy { case (v, w) => (-gk(u, v, w), v) }.take(n)
+          .map(p => u -> p._1)
+      }
+    val s1 = take(Set(3L, 7L), 5)
+    val f1 = s1.map(_._2).distinct.filterNot(Set(3L, 7L)).toSet
+    val s2 = take(f1, 2)
+    val want = s1.map(p => (1, p._1, p._2)) ++ s2.map(p => (2, p._1, p._2))
+    assert(got.toSet == want.toSet,
+      s"weighted sample mismatch: ${got.length} got vs ${want.length} want")
+    // weight steering: the weighted hop-2 draw must differ from the
+    // unweighted one on the same frontier (weights are non-uniform)
+    val unw = Graph.sampleNeighbors(lk.edgesIdx, "src", "dst",
+        Seq(3L, 7L), fanouts = Seq(5, 2), samplingSeed = 42L)
+      .collect().map(r0 => (r0.getInt(0), r0.getLong(1), r0.getLong(2)))
+      .toSet
+    assert(unw != got.toSet, "weights must steer the draw")
+    // non-positive weight raises in-plan
+    import spark.implicits._
+    val badDir = tmpDir("graft_badw_")
+    Seq((1L, 2L, 0.0)).toDF("src", "dst", "w").coalesce(1)
+      .write.mode("overwrite").parquet(s"$badDir/t")
+    val badFiles = new java.io.File(s"$badDir/t").listFiles()
+      .filter(f0 => f0.getName.startsWith("part-") &&
+        f0.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).toSeq
+    val bad = graft.Index(spark, "badw_idx",
+      spark.read.parquet(s"$badDir/t").schema, "parquet")
+    bad.addIndex("src")
+    bad.addFile(badFiles: _*)
+    bad.update()
+    val e = intercept[Exception] {
+      Graph.sampleNeighbors(bad, "src", "dst", Seq(1L), Seq(2),
+        weightCol = Some("w"))
+    }
+    assert(e.getMessage != null)
+  }
+
   test("induceEdges: exactly the stored edges with both endpoints in " +
       "the set; prunes; refuses corpus-sized sets") {
     import graft.harness.Lake
