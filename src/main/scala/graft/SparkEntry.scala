@@ -2070,7 +2070,7 @@ object SparkEntry {
     // the weighted draw: Gumbel-top-f on ln(w) (hash-derived uniforms,
     // the DSIR machinery) — suppliers filling more line items of an
     // order are proportionally likelier to be kept
-    "q_sample_weighted" -> ((s, dir) => {
+    "q_sample_neighbors_weighted" -> ((s, dir) => {
       val lk = Lake.get(s, dir)
       Graph.sampleNeighbors(lk.edgesIdx, "src", "dst",
           Seq(3L, 7L), fanouts = Seq(5, 2), samplingSeed = 42L,
@@ -5743,7 +5743,7 @@ object SparkEntry {
          ORDER BY e.src, e.dst""",
     // the weighted replay: identical Gumbel keys off the identical
     // md5-derived uniforms (the q_dsir_select float-parity chain)
-    "q_sample_weighted" ->
+    "q_sample_neighbors_weighted" ->
       """WITH edges AS MATERIALIZED (
              SELECT o_custkey AS src, o_orderkey + 10000000 AS dst,
                     1.0::DOUBLE AS w

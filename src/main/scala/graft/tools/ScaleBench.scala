@@ -895,6 +895,20 @@ object ScaleBench {
         case ((l, t), i) =>
           counts(s"x_sample_hop${i + 1}_located") = l.toLong
       }
+      bench("x_sample_weighted_2hop") {
+        graft.operators.Graph.sampleNeighbors(lake.edgesIdx, "src", "dst",
+          Seq(3L, 7L), fanouts = Seq(10, 5), weightCol = Some("w"))
+          .count()
+      }
+      bench("x_induce_from_egonet") {
+        val ns = graft.operators.Graph.neighborhood(lake.edgesIdx,
+          "src", "dst", Seq(3L, 7L), hops = 2, direction = "both")
+          .select("node").collect().map(_.getLong(0)).toSeq
+        graft.operators.Graph.induceEdges(lake.edgesIdx, "src", "dst", ns)
+          .count()
+      }
+      counts("x_induce_located") =
+        graft.operators.Graph.lastNeighborhoodProbes.head._1.toLong
       // the no-index comparison: the same BFS where every hop scans the
       // whole edge lake (bounded driver frontier, identical semantics)
       bench("x_egonet_fullscan") {
