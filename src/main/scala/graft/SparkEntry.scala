@@ -2077,6 +2077,38 @@ object SparkEntry {
           weightCol = Some("w"))
         .orderBy("hop", "node", "neighbor")
     }),
+    // node-grain cohesion on the co-supplier graph: WHERE the triangle
+    // density sits (a high-degree node with lcc ~ 0 is a hub artifact)
+    "q_clustering" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val edges = lk.lineitem
+        .where(col("l_quantity") === 1 &&
+          pmod(col("l_partkey"), lit(5)) === 0)
+        .select((col("l_suppkey") + lit(1000000L)).as("src"),
+          col("l_partkey").as("dst"))
+        .distinct()
+      val coSupp = edges.select(col("dst").as("p"), col("src").as("s1"))
+        .join(edges.select(col("dst").as("p"), col("src").as("s2")), "p")
+        .where(col("s1") < col("s2"))
+        .select(col("s1"), col("s2")).distinct()
+      Graph.localClustering(coSupp, "s1", "s2").orderBy("node")
+    }),
+    // one-scalar mixing structure: do hub suppliers co-occur with other
+    // hubs (positive) or with leaves (negative, the star shape)?
+    "q_assortativity" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val edges = lk.lineitem
+        .where(col("l_quantity") === 1 &&
+          pmod(col("l_partkey"), lit(5)) === 0)
+        .select((col("l_suppkey") + lit(1000000L)).as("src"),
+          col("l_partkey").as("dst"))
+        .distinct()
+      val coSupp = edges.select(col("dst").as("p"), col("src").as("s1"))
+        .join(edges.select(col("dst").as("p"), col("src").as("s2")), "p")
+        .where(col("s1") < col("s2"))
+        .select(col("s1"), col("s2")).distinct()
+      Graph.assortativity(coSupp, "s1", "s2")
+    }),
     // the GNN-prep composition capstone: the 2-hop egonet's node set
     // (bounded, collected) feeds induced-edge extraction — one src-index
     // probe locates candidate files, the residual keeps edges with BOTH
@@ -5711,6 +5743,64 @@ object SparkEntry {
               WHERE b.hop < 2)
          SELECT node, MIN(hop) AS hop FROM bfs
          GROUP BY node ORDER BY node""",
+    // per-node replay: id-ordered triangle enumeration (a<b<c), each
+    // triangle credits its three corners; exact small-int arithmetic,
+    // so no float-order risk before the 6-round
+    "q_clustering" ->
+      """WITH e0 AS (SELECT DISTINCT l_suppkey + 1000000 AS s,
+                l_partkey AS p
+              FROM lineitem
+              WHERE l_quantity = 1 AND l_partkey % 5 = 0),
+         co AS (SELECT DISTINCT x.s AS a, y.s AS b
+                FROM e0 x JOIN e0 y ON x.p = y.p AND x.s < y.s),
+         deg AS (SELECT node, count(*)::BIGINT AS degree
+                 FROM (SELECT a AS node FROM co
+                       UNION ALL SELECT b FROM co)
+                 GROUP BY node),
+         tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                 FROM co e1 JOIN co e2 ON e1.b = e2.a
+                            JOIN co e3 ON e3.a = e1.a AND e3.b = e2.b),
+         cred AS (SELECT node, count(*)::BIGINT AS t
+                  FROM (SELECT x AS node FROM tri
+                        UNION ALL SELECT y FROM tri
+                        UNION ALL SELECT z FROM tri)
+                  GROUP BY node)
+         SELECT d.node, d.degree,
+                coalesce(c.t, 0)::BIGINT AS triangles,
+                CASE WHEN d.degree >= 2 THEN
+                  round(2.0 * coalesce(c.t, 0)
+                    / (d.degree * (d.degree - 1.0)), 6) END AS lcc
+         FROM deg d LEFT JOIN cred c ON c.node = d.node
+         ORDER BY d.node""",
+    // identical five-sum Pearson over the symmetrized endpoint degrees
+    "q_assortativity" ->
+      """WITH e0 AS (SELECT DISTINCT l_suppkey + 1000000 AS s,
+                l_partkey AS p
+              FROM lineitem
+              WHERE l_quantity = 1 AND l_partkey % 5 = 0),
+         co AS (SELECT DISTINCT x.s AS a, y.s AS b
+                FROM e0 x JOIN e0 y ON x.p = y.p AND x.s < y.s),
+         deg AS (SELECT node, count(*)::BIGINT AS degree
+                 FROM (SELECT a AS node FROM co
+                       UNION ALL SELECT b FROM co)
+                 GROUP BY node),
+         sym AS (SELECT a, b FROM co UNION ALL SELECT b, a FROM co),
+         pr AS (SELECT dx.degree::DOUBLE AS x, dy.degree::DOUBLE AS y
+                FROM sym JOIN deg dx ON dx.node = sym.a
+                         JOIN deg dy ON dy.node = sym.b),
+         ag AS (SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+                  sum(x * x) AS sxx, sum(y * y) AS syy,
+                  sum(x * y) AS sxy
+                FROM pr)
+         SELECT (SELECT count(*) FROM deg)::BIGINT AS n_nodes,
+                (SELECT count(*) FROM co)::BIGINT AS n_edges,
+                CASE WHEN (n * sxx - sx * sx) > 0
+                      AND (n * syy - sy * sy) > 0 THEN
+                  round((n * sxy - sx * sy)
+                    / (sqrt(n * sxx - sx * sx)
+                       * sqrt(n * syy - sy * sy)), 6) END
+                  AS assortativity
+         FROM ag""",
     // the egonet CTE re-derives the node set, then keeps the stored
     // edges with both endpoints inside it. DISTINCT is explicit: inside
     // WITH RECURSIVE, DuckDB 1.0 parses ANY top-level-UNION CTE as

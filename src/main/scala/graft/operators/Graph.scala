@@ -163,6 +163,22 @@ object Graph {
       edges: DataFrame,
       srcCol: String,
       dstCol: String): DataFrame = {
+    val (canon, deg, triangles) = triangleFrames(edges, srcCol, dstCol)
+    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+    val ne = canon.agg(count(lit(1)).as("n_edges"))
+    val nt = triangles.agg(count(lit(1)).as("n_triangles"))
+    nn.crossJoin(broadcast(ne)).crossJoin(broadcast(nt))
+  }
+
+  /** Shared triangle machinery: the canonical simple-graph edge frame,
+    * the simple degrees, and ONE ROW PER TRIANGLE `(apex, w1, w2)`
+    * under degree-ordered orientation (each triangle found exactly once
+    * at its (degree, id)-smallest vertex; wedge fan-out O(√E) by the
+    * arboricity bound). */
+  private def triangleFrames(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): (DataFrame, DataFrame, DataFrame) = {
     val canon = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
@@ -186,20 +202,88 @@ object Graph {
         when(col("__oa") < col("__ob"), col("__ob")).otherwise(col("__oa"))
           .as("__odst"))
     // wedges at the smallest vertex: two out-neighbors, ordered so each
-    // candidate pair appears once
+    // candidate pair appears once; the closing-edge join keeps the apex
+    // (closing pairs are unique, so inner == semi on the wedge rows)
     val e1 = oriented.select(col("src"), col("dst").as("w1"),
       col("__odst").as("__o1"))
     val e2 = oriented.select(col("src"), col("dst").as("w2"),
       col("__odst").as("__o2"))
     val wedges = e1.join(e2, Seq("src"))
       .where(col("__o1") < col("__o2"))
-      .select(col("w1"), col("w2"))
+      .select(col("src").as("apex"), col("w1"), col("w2"))
     val closing = oriented.select(col("src").as("w1"), col("dst").as("w2"))
-    val triangles = wedges.join(closing, Seq("w1", "w2"), "left_semi")
+    (canon, deg, wedges.join(closing, Seq("w1", "w2")))
+  }
+
+  /** Per-node local clustering coefficient over the UNDIRECTED simple
+    * graph (Watts & Strogatz 1998): `node | degree | triangles | lcc`
+    * with `lcc = 2·t(v) / (deg(v)·(deg(v)−1))` rounded to 6, null when
+    * `deg < 2` (undefined — a leaf has no wedge to close). The cohesion
+    * signal AT NODE GRAIN: on an entity-resolution blocking graph a
+    * node whose neighborhood is triangle-dense sits inside a real
+    * entity, a high-degree node with lcc ≈ 0 is a hub artifact
+    * stitching unrelated records ([[triangleCount]] says how much of
+    * this the graph has; this says WHERE).
+    *
+    * Scale shape: the same degree-ordered wedge machinery as
+    * [[triangleCount]] (each triangle materialized once at its
+    * smallest vertex, O(√E) fan-out), then each triangle row credits
+    * its three corners through one explode + node-grain count — the
+    * only added exchange is node-grain. */
+  def localClustering(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val (_, deg, triangles) = triangleFrames(edges, srcCol, dstCol)
+    val credits = triangles
+      .select(explode(array(col("apex"), col("w1"), col("w2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("__t"))
+    deg.join(credits, Seq("node"), "left")
+      .select(col("node"),
+        col("__deg").as("degree"),
+        coalesce(col("__t"), lit(0L)).as("triangles"),
+        when(col("__deg") >= 2, round(
+          lit(2.0) * coalesce(col("__t"), lit(0L)).cast("double") /
+            (col("__deg").cast("double") *
+              (col("__deg").cast("double") - 1.0)), 6)).as("lcc"))
+  }
+
+  /** Degree assortativity (Newman 2002, the Pearson form over edge
+    * endpoint degrees): one row `n_nodes | n_edges | assortativity`,
+    * the correlation of `(deg(u), deg(v))` over the SYMMETRIZED simple
+    * edge list (each undirected edge contributes both orientations, so
+    * the measure is orientation-free), rounded to 6; null on a
+    * degree-regular graph (zero variance — correlation undefined).
+    * Positive: hubs link hubs (social shape); negative: hubs link
+    * leaves (star/broadcast shape — what a blocking-key hub artifact
+    * looks like). One degree aggregate + one edge-grain join + one
+    * five-sum aggregate; nothing quadratic. */
+  def assortativity(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String): DataFrame = {
+    val (canon, deg, _) = triangleFrames(edges, srcCol, dstCol)
+    val sym = canon.select(col("a"), col("b"))
+      .unionAll(canon.select(col("b").as("a"), col("a").as("b")))
+    val pairs = sym
+      .join(deg.select(col("node").as("a"), col("__deg").as("__dx")), "a")
+      .join(deg.select(col("node").as("b"), col("__deg").as("__dy")), "b")
+      .select(col("__dx").cast("double").as("x"),
+        col("__dy").cast("double").as("y"))
     val nn = deg.agg(count(lit(1)).as("n_nodes"))
     val ne = canon.agg(count(lit(1)).as("n_edges"))
-    val nt = triangles.agg(count(lit(1)).as("n_triangles"))
-    nn.crossJoin(broadcast(ne)).crossJoin(broadcast(nt))
+    val r = pairs.agg(
+        count(lit(1)).cast("double").as("__n"),
+        sum(col("x")).as("__sx"), sum(col("y")).as("__sy"),
+        sum(col("x") * col("x")).as("__sxx"),
+        sum(col("y") * col("y")).as("__syy"),
+        sum(col("x") * col("y")).as("__sxy"))
+      .select(round(try_divide(
+        col("__n") * col("__sxy") - col("__sx") * col("__sy"),
+        sqrt(col("__n") * col("__sxx") - col("__sx") * col("__sx")) *
+          sqrt(col("__n") * col("__syy") - col("__sy") * col("__sy"))), 6)
+        .as("assortativity"))
+    nn.crossJoin(broadcast(ne)).crossJoin(broadcast(r))
   }
 
   /** Power-iteration PageRank (Brin & Page 1998) with proper dangling-

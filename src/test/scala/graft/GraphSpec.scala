@@ -252,6 +252,46 @@ class GraphSpec extends GraftSuite {
       3L -> ((0L, 2L))))
   }
 
+  test("localClustering: hand-computed K4 + pendant; credits sum to 3x " +
+      "the census; assortativity replays the Pearson formula") {
+    // K4 on {1,2,3,4} plus pendant 5-1: node 1 sits in 3 of the 4
+    // triangles at degree 4 (lcc 0.5), nodes 2-4 close every wedge
+    // (lcc 1.0), the pendant has no wedge (lcc null)
+    val k4p = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 1L)).toDF("s", "t")
+    val got = Graph.localClustering(k4p, "s", "t")
+      .collect().map(r0 => r0.getLong(0) ->
+        ((r0.getLong(1), r0.getLong(2),
+          if (r0.isNullAt(3)) None else Some(r0.getDouble(3))))).toMap
+    assert(got(1L) == ((4L, 3L, Some(0.5))))
+    Seq(2L, 3L, 4L).foreach(n => assert(got(n) == ((3L, 3L, Some(1.0)))))
+    assert(got(5L) == ((1L, 0L, None)))
+    // triple-credit identity vs the global census
+    val census = Graph.triangleCount(k4p, "s", "t").head()
+    assert(got.values.map(_._2).sum == 3L * census.getLong(2))
+    // assortativity: replay the five-sum Pearson over symmetrized
+    // endpoint degrees in the driver
+    val r0 = Graph.assortativity(k4p, "s", "t").head()
+    assert(r0.getLong(0) == 5L && r0.getLong(1) == 7L)
+    val deg = Map(1L -> 4.0, 2L -> 3.0, 3L -> 3.0, 4L -> 3.0, 5L -> 1.0)
+    val canon = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L))
+    val xy = canon.flatMap { case (a, b) =>
+      Seq((deg(a), deg(b)), (deg(b), deg(a))) }
+    val n = xy.size.toDouble
+    val (sx, sy) = (xy.map(_._1).sum, xy.map(_._2).sum)
+    val (sxx, syy) = (xy.map(p => p._1 * p._1).sum,
+      xy.map(p => p._2 * p._2).sum)
+    val sxy = xy.map(p => p._1 * p._2).sum
+    val want = BigDecimal((n * sxy - sx * sy) /
+        (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r0.getDouble(2) == want)
+    // degree-regular graph (a 4-cycle): zero variance -> null
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("s", "t")
+    assert(Graph.assortativity(cyc, "s", "t").head().isNullAt(2))
+  }
+
   test("neighborhood: index-pruned BFS matches a full-scan driver BFS; " +
       "key-local hops locate fewer files than the lake holds") {
     import graft.harness.Lake
