@@ -42,7 +42,11 @@ object AucAgg {
     val counts = new java.util.HashMap[java.lang.Double, Array[Long]]()
 
     def add(s: Double, pos: Boolean): Unit = {
-      val key = java.lang.Double.valueOf(s)
+      // normalize -0.0 to 0.0: java.lang.Double.equals distinguishes the
+      // two while Spark's groupBy (and the relational walk it must match)
+      // normalizes them into one group — without this, a frame holding
+      // both zeros gets two tie-groups here but one in ModelEval.aucRoc
+      val key = java.lang.Double.valueOf(if (s == 0.0) 0.0 else s)
       var c = counts.get(key)
       if (c == null) {
         if (counts.size >= maxScores)

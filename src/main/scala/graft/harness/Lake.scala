@@ -343,12 +343,29 @@ object Lake {
   def splitPrebanded(df: DataFrame, dir: String, nBands: Int): Seq[String] = {
     val banded = df.repartition(nBands, col("band"))
     banded.write.partitionBy("band").mode("overwrite").parquet(dir)
-    (0 until nBands).map { b =>
-      val path = s"$dir/band=$b"
-      val f = new java.io.File(path.stripPrefix("file:"))
-      f.listFiles().filter(x => x.getName.startsWith("part-") && x.getName.endsWith(".parquet"))
-        .map(_.getAbsolutePath).head
-    }
+    (0 until nBands).map(b => singleBandFile(dir, b, ".parquet"))
+  }
+
+  /** The one part file of `dir/band=b` — asserting the banding invariant
+    * loudly: every band must be NON-EMPTY (an empty band means the
+    * caller's band column skipped a value — previously an opaque NPE) and
+    * hold EXACTLY one part file (more would silently vanish from the
+    * returned lake fixture, dropping rows from file-list-based oracles). */
+  private def singleBandFile(dir: String, b: Int, ext: String): String = {
+    val path = s"$dir/band=$b"
+    val f = new java.io.File(path.stripPrefix("file:"))
+    require(f.isDirectory,
+      s"lake banding: band dir $path does not exist - the band column " +
+        s"produced no rows for band $b (every band in [0, nBands) must " +
+        "be non-empty)")
+    val parts = f.listFiles()
+      .filter(x => x.getName.startsWith("part-") && x.getName.endsWith(ext))
+      .map(_.getAbsolutePath).sorted
+    require(parts.length == 1,
+      s"lake banding: band dir $path holds ${parts.length} part files, " +
+        "expected exactly 1 - a multi-file band would silently drop rows " +
+        "from the single-file-per-band lake fixture")
+    parts.head
   }
 
   def splitWrite(
@@ -366,11 +383,6 @@ object Lake {
       .withColumn("band", col(key).cast("long").divide(width).cast("long").cast("int"))
       .repartition(n, col("band"))
     write(banded, dir)
-    (0 until n).map { b =>
-      val path = s"$dir/band=$b"
-      val f = new java.io.File(path.stripPrefix("file:"))
-      f.listFiles().filter(x => x.getName.startsWith("part-") && x.getName.endsWith(ext))
-        .map(_.getAbsolutePath).head
-    }
+    (0 until n).map(b => singleBandFile(dir, b, ext))
   }
 }

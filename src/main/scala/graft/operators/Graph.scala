@@ -505,10 +505,17 @@ object Graph {
     * drive and spec. Requires an index on the probed endpoint
     * column(s) (`out` → srcCol, `in` → dstCol, `both` → both). */
   /** `(filesLocated, filesTotal)` per hop of the most recent
-    * [[neighborhood]] call in this JVM — the pruning-evidence surface
-    * (the `IndexJoin.lastMetrics` pattern): specs and the drive assert
-    * located < total on the hops where the frontier is key-local. */
-  @volatile var lastNeighborhoodProbes: Seq[(Int, Int)] = Nil
+    * [[neighborhood]]/[[sampleNeighbors]]/[[induceEdges]] call ON THIS
+    * THREAD — the pruning-evidence surface (the `IndexJoin.lastMetrics`
+    * pattern): specs and the drive assert located < total on the hops
+    * where the frontier is key-local. Thread-local, not JVM-global, so
+    * concurrent serving calls (the Lake's multi-threaded prebuild
+    * pattern, parallel bench runs) cannot clobber each other's
+    * evidence; read it from the thread that made the call. */
+  private val probesTl = new ThreadLocal[Seq[(Int, Int)]] {
+    override def initialValue(): Seq[(Int, Int)] = Nil
+  }
+  def lastNeighborhoodProbes: Seq[(Int, Int)] = probesTl.get()
 
   def neighborhood(
       index: graft.Index,
@@ -576,13 +583,24 @@ object Graph {
         frontier = fresh
       }
     }
-    lastNeighborhoodProbes = probeStats.result()
+    probesTl.set(probeStats.result())
     // node type from the read path's schema (covers computed columns
-    // too — the empty-read branch has full schema parity)
+    // too — the empty-read branch has full schema parity). Under `both`
+    // the node column mixes src-typed and dst-typed values, so the
+    // endpoint types must agree (the sampleNeighbors discipline) —
+    // otherwise Row encoding fails downstream with an opaque error
     val readSchema = index.readFiles(Seq.empty).schema
-    val nodeType = readSchema.find(_.name == srcCol)
-      .orElse(readSchema.find(_.name == dstCol))
+    def typeFor(name: String) = readSchema.find(_.name == name)
       .map(_.dataType)
+    if (direction == "both")
+      (typeFor(srcCol), typeFor(dstCol)) match {
+        case (Some(st), Some(dt)) => require(st == dt,
+          s"neighborhood: direction 'both' needs matching endpoint " +
+            s"types, got $st vs $dt")
+        case _ => ()
+      }
+    val nodeType = typeFor(srcCol)
+      .orElse(typeFor(dstCol))
       .getOrElse(throw new IllegalArgumentException(
         s"neighborhood: neither '$srcCol' nor '$dstCol' is in the " +
           "indexed table's schema"))
@@ -744,7 +762,7 @@ object Graph {
         }
       }
     }
-    lastNeighborhoodProbes = probeStats.result()
+    probesTl.set(probeStats.result())
     val readSchema = index.readFiles(Seq.empty).schema
     def typeOf(name: String) = readSchema.find(_.name == name)
       .map(_.dataType).getOrElse(throw new IllegalArgumentException(
@@ -798,7 +816,7 @@ object Graph {
         "induced subgraph over a corpus-sized set is a semi-join " +
         "(index.join), not a serving call")
     val located = index.locateFiles(Map(srcCol -> set))
-    lastNeighborhoodProbes = Seq((located.size, index.files.size))
+    probesTl.set(Seq((located.size, index.files.size)))
     index.readFiles(located)
       .where(col(srcCol).isin(set: _*) && col(dstCol).isin(set: _*))
       .select(col(srcCol), col(dstCol))

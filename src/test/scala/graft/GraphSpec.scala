@@ -485,4 +485,28 @@ class GraphSpec extends GraftSuite {
     assert(viaSql.nonEmpty && viaSql.values.exists(_ == 2),
       "the walk must actually reach hop 2")
   }
+
+  test("serving probe stats are per-thread: a concurrent serving call " +
+      "does not clobber this thread's pruning evidence") {
+    import graft.harness.Lake
+    val lk = Lake.get(spark, sf)
+    Graph.neighborhood(lk.edgesIdx, "src", "dst", Seq(3L), hops = 1,
+      direction = "out")
+    val mine = Graph.lastNeighborhoodProbes
+    assert(mine.nonEmpty)
+    // another thread runs its own serving call (different probe shape:
+    // one induceEdges locate) — under the old JVM-global slot this
+    // overwrote our evidence and a pruning assertion could read another
+    // call's stats
+    var otherSaw: Seq[(Int, Int)] = Nil
+    val t = new Thread(() => {
+      graft.operators.Graph.induceEdges(lk.edgesIdx, "src", "dst",
+        Seq(3L, 7L)).count()
+      otherSaw = Graph.lastNeighborhoodProbes
+    })
+    t.start(); t.join()
+    assert(otherSaw.size == 1, "the other thread sees its own one-probe stats")
+    assert(Graph.lastNeighborhoodProbes == mine,
+      "this thread's probe evidence must survive the concurrent call")
+  }
 }

@@ -389,6 +389,23 @@ class SqlFunctionsSpec extends GraftSuite {
       s"unexpected: ${e.getMessage}")
   }
 
+  test("graft_auc: -0.0 and 0.0 share one tie-group (grouping parity " +
+      "with the relational walk)") {
+    import spark.implicits._
+    docs // force registration
+    // java.lang.Double.equals distinguishes the zeros; Spark's groupBy
+    // (the relational aucRoc walk) does not — the aggregate must agree
+    val df = Seq((0.0, 1), (-0.0, 0), (-0.0, 1), (0.5, 0), (1.0, 1))
+      .toDF("score", "label")
+    df.createOrReplaceTempView("sqlfn_zero_scored")
+    val viaSql = spark.sql(
+      """SELECT r.n_pos AS n_pos, r.n_neg AS n_neg, r.auc AS auc
+         FROM (SELECT graft_auc(score, label) AS r
+               FROM sqlfn_zero_scored)""")
+    assertSameRows(viaSql,
+      graft.operators.ModelEval.aucRoc(df, "score", "label"))
+  }
+
   test("q_sql_graph: the pure-SQL degrees + persisted-pagerank serving " +
       "statement == the programmatic composition") {
     import graft.harness.Lake
