@@ -558,18 +558,23 @@ object Graph {
       if (located.isEmpty) frontier = Nil
       else {
         val edges = index.readFiles(located)
-        val fVals = frontier
+        // frontier membership rides the probe-shape discipline: within
+        // `probeValueLimit` an `isin` literal list, past it a broadcast
+        // sorted-array membership expression — a 10^4-literal isin tree
+        // bloats every task's serialized plan (r12 verdict item #2)
+        def fPred(c: String) = IndexProbe.memberFilter(spark,
+          edges.schema(c).dataType, frontier)(col(c))
         val next = (direction match {
           case "out" =>
-            edges.where(col(srcCol).isin(fVals: _*))
+            edges.where(fPred(srcCol))
               .select(col(dstCol).as("__n"))
           case "in" =>
-            edges.where(col(dstCol).isin(fVals: _*))
+            edges.where(fPred(dstCol))
               .select(col(srcCol).as("__n"))
           case "both" =>
-            edges.where(col(srcCol).isin(fVals: _*))
+            edges.where(fPred(srcCol))
               .select(col(dstCol).as("__n"))
-              .unionAll(edges.where(col(dstCol).isin(fVals: _*))
+              .unionAll(edges.where(fPred(dstCol))
                 .select(col(srcCol).as("__n")))
         }).where(col("__n").isNotNull).distinct()
           .collect().map(_.get(0)).toSeq
@@ -692,7 +697,10 @@ object Graph {
         if (located.isEmpty) frontier = Nil
         else {
           val edges = index.readFiles(located)
-          val fVals = frontier
+          // same probe-shape discipline as [[neighborhood]]: literal
+          // isin within the cap, broadcast membership past it
+          def fPred(c: String) = IndexProbe.memberFilter(spark,
+            edges.schema(c).dataType, frontier)(col(c))
           val wSel = weightCol.map(c =>
             when(col(c).cast("double") > 0, col(c).cast("double"))
               .otherwise(raise_error(lit(
@@ -701,18 +709,18 @@ object Graph {
           // frontier-node u, neighbor v — both orientations under `both`
           val raw = (direction match {
             case "out" =>
-              edges.where(col(srcCol).isin(fVals: _*))
+              edges.where(fPred(srcCol))
                 .select(col(srcCol).as("__u") +: col(dstCol).as("__v")
                   +: wSel: _*)
             case "in" =>
-              edges.where(col(dstCol).isin(fVals: _*))
+              edges.where(fPred(dstCol))
                 .select(col(dstCol).as("__u") +: col(srcCol).as("__v")
                   +: wSel: _*)
             case "both" =>
-              edges.where(col(srcCol).isin(fVals: _*))
+              edges.where(fPred(srcCol))
                 .select(col(srcCol).as("__u") +: col(dstCol).as("__v")
                   +: wSel: _*)
-                .unionAll(edges.where(col(dstCol).isin(fVals: _*))
+                .unionAll(edges.where(fPred(dstCol))
                   .select(col(dstCol).as("__u") +: col(srcCol).as("__v")
                     +: wSel: _*))
           }).where(col("__v").isNotNull)
@@ -817,8 +825,12 @@ object Graph {
         "(index.join), not a serving call")
     val located = index.locateFiles(Map(srcCol -> set))
     probesTl.set(Seq((located.size, index.files.size)))
-    index.readFiles(located)
-      .where(col(srcCol).isin(set: _*) && col(dstCol).isin(set: _*))
+    val out = index.readFiles(located)
+    // the maxNodes default (10^5) sits far past the isin comfort zone —
+    // the residual rides the broadcast membership path, not a literal tree
+    def sPred(c: String) = IndexProbe.memberFilter(index.spark,
+      out.schema(c).dataType, set)(col(c))
+    out.where(sPred(srcCol) && sPred(dstCol))
       .select(col(srcCol), col(dstCol))
   }
 

@@ -259,7 +259,8 @@ object IndexProbe {
           case None => main
         }
         val need = values.distinct
-        all.where(isinOrFalse(col("__v"), need))
+        all.where(memberFilter(store.spark,
+          all.schema("__v").dataType, need)(col("__v")))
           .groupBy("filename")
           .agg(count_distinct(col("__v")).as("__n"))
           .where(col("__n") === need.size)
@@ -314,7 +315,7 @@ object IndexProbe {
         val preFiltered = probeStrings match {
           case Some(vs) if indexDf.columns.contains(ab) =>
             val candidates = indexDf
-              .where(Blooms.mightContainAny(vs)(col(ab)) || col(ab).isNull)
+              .where(bloomAnyFilter(spark, vs)(col(ab)) || col(ab).isNull)
               .select("filename")
             largeRows.join(candidates, Seq("filename"), "left_semi")
           case _ => largeRows
@@ -324,7 +325,8 @@ object IndexProbe {
     }
 
     probe match {
-      case Values(vs) => all.where(isinOrFalse(col("__v"), vs))
+      case Values(vs) => all.where(
+        memberFilter(spark, all.schema("__v").dataType, vs)(col("__v")))
       case Frame(df) => frameLiteralVals match {
         case Some(vs) => all.where(isinOrFalse(col("__v"), vs))
         case None =>
@@ -344,6 +346,38 @@ object IndexProbe {
   /** `isin` with Spark's empty-list edge pinned to constant false. */
   private def isinOrFalse(c: Column, vs: Seq[Any]): Column =
     if (vs.isEmpty) lit(false) else c.isin(vs: _*)
+
+  /** Row-level membership filter for a bounded Values probe, with the
+    * SAME shape discipline as Frame probes: within `probeValueLimit` the
+    * values inline as an `isin` literal list; past it they ship ONCE as a
+    * broadcast sorted array into a codegen'd membership expression
+    * ([[graft.functions.BroadcastSets]]) for the key types real joins use
+    * — a 10^4-literal `isin` tree bloats the serialized plan shipped with
+    * every task. Element types without a broadcast expression keep the
+    * literal list (correct, merely bigger plans). */
+  private[operators] def memberFilter(
+      spark: SparkSession,
+      dt: org.apache.spark.sql.types.DataType,
+      vs: Seq[Any]): Column => Column =
+    if (vs.isEmpty) (_: Column) => lit(false)
+    else if (vs.size <= GraftConf.probeValueLimit(spark))
+      (c: Column) => c.isin(vs: _*)
+    else broadcastContains(spark, vs, dt)
+      .getOrElse((c: Column) => c.isin(vs: _*))
+
+  /** Bloom any-match predicate with the same shape discipline: literal
+    * closure list within the cap, broadcast array past it. */
+  private def bloomAnyFilter(
+      spark: SparkSession,
+      strings: Seq[String]): Column => Column =
+    if (strings.size <= GraftConf.probeValueLimit(spark))
+      Blooms.mightContainAny(strings)
+    else {
+      val nonNull = strings.filter(_ != null).toArray
+      if (nonNull.isEmpty) Blooms.mightContainAny(strings)
+      else Blooms.mightContainAnyBroadcast(
+        spark.sparkContext.broadcast(nonNull))
+    }
 
   /** Executor-side membership test against a broadcast hash set of probe
     * values, for the key types real joins use. Returns None — caller falls
@@ -388,7 +422,8 @@ object IndexProbe {
     probe match {
       case Values(vs) =>
         val strings = vs.filter(_ != null).map(_.toString)
-        indexDf.where(Blooms.mightContainAny(strings)(sc) || sc.isNull)
+        indexDf.where(
+          bloomAnyFilter(spark, strings)(sc) || sc.isNull)
       case Frame(df) =>
         // ONE bounded collect under the larger broadcast cap (same shape as
         // arrayCandidates — a second collect would re-execute the whole
@@ -469,7 +504,9 @@ object IndexProbe {
       .select(col("filename"), explode(col(ix.column)).as("__s"))
       .select(col("filename"), col("__s.value").as("__v"), col("__s.max_ts").as("__ts"))
     val matched = probe match {
-      case Values(vs) => exploded.where(isinOrFalse(col("__v"), vs))
+      case Values(vs) => exploded.where(memberFilter(
+        indexDf.sparkSession, exploded.schema("__v").dataType, vs)(
+        col("__v")))
       case Frame(df) => boundedValues(indexDf.sparkSession, df) match {
         // same bounded literal fast path as arrayCandidates
         case Some(vs) => exploded.where(isinOrFalse(col("__v"), vs))

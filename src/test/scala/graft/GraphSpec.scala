@@ -486,6 +486,38 @@ class GraphSpec extends GraftSuite {
       "the walk must actually reach hop 2")
   }
 
+  test("frontier probe shapes agree: forcing the broadcast membership " +
+      "path (tiny probeValueLimit) returns the identical egonet, " +
+      "sample, and induced subgraph as the literal isin path") {
+    import graft.harness.Lake
+    val lk = Lake.get(spark, sf)
+    def runAll(): (Set[(Long, Int)], Seq[(Int, Long, Long)],
+        Set[(Long, Long)]) = {
+      val ego = Graph.neighborhood(lk.edgesIdx, "src", "dst",
+          Seq(3L, 7L), hops = 2, direction = "both")
+        .collect().map(r0 => (r0.getLong(0), r0.getInt(1))).toSet
+      val samp = Graph.sampleNeighbors(lk.edgesIdx, "src", "dst",
+          Seq(3L, 7L), fanouts = Seq(5, 3), samplingSeed = 42L)
+        .orderBy("hop", "node", "neighbor")
+        .collect().map(r0 => (r0.getInt(0), r0.getLong(1), r0.getLong(2)))
+        .toSeq
+      val ind = Graph.induceEdges(lk.edgesIdx, "src", "dst",
+          ego.map(_._1).toSeq)
+        .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+      (ego, samp, ind)
+    }
+    val literal = runAll()
+    // a 2-value cap pushes EVERY frontier past the literal path: the
+    // index locate AND the row-level residual must ride the broadcast
+    // membership expressions and return bit-identical results
+    spark.conf.set("spark.graft.probeValueLimit", "2")
+    try {
+      val broadcastPath = runAll()
+      assert(broadcastPath == literal,
+        "broadcast membership path must equal the literal isin path")
+    } finally spark.conf.unset("spark.graft.probeValueLimit")
+  }
+
   test("serving probe stats are per-thread: a concurrent serving call " +
       "does not clobber this thread's pruning evidence") {
     import graft.harness.Lake
