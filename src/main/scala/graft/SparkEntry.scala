@@ -2077,6 +2077,20 @@ object SparkEntry {
           weightCol = Some("w"))
         .orderBy("hop", "node", "neighbor")
     }),
+    // heterogeneous GNN minibatch prep (r12 verdict item #3): the
+    // metapath customer→order ('c2o', ≤5) then order→supplier ('o2s',
+    // ≤3) — each hop follows ONE edge type (the PyG NeighborLoader
+    // num_neighbors={edge_type: n} shape), the reads index-pruned per
+    // hop (the per-type src banding makes the src probe prune per type
+    // for free), the draw the same bit-reproducible md5 rank the
+    // homogeneous sampler uses — the DuckDB oracle replays it per type
+    "q_sample_metapath" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      Graph.sampleMetapath(lk.edgesIdx, "src", "dst", "etype",
+          Seq(3L, 7L), path = Seq(("c2o", 5), ("o2s", 3)),
+          samplingSeed = 42L)
+        .orderBy("hop", "node", "neighbor")
+    }),
     // node-grain cohesion on the co-supplier graph: WHERE the triangle
     // density sits (a high-degree node with lcc ~ 0 is a hub artifact)
     "q_clustering" -> ((s, dir) => {
@@ -5919,6 +5933,38 @@ object SparkEntry {
          SELECT 1 AS hop, u AS node, v AS neighbor FROM s1
          UNION ALL
          SELECT 2 AS hop, u AS node, v AS neighbor FROM s2
+         ORDER BY hop, node, neighbor""",
+    // per-type replay of the same md5 rank: hop 1 draws only from the
+    // customer→order edge set, hop 2 only from order→supplier
+    "q_sample_metapath" ->
+      """WITH c2o AS MATERIALIZED (
+             SELECT o_custkey AS src, o_orderkey + 10000000 AS dst
+               FROM orders),
+         o2s AS MATERIALIZED (
+             SELECT DISTINCT l_orderkey + 10000000 AS src,
+                    l_suppkey + 20000000 AS dst
+               FROM lineitem),
+         f0(node) AS (SELECT CAST(v AS BIGINT)
+             FROM (VALUES (3), (7)) t(v)),
+         c1 AS (SELECT DISTINCT e.src AS u, e.dst AS v
+             FROM c2o e JOIN f0 ON e.src = f0.node),
+         r1 AS (SELECT u, v, row_number() OVER (PARTITION BY u
+                  ORDER BY md5(u::VARCHAR || ':' || v::VARCHAR || ':42'))
+                  AS rn
+                FROM c1),
+         s1 AS (SELECT u, v FROM r1 WHERE rn <= 5),
+         f1(node) AS (SELECT DISTINCT v FROM s1
+             WHERE v NOT IN (SELECT node FROM f0)),
+         c2 AS (SELECT DISTINCT e.src AS u, e.dst AS v
+             FROM o2s e JOIN f1 ON e.src = f1.node),
+         r2 AS (SELECT u, v, row_number() OVER (PARTITION BY u
+                  ORDER BY md5(u::VARCHAR || ':' || v::VARCHAR || ':42'))
+                  AS rn
+                FROM c2),
+         s2 AS (SELECT u, v FROM r2 WHERE rn <= 3)
+         SELECT 1 AS hop, 'c2o' AS etype, u AS node, v AS neighbor FROM s1
+         UNION ALL
+         SELECT 2 AS hop, 'o2s' AS etype, u AS node, v AS neighbor FROM s2
          ORDER BY hop, node, neighbor""",
     // same 3-iteration replay as q_pagerank_pruned's engine, joined in
     // SQL with a plain degree aggregate — the persisted-result read is

@@ -254,11 +254,12 @@ final class Lake private (val spark: SparkSession, val sfDir: String, val work: 
     // order) — the weighted fan-out sampler's importance signal
     val cust = table("orders").select(col("o_custkey").as("src"),
       (col("o_orderkey") + lit(10000000L)).as("dst"),
-      lit(1.0).as("w"))
+      lit(1.0).as("w"), lit("c2o").as("etype"))
     val sup = table("lineitem")
       .groupBy((col("l_orderkey") + lit(10000000L)).as("src"),
         (col("l_suppkey") + lit(20000000L)).as("dst"))
       .agg(count(lit(1)).cast("double").as("w"))
+      .withColumn("etype", lit("o2s"))
     val maxCust = cust.agg(max("src")).first().getLong(0)
     val maxOrd = sup.agg(max("src")).first().getLong(0) - 10000000L
     val cw = maxCust / n + 1

@@ -97,42 +97,50 @@ object Graph {
     val eByDst = e.repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // ONE driver action per half-step (r12 verdict item #4 — was two):
+    // only the RAW contribution aggregate is persisted; its L1 total
+    // materializes it, and the normalized frame stays LAZY over that
+    // cache (nodes ⋈ raw + a scalar divide — re-derived in-plan by any
+    // consumer, never recomputed from edges). The previous half-step's
+    // raw cache is released only after the action that consumed it.
     var hubs = nodes
       .select(col("node"), round(lit(1.0 / n), roundScale).as("h"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    hubs.count()
     var auths: DataFrame = null
+    var hubsBacking: DataFrame = null  // persisted raw behind `hubs`
+    var authsBacking: DataFrame = null // persisted raw behind `auths`
 
     (1 to iters).foreach { _ =>
       // authority half-step: in-flowing hub mass, L1-normalized
       val aRaw = eBySrc
         .join(hubs.select(col("node").as("src"), col("h")), "src")
         .groupBy(col("dst").as("node")).agg(sum("h").as("__a"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val aTot = aRaw.agg(coalesce(sum("__a"), lit(0.0))).head().getDouble(0)
       require(aTot > 0, "authority mass vanished - the graph has no edges")
-      val nextA = nodes.join(aRaw, Seq("node"), "left")
+      if (authsBacking != null) authsBacking.unpersist(blocking = false)
+      authsBacking = aRaw
+      auths = nodes.join(aRaw, Seq("node"), "left")
         .select(col("node"), round(
           coalesce(col("__a"), lit(0.0)) / lit(aTot), roundScale).as("a"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      nextA.count()
-      if (auths != null) auths.unpersist(blocking = false)
-      auths = nextA
       // hub half-step: out-flowing authority mass, L1-normalized
       val hRaw = eByDst
         .join(auths.select(col("node").as("dst"), col("a")), "dst")
         .groupBy(col("src").as("node")).agg(sum("a").as("__h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       val hTot = hRaw.agg(coalesce(sum("__h"), lit(0.0))).head().getDouble(0)
       require(hTot > 0, "hub mass vanished - the graph has no edges")
-      val nextH = nodes.join(hRaw, Seq("node"), "left")
+      if (hubsBacking != null) hubsBacking.unpersist(blocking = false)
+      hubsBacking = hRaw
+      hubs = nodes.join(hRaw, Seq("node"), "left")
         .select(col("node"), round(
           coalesce(col("__h"), lit(0.0)) / lit(hTot), roundScale).as("h"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      nextH.count()
-      hubs.unpersist(blocking = false)
-      hubs = nextH
     }
     val out = hubs.join(auths, Seq("node"))
       .select(col("node"), col("h").as("hub"), col("a").as("authority"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // pin the final scores before releasing the loop caches
+    if (hubsBacking != null) hubsBacking.unpersist(blocking = false)
+    if (authsBacking != null) authsBacking.unpersist(blocking = false)
     eBySrc.unpersist(blocking = false)
     eByDst.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
@@ -732,24 +740,7 @@ object Graph {
               raw.groupBy(col("__u"), col("__v"))
                 .agg(sum(col("__w")).as("__w"))
             else raw.distinct()
-          // the seeded deterministic rank. Unweighted: md5("u:v:seed")
-          // ascending. Weighted: Gumbel-top-f on ln(w) with the SAME
-          // hash-derived uniform the DSIR resampler uses — weighted
-          // sampling without replacement in log space, and
-          // engine-replicable (q_dsir_select already pins the
-          // md5→uniform→ln chain's float parity in DuckDB)
-          val rankKey =
-            if (weightCol.isDefined) {
-              val u = (conv(substring(md5(concat_ws("#",
-                lit(samplingSeed.toString), col("__u").cast("string"),
-                col("__v").cast("string"))), 1, 8), 16, 10)
-                .cast("long") + lit(1L)).cast("double") /
-                lit(4294967297.0)
-              (log(col("__w")) - log(-log(u))).desc
-            } else
-              md5(concat(col("__u").cast("string"), lit(":"),
-                col("__v").cast("string"), lit(":"),
-                lit(samplingSeed.toString))).asc
+          val rankKey = fanoutRank(weightCol.isDefined, samplingSeed)
           val w = org.apache.spark.sql.expressions.Window
             .partitionBy(col("__u"))
             .orderBy(rankKey, col("__v").asc)
@@ -793,6 +784,153 @@ object Graph {
       org.apache.spark.sql.types.StructField("neighbor", neighborType)))
     val rows = sampled.result().map { case (h, u, v) =>
       org.apache.spark.sql.Row(h, u, v)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
+  /** The seeded deterministic rank the fan-out samplers share, over the
+    * per-hop candidate frame `(__u, __v[, __w])`. Unweighted:
+    * md5("u:v:seed") ascending. Weighted: Gumbel-top-f on ln(w) with the
+    * SAME hash-derived uniform the DSIR resampler uses — weighted
+    * sampling without replacement in log space, and engine-replicable
+    * (q_dsir_select pins the md5→uniform→ln chain's float parity in
+    * DuckDB). */
+  private def fanoutRank(
+      weighted: Boolean,
+      samplingSeed: Long): org.apache.spark.sql.Column =
+    if (weighted) {
+      val u = (conv(substring(md5(concat_ws("#",
+        lit(samplingSeed.toString), col("__u").cast("string"),
+        col("__v").cast("string"))), 1, 8), 16, 10)
+        .cast("long") + lit(1L)).cast("double") /
+        lit(4294967297.0)
+      (log(col("__w")) - log(-log(u))).desc
+    } else
+      md5(concat(col("__u").cast("string"), lit(":"),
+        col("__v").cast("string"), lit(":"),
+        lit(samplingSeed.toString))).asc
+
+  /** Heterogeneous (metapath) fan-out sampling over a TYPED indexed edge
+    * table — the PyG `NeighborLoader(input_nodes,
+    * num_neighbors={edge_type: n})` shape for heterogeneous GNNs: hop
+    * `h` follows ONLY edges whose `typeCol` equals `path(h-1)._1`
+    * (src → dst orientation — a metapath names each step's edge type,
+    * e.g. customer→order then order→supplier), keeping at most
+    * `path(h-1)._2` distinct neighbors per frontier node under the same
+    * seeded deterministic rank as [[sampleNeighbors]] (md5 unweighted,
+    * Gumbel-top-f on accumulated positive weights with `weightCol`) —
+    * bit-reproducible across replays, engines, and partitionings.
+    * Returns `hop | etype | node | neighbor` (hop 1-based, `node` the
+    * frontier side).
+    *
+    * Scale shape: the [[neighborhood]] serving posture — each hop's read
+    * locates only the files whose src index can contain frontier keys.
+    * On a lake banded by source entity WITHIN each edge type (the
+    * production layout for typed edges), the frontier's keys live in one
+    * type's namespace, so the src probe prunes per type for free — no
+    * per-type index machinery needed; the residual `typeCol` equality is
+    * pushed to the pruned parquet scan. Frontier membership rides the
+    * probe-shape discipline (literal `isin` within `probeValueLimit`,
+    * broadcast membership past it); the sampled universe is bounded by
+    * `maxFrontier`, fail-fast. */
+  def sampleMetapath(
+      index: graft.Index,
+      srcCol: String,
+      dstCol: String,
+      typeCol: String,
+      seeds: Seq[Any],
+      path: Seq[(String, Int)],
+      samplingSeed: Long = 42L,
+      maxFrontier: Int = 10000,
+      weightCol: Option[String] = None): DataFrame = {
+    require(path.nonEmpty, "path must be non-empty (one (etype, fanout) " +
+      "per hop)")
+    require(path.forall(_._2 > 0), "every fanout must be positive")
+    require(seeds.nonEmpty, "seeds must be non-empty")
+    require(maxFrontier > 0, "maxFrontier must be positive")
+    val spark = index.spark
+    // schema discipline checked UP FRONT (fail fast, not after hops ran):
+    // hop h's frontier holds hop h-1's dst values, so across hops the
+    // node column mixes both endpoint positions — types must agree; the
+    // edge-type column must be a string (an ANSI-mode numeric comparison
+    // against the type name would otherwise fail mid-hop, opaquely)
+    val readSchema = index.readFiles(Seq.empty).schema
+    def typeOf(name: String) = readSchema.find(_.name == name)
+      .map(_.dataType).getOrElse(throw new IllegalArgumentException(
+        s"sampleMetapath: '$name' is not in the indexed table's schema"))
+    require(typeOf(srcCol) == typeOf(dstCol),
+      s"sampleMetapath: endpoint types must match across hops, got " +
+        s"${typeOf(srcCol)} vs ${typeOf(dstCol)}")
+    require(typeOf(typeCol) ==
+      org.apache.spark.sql.types.StringType,
+      s"sampleMetapath: '$typeCol' must be a string edge-type column, " +
+        s"got ${typeOf(typeCol)}")
+    val visited = scala.collection.mutable.LinkedHashSet[Any](
+      seeds.distinct: _*)
+    require(visited.size <= maxFrontier,
+      s"sampleMetapath: ${visited.size} seeds exceed maxFrontier=" +
+        s"$maxFrontier")
+    var frontier: Seq[Any] = visited.toSeq
+    val sampled = Seq.newBuilder[(Int, String, Any, Any)]
+    val probeStats = Seq.newBuilder[(Int, Int)]
+    val totalFiles = index.files.size
+    path.zipWithIndex.foreach { case ((etype, f), i) =>
+      val h = i + 1
+      if (frontier.nonEmpty) {
+        val located = index.locateFiles(Map(srcCol -> frontier))
+        probeStats += ((located.size, totalFiles))
+        if (located.isEmpty) frontier = Nil
+        else {
+          val edges = index.readFiles(located)
+            .where(col(typeCol) === lit(etype))
+          val fPred = IndexProbe.memberFilter(spark,
+            edges.schema(srcCol).dataType, frontier)(col(srcCol))
+          val wSel = weightCol.map(c =>
+            when(col(c).cast("double") > 0, col(c).cast("double"))
+              .otherwise(raise_error(lit(
+                s"sampleMetapath: non-positive weight in '$c' - drop " +
+                  "non-edges upstream")).cast("double")).as("__w")).toSeq
+          val raw = edges.where(fPred)
+            .select(col(srcCol).as("__u") +: col(dstCol).as("__v")
+              +: wSel: _*)
+            .where(col("__v").isNotNull)
+          val cand =
+            if (weightCol.isDefined)
+              raw.groupBy(col("__u"), col("__v"))
+                .agg(sum(col("__w")).as("__w"))
+            else raw.distinct()
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("__u"))
+            .orderBy(fanoutRank(weightCol.isDefined, samplingSeed),
+              col("__v").asc)
+          val take = cand
+            .withColumn("__rn", row_number().over(w))
+            .where(col("__rn") <= f)
+            .select(col("__u"), col("__v"))
+            .collect()
+          take.foreach(r => sampled += ((h, etype, r.get(0), r.get(1))))
+          val fresh = take.map(_.get(1)).distinct
+            .filterNot(visited.contains)
+          require(visited.size + fresh.size <= maxFrontier,
+            s"sampleMetapath: sampled universe past maxFrontier=" +
+              s"$maxFrontier at hop $h - lower the fanouts or raise " +
+              "maxFrontier")
+          fresh.foreach(visited.add)
+          frontier = fresh
+        }
+      }
+    }
+    probesTl.set(probeStats.result())
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("hop",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("etype",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("node", typeOf(srcCol)),
+      org.apache.spark.sql.types.StructField("neighbor", typeOf(dstCol))))
+    val rows = sampled.result().map { case (h, t, u, v) =>
+      org.apache.spark.sql.Row(h, t, u, v)
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)

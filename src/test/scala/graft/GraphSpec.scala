@@ -486,6 +486,62 @@ class GraphSpec extends GraftSuite {
       "the walk must actually reach hop 2")
   }
 
+  test("sampleMetapath: per-type driver replay of the md5 rank; hop " +
+      "namespaces respected; probes prune; guards") {
+    import graft.harness.Lake
+    val lk = Lake.get(spark, sf)
+    val got = Graph.sampleMetapath(lk.edgesIdx, "src", "dst", "etype",
+        Seq(3L, 7L), path = Seq(("c2o", 5), ("o2s", 3)),
+        samplingSeed = 42L)
+      .collect().map(r0 =>
+        (r0.getInt(0), r0.getString(1), r0.getLong(2), r0.getLong(3)))
+    assert(Graph.lastNeighborhoodProbes.nonEmpty &&
+      Graph.lastNeighborhoodProbes.forall { case (l, t) => l < t },
+      s"per-type probes must prune: ${Graph.lastNeighborhoodProbes}")
+    // driver replay: per-hop type filter, distinct adjacency,
+    // md5(u:v:seed) ascending, take f
+    val rows = spark.read.parquet(lk.edgesFiles: _*)
+      .select("src", "dst", "etype").collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1), r0.getString(2))).distinct
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def hop(frontier: Seq[Long], etype: String, f: Int): Seq[(Long, Long)] =
+      rows.filter(e => e._3 == etype && frontier.contains(e._1))
+        .map(e => (e._1, e._2)).distinct
+        .groupBy(_._1).toSeq.flatMap { case (u, vs) =>
+          vs.sortBy(p => (md5hex(s"$u:${p._2}:42"), p._2)).take(f) }
+    val s1 = hop(Seq(3L, 7L), "c2o", 5)
+    val f1 = s1.map(_._2).distinct.filterNot(Set(3L, 7L).contains)
+    val s2 = hop(f1, "o2s", 3)
+    val want = s1.map(p => (1, "c2o", p._1, p._2)).toSet ++
+      s2.map(p => (2, "o2s", p._1, p._2)).toSet
+    assert(got.toSet == want,
+      s"metapath mismatch: got ${got.length} want ${want.size}")
+    // type discipline: hop-1 neighbors live in the order namespace,
+    // hop-2 in the supplier namespace
+    assert(got.filter(_._1 == 1).forall(r0 =>
+      r0._4 >= 10000000L && r0._4 < 20000000L))
+    assert(got.filter(_._1 == 2).forall(_._4 >= 20000000L))
+    assert(got.exists(_._1 == 2), "the metapath must reach hop 2")
+    // a type with no edges at that hop produces an empty tail, not a crash
+    val none = Graph.sampleMetapath(lk.edgesIdx, "src", "dst", "etype",
+      Seq(3L), path = Seq(("o2s", 5), ("c2o", 3)))
+    assert(none.count() == 0,
+      "seeds in the customer namespace have no o2s out-edges")
+    // guards
+    val e1 = intercept[IllegalArgumentException] {
+      Graph.sampleMetapath(lk.edgesIdx, "src", "dst", "etype",
+        Seq(3L), path = Seq(("c2o", 0)))
+    }
+    assert(e1.getMessage.contains("fanout"))
+    val e2 = intercept[IllegalArgumentException] {
+      Graph.sampleMetapath(lk.edgesIdx, "src", "dst", "w",
+        Seq(3L), path = Seq(("c2o", 2)))
+    }
+    assert(e2.getMessage.contains("string edge-type column"))
+  }
+
   test("frontier probe shapes agree: forcing the broadcast membership " +
       "path (tiny probeValueLimit) returns the identical egonet, " +
       "sample, and induced subgraph as the literal isin path") {
