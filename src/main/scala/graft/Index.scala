@@ -574,6 +574,7 @@ final class Index private (
     require(ix.indexType == "range", s"Column '$column' has no range index")
     val files = IndexProbe.collectFiles(
       IndexProbe.rangeWindowCandidates(store, ix, lo, hi))
+    if (GraftConf.metricsEnabled(spark)) IndexJoin.recordMetrics(store, files)
     readFiles(files).where(col(column) >= lit(lo) && col(column) <= lit(hi))
   }
 

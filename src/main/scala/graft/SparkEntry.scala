@@ -2186,6 +2186,31 @@ object SparkEntry {
           FROM deg d JOIN graft_pr_sql p ON d.node = p.node
           ORDER BY d.node""")
     }),
+    // the frozen-scores SERVING read, index-accelerated (r12 verdict
+    // item #6): pagerank is persisted as a score-quantile-banded lake
+    // with a RANGE index over the score, and the top-decile extract
+    // ("sampling-prior nodes with pagerank ≥ τ") reads only the band
+    // files whose [min,max] overlaps [τ, ∞) — the threshold τ is the
+    // exact 90th percentile, rounded to the house 6 decimals so the
+    // DuckDB replay lands on the identical cut
+    "q_scores_range" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val edges = lk.lineitem
+        .join(lk.orders, col("l_orderkey") === col("o_orderkey"))
+        .select((col("l_suppkey") + lit(1000000L)).as("src"),
+          col("o_custkey").as("dst"))
+        .distinct()
+      val scores = Graph.pageRank(edges, "src", "dst", iters = 3)
+      val idx = Graph.persistScoresIndexed(s, s"${lk.work}/scores_range",
+        scores, "pagerank", nBuckets = 8,
+        indexName = "scores_range_idx")
+      val tau = BigDecimal(scores
+          .agg(expr("percentile(pagerank, 0.9)")).first().getDouble(0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      idx.queryRange("pagerank", tau, 1.0)
+        .select(col("node"), round(col("pagerank"), 6).as("pagerank"))
+        .orderBy("node")
+    }),
     // the model-eval tier's SQL capstone: per-slice ROC AUC in ONE SQL
     // clause via the graft_auc native aggregate (the fairness audit,
     // GROUP BY lang) — the same rank-sum math as ModelEval.aucRoc,
@@ -5981,6 +6006,16 @@ object SparkEntry {
               round(it3.pr, 6) AS pagerank
        FROM deg d JOIN it3 ON d.node = it3.node
        ORDER BY d.node""")),
+    // same 3-iteration replay; τ = the exact 90th percentile of the
+    // replayed ranks, rounded to 6 on both sides (Spark `percentile` ≡
+    // DuckDB `quantile_cont`, linear interpolation) — the banded range
+    // index is invisible to the oracle, which only checks the VALUES
+    // the threshold read serves
+    "q_scores_range" -> pageRankOracleSql(3, finalTailOverride = Some(
+      """, tau AS (SELECT round(quantile_cont(pr, 0.9), 6) AS t FROM it3)
+       SELECT node, round(pr, 6) AS pagerank
+       FROM it3, tau WHERE pr >= tau.t
+       ORDER BY node""")),
     // per-lang replay of the q_auc rank-sum identity (PARTITION BY lang
     // in the cumulative walk)
     "q_sql_eval" ->

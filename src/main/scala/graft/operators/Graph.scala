@@ -986,6 +986,82 @@ object Graph {
       scores: DataFrame): Long =
     new graft.store.SnapshotTable(spark, dir).overwrite(scores)
 
+  /** Persist centrality scores AS AN INDEXED LAKE ([[persistScores]]'s
+    * serving-optimized sibling): the `node | score…` frame is split into
+    * `nBuckets` score-QUANTILE-banded parquet files under `dir/data` and
+    * a RANGE index over `scoreCol` is built (index store `indexName`),
+    * so threshold serving — "nodes with pagerank ≥ τ", top-decile
+    * extracts for sampling priors — locates only the band files whose
+    * [min, max] overlaps the span instead of scanning the node universe.
+    * Quantile banding keeps the bands balanced whatever the score
+    * distribution (centrality is power-law — fixed-width bands would put
+    * ~every node in band 0 and prune nothing on the head). Banding is
+    * one bounded `percentile` aggregate + a literal CASE projection +
+    * one band-grain shuffle; at web scale the scores frame is node-grain
+    * (billions, not trillions) and this runs once per training of the
+    * frozen artifact. Idempotent per `indexName` (re-persist replaces).
+    * Serve with `index.queryRange(scoreCol, τ, hi)` — pruning evidence
+    * rides `pruningMetrics` under `spark.graft.metricsEnabled`. */
+  def persistScoresIndexed(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      scores: DataFrame,
+      scoreCol: String,
+      nBuckets: Int = 16,
+      indexName: String = "graft_scores"): graft.Index = {
+    require(nBuckets >= 1 && nBuckets <= 10000,
+      "nBuckets must be in [1, 10000]")
+    require(scores.columns.contains(scoreCol),
+      s"persistScoresIndexed: '$scoreCol' is not a column of the scores " +
+        s"frame (${scores.columns.mkString(", ")})")
+    require(!scores.columns.contains("__band"),
+      "persistScoresIndexed: the scores frame may not carry a __band " +
+        "column")
+    val banded =
+      if (nBuckets == 1) scores.withColumn("__band", lit(0))
+      else {
+        val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
+        val row = scores.agg(call_function("percentile",
+          col(scoreCol).cast("double"), lit(probs.toArray)).as("__q"))
+          .first()
+        require(!row.isNullAt(0),
+          s"persistScoresIndexed: no non-null values in '$scoreCol'")
+        val ths = row.getSeq[Double](0)
+        val band = ths.zipWithIndex.reverse.foldLeft(lit(nBuckets - 1)) {
+          case (acc, (t, i)) =>
+            when(col(scoreCol).cast("double") <= lit(t), lit(i))
+              .otherwise(acc)
+        }
+        // null scores land in band 0 (the CASE's first arm is false for
+        // null → otherwise chain ends at band nBuckets-1; pin them low
+        // explicitly so the top band stays pure)
+        scores.withColumn("__band",
+          when(col(scoreCol).isNull, lit(0)).otherwise(band))
+      }
+    banded.repartition(nBuckets, col("__band"))
+      .write.partitionBy("__band").mode("overwrite").parquet(s"$dir/data")
+    val files = {
+      val root = new java.io.File(s"$dir/data".stripPrefix("file:"))
+      root.listFiles().filter(_.getName.startsWith("__band="))
+        .flatMap(_.listFiles())
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).sorted.toSeq
+    }
+    require(files.nonEmpty,
+      s"persistScoresIndexed: no data files written under $dir/data")
+    // schema from a written file (single-file read — the __band dir key
+    // never enters the stored schema), train-once/replace semantics
+    if (graft.Index.exists(spark, indexName))
+      graft.Index.remove(spark, indexName)
+    val idx = graft.Index(spark, indexName,
+      spark.read.parquet(files.head).schema, "parquet")
+    idx.addRangeIndex(scoreCol)
+    idx.addFile(files: _*)
+    idx.update()
+    idx
+  }
+
   /** Read persisted centrality scores back ([[persistScores]]'s dual) —
     * register the result as a temp view and the scores are one
     * `JOIN graft_scores USING (node)` away from any SQL pipeline

@@ -574,6 +574,49 @@ class GraphSpec extends GraftSuite {
     } finally spark.conf.unset("spark.graft.probeValueLimit")
   }
 
+  test("persistScoresIndexed: threshold serving is pruned and " +
+      "value-identical to the unindexed filter; full span reads all") {
+    import graft.harness.Lake
+    val lk = Lake.get(spark, sf)
+    val edges = lk.lineitem
+      .join(lk.orders, col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") + lit(1000000L)).as("src"),
+        col("o_custkey").as("dst"))
+      .distinct()
+    val scores = Graph.pageRank(edges, "src", "dst", iters = 3)
+    val dirX = tmpDir("graft_scores_")
+    val idx = Graph.persistScoresIndexed(spark, dirX, scores,
+      "pagerank", nBuckets = 8, indexName = "spec_scores_idx")
+    val tau = scores.agg(expr("percentile(pagerank, 0.9)"))
+      .first().getDouble(0)
+    spark.conf.set("spark.graft.metricsEnabled", "true")
+    try {
+      val got = idx.queryRange("pagerank", tau, 1.0)
+        .select("node", "pagerank").collect()
+        .map(r0 => (r0.getLong(0), r0.getDouble(1))).toSet
+      val m = idx.pruningMetrics.get
+      // tied quantile cuts collapse bands (the dangling customers share
+      // one rank at this SF) — at least SOME spread must survive
+      assert(m.totalFiles >= 2,
+        s"quantile banding must spread the scores over files: $m")
+      assert(m.locatedFiles < m.totalFiles,
+        s"the top-decile read must prune band files: $m")
+      val want = scores.where(col("pagerank") >= tau)
+        .collect().map(r0 => (r0.getLong(0), r0.getDouble(1))).toSet
+      assert(want.nonEmpty && got == want,
+        s"indexed threshold read mismatch: got ${got.size} want " +
+          s"${want.size}")
+      // the full span serves the whole persisted universe
+      assert(idx.queryRange("pagerank", 0.0, 1.0).count() ==
+        scores.count())
+      // re-persist replaces (train-once/overwrite semantics)
+      val idx2 = Graph.persistScoresIndexed(spark, dirX, scores,
+        "pagerank", nBuckets = 4, indexName = "spec_scores_idx")
+      assert(idx2.queryRange("pagerank", 0.0, 1.0).count() ==
+        scores.count())
+    } finally spark.conf.unset("spark.graft.metricsEnabled")
+  }
+
   test("serving probe stats are per-thread: a concurrent serving call " +
       "does not clobber this thread's pruning evidence") {
     import graft.harness.Lake
