@@ -84,10 +84,59 @@ object Bench {
       results("x_bytes_pruned_pct") = m.pct
     }
 
+    // gate median protocol (r12 verdict item #5): the committed headline
+    // numbers are per-query MEDIANS of three interleaved sittings — rep 1
+    // is the full-sweep pass above; reps 2-3 re-run the gate set (and the
+    // headline joins) rep-major, the TriageBench discipline — so a single
+    // ambient spike can no longer move the round's gate_total and the
+    // record needs no quiet-box footnotes.
+    val gateSet = Seq(
+      "q_ann_ivf", "q_ann_lsh", "q_ann_pairs", "q_ann_topk", "q_bloom_probe",
+      "q_computed_probe", "q_csv_read", "q_dedup_exact", "q_dedup_hash",
+      "q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash",
+      "q_exploded_probe", "q_fingerprint", "q_json_read", "q_lang_id",
+      "q_multicol_and", "q_multimodal_meta", "q_pruned_agg", "q_quality",
+      "q_range_probe", "q_regular_join", "q_regular_probe", "q_reverse_join",
+      "q_select_join", "q_sql_join", "q_sql_where", "q_temporal_latest",
+      "q_token_count")
+    val missingGate = gateSet.filterNot(results.contains)
+    require(missingGate.isEmpty,
+      s"gate queries missing from this bench run: ${missingGate.mkString(", ")} — " +
+        "a renamed/dropped gate query must fail loudly, not shrink gate_total")
+    val reps = scala.collection.mutable.LinkedHashMap[String, List[Double]]()
+    (gateSet ++ Seq("x_join_indexed", "x_join_fullscan"))
+      .foreach(n => reps(n) = List(results(n)))
+    (2 to 3).foreach { rep =>
+      gateSet.foreach { name =>
+        val (_, sec) = time {
+          try SparkEntry.queries(name)(spark, sfDir).count()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name rep$rep failed: ${e.getMessage}"); -1L }
+        }
+        reps(name) = sec :: reps(name)
+        System.gc()
+      }
+      val (_, i2) = time {
+        lake.ordersIdx.join(probe, Seq("o_custkey")).count()
+      }
+      val (_, f2) = time {
+        spark.read.parquet(lake.ordersFiles: _*)
+          .join(probe, Seq("o_custkey")).count()
+      }
+      reps("x_join_indexed") = i2 :: reps("x_join_indexed")
+      reps("x_join_fullscan") = f2 :: reps("x_join_fullscan")
+      System.err.println(f"[bench] gate rep$rep done")
+    }
+    def median3(xs: List[Double]): Double = xs.sorted.apply(xs.size / 2)
+    reps.foreach { case (n, xs) => results(n) = median3(xs) }
+
     val qTotal = SparkEntry.queries.keys.map(results).sum
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
+    val repsJson = reps.map { case (k, xs) =>
+      "\"" + k + "\":[" + xs.reverse.map(v => f"$v%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val fullLine =
-      f"""{"metric":"total","value":$qTotal%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s"}"""
+      f"""{"metric":"total","value":$qTotal%.3f,"unit":"sec","gate_protocol":"median3_interleaved","queries":$qs%s,"gate_reps":$repsJson%s,"sf":"$sfDir%s"}"""
     println(fullLine)
     // the harness keeps only the last ~2000 chars of output and parses the
     // final metric line; the full per-query map (~2.8 KB at 98 queries) no
@@ -101,24 +150,11 @@ object Bench {
         (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case e: Exception =>
       System.err.println(s"[bench] BENCH_SELF.json write failed: $e") }
-    val gateSet = Seq(
-      "q_ann_ivf", "q_ann_lsh", "q_ann_pairs", "q_ann_topk", "q_bloom_probe",
-      "q_computed_probe", "q_csv_read", "q_dedup_exact", "q_dedup_hash",
-      "q_dedup_minhash", "q_dedup_ngram", "q_dedup_simhash",
-      "q_exploded_probe", "q_fingerprint", "q_json_read", "q_lang_id",
-      "q_multicol_and", "q_multimodal_meta", "q_pruned_agg", "q_quality",
-      "q_range_probe", "q_regular_join", "q_regular_probe", "q_reverse_join",
-      "q_select_join", "q_sql_join", "q_sql_where", "q_temporal_latest",
-      "q_token_count")
-    val missing = gateSet.filterNot(results.contains)
-    require(missing.isEmpty,
-      s"gate queries missing from this bench run: ${missing.mkString(", ")} — " +
-        "a renamed/dropped gate query must fail loudly, not shrink gate_total")
     val gateTotal = gateSet.flatMap(results.get).sum
     val compactQs = (gateSet ++ results.keys.filter(_.startsWith("x_")))
       .flatMap(k => results.get(k).map(v => "\"" + k + f"""":$v%.3f"""))
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$qTotal%.3f,"unit":"sec","gate_total":$gateTotal%.3f,"queries":$compactQs%s,"sf":"$sfDir%s","full":"BENCH_SELF.json"}""")
+    println(f"""{"metric":"total","value":$qTotal%.3f,"unit":"sec","gate_total":$gateTotal%.3f,"gate_protocol":"median3_interleaved","queries":$compactQs%s,"sf":"$sfDir%s","full":"BENCH_SELF.json"}""")
     spark.stop()
   }
 }
