@@ -285,6 +285,25 @@ final class Lake private (val spark: SparkSession, val sfDir: String, val work: 
     idx
   }
 
+  /** edges, SERVING index shape: range(src) + bloom(dst) — O(files)
+    * index rows (one min/max struct + one bloom per file) instead of the
+    * regular index's per-file distinct-key arrays, whose locate explodes
+    * EVERY stored key and was measured dominating the egonet wall at
+    * ×300 (26.5 s probe vs 2.7 s full scan over 2.1 GB — the index held
+    * ~260M values). Range prunes exactly on the src banding; the bloom
+    * prunes the scattered dst endpoint. The build is one streaming pass
+    * (min/max + bloom aggregates), no large-index overflow. */
+  def edgesServeIdx: Index = memoIdx("edges_serve_idx") {
+    val files = edgesFiles
+    val idx = Index(spark, "edges_serve_idx",
+      spark.read.parquet(files.head).schema, "parquet")
+    idx.addRangeIndex("src")
+    idx.addBloomIndex("dst")
+    idx.addFile(files: _*)
+    idx.update()
+    idx
+  }
+
   /** Build every index the query set touches, CONCURRENTLY — the builds are
     * independent (per-index store dirs + locks), and Spark schedules jobs
     * from multiple threads fine. On a real cluster you'd parallelize

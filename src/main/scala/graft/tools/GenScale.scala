@@ -40,9 +40,15 @@ object GenScale {
     }
     def keySpan(t: String, c: String): Long =
       read(t).agg(max(col(c))).first().getLong(0) + 1
-    // one replica per copy index; key columns shift by copy * span
+    // one replica per copy index; key columns shift by copy * span.
+    // The source is re-spread over the cores FIRST: an sf0.1 table is
+    // 1-2 parquet splits, and at x300 the explode would otherwise run
+    // the whole copies-multiplication (and the shuffle-write ahead of
+    // the output repartition) on 1-2 tasks — observed single-core for
+    // 25+ min on lineitem x300
     def rep(df: DataFrame): DataFrame =
-      df.withColumn("cp", explode(sequence(lit(0L), lit((copies - 1).toLong))))
+      df.repartition(64)
+        .withColumn("cp", explode(sequence(lit(0L), lit((copies - 1).toLong))))
     def shift(c: String, span: Long) = col(c) + col("cp") * span
 
     val ok = keySpan("orders", "o_orderkey")

@@ -64,6 +64,7 @@ object ScaleBench {
       else if (mode == "retrieval") () // raw docs/lineitem; no index fixtures
       else if (mode == "graph") () // raw lineitem/orders; no index fixtures
       else if (mode == "ego") lk.edgesFiles // split only; index build is the bench
+      else if (mode == "egoserve") lk.edgesFiles // split only; serve-index build is the bench
       else if (mode == "uncertainty") () // raw lineitem; no index fixtures
       else if (mode == "probeorder") lk.documentsFiles // split only; build is the bench
       else lk.prebuild()
@@ -900,6 +901,19 @@ object ScaleBench {
           Seq(3L, 7L), fanouts = Seq(10, 5), weightCol = Some("w"))
           .count()
       }
+      // r13: heterogeneous metapath sampling (customer→order→supplier,
+      // one edge type per hop) — the per-type src banding must keep the
+      // per-hop locate pruned without any per-type index machinery
+      bench("x_sample_metapath") {
+        graft.operators.Graph.sampleMetapath(lake.edgesIdx, "src", "dst",
+          "etype", Seq(3L, 7L), path = Seq(("c2o", 10), ("o2s", 5)))
+          .count()
+      }
+      graft.operators.Graph.lastNeighborhoodProbes.zipWithIndex.foreach {
+        case ((l, t), i) =>
+          counts(s"x_metapath_hop${i + 1}_located") = l.toLong
+          counts(s"x_metapath_hop${i + 1}_total") = t.toLong
+      }
       bench("x_induce_from_egonet") {
         val ns = graft.operators.Graph.neighborhood(lake.edgesIdx,
           "src", "dst", Seq(3L, 7L), hops = 2, direction = "both")
@@ -911,6 +925,67 @@ object ScaleBench {
         graft.operators.Graph.lastNeighborhoodProbes.head._1.toLong
       // the no-index comparison: the same BFS where every hop scans the
       // whole edge lake (bounded driver frontier, identical semantics)
+      bench("x_egonet_fullscan") {
+        val all = spark.read.parquet(lake.edgesFiles: _*)
+        var visited = Set[Long](3L, 7L)
+        var frontier: Seq[Long] = Seq(3L, 7L)
+        (1 to 2).foreach { _ =>
+          if (frontier.nonEmpty) {
+            val next = all.where(col("src").isin(frontier: _*))
+              .select(col("dst").as("n"))
+              .unionAll(all.where(col("dst").isin(frontier: _*))
+                .select(col("src").as("n")))
+              .distinct().collect().map(_.getLong(0)).toSeq
+            val fresh = next.filterNot(visited.contains)
+            visited ++= fresh
+            frontier = fresh
+          }
+        }
+        visited.size.toLong
+      }
+      emit(results, counts, sfDir); spark.stop(); return
+    }
+
+    if (mode == "egoserve") {
+      // r13: the graph-serving crossover, SERVE-SHAPED index (r12 verdict
+      // item #1). The x300 run exposed the regular dual index as the
+      // wrong serving shape: its locate explodes every stored distinct
+      // key (~260M at x300), so the probe itself dominated the egonet
+      // wall (26.5 s vs 2.7 s full scan). Here the same lake carries
+      // range(src) + bloom(dst) — O(files) index rows — so the per-hop
+      // locate is a 512-row scan and the read stays 1-3 files/hop. The
+      // crossover claim: indexed wall < full-scan wall on the same seeds.
+      bench("x_serveidx_build") {
+        lake.edgesServeIdx; lake.edgesFiles.size.toLong
+      }
+      bench("x_egonet_2hop_serve") {
+        graft.operators.Graph.neighborhood(lake.edgesServeIdx, "src",
+          "dst", Seq(3L, 7L), hops = 2, direction = "both").count()
+      }
+      graft.operators.Graph.lastNeighborhoodProbes.zipWithIndex.foreach {
+        case ((l, t), i) =>
+          counts(s"x_egonet_hop${i + 1}_located") = l.toLong
+          counts(s"x_egonet_hop${i + 1}_total") = t.toLong
+      }
+      bench("x_sample_2hop_serve") {
+        graft.operators.Graph.sampleNeighbors(lake.edgesServeIdx, "src",
+          "dst", Seq(3L, 7L), fanouts = Seq(10, 5)).count()
+      }
+      bench("x_metapath_serve") {
+        graft.operators.Graph.sampleMetapath(lake.edgesServeIdx, "src",
+          "dst", "etype", Seq(3L, 7L), path = Seq(("c2o", 10), ("o2s", 5)))
+          .count()
+      }
+      bench("x_induce_serve") {
+        val ns = graft.operators.Graph.neighborhood(lake.edgesServeIdx,
+          "src", "dst", Seq(3L, 7L), hops = 2, direction = "both")
+          .select("node").collect().map(_.getLong(0)).toSeq
+        graft.operators.Graph.induceEdges(lake.edgesServeIdx, "src",
+          "dst", ns).count()
+      }
+      counts("x_induce_located") =
+        graft.operators.Graph.lastNeighborhoodProbes.head._1.toLong
+      // identical no-index BFS as mode "ego" (same seeds, same semantics)
       bench("x_egonet_fullscan") {
         val all = spark.read.parquet(lake.edgesFiles: _*)
         var visited = Set[Long](3L, 7L)

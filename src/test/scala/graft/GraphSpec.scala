@@ -574,6 +574,32 @@ class GraphSpec extends GraftSuite {
     } finally spark.conf.unset("spark.graft.probeValueLimit")
   }
 
+  test("index-shape invariance: the serve-shaped edge index (range src " +
+      "+ bloom dst) returns the identical egonet, sample, and metapath " +
+      "as the regular dual index") {
+    import graft.harness.Lake
+    val lk = Lake.get(spark, sf)
+    def via(idx: graft.Index): (Set[(Long, Int)], Set[(Int, Long, Long)],
+        Set[(Int, String, Long, Long)]) = (
+      Graph.neighborhood(idx, "src", "dst", Seq(3L, 7L), hops = 2,
+          direction = "both")
+        .collect().map(r0 => (r0.getLong(0), r0.getInt(1))).toSet,
+      Graph.sampleNeighbors(idx, "src", "dst", Seq(3L, 7L),
+          fanouts = Seq(5, 3))
+        .collect().map(r0 =>
+          (r0.getInt(0), r0.getLong(1), r0.getLong(2))).toSet,
+      Graph.sampleMetapath(idx, "src", "dst", "etype", Seq(3L, 7L),
+          path = Seq(("c2o", 5), ("o2s", 3)))
+        .collect().map(r0 =>
+          (r0.getInt(0), r0.getString(1), r0.getLong(2), r0.getLong(3)))
+        .toSet)
+    val serve = via(lk.edgesServeIdx)
+    assert(Graph.lastNeighborhoodProbes.forall { case (l, t) => l <= t })
+    assert(serve == via(lk.edgesIdx),
+      "pruning may only over-approximate: serving results must be " +
+        "identical whatever the index shape")
+  }
+
   test("persistScoresIndexed: threshold serving is pruned and " +
       "value-identical to the unindexed filter; full span reads all") {
     import graft.harness.Lake
