@@ -2107,6 +2107,28 @@ object SparkEntry {
         .select(col("s1"), col("s2")).distinct()
       Graph.localClustering(coSupp, "s1", "s2").orderBy("node")
     }),
+    // DeepWalk corpus generation (r13): every node of the symmetrized
+    // co-supplier graph starts 2 walks of 3 seeded-hash steps — the
+    // node-sequence training data an embedding run consumes,
+    // bit-reproducible (the DuckDB oracle replays every draw)
+    "q_random_walks" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val e0 = lk.lineitem
+        .where(col("l_quantity") === 1 &&
+          pmod(col("l_partkey"), lit(5)) === 0)
+        .select((col("l_suppkey") + lit(1000000L)).as("src"),
+          col("l_partkey").as("dst"))
+        .distinct()
+      val co = e0.select(col("dst").as("p"), col("src").as("s1"))
+        .join(e0.select(col("dst").as("p"), col("src").as("s2")), "p")
+        .where(col("s1") < col("s2"))
+        .select(col("s1"), col("s2")).distinct()
+      val sym = co.unionAll(
+        co.select(col("s2").as("s1"), col("s1").as("s2")))
+      Graph.randomWalks(sym, "s1", "s2", walkLength = 3,
+          walksPerNode = 2)
+        .orderBy("start", "walk", "step")
+    }),
     // one-scalar mixing structure: do hub suppliers co-occur with other
     // hubs (positive) or with leaves (negative, the star shape)?
     "q_assortativity" -> ((s, dir) => {
@@ -5811,6 +5833,50 @@ object SparkEntry {
                     / (d.degree * (d.degree - 1.0)), 6) END AS lcc
          FROM deg d LEFT JOIN cred c ON c.node = d.node
          ORDER BY d.node""",
+    // per-step replay of the seeded hash draw: at step s walker (start,
+    // walk) at cur moves to the neighbor minimizing md5(cur:dst:42:walk:s)
+    // (ties by dst) — term for term the operator's min(struct) aggregate
+    "q_random_walks" ->
+      """WITH e0 AS (SELECT DISTINCT l_suppkey + 1000000 AS s,
+                l_partkey AS p
+              FROM lineitem
+              WHERE l_quantity = 1 AND l_partkey % 5 = 0),
+         co AS (SELECT DISTINCT x.s AS a, y.s AS b
+                FROM e0 x JOIN e0 y ON x.p = y.p AND x.s < y.s),
+         e AS MATERIALIZED (SELECT a AS src, b AS dst FROM co
+              UNION SELECT b, a FROM co),
+         c0 AS (SELECT start, walk, start AS cur FROM
+                (SELECT DISTINCT src AS start FROM e)
+                CROSS JOIN (VALUES (1), (2)) w(walk)),
+         s1 AS (SELECT start, walk, dst AS cur FROM (
+                SELECT c0.start, c0.walk, e.dst,
+                       row_number() OVER (PARTITION BY c0.start, c0.walk
+                         ORDER BY md5(c0.cur::VARCHAR || ':' ||
+                           e.dst::VARCHAR || ':42:' ||
+                           c0.walk::VARCHAR || ':1'), e.dst) AS rn
+                FROM c0 JOIN e ON e.src = c0.cur)
+               WHERE rn = 1),
+         s2 AS (SELECT start, walk, dst AS cur FROM (
+                SELECT s1.start, s1.walk, e.dst,
+                       row_number() OVER (PARTITION BY s1.start, s1.walk
+                         ORDER BY md5(s1.cur::VARCHAR || ':' ||
+                           e.dst::VARCHAR || ':42:' ||
+                           s1.walk::VARCHAR || ':2'), e.dst) AS rn
+                FROM s1 JOIN e ON e.src = s1.cur)
+               WHERE rn = 1),
+         s3 AS (SELECT start, walk, dst AS cur FROM (
+                SELECT s2.start, s2.walk, e.dst,
+                       row_number() OVER (PARTITION BY s2.start, s2.walk
+                         ORDER BY md5(s2.cur::VARCHAR || ':' ||
+                           e.dst::VARCHAR || ':42:' ||
+                           s2.walk::VARCHAR || ':3'), e.dst) AS rn
+                FROM s2 JOIN e ON e.src = s2.cur)
+               WHERE rn = 1)
+         SELECT start, walk, 0 AS step, start AS node FROM c0
+         UNION ALL SELECT start, walk, 1, cur FROM s1
+         UNION ALL SELECT start, walk, 2, cur FROM s2
+         UNION ALL SELECT start, walk, 3, cur FROM s3
+         ORDER BY start, walk, step""",
     // identical five-sum Pearson over the symmetrized endpoint degrees
     "q_assortativity" ->
       """WITH e0 AS (SELECT DISTINCT l_suppkey + 1000000 AS s,

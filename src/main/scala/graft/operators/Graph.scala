@@ -936,6 +936,80 @@ object Graph {
       spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** Deterministic random-walk corpus over an edge frame — DeepWalk /
+    * node2vec-style sequence generation (Perozzi et al. 2014): at corpus
+    * scale the walk corpus IS training data (skip-gram windows over node
+    * sequences train the embedding), so the walks must be reproducible,
+    * auditable artifacts, not RNG noise. Every distinct source node
+    * starts `walksPerNode` walks of `walkLength` steps; a walker at node
+    * `u` on step `s` of walk `w` moves to the out-neighbor `v`
+    * minimizing `md5("u:v:seed:w:s")` — a seeded hash draw, uniform over
+    * the (deduped) neighbor set, bit-reproducible across replays,
+    * partitionings, and engines (the fan-out samplers' discipline,
+    * replayed term-for-term by the DuckDB oracle). A walker reaching a
+    * SINK (no out-edges) simply ends — truncated walks are the standard
+    * DeepWalk behavior on directed graphs. Walk an undirected graph by
+    * symmetrizing the edge frame upstream. Returns
+    * `start | walk | step | node` (step 0 = the start node itself).
+    *
+    * Scale shape: the deduped adjacency persists ONCE, partitioned by
+    * `src`; each step joins the node-grain walker frame against that
+    * stationary partitioning and reduces candidates with ONE map-side-
+    * combined `min(struct(hash, neighbor))` aggregate — per step the
+    * exchange is walker-grain (≤ nodes × walksPerNode rows), the
+    * candidate fan-out is bounded by out-degree, and the driver sees one
+    * count per step (the lineage-depth pin). Nothing ever collects. */
+  def randomWalks(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      walkLength: Int,
+      walksPerNode: Int = 1,
+      samplingSeed: Long = 42L): DataFrame = {
+    require(walkLength >= 1, "walkLength must be at least 1")
+    require(walksPerNode >= 1, "walksPerNode must be at least 1")
+    val e = edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var cur = e.select(col("src").as("start")).distinct()
+      .select(col("start"),
+        explode(sequence(lit(1), lit(walksPerNode))).as("walk"),
+        col("start").as("cur"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    cur.count()
+    val steps = scala.collection.mutable.ListBuffer[(DataFrame, Int)](
+      (cur, 0))
+    (1 to walkLength).foreach { s =>
+      val nxt = e.join(cur, e("src") === cur("cur"))
+        .select(col("start"), col("walk"),
+          struct(
+            md5(concat_ws(":",
+              col("cur").cast("string"), col("dst").cast("string"),
+              lit(samplingSeed.toString), col("walk").cast("string"),
+              lit(s.toString))).as("h"),
+            col("dst").as("v")).as("__hv"))
+        .groupBy(col("start"), col("walk"))
+        .agg(min(col("__hv")).as("__m"))
+        .select(col("start"), col("walk"), col("__m.v").as("cur"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      nxt.count() // pin before the next join reads it (one-deep lineage)
+      steps += ((nxt, s))
+      cur = nxt
+    }
+    val out = steps.map { case (df, s) =>
+        df.select(col("start"), col("walk"), lit(s).as("step"),
+          col("cur").as("node"))
+      }.reduce(_.unionAll(_))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // pin the corpus before the per-step caches release
+    steps.foreach(_._1.unpersist(blocking = false))
+    e.unpersist(blocking = false)
+    out
+  }
+
   /** Induced-subgraph edge extraction over an INDEXED edge table — the
     * step after [[neighborhood]]/[[sampleNeighbors]] picks a node set:
     * fetch every stored edge BOTH of whose endpoints are in the set

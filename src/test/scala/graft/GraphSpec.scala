@@ -574,6 +574,54 @@ class GraphSpec extends GraftSuite {
     } finally spark.conf.unset("spark.graft.probeValueLimit")
   }
 
+  test("randomWalks: driver replay of every seeded hash draw; sinks " +
+      "truncate walks; every distinct src starts walksPerNode walks; " +
+      "guards") {
+    // node 4 is a sink (never a src): walks reaching it end early
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (3L, 4L))
+      .toDF("s", "t")
+    val got = Graph.randomWalks(edges, "s", "t", walkLength = 5,
+        walksPerNode = 2, samplingSeed = 7L)
+      .collect()
+      .map(r0 => ((r0.getLong(0), r0.getInt(1), r0.getInt(2)),
+        r0.getLong(3))).toMap
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val adj = Map(1L -> Seq(2L, 3L), 2L -> Seq(3L), 3L -> Seq(1L, 4L))
+    val want = scala.collection.mutable.Map[(Long, Int, Int), Long]()
+    for (start <- Seq(1L, 2L, 3L); walk <- 1 to 2) {
+      var cur = start
+      want((start, walk, 0)) = start
+      var st = 1
+      var alive = true
+      while (st <= 5 && alive) {
+        adj.get(cur) match {
+          case Some(ns) =>
+            val v = ns.minBy(n => (md5hex(s"$cur:$n:7:$walk:$st"), n))
+            want((start, walk, st)) = v
+            cur = v
+          case None => alive = false
+        }
+        st += 1
+      }
+    }
+    assert(got == want.toMap,
+      s"walk corpus mismatch: got ${got.size} rows want ${want.size}")
+    // the sink (node 4, never a src) starts no walk
+    assert(!got.keys.exists(_._1 == 4L))
+    // at least one walk actually hit the sink and truncated (else the
+    // fixture tests nothing)
+    assert(want.size < 3 * 2 * 6,
+      "expected at least one truncated walk in the fixture")
+    intercept[IllegalArgumentException] {
+      Graph.randomWalks(edges, "s", "t", walkLength = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.randomWalks(edges, "s", "t", walkLength = 2, walksPerNode = 0)
+    }
+  }
+
   test("index-shape invariance: the serve-shaped edge index (range src " +
       "+ bloom dst) returns the identical egonet, sample, and metapath " +
       "as the regular dual index") {
