@@ -2129,6 +2129,43 @@ object SparkEntry {
           walksPerNode = 2)
         .orderBy("start", "walk", "step")
     }),
+    // the DeepWalk pipeline's second half: within-window skip-gram
+    // pairs over the same replayed walk corpus, aggregated into the
+    // (center, context) frequency table an embedding trainer consumes
+    "q_skipgram_pairs" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val e0 = lk.lineitem
+        .where(col("l_quantity") === 1 &&
+          pmod(col("l_partkey"), lit(5)) === 0)
+        .select((col("l_suppkey") + lit(1000000L)).as("src"),
+          col("l_partkey").as("dst"))
+        .distinct()
+      val co = e0.select(col("dst").as("p"), col("src").as("s1"))
+        .join(e0.select(col("dst").as("p"), col("src").as("s2")), "p")
+        .where(col("s1") < col("s2"))
+        .select(col("s1"), col("s2")).distinct()
+      val sym = co.unionAll(
+        co.select(col("s2").as("s1"), col("s1").as("s2")))
+      val walks = Graph.randomWalks(sym, "s1", "s2", walkLength = 3,
+        walksPerNode = 2)
+      Graph.walkSkipGrams(walks, window = 2)
+        .groupBy("center", "context")
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy("center", "context")
+    }),
+    // the DISTRIBUTED relational BFS (the alternative the serving
+    // loops' maxFrontier fail-fasts name): same provenance walk as
+    // q_sql_bfs, computed in node-grain frontier iterations with no
+    // driver-side frontier at all — differential-pinned against both
+    // the recursive CTE and the index-driven neighborhood in GraphSpec
+    "q_hop_distances" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val seeds = s.range(1).select(lit(20000005L).as("n"))
+        .unionAll(s.range(1).select(lit(20000009L).as("n")))
+      Graph.hopDistances(s.read.parquet(lk.edgesFiles: _*), "src",
+          "dst", seeds, "n", maxHops = 2, direction = "in")
+        .orderBy("node")
+    }),
     // one-scalar mixing structure: do hub suppliers co-occur with other
     // hubs (positive) or with leaves (negative, the star shape)?
     "q_assortativity" -> ((s, dir) => {
@@ -5837,46 +5874,38 @@ object SparkEntry {
     // walk) at cur moves to the neighbor minimizing md5(cur:dst:42:walk:s)
     // (ties by dst) — term for term the operator's min(struct) aggregate
     "q_random_walks" ->
-      """WITH e0 AS (SELECT DISTINCT l_suppkey + 1000000 AS s,
-                l_partkey AS p
-              FROM lineitem
-              WHERE l_quantity = 1 AND l_partkey % 5 = 0),
-         co AS (SELECT DISTINCT x.s AS a, y.s AS b
-                FROM e0 x JOIN e0 y ON x.p = y.p AND x.s < y.s),
-         e AS MATERIALIZED (SELECT a AS src, b AS dst FROM co
-              UNION SELECT b, a FROM co),
-         c0 AS (SELECT start, walk, start AS cur FROM
-                (SELECT DISTINCT src AS start FROM e)
-                CROSS JOIN (VALUES (1), (2)) w(walk)),
-         s1 AS (SELECT start, walk, dst AS cur FROM (
-                SELECT c0.start, c0.walk, e.dst,
-                       row_number() OVER (PARTITION BY c0.start, c0.walk
-                         ORDER BY md5(c0.cur::VARCHAR || ':' ||
-                           e.dst::VARCHAR || ':42:' ||
-                           c0.walk::VARCHAR || ':1'), e.dst) AS rn
-                FROM c0 JOIN e ON e.src = c0.cur)
-               WHERE rn = 1),
-         s2 AS (SELECT start, walk, dst AS cur FROM (
-                SELECT s1.start, s1.walk, e.dst,
-                       row_number() OVER (PARTITION BY s1.start, s1.walk
-                         ORDER BY md5(s1.cur::VARCHAR || ':' ||
-                           e.dst::VARCHAR || ':42:' ||
-                           s1.walk::VARCHAR || ':2'), e.dst) AS rn
-                FROM s1 JOIN e ON e.src = s1.cur)
-               WHERE rn = 1),
-         s3 AS (SELECT start, walk, dst AS cur FROM (
-                SELECT s2.start, s2.walk, e.dst,
-                       row_number() OVER (PARTITION BY s2.start, s2.walk
-                         ORDER BY md5(s2.cur::VARCHAR || ':' ||
-                           e.dst::VARCHAR || ':42:' ||
-                           s2.walk::VARCHAR || ':3'), e.dst) AS rn
-                FROM s2 JOIN e ON e.src = s2.cur)
-               WHERE rn = 1)
-         SELECT start, walk, 0 AS step, start AS node FROM c0
-         UNION ALL SELECT start, walk, 1, cur FROM s1
-         UNION ALL SELECT start, walk, 2, cur FROM s2
-         UNION ALL SELECT start, walk, 3, cur FROM s3
+      s"""$coWalksCte
+         SELECT start, walk, step, node FROM wk
          ORDER BY start, walk, step""",
+    // the DeepWalk pipeline's second half over the SAME replayed walk
+    // corpus: every ordered within-window pair, then the (center,
+    // context) frequency table an embedding trainer consumes
+    "q_skipgram_pairs" ->
+      s"""$coWalksCte,
+         p AS (SELECT a.node AS center, b.node AS context
+               FROM wk a JOIN wk b
+                 ON a.start = b.start AND a.walk = b.walk
+                AND a.step <> b.step AND abs(b.step - a.step) <= 2)
+         SELECT center, context, count(*) AS n_pairs
+         FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the same recursive min-hop walk as q_sql_bfs, here oracling the
+    // OPERATOR (distributed frontier iterations) instead of the SQL CTE
+    "q_hop_distances" ->
+      """WITH RECURSIVE edges AS MATERIALIZED (
+             SELECT o_custkey AS src, o_orderkey + 10000000 AS dst
+               FROM orders
+             UNION
+             SELECT l_orderkey + 10000000, l_suppkey + 20000000
+               FROM lineitem),
+         bfs(node, hop) AS (
+             SELECT CAST(v AS BIGINT), 0
+               FROM (VALUES (20000005), (20000009)) t(v)
+             UNION ALL
+             SELECT e.src, b.hop + 1
+               FROM bfs b JOIN edges e ON e.dst = b.node
+              WHERE b.hop < 2)
+         SELECT node, MIN(hop) AS hop FROM bfs
+         GROUP BY node ORDER BY node""",
     // identical five-sum Pearson over the symmetrized endpoint degrees
     "q_assortativity" ->
       """WITH e0 AS (SELECT DISTINCT l_suppkey + 1000000 AS s,
@@ -7586,6 +7615,51 @@ object SparkEntry {
                >= 110
              THEN 1 ELSE 0 END AS label
          FROM documents)"""
+
+  /** Shared replay of the q_random_walks corpus (symmetrized co-supplier
+    * graph, 2 walks × 3 seeded-hash steps per node) — `wk(start, walk,
+    * step, node)`; q_skipgram_pairs composes its window self-join on
+    * top. Ends WITHOUT a trailing comma so callers can extend the WITH. */
+  private val coWalksCte =
+    """WITH e0 AS (SELECT DISTINCT l_suppkey + 1000000 AS s,
+              l_partkey AS p
+            FROM lineitem
+            WHERE l_quantity = 1 AND l_partkey % 5 = 0),
+       co AS (SELECT DISTINCT x.s AS a, y.s AS b
+              FROM e0 x JOIN e0 y ON x.p = y.p AND x.s < y.s),
+       e AS MATERIALIZED (SELECT a AS src, b AS dst FROM co
+            UNION SELECT b, a FROM co),
+       c0 AS (SELECT start, walk, start AS cur FROM
+              (SELECT DISTINCT src AS start FROM e)
+              CROSS JOIN (VALUES (1), (2)) w(walk)),
+       s1 AS (SELECT start, walk, dst AS cur FROM (
+              SELECT c0.start, c0.walk, e.dst,
+                     row_number() OVER (PARTITION BY c0.start, c0.walk
+                       ORDER BY md5(c0.cur::VARCHAR || ':' ||
+                         e.dst::VARCHAR || ':42:' ||
+                         c0.walk::VARCHAR || ':1'), e.dst) AS rn
+              FROM c0 JOIN e ON e.src = c0.cur)
+             WHERE rn = 1),
+       s2 AS (SELECT start, walk, dst AS cur FROM (
+              SELECT s1.start, s1.walk, e.dst,
+                     row_number() OVER (PARTITION BY s1.start, s1.walk
+                       ORDER BY md5(s1.cur::VARCHAR || ':' ||
+                         e.dst::VARCHAR || ':42:' ||
+                         s1.walk::VARCHAR || ':2'), e.dst) AS rn
+              FROM s1 JOIN e ON e.src = s1.cur)
+             WHERE rn = 1),
+       s3 AS (SELECT start, walk, dst AS cur FROM (
+              SELECT s2.start, s2.walk, e.dst,
+                     row_number() OVER (PARTITION BY s2.start, s2.walk
+                       ORDER BY md5(s2.cur::VARCHAR || ':' ||
+                         e.dst::VARCHAR || ':42:' ||
+                         s2.walk::VARCHAR || ':3'), e.dst) AS rn
+              FROM s2 JOIN e ON e.src = s2.cur)
+             WHERE rn = 1),
+       wk AS (SELECT start, walk, 0 AS step, start AS node FROM c0
+              UNION ALL SELECT start, walk, 1, cur FROM s1
+              UNION ALL SELECT start, walk, 2, cur FROM s2
+              UNION ALL SELECT start, walk, 3, cur FROM s3)"""
 
   private val diffSnapshotCte =
     """WITH old AS (SELECT doc_id,

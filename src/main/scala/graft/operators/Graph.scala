@@ -936,6 +936,103 @@ object Graph {
       spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** DISTRIBUTED multi-source BFS over an edge frame: `node | hop` with
+    * `hop` the minimum distance from the seed set, computed entirely in
+    * node-grain DataFrame iterations — the relational alternative the
+    * serving loops' fail-fasts point to when a frontier is NOT seed-
+    * local ([[neighborhood]] bounds its driver-paced frontier by
+    * `maxFrontier`; this never collects a frontier at all). Seeds read
+    * hop 0 (graph membership not required — an off-graph seed is its own
+    * hop-0 island); expansion stops at `maxHops` or when the frontier
+    * empties, whichever is first.
+    *
+    * Scale shape: the (deduped, direction-resolved) adjacency persists
+    * ONCE partitioned by `src`; each hop joins the node-grain frontier
+    * against that stationary partitioning, anti-joins the visited set
+    * (node-grain), and the driver sees ONE scalar (the frontier count —
+    * the termination test). Visited/frontier frames persist one hop deep
+    * (the pagerank lifecycle discipline). */
+  def hopDistances(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      seeds: DataFrame,
+      seedCol: String,
+      maxHops: Int,
+      direction: String = "out"): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    require(Seq("out", "in", "both").contains(direction),
+      s"direction must be one of out/in/both, got '$direction'")
+    val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    val rev = edges.select(col(dstCol).as("src"), col(srcCol).as("dst"))
+    val adj = (direction match {
+      case "out" => fwd
+      case "in" => rev
+      case "both" => fwd.unionAll(rev)
+    }).where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = seeds.select(col(seedCol).as("node")).distinct()
+      .where(col("node").isNotNull)
+      .withColumn("hop", lit(0))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var frontier = dist
+    var h = 0
+    var frontierSize = frontier.count()
+    while (h < maxHops && frontierSize > 0) {
+      h += 1
+      val hh = h
+      val next = adj
+        .join(frontier.select(col("node").as("src")), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(dist, Seq("node"), "left_anti")
+        .withColumn("hop", lit(hh))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      frontierSize = next.count() // ONE driver scalar per hop
+      val nextDist = dist.unionAll(next)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      nextDist.count()
+      dist.unpersist(blocking = false)
+      // the previous frontier is done; `next` stays pinned — it is the
+      // frontier the NEXT hop joins against
+      if (frontier ne dist) frontier.unpersist(blocking = false)
+      dist = nextDist
+      frontier = next
+    }
+    if (frontier ne dist) frontier.unpersist(blocking = false)
+    adj.unpersist(blocking = false)
+    dist
+  }
+
+  /** Skip-gram training-pair extraction over a walk corpus
+    * ([[randomWalks]]' `start | walk | step | node` shape) — the
+    * DeepWalk pipeline's second half: every ordered pair of nodes at
+    * step distance 1..`window` within the SAME walk becomes
+    * `center | context | offset` (offset = context step − center step,
+    * signed; each unordered co-occurrence yields both directions, the
+    * skip-gram convention). Aggregate `count(*)` downstream for the
+    * (center, context) frequency table an embedding trainer consumes.
+    * One self-join keyed on (start, walk) — per-walk candidate fan-out
+    * is `walkLength × 2·window`, so the join is walk-grain, never
+    * corpus-quadratic. */
+  def walkSkipGrams(walks: DataFrame, window: Int): DataFrame = {
+    require(window >= 1, "window must be at least 1")
+    Seq("start", "walk", "step", "node").foreach(c =>
+      require(walks.columns.contains(c),
+        s"walkSkipGrams expects a randomWalks-shaped frame with column " +
+          s"'$c' (got ${walks.columns.mkString(", ")})"))
+    val a = walks.select(col("start"), col("walk"),
+      col("step").as("__sa"), col("node").as("center"))
+    val b = walks.select(col("start"), col("walk"),
+      col("step").as("__sb"), col("node").as("context"))
+    a.join(b, Seq("start", "walk"))
+      .where(col("__sb") =!= col("__sa") &&
+        abs(col("__sb") - col("__sa")) <= window)
+      .select(col("center"), col("context"),
+        (col("__sb") - col("__sa")).as("offset"))
+  }
+
   /** Deterministic random-walk corpus over an edge frame — DeepWalk /
     * node2vec-style sequence generation (Perozzi et al. 2014): at corpus
     * scale the walk corpus IS training data (skip-gram windows over node

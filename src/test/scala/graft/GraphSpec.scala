@@ -622,6 +622,66 @@ class GraphSpec extends GraftSuite {
     }
   }
 
+  test("hopDistances: the distributed BFS equals the index-driven " +
+      "neighborhood on the same seeds; off-graph seeds are hop-0 " +
+      "islands; guards") {
+    import graft.harness.Lake
+    val lk = Lake.get(spark, sf)
+    val edges = spark.read.parquet(lk.edgesFiles: _*)
+    val viaOp = Graph.hopDistances(edges, "src", "dst",
+        Seq(20000005L, 20000009L).toDF("n"), "n", maxHops = 2,
+        direction = "in")
+      .collect().map(r0 => r0.getLong(0) -> r0.getInt(1)).toMap
+    val viaIdx = Graph.neighborhood(lk.edgesIdx, "src", "dst",
+        Seq(20000005L, 20000009L), hops = 2, direction = "in")
+      .collect().map(r0 => r0.getLong(0) -> r0.getInt(1)).toMap
+    assert(viaOp == viaIdx,
+      s"BFS mismatch: op=${viaOp.size} idx=${viaIdx.size}")
+    assert(viaOp.values.exists(_ == 2), "the walk must reach hop 2")
+    // 'both' parity on a customer seed
+    val bOp = Graph.hopDistances(edges, "src", "dst",
+        Seq(3L).toDF("n"), "n", maxHops = 2, direction = "both")
+      .collect().map(r0 => r0.getLong(0) -> r0.getInt(1)).toMap
+    val bIdx = Graph.neighborhood(lk.edgesIdx, "src", "dst", Seq(3L),
+        hops = 2, direction = "both")
+      .collect().map(r0 => r0.getLong(0) -> r0.getInt(1)).toMap
+    assert(bOp == bIdx)
+    // an off-graph seed is its own hop-0 island
+    val island = Graph.hopDistances(edges, "src", "dst",
+      Seq(-5L).toDF("n"), "n", maxHops = 2).collect()
+    assert(island.length == 1 && island.head.getLong(0) == -5L &&
+      island.head.getInt(1) == 0)
+    intercept[IllegalArgumentException] {
+      Graph.hopDistances(edges, "src", "dst", Seq(3L).toDF("n"), "n",
+        maxHops = -1)
+    }
+  }
+
+  test("walkSkipGrams: hand-computed window pairs on a two-walk frame; " +
+      "cross-walk pairs never appear; guards") {
+    val walks = Seq(
+        (1L, 1, 0, 10L), (1L, 1, 1, 11L), (1L, 1, 2, 12L),
+        (1L, 1, 3, 13L), (2L, 1, 0, 20L), (2L, 1, 1, 21L))
+      .toDF("start", "walk", "step", "node")
+    val got = Graph.walkSkipGrams(walks, window = 2)
+      .collect()
+      .map(r0 => (r0.getLong(0), r0.getLong(1), r0.getInt(2))).toSet
+    val want = Set(
+      (10L, 11L, 1), (10L, 12L, 2), (11L, 10L, -1), (11L, 12L, 1),
+      (11L, 13L, 2), (12L, 10L, -2), (12L, 11L, -1), (12L, 13L, 1),
+      (13L, 11L, -2), (13L, 12L, -1), (20L, 21L, 1), (21L, 20L, -1))
+    assert(got == want, s"pair mismatch: got ${got.size} want 12")
+    // window 1 drops exactly the |offset|=2 pairs
+    assert(Graph.walkSkipGrams(walks, window = 1).count() ==
+      want.count(p => math.abs(p._3) <= 1))
+    intercept[IllegalArgumentException] {
+      Graph.walkSkipGrams(walks, window = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.walkSkipGrams(walks.drop("node"), window = 1)
+    }
+  }
+
   test("index-shape invariance: the serve-shaped edge index (range src " +
       "+ bloom dst) returns the identical egonet, sample, and metapath " +
       "as the regular dual index") {
