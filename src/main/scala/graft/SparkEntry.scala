@@ -2129,6 +2129,25 @@ object SparkEntry {
           walksPerNode = 2)
         .orderBy("start", "walk", "step")
     }),
+    // deterministic community detection (sync LPA, 3 sweeps): every
+    // node relabels to its neighbors' most frequent label, ties to the
+    // smallest — the within-component structure connectedComponents
+    // flattens; the DuckDB oracle replays every sweep
+    "q_label_prop" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val e0 = lk.lineitem
+        .where(col("l_quantity") === 1 &&
+          pmod(col("l_partkey"), lit(5)) === 0)
+        .select((col("l_suppkey") + lit(1000000L)).as("src"),
+          col("l_partkey").as("dst"))
+        .distinct()
+      val coSupp = e0.select(col("dst").as("p"), col("src").as("s1"))
+        .join(e0.select(col("dst").as("p"), col("src").as("s2")), "p")
+        .where(col("s1") < col("s2"))
+        .select(col("s1"), col("s2")).distinct()
+      Graph.labelPropagation(coSupp, "s1", "s2", iters = 3)
+        .orderBy("node")
+    }),
     // the DeepWalk pipeline's second half: within-window skip-gram
     // pairs over the same replayed walk corpus, aggregated into the
     // (center, context) frequency table an embedding trainer consumes
@@ -5877,6 +5896,38 @@ object SparkEntry {
       s"""$coWalksCte
          SELECT start, walk, step, node FROM wk
          ORDER BY start, walk, step""",
+    // sweep-unrolled replay of sync LPA: per sweep, neighbor-label vote
+    // counts then argmax with count DESC / label ASC — term for term the
+    // operator's min(struct(-count, label)) aggregate
+    "q_label_prop" ->
+      """WITH e0 AS (SELECT DISTINCT l_suppkey + 1000000 AS s,
+                l_partkey AS p
+              FROM lineitem
+              WHERE l_quantity = 1 AND l_partkey % 5 = 0),
+         co AS (SELECT DISTINCT x.s AS a, y.s AS b
+                FROM e0 x JOIN e0 y ON x.p = y.p AND x.s < y.s),
+         adj AS MATERIALIZED (SELECT a AS src, b AS dst FROM co
+               UNION ALL SELECT b, a FROM co),
+         l0 AS (SELECT DISTINCT src AS node, src AS label FROM adj),
+         v1 AS (SELECT a.dst AS node, l.label, count(*) AS c
+                FROM adj a JOIN l0 l ON l.node = a.src GROUP BY 1, 2),
+         l1 AS (SELECT node, label FROM (
+                SELECT node, label, row_number() OVER (PARTITION BY node
+                  ORDER BY c DESC, label ASC) AS rn FROM v1)
+               WHERE rn = 1),
+         v2 AS (SELECT a.dst AS node, l.label, count(*) AS c
+                FROM adj a JOIN l1 l ON l.node = a.src GROUP BY 1, 2),
+         l2 AS (SELECT node, label FROM (
+                SELECT node, label, row_number() OVER (PARTITION BY node
+                  ORDER BY c DESC, label ASC) AS rn FROM v2)
+               WHERE rn = 1),
+         v3 AS (SELECT a.dst AS node, l.label, count(*) AS c
+                FROM adj a JOIN l2 l ON l.node = a.src GROUP BY 1, 2),
+         l3 AS (SELECT node, label FROM (
+                SELECT node, label, row_number() OVER (PARTITION BY node
+                  ORDER BY c DESC, label ASC) AS rn FROM v3)
+               WHERE rn = 1)
+         SELECT node, label FROM l3 ORDER BY node""",
     // the DeepWalk pipeline's second half over the SAME replayed walk
     // corpus: every ordered within-window pair, then the (center,
     // context) frequency table an embedding trainer consumes

@@ -936,6 +936,64 @@ object Graph {
       spark.sparkContext.parallelize(rows, 1), schema)
   }
 
+  /** Synchronous label propagation over the UNDIRECTED simple graph
+    * (Raghavan et al. 2007) — community detection at corpus scale
+    * (near-dup neighborhoods, domain clusters on a link graph), where
+    * [[connectedComponents]] is too coarse (one giant component) and
+    * modularity methods too expensive. Every node starts labeled with
+    * itself; each sweep RELABELS every node with the label most frequent
+    * among its neighbors, ties broken by SMALLEST label — fully
+    * deterministic, no RNG, so a fixed `iters` gives a replayable result
+    * (the classic sync-LPA caveat applies: bipartite structures can
+    * oscillate between sweeps, which a fixed iteration count simply
+    * freezes; run an odd/even pair downstream if oscillation matters).
+    * Returns `node | label`.
+    *
+    * Scale shape: the symmetrized adjacency persists ONCE partitioned by
+    * `src`; each sweep is one edge-grain vote count (map-side combined
+    * into (node, label) grain) + one node-grain argmax — the
+    * `min(struct(-count, label))` trick keeps the tie-break inside a
+    * single codegen'd aggregate, no window. One driver count per sweep
+    * pins lineage depth. */
+  def labelPropagation(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 100, "iters must be in [1, 100]")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+    val sym = canon
+      .unionAll(canon.select(col("b").as("a"), col("a").as("b")))
+      .select(col("a").as("src"), col("b").as("dst"))
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    (1 to iters).foreach { _ =>
+      val votes = sym
+        .join(labels.select(col("node").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("node"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+      val next = votes
+        .groupBy("node")
+        .agg(min(struct((-col("__c")).as("nc"), col("label").as("l")))
+          .as("__m"))
+        .select(col("node"), col("__m.l").as("label"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count() // one driver action per sweep, one-deep lineage
+      labels.unpersist(blocking = false)
+      labels = next
+    }
+    sym.unpersist(blocking = false)
+    labels
+  }
+
   /** DISTRIBUTED multi-source BFS over an edge frame: `node | hop` with
     * `hop` the minimum distance from the seed set, computed entirely in
     * node-grain DataFrame iterations — the relational alternative the

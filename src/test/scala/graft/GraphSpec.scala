@@ -622,6 +622,57 @@ class GraphSpec extends GraftSuite {
     }
   }
 
+  test("labelPropagation: driver replay of every sweep on two bridged " +
+      "triangles; the 2-node oscillator freezes deterministically; " +
+      "direction/multi-edge/self-loop invariance; guards") {
+    def replay(
+        canon: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val adj = (canon ++ canon.map(_.swap)).groupBy(_._1)
+        .view.mapValues(_.map(_._2)).toMap
+      var labels = adj.keySet.map(n => n -> n).toMap
+      (1 to iters).foreach { _ =>
+        labels = adj.map { case (v, ns) =>
+          val votes = ns.groupBy(labels).view.mapValues(_.size).toSeq
+          v -> votes.minBy { case (l, c) => (-c, l) }._1
+        }
+      }
+      labels
+    }
+    // two triangles bridged by one edge
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L))
+    (1 to 5).foreach { k =>
+      val got = Graph.labelPropagation(tri.toDF("s", "t"), "s", "t",
+          iters = k)
+        .collect().map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap
+      assert(got == replay(tri, k), s"sweep-$k mismatch")
+    }
+    // communities stabilize: the two triangle cores share a label each
+    val stable = Graph.labelPropagation(tri.toDF("s", "t"), "s", "t",
+        iters = 5)
+      .collect().map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap
+    assert(stable(1L) == stable(2L), "triangle {1,2,3} must cohere")
+    assert(stable(5L) == stable(6L), "triangle {4,5,6} must cohere")
+    // sync-LPA oscillator: a single edge swaps labels every sweep —
+    // the fixed iteration count freezes it deterministically
+    val pair = Seq((1L, 2L))
+    assert(Graph.labelPropagation(pair.toDF("s", "t"), "s", "t", 1)
+      .collect().map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap ==
+      Map(1L -> 2L, 2L -> 1L))
+    assert(Graph.labelPropagation(pair.toDF("s", "t"), "s", "t", 2)
+      .collect().map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 2L))
+    // multi-edges, self-loops, and orientation collapse before voting
+    val messy = Seq((2L, 1L), (1L, 2L), (1L, 1L), (3L, 1L), (2L, 3L),
+      (3L, 2L))
+    assert(Graph.labelPropagation(messy.toDF("s", "t"), "s", "t", 3)
+      .collect().map(r0 => r0.getLong(0) -> r0.getLong(1)).toMap ==
+      replay(Seq((1L, 2L), (1L, 3L), (2L, 3L)), 3))
+    intercept[IllegalArgumentException] {
+      Graph.labelPropagation(pair.toDF("s", "t"), "s", "t", 0)
+    }
+  }
+
   test("hopDistances: the distributed BFS equals the index-driven " +
       "neighborhood on the same seeds; off-graph seeds are hop-0 " +
       "islands; guards") {
