@@ -752,6 +752,9 @@ class GraphSpec extends GraftSuite {
         .collect().map(r0 =>
           (r0.getInt(0), r0.getString(1), r0.getLong(2), r0.getLong(3)))
         .toSet)
+    // serving warm-up is callable, idempotent, and changes nothing
+    lk.edgesServeIdx.warmProbeCache()
+    lk.edgesServeIdx.warmProbeCache()
     val serve = via(lk.edgesServeIdx)
     assert(Graph.lastNeighborhoodProbes.forall { case (l, t) => l <= t })
     assert(serve == via(lk.edgesIdx),
