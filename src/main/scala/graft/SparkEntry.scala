@@ -2129,6 +2129,28 @@ object SparkEntry {
           walksPerNode = 2)
         .orderBy("start", "walk", "step")
     }),
+    // the weighted walk: per-step Gumbel-max on ln(w) (hash-derived
+    // uniforms) over the co-occurrence-weighted co-supplier graph —
+    // node2vec-style importance walking, every draw replayed in DuckDB
+    "q_random_walks_weighted" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val e0 = lk.lineitem
+        .where(col("l_quantity") === 1 &&
+          pmod(col("l_partkey"), lit(5)) === 0)
+        .select((col("l_suppkey") + lit(1000000L)).as("src"),
+          col("l_partkey").as("dst"))
+        .distinct()
+      val co = e0.select(col("dst").as("p"), col("src").as("s1"))
+        .join(e0.select(col("dst").as("p"), col("src").as("s2")), "p")
+        .where(col("s1") < col("s2"))
+        .groupBy("s1", "s2")
+        .agg(count(lit(1)).cast("double").as("w"))
+      val sym = co.unionAll(co.select(col("s2").as("s1"),
+        col("s1").as("s2"), col("w")))
+      Graph.randomWalks(sym, "s1", "s2", walkLength = 3,
+          walksPerNode = 1, weightCol = Some("w"))
+        .orderBy("start", "walk", "step")
+    }),
     // deterministic community detection (sync LPA, 3 sweeps): every
     // node relabels to its neighbors' most frequent label, ties to the
     // smallest — the within-component structure connectedComponents
@@ -5895,6 +5917,60 @@ object SparkEntry {
     "q_random_walks" ->
       s"""$coWalksCte
          SELECT start, walk, step, node FROM wk
+         ORDER BY start, walk, step""",
+    // per-step replay of the Gumbel-max draw: argmax of
+    // ln(w) − ln(−ln(u)) with u hash-derived from seed#cur#dst#walk#step
+    // (ties by dst) — the q_sample_neighbors_weighted float chain, per
+    // step
+    "q_random_walks_weighted" ->
+      """WITH e0 AS (SELECT DISTINCT l_suppkey + 1000000 AS s,
+                l_partkey AS p
+              FROM lineitem
+              WHERE l_quantity = 1 AND l_partkey % 5 = 0),
+         co AS (SELECT x.s AS a, y.s AS b, count(*)::DOUBLE AS w
+                FROM e0 x JOIN e0 y ON x.p = y.p AND x.s < y.s
+                GROUP BY 1, 2),
+         e AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM co
+              UNION ALL SELECT b, a, w FROM co),
+         c0 AS (SELECT DISTINCT src AS start, 1 AS walk, src AS cur
+                FROM e),
+         s1 AS (SELECT start, walk, dst AS cur FROM (
+                SELECT c0.start, c0.walk, e.dst,
+                       row_number() OVER (PARTITION BY c0.start, c0.walk
+                         ORDER BY ln(e.w) - ln(-ln((CAST(concat('0x',
+                           substring(md5('42#' || c0.cur::VARCHAR || '#'
+                             || e.dst::VARCHAR || '#' ||
+                             c0.walk::VARCHAR || '#1'), 1, 8))
+                           AS BIGINT) + 1) / 4294967297.0)) DESC,
+                           e.dst) AS rn
+                FROM c0 JOIN e ON e.src = c0.cur)
+               WHERE rn = 1),
+         s2 AS (SELECT start, walk, dst AS cur FROM (
+                SELECT s1.start, s1.walk, e.dst,
+                       row_number() OVER (PARTITION BY s1.start, s1.walk
+                         ORDER BY ln(e.w) - ln(-ln((CAST(concat('0x',
+                           substring(md5('42#' || s1.cur::VARCHAR || '#'
+                             || e.dst::VARCHAR || '#' ||
+                             s1.walk::VARCHAR || '#2'), 1, 8))
+                           AS BIGINT) + 1) / 4294967297.0)) DESC,
+                           e.dst) AS rn
+                FROM s1 JOIN e ON e.src = s1.cur)
+               WHERE rn = 1),
+         s3 AS (SELECT start, walk, dst AS cur FROM (
+                SELECT s2.start, s2.walk, e.dst,
+                       row_number() OVER (PARTITION BY s2.start, s2.walk
+                         ORDER BY ln(e.w) - ln(-ln((CAST(concat('0x',
+                           substring(md5('42#' || s2.cur::VARCHAR || '#'
+                             || e.dst::VARCHAR || '#' ||
+                             s2.walk::VARCHAR || '#3'), 1, 8))
+                           AS BIGINT) + 1) / 4294967297.0)) DESC,
+                           e.dst) AS rn
+                FROM s2 JOIN e ON e.src = s2.cur)
+               WHERE rn = 1)
+         SELECT start, walk, 0 AS step, start AS node FROM c0
+         UNION ALL SELECT start, walk, 1, cur FROM s1
+         UNION ALL SELECT start, walk, 2, cur FROM s2
+         UNION ALL SELECT start, walk, 3, cur FROM s3
          ORDER BY start, walk, step""",
     // sweep-unrolled replay of sync LPA: per sweep, neighbor-label vote
     // counts then argmax with count DESC / label ASC — term for term the

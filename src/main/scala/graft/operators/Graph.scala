@@ -1104,7 +1104,10 @@ object Graph {
     * replayed term-for-term by the DuckDB oracle). A walker reaching a
     * SINK (no out-edges) simply ends — truncated walks are the standard
     * DeepWalk behavior on directed graphs. Walk an undirected graph by
-    * symmetrizing the edge frame upstream. Returns
+    * symmetrizing the edge frame upstream. With `weightCol` the per-step
+    * draw becomes the Gumbel-max one-sample weighted choice on the
+    * (accumulated, positive) edge weights — heavier edges
+    * proportionally likelier, same determinism. Returns
     * `start | walk | step | node` (step 0 = the start node itself).
     *
     * Scale shape: the deduped adjacency persists ONCE, partitioned by
@@ -1120,14 +1123,29 @@ object Graph {
       dstCol: String,
       walkLength: Int,
       walksPerNode: Int = 1,
-      samplingSeed: Long = 42L): DataFrame = {
+      samplingSeed: Long = 42L,
+      weightCol: Option[String] = None): DataFrame = {
     require(walkLength >= 1, "walkLength must be at least 1")
     require(walksPerNode >= 1, "walksPerNode must be at least 1")
-    val e = edges
-      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
-      .where(col("src").isNotNull && col("dst").isNotNull)
-      .distinct()
-      .repartition(col("src"))
+    // weighted: the per-step draw becomes Gumbel-max on ln(w) with the
+    // hash-derived uniform (the weighted sampler's machinery, per-step) —
+    // heavier edges are proportionally likelier, still bit-reproducible.
+    // Parallel edges ACCUMULATE weight (a neighbor stored on many edges
+    // is proportionally likelier); unweighted walks draw over the SET.
+    val e = (weightCol match {
+      case None =>
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+          .where(col("src").isNotNull && col("dst").isNotNull)
+          .distinct()
+      case Some(wc) =>
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+            when(col(wc).cast("double") > 0, col(wc).cast("double"))
+              .otherwise(raise_error(lit(
+                s"randomWalks: non-positive weight in '$wc' - drop " +
+                  "non-edges upstream")).cast("double")).as("__w"))
+          .where(col("src").isNotNull && col("dst").isNotNull)
+          .groupBy("src", "dst").agg(sum("__w").as("__w"))
+    }).repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var cur = e.select(col("src").as("start")).distinct()
       .select(col("start"),
@@ -1138,14 +1156,28 @@ object Graph {
     val steps = scala.collection.mutable.ListBuffer[(DataFrame, Int)](
       (cur, 0))
     (1 to walkLength).foreach { s =>
-      val nxt = e.join(cur, e("src") === cur("cur"))
-        .select(col("start"), col("walk"),
+      // the step's selection struct: min(struct) picks the md5-smallest
+      // neighbor (unweighted) or — via the negated key — the
+      // Gumbel-max ln(w) − ln(−ln(u)) winner (weighted); ties by
+      // neighbor id either way
+      val hv =
+        if (weightCol.isDefined) {
+          val u = (conv(substring(md5(concat_ws("#",
+            lit(samplingSeed.toString), col("cur").cast("string"),
+            col("dst").cast("string"), col("walk").cast("string"),
+            lit(s.toString))), 1, 8), 16, 10)
+            .cast("long") + lit(1L)).cast("double") / lit(4294967297.0)
+          struct((-(log(col("__w")) - log(-log(u)))).as("h"),
+            col("dst").as("v"))
+        } else
           struct(
             md5(concat_ws(":",
               col("cur").cast("string"), col("dst").cast("string"),
               lit(samplingSeed.toString), col("walk").cast("string"),
               lit(s.toString))).as("h"),
-            col("dst").as("v")).as("__hv"))
+            col("dst").as("v"))
+      val nxt = e.join(cur, e("src") === cur("cur"))
+        .select(col("start"), col("walk"), hv.as("__hv"))
         .groupBy(col("start"), col("walk"))
         .agg(min(col("__hv")).as("__m"))
         .select(col("start"), col("walk"), col("__m.v").as("cur"))

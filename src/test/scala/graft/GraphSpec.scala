@@ -620,6 +620,49 @@ class GraphSpec extends GraftSuite {
     intercept[IllegalArgumentException] {
       Graph.randomWalks(edges, "s", "t", walkLength = 2, walksPerNode = 0)
     }
+    // weighted: Gumbel-max replay, parallel edges accumulate weight
+    val wEdges = Seq((1L, 2L, 1.0), (1L, 3L, 5.0), (1L, 3L, 2.0),
+      (3L, 1L, 1.0), (3L, 4L, 2.0)).toDF("s", "t", "w")
+    val wGot = Graph.randomWalks(wEdges, "s", "t", walkLength = 3,
+        walksPerNode = 1, samplingSeed = 7L, weightCol = Some("w"))
+      .collect()
+      .map(r0 => ((r0.getLong(0), r0.getInt(1), r0.getInt(2)),
+        r0.getLong(3))).toMap
+    val adjW = Map(1L -> Map(2L -> 1.0, 3L -> 7.0),
+      3L -> Map(1L -> 1.0, 4L -> 2.0))
+    def gumbelKey(cur: Long, v: Long, w: Double, st: Int): Double = {
+      val u = (java.lang.Long.parseLong(
+        md5hex(s"7#$cur#$v#1#$st").take(8), 16) + 1L).toDouble /
+        4294967297.0
+      math.log(w) - math.log(-math.log(u))
+    }
+    val wWant = scala.collection.mutable.Map[(Long, Int, Int), Long]()
+    for (start <- Seq(1L, 3L)) {
+      var cur = start
+      wWant((start, 1, 0)) = start
+      var st = 1
+      var alive = true
+      while (st <= 3 && alive) {
+        adjW.get(cur) match {
+          case Some(ns) =>
+            val v = ns.toSeq
+              .minBy { case (n, w) => (-gumbelKey(cur, n, w, st), n) }._1
+            wWant((start, 1, st)) = v
+            cur = v
+          case None => alive = false
+        }
+        st += 1
+      }
+    }
+    assert(wGot == wWant.toMap, "weighted walk replay mismatch")
+    val eNeg = intercept[Exception] {
+      Graph.randomWalks(
+        Seq((1L, 2L, 0.0)).toDF("s", "t", "w"), "s", "t", 1,
+        weightCol = Some("w")).collect()
+    }
+    assert(eNeg.getMessage.contains("non-positive weight") ||
+      eNeg.getCause != null &&
+        eNeg.getCause.getMessage.contains("non-positive weight"))
   }
 
   test("labelPropagation: driver replay of every sweep on two bridged " +
