@@ -2170,6 +2170,23 @@ object SparkEntry {
       Graph.labelPropagation(coSupp, "s1", "s2", iters = 3)
         .orderBy("node")
     }),
+    // grade the SAME communities: Newman modularity of the 3-sweep LPA
+    // labels over the co-supplier graph — the detect→grade composition
+    "q_modularity" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val e0 = lk.lineitem
+        .where(col("l_quantity") === 1 &&
+          pmod(col("l_partkey"), lit(5)) === 0)
+        .select((col("l_suppkey") + lit(1000000L)).as("src"),
+          col("l_partkey").as("dst"))
+        .distinct()
+      val coSupp = e0.select(col("dst").as("p"), col("src").as("s1"))
+        .join(e0.select(col("dst").as("p"), col("src").as("s2")), "p")
+        .where(col("s1") < col("s2"))
+        .select(col("s1"), col("s2")).distinct()
+      val labels = Graph.labelPropagation(coSupp, "s1", "s2", iters = 3)
+      Graph.modularity(coSupp, "s1", "s2", labels)
+    }),
     // the DeepWalk pipeline's second half: within-window skip-gram
     // pairs over the same replayed walk corpus, aggregated into the
     // (center, context) frequency table an embedding trainer consumes
@@ -5976,34 +5993,30 @@ object SparkEntry {
     // counts then argmax with count DESC / label ASC — term for term the
     // operator's min(struct(-count, label)) aggregate
     "q_label_prop" ->
-      """WITH e0 AS (SELECT DISTINCT l_suppkey + 1000000 AS s,
-                l_partkey AS p
-              FROM lineitem
-              WHERE l_quantity = 1 AND l_partkey % 5 = 0),
-         co AS (SELECT DISTINCT x.s AS a, y.s AS b
-                FROM e0 x JOIN e0 y ON x.p = y.p AND x.s < y.s),
-         adj AS MATERIALIZED (SELECT a AS src, b AS dst FROM co
-               UNION ALL SELECT b, a FROM co),
-         l0 AS (SELECT DISTINCT src AS node, src AS label FROM adj),
-         v1 AS (SELECT a.dst AS node, l.label, count(*) AS c
-                FROM adj a JOIN l0 l ON l.node = a.src GROUP BY 1, 2),
-         l1 AS (SELECT node, label FROM (
-                SELECT node, label, row_number() OVER (PARTITION BY node
-                  ORDER BY c DESC, label ASC) AS rn FROM v1)
-               WHERE rn = 1),
-         v2 AS (SELECT a.dst AS node, l.label, count(*) AS c
-                FROM adj a JOIN l1 l ON l.node = a.src GROUP BY 1, 2),
-         l2 AS (SELECT node, label FROM (
-                SELECT node, label, row_number() OVER (PARTITION BY node
-                  ORDER BY c DESC, label ASC) AS rn FROM v2)
-               WHERE rn = 1),
-         v3 AS (SELECT a.dst AS node, l.label, count(*) AS c
-                FROM adj a JOIN l2 l ON l.node = a.src GROUP BY 1, 2),
-         l3 AS (SELECT node, label FROM (
-                SELECT node, label, row_number() OVER (PARTITION BY node
-                  ORDER BY c DESC, label ASC) AS rn FROM v3)
-               WHERE rn = 1)
+      s"""$lpaCte
          SELECT node, label FROM l3 ORDER BY node""",
+    // Newman modularity of the SAME replayed 3-sweep LPA communities:
+    // Q = Σ_c (e_c/m − (d_c/2m)²) over the undirected simple graph —
+    // identical term arithmetic (multiplication, not pow), round-6
+    "q_modularity" ->
+      s"""$lpaCte,
+         m AS (SELECT count(*)::DOUBLE AS m FROM co),
+         intra AS (SELECT la.label, count(*)::DOUBLE AS ec
+                   FROM co JOIN l3 la ON la.node = co.a
+                           JOIN l3 lb ON lb.node = co.b
+                   WHERE la.label = lb.label GROUP BY 1),
+         deg AS (SELECT node, count(*)::DOUBLE AS d
+                 FROM (SELECT a AS node FROM co
+                       UNION ALL SELECT b FROM co)
+                 GROUP BY 1),
+         dc AS (SELECT l.label, sum(d.d) AS dc
+                FROM deg d JOIN l3 l ON l.node = d.node GROUP BY 1),
+         terms AS (SELECT coalesce(i.ec, 0) / m.m
+                     - (dc.dc / (2 * m.m)) * (dc.dc / (2 * m.m)) AS t
+                   FROM dc LEFT JOIN intra i ON i.label = dc.label, m)
+         SELECT (SELECT count(*) FROM dc)::BIGINT AS n_communities,
+                round(sum(t), 6) AS modularity
+         FROM terms""",
     // the DeepWalk pipeline's second half over the SAME replayed walk
     // corpus: every ordered within-window pair, then the (center,
     // context) frequency table an embedding trainer consumes
@@ -7787,6 +7800,39 @@ object SparkEntry {
               UNION ALL SELECT start, walk, 1, cur FROM s1
               UNION ALL SELECT start, walk, 2, cur FROM s2
               UNION ALL SELECT start, walk, 3, cur FROM s3)"""
+
+  /** Shared sweep-unrolled replay of the q_label_prop communities
+    * (3 sync-LPA sweeps on the co-supplier graph) — `co(a, b)` the
+    * canonical undirected edges, `l3(node, label)` the final labels.
+    * Ends WITHOUT a trailing comma. */
+  private val lpaCte =
+    """WITH e0 AS (SELECT DISTINCT l_suppkey + 1000000 AS s,
+              l_partkey AS p
+            FROM lineitem
+            WHERE l_quantity = 1 AND l_partkey % 5 = 0),
+       co AS (SELECT DISTINCT x.s AS a, y.s AS b
+              FROM e0 x JOIN e0 y ON x.p = y.p AND x.s < y.s),
+       adj AS MATERIALIZED (SELECT a AS src, b AS dst FROM co
+             UNION ALL SELECT b, a FROM co),
+       l0 AS (SELECT DISTINCT src AS node, src AS label FROM adj),
+       v1 AS (SELECT a.dst AS node, l.label, count(*) AS c
+              FROM adj a JOIN l0 l ON l.node = a.src GROUP BY 1, 2),
+       l1 AS (SELECT node, label FROM (
+              SELECT node, label, row_number() OVER (PARTITION BY node
+                ORDER BY c DESC, label ASC) AS rn FROM v1)
+             WHERE rn = 1),
+       v2 AS (SELECT a.dst AS node, l.label, count(*) AS c
+              FROM adj a JOIN l1 l ON l.node = a.src GROUP BY 1, 2),
+       l2 AS (SELECT node, label FROM (
+              SELECT node, label, row_number() OVER (PARTITION BY node
+                ORDER BY c DESC, label ASC) AS rn FROM v2)
+             WHERE rn = 1),
+       v3 AS (SELECT a.dst AS node, l.label, count(*) AS c
+              FROM adj a JOIN l2 l ON l.node = a.src GROUP BY 1, 2),
+       l3 AS (SELECT node, label FROM (
+              SELECT node, label, row_number() OVER (PARTITION BY node
+                ORDER BY c DESC, label ASC) AS rn FROM v3)
+             WHERE rn = 1)"""
 
   private val diffSnapshotCte =
     """WITH old AS (SELECT doc_id,

@@ -994,6 +994,73 @@ object Graph {
     labels
   }
 
+  /** Newman modularity (Newman & Girvan 2004) of a node labeling over
+    * the UNDIRECTED simple graph: one row
+    * `n_communities | modularity` with `Q = Σ_c (e_c/m − (d_c/2m)²)`
+    * (e_c = intra-community edges, d_c = community degree sum, m =
+    * total edges), rounded to 6 — the quality scalar that grades a
+    * [[labelPropagation]] / [[connectedComponents]] partition (Q near 0:
+    * no better than random; Q ≳ 0.3: real community structure). The
+    * `labels` frame must cover every edge endpoint — a missing label
+    * raises IN-PLAN naming the node column (silently dropping unlabeled
+    * edges would inflate Q).
+    *
+    * Scale shape: two label joins on the canonical edge frame (the only
+    * edge-grain work), then everything collapses to community grain —
+    * one intra-edge count, one degree sum, one Σ over communities;
+    * `m` rides a broadcast one-row frame. */
+  def modularity(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      labels: DataFrame,
+      nodeCol: String = "node",
+      labelCol: String = "label"): DataFrame = {
+    require(labels.columns.contains(nodeCol) &&
+      labels.columns.contains(labelCol),
+      s"modularity: labels frame needs columns '$nodeCol' and " +
+        s"'$labelCol' (got ${labels.columns.mkString(", ")})")
+    val canon = edges
+      .select(least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .where(col("a") =!= col("b") && col("a").isNotNull)
+      .distinct()
+    val lab = labels.select(col(nodeCol).as("__n"), col(labelCol).as("__l"))
+      .distinct()
+    val lt = lab.schema("__l").dataType
+    def labFor(end: String) = lab
+      .select(col("__n").as(end), col("__l").as(s"__l$end"))
+    val withL = canon
+      .join(labFor("a"), Seq("a"), "left")
+      .join(labFor("b"), Seq("b"), "left")
+      .select(
+        coalesce(col("__la"), raise_error(lit(
+          s"modularity: an edge endpoint has no label in '$nodeCol' - " +
+            "label every edge node (unlabeled edges would inflate Q)"))
+          .cast(lt)).as("__la"),
+        coalesce(col("__lb"), raise_error(lit(
+          s"modularity: an edge endpoint has no label in '$nodeCol' - " +
+            "label every edge node (unlabeled edges would inflate Q)"))
+          .cast(lt)).as("__lb"))
+    val m1 = canon.agg(count(lit(1)).cast("double").as("__m"))
+    val ec = withL.where(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("__c"))
+      .agg(count(lit(1)).cast("double").as("__ec"))
+    val deg = canon.select(col("a").as("__n"))
+      .unionAll(canon.select(col("b").as("__n")))
+      .groupBy("__n").agg(count(lit(1)).cast("double").as("__d"))
+    val dc = deg.join(lab, Seq("__n"))
+      .groupBy(col("__l").as("__c")).agg(sum("__d").as("__dc"))
+    val terms = dc.join(ec, Seq("__c"), "left")
+      .crossJoin(broadcast(m1))
+      .select((coalesce(col("__ec"), lit(0.0)) / col("__m") -
+        (col("__dc") / (lit(2.0) * col("__m"))) *
+          (col("__dc") / (lit(2.0) * col("__m")))).as("__t"))
+    val nc = dc.agg(count(lit(1)).as("n_communities"))
+    val q = terms.agg(round(sum("__t"), 6).as("modularity"))
+    nc.crossJoin(broadcast(q))
+  }
+
   /** DISTRIBUTED multi-source BFS over an edge frame: `node | hop` with
     * `hop` the minimum distance from the seed set, computed entirely in
     * node-grain DataFrame iterations — the relational alternative the

@@ -716,6 +716,35 @@ class GraphSpec extends GraftSuite {
     }
   }
 
+  test("modularity: hand-computed on the bridged triangles; one-blob " +
+      "labeling reads 0; unlabeled endpoint raises in-plan") {
+    val tri = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("s", "t") // m=7, bridge (3,4)
+    // perfect split: e_c=3 each, d_c=7 each →
+    // Q = 2·(3/7 − (7/14)²) = 6/7 − 1/2 = 0.357143 (round 6)
+    val split = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 20L),
+      (5L, 20L), (6L, 20L)).toDF("node", "label")
+    val r0 = Graph.modularity(tri, "s", "t", split).head()
+    assert(r0.getLong(0) == 2L && r0.getDouble(1) == 0.357143)
+    // one blob: Q = m/m − (2m/2m)² = 0
+    val blob = Seq(1L, 2L, 3L, 4L, 5L, 6L).map(_ -> 1L)
+      .toDF("node", "label")
+    val r1 = Graph.modularity(tri, "s", "t", blob).head()
+    assert(r1.getLong(0) == 1L && r1.getDouble(1) == 0.0)
+    // the LPA composition grades its own communities above the blob
+    val lpa = Graph.labelPropagation(tri, "s", "t", iters = 5)
+    val r2 = Graph.modularity(tri, "s", "t", lpa).head()
+    assert(r2.getDouble(1) > 0.0,
+      "LPA communities on bridged triangles must beat the null model")
+    // an unlabeled endpoint raises in-plan, naming the precondition
+    val e = intercept[Exception] {
+      Graph.modularity(tri, "s", "t",
+        split.where(col("node") =!= 6L)).collect()
+    }
+    assert(e.getMessage.contains("no label") ||
+      e.getCause != null && e.getCause.getMessage.contains("no label"))
+  }
+
   test("hopDistances: the distributed BFS equals the index-driven " +
       "neighborhood on the same seeds; off-graph seeds are hop-0 " +
       "islands; guards") {
