@@ -40,13 +40,22 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     results("x_lake_setup") = setupSec
 
+    // A rep that THROWS must never record its fail-fast elapsed time as a
+    // legitimate sample — median3 over {fast-fail, fast-fail, real} would
+    // silently SHRINK the committed medians, the exact silent-shrink the
+    // missing-gate require below guards against. Failures poison the
+    // sample with Double.MaxValue: a failing query can only make the
+    // totals loudly absurd, never quietly better.
+    val FailedRep = Double.MaxValue
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      var ok = true
       val (_, sec) = time {
         try fn(spark, sfDir).count()
         catch { case e: Throwable =>
+          ok = false
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
       }
-      results(name) = sec
+      results(name) = if (ok) sec else FailedRep
       System.err.println(f"[bench] $name $sec%.1fs")
       // nudge the ContextCleaner: dereferenced shuffles/broadcasts from the
       // previous query are only reclaimed after a GC notices the weak refs;
@@ -108,12 +117,14 @@ object Bench {
       .foreach(n => reps(n) = List(results(n)))
     (2 to 3).foreach { rep =>
       gateSet.foreach { name =>
+        var ok = true
         val (_, sec) = time {
           try SparkEntry.queries(name)(spark, sfDir).count()
           catch { case e: Throwable =>
+            ok = false
             System.err.println(s"[bench] $name rep$rep failed: ${e.getMessage}"); -1L }
         }
-        reps(name) = sec :: reps(name)
+        reps(name) = (if (ok) sec else FailedRep) :: reps(name)
         System.gc()
       }
       val (_, i2) = time {

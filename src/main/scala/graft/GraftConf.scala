@@ -151,6 +151,18 @@ object GraftConf {
   def cacheIndexTables(spark: SparkSession): Boolean =
     !get(spark, "cacheIndexTables").exists(_.trim.equalsIgnoreCase("false"))
 
+  /** Warm the probe cache automatically when RECONNECTING to an existing
+    * index (`Index(...)` on a store that already has metadata) — the
+    * serving-process startup shape: without it the first locate of a
+    * serving loop pays the cold index-table scan (measured 7.8 s cold vs
+    * 2.0 s warm on the ×300 bloom index), an operational footgun when the
+    * first query is a latency-sensitive egonet. Off by default: batch
+    * pipelines reconnect too, and an eager count there is wasted work.
+    * Implies [[cacheIndexTables]] semantics (the warm-up is a no-op when
+    * caching is disabled — nothing retains the scan). */
+  def warmOnConnect(spark: SparkSession): Boolean =
+    get(spark, "warmOnConnect").exists(_.trim.equalsIgnoreCase("true"))
+
   /** Pruning-metrics telemetry (two extra tiny aggregates per join over the
     * one-row-per-file index table). Off by default: never on the hot path
     * unless asked for (r1 verdict bug #3). `spark.graft.debug` implies it

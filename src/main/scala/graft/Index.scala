@@ -652,7 +652,12 @@ object Index {
             existing.copy(schemaJson = schema.json)
           } else existing
         if (updated != existing) store.writeMetadata(updated)
-        new Index(spark, name, updated, None)
+        val idx = new Index(spark, name, updated, None)
+        // serving-process startup: pay the index-table scan here, once,
+        // instead of inside the first latency-sensitive locate (measured
+        // 7.8 s cold vs 2.0 s warm on the x300 bloom index)
+        if (GraftConf.warmOnConnect(spark)) idx.warmProbeCache()
+        idx
       case None =>
         val m = IndexMetadata(name, format, schema.json, readOptions,
           storageVersion = StorageMigrations.CurrentVersion)

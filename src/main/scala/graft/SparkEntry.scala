@@ -2151,6 +2151,31 @@ object SparkEntry {
           walksPerNode = 1, weightCol = Some("w"))
         .orderBy("start", "walk", "step")
     }),
+    // node2vec-biased walks (p=4, q=0.25: return discouraged 4x,
+    // exploration favored 4x — the DFS-ish homophily setting) over the
+    // SAME weighted co-supplier graph: per-step Gumbel-max on
+    // ln(w·α) − ln(−ln(u)) with the 3-case α(prev, dst) factor; the
+    // DuckDB oracle replays every draw including the prev-neighbor
+    // LEFT JOIN test
+    "q_node2vec" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val e0 = lk.lineitem
+        .where(col("l_quantity") === 1 &&
+          pmod(col("l_partkey"), lit(5)) === 0)
+        .select((col("l_suppkey") + lit(1000000L)).as("src"),
+          col("l_partkey").as("dst"))
+        .distinct()
+      val co = e0.select(col("dst").as("p"), col("src").as("s1"))
+        .join(e0.select(col("dst").as("p"), col("src").as("s2")), "p")
+        .where(col("s1") < col("s2"))
+        .groupBy("s1", "s2")
+        .agg(count(lit(1)).cast("double").as("w"))
+      val sym = co.unionAll(co.select(col("s2").as("s1"),
+        col("s1").as("s2"), col("w")))
+      Graph.node2vecWalks(sym, "s1", "s2", walkLength = 3,
+          walksPerNode = 1, p = 4.0, q = 0.25, weightCol = Some("w"))
+        .orderBy("start", "walk", "step")
+    }),
     // deterministic community detection (sync LPA, 3 sweeps): every
     // node relabels to its neighbors' most frequent label, ties to the
     // smallest — the within-component structure connectedComponents
@@ -5983,6 +6008,69 @@ object SparkEntry {
                            AS BIGINT) + 1) / 4294967297.0)) DESC,
                            e.dst) AS rn
                 FROM s2 JOIN e ON e.src = s2.cur)
+               WHERE rn = 1)
+         SELECT start, walk, 0 AS step, start AS node FROM c0
+         UNION ALL SELECT start, walk, 1, cur FROM s1
+         UNION ALL SELECT start, walk, 2, cur FROM s2
+         UNION ALL SELECT start, walk, 3, cur FROM s3
+         ORDER BY start, walk, step""",
+    // per-step replay of the node2vec draw: argmax of
+    // ln(w·α) − ln(−ln(u)) where α = 0.25 (return, 1/p at p=4),
+    // 1.0 (prev-neighbor — the LEFT JOIN existence test), 4.0
+    // (explore, 1/q at q=0.25); step 1 unbiased; ties by dst — the
+    // operator's min(struct) aggregate term for term
+    "q_node2vec" ->
+      """WITH e0 AS (SELECT DISTINCT l_suppkey + 1000000 AS s,
+                l_partkey AS p
+              FROM lineitem
+              WHERE l_quantity = 1 AND l_partkey % 5 = 0),
+         co AS (SELECT x.s AS a, y.s AS b, count(*)::DOUBLE AS w
+                FROM e0 x JOIN e0 y ON x.p = y.p AND x.s < y.s
+                GROUP BY 1, 2),
+         e AS MATERIALIZED (SELECT a AS src, b AS dst, w FROM co
+              UNION ALL SELECT b, a, w FROM co),
+         c0 AS (SELECT DISTINCT src AS start, 1 AS walk, src AS cur
+                FROM e),
+         s1 AS (SELECT start, walk, cur AS prev, dst AS cur FROM (
+                SELECT c0.start, c0.walk, c0.cur, e.dst,
+                       row_number() OVER (PARTITION BY c0.start, c0.walk
+                         ORDER BY ln(e.w * 1.0) - ln(-ln((CAST(concat('0x',
+                           substring(md5('42#' || c0.cur::VARCHAR || '#'
+                             || e.dst::VARCHAR || '#' ||
+                             c0.walk::VARCHAR || '#1'), 1, 8))
+                           AS BIGINT) + 1) / 4294967297.0)) DESC,
+                           e.dst) AS rn
+                FROM c0 JOIN e ON e.src = c0.cur)
+               WHERE rn = 1),
+         s2 AS (SELECT start, walk, cur AS prev, dst AS cur FROM (
+                SELECT s1.start, s1.walk, s1.cur, e.dst,
+                       row_number() OVER (PARTITION BY s1.start, s1.walk
+                         ORDER BY ln(e.w *
+                           CASE WHEN e.dst = s1.prev THEN 0.25
+                                WHEN n.src IS NOT NULL THEN 1.0
+                                ELSE 4.0 END) - ln(-ln((CAST(concat('0x',
+                           substring(md5('42#' || s1.cur::VARCHAR || '#'
+                             || e.dst::VARCHAR || '#' ||
+                             s1.walk::VARCHAR || '#2'), 1, 8))
+                           AS BIGINT) + 1) / 4294967297.0)) DESC,
+                           e.dst) AS rn
+                FROM s1 JOIN e ON e.src = s1.cur
+                LEFT JOIN e n ON n.src = s1.prev AND n.dst = e.dst)
+               WHERE rn = 1),
+         s3 AS (SELECT start, walk, cur AS prev, dst AS cur FROM (
+                SELECT s2.start, s2.walk, s2.cur, e.dst,
+                       row_number() OVER (PARTITION BY s2.start, s2.walk
+                         ORDER BY ln(e.w *
+                           CASE WHEN e.dst = s2.prev THEN 0.25
+                                WHEN n.src IS NOT NULL THEN 1.0
+                                ELSE 4.0 END) - ln(-ln((CAST(concat('0x',
+                           substring(md5('42#' || s2.cur::VARCHAR || '#'
+                             || e.dst::VARCHAR || '#' ||
+                             s2.walk::VARCHAR || '#3'), 1, 8))
+                           AS BIGINT) + 1) / 4294967297.0)) DESC,
+                           e.dst) AS rn
+                FROM s2 JOIN e ON e.src = s2.cur
+                LEFT JOIN e n ON n.src = s2.prev AND n.dst = e.dst)
                WHERE rn = 1)
          SELECT start, walk, 0 AS step, start AS node FROM c0
          UNION ALL SELECT start, walk, 1, cur FROM s1

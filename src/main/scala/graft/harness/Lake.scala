@@ -294,14 +294,11 @@ final class Lake private (val spark: SparkSession, val sfDir: String, val work: 
     * prunes the scattered dst endpoint. The build is one streaming pass
     * (min/max + bloom aggregates), no large-index overflow. */
   def edgesServeIdx: Index = memoIdx("edges_serve_idx") {
-    val files = edgesFiles
-    val idx = Index(spark, "edges_serve_idx",
-      spark.read.parquet(files.head).schema, "parquet")
-    idx.addRangeIndex("src")
-    idx.addBloomIndex("dst")
-    idx.addFile(files: _*)
-    idx.update()
-    idx
+    // the serve-shape recipe as library API (range(src) + bloom(dst),
+    // O(files) index rows) — the invariance test and ScaleBench both
+    // exercise the documented helper, not a hand-rolled copy
+    graft.operators.Graph.buildServeIndex(spark, "edges_serve_idx",
+      edgesFiles, "src", "dst")
   }
 
   /** Build every index the query set touches, CONCURRENTLY — the builds are

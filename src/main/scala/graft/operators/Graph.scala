@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -1025,9 +1025,22 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .where(col("a") =!= col("b") && col("a").isNotNull)
       .distinct()
-    val lab = labels.select(col(nodeCol).as("__n"), col(labelCol).as("__l"))
+    val lab0 = labels.select(col(nodeCol).as("__n"), col(labelCol).as("__l"))
       .distinct()
-    val lt = lab.schema("__l").dataType
+    val lt = lab0.schema("__l").dataType
+    // A node carrying TWO different labels would silently ride both
+    // label joins (duplicating its edges and skewing Q) — guard
+    // uniqueness in-plan, same discipline as the unlabeled-endpoint
+    // raise below. lab0 is already (node,label)-distinct, so a plain
+    // count per node IS the distinct-label count.
+    val lab = lab0.groupBy("__n")
+      .agg(count(col("__l")).as("__nl"), max(col("__l")).as("__ml"))
+      .select(col("__n"),
+        when(col("__nl") > lit(1), raise_error(lit(
+          s"modularity: a node has more than one distinct '$labelCol' - " +
+            "labels must be unique per node (a duplicate would " +
+            "double-count its edges and skew Q")).cast(lt))
+          .otherwise(col("__ml")).as("__l"))
     def labFor(end: String) = lab
       .select(col("__n").as(end), col("__l").as(s"__l$end"))
     val withL = canon
@@ -1264,6 +1277,120 @@ object Graph {
     out
   }
 
+  /** node2vec-biased walk corpus (Grover & Leskovec 2016) —
+    * [[randomWalks]]'s second-order sibling: the per-step draw is the
+    * same seeded Gumbel-max weighted choice, but each candidate edge
+    * weight is multiplied by the search-bias factor α(prev, v):
+    * `1/p` when `v` IS the previous node (return), `1` when `v` is a
+    * neighbor of the previous node (BFS-ish stay-local), `1/q`
+    * otherwise (DFS-ish explore) — low `p` keeps walks local
+    * (structural-equivalence embeddings), low `q` pushes them outward
+    * (homophily embeddings), and `p = q = 1` degrades EXACTLY to the
+    * weighted [[randomWalks]] draw (bit-identical corpus — α ≡ 1
+    * leaves every Gumbel key unchanged; differential-pinned in
+    * GraphSpec). Step 1 has no previous node and draws unbiased, the
+    * standard first-step convention. Unweighted graphs walk with unit
+    * edge weight (still the Gumbel draw, so the p/q factors compose);
+    * sinks truncate as in [[randomWalks]]. Returns
+    * `start | walk | step | node` (step 0 = the start node itself).
+    *
+    * Scale shape: [[randomWalks]]'s stationary src-partitioned
+    * adjacency and walker-grain per-step exchange, plus ONE extra
+    * equi-join per step — the candidate frame against the adjacency on
+    * `(prev, dst)` to test prev-neighborhood — candidate-grain
+    * (walkers × out-degree), never quadratic; the alternative
+    * (per-node neighbor arrays) explodes on hub nodes, a join does
+    * not. Driver sees one count per step (the lineage-depth pin);
+    * nothing collects. */
+  def node2vecWalks(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      walkLength: Int,
+      walksPerNode: Int = 1,
+      p: Double = 1.0,
+      q: Double = 1.0,
+      samplingSeed: Long = 42L,
+      weightCol: Option[String] = None): DataFrame = {
+    require(walkLength >= 1, "walkLength must be at least 1")
+    require(walksPerNode >= 1, "walksPerNode must be at least 1")
+    require(p > 0 && q > 0,
+      s"node2vecWalks: return parameter p and in-out parameter q must " +
+        s"be positive (got p=$p, q=$q)")
+    val e = (weightCol match {
+      case None =>
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+          .where(col("src").isNotNull && col("dst").isNotNull)
+          .distinct().withColumn("__w", lit(1.0))
+      case Some(wc) =>
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+            when(col(wc).cast("double") > 0, col(wc).cast("double"))
+              .otherwise(raise_error(lit(
+                s"node2vecWalks: non-positive weight in '$wc' - drop " +
+                  "non-edges upstream")).cast("double")).as("__w"))
+          .where(col("src").isNotNull && col("dst").isNotNull)
+          .groupBy("src", "dst").agg(sum("__w").as("__w"))
+    }).repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nbr = e.select(col("src").as("__ps"), col("dst").as("__pd"),
+      lit(true).as("__isnbr"))
+    val nodeType = e.schema("src").dataType
+    var cur = e.select(col("src").as("start")).distinct()
+      .select(col("start"),
+        explode(sequence(lit(1), lit(walksPerNode))).as("walk"),
+        lit(null).cast(nodeType).as("prev"),
+        col("start").as("cur"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    cur.count()
+    val steps = scala.collection.mutable.ListBuffer[(DataFrame, Int)](
+      (cur, 0))
+    (1 to walkLength).foreach { s =>
+      // identical uniform derivation to the weighted randomWalks draw —
+      // the p = q = 1 bit-equality rides on this string byte-for-byte
+      val u = (conv(substring(md5(concat_ws("#",
+        lit(samplingSeed.toString), col("cur").cast("string"),
+        col("dst").cast("string"), col("walk").cast("string"),
+        lit(s.toString))), 1, 8), 16, 10)
+        .cast("long") + lit(1L)).cast("double") / lit(4294967297.0)
+      // α in ONE multiply inside the ln (not ln w + ln α) so the float
+      // chain is replayable term-for-term by the DuckDB oracle
+      val alpha =
+        if (s == 1) lit(1.0)
+        else when(col("dst") === col("prev"), lit(1.0 / p))
+          .when(col("__isnbr").isNotNull, lit(1.0))
+          .otherwise(lit(1.0 / q))
+      val key = log(col("__w") * alpha) - log(-log(u))
+      val cand0 = e.join(cur, e("src") === cur("cur"))
+      val cand =
+        if (s == 1) cand0.withColumn("__isnbr", lit(null).cast("boolean"))
+        else cand0.join(nbr,
+          cand0("prev") === nbr("__ps") && cand0("dst") === nbr("__pd"),
+          "left")
+      val nxt = cand
+        .select(col("start"), col("walk"), col("cur").as("__c"),
+          struct((-key).as("h"), col("dst").as("v")).as("__hv"))
+        .groupBy(col("start"), col("walk"))
+        // __c (the node being left) is constant within the group — max
+        // is just a deterministic pick of that constant
+        .agg(min(col("__hv")).as("__m"), max(col("__c")).as("prev"))
+        .select(col("start"), col("walk"), col("prev"),
+          col("__m.v").as("cur"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      nxt.count() // pin before the next join reads it (one-deep lineage)
+      steps += ((nxt, s))
+      cur = nxt
+    }
+    val out = steps.map { case (df, s) =>
+        df.select(col("start"), col("walk"), lit(s).as("step"),
+          col("cur").as("node"))
+      }.reduce(_.unionAll(_))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // pin the corpus before the per-step caches release
+    steps.foreach(_._1.unpersist(blocking = false))
+    e.unpersist(blocking = false)
+    out
+  }
+
   /** Induced-subgraph edge extraction over an INDEXED edge table — the
     * step after [[neighborhood]]/[[sampleNeighbors]] picks a node set:
     * fetch every stored edge BOTH of whose endpoints are in the set
@@ -1300,6 +1427,55 @@ object Graph {
       .select(col(srcCol), col(dstCol))
   }
 
+  /** Build (or incrementally extend) the SERVE-SHAPED index over an
+    * edge lake — the index shape graph serving needs, promoted to API
+    * from the ×300 crossover measurement (BENCH_SCALE
+    * scale_r13_ego_serve_crossover): **range(srcCol) + bloom(dstCol)**,
+    * O(files) index rows. A regular (distinct-key) dual index is the
+    * WRONG serving shape at web scale: it stores every distinct
+    * endpoint per file (~260M values at ×300 — index nearly as large as
+    * the data), so each per-hop locate scans the lake again and the
+    * indexed egonet LOSES to a full scan 10×. The serve shape stores
+    * one `[min, max]` struct per file for `srcCol` (edge writers
+    * cluster/sort by src, so ranges are tight) and one fixed-size bloom
+    * per file for `dstCol` (scattered side — membership, not
+    * enumeration); measured at ×300 (2.1 GB / 512 files): fan-out
+    * sample 1.75 s, metapath 1.13 s, 2-hop egonet 2.00 s vs 2.96 s
+    * full-scan BFS at 99.4 %+ bytes pruned, per-hop locate a 512-row
+    * scan. Feeds [[neighborhood]] / [[sampleNeighbors]] /
+    * [[sampleMetapath]] / [[induceEdges]] directly. Idempotent:
+    * reconnects if `indexName` exists (the identical index defs are
+    * no-ops; a conflicting shape on either column throws the
+    * exclusivity rule), upserts the file registrations, and `update()`
+    * indexes only the not-yet-indexed files — the incremental
+    * edge-lake ingest path. Pair with [[graft.Index.warmProbeCache]]
+    * (or `spark.graft.warmOnConnect`) in the serving process. */
+  def buildServeIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexName: String,
+      edgeFiles: Seq[String],
+      srcCol: String,
+      dstCol: String,
+      format: String = "parquet",
+      bloomFpr: Double = 0.01): graft.Index = {
+    require(edgeFiles.nonEmpty, "buildServeIndex: edgeFiles is empty")
+    // schema from one file (parquet/orc are self-describing; a csv/json
+    // edge lake should go through Index() directly with a declared schema)
+    val schema = spark.read.format(format)
+      .option("inferSchema", "true").option("header", "true")
+      .load(edgeFiles.head).schema
+    require(schema.fieldNames.contains(srcCol) &&
+      schema.fieldNames.contains(dstCol),
+      s"buildServeIndex: edge files lack '$srcCol'/'$dstCol' " +
+        s"(schema: ${schema.fieldNames.mkString(", ")})")
+    val idx = graft.Index(spark, indexName, schema, format)
+    idx.addRangeIndex(srcCol)
+    idx.addBloomIndex(dstCol, fpr = bloomFpr)
+    idx.addFile(edgeFiles: _*)
+    idx.update()
+    idx
+  }
+
   /** Persist a centrality result (any `node | score…` frame: pageRank,
     * hits, degrees) as a crash-safe snapshot table under `dir` — the
     * train-once/serve-for-months shape the artifact store gives models,
@@ -1327,7 +1503,15 @@ object Graph {
     * one bounded `percentile` aggregate + a literal CASE projection +
     * one band-grain shuffle; at web scale the scores frame is node-grain
     * (billions, not trillions) and this runs once per training of the
-    * frozen artifact. Idempotent per `indexName` (re-persist replaces).
+    * frozen artifact. `approx = true` swaps the exact `percentile`
+    * multiset aggregate for a bounded-memory KLL sketch
+    * ([[graft.functions.Kll.quantilesAgg]]) — at billions of nodes the
+    * exact aggregate materializes the full score multiset on one
+    * reducer, while the sketch is O(k) state with the same banding role
+    * (band cuts only steer file placement; serving correctness rides
+    * the range index's true per-file [min, max], so approximate cuts
+    * never change results — only band balance, within sketch error).
+    * Idempotent per `indexName` (re-persist replaces).
     * Serve with `index.queryRange(scoreCol, τ, hi)` — pruning evidence
     * rides `pruningMetrics` under `spark.graft.metricsEnabled`. */
   def persistScoresIndexed(
@@ -1336,7 +1520,8 @@ object Graph {
       scores: DataFrame,
       scoreCol: String,
       nBuckets: Int = 16,
-      indexName: String = "graft_scores"): graft.Index = {
+      indexName: String = "graft_scores",
+      approx: Boolean = false): graft.Index = {
     require(nBuckets >= 1 && nBuckets <= 10000,
       "nBuckets must be in [1, 10000]")
     require(scores.columns.contains(scoreCol),
@@ -1349,12 +1534,20 @@ object Graph {
       if (nBuckets == 1) scores.withColumn("__band", lit(0))
       else {
         val probs = (1 until nBuckets).map(_.toDouble / nBuckets)
-        val row = scores.agg(call_function("percentile",
-          col(scoreCol).cast("double"), lit(probs.toArray)).as("__q"))
-          .first()
-        require(!row.isNullAt(0),
-          s"persistScoresIndexed: no non-null values in '$scoreCol'")
-        val ths = row.getSeq[Double](0)
+        val ths: Seq[Double] = if (approx) {
+          val row = scores.agg(graft.functions.Kll.quantilesAgg(
+            col(scoreCol).cast("double"), 4096, probs).as("__q")).first()
+          require(!row.isNullAt(0) && row.getSeq[Row](0).nonEmpty,
+            s"persistScoresIndexed: no non-null values in '$scoreCol'")
+          row.getSeq[Row](0).map(_.getDouble(1))
+        } else {
+          val row = scores.agg(call_function("percentile",
+            col(scoreCol).cast("double"), lit(probs.toArray)).as("__q"))
+            .first()
+          require(!row.isNullAt(0),
+            s"persistScoresIndexed: no non-null values in '$scoreCol'")
+          row.getSeq[Double](0)
+        }
         val band = ths.zipWithIndex.reverse.foldLeft(lit(nBuckets - 1)) {
           case (acc, (t, i)) =>
             when(col(scoreCol).cast("double") <= lit(t), lit(i))
@@ -1368,13 +1561,20 @@ object Graph {
       }
     banded.repartition(nBuckets, col("__band"))
       .write.partitionBy("__band").mode("overwrite").parquet(s"$dir/data")
+    // Hadoop-FS enumeration (not java.io.File): `dir` may be a file://
+    // URI or a non-local path (hdfs/s3) — the production serving shape
+    // this method exists for. Fully-qualified paths from listStatus keep
+    // the index's file ledger scheme-correct on any filesystem.
     val files = {
-      val root = new java.io.File(s"$dir/data".stripPrefix("file:"))
-      root.listFiles().filter(_.getName.startsWith("__band="))
-        .flatMap(_.listFiles())
-        .filter(f => f.getName.startsWith("part-") &&
-          f.getName.endsWith(".parquet"))
-        .map(_.getAbsolutePath).sorted.toSeq
+      val dataPath = new org.apache.hadoop.fs.Path(s"$dir/data")
+      val f = graft.store.Fs.fs(spark, s"$dir/data")
+      if (!f.exists(dataPath)) Seq.empty[String]
+      else f.listStatus(dataPath).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("__band="))
+        .flatMap(d => f.listStatus(d.getPath).toSeq)
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-") &&
+          s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString).sorted
     }
     require(files.nonEmpty,
       s"persistScoresIndexed: no data files written under $dir/data")

@@ -1068,6 +1068,54 @@ object Drive {
         s"${egoGot == egoWant} probes=$egoProbes pruned=" +
         s"${egoProbes.forall(p => p._1 < p._2)} " +
         "(want match=true, pruned=true)")
+
+      // 30 (r14): serve-shape helper + warm-on-connect + file:-URI
+      // score persistence + node2vec walks, all through the public API
+      val serveIdx = graft.operators.Graph.buildServeIndex(spark,
+        "ego_serve_drive", egoFiles, "src", "dst")
+      val egoServe = graft.operators.Graph.neighborhood(serveIdx, "src",
+        "dst", Seq(4L, 8L), hops = 1, direction = "out")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      spark.conf.set("spark.graft.warmOnConnect", "true")
+      val reconnected = Index(spark, "ego_serve_drive",
+        spark.read.parquet(egoFiles.head).schema, "parquet")
+      spark.conf.unset("spark.graft.warmOnConnect")
+      val egoWarm = graft.operators.Graph.neighborhood(reconnected, "src",
+        "dst", Seq(4L, 8L), hops = 1, direction = "out")
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      println(s"[drive] 30-serveidx shapeInvariant=${egoServe == egoGot} " +
+        s"warmReconnectEq=${egoWarm == egoServe} " +
+        "(want both true)")
+      val pr30 = graft.operators.Graph.pageRank(egoEdges, "src", "dst",
+        iters = 2)
+      val scoresDir = "file:" + s"$work/scores_uri"
+      val scoresIdx = graft.operators.Graph.persistScoresIndexed(spark,
+        scoresDir, pr30, "pagerank", nBuckets = 4,
+        indexName = "scores_uri_drive", approx = true)
+      val tau30 = pr30.agg(expr("percentile(pagerank, 0.9)"))
+        .first().getDouble(0)
+      val srvTop = scoresIdx.queryRange("pagerank", tau30, 1.0)
+        .select("node").collect().map(_.getLong(0)).toSet
+      val fullTop = pr30.where(col("pagerank") >= tau30)
+        .select("node").collect().map(_.getLong(0)).toSet
+      println(s"[drive] 30-scores-uri kllBandedServeEq=${srvTop == fullTop} " +
+        s"n=${srvTop.size} (want true, n>0)")
+      val n2vEdges = egoEdges.limit(2000)
+        .groupBy("src", "dst").agg(count(lit(1)).cast("double").as("w"))
+      val viaN2v = graft.operators.Graph.node2vecWalks(n2vEdges, "src",
+          "dst", walkLength = 2, p = 1.0, q = 1.0, weightCol = Some("w"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getLong(3))).toSet
+      val viaRw = graft.operators.Graph.randomWalks(n2vEdges, "src",
+          "dst", walkLength = 2, weightCol = Some("w"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getLong(3))).toSet
+      val biased = graft.operators.Graph.node2vecWalks(n2vEdges, "src",
+          "dst", walkLength = 2, p = 8.0, q = 0.125,
+          weightCol = Some("w")).count()
+      println(s"[drive] 30-node2vec pq1EqualsRandomWalks=${viaN2v == viaRw} " +
+        s"walkRows=${viaN2v.size} biasedRows=$biased " +
+        "(want equal, biasedRows==walkRows)")
     }
 
     spark.stop()

@@ -900,4 +900,166 @@ class GraphSpec extends GraftSuite {
     assert(Graph.lastNeighborhoodProbes == mine,
       "this thread's probe evidence must survive the concurrent call")
   }
+
+  test("node2vecWalks: driver replay of the 3-case α bias (return / " +
+      "prev-neighbor / explore); p=q=1 is bit-identical to the weighted " +
+      "randomWalks corpus; guards") {
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // a graph where all three α cases fire: from 2 (arrived from 1) the
+    // candidates are 1 (return), 3 (1's neighbor), 4 (explore)
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (2L, 4L), (1L, 3L),
+      (3L, 1L), (4L, 2L), (3L, 4L)).toDF("s", "t")
+    val adj = Map(1L -> Seq(2L, 3L), 2L -> Seq(1L, 3L, 4L),
+      3L -> Seq(1L, 4L), 4L -> Seq(2L))
+    val (p0, q0) = (4.0, 0.25)
+    def key(cur: Long, v: Long, prev: Option[Long], st: Int): Double = {
+      val u = (java.lang.Long.parseLong(
+        md5hex(s"7#$cur#$v#1#$st").take(8), 16) + 1L).toDouble /
+        4294967297.0
+      val alpha = prev match {
+        case None => 1.0
+        case Some(pv) if v == pv => 1.0 / p0
+        case Some(pv) if adj.getOrElse(pv, Seq.empty).contains(v) => 1.0
+        case _ => 1.0 / q0
+      }
+      math.log(1.0 * alpha) - math.log(-math.log(u))
+    }
+    val want = scala.collection.mutable.Map[(Long, Int, Int), Long]()
+    for (start <- adj.keys) {
+      var cur = start
+      var prev: Option[Long] = None
+      want((start, 1, 0)) = start
+      (1 to 4).foreach { st =>
+        val v = adj(cur).minBy(n => (-key(cur, n, prev, st), n))
+        want((start, 1, st)) = v
+        prev = Some(cur); cur = v
+      }
+    }
+    val got = Graph.node2vecWalks(edges, "s", "t", walkLength = 4,
+        walksPerNode = 1, p = p0, q = q0, samplingSeed = 7L)
+      .collect()
+      .map(r0 => ((r0.getLong(0), r0.getInt(1), r0.getInt(2)),
+        r0.getLong(3))).toMap
+    assert(got == want.toMap, "node2vec replay mismatch")
+    // the replay must actually exercise a biased choice: with p=4 the
+    // walk from 1→2 must not immediately return unless the hash draw
+    // overwhelms the 0.25 factor — assert the fixture covers a step
+    // where the unbiased (p=q=1) walk differs from the biased one
+    val unb = Graph.node2vecWalks(edges, "s", "t", walkLength = 4,
+        walksPerNode = 1, samplingSeed = 7L)
+      .collect()
+      .map(r0 => ((r0.getLong(0), r0.getInt(1), r0.getInt(2)),
+        r0.getLong(3))).toMap
+    assert(unb != got,
+      "fixture must make the p/q bias change at least one draw")
+    // p=q=1 degrades bit-identically to the weighted randomWalks draw
+    // (α ≡ 1 leaves every Gumbel key untouched — two independent code
+    // paths, same corpus)
+    val wEdges = Seq((1L, 2L, 1.0), (1L, 3L, 5.0), (1L, 3L, 2.0),
+      (3L, 1L, 1.0), (3L, 4L, 2.0), (4L, 1L, 3.0)).toDF("s", "t", "w")
+    val viaN2v = Graph.node2vecWalks(wEdges, "s", "t", walkLength = 3,
+        walksPerNode = 2, samplingSeed = 7L, weightCol = Some("w"))
+      .collect().map(r0 => ((r0.getLong(0), r0.getInt(1), r0.getInt(2)),
+        r0.getLong(3))).toMap
+    val viaRw = Graph.randomWalks(wEdges, "s", "t", walkLength = 3,
+        walksPerNode = 2, samplingSeed = 7L, weightCol = Some("w"))
+      .collect().map(r0 => ((r0.getLong(0), r0.getInt(1), r0.getInt(2)),
+        r0.getLong(3))).toMap
+    assert(viaN2v == viaRw,
+      "p=q=1 node2vec must equal the weighted randomWalks corpus")
+    intercept[IllegalArgumentException] {
+      Graph.node2vecWalks(edges, "s", "t", walkLength = 2, p = 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.node2vecWalks(edges, "s", "t", walkLength = 2, q = -1.0)
+    }
+  }
+
+  test("persistScoresIndexed: a file:-scheme dir routes through the " +
+      "Hadoop FS listing; approx KLL banding serves value-identically") {
+    val scores = spark.range(1, 201)
+      .select(col("id").as("node"), (col("id") / lit(200.0)).as("score"))
+    // file:// URI — the java.io.File enumeration this replaced NPE'd here
+    val dirX = "file:" + tmpDir("graft_scores_uri_")
+    val idx = Graph.persistScoresIndexed(spark, dirX, scores, "score",
+      nBuckets = 4, indexName = "spec_scores_uri")
+    assert(idx.queryRange("score", 0.0, 1.0).count() == 200L)
+    val wantTop = scores.where(col("score") >= 0.9)
+      .collect().map(r0 => (r0.getLong(0), r0.getDouble(1))).toSet
+    val gotTop = idx.queryRange("score", 0.9, 1.0)
+      .select("node", "score").collect()
+      .map(r0 => (r0.getLong(0), r0.getDouble(1))).toSet
+    assert(gotTop == wantTop)
+    // approx banding: KLL cuts steer only file PLACEMENT — served rows
+    // must be identical to the exact-percentile banding, and the range
+    // index must still prune the top-decile read
+    val dirY = "file:" + tmpDir("graft_scores_kll_")
+    val idxA = Graph.persistScoresIndexed(spark, dirY, scores, "score",
+      nBuckets = 4, indexName = "spec_scores_kll", approx = true)
+    spark.conf.set("spark.graft.metricsEnabled", "true")
+    try {
+      val gotA = idxA.queryRange("score", 0.9, 1.0)
+        .select("node", "score").collect()
+        .map(r0 => (r0.getLong(0), r0.getDouble(1))).toSet
+      assert(gotA == wantTop,
+        "approx banding must not change served results")
+      val m = idxA.pruningMetrics.get
+      assert(m.totalFiles >= 2 && m.locatedFiles < m.totalFiles,
+        s"KLL-banded top-decile read must prune band files: $m")
+    } finally spark.conf.unset("spark.graft.metricsEnabled")
+    assert(idxA.queryRange("score", 0.0, 1.0).count() == 200L)
+  }
+
+  test("buildServeIndex: the serve-shape recipe as API — idempotent " +
+      "incremental reconnect; a conflicting shape hits the exclusivity " +
+      "rule") {
+    import graft.harness.Lake
+    val lk = Lake.get(spark, sf)
+    // the invariance test above already pins serving equality through
+    // lk.edgesServeIdx (which routes through buildServeIndex); here:
+    // reconnect + conflict semantics
+    val idx = Graph.buildServeIndex(spark, "edges_serve_idx",
+      lk.edgesFiles, "src", "dst")
+    assert(idx.indexes == Set("src", "dst"))
+    val n1 = idx.files.size
+    // re-invoking with the same shape and files is a no-op upsert
+    val idx2 = Graph.buildServeIndex(spark, "edges_serve_idx",
+      lk.edgesFiles, "src", "dst")
+    assert(idx2.files.size == n1,
+      "re-registering the same files must not duplicate the ledger")
+    // swapped columns ask for bloom-on-src over the existing range-on-src
+    intercept[IllegalArgumentException] {
+      Graph.buildServeIndex(spark, "edges_serve_idx", lk.edgesFiles,
+        "dst", "src")
+    }
+    intercept[IllegalArgumentException] {
+      Graph.buildServeIndex(spark, "spec_serve_missing", lk.edgesFiles,
+        "nope", "dst")
+    }
+  }
+
+  test("warmOnConnect: reconnecting under spark.graft.warmOnConnect " +
+      "warms the probe cache and probes are unchanged") {
+    val dirX = tmpDir("graft_warm_")
+    spark.range(0, 100).select(col("id"), (col("id") % 7).as("grp"))
+      .write.mode("overwrite").parquet(dirX)
+    val files = new java.io.File(dirX).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).map(_.getAbsolutePath).toSeq
+    val schema = spark.read.parquet(files.head).schema
+    val i1 = graft.Index(spark, "spec_warm_idx", schema, "parquet")
+    i1.addIndex("grp")
+    i1.addFile(files: _*)
+    i1.update()
+    spark.conf.set("spark.graft.warmOnConnect", "true")
+    try {
+      // reconnect: the warm-up fires inside Index() — behavior must be
+      // identical, just pre-paid
+      val i2 = graft.Index(spark, "spec_warm_idx", schema, "parquet")
+      assert(i2.query(Map("grp" -> Seq(3L))).where(col("grp") === 3)
+        .count() === spark.range(0, 100).where(col("id") % 7 === 3).count())
+    } finally spark.conf.unset("spark.graft.warmOnConnect")
+  }
 }
