@@ -2236,6 +2236,41 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_pairs"))
         .orderBy("center", "context")
     }),
+    // PPMI weighting of the SAME replayed skip-gram pairs — the
+    // closed-form association matrix whose factorization is SGNS's
+    // implicit objective (Levy & Goldberg 2014): hub co-occurrences
+    // explained by marginal frequency collapse toward 0
+    "q_walk_pmi" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val e0 = lk.lineitem
+        .where(col("l_quantity") === 1 &&
+          pmod(col("l_partkey"), lit(5)) === 0)
+        .select((col("l_suppkey") + lit(1000000L)).as("src"),
+          col("l_partkey").as("dst"))
+        .distinct()
+      val co = e0.select(col("dst").as("p"), col("src").as("s1"))
+        .join(e0.select(col("dst").as("p"), col("src").as("s2")), "p")
+        .where(col("s1") < col("s2"))
+        .select(col("s1"), col("s2")).distinct()
+      val sym = co.unionAll(
+        co.select(col("s2").as("s1"), col("s1").as("s2")))
+      val walks = Graph.randomWalks(sym, "s1", "s2", walkLength = 3,
+        walksPerNode = 2)
+      Graph.walkPmi(Graph.walkSkipGrams(walks, window = 2))
+        .orderBy("center", "context")
+    }),
+    // metapath2vec walks over the heterogeneous provenance graph:
+    // customer →(c2o) order →(o2s) supplier, every step's draw
+    // constrained to the metapath's edge type and replayed per-step by
+    // the DuckDB oracle
+    "q_metapath_walks" -> ((s, dir) => {
+      val lk = Lake.get(s, dir)
+      val typed = s.read.parquet(lk.edgesFiles: _*)
+        .select("src", "dst", "etype")
+      Graph.metapathWalks(typed, "src", "dst", "etype",
+          path = Seq("c2o", "o2s"))
+        .orderBy("start", "walk", "step")
+    }),
     // the DISTRIBUTED relational BFS (the alternative the serving
     // loops' maxFrontier fail-fasts name): same provenance walk as
     // q_sql_bfs, computed in node-grain frontier iterations with no
@@ -6116,6 +6151,57 @@ object SparkEntry {
                 AND a.step <> b.step AND abs(b.step - a.step) <= 2)
          SELECT center, context, count(*) AS n_pairs
          FROM p GROUP BY 1, 2 ORDER BY 1, 2""",
+    // PPMI over the same replayed pairs: identical float chain
+    // (n·N / (n_c·n_x), one multiply each side of the divide), ln,
+    // clip at 0, round-6 on both sides
+    "q_walk_pmi" ->
+      s"""$coWalksCte,
+         p AS (SELECT a.node AS center, b.node AS context
+               FROM wk a JOIN wk b
+                 ON a.start = b.start AND a.walk = b.walk
+                AND a.step <> b.step AND abs(b.step - a.step) <= 2),
+         agg AS (SELECT center, context, count(*)::DOUBLE AS n
+                 FROM p GROUP BY 1, 2),
+         nc AS (SELECT center, sum(n) AS cn FROM agg GROUP BY 1),
+         nx AS (SELECT context, sum(n) AS xn FROM agg GROUP BY 1),
+         tot AS (SELECT sum(n) AS t FROM agg)
+         SELECT agg.center, agg.context,
+                CAST(agg.n AS BIGINT) AS n_pairs,
+                round(greatest(0.0,
+                  ln(agg.n * tot.t / (nc.cn * nx.xn))), 6) AS ppmi
+         FROM agg JOIN nc ON nc.center = agg.center
+                  JOIN nx ON nx.context = agg.context, tot
+         ORDER BY 1, 2""",
+    // per-step replay of the metapath-constrained draw: step 1 only
+    // c2o edges, step 2 only o2s edges, each the seeded md5 minimum
+    // (ties by dst) — term for term the operator's min(struct)
+    "q_metapath_walks" ->
+      """WITH e1 AS (SELECT DISTINCT o_custkey AS src,
+                o_orderkey + 10000000 AS dst FROM orders),
+         e2 AS (SELECT DISTINCT l_orderkey + 10000000 AS src,
+                l_suppkey + 20000000 AS dst FROM lineitem),
+         c0 AS (SELECT DISTINCT src AS start, 1 AS walk, src AS cur
+                FROM e1),
+         s1 AS (SELECT start, walk, dst AS cur FROM (
+                SELECT c0.start, c0.walk, e1.dst,
+                       row_number() OVER (PARTITION BY c0.start, c0.walk
+                         ORDER BY md5(c0.cur::VARCHAR || ':' ||
+                           e1.dst::VARCHAR || ':42:' ||
+                           c0.walk::VARCHAR || ':1'), e1.dst) AS rn
+                FROM c0 JOIN e1 ON e1.src = c0.cur)
+               WHERE rn = 1),
+         s2 AS (SELECT start, walk, dst AS cur FROM (
+                SELECT s1.start, s1.walk, e2.dst,
+                       row_number() OVER (PARTITION BY s1.start, s1.walk
+                         ORDER BY md5(s1.cur::VARCHAR || ':' ||
+                           e2.dst::VARCHAR || ':42:' ||
+                           s1.walk::VARCHAR || ':2'), e2.dst) AS rn
+                FROM s1 JOIN e2 ON e2.src = s1.cur)
+               WHERE rn = 1)
+         SELECT start, walk, 0 AS step, start AS node FROM c0
+         UNION ALL SELECT start, walk, 1, cur FROM s1
+         UNION ALL SELECT start, walk, 2, cur FROM s2
+         ORDER BY start, walk, step""",
     // the same recursive min-hop walk as q_sql_bfs, here oracling the
     // OPERATOR (distributed frontier iterations) instead of the SQL CTE
     "q_hop_distances" ->

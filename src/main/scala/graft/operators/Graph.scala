@@ -1171,6 +1171,47 @@ object Graph {
         (col("__sb") - col("__sa")).as("offset"))
   }
 
+  /** PPMI weighting of a skip-gram co-occurrence frame ([[walkSkipGrams]]
+    * output, or any `center | context` pair frame) — the association
+    * statistic between raw co-occurrence counts and an embedding:
+    * `PPMI(c, x) = max(0, ln(n(c,x)·N / (n(c,·)·n(·,x))))` downweights
+    * pairs whose co-occurrence is explained by marginal frequency alone
+    * (hub nodes co-occur with everything; PPMI ≈ 0 there), and the
+    * PPMI matrix's factorization IS skip-gram-with-negative-sampling's
+    * implicit objective (Levy & Goldberg 2014) — so this frame is the
+    * closed-form embedding input a trainer-less pipeline can ship.
+    * Returns `center | context | n_pairs | ppmi` (round-6).
+    *
+    * Scale shape: one pair-grain count aggregate, two node-grain
+    * marginal sums DERIVED from it (Catalyst reuses the shared
+    * aggregate exchange across the three consumers), pair-grain joins
+    * keyed on each marginal, total via a broadcast one-row frame —
+    * nothing wider than the pair frame itself ever shuffles. */
+  def walkPmi(
+      pairs: DataFrame,
+      centerCol: String = "center",
+      contextCol: String = "context"): DataFrame = {
+    Seq(centerCol, contextCol).foreach(c =>
+      require(pairs.columns.contains(c),
+        s"walkPmi: missing column '$c' (got " +
+          s"${pairs.columns.mkString(", ")})"))
+    val agg = pairs
+      .select(col(centerCol).as("center"), col(contextCol).as("context"))
+      .where(col("center").isNotNull && col("context").isNotNull)
+      .groupBy("center", "context")
+      .agg(count(lit(1)).cast("double").as("__n"))
+    val nc = agg.groupBy("center").agg(sum("__n").as("__cn"))
+    val nx = agg.groupBy("context").agg(sum("__n").as("__xn"))
+    val tot = agg.agg(sum("__n").as("__t"))
+    agg.join(nc, "center").join(nx, "context")
+      .crossJoin(broadcast(tot))
+      .select(col("center"), col("context"),
+        col("__n").cast("long").as("n_pairs"),
+        round(greatest(lit(0.0),
+          log(col("__n") * col("__t") / (col("__cn") * col("__xn")))), 6)
+          .as("ppmi"))
+  }
+
   /** Deterministic random-walk corpus over an edge frame — DeepWalk /
     * node2vec-style sequence generation (Perozzi et al. 2014): at corpus
     * scale the walk corpus IS training data (skip-gram windows over node
@@ -1375,6 +1416,115 @@ object Graph {
         .agg(min(col("__hv")).as("__m"), max(col("__c")).as("prev"))
         .select(col("start"), col("walk"), col("prev"),
           col("__m.v").as("cur"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      nxt.count() // pin before the next join reads it (one-deep lineage)
+      steps += ((nxt, s))
+      cur = nxt
+    }
+    val out = steps.map { case (df, s) =>
+        df.select(col("start"), col("walk"), lit(s).as("step"),
+          col("cur").as("node"))
+      }.reduce(_.unionAll(_))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    out.count() // pin the corpus before the per-step caches release
+    steps.foreach(_._1.unpersist(blocking = false))
+    e.unpersist(blocking = false)
+    out
+  }
+
+  /** metapath2vec walk corpus (Dong et al. 2017) — [[randomWalks]]
+    * constrained to a heterogeneous METAPATH: step `s` draws only from
+    * edges whose `typeCol` equals `path((s−1) mod path.length)`,
+    * applied cyclically for `cycles` rounds (walk length =
+    * `path.length × cycles`). On a typed graph an unconstrained walk
+    * corpus is dominated by whichever relation has the highest degree;
+    * the metapath (author–paper–author, customer–order–supplier) keeps
+    * every walk semantically typed, which is what makes heterogeneous
+    * skip-gram embeddings meaningful. Walks start at every distinct
+    * source of a `path.head`-typed edge; the per-step draw is
+    * [[randomWalks]]'s seeded md5 minimum (or, with `weightCol`, its
+    * Gumbel-max weighted choice) — identical derivation strings, so on
+    * a single-type graph with `path = Seq(t)` the corpus is
+    * bit-identical to [[randomWalks]] over that typed slice
+    * (differential-pinned). A node with no out-edge of the step's type
+    * truncates the walk, the typed analogue of sink truncation.
+    * Returns `start | walk | step | node` (step 0 = start). Related:
+    * [[sampleMetapath]] serves bounded seed sets through an index;
+    * this generates the corpus-scale walk frame.
+    *
+    * Scale shape: the typed adjacency persists ONCE partitioned by
+    * `src`; each step filters it by type (partition-local, no
+    * reshuffle) and reduces candidates with the same walker-grain
+    * map-side-combined `min(struct)` as [[randomWalks]]. */
+  def metapathWalks(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      typeCol: String,
+      path: Seq[String],
+      cycles: Int = 1,
+      walksPerNode: Int = 1,
+      samplingSeed: Long = 42L,
+      weightCol: Option[String] = None): DataFrame = {
+    require(path.nonEmpty, "path must be non-empty (one edge type per step)")
+    require(cycles >= 1, "cycles must be at least 1")
+    require(walksPerNode >= 1, "walksPerNode must be at least 1")
+    require(edges.columns.contains(typeCol),
+      s"metapathWalks: '$typeCol' is not a column of the edge frame " +
+        s"(${edges.columns.mkString(", ")})")
+    require(edges.schema(typeCol).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"metapathWalks: '$typeCol' must be a string edge-type column")
+    val e = (weightCol match {
+      case None =>
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+            col(typeCol).as("__t"))
+          .where(col("src").isNotNull && col("dst").isNotNull)
+          .distinct()
+      case Some(wc) =>
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst"),
+            col(typeCol).as("__t"),
+            when(col(wc).cast("double") > 0, col(wc).cast("double"))
+              .otherwise(raise_error(lit(
+                s"metapathWalks: non-positive weight in '$wc' - drop " +
+                  "non-edges upstream")).cast("double")).as("__w"))
+          .where(col("src").isNotNull && col("dst").isNotNull)
+          .groupBy("src", "dst", "__t").agg(sum("__w").as("__w"))
+    }).repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var cur = e.where(col("__t") === lit(path.head))
+      .select(col("src").as("start")).distinct()
+      .select(col("start"),
+        explode(sequence(lit(1), lit(walksPerNode))).as("walk"),
+        col("start").as("cur"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    cur.count()
+    val steps = scala.collection.mutable.ListBuffer[(DataFrame, Int)](
+      (cur, 0))
+    (1 to path.length * cycles).foreach { s =>
+      val stepType = path((s - 1) % path.length)
+      val hv =
+        if (weightCol.isDefined) {
+          val u = (conv(substring(md5(concat_ws("#",
+            lit(samplingSeed.toString), col("cur").cast("string"),
+            col("dst").cast("string"), col("walk").cast("string"),
+            lit(s.toString))), 1, 8), 16, 10)
+            .cast("long") + lit(1L)).cast("double") / lit(4294967297.0)
+          struct((-(log(col("__w")) - log(-log(u)))).as("h"),
+            col("dst").as("v"))
+        } else
+          struct(
+            md5(concat_ws(":",
+              col("cur").cast("string"), col("dst").cast("string"),
+              lit(samplingSeed.toString), col("walk").cast("string"),
+              lit(s.toString))).as("h"),
+            col("dst").as("v"))
+      val et = e.where(col("__t") === lit(stepType))
+      val nxt = et.join(cur, et("src") === cur("cur"))
+        .select(col("start"), col("walk"), hv.as("__hv"))
+        .groupBy(col("start"), col("walk"))
+        .agg(min(col("__hv")).as("__m"))
+        .select(col("start"), col("walk"), col("__m.v").as("cur"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       nxt.count() // pin before the next join reads it (one-deep lineage)
       steps += ((nxt, s))

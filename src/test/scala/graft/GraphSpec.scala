@@ -1040,6 +1040,109 @@ class GraphSpec extends GraftSuite {
     }
   }
 
+  test("walkPmi: hand-computed PPMI with the 0-clip exercised; guards") {
+    // pairs: (a,b)x3, (a,c)x1, (c,b)x1 → N=5, n(a,·)=4, n(·,b)=4
+    // PMI(a,b)=ln(15/16)<0 → clipped to 0; the others ln(1.25)
+    val pairs = Seq(("a", "b"), ("a", "b"), ("a", "b"), ("a", "c"),
+      ("c", "b")).toDF("center", "context")
+    val got = Graph.walkPmi(pairs).collect()
+      .map(r0 => ((r0.getString(0), r0.getString(1)),
+        (r0.getLong(2), r0.getDouble(3)))).toMap
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Map(
+      ("a", "b") -> ((3L, 0.0)),
+      ("a", "c") -> ((1L, r6(math.log(1.25)))),
+      ("c", "b") -> ((1L, r6(math.log(1.25))))))
+    intercept[IllegalArgumentException] {
+      Graph.walkPmi(pairs, centerCol = "nope")
+    }
+  }
+
+  test("metapathWalks: driver replay of the type-constrained draws; " +
+      "missing-type truncation; single-type path equals randomWalks " +
+      "on the typed slice; guards") {
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val typed = Seq(
+      (1L, 2L, "x"), (1L, 3L, "x"), (2L, 4L, "x"),
+      (2L, 5L, "y"), (3L, 6L, "y"), (4L, 7L, "y"))
+      .toDF("s", "t", "ty")
+    val adj = Map(
+      "x" -> Map(1L -> Seq(2L, 3L), 2L -> Seq(4L)),
+      "y" -> Map(2L -> Seq(5L), 3L -> Seq(6L), 4L -> Seq(7L)))
+    val want = scala.collection.mutable.Map[(Long, Int, Int), Long]()
+    for (start <- Seq(1L, 2L)) {
+      var cur = start
+      want((start, 1, 0)) = start
+      var alive = true
+      (1 to 4).foreach { st =>
+        val ty = if (st % 2 == 1) "x" else "y"
+        if (alive) adj(ty).get(cur) match {
+          case Some(ns) =>
+            val v = ns.minBy(n => (md5hex(s"$cur:$n:7:1:$st"), n))
+            want((start, 1, st)) = v
+            cur = v
+          case None => alive = false
+        }
+      }
+    }
+    val got = Graph.metapathWalks(typed, "s", "t", "ty",
+        path = Seq("x", "y"), cycles = 2, samplingSeed = 7L)
+      .collect()
+      .map(r0 => ((r0.getLong(0), r0.getInt(1), r0.getInt(2)),
+        r0.getLong(3))).toMap
+    assert(got == want.toMap, "metapath replay mismatch")
+    // the y→x transition must actually truncate somewhere (nodes 5/6/7
+    // have no x out-edge) or the fixture tests nothing
+    assert(want.size < 2 * 5, "expected at least one typed truncation")
+    // single-type path over a single-type graph = randomWalks on the
+    // same slice (identical derivation strings, two code paths)
+    val xOnly = typed.where(col("ty") === "x")
+    val viaMp = Graph.metapathWalks(xOnly, "s", "t", "ty",
+        path = Seq("x"), cycles = 3, walksPerNode = 2, samplingSeed = 7L)
+      .collect()
+      .map(r0 => ((r0.getLong(0), r0.getInt(1), r0.getInt(2)),
+        r0.getLong(3))).toSet
+    val viaRw = Graph.randomWalks(xOnly, "s", "t", walkLength = 3,
+        walksPerNode = 2, samplingSeed = 7L)
+      .collect()
+      .map(r0 => ((r0.getLong(0), r0.getInt(1), r0.getInt(2)),
+        r0.getLong(3))).toSet
+    assert(viaMp == viaRw,
+      "single-type metapath must equal randomWalks on the typed slice")
+    // weighted single-type differential (Gumbel path)
+    val wTyped = Seq((1L, 2L, "x", 1.0), (1L, 3L, "x", 5.0),
+      (3L, 1L, "x", 2.0)).toDF("s", "t", "ty", "w")
+    val viaMpW = Graph.metapathWalks(wTyped, "s", "t", "ty",
+        path = Seq("x"), cycles = 2, samplingSeed = 7L,
+        weightCol = Some("w"))
+      .collect()
+      .map(r0 => ((r0.getLong(0), r0.getInt(1), r0.getInt(2)),
+        r0.getLong(3))).toSet
+    val viaRwW = Graph.randomWalks(wTyped, "s", "t", walkLength = 2,
+        samplingSeed = 7L, weightCol = Some("w"))
+      .collect()
+      .map(r0 => ((r0.getLong(0), r0.getInt(1), r0.getInt(2)),
+        r0.getLong(3))).toSet
+    assert(viaMpW == viaRwW,
+      "weighted single-type metapath must equal weighted randomWalks")
+    intercept[IllegalArgumentException] {
+      Graph.metapathWalks(typed, "s", "t", "ty", path = Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.metapathWalks(typed, "s", "t", "ty", Seq("x"), cycles = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Graph.metapathWalks(typed, "s", "t", "nope", Seq("x"))
+    }
+    intercept[IllegalArgumentException] {
+      Graph.metapathWalks(
+        Seq((1L, 2L, 3L)).toDF("s", "t", "ty"), "s", "t", "ty", Seq("x"))
+    }
+  }
+
   test("warmOnConnect: reconnecting under spark.graft.warmOnConnect " +
       "warms the probe cache and probes are unchanged") {
     val dirX = tmpDir("graft_warm_")
