@@ -1174,9 +1174,15 @@ object Dedup extends org.apache.spark.internal.Logging {
     * mandate, SURVEY §2 addendum). */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
+    // symmetrize via ONE explode, not a self-union: the union evaluated
+    // the caller's pair plan TWICE before the checkpoint — for the
+    // minhash-fed cluster queries that was the entire LSH candidate +
+    // verify pipeline run a second time (r14; guide §2.4)
     val edges = pairs
-      .select(col("a_id").as("src"), col("b_id").as("dst"))
-      .union(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .select(explode(array(
+        struct(col("a_id").as("src"), col("b_id").as("dst")),
+        struct(col("b_id").as("src"), col("a_id").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .distinct()
       .localCheckpoint()
     // init: every node labels itself min(self, min neighbor) — one sweep

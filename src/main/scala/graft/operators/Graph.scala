@@ -22,16 +22,18 @@ object Graph {
     * direction + a null-safe full outer join on node — both exchanges
     * are node-grain, never edge-grain. Nodes appearing only as source
     * (or only as destination) report 0 on the absent side. */
-  def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val out = edges.groupBy(col(srcCol).as("__n_out"))
-      .agg(count(lit(1)).as("out_degree"))
-    val in = edges.groupBy(col(dstCol).as("__n_in"))
-      .agg(count(lit(1)).as("in_degree"))
-    out.join(in, col("__n_out") <=> col("__n_in"), "full_outer")
-      .select(coalesce(col("__n_out"), col("__n_in")).as("node"),
-        coalesce(col("out_degree"), lit(0L)).as("out_degree"),
-        coalesce(col("in_degree"), lit(0L)).as("in_degree"))
-  }
+  def degrees(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    // ONE pass + ONE exchange (r14): each edge row explodes into an
+    // out-credit for src and an in-credit for dst, summed per node —
+    // replaces two aggregates over two evaluations of the edge plan plus
+    // a full-outer join (3 exchanges, and the caller's plan ran twice)
+    edges
+      .select(explode(array(
+        struct(col(srcCol).as("node"), lit(1L).as("o"), lit(0L).as("i")),
+        struct(col(dstCol).as("node"), lit(0L).as("o"), lit(1L).as("i"))))
+        .as("__d"))
+      .groupBy(col("__d.node").as("node"))
+      .agg(sum(col("__d.o")).as("out_degree"), sum(col("__d.i")).as("in_degree"))
 
   /** Connected components over an edge frame, treated as UNDIRECTED:
     * `(node, component)` for every node on either side of an edge, where
@@ -63,11 +65,13 @@ object Graph {
     * engine-replicable. Returns `node | hub | authority` for every node
     * (0.0 on a side the node does not participate in).
     *
-    * Scale shape: the edge frame is pinned TWICE, once partitioned by
-    * each endpoint, so both half-step joins land on a stationary
-    * partitioning; each half-step shuffles one node-grain score frame
-    * plus a map-side-combined aggregate, and the driver sees one
-    * normalization scalar per half-step. */
+    * Scale shape: the canonical edge frame is evaluated ONCE and pinned,
+    * then re-pinned partitioned by each endpoint so both half-step joins
+    * land on a stationary partitioning; each half-step shuffles one
+    * node-grain score frame plus a map-side-combined aggregate, is
+    * materialized by ONE localCheckpoint action (lineage truncated —
+    * plans stay constant-size across iterations), and the L1
+    * normalization total rides in-plan as a broadcast one-row frame. */
   def hits(
       edges: DataFrame,
       srcCol: String,
@@ -77,7 +81,11 @@ object Graph {
     require(iters >= 1, "iters must be at least 1")
     require(roundScale >= 1 && roundScale <= 15,
       "roundScale must be in [1, 15]")
+    // ONE evaluation of the caller's edge plan (r14): nodes/eBySrc/eByDst
+    // each used to re-run the upstream join+distinct; pin the canonical
+    // frame first and derive everything from the cache
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
@@ -97,53 +105,56 @@ object Graph {
     val eByDst = e.repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // ONE driver action per half-step (r12 verdict item #4 — was two):
-    // only the RAW contribution aggregate is persisted; its L1 total
-    // materializes it, and the normalized frame stays LAZY over that
-    // cache (nodes ⋈ raw + a scalar divide — re-derived in-plan by any
-    // consumer, never recomputed from edges). The previous half-step's
-    // raw cache is released only after the action that consumed it.
+    // ONE driver action per half-step, with TRUNCATED lineage (r14): the
+    // raw contribution aggregate is `localCheckpoint`ed — persist+count
+    // kept the full logical tree alive, so every later action re-analyzed
+    // a plan that grew per half-step (the committed 4-iter explain was
+    // 14.6 MB; driver analysis cost went quadratic in iters — guide §3.3:
+    // materialize to cut the plan). The L1 total rides IN-PLAN as a
+    // broadcast one-row aggregate over the checkpointed raw (no separate
+    // scalar job), with the mass-vanished guard raised in-plan. In-loop
+    // normalized frames carry only nodes PRESENT in the raw aggregate —
+    // absent nodes score exactly 0.0 and contribute exactly 0.0 through
+    // the next join, so dropping them changes no sum; the all-nodes view
+    // (zeros included) is assembled once at the end.
+    def norm(raw: DataFrame, rawCol: String, outCol: String,
+        side: String): DataFrame = {
+      val tot = broadcast(raw
+        .agg(coalesce(sum(rawCol), lit(0.0)).as("__t")))
+      raw.crossJoin(tot).select(col("node"),
+        when(col("__t") > 0, round(col(rawCol) / col("__t"), roundScale))
+          .otherwise(raise_error(lit(
+            s"$side mass vanished - the graph has no edges"))
+            .cast("double")).as(outCol))
+    }
     var hubs = nodes
       .select(col("node"), round(lit(1.0 / n), roundScale).as("h"))
     var auths: DataFrame = null
-    var hubsBacking: DataFrame = null  // persisted raw behind `hubs`
-    var authsBacking: DataFrame = null // persisted raw behind `auths`
-
     (1 to iters).foreach { _ =>
       // authority half-step: in-flowing hub mass, L1-normalized
       val aRaw = eBySrc
         .join(hubs.select(col("node").as("src"), col("h")), "src")
         .groupBy(col("dst").as("node")).agg(sum("h").as("__a"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val aTot = aRaw.agg(coalesce(sum("__a"), lit(0.0))).head().getDouble(0)
-      require(aTot > 0, "authority mass vanished - the graph has no edges")
-      if (authsBacking != null) authsBacking.unpersist(blocking = false)
-      authsBacking = aRaw
-      auths = nodes.join(aRaw, Seq("node"), "left")
-        .select(col("node"), round(
-          coalesce(col("__a"), lit(0.0)) / lit(aTot), roundScale).as("a"))
+        .localCheckpoint()
+      auths = norm(aRaw, "__a", "a", "authority")
       // hub half-step: out-flowing authority mass, L1-normalized
       val hRaw = eByDst
         .join(auths.select(col("node").as("dst"), col("a")), "dst")
         .groupBy(col("src").as("node")).agg(sum("a").as("__h"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      val hTot = hRaw.agg(coalesce(sum("__h"), lit(0.0))).head().getDouble(0)
-      require(hTot > 0, "hub mass vanished - the graph has no edges")
-      if (hubsBacking != null) hubsBacking.unpersist(blocking = false)
-      hubsBacking = hRaw
-      hubs = nodes.join(hRaw, Seq("node"), "left")
-        .select(col("node"), round(
-          coalesce(col("__h"), lit(0.0)) / lit(hTot), roundScale).as("h"))
+        .localCheckpoint()
+      hubs = norm(hRaw, "__h", "h", "hub")
     }
-    val out = hubs.join(auths, Seq("node"))
-      .select(col("node"), col("h").as("hub"), col("a").as("authority"))
+    val out = nodes
+      .join(hubs, Seq("node"), "left")
+      .join(auths, Seq("node"), "left")
+      .select(col("node"), coalesce(col("h"), lit(0.0)).as("hub"),
+        coalesce(col("a"), lit(0.0)).as("authority"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     out.count() // pin the final scores before releasing the loop caches
-    if (hubsBacking != null) hubsBacking.unpersist(blocking = false)
-    if (authsBacking != null) authsBacking.unpersist(blocking = false)
     eBySrc.unpersist(blocking = false)
     eByDst.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
+    e.unpersist(blocking = false)
     out
   }
 
@@ -187,13 +198,18 @@ object Graph {
       edges: DataFrame,
       srcCol: String,
       dstCol: String): (DataFrame, DataFrame, DataFrame) = {
+    // canon feeds degrees (two sides), orientation and the closing-edge
+    // join — checkpoint it so the caller's edge plan (often a self-join +
+    // distinct) runs once, not four times (r14; guide §2.4/§3.3); the
+    // degree union rides ONE explode for the same reason
     val canon = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .where(col("a") =!= col("b") && col("a").isNotNull)
       .distinct()
-    val deg = canon.select(col("a").as("node"))
-      .union(canon.select(col("b").as("node")))
+      .localCheckpoint()
+    val deg = canon
+      .select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("__deg"))
     // orient each edge from its (degree, id)-smaller endpoint
     val withOrd = canon
@@ -202,6 +218,8 @@ object Graph {
       .select(col("a"), col("b"),
         struct(col("__da").as("d"), col("a").as("n")).as("__oa"),
         struct(col("__db").as("d"), col("b").as("n")).as("__ob"))
+    // three consumers (both wedge sides + the closing-edge probe) — pin
+    // the oriented frame so the degree joins run once (r14)
     val oriented = withOrd.select(
         when(col("__oa") < col("__ob"), col("a")).otherwise(col("b"))
           .as("src"),
@@ -209,6 +227,7 @@ object Graph {
           .as("dst"),
         when(col("__oa") < col("__ob"), col("__ob")).otherwise(col("__oa"))
           .as("__odst"))
+      .localCheckpoint()
     // wedges at the smallest vertex: two out-neighbors, ordered so each
     // candidate pair appears once; the closing-edge join keeps the apex
     // (closing pairs are unique, so inner == semi on the wedge rows)
@@ -316,20 +335,23 @@ object Graph {
     * contributions join shuffles only the (node, rank) frame — N rows,
     * never E — onto the stationary edge partitioning; the per-
     * destination sum is map-side combined before its node-grain
-    * exchange. Per iteration the driver sees exactly ONE scalar (the
-    * dangling mass — an aggregate of a node-grain frame); nothing
-    * edge-grain or node-grain ever collects. Each iteration's rank
-    * frame is persisted and the previous one released, so lineage
-    * stays one step deep instead of `iters` joins tall. Multi-edges
+    * exchange. Per iteration the driver issues exactly ONE action (the
+    * rank frame's localCheckpoint); the dangling mass rides in-plan as
+    * a broadcast one-row aggregate of the previous (checkpointed)
+    * node-grain rank frame — nothing edge-grain or node-grain ever
+    * collects. Each iteration's rank frame is localCheckpoint'ed, so
+    * lineage AND the logical plan stay one step deep instead of `iters`
+    * joins tall (persist alone kept the full logical tree alive and
+    * made per-action analysis cost quadratic in `iters`). Multi-edges
     * contribute once per edge (multigraph semantics) — dedupe upstream
     * for simple-graph ranks.
     *
     * Lifecycle note (applies to [[weightedPageRank]],
     * [[personalizedPageRank]] and [[hits]] too): the returned frame is
-    * backed by ONE persisted node-grain result — the loop's helper
-    * caches are released before return, but the final scores stay
-    * cached so downstream reads don't replay the iteration chain.
-    * Write it out or accept one node-grain cache entry per call. */
+    * backed by ONE checkpointed node-grain result — the loop's helper
+    * caches are released before return; checkpointed blocks are
+    * reclaimed by the ContextCleaner once the frame is unreferenced.
+    * Write it out or accept one node-grain entry per call. */
   def pageRank(
       edges: DataFrame,
       srcCol: String,
@@ -397,7 +419,10 @@ object Graph {
     require(damping >= 0 && damping < 1, "damping must be in [0, 1)")
     require(roundScale >= 1 && roundScale <= 15,
       "roundScale must be in [1, 15]")
-    val e = weightCol match {
+    // ONE evaluation of the caller's edge plan (r14): bare/outdeg/eDeg/
+    // danglingNodes each re-ran the upstream join+distinct before this
+    // pin — derive everything from the cached canonical frame instead
+    val e = (weightCol match {
       case None =>
         edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       case Some(w) =>
@@ -408,7 +433,7 @@ object Graph {
             .otherwise(raise_error(lit(
               s"weightedPageRank: non-positive weight in '$w' - drop " +
                 "non-edges upstream"))).as("__w"))
-    }
+    }).persist(StorageLevel.MEMORY_AND_DISK)
     val bare = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .distinct()
@@ -451,19 +476,25 @@ object Graph {
       .select(col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // Per-iteration rank frames are `localCheckpoint`ed, not persisted:
+    // persist+count kept the full logical tree alive, so every later
+    // action re-analyzed a plan that grew with the iteration count
+    // (driver analysis went quadratic in iters — guide §3.3: materialize
+    // to cut the plan). The dangling-mass scalar rides IN-PLAN as a
+    // broadcast one-row aggregate over the previous (checkpointed) rank
+    // frame — ONE action per iteration (the checkpoint), no separate
+    // scalar job.
     var ranks = nodes
       .select(col("node"), col("__in_r"),
         round(rw, roundScale).as("pr"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    ranks.count() // pin before the loop reads it twice per iteration
+      .localCheckpoint()
 
     (1 to iters).foreach { _ =>
-      // dangling mass: rank parked on nodes with no out-edges (ONE
-      // scalar to the driver per iteration; the set itself is static)
-      val dangling = ranks
+      // dangling mass: rank parked on nodes with no out-edges (a
+      // broadcast one-row frame per iteration; the set itself is static)
+      val danglingAgg = broadcast(ranks
         .join(danglingNodes, Seq("node"), "left_semi")
-        .agg(coalesce(sum("pr"), lit(0.0)))
-        .head().getDouble(0)
+        .agg(coalesce(sum("pr"), lit(0.0)).as("__dm")))
       val perEdge =
         if (weightCol.isDefined) col("pr") * col("__wfrac")
         else col("pr") / col("__outdeg")
@@ -471,21 +502,21 @@ object Graph {
         .join(ranks.select("node", "pr"), eDeg("src") === col("node"))
         .select(col("dst").as("node"), perEdge.as("__c"))
         .groupBy("node").agg(sum("__c").as("__contrib"))
-      val next = nodes.join(contribs, Seq("node"), "left")
+      ranks = nodes.join(contribs, Seq("node"), "left")
+        .crossJoin(danglingAgg)
         .select(col("node"), col("__in_r"),
           round(lit(1.0 - damping) * rw + lit(damping) *
-            (coalesce(col("__contrib"), lit(0.0)) + lit(dangling) * rw),
+            (coalesce(col("__contrib"), lit(0.0)) + col("__dm") * rw),
             roundScale).as("pr"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // materialize before releasing the parent
-      ranks.unpersist(blocking = false)
-      ranks = next
+        .localCheckpoint()
     }
-    // the final rank frame is materialized; the helpers can go (a cache
-    // eviction would recompute through lineage, not fail)
+    // the final rank frame is materialized; the helpers can go
+    // (checkpointed per-iteration blocks are reclaimed by the
+    // ContextCleaner once unreferenced — the duplicateClusters lifecycle)
     eDeg.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
     danglingNodes.unpersist(blocking = false)
+    e.unpersist(blocking = false)
     ranks.select(col("node"), col("pr").as("pagerank"))
   }
 
@@ -966,31 +997,32 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .where(col("a") =!= col("b") && col("a").isNotNull)
       .distinct()
+    // symmetrize via ONE explode, not unionAll of two selects — the union
+    // evaluated the caller's (often expensive) canonical plan twice (r14);
+    // localCheckpoint truncates the lineage so per-sweep actions don't
+    // re-analyze the upstream plan (guide §3.3)
     val sym = canon
-      .unionAll(canon.select(col("b").as("a"), col("a").as("b")))
-      .select(col("a").as("src"), col("b").as("dst"))
+      .select(explode(array(
+        struct(col("a").as("src"), col("b").as("dst")),
+        struct(col("b").as("src"), col("a").as("dst")))).as("__e"))
+      .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    labels.count()
+      .localCheckpoint()
     (1 to iters).foreach { _ =>
       val votes = sym
         .join(labels.select(col("node").as("src"), col("label")), "src")
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("__c"))
-      val next = votes
+      labels = votes
         .groupBy("node")
         .agg(min(struct((-col("__c")).as("nc"), col("label").as("l")))
           .as("__m"))
         .select(col("node"), col("__m.l").as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count() // one driver action per sweep, one-deep lineage
-      labels.unpersist(blocking = false)
-      labels = next
+        .localCheckpoint() // one driver action per sweep, one-deep lineage
     }
-    sym.unpersist(blocking = false)
     labels
   }
 
@@ -1020,11 +1052,15 @@ object Graph {
       labels.columns.contains(labelCol),
       s"modularity: labels frame needs columns '$nodeCol' and " +
         s"'$labelCol' (got ${labels.columns.mkString(", ")})")
+    // the canonical simple-graph frame feeds FOUR consumers (label join,
+    // m, both degree sides) — checkpoint it so the caller's edge plan
+    // runs once, not four times (r14; guide §2.4/§3.3)
     val canon = edges
       .select(least(col(srcCol), col(dstCol)).as("a"),
         greatest(col(srcCol), col(dstCol)).as("b"))
       .where(col("a") =!= col("b") && col("a").isNotNull)
       .distinct()
+      .localCheckpoint()
     val lab0 = labels.select(col(nodeCol).as("__n"), col(labelCol).as("__l"))
       .distinct()
     val lt = lab0.schema("__l").dataType
@@ -1059,8 +1095,8 @@ object Graph {
     val ec = withL.where(col("__la") === col("__lb"))
       .groupBy(col("__la").as("__c"))
       .agg(count(lit(1)).cast("double").as("__ec"))
-    val deg = canon.select(col("a").as("__n"))
-      .unionAll(canon.select(col("b").as("__n")))
+    val deg = canon
+      .select(explode(array(col("a"), col("b"))).as("__n"))
       .groupBy("__n").agg(count(lit(1)).cast("double").as("__d"))
     val dc = deg.join(lab, Seq("__n"))
       .groupBy(col("__l").as("__c")).agg(sum("__d").as("__dc"))
@@ -1111,10 +1147,14 @@ object Graph {
       .distinct()
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // per-hop frontier/distance frames are localCheckpoint'ed (r14):
+    // persist+count kept the hop chain's logical plan alive, so each
+    // hop's actions re-analyzed a growing tree (guide §3.3); the
+    // checkpoint is also the per-hop materializing action
     var dist = seeds.select(col(seedCol).as("node")).distinct()
       .where(col("node").isNotNull)
       .withColumn("hop", lit(0))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     var frontier = dist
     var h = 0
     var frontierSize = frontier.count()
@@ -1126,19 +1166,11 @@ object Graph {
         .select(col("dst").as("node")).distinct()
         .join(dist, Seq("node"), "left_anti")
         .withColumn("hop", lit(hh))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       frontierSize = next.count() // ONE driver scalar per hop
-      val nextDist = dist.unionAll(next)
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      nextDist.count()
-      dist.unpersist(blocking = false)
-      // the previous frontier is done; `next` stays pinned — it is the
-      // frontier the NEXT hop joins against
-      if (frontier ne dist) frontier.unpersist(blocking = false)
-      dist = nextDist
+      dist = dist.unionAll(next).localCheckpoint()
       frontier = next
     }
-    if (frontier ne dist) frontier.unpersist(blocking = false)
     adj.unpersist(blocking = false)
     dist
   }
@@ -1268,12 +1300,16 @@ object Graph {
           .groupBy("src", "dst").agg(sum("__w").as("__w"))
     }).repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // per-step walker frames are localCheckpoint'ed (r14): persist+count
+    // kept the whole step chain's logical plan alive, so each step's
+    // action re-analyzed a tree that grew with walkLength and the
+    // returned corpus handed consumers (skip-gram self-joins!) a
+    // multi-MB plan — guide §3.3: materialize to cut the plan
     var cur = e.select(col("src").as("start")).distinct()
       .select(col("start"),
         explode(sequence(lit(1), lit(walksPerNode))).as("walk"),
         col("start").as("cur"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    cur.count()
+      .localCheckpoint()
     val steps = scala.collection.mutable.ListBuffer[(DataFrame, Int)](
       (cur, 0))
     (1 to walkLength).foreach { s =>
@@ -1302,8 +1338,7 @@ object Graph {
         .groupBy(col("start"), col("walk"))
         .agg(min(col("__hv")).as("__m"))
         .select(col("start"), col("walk"), col("__m.v").as("cur"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      nxt.count() // pin before the next join reads it (one-deep lineage)
+        .localCheckpoint() // pin + truncate before the next join reads it
       steps += ((nxt, s))
       cur = nxt
     }
@@ -1311,9 +1346,7 @@ object Graph {
         df.select(col("start"), col("walk"), lit(s).as("step"),
           col("cur").as("node"))
       }.reduce(_.unionAll(_))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    out.count() // pin the corpus before the per-step caches release
-    steps.foreach(_._1.unpersist(blocking = false))
+      .localCheckpoint() // the corpus consumers see a leaf, not the loop
     e.unpersist(blocking = false)
     out
   }
@@ -1381,8 +1414,7 @@ object Graph {
         explode(sequence(lit(1), lit(walksPerNode))).as("walk"),
         lit(null).cast(nodeType).as("prev"),
         col("start").as("cur"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    cur.count()
+      .localCheckpoint() // truncate per-step lineage (the randomWalks r14 note)
     val steps = scala.collection.mutable.ListBuffer[(DataFrame, Int)](
       (cur, 0))
     (1 to walkLength).foreach { s =>
@@ -1416,8 +1448,7 @@ object Graph {
         .agg(min(col("__hv")).as("__m"), max(col("__c")).as("prev"))
         .select(col("start"), col("walk"), col("prev"),
           col("__m.v").as("cur"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      nxt.count() // pin before the next join reads it (one-deep lineage)
+        .localCheckpoint() // pin + truncate before the next join reads it
       steps += ((nxt, s))
       cur = nxt
     }
@@ -1425,9 +1456,7 @@ object Graph {
         df.select(col("start"), col("walk"), lit(s).as("step"),
           col("cur").as("node"))
       }.reduce(_.unionAll(_))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    out.count() // pin the corpus before the per-step caches release
-    steps.foreach(_._1.unpersist(blocking = false))
+      .localCheckpoint() // the corpus consumers see a leaf, not the loop
     e.unpersist(blocking = false)
     out
   }
@@ -1497,8 +1526,7 @@ object Graph {
       .select(col("start"),
         explode(sequence(lit(1), lit(walksPerNode))).as("walk"),
         col("start").as("cur"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    cur.count()
+      .localCheckpoint() // truncate per-step lineage (the randomWalks r14 note)
     val steps = scala.collection.mutable.ListBuffer[(DataFrame, Int)](
       (cur, 0))
     (1 to path.length * cycles).foreach { s =>
@@ -1525,8 +1553,7 @@ object Graph {
         .groupBy(col("start"), col("walk"))
         .agg(min(col("__hv")).as("__m"))
         .select(col("start"), col("walk"), col("__m.v").as("cur"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      nxt.count() // pin before the next join reads it (one-deep lineage)
+        .localCheckpoint() // pin + truncate before the next join reads it
       steps += ((nxt, s))
       cur = nxt
     }
@@ -1534,9 +1561,7 @@ object Graph {
         df.select(col("start"), col("walk"), lit(s).as("step"),
           col("cur").as("node"))
       }.reduce(_.unionAll(_))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    out.count() // pin the corpus before the per-step caches release
-    steps.foreach(_._1.unpersist(blocking = false))
+      .localCheckpoint() // the corpus consumers see a leaf, not the loop
     e.unpersist(blocking = false)
     out
   }
