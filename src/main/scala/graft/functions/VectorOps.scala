@@ -184,6 +184,85 @@ case class SortedIntArrayIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Early-exit `J(a, b) >= t` over two SORTED int-hash set arrays (r14) —
+  * the dedup verify predicate `intersect/union >= t` as ONE expression with
+  * a bound-based abort: once `inter + remaining < need` the pair can never
+  * reach the threshold and the merge stops. `need` is the smallest integer
+  * m with `(double) m / (|a| + |b| - m) >= t`, found by binary search using
+  * the SAME double division the unbounded form applies, and IEEE division
+  * is monotone in both operands — so `inter >= need` decides EXACTLY the
+  * same boolean as the full `count / union >= t` chain (pinned by a
+  * differential test). At t = 0.9 a false candidate aborts after a handful
+  * of mismatches instead of scanning both arrays. */
+case class SortedIntJaccardAtLeast(
+    left: Expression, right: Expression, threshold: Double)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType): Boolean = t match {
+      case ArrayType(IntegerType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"SortedIntJaccardAtLeast expects two array<int> inputs, got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntJaccardAtLeast.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], threshold)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.SortedIntJaccardAtLeast.compute($a, $b, $threshold)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntJaccardAtLeast =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntJaccardAtLeast {
+  /** Called from both interpreted eval and generated code. */
+  def compute(x: ArrayData, y: ArrayData, t: Double): Boolean = {
+    val na = x.numElements()
+    val nb = y.numElements()
+    val s = na + nb
+    // two EMPTY sets: the unbounded chain divides 0.0/0.0 = NaN, and
+    // Spark's ordering ranks NaN above every double, so `NaN >= t` is
+    // TRUE — replicate exactly (unreachable from tokenSet/hashedNgramSet,
+    // which never emit empty arrays, but parity is parity)
+    if (s == 0) return true
+    // smallest m in [0, min(na, nb)] with (double) m / (s - m) >= t, using
+    // the exact double division of the unbounded predicate; -1 if none
+    val hi0 = math.min(na, nb)
+    var lo = 0
+    var hi = hi0
+    var need = -1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (mid.toDouble / (s - mid).toDouble >= t) { need = mid; hi = mid - 1 }
+      else lo = mid + 1
+    }
+    if (need < 0) return false
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      // abort when even matching every remaining element cannot reach need
+      if (inter + math.min(na - i, nb - j) < need) return false
+      val xi = x.getInt(i)
+      val yj = y.getInt(j)
+      if (xi == yj) { inter += 1; i += 1; j += 1 }
+      else if (xi < yj) i += 1
+      else j += 1
+    }
+    inter >= need
+  }
+}
+
 /** Random-hyperplane LSH signature: `nPlanes` sign bits of Rademacher
   * projections packed into a long. The plane matrix is derived from
   * splitmix-mixed (plane, dim) indices at eval time — one expression node
@@ -275,6 +354,26 @@ case class HashedNgramSet(child: Expression, n: Int)
 object HashedNgramSet {
   /** Called from both interpreted eval and generated code. */
   def compute(text: org.apache.spark.unsafe.types.UTF8String, n: Int): ArrayData = {
+    // ASCII fast path (r14): when every char is single-byte, char window
+    // [i, i+n) IS byte window [i, i+n) of the UTF8 payload — hash windows
+    // in place over the unsafe bytes, zero per-gram allocations (the
+    // substring + getBytes pair allocated twice per gram). Bit-identical:
+    // murmur3 over the same bytes, same seed.
+    val numBytes = text.numBytes
+    if (numBytes == text.numChars()) {
+      val count = math.max(numBytes - n + 1, 1)
+      val hashes = new Array[Int](count)
+      val base = text.getBaseObject
+      val off = text.getBaseOffset
+      var i = 0
+      while (i < count) {
+        val glen = math.min(n, numBytes - i)
+        hashes(i) = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+          base, off + i, glen, 42)
+        i += 1
+      }
+      return sortDedupe(hashes, count)
+    }
     val s = text.toString
     val len = s.length
     val count = math.max(len - n + 1, 1)
@@ -287,7 +386,11 @@ object HashedNgramSet {
         bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42)
       i += 1
     }
-    java.util.Arrays.sort(hashes)
+    sortDedupe(hashes, count)
+  }
+
+  private def sortDedupe(hashes: Array[Int], count: Int): ArrayData = {
+    java.util.Arrays.sort(hashes, 0, count)
     // dedupe in place (sorted)
     var w = 0
     var r = 0
@@ -343,8 +446,29 @@ object MinHashSignature {
   @inline def coeffA(i: Int): Long = (mix(2L * i) & 0x7FFFFFFFL) | 1L
   @inline def coeffB(i: Int): Long = mix(2L * i + 1) & 0x7FFFFFFFL
 
+  // coefficient tables hoisted out of the per-(token x hash) loop (r14):
+  // the splitmix derivation ran twice per hash per TOKEN — pure overhead
+  // on the signature hot loop. Grow-once cache, same derived values.
+  @volatile private var coeffCache: (Array[Long], Array[Long]) =
+    (Array.empty[Long], Array.empty[Long])
+  private def coeffs(n: Int): (Array[Long], Array[Long]) = {
+    val c = coeffCache
+    if (c._1.length >= n) c
+    else synchronized {
+      val c2 = coeffCache
+      if (c2._1.length >= n) c2
+      else {
+        val m = math.max(n, 128)
+        val next = (Array.tabulate(m)(coeffA), Array.tabulate(m)(coeffB))
+        coeffCache = next
+        next
+      }
+    }
+  }
+
   /** Called from both interpreted eval and generated code. */
   def compute(toks: ArrayData, numHashes: Int): ArrayData = {
+    val (as, bs) = coeffs(numHashes)
     val sig = new Array[Long](numHashes)
     java.util.Arrays.fill(sig, Long.MaxValue)
     val n = toks.numElements()
@@ -358,7 +482,7 @@ object MinHashSignature {
           s.getBaseObject, s.getBaseOffset, s.numBytes, 42).toLong
         var i = 0
         while (i < numHashes) {
-          val v = java.lang.Math.floorMod(coeffA(i) * h + coeffB(i), P)
+          val v = java.lang.Math.floorMod(as(i) * h + bs(i), P)
           if (v < sig(i)) sig(i) = v
           i += 1
         }
@@ -784,6 +908,13 @@ object VectorOps {
   def sortedIntIntersectCount(a: Column, b: Column): Column =
     GraftSqlBridge.column(SortedIntArrayIntersectCount(
       GraftSqlBridge.expression(a), GraftSqlBridge.expression(b)))
+
+  /** Codegen'd early-exit `J(a, b) >= t` for sorted int-hash set arrays —
+    * decides exactly the same boolean as
+    * `sortedIntIntersectCount / union >= t` (differential-pinned). */
+  def sortedIntJaccardAtLeast(a: Column, b: Column, t: Double): Column =
+    GraftSqlBridge.column(SortedIntJaccardAtLeast(
+      GraftSqlBridge.expression(a), GraftSqlBridge.expression(b), t))
 
   /** Codegen'd sorted distinct murmur3-hashed character n-gram set. */
   def hashedNgramSet(text: Column, n: Int): Column =

@@ -100,6 +100,14 @@ object Dedup extends org.apache.spark.internal.Logging {
     inter.cast("double") / (size(a) + size(b) - inter).cast("double")
   }
 
+  /** Early-exit `J(a, b) >= t` over sorted hashed sets — decides exactly
+    * the same boolean as `jaccardSortedHashed(a, b) >= t` (the bound-abort
+    * merge; differential-pinned in PipelineOpsSpec) but a false candidate
+    * stops after a handful of mismatches instead of a full merge scan —
+    * the dedup verify stages run this over millions of candidate pairs. */
+  def jaccardAtLeast(a: Column, b: Column, t: Double): Column =
+    graft.functions.VectorOps.sortedIntJaccardAtLeast(a, b, t)
+
   /** Sorted array of murmur3-hashed elements of an array column — the
     * codegen'd [[graft.functions.HashStringArraySorted]] (the
     * `array_sort(transform(_, hash))` composition runs its lambda
@@ -187,18 +195,28 @@ object Dedup extends org.apache.spark.internal.Logging {
   def minhashCandidates(
       sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
+    // each bucket row carries only the band-hash PREFIX below its own band
+    // (r14): the first-agreeing-band test only ever examines indexes
+    // < band (index `band` is equal by the join key), so the full arrays
+    // halved the bytes copied per joined row for nothing — on a near-dup-
+    // dense corpus the bucket join streams ~8x more raw rows than it
+    // emits, so joined-row width is the stage's cost. `firstEqualIndex
+    // (prefixes) === -1` ⇔ no earlier band agrees ⇔ the old
+    // `firstEqualIndex(full, full) === band`.
     val buckets = sigs
       .select(col("__id"),
         graft.functions.VectorOps.bandHashes(col("__sig"), bands).as("__bands"))
       .select(col("__id"), col("__bands"),
         posexplode(col("__bands")).as(Seq("band", "bh")))
+      .select(col("__id"), col("band"), col("bh"),
+        slice(col("__bands"), lit(1), col("band")).as("__pfx"))
     val a = buckets.select(col("band"), col("bh"), col("__id").as("a_id"),
-      col("__bands").as("__ba"))
+      col("__pfx").as("__pa"))
     val b = buckets.select(col("band"), col("bh"), col("__id").as("b_id"),
-      col("__bands").as("__bb"))
+      col("__pfx").as("__pb"))
     a.join(b, Seq("band", "bh"))
       .where(col("a_id") < col("b_id") &&
-        graft.functions.VectorOps.firstEqualIndex(col("__ba"), col("__bb")) === col("band"))
+        graft.functions.VectorOps.firstEqualIndex(col("__pa"), col("__pb")) === -1)
       .select("a_id", "b_id")
   }
 
@@ -224,7 +242,7 @@ object Dedup extends org.apache.spark.internal.Logging {
     val toks = df.select(col(idCol).as("__tid"),
       hashedSet(tokenSet(col(textCol))).as("__toks"))
     verifyPairs(cands, toks,
-      jaccardSortedHashed(col("__ta"), col("__tb")) >= threshold,
+      jaccardAtLeast(col("__ta"), col("__tb"), threshold),
       sizeRatio = Some(threshold))
   }
 
@@ -254,22 +272,26 @@ object Dedup extends org.apache.spark.internal.Logging {
         .select(col("__id"),
           graft.functions.VectorOps.bandHashes(col("__sig"), bands).as("__bands"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // band-hash PREFIX only (the minhashCandidates r14 note): the
+      // first-agreeing-band test never reads index `band` or later
       (sigs, sigs.select(col("__id"), col("__bands"),
-        posexplode(col("__bands")).as(Seq("band", "bh"))))
+        posexplode(col("__bands")).as(Seq("band", "bh")))
+        .select(col("__id"), col("band"), col("bh"),
+          slice(col("__bands"), lit(1), col("band")).as("__pfx")))
     }
     val (sigsA, bucketsA) = buckets(corpus)
     val (sigsB, bucketsB) = buckets(probe)
     val a = bucketsA.select(col("band"), col("bh"),
-      col("__id").as("a_id"), col("__bands").as("__ba"))
+      col("__id").as("a_id"), col("__pfx").as("__pa"))
     val b = bucketsB.select(col("band"), col("bh"),
-      col("__id").as("b_id"), col("__bands").as("__bb"))
+      col("__id").as("b_id"), col("__pfx").as("__pb"))
     // first-agreeing-band emission: no distinct over bands × pairs.
     // localCheckpoint materializes the (tiny: two ids/row) candidate set
     // eagerly and CUTS its lineage, so both per-side signature caches can be
     // released here instead of leaking until LRU eviction (r3 advice).
     val cands = a.join(b, Seq("band", "bh"))
       .where(graft.functions.VectorOps
-        .firstEqualIndex(col("__ba"), col("__bb")) === col("band"))
+        .firstEqualIndex(col("__pa"), col("__pb")) === -1)
       .select("a_id", "b_id")
       .localCheckpoint()
     sigsA.unpersist(blocking = false)
@@ -286,7 +308,7 @@ object Dedup extends org.apache.spark.internal.Logging {
       .join(toksP, Seq("b_id"))
       .where(size(col("__ta")) >= size(col("__tb")) * threshold &&
         size(col("__tb")) >= size(col("__ta")) * threshold &&
-        jaccardSortedHashed(col("__ta"), col("__tb")) >= threshold)
+        jaccardAtLeast(col("__ta"), col("__tb"), threshold))
       .select("a_id", "b_id")
   }
 
@@ -528,7 +550,7 @@ object Dedup extends org.apache.spark.internal.Logging {
       .select("a_id", "b_id").distinct()
     verifyPairs(cands,
       grams.select(col("__id").as("__tid"), col("__g").as("__toks")),
-      jaccardSortedHashed(col("__ta"), col("__tb")) >= threshold,
+      jaccardAtLeast(col("__ta"), col("__tb"), threshold),
       sizeRatio = None)
   }
 
@@ -746,7 +768,7 @@ object Dedup extends org.apache.spark.internal.Logging {
       hashedSet(tokenSet(col(textCol))).as("__toks"))
     // (a) within the batch: the standard verified pairs, a_id < b_id
     val inBatch = verifyPairs(minhashCandidates(sigs, numHashes, bands),
-      batchToks, jaccardSortedHashed(col("__ta"), col("__tb")) >= threshold,
+      batchToks, jaccardAtLeast(col("__ta"), col("__tb"), threshold),
       sizeRatio = Some(threshold))
       .select(col("b_id").as("__drop"))
     // (b) against the store: bucket-collide, then verify exactly. A
@@ -769,7 +791,7 @@ object Dedup extends org.apache.spark.internal.Logging {
           .join(batchToks.withColumnRenamed("__tid", "__id"), Seq("__id"))
           .join(storeToks.select(col("id").as("__sid"),
             col("toks").as("__stoks")), Seq("__sid"))
-          .where(jaccardSortedHashed(col("__toks"), col("__stoks")) >= threshold)
+          .where(jaccardAtLeast(col("__toks"), col("__stoks"), threshold))
           .select(col("__id").as("__drop"))
     }
     // pin the (≤ batch-size) drop set BEFORE the batch reaches the store

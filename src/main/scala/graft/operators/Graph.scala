@@ -335,10 +335,11 @@ object Graph {
     * contributions join shuffles only the (node, rank) frame — N rows,
     * never E — onto the stationary edge partitioning; the per-
     * destination sum is map-side combined before its node-grain
-    * exchange. Per iteration the driver issues exactly ONE action (the
-    * rank frame's localCheckpoint); the dangling mass rides in-plan as
-    * a broadcast one-row aggregate of the previous (checkpointed)
-    * node-grain rank frame — nothing edge-grain or node-grain ever
+    * exchange. Per iteration the driver issues two SMALL leaf-rooted
+    * actions: the dangling-mass scalar (a filtered sum over the previous
+    * CHECKPOINTED rank frame, which carries dangling membership as a
+    * flag — no join, no cache dependence) and the next frame's
+    * localCheckpoint — nothing edge-grain or node-grain ever
     * collects. Each iteration's rank frame is localCheckpoint'ed, so
     * lineage AND the logical plan stay one step deep instead of `iters`
     * joins tall (persist alone kept the full logical tree alive and
@@ -471,30 +472,38 @@ object Graph {
           (col("__w") / col("__outdeg")).as("__wfrac"))
     }).repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val danglingNodes = nodes
-      .join(outdeg, nodes("node") === outdeg("src"), "left_anti")
-      .select(col("node"))
+    // dangling membership rides the NODE frame as a flag (r14): the
+    // previous shape — a persisted dangling-node set semi-joined against
+    // the rank frame every iteration — made the per-iteration scalar
+    // depend on cache state and join machinery; a flag on the
+    // checkpointed rank frame makes it a leaf-rooted column scan
+    val nodesD = nodes
+      .join(outdeg.select(col("src").as("node"), lit(true).as("__has_out")),
+        Seq("node"), "left")
+      .select(col("node"), col("__in_r"),
+        col("__has_out").isNull.as("__dang"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // Per-iteration rank frames are `localCheckpoint`ed, not persisted:
     // persist+count kept the full logical tree alive, so every later
     // action re-analyzed a plan that grew with the iteration count
     // (driver analysis went quadratic in iters — guide §3.3: materialize
-    // to cut the plan). The dangling-mass scalar rides IN-PLAN as a
-    // broadcast one-row aggregate over the previous (checkpointed) rank
-    // frame — ONE action per iteration (the checkpoint), no separate
-    // scalar job.
-    var ranks = nodes
-      .select(col("node"), col("__in_r"),
+    // to cut the plan). Two SMALL leaf-rooted actions per iteration: the
+    // dangling-mass scalar (a filtered sum over the previous checkpointed
+    // frame — no join, no broadcast) and the checkpoint itself.
+    var ranks = nodesD
+      .select(col("node"), col("__in_r"), col("__dang"),
         round(rw, roundScale).as("pr"))
       .localCheckpoint()
 
-    (1 to iters).foreach { _ =>
-      // dangling mass: rank parked on nodes with no out-edges (a
-      // broadcast one-row frame per iteration; the set itself is static)
-      val danglingAgg = broadcast(ranks
-        .join(danglingNodes, Seq("node"), "left_semi")
-        .agg(coalesce(sum("pr"), lit(0.0)).as("__dm")))
+    val rankDebug = sys.env.contains("GRAFT_RANK_DEBUG")
+    (1 to iters).foreach { it =>
+      val t0 = System.nanoTime()
+      // dangling mass: rank parked on nodes with no out-edges (ONE
+      // scalar per iteration, read off the checkpointed frame)
+      val dangling = ranks.where(col("__dang"))
+        .agg(coalesce(sum("pr"), lit(0.0)))
+        .head().getDouble(0)
       val perEdge =
         if (weightCol.isDefined) col("pr") * col("__wfrac")
         else col("pr") / col("__outdeg")
@@ -502,20 +511,22 @@ object Graph {
         .join(ranks.select("node", "pr"), eDeg("src") === col("node"))
         .select(col("dst").as("node"), perEdge.as("__c"))
         .groupBy("node").agg(sum("__c").as("__contrib"))
-      ranks = nodes.join(contribs, Seq("node"), "left")
-        .crossJoin(danglingAgg)
-        .select(col("node"), col("__in_r"),
+      ranks = nodesD.join(contribs, Seq("node"), "left")
+        .select(col("node"), col("__in_r"), col("__dang"),
           round(lit(1.0 - damping) * rw + lit(damping) *
-            (coalesce(col("__contrib"), lit(0.0)) + col("__dm") * rw),
+            (coalesce(col("__contrib"), lit(0.0)) + lit(dangling) * rw),
             roundScale).as("pr"))
         .localCheckpoint()
+      if (rankDebug)
+        System.err.println(
+          f"[rankdbg] iter $it ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     // the final rank frame is materialized; the helpers can go
     // (checkpointed per-iteration blocks are reclaimed by the
     // ContextCleaner once unreferenced — the duplicateClusters lifecycle)
     eDeg.unpersist(blocking = false)
     nodes.unpersist(blocking = false)
-    danglingNodes.unpersist(blocking = false)
+    nodesD.unpersist(blocking = false)
     e.unpersist(blocking = false)
     ranks.select(col("node"), col("pr").as("pagerank"))
   }

@@ -80,6 +80,69 @@ class PipelineOpsSpec extends GraftSuite {
     assertSameRows(got, want)
   }
 
+  test("sortedIntJaccardAtLeast == jaccardSortedHashed >= t (early-exit " +
+      "differential, r14)") {
+    import spark.implicits._
+    // random sorted int-hash sets of varied sizes, incl. equal, disjoint,
+    // near-threshold and single-element shapes
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 400).map { i =>
+      val n = 1 + rnd.nextInt(40)
+      val base = Array.fill(n)(rnd.nextInt(200)).distinct.sorted
+      val m = 1 + rnd.nextInt(40)
+      val other =
+        if (i % 5 == 0) base // identical sets must pass at every t
+        else Array.fill(m)(rnd.nextInt(200)).distinct.sorted
+      (base.toSeq, other.toSeq)
+    }
+    val df = rows.toDF("a", "b")
+      .select(col("a").cast("array<int>"), col("b").cast("array<int>"))
+    Seq(0.3, 0.9, 0.95, 1.0).foreach { t =>
+      val mismatch = df.where(
+        graft.functions.VectorOps.sortedIntJaccardAtLeast(col("a"), col("b"), t)
+          =!= (Dedup.jaccardSortedHashed(col("a"), col("b")) >= t)).count()
+      assert(mismatch == 0, s"early-exit Jaccard diverges at t=$t")
+    }
+    // corpus-shape differential: the real hashed token sets
+    val toks = docs.select(Dedup.hashedSet(Dedup.tokenSet(col("text"))).as("ts"))
+    val pairs = toks.as("x").crossJoin(toks.as("y")).limit(200000)
+    val mism = pairs.where(
+      graft.functions.VectorOps.sortedIntJaccardAtLeast(col("x.ts"), col("y.ts"), 0.95)
+        =!= (Dedup.jaccardSortedHashed(col("x.ts"), col("y.ts")) >= 0.95)).count()
+    assert(mism == 0)
+  }
+
+  test("hashedNgramSet ASCII fast path == generic path (r14)") {
+    import spark.implicits._
+    // force the generic path by appending a non-ASCII char to a copy and
+    // compare gram sets of the shared ASCII prefix computed both ways:
+    // an ASCII string's set must equal the set of the same string routed
+    // through the generic branch (simulated via a mixed corpus of short,
+    // empty, len<n and long strings)
+    val strs = Seq("", "a", "ab", "abc", "abcd", "the quick brown fox",
+      "aaaaaaa", "ab" * 40, "héllo wörld", "naïve café", "x" * 3)
+    val df = strs.toDF("t")
+    val got = df.select(col("t"),
+      graft.functions.VectorOps.hashedNgramSet(col("t"), 3).as("g")).collect()
+    // reference: hash each UTF-16-substring's UTF-8 bytes (the original
+    // formulation, verbatim)
+    def ref(s: String, n: Int): Seq[Int] = {
+      val len = s.length
+      val count = math.max(len - n + 1, 1)
+      (0 until count).map { i =>
+        val bytes = s.substring(i, math.min(i + n, len))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+          bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          bytes.length, 42)
+      }.distinct.sorted
+    }
+    got.foreach { r =>
+      val s = r.getString(0)
+      assert(r.getSeq[Int](1) == ref(s, 3), s"gram set diverged for '$s'")
+    }
+  }
+
   test("cross-corpus decontamination: full recall vs brute cross jaccard, no cartesian") {
     import spark.implicits._
     val train = docs.where(pmod($"doc_id", lit(5)) =!= 0)
