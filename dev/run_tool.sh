@@ -5,7 +5,7 @@
 set -euo pipefail
 CP="/root/repo/target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
 exec java ${GRAFT_JAVA_OPTS:-} \
-  -Xmx96g \
+  -Xmx${GRAFT_XMX:-96g} \
   --add-opens=java.base/java.lang=ALL-UNNAMED \
   --add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
   --add-opens=java.base/java.lang.reflect=ALL-UNNAMED \
