@@ -224,6 +224,17 @@ object GraftConf {
   def maxOverflowSegments(spark: SparkSession): Int =
     getInt(spark, "maxOverflowSegments", 16)
 
+  /** When set, the iterative operators (pagerank family, hits, label
+    * propagation, BFS, walks, duplicate-cluster sweeps) materialize their
+    * per-iteration frames with RELIABLE `Dataset.checkpoint()` into this
+    * DFS directory instead of `localCheckpoint()`. localCheckpoint blocks
+    * live on executors with replication 1 — fine locally and fastest, but
+    * on a cluster an executor loss mid-job makes them unrecoverable; a
+    * multi-hour 100 TB iterative job should point this at durable storage.
+    * Unset (default) = localCheckpoint. */
+  def reliableCheckpointDir(spark: SparkSession): Option[String] =
+    get(spark, "reliableCheckpointDir").map(_.trim).filter(_.nonEmpty)
+
   /** Auto-compact the index tables after this many consolidations
     * (reference: batches_since_compact counter,
     * IndexBuildOperations.scala:1197-1294). 0 disables. */

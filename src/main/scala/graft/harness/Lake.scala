@@ -329,10 +329,14 @@ final class Lake private (val spark: SparkSession, val sfDir: String, val work: 
 object Lake {
   private val built = TrieMap.empty[String, Lake]
 
-  /** Fixed pool for prebuild(): one thread per independent index build. */
+  /** Fixed pool for prebuild(): one thread per independent index build —
+    * sized to the prebuild() task count (9) so no build waits for a pool
+    * slot while executor cores idle in another build's stage tail
+    * (guide §2.6: overlap independent jobs to fill the tail; the old
+    * 6-thread pool serialized builds 7-9 behind the first six). */
   private lazy val buildEc: scala.concurrent.ExecutionContext =
     scala.concurrent.ExecutionContext.fromExecutorService(
-      java.util.concurrent.Executors.newFixedThreadPool(6, r => {
+      java.util.concurrent.Executors.newFixedThreadPool(9, r => {
         val t = new Thread(r, "graft-lake-prebuild")
         t.setDaemon(true)
         t

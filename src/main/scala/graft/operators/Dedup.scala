@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.operators.Ckpt.PinOps
 
 /** Deduplication operators for large-scale training-data pipelines.
   *
@@ -456,15 +457,23 @@ object Dedup extends org.apache.spark.internal.Logging {
     }
     val withBands = hashed.where(col("__h").isNotNull)
       .select(col("__id"), col("__h"), array(bandCols: _*).as("__bands"))
+    // bucket rows carry only the band-value PREFIX below their own band
+    // (r15 — the minhashCandidates r14 trick, guide §2.3): the
+    // first-agreeing-band test never reads index `band` (equal by the
+    // join key `bh`) or later, so `firstEqualIndex(pfx, pfx) === -1` ⇔
+    // no earlier band agrees ⇔ the old
+    // `firstEqualIndex(full, full) === band` (band 0 → empty slices → -1)
     val buckets = withBands.select(col("__id"), col("__h"), col("__bands"),
       posexplode(col("__bands")).as(Seq("band", "bh")))
+      .select(col("__id"), col("__h"), col("band"), col("bh"),
+        slice(col("__bands"), lit(1), col("band")).as("__pfx"))
     val a = buckets.select(col("band"), col("bh"), col("__id").as("a_id"),
-      col("__h").as("__sa"), col("__bands").as("__ba"))
+      col("__h").as("__sa"), col("__pfx").as("__pa"))
     val b = buckets.select(col("band"), col("bh"), col("__id").as("b_id"),
-      col("__h").as("__sb"), col("__bands").as("__bb"))
+      col("__h").as("__sb"), col("__pfx").as("__pb"))
     a.join(b, Seq("band", "bh"))
       .where(col("a_id") < col("b_id") &&
-        graft.functions.VectorOps.firstEqualIndex(col("__ba"), col("__bb")) === col("band"))
+        graft.functions.VectorOps.firstEqualIndex(col("__pa"), col("__pb")) === -1)
       .select(col("a_id"), col("b_id"),
         bit_count(col("__sa").bitwiseXOR(col("__sb"))).cast("int")
           .as("hamming"))
@@ -1206,12 +1215,12 @@ object Dedup extends org.apache.spark.internal.Logging {
         struct(col("b_id").as("src"), col("a_id").as("dst")))).as("__e"))
       .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .distinct()
-      .localCheckpoint()
+      .pinned()
     // init: every node labels itself min(self, min neighbor) — one sweep
     // of propagation folded into initialization
     var lab = edges.groupBy("src").agg(min("dst").as("mn"))
       .select(col("src").as("id"), least(col("src"), col("mn")).as("lab"))
-      .localCheckpoint()
+      .pinned()
     // one count on the already-materialized checkpoint decides broadcast
     // ONCE (labels only merge; the frame never grows). Past the budget (a
     // billion-node dup graph) the shuffle joins below are right anyway.
@@ -1229,7 +1238,7 @@ object Dedup extends org.apache.spark.internal.Logging {
       .where(col("sl") =!= col("dl"))
       .select(col("sl").as("src"), col("dl").as("dst"))
       .distinct()
-      .localCheckpoint()
+      .pinned()
     var iter = 0
     var done = live.isEmpty
     val finishLimit = graft.GraftConf.ccDriverFinishLimit(spark)
@@ -1281,7 +1290,7 @@ object Dedup extends org.apache.spark.internal.Logging {
       // already cluster-final)
       lab = lab.join(hinted(prop), lab("lab") === col("l"), "left")
         .select(lab("id"), coalesce(col("nl"), lab("lab")).as("lab"))
-        .localCheckpoint()
+        .pinned()
       // rewrite the live graph through the same mapping and drop resolved
       // (now intra-cluster) edges
       val m1 = prop.select(col("l").as("src"), col("nl").as("s2"))
@@ -1293,7 +1302,7 @@ object Dedup extends org.apache.spark.internal.Logging {
           coalesce(col("d2"), col("dst")).as("dst"))
         .where(col("src") =!= col("dst"))
         .distinct()
-        .localCheckpoint()
+        .pinned()
       done = live.isEmpty
       iter += 1
       if (sys.env.contains("GRAFT_CC_DEBUG"))

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
+import graft.operators.Ckpt.PinOps
 
 /** Graph operators over edge frames — the corpus-as-a-graph tier of the
   * curation surface. Web-scale training corpora carry link structure
@@ -117,6 +118,13 @@ object Graph {
     // absent nodes score exactly 0.0 and contribute exactly 0.0 through
     // the next join, so dropping them changes no sum; the all-nodes view
     // (zeros included) is assembled once at the end.
+    // NOTE: the in-plan raise_error below fires per ROW — if a raw
+    // half-step aggregate were ever EMPTY (zero rows), the crossJoin
+    // yields zero rows and the guard never fires. That cannot happen
+    // here: the upfront `n > 0` + seed-rounding requires guarantee a
+    // non-empty first hub frame, every edge endpoint is a node, and a
+    // non-empty positive-mass frame keeps each half-step join non-empty.
+    // Weakening those requires means re-adding an eager emptiness check.
     def norm(raw: DataFrame, rawCol: String, outCol: String,
         side: String): DataFrame = {
       val tot = broadcast(raw
@@ -132,16 +140,14 @@ object Graph {
     var auths: DataFrame = null
     (1 to iters).foreach { _ =>
       // authority half-step: in-flowing hub mass, L1-normalized
-      val aRaw = eBySrc
+      val aRaw = Ckpt.pin(eBySrc
         .join(hubs.select(col("node").as("src"), col("h")), "src")
-        .groupBy(col("dst").as("node")).agg(sum("h").as("__a"))
-        .localCheckpoint()
+        .groupBy(col("dst").as("node")).agg(sum("h").as("__a")))
       auths = norm(aRaw, "__a", "a", "authority")
       // hub half-step: out-flowing authority mass, L1-normalized
-      val hRaw = eByDst
+      val hRaw = Ckpt.pin(eByDst
         .join(auths.select(col("node").as("dst"), col("a")), "dst")
-        .groupBy(col("src").as("node")).agg(sum("a").as("__h"))
-        .localCheckpoint()
+        .groupBy(col("src").as("node")).agg(sum("a").as("__h")))
       hubs = norm(hRaw, "__h", "h", "hub")
     }
     val out = nodes
@@ -207,7 +213,7 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .where(col("a") =!= col("b") && col("a").isNotNull)
       .distinct()
-      .localCheckpoint()
+      .pinned()
     val deg = canon
       .select(explode(array(col("a"), col("b"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("__deg"))
@@ -227,7 +233,7 @@ object Graph {
           .as("dst"),
         when(col("__oa") < col("__ob"), col("__ob")).otherwise(col("__oa"))
           .as("__odst"))
-      .localCheckpoint()
+      .pinned()
     // wedges at the smallest vertex: two out-neighbors, ordered so each
     // candidate pair appears once; the closing-edge join keeps the apex
     // (closing pairs are unique, so inner == semi on the wedge rows)
@@ -484,26 +490,29 @@ object Graph {
         col("__has_out").isNull.as("__dang"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Per-iteration rank frames are `localCheckpoint`ed, not persisted:
-    // persist+count kept the full logical tree alive, so every later
-    // action re-analyzed a plan that grew with the iteration count
-    // (driver analysis went quadratic in iters — guide §3.3: materialize
-    // to cut the plan). Two SMALL leaf-rooted actions per iteration: the
-    // dangling-mass scalar (a filtered sum over the previous checkpointed
-    // frame — no join, no broadcast) and the checkpoint itself.
-    var ranks = nodesD
+    // Per-iteration rank frames are materialized (localCheckpoint by
+    // default; reliable DFS checkpoint under
+    // `spark.graft.reliableCheckpointDir`), not persisted: persist+count
+    // kept the full logical tree alive, so every later action re-analyzed
+    // a plan that grew with the iteration count (driver analysis went
+    // quadratic in iters — guide §3.3: materialize to cut the plan).
+    // ONE driver action per iteration (r15): the dangling-mass scalar
+    // rides IN-PLAN as a broadcast one-row aggregate over the previous
+    // checkpointed leaf (the hits `norm()` pattern) instead of a separate
+    // per-iteration `.head()` job — same aggregate over the same frame,
+    // so the scalar (and every rank) is bit-identical.
+    var ranks = Ckpt.pin(nodesD
       .select(col("node"), col("__in_r"), col("__dang"),
-        round(rw, roundScale).as("pr"))
-      .localCheckpoint()
+        round(rw, roundScale).as("pr")))
 
     val rankDebug = sys.env.contains("GRAFT_RANK_DEBUG")
     (1 to iters).foreach { it =>
       val t0 = System.nanoTime()
-      // dangling mass: rank parked on nodes with no out-edges (ONE
-      // scalar per iteration, read off the checkpointed frame)
-      val dangling = ranks.where(col("__dang"))
-        .agg(coalesce(sum("pr"), lit(0.0)))
-        .head().getDouble(0)
+      // dangling mass: rank parked on nodes with no out-edges (one-row
+      // broadcast aggregate off the checkpointed frame — leaf-rooted,
+      // no cache dependence, evaluated by the checkpoint action below)
+      val dang = broadcast(ranks.where(col("__dang"))
+        .agg(coalesce(sum("pr"), lit(0.0)).as("__dm")))
       val perEdge =
         if (weightCol.isDefined) col("pr") * col("__wfrac")
         else col("pr") / col("__outdeg")
@@ -511,12 +520,12 @@ object Graph {
         .join(ranks.select("node", "pr"), eDeg("src") === col("node"))
         .select(col("dst").as("node"), perEdge.as("__c"))
         .groupBy("node").agg(sum("__c").as("__contrib"))
-      ranks = nodesD.join(contribs, Seq("node"), "left")
+      ranks = Ckpt.pin(nodesD.join(contribs, Seq("node"), "left")
+        .crossJoin(dang)
         .select(col("node"), col("__in_r"), col("__dang"),
           round(lit(1.0 - damping) * rw + lit(damping) *
-            (coalesce(col("__contrib"), lit(0.0)) + lit(dangling) * rw),
-            roundScale).as("pr"))
-        .localCheckpoint()
+            (coalesce(col("__contrib"), lit(0.0)) + col("__dm") * rw),
+            roundScale).as("pr")))
       if (rankDebug)
         System.err.println(
           f"[rankdbg] iter $it ${(System.nanoTime() - t0) / 1e9}%.2fs")
@@ -1012,27 +1021,25 @@ object Graph {
     // evaluated the caller's (often expensive) canonical plan twice (r14);
     // localCheckpoint truncates the lineage so per-sweep actions don't
     // re-analyze the upstream plan (guide §3.3)
-    val sym = canon
+    val sym = Ckpt.pin(canon
       .select(explode(array(
         struct(col("a").as("src"), col("b").as("dst")),
         struct(col("b").as("src"), col("a").as("dst")))).as("__e"))
       .select(col("__e.src").as("src"), col("__e.dst").as("dst"))
-      .repartition(col("src"))
-      .localCheckpoint()
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .localCheckpoint()
+      .repartition(col("src")))
+    var labels = Ckpt.pin(sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")))
     (1 to iters).foreach { _ =>
       val votes = sym
         .join(labels.select(col("node").as("src"), col("label")), "src")
         .groupBy(col("dst").as("node"), col("label"))
         .agg(count(lit(1)).as("__c"))
-      labels = votes
+      labels = Ckpt.pin(votes
         .groupBy("node")
         .agg(min(struct((-col("__c")).as("nc"), col("label").as("l")))
           .as("__m"))
         .select(col("node"), col("__m.l").as("label"))
-        .localCheckpoint() // one driver action per sweep, one-deep lineage
+      ) // one driver action per sweep, one-deep lineage
     }
     labels
   }
@@ -1071,7 +1078,7 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).as("b"))
       .where(col("a") =!= col("b") && col("a").isNotNull)
       .distinct()
-      .localCheckpoint()
+      .pinned()
     val lab0 = labels.select(col(nodeCol).as("__n"), col(labelCol).as("__l"))
       .distinct()
     val lt = lab0.schema("__l").dataType
@@ -1165,7 +1172,7 @@ object Graph {
     var dist = seeds.select(col(seedCol).as("node")).distinct()
       .where(col("node").isNotNull)
       .withColumn("hop", lit(0))
-      .localCheckpoint()
+      .pinned()
     var frontier = dist
     var h = 0
     var frontierSize = frontier.count()
@@ -1177,9 +1184,9 @@ object Graph {
         .select(col("dst").as("node")).distinct()
         .join(dist, Seq("node"), "left_anti")
         .withColumn("hop", lit(hh))
-        .localCheckpoint()
+        .pinned()
       frontierSize = next.count() // ONE driver scalar per hop
-      dist = dist.unionAll(next).localCheckpoint()
+      dist = dist.unionAll(next).pinned()
       frontier = next
     }
     adj.unpersist(blocking = false)
@@ -1320,7 +1327,7 @@ object Graph {
       .select(col("start"),
         explode(sequence(lit(1), lit(walksPerNode))).as("walk"),
         col("start").as("cur"))
-      .localCheckpoint()
+      .pinned()
     val steps = scala.collection.mutable.ListBuffer[(DataFrame, Int)](
       (cur, 0))
     (1 to walkLength).foreach { s =>
@@ -1349,7 +1356,7 @@ object Graph {
         .groupBy(col("start"), col("walk"))
         .agg(min(col("__hv")).as("__m"))
         .select(col("start"), col("walk"), col("__m.v").as("cur"))
-        .localCheckpoint() // pin + truncate before the next join reads it
+        .pinned() // pin + truncate before the next join reads it
       steps += ((nxt, s))
       cur = nxt
     }
@@ -1357,7 +1364,7 @@ object Graph {
         df.select(col("start"), col("walk"), lit(s).as("step"),
           col("cur").as("node"))
       }.reduce(_.unionAll(_))
-      .localCheckpoint() // the corpus consumers see a leaf, not the loop
+      .pinned() // the corpus consumers see a leaf, not the loop
     e.unpersist(blocking = false)
     out
   }
@@ -1425,7 +1432,7 @@ object Graph {
         explode(sequence(lit(1), lit(walksPerNode))).as("walk"),
         lit(null).cast(nodeType).as("prev"),
         col("start").as("cur"))
-      .localCheckpoint() // truncate per-step lineage (the randomWalks r14 note)
+      .pinned() // truncate per-step lineage (the randomWalks r14 note)
     val steps = scala.collection.mutable.ListBuffer[(DataFrame, Int)](
       (cur, 0))
     (1 to walkLength).foreach { s =>
@@ -1459,7 +1466,7 @@ object Graph {
         .agg(min(col("__hv")).as("__m"), max(col("__c")).as("prev"))
         .select(col("start"), col("walk"), col("prev"),
           col("__m.v").as("cur"))
-        .localCheckpoint() // pin + truncate before the next join reads it
+        .pinned() // pin + truncate before the next join reads it
       steps += ((nxt, s))
       cur = nxt
     }
@@ -1467,7 +1474,7 @@ object Graph {
         df.select(col("start"), col("walk"), lit(s).as("step"),
           col("cur").as("node"))
       }.reduce(_.unionAll(_))
-      .localCheckpoint() // the corpus consumers see a leaf, not the loop
+      .pinned() // the corpus consumers see a leaf, not the loop
     e.unpersist(blocking = false)
     out
   }
@@ -1537,7 +1544,7 @@ object Graph {
       .select(col("start"),
         explode(sequence(lit(1), lit(walksPerNode))).as("walk"),
         col("start").as("cur"))
-      .localCheckpoint() // truncate per-step lineage (the randomWalks r14 note)
+      .pinned() // truncate per-step lineage (the randomWalks r14 note)
     val steps = scala.collection.mutable.ListBuffer[(DataFrame, Int)](
       (cur, 0))
     (1 to path.length * cycles).foreach { s =>
@@ -1564,7 +1571,7 @@ object Graph {
         .groupBy(col("start"), col("walk"))
         .agg(min(col("__hv")).as("__m"))
         .select(col("start"), col("walk"), col("__m.v").as("cur"))
-        .localCheckpoint() // pin + truncate before the next join reads it
+        .pinned() // pin + truncate before the next join reads it
       steps += ((nxt, s))
       cur = nxt
     }
@@ -1572,7 +1579,7 @@ object Graph {
         df.select(col("start"), col("walk"), lit(s).as("step"),
           col("cur").as("node"))
       }.reduce(_.unionAll(_))
-      .localCheckpoint() // the corpus consumers see a leaf, not the loop
+      .pinned() // the corpus consumers see a leaf, not the loop
     e.unpersist(blocking = false)
     out
   }

@@ -867,8 +867,13 @@ object TextAnalysis {
     require(topNBigrams > 0 && topNBigrams <= 1000000,
       "topNBigrams must be in (0, 1e6]")
     val t = filter(tokens(col(textCol)), x => length(x) > 0)
+    // the full unigram aggregate feeds BOTH the top-N cut collect and the
+    // bigram-conditional join below — pin it so the corpus explode+count
+    // shuffle runs once, not twice (r15; guide §2.4 — the first collect is
+    // also the materializing action, the join then reads the cache)
     val uniFull = df.select(explode(t).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val uniTab = uniFull
       .orderBy(col("n").desc, col("gram")).limit(topNUnigrams)
       .collect().map(r => (r.getString(0), r.getLong(1)))
@@ -887,6 +892,7 @@ object TextAnalysis {
       .select("bg", "c", "np")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
       .sortBy(_._1) // join scrambles order; sort for a stable artifact
+    uniFull.unpersist(blocking = false)
     new graft.functions.BigramLm(uni,
       biRows.map(_._1),
       biRows.map(r => r._2.toDouble / r._3.toDouble),

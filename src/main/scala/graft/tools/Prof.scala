@@ -33,22 +33,26 @@ object Prof {
     val sigs = Dedup.minhashSignatureArray(docs, "doc_id", "text", 128)
       .persist()
     time("mh_signatures")(sigs.count())
+    // mirrors the SHIPPED minhashCandidates shape (r14 prefix slices +
+    // firstEqualIndex === -1) so stage timings reflect production row width
     val buckets = sigs
       .select(col("__id"),
         graft.functions.VectorOps.bandHashes(col("__sig"), 16).as("__bands"))
       .select(col("__id"), col("__bands"),
         posexplode(col("__bands")).as(Seq("band", "bh")))
+      .select(col("__id"), col("band"), col("bh"),
+        slice(col("__bands"), lit(1), col("band")).as("__pfx"))
       .persist()
     time("mh_buckets")(buckets.count())
     val a = buckets.select(col("band"), col("bh"), col("__id").as("a_id"),
-      col("__bands").as("__ba"))
+      col("__pfx").as("__pa"))
     val b = buckets.select(col("band"), col("bh"), col("__id").as("b_id"),
-      col("__bands").as("__bb"))
+      col("__pfx").as("__pb"))
     val joined = a.join(b, Seq("band", "bh"))
     time("mh_bucket_join_raw")(joined.count())
     val cands = joined
       .where(col("a_id") < col("b_id") &&
-        graft.functions.VectorOps.firstEqualIndex(col("__ba"), col("__bb")) === col("band"))
+        graft.functions.VectorOps.firstEqualIndex(col("__pa"), col("__pb")) === -1)
       .select("a_id", "b_id")
     time("mh_cands")(cands.count())
     val candsP = cands.persist()

@@ -24,23 +24,32 @@ object SweepSlice {
     spark.sparkContext.setLogLevel("WARN")
     val lake = Lake.get(spark, sfDir)
     lake.prebuild()
-    def run(name: String): Double = {
+    // failures must be unmistakable in sweep logs: a throwing target that
+    // still prints a normal-looking wall time reads as a timing result
+    // (r14 advice) — tag the line FAILED instead
+    def run(name: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case e: Throwable =>
-        System.err.println(s"[slice] $name failed: ${e.getMessage}") }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[slice] $name failed: ${e.getMessage}")
+          false }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
     SparkEntry.queries.keys.toSeq.sorted
       .filter(n => n >= from && n < to)
-      .foreach { n => val s = run(n); System.err.println(f"[slice] $n $s%.1fs"); System.gc() }
+      .foreach { n =>
+        val (s, ok) = run(n)
+        System.err.println(f"[slice] $n $s%.1fs${if (ok) "" else " FAILED"}%s")
+        System.gc()
+      }
     if (sys.env.contains("GRAFT_SLICE_CLEAR")) {
       spark.sharedState.cacheManager.clearCache()
       (1 to 3).foreach { _ => System.gc(); Thread.sleep(1000) }
       System.err.println("[slice] cleared caches + 3x gc")
     }
-    val s = run(target)
-    println(f"[slice] TARGET $target $s%.1fs")
+    val (s, ok) = run(target)
+    println(f"[slice] TARGET $target $s%.1fs${if (ok) "" else " FAILED"}%s")
     spark.stop()
   }
 }

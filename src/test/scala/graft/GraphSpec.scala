@@ -1165,4 +1165,32 @@ class GraphSpec extends GraftSuite {
         .count() === spark.range(0, 100).where(col("id") % 7 === 3).count())
     } finally spark.conf.unset("spark.graft.warmOnConnect")
   }
+
+  test("pageRank + duplicateClusters: reliable-checkpoint escape hatch " +
+      "(spark.graft.reliableCheckpointDir) yields identical results") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 1L), (4L, 3L),
+      (7L, 7L), (5L, 6L))
+    val df = edges.toDF("s", "t")
+    val local = Graph.pageRank(df, "s", "t", iters = 6)
+      .collect().map(r0 => r0.getLong(0) -> r0.getDouble(1)).toMap
+    val pairsDf = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val ccLocal = graft.operators.Dedup.duplicateClusters(pairsDf)
+      .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+    val dir = tmpDir("graft_reliable_ckpt_")
+    spark.conf.set("spark.graft.reliableCheckpointDir", dir)
+    try {
+      val reliable = Graph.pageRank(df, "s", "t", iters = 6)
+        .collect().map(r0 => r0.getLong(0) -> r0.getDouble(1)).toMap
+      assert(reliable == local) // bit-identical ranks either medium
+      val ccReliable = graft.operators.Dedup.duplicateClusters(pairsDf)
+        .collect().map(r0 => (r0.getLong(0), r0.getLong(1))).toSet
+      assert(ccReliable == ccLocal)
+      // the hatch really routed through the DFS dir: RDD checkpoint
+      // files must exist under it
+      def anyFile(f: java.io.File): Boolean =
+        f.isFile || Option(f.listFiles()).exists(_.exists(anyFile))
+      assert(anyFile(new java.io.File(dir)),
+        s"no reliable checkpoint data written under $dir")
+    } finally spark.conf.unset("spark.graft.reliableCheckpointDir")
+  }
 }
