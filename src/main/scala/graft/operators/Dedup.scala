@@ -325,14 +325,24 @@ object Dedup extends org.apache.spark.internal.Logging {
     * BEFORE the full arrays are shuffled or merged. */
   private[operators] def verifyPairs(
       cands: DataFrame, toksIn: DataFrame, cond: Column,
-      sizeRatio: Option[Double] = None): DataFrame = {
+      sizeRatio: Option[Double] = None,
+      toksPinned: Boolean = false): DataFrame = {
     val spark = cands.sparkSession
     val n = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // persisted: consumed by the stats job + size-filter + both verify-join
-    // sides — five plan branches that would each re-tokenize the corpus
-    val toks = toksIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sides — five plan branches that would each re-tokenize the corpus.
+    // `toksPinned` callers (ngram: a projection of an already-persisted
+    // gram frame) skip the persist — caching the projection would
+    // materialize a SECOND copy of the arrays next to the parent's (r15)
+    val toks =
+      if (toksPinned) toksIn
+      else toksIn.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // One TINY stats job over the column-pruned (id, |set|) projection:
-    // drives both the broadcast decision below and nothing else. Estimated
+    // drives both the broadcast decision below and nothing else (measured
+    // r15: 0.18-0.30 s warm at sf0.1 — the job floor — and it doubles as
+    // the cache-materializing action whose tokenization pass the verify
+    // join would otherwise pay inline; an unmeasured decision risks the
+    // multi-GB broadcast the byte budget exists to prevent). Estimated
     // broadcast payload = 4 bytes/int element + per-row array overhead.
     val stats = toks.agg(
       count(lit(1)).as("__n"), sum(size(col("__toks"))).as("__elems")).first()
@@ -560,7 +570,7 @@ object Dedup extends org.apache.spark.internal.Logging {
     verifyPairs(cands,
       grams.select(col("__id").as("__tid"), col("__g").as("__toks")),
       jaccardAtLeast(col("__ta"), col("__tb"), threshold),
-      sizeRatio = None)
+      sizeRatio = None, toksPinned = true)
   }
 
   // ---- Edit-distance (fuzzy) self-join ---------------------------------------
@@ -1354,8 +1364,12 @@ object Dedup extends org.apache.spark.internal.Logging {
       scoreCol: String,
       pairs: DataFrame): DataFrame = {
     val clusters = duplicateClusters(pairs)
-    val scored = df.select(col(idCol), col(scoreCol))
-      .join(clusters.withColumnRenamed("id", idCol), Seq(idCol))
+    // pinned: `scored` feeds THREE plan branches (cluster max, winner
+    // selection, loser anti-join) — unpinned, each re-ran the df scan and
+    // the clusters final relabel join (r15; guide §2.4). It holds one
+    // (id, score, cluster_id) row per clustered doc — duplicates only.
+    val scored = Ckpt.pin(df.select(col(idCol), col(scoreCol))
+      .join(clusters.withColumnRenamed("id", idCol), Seq(idCol)))
     val best = scored.groupBy(col("cluster_id"))
       .agg(max(col(scoreCol)).as("__best"))
     val winners = scored.join(best, Seq("cluster_id"))
